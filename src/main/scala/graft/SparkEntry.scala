@@ -1,14 +1,23 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.ScalarFunctions
 import graft.query.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` keys follow SURVEY.md §2 operator IDs; each key present in
   * `oracleSql` is hash-compared against DuckDB by the driver at sf0.01.
-  * Column names are aliased identically on both sides (the driver's compare
-  * sorts columns by name before hashing).
+  *
+  * Driver-compare conventions (applied on both sides of every pair):
+  *   - identical lowercase column aliases (the compare sorts columns by
+  *     name before hashing);
+  *   - total ORDER BY for deterministic row order;
+  *   - oracle CASTs wherever DuckDB's natural type differs from Spark's
+  *     (EXTRACT/length/row_number → BIGINT but Spark emits INT, ceil →
+  *     DOUBLE but Spark emits BIGINT, etc.);
+  *   - derived float arithmetic is done in double on both sides (IEEE-
+  *     identical in any engine; float promotion rules are not).
   */
 object SparkEntry {
 
@@ -18,8 +27,52 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg"          -> Relational.q1Agg _,
-    "q3_optimal_time" -> Relational.q3OptimalTime _,
+    // §2.7 endpoint programs / skeletons
+    "q1_agg"                  -> Relational.q1Agg _,
+    "q3_optimal_time"         -> Relational.q3OptimalTime _,
+    "q2_sensitivity_skeleton" -> Relational.q2SensitivitySkeleton _,
+    // §2.1 sources / sinks / stream shapes
+    "s1_scan_project"     -> Relational.s1ScanProject _,
+    "s2_limit_ordered"    -> Relational.s2LimitOrdered _,
+    "s3_coerce_to_float"  -> Relational.s3CoerceToFloat _,
+    "s4_json_encode"      -> Relational.s4JsonEncode _,
+    "s6_json_decode"      -> Relational.s6JsonDecode _,
+    "s7_malformed_filter" -> Relational.s7MalformedFilter _,
+    "s9_batch_assign"     -> Relational.s9BatchAssign _,
+    "s11_multiscan_union" -> Relational.s11MultiScanUnion _,
+    "s12_inmem_source"    -> Relational.s12InMemSource _,
+    // §2.2 transforms
+    "t1_bulk_cast"        -> Relational.t1BulkCast _,
+    "t2_null_drop"        -> Relational.t2NullDrop _,
+    "t3_projection"       -> Relational.t3Projection _,
+    "t5_validate_row"     -> Relational.t5ValidateRow _,
+    "t6_between_filter"   -> Relational.t6BetweenFilter _,
+    "t7_column_override"  -> Relational.t7ColumnOverride _,
+    "t8_grid_substitution" -> Relational.t8GridSubstitution _,
+    "t9_domain_filter"    -> Relational.t9DomainFilter _,
+    // §2.3 aggregations
+    "a1_mean_impute"      -> Relational.a1MeanImpute _,
+    "a2_scalar_agg"       -> Relational.a2ScalarAgg _,
+    "agg_group_stats"     -> Relational.aggGroupStats _,
+    // joins
+    "join_broadcast_dim"  -> Relational.joinBroadcastDim _,
+    "join_shuffle_fact"   -> Relational.joinShuffleFact _,
+    "join_star_3way"      -> Relational.joinStar3Way _,
+    "join_anti_unordered" -> Relational.joinAntiUnordered _,
+    "join_semi_active"    -> Relational.joinSemiActive _,
+    // window functions
+    "window_topk_per_key" -> Relational.windowTopkPerKey _,
+    "window_running_sum"  -> Relational.windowRunningSum _,
+    // §2.4 sorts / limits
+    "o1_sort_importance_desc" -> Relational.o1SortImportanceDesc _,
+    "o2_topk_asc"         -> Relational.o2TopkAsc _,
+    // set ops
+    "set_ops_users"       -> Relational.setOpsUsers _,
+    // §2.5 scalar functions
+    "f_string_fns"        -> ScalarFunctions.fStringFns _,
+    "f_date_fns"          -> ScalarFunctions.fDateFns _,
+    "f_math_fns"          -> ScalarFunctions.fMathFns _,
+    "f_array_fns"         -> ScalarFunctions.fArrayFns _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,12 +91,215 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_optimal_time" ->
-      """SELECT EXTRACT(hour FROM ts) AS hour,
+      """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
         |  avg(value) AS score,
         |  count(*) AS n_events
         |FROM events
         |GROUP BY 1
         |HAVING avg(value) BETWEEN 45.0 AND 52.0
         |ORDER BY score, hour""".stripMargin,
+    "q2_sensitivity_skeleton" ->
+      """SELECT CAST(v AS REAL) AS varied_value,
+        |  CAST(v AS DOUBLE) * 0.02 + CAST(CAST(17.0 AS REAL) AS DOUBLE) * 0.5
+        |    + CAST(CAST(2.5 AS REAL) AS DOUBLE) * 1.5 AS score
+        |FROM (VALUES (1.0), (2.0), (3.0), (4.0), (5.0)) t(v)
+        |ORDER BY varied_value""".stripMargin,
+    "s1_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s2_limit_ordered" ->
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY event_id LIMIT 100""".stripMargin,
+    "s3_coerce_to_float" ->
+      """SELECT event_id,
+        |  coalesce(TRY_CAST(event_type AS REAL), CAST(0.0 AS REAL)) AS et_coerced,
+        |  coalesce(TRY_CAST(value AS REAL), CAST(0.0 AS REAL)) AS value_f
+        |FROM events ORDER BY event_id""".stripMargin,
+    "s4_json_encode" ->
+      """SELECT event_id,
+        |  '{"event_id":' || CAST(event_id AS VARCHAR) ||
+        |  ',"user_id":' || CAST(user_id AS VARCHAR) ||
+        |  ',"event_type":"' || event_type || '"}' AS payload
+        |FROM events ORDER BY event_id""".stripMargin,
+    "s6_json_decode" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "s7_malformed_filter" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+        |FROM events
+        |WHERE CAST(props->>'$.k' AS INT) IS NOT NULL
+        |  AND CAST(props->>'$.k' AS INT) > 50
+        |ORDER BY event_id""".stripMargin,
+    "s9_batch_assign" ->
+      """SELECT CAST(floor((rn - 1) / 1000) AS INT) AS batch_id,
+        |  count(*) AS n_rows, min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM (SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn
+        |      FROM events)
+        |GROUP BY 1 ORDER BY batch_id""".stripMargin,
+    "s11_multiscan_union" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_linenumber = 1
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_linenumber = 2
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s12_inmem_source" ->
+      """SELECT CAST(row_id AS INT) AS row_id, CAST(distance AS REAL) AS distance,
+        |  CAST(temp AS REAL) AS temp,
+        |  CAST(CAST(distance AS REAL) AS DOUBLE) * 0.01
+        |    + CAST(CAST(temp AS REAL) AS DOUBLE) AS score
+        |FROM (VALUES (1, 1200.5, 17.0), (2, 450.0, 21.5), (3, 80.25, 3.0))
+        |  t(row_id, distance, temp)
+        |ORDER BY row_id""".stripMargin,
+    "t1_bulk_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS REAL) AS quantity_f,
+        |  CAST(l_extendedprice AS REAL) AS extendedprice_f,
+        |  CAST(l_discount AS REAL) AS discount_f,
+        |  CAST(l_tax AS REAL) AS tax_f
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "t2_null_drop" ->
+      """SELECT event_id,
+        |  CASE WHEN value < 1.0 THEN NULL ELSE value END AS label
+        |FROM events
+        |WHERE CASE WHEN value < 1.0 THEN NULL ELSE value END IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "t3_projection" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "t5_validate_row" ->
+      """SELECT CAST(row_id AS INT) AS row_id,
+        |  coalesce(distance, CAST(0.0 AS REAL)) AS distance_v,
+        |  coalesce(temp, CAST(0.0 AS REAL)) AS temp_v,
+        |  coalesce(wind, CAST(0.0 AS REAL)) AS wind_v,
+        |  distance IS NULL AS distance_missing,
+        |  temp IS NULL AS temp_missing,
+        |  wind IS NULL AS wind_missing
+        |FROM (VALUES
+        |  (1, CAST(1200.5 AS REAL), CAST(NULL AS REAL), CAST(3.2 AS REAL)),
+        |  (2, CAST(NULL AS REAL), CAST(21.0 AS REAL), CAST(NULL AS REAL)))
+        |  t(row_id, distance, temp, wind)
+        |ORDER BY row_id""".stripMargin,
+    "t6_between_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity BETWEEN 10.0 AND 20.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "t7_column_override" ->
+      """SELECT event_id, value, CAST(42.5 AS DOUBLE) AS value_overridden
+        |FROM events ORDER BY event_id""".stripMargin,
+    "t8_grid_substitution" ->
+      """SELECT CAST(h AS INT) AS hour, CAST(h AS REAL) AS phour,
+        |  CAST(30.0 AS REAL) AS pmin, CAST(1200.5 AS REAL) AS distance,
+        |  CAST(17.0 AS REAL) AS temp
+        |FROM generate_series(0, 23) t(h)
+        |ORDER BY hour""".stripMargin,
+    "t9_domain_filter" ->
+      """SELECT CAST(h AS INT) AS hour
+        |FROM (VALUES (-3), (0), (7), (12), (18), (23), (24), (99)) t(h)
+        |WHERE h BETWEEN 0 AND 23
+        |ORDER BY hour""".stripMargin,
+    "a1_mean_impute" ->
+      """WITH n AS (SELECT event_id,
+        |    CASE WHEN value < 1.0 THEN NULL ELSE value END AS value_n
+        |  FROM events)
+        |SELECT event_id,
+        |  coalesce(value_n, (SELECT avg(value_n) FROM n)) AS value_imputed
+        |FROM n ORDER BY event_id""".stripMargin,
+    "a2_scalar_agg" ->
+      """SELECT CAST(avg(value) AS REAL) AS mean_value, count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events""".stripMargin,
+    "agg_group_stats" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  CAST(sum(value) AS REAL) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "join_broadcast_dim" ->
+      """SELECT p_brand,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_shuffle_fact" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_star_3way" ->
+      """SELECT r_name, count(*) AS n_customers, sum(c_acctbal) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_anti_unordered" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY p_partkey""".stripMargin,
+    "join_semi_active" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "window_topk_per_key" ->
+      """SELECT event_type, CAST(rk AS INT) AS rk, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+    "window_running_sum" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS REAL) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "o1_sort_importance_desc" ->
+      """SELECT event_type, avg(value) AS importance
+        |FROM events GROUP BY event_type
+        |ORDER BY importance DESC, event_type""".stripMargin,
+    "o2_topk_asc" ->
+      """SELECT event_id, value FROM events
+        |WHERE event_type = 'purchase'
+        |ORDER BY value, event_id LIMIT 20""".stripMargin,
+    "set_ops_users" ->
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT user_id FROM events WHERE event_type = 'error')
+        |SELECT user_id, 'both' AS tag FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+        |UNION ALL
+        |SELECT user_id, 'purchase_only' AS tag FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+        |ORDER BY tag, user_id""".stripMargin,
+    "f_string_fns" ->
+      """SELECT doc_id,
+        |  upper(lang) AS lang_upper,
+        |  substring(text, 1, 20) AS text_head,
+        |  CAST(length(text) AS INT) AS text_len,
+        |  source || ':' || lang AS source_lang,
+        |  regexp_replace(text, '\s+', ' ', 'g') AS text_norm_head,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_space
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f_date_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS order_day,
+        |  CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS order_dow,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+        |    AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25.0) AS qty_dev,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  pow(l_discount, 2) AS disc_sq,
+        |  greatest(l_tax, l_discount) AS max_rate,
+        |  least(l_tax, l_discount) AS min_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f_array_fns" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  embedding[1] AS first_component,
+        |  sqrt(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
   )
 }

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas.{events, table}
+
+/** Scalar-function surface (SURVEY §2.5 / §2.8): string, date, math, and
+  * array functions as oracle-backed queries. The reference's own scalar
+  * surface is tiny (F1 cast-with-default, F2 JSON encode/decode — both in
+  * [[graft.query.Relational]]); these queries document the engine's full
+  * built-in function coverage, chosen to be bit-reproducible across
+  * Spark and DuckDB (no functions with engine-specific rounding, e.g. ln on
+  * arbitrary doubles is avoided in favor of sqrt/power which are IEEE-exact).
+  */
+object ScalarFunctions {
+
+  /** String functions over documents: case, substring, trim-shaped ops,
+    * length, concat, replace, split-count. All codegen'd built-ins — no
+    * UDFs in the hot path. */
+  def fStringFns(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        upper(col("lang")).as("lang_upper"),
+        substring(col("text"), 1, 20).as("text_head"),
+        length(col("text")).as("text_len"),
+        concat(col("source"), lit(":"), col("lang")).as("source_lang"),
+        regexp_replace(col("text"), "\\s+", " ").as("text_norm_head"),
+        size(split(col("text"), " ")).as("n_tokens_space"))
+      .orderBy(col("doc_id"))
+
+  /** Date/time functions over orders: year/month/day extraction, month
+    * truncation, day-of-week (normalized to DuckDB's 0=Sunday convention:
+    * Spark dayofweek is 1=Sunday). */
+  def fDateFns(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        dayofmonth(col("o_orderdate")).as("order_day"),
+        (dayofweek(col("o_orderdate")) - lit(1)).as("order_dow"),
+        trunc(col("o_orderdate"), "month").as("order_month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate"))
+          .as("days_to_2002"))
+      .orderBy(col("o_orderkey"))
+
+  /** Math functions over lineitem: abs/ceil/floor/sqrt/power/greatest/least
+    * — the IEEE-exact subset (identical bit patterns in any engine). */
+  def fMathFns(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - lit(25.0)).as("qty_dev"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        pow(col("l_discount"), lit(2)).as("disc_sq"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Array (higher-order) functions over embeddings: size, 1-based
+    * element_at, and an `aggregate` fold computing the L2 norm — the same
+    * fold the similarity operators build on. The fold accumulates in double
+    * (left-to-right, matching DuckDB's list_sum order) so results are
+    * bit-identical. */
+  def fArrayFns(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_component"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("l2_norm"))
+      .orderBy(col("vec_id"))
+}

@@ -1,6 +1,7 @@
 package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.schema.Schemas.{events, table}
 
@@ -9,10 +10,19 @@ import graft.schema.Schemas.{events, table}
   * an ANSI-SQL oracle in [[graft.SparkEntry.oracleSql]] and hash-compared
   * by the driver against DuckDB at sf0.01.
   *
+  * Conventions (driver-compare safety):
+  *   - output column names are all lowercase and aliased identically in the
+  *     oracle SQL (driver sorts columns by name before hashing);
+  *   - every query ends in a total ORDER BY (deterministic row order even if
+  *     the driver does not sort rows);
+  *   - output types match the oracle's (INT/BIGINT/REAL/DOUBLE — oracles
+  *     CAST where DuckDB's natural type differs, e.g. EXTRACT → BIGINT).
+  *
   * Scale notes (100 TB rule): every query is a pure Catalyst plan — filters
   * and projections push to the parquet scan, aggregations are partial
-  * (map-side combine) before the shuffle, sorts are only on already-reduced
-  * outputs, and nothing materializes on the driver.
+  * (map-side combine) before the exchange, sorts run on already-reduced
+  * outputs, dimension joins are broadcast, and nothing materializes on the
+  * driver.
   */
 object Relational {
 
@@ -21,8 +31,7 @@ object Relational {
     * input partition to ~6 rows before the exchange, so the shuffle is O(1)
     * regardless of input size. (Reference analog: the trainer's only
     * aggregate is Imputer's per-column mean, spark_trainer.py:70 — this is
-    * its group-by generalization.)
-    */
+    * its group-by generalization.) */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -40,12 +49,386 @@ object Relational {
     * filter, best-first sort — the relational core of the reference's
     * optimal-time endpoint (api/api.py:227-313) with the model swapped for
     * an aggregate. 24-row output: the HAVING band runs post-agg on 24 rows;
-    * the groupBy shuffles only 24 partial rows per input partition.
-    */
+    * the groupBy shuffles only 24 partial rows per input partition. */
   def q3OptimalTime(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(hour(col("ts")).as("hour"))
       .agg(avg(col("value")).as("score"), count(lit(1)).as("n_events"))
       .filter(col("score").between(lit(45.0), lit(52.0)))
       .orderBy(col("score"), col("hour"))
+
+  // ---- §2.1 sources --------------------------------------------------------
+
+  /** S1: projection scan. Column pruning reaches the parquet reader
+    * (ReadSchema carries only 4 of 11 lineitem columns). Reference analog:
+    * the producer's header-CSV scan (producer/producer.py:33-45). */
+  def s1ScanProject(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** S2/O3: deterministic row limit — ordered top-N, a single reduction
+    * (TakeOrderedAndProject: no global sort, no full shuffle). Reference:
+    * MAX_ROWS_TO_SEND cap (producer/producer.py:14,46-48). */
+  def s2LimitOrdered(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+      .limit(100)
+
+  /** S3/F1: to_float_or_zero coercion — cast-with-default at the source
+    * boundary (producer/producer.py:53-58: empty/invalid → 0.0). A
+    * non-numeric string coerces to 0.0f; a numeric one round-trips. */
+  def s3CoerceToFloat(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id"),
+        // try_cast, not cast: Spark 4 runs ANSI mode, where a failed string
+        // cast throws instead of yielding null (the reference's semantics)
+        coalesce(expr("try_cast(event_type AS float)"), lit(0.0f)).as("et_coerced"),
+        coalesce(col("value").cast("float"), lit(0.0f)).as("value_f"))
+      .orderBy(col("event_id"))
+
+  /** S4/F2: JSON-encode sink shape (producer/producer.py:21,62). Built by
+    * explicit concat so the byte-level result is engine-independent (key
+    * order and spacing of to_json vary by engine). */
+  def s4JsonEncode(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"),
+        concat(lit("{\"event_id\":"), col("event_id").cast("string"),
+          lit(",\"user_id\":"), col("user_id").cast("string"),
+          lit(",\"event_type\":\""), col("event_type"), lit("\"}")).as("payload"))
+      .orderBy(col("event_id"))
+
+  /** S6/F2/S8: JSON-decode source — parse the `props` JSON value column and
+    * surface a typed field (consumer/consumer.py:24 value_deserializer). */
+  def s6JsonDecode(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id"))
+
+  /** S7: malformed-record filter — rows whose JSON value fails to parse (or
+    * lacks the field) are dropped, the `from_json`-null idiom for the
+    * consumer's non-dict drop (consumer/consumer.py:47-49). The k>50 band
+    * keeps the filter observable on all-valid synthetic data. */
+  def s7MalformedFilter(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k").isNotNull && col("k") > 50)
+      .orderBy(col("event_id"))
+
+  /** S9: count-based tumbling batch window (consumer/consumer.py:59-82) —
+    * batch_id = floor(row_rank / 1000) in arrival (event_id) order, then
+    * per-batch stats. This is the oracle-able batch emulation; the
+    * arrival-order streaming variant (no ordering column needed) lives in
+    * [[graft.ingest.Batcher]]. The global window is single-partition — fine
+    * at verify scale; at 100 TB the Batcher's per-partition-offset plan
+    * (count per partition + prefix sum, no global sort) replaces it. */
+  def s9BatchAssign(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("event_id"))
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", floor((col("rn") - 1) / 1000).cast("int"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("batch_id"))
+  }
+
+  /** S11: multi-file scan — several scans of the same schema unioned into
+    * one DataFrame (spark_trainer/spark_trainer.py:43,46 reads a *list* of
+    * batch CSVs). Expressed as two disjoint scans + unionAll; Catalyst
+    * pushes the disjoint filters into both scans. */
+  def s11MultiScanUnion(spark: SparkSession, dir: String): DataFrame = {
+    def part(n: Int) = table(spark, dir, "lineitem")
+      .filter(col("l_linenumber") === n)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    part(1).unionAll(part(2)).orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** S12: in-memory row source — literal rows + explicit schema
+    * (api/api.py:89,157,284 createDataFrame). LocalRelation: constant-folded,
+    * never touches an executor. */
+  def s12InMemSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq((1, 1200.5f, 17.0f), (2, 450.0f, 21.5f), (3, 80.25f, 3.0f))
+      .toDF("row_id", "distance", "temp")
+      // arithmetic in double: float division/promotion rules differ between
+      // engines; double ops are IEEE-identical everywhere
+      .withColumn("score",
+        col("distance").cast("double") * lit(0.01) + col("temp").cast("double"))
+      .orderBy(col("row_id"))
+  }
+
+  // ---- §2.2 transforms -----------------------------------------------------
+
+  /** T1: bulk cast — every numeric column cast in ONE select (the
+    * reference's 25 stacked withColumn casts, spark_trainer.py:48-50,
+    * collapsed to a single Project so the plan has one node, not 25). */
+  def t1BulkCast(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("float").as("quantity_f"),
+        col("l_extendedprice").cast("float").as("extendedprice_f"),
+        col("l_discount").cast("float").as("discount_f"),
+        col("l_tax").cast("float").as("tax_f"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** T2: null-drop on a subset — na.drop on the label column
+    * (spark_trainer.py:52). Nulls are induced (value<1 → null) since the
+    * synthetic table is complete; the drop then removes exactly those. */
+  def t2NullDrop(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("label",
+        when(col("value") < 1.0, lit(null)).otherwise(col("value")))
+      .na.drop(Seq("label"))
+      .select(col("event_id"), col("label"))
+      .orderBy(col("event_id"))
+
+  /** T3/T4: training projection — keep features+label, drop the rest
+    * (spark_trainer.py:56-62), with the defensive schema intersect. */
+  def t3Projection(spark: SparkSession, dir: String): DataFrame = {
+    val wanted = Seq("o_orderkey", "o_custkey", "o_totalprice", "no_such_col")
+    val df = table(spark, dir, "orders")
+    val present = wanted.filter(df.columns.contains) // T4 intersect
+    df.select(present.map(col): _*).orderBy(col("o_orderkey"))
+  }
+
+  /** T5: single-row validation/coercion — missing feature → 0.0 plus a
+    * missing-flag column (api/api.py:49-73's warning list, as data). */
+  def t5ValidateRow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq((1, Some(1200.5f), Option.empty[Float], Some(3.2f)),
+        (2, Option.empty[Float], Some(21.0f), Option.empty[Float]))
+      .toDF("row_id", "distance", "temp", "wind")
+      .select(col("row_id"),
+        coalesce(col("distance"), lit(0.0f)).as("distance_v"),
+        coalesce(col("temp"), lit(0.0f)).as("temp_v"),
+        coalesce(col("wind"), lit(0.0f)).as("wind_v"),
+        col("distance").isNull.as("distance_missing"),
+        col("temp").isNull.as("temp_missing"),
+        col("wind").isNull.as("wind_missing"))
+      .orderBy(col("row_id"))
+  }
+
+  /** T6: BETWEEN range filter (api/api.py:290) — pushed to the parquet scan
+    * as two comparison filters. */
+  def t6BetweenFilter(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_quantity").between(10.0, 20.0))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** T7: column override (what-if clone, api/api.py:133-135) — overwrite one
+    * feature with a literal across all rows. */
+  def t7ColumnOverride(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"), col("value"))
+      .withColumn("value_overridden", lit(42.5))
+      .orderBy(col("event_id"))
+
+  /** T8: grid substitution (api/api.py:261-268) — one base row × an
+    * exploded candidate-hour sequence, Phour/Pmin overwritten per candidate.
+    * The base side is a LocalRelation: the "join" is constant expansion, no
+    * shuffle at any scale. */
+  def t8GridSubstitution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq((1200.5f, 17.0f)).toDF("distance", "temp")
+      .withColumn("hour", explode(sequence(lit(0), lit(23))))
+      .select(col("hour"),
+        col("hour").cast("float").as("phour"),
+        lit(30.0f).as("pmin"),
+        col("distance"), col("temp"))
+      .orderBy(col("hour"))
+  }
+
+  /** T9: candidate-domain filter (api/api.py:262-264) — drop out-of-domain
+    * hours from a literal candidate list. */
+  def t9DomainFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(-3, 0, 7, 12, 18, 23, 24, 99).toDF("hour")
+      .filter(col("hour").between(0, 23))
+      .orderBy(col("hour"))
+  }
+
+  // ---- §2.3 aggregations ---------------------------------------------------
+
+  /** A1: mean imputation — the relational core of Imputer(strategy=mean)
+    * (spark_trainer.py:67-70): one global avg over non-null values, then
+    * coalesce nulls to it. The 1-row aggregate is broadcast: no shuffle of
+    * the fact side, the impute is a map-side expression at any scale. */
+  def a1MeanImpute(spark: SparkSession, dir: String): DataFrame = {
+    val withNulls = events(spark, dir)
+      .withColumn("value_n",
+        when(col("value") < 1.0, lit(null)).otherwise(col("value")))
+    val mean = withNulls.agg(avg(col("value_n")).as("mean_value"))
+    withNulls.crossJoin(broadcast(mean))
+      .select(col("event_id"),
+        coalesce(col("value_n"), col("mean_value")).as("value_imputed"))
+      .orderBy(col("event_id"))
+  }
+
+  /** A2: scalar aggregate — the 1-row "first()" extraction (api/api.py:92)
+    * as a proper global aggregate. */
+  def a2ScalarAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      // float32 output: engines associate double summation differently
+      // (DuckDB vectorizes); float rounding absorbs the last-ulp skew, and
+      // the reference is float-typed end-to-end anyway (api/api.py:46-47)
+      .agg(avg(col("value")).cast("float").as("mean_value"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Grouped stats — group-by generalization of A1's per-column mean, with
+    * exact distinct counts. Low-cardinality keys → partial agg collapses
+    * each partition before the exchange. */
+  def aggGroupStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("value")).cast("float").as("sum_value"))
+      .orderBy(col("event_type"))
+
+  // ---- joins (engine surface; reference's Q2/Q3 re-expression + north-star)
+
+  /** Broadcast dimension join — fact × small dim. `broadcast(part)` keeps
+    * the fact side shuffle-free: the 1000-executor plan is a map-side hash
+    * join per fact partition. */
+  def joinBroadcastDim(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  /** Shuffle (sort-merge/hash) join — two fact tables co-partitioned on the
+    * join key by the exchange; AQE picks the physical strategy and coalesces
+    * post-shuffle partitions. */
+  def joinShuffleFact(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+
+  /** 3-way star join — customer→nation→region, both dims broadcast. */
+  def joinStar3Way(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(broadcast(table(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("r_name"))
+
+  /** Anti join — parts never ordered (NOT EXISTS). Broadcast the distinct
+    * key set of the fact side when small; at scale this is a shuffled
+    * left-anti hash join. */
+  def joinAntiUnordered(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .join(table(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp")),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+
+  /** Semi join — customers with at least one order (EXISTS): no
+    * multiplication of the left side, the probe stops at first match. */
+  def joinSemiActive(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  // ---- window functions ----------------------------------------------------
+
+  /** Top-k per key — row_number over (partition by type, order by value
+    * desc). Partitioned window: shuffles once on the key, sorts within
+    * partitions only. Tie-broken by event_id for determinism. */
+  def windowTopkPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    events(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk"), col("event_id"), col("value"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  /** Running sum per user in event order — rows unbounded preceding..current. */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        sum(col("value")).over(w).cast("float").as("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // ---- §2.4 sorts / limits / top-k ----------------------------------------
+
+  /** O1: sort by aggregate desc — the feature-importance ordering
+    * (spark_trainer.py:95) generalized: avg value per type, heaviest first. */
+  def o1SortImportanceDesc(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("importance"))
+      .orderBy(col("importance").desc, col("event_type"))
+
+  /** O2: ascending top-k — "best suggestions first" (api/api.py:298) with a
+    * cap: TakeOrderedAndProject, not a global sort. */
+  def o2TopkAsc(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+      .orderBy(col("value"), col("event_id"))
+      .limit(20)
+
+  // ---- set ops -------------------------------------------------------------
+
+  /** Set operations — distinct user sets of two event types: intersect
+    * (users doing both) and except (purchasers who never error), unioned
+    * with a tag. Both are shuffle-on-key distinct ops. */
+  def setOpsUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchasers = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val errorers   = ev.filter(col("event_type") === "error").select(col("user_id"))
+    val both    = purchasers.intersect(errorers).withColumn("tag", lit("both"))
+    val pureBuy = purchasers.except(errorers).withColumn("tag", lit("purchase_only"))
+    both.unionAll(pureBuy).orderBy(col("tag"), col("user_id"))
+  }
+
+  // ---- §2.7 endpoint skeletons --------------------------------------------
+
+  /** Q2 skeleton: sensitivity analysis (api/api.py:108-223) without the
+    * model — base row × UNNEST(variation_values), the varied feature
+    * overridden per clone, a deterministic linear score standing in for the
+    * RF transform. Cross join of 1×N literals: constant-folded, no shuffle. */
+  def q2SensitivitySkeleton(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Seq((1200.5f, 17.0f, 2.5f)).toDF("distance", "temp", "wind")
+    base
+      .withColumn("varied_value",
+        explode(array(Seq(1.0f, 2.0f, 3.0f, 4.0f, 5.0f).map(lit): _*)))
+      .withColumn("distance_varied", col("varied_value"))
+      .select(col("varied_value"),
+        (col("distance_varied").cast("double") * lit(0.02)
+          + col("temp").cast("double") * lit(0.5)
+          + col("wind").cast("double") * lit(1.5)).as("score"))
+      .orderBy(col("varied_value"))
+  }
 }
