@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ingest.{Batcher, FileJsonTransport, Replay}
+import graft.schema.Schemas
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("F1 toFloatOrZero: numeric round-trip, invalid/empty/null -> 0.0") {
+    val df = Seq("1.5", "-3", "abc", "", null, "  ", "2e2")
+      .toDF("raw")
+      .select(Replay.toFloatOrZero(col("raw")).as("v"),
+        Replay.coercionFailed(col("raw")).as("failed"))
+    val rows = df.collect().map(r => (r.getFloat(0), r.getBoolean(1)))
+    assert(rows.toSeq == Seq(
+      (1.5f, false), (-3.0f, false), (0.0f, true), (0.0f, true),
+      (0.0f, false), (0.0f, true), (200.0f, false)))
+  }
+
+  test("S1+S3: CSV scan with header + coercing projection (trip-shaped)") {
+    val dir = tmp("csv")
+    Files.writeString(java.nio.file.Paths.get(dir, "trips.csv"),
+      "Duration,Distance,Note\n12.5,1000,hello\n,bad,world\n7,2.5,x\n")
+    val df = Replay.replay(spark, dir, Seq("Duration", "Distance", "Note"),
+      Seq("Duration", "Distance"), maxRows = 10)
+    val rows = df.orderBy("Note").collect()
+    // coerced numerics, passthrough string; empty/invalid -> 0.0
+    assert(df.schema("Duration").dataType.typeName == "float")
+    assert(df.schema("Note").dataType.typeName == "string")
+    assert(rows.map(_.getString(2)).toSeq == Seq("hello", "world", "x"))
+    assert(rows.map(_.getFloat(0)).toSeq == Seq(12.5f, 0.0f, 7.0f))
+    assert(rows.map(_.getFloat(1)).toSeq == Seq(1000.0f, 0.0f, 2.5f))
+  }
+
+  test("S2: row cap limits the replay") {
+    val dir = tmp("csvcap")
+    val body = (1 to 50).map(i => s"$i.0,2.0").mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "t.csv"),
+      s"Duration,Distance\n$body\n")
+    val df = Replay.replay(spark, dir, Seq("Duration", "Distance"),
+      Seq("Duration", "Distance"), maxRows = 7)
+    assert(df.count() == 7)
+  }
+
+  test("S9 (1): window emulation — sizes, cap, order") {
+    val ev = Schemas.events(spark, sf) // 1000 rows
+    val out = Batcher.assignBatches(ev, "event_id", batchSize = 300, maxBatches = 3)
+    val sizes = out.groupBy("batch_id").count().orderBy("batch_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(sizes.toSeq == Seq((0, 300L), (1, 300L), (2, 300L)))
+    // batch 0 holds the 300 smallest event_ids
+    val max0 = out.filter($"batch_id" === 0).agg(max("event_id")).head().getLong(0)
+    val min1 = out.filter($"batch_id" === 1).agg(min("event_id")).head().getLong(0)
+    assert(max0 < min1)
+  }
+
+  test("S9 (2): arrival-order assigner — sizes, remainder, no shuffle of rows") {
+    val ev = Schemas.events(spark, sf).repartition(7) // force multi-partition
+    val res = Batcher.assignBatchesArrivalOrder(ev, batchSize = 300, maxBatches = 3)
+    val sizes = res.batches.groupBy("batch_id").count().orderBy("batch_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(sizes.toSeq == Seq((0, 300L), (1, 300L), (2, 300L)))
+    assert(res.remainderRows == 100L)
+    assert(res.nBatches == 3)
+    // seq is a permutation of 0..999 restricted to the cap
+    val seqs = res.batches.select("seq").as[Long].collect().sorted
+    assert(seqs.toSeq == (0L until 900L))
+  }
+
+  test("S4+S6+S7: transport round-trip with malformed drop") {
+    val topic = tmp("topic")
+    val t = new FileJsonTransport(topic)
+    t.publish(Seq((1L, 10.5), (2L, 20.0)).toDF("id", "v"))
+    // inject a malformed line (non-JSON) directly into the topic
+    Files.writeString(java.nio.file.Paths.get(topic, "garbage.txt"),
+      "not-json-at-all\n")
+    val typed = spark.read.schema("value STRING").text(topic)
+      .select(from_json($"value", org.apache.spark.sql.types.StructType.fromDDL(
+        "id LONG, v DOUBLE")).as("parsed"))
+      .filter($"parsed".isNotNull && $"parsed.id".isNotNull)
+      .select("parsed.*")
+    val rows = typed.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 10.5), (2L, 20.0)))
+  }
+
+  test("S9 (3): streaming count-batcher — growing files, cap + remainder flush") {
+    val topic = tmp("stream-topic")
+    val t = new FileJsonTransport(topic)
+    // publish 1000 events as JSON through the transport (several files)
+    val ev = Schemas.events(spark, sf)
+      .select($"event_id", $"user_id", $"value")
+    t.publish(ev.filter($"event_id" < 400))
+    t.publish(ev.filter($"event_id" >= 400))
+    val res = Batcher.streamBatches(spark, t,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id LONG, user_id LONG, value DOUBLE"),
+      stagingDir = tmp("staging"), outDir = tmp("batches"),
+      batchSize = 300, maxBatches = 4, checkpointDir = tmp("ckpt"))
+    val sizes = res.batches.groupBy("batch_id").count().orderBy("batch_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(sizes.toSeq == Seq((0, 300L), (1, 300L), (2, 300L), (3, 100L)))
+    assert(res.nBatches == 4)
+    assert(res.remainderRows == 0L)
+    // every source row arrived exactly once
+    assert(res.batches.count() == 1000L)
+    assert(res.batches.select("event_id").distinct().count() == 1000L)
+  }
+}
