@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.ScalarFunctions
-import graft.query.Relational
+import graft.query.{Endpoints, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -73,6 +73,16 @@ object SparkEntry {
     "f_date_fns"          -> ScalarFunctions.fDateFns _,
     "f_math_fns"          -> ScalarFunctions.fMathFns _,
     "f_array_fns"         -> ScalarFunctions.fArrayFns _,
+    // §2.6/2.7 ML operators (no SQL oracle — RF scoring; covered by
+    // determinism/invariant specs, driver records rows-only checks)
+    "m6_growing_window_importances" ->
+      ((s: SparkSession, d: String) => Endpoints.m6GrowingWindowImportances(s, d)),
+    "q1_predict_duration" ->
+      ((s: SparkSession, d: String) => Endpoints.q1Predict(s, d)),
+    "q2_sensitivity_ml" ->
+      ((s: SparkSession, d: String) => Endpoints.q2Sensitivity(s, d)),
+    "q3_optimal_time_ml" ->
+      ((s: SparkSession, d: String) => Endpoints.q3OptimalTime(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
