@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.ScalarFunctions
-import graft.query.{Endpoints, Relational}
+import graft.query.{Dedup, Endpoints, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -83,6 +83,28 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Endpoints.q2Sensitivity(s, d)),
     "q3_optimal_time_ml" ->
       ((s: SparkSession, d: String) => Endpoints.q3OptimalTime(s, d)),
+    // north-star: deduplication (SURVEY §7.7)
+    "dedup_exact"            -> Dedup.dedupExact _,
+    "dedup_minhash_lsh"      ->
+      ((s: SparkSession, d: String) => Dedup.dedupMinhashLsh(s, d)),
+    "dedup_simhash"          ->
+      ((s: SparkSession, d: String) => Dedup.dedupSimhash(s, d)),
+    "dedup_ngram_jaccard"    ->
+      ((s: SparkSession, d: String) => Dedup.dedupNgramJaccard(s, d)),
+    "dedup_embedding_cosine" ->
+      ((s: SparkSession, d: String) => Dedup.dedupEmbeddingCosine(s, d)),
+    // north-star: similarity search
+    "ann_brute_force_topk"   ->
+      ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "ann_ivf_topk"           ->
+      ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    // north-star: text analysis
+    "text_quality"           -> TextAnalysis.textQuality _,
+    "text_token_count"       -> TextAnalysis.textTokenCount _,
+    "text_fingerprint"       -> TextAnalysis.textFingerprint _,
+    "text_langid"            -> TextAnalysis.textLangId _,
+    // north-star: multimodal plumbing
+    "multimodal_summary"     -> Multimodal.multimodalSummary _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -311,5 +333,41 @@ object SparkEntry {
         |  sqrt(list_aggregate(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |  doc_id = min(doc_id) OVER (PARTITION BY
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_brute_force_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(qe AS DOUBLE[]) FROM q)) AS cosine
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+        |  (CAST(length(text) AS DOUBLE)
+        |     - CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE))
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+        |    + least(((CAST(length(text) AS DOUBLE)
+        |        - CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE))
+        |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0) * 0.3
+        |    + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |       / CAST(length(text) AS DOUBLE)) * 0.2 AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+        |    AS INT) AS n_bpe_tokens,
+        |  CAST(length(text) AS DOUBLE) / 4.0 AS n_est_chars4
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

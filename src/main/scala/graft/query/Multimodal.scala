@@ -1,0 +1,60 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas.table
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with typed
+  * metadata, processed by per-row expressions / per-partition batches.
+  *
+  * The container ships no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub (hash-derived pseudo-features) — the
+  * Spark-side surface (binary column, metadata struct, batch shape,
+  * partition parallelism) is real and tested. Swapping the stub for a real
+  * decoder (JNI or `mapInPandas`-style batched Python) changes ONE
+  * function, not the pipeline.
+  *
+  * Scale: payloads stay in executors end-to-end (no driver collect); a
+  * real deployment reads `binaryFile` sources partitioned by file, with
+  * `spark.sql.files.maxPartitionBytes` sizing partitions to decoder
+  * memory.
+  */
+object Multimodal {
+
+  /** STUB — deterministic fake feature extractor standing in for an image
+    * decode+embed. Derives 4 floats from xxhash64 of the payload at
+    * different seeds, scaled to [0,1). A real implementation replaces this
+    * expression with a decoder call. */
+  private def stubFeature(payload: org.apache.spark.sql.Column, seed: Int) =
+    (pmod(xxhash64(payload, lit(seed)), lit(1000000L)).cast("double") / 1e6)
+
+  /** Binary payload pipeline over documents-as-media: encode text bytes as
+    * the opaque payload (the corpus has no real media), attach typed
+    * metadata (byte size, pseudo mime/width/height), and extract stub
+    * features. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        payload.as("payload"),
+        octet_length(payload).as("payload_bytes"),
+        // metadata struct a real media table would carry
+        struct(
+          lit("image/stub").as("mime"),
+          (pmod(xxhash64(col("doc_id")), lit(1024L)) + 256L).cast("int").as("width"),
+          (pmod(xxhash64(col("doc_id"), lit(1)), lit(768L)) + 256L).cast("int").as("height"))
+          .as("media_meta"),
+        array((0 until 4).map(stubFeature(payload, _)): _*).as("stub_embedding"))
+  }
+
+  /** Scalar projection of the multimodal pipeline (Verify-friendly: no
+    * binary/struct/array columns in the dump). */
+  def multimodalSummary(spark: SparkSession, dir: String): DataFrame =
+    multimodalFeatures(spark, dir)
+      .select(col("doc_id"), col("payload_bytes"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        element_at(col("stub_embedding"), 1).as("f0"),
+        element_at(col("stub_embedding"), 2).as("f1"))
+      .orderBy(col("doc_id"))
+}

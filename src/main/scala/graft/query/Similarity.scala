@@ -1,0 +1,89 @@
+package graft.query
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas.table
+
+/** Similarity search over the `embeddings` table (unit-norm 64-dim float
+  * vectors ⇒ cosine = dot product).
+  *
+  * Three tiers:
+  *   - [[bruteForceTopK]]: exact one-pass scan — the correctness baseline.
+  *     O(n·d) work, TakeOrdered top-k (no global sort, no shuffle of
+  *     vectors). This is also the right plan at 100 TB when k is small:
+  *     each partition reduces to k candidates before the driver merge.
+  *   - [[ivfTopK]]: IVF — KMeans coarse quantizer (seed 42), probe the
+  *     `nProbe` nearest centroids, exact re-rank inside probed cells.
+  *     Scan cost drops to ~nProbe/k of the corpus; partition by cell at
+  *     scale so a probe touches only matching partitions.
+  *   - LSH bucketing (shared with [[Dedup.dedupEmbeddingCosine]]) for the
+  *     pairwise-join form of the problem.
+  */
+object Similarity {
+
+  /** Dot product in double, sequential fold (bit-reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The query vector: embedding of `queryId` (driver fetch of ONE row —
+    * the query literal, not data movement). */
+  private def queryVector(spark: SparkSession, dir: String, queryId: Long): Array[Float] =
+    table(spark, dir, "embeddings")
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+
+  /** Exact cosine top-k against the embedding of `queryId`. */
+  def bruteForceTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val q = array(queryVector(spark, dir, queryId).map(lit): _*)
+    table(spark, dir, "embeddings")
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), dot(col("embedding"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // one coarse quantizer per test dir (analogous to ModelStore)
+  private val kmeansCache = new ConcurrentHashMap[String, KMeansModel]()
+
+  private def quantizer(spark: SparkSession, dir: String, nCells: Int): KMeansModel =
+    kmeansCache.computeIfAbsent(s"$dir#$nCells", { _ =>
+      new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(table(spark, dir, "embeddings")
+          .select(array_to_vector(col("embedding")).as("features")))
+    })
+
+  /** IVF top-k: assign every vector to its nearest of `nCells` centroids
+    * (KMeans, deterministic seed); at query time probe the `nProbe`
+    * centroids nearest to the query and re-rank exactly within them. */
+  def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val model = quantizer(spark, dir, nCells)
+    val qv = queryVector(spark, dir, queryId).map(_.toDouble)
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val arr = c.toArray
+        var s = 0.0; var j = 0
+        while (j < arr.length) { s += arr(j) * qv(j); j += 1 }
+        (i, s)
+      }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val q = array(qv.map(lit): _*)
+    val assigned = model.transform(
+      table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          array_to_vector(col("embedding")).as("features")))
+    assigned
+      .filter(col("cell").isin(probes.toIndexedSeq: _*))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("cell"), dot(col("embedding"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas.table
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * quality scoring, token counting, fingerprinting, language ID. All are
+  * per-row Projects over the scan — embarrassingly parallel, no shuffle,
+  * codegen'd built-ins only (no UDFs in the hot path).
+  */
+object TextAnalysis {
+
+  /** Quality scoring: structural metrics + a composite score in [0,1]
+    * (length, token, word-shape ratios — the standard cheap pre-filter for
+    * LLM corpus cleaning). All arithmetic in double. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val nChars = length(txt).cast("double")
+    val toks = split(txt, " ")
+    val nToks = size(toks).cast("double")
+    val nSpaces = (length(txt) - length(regexp_replace(txt, " ", ""))).cast("double")
+    val avgTokLen = (nChars - nSpaces) / nToks
+    val alphaChars = length(regexp_replace(txt, "[^a-zA-Z]", "")).cast("double")
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        nChars.as("n_chars"),
+        nToks.as("n_tokens"),
+        avgTokLen.as("avg_token_len"),
+        (alphaChars / nChars).as("alpha_ratio"),
+        // composite: favor mid-length docs with wordlike tokens
+        (least(nChars / lit(500.0), lit(1.0)) * lit(0.5)
+          + least(avgTokLen / lit(8.0), lit(1.0)) * lit(0.3)
+          + (alphaChars / nChars) * lit(0.2)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs | digit runs | single non-space symbol) — the standard
+    * cheap token estimator when no tokenizer model ships with the engine. */
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val pattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        regexp_count(col("text"), lit(pattern)).as("n_bpe_tokens"),
+        (length(col("text")).cast("double") / lit(4.0)).as("n_est_chars4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: canonical md5 of normalized text (exact-dup
+    * key) plus a winnowing-style robust fingerprint — the minimum of the
+    * 64-bit hashes of all word 4-grams (public winnowing scheme reduced to
+    * window=whole-doc: stable under local edits away from the minimum). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(Dedup.normText(col("text"))).as("fingerprint_md5"),
+        array_min(transform(Dedup.shingles(col("text"), 4),
+          s => xxhash64(s))).as("fingerprint_winnow"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID: stopword-hit-ratio heuristic over small per-language
+    * function-word lists (the classic cheap n-gram/stopword LID). The
+    * language with the highest hit ratio wins; ties and no-hits fall back
+    * to 'und'. Lists are public high-frequency function words. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "mit"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"))
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val wordArr = array(words.map(lit): _*)
+      struct(
+        (size(array_intersect(array_distinct(toks), wordArr)).cast("double")
+          / lit(words.size.toDouble)).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax with deterministic tiebreak: array_max on (score, lang) structs
+    // compares lexicographically — highest score, then latest lang name;
+    // no-hit (score 0) → 'und'
+    val best = array_max(array(scores: _*))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang").as("lang_labeled"),
+        when(best.getField("score") > 0, best.getField("lang"))
+          .otherwise(lit("und")).as("lang_detected"),
+        best.getField("score").as("lid_score"))
+      .orderBy(col("doc_id"))
+  }
+}
