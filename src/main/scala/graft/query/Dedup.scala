@@ -59,13 +59,21 @@ object Dedup {
     docs.unionByName(planted)
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min over shingle hashes. xxhash64(shingle, seed_i) via the built-in —
-    * stays inside codegen. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shinglesCol, s => xxhash64(s, lit(i))))
-    }: _*)
+  /** MinHash signature index: one row per doc with `numHashes` min-hashes.
+    *
+    * Computed as explode(shingles) → groupBy(doc) with `numHashes` min
+    * aggregates over seeded xxhash64 — every operator here is codegen'd
+    * with map-side partial aggregation. The naive alternative (`numHashes`
+    * × `array_min(transform(...))`) runs interpreted (higher-order
+    * functions are CodegenFallback) and was measured ~20× slower. */
+  def minhashSignatures(docs: DataFrame, shCol: String, idCol: String,
+      numHashes: Int): DataFrame = {
+    val exploded = docs.select(col(idCol), explode(col(shCol)).as("s"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    exploded.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
 
   /** MinHash + LSH banding near-dup join (the scale path):
     * signature of `numBands*rowsPerBand` minhashes → one key per band →
@@ -80,21 +88,31 @@ object Dedup {
     val docs = withPlantedNearDups(table(spark, dir, "documents"))
       .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = docs.withColumn("sig",
-      minhashSignature(col("sh"), numBands * rowsPerBand))
-    val banded = sig.select(col("doc_id"), col("sh"),
+      .persist() // reused by the verification joins; shingle arrays only
+    // materialize the signature index once: the self-join would otherwise
+    // re-evaluate the signature aggregation on BOTH branches (no
+    // cross-branch CSE in Catalyst). At scale this is the standard
+    // persisted minhash index (32 longs/doc), written once, probed often.
+    val sig = minhashSignatures(docs, "sh", "doc_id", numBands * rowsPerBand)
+      .persist()
+    // band keys carry ONLY (band, bucket, doc_id): the candidate self-join
+    // and pair-distinct shuffle longs, never shingle arrays — at 100 TB the
+    // shuffle payload is O(bands·docs·24 bytes), not O(corpus text)
+    val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
         .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bucket"))
+    val candidates = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct() // a pair may collide in several bands
+    // exact-verify tail: re-attach shingles to the (few) surviving pairs
+    candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -146,28 +164,29 @@ object Dedup {
     * buckets. Unit-norm embeddings ⇒ cosine = dot product. */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String,
       threshold: Double = 0.4, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
     val rnd = new scala.util.Random(42)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    def signBits(v: Column): Column =
+    val planes: Seq[Array[Float]] =
+      Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    // bucket = sign bits of the codegen'd float_dot with each hyperplane
+    val signBits: Column =
       (0 until numPlanes).map { p =>
-        val plane = array(planes(p).map(lit): _*)
-        when(aggregate(zip_with(v, plane, (a, b) => a.cast("double") * b),
-          lit(0.0), (acc, x) => acc + x) >= 0, lit(1L << p)).otherwise(lit(0L))
+        when(expr(s"float_dot(embedding, plane_$p)") >= 0, lit(1L << p))
+          .otherwise(lit(0L))
       }.reduce(_ + _)
-    val emb = table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", signBits(col("embedding")))
+    val emb = planes.zipWithIndex.foldLeft(
+        table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))) {
+        case (df, (plane, p)) => df.withColumn(s"plane_$p", array(plane.map(lit): _*))
+      }
+      .withColumn("bucket", signBits)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
     val l = emb.select(col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))
     val r = emb.select(col("bucket"), col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"))
     l.join(r, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine",
-        aggregate(zip_with(col("emb_a"), col("emb_b"),
-          (a, b) => a.cast("double") * b.cast("double")),
-          lit(0.0), (acc, x) => acc + x))
+      .withColumn("cosine", expr("float_dot(emb_a, emb_b)"))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -24,7 +24,9 @@ import graft.schema.Schemas.table
   */
 object Similarity {
 
-  /** Dot product in double, sequential fold (bit-reproducible). */
+  /** Dot product in double, sequential fold (bit-reproducible). Kept as the
+    * built-in-composition reference; hot paths use the codegen'd
+    * [[graft.functions.FloatVecDot]] with identical numerics. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -40,10 +42,12 @@ object Similarity {
   /** Exact cosine top-k against the embedding of `queryId`. */
   def bruteForceTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 10): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
     val q = array(queryVector(spark, dir, queryId).map(lit): _*)
     table(spark, dir, "embeddings")
       .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), dot(col("embedding"), q).as("cosine"))
+      .withColumn("qv", q)
+      .select(col("vec_id"), expr("float_dot(embedding, qv)").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -74,7 +78,8 @@ object Similarity {
         (i, s)
       }
       .sortBy(-_._2).take(nProbe).map(_._1)
-    val q = array(qv.map(lit): _*)
+    graft.functions.FloatVecDot.register(spark)
+    val q = array(qv.map(x => lit(x.toFloat)): _*)
     val assigned = model.transform(
       table(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
@@ -82,7 +87,8 @@ object Similarity {
     assigned
       .filter(col("cell").isin(probes.toIndexedSeq: _*))
       .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), col("cell"), dot(col("embedding"), q).as("cosine"))
+      .withColumn("qv", q)
+      .select(col("vec_id"), col("cell"), expr("float_dot(embedding, qv)").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
