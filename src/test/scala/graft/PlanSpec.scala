@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import graft.query.{Relational, Similarity}
+
+/** Physical-plan audits — the 100 TB design rules as assertions, so a
+  * regression that un-pushes a filter, drops a broadcast, or de-codegens a
+  * hot path fails CI, not the cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("t6: BETWEEN filter pushes to the parquet scan; schema pruned to 3 cols") {
+    val p = plan(Relational.t6BetweenFilter(spark, sf))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)"), p)
+    assert(p.contains("LessThanOrEqual(l_quantity,20.0)"), p)
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("s1: projection prunes the parquet read schema") {
+    val p = plan(Relational.s1ScanProject(spark, sf))
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_returnflag"),
+      readSchema)
+  }
+
+  test("join_broadcast_dim: dimension side broadcasts (no fact shuffle for the join)") {
+    val p = plan(Relational.joinBroadcastDim(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("o2 top-k: TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.o2TopkAsc(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalSort"), p)
+  }
+
+  test("q1_agg: partial (map-side) aggregation before the exchange; codegen spans") {
+    val df = Relational.q1Agg(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_sum"), p)
+    // AQE finalizes the plan at execution; `*(n)` prefixes mark
+    // whole-stage-codegen spans in simpleString format
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("WholeStageCodegen") || executed.contains("*("), executed)
+  }
+
+  test("ann brute force: float_dot runs inside whole-stage codegen") {
+    val df = Similarity.bruteForceTopK(spark, sf)
+    val p = plan(df)
+    assert(p.contains("float_dot"), p)
+    // TakeOrdered for the top-k, not a full sort of all scores
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val executed = df.queryExecution.executedPlan.toString
+    // `*(1) Project [... float_dot(...)]`: the dot product sits inside the
+    // whole-stage-codegen span over the columnar scan
+    assert(executed.contains("*("), executed)
+    assert(executed.contains("float_dot"), executed)
+  }
+
+  test("a1 mean impute: 1-row aggregate broadcast, fact side unshuffled") {
+    val p = plan(Relational.a1MeanImpute(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+}
