@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.ScalarFunctions
 import graft.query.{Dedup, Endpoints, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -105,6 +106,11 @@ object SparkEntry {
     "text_langid"            -> TextAnalysis.textLangId _,
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
+    // Structured Streaming (real streaming queries, AvailableNow drain —
+    // full drain == batch answer, which is the oracle)
+    "stream_window_agg"      -> StreamQueries.streamWindowAgg _,
+    "stream_session_counts"  ->
+      ((s: SparkSession, d: String) => StreamQueries.streamSessionCounts(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -362,6 +368,20 @@ object SparkEntry {
         |    + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
         |       / CAST(length(text) AS DOUBLE)) * 0.2 AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, CAST(sum(value) AS REAL) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_session_counts" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_ms IS NULL
+        |      OR epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END) AS INT)
+        |    AS n_sessions
+        |FROM (SELECT user_id, ts,
+        |        lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+        |      FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming-native queries over the events stream. These run a
+  * REAL streaming query (readStream → transform → memory sink) drained
+  * synchronously with AvailableNow — the engine's answer to the
+  * reference's hand-rolled kafka-python consumer loop, per the stated
+  * north-star approach (Structured Streaming + Kafka-shaped source).
+  *
+  * On a cluster the same code runs unbounded with
+  * `Trigger.ProcessingTime`; AvailableNow here gives deterministic
+  * drain-then-stop (the consumer_timeout_ms analog), which also makes the
+  * windowed aggregation oracle-able: a full drain must equal the batch
+  * answer over the same data.
+  */
+object StreamQueries {
+
+  /** Raw events schema as stored (ts is epoch-nanos INT64 in the parquet —
+    * the streaming reader gets it as LongType under nanosAsLong). */
+  private val eventsSchema = StructType.fromDDL(
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+
+  private def streamEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      // FileStreamSource wants a directory: stream the sf dir, filtered to
+      // the events file (a Kafka source swaps in here via StreamTransport)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
+
+  /** Run `build(stream)` to completion (AvailableNow drain into a memory
+    * sink) and return the final result as a batch DataFrame. */
+  private def drain(spark: SparkSession, streamed: DataFrame,
+      mode: OutputMode): DataFrame = {
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = streamed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Event-time tumbling-window aggregation with a watermark — count and
+    * sum of `value` per (hour window, event_type). Full-drain result ==
+    * the equivalent batch query, which is the DuckDB oracle. */
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = streamEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("float").as("sum_value"))
+    drain(spark, agg, OutputMode.Complete())
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  // public: Catalyst's generated (de)serializers must access these
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class Session(user_id: Long, n_sessions: Int)
+
+  /** Stateful streaming: per-user session counting with a 30-minute
+    * inactivity gap via mapGroupsWithState — the custom-state surface
+    * (KeyValueGroupedDataset) the reference's count-based consumer loop
+    * maps to when semantics need per-key state. Event-time gap logic on
+    * the drained (single-trigger) stream: state holds last-seen ts and the
+    * session count per user. */
+  def streamSessionCounts(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[Ev] = streamEvents(spark, dir)
+      .select(col("user_id"), col("ts"), col("value")).as[Ev]
+    val counted = ds.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Int), Session](GroupStateTimeout.NoTimeout()) {
+        case (uid, events, state: GroupState[(Long, Int)]) =>
+          val sorted = events.toSeq.sortBy(_.ts.getTime)
+          var (lastTs, sessions) = state.getOption.getOrElse((Long.MinValue, 0))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (lastTs == Long.MinValue || t - lastTs > gapMinutes * 60000L)
+              sessions += 1
+            lastTs = t
+          }
+          state.update((lastTs, sessions))
+          Session(uid, sessions)
+      }
+    drain(spark, counted.toDF(), OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+}

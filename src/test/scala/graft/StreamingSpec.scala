@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas
+import graft.streaming.StreamQueries
+
+class StreamingSpec extends SparkSpec {
+
+  test("stream window agg: full AvailableNow drain equals the batch answer") {
+    val streamed = StreamQueries.streamWindowAgg(spark, sf).collect()
+    val batch = Schemas.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("float").as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getTimestamp(0) == b.getTimestamp(0))
+      assert(s.getString(1) == b.getString(1))
+      assert(s.getLong(2) == b.getLong(2))
+      assert(s.getFloat(3) == b.getFloat(3))
+    }
+  }
+
+  test("stream session counts: gap logic on a hand-computed fixture") {
+    import spark.implicits._
+    // user 1: events at 0, 10, 50, 65 min (gap 30) -> sessions at 0 and 50 = 2
+    // user 2: events at 0, 45, 90 -> 3 sessions
+    val base = 1700000000000L
+    val rows = Seq(
+      (1L, 0L, 1.0), (1L, 10L, 1.0), (1L, 50L, 1.0), (1L, 65L, 1.0),
+      (2L, 0L, 1.0), (2L, 45L, 1.0), (2L, 90L, 1.0))
+      .map { case (u, m, v) => (u * 10 + m, base + m * 60000L, u, "t", v, "{}") }
+    val stage = java.nio.file.Files.createTempDirectory("sess-stage").toString
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    rows.toDF("event_id", "ts_ms", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), (col("ts_ms") * 1000000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    // the streaming source globs for a FILE named events.parquet
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val out = StreamQueries.streamSessionCounts(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out == Map(1L -> 2, 2L -> 3))
+  }
+
+  test("stream session counts on events: positive, bounded by event count") {
+    val out = StreamQueries.streamSessionCounts(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getInt(1) >= 1))
+  }
+}
