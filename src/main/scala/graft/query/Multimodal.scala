@@ -47,6 +47,48 @@ object Multimodal {
         array((0 until 4).map(stubFeature(payload, _)): _*).as("stub_embedding"))
   }
 
+  /** Decoded-feature record produced by the batched per-partition decoder. */
+  case class DecodedMedia(doc_id: Long, payload_bytes: Int,
+      features: Array[Float])
+
+  /** Batched per-partition decode — the Scala analog of a `mapInPandas`
+    * batched Python UDF: each partition's payloads are processed in
+    * micro-batches of `batchSize`, the shape a real decoder (native lib /
+    * GPU) wants for amortized per-call setup. The decode itself is the
+    * deterministic stub below; the batching, partitioning and schema
+    * plumbing are the real thing.
+    */
+  def decodeBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // >>> a real decoder processes `batch` in one native/device call;
+          // >>> STUB: deterministic per-payload pseudo-features
+          batch.iterator.map { case (id, bytes) =>
+            DecodedMedia(id, bytes.length, stubDecode(bytes))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** STUB decoder: 4 floats from a rolling byte hash — stands in for
+    * decode+resize+embed. Deterministic for tests; replace with the real
+    * codec call at deployment. */
+  private def stubDecode(bytes: Array[Byte]): Array[Float] = {
+    var h = 1125899906842597L
+    val out = new Array[Float](4)
+    var i = 0
+    while (i < bytes.length) {
+      h = 31 * h + bytes(i)
+      out(i % 4) = math.abs((h % 1000000L).toFloat) / 1e6f
+      i += 1
+    }
+    out
+  }
+
   /** Scalar projection of the multimodal pipeline (Verify-friendly: no
     * binary/struct/array columns in the dump). */
   def multimodalSummary(spark: SparkSession, dir: String): DataFrame =

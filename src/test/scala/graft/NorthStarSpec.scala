@@ -146,4 +146,19 @@ class NorthStarSpec extends SparkSpec {
     val again = Multimodal.multimodalSummary(spark, sf).collect()
     assert(rows.map(_.getDouble(4)).sameElements(again.map(_.getDouble(4))))
   }
+
+  test("multimodal batched decode: mapPartitions batches preserve every row, deterministic") {
+    val docs = graft.schema.Schemas.table(spark, sf, "documents")
+    val out = Multimodal.decodeBatched(docs, batchSize = 7)
+      .orderBy("doc_id").collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(r.getInt(1) > 0)
+      assert(r.getSeq[Float](2).length == 4)
+    }
+    val again = Multimodal.decodeBatched(docs, batchSize = 64)
+      .orderBy("doc_id").collect()
+    // batch size must not change results (pure per-element decode)
+    assert(out.map(_.getSeq[Float](2)).toSeq == again.map(_.getSeq[Float](2)).toSeq)
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ingest.{Batcher, Replay}
+
+/** Property tests promised in SURVEY §5.2: F1 coercion totality and
+  * round-trip; S9 batching size law. Deterministic seeded sampling from
+  * ScalaCheck generators (the scalatest-scalacheck bridge artifact is not
+  * in the offline cache, so sampling is explicit); one Spark job per
+  * sample-set, not per sample.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("F1 totality: to_float_or_zero never throws and never nulls on arbitrary strings") {
+    val raw = samples(Gen.oneOf(
+      Gen.alphaNumStr, Gen.numStr, Gen.asciiPrintableStr,
+      Gen.const(""), Gen.const(null: String),
+      Gen.chooseNum(Float.MinValue, Float.MaxValue).map(_.toString)), 300)
+    val out = raw.toDF("raw")
+      .select(Replay.toFloatOrZero($"raw").as("v"))
+      .collect()
+    assert(out.length == raw.length)
+    out.foreach(r => assert(!r.isNullAt(0)))
+  }
+
+  test("F1 round-trip: parseable floats survive coercion exactly") {
+    val xs = samples(Gen.chooseNum(-1e30f, 1e30f), 200)
+    val out = xs.map(_.toString).toDF("raw")
+      .select(Replay.toFloatOrZero($"raw").as("v"))
+      .as[Float].collect()
+    assert(out.toSeq == xs.map(x => x.toString.toFloat))
+  }
+
+  test("S9 size law: min(m, ceil(n/b)) batches, all full but the last, exact remainder") {
+    val cases = samples(for {
+      n <- Gen.chooseNum(1, 500)
+      b <- Gen.chooseNum(1, 100)
+      m <- Gen.chooseNum(1, 6)
+    } yield (n, b, m), 25)
+    cases.foreach { case (n, b, m) =>
+      val df = spark.range(n.toLong).toDF("id")
+      val res = Batcher.assignBatchesArrivalOrder(df, b, m)
+      val expectBatches = math.min(m.toLong, (n.toLong + b - 1) / b).toInt
+      assert(res.nBatches == expectBatches, s"case ($n,$b,$m)")
+      assert(res.remainderRows ==
+        math.max(0L, n.toLong - math.min(n.toLong, b.toLong * m)), s"case ($n,$b,$m)")
+      val sizes = res.batches.groupBy("batch_id").count()
+        .orderBy("batch_id").collect().map(r => (r.getInt(0), r.getLong(1)))
+      assert(sizes.map(_._1).toSeq == (0 until expectBatches), s"case ($n,$b,$m)")
+      sizes.dropRight(1).foreach { case (_, c) => assert(c == b.toLong, s"case ($n,$b,$m)") }
+      if (sizes.nonEmpty) assert(sizes.last._2 <= b.toLong, s"case ($n,$b,$m)")
+      assert(res.batches.count() == math.min(n.toLong, b.toLong * m), s"case ($n,$b,$m)")
+    }
+  }
+}
