@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import graft.functions.{FloatVecDot, SimHash64}
+
+/** Session extensions: registers the engine's custom Catalyst expressions
+  * (`simhash64`, `float_dot`) so SQL and `expr(...)` users get them in any
+  * session built with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or via
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * No custom resolution rules or planner strategies are injected: SURVEY
+  * §7.6's audit found none required for parity — every reference operator
+  * maps to built-in plans; the custom surface is scalar expressions only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(SimHash64.descriptor)
+    e.injectFunction(FloatVecDot.descriptor)
+  }
+}
+
+object GraftExtensions {
+  /** Imperative registration for an already-built session (what the query
+    * layer calls — idempotent). */
+  def register(spark: SparkSession): Unit = {
+    SimHash64.register(spark)
+    FloatVecDot.register(spark)
+  }
+}

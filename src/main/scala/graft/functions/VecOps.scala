@@ -63,4 +63,13 @@ object FloatVecDot {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
+
+  /** FunctionDescription for SparkSessionExtensions.injectFunction. */
+  def descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FloatVecDot].getCanonicalName, "float_dot"),
+      exprs => FloatVecDot(exprs(0), exprs(1)))
 }

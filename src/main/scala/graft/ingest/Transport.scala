@@ -35,6 +35,36 @@ trait StreamTransport {
   }
 }
 
+/** Kafka transport — the reference's actual wire (producer/producer.py:19-21
+  * publish, consumer/consumer.py:19-26 subscribe with earliest offsets and a
+  * consumer group). Compiles against stock Spark (formats are late-bound
+  * strings); RUNNING it requires the `spark-sql-kafka-0-10` connector on the
+  * classpath, which this offline build does not ship — [[FileJsonTransport]]
+  * is the drop-in stand-in with identical semantics for every feature the
+  * reference uses (ordered replay, JSON values, no keys/headers/txns,
+  * checkpoint-as-offset-store).
+  */
+final class KafkaJsonTransport(bootstrapServers: String, topic: String)
+    extends StreamTransport {
+
+  override def source(spark: SparkSession): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest") // auto_offset_reset='earliest'
+      .load()
+      .select(col("value").cast("string").as("value"))
+
+  override def publish(df: DataFrame): Unit =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
+}
+
 /** JSON-lines-directory transport: each published file is a "partition" of
   * the topic; a streaming read replays files in order; the checkpoint
   * directory plays the consumer-group offset store (earliest on first run,

@@ -59,8 +59,12 @@ object Trainer {
     new Pipeline().setStages(Array(imputer, assembler, rf))
   }
 
-  /** Fit on a prepared frame. */
-  def fit(prepared: DataFrame): PipelineModel = pipeline().fit(prepared)
+  /** Fit on a prepared frame. The feature set is whatever [[prepare]] kept
+    * (the T4 defensive intersect): a frame carrying fewer than the 19
+    * canonical features trains on what it has, as the reference does when
+    * columns are missing (spark_trainer.py:56-60 warning path). */
+  def fit(prepared: DataFrame): PipelineModel =
+    pipeline(prepared.columns.filter(_ != Schemas.label).toSeq).fit(prepared)
 
   /** M6: growing-window versions — version v trains on the first
     * v·BatchSize rows of the stream (spark_trainer.py:107-109:
