@@ -55,6 +55,10 @@ object SparkEntry {
     "a1_mean_impute"      -> Relational.a1MeanImpute _,
     "a2_scalar_agg"       -> Relational.a2ScalarAgg _,
     "agg_group_stats"     -> Relational.aggGroupStats _,
+    "agg_rollup"          -> Relational.aggRollup _,
+    "agg_pivot"           -> Relational.aggPivot _,
+    "udaf_weighted_avg"   -> Relational.udafWeightedAvg _,
+    "sql_revenue_by_nation" -> Relational.sqlRevenueByNation _,
     // joins
     "join_broadcast_dim"  -> Relational.joinBroadcastDim _,
     "join_shuffle_fact"   -> Relational.joinShuffleFact _,
@@ -250,6 +254,40 @@ object SparkEntry {
         |  min(value) AS min_value, max(value) AS max_value,
         |  CAST(sum(value) AS REAL) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_rollup" ->
+      """SELECT event_type, CAST(user_bucket AS INT) AS user_bucket,
+        |  count(*) AS n, CAST(sum(value) AS REAL) AS sum_value
+        |FROM (SELECT event_type, user_id % 3 AS user_bucket, value FROM events)
+        |GROUP BY ROLLUP (event_type, user_bucket)
+        |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
+    "agg_pivot" ->
+      """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "udaf_weighted_avg" ->
+      """SELECT event_type,
+        |  CAST(sum(value * k) / sum(k) AS REAL) AS weighted_avg_value
+        |FROM (SELECT event_type, value,
+        |        CAST(props->>'$.k' AS DOUBLE) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sql_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS REAL) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "join_broadcast_dim" ->
       """SELECT p_brand,
         |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,

@@ -412,6 +412,62 @@ object Relational {
     both.unionAll(pureBuy).orderBy(col("tag"), col("user_id"))
   }
 
+  /** ROLLUP grouping sets — per-(type, user-bucket) stats plus per-type and
+    * grand-total subtotals in one pass (one shuffle; Expand feeds the same
+    * partial-agg pipeline). Null grouping keys are the subtotal markers. */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("user_bucket", (col("user_id") % 3).cast("int"))
+      .rollup(col("event_type"), col("user_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("float").as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
+
+  /** Pivot — event counts per hour-of-day pivoted to one column per event
+    * type. Explicit pivot values keep the plan single-pass (no distinct
+    * pre-scan); equivalent to per-type conditional aggregation, which is
+    * exactly the oracle's formulation. */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(hour(col("ts")).as("hour"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("hour"))
+
+  /** Typed UDAF: weighted average of `value` weighted by the props payload
+    * `k`, per event type ([[graft.functions.WeightedAvg]] Aggregator). */
+  def udafWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val wavg = org.apache.spark.sql.functions.udaf(graft.functions.WeightedAvg)
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      .groupBy(col("event_type"))
+      .agg(wavg(col("value"), col("k")).cast("float").as("weighted_avg_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The SQL entry point: a TPC-H-Q5-shaped multi-join aggregation
+    * registered and run as pure SQL (temp views + spark.sql) — Catalyst
+    * join reordering, broadcast selection, and partial aggregation all
+    * apply to SQL text exactly as to the DataFrame API. */
+  def sqlRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => table(spark, dir, t).createOrReplaceTempView(s"v_$t"))
+    spark.sql(
+      """SELECT n_name,
+        |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS FLOAT) AS revenue,
+        |  count(*) AS n_items
+        |FROM v_customer
+        |JOIN v_orders   ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |JOIN v_supplier ON l_suppkey = s_suppkey
+        |JOIN v_nation   ON s_nationkey = n_nationkey
+        |JOIN v_region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
   // ---- §2.7 endpoint skeletons --------------------------------------------
 
   /** Q2 skeleton: sensitivity analysis (api/api.py:108-223) without the
