@@ -56,6 +56,8 @@ object SparkEntry {
     "a2_scalar_agg"       -> Relational.a2ScalarAgg _,
     "agg_group_stats"     -> Relational.aggGroupStats _,
     "agg_rollup"          -> Relational.aggRollup _,
+    "agg_salted_skew"     ->
+      ((s: SparkSession, d: String) => Relational.aggSaltedSkew(s, d)),
     "agg_pivot"           -> Relational.aggPivot _,
     "udaf_weighted_avg"   -> Relational.udafWeightedAvg _,
     "sql_revenue_by_nation" -> Relational.sqlRevenueByNation _,
@@ -260,6 +262,9 @@ object SparkEntry {
         |FROM (SELECT event_type, user_id % 3 AS user_bucket, value FROM events)
         |GROUP BY ROLLUP (event_type, user_bucket)
         |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
+    "agg_salted_skew" ->
+      """SELECT user_id, count(*) AS n, CAST(sum(value) AS REAL) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_pivot" ->
       """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -140,13 +140,16 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val r = chunked.select(col("chunk_idx"), col("chunk"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    l.join(r, Seq("chunk_idx", "chunk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
-      .distinct()
+    // hamming verify INSIDE the join condition: near-identical token
+    // distributions make 16-bit chunks collide heavily, so filtering at
+    // probe time keeps failed candidates out of the distinct's shuffle
+    l.join(r,
+        l("chunk_idx") === r("chunk_idx") && l("chunk") === r("chunk") &&
+          col("doc_a") < col("doc_b") &&
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

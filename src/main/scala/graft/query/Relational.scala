@@ -412,6 +412,23 @@ object Relational {
     both.unionAll(pureBuy).orderBy(col("tag"), col("user_id"))
   }
 
+  /** Skew-salted aggregation — the two-stage groupBy for hot keys: stage 1
+    * aggregates on (key, salt) spreading each hot key over `salts`
+    * partitions; stage 2 merges the partials per key. Result is identical
+    * to the direct groupBy (the oracle); the win at scale is that no
+    * single reducer owns a hot key's full volume. (AQE's skew handling
+    * covers joins; aggregation salting is the manual analog for extreme
+    * key skew — here user_id has only ~15 distinct values, the synthetic
+    * worst case.) */
+  def aggSaltedSkew(spark: SparkSession, dir: String, salts: Int = 16): DataFrame =
+    events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("float").as("sum_value"))
+      .orderBy(col("user_id"))
+
   /** ROLLUP grouping sets — per-(type, user-bucket) stats plus per-type and
     * grand-total subtotals in one pass (one shuffle; Expand feeds the same
     * partial-agg pipeline). Null grouping keys are the subtotal markers. */
