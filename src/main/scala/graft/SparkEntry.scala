@@ -77,7 +77,10 @@ object SparkEntry {
     "set_ops_users"       -> Relational.setOpsUsers _,
     // §2.5 scalar functions
     "f_string_fns"        -> ScalarFunctions.fStringFns _,
+    "f_string_advanced"   -> ScalarFunctions.fStringAdvanced _,
+    "f_null_semantics"    -> ScalarFunctions.fNullSemantics _,
     "f_date_fns"          -> ScalarFunctions.fDateFns _,
+    "f_date_arith"        -> ScalarFunctions.fDateArith _,
     "f_math_fns"          -> ScalarFunctions.fMathFns _,
     "f_array_fns"         -> ScalarFunctions.fArrayFns _,
     // §2.6/2.7 ML operators (no SQL oracle — RF scoring; covered by
@@ -355,6 +358,32 @@ object SparkEntry {
         |  regexp_replace(text, '\s+', ' ', 'g') AS text_norm_head,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_space
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "f_string_advanced" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS brand_lpad,
+        |  rpad(p_brand, 12, '-') AS brand_rpad,
+        |  reverse(p_name) AS name_rev,
+        |  CAST(strpos(p_type, 'a') AS INT) AS type_a_pos,
+        |  translate(p_brand, 'B#', 'b_') AS brand_translated,
+        |  split_part(p_type, ' ', 1) AS type_first_word,
+        |  repeat(p_brand, 2) AS brand_twice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f_null_semantics" ->
+      """SELECT event_id,
+        |  nullif(event_type, 'error') AS type_or_null,
+        |  coalesce(CASE WHEN value < 1.0 THEN NULL ELSE value END, -1.0)
+        |    AS value_defaulted,
+        |  (CASE WHEN value < 1.0 THEN NULL ELSE value END)
+        |    IS NOT DISTINCT FROM NULL AS value_is_null,
+        |  (CASE WHEN value < 1.0 THEN NULL ELSE value END) IS NOT NULL
+        |    AS value_present
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "f_date_fns" ->
       """SELECT o_orderkey,
         |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,

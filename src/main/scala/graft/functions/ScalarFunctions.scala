@@ -60,6 +60,46 @@ object ScalarFunctions {
         least(col("l_tax"), col("l_discount")).as("min_rate"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Advanced string functions: pad, reverse, find, translate, split_part,
+    * repeat — each with identical semantics in DuckDB (verified; initcap is
+    * deliberately absent, DuckDB lacks it). */
+  def fStringAdvanced(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+        rpad(col("p_brand"), 12, "-").as("brand_rpad"),
+        reverse(col("p_name")).as("name_rev"),
+        instr(col("p_type"), "a").as("type_a_pos"),
+        translate(col("p_brand"), "B#", "b_").as("brand_translated"),
+        substring_index(col("p_type"), " ", 1).as("type_first_word"),
+        repeat(col("p_brand"), 2).as("brand_twice"))
+      .orderBy(col("p_partkey"))
+
+  /** Null semantics: nullif, null-default, null-safe equality (Spark `<=>`
+    * ≡ SQL IS NOT DISTINCT FROM), and three-valued-logic-safe counting. */
+  def fNullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val v = when(col("value") < 1.0, lit(null)).otherwise(col("value"))
+    events(spark, dir)
+      .select(col("event_id"),
+        nullif(col("event_type"), lit("error")).as("type_or_null"),
+        coalesce(v, lit(-1.0)).as("value_defaulted"),
+        (v <=> lit(null)).as("value_is_null"),
+        v.isNotNull.as("value_present"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Date arithmetic: day offsets, month addition, last-day-of-month —
+    * calendar-aware operations beyond the extraction family. */
+  def fDateArith(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus_30d"),
+        add_months(col("o_orderdate").cast("date"), 1).as("plus_1m"),
+        last_day(col("o_orderdate")).as("month_end"))
+      .orderBy(col("o_orderkey"))
+
   /** Array (higher-order) functions over embeddings: size, 1-based
     * element_at, and an `aggregate` fold computing the L2 norm — the same
     * fold the similarity operators build on. The fold accumulates in double
