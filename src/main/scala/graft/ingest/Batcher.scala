@@ -92,7 +92,10 @@ object Batcher {
       schema: StructType, stagingDir: String, outDir: String,
       batchSize: Int, maxBatches: Int, checkpointDir: String,
       flushRemainder: Boolean = true): BatchingResult = {
-    var rowsSeen = 0L
+    // recover the counter from staging on restart: the checkpoint replays
+    // only uncommitted offsets, so the seq must continue where it stopped
+    var rowsSeen =
+      try spark.read.parquet(stagingDir).count() catch { case _: Throwable => 0L }
     val query: StreamingQuery = transport.typedSource(spark, schema)
       .writeStream
       .option("checkpointLocation", checkpointDir)

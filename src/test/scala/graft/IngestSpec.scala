@@ -110,4 +110,28 @@ class IngestSpec extends SparkSpec {
     assert(res.batches.count() == 1000L)
     assert(res.batches.select("event_id").distinct().count() == 1000L)
   }
+
+  test("S6 checkpoint = consumer-group offsets: restart consumes only new data") {
+    val topic = tmp("resume-topic")
+    val staging = tmp("resume-staging")
+    val ckpt = tmp("resume-ckpt")
+    val t = new FileJsonTransport(topic)
+    val ev = Schemas.events(spark, sf).select($"event_id", $"value")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, value DOUBLE")
+
+    t.publish(ev.filter($"event_id" < 300))
+    Batcher.streamBatches(spark, t, schema, staging, tmp("out1"),
+      batchSize = 100, maxBatches = 100, checkpointDir = ckpt)
+    val afterFirst = spark.read.parquet(staging).count()
+    assert(afterFirst == 300L)
+
+    // second drain with the SAME checkpoint: only the new file is read
+    t.publish(ev.filter($"event_id" >= 300 && $"event_id" < 500))
+    Batcher.streamBatches(spark, t, schema, staging, tmp("out2"),
+      batchSize = 100, maxBatches = 100, checkpointDir = ckpt)
+    val afterSecond = spark.read.parquet(staging).count()
+    assert(afterSecond == 500L, s"expected 500 staged rows, got $afterSecond " +
+      "(re-reading already-committed offsets would give 800)")
+  }
 }
