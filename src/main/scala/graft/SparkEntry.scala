@@ -70,6 +70,8 @@ object SparkEntry {
     // window functions
     "window_topk_per_key" -> Relational.windowTopkPerKey _,
     "window_running_sum"  -> Relational.windowRunningSum _,
+    "window_lag_lead"     -> Relational.windowLagLead _,
+    "agg_stats_advanced"  -> Relational.aggStatsAdvanced _,
     // §2.4 sorts / limits
     "o1_sort_importance_desc" -> Relational.o1SortImportanceDesc _,
     "o2_topk_asc"         -> Relational.o2TopkAsc _,
@@ -334,6 +336,22 @@ object SparkEntry {
         |  CAST(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS REAL) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "window_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  CAST(value - lag(value, 1) OVER w AS REAL) AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "agg_stats_advanced" ->
+      """SELECT event_type,
+        |  CAST(stddev_samp(value) AS REAL) AS sd_value,
+        |  CAST(var_samp(value) AS REAL) AS var_value,
+        |  CAST(median(value) AS REAL) AS median_value,
+        |  CAST(corr(value, user_id) AS REAL) AS corr_value_user,
+        |  CAST(covar_samp(value, user_id) AS REAL) AS covar_value_user
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "o1_sort_importance_desc" ->
       """SELECT event_type, avg(value) AS importance
         |FROM events GROUP BY event_type

@@ -379,6 +379,33 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Lag/lead offsets per key in event order — the remaining window-family
+    * member (offset functions; frames and ranking covered elsewhere). */
+  def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        (col("value") - lag(col("value"), 1).over(w)).cast("float").as("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Advanced statistical aggregates — sample stddev/variance, exact
+    * median, correlation, covariance. float32 outputs: the engines'
+    * accumulation orders differ in the last ulp (same rule as every large
+    * double aggregate here). */
+  def aggStatsAdvanced(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        stddev_samp(col("value")).cast("float").as("sd_value"),
+        var_samp(col("value")).cast("float").as("var_value"),
+        median(col("value")).cast("float").as("median_value"),
+        corr(col("value"), col("user_id")).cast("float").as("corr_value_user"),
+        covar_samp(col("value"), col("user_id")).cast("float").as("covar_value_user"))
+      .orderBy(col("event_type"))
+
   // ---- §2.4 sorts / limits / top-k ----------------------------------------
 
   /** O1: sort by aggregate desc — the feature-importance ordering
