@@ -66,6 +66,42 @@ class NorthStarSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hs(0) ^ hs(3)) > 16)   // unrelated far
   }
 
+  test("Spark-ML MinHashLSH cross-validates the custom LSH on planted pairs") {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val docs = Dedup.withPlantedNearDups(
+      graft.schema.Schemas.table(spark, sf, "documents"))
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(docs)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42)
+    val model = lsh.fit(feat)
+    val pairs = model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+      .filter($"datasetA.doc_id" < $"datasetB.doc_id")
+      .select($"datasetA.doc_id".as("a"), $"datasetB.doc_id".as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both implementations must surface the 10 planted near-dup pairs
+    (0L until 10L).foreach { i =>
+      assert(pairs.contains((i, i + 1000000L)), s"ml-LSH missed planted pair $i")
+    }
+    val custom = Dedup.dedupMinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { i =>
+      assert(custom.contains((i, i + 1000000L)), s"custom LSH missed planted pair $i")
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact on events") {
+    val r = graft.schema.Schemas.events(spark, sf)
+      .agg(countDistinct($"event_id").as("exact"),
+        approx_count_distinct($"event_id").as("approx"))
+      .head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("embedding cosine near-dup: pairs respect threshold; LSH finds top pair") {
     val pairs = Dedup.dedupEmbeddingCosine(spark, sf, threshold = 0.35).collect()
     pairs.foreach(r => assert(r.getDouble(2) >= 0.35))
