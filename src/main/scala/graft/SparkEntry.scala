@@ -427,7 +427,11 @@ object SparkEntry {
         |  CAST(len(embedding) AS INT) AS dim,
         |  embedding[1] AS first_component,
         |  sqrt(list_aggregate(list_transform(embedding,
-        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS l2_norm
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS l2_norm,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+        |  len(list_filter(embedding, x -> x > CAST(0.3 AS REAL))) > 0 AS has_large,
+        |  list_sort(embedding)[1] AS min_component,
+        |  list_sort(embedding)[-1] AS max_component
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id,

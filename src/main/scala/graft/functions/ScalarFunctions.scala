@@ -112,6 +112,10 @@ object ScalarFunctions {
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("first_component"),
         sqrt(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("l2_norm"))
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("l2_norm"),
+        size(filter(col("embedding"), x => x > 0)).as("n_positive"),
+        exists(col("embedding"), x => x > lit(0.3f)).as("has_large"),
+        element_at(array_sort(col("embedding")), 1).as("min_component"),
+        element_at(array_sort(col("embedding")), -1).as("max_component"))
       .orderBy(col("vec_id"))
 }
