@@ -57,7 +57,7 @@ final class KafkaJsonTransport(bootstrapServers: String, topic: String)
       .select(col("value").cast("string").as("value"))
 
   override def publish(df: DataFrame): Unit =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
       .write
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
@@ -82,7 +82,7 @@ final class FileJsonTransport(topicDir: String) extends StreamTransport {
       .toDF("value")
 
   override def publish(df: DataFrame): Unit =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
       .write.mode("append").text(topicDir)
 
   /** Batch view of everything currently in the topic (for verification). */

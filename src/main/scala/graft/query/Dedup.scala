@@ -179,7 +179,7 @@ object Dedup {
       }.reduce(_ + _)
     val emb = planes.zipWithIndex.foldLeft(
         table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))) {
-        case (df, (plane, p)) => df.withColumn(s"plane_$p", array(plane.map(lit): _*))
+        case (df, (plane, p)) => df.withColumn(s"plane_$p", array(plane.toIndexedSeq.map(lit): _*))
       }
       .withColumn("bucket", signBits)
       .select(col("vec_id"), col("embedding"), col("bucket"))

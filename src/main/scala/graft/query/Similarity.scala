@@ -43,7 +43,7 @@ object Similarity {
   def bruteForceTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 10): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
-    val q = array(queryVector(spark, dir, queryId).map(lit): _*)
+    val q = array(queryVector(spark, dir, queryId).toIndexedSeq.map(lit): _*)
     table(spark, dir, "embeddings")
       .filter(col("vec_id") =!= queryId)
       .withColumn("qv", q)
@@ -79,7 +79,7 @@ object Similarity {
       }
       .sortBy(-_._2).take(nProbe).map(_._1)
     graft.functions.FloatVecDot.register(spark)
-    val q = array(qv.map(x => lit(x.toFloat)): _*)
+    val q = array(qv.toIndexedSeq.map(x => lit(x.toFloat)): _*)
     val assigned = model.transform(
       table(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
