@@ -25,14 +25,16 @@ object Dedup {
   /** Whitespace tokens of normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")
 
-  /** Word n-gram shingles as strings ("w1 w2 w3"). Empty when fewer than n
-    * tokens. */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+  /** Word n-gram shingles from a token-array column. Empty when fewer than
+    * n tokens. */
+  def shinglesFromTokens(t: Column, n: Int): Column =
     when(size(t) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-  }
+
+  /** Word n-gram shingles as strings ("w1 w2 w3"). Empty when fewer than n
+    * tokens. */
+  def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
 
   /** Exact dedup (hash-groupBy): fingerprint = md5(normalized text); a doc
     * is kept iff it has the smallest doc_id in its fingerprint group.
@@ -61,16 +63,26 @@ object Dedup {
 
   /** MinHash signature index: one row per doc with `numHashes` min-hashes.
     *
-    * Computed as explode(shingles) → groupBy(doc) with `numHashes` min
-    * aggregates over seeded xxhash64 — every operator here is codegen'd
-    * with map-side partial aggregation. The naive alternative (`numHashes`
-    * × `array_min(transform(...))`) runs interpreted (higher-order
-    * functions are CodegenFallback) and was measured ~20× slower. */
-  def minhashSignatures(docs: DataFrame, shCol: String, idCol: String,
-      numHashes: Int): DataFrame = {
-    val exploded = docs.select(col(idCol), explode(col(shCol)).as("s"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
-    exploded.groupBy(col(idCol))
+    * Computed without ever materializing shingle strings: posexplode the
+    * tokens, form each n-gram as (tok, lead(tok,1), …, lead(tok,n-1)) via
+    * a window over document position, and hash the tuple directly with the
+    * variadic built-in xxhash64 — explode, window, hash, and the
+    * `numHashes` min aggregates are all codegen'd with map-side partial
+    * aggregation. Earlier variants measured: `numHashes ×
+    * array_min(transform(...))` (interpreted HOFs) ~20× slower;
+    * explode(shingle strings) + min aggs ~4× slower (string allocation). */
+  def minhashSignatures(docs: DataFrame, toksCol: String, idCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame = {
+    val tok = docs.select(col(idCol),
+      posexplode(col(toksCol)).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val nexts = (1 until shingleSize).map(j => lead(col("tok"), j).over(w).as(s"t$j"))
+    val gram = tok.select(col(idCol) +: col("tok") +: nexts: _*)
+      .filter(if (shingleSize > 1) col(s"t${shingleSize - 1}").isNotNull else lit(true))
+    val gramCols = col("tok") +: (1 until shingleSize).map(j => col(s"t$j"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(gramCols :+ lit(i): _*)).as(s"h$i"))
+    gram.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -86,15 +98,14 @@ object Dedup {
       shingleSize: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.5): DataFrame = {
     val docs = withPlantedNearDups(table(spark, dir, "documents"))
-      .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist() // reused by the verification joins; shingle arrays only
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
     // materialize the signature index once: the self-join would otherwise
     // re-evaluate the signature aggregation on BOTH branches (no
     // cross-branch CSE in Catalyst). At scale this is the standard
     // persisted minhash index (32 longs/doc), written once, probed often.
-    val sig = minhashSignatures(docs, "sh", "doc_id", numBands * rowsPerBand)
-      .persist()
+    val sig = minhashSignatures(docs, "toks", "doc_id",
+      shingleSize, numBands * rowsPerBand).persist()
     // band keys carry ONLY (band, bucket, doc_id): the candidate self-join
     // and pair-distinct shuffle longs, never shingle arrays — at 100 TB the
     // shuffle payload is O(bands·docs·24 bytes), not O(corpus text)
@@ -109,10 +120,17 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct() // a pair may collide in several bands
-    // exact-verify tail: re-attach shingles to the (few) surviving pairs
+    // exact-verify tail: shingle ARRAYS are built only for docs that
+    // appear in a surviving pair (interpreted HOF cost scales with the
+    // candidate set, not the corpus)
+    val candDocIds = candidates.select(col("doc_a").as("doc_id"))
+      .unionAll(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val candSh = docs.join(candDocIds, Seq("doc_id"))
+      .select(col("doc_id"),
+        shinglesFromTokens(col("toks"), shingleSize).as("sh"))
     candidates
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
