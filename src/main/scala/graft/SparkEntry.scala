@@ -71,6 +71,8 @@ object SparkEntry {
     "window_topk_per_key" -> Relational.windowTopkPerKey _,
     "window_running_sum"  -> Relational.windowRunningSum _,
     "window_lag_lead"     -> Relational.windowLagLead _,
+    "window_hopping_agg"  -> Relational.windowHoppingAgg _,
+    "window_session_agg"  -> Relational.windowSessionAgg _,
     "agg_stats_advanced"  -> Relational.aggStatsAdvanced _,
     // §2.4 sorts / limits
     "o1_sort_importance_desc" -> Relational.o1SortImportanceDesc _,
@@ -336,6 +338,27 @@ object SparkEntry {
         |  CAST(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS REAL) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "window_hopping_agg" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_ms(ts) // 10800000) * 10800 AS s3 FROM events)
+        |SELECT TIMESTAMP '1970-01-01 00:00:00' + ws * INTERVAL 1 SECOND
+        |    AS window_start,
+        |  event_type, count(*) AS n
+        |FROM (SELECT event_type, unnest([s3 - 10800, s3]) AS ws FROM e)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "window_session_agg" ->
+      """WITH o AS (SELECT user_id, ts, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |m AS (SELECT *, sum(CASE WHEN prev IS NULL OR ms - prev >= 1800000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |    AS island FROM o)
+        |SELECT user_id,
+        |  make_timestamp(min(ms) * 1000) AS session_start,
+        |  count(*) AS n_events
+        |FROM m GROUP BY user_id, island
+        |ORDER BY user_id, session_start""".stripMargin,
     "window_lag_lead" ->
       """SELECT user_id, event_id, value,
         |  lag(value, 1) OVER w AS prev_value,

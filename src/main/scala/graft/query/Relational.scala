@@ -379,6 +379,31 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Hopping (sliding) event-time windows in batch: 6-hour windows sliding
+    * every 3 hours — each event lands in exactly two windows (epoch-aligned
+    * like Spark's streaming `window`). The oracle reconstructs the window
+    * assignment with modular epoch arithmetic + UNNEST. */
+  def windowHoppingAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Session windows in batch: per-user activity sessions with a 30-minute
+    * inactivity gap via `session_window` — the built-in sessionization
+    * operator (the islands-and-gaps SQL pattern is the oracle). */
+  def windowSessionAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      // truncate to ms: the oracle's source timestamps are nanosecond-
+      // precision, ours are micros — ms is the shared precision
+      .select(col("user_id"),
+        date_trunc("millisecond", col("w.start")).as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Lag/lead offsets per key in event order — the remaining window-family
     * member (offset functions; frames and ranking covered elsewhere). */
   def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
