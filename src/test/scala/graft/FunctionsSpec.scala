@@ -1,6 +1,49 @@
 package graft
 
 class FunctionsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("map functions: create, keys/values, transform_values, concat, lookup") {
+    val df = Seq((1, 10.0, 20.0)).toDF("id", "a", "b")
+      .select($"id",
+        map(lit("a"), $"a", lit("b"), $"b").as("m"))
+      .select($"id", $"m",
+        map_keys($"m").as("ks"),
+        map_values($"m").as("vs"),
+        element_at($"m", "b").as("b_val"),
+        transform_values($"m", (_, v) => v * 2).as("doubled"),
+        map_concat($"m", map(lit("c"), lit(99.0))).as("extended"))
+    val r = df.head()
+    assert(r.getSeq[String](2).sorted == Seq("a", "b"))
+    assert(r.getSeq[Double](3).sorted == Seq(10.0, 20.0))
+    assert(r.getDouble(4) == 20.0)
+    assert(r.getMap[String, Double](5)("a") == 20.0)
+    assert(r.getMap[String, Double](6)("c") == 99.0)
+  }
+
+  test("collect_list preserves per-group values; collect_set dedups") {
+    val df = Seq((1, "x"), (1, "y"), (1, "x"), (2, "z"))
+      .toDF("k", "v")
+      .groupBy($"k")
+      .agg(sort_array(collect_list($"v")).as("lst"),
+        sort_array(collect_set($"v")).as("st"))
+      .orderBy($"k")
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](1) == Seq("x", "x", "y"))
+    assert(rows(0).getSeq[String](2) == Seq("x", "y"))
+    assert(rows(1).getSeq[String](1) == Seq("z"))
+  }
+
+  test("seeded sampling is deterministic and approximately sized") {
+    val ev = graft.schema.Schemas.events(spark, sf)
+    val a = ev.sample(withReplacement = false, 0.2, seed = 42)
+      .select($"event_id").as[Long].collect().toSeq
+    val b = ev.sample(withReplacement = false, 0.2, seed = 42)
+      .select($"event_id").as[Long].collect().toSeq
+    assert(a == b)
+    assert(a.length > 100 && a.length < 300) // ~200 of 1000
+  }
 
   test("GraftExtensions.register exposes simhash64 and float_dot to SQL") {
     GraftExtensions.register(spark)
