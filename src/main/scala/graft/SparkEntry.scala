@@ -67,6 +67,9 @@ object SparkEntry {
     "join_star_3way"      -> Relational.joinStar3Way _,
     "join_anti_unordered" -> Relational.joinAntiUnordered _,
     "join_semi_active"    -> Relational.joinSemiActive _,
+    "join_asof"           -> Relational.joinAsof _,
+    "join_range_bands"    -> Relational.joinRangeBands _,
+    "agg_percentiles"     -> Relational.aggPercentiles _,
     // window functions
     "window_topk_per_key" -> Relational.windowTopkPerKey _,
     "window_running_sum"  -> Relational.windowRunningSum _,
@@ -326,6 +329,32 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "join_asof" ->
+      """WITH p AS (SELECT user_id, ts, value FROM events
+        |    WHERE event_type = 'purchase'),
+        |  e AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id,
+        |  make_timestamp(epoch_ms(p.ts) * 1000) AS purchase_ts,
+        |  p.value AS purchase_value
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "join_range_bands" ->
+      """SELECT band, count(*) AS n, min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events
+        |JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+        |      ('high', 150.0, 1000000000.0)) b(band, lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT event_type,
+        |  CAST(quantile_cont(value, 0.25) AS REAL) AS p25,
+        |  CAST(quantile_cont(value, 0.5) AS REAL) AS p50,
+        |  CAST(quantile_cont(value, 0.75) AS REAL) AS p75,
+        |  CAST(quantile_cont(value, 0.9) AS REAL) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "window_topk_per_key" ->
       """SELECT event_type, CAST(rk AS INT) AS rk, event_id, value FROM (
         |  SELECT event_type, event_id, value,

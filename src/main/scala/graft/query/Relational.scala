@@ -354,6 +354,65 @@ object Relational {
       .select(col("c_custkey"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 
+  /** AS-OF join, composed from built-ins (SURVEY §7.6 preference (a)): for
+    * every error event, the most recent purchase by the same user at or
+    * before it. Union the two streams tagged, then one window pass per user
+    * carries the last-seen purchase forward — a single shuffle on user_id,
+    * no range-join explosion. The oracle is DuckDB's native ASOF JOIN, so
+    * the composition is checked against a first-class implementation. */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val tagged = purchases
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        col("value").as("p_value"), col("ts").as("p_ts"))
+      .unionByName(errors
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("double").as("p_value"),
+          lit(null).cast("timestamp").as("p_ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_purchase_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_id").isNotNull) // keep the error rows only
+      .select(col("event_id"), col("user_id"),
+        date_trunc("millisecond", col("last_purchase_ts")).as("purchase_ts"),
+        col("last_purchase_value").as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Non-equi range join — events banded by literal value ranges (the
+    * BroadcastNestedLoopJoin path for interval predicates; the band table
+    * broadcasts, the fact side never shuffles). */
+  def joinRangeBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+      ("high", 150.0, 1e9)).toDF("band", "lo", "hi")
+    events(spark, dir)
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("band"))
+  }
+
+  /** Exact interpolated percentiles per group. */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.25)").cast("float").as("p25"),
+        expr("percentile(value, 0.5)").cast("float").as("p50"),
+        expr("percentile(value, 0.75)").cast("float").as("p75"),
+        expr("percentile(value, 0.9)").cast("float").as("p90"))
+      .orderBy(col("event_type"))
+
   // ---- window functions ----------------------------------------------------
 
   /** Top-k per key — row_number over (partition by type, order by value
