@@ -90,8 +90,16 @@ object Endpoints {
     * prefixes v1 ⊂ v2 ⊂ v3 (spark_trainer.py:107-109). */
   def m6GrowingWindowImportances(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rows = (1 to Trainer.MaxVersions).flatMap { v =>
-      val model = ModelStore.forDir(spark, dir, v)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // versions train concurrently: independent fits submit independent job
+    // groups, and the scheduler interleaves their stages across cores (the
+    // per-version fits underuse the cluster individually)
+    val models = Await.result(
+      Future.sequence((1 to Trainer.MaxVersions).map(v =>
+        Future(v -> ModelStore.forDir(spark, dir, v)))), Duration.Inf)
+    val rows = models.flatMap { case (v, model) =>
       Trainer.featureImportances(model).zipWithIndex.map {
         case ((feature, imp), i) => (v, feature, imp, i + 1)
       }
