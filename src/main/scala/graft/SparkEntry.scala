@@ -85,6 +85,7 @@ object SparkEntry {
     // §2.5 scalar functions
     "f_string_fns"        -> ScalarFunctions.fStringFns _,
     "f_string_advanced"   -> ScalarFunctions.fStringAdvanced _,
+    "f_regex_fns"         -> ScalarFunctions.fRegexFns _,
     "f_null_semantics"    -> ScalarFunctions.fNullSemantics _,
     "f_date_fns"          -> ScalarFunctions.fDateFns _,
     "f_date_arith"        -> ScalarFunctions.fDateArith _,
@@ -438,6 +439,14 @@ object SparkEntry {
         |  split_part(p_type, ' ', 1) AS type_first_word,
         |  repeat(p_brand, 2) AS brand_twice
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "f_regex_fns" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_extracted,
+        |  CAST(len(regexp_extract_all(event_type, '[aeiou]')) AS INT) AS n_vowels,
+        |  regexp_matches(event_type, '^(error|view)$') AS is_err_or_view
+        |FROM events
+        |WHERE regexp_matches(props, '"k": \d+')
+        |ORDER BY event_id""".stripMargin,
     "f_null_semantics" ->
       """SELECT event_id,
         |  nullif(event_type, 'error') AS type_or_null,

@@ -76,6 +76,18 @@ object ScalarFunctions {
         repeat(col("p_brand"), 2).as("brand_twice"))
       .orderBy(col("p_partkey"))
 
+  /** Regex family: capture-group extraction, match filtering, and
+    * occurrence counting — identical RE2-compatible patterns on both
+    * engines. */
+  def fRegexFns(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("props").rlike("\"k\": \\d+"))
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k_extracted"),
+        regexp_count(col("event_type"), lit("[aeiou]")).as("n_vowels"),
+        col("event_type").rlike("^(error|view)$").as("is_err_or_view"))
+      .orderBy(col("event_id"))
+
   /** Null semantics: nullif, null-default, null-safe equality (Spark `<=>`
     * ≡ SQL IS NOT DISTINCT FROM), and three-valued-logic-safe counting. */
   def fNullSemantics(spark: SparkSession, dir: String): DataFrame = {
