@@ -69,6 +69,9 @@ object SparkEntry {
     "join_semi_active"    -> Relational.joinSemiActive _,
     "join_asof"           -> Relational.joinAsof _,
     "join_range_bands"    -> Relational.joinRangeBands _,
+    "join_left_outer"     -> Relational.joinLeftOuter _,
+    "join_full_outer"     -> Relational.joinFullOuter _,
+    "set_ops_multiset"    -> Relational.setOpsMultiset _,
     "agg_percentiles"     -> Relational.aggPercentiles _,
     // window functions
     "window_topk_per_key" -> Relational.windowTopkPerKey _,
@@ -330,6 +333,33 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "join_left_outer" ->
+      """SELECT p_partkey, count(l_orderkey) AS n_2001_items
+        |FROM part LEFT JOIN (SELECT * FROM lineitem
+        |    WHERE l_shipdate >= TIMESTAMP '2001-01-01') li
+        |  ON p_partkey = li.l_partkey
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+    "join_full_outer" ->
+      """WITH early AS (SELECT o_custkey AS ck, count(*) AS n_early FROM orders
+        |    WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY o_custkey),
+        |  late AS (SELECT o_custkey AS ck, count(*) AS n_late FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '2001-01-01' GROUP BY o_custkey)
+        |SELECT coalesce(early.ck, late.ck) AS custkey,
+        |  coalesce(n_early, 0) AS n_early, coalesce(n_late, 0) AS n_late
+        |FROM early FULL JOIN late ON early.ck = late.ck
+        |ORDER BY custkey""".stripMargin,
+    "set_ops_multiset" ->
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |  e AS (SELECT user_id FROM events WHERE event_type = 'error'),
+        |  both_tags AS (
+        |    SELECT user_id, 'intersect_all' AS tag
+        |    FROM (SELECT user_id FROM p INTERSECT ALL SELECT user_id FROM e)
+        |    UNION ALL
+        |    SELECT user_id, 'except_all' AS tag
+        |    FROM (SELECT user_id FROM p EXCEPT ALL SELECT user_id FROM e))
+        |SELECT tag, user_id, count(*) AS multiplicity
+        |FROM both_tags GROUP BY tag, user_id
+        |ORDER BY tag, user_id""".stripMargin,
     "join_asof" ->
       """WITH p AS (SELECT user_id, ts, value FROM events
         |    WHERE event_type = 'purchase'),

@@ -354,6 +354,49 @@ object Relational {
       .select(col("c_custkey"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 
+  /** Left outer join with aggregation — unmatched left rows survive with
+    * zero counts (count of a null-producing column). */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val li2001 = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+    table(spark, dir, "part")
+      .join(li2001, col("p_partkey") === col("l_partkey"), "left_outer")
+      .groupBy(col("p_partkey"))
+      .agg(count(col("l_orderkey")).as("n_2001_items"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Full outer join — early-window vs late-window customer activity;
+    * either side may be null, keys coalesced. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val early = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey").as("ck_early"))
+      .agg(count(lit(1)).as("n_early"))
+    val late = o.filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey").as("ck_late"))
+      .agg(count(lit(1)).as("n_late"))
+    early.join(late, col("ck_early") === col("ck_late"), "full_outer")
+      .select(coalesce(col("ck_early"), col("ck_late")).as("custkey"),
+        coalesce(col("n_early"), lit(0L)).as("n_early"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL preserve
+    * duplicate cardinalities (the bag semantics the DISTINCT forms drop). */
+  def setOpsMultiset(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchasers = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val errorers   = ev.filter(col("event_type") === "error").select(col("user_id"))
+    val iAll = purchasers.intersectAll(errorers).withColumn("tag", lit("intersect_all"))
+    val eAll = purchasers.exceptAll(errorers).withColumn("tag", lit("except_all"))
+    iAll.unionAll(eAll)
+      .groupBy(col("tag"), col("user_id"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("tag"), col("user_id"))
+  }
+
   /** AS-OF join, composed from built-ins (SURVEY §7.6 preference (a)): for
     * every error event, the most recent purchase by the same user at or
     * before it. Union the two streams tagged, then one window pass per user
