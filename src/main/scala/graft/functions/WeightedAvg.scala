@@ -12,15 +12,18 @@ import org.apache.spark.sql.expressions.Aggregator
   * merges are the standard sum-pair combine, identical shape to Spark's own
   * avg implementation.
   */
-object WeightedAvg extends Aggregator[(Double, Double), (Double, Double), Double] {
+object WeightedAvg
+    extends Aggregator[(Double, Double), (Double, Double), java.lang.Double] {
   override def zero: (Double, Double) = (0.0, 0.0)
   override def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
     (b._1 + a._1 * a._2, b._2 + a._2)
   override def merge(x: (Double, Double), y: (Double, Double)): (Double, Double) =
     (x._1 + y._1, x._2 + y._2)
-  override def finish(r: (Double, Double)): Double =
-    if (r._2 == 0.0) Double.NaN else r._1 / r._2
+  // SQL NULL (not NaN) for a zero total weight — matches the DuckDB oracle's
+  // sum(value*k)/sum(k), which is NULL when a group has no non-zero weights
+  override def finish(r: (Double, Double)): java.lang.Double =
+    if (r._2 == 0.0) null else java.lang.Double.valueOf(r._1 / r._2)
   override def bufferEncoder: Encoder[(Double, Double)] =
     Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
-  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }

@@ -27,11 +27,16 @@ import org.apache.spark.sql.types.StructType
   */
 object Batcher {
 
-  /** Result of a capped batching pass. */
+  /** Result of a capped batching pass. `totalRows` is the pre-cap row
+    * count (already computed by the counting pass — callers never need a
+    * second `count()`); `cleanup` releases any storage the pass pinned
+    * (call it once `batches` has been materialized/written). */
   final case class BatchingResult(
       batches: DataFrame,        // rows with batch_id assigned, within cap
       remainderRows: Long,       // rows past the cap (discarded or flushed)
-      nBatches: Int)
+      nBatches: Int,
+      totalRows: Long = 0L,
+      cleanup: () => Unit = () => ())
 
   /** (1) Oracle-able emulation: batch_id by row rank over `orderCol`.
     * Cap: ranks past `maxBatches * batchSize` drop (consumer.py:60,80-82).
@@ -49,11 +54,19 @@ object Batcher {
     * no global sort. Stage 1 counts rows per partition (driver receives
     * numPartitions longs); stage 2 maps each row to offset(partition) +
     * local index. Both stages are narrow — zero shuffle at any scale.
+    *
+    * The RDD is persisted (memory, spilling to disk) before the counting
+    * pass so both passes observe IDENTICAL partition contents even when the
+    * upstream lineage is nondeterministic under recomputation (task retry
+    * after a shuffle, sampling, nondeterministic sources) — otherwise the
+    * counts could diverge from the assignment pass and produce colliding
+    * seq values. Call `result.cleanup()` once `batches` is materialized.
     */
   def assignBatchesArrivalOrder(df: DataFrame, batchSize: Int,
       maxBatches: Int): BatchingResult = {
     val spark = df.sparkSession
-    val counts: Array[Long] = df.rdd
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts: Array[Long] = rdd
       .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
       .collect().sortBy(_._1).map(_._2)
     val offsets: Array[Long] = counts.scanLeft(0L)(_ + _)
@@ -62,7 +75,7 @@ object Batcher {
     val schema = df.schema
       .add("seq", "long").add("batch_id", "int")
     val assigned = spark.createDataFrame(
-      df.rdd.mapPartitionsWithIndex { case (i, it) =>
+      rdd.mapPartitionsWithIndex { case (i, it) =>
         val base = offsets(i)
         it.zipWithIndex.map { case (r, j) =>
           val seq = base + j
@@ -72,51 +85,97 @@ object Batcher {
     BatchingResult(
       batches = assigned.filter(col("batch_id") < maxBatches),
       remainderRows = math.max(0L, total - math.min(total, cap)),
-      nBatches = math.min(maxBatches.toLong, (total + batchSize - 1) / batchSize).toInt)
+      nBatches = math.min(maxBatches.toLong, (total + batchSize - 1) / batchSize).toInt,
+      totalRows = total,
+      cleanup = () => { rdd.unpersist(blocking = false); (): Unit })
   }
 
   /** (3) Streaming form. Consumes `transport`'s typed source with
     * AvailableNow (drain-then-stop ≈ consumer_timeout_ms), maintains the
     * running row count across micro-batches (the consumer's buffer
-    * counter), and appends each micro-batch to `stagingDir` parquet with a
-    * global `seq`. After the drain, completed count-batches are written as
-    * `batch_id=K` parquet partitions under `outDir`. With `flushRemainder`
-    * (the reference default) a trailing partial batch is written when the
-    * cap is not yet reached (consumer.py:85-94 end-of-stream flush); rows
-    * past the cap are always discarded (consumer.py:60,80-82).
+    * counter), and stages each micro-batch to `stagingDir/mb=<batchId>`
+    * parquet with a global `seq`. After the drain, completed count-batches
+    * are written as `batch_id=K` parquet partitions under `outDir`. With
+    * `flushRemainder` (the reference default) a trailing partial batch is
+    * written when the cap is not yet reached (consumer.py:85-94
+    * end-of-stream flush); rows past the cap are always discarded
+    * (consumer.py:60,80-82).
     *
-    * State: ONE long on the driver (checkpointable via staging dir row
-    * count on restart) — rows never collect to the driver.
+    * The sink is IDEMPOTENT per micro-batch: each batchId writes its own
+    * subdirectory with overwrite semantics, so a checkpoint replay after a
+    * crash between the staging write and the offset commit re-writes the
+    * same subdir (or skips it when its `_SUCCESS` marker already exists)
+    * instead of appending duplicates. The seq base for batchId b is the
+    * committed row count of batchIds < b — fully derivable from the staged
+    * `_SUCCESS`-marked subdirs on restart, so replays reproduce identical
+    * seq values. Rows never collect to the driver.
     */
   def streamBatches(spark: SparkSession, transport: StreamTransport,
       schema: StructType, stagingDir: String, outDir: String,
       batchSize: Int, maxBatches: Int, checkpointDir: String,
       flushRemainder: Boolean = true): BatchingResult = {
-    // recover the counter from staging on restart: the checkpoint replays
-    // only uncommitted offsets, so the seq must continue where it stopped
-    var rowsSeen =
-      try spark.read.parquet(stagingDir).count() catch { case _: Throwable => 0L }
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stagingPath = new Path(stagingDir)
+    // committed (= _SUCCESS-marked) staged micro-batches, by batchId
+    def committed(): Seq[(Long, Path)] = {
+      val fs = stagingPath.getFileSystem(hconf)
+      if (!fs.exists(stagingPath)) Seq.empty
+      else fs.listStatus(stagingPath).toSeq.collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("mb=") &&
+            fs.exists(new Path(st.getPath, "_SUCCESS")) =>
+          (st.getPath.getName.stripPrefix("mb=").toLong, st.getPath)
+      }.sortBy(_._1)
+    }
+    // per-batchId committed row counts; recovered lazily on the first
+    // micro-batch after a restart (checkpoint replays only uncommitted
+    // offsets, so earlier batchIds are always _SUCCESS-complete)
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    var recovered = false
     val query: StreamingQuery = transport.typedSource(spark, schema)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (mb: DataFrame, _: Long) =>
-        // seq within the micro-batch via the arrival-order assigner
-        // (micro-batches are small; their internal order is the arrival
-        // order the source delivered)
-        val withSeq = assignBatchesArrivalOrder(mb, batchSize = Int.MaxValue,
-          maxBatches = 1).batches
-          .withColumn("seq", col("seq") + rowsSeen)
-          .drop("batch_id")
-        withSeq.write.mode("append").parquet(stagingDir)
-        rowsSeen += mb.count()
+      .foreachBatch { (mb: DataFrame, bid: Long) =>
+        val fs = stagingPath.getFileSystem(hconf)
+        if (!recovered) {
+          committed().filter(_._1 < bid).foreach { case (id, p) =>
+            counts(id) = spark.read.parquet(p.toString).count()
+          }
+          recovered = true
+        }
+        val dir = new Path(stagingPath, s"mb=$bid")
+        if (fs.exists(new Path(dir, "_SUCCESS"))) {
+          // replayed batch already fully staged: no-op (keep its count)
+          counts(bid) = spark.read.parquet(dir.toString).count()
+        } else {
+          // seq base = rows committed before this batchId; overwrite makes
+          // a partial dir from a mid-write crash harmless on replay
+          val base = counts.view.filterKeys(_ < bid).values.sum
+          val res = assignBatchesArrivalOrder(mb, batchSize = Int.MaxValue,
+            maxBatches = 1)
+          res.batches
+            .withColumn("seq", col("seq") + base)
+            .drop("batch_id")
+            .write.mode("overwrite").parquet(dir.toString)
+          counts(bid) = res.totalRows
+          res.cleanup()
+        }
         (): Unit
       }
       .start()
     query.awaitTermination()
 
-    val staged = spark.read.parquet(stagingDir)
-      .withColumn("batch_id", (col("seq") / batchSize).cast("int"))
+    val stagedDirs = committed().map(_._2.toString)
+    // derive from the committed dirs, not the in-memory map: a restart that
+    // drains zero new micro-batches never fires foreachBatch (parquet
+    // count() is footer-metadata only — cheap at any scale)
+    val rowsSeen =
+      if (stagedDirs.isEmpty) 0L else spark.read.parquet(stagedDirs: _*).count()
+    val staged =
+      (if (stagedDirs.isEmpty) spark.emptyDataFrame.withColumn("seq", lit(0L))
+       else spark.read.parquet(stagedDirs: _*))
+        .withColumn("batch_id", (col("seq") / batchSize).cast("int"))
     val capped = staged.filter(col("batch_id") < maxBatches)
     val fullOnly =
       if (flushRemainder) capped
@@ -129,6 +188,7 @@ object Batcher {
     BatchingResult(
       batches = spark.read.parquet(outDir),
       remainderRows = rowsSeen - math.min(rowsSeen, written * batchSize),
-      nBatches = written.toInt)
+      nBatches = written.toInt,
+      totalRows = rowsSeen)
   }
 }

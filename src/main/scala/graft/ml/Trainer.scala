@@ -67,13 +67,22 @@ object Trainer {
     pipeline(prepared.columns.filter(_ != Schemas.label).toSeq).fit(prepared)
 
   /** M6: growing-window versions — version v trains on the first
-    * v·BatchSize rows of the stream (spark_trainer.py:107-109:
-    * v1=batch_0, v2=batch_0..1, v3=batch_0..2). */
-  def fitVersion(raw: DataFrame, version: Int, orderCol: String): PipelineModel = {
+    * v·batchSize rows of the stream (spark_trainer.py:107-109:
+    * v1=batch_0, v2=batch_0..1, v3=batch_0..2). `batchSize` defaults to
+    * the reference's 10 000 and is injectable so small fixtures genuinely
+    * exercise the window growth (v1 ⊊ v2 ⊊ v3). */
+  def fitVersion(raw: DataFrame, version: Int, orderCol: String,
+      batchSize: Int = BatchSize): PipelineModel = {
     require(version >= 1 && version <= MaxVersions, s"version $version")
-    val window = raw.orderBy(col(orderCol)).limit(version * BatchSize)
+    val window = raw.orderBy(col(orderCol)).limit(version * batchSize)
     fit(prepare(window))
   }
+
+  /** The v-th training window itself (what [[fitVersion]] trains on), for
+    * specs asserting the strict v1 ⊊ v2 ⊊ v3 row growth. */
+  def versionWindow(raw: DataFrame, version: Int, orderCol: String,
+      batchSize: Int = BatchSize): DataFrame =
+    prepare(raw.orderBy(col(orderCol)).limit(version * batchSize))
 
   /** M5+O1: per-feature importances of the RF stage, descending — the
     * JSON artifact's content (spark_trainer.py:87-99). */

@@ -172,8 +172,10 @@ object Dedup {
   }
 
   /** n-gram Jaccard verification on LSH candidates — the exact-similarity
-    * tail of the MinHash pipeline exposed as its own operator (candidates
-    * from a cheaper 1-band pass, then exact Jaccard). */
+    * tail of the MinHash pipeline exposed as its own operator. Candidates
+    * come from a high-recall 16-band × 2-rows-per-band MinHash pass (twice
+    * the default band count: more bands = looser bucketing = fewer missed
+    * near-dups), then exact n-gram Jaccard ≥ threshold verifies each pair. */
   def dedupNgramJaccard(spark: SparkSession, dir: String,
       shingleSize: Int = 3, threshold: Double = 0.3): DataFrame =
     dedupMinhashLsh(spark, dir, shingleSize, numBands = 16, rowsPerBand = 2,

@@ -58,6 +58,26 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("growing window, small batchSize: v1 ⊊ v2 ⊊ v3 rows; models differ") {
+    // batchSize=300 on the 1000-row sf0.001 events table: unlike the
+    // reference's 10 000 (≥ table size here), every version window is a
+    // strictly larger prefix, so window growth is genuinely exercised
+    val raw = Trainer.tripFrameFromEvents(spark, sf)
+    val counts = (1 to 3).map(v =>
+      Trainer.versionWindow(raw, v, "event_id", batchSize = 300).count())
+    assert(counts(0) < counts(1) && counts(1) < counts(2))
+    // strict prefix containment of the underlying stream windows
+    val ids = (1 to 3).map(v =>
+      raw.orderBy(col("event_id")).limit(v * 300)
+        .select(col("event_id").cast("string")).as[String].collect().toSet)
+    assert(ids(0).subsetOf(ids(1)) && ids(1).subsetOf(ids(2)))
+    assert(ids(0).size < ids(1).size && ids(1).size < ids(2).size)
+    // more training data changes the fitted forest
+    val m1 = Trainer.fitVersion(raw, 1, "event_id", batchSize = 300)
+    val m3 = Trainer.fitVersion(raw, 3, "event_id", batchSize = 300)
+    assert(Trainer.featureImportances(m1) != Trainer.featureImportances(m3))
+  }
+
   test("Q1 predict: one finite prediction for the canonical README payload") {
     val r = Endpoints.q1Predict(spark, sf).collect()
     assert(r.length == 1)
