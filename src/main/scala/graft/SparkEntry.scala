@@ -574,5 +574,95 @@ object SparkEntry {
         |    AS INT) AS n_bpe_tokens,
         |  CAST(length(text) AS DOUBLE) / 4.0 AS n_est_chars4
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH norm AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |toks AS (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM norm),
+        |grams AS (SELECT doc_id,
+        |    concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]) AS g
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 3)) AS i) s),
+        |winnow AS (SELECT doc_id,
+        |    min(CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)) AS fw
+        |  FROM grams GROUP BY doc_id)
+        |SELECT n.doc_id, md5(nt) AS fingerprint_md5, fw AS fingerprint_winnow
+        |FROM norm n LEFT JOIN winnow w ON n.doc_id = w.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH u AS (SELECT doc_id, lang,
+        |    list_distinct(string_split(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS t
+        |  FROM documents),
+        |scores AS (SELECT doc_id, lang,
+        |    CAST(len(list_intersect(t, ['der','die','das','und','ist','von','ein','eine','zu','mit'])) AS DOUBLE) / 10.0 AS s_de,
+        |    CAST(len(list_intersect(t, ['the','a','of','and','to','in','is','that','it','for'])) AS DOUBLE) / 10.0 AS s_en,
+        |    CAST(len(list_intersect(t, ['el','la','de','que','y','en','un','una','es','por'])) AS DOUBLE) / 10.0 AS s_es,
+        |    CAST(len(list_intersect(t, ['le','la','de','et','les','des','un','une','est','dans'])) AS DOUBLE) / 10.0 AS s_fr,
+        |    CAST(len(list_intersect(t, ['de','shi','bu','le','zai','ren','you','wo','ta','zhe'])) AS DOUBLE) / 10.0 AS s_zh
+        |  FROM u)
+        |SELECT doc_id, lang AS lang_labeled,
+        |  CASE WHEN m = 0 THEN 'und'
+        |       WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+        |       WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+        |       ELSE 'de' END AS lang_detected,
+        |  m AS lid_score
+        |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM scores)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_lsh" -> minhashOracleSql(numBands = 8, rowsPerBand = 4,
+      threshold = "0.5"),
+    "dedup_ngram_jaccard" -> minhashOracleSql(numBands = 16, rowsPerBand = 2,
+      threshold = "0.3"),
   )
+
+  /** DuckDB replay of [[graft.query.Dedup.dedupMinhashLsh]] (3-gram
+    * shingles, numBands×rowsPerBand md5-60-bit minhashes): same planted
+    * near-dups, same normalization, same salted hash60, band buckets by
+    * signature-slice equality, exact Jaccard verify ≥ threshold. Bucket
+    * values differ from Spark's (xxhash64 of the slice there, the raw
+    * joined slice here) but bucket EQUALITY is the same relation, which is
+    * all the candidate join observes. */
+  private def minhashOracleSql(numBands: Int, rowsPerBand: Int,
+      threshold: String): String = {
+    val nh = numBands * rowsPerBand
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    'planted near duplicate copy ' || text AS text
+       |  FROM documents WHERE doc_id < 10
+       |), toks AS (
+       |  SELECT doc_id, string_split(
+       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+       |  FROM base
+       |), ftoks AS (
+       |  SELECT doc_id, t FROM toks WHERE len(t) >= 3
+       |), grams AS (
+       |  SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+       |  FROM ftoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+       |), sig AS (
+       |  SELECT doc_id, h.i AS hi,
+       |    min(CAST('0x' || substr(md5(g || ':' || h.i), 1, 15) AS BIGINT)) AS mh
+       |  FROM grams, LATERAL (SELECT unnest(generate_series(0, ${nh - 1})) AS i) h
+       |  GROUP BY doc_id, h.i
+       |), bands AS (
+       |  SELECT doc_id, hi // $rowsPerBand AS band,
+       |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hi) AS bucket
+       |  FROM sig GROUP BY doc_id, hi // $rowsPerBand
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |), sh AS (
+       |  SELECT doc_id, list(g) AS sh FROM grams GROUP BY doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+       |FROM cand
+       |JOIN sh sa ON sa.doc_id = cand.doc_a
+       |JOIN sh sb ON sb.doc_id = cand.doc_b
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / len(list_distinct(sa.sh || sb.sh)) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

@@ -36,6 +36,19 @@ object Dedup {
     * tokens. */
   def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
 
+  /** 60-bit hash from the first 15 hex chars of md5 — chosen over xxhash64
+    * because DuckDB reproduces it bit-identically
+    * (`CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`), which is what makes
+    * the whole MinHash family hash-compare oracle-able cross-engine. 60
+    * bits keeps the value positive in a signed BIGINT on both engines.
+    * conv/substring/md5 are all codegen'd. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Salted [[hash60]]: the i-th MinHash function,
+    * h_i(s) = hash60(s || ":" || i). */
+  def hash60(s: Column, salt: Int): Column = hash60(concat(s, lit(":" + salt)))
+
   /** Exact dedup (hash-groupBy): fingerprint = md5(normalized text); a doc
     * is kept iff it has the smallest doc_id in its fingerprint group.
     * One shuffle on the fingerprint — at 100 TB this is the standard
@@ -63,14 +76,16 @@ object Dedup {
 
   /** MinHash signature index: one row per doc with `numHashes` min-hashes.
     *
-    * Computed without ever materializing shingle strings: posexplode the
+    * Computed without materializing shingle arrays per doc: posexplode the
     * tokens, form each n-gram as (tok, lead(tok,1), …, lead(tok,n-1)) via
-    * a window over document position, and hash the tuple directly with the
-    * variadic built-in xxhash64 — explode, window, hash, and the
-    * `numHashes` min aggregates are all codegen'd with map-side partial
-    * aggregation. Earlier variants measured: `numHashes ×
-    * array_min(transform(...))` (interpreted HOFs) ~20× slower;
-    * explode(shingle strings) + min aggs ~4× slower (string allocation). */
+    * a window over document position, join the tuple into the shingle
+    * string once, and take the `numHashes` min aggregates of the salted
+    * [[hash60]] — explode, window, hash, and the min aggregates are all
+    * codegen'd with map-side partial aggregation. Earlier variants
+    * measured: `numHashes × array_min(transform(...))` (interpreted HOFs)
+    * ~20× slower. The hash is md5-derived (not xxhash64) so DuckDB
+    * replays the signature bit-identically — the MinHash/Jaccard pipeline
+    * is verified by the hash-compare oracle, not just specs. */
   def minhashSignatures(docs: DataFrame, toksCol: String, idCol: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
     val tok = docs.select(col(idCol),
@@ -80,8 +95,8 @@ object Dedup {
     val gram = tok.select(col(idCol) +: col("tok") +: nexts: _*)
       .filter(if (shingleSize > 1) col(s"t${shingleSize - 1}").isNotNull else lit(true))
     val gramCols = col("tok") +: (1 until shingleSize).map(j => col(s"t$j"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(gramCols :+ lit(i): _*)).as(s"h$i"))
+    val gs = concat_ws(" ", gramCols: _*)
+    val mins = (0 until numHashes).map(i => min(hash60(gs, i)).as(s"h$i"))
     gram.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))

@@ -50,15 +50,22 @@ object TextAnalysis {
 
   /** Document fingerprinting: canonical md5 of normalized text (exact-dup
     * key) plus a winnowing-style robust fingerprint — the minimum of the
-    * 64-bit hashes of all word 4-grams (public winnowing scheme reduced to
-    * window=whole-doc: stable under local edits away from the minimum). */
-  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
-      .select(col("doc_id"),
-        md5(Dedup.normText(col("text"))).as("fingerprint_md5"),
-        array_min(transform(Dedup.shingles(col("text"), 4),
-          s => xxhash64(s))).as("fingerprint_winnow"))
+    * 60-bit [[Dedup.hash60]] hashes of all word 4-grams (public winnowing
+    * scheme reduced to window=whole-doc: stable under local edits away
+    * from the minimum; null for docs shorter than 4 tokens). Computed as
+    * explode → codegen'd hash → map-side partial min (no interpreted HOF
+    * in the hot path); md5-derived so the DuckDB oracle replays it. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val winnow = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 4)).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(min(Dedup.hash60(col("g"))).as("fingerprint_winnow"))
+    docs
+      .select(col("doc_id"), md5(Dedup.normText(col("text"))).as("fingerprint_md5"))
+      .join(winnow, Seq("doc_id"), "left")
       .orderBy(col("doc_id"))
+  }
 
   /** Language ID: stopword-hit-ratio heuristic over small per-language
     * function-word lists (the classic cheap n-gram/stopword LID). The
