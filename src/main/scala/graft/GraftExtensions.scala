@@ -1,10 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{FloatVecDot, SimHash64}
+import graft.functions.{FloatVecDot, SimHash60}
 
 /** Session extensions: registers the engine's custom Catalyst expressions
-  * (`simhash64`, `float_dot`) so SQL and `expr(...)` users get them in any
+  * (`simhash60`, `float_dot`) so SQL and `expr(...)` users get them in any
   * session built with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or via
   * `spark.sql.extensions=graft.GraftExtensions`.
@@ -15,7 +15,7 @@ import graft.functions.{FloatVecDot, SimHash64}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(SimHash64.descriptor)
+    e.injectFunction(SimHash60.descriptor)
     e.injectFunction(FloatVecDot.descriptor)
   }
 }
@@ -24,7 +24,7 @@ object GraftExtensions {
   /** Imperative registration for an already-built session (what the query
     * layer calls — idempotent). */
   def register(spark: SparkSession): Unit = {
-    SimHash64.register(spark)
+    SimHash60.register(spark)
     FloatVecDot.register(spark)
   }
 }

@@ -608,6 +608,41 @@ object SparkEntry {
         |  m AS lid_score
         |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM scores)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'planted near duplicate copy ' || text AS text
+        |  FROM documents WHERE doc_id < 10
+        |), toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM base
+        |), th AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        |  FROM toks, LATERAL (SELECT unnest(t) AS tok) u
+        |), votes AS (
+        |  SELECT doc_id, bb.b AS b,
+        |    sum(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, LATERAL (SELECT unnest(generate_series(0, 59)) AS b) bb
+        |  GROUP BY doc_id, bb.b
+        |), fp AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN v > 0
+        |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id
+        |), chunks AS (
+        |  SELECT doc_id, simhash, cc.c AS chunk_idx,
+        |    (simhash >> (cc.c * 15)) & 32767 AS chunk
+        |  FROM fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS c) cc
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM chunks a JOIN chunks b
+        |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+        |  AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql(numBands = 8, rowsPerBand = 4,
       threshold = "0.5"),
     "dedup_ngram_jaccard" -> minhashOracleSql(numBands = 16, rowsPerBand = 2,

@@ -3,7 +3,7 @@ package graft.query
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.SimHash64
+import graft.functions.SimHash60
 import graft.schema.Schemas.table
 
 /** Deduplication operators for large-scale training-data pipelines, over
@@ -154,20 +154,22 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash near-dup: 64-bit fingerprints via the custom
-    * [[graft.functions.SimHash64]] expression; candidate pairs share at
-    * least one of four 16-bit fingerprint chunks (pigeonhole: hamming
-    * distance ≤ 3 ⇒ some chunk identical), verified by bit_count(xor).
-    * Join key is (chunk index, chunk value) — bounded buckets, no n². */
+  /** SimHash near-dup: 60-bit fingerprints via the custom
+    * [[graft.functions.SimHash60]] expression (md5-derived per-token hash
+    * = [[hash60]], so the DuckDB oracle replays the whole pipeline);
+    * candidate pairs share at least one of four 15-bit fingerprint chunks
+    * (pigeonhole: hamming distance ≤ 3 ⇒ some chunk identical), verified
+    * by bit_count(xor). Join key is (chunk index, chunk value) — bounded
+    * buckets, no n². */
   def dedupSimhash(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    SimHash64.register(spark)
+    SimHash60.register(spark)
     val docs = withPlantedNearDups(table(spark, dir, "documents"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("simhash", expr("simhash64(toks)"))
+      .withColumn("simhash", expr("simhash60(toks)"))
     val chunked = docs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))
     val l = chunked.select(col("chunk_idx"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))

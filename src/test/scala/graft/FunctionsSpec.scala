@@ -45,10 +45,10 @@ class FunctionsSpec extends SparkSpec {
     assert(a.length > 100 && a.length < 300) // ~200 of 1000
   }
 
-  test("GraftExtensions.register exposes simhash64 and float_dot to SQL") {
+  test("GraftExtensions.register exposes simhash60 and float_dot to SQL") {
     GraftExtensions.register(spark)
     val r = spark.sql(
-      """SELECT simhash64(array('a', 'b', 'c')) AS h,
+      """SELECT simhash60(array('a', 'b', 'c')) AS h,
         |  float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
         |            array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d
         |""".stripMargin).head()

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.SimHash64
+import graft.functions.SimHash60
 import graft.query.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 class NorthStarSpec extends SparkSpec {
@@ -33,11 +33,11 @@ class NorthStarSpec extends SparkSpec {
   }
 
   test("simhash: chunk-bucket candidate generation is lossless for hamming<=3") {
-    SimHash64.register(spark)
+    SimHash60.register(spark)
     val docs = Dedup.withPlantedNearDups(
       graft.schema.Schemas.table(spark, sf, "documents"))
       .select($"doc_id", Dedup.tokens($"text").as("toks"))
-      .withColumn("h", expr("simhash64(toks)"))
+      .withColumn("h", expr("simhash60(toks)"))
       .select("doc_id", "h").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     // ground truth by exhaustive pairing (510 docs — test-only)
@@ -52,14 +52,14 @@ class NorthStarSpec extends SparkSpec {
   }
 
   test("simhash expression: deterministic, order-insensitive-ish, distinct for distinct docs") {
-    SimHash64.register(spark)
+    SimHash60.register(spark)
     val df = Seq(
       ("a b c d e f g h i j k l m n o p"),
       ("a b c d e f g h i j k l m n o p"),
       ("a b c d e f g h i j k l m n o q"),
       ("completely unrelated words entirely other document content here"))
       .toDF("text")
-      .select(expr("simhash64(split(text, ' '))").as("h"))
+      .select(expr("simhash60(split(text, ' '))").as("h"))
     val hs = df.as[Long].collect()
     assert(hs(0) == hs(1))                                // deterministic
     assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) <= 16)  // near-dup close
@@ -155,7 +155,7 @@ class NorthStarSpec extends SparkSpec {
   }
 
   test("langid: detects distinct languages on hand-made texts") {
-    SimHash64.register(spark)
+    SimHash60.register(spark)
     // run the same scoring logic on crafted inputs by swapping the table:
     // easiest through a temp view + the same column expressions
     val crafted = Seq(
