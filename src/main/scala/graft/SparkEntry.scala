@@ -608,6 +608,43 @@ object SparkEntry {
         |  m AS lid_score
         |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM scores)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH planes AS (
+        |  SELECT pp.p AS p,
+        |    list(CAST(CAST('0x' || substr(md5(pp.p || ':' || ii.i), 1, 15)
+        |        AS BIGINT) AS DOUBLE) / 576460752303423488.0 - 1.0
+        |      ORDER BY ii.i) AS plane
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS p) pp,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) ii
+        |  GROUP BY pp.p
+        |), emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), buck AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN list_dot_product(e, plane) >= 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+        |  FROM emb, planes GROUP BY vec_id
+        |)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(ea.e, eb.e) AS cosine
+        |FROM buck a
+        |JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |JOIN emb ea ON ea.vec_id = a.vec_id
+        |JOIN emb eb ON eb.vec_id = b.vec_id
+        |WHERE list_dot_product(ea.e, eb.e) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "multimodal_summary" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS INT) AS payload_bytes,
+        |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':w'), 1, 15)
+        |    AS BIGINT) % 1024 + 256 AS INT) AS width,
+        |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':h'), 1, 15)
+        |    AS BIGINT) % 768 + 256 AS INT) AS height,
+        |  CAST(CAST('0x' || substr(md5(text || ':0'), 1, 15) AS BIGINT)
+        |    % 1000000 AS DOUBLE) / 1000000.0 AS f0,
+        |  CAST(CAST('0x' || substr(md5(text || ':1'), 1, 15) AS BIGINT)
+        |    % 1000000 AS DOUBLE) / 1000000.0 AS f1
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents

@@ -200,14 +200,23 @@ object Dedup {
 
   /** Embedding near-dup: cosine ≥ threshold via sign-random-projection LSH.
     * Bucket key = 8 sign bits of dot products with fixed pseudo-random
-    * hyperplanes (deterministic seed); exact cosine verified within
-    * buckets. Unit-norm embeddings ⇒ cosine = dot product. */
+    * hyperplanes; exact cosine verified within buckets. Unit-norm
+    * embeddings ⇒ cosine = dot product.
+    *
+    * Hyperplane component (p,i) is md5-derived uniform in [-1,1):
+    * hash60("p:i") / 2^59 - 1 — the SAME doubles DuckDB computes from
+    * `CAST('0x'||substr(md5(p||':'||i),1,15) AS BIGINT)`, and the dots are
+    * sequential double folds on both engines, so the oracle replays the
+    * bucketing AND the verify bit-identically. (Uniform instead of
+    * gaussian components: for sign-LSH any origin-symmetric component
+    * distribution gives unbiased sign buckets.) */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String,
       threshold: Double = 0.4, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
-    val rnd = new scala.util.Random(42)
-    val planes: Seq[Array[Float]] =
-      Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val planes: Seq[Array[Double]] = (0 until numPlanes).map(p =>
+      Array.tabulate(dim)(i =>
+        graft.functions.SimHashImpl.hash60(s"$p:$i".getBytes("UTF-8")).toDouble
+          / 576460752303423488.0 - 1.0))  // 2^59
     // bucket = sign bits of the codegen'd float_dot with each hyperplane
     val signBits: Column =
       (0 until numPlanes).map { p =>

@@ -22,11 +22,14 @@ import graft.schema.Schemas.table
 object Multimodal {
 
   /** STUB — deterministic fake feature extractor standing in for an image
-    * decode+embed. Derives 4 floats from xxhash64 of the payload at
-    * different seeds, scaled to [0,1). A real implementation replaces this
-    * expression with a decoder call. */
+    * decode+embed. Derives 4 doubles in [0,1) from the md5-based
+    * [[Dedup.hash60]] of the payload bytes at different seeds — DuckDB
+    * reproduces them bit-identically (md5 of the same byte sequence), so
+    * the stub pipeline is hash-compare oracle-able. A real implementation
+    * replaces this expression with a decoder call. */
   private def stubFeature(payload: org.apache.spark.sql.Column, seed: Int) =
-    (pmod(xxhash64(payload, lit(seed)), lit(1000000L)).cast("double") / 1e6)
+    (Dedup.hash60(concat(payload, encode(lit(s":$seed"), "UTF-8")))
+      % lit(1000000L)).cast("double") / lit(1000000.0)
 
   /** Binary payload pipeline over documents-as-media: encode text bytes as
     * the opaque payload (the corpus has no real media), attach typed
@@ -38,11 +41,14 @@ object Multimodal {
       .select(col("doc_id"),
         payload.as("payload"),
         octet_length(payload).as("payload_bytes"),
-        // metadata struct a real media table would carry
+        // metadata struct a real media table would carry (md5-derived
+        // pseudo-dimensions: DuckDB-reproducible, see stubFeature)
         struct(
           lit("image/stub").as("mime"),
-          (pmod(xxhash64(col("doc_id")), lit(1024L)) + 256L).cast("int").as("width"),
-          (pmod(xxhash64(col("doc_id"), lit(1)), lit(768L)) + 256L).cast("int").as("height"))
+          (Dedup.hash60(concat(col("doc_id").cast("string"), lit(":w")))
+            % lit(1024L) + lit(256L)).cast("int").as("width"),
+          (Dedup.hash60(concat(col("doc_id").cast("string"), lit(":h")))
+            % lit(768L) + lit(256L)).cast("int").as("height"))
           .as("media_meta"),
         array((0 until 4).map(stubFeature(payload, _)): _*).as("stub_embedding"))
   }
