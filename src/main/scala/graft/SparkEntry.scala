@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.ScalarFunctions
-import graft.query.{Dedup, Endpoints, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.query.{Dedup, Endpoints, Multimodal, Relational, Relational2, Similarity, TextAnalysis}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -94,6 +94,23 @@ object SparkEntry {
     "f_date_arith"        -> ScalarFunctions.fDateArith _,
     "f_math_fns"          -> ScalarFunctions.fMathFns _,
     "f_array_fns"         -> ScalarFunctions.fArrayFns _,
+    // second-wave relational coverage (Relational2, all oracle-backed)
+    "agg_cube"            -> Relational2.aggCube _,
+    "agg_count_distinct"  -> Relational2.aggCountDistinct _,
+    "agg_min_max_by"      -> Relational2.aggMinMaxBy _,
+    "agg_string_concat"   -> Relational2.aggStringConcat _,
+    "agg_conditional"     -> Relational2.aggConditional _,
+    "window_ranking"      -> Relational2.windowRanking _,
+    "window_frames"       -> Relational2.windowFrames _,
+    "join_null_safe"      -> Relational2.joinNullSafe _,
+    "join_cross_small"    -> Relational2.joinCrossSmall _,
+    "subq_correlated"     -> Relational2.subqCorrelated _,
+    "sql_cte_ranking"     -> Relational2.sqlCteRanking _,
+    "f_map_struct"        -> Relational2.fMapStruct _,
+    "f_json_nested"       -> Relational2.fJsonNested _,
+    "unpivot_metrics"     -> Relational2.unpivotMetrics _,
+    "sample_hash_det"     -> Relational2.sampleHashDet _,
+    "o3_limit_offset"     -> Relational2.o3LimitOffset _,
     // §2.6/2.7 ML operators (no SQL oracle — RF scoring; covered by
     // determinism/invariant specs, driver records rows-only checks)
     "m6_growing_window_importances" ->
@@ -608,6 +625,128 @@ object SparkEntry {
         |  m AS lid_score
         |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM scores)
         |ORDER BY doc_id""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  count(*) AS n_rows, CAST(sum(l_quantity) AS REAL) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT CAST(l_partkey AS VARCHAR) || ':'
+        |    || CAST(l_suppkey AS VARCHAR)) AS n_part_supp,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_min_max_by" ->
+      """SELECT event_type,
+        |  arg_max(user_id, event_id) AS latest_user,
+        |  arg_min(user_id, event_id) AS first_user,
+        |  arg_max(value, event_id) AS latest_value,
+        |  max(event_id) AS max_event_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_string_concat" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+        |    AS statuses,
+        |  count(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_conditional" ->
+      """SELECT event_type,
+        |  CAST(count_if(value > 50) AS BIGINT) AS n_gt50,
+        |  bool_and(value >= 0) AS all_nonneg,
+        |  bool_or(value > 99) AS any_gt99,
+        |  CAST(sum(CASE WHEN value > 50 THEN value ELSE 0.0 END) AS REAL)
+        |    AS sum_gt50
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "window_ranking" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS tile4,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "window_frames" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS REAL) AS sum_3,
+        |  CAST(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS REAL) AS avg_next3,
+        |  first_value(value) OVER wa AS first_value,
+        |  last_value(value) OVER wa AS last_value,
+        |  nth_value(value, 2) OVER wa AS second_value
+        |FROM events
+        |WINDOW wa AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+    "join_null_safe" ->
+      """WITH n AS (SELECT nullif(n_regionkey, 2) AS k, count(*) AS n_nations
+        |  FROM nation GROUP BY nullif(n_regionkey, 2)),
+        |r AS (SELECT nullif(r_regionkey, 2) AS rk, r_name FROM region)
+        |SELECT n.k, r.r_name, n.n_nations
+        |FROM n LEFT JOIN r ON n.k IS NOT DISTINCT FROM r.rk
+        |ORDER BY n.k, r.r_name""".stripMargin,
+    "join_cross_small" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "subq_correlated" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey) AS max_total,
+        |  EXISTS(SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderstatus = 'F') AS has_f
+        |FROM customer c
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "sql_cte_ranking" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(o_totalprice) AS REAL) AS total
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT o_custkey, n_orders, total,
+        |  CAST(dense_rank() OVER (ORDER BY n_orders DESC, o_custkey) AS INT)
+        |    AS rnk
+        |FROM per_cust ORDER BY o_custkey""".stripMargin,
+    "f_map_struct" ->
+      """SELECT o_orderkey,
+        |  CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
+        |    WHEN 'P' THEN 3 END AS status_code,
+        |  o_orderpriority AS prio_via_struct,
+        |  o_orderstatus AS status_key
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f_json_nested" ->
+      """SELECT o_orderkey, o_orderstatus AS status_rt,
+        |  o_orderpriority AS prio_rt, o_custkey AS custkey_rt,
+        |  CAST(1 AS INT) AS n_ks
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "unpivot_metrics" ->
+      """SELECT l_returnflag, 'sum_qty' AS metric,
+        |  CAST(sum(l_quantity) AS REAL) AS value
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc', CAST(sum(l_discount) AS REAL)
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, 'n_rows', CAST(count(*) AS REAL)
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "sample_hash_det" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+        |  AS BIGINT) % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "o3_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20 OFFSET 10""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH planes AS (
         |  SELECT pp.p AS p,

@@ -1,0 +1,252 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas.table
+
+/** Second wave of relational operator coverage beyond SURVEY §2 (the
+  * engine-completeness surface): grouping sets beyond rollup, distinct
+  * aggregates, argmin/argmax, ordered string aggregation, ranking and
+  * explicit window frames, null-safe and cross joins, correlated
+  * subqueries, CTE SQL, map/struct/nested-JSON scalar functions, unpivot,
+  * deterministic hash sampling, conditional aggregates, and pagination.
+  *
+  * Every query here is DuckDB-oracle-backed (hash-exact). Cross-engine
+  * exactness rules applied throughout: REAL casts on large double sums,
+  * INT casts where DuckDB widens to BIGINT/HUGEINT, unique-key tiebreaks
+  * under every ranking/argmax (events.value has heavy duplicates).
+  */
+object Relational2 {
+
+  /** CUBE over (returnflag, linestatus) with grouping_id — all four
+    * grouping-set combinations in one pass (partial aggregation per set;
+    * one shuffle, same as a plain group-by at scale). */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("float").as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** Distinct aggregates: single- and multi-column COUNT(DISTINCT) next to
+    * a plain count — Spark plans this as expand + two-phase aggregate;
+    * distinct-by-key stays partial until the final merge. */
+  def aggCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** argmin/argmax (min_by/max_by) per group, keyed by the UNIQUE event_id
+    * so ties cannot make the pick nondeterministic (events.value has
+    * thousands of duplicates — never argmax on it directly). */
+  def aggMinMaxBy(spark: SparkSession, dir: String): DataFrame =
+    graft.schema.Schemas.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("user_id"), col("event_id")).as("latest_user"),
+        min_by(col("user_id"), col("event_id")).as("first_user"),
+        max_by(col("value"), col("event_id")).as("latest_value"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy(col("event_type"))
+
+  /** Ordered string aggregation: collect_set → array_sort → concat_ws is
+    * the deterministic Spark spelling of string_agg(DISTINCT … ORDER BY).
+    * The set stays bounded per group (distinct statuses), so the collect
+    * is safe at scale — this is NOT a payload collect. */
+  def aggStringConcat(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("l_linestatus"))))
+          .as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+      .orderBy(col("l_returnflag"))
+
+  /** Ranking window family: rank / dense_rank / ntile / percent_rank /
+    * cume_dist over a per-priority ordering with a unique tiebreak
+    * (o_orderkey) — deterministic under duplicate totals. */
+  def windowRanking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("tile4"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Explicit window frames: bounded ROWS frames (moving sum/avg),
+    * first/last/nth value over running and full-partition frames. Framed
+    * double sums are order-deterministic (sequential within the frame) but
+    * engines may associate differently — REAL casts per the exactness
+    * rules. */
+  def windowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wTrail = w.rowsBetween(-2, Window.currentRow)
+    val wLead = w.rowsBetween(Window.currentRow, 2)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        sum(col("value")).over(wTrail).cast("float").as("sum_3"),
+        avg(col("value")).over(wLead).cast("float").as("avg_next3"),
+        first(col("value")).over(wAll).as("first_value"),
+        last(col("value")).over(wAll).as("last_value"),
+        nth_value(col("value"), 2).over(wAll).as("second_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM): aggregate both
+    * sides to bounded cardinality first so NULL<=>NULL matching cannot blow
+    * up row counts, then broadcast the smaller side. */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val nations = table(spark, dir, "nation")
+      .groupBy(nullif(col("n_regionkey"), lit(2)).as("k"))
+      .agg(count(lit(1)).as("n_nations"))
+    val regions = table(spark, dir, "region")
+      .select(nullif(col("r_regionkey"), lit(2)).as("rk"), col("r_name"))
+    nations.join(broadcast(regions), nations("k") <=> regions("rk"), "left")
+      .select(col("k"), col("r_name"), col("n_nations"))
+      .orderBy(col("k"), col("r_name"))
+  }
+
+  /** Cross join (small × small): every region paired with every distinct
+    * order status. Both sides bounded ⇒ broadcast nested loop, no shuffle
+    * of anything large. */
+  def joinCrossSmall(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "region").select(col("r_name"))
+      .crossJoin(
+        table(spark, dir, "orders").select(col("o_orderstatus")).distinct())
+      .orderBy(col("r_name"), col("o_orderstatus"))
+
+  /** Correlated subqueries through the SQL entry point: scalar subquery
+    * (per-customer max order), EXISTS, and IN — Catalyst rewrites all
+    * three to joins (scalar → left outer aggregate join, EXISTS/IN →
+    * semi joins); nothing is executed per-row. */
+  def subqCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey) AS max_total,
+        |  EXISTS(SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderstatus = 'F') AS has_f
+        |FROM customer c
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** CTE + window through the SQL entry point; ranking on exact integer
+    * counts (never on a float aggregate — cross-engine ulp differences in
+    * a double sum could reorder ranks). */
+  def sqlCteRanking(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(o_totalprice) AS FLOAT) AS total
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT o_custkey, n_orders, total,
+        |  CAST(dense_rank() OVER (ORDER BY n_orders DESC, o_custkey) AS INT)
+        |    AS rnk
+        |FROM per_cust ORDER BY o_custkey""".stripMargin)
+  }
+
+  /** Map and struct scalar functions, projected to scalars: literal-map
+    * lookup (the relational spelling of a CASE dimension decode) and
+    * nested struct field access. */
+  def fMapStruct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        element_at(
+          map(lit("F"), lit(1), lit("O"), lit(2), lit("P"), lit(3)),
+          col("o_orderstatus")).as("status_code"),
+        struct(col("o_orderkey").as("k"), col("o_orderpriority").as("p"))
+          .getField("p").as("prio_via_struct"),
+        map_keys(map(col("o_orderstatus"), col("o_orderkey")))
+          .getItem(0).as("status_key"))
+      .orderBy(col("o_orderkey"))
+
+  /** Nested JSON round-trip: build a nested object with to_json, extract
+    * scalars back with get_json_object / json_tuple paths. The oracle is
+    * the identity projection — exactly what a correct round-trip must
+    * yield. Doubles stay OUT of the JSON path (float-to-text formats
+    * differ across engines); only ints and strings round-trip. */
+  def fJsonNested(spark: SparkSession, dir: String): DataFrame = {
+    val js = to_json(struct(
+      col("o_orderkey").as("id"),
+      struct(col("o_orderstatus").as("s"), col("o_orderpriority").as("p"))
+        .as("info"),
+      array(col("o_custkey")).as("ks")))
+    table(spark, dir, "orders")
+      .withColumn("js", js)
+      .select(col("o_orderkey"),
+        get_json_object(col("js"), "$.info.s").as("status_rt"),
+        get_json_object(col("js"), "$.info.p").as("prio_rt"),
+        get_json_object(col("js"), "$.ks[0]").cast("long").as("custkey_rt"),
+        json_array_length(get_json_object(col("js"), "$.ks")).as("n_ks"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Unpivot (wide → long): per-returnflag aggregate row melted into
+    * (metric, value) pairs — Spark's melt/unpivot operator. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity")).cast("float").as("sum_qty"),
+        sum(col("l_discount")).cast("float").as("sum_disc"),
+        count(lit(1)).cast("float").as("n_rows"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_disc"), col("n_rows")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  /** Deterministic hash sampling: keep rows whose md5-derived hash60 of
+    * the key ≡ 0 (mod 10) — a reproducible ~10% sample that any engine
+    * (and any rerun) selects identically, unlike TABLESAMPLE. This is the
+    * sampling primitive a 100 TB pipeline wants: push-down-able, stable
+    * across retries, joins consistently (same keys sampled in every
+    * table). */
+  def sampleHashDet(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .filter(Dedup.hash60(col("o_orderkey").cast("string")) % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** Conditional aggregates: count_if, bool_and/bool_or, filtered sum. */
+  def aggConditional(spark: SparkSession, dir: String): DataFrame =
+    graft.schema.Schemas.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count_if(col("value") > 50).as("n_gt50"),
+        bool_and(col("value") >= 0).as("all_nonneg"),
+        bool_or(col("value") > 99).as("any_gt99"),
+        sum(when(col("value") > 50, col("value")).otherwise(lit(0.0)))
+          .cast("float").as("sum_gt50"))
+      .orderBy(col("event_type"))
+
+  /** Pagination: ORDER BY … LIMIT k OFFSET m with a unique tiebreak.
+    * Spark plans offset+limit as a single TakeOrdered of m+k rows per
+    * partition — no global sort. */
+  def o3LimitOffset(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(10)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_totalprice"))
+}
