@@ -148,6 +148,8 @@ object SparkEntry {
     "stream_window_agg"      -> StreamQueries.streamWindowAgg _,
     "stream_session_counts"  ->
       ((s: SparkSession, d: String) => StreamQueries.streamSessionCounts(s, d)),
+    "stream_dedup_keys"      -> StreamQueries.streamDedupKeys _,
+    "stream_static_join"     -> StreamQueries.streamStaticJoin _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -625,6 +627,14 @@ object SparkEntry {
         |  m AS lid_score
         |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM scores)
         |ORDER BY doc_id""".stripMargin,
+    "stream_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(value) AS REAL) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "agg_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,

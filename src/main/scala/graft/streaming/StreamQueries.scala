@@ -63,6 +63,36 @@ object StreamQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Streaming deduplication: dropDuplicates on (user_id, event_type) with
+    * a watermark bounding the dedup state (at scale the state store holds
+    * only keys inside the watermark horizon, not the full history). The
+    * projected key set is deterministic regardless of WHICH arrival was
+    * kept, so the full drain equals batch SELECT DISTINCT — the oracle. */
+  def streamDedupKeys(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = streamEvents(spark, dir)
+      .withWatermark("ts", "24 hours")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    drain(spark, deduped, OutputMode.Append())
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Stream-static join: the event stream enriched against the static
+    * customer dimension (per micro-batch broadcast hash join — the static
+    * side never becomes state), then aggregated per market segment. Full
+    * drain == the batch join+aggregate, which is the oracle. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.schema.Schemas.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = streamEvents(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).cast("float").as("sum_value"))
+    drain(spark, joined, OutputMode.Complete())
+      .orderBy(col("c_mktsegment"))
+  }
+
   // public: Catalyst's generated (de)serializers must access these
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class Session(user_id: Long, n_sessions: Int)
