@@ -860,10 +860,15 @@ object SparkEntry {
        |), grams AS (
        |  SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
        |  FROM ftoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+       |), gh AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h1,
+       |    CAST('0x' || substr(md5(g || ':h2'), 1, 15) AS BIGINT) AS h2
+       |  FROM grams
        |), sig AS (
        |  SELECT doc_id, h.i AS hi,
-       |    min(CAST('0x' || substr(md5(g || ':' || h.i), 1, 15) AS BIGINT)) AS mh
-       |  FROM grams, LATERAL (SELECT unnest(generate_series(0, ${nh - 1})) AS i) h
+       |    min((h1 + h.i * (h2 >> 5)) & 1152921504606846975) AS mh
+       |  FROM gh, LATERAL (SELECT unnest(generate_series(0, ${nh - 1})) AS i) h
        |  GROUP BY doc_id, h.i
        |), bands AS (
        |  SELECT doc_id, hi // $rowsPerBand AS band,

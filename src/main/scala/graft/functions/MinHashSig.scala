@@ -1,0 +1,97 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Shared implementation: the full MinHash signature of one document's
+  * token array, computed in a single pass per row.
+  *
+  * For each word n-gram (tokens joined with a single space): h1 = 60-bit
+  * md5 hash of the gram, h2 = 60-bit md5 hash of gram+":h2", and the
+  * Kirsch–Mitzenmacher family h_i = (h1 + i·(h2 >> 5)) & (2^60−1) updates
+  * `numHashes` running minima. Identical arithmetic to the DuckDB oracle
+  * (md5 → first 15 hex chars → BIGINT), so signatures are hash-compare
+  * exact cross-engine.
+  */
+object MinHashImpl {
+  private val Mask = (1L << 60) - 1
+
+  def signature(toks: ArrayData, shingleSize: Int, numHashes: Int): ArrayData = {
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val m = toks.numElements()
+    if (m >= shingleSize) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= m - shingleSize) {
+        sb.setLength(0)
+        var j = 0
+        while (j < shingleSize) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+          j += 1
+        }
+        val gram = sb.toString
+        val h1 = SimHashImpl.hash60(gram.getBytes(StandardCharsets.UTF_8))
+        val h2 = SimHashImpl.hash60((gram + ":h2").getBytes(StandardCharsets.UTF_8))
+        val step = h2 >> 5
+        var t = 0
+        while (t < numHashes) {
+          val v = (h1 + t * step) & Mask
+          if (v < out(t)) out(t) = v
+          t += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Custom Catalyst expression: `minhash_sig(array<string>, n, k) ->
+  * array<bigint>` — the whole MinHash signature as ONE narrow Project
+  * over the scan.
+  *
+  * This is the 100 TB shape for signature building: embarrassingly
+  * parallel per document, ZERO shuffle (the earlier explode → window →
+  * aggregate formulation shuffled every token twice and paid multi-stage
+  * scheduling that dominated the pipeline at bench scale). The band join
+  * downstream shuffles only (doc_id, 32 longs).
+  */
+case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashImpl.signature(input.asInstanceOf[ArrayData], shingleSize, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashImpl.signature($c, $shingleSize, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Register `minhash_sig(toks, n, k)` (n, k integer literals) in the
+    * session's function registry (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinHashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]),
+      "scala_udf")
+}

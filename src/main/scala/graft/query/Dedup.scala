@@ -76,30 +76,22 @@ object Dedup {
 
   /** MinHash signature index: one row per doc with `numHashes` min-hashes.
     *
-    * Computed without materializing shingle arrays per doc: posexplode the
-    * tokens, form each n-gram as (tok, lead(tok,1), …, lead(tok,n-1)) via
-    * a window over document position, join the tuple into the shingle
-    * string once, and take the `numHashes` min aggregates of the salted
-    * [[hash60]] — explode, window, hash, and the min aggregates are all
-    * codegen'd with map-side partial aggregation. Earlier variants
-    * measured: `numHashes × array_min(transform(...))` (interpreted HOFs)
-    * ~20× slower. The hash is md5-derived (not xxhash64) so DuckDB
-    * replays the signature bit-identically — the MinHash/Jaccard pipeline
-    * is verified by the hash-compare oracle, not just specs. */
+    * ONE narrow Project over the scan: the custom codegen'd
+    * [[graft.functions.MinHashSig]] expression computes the full signature
+    * per document row (Kirsch–Mitzenmacher double hashing over the 60-bit
+    * md5 [[hash60]]: h_i = (h1 + i·(h2 >> 5)) & (2^60−1)) — zero shuffle,
+    * embarrassingly parallel at 100 TB. Earlier formulations measured at
+    * bench scale: explode → window(lead) → 32 min aggregates shuffled
+    * every token twice and its multi-stage scheduling dominated the whole
+    * pipeline; `numHashes × array_min(transform(...))` (interpreted HOFs)
+    * was ~20× slower still. The hash is md5-derived (not xxhash64) so
+    * DuckDB replays the signature bit-identically — the MinHash/Jaccard
+    * pipeline is verified by the hash-compare oracle, not just specs. */
   def minhashSignatures(docs: DataFrame, toksCol: String, idCol: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
-    val tok = docs.select(col(idCol),
-      posexplode(col(toksCol)).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val nexts = (1 until shingleSize).map(j => lead(col("tok"), j).over(w).as(s"t$j"))
-    val gram = tok.select(col(idCol) +: col("tok") +: nexts: _*)
-      .filter(if (shingleSize > 1) col(s"t${shingleSize - 1}").isNotNull else lit(true))
-    val gramCols = col("tok") +: (1 until shingleSize).map(j => col(s"t$j"))
-    val gs = concat_ws(" ", gramCols: _*)
-    val mins = (0 until numHashes).map(i => min(hash60(gs, i)).as(s"h$i"))
-    gram.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    graft.functions.MinHashSig.register(docs.sparkSession)
+    docs.select(col(idCol),
+      expr(s"minhash_sig($toksCol, $shingleSize, $numHashes)").as("sig"))
   }
 
   /** MinHash + LSH banding near-dup join (the scale path):

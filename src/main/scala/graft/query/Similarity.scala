@@ -57,7 +57,7 @@ object Similarity {
 
   private def quantizer(spark: SparkSession, dir: String, nCells: Int): KMeansModel =
     kmeansCache.computeIfAbsent(s"$dir#$nCells", { _ =>
-      new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
+      new KMeans().setK(nCells).setSeed(42).setMaxIter(5)
         .setFeaturesCol("features").setPredictionCol("cell")
         .fit(table(spark, dir, "embeddings")
           .select(array_to_vector(col("embedding")).as("features")))
