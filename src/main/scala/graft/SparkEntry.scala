@@ -111,6 +111,9 @@ object SparkEntry {
     "unpivot_metrics"     -> Relational2.unpivotMetrics _,
     "sample_hash_det"     -> Relational2.sampleHashDet _,
     "o3_limit_offset"     -> Relational2.o3LimitOffset _,
+    "ts_gapfill"          -> Relational2.tsGapfill _,
+    "part_pruning"        -> Relational2.partPruning _,
+    "lateral_explode"     -> Relational2.lateralExplode _,
     // §2.6/2.7 ML operators (no SQL oracle — RF scoring; covered by
     // determinism/invariant specs, driver records rows-only checks)
     "m6_growing_window_importances" ->
@@ -757,6 +760,37 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20 OFFSET 10""".stripMargin,
+    "ts_gapfill" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, value FROM events
+        |), hourly AS (
+        |  SELECT h, event_type, count(*) AS n,
+        |    CAST(sum(value) AS REAL) AS sum_value
+        |  FROM ev GROUP BY h, event_type
+        |), grid AS (
+        |  SELECT g.h, t.event_type
+        |  FROM (SELECT unnest(generate_series(
+        |      (SELECT min(h) FROM ev), (SELECT max(h) FROM ev),
+        |      INTERVAL 1 HOUR)) AS h) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+        |)
+        |SELECT grid.h, grid.event_type,
+        |  coalesce(hourly.n, 0) AS n,
+        |  coalesce(hourly.sum_value, CAST(0 AS REAL)) AS sum_value
+        |FROM grid LEFT JOIN hourly
+        |  ON grid.h = hourly.h AND grid.event_type = hourly.event_type
+        |ORDER BY grid.h, grid.event_type""".stripMargin,
+    "part_pruning" ->
+      """SELECT user_id, count(*) AS n_clicks,
+        |  CAST(sum(value) AS REAL) AS sum_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "lateral_explode" ->
+      """SELECT doc_id, CAST(ii.i - 1 AS INT) AS pos, d.toks[ii.i] AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents WHERE doc_id < 50) d,
+        |  LATERAL (SELECT unnest(generate_series(1, len(d.toks))) AS i) ii
+        |ORDER BY doc_id, pos""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH planes AS (
         |  SELECT pp.p AS p,

@@ -249,4 +249,64 @@ object Relational2 {
       .offset(10)
       .limit(20)
       .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Time-series gap fill: a dense hourly grid per event_type (cross join
+    * of keys × sequence(min,max,1h)) left-joined against the hourly
+    * aggregate, zero-filled. The grid side is tiny (keys × hours) and
+    * broadcasts; the fact side aggregates BEFORE the join, so nothing
+    * big ever shuffles twice. */
+  def tsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+        col("value"))
+    val hourly = ev.groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("float").as("sum_value"))
+    val bounds = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val grid = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    grid.join(hourly, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0f)).as("sum_value"))
+      .orderBy(col("h"), col("event_type"))
+  }
+
+  /** Partitioned sink + partition-pruned scan: write events partitioned by
+    * event_type, read back with a partition predicate — the scan must
+    * touch ONE directory (PartitionFilters, audited in Relational2Spec).
+    * This is the layout/pruning contract a 100 TB table lives by. */
+  def partPruning(spark: SparkSession, dir: String): DataFrame = {
+    partitionedEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("value")).cast("float").as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  // one partitioned copy of events per (jvm, sf dir) — the "table layout"
+  private val partDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[query] def partitionedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val out = partDirs.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("events_by_type").toString
+      graft.schema.Schemas.events(spark, dir)
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      tmp
+    })
+    spark.read.parquet(out)
+  }
+
+  /** Lateral explode with ordinality: posexplode of the token array —
+    * the flatten side of the corpus pipelines (doc → token rows), with
+    * the position preserved. */
+  def lateralExplode(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .orderBy(col("doc_id"), col("pos"))
 }

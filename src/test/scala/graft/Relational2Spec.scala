@@ -84,6 +84,27 @@ class Relational2Spec extends SparkSpec {
     assert(rows.length == groups.length * 3)
   }
 
+  test("part_pruning plan: partition predicate prunes to one directory") {
+    val df = Relational2.partPruning(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters") &&
+      p.contains("event_type"), p.linesIterator.filter(_.contains("Partition"))
+        .mkString("\n"))
+    // partition column predicate must NOT appear as a data filter
+    val scanned = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanned.contains("PartitionFilters"), scanned)
+  }
+
+  test("ts_gapfill: dense grid — every (hour, type) cell present, gaps zero-filled") {
+    val rows = Relational2.tsGapfill(spark, sf).collect()
+    val hours = rows.map(_.getTimestamp(0)).distinct
+    val types = rows.map(_.getString(1)).distinct
+    assert(rows.length == hours.length * types.length)
+    val span = (hours.map(_.getTime).max - hours.map(_.getTime).min) / 3600000L + 1
+    assert(hours.length == span, s"grid not dense: ${hours.length} vs $span")
+    assert(rows.forall(!_.isNullAt(2)))
+  }
+
   test("subq_correlated: scalar subquery equals groupBy-max; EXISTS equals semi-join") {
     val got = Relational2.subqCorrelated(spark, sf)
     // Catalyst must rewrite to joins — no per-row execution operators
