@@ -114,6 +114,8 @@ object SparkEntry {
     "ts_gapfill"          -> Relational2.tsGapfill _,
     "part_pruning"        -> Relational2.partPruning _,
     "lateral_explode"     -> Relational2.lateralExplode _,
+    "agg_bitwise"         -> Relational2.aggBitwise _,
+    "f_try_arith"         -> ScalarFunctions.fTryArith _,
     // §2.6/2.7 ML operators (no SQL oracle — RF scoring; covered by
     // determinism/invariant specs, driver records rows-only checks)
     "m6_growing_window_importances" ->
@@ -760,6 +762,21 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20 OFFSET 10""".stripMargin,
+    "agg_bitwise" ->
+      """SELECT event_type,
+        |  bit_and(user_id) AS uid_and,
+        |  bit_or(user_id) AS uid_or,
+        |  bit_xor(user_id) AS uid_xor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f_try_arith" ->
+      """SELECT event_id,
+        |  value / nullif(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT),
+        |    0) AS value_per_k,
+        |  1.0 / nullif(value - value, 0.0) AS div_zero_null,
+        |  event_id + 1 AS id_plus_1,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)
+        |    * CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_sq
+        |FROM events ORDER BY event_id""".stripMargin,
     "ts_gapfill" ->
       """WITH ev AS (
         |  SELECT date_trunc('hour', ts) AS h, event_type, value FROM events

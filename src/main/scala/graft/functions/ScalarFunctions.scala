@@ -130,4 +130,19 @@ object ScalarFunctions {
         element_at(array_sort(col("embedding")), 1).as("min_component"),
         element_at(array_sort(col("embedding")), -1).as("max_component"))
       .orderBy(col("vec_id"))
+
+  /** ANSI-safe try_* arithmetic: Spark 4 runs ANSI mode (overflow and
+    * division-by-zero THROW), so the engine's null-on-error tier is the
+    * try_ family — the cross-engine equivalent of dividing by
+    * nullif(x, 0). k comes from the props JSON and is frequently 0. */
+  def fTryArith(spark: SparkSession, dir: String): DataFrame =
+    graft.schema.Schemas.events(spark, dir)
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      .select(col("event_id"),
+        try_divide(col("value"), col("k")).as("value_per_k"),
+        try_divide(lit(1.0), col("value") - col("value")).as("div_zero_null"),
+        try_add(col("event_id"), lit(1L)).as("id_plus_1"),
+        try_multiply(col("k"), col("k")).as("k_sq"))
+      .orderBy(col("event_id"))
 }

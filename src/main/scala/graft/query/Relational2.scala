@@ -300,6 +300,17 @@ object Relational2 {
     spark.read.parquet(out)
   }
 
+  /** Bitwise aggregates: AND/OR/XOR folds over the group — exact integer
+    * reductions, commutative/associative ⇒ partial aggregation applies. */
+  def aggBitwise(spark: SparkSession, dir: String): DataFrame =
+    graft.schema.Schemas.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        bit_and(col("user_id")).as("uid_and"),
+        bit_or(col("user_id")).as("uid_or"),
+        bit_xor(col("user_id")).as("uid_xor"))
+      .orderBy(col("event_type"))
+
   /** Lateral explode with ordinality: posexplode of the token array —
     * the flatten side of the corpus pipelines (doc → token rows), with
     * the position preserved. */
