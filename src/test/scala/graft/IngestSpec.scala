@@ -111,6 +111,47 @@ class IngestSpec extends SparkSpec {
     assert(res.batches.select("event_id").distinct().count() == 1000L)
   }
 
+  test("S9 idempotent staging: replay after a lost checkpoint commit is a no-op") {
+    val topic = tmp("replay-topic")
+    val staging = tmp("replay-staging")
+    val ckpt = tmp("replay-ckpt")
+    val t = new FileJsonTransport(topic)
+    val ev = Schemas.events(spark, sf).select($"event_id", $"value")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, value DOUBLE")
+
+    t.publish(ev.filter($"event_id" < 300))
+    Batcher.streamBatches(spark, t, schema, staging, tmp("rout1"),
+      batchSize = 100, maxBatches = 100, checkpointDir = ckpt)
+    assert(spark.read.parquet(staging).count() == 300L)
+
+    // simulate the crash window the sink must tolerate: staging write
+    // committed, checkpoint commit lost -> the next run REPLAYS the last
+    // micro-batch. The batchId-keyed _SUCCESS-marked subdir makes the
+    // replay a no-op instead of an append.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val last = commits.last
+    // delete the checksum sidecar too — a stale .crc makes the commit-log
+    // rewrite fail as a spurious "concurrent query" error
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    assert(last.delete())
+
+    t.publish(ev.filter($"event_id" >= 300 && $"event_id" < 400))
+    Batcher.streamBatches(spark, t, schema, staging, tmp("rout2"),
+      batchSize = 100, maxBatches = 100, checkpointDir = ckpt)
+    val staged = spark.read.parquet(staging)
+    assert(staged.count() == 400L,
+      s"replayed micro-batch duplicated rows: ${staged.count()}")
+    assert(staged.select("event_id").distinct().count() == 400L)
+    // seq space is exactly 0..399 with no collisions from the replay
+    assert(staged.select("seq").distinct().count() == 400L)
+    assert(staged.agg(org.apache.spark.sql.functions.max($"seq"))
+      .head().getLong(0) == 399L)
+  }
+
   test("S6 checkpoint = consumer-group offsets: restart consumes only new data") {
     val topic = tmp("resume-topic")
     val staging = tmp("resume-staging")
