@@ -134,6 +134,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.dedupSimhash(s, d)),
     "dedup_ngram_jaccard"    ->
       ((s: SparkSession, d: String) => Dedup.dedupNgramJaccard(s, d)),
+    "dedup_groups"           ->
+      ((s: SparkSession, d: String) => Dedup.dedupGroups(s, d)),
     "dedup_embedding_cosine" ->
       ((s: SparkSession, d: String) => Dedup.dedupEmbeddingCosine(s, d)),
     // north-star: similarity search
@@ -884,19 +886,21 @@ object SparkEntry {
       threshold = "0.5"),
     "dedup_ngram_jaccard" -> minhashOracleSql(numBands = 16, rowsPerBand = 2,
       threshold = "0.3"),
+    "dedup_groups" -> dedupGroupsOracleSql,
   )
 
-  /** DuckDB replay of [[graft.query.Dedup.dedupMinhashLsh]] (3-gram
-    * shingles, numBands×rowsPerBand md5-60-bit minhashes): same planted
-    * near-dups, same normalization, same salted hash60, band buckets by
-    * signature-slice equality, exact Jaccard verify ≥ threshold. Bucket
-    * values differ from Spark's (xxhash64 of the slice there, the raw
-    * joined slice here) but bucket EQUALITY is the same relation, which is
-    * all the candidate join observes. */
-  private def minhashOracleSql(numBands: Int, rowsPerBand: Int,
+  /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]
+    * (3-gram shingles, numBands×rowsPerBand md5-60-bit double-hashed
+    * minhashes) up to a `pairs(doc_a, doc_b, jaccard)` relation: same
+    * planted near-dups, same normalization, same Kirsch–Mitzenmacher
+    * family, band buckets by signature-slice equality, exact Jaccard
+    * verify ≥ threshold. Bucket values differ from Spark's (xxhash64 of
+    * the slice there, the raw joined slice here) but bucket EQUALITY is
+    * the same relation, which is all the candidate join observes. */
+  private def minhashPairsCtes(numBands: Int, rowsPerBand: Int,
       threshold: String): String = {
     val nh = numBands * rowsPerBand
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000 AS doc_id,
@@ -931,15 +935,40 @@ object SparkEntry {
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |), sh AS (
        |  SELECT doc_id, list(g) AS sh FROM grams GROUP BY doc_id
-       |)
-       |SELECT doc_a, doc_b,
-       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |    / len(list_distinct(sa.sh || sb.sh)) AS jaccard
-       |FROM cand
-       |JOIN sh sa ON sa.doc_id = cand.doc_a
-       |JOIN sh sb ON sb.doc_id = cand.doc_b
-       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |    / len(list_distinct(sa.sh || sb.sh)) >= $threshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |), pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = cand.doc_a
+       |  JOIN sh sb ON sb.doc_id = cand.doc_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / len(list_distinct(sa.sh || sb.sh)) >= $threshold
+       |)""".stripMargin
   }
+
+  private def minhashOracleSql(numBands: Int, rowsPerBand: Int,
+      threshold: String): String =
+    s"""WITH ${minhashPairsCtes(numBands, rowsPerBand, threshold)}
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components over the near-dup pair graph via a recursive
+    * CTE: reachability closure, then min reachable id per node — the
+    * declarative twin of Dedup.dedupGroups' min-label propagation. */
+  private def dedupGroupsOracleSql: String =
+    s"""WITH RECURSIVE ${minhashPairsCtes(8, 4, "0.5")},
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT a FROM edges
+       |), reach(a, b) AS (
+       |  SELECT a, a FROM nodes
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |)
+       |SELECT a AS doc_id, min(b) AS group_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 }

@@ -190,6 +190,55 @@ object Dedup {
     dedupMinhashLsh(spark, dir, shingleSize, numBands = 16, rowsPerBand = 2,
       jaccardThreshold = threshold)
 
+  /** Duplicate-group assignment: connected components over the near-dup
+    * pair graph, labeling every involved doc with the smallest doc_id
+    * reachable from it (the canonical representative). This is the step
+    * that turns pairwise near-dup detection into an actual dedup decision
+    * (keep one doc per group).
+    *
+    * Distributed min-label propagation: labels start as doc_id; each
+    * round every node takes the min of its label and its neighbors'
+    * labels, until a fixpoint (driver checks a changed-count — one long,
+    * not rows). Converges in O(diameter) rounds; at 100 TB this is the
+    * standard iterative-join connected components (upgrade path:
+    * alternating large-star/small-star for O(log n) rounds on adversarial
+    * graphs — near-dup clusters are tiny in practice, so plain
+    * propagation converges in 2–3 rounds). */
+  def dedupGroups(spark: SparkSession, dir: String,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    // symmetric edge list, persisted: probed every round
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val next = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("label", "nbr_label"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("nbr_label")).as("min_nbr"))
+        .join(labels, Seq("doc_id"))
+        .select(col("doc_id"),
+          least(col("label"), col("min_nbr")).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") < col("old")).count()
+      labels.unpersist(false)
+      labels = next
+      iter += 1
+    }
+    val out = labels.select(col("doc_id"), col("label").as("group_id"))
+      .orderBy(col("doc_id"))
+    edges.unpersist(false)
+    out
+  }
+
   /** Embedding near-dup: cosine ≥ threshold via sign-random-projection LSH.
     * Bucket key = 8 sign bits of dot products with fixed pseudo-random
     * hyperplanes; exact cosine verified within buckets. Unit-norm

@@ -32,6 +32,23 @@ class NorthStarSpec extends SparkSpec {
     assert(pairs.length >= 10)
   }
 
+  test("dedup groups: valid connected components of the near-dup pair graph") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val groups = Dedup.dedupGroups(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // every edge endpoint labeled, both endpoints in the same group
+    pairs.foreach { case (a, b) =>
+      assert(groups(a) == groups(b), s"edge ($a,$b) split across groups")
+    }
+    // group id is the smallest member of its group
+    groups.groupBy(_._2).foreach { case (gid, members) =>
+      assert(members.keys.min == gid, s"group $gid min is ${members.keys.min}")
+    }
+    // exactly the docs that appear in some pair are labeled
+    assert(groups.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
   test("simhash: chunk-bucket candidate generation is lossless for hamming<=3") {
     SimHash60.register(spark)
     val docs = Dedup.withPlantedNearDups(
