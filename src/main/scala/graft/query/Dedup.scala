@@ -223,25 +223,31 @@ object Dedup {
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // round 0 seeds labels one propagation step ahead: min(self, direct
+    // neighbors) straight out of the first aggregate
+    var labels = edges
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(least(col("doc_a"), min(col("doc_b"))).as("label"))
       .persist()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
+      // ONE join per round: aggregate neighbor labels, fold in the old
+      // label, and carry a changed flag — the fixpoint check reuses the
+      // same materialization instead of a second join
       val next = edges
-        .join(labels.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("label", "nbr_label"), Seq("doc_b"))
+        .join(labels.select(col("doc_id").as("doc_b"),
+          col("label").as("nbr_label")), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("nbr_label")).as("min_nbr"))
         .join(labels, Seq("doc_id"))
         .select(col("doc_id"),
-          least(col("label"), col("min_nbr")).as("label"))
+          least(col("label"), col("min_nbr")).as("label"),
+          (col("min_nbr") < col("label")).as("chg"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") < col("old")).count()
+      changed = next.filter(col("chg")).count()
       labels.unpersist(false)
-      labels = next
+      labels = next.drop("chg")
       iter += 1
     }
     val out = labels.select(col("doc_id"), col("label").as("group_id"))

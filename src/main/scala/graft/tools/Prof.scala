@@ -47,6 +47,8 @@ object Prof {
     time("signatures persist")(sigP.count())
     time("full dedupMinhashLsh")(Dedup.dedupMinhashLsh(spark, dir).count())
     time("full again (warm)")(Dedup.dedupMinhashLsh(spark, dir).count())
+    time("dedup groups")(Dedup.dedupGroups(spark, dir).count())
+    time("dedup groups warm")(Dedup.dedupGroups(spark, dir).count())
     spark.stop()
   }
 }
