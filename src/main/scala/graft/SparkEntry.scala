@@ -148,6 +148,7 @@ object SparkEntry {
     "text_token_count"       -> TextAnalysis.textTokenCount _,
     "text_fingerprint"       -> TextAnalysis.textFingerprint _,
     "text_langid"            -> TextAnalysis.textLangId _,
+    "text_scrub"             -> TextAnalysis.textScrub _,
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
     // Structured Streaming (real streaming queries, AvailableNow drain —
@@ -887,6 +888,25 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> minhashOracleSql(numBands = 16, rowsPerBand = 2,
       threshold = "0.3"),
     "dedup_groups" -> dedupGroupsOracleSql,
+    "text_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com or https://ex.org/d/'
+        |        || CAST(doc_id AS VARCHAR)
+        |      ELSE text END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text2, 'https?://[^ ]+')) AS INT)
+        |    AS n_urls
+        |FROM base ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -107,12 +107,16 @@ object Dedup {
     val docs = withPlantedNearDups(table(spark, dir, "documents"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= shingleSize)
-    // materialize the signature index once: the self-join would otherwise
-    // re-evaluate the signature aggregation on BOTH branches (no
-    // cross-branch CSE in Catalyst). At scale this is the standard
-    // persisted minhash index (32 longs/doc), written once, probed often.
-    val sig = minhashSignatures(docs, "toks", "doc_id",
-      shingleSize, numBands * rowsPerBand).persist()
+    // the signature index is persisted ONCE per (dir, shingle size, width)
+    // and shared by every banding configuration probing it (minhash-LSH,
+    // n-gram Jaccard, dedup groups): the self-join would otherwise
+    // re-evaluate the signatures on BOTH branches (no cross-branch CSE in
+    // Catalyst). At scale this is the standard persisted minhash index
+    // (32 longs/doc), written once, probed often.
+    val sig = sigCache.computeIfAbsent(
+      s"$dir#$shingleSize#${numBands * rowsPerBand}",
+      _ => minhashSignatures(docs, "toks", "doc_id",
+        shingleSize, numBands * rowsPerBand).persist())
     // band keys carry ONLY (band, bucket, doc_id): the candidate self-join
     // and pair-distinct shuffle longs, never shingle arrays — at 100 TB the
     // shuffle payload is O(bands·docs·24 bytes), not O(corpus text)
@@ -204,6 +208,10 @@ object Dedup {
     * alternating large-star/small-star for O(log n) rounds on adversarial
     * graphs — near-dup clusters are tiny in practice, so plain
     * propagation converges in 2–3 rounds). */
+  // persisted minhash signature index per (dir, shingleSize, numHashes)
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   // near-dup pair index per sf dir — the persisted (distributed, ids-only)
   // pair list a real dedup deployment materializes once and clusters many
   // times (same pattern as ModelStore / the IVF quantizer cache). Rows

@@ -78,6 +78,28 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "mit"),
     "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"))
 
+  /** PII scrubbing: email/URL redaction with match counts — the standard
+    * pre-training privacy pass. Patterns stay in the RE2 ∩ java.util.regex
+    * common subset so any engine applies them identically. The corpus is
+    * synthetic (no natural PII), so deterministic contact strings are
+    * planted on every 5th doc to make the redaction non-degenerate. */
+  def textScrub(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ ]+"
+    val planted = when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or https://ex.org/d/"), col("doc_id").cast("string")))
+      .otherwise(col("text"))
+    table(spark, dir, "documents")
+      .withColumn("text2", planted)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text2"), email, "<EMAIL>"),
+          url, "<URL>").as("scrubbed"),
+        regexp_count(col("text2"), lit(email)).as("n_emails"),
+        regexp_count(col("text2"), lit(url)).as("n_urls"))
+      .orderBy(col("doc_id"))
+  }
+
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
     val toks = Dedup.tokens(col("text"))
     val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
