@@ -116,6 +116,9 @@ object SparkEntry {
     "lateral_explode"     -> Relational2.lateralExplode _,
     "agg_bitwise"         -> Relational2.aggBitwise _,
     "f_try_arith"         -> ScalarFunctions.fTryArith _,
+    "f_array_advanced"    -> ScalarFunctions.fArrayAdvanced _,
+    "f_ts_fns"            -> ScalarFunctions.fTsFns _,
+    "f_bit_fns"           -> ScalarFunctions.fBitFns _,
     // §2.6/2.7 ML operators (no SQL oracle — RF scoring; covered by
     // determinism/invariant specs, driver records rows-only checks)
     "m6_growing_window_importances" ->
@@ -765,6 +768,42 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20 OFFSET 10""".stripMargin,
+    "f_array_advanced" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS INT)
+        |    AS n_except,
+        |  CAST(list_position(a, 3) AS INT) AS pos_of_3,
+        |  CAST(len(list_filter(a, x -> x != 2)) AS INT) AS n_removed,
+        |  len(list_intersect(a, b)) > 0 AS overlaps,
+        |  CAST(len(a) + len(b) AS INT) AS n_flat,
+        |  CAST(3 AS INT) AS n_repeat,
+        |  CAST(len(list_distinct(list_concat(a, b))) AS INT)
+        |    AS n_union_distinct
+        |FROM (SELECT vec_id,
+        |    generate_series(1, CAST(vec_id % 5 + 3 AS INT)) AS a,
+        |    generate_series(2, CAST(vec_id % 7 + 2 AS INT)) AS b
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+    "f_ts_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS order_doy,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+        |  CAST(o_orderdate AS DATE) - 7 AS minus_7d,
+        |  epoch_ms(o_orderdate) // 1000 AS epoch_s,
+        |  make_date(CAST(year(o_orderdate) AS INT),
+        |    CAST(month(o_orderdate) AS INT), 1) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f_bit_fns" ->
+      """SELECT event_id,
+        |  user_id << 3 AS uid_shl3,
+        |  event_id >> 2 AS eid_shr2,
+        |  user_id & 255 AS uid_low8,
+        |  user_id | 256 AS uid_or,
+        |  xor(user_id, event_id) AS uid_xor_eid,
+        |  CAST(bit_count(user_id) AS INT) AS uid_bits
+        |FROM events ORDER BY event_id""".stripMargin,
     "agg_bitwise" ->
       """SELECT event_type,
         |  bit_and(user_id) AS uid_and,

@@ -131,6 +131,55 @@ object ScalarFunctions {
         element_at(array_sort(col("embedding")), -1).as("max_component"))
       .orderBy(col("vec_id"))
 
+  /** Advanced array functions over embeddings' label-derived int arrays:
+    * except/position/remove/overlap/flatten/repeat — the set-algebra and
+    * shape tier above f_array_fns. Arrays are projected to scalars before
+    * output (counts/positions) for clean parquet↔DuckDB comparison. */
+  def fArrayAdvanced(spark: SparkSession, dir: String): DataFrame = {
+    val a = sequence(lit(1), (col("vec_id") % 5 + 3).cast("int"))
+    val b = sequence(lit(2), (col("vec_id") % 7 + 2).cast("int"))
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        size(array_except(a, b)).as("n_except"),
+        array_position(a, 3).cast("int").as("pos_of_3"),
+        size(array_remove(a, 2)).as("n_removed"),
+        arrays_overlap(a, b).as("overlaps"),
+        size(flatten(array(a, b))).as("n_flat"),
+        size(array_repeat(col("vec_id"), 3)).as("n_repeat"),
+        size(array_distinct(concat(a, b))).as("n_union_distinct"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Timestamp/date extras over orders: quarter, day-of-year, last day of
+    * month, fixed-day arithmetic, epoch round-trip, make_date — the
+    * calendar tier above f_date_fns, restricted to integer-exact
+    * operations (no months_between float semantics). */
+  def fTsFns(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        quarter(col("o_orderdate")).as("order_quarter"),
+        dayofyear(col("o_orderdate")).as("order_doy"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus_30d"),
+        date_sub(col("o_orderdate").cast("date"), 7).as("minus_7d"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")),
+          lit(1)).as("month_start"))
+      .orderBy(col("o_orderkey"))
+
+  /** Bit-manipulation scalars: shifts, masks, xor, bit_count, two's-
+    * complement negation — exact integer ops in any engine. */
+  def fBitFns(spark: SparkSession, dir: String): DataFrame =
+    graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"),
+        shiftleft(col("user_id"), 3).as("uid_shl3"),
+        shiftright(col("event_id"), 2).as("eid_shr2"),
+        col("user_id").bitwiseAND(lit(0xFFL)).as("uid_low8"),
+        col("user_id").bitwiseOR(lit(0x100L)).as("uid_or"),
+        col("user_id").bitwiseXOR(col("event_id")).as("uid_xor_eid"),
+        bit_count(col("user_id")).as("uid_bits"))
+      .orderBy(col("event_id"))
+
   /** ANSI-safe try_* arithmetic: Spark 4 runs ANSI mode (overflow and
     * division-by-zero THROW), so the engine's null-on-error tier is the
     * try_ family — the cross-engine equivalent of dividing by
