@@ -84,6 +84,20 @@ class Relational2Spec extends SparkSpec {
     assert(rows.length == groups.length * 3)
   }
 
+  test("agg_cube plan: one Expand + partial aggregation before the exchange") {
+    val p = plan(Relational2.aggCube(spark, sf))
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_"), p) // map-side combine across grouping sets
+  }
+
+  test("ts_gapfill plan: grid side broadcasts; fact side aggregates pre-join") {
+    val df = Relational2.tsGapfill(spark, sf)
+    df.collect() // let AQE finalize
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin") ||
+      executed.contains("BroadcastNestedLoopJoin"), executed)
+  }
+
   test("part_pruning plan: partition predicate prunes to one directory") {
     val df = Relational2.partPruning(spark, sf)
     val p = plan(df)
