@@ -17,6 +17,38 @@ class PropertySpec extends SparkSpec {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("minhash_sig == independent builtin-composition path on arbitrary docs") {
+    // cross-implementation check: the custom single-pass expression must
+    // agree with explode → hash60 builtins → per-index min for every
+    // random token array (the two paths share only the md5 primitive)
+    graft.functions.MinHashSig.register(spark)
+    val tokGen = Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.oneOf("a", "b", "cc", "")))
+    val docs = samples(tokGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .filter(_._2.size >= 3)
+    val df = docs.toDF("doc_id", "toks")
+    val viaExpr = df
+      .select($"doc_id", expr("minhash_sig(toks, 3, 8)").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // independent path: shingle strings via HOF, salted-free double hash
+    val gramDf = df.select($"doc_id",
+      explode(graft.query.Dedup.shinglesFromTokens($"toks", 3)).as("g"))
+      .select($"doc_id",
+        graft.query.Dedup.hash60($"g").as("h1"),
+        graft.query.Dedup.hash60(concat($"g", lit(":h2"))).as("h2"))
+    val mask = (1L << 60) - 1
+    val viaBuiltins = gramDf.groupBy($"doc_id")
+      .agg(array((0 until 8).map(i =>
+        min(($"h1" + lit(i.toLong) * shiftright($"h2", 5))
+          .bitwiseAND(lit(mask)))): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr.keySet == viaBuiltins.keySet)
+    viaExpr.foreach { case (id, sig) =>
+      assert(sig == viaBuiltins(id), s"doc $id: $sig vs ${viaBuiltins(id)}")
+    }
+  }
+
   test("F1 totality: to_float_or_zero never throws and never nulls on arbitrary strings") {
     val raw = samples(Gen.oneOf(
       Gen.alphaNumStr, Gen.numStr, Gen.asciiPrintableStr,
