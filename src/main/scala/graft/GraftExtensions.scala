@@ -1,11 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{FloatVecDot, SimHash60}
+import graft.functions.{FloatVecDot, MinHashSig, SimHash60}
 
 /** Session extensions: registers the engine's custom Catalyst expressions
-  * (`simhash60`, `float_dot`) so SQL and `expr(...)` users get them in any
-  * session built with
+  * (`simhash60`, `float_dot`, `minhash_sig`) so SQL and `expr(...)` users
+  * get them in any session built with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or via
   * `spark.sql.extensions=graft.GraftExtensions`.
   *
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(SimHash60.descriptor)
     e.injectFunction(FloatVecDot.descriptor)
+    e.injectFunction(MinHashSig.descriptor)
   }
 }
 
@@ -26,5 +27,6 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     SimHash60.register(spark)
     FloatVecDot.register(spark)
+    MinHashSig.register(spark)
   }
 }

@@ -85,13 +85,23 @@ case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
 }
 
 object MinHashSig {
+  private def builder(exprs: Seq[Expression]): MinHashSig =
+    MinHashSig(exprs.head,
+      exprs(1).eval().asInstanceOf[Int],
+      exprs(2).eval().asInstanceOf[Int])
+
   /** Register `minhash_sig(toks, n, k)` (n, k integer literals) in the
     * session's function registry (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig",
-      exprs => MinHashSig(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]),
-      "scala_udf")
+      "minhash_sig", builder, "scala_udf")
+
+  /** FunctionDescription for SparkSessionExtensions.injectFunction. */
+  def descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSig].getCanonicalName, "minhash_sig"),
+      builder)
 }
