@@ -119,6 +119,10 @@ object SparkEntry {
     "f_array_advanced"    -> ScalarFunctions.fArrayAdvanced _,
     "f_ts_fns"            -> ScalarFunctions.fTsFns _,
     "f_bit_fns"           -> ScalarFunctions.fBitFns _,
+    "typed_pipeline"      -> Relational2.typedPipeline _,
+    // approximate sketches: rows-only by design (HLL/KLL internals are
+    // engine-specific); Relational2Spec bounds the error vs exact
+    "agg_approx_sketch"   -> Relational2.aggApproxSketch _,
     // §2.6/2.7 ML operators (no SQL oracle — RF scoring; covered by
     // determinism/invariant specs, driver records rows-only checks)
     "m6_growing_window_importances" ->
@@ -768,6 +772,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20 OFFSET 10""".stripMargin,
+    "typed_pipeline" ->
+      """SELECT event_type, count(*) AS n_high, max(event_id) AS max_event_id,
+        |  CAST(count(DISTINCT user_id) AS INT) AS n_users
+        |FROM events WHERE value > 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "f_array_advanced" ->
       """SELECT vec_id,
         |  CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS INT)

@@ -311,6 +311,50 @@ object Relational2 {
         bit_xor(col("user_id")).as("uid_xor"))
       .orderBy(col("event_type"))
 
+  /** Typed Dataset pipeline: case-class rows, typed filter, groupByKey +
+    * mapGroups — the Dataset[T] API surface over the same engine. NOTE on
+    * scale: mapGroups shuffles whole rows (no partial aggregation); it is
+    * the right tool for genuinely per-group imperative logic, while
+    * reducible aggregates should use groupBy(...).agg or a typed
+    * Aggregator (see [[graft.functions.WeightedAvg]]). Here each group
+    * carries only counters, and the oracle proves the typed path computes
+    * exactly what the relational one would. */
+  def typedPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[TypedEv]
+    ds.filter(_.value > 10.0)
+      .groupByKey(_.event_type)
+      .mapGroups { (k, it) =>
+        var n = 0L
+        var maxId = Long.MinValue
+        var users = Set.empty[Long]
+        it.foreach { e =>
+          n += 1
+          if (e.event_id > maxId) maxId = e.event_id
+          users += e.user_id
+        }
+        (k, n, maxId, users.size)
+      }
+      .toDF("event_type", "n_high", "max_event_id", "n_users")
+      .orderBy(col("event_type"))
+  }
+
+  /** Approximate sketches (rows-only check: HLL/KLL internals differ per
+    * engine by design): approx_count_distinct and approx_percentile next
+    * to their exact counterparts — Relational2Spec bounds the error. */
+  def aggApproxSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.schema.Schemas.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000))
+          .cast("float").as("approx_p50"),
+        expr("percentile(value, 0.5)").cast("float").as("exact_p50"))
+      .orderBy(col("event_type"))
+
   /** Lateral explode with ordinality: posexplode of the token array —
     * the flatten side of the corpus pipelines (doc → token rows), with
     * the position preserved. */
@@ -321,3 +365,8 @@ object Relational2 {
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .orderBy(col("doc_id"), col("pos"))
 }
+
+/** Typed row for [[Relational2.typedPipeline]] — top-level so Catalyst's
+  * generated (de)serializers can access it. */
+case class TypedEv(event_id: Long, user_id: Long, event_type: String,
+    value: Double)

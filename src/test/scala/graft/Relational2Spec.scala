@@ -119,6 +119,17 @@ class Relational2Spec extends SparkSpec {
     assert(rows.forall(!_.isNullAt(2)))
   }
 
+  test("agg_approx_sketch: sketches land within tolerance of exact answers") {
+    Relational2.aggApproxSketch(spark, sf).collect().foreach { r =>
+      val (approxU, exactU) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approxU - exactU) <= math.max(2L, exactU / 10),
+        s"approx_count_distinct $approxU vs $exactU")
+      val (approxP, exactP) = (r.getFloat(3), r.getFloat(4))
+      assert(math.abs(approxP - exactP) <= math.max(1f, exactP.abs * 0.1f),
+        s"approx_p50 $approxP vs $exactP")
+    }
+  }
+
   test("subq_correlated: scalar subquery equals groupBy-max; EXISTS equals semi-join") {
     val got = Relational2.subqCorrelated(spark, sf)
     // Catalyst must rewrite to joins — no per-row execution operators
