@@ -165,6 +165,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => StreamQueries.streamSessionCounts(s, d)),
     "stream_dedup_keys"      -> StreamQueries.streamDedupKeys _,
     "stream_static_join"     -> StreamQueries.streamStaticJoin _,
+    "stream_stream_join"     -> StreamQueries.streamStreamJoin _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -645,6 +646,12 @@ object SparkEntry {
     "stream_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,
         |  CAST(sum(value) AS REAL) AS sum_value

@@ -93,6 +93,32 @@ object StreamQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Stream-stream interval join: clicks joined to same-user purchases
+    * within 10 minutes, both sides watermarked so the join state store
+    * evicts rows older than the watermark horizon (without watermarks a
+    * stream-stream join buffers forever). Inner joins emit matches as
+    * both sides arrive, so the full drain equals the batch interval
+    * self-join — the oracle. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = streamEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = streamEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user_id
+             |AND purchase_ts >= click_ts
+             |AND purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+    drain(spark, joined, OutputMode.Append())
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   // public: Catalyst's generated (de)serializers must access these
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class Session(user_id: Long, n_sessions: Int)
