@@ -120,6 +120,7 @@ object SparkEntry {
     "f_ts_fns"            -> ScalarFunctions.fTsFns _,
     "f_bit_fns"           -> ScalarFunctions.fBitFns _,
     "typed_pipeline"      -> Relational2.typedPipeline _,
+    "window_range_frame"  -> Relational2.windowRangeFrame _,
     // approximate sketches: rows-only by design (HLL/KLL internals are
     // engine-specific); Relational2Spec bounds the error vs exact
     "agg_approx_sketch"   -> Relational2.aggApproxSketch _,
@@ -784,6 +785,14 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS INT) AS n_users
         |FROM events WHERE value > 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "window_range_frame" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_trailing_10m,
+        |  CAST(sum(value) OVER w AS REAL) AS sum_trailing_10m
+        |FROM (SELECT *, epoch_ms(ts) // 1000 AS sec FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "f_array_advanced" ->
       """SELECT vec_id,
         |  CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS INT)

@@ -7,9 +7,13 @@ import graft.functions.SimHash60
 import graft.schema.Schemas.table
 
 /** Deduplication operators for large-scale training-data pipelines, over
-  * the `documents` table. Exact dedup is oracle-backed; the near-dup
-  * family (MinHash+LSH banding, SimHash, n-gram Jaccard, embedding cosine)
-  * is approximate-by-construction and covered by planted-duplicate specs.
+  * the `documents` table: exact dedup, the near-dup family (MinHash+LSH
+  * banding, SimHash, n-gram Jaccard, embedding cosine), and duplicate-
+  * group clustering. EVERY operator here is DuckDB-oracle hash-exact:
+  * all hashing is md5-derived ([[hash60]]) so the oracle replays
+  * signatures, buckets, and verifies bit-identically — approximate in
+  * recall by construction, but deterministic and cross-engine exact in
+  * output.
   *
   * Scale design (the 100 TB rule): NO operator here compares all pairs.
   * Every near-dup path is generate-candidates-by-key (shuffle on a bucket

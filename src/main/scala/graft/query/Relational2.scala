@@ -300,6 +300,21 @@ object Relational2 {
     spark.read.parquet(out)
   }
 
+  /** RANGE window frame over event-time seconds: trailing-10-minute
+    * count/sum per user. RANGE frames include ALL peers within the value
+    * range (unlike ROWS) — the sliding-window-by-time idiom without a
+    * groupBy-window reshuffle per slide. */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-600, Window.currentRow)
+    graft.schema.Schemas.events(spark, dir)
+      .withColumn("sec", col("ts").cast("long"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_10m"),
+        sum(col("value")).over(w).cast("float").as("sum_trailing_10m"))
+      .orderBy(col("event_id"))
+  }
+
   /** Bitwise aggregates: AND/OR/XOR folds over the group — exact integer
     * reductions, commutative/associative ⇒ partial aggregation applies. */
   def aggBitwise(spark: SparkSession, dir: String): DataFrame =
