@@ -29,6 +29,8 @@ object Bench {
     } catch { case _: Throwable => }
     try graft.streaming.StreamQueries.streamWindowAgg(spark, warmDir).count()
     catch { case _: Throwable => }
+    try graft.streaming.StreamQueries.streamStreamJoin(spark, warmDir).count()
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
