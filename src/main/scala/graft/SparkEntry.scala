@@ -121,6 +121,8 @@ object SparkEntry {
     "f_bit_fns"           -> ScalarFunctions.fBitFns _,
     "typed_pipeline"      -> Relational2.typedPipeline _,
     "window_range_frame"  -> Relational2.windowRangeFrame _,
+    "join_skew_salted"    ->
+      ((s: SparkSession, d: String) => Relational2.joinSkewSalted(s, d)),
     // approximate sketches: rows-only by design (HLL/KLL internals are
     // engine-specific); Relational2Spec bounds the error vs exact
     "agg_approx_sketch"   -> Relational2.aggApproxSketch _,
@@ -785,6 +787,14 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS INT) AS n_users
         |FROM events WHERE value > 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(value) AS REAL) AS sum_value
+        |FROM (SELECT CASE WHEN event_id % 10 < 7 THEN 0
+        |        ELSE user_id END AS k, value
+        |      FROM events) f
+        |JOIN customer ON f.k = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "window_range_frame" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_trailing_10m,

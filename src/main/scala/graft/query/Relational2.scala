@@ -300,6 +300,33 @@ object Relational2 {
     spark.read.parquet(out)
   }
 
+  /** Salted skew join: a fact stream where ~70% of rows hit one hot key
+    * would put one shuffle partition on a single straggler task. Salting
+    * splits the hot key across `salts` partitions: the fact side gets a
+    * deterministic salt (event_id % salts), the dim side is replicated
+    * ×salts — the join key becomes (k, salt), spreading the hot key
+    * evenly. Same result as the unsalted join (the oracle), but no
+    * straggler at 100 TB. (AQE skew-join handles moderate skew
+    * automatically; explicit salting is the contract for extreme,
+    * known-hot keys.) */
+  def joinSkewSalted(spark: SparkSession, dir: String,
+      salts: Int = 8): DataFrame = {
+    val fact = graft.schema.Schemas.events(spark, dir)
+      .select(
+        when(col("event_id") % 10 < 7, lit(0L))
+          .otherwise(col("user_id")).as("k"),
+        (col("event_id") % salts).as("salt"),
+        col("value"))
+    val dim = table(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      .crossJoin(spark.range(salts).select(col("id").as("salt")))
+    fact.join(dim, Seq("k", "salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("float").as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** RANGE window frame over event-time seconds: trailing-10-minute
     * count/sum per user. RANGE frames include ALL peers within the value
     * range (unlike ROWS) — the sliding-window-by-time idiom without a
