@@ -100,6 +100,19 @@ object StreamQueries {
     * both sides arrive, so the full drain equals the batch interval
     * self-join — the oracle. */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    // State-store partition count is fixed at query start from
+    // spark.sql.shuffle.partitions. A stream-stream join keeps 4 state
+    // stores per partition; size them to the join keyspace (~150 users),
+    // not the CPU-count default — with tiny per-key state, partition
+    // count IS the dominant commit cost. At production keyspaces this
+    // knob scales up with throughput, not down.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try streamStreamJoinInner(spark, dir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def streamStreamJoinInner(spark: SparkSession, dir: String): DataFrame = {
     val clicks = streamEvents(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
