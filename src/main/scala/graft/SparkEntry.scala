@@ -159,6 +159,8 @@ object SparkEntry {
     "text_fingerprint"       -> TextAnalysis.textFingerprint _,
     "text_langid"            -> TextAnalysis.textLangId _,
     "text_scrub"             -> TextAnalysis.textScrub _,
+    "text_tfidf"             -> TextAnalysis.textTfidf _,
+    "agg_grouping_sets"      -> Relational2.aggGroupingSets _,
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
     // Structured Streaming (real streaming queries, AvailableNow drain —
@@ -787,6 +789,28 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS INT) AS n_users
         |FROM events WHERE value > 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+        |), dfreq AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        |), nn AS (SELECT count(*) AS n FROM documents)
+        |SELECT t.doc_id, t.tok, t.tf, d.df,
+        |  CAST(t.tf * (ln((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS REAL)
+        |    AS tfidf
+        |FROM tf t JOIN dfreq d USING (tok) CROSS JOIN nn
+        |WHERE t.doc_id < 30
+        |ORDER BY doc_id, tok""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(l_extendedprice) AS REAL) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "join_skew_salted" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(value) AS REAL) AS sum_value

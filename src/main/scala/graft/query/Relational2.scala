@@ -300,6 +300,18 @@ object Relational2 {
     spark.read.parquet(out)
   }
 
+  /** Explicit GROUPING SETS (neither rollup nor cube): two independent
+    * one-dimensional aggregates in one pass over the fact table. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(l_extendedprice) AS FLOAT) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** Salted skew join: a fact stream where ~70% of rows hit one hot key
     * would put one shuffle partition on a single straggler task. Salting
     * splits the hot key across `salts` partitions: the fact side gets a

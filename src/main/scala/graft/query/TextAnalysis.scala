@@ -100,6 +100,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF term weighting: term frequency per (doc, term), document
+    * frequency per term over the WHOLE corpus, idf = ln((N+1)/(df+1))+1
+    * (smoothed). Two aggregations + a broadcast of the 1-row corpus count
+    * — no driver-side loop. Output restricted to doc_id < 30 for a
+    * bounded dump; the df/idf statistics still use every document. ln is
+    * the one non-IEEE-exact op here: both engines compute it on identical
+    * doubles and the REAL cast absorbs last-ulp libm differences. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(Dedup.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        (col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0)))
+          + lit(1.0))).cast("float").as("tfidf"))
+      .orderBy(col("doc_id"), col("tok"))
+  }
+
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
     val toks = Dedup.tokens(col("text"))
     val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
