@@ -160,6 +160,8 @@ object SparkEntry {
     "text_langid"            -> TextAnalysis.textLangId _,
     "text_scrub"             -> TextAnalysis.textScrub _,
     "text_tfidf"             -> TextAnalysis.textTfidf _,
+    "text_ngram_counts"      ->
+      ((s: SparkSession, d: String) => TextAnalysis.textNgramCounts(s, d)),
     "agg_grouping_sets"      -> Relational2.aggGroupingSets _,
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
@@ -789,6 +791,18 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS INT) AS n_users
         |FROM events WHERE value > 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "text_ngram_counts" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT concat_ws(' ', t[i], t[i+1]) AS gram
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+        |  WHERE len(t) >= 2
+        |)
+        |SELECT gram, count(*) AS n FROM grams GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 50""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(

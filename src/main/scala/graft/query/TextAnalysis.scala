@@ -100,6 +100,17 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide n-gram statistics: top-50 word bigrams by frequency with
+    * a deterministic (count desc, gram) tiebreak — explode → count →
+    * TakeOrdered, all map-side-combinable; no global sort. */
+  def textNgramCounts(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(Dedup.shingles(col("text"), 2)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+
   /** TF-IDF term weighting: term frequency per (doc, term), document
     * frequency per term over the WHOLE corpus, idf = ln((N+1)/(df+1))+1
     * (smoothed). Two aggregations + a broadcast of the 1-row corpus count
