@@ -162,6 +162,8 @@ object SparkEntry {
     "text_tfidf"             -> TextAnalysis.textTfidf _,
     "text_ngram_counts"      ->
       ((s: SparkSession, d: String) => TextAnalysis.textNgramCounts(s, d)),
+    "text_bm25"              ->
+      ((s: SparkSession, d: String) => TextAnalysis.textBm25(s, d)),
     "agg_grouping_sets"      -> Relational2.aggGroupingSets _,
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
@@ -791,6 +793,28 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS INT) AS n_users
         |FROM events WHERE value > 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+        |), dfreq AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        |), nn AS (SELECT count(*) AS n FROM documents),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl)
+        |SELECT t.doc_id, t.tok, t.tf, d.df, l.dl,
+        |  CAST(ln((nn.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |    * t.tf * 2.2
+        |    / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / ad.avgdl)) AS REAL)
+        |    AS bm25
+        |FROM tf t JOIN dfreq d USING (tok) JOIN dl l USING (doc_id)
+        |CROSS JOIN nn CROSS JOIN ad
+        |WHERE t.doc_id < 20
+        |ORDER BY doc_id, tok""".stripMargin,
     "text_ngram_counts" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(

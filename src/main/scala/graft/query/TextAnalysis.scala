@@ -135,6 +135,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("tok"))
   }
 
+  /** Okapi BM25 term scoring (k1=1.2, b=0.75): the retrieval-grade
+    * refinement of TF-IDF with document-length normalization. All inputs
+    * (tf, df, dl, N) are exact integers, avgdl is one exact double
+    * division, so both engines evaluate the formula on identical doubles;
+    * the REAL cast absorbs last-ulp libm ln differences. */
+  def textBm25(spark: SparkSession, dir: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(Dedup.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val idf = log((col("n") - col("df") + lit(0.5))
+      / (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") + lit(k1) * (lit(1.0) - lit(b)
+      + lit(b) * col("dl") / col("avgdl"))
+    tf.join(dfreq, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("dl"),
+        (idf * col("tf") * lit(k1 + 1.0) / norm).cast("float").as("bm25"))
+      .orderBy(col("doc_id"), col("tok"))
+  }
+
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
     val toks = Dedup.tokens(col("text"))
     val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
