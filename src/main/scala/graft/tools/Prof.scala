@@ -49,6 +49,8 @@ object Prof {
     time("full again (warm)")(Dedup.dedupMinhashLsh(spark, dir).count())
     time("dedup groups")(Dedup.dedupGroups(spark, dir).count())
     time("dedup groups warm")(Dedup.dedupGroups(spark, dir).count())
+    time("ngram counts")(graft.query.TextAnalysis.textNgramCounts(spark, dir).count())
+    time("ngram counts warm")(graft.query.TextAnalysis.textNgramCounts(spark, dir).count())
     spark.stop()
   }
 }
