@@ -165,6 +165,9 @@ object SparkEntry {
     "text_bm25"              ->
       ((s: SparkSession, d: String) => TextAnalysis.textBm25(s, d)),
     "agg_grouping_sets"      -> Relational2.aggGroupingSets _,
+    "o4_sort_nulls"          -> Relational2.o4SortNulls _,
+    "t10_distinct"           -> Relational2.t10Distinct _,
+    "agg_having"             -> Relational2.aggHaving _,
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
     // Structured Streaming (real streaming queries, AvailableNow drain —
@@ -849,6 +852,20 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "o4_sort_nulls" ->
+      """SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio_n,
+        |  o_orderstatus
+        |FROM orders
+        |ORDER BY prio_n ASC NULLS FIRST, o_orderstatus DESC NULLS LAST,
+        |  o_orderkey
+        |LIMIT 200""".stripMargin,
+    "t10_distinct" ->
+      """SELECT DISTINCT lang, source FROM documents
+        |ORDER BY lang, source""".stripMargin,
+    "agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 3 ORDER BY o_custkey""".stripMargin,
     "join_skew_salted" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(value) AS REAL) AS sum_value

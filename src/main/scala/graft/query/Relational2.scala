@@ -300,6 +300,38 @@ object Relational2 {
     spark.read.parquet(out)
   }
 
+  /** Multi-key sort with explicit null ordering: NULLS FIRST on a nullable
+    * key ascending, NULLS LAST descending — the four null-placement
+    * combinations engines disagree on by default (Spark defaults nulls
+    * first on ASC; DuckDB nulls last), made explicit on both sides. */
+  def o4SortNulls(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio_n"),
+        col("o_orderstatus"))
+      .orderBy(col("prio_n").asc_nulls_first,
+        col("o_orderstatus").desc_nulls_last,
+        col("o_orderkey"))
+      .limit(200)
+
+  /** Plain DISTINCT projection — the de-dup operator in its simplest
+    * relational form (hash-partitioned, map-side partial). */
+  def t10Distinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("lang"), col("source"))
+      .distinct()
+      .orderBy(col("lang"), col("source"))
+
+  /** HAVING through the SQL entry point: post-aggregation predicate on an
+    * aggregate expression (Catalyst plans it as Filter over Aggregate). */
+  def aggHaving(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_custkey, count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 3 ORDER BY o_custkey""".stripMargin)
+  }
+
   /** Explicit GROUPING SETS (neither rollup nor cube): two independent
     * one-dimensional aggregates in one pass over the fact table. */
   def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
