@@ -168,6 +168,9 @@ object SparkEntry {
     "o4_sort_nulls"          -> Relational2.o4SortNulls _,
     "t10_distinct"           -> Relational2.t10Distinct _,
     "agg_having"             -> Relational2.aggHaving _,
+    "join_self_nextline"     -> Relational2.joinSelfNextline _,
+    "set_ops_union_by_name"  -> Relational2.setOpsUnionByName _,
+    "window_gaps_islands"    -> Relational2.windowGapsIslands _,
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
     // Structured Streaming (real streaming queries, AvailableNow drain —
@@ -852,6 +855,36 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "join_self_nextline" ->
+      """SELECT a.l_orderkey, a.l_linenumber, a.l_quantity,
+        |  b.l_quantity AS next_quantity
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey
+        |  AND b.l_linenumber = a.l_linenumber + 1
+        |ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin,
+    "set_ops_union_by_name" ->
+      """SELECT r_name AS name, 'region' AS kind,
+        |  r_regionkey AS region_key, CAST(NULL AS INT) AS nation_key
+        |FROM region
+        |UNION ALL
+        |SELECT n_name, 'nation', CAST(NULL AS INT), n_nationkey
+        |FROM nation
+        |ORDER BY kind, name""".stripMargin,
+    "window_gaps_islands" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |      - row_number() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY event_id) AS grp
+        |  FROM events
+        |), runs AS (
+        |  SELECT user_id, event_type, grp, count(*) AS run_len
+        |  FROM g GROUP BY user_id, event_type, grp
+        |)
+        |SELECT user_id, event_type, count(*) AS n_islands,
+        |  max(run_len) AS longest_run
+        |FROM runs GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "o4_sort_nulls" ->
       """SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio_n,
         |  o_orderstatus

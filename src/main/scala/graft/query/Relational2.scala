@@ -300,6 +300,57 @@ object Relational2 {
     spark.read.parquet(out)
   }
 
+  /** Self join on a derived key: each line item paired with the NEXT line
+    * of the same order (l_linenumber + 1) — the adjacency-self-join
+    * pattern. Same-table both sides ⇒ one shuffle on l_orderkey serves
+    * both (Catalyst reuses the exchange). */
+  def joinSelfNextline(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    li.join(
+        li.select(col("l_orderkey").as("r_orderkey"),
+          col("l_linenumber").as("r_linenumber"),
+          col("l_quantity").as("next_quantity")),
+        col("l_orderkey") === col("r_orderkey") &&
+          col("r_linenumber") === col("l_linenumber") + 1)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("next_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** unionByName with missing columns: position-independent union where
+    * each side lacks a column the other has (null-filled) — the
+    * schema-evolution-tolerant union. */
+  def setOpsUnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val a = table(spark, dir, "region")
+      .select(col("r_name").as("name"), lit("region").as("kind"),
+        col("r_regionkey").as("region_key"))
+    val b = table(spark, dir, "nation")
+      .select(col("n_name").as("name"), lit("nation").as("kind"),
+        col("n_nationkey").as("nation_key"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy(col("kind"), col("name"))
+  }
+
+  /** Gaps-and-islands: runs of consecutive event_ids with the same
+    * event_type per user, via the row_number-difference trick (two window
+    * passes over one shuffle, island id = rn_overall − rn_within_type).
+    * Output: per (user, type) island count and longest island. */
+  def windowGapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+    graft.schema.Schemas.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .withColumn("grp",
+        row_number().over(wAll) - row_number().over(wType))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_islands"), max(col("run_len")).as("longest_run"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Multi-key sort with explicit null ordering: NULLS FIRST on a nullable
     * key ascending, NULLS LAST descending — the four null-placement
     * combinations engines disagree on by default (Spark defaults nulls
