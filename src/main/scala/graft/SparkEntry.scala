@@ -169,6 +169,8 @@ object SparkEntry {
     "t10_distinct"           -> Relational2.t10Distinct _,
     "agg_having"             -> Relational2.aggHaving _,
     "join_self_nextline"     -> Relational2.joinSelfNextline _,
+    "f_url_fns"              -> ScalarFunctions.fUrlFns _,
+    "window_ratio_to_report" -> Relational2.windowRatioToReport _,
     "set_ops_union_by_name"  -> Relational2.setOpsUnionByName _,
     "window_gaps_islands"    -> Relational2.windowGapsIslands _,
     // north-star: multimodal plumbing
@@ -855,6 +857,22 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "f_url_fns" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://ex' || CAST(doc_id AS VARCHAR) || '.org/p/' || lang
+        |      || '?q=' || source AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "window_ratio_to_report" ->
+      """SELECT event_id, event_type,
+        |  CAST(value / CAST(CAST(sum(value) OVER
+        |    (PARTITION BY event_type) AS REAL) AS DOUBLE) AS REAL) AS share
+        |FROM events ORDER BY event_id""".stripMargin,
     "join_self_nextline" ->
       """SELECT a.l_orderkey, a.l_linenumber, a.l_quantity,
         |  b.l_quantity AS next_quantity

@@ -180,6 +180,20 @@ object ScalarFunctions {
         bit_count(col("user_id")).as("uid_bits"))
       .orderBy(col("event_id"))
 
+  /** URL parsing (parse_url HOST/PATH/QUERY) over deterministic synthetic
+    * URLs built from table columns. The oracle replicates the extraction
+    * with anchored regexes — exact for these well-formed URLs. */
+  def fUrlFns(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://ex"), col("doc_id").cast("string"),
+      lit(".org/p/"), col("lang"), lit("?q="), col("source"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"))
+      .orderBy(col("doc_id"))
+  }
+
   /** ANSI-safe try_* arithmetic: Spark 4 runs ANSI mode (overflow and
     * division-by-zero THROW), so the engine's null-on-error tier is the
     * try_ family — the cross-engine equivalent of dividing by

@@ -351,6 +351,20 @@ object Relational2 {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Ratio-to-report: each row's share of its partition total. The
+    * partition sum is a DOUBLE aggregate whose accumulation order differs
+    * per engine, so it is rounded through REAL on both sides BEFORE the
+    * division — the quotient of identical doubles is then bit-exact. */
+  def windowRatioToReport(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        (col("value") /
+          sum(col("value")).over(w).cast("float").cast("double"))
+          .cast("float").as("share"))
+      .orderBy(col("event_id"))
+  }
+
   /** Multi-key sort with explicit null ordering: NULLS FIRST on a nullable
     * key ascending, NULLS LAST descending — the four null-placement
     * combinations engines disagree on by default (Spark defaults nulls
