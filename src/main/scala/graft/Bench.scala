@@ -3,7 +3,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Clamp to the cores the JVM can actually use (availableProcessors is
+    // cgroup-aware on JDK 17): local[N] with N threads over fewer real
+    // cores oversubscribes CPU-bound stages (RF fits, hash verify tails)
+    // into context-switch thrash instead of throughput.
+    val requested = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cpus = math.max(1,
+      math.min(requested, Runtime.getRuntime.availableProcessors())).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,10 +42,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Values rounded to ms: the full-precision line for 119 queries ran
+    // ~4.2 KB and overflowed the driver's output-tail capture (round-2
+    // BENCH parsed:null) — rounding keeps the whole line inside it.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

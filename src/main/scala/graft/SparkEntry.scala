@@ -920,7 +920,7 @@ object SparkEntry {
     "join_skew_salted" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(value) AS REAL) AS sum_value
-        |FROM (SELECT CASE WHEN event_id % 10 < 7 THEN 0
+        |FROM (SELECT CASE WHEN event_id % 10 < 7 THEN 1
         |        ELSE user_id END AS k, value
         |      FROM events) f
         |JOIN customer ON f.k = c_custkey

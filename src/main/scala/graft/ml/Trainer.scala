@@ -75,7 +75,20 @@ object Trainer {
       batchSize: Int = BatchSize): PipelineModel = {
     require(version >= 1 && version <= MaxVersions, s"version $version")
     val window = raw.orderBy(col(orderCol)).limit(version * batchSize)
-    fit(prepare(window))
+    // Materialize the prepared window before fitting. Two reasons, both
+    // measured: (1) Pipeline.fit walks the input several times (Imputer
+    // mean pass, transform, RF's instance conversion) — uncached, every
+    // walk re-runs the upstream scan + JSON feature parse + global
+    // top-N; (2) orderBy().limit() emits a SINGLE partition, so the RF
+    // fit's per-iteration treeAggregate would run on one core.
+    // Re-spread over a FIXED handful of partitions sized to the window
+    // (task overhead swamps 30k-row stats aggregation beyond that).
+    // Constant, not cores-derived: RF bagging is seeded per partition
+    // index, so the partition count is part of the model's determinism
+    // contract across environments.
+    val prep = prepare(window).repartition(4).persist()
+    prep.count()
+    try fit(prep) finally { prep.unpersist(false); () }
   }
 
   /** The v-th training window itself (what [[fitVersion]] trains on), for

@@ -118,7 +118,7 @@ object Dedup {
     // Catalyst). At scale this is the standard persisted minhash index
     // (32 longs/doc), written once, probed often.
     val sig = sigCache.computeIfAbsent(
-      s"$dir#$shingleSize#${numBands * rowsPerBand}",
+      s"${sessKey(spark)}#$dir#$shingleSize#${numBands * rowsPerBand}",
       _ => minhashSignatures(docs, "toks", "doc_id",
         shingleSize, numBands * rowsPerBand).persist())
     // band keys carry ONLY (band, bucket, doc_id): the candidate self-join
@@ -212,20 +212,39 @@ object Dedup {
     * alternating large-star/small-star for O(log n) rounds on adversarial
     * graphs — near-dup clusters are tiny in practice, so plain
     * propagation converges in 2–3 rounds). */
-  // persisted minhash signature index per (dir, shingleSize, numHashes)
+  // persisted minhash signature index per (session, dir, shingleSize,
+  // numHashes). Keyed by session identity: a persisted DataFrame is bound
+  // to the SparkSession that created it, so a cache hit across sessions
+  // (e.g. after a session restart in the same JVM) would hand back a plan
+  // from a stopped session. clearCaches() unpersists everything.
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  // near-dup pair index per sf dir — the persisted (distributed, ids-only)
-  // pair list a real dedup deployment materializes once and clusters many
-  // times (same pattern as ModelStore / the IVF quantizer cache). Rows
-  // stay in executors; the corpus never re-hashes per clustering run.
+  // near-dup pair index per (session, sf dir) — the persisted
+  // (distributed, ids-only) pair list a real dedup deployment materializes
+  // once and clusters many times (same pattern as ModelStore / the IVF
+  // quantizer cache). Rows stay in executors; the corpus never re-hashes
+  // per clustering run.
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Session-identity prefix for the index caches. */
+  private def sessKey(spark: SparkSession): String =
+    System.identityHashCode(spark).toHexString
+
+  /** Unpersist and drop every cached index (both caches, all sessions).
+    * Call when a session is being stopped or tests want a cold start. */
+  def clearCaches(): Unit = {
+    import scala.jdk.CollectionConverters._
+    (sigCache.values.asScala ++ pairCache.values.asScala).foreach { df =>
+      try df.unpersist(false) catch { case _: Throwable => () }
+    }
+    sigCache.clear(); pairCache.clear()
+  }
+
   def dedupGroups(spark: SparkSession, dir: String,
       maxIters: Int = 20): DataFrame = {
-    val pairs = pairCache.computeIfAbsent(dir, { _ =>
+    val pairs = pairCache.computeIfAbsent(s"${sessKey(spark)}#$dir", { _ =>
       val p = dedupMinhashLsh(spark, dir)
         .select(col("doc_a"), col("doc_b")).persist()
       p.count() // materialize the index once

@@ -420,9 +420,12 @@ object Relational2 {
     * known-hot keys.) */
   def joinSkewSalted(spark: SparkSession, dir: String,
       salts: Int = 8): DataFrame = {
+    // hot key = c_custkey 1 (a REAL dim key — custkeys start at 1, so a
+    // sentinel 0 would anti-join the hot rows away and leave the salted
+    // path unexercised): ~70% of fact rows land on it
     val fact = graft.schema.Schemas.events(spark, dir)
       .select(
-        when(col("event_id") % 10 < 7, lit(0L))
+        when(col("event_id") % 10 < 7, lit(1L))
           .otherwise(col("user_id")).as("k"),
         (col("event_id") % salts).as("salt"),
         col("value"))

@@ -57,10 +57,23 @@ object Similarity {
 
   private def quantizer(spark: SparkSession, dir: String, nCells: Int): KMeansModel =
     kmeansCache.computeIfAbsent(s"$dir#$nCells", { _ =>
+      // Standard IVF practice: the coarse quantizer trains on a corpus
+      // SAMPLE (deterministic hash-sample, ~2k vectors is plenty for 16
+      // centroids), then the full corpus is assigned. Full-corpus
+      // kmeans|| (init = 2 extra passes + a collect) was the dominant
+      // cost of ivfTopK and buys nothing at quantizer granularity;
+      // random init over the sample with a fixed seed is deterministic.
+      val emb = table(spark, dir, "embeddings")
+      val sample = emb
+        .filter(pmod(xxhash64(col("vec_id")), lit(32)) === 0)
+        .select(array_to_vector(col("embedding")).as("features"))
+      val trainSet =
+        if (sample.limit(nCells * 4).count() >= nCells * 4L) sample
+        else emb.select(array_to_vector(col("embedding")).as("features"))
       new KMeans().setK(nCells).setSeed(42).setMaxIter(5)
+        .setInitMode("random")
         .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(table(spark, dir, "embeddings")
-          .select(array_to_vector(col("embedding")).as("features")))
+        .fit(trainSet)
     })
 
   /** IVF top-k: assign every vector to its nearest of `nCells` centroids

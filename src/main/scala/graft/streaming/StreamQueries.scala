@@ -63,15 +63,19 @@ object StreamQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
-  /** Streaming deduplication: dropDuplicates on (user_id, event_type) with
-    * a watermark bounding the dedup state (at scale the state store holds
-    * only keys inside the watermark horizon, not the full history). The
-    * projected key set is deterministic regardless of WHICH arrival was
-    * kept, so the full drain equals batch SELECT DISTINCT — the oracle. */
+  /** Streaming deduplication: dropDuplicatesWithinWatermark on
+    * (user_id, event_type). Unlike plain dropDuplicates on non-event-time
+    * keys (whose state grows forever — the watermark never evicts keys it
+    * doesn't see in the key set), the WithinWatermark variant stamps each
+    * state entry with event time and evicts it once the watermark passes,
+    * so state is genuinely bounded by the 24h horizon at scale. Duplicates
+    * arriving within the horizon are dropped; the full single-file drain
+    * (one micro-batch, empty initial state) equals batch SELECT DISTINCT —
+    * the oracle. */
   def streamDedupKeys(spark: SparkSession, dir: String): DataFrame = {
     val deduped = streamEvents(spark, dir)
       .withWatermark("ts", "24 hours")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
     drain(spark, deduped, OutputMode.Append())
       .orderBy(col("user_id"), col("event_type"))

@@ -134,7 +134,7 @@ class Relational2Spec extends SparkSpec {
     val got = Relational2.subqCorrelated(spark, sf)
     // Catalyst must rewrite to joins — no per-row execution operators
     val p = plan(got)
-    assert(!p.toLowerCase.contains("subqueryexec") || !p.contains("ScalarSubquery"),
+    assert(!p.toLowerCase.contains("subqueryexec") && !p.contains("ScalarSubquery"),
       "correlated subqueries should decorrelate to joins")
     val viaJoin = graft.schema.Schemas.table(spark, sf, "orders")
       .groupBy("o_custkey").count().count()
