@@ -1140,9 +1140,11 @@ object SparkEntry {
        |  SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
        |  FROM ftoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
        |), gh AS (
+       |  -- h1/h2 are the two 60-bit halves of ONE md5 (Spark's
+       |  -- MinHashImpl does the same: md5 dominates signature cost)
        |  SELECT doc_id,
        |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h1,
-       |    CAST('0x' || substr(md5(g || ':h2'), 1, 15) AS BIGINT) AS h2
+       |    CAST('0x' || substr(md5(g), 17, 15) AS BIGINT) AS h2
        |  FROM grams
        |), sig AS (
        |  SELECT doc_id, h.i AS hi,
@@ -1158,7 +1160,10 @@ object SparkEntry {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |), sh AS (
-       |  SELECT doc_id, list(g) AS sh FROM grams GROUP BY doc_id
+       |  -- Jaccard over DISTINCT md5-60-bit gram hashes (h1 above):
+       |  -- identical hashing to Spark's shingle_hashes, so set sizes
+       |  -- (and even any collision) reproduce bit-identically
+       |  SELECT doc_id, list(DISTINCT h1) AS sh FROM gh GROUP BY doc_id
        |), pairs AS (
        |  SELECT doc_a, doc_b,
        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)

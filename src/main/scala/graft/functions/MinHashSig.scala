@@ -11,12 +11,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 /** Shared implementation: the full MinHash signature of one document's
   * token array, computed in a single pass per row.
   *
-  * For each word n-gram (tokens joined with a single space): h1 = 60-bit
-  * md5 hash of the gram, h2 = 60-bit md5 hash of gram+":h2", and the
-  * Kirsch–Mitzenmacher family h_i = (h1 + i·(h2 >> 5)) & (2^60−1) updates
-  * `numHashes` running minima. Identical arithmetic to the DuckDB oracle
-  * (md5 → first 15 hex chars → BIGINT), so signatures are hash-compare
-  * exact cross-engine.
+  * For each word n-gram (tokens joined with a single space), ONE md5
+  * digest yields both Kirsch–Mitzenmacher bases: h1 = its first 60 bits
+  * (hex chars 1-15), h2 = its second 60 bits (hex chars 17-31) — md5 is
+  * this pipeline's dominant CPU cost, and the two halves of one digest
+  * are as independent as two digests. The family
+  * h_i = (h1 + i·(h2 >> 5)) & (2^60−1) updates `numHashes` running
+  * minima. Grams are hashed straight from token bytes (no String
+  * round-trip). Identical arithmetic to the DuckDB oracle
+  * (`substr(md5(g), 1, 15)` / `substr(md5(g), 17, 15)` as BIGINT), so
+  * signatures are hash-compare exact cross-engine.
   */
 object MinHashImpl {
   private val Mask = (1L << 60) - 1
@@ -25,20 +29,14 @@ object MinHashImpl {
     val out = Array.fill(numHashes)(Long.MaxValue)
     val m = toks.numElements()
     if (m >= shingleSize) {
-      val sb = new java.lang.StringBuilder()
+      val tb = new Array[Array[Byte]](m)
       var i = 0
+      while (i < m) { tb(i) = toks.getUTF8String(i).getBytes; i += 1 }
+      i = 0
       while (i <= m - shingleSize) {
-        sb.setLength(0)
-        var j = 0
-        while (j < shingleSize) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks.getUTF8String(i + j).toString)
-          j += 1
-        }
-        val gram = sb.toString
-        val h1 = SimHashImpl.hash60(gram.getBytes(StandardCharsets.UTF_8))
-        val h2 = SimHashImpl.hash60((gram + ":h2").getBytes(StandardCharsets.UTF_8))
-        val step = h2 >> 5
+        val d = SimHashImpl.md5Gram(tb, i, shingleSize)
+        val h1 = SimHashImpl.high60(d)
+        val step = SimHashImpl.low60(d) >> 5
         var t = 0
         while (t < numHashes) {
           val v = (h1 + t * step) & Mask

@@ -28,15 +28,50 @@ object SimHashImpl {
 
   /** First 60 bits of md5(bytes): big-endian first 8 digest bytes >>> 4
     * (= the value of the first 15 hex chars of the md5 hex string). */
-  def hash60(bytes: Array[Byte]): Long = {
+  def hash60(bytes: Array[Byte]): Long = high60(digest(bytes))
+
+  /** Raw md5 digest of `bytes` (thread-local MessageDigest reuse). */
+  def digest(bytes: Array[Byte]): Array[Byte] = {
     val d = md.get()
     d.reset()
-    val h = d.digest(bytes)
+    d.digest(bytes)
+  }
+
+  /** md5 digest of a word n-gram assembled directly from token byte
+    * arrays joined by ' ' — no per-gram String/StringBuilder round-trip
+    * (the hot path of MinHash signature building hashes every gram of
+    * the corpus). */
+  def md5Gram(tokenBytes: Array[Array[Byte]], start: Int, len: Int): Array[Byte] = {
+    val d = md.get()
+    d.reset()
+    var j = 0
+    while (j < len) {
+      if (j > 0) d.update(' '.toByte)
+      d.update(tokenBytes(start + j))
+      j += 1
+    }
+    d.digest()
+  }
+
+  /** Value of hex chars 1-15 of the digest (first 60 bits). */
+  def high60(h: Array[Byte]): Long = {
     val l =
       ((h(0) & 0xFFL) << 56) | ((h(1) & 0xFFL) << 48) |
       ((h(2) & 0xFFL) << 40) | ((h(3) & 0xFFL) << 32) |
       ((h(4) & 0xFFL) << 24) | ((h(5) & 0xFFL) << 16) |
       ((h(6) & 0xFFL) << 8) | (h(7) & 0xFFL)
+    l >>> 4
+  }
+
+  /** Value of hex chars 17-31 of the digest (second 60 bits) — a second
+    * independent 60-bit hash from the SAME md5 call; DuckDB reproduces it
+    * as `CAST('0x' || substr(md5(s), 17, 15) AS BIGINT)`. */
+  def low60(h: Array[Byte]): Long = {
+    val l =
+      ((h(8) & 0xFFL) << 56) | ((h(9) & 0xFFL) << 48) |
+      ((h(10) & 0xFFL) << 40) | ((h(11) & 0xFFL) << 32) |
+      ((h(12) & 0xFFL) << 24) | ((h(13) & 0xFFL) << 16) |
+      ((h(14) & 0xFFL) << 8) | (h(15) & 0xFFL)
     l >>> 4
   }
 

@@ -49,9 +49,11 @@ object Dedup {
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Salted [[hash60]]: the i-th MinHash function,
-    * h_i(s) = hash60(s || ":" || i). */
-  def hash60(s: Column, salt: Int): Column = hash60(concat(s, lit(":" + salt)))
+  /** Second 60-bit hash from the SAME md5 (hex chars 17-31): DuckDB
+    * replays it as `CAST('0x' || substr(md5(s), 17, 15) AS BIGINT)`. The
+    * MinHash family derives h2 from this — one digest per gram, not two. */
+  def hash60lo(s: Column): Column =
+    conv(substring(md5(s), 17, 15), 16, 10).cast("long")
 
   /** Exact dedup (hash-groupBy): fingerprint = md5(normalized text); a doc
     * is kept iff it has the smallest doc_id in its fingerprint group.
@@ -135,20 +137,25 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct() // a pair may collide in several bands
-    // exact-verify tail: shingle ARRAYS are built only for docs that
-    // appear in a surviving pair (interpreted HOF cost scales with the
-    // candidate set, not the corpus)
+    // exact-verify tail: per-doc SORTED DISTINCT shingle-hash sets
+    // (codegen'd [[graft.functions.ShingleHashes]], longs — the join
+    // replicates ~8 bytes/shingle per pair instead of gram text), built
+    // only for docs that appear in a surviving pair; Jaccard is one
+    // O(m+n) merge per pair ([[graft.functions.JaccardSorted]]) instead
+    // of two hash-set builds (array_intersect + array_union). Set
+    // Jaccard over the md5-60-bit hashes equals set Jaccard over the
+    // grams, and the oracle hashes identically.
+    graft.functions.ShingleHashes.register(spark)
+    graft.functions.JaccardSorted.register(spark)
     val candDocIds = candidates.select(col("doc_a").as("doc_id"))
       .unionAll(candidates.select(col("doc_b").as("doc_id"))).distinct()
     val candSh = docs.join(candDocIds, Seq("doc_id"))
       .select(col("doc_id"),
-        shinglesFromTokens(col("toks"), shingleSize).as("sh"))
+        expr(s"shingle_hashes(toks, $shingleSize)").as("sh"))
     candidates
       .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", expr("jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -243,13 +250,23 @@ object Dedup {
   }
 
   def dedupGroups(spark: SparkSession, dir: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, driverUnionFindMax: Long = 4000000L): DataFrame = {
     val pairs = pairCache.computeIfAbsent(s"${sessKey(spark)}#$dir", { _ =>
       val p = dedupMinhashLsh(spark, dir)
         .select(col("doc_a"), col("doc_b")).persist()
       p.count() // materialize the index once
       p
     })
+    // The verified near-dup edge list is orders of magnitude smaller than
+    // the corpus (it holds ONLY pairs that passed exact Jaccard — ~0.001%
+    // of docs at production dup rates). Below `driverUnionFindMax` edges
+    // (16 bytes each → ≤64 MB) a driver union-find labels the whole graph
+    // in one pass — versus ~3 shuffle stages PER propagation round for
+    // the iterative join, which only wins once the edge list itself is
+    // too big to hold. Same labels either way (min reachable doc_id);
+    // DedupSpec pins both paths to the same output.
+    val nEdges = pairs.count() // cached: instant after materialization
+    if (nEdges <= driverUnionFindMax) return unionFindGroups(spark, pairs)
     // symmetric edge list, persisted: probed every round
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -285,6 +302,37 @@ object Dedup {
       .orderBy(col("doc_id"))
     edges.unpersist(false)
     out
+  }
+
+  /** Driver union-find over a collected (doc_a, doc_b) edge list: roots
+    * keyed by MIN id (union attaches the larger root under the smaller),
+    * so each node's root IS the smallest reachable doc_id — identical
+    * labels to the iterative min-propagation and the recursive-CTE
+    * oracle. Ids only ever cross the driver boundary; the result is
+    * parallelized back as a DataFrame. */
+  private def unionFindGroups(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    // one collect job (toLocalIterator would run a job per partition);
+    // the size gate bounds this at ≤64 MB of ids
+    pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+      .collect().foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+    val labels = parent.keys.toSeq.map(x => (x, find(x)))
+    labels.toDF("doc_id", "group_id").orderBy(col("doc_id"))
   }
 
   /** Embedding near-dup: cosine ≥ threshold via sign-random-projection LSH.

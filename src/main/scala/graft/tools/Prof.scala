@@ -49,8 +49,25 @@ object Prof {
     time("full again (warm)")(Dedup.dedupMinhashLsh(spark, dir).count())
     time("dedup groups")(Dedup.dedupGroups(spark, dir).count())
     time("dedup groups warm")(Dedup.dedupGroups(spark, dir).count())
-    time("ngram counts")(graft.query.TextAnalysis.textNgramCounts(spark, dir).count())
-    time("ngram counts warm")(graft.query.TextAnalysis.textNgramCounts(spark, dir).count())
+    // ngram-jaccard (b=16, r=2) stage breakdown
+    val banded = sigP.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(15)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * 2 + 1, lit(2))), b)))
+        .as(Seq("band", "bucket")))
+    time("banded r2 count")(banded.count())
+    val bstats = banded.groupBy("band", "bucket").count()
+      .agg(max("count").as("max"), sum(col("count") * (col("count") - 1) / 2).as("pairs"))
+    time("bucket stats")(println("  " + bstats.head()))
+    val cands = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    time("cand pre-distinct")(println("  n=" + cands.count()))
+    val candD = cands.distinct().persist()
+    time("cand distinct")(println("  n=" + candD.count()))
+    time("ngram full")(Dedup.dedupNgramJaccard(spark, dir).count())
+    time("ngram full warm")(Dedup.dedupNgramJaccard(spark, dir).count())
     spark.stop()
   }
 }

@@ -49,6 +49,14 @@ class NorthStarSpec extends SparkSpec {
     assert(groups.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("dedup groups: driver union-find path == distributed min-propagation path") {
+    val viaUnionFind = Dedup.dedupGroups(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val viaIterativeJoins = Dedup.dedupGroups(spark, sf, driverUnionFindMax = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaUnionFind == viaIterativeJoins)
+  }
+
   test("simhash: chunk-bucket candidate generation is lossless for hamming<=3") {
     SimHash60.register(spark)
     val docs = Dedup.withPlantedNearDups(

@@ -36,7 +36,7 @@ class PropertySpec extends SparkSpec {
       explode(graft.query.Dedup.shinglesFromTokens($"toks", 3)).as("g"))
       .select($"doc_id",
         graft.query.Dedup.hash60($"g").as("h1"),
-        graft.query.Dedup.hash60(concat($"g", lit(":h2"))).as("h2"))
+        graft.query.Dedup.hash60lo($"g").as("h2"))
     val mask = (1L << 60) - 1
     val viaBuiltins = gramDf.groupBy($"doc_id")
       .agg(array((0 until 8).map(i =>
