@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.ScalarFunctions
-import graft.query.{Dedup, Endpoints, Multimodal, Relational, Relational2, Similarity, TextAnalysis}
+import graft.query.{Dedup, Endpoints, Multimodal, Relational, Relational2, Relational3, Similarity, TextAnalysis}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -173,8 +173,19 @@ object SparkEntry {
     "window_ratio_to_report" -> Relational2.windowRatioToReport _,
     "set_ops_union_by_name"  -> Relational2.setOpsUnionByName _,
     "window_gaps_islands"    -> Relational2.windowGapsIslands _,
+    // round 3: layout-aware joins, merge, windows, sampling, fuzzy match
+    "join_bucketed"          -> Relational3.joinBucketed _,
+    "merge_upsert"           -> Relational3.mergeUpsert _,
+    "window_distribution"    -> Relational3.windowDistribution _,
+    "sample_stratified"      -> Relational3.sampleStratified _,
+    "dedup_cluster_stats"    -> Relational3.dedupClusterStats _,
+    "f_fuzzy_match"          ->
+      ((s: SparkSession, d: String) => Relational3.fuzzyNameMatch(s, d)),
+    "ann_lsh_topk"           ->
+      ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
+    "multimodal_batch_decode" -> Multimodal.multimodalBatchDecode _,
     // Structured Streaming (real streaming queries, AvailableNow drain —
     // full drain == batch answer, which is the oracle)
     "stream_window_agg"      -> StreamQueries.streamWindowAgg _,
@@ -1111,6 +1122,111 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text2, 'https?://[^ ]+')) AS INT)
         |    AS n_urls
         |FROM base ORDER BY doc_id""".stripMargin,
+    // round 3 additions
+    "join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(o_totalprice) AS REAL) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey AS t_key, o_totalprice AS t_price,
+        |    o_orderstatus AS t_status
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |), source AS (
+        |  SELECT o_orderkey AS s_key,
+        |    CAST(o_totalprice AS DOUBLE) * 1.1 AS s_price,
+        |    'U' AS s_status
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |)
+        |SELECT coalesce(s_key, t_key) AS o_orderkey,
+        |  CAST(coalesce(s_price, CAST(t_price AS DOUBLE)) AS REAL)
+        |    AS o_totalprice,
+        |  coalesce(s_status, t_status) AS o_orderstatus,
+        |  CASE WHEN s_key IS NOT NULL AND t_key IS NOT NULL THEN 'updated'
+        |       WHEN s_key IS NOT NULL THEN 'inserted'
+        |       ELSE 'kept' END AS merge_action
+        |FROM target FULL OUTER JOIN source ON t_key = s_key
+        |ORDER BY o_orderkey""".stripMargin,
+    "window_distribution" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(3) OVER w AS INT) AS tile,
+        |  nth_value(l_quantity, 2) OVER wf AS second_qty,
+        |  last_value(l_quantity) OVER wf AS last_qty,
+        |  l_partkey, l_suppkey
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey),
+        |  wf AS (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "sample_stratified" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE CASE
+        |  WHEN event_type = 'click' THEN
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 8 = 0
+        |  WHEN event_type = 'view' THEN
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 4 = 0
+        |  ELSE TRUE END
+        |ORDER BY event_id""".stripMargin,
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes(8, 4, "0.5")},
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT a FROM edges
+         |), reach(a, b) AS (
+         |  SELECT a, a FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |), labels AS (
+         |  SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a
+         |), sizes AS (
+         |  SELECT group_id, count(*) AS sz FROM labels GROUP BY group_id
+         |)
+         |SELECT sz AS group_size, count(*) AS n_groups
+         |FROM sizes GROUP BY sz ORDER BY group_size""".stripMargin,
+    "f_fuzzy_match" ->
+      """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 18
+        |ORDER BY part_a, part_b""".stripMargin,
+    "ann_lsh_topk" ->
+      """WITH planes AS (
+        |  SELECT pp.p AS p,
+        |    list(CAST(CAST('0x' || substr(md5(pp.p || ':' || ii.i), 1, 15)
+        |        AS BIGINT) AS DOUBLE) / 576460752303423488.0 - 1.0
+        |      ORDER BY ii.i) AS plane
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS p) pp,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) ii
+        |  GROUP BY pp.p
+        |), emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), buck AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN list_dot_product(e, plane) >= 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM emb, planes GROUP BY vec_id
+        |), qb AS (
+        |  SELECT b.bucket AS qbucket, emb.e AS qe
+        |  FROM buck b JOIN emb ON emb.vec_id = b.vec_id WHERE b.vec_id = 0
+        |)
+        |SELECT b.vec_id, b.bucket,
+        |  list_dot_product(emb.e, qb.qe) AS cosine
+        |FROM buck b, qb, emb
+        |WHERE emb.vec_id = b.vec_id AND b.vec_id <> 0
+        |  AND bit_count(xor(b.bucket, qb.qbucket)) <= 1
+        |ORDER BY cosine DESC, b.vec_id LIMIT 10""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -16,6 +16,10 @@ object Verify {
       // (epoch nanos) under this flag — Schemas.events normalizes to micros.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // bucketed-table layouts (join_bucketed) register external tables;
+      // keep the warehouse/catalog dir out of the repo working copy
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -95,6 +95,17 @@ object Multimodal {
     out
   }
 
+  /** Scalar projection of the batched per-partition decode path
+    * ([[decodeBatched]] — the mapInPandas-shaped surface). Rows-only in
+    * the driver gate (a JVM rolling hash isn't SQL-replayable); the
+    * spec pins determinism and batch shape instead. */
+  def multimodalBatchDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeBatched(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("payload_bytes"),
+        element_at(col("features"), 1).as("f0"),
+        element_at(col("features"), 4).as("f3"))
+      .orderBy(col("doc_id"))
+
   /** Scalar projection of the multimodal pipeline (Verify-friendly: no
     * binary/struct/array columns in the dump). */
   def multimodalSummary(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,159 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas.table
+
+/** Round-3 relational operators: storage-layout co-located joins
+  * (bucketing), MERGE-style upsert, additional window functions,
+  * stratified sampling, dedup-cluster statistics, and fuzzy string
+  * matching. Every operator is DuckDB-oracle exact.
+  */
+object Relational3 {
+
+  // one bucketed copy of (orders, customer) per (session, sf dir) — the
+  // engine's "table layout" the way a warehouse would maintain it: paid
+  // once at load time, amortized over every co-located join after
+  private val bucketTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Bucketed co-located join: orders and customer both bucketed (and
+    * sort-ordered) on the join key into the same bucket count, so the
+    * sort-merge join reads matching buckets directly — NO exchange and no
+    * per-query sort on either side (PlanSpec asserts both). At 100 TB
+    * this is THE pattern for recurring fact-dim joins on a stable key:
+    * the shuffle happens once at write time, not per query. */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val key = System.identityHashCode(spark).toHexString + "#" + dir
+    val (ordersT, customerT) = bucketTables.computeIfAbsent(key, { _ =>
+      val suffix = Integer.toHexString(key.hashCode & 0x7FFFFFFF)
+      val (to, tc) = (s"orders_bkt_$suffix", s"customer_bkt_$suffix")
+      val pO = java.nio.file.Files.createTempDirectory("graft_bkt_orders").toString
+      val pC = java.nio.file.Files.createTempDirectory("graft_bkt_customer").toString
+      // repartition on the bucket key first: each write task then holds
+      // exactly one bucket (repartition and bucketBy share the murmur3
+      // hash), giving ONE file per bucket — a multi-file bucket would
+      // force a per-query sort before the merge join
+      table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(8, col("o_custkey"))
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", pO).saveAsTable(to)
+      table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .repartition(8, col("c_custkey"))
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", pC).saveAsTable(tc)
+      (to, tc)
+    })
+    val o = spark.table(ordersT)
+    val c = spark.table(customerT)
+    // merge hint: exercise the bucketed sort-merge path (a broadcast
+    // would be chosen at test scale and hide the layout win)
+    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).cast("float").as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** MERGE-style SCD1 upsert, emulated relationally (no transactional
+    * table format in scope): target = orders snapshot missing every 7th
+    * key; source = re-priced updates for keys divisible by 3. Full outer
+    * join on the key, source wins per column, and each row is tagged
+    * with its merge action. The full-outer-join shuffle is the exact
+    * cost MERGE INTO pays in Delta/Iceberg before file rewrite. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    val target = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("t_key"),
+        col("o_totalprice").as("t_price"),
+        col("o_orderstatus").as("t_status"))
+    val source = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("s_key"),
+        (col("o_totalprice").cast("double") * 1.1).as("s_price"),
+        lit("U").as("s_status"))
+    target.join(source, col("t_key") === col("s_key"), "full_outer")
+      .select(
+        coalesce(col("s_key"), col("t_key")).as("o_orderkey"),
+        coalesce(col("s_price"), col("t_price").cast("double"))
+          .cast("float").as("o_totalprice"),
+        coalesce(col("s_status"), col("t_status")).as("o_orderstatus"),
+        when(col("s_key").isNotNull && col("t_key").isNotNull, lit("updated"))
+          .when(col("s_key").isNotNull, lit("inserted"))
+          .otherwise(lit("kept")).as("merge_action"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Distribution window functions beyond rank/dense_rank: percent_rank,
+    * cume_dist, ntile over the order-line sequence, plus nth_value and
+    * last_value over the full-partition frame. */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    // order by the full unique key (this lineitem has duplicate line
+    // numbers per order): ntile / nth_value / last_value are
+    // position-dependent, so an ambiguous ORDER BY is engine-dependent
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(3).over(w).as("tile"),
+        nth_value(col("l_quantity"), 2).over(wFull).as("second_qty"),
+        last(col("l_quantity")).over(wFull).as("last_qty"),
+        col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+  }
+
+  /** Stratified deterministic sampling: a different hash-sample rate per
+    * stratum (event_type) — the training-data idiom for rebalancing
+    * source mixes (keep 1/8 of clicks, 1/4 of views, every purchase).
+    * Hash-deterministic (md5 of the key), so the sample is reproducible
+    * across engines, runs, and partitionings — never rand(). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val h = Dedup.hash60(col("event_id").cast("string"))
+    graft.schema.Schemas.events(spark, dir)
+      .filter(
+        when(col("event_type") === "click", h % 8 === 0)
+          .when(col("event_type") === "view", h % 4 === 0)
+          .otherwise(lit(true)))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Cluster-size histogram over the near-dup groups: how many duplicate
+    * groups exist at each size — the dedup QA report (a spike at large
+    * sizes means boilerplate/template contamination in the corpus). */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupGroups(spark, dir)
+      .groupBy(col("group_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("group_size"))
+
+  /** Fuzzy string matching: edit-distance near-matches of part names
+    * within (brand, container) blocks. Blocking keys bound the candidate
+    * set (the levenshtein never runs n² over the table) — the classic
+    * blocked record-linkage shape; at 100 TB the block key is the
+    * shuffle key and block sizes stay bounded. */
+  def fuzzyNameMatch(spark: SparkSession, dir: String,
+      maxDist: Int = 18): DataFrame = {
+    val p = table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
+    val l = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("part_a"), col("p_name").as("name_a"))
+    val r = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("part_b"), col("p_name").as("name_b"))
+    l.join(r, Seq("p_brand", "p_size"))
+      .filter(col("part_a") < col("part_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("part_a"), col("part_b"), col("dist"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+}

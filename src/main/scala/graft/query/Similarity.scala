@@ -76,6 +76,54 @@ object Similarity {
         .fit(trainSet)
     })
 
+  /** LSH-bucketed top-k (oracle-exact ANN): every vector gets a
+    * `numPlanes`-bit sign bucket from hash60-derived random hyperplanes
+    * (the same deterministic family as
+    * [[Dedup.dedupEmbeddingCosine]] — DuckDB replays planes, buckets,
+    * and dot products bit-identically); at query time probe every
+    * bucket within Hamming distance `maxHamming` of the query's bucket
+    * (multi-probe: sign flips near a hyperplane are the common miss)
+    * and re-rank exactly inside the probed buckets. Unlike the KMeans
+    * IVF path there is NO training step; bucket assignment is a
+    * map-only projection, and at scale the table is partitioned by
+    * bucket so a probe touches ~(probed buckets / 2^numPlanes) of the
+    * corpus. */
+  def lshTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, numPlanes: Int = 8, maxHamming: Int = 1): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val dim = 64
+    val planes: Seq[Array[Double]] = (0 until numPlanes).map(p =>
+      Array.tabulate(dim)(i =>
+        graft.functions.SimHashImpl.hash60(s"$p:$i".getBytes("UTF-8")).toDouble
+          / 576460752303423488.0 - 1.0)) // 2^59, as dedupEmbeddingCosine
+    val qv = queryVector(spark, dir, queryId).map(_.toDouble)
+    // query bucket: same sequential-fold dot product the engines use
+    val qBucket = planes.zipWithIndex.map { case (plane, p) =>
+      var s = 0.0; var j = 0
+      while (j < dim) { s += plane(j) * qv(j); j += 1 }
+      if (s >= 0) 1L << p else 0L
+    }.sum
+    val signBits = (0 until numPlanes).map { p =>
+      when(expr(s"float_dot(embedding, plane_$p)") >= 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val emb = planes.zipWithIndex.foldLeft(
+        table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))) {
+        case (df, (plane, p)) =>
+          df.withColumn(s"plane_$p", array(plane.toIndexedSeq.map(lit): _*))
+      }
+      .withColumn("bucket", signBits)
+    val q = array(qv.toIndexedSeq.map(x => lit(x.toFloat)): _*)
+    emb
+      .filter(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= maxHamming)
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("qv", q)
+      .select(col("vec_id"), col("bucket"),
+        expr("float_dot(embedding, qv)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF top-k: assign every vector to its nearest of `nCells` centroids
     * (KMeans, deterministic seed); at query time probe the `nProbe`
     * centroids nearest to the query and re-rank exactly within them. */

@@ -35,17 +35,29 @@ object StreamQueries {
       .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
 
   /** Run `build(stream)` to completion (AvailableNow drain into a memory
-    * sink) and return the final result as a batch DataFrame. */
+    * sink) and return the final result as a batch DataFrame.
+    *
+    * State-store partition count is fixed at query start from
+    * spark.sql.shuffle.partitions; every stateful operator keeps one
+    * store per partition and pays a per-partition commit each
+    * micro-batch. Size it to the stream's KEYSPACE (~150 users / ~100
+    * windows here), not the CPU-count batch default — with tiny per-key
+    * state, partition count IS the dominant commit cost. At production
+    * keyspaces this knob scales up with throughput, not down. */
   private def drain(spark: SparkSession, streamed: DataFrame,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode, statePartitions: Int = 8): DataFrame = {
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
-    val q = streamed.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = streamed.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
@@ -104,19 +116,6 @@ object StreamQueries {
     * both sides arrive, so the full drain equals the batch interval
     * self-join — the oracle. */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    // State-store partition count is fixed at query start from
-    // spark.sql.shuffle.partitions. A stream-stream join keeps 4 state
-    // stores per partition; size them to the join keyspace (~150 users),
-    // not the CPU-count default — with tiny per-key state, partition
-    // count IS the dominant commit cost. At production keyspaces this
-    // knob scales up with throughput, not down.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try streamStreamJoinInner(spark, dir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
-
-  private def streamStreamJoinInner(spark: SparkSession, dir: String): DataFrame = {
     val clicks = streamEvents(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
