@@ -1,10 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{FloatVecDot, MinHashSig, SimHash60}
+import graft.functions.{FloatVecDot, JaccardSorted, MinHashSig, ShingleHashes, SimHash60}
 
 /** Session extensions: registers the engine's custom Catalyst expressions
-  * (`simhash60`, `float_dot`, `minhash_sig`) so SQL and `expr(...)` users
+  * (`simhash60`, `float_dot`, `minhash_sig`, `shingle_hashes`,
+  * `jaccard_sorted`) so SQL and `expr(...)` users
   * get them in any session built with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or via
   * `spark.sql.extensions=graft.GraftExtensions`.
@@ -18,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(SimHash60.descriptor)
     e.injectFunction(FloatVecDot.descriptor)
     e.injectFunction(MinHashSig.descriptor)
+    e.injectFunction(ShingleHashes.descriptor)
+    e.injectFunction(JaccardSorted.descriptor)
   }
 }
 
@@ -28,5 +31,7 @@ object GraftExtensions {
     SimHash60.register(spark)
     FloatVecDot.register(spark)
     MinHashSig.register(spark)
+    ShingleHashes.register(spark)
+    JaccardSorted.register(spark)
   }
 }

@@ -181,6 +181,11 @@ object SparkEntry {
     "dedup_cluster_stats"    -> Relational3.dedupClusterStats _,
     "f_fuzzy_match"          ->
       ((s: SparkSession, d: String) => Relational3.fuzzyNameMatch(s, d)),
+    "window_funnel"          ->
+      ((s: SparkSession, d: String) => Relational3.windowFunnel(s, d)),
+    "window_fill_forward"    -> Relational3.windowFillForward _,
+    "text_feature_hashing"   ->
+      ((s: SparkSession, d: String) => Relational3.textFeatureHashing(s, d)),
     "ann_lsh_topk"           ->
       ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     // north-star: multimodal plumbing
@@ -1201,6 +1206,42 @@ object SparkEntry {
         |  AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 18
         |ORDER BY part_a, part_b""".stripMargin,
+    "window_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT ev.user_id, min(ts) AS t2 FROM ev JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1
+        |         AND ts <= t1 + INTERVAL 30 MINUTE GROUP BY ev.user_id),
+        |t3 AS (SELECT ev.user_id, min(ts) AS t3 FROM ev JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2
+        |         AND ts <= t2 + INTERVAL 30 MINUTE GROUP BY ev.user_id)
+        |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1
+        |            ELSE 0 END AS INT) AS funnel_stage,
+        |  count(*) AS n_users
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN t1 USING (user_id)
+        |LEFT JOIN t2 USING (user_id)
+        |LEFT JOIN t3 USING (user_id)
+        |GROUP BY 1 ORDER BY funnel_stage""".stripMargin,
+    "window_fill_forward" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN value > 50 THEN value END AS good,
+        |  last_value(CASE WHEN value > 50 THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY event_id""".stripMargin,
+    "text_feature_hashing" ->
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256
+        |    AS feature_idx,
+        |  count(*) AS n
+        |FROM (SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents WHERE doc_id < 100)
+        |GROUP BY 1, 2 ORDER BY doc_id, feature_idx""".stripMargin,
     "ann_lsh_topk" ->
       """WITH planes AS (
         |  SELECT pp.p AS p,

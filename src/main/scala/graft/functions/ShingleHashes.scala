@@ -114,6 +114,15 @@ object ShingleHashes {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", builder, "scala_udf")
+
+  /** FunctionDescription for SparkSessionExtensions.injectFunction. */
+  def descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ShingleHashes].getCanonicalName, "shingle_hashes"),
+      builder)
 }
 
 /** `jaccard_sorted(array<bigint>, array<bigint>) -> double` — set Jaccard
@@ -156,4 +165,13 @@ object JaccardSorted {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sorted", builder, "scala_udf")
+
+  /** FunctionDescription for SparkSessionExtensions.injectFunction. */
+  def descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("jaccard_sorted"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[JaccardSorted].getCanonicalName, "jaccard_sorted"),
+      builder)
 }

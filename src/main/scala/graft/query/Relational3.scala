@@ -136,6 +136,70 @@ object Relational3 {
       .agg(count(lit(1)).as("n_groups"))
       .orderBy(col("group_size"))
 
+  /** Event funnel with conversion deadlines: per user, the deepest stage
+    * reached in the view → click → purchase sequence where each stage
+    * must land within `windowMinutes` of the previous stage's first
+    * qualifying event (the product-analytics funnel semantic — an
+    * unbounded funnel saturates on any active user), then users per
+    * stage. Three conditional-aggregate rounds, each keyed on user_id —
+    * on a cluster the three shuffles collapse onto one hash-partitioning
+    * that Catalyst reuses across the joins. */
+  def windowFunnel(spark: SparkSession, dir: String,
+      windowMinutes: Int = 30): DataFrame = {
+    val deadline = expr(s"INTERVAL $windowMinutes MINUTES")
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.join(t1, Seq("user_id"))
+      .filter(col("event_type") === "click" &&
+        col("ts") > col("t1") && col("ts") <= col("t1") + deadline)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.join(t2, Seq("user_id"))
+      .filter(col("event_type") === "purchase" &&
+        col("ts") > col("t2") && col("ts") <= col("t2") + deadline)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    ev.select(col("user_id")).distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0).as("funnel_stage"))
+      .groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_stage"))
+  }
+
+  /** Forward-fill via IGNORE NULLS window: carry the last "good" reading
+    * (value > 50) forward along each user's event sequence — the
+    * sensor-gap-fill idiom, one window pass, no self-join. */
+  def windowFillForward(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.schema.Schemas.events(spark, dir)
+      .withColumn("good", when(col("value") > 50, col("value")))
+      .select(col("event_id"), col("user_id"), col("good"),
+        last(col("good"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Feature hashing (the "hashing trick"): tokens bucketed into a fixed
+    * 256-dim index space by the oracle-replayable md5 hash — the
+    * vocabulary-free featurizer for training pipelines (no dictionary
+    * build, no OOV, map-side only until the final count). */
+  def textFeatureHashing(spark: SparkSession, dir: String,
+      dim: Int = 256): DataFrame =
+    table(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), (Dedup.hash60(col("tok")) % dim).as("feature_idx"))
+      .groupBy(col("doc_id"), col("feature_idx"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("doc_id"), col("feature_idx"))
+
   /** Fuzzy string matching: edit-distance near-matches of part names
     * within (brand, container) blocks. Blocking keys bound the candidate
     * set (the levenshtein never runs n² over the table) — the classic
