@@ -39,7 +39,7 @@ object SparkEntry {
     "s4_json_encode"      -> Relational.s4JsonEncode _,
     "s6_json_decode"      -> Relational.s6JsonDecode _,
     "s7_malformed_filter" -> Relational.s7MalformedFilter _,
-    "s9_batch_assign"     -> Relational.s9BatchAssign _,
+    "s9_batch_assign"     -> ((s: SparkSession, d: String) => Relational.s9BatchAssign(s, d)),
     "s11_multiscan_union" -> Relational.s11MultiScanUnion _,
     "s12_inmem_source"    -> Relational.s12InMemSource _,
     // §2.2 transforms

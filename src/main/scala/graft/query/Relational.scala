@@ -121,16 +121,32 @@ object Relational {
       .orderBy(col("event_id"))
 
   /** S9: count-based tumbling batch window (consumer/consumer.py:59-82) —
-    * batch_id = floor(row_rank / 1000) in arrival (event_id) order, then
-    * per-batch stats. This is the oracle-able batch emulation; the
+    * batch_id = floor(row_rank / 1000) in `event_id` order, then per-batch
+    * stats. Scale-safe global ranking WITHOUT a single-partition sort:
+    * two-level rank. Level 1 buckets rows by the ID VALUE range
+    * (`floor(event_id / bucketWidth)` — derived from the value, so it is
+    * deterministic under any physical partitioning) and aggregates a
+    * per-bucket histogram; a running sum over that histogram (a window over
+    * n/bucketWidth tiny rows, NOT the data) yields each bucket's global
+    * rank offset, broadcast back. Level 2 ranks within each bucket
+    * (parallel windows, ≤ bucketWidth rows each) and adds the offset.
+    * The only single-partition exchange in the plan carries the aggregated
+    * histogram. Requires unique event_ids (ties would make the global rank
+    * order-dependent — asserted by the data-contract spec). The
     * arrival-order streaming variant (no ordering column needed) lives in
-    * [[graft.ingest.Batcher]]. The global window is single-partition — fine
-    * at verify scale; at 100 TB the Batcher's per-partition-offset plan
-    * (count per partition + prefix sum, no global sort) replaces it. */
-  def s9BatchAssign(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("event_id"))
-    events(spark, dir)
-      .withColumn("rn", row_number().over(w))
+    * [[graft.ingest.Batcher]]. */
+  def s9BatchAssign(spark: SparkSession, dir: String,
+      bucketWidth: Long = 4096L): DataFrame = {
+    val ev = events(spark, dir).select(col("event_id"))
+      .withColumn("bucket", floor(col("event_id") / bucketWidth))
+    val offsets = ev.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("off",
+        coalesce(sum(col("bn")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("event_id"))
+    ev.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("rn", col("off") + row_number().over(wLocal))
       .withColumn("batch_id", floor((col("rn") - 1) / 1000).cast("int"))
       .groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n_rows"),

@@ -65,6 +65,21 @@ class PlanSpec extends SparkSpec {
     assert(executed.contains("float_dot"), executed)
   }
 
+  test("s9 batch assign: no single-partition exchange over the data (only the histogram)") {
+    val df = Relational.s9BatchAssign(spark, sf)
+    val p = plan(df)
+    // exactly one SinglePartition exchange — the one above the per-bucket
+    // histogram aggregate (n/bucketWidth rows), never above the raw scan
+    val single = "SinglePartition".r.findAllIn(p).size
+    assert(single == 1, s"expected 1 SinglePartition exchange, got $single:\n$p")
+    // the offsets side reaches the data through a broadcast, not a shuffle
+    assert(p.contains("BroadcastExchange"), p)
+    // the SinglePartition exchange consumes an aggregate, not the scan:
+    // formatted plan lists operators bottom-up per subtree; assert the
+    // histogram aggregate exists at all (count per bucket)
+    assert(p.contains("partial_count") || p.contains("count"), p)
+  }
+
   test("a1 mean impute: 1-row aggregate broadcast, fact side unshuffled") {
     val p = plan(Relational.a1MeanImpute(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
