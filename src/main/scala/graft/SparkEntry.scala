@@ -696,6 +696,13 @@ object SparkEntry {
         |  count(*) AS n_rows, CAST(sum(l_quantity) AS REAL) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "agg_approx_sketch" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_users_ok,
+        |  CAST(quantile_cont(value, 0.5) AS REAL) AS exact_p50,
+        |  TRUE AS approx_p50_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_count_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,
@@ -1032,28 +1039,37 @@ object SparkEntry {
         |  LATERAL (SELECT unnest(generate_series(1, len(d.toks))) AS i) ii
         |ORDER BY doc_id, pos""".stripMargin,
     "dedup_embedding_cosine" ->
-      """WITH planes AS (
-        |  SELECT pp.p AS p,
-        |    list(CAST(CAST('0x' || substr(md5(pp.p || ':' || ii.i), 1, 15)
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |rsel AS (
+        |  SELECT min(i) AS r FROM range(1, 41) t(i), nn
+        |  WHERE 32 * (CAST(1 AS BIGINT) << i) >= nn.n
+        |), planes AS (
+        |  SELECT tt.t AS t, ii.i AS i,
+        |    list(CAST(CAST('0x' || substr(
+        |        md5(tt.t || ':' || ii.i || ':' || jj.j), 1, 15)
         |        AS BIGINT) AS DOUBLE) / 576460752303423488.0 - 1.0
-        |      ORDER BY ii.i) AS plane
-        |  FROM (SELECT unnest(generate_series(0, 7)) AS p) pp,
-        |       (SELECT unnest(generate_series(0, 63)) AS i) ii
-        |  GROUP BY pp.p
+        |      ORDER BY jj.j) AS plane
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS t) tt,
+        |       (SELECT unnest(generate_series(0, 39)) AS i) ii,
+        |       (SELECT unnest(generate_series(0, 63)) AS j) jj
+        |  WHERE ii.i < (SELECT r FROM rsel)
+        |  GROUP BY tt.t, ii.i
         |), emb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-        |), buck AS (
-        |  SELECT vec_id,
+        |), sigs AS (
+        |  SELECT vec_id, t,
         |    sum(CASE WHEN list_dot_product(e, plane) >= 0
-        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
-        |  FROM emb, planes GROUP BY vec_id
+        |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
+        |  FROM emb, planes GROUP BY vec_id, t
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sigs a JOIN sigs b
+        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
         |)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  list_dot_product(ea.e, eb.e) AS cosine
-        |FROM buck a
-        |JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |JOIN emb ea ON ea.vec_id = a.vec_id
-        |JOIN emb eb ON eb.vec_id = b.vec_id
+        |SELECT c.vec_a, c.vec_b, list_dot_product(ea.e, eb.e) AS cosine
+        |FROM cand c
+        |JOIN emb ea ON ea.vec_id = c.vec_a
+        |JOIN emb eb ON eb.vec_id = c.vec_b
         |WHERE list_dot_product(ea.e, eb.e) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
     "multimodal_summary" ->
@@ -1067,6 +1083,14 @@ object SparkEntry {
         |    % 1000000 AS DOUBLE) / 1000000.0 AS f0,
         |  CAST(CAST('0x' || substr(md5(text || ':1'), 1, 15) AS BIGINT)
         |    % 1000000 AS DOUBLE) / 1000000.0 AS f1
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_batch_decode" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS INT) AS payload_bytes,
+        |  CAST(CAST(CAST('0x' || substr(md5(text || ':0'), 1, 15) AS BIGINT)
+        |    % 1000000 AS DOUBLE) / 1000000.0 AS REAL) AS f0,
+        |  CAST(CAST(CAST('0x' || substr(md5(text || ':3'), 1, 15) AS BIGINT)
+        |    % 1000000 AS DOUBLE) / 1000000.0 AS REAL) AS f3
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       """WITH base AS (
@@ -1199,11 +1223,25 @@ object SparkEntry {
          |SELECT sz AS group_size, count(*) AS n_groups
          |FROM sizes GROUP BY sz ORDER BY group_size""".stripMargin,
     "f_fuzzy_match" ->
-      """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, p_size, p_name,
+        |    CAST(floor(strlen(p_name) / 8) AS BIGINT) AS band
+        |  FROM part
+        |), l AS (
+        |  SELECT p.*, unnest([band, band + 1]) AS probe FROM p
+        |), cand AS (
+        |  SELECT DISTINCT
+        |    least(l.p_partkey, r.p_partkey) AS part_a,
+        |    greatest(l.p_partkey, r.p_partkey) AS part_b
+        |  FROM l JOIN p r
+        |    ON l.p_brand = r.p_brand AND l.p_size = r.p_size
+        |    AND l.probe = r.band AND l.p_partkey <> r.p_partkey
+        |)
+        |SELECT c.part_a, c.part_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-        |FROM part a JOIN part b
-        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-        |  AND a.p_partkey < b.p_partkey
+        |FROM cand c
+        |JOIN p a ON a.p_partkey = c.part_a
+        |JOIN p b ON b.p_partkey = c.part_b
         |WHERE levenshtein(a.p_name, b.p_name) <= 18
         |ORDER BY part_a, part_b""".stripMargin,
     "window_funnel" ->

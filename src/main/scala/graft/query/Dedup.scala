@@ -335,43 +335,70 @@ object Dedup {
     labels.toDF("doc_id", "group_id").orderBy(col("doc_id"))
   }
 
-  /** Embedding near-dup: cosine ≥ threshold via sign-random-projection LSH.
-    * Bucket key = 8 sign bits of dot products with fixed pseudo-random
-    * hyperplanes; exact cosine verified within buckets. Unit-norm
-    * embeddings ⇒ cosine = dot product.
+  /** Embedding near-dup: cosine ≥ threshold via BANDED multi-table
+    * sign-random-projection LSH. Unit-norm embeddings ⇒ cosine = dot.
     *
-    * Hyperplane component (p,i) is md5-derived uniform in [-1,1):
-    * hash60("p:i") / 2^59 - 1 — the SAME doubles DuckDB computes from
-    * `CAST('0x'||substr(md5(p||':'||i),1,15) AS BIGINT)`, and the dots are
-    * sequential double folds on both engines, so the oracle replays the
-    * bucketing AND the verify bit-identically. (Uniform instead of
-    * gaussian components: for sign-LSH any origin-symmetric component
-    * distribution gives unbiased sign buckets.) */
+    * Scale design (fixes round 3's fixed 8-bit key = 256 buckets):
+    *   - `numTables` independent hash tables of `r` sign bits each;
+    *     r adapts to corpus size by pure INTEGER arithmetic — the
+    *     smallest r with bucketTarget·2^r ≥ n — so expected bucket
+    *     occupancy stays ≈ bucketTarget and per-table candidate pairs
+    *     stay O(n·bucketTarget) at any corpus size (never O(n²/2^k)).
+    *   - recall is the union over tables: P[pair found] =
+    *     1-(1-p^r)^numTables with p = 1-θ/π; holding recall as r grows
+    *     with log n requires numTables ~ n^ρ (the LSH theory bound) —
+    *     numTables is the exposed recall knob, and the recall spec pins
+    *     the measured value against brute force on the test corpus.
+    *   - each vector explodes into numTables (table, sig) longs; the
+    *     self-join shuffles ids+sigs only (never the float arrays);
+    *     candidate pairs are DISTINCT'd before the exact verify, which
+    *     rejoins embeddings BY ID (payload moves once, at the end).
+    *
+    * Hyperplane component (t,i,j) is md5-derived uniform in [-1,1):
+    * hash60("t:i:j") / 2^59 - 1 — the SAME doubles DuckDB computes from
+    * `CAST('0x'||substr(md5(t||':'||i||':'||j),1,15) AS BIGINT)`, and the
+    * dots are sequential double folds on both engines, so the oracle
+    * replays the bucketing AND the verify bit-identically. n (and hence
+    * r) is derived from a count() at plan time; a deployment reads it
+    * from table statistics instead. */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String,
-      threshold: Double = 0.4, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      threshold: Double = 0.4, numTables: Int = 16,
+      bucketTarget: Long = 32L, dim: Int = 64): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
-    val planes: Seq[Array[Double]] = (0 until numPlanes).map(p =>
-      Array.tabulate(dim)(i =>
-        graft.functions.SimHashImpl.hash60(s"$p:$i".getBytes("UTF-8")).toDouble
-          / 576460752303423488.0 - 1.0))  // 2^59
-    // bucket = sign bits of the codegen'd float_dot with each hyperplane
-    val signBits: Column =
-      (0 until numPlanes).map { p =>
-        when(expr(s"float_dot(embedding, plane_$p)") >= 0, lit(1L << p))
+    val base = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    var r = 1
+    while (bucketTarget * (1L << r) < n) r += 1
+    def planeArr(t: Int, i: Int): Column = array(
+      Array.tabulate(dim) { j =>
+        lit(graft.functions.SimHashImpl.hash60(s"$t:$i:$j".getBytes("UTF-8"))
+          .toDouble / 576460752303423488.0 - 1.0) // 2^59
+      }.toIndexedSeq: _*)
+    val withPlanes = base.select(
+      col("vec_id") +: col("embedding") +:
+        (for { t <- 0 until numTables; i <- 0 until r }
+          yield planeArr(t, i).as(s"pl_${t}_$i")): _*)
+    val sigStructs = (0 until numTables).map { t =>
+      val sig = (0 until r).map { i =>
+        when(expr(s"float_dot(embedding, pl_${t}_$i)") >= 0, lit(1L << i))
           .otherwise(lit(0L))
       }.reduce(_ + _)
-    val emb = planes.zipWithIndex.foldLeft(
-        table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))) {
-        case (df, (plane, p)) => df.withColumn(s"plane_$p", array(plane.toIndexedSeq.map(lit): _*))
-      }
-      .withColumn("bucket", signBits)
-      .select(col("vec_id"), col("embedding"), col("bucket"))
-    val l = emb.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
-    val r = emb.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
-    l.join(r, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
+      struct(lit(t).as("t"), sig.as("sig"))
+    }
+    val sigs = withPlanes
+      .select(col("vec_id"), explode(array(sigStructs: _*)).as("ts"))
+      .select(col("vec_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val cand = sigs.as("a")
+      .join(sigs.as("b"), Seq("t", "sig"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(base.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(base.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("vec_b"))
       .withColumn("cosine", expr("float_dot(emb_a, emb_b)"))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))

@@ -80,25 +80,24 @@ object Multimodal {
       .toDF()
   }
 
-  /** STUB decoder: 4 floats from a rolling byte hash — stands in for
-    * decode+resize+embed. Deterministic for tests; replace with the real
-    * codec call at deployment. */
-  private def stubDecode(bytes: Array[Byte]): Array[Float] = {
-    var h = 1125899906842597L
-    val out = new Array[Float](4)
-    var i = 0
-    while (i < bytes.length) {
-      h = 31 * h + bytes(i)
-      out(i % 4) = math.abs((h % 1000000L).toFloat) / 1e6f
-      i += 1
+  /** STUB decoder: 4 floats md5-derived from the payload bytes at
+    * different seeds — the SAME values [[stubFeature]] computes in SQL
+    * (hash60(payload||":s") % 1e6 / 1e6), so the batched JVM path is
+    * DuckDB-replayable and hash-compare oracle-able. Stands in for
+    * decode+resize+embed; replace with the real codec call at
+    * deployment. */
+  private def stubDecode(bytes: Array[Byte]): Array[Float] =
+    Array.tabulate(4) { s =>
+      val h = graft.functions.SimHashImpl.hash60(
+        bytes ++ s":$s".getBytes("UTF-8"))
+      ((h % 1000000L).toDouble / 1000000.0).toFloat
     }
-    out
-  }
 
   /** Scalar projection of the batched per-partition decode path
-    * ([[decodeBatched]] — the mapInPandas-shaped surface). Rows-only in
-    * the driver gate (a JVM rolling hash isn't SQL-replayable); the
-    * spec pins determinism and batch shape instead. */
+    * ([[decodeBatched]] — the mapInPandas-shaped surface). The stub
+    * features are md5-derived (see [[stubDecode]]), so the driver gate
+    * hash-compares this against DuckDB; the spec additionally pins
+    * determinism and batch-size invariance. */
   def multimodalBatchDecode(spark: SparkSession, dir: String): DataFrame =
     decodeBatched(table(spark, dir, "documents"))
       .select(col("doc_id"), col("payload_bytes"),

@@ -495,18 +495,30 @@ object Relational2 {
       .orderBy(col("event_type"))
   }
 
-  /** Approximate sketches (rows-only check: HLL/KLL internals differ per
-    * engine by design): approx_count_distinct and approx_percentile next
-    * to their exact counterparts — Relational2Spec bounds the error. */
+  /** Approximate sketches, oracle-checked through exact companions: HLL /
+    * KLL internals differ per engine by design, so the raw sketch values
+    * can't hash-compare — instead the query emits the EXACT aggregates
+    * (hash-compared against DuckDB) plus booleans asserting each sketch
+    * landed within its error bound. DuckDB's oracle declares the booleans
+    * TRUE: if a sketch ever drifts outside its bound, the hash compare
+    * fails — the error contract is enforced BY the gate, not beside it.
+    * Relational2Spec additionally bounds the raw error values. */
   def aggApproxSketch(spark: SparkSession, dir: String): DataFrame =
     graft.schema.Schemas.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users_raw"),
+        expr("percentile(value, 0.5)").cast("float").as("exact_p50"),
         percentile_approx(col("value"), lit(0.5), lit(1000))
-          .cast("float").as("approx_p50"),
-        expr("percentile(value, 0.5)").cast("float").as("exact_p50"))
+          .cast("float").as("approx_p50_raw"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users_raw") - col("exact_users"))
+          <= greatest(lit(1L), (col("exact_users") * 0.05).cast("long")))
+          .as("approx_users_ok"),
+        col("exact_p50"),
+        (abs(col("approx_p50_raw") - col("exact_p50"))
+          <= abs(col("exact_p50")) * 0.05 + 0.001).as("approx_p50_ok"))
       .orderBy(col("event_type"))
 
   /** Lateral explode with ordinality: posexplode of the token array —

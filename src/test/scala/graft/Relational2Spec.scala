@@ -120,13 +120,13 @@ class Relational2Spec extends SparkSpec {
   }
 
   test("agg_approx_sketch: sketches land within tolerance of exact answers") {
-    Relational2.aggApproxSketch(spark, sf).collect().foreach { r =>
-      val (approxU, exactU) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(approxU - exactU) <= math.max(2L, exactU / 10),
-        s"approx_count_distinct $approxU vs $exactU")
-      val (approxP, exactP) = (r.getFloat(3), r.getFloat(4))
-      assert(math.abs(approxP - exactP) <= math.max(1f, exactP.abs * 0.1f),
-        s"approx_p50 $approxP vs $exactP")
+    val rows = Relational2.aggApproxSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // within-bound booleans (the oracle compares these against TRUE)
+      assert(r.getBoolean(2), s"approx_users outside bound: $r")
+      assert(r.getBoolean(4), s"approx_p50 outside bound: $r")
+      assert(r.getLong(1) > 0 && !r.isNullAt(3))
     }
   }
 

@@ -99,6 +99,21 @@ class Relational3Spec extends SparkSpec {
     }
   }
 
+  test("f_fuzzy_match: (brand, size, length-band) block sizes stay bounded") {
+    // the scale contract: blocks bound the levenshtein candidate set, so
+    // block size must be O(1) in corpus size. Assert the bound on the
+    // generated data (and that banding didn't merely alias the old key).
+    val blocks = graft.schema.Schemas.table(spark, sf, "part")
+      .groupBy($"p_brand", $"p_size",
+        floor(length($"p_name") / 8).as("band"))
+      .agg(count(lit(1)).as("n"))
+    val maxBlock = blocks.agg(max($"n")).head().getLong(0)
+    assert(maxBlock <= 8, s"max block size $maxBlock exceeds bound")
+    // multi-band: the band dimension genuinely splits the name space
+    val nBands = blocks.select($"band").distinct().count()
+    assert(nBands >= 2, s"only $nBands length band(s) — banding is a no-op")
+  }
+
   test("ann_lsh_topk: k rows, no query id, descending cosine, subset of probed buckets") {
     val out = Similarity.lshTopK(spark, sf).collect()
     assert(out.length == 10)
