@@ -1187,9 +1187,9 @@ object SparkEntry {
         |  l_partkey, l_suppkey
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_orderkey
-        |    ORDER BY l_linenumber, l_partkey, l_suppkey),
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity),
         |  wf AS (PARTITION BY l_orderkey
-        |    ORDER BY l_linenumber, l_partkey, l_suppkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "sample_stratified" ->

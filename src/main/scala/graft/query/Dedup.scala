@@ -119,8 +119,8 @@ object Dedup {
     // re-evaluate the signatures on BOTH branches (no cross-branch CSE in
     // Catalyst). At scale this is the standard persisted minhash index
     // (32 longs/doc), written once, probed often.
-    val sig = sigCache.computeIfAbsent(
-      s"${sessKey(spark)}#$dir#$shingleSize#${numBands * rowsPerBand}",
+    val sig = forSession(sigCache, spark).computeIfAbsent(
+      s"$dir#$shingleSize#${numBands * rowsPerBand}",
       _ => minhashSignatures(docs, "toks", "doc_id",
         shingleSize, numBands * rowsPerBand).persist())
     // band keys carry ONLY (band, bucket, doc_id): the candidate self-join
@@ -219,39 +219,52 @@ object Dedup {
     * alternating large-star/small-star for O(log n) rounds on adversarial
     * graphs — near-dup clusters are tiny in practice, so plain
     * propagation converges in 2–3 rounds). */
-  // persisted minhash signature index per (session, dir, shingleSize,
-  // numHashes). Keyed by session identity: a persisted DataFrame is bound
-  // to the SparkSession that created it, so a cache hit across sessions
-  // (e.g. after a session restart in the same JVM) would hand back a plan
-  // from a stopped session. clearCaches() unpersists everything.
+  // Persisted index caches, keyed on the OWNING SESSION OBJECT via a
+  // WeakHashMap: a persisted DataFrame is bound to the SparkSession that
+  // created it, and an identity-hash string key could be reused after a
+  // stopped session is GC'd (handing a new session a plan bound to a dead
+  // one). Weak keys make the binding explicit and collision-free, and
+  // entries (with their persisted data, already freed by session stop)
+  // drop automatically once a session becomes unreachable — no JVM-lifetime
+  // accumulation. Inner maps: per-(dir, params) indexes for that session.
+  //   sigCache:  minhash signature index per (dir, shingleSize, numHashes)
+  //   pairCache: verified near-dup pair index per (sf dir) — the
+  //     distributed, ids-only pair list a real dedup deployment
+  //     materializes once and clusters many times (same pattern as
+  //     ModelStore / the IVF quantizer cache). Rows stay in executors;
+  //     the corpus never re-hashes per clustering run.
+  private type IndexMap = java.util.concurrent.ConcurrentHashMap[String, DataFrame]
   private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  // near-dup pair index per (session, sf dir) — the persisted
-  // (distributed, ids-only) pair list a real dedup deployment materializes
-  // once and clusters many times (same pattern as ModelStore / the IVF
-  // quantizer cache). Rows stay in executors; the corpus never re-hashes
-  // per clustering run.
+    new java.util.WeakHashMap[SparkSession, IndexMap]()
   private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, IndexMap]()
 
-  /** Session-identity prefix for the index caches. */
-  private def sessKey(spark: SparkSession): String =
-    System.identityHashCode(spark).toHexString
+  /** The per-session index map (WeakHashMap is not thread-safe — all
+    * access goes through this synchronized accessor). */
+  private def forSession(cache: java.util.WeakHashMap[SparkSession, IndexMap],
+      spark: SparkSession): IndexMap = cache.synchronized {
+    var m = cache.get(spark)
+    if (m == null) { m = new IndexMap(); cache.put(spark, m) }
+    m
+  }
 
   /** Unpersist and drop every cached index (both caches, all sessions).
     * Call when a session is being stopped or tests want a cold start. */
   def clearCaches(): Unit = {
     import scala.jdk.CollectionConverters._
-    (sigCache.values.asScala ++ pairCache.values.asScala).foreach { df =>
-      try df.unpersist(false) catch { case _: Throwable => () }
+    Seq(sigCache, pairCache).foreach { cache =>
+      cache.synchronized {
+        cache.values.asScala.flatMap(_.values.asScala).foreach { df =>
+          try df.unpersist(false) catch { case _: Throwable => () }
+        }
+        cache.clear()
+      }
     }
-    sigCache.clear(); pairCache.clear()
   }
 
   def dedupGroups(spark: SparkSession, dir: String,
       maxIters: Int = 20, driverUnionFindMax: Long = 4000000L): DataFrame = {
-    val pairs = pairCache.computeIfAbsent(s"${sessKey(spark)}#$dir", { _ =>
+    val pairs = forSession(pairCache, spark).computeIfAbsent(dir, { _ =>
       val p = dedupMinhashLsh(spark, dir)
         .select(col("doc_a"), col("doc_b")).persist()
       p.count() // materialize the index once

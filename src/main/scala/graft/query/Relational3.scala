@@ -12,11 +12,34 @@ import graft.schema.Schemas.table
   */
 object Relational3 {
 
-  // one bucketed copy of (orders, customer) per (session, sf dir) — the
+  // One bucketed copy of (orders, customer) per (session, sf dir) — the
   // engine's "table layout" the way a warehouse would maintain it: paid
-  // once at load time, amortized over every co-located join after
-  private val bucketTables =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  // once at load time, amortized over every co-located join after.
+  // Keyed on the session OBJECT (WeakHashMap: collision-free, entries drop
+  // when the session is unreachable — an identity-hash/string-hash key
+  // could collide or be reused and silently point two sessions at each
+  // other's catalog tables). Table-name suffixes come from a monotonic
+  // counter (never from hashCode), and temp layout dirs are deleted by a
+  // JVM shutdown hook.
+  private val bucketTables = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, (String, String)]]()
+  private val bucketSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val bucketDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      bucketDirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val p = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-bucket-layout-cleanup"))
+  }
 
   /** Bucketed co-located join: orders and customer both bucketed (and
     * sort-ordered) on the join key into the same bucket count, so the
@@ -25,12 +48,20 @@ object Relational3 {
     * this is THE pattern for recurring fact-dim joins on a stable key:
     * the shuffle happens once at write time, not per query. */
   def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val key = System.identityHashCode(spark).toHexString + "#" + dir
-    val (ordersT, customerT) = bucketTables.computeIfAbsent(key, { _ =>
-      val suffix = Integer.toHexString(key.hashCode & 0x7FFFFFFF)
+    val perSession = bucketTables.synchronized {
+      var m = bucketTables.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+        bucketTables.put(spark, m)
+      }
+      m
+    }
+    val (ordersT, customerT) = perSession.computeIfAbsent(dir, { _ =>
+      val suffix = bucketSeq.incrementAndGet().toString
       val (to, tc) = (s"orders_bkt_$suffix", s"customer_bkt_$suffix")
       val pO = java.nio.file.Files.createTempDirectory("graft_bkt_orders").toString
       val pC = java.nio.file.Files.createTempDirectory("graft_bkt_customer").toString
+      bucketDirs.add(pO); bucketDirs.add(pC)
       // repartition on the bucket key first: each write task then holds
       // exactly one bucket (repartition and bucketBy share the murmur3
       // hash), giving ONE file per bucket — a multi-file bucket would
@@ -90,11 +121,15 @@ object Relational3 {
     * cume_dist, ntile over the order-line sequence, plus nth_value and
     * last_value over the full-partition frame. */
   def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
-    // order by the full unique key (this lineitem has duplicate line
+    // order by a unique full key (this lineitem has duplicate line
     // numbers per order): ntile / nth_value / last_value are
-    // position-dependent, so an ambiguous ORDER BY is engine-dependent
+    // position-dependent, so an ambiguous ORDER BY is engine-dependent.
+    // l_quantity is appended as an extra tie-breaker dimension and a spec
+    // asserts the whole ORDER BY key is unique in the generated data —
+    // the determinism contract is tested, not assumed.
     val w = Window.partitionBy(col("l_orderkey"))
-      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
     val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),

@@ -25,14 +25,23 @@ object StreamQueries {
   private val eventsSchema = StructType.fromDDL(
     "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
 
-  private def streamEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
+  private def streamEvents(spark: SparkSession, dir: String,
+      singleBatch: Boolean = false): DataFrame = {
+    val reader = spark.readStream
       .schema(eventsSchema)
       // FileStreamSource wants a directory: stream the sf dir, filtered to
       // the events file (a Kafka source swaps in here via StreamTransport)
       .option("pathGlobFilter", "events.parquet")
+    // singleBatch pins the whole drain into ONE micro-batch (AvailableNow
+    // otherwise splits multi-file input by maxFilesPerTrigger, advancing
+    // the watermark between batches) — required where a query's
+    // batch-equivalence contract assumes empty initial state, e.g.
+    // dropDuplicatesWithinWatermark == SELECT DISTINCT.
+    (if (singleBatch) reader.option("maxFilesPerTrigger", Int.MaxValue)
+     else reader)
       .parquet(dir)
       .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
+  }
 
   /** Run `build(stream)` to completion (AvailableNow drain into a memory
     * sink) and return the final result as a batch DataFrame.
@@ -45,21 +54,28 @@ object StreamQueries {
     * state, partition count IS the dominant commit cost. At production
     * keyspaces this knob scales up with throughput, not down. */
   private def drain(spark: SparkSession, streamed: DataFrame,
-      mode: OutputMode, statePartitions: Int = 8): DataFrame = {
-    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      val q = streamed.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
-  }
+      mode: OutputMode, statePartitions: Int = 8): DataFrame =
+    // serialize on the session: the shuffle-partition override below is
+    // session-global, so two interleaved drains could leave the session at
+    // the streaming setting (or plan one drain under the other's). The
+    // lock closes the drain-vs-drain race; an unrelated BATCH query racing
+    // a drain on the same session would still plan under the override —
+    // callers wanting full isolation pass a dedicated session.
+    spark.synchronized {
+      val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      try {
+        val q = streamed.writeStream
+          .outputMode(mode)
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.table(name)
+    }
 
   /** Event-time tumbling-window aggregation with a watermark — count and
     * sum of `value` per (hour window, event_type). Full-drain result ==
@@ -81,11 +97,14 @@ object StreamQueries {
     * doesn't see in the key set), the WithinWatermark variant stamps each
     * state entry with event time and evicts it once the watermark passes,
     * so state is genuinely bounded by the 24h horizon at scale. Duplicates
-    * arriving within the horizon are dropped; the full single-file drain
-    * (one micro-batch, empty initial state) equals batch SELECT DISTINCT —
-    * the oracle. */
+    * arriving within the horizon are dropped; the drain is PINNED to one
+    * micro-batch (singleBatch — empty initial state, watermark never
+    * advances mid-drain), so it equals batch SELECT DISTINCT — the oracle.
+    * Without the pin, a multi-file source could split the drain, advance
+    * the watermark between batches, evict a key, and re-emit its late
+    * duplicate. */
   def streamDedupKeys(spark: SparkSession, dir: String): DataFrame = {
-    val deduped = streamEvents(spark, dir)
+    val deduped = streamEvents(spark, dir, singleBatch = true)
       .withWatermark("ts", "24 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))

@@ -99,6 +99,17 @@ class Relational3Spec extends SparkSpec {
     }
   }
 
+  test("window_distribution: ORDER BY key is unique per partition (determinism contract)") {
+    // position-dependent window functions (ntile / nth_value / last_value)
+    // are engine-dependent under ORDER BY ties — assert the generated data
+    // honors the uniqueness the query's determinism relies on
+    val li = graft.schema.Schemas.table(spark, sf, "lineitem")
+    val dups = li.groupBy($"l_orderkey", $"l_linenumber", $"l_partkey",
+        $"l_suppkey", $"l_quantity")
+      .agg(count(lit(1)).as("n")).filter($"n" > 1).count()
+    assert(dups == 0, s"$dups duplicate ORDER BY keys in lineitem")
+  }
+
   test("f_fuzzy_match: (brand, size, length-band) block sizes stay bounded") {
     // the scale contract: blocks bound the levenshtein candidate set, so
     // block size must be O(1) in corpus size. Assert the bound on the
