@@ -177,13 +177,18 @@ object Relational3 {
     * qualifying event (the product-analytics funnel semantic — an
     * unbounded funnel saturates on any active user), then users per
     * stage. Three conditional-aggregate rounds, each keyed on user_id —
-    * on a cluster the three shuffles collapse onto one hash-partitioning
-    * that Catalyst reuses across the joins. */
+    * the event scan is hash-partitioned on user_id ONCE up front, so
+    * every stage's aggregate and join finds its required distribution
+    * already satisfied, and the four consumers of the identical
+    * repartitioned subtree collapse to one physical shuffle via
+    * ReusedExchange (PlanSpec asserts it): the data crosses the wire
+    * once, not per stage. */
   def windowFunnel(spark: SparkSession, dir: String,
       windowMinutes: Int = 30): DataFrame = {
     val deadline = expr(s"INTERVAL $windowMinutes MINUTES")
     val ev = graft.schema.Schemas.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
+      .repartition(col("user_id"))
     val t1 = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
     val t2 = ev.join(t1, Seq("user_id"))

@@ -126,7 +126,15 @@ object Similarity {
 
   /** IVF top-k: assign every vector to its nearest of `nCells` centroids
     * (KMeans, deterministic seed); at query time probe the `nProbe`
-    * centroids nearest to the query and re-rank exactly within them. */
+    * centroids nearest to the query and re-rank exactly within them.
+    *
+    * Correctness witness note: this query stays rows-only in the driver
+    * gate BY DESIGN — the cell assignment depends on Spark ML KMeans
+    * internals no SQL engine replays. The oracle-exact ANN witness is
+    * [[lshTopK]] (hash-exact vs DuckDB); IVF's contract is pinned by
+    * specs instead: nProbe = nCells degenerates to exactly the brute-force
+    * top-k, and partial probes return only probed-cell ids (recall@k
+    * behavior) — see NorthStarSpec "ann IVF". */
   def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val model = quantizer(spark, dir, nCells)

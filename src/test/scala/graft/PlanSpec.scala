@@ -80,6 +80,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("count"), p)
   }
 
+  test("window_funnel: user_id repartition is reused across stages (no redundant shuffle)") {
+    val df = graft.query.Relational3.windowFunnel(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    // the same stage sub-pipelines feed both the next stage and the final
+    // left joins — the up-front repartition makes those subtrees identical
+    // so the physical plan dedupes them instead of re-shuffling
+    assert(executed.contains("ReusedExchange"), executed.take(4000))
+  }
+
   test("a1 mean impute: 1-row aggregate broadcast, fact side unshuffled") {
     val p = plan(Relational.a1MeanImpute(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
