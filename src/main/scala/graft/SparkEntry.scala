@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.ScalarFunctions
-import graft.query.{Dedup, Endpoints, Multimodal, Relational, Relational2, Relational3, Similarity, TextAnalysis}
+import graft.query.{Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -188,6 +188,14 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Relational3.textFeatureHashing(s, d)),
     "ann_lsh_topk"           ->
       ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    // round 4: training-data pipeline operators
+    "decontaminate_ngram"    ->
+      ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
+    "pack_sequences"         ->
+      ((s: SparkSession, d: String) => Pipeline.packSequences(s, d)),
+    "train_test_split"       -> Pipeline.trainTestSplit _,
+    "class_weights"          -> Pipeline.classWeights _,
+    "text_repetition"        -> Pipeline.textRepetition _,
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
     "multimodal_batch_decode" -> Multimodal.multimodalBatchDecode _,
@@ -1084,6 +1092,99 @@ object SparkEntry {
         |  CAST(CAST('0x' || substr(md5(text || ':1'), 1, 15) AS BIGINT)
         |    % 1000000 AS DOUBLE) / 1000000.0 AS f1
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "decontaminate_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), ftoks AS (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST('0x' || substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])),
+        |      1, 15) AS BIGINT) AS h
+        |  FROM ftoks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+        |), df AS (
+        |  SELECT h FROM grams WHERE doc_id % 37 <> 0
+        |  GROUP BY h HAVING count(*) <= 50
+        |), tr AS (
+        |  SELECT g.doc_id, g.h FROM grams g JOIN df ON g.h = df.h
+        |  WHERE g.doc_id % 37 <> 0
+        |), ev AS (SELECT doc_id, h FROM grams WHERE doc_id % 37 = 0),
+        |evn AS (SELECT doc_id, count(*) AS ng FROM ev GROUP BY doc_id),
+        |ov AS (
+        |  SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+        |    count(*) AS n_shared
+        |  FROM tr JOIN ev ON tr.h = ev.h GROUP BY 1, 2
+        |)
+        |SELECT ov.train_doc, ov.eval_doc, ov.n_shared,
+        |  CAST(ov.n_shared AS DOUBLE) / evn.ng AS eval_frac
+        |FROM ov JOIN evn ON evn.doc_id = ov.eval_doc
+        |WHERE ov.n_shared >= 2
+        |ORDER BY train_doc, eval_doc""".stripMargin,
+    "pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+        |    AS BIGINT) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tok,
+        |    CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_excl
+        |  FROM d
+        |)
+        |SELECT cum_excl // 256 AS bin_id, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY bin_id""".stripMargin,
+    "train_test_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+        |    AS BIGINT) AS tok,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |        || ':split'), 1, 15) AS BIGINT) % 10 < 8 THEN 'train'
+        |      WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |        || ':split'), 1, 15) AS BIGINT) % 10 = 8 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents
+        |)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(sum(tok) AS DOUBLE) / count(*) AS REAL) AS avg_tokens
+        |FROM d GROUP BY split ORDER BY split""".stripMargin,
+    "class_weights" ->
+      """WITH cc AS (
+        |  SELECT event_type, count(*) AS n_class FROM events
+        |  GROUP BY event_type
+        |), tot AS (
+        |  SELECT count(*) AS n_total,
+        |    count(DISTINCT event_type) AS n_classes
+        |  FROM events
+        |)
+        |SELECT e.event_id, e.event_type,
+        |  CAST(tot.n_total AS DOUBLE) / (tot.n_classes * cc.n_class)
+        |    AS weight
+        |FROM events e JOIN cc ON cc.event_type = e.event_type, tot
+        |WHERE e.event_id < 100
+        |ORDER BY e.event_id""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), ftoks AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+        |grams AS (
+        |  SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS g
+        |  FROM ftoks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  count(DISTINCT g) AS n_distinct,
+        |  1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS repetition
+        |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "multimodal_batch_decode" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS INT) AS payload_bytes,

@@ -1,0 +1,152 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas.table
+
+/** Training-data pipeline operators beyond the reference surface (SURVEY
+  * §7.7 north-star extensions): benchmark decontamination, sequence
+  * packing, deterministic splits, class rebalancing, and intra-document
+  * repetition scoring. Every operator is DuckDB-oracle exact and designed
+  * for the 100 TB rule — bounded shuffle keys, ids-only candidate flows,
+  * no driver materialization.
+  */
+object Pipeline {
+
+  /** Benchmark decontamination: find training documents sharing ≥
+    * `minOverlap` distinct word n-grams with any eval-set document — the
+    * standard n-gram-collision contamination check run before every
+    * training run (eval set here: doc_id % 37 == 0, a stand-in for a
+    * benchmark suite).
+    *
+    * Scale design: documents explode to (doc_id, gram-hash60) longs —
+    * the join key is the 60-bit gram hash, uniform by construction. Grams
+    * with training document-frequency > `maxDf` are dropped first
+    * (stop-gram filter): frequent grams carry no contamination signal and
+    * are exactly the keys whose join fanout would blow up O(df_train ×
+    * df_eval) — the filter bounds per-key work at any corpus size. The
+    * df aggregate, the stop-gram semi-join, and the train↔eval join all
+    * hash-partition on the same gram-hash column, so the exchange is
+    * reused; only (doc_id, h) longs ever shuffle, never text. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 3,
+      maxDf: Long = 50L, minOverlap: Long = 2L): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+    val grams = toks
+      .select(col("doc_id"),
+        explode(Dedup.shinglesFromTokens(col("t"), n)).as("g"))
+      .select(col("doc_id"), Dedup.hash60(col("g")).as("h"))
+      .distinct()
+    val isEval = col("doc_id") % 37 === 0
+    val trainG = grams.filter(!isEval)
+    val evalG = grams.filter(isEval)
+    val keep = trainG.groupBy(col("h"))
+      .agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") <= maxDf)
+      .select(col("h"))
+    val evalSizes = evalG.groupBy(col("doc_id").as("eval_doc"))
+      .agg(count(lit(1)).as("ng"))
+    trainG.join(keep, Seq("h"))
+      .join(evalG.withColumnRenamed("doc_id", "eval_doc"), Seq("h"))
+      .groupBy(col("doc_id").as("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+      .join(broadcast(evalSizes), Seq("eval_doc"))
+      .select(col("train_doc"), col("eval_doc"), col("n_shared"),
+        (col("n_shared").cast("double") / col("ng")).as("eval_frac"))
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
+  /** Greedy contiguous sequence packing: assign documents (in doc_id
+    * order) to fixed token-budget bins — the context-window packing step
+    * of an LLM training pipeline; a doc starts in the bin where its
+    * running token offset lands. Per-bin stats out.
+    *
+    * Scale design: the global running token sum uses the same two-level
+    * trick as s9BatchAssign — per-bucket token sums (bucket = doc_id
+    * value range), a prefix-sum window over the n/bucketWidth-row
+    * histogram (never the data), broadcast offsets, and parallel
+    * within-bucket windows bounded by bucketWidth rows. Bin assignment is
+    * integer division — exact on both engines at any magnitude. */
+  def packSequences(spark: SparkSession, dir: String, budget: Long = 256L,
+      bucketWidth: Long = 1024L): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("tok"))
+      .withColumn("bucket", floor(col("doc_id") / bucketWidth))
+    val offsets = d.groupBy(col("bucket")).agg(sum(col("tok")).as("bt"))
+      .withColumn("off",
+        coalesce(sum(col("bt")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_excl",
+        col("off") + coalesce(sum(col("tok")).over(wLocal), lit(0L)))
+      .withColumn("bin_id", expr(s"cum_excl div $budget"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin_id"))
+  }
+
+  /** Deterministic train/val/test split (80/10/10) by md5 of the doc id —
+    * reproducible across engines, runs, and partitionings (never rand()),
+    * the split every downstream training job re-derives instead of
+    * storing. Emits per-split size/token stats. Map-only until the final
+    * 3-row aggregate. */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val m = Dedup.hash60(concat(col("doc_id").cast("string"), lit(":split"))) % 10
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("tok"),
+        when(m < 8, "train").when(m === 8, "val").otherwise("test")
+          .as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        (sum(col("tok")).cast("double") / count(lit(1)))
+          .cast("float").as("avg_tokens"))
+      .orderBy(col("split"))
+  }
+
+  /** Class rebalancing weights: inverse-frequency weight per event_type
+    * (total / (n_classes · class_count)) attached to each row — the
+    * loss-reweighting input for skewed label mixes. The per-class count
+    * table and the scalar totals are broadcast (5 rows + 1 row); the fact
+    * scan is never shuffled. */
+  def classWeights(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("event_type"))
+    val classCounts = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_class"))
+    val totals = ev.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("event_type")).as("n_classes"))
+    ev.filter(col("event_id") < 100)
+      .join(broadcast(classCounts), Seq("event_type"))
+      .crossJoin(broadcast(totals))
+      .select(col("event_id"), col("event_type"),
+        (col("n_total").cast("double")
+          / (col("n_classes") * col("n_class"))).as("weight"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Intra-document repetition score: 1 − distinct/total word bigrams —
+    * the boilerplate/degenerate-text detector (high repetition ⇒ template
+    * or generation-loop content). One explode + one per-doc aggregate;
+    * grams never leave their doc's partition group. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(Dedup.shinglesFromTokens(col("t"), 2)).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("g")).as("n_distinct"))
+      .withColumn("repetition",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+}

@@ -80,10 +80,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("count"), p)
   }
 
+  test("pack_sequences: no single-partition exchange over the data (only the histogram)") {
+    val p = plan(graft.query.Pipeline.packSequences(spark, sf))
+    val single = "SinglePartition".r.findAllIn(p).size
+    assert(single == 1, s"expected 1 SinglePartition exchange, got $single")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("window_funnel: user_id repartition is reused across stages (no redundant shuffle)") {
-    val df = graft.query.Relational3.windowFunnel(spark, sf)
-    df.collect()
-    val executed = df.queryExecution.executedPlan.toString
+    // plan+execute under the session lock the streaming drains hold: a
+    // concurrently-running StreamingSpec drain overrides
+    // spark.sql.shuffle.partitions session-wide, and a funnel planned
+    // mid-drain gets mixed partition counts across its exchanges — the
+    // subtrees then aren't identical and can't dedupe
+    val executed = spark.synchronized {
+      val df = graft.query.Relational3.windowFunnel(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
     // the same stage sub-pipelines feed both the next stage and the final
     // left joins — the up-front repartition makes those subtrees identical
     // so the physical plan dedupes them instead of re-shuffling
