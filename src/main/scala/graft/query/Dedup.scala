@@ -376,32 +376,21 @@ object Dedup {
     * from table statistics instead. */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String,
       threshold: Double = 0.4, numTables: Int = 16,
-      bucketTarget: Long = 32L, dim: Int = 64): DataFrame = {
+      bucketTarget: Long = 32L): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
+    graft.functions.SignLshSigs.register(spark)
     val base = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val n = base.count()
     var r = 1
     while (bucketTarget * (1L << r) < n) r += 1
-    def planeArr(t: Int, i: Int): Column = array(
-      Array.tabulate(dim) { j =>
-        lit(graft.functions.SimHashImpl.hash60(s"$t:$i:$j".getBytes("UTF-8"))
-          .toDouble / 576460752303423488.0 - 1.0) // 2^59
-      }.toIndexedSeq: _*)
-    val withPlanes = base.select(
-      col("vec_id") +: col("embedding") +:
-        (for { t <- 0 until numTables; i <- 0 until r }
-          yield planeArr(t, i).as(s"pl_${t}_$i")): _*)
-    val sigStructs = (0 until numTables).map { t =>
-      val sig = (0 until r).map { i =>
-        when(expr(s"float_dot(embedding, pl_${t}_$i)") >= 0, lit(1L << i))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), sig.as("sig"))
-    }
-    val sigs = withPlanes
-      .select(col("vec_id"), explode(array(sigStructs: _*)).as("ts"))
-      .select(col("vec_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    // ONE codegen'd expression computes all numTables·r plane dots per
+    // row (SignLshSigs) — no literal plane arrays in the plan, no
+    // per-plane expression evaluation
+    val sigs = base
+      .select(col("vec_id"),
+        posexplode(expr(s"sign_lsh_sigs(embedding, $numTables, $r)"))
+          .as(Seq("t", "sig")))
     val cand = sigs.as("a")
       .join(sigs.as("b"), Seq("t", "sig"))
       .filter(col("a.vec_id") < col("b.vec_id"))
