@@ -508,7 +508,10 @@ object Relational2 {
       .groupBy(col("event_type"))
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id")).as("approx_users_raw"),
+        // rsd 0.01: the sketch's own precision must sit well inside the
+        // 5% contract below — the default 0.05 rsd can exceed 5% observed
+        // error on individual groups (seen at sf0.1)
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users_raw"),
         expr("percentile(value, 0.5)").cast("float").as("exact_p50"),
         percentile_approx(col("value"), lit(0.5), lit(1000))
           .cast("float").as("approx_p50_raw"))
