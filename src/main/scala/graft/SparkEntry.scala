@@ -188,6 +188,11 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Relational3.textFeatureHashing(s, d)),
     "ann_lsh_topk"           ->
       ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    // round 4: temporal dimension ops
+    "scd2_versions"          ->
+      ((s: SparkSession, d: String) => Relational3.scd2Versions(s, d)),
+    "scd2_asof_lookup"       ->
+      ((s: SparkSession, d: String) => Relational3.scd2AsofLookup(s, d)),
     // round 4: training-data pipeline operators
     "decontaminate_ngram"    ->
       ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
@@ -1092,6 +1097,50 @@ object SparkEntry {
         |  CAST(CAST('0x' || substr(md5(text || ':1'), 1, 15) AS BIGINT)
         |    % 1000000 AS DOUBLE) / 1000000.0 AS f1
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "scd2_versions" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, ts FROM events
+        |  WHERE user_id < 20
+        |), marked AS (
+        |  SELECT *, lag(event_type) OVER w AS prev_type
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM marked
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |), versioned AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER w2 AS INT) AS version_n,
+        |    event_type AS attr, ts AS valid_from,
+        |    lead(ts) OVER w2 AS valid_to
+        |  FROM changes
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, version_n, attr, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM versioned ORDER BY user_id, version_n""".stripMargin,
+    "scd2_asof_lookup" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, ts FROM events
+        |  WHERE user_id < 20
+        |), marked AS (
+        |  SELECT *, lag(event_type) OVER w AS prev_type
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM marked
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |), versioned AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER w2 AS INT) AS version_n,
+        |    event_type AS attr, ts AS valid_from,
+        |    lead(ts) OVER w2 AS valid_to
+        |  FROM changes
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT e.event_id, e.user_id, v.version_n, v.attr
+        |FROM ev e JOIN versioned v
+        |  ON v.user_id = e.user_id AND v.valid_from <= e.ts
+        |  AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+        |ORDER BY e.event_id""".stripMargin,
     "decontaminate_ngram" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(

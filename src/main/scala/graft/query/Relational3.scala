@@ -240,6 +240,56 @@ object Relational3 {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("doc_id"), col("feature_idx"))
 
+  /** SCD2 dimension build: compress each user's event-type stream into
+    * slowly-changing-dimension type-2 version rows — consecutive equal
+    * attribute values collapse, each change opens a version with
+    * [valid_from, valid_to) effectivity and the open version flagged
+    * current. The warehouse dimension-maintenance idiom as two window
+    * passes per entity partition; at 100 TB both windows partition on the
+    * entity key (one shuffle, bounded per-entity groups), nothing global.
+    * user_id < 20 bounds the declared output; the operator itself takes
+    * any entity/attribute pair. */
+  def scd2Versions(spark: SparkSession, dir: String,
+      maxUser: Long = 20L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .filter(col("user_id") < maxUser)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .select(col("user_id"),
+        row_number().over(w).as("version_n"),
+        col("event_type").as("attr"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("version_n"))
+  }
+
+  /** Temporal (as-of) dimension lookup: join each event to the SCD2
+    * version effective at its timestamp — the point-in-time enrichment
+    * every feature pipeline needs (training labels must see the dimension
+    * AS OF the event, never the current row). Equi-join on the entity key
+    * with the effectivity range as an in-join predicate: per-entity
+    * version chains are short, so the range check multiplies bounded
+    * work — never a cartesian. */
+  def scd2AsofLookup(spark: SparkSession, dir: String,
+      maxUser: Long = 20L): DataFrame = {
+    val v = scd2Versions(spark, dir, maxUser)
+      .select(col("user_id").as("v_user"), col("version_n"), col("attr"),
+        col("valid_from"), col("valid_to"))
+    graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .filter(col("user_id") < maxUser)
+      .join(v, col("user_id") === col("v_user") &&
+        col("valid_from") <= col("ts") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("version_n"), col("attr"))
+      .orderBy(col("event_id"))
+  }
+
   /** Fuzzy string matching: edit-distance near-matches of part names via
     * multi-pass blocked record linkage. Block key = (brand, size, length
     * band): composing the attribute key with a name-length band keeps

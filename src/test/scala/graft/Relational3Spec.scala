@@ -99,6 +99,40 @@ class Relational3Spec extends SparkSpec {
     }
   }
 
+  test("scd2_versions: contiguous versions, chaining effectivity, one current per user") {
+    val rows = Relational3.scd2Versions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (uid, vs) =>
+      val sorted = vs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to vs.length), s"user $uid")
+      // consecutive versions always change the attribute
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(2) != b.getString(2), s"user $uid no-op version")
+          // valid_to of one version == valid_from of the next (no gaps)
+          assert(a.getTimestamp(4) == b.getTimestamp(3), s"user $uid gap")
+        case _ =>
+      }
+      assert(sorted.count(_.getBoolean(5)) == 1, s"user $uid current count")
+      assert(sorted.last.getBoolean(5) && sorted.last.isNullAt(4))
+    }
+  }
+
+  test("scd2_asof_lookup: every event resolves to exactly one version with its own type") {
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .filter($"user_id" < 20)
+      .select($"event_id", $"event_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val looked = Relational3.scd2AsofLookup(spark, sf).collect()
+    assert(looked.length == ev.size, "an event missed or matched >1 version")
+    looked.foreach { r =>
+      // the version effective at an event's timestamp carries the event's
+      // own attribute value (the last change at or before it is itself or
+      // an earlier equal value)
+      assert(r.getString(3) == ev(r.getLong(0)), s"event ${r.getLong(0)}")
+    }
+  }
+
   test("window_distribution: ORDER BY key is unique per partition (determinism contract)") {
     // position-dependent window functions (ntile / nth_value / last_value)
     // are engine-dependent under ORDER BY ties — assert the generated data
