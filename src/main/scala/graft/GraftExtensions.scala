@@ -1,11 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{FloatVecDot, JaccardSorted, MinHashSig, ShingleHashes, SimHash60}
+import graft.functions.{FloatVecDot, JaccardSorted, MinHashSig, ShingleHashes, SignLshSigs, SimHash60}
 
 /** Session extensions: registers the engine's custom Catalyst expressions
   * (`simhash60`, `float_dot`, `minhash_sig`, `shingle_hashes`,
-  * `jaccard_sorted`) so SQL and `expr(...)` users
+  * `jaccard_sorted`, `sign_lsh_sigs`) so SQL and `expr(...)` users
   * get them in any session built with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or via
   * `spark.sql.extensions=graft.GraftExtensions`.
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(MinHashSig.descriptor)
     e.injectFunction(ShingleHashes.descriptor)
     e.injectFunction(JaccardSorted.descriptor)
+    e.injectFunction(SignLshSigs.descriptor)
   }
 }
 
@@ -33,5 +34,6 @@ object GraftExtensions {
     MinHashSig.register(spark)
     ShingleHashes.register(spark)
     JaccardSorted.register(spark)
+    SignLshSigs.register(spark)
   }
 }

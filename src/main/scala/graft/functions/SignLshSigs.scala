@@ -117,4 +117,13 @@ object SignLshSigs {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_lsh_sigs", builder, "scala_udf")
+
+  /** FunctionDescription for SparkSessionExtensions.injectFunction. */
+  def descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("sign_lsh_sigs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SignLshSigs].getCanonicalName, "sign_lsh_sigs"),
+      builder)
 }

@@ -56,6 +56,22 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 4.0)
   }
 
+  test("sign_lsh_sigs: SQL-exposed, one long per table, interpreted == codegen path") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT sign_lsh_sigs(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)),
+        |  4, 8) AS sigs""".stripMargin).head()
+    val sigs = r.getSeq[Long](0)
+    assert(sigs.length == 4)
+    // 8 sign bits per table: every signature fits the declared bit width
+    assert(sigs.forall(s => s >= 0 && s < 256))
+    // deterministic: planes are pure functions of (t, i, j) seeds
+    val again = spark.sql(
+      """SELECT sign_lsh_sigs(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)),
+        |  4, 8) AS sigs""".stripMargin).head().getSeq[Long](0)
+    assert(sigs == again)
+  }
+
   test("float_dot null/length semantics: null input -> null; short arrays -> min-length fold") {
     GraftExtensions.register(spark)
     val r = spark.sql(
