@@ -88,16 +88,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("window_funnel: user_id repartition is reused across stages (no redundant shuffle)") {
-    // plan+execute under the session lock the streaming drains hold: a
-    // concurrently-running StreamingSpec drain overrides
-    // spark.sql.shuffle.partitions session-wide, and a funnel planned
-    // mid-drain gets mixed partition counts across its exchanges — the
-    // subtrees then aren't identical and can't dedupe
-    val executed = spark.synchronized {
-      val df = graft.query.Relational3.windowFunnel(spark, sf)
-      df.collect()
-      df.queryExecution.executedPlan.toString
-    }
+    // assert on the STATIC physical plan of an isolated session clone with
+    // AQE off: under AQE the reuse is a runtime stage-cache decision whose
+    // printed form depends on stage-materialization timing (flaky to
+    // string-match), while the static ReuseExchangeAndSubquery rule is
+    // deterministic. The clone also isolates this plan from concurrent
+    // suites' session-conf overrides (streaming drains resize
+    // spark.sql.shuffle.partitions mid-flight).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val executed = graft.query.Relational3.windowFunnel(s2, sf)
+      .queryExecution.executedPlan.toString
     // the same stage sub-pipelines feed both the next stage and the final
     // left joins — the up-front repartition makes those subtrees identical
     // so the physical plan dedupes them instead of re-shuffling
