@@ -13,9 +13,10 @@ import org.apache.spark.sql.types.StructType
   *
   * Structured Streaming has no count trigger, so three faithful forms:
   *
-  *   1. [[assignBatches]] — batch emulation over an ordering column
-  *      (row_number window). Oracle-able; global window is single-partition,
-  *      so it is the small-data/verification path only.
+  *   1. [[assignBatches]] — batch emulation over a numeric ordering
+  *      column, scale-safe: two-level rank (value-range bucket histogram
+  *      + prefix-sum offsets + parallel within-bucket windows; the only
+  *      single-partition window runs over the histogram, never the data).
   *   2. [[assignBatchesArrivalOrder]] — the 100 TB path: per-partition
   *      counts + prefix-sum offsets, then a zipWithIndex-style map. The
   *      driver holds ONE long per partition (not rows); no global sort, no
@@ -38,16 +39,33 @@ object Batcher {
       totalRows: Long = 0L,
       cleanup: () => Unit = () => ())
 
-  /** (1) Oracle-able emulation: batch_id by row rank over `orderCol`.
-    * Cap: ranks past `maxBatches * batchSize` drop (consumer.py:60,80-82).
-    */
+  /** (1) Oracle-able emulation: batch_id by row rank over `orderCol`
+    * (must be numeric; ranks of tied values are order-arbitrary, so use a
+    * unique column). Cap: ranks past `maxBatches * batchSize` drop
+    * (consumer.py:60,80-82).
+    *
+    * Scale-safe global ranking without a single-partition sort: rows
+    * bucket by the VALUE range of `orderCol` (deterministic under any
+    * physical partitioning), a per-bucket histogram prefix-sums into
+    * bucket offsets (a window over n/bucketWidth tiny rows, broadcast
+    * back), and ranks are offset + within-bucket row_number (parallel
+    * windows, ≤ bucketWidth-ish rows each for dense-ish keys). */
   def assignBatches(df: DataFrame, orderCol: String, batchSize: Int,
-      maxBatches: Int): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
-    df.withColumn("rn", row_number().over(w))
+      maxBatches: Int, bucketWidth: Long = 4096L): DataFrame = {
+    val bucketed = df.withColumn("__bucket",
+      floor(col(orderCol) / bucketWidth))
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off",
+        coalesce(sum(col("__bn")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__off"))
+    val wLocal = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
+    bucketed.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("rn", col("__off") + row_number().over(wLocal))
       .withColumn("batch_id", floor((col("rn") - 1) / batchSize).cast("int"))
       .filter(col("batch_id") < maxBatches)
-      .drop("rn")
+      .drop("rn", "__bucket", "__off")
   }
 
   /** (2) Scale path: arrival-order (partition-major) batch assignment with

@@ -136,23 +136,15 @@ object Relational {
     * arrival-order streaming variant (no ordering column needed) lives in
     * [[graft.ingest.Batcher]]. */
   def s9BatchAssign(spark: SparkSession, dir: String,
-      bucketWidth: Long = 4096L): DataFrame = {
-    val ev = events(spark, dir).select(col("event_id"))
-      .withColumn("bucket", floor(col("event_id") / bucketWidth))
-    val offsets = ev.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
-      .withColumn("off",
-        coalesce(sum(col("bn")).over(Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket"), col("off"))
-    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("event_id"))
-    ev.join(broadcast(offsets), Seq("bucket"))
-      .withColumn("rn", col("off") + row_number().over(wLocal))
-      .withColumn("batch_id", floor((col("rn") - 1) / 1000).cast("int"))
+      bucketWidth: Long = 4096L): DataFrame =
+    graft.ingest.Batcher.assignBatches(
+        events(spark, dir).select(col("event_id")),
+        "event_id", batchSize = 1000, maxBatches = Int.MaxValue,
+        bucketWidth = bucketWidth)
       .groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
       .orderBy(col("batch_id"))
-  }
 
   /** S11: multi-file scan — several scans of the same schema unioned into
     * one DataFrame (spark_trainer/spark_trainer.py:43,46 reads a *list* of
