@@ -201,6 +201,11 @@ object SparkEntry {
     "train_test_split"       -> Pipeline.trainTestSplit _,
     "class_weights"          -> Pipeline.classWeights _,
     "text_repetition"        -> Pipeline.textRepetition _,
+    "skew_profile"           -> Pipeline.skewProfile _,
+    "quality_topk_per_lang"  ->
+      ((s: SparkSession, d: String) => Pipeline.qualityTopkPerLang(s, d)),
+    "corpus_mix_budget"      ->
+      ((s: SparkSession, d: String) => Pipeline.corpusMixBudget(s, d)),
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
     "multimodal_batch_decode" -> Multimodal.multimodalBatchDecode _,
@@ -1219,6 +1224,60 @@ object SparkEntry {
         |FROM events e JOIN cc ON cc.event_type = e.event_type, tot
         |WHERE e.event_id < 100
         |ORDER BY e.event_id""".stripMargin,
+    "skew_profile" ->
+      """WITH kc AS (SELECT user_id, count(*) AS n FROM events
+        |  GROUP BY user_id)
+        |SELECT CAST(length(bin(n)) - 1 AS INT) AS band,
+        |  count(*) AS n_keys, min(n) AS min_count, max(n) AS max_count,
+        |  CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM kc GROUP BY 1 ORDER BY band""".stripMargin,
+    "quality_topk_per_lang" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+        |      + least(((CAST(length(text) AS DOUBLE)
+        |          - CAST(length(text) - length(replace(text, ' ', ''))
+        |            AS DOUBLE))
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0,
+        |        1.0) * 0.3
+        |      + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |          AS DOUBLE)
+        |         / CAST(length(text) AS DOUBLE)) * 0.2 AS score
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT lang, doc_id, score, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY score DESC, doc_id) AS INT) AS rnk
+        |  FROM q
+        |)
+        |SELECT lang, rnk, doc_id, score FROM ranked
+        |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+    "corpus_mix_budget" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+        |      AS BIGINT) AS tok,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+        |      + least(((CAST(length(text) AS DOUBLE)
+        |          - CAST(length(text) - length(replace(text, ' ', ''))
+        |            AS DOUBLE))
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0,
+        |        1.0) * 0.3
+        |      + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |          AS DOUBLE)
+        |         / CAST(length(text) AS DOUBLE)) * 0.2 AS score
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER w AS INT) AS rnk,
+        |    CAST(sum(tok) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tok
+        |  FROM q WINDOW w AS (PARTITION BY source ORDER BY score DESC, doc_id)
+        |)
+        |SELECT source, doc_id, rnk, cum_tok FROM ranked
+        |WHERE cum_tok <= 1000 ORDER BY source, rnk""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(

@@ -157,6 +157,67 @@ object Pipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Key-skew profile: the distribution of per-key row counts in power-of-
+    * two bands — the diagnostic every 100 TB shuffle plan starts from (a
+    * heavy band at the top means salting or AQE skew handling; a flat
+    * profile means plain hash partitioning is fine). The band is computed
+    * by INTEGER arithmetic (length of the binary representation − 1 =
+    * floor(log2)) so both engines band identically — float log2 at an
+    * exact power-of-two boundary is engine-dependent. Two aggregations:
+    * per-key counts (one shuffle on the key), then the tiny band
+    * histogram. */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.schema.Schemas.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .withColumn("band", (length(bin(col("n"))) - 1).cast("int"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_keys"), min(col("n")).as("min_count"),
+        max(col("n")).as("max_count"), sum(col("n")).as("n_rows"))
+      .orderBy(col("band"))
+
+  /** Quality-based selection: the top `k` documents per language by the
+    * composite [[TextAnalysis.qualityScore]] — the "keep the best N per
+    * bucket" curation stage. Rank ties break on doc_id (scores are
+    * bit-identical cross-engine, but equal scores would otherwise order
+    * arbitrarily). Per-language windows: one shuffle on lang, bounded
+    * groups, and the rank filter cuts each partition to k rows before
+    * anything global. */
+  def qualityTopkPerLang(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** Corpus-mix curation under a token budget: per source, keep documents
+    * in quality order until the source's cumulative token count exceeds
+    * `budget` — how a training mix caps each source's contribution. One
+    * window pass per source partition (rank + running token sum, both
+    * ordered by (score desc, doc_id) for determinism); the budget filter
+    * is exact integer arithmetic. */
+  def corpusMixBudget(spark: SparkSession, dir: String,
+      budget: Long = 1000L): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(Dedup.tokens(col("text"))).cast("long").as("tok"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cum_tok",
+        sum(col("tok")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .filter(col("cum_tok") <= budget)
+      .select(col("source"), col("doc_id"), col("rnk"), col("cum_tok"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   /** Intra-document repetition score: 1 − distinct/total word bigrams —
     * the boilerplate/degenerate-text detector (high repetition ⇒ template
     * or generation-loop content). One explode + one per-doc aggregate;

@@ -11,9 +11,25 @@ import graft.schema.Schemas.table
   */
 object TextAnalysis {
 
-  /** Quality scoring: structural metrics + a composite score in [0,1]
-    * (length, token, word-shape ratios — the standard cheap pre-filter for
-    * LLM corpus cleaning). All arithmetic in double. */
+  /** Composite quality score in [0,1] of a text column (length, token,
+    * word-shape ratios — the standard cheap pre-filter for LLM corpus
+    * cleaning). All arithmetic in double; the operand order is fixed and
+    * mirrored literally by the oracles, so the doubles are bit-identical
+    * cross-engine (rankings on the score tie-break on doc_id anyway). */
+  def qualityScore(txt: Column): Column = {
+    val nChars = length(txt).cast("double")
+    val nToks = size(split(txt, " ")).cast("double")
+    val nSpaces = (length(txt) - length(regexp_replace(txt, " ", ""))).cast("double")
+    val avgTokLen = (nChars - nSpaces) / nToks
+    val alphaChars = length(regexp_replace(txt, "[^a-zA-Z]", "")).cast("double")
+    // composite: favor mid-length docs with wordlike tokens
+    least(nChars / lit(500.0), lit(1.0)) * lit(0.5) +
+      least(avgTokLen / lit(8.0), lit(1.0)) * lit(0.3) +
+      (alphaChars / nChars) * lit(0.2)
+  }
+
+  /** Quality scoring: structural metrics + the composite
+    * [[qualityScore]]. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
     val nChars = length(txt).cast("double")
@@ -28,10 +44,7 @@ object TextAnalysis {
         nToks.as("n_tokens"),
         avgTokLen.as("avg_token_len"),
         (alphaChars / nChars).as("alpha_ratio"),
-        // composite: favor mid-length docs with wordlike tokens
-        (least(nChars / lit(500.0), lit(1.0)) * lit(0.5)
-          + least(avgTokLen / lit(8.0), lit(1.0)) * lit(0.3)
-          + (alphaChars / nChars) * lit(0.2)).as("quality_score"))
+        qualityScore(txt).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 

@@ -64,6 +64,49 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("skew_profile: bands partition keys exactly, counts conserve rows") {
+    val ev = graft.schema.Schemas.events(spark, sf)
+    val totalRows = ev.count()
+    val totalKeys = ev.select($"user_id").distinct().count()
+    val bands = Pipeline.skewProfile(spark, sf).collect()
+    assert(bands.map(_.getLong(1)).sum == totalKeys)
+    assert(bands.map(_.getLong(4)).sum == totalRows)
+    bands.foreach { r =>
+      val (band, lo, hi) = (r.getInt(0), r.getLong(2), r.getLong(3))
+      // a band holds exactly the counts with floor(log2(n)) == band
+      assert(lo >= (1L << band) && hi < (1L << (band + 1)), r.toString)
+    }
+  }
+
+  test("quality_topk_per_lang: k per language, descending score, ties by doc_id") {
+    val out = Pipeline.qualityTopkPerLang(spark, sf, k = 5).collect()
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rows.length), lang)
+      assert(rows.length <= 5)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getDouble(3), b.getDouble(3))
+          assert(sa > sb || (sa == sb && a.getLong(2) < b.getLong(2)), lang)
+        case _ =>
+      }
+    }
+  }
+
+  test("corpus_mix_budget: per-source cumulative tokens within budget, prefix-closed") {
+    val out = Pipeline.corpusMixBudget(spark, sf, budget = 500L).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getInt(2))
+      // kept ranks are a prefix 1..m (never a gap: the running sum is
+      // monotone, so once over budget always over)
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to rows.length), src)
+      assert(sorted.last.getLong(3) <= 500L, src)
+      val cums = sorted.map(_.getLong(3))
+      assert(cums.sameElements(cums.sorted), src)
+    }
+  }
+
   test("text_repetition: score in [0,1), zero iff all bigrams distinct") {
     val rows = Pipeline.textRepetition(spark, sf).collect()
     assert(rows.nonEmpty)
