@@ -49,6 +49,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("assignBatches two-level rank == brute-force rank on arbitrary sparse keys") {
+    // the scale-safe bucket/offset plan must produce exactly the batch ids
+    // a global sort would, for any key distribution (gaps, clusters,
+    // negative-free sparse ids) and any bucketWidth — including widths
+    // that leave most buckets empty or cram everything into one
+    val keyGen = Gen.chooseNum(0L, 100000L)
+    for (width <- Seq(1L, 7L, 4096L, 1000000L)) {
+      val keys = samples(keyGen, 400).distinct
+      val df = keys.toDF("k").repartition(7) // scramble physical order
+      val got = Batcher.assignBatches(df, "k", batchSize = 50,
+          maxBatches = Int.MaxValue, bucketWidth = width)
+        .select($"k", $"batch_id").as[(Long, Int)].collect().toMap
+      val expected = keys.sorted.zipWithIndex
+        .map { case (k, i) => k -> i / 50 }.toMap
+      assert(got == expected, s"width=$width")
+    }
+  }
+
   test("F1 totality: to_float_or_zero never throws and never nulls on arbitrary strings") {
     val raw = samples(Gen.oneOf(
       Gen.alphaNumStr, Gen.numStr, Gen.asciiPrintableStr,
