@@ -206,6 +206,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Pipeline.qualityTopkPerLang(s, d)),
     "corpus_mix_budget"      ->
       ((s: SparkSession, d: String) => Pipeline.corpusMixBudget(s, d)),
+    "feature_binning"        ->
+      ((s: SparkSession, d: String) => Pipeline.featureBinning(s, d)),
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
     "multimodal_batch_decode" -> Multimodal.multimodalBatchDecode _,
@@ -1223,6 +1225,17 @@ object SparkEntry {
         |    AS weight
         |FROM events e JOIN cc ON cc.event_type = e.event_type, tot
         |WHERE e.event_id < 100
+        |ORDER BY e.event_id""".stripMargin,
+    "feature_binning" ->
+      """WITH bs AS (
+        |  SELECT quantile_cont(value,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b
+        |  FROM events
+        |)
+        |SELECT e.event_id, e.value,
+        |  CAST(len(list_filter(bs.b, x -> e.value > x)) + 1 AS INT) AS bin
+        |FROM events e, bs
+        |WHERE e.event_id < 2000
         |ORDER BY e.event_id""".stripMargin,
     "skew_profile" ->
       """WITH kc AS (SELECT user_id, count(*) AS n FROM events

@@ -218,6 +218,28 @@ object Pipeline {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** Equal-frequency (decile) discretization: bin a numeric feature by
+    * exact global decile boundaries — the feature-engineering binning
+    * step. Scale shape: the boundaries are ONE 9-element row (a single
+    * percentile aggregate) broadcast to the fact scan; the per-row bin is
+    * a 9-comparison fold — never a global ntile sort, which would be a
+    * single-partition window over the data. event_id < 2000 bounds the
+    * declared output; the binning itself is corpus-wide. */
+  def featureBinning(spark: SparkSession, dir: String,
+      maxId: Long = 2000L): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("value"))
+    val bounds = ev.agg(expr(
+      "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("b"))
+    ev.filter(col("event_id") < maxId)
+      .crossJoin(broadcast(bounds))
+      .select(col("event_id"), col("value"),
+        (size(filter(col("b"), x => col("value") > x)) + 1)
+          .cast("int").as("bin"))
+      .orderBy(col("event_id"))
+  }
+
   /** Intra-document repetition score: 1 − distinct/total word bigrams —
     * the boilerplate/degenerate-text detector (high repetition ⇒ template
     * or generation-loop content). One explode + one per-doc aggregate;

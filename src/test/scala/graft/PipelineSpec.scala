@@ -107,6 +107,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("feature_binning: 10 near-equal bins, monotone in value, broadcast plan") {
+    val df = Pipeline.featureBinning(spark, sf, maxId = Long.MaxValue)
+    // boundaries broadcast; no single-partition window anywhere
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    val rows = df.collect()
+    val n = rows.length
+    val byBin = rows.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+    assert(byBin.keySet == (1 to 10).toSet, byBin.toString)
+    // equal-frequency: every decile holds ~n/10 (ties can skew slightly)
+    byBin.values.foreach(c => assert(math.abs(c - n / 10.0) < n * 0.03))
+    // monotone: higher value never lands in a lower bin
+    val sorted = rows.sortBy(_.getDouble(1))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getInt(2) <= b.getInt(2))
+      case _ =>
+    }
+  }
+
   test("text_repetition: score in [0,1), zero iff all bigrams distinct") {
     val rows = Pipeline.textRepetition(spark, sf).collect()
     assert(rows.nonEmpty)
