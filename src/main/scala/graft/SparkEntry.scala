@@ -208,6 +208,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Pipeline.corpusMixBudget(s, d)),
     "feature_binning"        ->
       ((s: SparkSession, d: String) => Pipeline.featureBinning(s, d)),
+    "text_inverted_index"    ->
+      ((s: SparkSession, d: String) => TextAnalysis.textInvertedIndex(s, d)),
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
     "multimodal_batch_decode" -> Multimodal.multimodalBatchDecode _,
@@ -1226,6 +1228,22 @@ object SparkEntry {
         |FROM events e JOIN cc ON cc.event_type = e.event_type, tot
         |WHERE e.event_id < 100
         |ORDER BY e.event_id""".stripMargin,
+    "text_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents WHERE doc_id < 200
+        |), terms AS (
+        |  SELECT DISTINCT doc_id, unnest(t) AS term FROM toks
+        |), idx AS (
+        |  SELECT term, count(*) AS df,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |      AS postings
+        |  FROM terms GROUP BY term
+        |)
+        |SELECT term, df, postings FROM idx
+        |WHERE df BETWEEN 3 AND 150
+        |ORDER BY term""".stripMargin,
     "feature_binning" ->
       """WITH bs AS (
         |  SELECT quantile_cont(value,

@@ -206,4 +206,25 @@ object TextAnalysis {
         best.getField("score").as("lid_score"))
       .orderBy(col("doc_id"))
   }
+
+  /** Inverted-index build: term → document frequency + sorted posting
+    * list — the retrieval-side index a search/RAG pipeline materializes
+    * from the corpus. Postings emit as a comma-joined string (sorted
+    * doc ids) so the gate hash-compares them. Stop-terms (df > maxDf)
+    * and rare terms (df < minDf) are cut AFTER the aggregate — at scale
+    * that filter is what keeps posting lists bounded (the classic
+    * stopword cut), and the groupBy(term) shuffle carries (term,
+    * doc_id) pairs only, pre-combined map-side by the distinct. */
+  def textInvertedIndex(spark: SparkSession, dir: String,
+      maxDoc: Long = 200L, minDf: Long = 3L, maxDf: Long = 150L): DataFrame =
+    table(spark, dir, "documents")
+      .filter(col("doc_id") < maxDoc)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("postings"))
+      .filter(col("df").between(minDf, maxDf))
+      .orderBy(col("term"))
 }

@@ -129,6 +129,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("text_inverted_index: postings sorted, length == df, ids within corpus slice") {
+    val rows = graft.query.TextAnalysis.textInvertedIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (df, postings) = (r.getLong(1), r.getString(2).split(",").map(_.toLong))
+      assert(postings.length == df, r.getString(0))
+      assert(postings.sameElements(postings.sorted), r.getString(0))
+      assert(postings.distinct.length == postings.length, r.getString(0))
+      assert(postings.forall(id => id >= 0 && id < 200), r.getString(0))
+      assert(df >= 3 && df <= 150)
+    }
+  }
+
   test("text_repetition: score in [0,1), zero iff all bigrams distinct") {
     val rows = Pipeline.textRepetition(spark, sf).collect()
     assert(rows.nonEmpty)
