@@ -210,6 +210,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Pipeline.featureBinning(s, d)),
     "text_inverted_index"    ->
       ((s: SparkSession, d: String) => TextAnalysis.textInvertedIndex(s, d)),
+    "eval_confusion"         -> Pipeline.evalConfusion _,
+    "sample_topk_per_group"  ->
+      ((s: SparkSession, d: String) => Pipeline.sampleTopkPerGroup(s, d)),
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
     "multimodal_batch_decode" -> Multimodal.multimodalBatchDecode _,
@@ -1228,6 +1231,45 @@ object SparkEntry {
         |FROM events e JOIN cc ON cc.event_type = e.event_type, tot
         |WHERE e.event_id < 100
         |ORDER BY e.event_id""".stripMargin,
+    "eval_confusion" ->
+      """WITH types AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT)
+        |      AS idx
+        |  FROM (SELECT DISTINCT event_type FROM events)
+        |), kk AS (SELECT count(*) AS k FROM types),
+        |labeled AS (
+        |  SELECT e.event_id, e.event_type AS label, t.idx, kk.k,
+        |    CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+        |      || ':pred'), 1, 15) AS BIGINT) AS h
+        |  FROM events e JOIN types t ON t.event_type = e.event_type, kk
+        |), preds AS (
+        |  SELECT event_id, label,
+        |    CASE WHEN h % 20 < 15 THEN idx
+        |      ELSE (idx + 1 + (h % 20 - 15) % (k - 1)) % k END AS pidx
+        |  FROM labeled
+        |), named AS (
+        |  SELECT p.label, t2.event_type AS pred
+        |  FROM preds p JOIN types t2 ON t2.idx = p.pidx
+        |), cells AS (
+        |  SELECT label, pred, count(*) AS n FROM named GROUP BY 1, 2
+        |)
+        |SELECT label, pred, n,
+        |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY label) AS row_frac
+        |FROM cells ORDER BY label, pred""".stripMargin,
+    "sample_topk_per_group" ->
+      """WITH h AS (
+        |  SELECT event_type, event_id,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':smp'),
+        |      1, 15) AS BIGINT) AS hv
+        |  FROM events
+        |), ranked AS (
+        |  SELECT event_type, event_id, CAST(row_number() OVER (
+        |    PARTITION BY event_type ORDER BY hv, event_id) AS INT) AS rn
+        |  FROM h
+        |)
+        |SELECT event_type, rn, event_id FROM ranked
+        |WHERE rn <= 20 ORDER BY event_type, rn""".stripMargin,
     "text_inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(

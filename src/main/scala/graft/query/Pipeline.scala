@@ -240,6 +240,71 @@ object Pipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Model-evaluation surface: confusion matrix of a deterministic
+    * pseudo-classifier (md5-derived, 75% of rows keep their label, the
+    * rest rotate to another class by hash) against the event_type label,
+    * with per-label row fractions — the evaluation step of a training
+    * pipeline, all integer counting + one exact division, so the oracle
+    * hash-compares it. The class dictionary (5 rows) broadcasts; the
+    * fact scan aggregates map-side to k² cells. */
+  def evalConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("event_type"))
+    val types = ev.select(col("event_type")).distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy(col("event_type"))) - 1)
+          .cast("long"))
+    val k = types.agg(count(lit(1)).as("k"))
+    val h = Dedup.hash60(concat(col("event_id").cast("string"), lit(":pred")))
+    val labeled = ev.join(broadcast(types), Seq("event_type"))
+      .crossJoin(broadcast(k))
+      .withColumn("h", h)
+      .withColumn("pidx",
+        when(col("h") % 20 < 15, col("idx"))
+          .otherwise((col("idx") + 1
+            + (col("h") % 20 - 15) % (col("k") - 1)) % col("k")))
+    val predNames = types
+      .select(col("idx").as("pidx"), col("event_type").as("pred"))
+    val cells = labeled.join(broadcast(predNames), Seq("pidx"))
+      .groupBy(col("event_type").as("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+    val wl = Window.partitionBy(col("label"))
+    cells
+      .withColumn("row_frac",
+        col("n").cast("double") / sum(col("n")).over(wl))
+      .orderBy(col("label"), col("pred"))
+  }
+
+  /** Fixed-size deterministic sample per group — k rows per event_type in
+    * md5 order (uniform "random" but reproducible across engines, runs,
+    * and partitionings). Two-phase for scale: low-cardinality groups make
+    * a single per-group window one task per group over n/k rows, so
+    * phase 1 takes each (group, salt) slice's local top-k (parallel,
+    * bounded) and phase 2 re-ranks only the surviving salts·k candidate
+    * rows per group — provably the same rows as a single global window
+    * (every global top-k row is in its salt's local top-k; a spec
+    * cross-checks). */
+  def sampleTopkPerGroup(spark: SparkSession, dir: String,
+      k: Int = 20, salts: Int = 8): DataFrame = {
+    val h = Dedup.hash60(concat(col("event_id").cast("string"), lit(":smp")))
+    val base = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("event_type"))
+      .withColumn("h", h)
+      .withColumn("salt", col("h") % salts)
+    val w1 = Window.partitionBy(col("event_type"), col("salt"))
+      .orderBy(col("h"), col("event_id"))
+    val w2 = Window.partitionBy(col("event_type"))
+      .orderBy(col("h"), col("event_id"))
+    base
+      .withColumn("local_rn", row_number().over(w1))
+      .filter(col("local_rn") <= k)
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k)
+      .select(col("event_type"), col("rn").cast("int").as("rn"),
+        col("event_id"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
   /** Intra-document repetition score: 1 − distinct/total word bigrams —
     * the boilerplate/degenerate-text detector (high repetition ⇒ template
     * or generation-loop content). One explode + one per-doc aggregate;

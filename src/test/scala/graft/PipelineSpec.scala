@@ -142,6 +142,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("eval_confusion: counts conserve rows, fractions sum to 1, diagonal ~0.75") {
+    val ev = graft.schema.Schemas.events(spark, sf)
+    val total = ev.count()
+    val cells = Pipeline.evalConfusion(spark, sf).collect()
+    assert(cells.map(_.getLong(2)).sum == total)
+    cells.groupBy(_.getString(0)).foreach { case (label, rows) =>
+      val fracSum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(fracSum - 1.0) < 1e-9, s"$label fracs sum $fracSum")
+      val diag = rows.find(r => r.getString(1) == label).map(_.getDouble(3))
+      // the pseudo-classifier keeps the label on h%20 < 15 => 75% expected
+      assert(diag.exists(f => f > 0.70 && f < 0.80), s"$label diag $diag")
+    }
+  }
+
+  test("sample_topk_per_group: salted two-phase == single global window per group") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Pipeline.sampleTopkPerGroup(spark, sf, k = 15, salts = 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    // independent single-window reference
+    val h = graft.query.Dedup.hash60(
+      concat($"event_id".cast("string"), lit(":smp")))
+    val w = Window.partitionBy($"event_type").orderBy($"h", $"event_id")
+    val ref = graft.schema.Schemas.events(spark, sf)
+      .select($"event_id", $"event_type").withColumn("h", h)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 15)
+      .select($"event_type", $"rn".cast("int"), $"event_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got.sorted == ref.sorted)
+    got.groupBy(_._1).foreach { case (g, rows) => assert(rows.length == 15, g) }
+  }
+
   test("text_repetition: score in [0,1), zero iff all bigrams distinct") {
     val rows = Pipeline.textRepetition(spark, sf).collect()
     assert(rows.nonEmpty)
