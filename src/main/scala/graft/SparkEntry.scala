@@ -211,6 +211,8 @@ object SparkEntry {
     "text_inverted_index"    ->
       ((s: SparkSession, d: String) => TextAnalysis.textInvertedIndex(s, d)),
     "eval_confusion"         -> Pipeline.evalConfusion _,
+    "window_cumulative_distinct" ->
+      ((s: SparkSession, d: String) => Pipeline.windowCumulativeDistinct(s, d)),
     "sample_topk_per_group"  ->
       ((s: SparkSession, d: String) => Pipeline.sampleTopkPerGroup(s, d)),
     // north-star: multimodal plumbing
@@ -1231,6 +1233,21 @@ object SparkEntry {
         |FROM events e JOIN cc ON cc.event_type = e.event_type, tot
         |WHERE e.event_id < 100
         |ORDER BY e.event_id""".stripMargin,
+    "window_cumulative_distinct" ->
+      """WITH marked AS (
+        |  SELECT event_id, event_type, ts,
+        |    CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+        |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS ff
+        |  FROM events
+        |), cum AS (
+        |  SELECT event_id, event_type,
+        |    CAST(sum(ff) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_distinct_users
+        |  FROM marked
+        |)
+        |SELECT event_id, event_type, cum_distinct_users FROM cum
+        |WHERE event_id < 3000 ORDER BY event_id""".stripMargin,
     "eval_confusion" ->
       """WITH types AS (
         |  SELECT event_type,

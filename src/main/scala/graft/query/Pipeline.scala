@@ -305,6 +305,48 @@ object Pipeline {
       .orderBy(col("event_type"), col("rn"))
   }
 
+  /** Cumulative distinct count — `COUNT(DISTINCT) OVER`, which no Spark
+    * window supports natively: running number of distinct users seen per
+    * event_type in (ts, event_id) order. The canonical rewrite marks each
+    * (type, user)'s FIRST event (a min-struct aggregate, one shuffle) and
+    * running-sums the flags.
+    *
+    * Scale shape: the running sum itself uses the two-level trick — flags
+    * prefix-sum per (type, time-bucket) histogram (tiny, broadcast), plus
+    * parallel within-bucket windows — so no per-type window ever streams
+    * n/|types| rows through one task. Bucket order is consistent with
+    * (ts, event_id) order because the bucket is floor(ts), monotone in
+    * ts. Output bounded to event_id < maxId AFTER the global compute. */
+  def windowCumulativeDistinct(spark: SparkSession, dir: String,
+      bucketSeconds: Long = 3600L, maxId: Long = 3000L): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val firsts = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("f.event_id").as("event_id"), lit(1L).as("first_flag"))
+    val marked = ev
+      .join(firsts, Seq("event_id"), "left")
+      .withColumn("ff", coalesce(col("first_flag"), lit(0L)))
+      .withColumn("bucket",
+        floor(unix_micros(col("ts")) / (bucketSeconds * 1000000L)))
+    val offsets = marked.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("ff")).as("bf"))
+      .withColumn("off",
+        coalesce(sum(col("bf")).over(Window.partitionBy(col("event_type"))
+          .orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("event_type"), col("bucket"), col("off"))
+    val wLocal = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked.join(broadcast(offsets), Seq("event_type", "bucket"))
+      .withColumn("cum_distinct_users",
+        col("off") + sum(col("ff")).over(wLocal))
+      .filter(col("event_id") < maxId)
+      .select(col("event_id"), col("event_type"), col("cum_distinct_users"))
+      .orderBy(col("event_id"))
+  }
+
   /** Intra-document repetition score: 1 − distinct/total word bigrams —
     * the boilerplate/degenerate-text detector (high repetition ⇒ template
     * or generation-loop content). One explode + one per-doc aggregate;

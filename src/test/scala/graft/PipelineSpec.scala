@@ -174,6 +174,27 @@ class PipelineSpec extends SparkSpec {
     got.groupBy(_._1).foreach { case (g, rows) => assert(rows.length == 15, g) }
   }
 
+  test("window_cumulative_distinct: monotone unit steps per type, no single-partition exchange") {
+    val df = Pipeline.windowCumulativeDistinct(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // even the histogram prefix-sum partitions by event_type — nothing in
+    // this plan funnels through one partition
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    val rows = df.collect()
+    // event_id order == (ts, event_id) order in the generated data? Not
+    // guaranteed — re-sort per type by the cumulative value and check unit
+    // steps from 1
+    rows.groupBy(_.getString(1)).foreach { case (t, rs) =>
+      val cums = rs.map(_.getLong(2)).sorted
+      assert(cums.head >= 1, t)
+      cums.sliding(2).foreach {
+        case Array(a, b) => assert(b - a <= 1 && b >= a, s"$t: $a -> $b")
+        case _ =>
+      }
+    }
+  }
+
   test("text_repetition: score in [0,1), zero iff all bigrams distinct") {
     val rows = Pipeline.textRepetition(spark, sf).collect()
     assert(rows.nonEmpty)
