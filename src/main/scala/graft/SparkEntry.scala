@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.ScalarFunctions
-import graft.query.{Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis}
+import graft.query.{Analytics, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -218,6 +218,23 @@ object SparkEntry {
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
     "multimodal_batch_decode" -> Multimodal.multimodalBatchDecode _,
+    // round 5: text statistics, embedding prototypes, graph/anomaly/
+    // sampling/window/sketch analytics
+    "text_unigram_logprob"   -> TextAnalysis.unigramLogprob _,
+    "text_entropy"           -> TextAnalysis.textEntropy _,
+    "cooccur_pmi"            ->
+      ((s: SparkSession, d: String) => TextAnalysis.cooccurPmi(s, d)),
+    "embedding_centroids"    -> Similarity.embeddingCentroids _,
+    "ann_centroid_classify"  -> Similarity.centroidClassify _,
+    "graph_triangles"        -> Analytics.graphTriangles _,
+    "anomaly_zscore"         ->
+      ((s: SparkSession, d: String) => Analytics.anomalyZscore(s, d)),
+    "sample_weighted"        -> Analytics.sampleWeighted _,
+    "window_rolling_median"  ->
+      ((s: SparkSession, d: String) => Analytics.rollingMedian(s, d)),
+    "window_ewma"            ->
+      ((s: SparkSession, d: String) => Analytics.windowEwma(s, d)),
+    "agg_sketch_merge"       -> Analytics.aggSketchMerge _,
     // Structured Streaming (real streaming queries, AvailableNow drain —
     // full drain == batch answer, which is the oracle)
     "stream_window_agg"      -> StreamQueries.streamWindowAgg _,
@@ -1605,6 +1622,168 @@ object SparkEntry {
         |WHERE emb.vec_id = b.vec_id AND b.vec_id <> 0
         |  AND bit_count(xor(b.bucket, qb.qbucket)) <= 1
         |ORDER BY cosine DESC, b.vec_id LIMIT 10""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), vocab AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok
+        |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf.tf * (ln(cnt) - ln(total))) / sum(tf.tf) AS REAL)
+        |    AS avg_logprob
+        |FROM tf JOIN vocab USING (tok), tot
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct,
+        |  CAST(ln(CAST(sum(tf) AS DOUBLE))
+        |    - sum(tf * ln(tf)) / sum(tf) AS REAL) AS entropy
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "cooccur_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), uni AS (
+        |  SELECT tok, count(*) AS cu
+        |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+        |), tu AS (SELECT CAST(sum(cu) AS BIGINT) AS t_total FROM uni),
+        |bi AS (
+        |  SELECT t[i] AS a, t[i + 1] AS b, count(*) AS n_ab
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+        |  WHERE len(t) >= 2 GROUP BY 1, 2
+        |), tb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS b_total FROM bi),
+        |top AS (SELECT * FROM bi ORDER BY n_ab DESC, a, b LIMIT 50)
+        |SELECT top.a, top.b, top.n_ab, ua.cu AS n_a, ub.cu AS n_b,
+        |  CAST(ln(CAST(top.n_ab AS DOUBLE) / b_total)
+        |    - ln(CAST(ua.cu AS DOUBLE) / t_total)
+        |    - ln(CAST(ub.cu AS DOUBLE) / t_total) AS REAL) AS pmi
+        |FROM top JOIN uni ua ON ua.tok = top.a
+        |JOIN uni ub ON ub.tok = top.b, tu, tb
+        |ORDER BY n_ab DESC, a, b""".stripMargin,
+    "embedding_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos, count(*) AS n,
+        |  CAST(avg(CAST(embedding[i] AS DOUBLE)) AS REAL) AS centroid
+        |FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+    "ann_centroid_classify" ->
+      """WITH cent AS (
+        |  SELECT label AS c_label, CAST(i - 1 AS INT) AS pos,
+        |    CAST(avg(CAST(embedding[i] AS DOUBLE)) AS REAL) AS c
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+        |  GROUP BY 1, 2
+        |), cvec AS (
+        |  SELECT c_label, list(CAST(c AS DOUBLE) ORDER BY pos) AS cv
+        |  FROM cent GROUP BY c_label
+        |), scored AS (
+        |  SELECT e.vec_id, e.label, c.c_label,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) AS cosine
+        |  FROM embeddings e, cvec c
+        |), ranked AS (
+        |  SELECT vec_id, label, c_label, cosine,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cosine DESC, c_label) AS rn
+        |  FROM scored
+        |)
+        |SELECT vec_id, label, c_label AS pred_label,
+        |  CAST(cosine AS REAL) AS best_cosine,
+        |  label = c_label AS correct
+        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "graph_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), edges AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), deg AS (
+        |  SELECT x, count(*) AS deg FROM (
+        |    SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+        |  GROUP BY x
+        |), oriented AS (
+        |  SELECT
+        |    CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+        |    CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS t,
+        |    CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg
+        |      END AS dt
+        |  FROM edges e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+        |), wedges AS (
+        |  SELECT p.t AS u2, q.t AS v2
+        |  FROM oriented p JOIN oriented q ON p.s = q.s
+        |  WHERE (p.dt, p.t) < (q.dt, q.t)
+        |), tri AS (
+        |  SELECT count(*) AS n_triangles FROM wedges w
+        |  WHERE EXISTS (SELECT 1 FROM oriented o
+        |    WHERE o.s = w.u2 AND o.t = w.v2)
+        |)
+        |SELECT (SELECT count(*) FROM deg) AS n_vertices,
+        |  (SELECT count(*) FROM edges) AS n_edges,
+        |  (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg)
+        |    AS n_wedges,
+        |  n_triangles,
+        |  CAST(3.0 * n_triangles / (SELECT sum((deg * (deg - 1)) // 2)
+        |    FROM deg) AS REAL) AS clustering_coeff
+        |FROM tri""".stripMargin,
+    "anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS mean, stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CAST((e.value - s.mean) / s.sd AS REAL) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs(CAST((e.value - s.mean) / s.sd AS REAL)) > 3.0
+        |ORDER BY event_id""".stripMargin,
+    "sample_weighted" ->
+      """WITH mx AS (SELECT max(value) AS vmax FROM events)
+        |SELECT event_id, value FROM events, mx
+        |WHERE CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |    || ':w'), 1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0
+        |  < value / vmax
+        |ORDER BY event_id""".stripMargin,
+    "window_rolling_median" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(quantile_cont(value, 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS REAL)
+        |    AS rolling_median
+        |FROM events WHERE user_id < 40 ORDER BY event_id""".stripMargin,
+    "window_ewma" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, value,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS frame
+        |  FROM events WHERE user_id < 40
+        |)
+        |SELECT event_id, user_id, value,
+        |  CAST((SELECT sum(frame[i] * pow(0.5, len(frame) - i))
+        |      FROM (SELECT unnest(generate_series(1, len(frame))) AS i))
+        |    / (2.0 - pow(0.5, len(frame) - 1)) AS REAL) AS ewma
+        |FROM f ORDER BY event_id""".stripMargin,
+    "agg_sketch_merge" ->
+      """WITH pn AS (
+        |  SELECT n.n_regionkey, c.c_nationkey,
+        |    count(DISTINCT c.c_custkey) AS n_exact
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT r.r_name, count(*) AS n_nations,
+        |  CAST(sum(n_exact) AS BIGINT) AS n_customers,
+        |  TRUE AS est_within_5pct
+        |FROM pn JOIN region r ON r.r_regionkey = pn.n_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

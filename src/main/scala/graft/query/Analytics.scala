@@ -1,0 +1,190 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas.table
+
+/** Graph, anomaly, sampling, and sketch-merge analytics — the round-5
+  * widening of the engine surface past the reference's own operators.
+  * Every operator here is DuckDB-oracle exact (or pins approx results
+  * with exact companions) and carries an explicit 100 TB shuffle story
+  * in its doc.
+  */
+object Analytics {
+
+  /** Triangle counting on the part co-purchase graph (parts appearing in
+    * the same order are connected) with the degree-ordered orientation —
+    * the standard trick that bounds wedge enumeration by arboricity
+    * instead of max degree, which is THE difference between feasible and
+    * quadratic on a 100 TB power-law graph.
+    *
+    * Scale shape: edge building fans out at most C(7,2)=21 pairs per
+    * TPC-H order (per-order line counts are bounded by the schema, so no
+    * key blows up); each of the three joins is an equi-join on vertex
+    * ids (uniform keys); wedges are enumerated only from each edge's
+    * LOWER-(degree, id) endpoint, so per-vertex wedge work is
+    * C(deg⁺, 2) with deg⁺ ≈ deg/2 bounded by the orientation — the
+    * hub vertex of a star contributes ZERO wedges. No global sort, no
+    * driver materialization; the output is one summary row. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("x"))
+      .union(edges.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    // orient each edge from its lower-(deg, id) endpoint
+    val withDeg = edges
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), Seq("v"))
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("s"), col("v").as("t"),
+          col("dv").as("dt")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"),
+          col("du").as("dt"))).as("e"))
+      .select(col("e.s"), col("e.t"), col("e.dt"))
+    // wedges from the shared lower endpoint; close them against the edge set
+    val wedges = oriented.as("p").join(oriented.as("q"), Seq("s"))
+      .filter(struct(col("p.dt"), col("p.t")) < struct(col("q.dt"), col("q.t")))
+      .select(col("p.t").as("u2"), col("q.t").as("v2"))
+    val triangles = wedges.join(
+      oriented.select(col("s").as("u2"), col("t").as("v2")), Seq("u2", "v2"),
+      "left_semi")
+    val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
+    val nV = deg.agg(count(lit(1)).as("n_vertices"))
+    val nE = edges.agg(count(lit(1)).as("n_edges"))
+    // open wedge count from raw degrees: sum C(deg, 2) — exact integers
+    // (DIV, not /: Spark's fractional divide would go through double)
+    val nW = deg.agg(sum(expr("(deg * (deg - 1)) DIV 2")).as("n_wedges"))
+    nV.crossJoin(nE).crossJoin(nW).crossJoin(nTri)
+      .select(col("n_vertices"), col("n_edges"),
+        col("n_wedges").cast("long").as("n_wedges"), col("n_triangles"),
+        (lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .cast("float").as("clustering_coeff"))
+  }
+
+  /** Per-key z-score outlier detection: events whose value is more than
+    * `threshold` sample standard deviations from their event_type's mean
+    * — the cheap univariate anomaly pass of a data-quality pipeline.
+    *
+    * Scale shape: the per-type statistics are a 5-row aggregate
+    * (map-side combined) broadcast back to the fact scan — the scan is
+    * never shuffled. The z-score is computed in double and cast to
+    * float32 BEFORE the threshold compare, so both engines filter on the
+    * identical REAL value (a raw-double compare at the boundary would be
+    * last-ulp engine-dependent). */
+  def anomalyZscore(spark: SparkSession, dir: String,
+      threshold: Double = 3.0): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mean"),
+        stddev_samp(col("value")).as("sd"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", ((col("value") - col("mean")) / col("sd"))
+        .cast("float"))
+      .filter(abs(col("z")) > threshold)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Deterministic weighted Bernoulli sampling: keep a row with
+    * probability value/max(value), decided by the row's md5-derived
+    * 60-bit hash — reproducible across engines, runs, and partitionings
+    * (never rand()), the importance-sampling primitive of corpus
+    * curation. Map-only apart from the 1-row max broadcast. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("value"))
+    val mx = ev.agg(max(col("value")).as("vmax"))
+    val u = Dedup.hash60(concat(col("event_id").cast("string"), lit(":w")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    ev.crossJoin(broadcast(mx))
+      .filter(u < col("value") / col("vmax"))
+      .select(col("event_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Exact rolling median of `value` over the trailing 7 events per user
+    * — the robust-statistics window (median resists the outliers that
+    * wreck a rolling mean). Uses the exact `percentile` aggregate as a
+    * window function over a bounded ROWS frame: per-frame work is O(7),
+    * so the window cost is linear and the only shuffle is the user_id
+    * hash partition. The frame holds RAW doubles (not aggregates), and
+    * linear interpolation at 0.5 is the same two-operand IEEE arithmetic
+    * in both engines, so the result is bit-exact even before the REAL
+    * cast. Output bounded to user_id < 40; the windows are per-user, so
+    * the bound does not change any retained row's frame. */
+  def rollingMedian(spark: SparkSession, dir: String,
+      maxUser: Long = 40L): DataFrame =
+    graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .selectExpr("event_id", "user_id", "value",
+        """CAST(percentile(value, 0.5) OVER (
+          |  PARTITION BY user_id ORDER BY ts, event_id
+          |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS FLOAT)
+          |  AS rolling_median""".stripMargin)
+      .orderBy(col("event_id"))
+
+  /** Exponentially weighted moving average over the trailing 8 events
+    * per user, decay a = 0.5: ewma = Σ v_i·a^(n−i) / Σ a^(n−i) over the
+    * frame. a = ½ makes every weight an exact power of two, and the
+    * weighted sum is evaluated as a SEQUENTIAL fold over the frame array
+    * (`aggregate` over an index sequence) in frame order — the same
+    * fixed-order double arithmetic on both engines. The frame array is
+    * ≤ 8 elements (bounded memory per row); one user_id shuffle total.
+    * Output bounded to user_id < 40 (frames are per-user — unaffected). */
+  def windowEwma(spark: SparkSession, dir: String,
+      maxUser: Long = 40L): DataFrame =
+    graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .selectExpr("event_id", "user_id", "value",
+        """collect_list(value) OVER (
+          |  PARTITION BY user_id ORDER BY ts, event_id
+          |  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS frame""".stripMargin)
+      .selectExpr("event_id", "user_id", "value",
+        """CAST(
+          |  aggregate(sequence(1, size(frame)), CAST(0.0 AS DOUBLE),
+          |    (acc, i) -> acc + element_at(frame, i)
+          |      * power(0.5, size(frame) - i))
+          |  / (2.0 - power(0.5, size(frame) - 1))
+          |AS FLOAT) AS ewma""".stripMargin)
+      .orderBy(col("event_id"))
+
+  /** Mergeable-sketch aggregation: per-nation HLL sketches of customer
+    * keys, MERGED up to per-region cardinality estimates — the two-level
+    * partial-aggregate pattern that makes count-distinct re-aggregatable
+    * at 100 TB (sketches combine associatively across partitions, days,
+    * or pre-computed rollups; exact distinct does not). The oracle pins
+    * the EXACT companions plus a boolean asserting the estimate lands
+    * within 5% (lgConfigK=12 ⇒ ~1.6% rsd), so the check is hash-exact
+    * while the sketch itself stays approximate. */
+  def aggSketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val region = table(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val perNation = cust
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"), col("n_nationkey"))
+      .agg(expr("hll_sketch_agg(c_custkey, 12)").as("sketch"),
+        countDistinct(col("c_custkey")).as("n_exact_nation"))
+    perNation
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        sum(col("n_exact_nation")).as("n_customers"),
+        expr("hll_sketch_estimate(hll_union_agg(sketch))").as("est"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_nations"), col("n_customers"),
+        (abs(col("est") - col("n_customers"))
+          <= col("n_customers") * lit(0.05)).as("est_within_5pct"))
+      .orderBy(col("r_name"))
+  }
+}

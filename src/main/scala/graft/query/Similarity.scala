@@ -124,6 +124,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-label embedding centroids, emitted as (label, pos, component)
+    * rows: the class-prototype computation behind nearest-centroid
+    * classification, cluster drift monitoring, and IVF-style coarse
+    * quantization — expressed as a plain aggregate so it stays
+    * oracle-exact (no KMeans internals).
+    *
+    * Scale shape: posexplode fans each vector to 64 (label, pos, value)
+    * rows that partial-aggregate map-side down to |labels|·64 cells —
+    * the shuffle carries only the per-partition partial sums, never the
+    * vectors. Component means are computed in double and cast to float32
+    * (group-sum order is engine-dependent in the last double ulp; the
+    * REAL cast absorbs it — and downstream consumers get exactly these
+    * float values, so both engines agree bit-for-bit). */
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("x").cast("double")).cast("float").as("centroid"))
+      .orderBy(col("label"), col("pos"))
+
+  /** Nearest-centroid classification: assign every vector to the label
+    * whose centroid (from [[embeddingCentroids]] — float32 components,
+    * so both engines fold identical values) has the highest dot product.
+    * The |labels| centroid arrays are rebuilt from the aggregate rows
+    * (sort-by-position transform) and BROADCAST; the corpus scan is
+    * map-only — one codegen'd float_dot per (vector, label) and a 10-way
+    * per-row argmax, no shuffle of embeddings at any scale. Ties break
+    * on label asc (exact float compares make ties reproducible). */
+  def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val centroidArrs = embeddingCentroids(spark, dir)
+      .groupBy(col("label").as("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        x => x.getField("centroid")).as("c_vec"))
+    table(spark, dir, "embeddings")
+      .crossJoin(broadcast(centroidArrs))
+      .withColumn("cosine", expr("float_dot(embedding, c_vec)"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cosine"),
+        (-col("c_label")).as("neg"))).as("best"))
+      .select(col("vec_id"), col("label"),
+        (-col("best.neg")).as("pred_label"),
+        col("best.cosine").cast("float").as("best_cosine"))
+      .withColumn("correct", col("pred_label") === col("label"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF top-k: assign every vector to its nearest of `nCells` centroids
     * (KMeans, deterministic seed); at query time probe the `nProbe`
     * centroids nearest to the query and re-rank exactly within them.

@@ -207,6 +207,97 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram language-model scoring: per-document average token
+    * log-probability under the corpus's own unigram distribution — the
+    * classic cheap perplexity-style quality filter (gibberish and
+    * boilerplate score far from the corpus mean). ln p(tok) =
+    * ln(count(tok)) − ln(total).
+    *
+    * Scale shape: term frequencies aggregate per (doc, token) FIRST — a
+    * well-distributed shuffle key that also collapses each doc's repeated
+    * head tokens to one row BEFORE the token-keyed join, which is what
+    * bounds the Zipf-head skew of the vocabulary join (AQE splits any
+    * residual hot token); per-doc scoring then re-aggregates on doc_id.
+    * The per-doc Σ tf·ln p runs in double and is cast to float32 — group
+    * summation order is engine-dependent in the last double ulp and the
+    * REAL cast absorbs it. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tf = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    tf.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (sum(col("tf") * (log(col("cnt")) - log(col("total"))))
+          / sum(col("tf"))).cast("float").as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-distribution Shannon entropy per document: H = ln n −
+    * (Σ tf·ln tf)/n, in nats, plus the distinct-token count — low
+    * entropy flags repetitive/templated text, complementing
+    * [[graft.query.Pipeline.textRepetition]]'s bigram view. One explode
+    * + one (doc, token) aggregate + one per-doc aggregate; tokens never
+    * leave their doc's partition group after the first combine. Double
+    * math, float32 output (group-sum order absorbs in the cast). */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        (log(sum(col("tf")))
+          - sum(col("tf") * log(col("tf"))) / sum(col("tf")))
+          .cast("float").as("entropy"))
+      .orderBy(col("doc_id"))
+
+  /** Pointwise mutual information of the corpus's top-`k` adjacent word
+    * bigrams: pmi = ln( (c_ab/B) / ((c_a/T)·(c_b/T)) ) — the standard
+    * collocation detector ("new york" scores high, "of the" low).
+    *
+    * Scale shape: adjacent-pair generation is linear in corpus size
+    * (explode(sequence) + element_at, fully codegen'd — never the O(len²)
+    * all-pairs form); both count aggregates are map-side combined; the
+    * top-k is TakeOrdered on the exact integer count (deterministic
+    * tiebreak on the gram text — never a rank on a float); and the
+    * unigram lookup BROADCASTS the k survivors against the vocabulary
+    * scan (the vocabulary is never the broadcast side — it grows with
+    * the corpus; the survivors don't). */
+  def cooccurPmi(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val totalUni = toks.select(size(col("t")).cast("long").as("n"))
+      .agg(sum(col("n")).as("t_total"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(element_at(col("t"), col("i")).as("a"),
+        element_at(col("t"), col("i") + 1).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val totalBi = bi.agg(sum(col("n_ab")).as("b_total"))
+    val top = bi.orderBy(col("n_ab").desc, col("a"), col("b")).limit(k)
+    val withA = uni.select(col("tok").as("a"), col("cu").as("n_a"))
+      .join(broadcast(top), Seq("a"))
+    val withB = uni.select(col("tok").as("b"), col("cu").as("n_b"))
+      .join(broadcast(withA), Seq("b"))
+    withB
+      .crossJoin(broadcast(totalUni))
+      .crossJoin(broadcast(totalBi))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        (log(col("n_ab").cast("double") / col("b_total"))
+          - log(col("n_a").cast("double") / col("t_total"))
+          - log(col("n_b").cast("double") / col("t_total")))
+          .cast("float").as("pmi"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+  }
+
   /** Inverted-index build: term → document frequency + sorted posting
     * list — the retrieval-side index a search/RAG pipeline materializes
     * from the corpus. Postings emit as a comma-joined string (sorted
