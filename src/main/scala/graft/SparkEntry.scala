@@ -235,6 +235,14 @@ object SparkEntry {
     "window_ewma"            ->
       ((s: SparkSession, d: String) => Analytics.windowEwma(s, d)),
     "agg_sketch_merge"       -> Analytics.aggSketchMerge _,
+    "dedup_containment"      ->
+      ((s: SparkSession, d: String) => Dedup.dedupContainment(s, d)),
+    "graph_pagerank"         ->
+      ((s: SparkSession, d: String) => Analytics.graphPagerank(s, d)),
+    "agg_mode_per_key"       ->
+      ((s: SparkSession, d: String) => Analytics.aggModePerKey(s, d)),
+    "ts_resample_interp"     ->
+      ((s: SparkSession, d: String) => Analytics.tsResampleInterp(s, d)),
     // Structured Streaming (real streaming queries, AvailableNow drain —
     // full drain == batch answer, which is the oracle)
     "stream_window_agg"      -> StreamQueries.streamWindowAgg _,
@@ -1772,6 +1780,82 @@ object SparkEntry {
         |      FROM (SELECT unnest(generate_series(1, len(frame))) AS i))
         |    / (2.0 - pow(0.5, len(frame) - 1)) AS REAL) AS ewma
         |FROM f ORDER BY event_id""".stripMargin,
+    "dedup_containment" -> containmentOracleSql,
+    "graph_pagerank" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), edges AS (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+        |nv AS (SELECT count(*) AS n FROM deg),
+        |pr0 AS (SELECT u, 1.0 / n AS pr FROM deg, nv),
+        |pr1 AS (
+        |  SELECT e.v AS u, 0.15 / nv.n + 0.85 * sum(p.pr / d.deg) AS pr
+        |  FROM edges e JOIN pr0 p ON p.u = e.u JOIN deg d ON d.u = e.u, nv
+        |  GROUP BY e.v, nv.n
+        |), pr2 AS (
+        |  SELECT e.v AS u, 0.15 / nv.n + 0.85 * sum(p.pr / d.deg) AS pr
+        |  FROM edges e JOIN pr1 p ON p.u = e.u JOIN deg d ON d.u = e.u, nv
+        |  GROUP BY e.v, nv.n
+        |), pr3 AS (
+        |  SELECT e.v AS u, 0.15 / nv.n + 0.85 * sum(p.pr / d.deg) AS pr
+        |  FROM edges e JOIN pr2 p ON p.u = e.u JOIN deg d ON d.u = e.u, nv
+        |  GROUP BY e.v, nv.n
+        |)
+        |SELECT u AS part, CAST(pr AS REAL) AS pagerank
+        |FROM pr3 WHERE u <= 100 ORDER BY part""".stripMargin,
+    "agg_mode_per_key" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n FROM events
+        |  WHERE user_id < 200 GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, event_type, n,
+        |    count(*) OVER (PARTITION BY user_id) AS n_types,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type) AS rn
+        |  FROM c
+        |)
+        |SELECT user_id, n_types, event_type AS mode_type, n AS mode_n
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "ts_resample_interp" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS t, value FROM events
+        |  WHERE user_id < 5
+        |), spans AS (
+        |  SELECT user_id, min(t) AS lo, max(t) AS hi FROM ev GROUP BY user_id
+        |), g AS (
+        |  SELECT user_id, unnest(generate_series(
+        |    ((lo + 3599999999) // 3600000000) * 3600000000,
+        |    (hi // 3600000000) * 3600000000, 3600000000)) AS t
+        |  FROM spans
+        |), u AS (
+        |  SELECT user_id, t, value, 0 AS is_grid FROM ev
+        |  UNION ALL
+        |  SELECT user_id, t, NULL AS value, 1 AS is_grid FROM g
+        |), w AS (
+        |  SELECT user_id, t, is_grid,
+        |    last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+        |      OVER wp AS pt,
+        |    last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+        |      OVER wp AS pv,
+        |    first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+        |      OVER wn AS nt,
+        |    first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+        |      OVER wn AS nv
+        |  FROM u
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY t, is_grid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY t, is_grid
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, t AS grid_us,
+        |  CAST(CASE WHEN nt = pt THEN pv
+        |    ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / (nt - pt)) END
+        |    AS REAL) AS value_interp
+        |FROM w WHERE is_grid = 1 ORDER BY user_id, grid_us""".stripMargin,
     "agg_sketch_merge" ->
       """WITH pn AS (
         |  SELECT n.n_regionkey, c.c_nationkey,
@@ -1848,6 +1932,21 @@ object SparkEntry {
        |      / len(list_distinct(sa.sh || sb.sh)) >= $threshold
        |)""".stripMargin
   }
+
+  /** Containment verify on the same high-recall 16×2 banding as
+    * [[graft.query.Dedup.dedupContainment]]: |A∩B| / min(|A|,|B|). The
+    * chain's `pairs` CTE goes unused (threshold 0.0 keeps it harmless);
+    * `cand` and `sh` are the shared machinery. */
+  private def containmentOracleSql: String =
+    s"""WITH ${minhashPairsCtes(16, 2, "0.0")}
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / least(len(sa.sh), len(sb.sh)) AS containment
+       |FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+       |JOIN sh sb ON sb.doc_id = c.doc_b
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / least(len(sa.sh), len(sb.sh)) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private def minhashOracleSql(numBands: Int, rowsPerBand: Int,
       threshold: String): String =

@@ -68,6 +68,119 @@ object Analytics {
           .cast("float").as("clustering_coeff"))
   }
 
+  /** PageRank (damping 0.85, `iters` fixed iterations) on the undirected
+    * part co-purchase graph — the canonical iterative-join graph workload,
+    * shaped the way a Pregel-style engine would run it on Spark.
+    *
+    * Scale shape: the symmetric edge list and degree table are built once
+    * and persisted (probed every round); each iteration is exactly ONE
+    * shuffle — contributions pr(u)/deg(u) flow along edges and aggregate
+    * on the destination (map-side combined). No dangling-mass pass is
+    * needed: every vertex of an undirected edge list has deg ≥ 1. The
+    * vertex count comes from one count() (table statistics in a
+    * deployment). Fixed iteration count keeps the plan finite and is the
+    * standard convergence/latency tradeoff at corpus scale. */
+  def graphPagerank(spark: SparkSession, dir: String, iters: Int = 3,
+      maxVertex: Long = 100L): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e0 = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
+    val nV = deg.count()
+    var pr = deg.select(col("u"), lit(1.0 / nV).as("pr"))
+    for (_ <- 1 to iters) {
+      pr = edges
+        .join(pr, Seq("u")).join(deg, Seq("u"))
+        .groupBy(col("v"))
+        .agg(sum(col("pr") / col("deg")).as("inflow"))
+        .select(col("v").as("u"),
+          (lit(0.15 / nV) + lit(0.85) * col("inflow")).as("pr"))
+    }
+    pr.filter(col("u") <= maxVertex)
+      .select(col("u").as("part"), col("pr").cast("float").as("pagerank"))
+      .orderBy(col("part"))
+  }
+
+  /** Most-frequent event_type per user (per-key mode) with a
+    * deterministic count-desc, name-asc tiebreak — the categorical
+    * summary statistic. Two aggregations: per-(user, type) counts (one
+    * shuffle, map-side combined), then a per-user 5-row argmax via
+    * max(struct) — never a window over raw events. Rank is on exact
+    * integers. */
+  def aggModePerKey(spark: SparkSession, dir: String,
+      maxUser: Long = 200L): DataFrame =
+    graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"),
+        // min over (-n, name): smallest -n = largest count, then name
+        // asc — the deterministic mode in one struct aggregate
+        min(struct((-col("n")).as("negn"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("n_types"),
+        col("m.event_type").as("mode_type"), (-col("m.negn")).as("mode_n"))
+      .orderBy(col("user_id"))
+
+  /** Time-series resampling with linear interpolation: per user, the
+    * value at every whole hour between their first and last event,
+    * interpolated between the surrounding events — the sensor/metric
+    * regularization step before windowed models.
+    *
+    * Scale shape: grid points are generated per user (sequence over
+    * integer micros — bounded by the user's time span), unioned with the
+    * events, and a single per-user ordered window pass carries the
+    * previous/next event boundaries to each grid row (last/first with
+    * ignoreNulls over a frame — no self-join, no per-gap subquery).
+    * Timestamps subtract as exact integer micros; the interpolation
+    * fraction is one double division, identical both engines. */
+  def tsResampleInterp(spark: SparkSession, dir: String,
+      maxUser: Long = 5L, stepUs: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+    val grids = ev.groupBy(col("user_id"))
+      .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+      .select(col("user_id"),
+        expr(s"((lo + ${stepUs - 1}) DIV $stepUs) * $stepUs").as("gs"),
+        expr(s"(hi DIV $stepUs) * $stepUs").as("ge"))
+      // a span shorter than one step has no grid point: Spark's sequence()
+      // throws on start > stop (DuckDB's generate_series returns empty)
+      .filter(col("gs") <= col("ge"))
+      .select(col("user_id"),
+        explode(sequence(col("gs"), col("ge"), lit(stepUs))).as("t"))
+      .withColumn("is_grid", lit(1))
+    val unioned = ev.withColumn("is_grid", lit(0))
+      .unionByName(grids.withColumn("value", lit(null).cast("double")),
+        allowMissingColumns = false)
+    // events sort before grid points at the same instant (is_grid asc),
+    // so an exactly-aligned sample becomes its own boundary (frac = 0)
+    val o = Window.partitionBy(col("user_id")).orderBy(col("t"), col("is_grid"))
+    val wPrev = o.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = o.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val evT = when(col("is_grid") === 0, col("t"))
+    val evV = when(col("is_grid") === 0, col("value"))
+    unioned
+      .withColumn("pt", last(evT, ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(evV, ignoreNulls = true).over(wPrev))
+      .withColumn("nt", first(evT, ignoreNulls = true).over(wNext))
+      .withColumn("nv", first(evV, ignoreNulls = true).over(wNext))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), col("t").as("grid_us"),
+        when(col("nt") === col("pt"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * ((col("t") - col("pt")).cast("double") / (col("nt") - col("pt"))))
+          .cast("float").as("value_interp"))
+      .orderBy(col("user_id"), col("grid_us"))
+  }
+
   /** Per-key z-score outlier detection: events whose value is more than
     * `threshold` sample standard deviations from their event_type's mean
     * — the cheap univariate anomaly pass of a data-quality pipeline.

@@ -110,6 +110,23 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, dir: String,
       shingleSize: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.5): DataFrame = {
+    val (candidates, candSh) =
+      lshCandidatesWithSets(spark, dir, shingleSize, numBands, rowsPerBand)
+    candidates
+      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", expr("jaccard_sorted(sh_a, sh_b)"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Shared LSH-banding candidate machinery: (candidate pairs, per-doc
+    * sorted distinct shingle-hash sets for the docs appearing in a
+    * pair). Extracted so every exact-verify tail (Jaccard, containment)
+    * reuses the same persisted signature index and ids-only shuffles. */
+  private def lshCandidatesWithSets(spark: SparkSession, dir: String,
+      shingleSize: Int, numBands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     val docs = withPlantedNearDups(table(spark, dir, "documents"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= shingleSize)
@@ -152,12 +169,31 @@ object Dedup {
     val candSh = docs.join(candDocIds, Seq("doc_id"))
       .select(col("doc_id"),
         expr(s"shingle_hashes(toks, $shingleSize)").as("sh"))
+    (candidates, candSh)
+  }
+
+  /** Containment near-dup (asymmetric Jaccard): |A∩B| / min(|A|,|B|) ≥
+    * threshold over word n-gram sets — catches subset relationships
+    * (quotes, wrapped reposts, header-prepended copies) that symmetric
+    * Jaccard misses because the union in its denominator grows with the
+    * larger doc. Candidates come from the same high-recall 16-band ×
+    * 2-rows MinHash pass as [[dedupNgramJaccard]] (shared persisted
+    * signature index, ids-only band shuffle); the intersection runs only
+    * on surviving pairs. Integer set sizes ⇒ one exact double division,
+    * hash-compare oracle-able. */
+  def dedupContainment(spark: SparkSession, dir: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val (candidates, candSh) =
+      lshCandidatesWithSets(spark, dir, shingleSize, numBands = 16,
+        rowsPerBand = 2)
     candidates
       .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", expr("jaccard_sorted(sh_a, sh_b)"))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / least(size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

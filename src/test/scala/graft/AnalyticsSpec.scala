@@ -28,6 +28,73 @@ class AnalyticsSpec extends SparkSpec {
     assert(cc >= 0f && cc <= 1f)
   }
 
+  test("graph_pagerank: probability mass conserved (sums to 1), all ranks positive") {
+    val pr = Analytics.graphPagerank(spark, sf, maxVertex = Long.MaxValue)
+      .cache()
+    assert(pr.filter($"pagerank" <= 0f).count() == 0)
+    val mass = pr.agg(sum($"pagerank".cast("double"))).as[Double].collect()(0)
+    // no dangling vertices on an undirected edge list ⇒ each iteration
+    // redistributes exactly 1.0 of rank (float rounding per vertex only)
+    assert(math.abs(mass - 1.0) < 1e-3, s"mass=$mass")
+  }
+
+  test("agg_mode_per_key: struct-argmax mode equals the window-rank mode") {
+    val out = Analytics.aggModePerKey(spark, sf)
+      .select($"user_id", $"mode_type", $"mode_n")
+      .as[(Long, String, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n".desc, $"event_type")
+    val expect = graft.schema.Schemas.events(spark, sf)
+      .filter($"user_id" < 200)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"n")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == expect)
+  }
+
+  test("ts_resample_interp: grid-aligned timestamps, values inside the bracketing interval") {
+    val step = 3600000000L
+    val out = Analytics.tsResampleInterp(spark, sf).cache()
+    assert(out.filter($"grid_us" % step =!= 0).count() == 0)
+    // interpolation is convex: every value within the user's global range
+    val bounds = graft.schema.Schemas.events(spark, sf)
+      .filter($"user_id" < 5)
+      .groupBy($"user_id")
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+    assert(out.join(bounds, Seq("user_id"))
+      .filter($"value_interp" < $"lo" - 1e-3 || $"value_interp" > $"hi" + 1e-3)
+      .count() == 0)
+    // grid covers [ceil(min), floor(max)] per user: count matches span
+    val spans = graft.schema.Schemas.events(spark, sf)
+      .filter($"user_id" < 5)
+      .select($"user_id", unix_micros($"ts").as("t"))
+      .groupBy($"user_id").agg(min($"t").as("mn"), max($"t").as("mx"))
+      .select($"user_id", expr(
+        s"(mx DIV $step) - ((mn + ${step - 1}) DIV $step) + 1")
+        .as("expect_n"))
+    val got = out.groupBy($"user_id").agg(count(lit(1)).as("n"))
+    assert(got.join(spans, Seq("user_id"))
+      .filter($"n" =!= $"expect_n").count() == 0)
+  }
+
+  test("dedup_containment: planted prefix copies are contained; containment ≥ jaccard pairwise") {
+    val cont = graft.query.Dedup.dedupContainment(spark, sf)
+      .select($"doc_a", $"doc_b", $"containment").cache()
+    // planted near-dup (prefix-extended copy) ⇒ original ⊂ copy, so
+    // containment ≈ 1 — every planted pair must survive the 0.5 gate
+    val planted = cont
+      .filter($"doc_b" === $"doc_a" + 1000000L && $"containment" > 0.9)
+      .count()
+    assert(planted >= 5, s"only $planted planted pairs found")
+    // containment dominates jaccard (min ≤ union) on shared pairs
+    val jac = graft.query.Dedup.dedupNgramJaccard(spark, sf)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    assert(cont.join(jac, Seq("doc_a", "doc_b"))
+      .filter($"containment" < $"jaccard" - 1e-9).count() == 0)
+  }
+
   test("anomaly_zscore: every row beyond threshold; count matches recomputed stats") {
     val out = Analytics.anomalyZscore(spark, sf).cache()
     assert(out.filter(abs($"z") <= 3.0).count() == 0)
