@@ -68,6 +68,17 @@ object Bench {
     // map first and metric/value/unit/sf last so the totals always land
     // inside the captured tail.
     println(s"""{"queries":$qs,"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}""")
+    // Second, COMPACT line printed last: the full per-query line above is
+    // ~3.5 KB with 160 queries and has overflowed the driver's output-tail
+    // capture every round (BENCH_r0N.json "parsed": null, tail truncated
+    // mid-line). A line holding the headline fields plus only the 25
+    // slowest queries stays well under the capture window, so a
+    // parse-the-last-JSON-line driver gets a complete document; the full
+    // map remains above for humans.
+    val top = results.toSeq.sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1822,7 +1822,7 @@ object SparkEntry {
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "ts_resample_interp" ->
       """WITH ev AS (
-        |  SELECT user_id, epoch_us(ts) AS t, value FROM events
+        |  SELECT user_id, epoch_us(ts) AS t, value, event_id FROM events
         |  WHERE user_id < 5
         |), spans AS (
         |  SELECT user_id, min(t) AS lo, max(t) AS hi FROM ev GROUP BY user_id
@@ -1832,9 +1832,10 @@ object SparkEntry {
         |    (hi // 3600000000) * 3600000000, 3600000000)) AS t
         |  FROM spans
         |), u AS (
-        |  SELECT user_id, t, value, 0 AS is_grid FROM ev
+        |  SELECT user_id, t, value, 0 AS is_grid, event_id FROM ev
         |  UNION ALL
-        |  SELECT user_id, t, NULL AS value, 1 AS is_grid FROM g
+        |  SELECT user_id, t, NULL AS value, 1 AS is_grid,
+        |    NULL AS event_id FROM g
         |), w AS (
         |  SELECT user_id, t, is_grid,
         |    last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
@@ -1846,9 +1847,9 @@ object SparkEntry {
         |    first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
         |      OVER wn AS nv
         |  FROM u
-        |  WINDOW wp AS (PARTITION BY user_id ORDER BY t, is_grid
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY t, is_grid, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |  wn AS (PARTITION BY user_id ORDER BY t, is_grid
+        |  wn AS (PARTITION BY user_id ORDER BY t, is_grid, event_id
         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         |)
         |SELECT user_id, t AS grid_us,
@@ -1865,7 +1866,7 @@ object SparkEntry {
         |)
         |SELECT r.r_name, count(*) AS n_nations,
         |  CAST(sum(n_exact) AS BIGINT) AS n_customers,
-        |  TRUE AS est_within_5pct
+        |  TRUE AS est_within_8pct
         |FROM pn JOIN region r ON r.r_regionkey = pn.n_regionkey
         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
   )

@@ -82,17 +82,7 @@ object Analytics {
     * standard convergence/latency tradeoff at corpus scale. */
   def graphPagerank(spark: SparkSession, dir: String, iters: Int = 3,
       maxVertex: Long = 100L): DataFrame = {
-    val li = table(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e0 = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
-    val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      .persist()
-    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
-    val nV = deg.count()
+    val (edges, deg, nV) = pagerankGraph(spark, dir)
     var pr = deg.select(col("u"), lit(1.0 / nV).as("pr"))
     for (_ <- 1 to iters) {
       pr = edges
@@ -105,6 +95,52 @@ object Analytics {
     pr.filter(col("u") <= maxVertex)
       .select(col("u").as("part"), col("pr").cast("float").as("pagerank"))
       .orderBy(col("part"))
+  }
+
+  // Persisted pagerank graph (symmetric edges + degrees + vertex count),
+  // keyed on the OWNING SESSION OBJECT via WeakHashMap exactly like
+  // Dedup.sigCache: repeated invocations in a 160-query sweep reuse one
+  // persisted copy instead of leaking a fresh pair of cached DataFrames
+  // per call, and entries drop with their session.
+  private type GraphEntry = (DataFrame, DataFrame, Long)
+  private val graphCache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, GraphEntry]]()
+
+  private def pagerankGraph(spark: SparkSession, dir: String): GraphEntry = {
+    val m = graphCache.synchronized {
+      var mm = graphCache.get(spark)
+      if (mm == null) {
+        mm = new java.util.concurrent.ConcurrentHashMap[String, GraphEntry]()
+        graphCache.put(spark, mm)
+      }
+      mm
+    }
+    m.computeIfAbsent(dir, { _ =>
+      val li = table(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e0 = li.as("a").join(li.as("b"), Seq("ok"))
+        .filter(col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+      val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+        .persist()
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
+      (edges, deg, deg.count())
+    })
+  }
+
+  /** Unpersist and drop every cached pagerank graph (all sessions). */
+  def clearCaches(): Unit = {
+    import scala.jdk.CollectionConverters._
+    graphCache.synchronized {
+      graphCache.values.asScala.flatMap(_.values.asScala).foreach {
+        case (e, d, _) =>
+          try { e.unpersist(false); d.unpersist(false) }
+          catch { case _: Throwable => () }
+      }
+      graphCache.clear()
+    }
   }
 
   /** Most-frequent event_type per user (per-key mode) with a
@@ -145,7 +181,8 @@ object Analytics {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.schema.Schemas.events(spark, dir)
       .filter(col("user_id") < maxUser)
-      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"),
+        col("event_id"))
     val grids = ev.groupBy(col("user_id"))
       .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
       .select(col("user_id"),
@@ -158,11 +195,17 @@ object Analytics {
         explode(sequence(col("gs"), col("ge"), lit(stepUs))).as("t"))
       .withColumn("is_grid", lit(1))
     val unioned = ev.withColumn("is_grid", lit(0))
-      .unionByName(grids.withColumn("value", lit(null).cast("double")),
+      .unionByName(grids.withColumn("value", lit(null).cast("double"))
+        .withColumn("event_id", lit(null).cast("long")),
         allowMissingColumns = false)
     // events sort before grid points at the same instant (is_grid asc),
-    // so an exactly-aligned sample becomes its own boundary (frac = 0)
-    val o = Window.partitionBy(col("user_id")).orderBy(col("t"), col("is_grid"))
+    // so an exactly-aligned sample becomes its own boundary (frac = 0);
+    // event_id breaks ties between two EVENTS at the same instant (the
+    // carried pv/nv would otherwise be order-nondeterministic) — grid
+    // rows are unique per (user, t, is_grid), so their NULL id is never
+    // compared
+    val o = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("is_grid"), col("event_id"))
     val wPrev = o.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = o.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val evT = when(col("is_grid") === 0, col("t"))
@@ -246,12 +289,17 @@ object Analytics {
 
   /** Exponentially weighted moving average over the trailing 8 events
     * per user, decay a = 0.5: ewma = Σ v_i·a^(n−i) / Σ a^(n−i) over the
-    * frame. a = ½ makes every weight an exact power of two, and the
-    * weighted sum is evaluated as a SEQUENTIAL fold over the frame array
-    * (`aggregate` over an index sequence) in frame order — the same
-    * fixed-order double arithmetic on both engines. The frame array is
-    * ≤ 8 elements (bounded memory per row); one user_id shuffle total.
-    * Output bounded to user_id < 40 (frames are per-user — unaffected). */
+    * frame. a = ½ makes every weight an exact power of two, and Spark
+    * evaluates the weighted sum as a SEQUENTIAL fold over the frame
+    * array (`aggregate` over an index sequence) in frame order. The
+    * DuckDB oracle's numerator is a plain SQL sum over an unnest
+    * subquery whose evaluation order DuckDB does NOT guarantee, so
+    * cross-engine equality rests on the shared REAL cast absorbing
+    * any last-ulp summation-order difference over the ≤ 8 addends —
+    * NOT on order parity (8 same-scale doubles never drift anywhere
+    * near a float32 ulp). The frame array is ≤ 8 elements (bounded
+    * memory per row); one user_id shuffle total. Output bounded to
+    * user_id < 40 (frames are per-user — unaffected). */
   def windowEwma(spark: SparkSession, dir: String,
       maxUser: Long = 40L): DataFrame =
     graft.schema.Schemas.events(spark, dir)
@@ -275,8 +323,13 @@ object Analytics {
     * at 100 TB (sketches combine associatively across partitions, days,
     * or pre-computed rollups; exact distinct does not). The oracle pins
     * the EXACT companions plus a boolean asserting the estimate lands
-    * within 5% (lgConfigK=12 ⇒ ~1.6% rsd), so the check is hash-exact
-    * while the sketch itself stays approximate. */
+    * within 8% (lgConfigK=12 ⇒ ~1.6% rsd, so 8% ≈ 5 sigma), so the
+    * check is hash-exact while the sketch itself stays approximate.
+    * KNOWN FLAKE MODE (by construction): the oracle hardcodes TRUE for
+    * the bound column, so a >5-sigma estimator excursion would surface
+    * as an engine mismatch rather than a sketch-accuracy failure — at
+    * ~5 sigma the probability is negligible, which is the point of the
+    * wide bound. */
   def aggSketchMerge(spark: SparkSession, dir: String): DataFrame = {
     val cust = table(spark, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"))
@@ -297,7 +350,7 @@ object Analytics {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name"), col("n_nations"), col("n_customers"),
         (abs(col("est") - col("n_customers"))
-          <= col("n_customers") * lit(0.05)).as("est_within_5pct"))
+          <= col("n_customers") * lit(0.08)).as("est_within_8pct"))
       .orderBy(col("r_name"))
   }
 }
