@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.ScalarFunctions
-import graft.query.{Analytics, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis}
+import graft.query.{Analytics, Analytics2, Curation, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -251,6 +251,22 @@ object SparkEntry {
     "stream_dedup_keys"      -> StreamQueries.streamDedupKeys _,
     "stream_static_join"     -> StreamQueries.streamStaticJoin _,
     "stream_stream_join"     -> StreamQueries.streamStreamJoin _,
+    // round 6: curation decisions, exact-decimal finance, layout,
+    // interval joins, retention, robust outliers, frame sampling
+    "dedup_keep_best"        -> Curation.dedupKeepBest _,
+    "text_ngram_novelty"     -> Curation.textNgramNovelty _,
+    "emb_quantize_int8"      -> Curation.embQuantizeInt8 _,
+    "heavy_hitters"          ->
+      ((s: SparkSession, d: String) => Curation.heavyHitters(s, d)),
+    "cohort_retention"       -> Analytics2.cohortRetention _,
+    "anomaly_mad"            ->
+      ((s: SparkSession, d: String) => Analytics2.anomalyMad(s, d)),
+    "agg_decimal_exact"      -> Analytics2.aggDecimalExact _,
+    "sql_shipping_priority"  ->
+      ((s: SparkSession, d: String) => Analytics2.sqlShippingPriority(s, d)),
+    "ts_interval_overlap"    -> Analytics2.tsIntervalOverlap _,
+    "zorder_cluster"         -> Analytics2.zorderCluster _,
+    "multimodal_frame_sample" -> Multimodal.multimodalFrameSample _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1869,6 +1885,166 @@ object SparkEntry {
         |  TRUE AS est_within_8pct
         |FROM pn JOIN region r ON r.r_regionkey = pn.n_regionkey
         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+    // round 6
+    "dedup_keep_best" -> dedupKeepBestOracleSql,
+    "text_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), ftoks AS (
+        |  SELECT doc_id, t FROM toks WHERE len(t) >= 3
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST('0x' || substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])),
+        |      1, 15) AS BIGINT) AS gh
+        |  FROM ftoks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+        |), fs AS (
+        |  SELECT gh, min(doc_id) AS first_doc FROM grams GROUP BY gh
+        |)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*) AS REAL) AS novelty
+        |FROM grams JOIN fs USING (gh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "emb_quantize_int8" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, amax,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / amax)) AS INT))
+        |      AS qv
+        |  FROM a WHERE amax > 0
+        |)
+        |SELECT vec_id, CAST(127.0 / amax AS REAL) AS scale,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum')
+        |    AS BIGINT) AS q_l1
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS n FROM documents
+        |  GROUP BY 1, 2
+        |), t AS (SELECT count(*) AS total FROM documents)
+        |SELECT lang, source, n,
+        |  CAST(CAST(n AS DOUBLE) / total AS REAL) AS share
+        |FROM c, t WHERE n > total * 0.02
+        |ORDER BY n DESC, lang, source""".stripMargin,
+    "cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+        |), coh AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+        |), act AS (SELECT DISTINCT user_id, week FROM ev)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM act JOIN coh USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "anomaly_mad" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value FROM events
+        |), med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM ev GROUP BY 1
+        |), mad AS (
+        |  SELECT e.event_type, med,
+        |    quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM ev e JOIN med USING (event_type) GROUP BY e.event_type, med
+        |)
+        |SELECT event_id, e.event_type, value,
+        |  CAST((value - med) / (1.4826 * mad) AS REAL) AS robust_z
+        |FROM ev e JOIN mad USING (event_type)
+        |WHERE abs(CAST((value - med) / (1.4826 * mad) AS REAL)) > 3.5
+        |ORDER BY event_id""".stripMargin,
+    "agg_decimal_exact" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(28,2)) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_net
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sql_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey < 5
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "ts_interval_overlap" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+        |), l AS (
+        |  SELECT user_id, t, event_id,
+        |    lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+        |  FROM ev
+        |), f AS (
+        |  SELECT user_id, t, event_id,
+        |    CASE WHEN pt IS NULL OR t - pt > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM l
+        |), sid AS (
+        |  SELECT user_id, t,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f
+        |), sess AS (
+        |  SELECT user_id, sid, min(t) AS s, max(t) AS e
+        |  FROM sid GROUP BY user_id, sid
+        |), spans AS (SELECT min(t) AS lo, max(t) AS hi FROM ev),
+        |w AS (
+        |  SELECT unnest(generate_series(lo // 21600000000,
+        |    hi // 21600000000)) AS wb
+        |  FROM spans
+        |), sb AS (
+        |  SELECT user_id, s, e,
+        |    unnest(generate_series(s // 21600000000,
+        |      e // 21600000000)) AS wb
+        |  FROM sess
+        |)
+        |SELECT wb * 21600000000 AS w_start, count(*) AS n_sessions,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM sb JOIN w USING (wb)
+        |WHERE s < (wb + 1) * 21600000000 AND e >= wb * 21600000000
+        |GROUP BY wb ORDER BY w_start""".stripMargin,
+    "zorder_cluster" -> zorderOracleSql,
+    "multimodal_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |        || ':fps'), 1, 15) AS BIGINT) % 2 = 0
+        |      THEN CAST(24 AS BIGINT) ELSE CAST(30 AS BIGINT) END AS fps,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dur'),
+        |      1, 15) AS BIGINT) % 30 + 5 AS duration_s
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, text, fps * duration_s AS n_frames,
+        |    greatest(CAST(1 AS BIGINT),
+        |      (fps * duration_s + 7) // 8) AS stride
+        |  FROM m
+        |), sel AS (
+        |  SELECT doc_id, text, n_frames,
+        |    unnest(generate_series(CAST(0 AS BIGINT), n_frames - 1,
+        |      stride)) AS frame_idx
+        |  FROM f
+        |)
+        |SELECT doc_id, n_frames, frame_idx,
+        |  CAST('0x' || substr(md5(text || ':f'
+        |    || CAST(frame_idx AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+        |    AS frame_fp
+        |FROM sel ORDER BY doc_id, frame_idx""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]
@@ -1973,4 +2149,59 @@ object SparkEntry {
        |)
        |SELECT a AS doc_id, min(b) AS group_id
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** [[graft.query.Curation.dedupKeepBest]]: the dedup_groups recursive
+    * CTE extended with per-doc normalized char counts and a per-group
+    * (chars desc, doc_id asc) argmax via max-of-struct — the same
+    * deterministic tiebreak the Spark side computes. */
+  private def dedupKeepBestOracleSql: String =
+    s"""WITH RECURSIVE ${minhashPairsCtes(8, 4, "0.5")},
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT a FROM edges
+       |), reach(a, b) AS (
+       |  SELECT a, a FROM nodes
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), labels AS (
+       |  SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a
+       |), chars AS (
+       |  SELECT doc_id, CAST(strlen(lower(trim(
+       |    regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT) AS chars
+       |  FROM base
+       |), g AS (
+       |  SELECT group_id, count(*) AS n_docs, sum(chars) AS chars_total,
+       |    max(struct_pack(c := chars, n := -doc_id)) AS m
+       |  FROM labels JOIN chars USING (doc_id)
+       |  GROUP BY group_id
+       |)
+       |SELECT group_id, -m.n AS kept_doc, n_docs,
+       |  CAST(chars_total - m.c AS BIGINT) AS chars_dropped
+       |FROM g ORDER BY group_id""".stripMargin
+
+  /** [[graft.query.Analytics2.zorderCluster]]: the 16+16-bit Morton
+    * interleave as one generated bitwise expression — the SAME static
+    * shift/mask chain the Spark side builds, so the bucket assignment is
+    * exact integer math on both engines. */
+  private def zorderOracleSql: String = {
+    val interleave = (0 until 16).map { i =>
+      s"((((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString(" | ")
+    s"""WITH b AS (
+       |  SELECT user_id, value,
+       |    least(user_id, 65535) AS x,
+       |    least(greatest(CAST(floor(value) AS BIGINT), 0), 65535) AS y
+       |  FROM events
+       |), z AS (
+       |  SELECT user_id, y AS yband, ($interleave) >> 12 AS zbucket
+       |  FROM b
+       |)
+       |SELECT zbucket, count(*) AS n,
+       |  min(user_id) AS x_min, max(user_id) AS x_max,
+       |  min(yband) AS y_min, max(yband) AS y_max
+       |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+  }
 }

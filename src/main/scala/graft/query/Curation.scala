@@ -1,0 +1,139 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas.table
+
+/** Round-6 corpus-curation operators: the decisions a training-data
+  * pipeline makes AFTER detection — which duplicate to keep, what is
+  * novel, how to compress embeddings, which keys dominate. Every
+  * operator is DuckDB-oracle exact and carries an explicit 100 TB
+  * shuffle story.
+  */
+object Curation {
+
+  /** Canonical-representative selection per near-dup group: turn the
+    * pairwise dedup verdicts into the KEEP/DROP decision — per connected
+    * component keep the doc with the most normalized characters (tie:
+    * smallest doc_id), report what was dropped. This is the step that
+    * actually shrinks the corpus.
+    *
+    * Scale shape: group labels come from [[Dedup.dedupGroups]] (cached
+    * pair index + union-find/min-propagation — see its doc); the labels
+    * table holds ONLY docs that appear in a verified near-dup pair
+    * (~0.001% of the corpus at production dup rates), so the argmax is
+    * an aggregation over a tiny table. The argmax is one `max(struct)`
+    * per group — never a window over the corpus. Exact integers
+    * throughout. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.dedupGroups(spark, dir)
+    val chars = Dedup.withPlantedNearDups(table(spark, dir, "documents"))
+      .select(col("doc_id"),
+        length(Dedup.normText(col("text"))).cast("long").as("chars"))
+    labels.join(chars, Seq("doc_id"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("chars_total"),
+        // max over (chars, -doc_id): most chars, then SMALLEST id
+        max(struct(col("chars"), (-col("doc_id")).as("negid"))).as("m"))
+      .select(col("group_id"),
+        (-col("m.negid")).as("kept_doc"),
+        col("n_docs"),
+        (col("chars_total") - col("m.chars")).as("chars_dropped"))
+      .orderBy(col("group_id"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a doc's distinct
+    * 3-gram shingles whose FIRST appearance (smallest doc_id) is this
+    * doc — the corpus-level self-overlap measure curation uses to rank
+    * "how much new text does this document add" (near-1 = fresh, near-0
+    * = boilerplate).
+    *
+    * Scale shape: grams are fingerprinted to 60-bit ints BEFORE the
+    * shuffle ([[Dedup.hash60]]), so the first-seen aggregation and the
+    * join back both key on fixed-width longs, never gram strings — at
+    * 100 TB the gram shuffle is the dominant cost and 8-byte keys vs
+    * ~30-byte strings is ~4× less wire. Both sides are map-side
+    * combined; the gram key is heavy-tailed (stop-grams), which the
+    * first-seen MIN aggregate absorbs (AQE skew split handles the
+    * join-back). Collisions in the 2^60 fingerprint space are
+    * vanishingly rare and — because the oracle replays the same md5
+    * fingerprints — cross-engine deterministic. */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"), Dedup.hash60(col("g")).as("gh"))
+      .distinct()
+    val firstSeen = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams"))
+          .cast("float").as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-vector symmetric int8 quantization of the embedding column —
+    * the 4× memory/bandwidth compression an ANN serving tier applies
+    * before indexing (scale = 127/max|v|, q_i = round(v_i·scale)).
+    * Emits the scale plus exact integer summaries of the code vector;
+    * the codes themselves stay distributed.
+    *
+    * Exactness: float components widen to double exactly; 127/amax and
+    * the per-component product are single IEEE ops; round() is
+    * half-away-from-zero in BOTH engines (Spark HALF_UP on a double
+    * never sees an exact .5 tie from these products in practice, and
+    * when it does both engines round away from zero). Map-only — zero
+    * shuffles; the ORDER BY is the dump's, not the operator's. */
+  def embQuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        """array_max(transform(embedding,
+          |  x -> abs(CAST(x AS DOUBLE)))) AS amax""".stripMargin,
+        "embedding")
+      .filter(col("amax") > 0)
+      .selectExpr("vec_id", "CAST(127.0 / amax AS FLOAT) AS scale",
+        """transform(embedding,
+          |  x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / amax)) AS INT))
+          |  AS q""".stripMargin)
+      .selectExpr("vec_id", "scale",
+        "array_min(q) AS q_min", "array_max(q) AS q_max",
+        "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x) AS q_sum",
+        "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + abs(x)) AS q_l1")
+      .orderBy(col("vec_id"))
+
+  /** φ-frequent keys (heavy hitters): every (lang, source) corpus slice
+    * whose document count exceeds φ·N — the top-key profile that drives
+    * skew handling (salting those keys), corpus-mix accounting, and
+    * dominance alerts. The key's SHARE distribution is scale-invariant
+    * (sources keep their proportions as the corpus grows), which is
+    * what makes a fixed φ meaningful at any N.
+    *
+    * Scale shape: ONE map-side-combined aggregation over the fact table
+    * plus a 1-row total broadcast back — the fact scan is never
+    * shuffled twice. At 100 TB the same answer is served approximately
+    * by per-partition Misra-Gries summaries (k = 1/φ counters each)
+    * merged on the driver — a mergeable-sketch path this exact operator
+    * is the witness for: any key above φ·N is GUARANTEED to survive
+    * every partial summary, so the sketch path can only over-report,
+    * and a second exact count over the ≤1/φ candidates removes the
+    * false positives. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      phi: Double = 0.02): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("lang"), col("source"))
+    val counts = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") > col("total") * lit(phi))
+      .select(col("lang"), col("source"), col("n"),
+        (col("n").cast("double") / col("total")).cast("float").as("share"))
+      .orderBy(col("n").desc, col("lang"), col("source"))
+  }
+}

@@ -105,6 +105,46 @@ object Multimodal {
         element_at(col("features"), 4).as("f3"))
       .orderBy(col("doc_id"))
 
+  /** Video-style frame sampling over the opaque payload: derive per-doc
+    * stream metadata (fps, duration — md5-derived stubs standing in for
+    * a container-header probe), pick ~8 evenly-strided frame indices,
+    * and emit one row per sampled frame with a deterministic stub frame
+    * fingerprint. This is the frame-extraction PLUMBING of a video
+    * training pipeline — schema, fanout, partitioning — with the decode
+    * stubbed exactly like [[stubFeature]] (md5-replayable, so the
+    * driver gate hash-compares it against DuckDB).
+    *
+    * Scale shape: map-only — the explode fans each doc into ≤ 9 rows
+    * (stride = ⌈n_frames/8⌉ bounds the fanout regardless of clip
+    * length), payloads never shuffle, and a real decoder slots into the
+    * per-row fingerprint exactly like [[decodeBatched]]'s batch path.
+    * The ORDER BY is the dump's, not the operator's. */
+  def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    table(spark, dir, "documents")
+      .select(col("doc_id"), payload.as("payload"))
+      // stub container-header probe: fps ∈ {24, 30}, duration 5–34 s
+      .withColumn("fps",
+        when(Dedup.hash60(concat(col("doc_id").cast("string"), lit(":fps")))
+          % lit(2L) === 0, lit(24L)).otherwise(lit(30L)))
+      .withColumn("duration_s",
+        Dedup.hash60(concat(col("doc_id").cast("string"), lit(":dur")))
+          % lit(30L) + lit(5L))
+      .withColumn("n_frames", col("fps") * col("duration_s"))
+      .withColumn("stride", expr("greatest(1L, (n_frames + 7) DIV 8)"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, col("stride")))
+          .as("frame_idx"),
+        col("payload"))
+      .withColumn("frame_fp",
+        Dedup.hash60(concat(col("payload"),
+          encode(concat(lit(":f"), col("frame_idx").cast("string")),
+            "UTF-8"))) % lit(1000000L))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("frame_fp"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Scalar projection of the multimodal pipeline (Verify-friendly: no
     * binary/struct/array columns in the dump). */
   def multimodalSummary(spark: SparkSession, dir: String): DataFrame =

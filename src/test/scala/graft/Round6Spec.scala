@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query.{Analytics2, Curation, Dedup, Multimodal}
+
+class Round6Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup_keep_best: kept doc is in its group, maximal by (chars, -id); drops are non-negative") {
+    val out = Curation.dedupKeepBest(spark, sf).cache()
+    val labels = Dedup.dedupGroups(spark, sf).cache()
+    // every group labeled is decided exactly once
+    assert(out.select($"group_id").distinct().count() == out.count())
+    assert(out.count() ==
+      labels.select($"group_id").distinct().count())
+    // kept_doc carries its group's label
+    val mismatched = out.join(labels,
+        out("kept_doc") === labels("doc_id") &&
+          out("group_id") =!= labels("group_id"))
+      .count()
+    assert(mismatched == 0)
+    assert(out.filter($"chars_dropped" < 0).count() == 0)
+    // group of the planted near-dup of doc 0 keeps the doc with MORE
+    // normalized chars: the planted copy (prefix-extended text)
+    val g0 = out.filter($"group_id" === 0).collect()
+    if (g0.nonEmpty) {
+      val chars = Dedup.withPlantedNearDups(
+          graft.schema.Schemas.table(spark, sf, "documents"))
+        .select($"doc_id",
+          length(Dedup.normText($"text")).cast("long").as("chars"))
+        .filter($"doc_id" === 0 || $"doc_id" === 1000000L)
+        .as[(Long, Long)].collect().toMap
+      val expectKeep = if (chars(1000000L) > chars(0L)) 1000000L else 0L
+      assert(g0(0).getAs[Long]("kept_doc") == expectKeep)
+    }
+  }
+
+  test("text_ngram_novelty: fractions in [0,1]; the smallest doc_id with grams is fully novel") {
+    val out = Curation.textNgramNovelty(spark, sf).cache()
+    assert(out.filter($"novelty" < 0f || $"novelty" > 1f).count() == 0)
+    assert(out.filter($"n_novel" > $"n_grams").count() == 0)
+    val first = out.orderBy($"doc_id").limit(1).collect()(0)
+    // no earlier doc exists, so every gram of the first doc is novel
+    assert(first.getAs[Long]("n_novel") == first.getAs[Long]("n_grams"))
+    // novelty = n_novel / n_grams exactly
+    val bad = out.filter(
+      $"novelty" =!= ($"n_novel".cast("double") / $"n_grams").cast("float"))
+    assert(bad.count() == 0)
+  }
+
+  test("emb_quantize_int8: codes bounded to [-127,127], max |code| = 127 reached, scale positive") {
+    val out = Curation.embQuantizeInt8(spark, sf).cache()
+    assert(out.filter($"q_min" < -127 || $"q_max" > 127).count() == 0)
+    // the component at amax quantizes to ±127 by construction
+    assert(out.filter(greatest(abs($"q_min"), abs($"q_max")) =!= 127)
+      .count() == 0)
+    assert(out.filter($"scale" <= 0f).count() == 0)
+    assert(out.filter($"q_l1" < abs($"q_sum")).count() == 0)
+  }
+
+  test("heavy_hitters: exactly the keys above the φ·N threshold, shares consistent") {
+    val docs = graft.schema.Schemas.table(spark, sf, "documents")
+    val total = docs.count()
+    val expect = docs.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > total * 0.02)
+      .count()
+    val out = Curation.heavyHitters(spark, sf).cache()
+    assert(out.count() == expect)
+    assert(out.filter($"n" <= total * 0.02).count() == 0)
+  }
+
+  test("cohort_retention: offset-0 row per cohort counts the whole cohort; offsets non-negative") {
+    val out = Analytics2.cohortRetention(spark, sf).cache()
+    assert(out.filter($"week_offset" < 0).count() == 0)
+    // at offset 0 every cohort member is active (it's their first week)
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .select($"user_id", expr("unix_micros(ts) DIV 604800000000").as("w"))
+    val cohortSizes = ev.groupBy($"user_id").agg(min($"w").as("cw"))
+      .groupBy($"cw").agg(count(lit(1)).as("sz"))
+      .as[(Long, Long)].collect().toMap
+    out.filter($"week_offset" === 0)
+      .select($"cohort_week", $"n_users").as[(Long, Long)].collect()
+      .foreach { case (cw, n) => assert(n == cohortSizes(cw)) }
+    // retention never exceeds the cohort size at any offset
+    val tooBig = out.as[(Long, Long, Long)].collect()
+      .count { case (cw, _, n) => n > cohortSizes(cw) }
+    assert(tooBig == 0)
+  }
+
+  test("anomaly_mad: flagged set equals the brute-force median/MAD filter") {
+    val out = Analytics2.anomalyMad(spark, sf)
+      .select($"event_id").as[Long].collect().toSet
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .select($"event_id", $"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(med, Seq("event_type"))
+      .groupBy($"event_type", $"med")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    val expect = ev.join(mad, Seq("event_type"))
+      .filter(abs((($"value" - $"med") / (lit(1.4826) * $"mad"))
+        .cast("float")) > 3.5)
+      .select($"event_id").as[Long].collect().toSet
+    assert(out == expect)
+  }
+
+  test("agg_decimal_exact: decimal sums are associative — group totals equal the global total") {
+    val out = Analytics2.aggDecimalExact(spark, sf).cache()
+    val groupTotal = out.agg(sum($"sum_net")).collect()(0).getDecimal(0)
+    val global = graft.schema.Schemas.table(spark, sf, "lineitem")
+      .select(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(18,4)").as("net"))
+      .agg(sum($"net")).collect()(0).getDecimal(0)
+    // exact decimal arithmetic: re-aggregation changes NOTHING (this is
+    // the property double sums do not have)
+    assert(groupTotal.compareTo(global) == 0,
+      s"group=$groupTotal global=$global")
+  }
+
+  test("sql_shipping_priority: top-10 ranks on exact decimals, descending, within the filtered set") {
+    val out = Analytics2.sqlShippingPriority(spark, sf).collect()
+    assert(out.length <= 10)
+    val revs = out.map(_.getDecimal(2))
+    // non-increasing revenue
+    revs.sliding(2).foreach {
+      case Array(a, b) => assert(a.compareTo(b) >= 0)
+      case _ =>
+    }
+  }
+
+  test("ts_interval_overlap: window loads bound session counts; sessions respect the gap rule") {
+    val out = Analytics2.tsIntervalOverlap(spark, sf).cache()
+    assert(out.filter($"n_users" > $"n_sessions").count() == 0)
+    assert(out.filter($"w_start" % 21600000000L =!= 0).count() == 0)
+    // total session-window incidences ≥ number of sessions (each session
+    // hits at least one window)
+    val ev = graft.schema.Schemas.events(spark, sf)
+    val nEvents = ev.count()
+    val totalIncidence = out.agg(sum($"n_sessions")).as[Long].collect()(0)
+    assert(totalIncidence > 0 && totalIncidence <= nEvents)
+  }
+
+  test("zorder_cluster: bucket extents nest inside the bucket's z-range; counts cover the table") {
+    val out = Analytics2.zorderCluster(spark, sf).cache()
+    val n = graft.schema.Schemas.events(spark, sf).count()
+    assert(out.agg(sum($"n")).as[Long].collect()(0) == n)
+    // z-order locality: dropping the low 12 interleaved bits fixes all
+    // but 6 bits of each dimension, so within a bucket both extents
+    // span < 64 — the property file-level min/max pruning relies on
+    val wide = out.filter(
+      ($"x_max" - $"x_min" > 63) || ($"y_max" - $"y_min" > 63))
+    assert(wide.count() == 0)
+  }
+
+  test("multimodal_frame_sample: ≤9 frames per doc, stride-even indices inside [0, n_frames)") {
+    val out = Multimodal.multimodalFrameSample(spark, sf).cache()
+    assert(out.filter($"frame_idx" < 0 || $"frame_idx" >= $"n_frames")
+      .count() == 0)
+    val perDoc = out.groupBy($"doc_id").agg(count(lit(1)).as("k"))
+    assert(perDoc.filter($"k" > 9 || $"k" < 1).count() == 0)
+    // deterministic: same plan twice, identical fingerprints
+    val a = out.orderBy($"doc_id", $"frame_idx")
+      .select($"frame_fp").as[Long].collect().toSeq
+    val b = Multimodal.multimodalFrameSample(spark, sf)
+      .orderBy($"doc_id", $"frame_idx")
+      .select($"frame_fp").as[Long].collect().toSeq
+    assert(a == b)
+  }
+}
