@@ -47,6 +47,20 @@ object ShingleHashImpl {
     new GenericArrayData(if (w == n) hs else java.util.Arrays.copyOf(hs, w))
   }
 
+  /** Intersection size of two SORTED DISTINCT long arrays: one O(m+n)
+    * merge, no per-row hash-set allocation. */
+  def intersectCountSorted(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** Set Jaccard of two SORTED DISTINCT long arrays: one O(m+n) merge, no
     * per-row hash-set allocation (the array_intersect/array_union
     * formulation built two hash sets per candidate pair). */
@@ -152,6 +166,60 @@ case class JaccardSorted(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSorted =
     copy(left = newLeft, right = newRight)
+}
+
+/** `intersect_count_sorted(array<bigint>, array<bigint>) -> bigint` —
+  * size of the intersection of two SORTED DISTINCT long arrays by one
+  * O(m+n) merge. The triangle-counting kernel: per oriented edge (s,t),
+  * |N⁺(s) ∩ N⁺(t)| is the number of triangles the edge closes. */
+case class IntersectCountSorted(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count_sorted"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"intersect_count_sorted requires two array<bigint>, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ShingleHashImpl.intersectCountSorted(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ShingleHashImpl.intersectCountSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCountSorted {
+  private def builder(exprs: Seq[Expression]): IntersectCountSorted = {
+    if (exprs.size != 2) throw new IllegalArgumentException(
+      s"intersect_count_sorted(a, b) takes 2 arguments, got ${exprs.size}")
+    IntersectCountSorted(exprs.head, exprs(1))
+  }
+
+  /** Register `intersect_count_sorted(a, b)` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_count_sorted", builder, "scala_udf")
+
+  /** FunctionDescription for SparkSessionExtensions.injectFunction. */
+  def descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("intersect_count_sorted"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[IntersectCountSorted].getCanonicalName,
+        "intersect_count_sorted"),
+      builder)
 }
 
 object JaccardSorted {

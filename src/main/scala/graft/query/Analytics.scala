@@ -27,35 +27,31 @@ object Analytics {
     * hub vertex of a star contributes ZERO wedges. No global sort, no
     * driver materialization; the output is one summary row. */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = table(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
-    val deg = edges.select(col("u").as("x"))
-      .union(edges.select(col("v").as("x")))
-      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
-    // orient each edge from its lower-(deg, id) endpoint
-    val withDeg = edges
-      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), Seq("u"))
-      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), Seq("v"))
-    val oriented = withDeg.select(
-      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-        struct(col("u").as("s"), col("v").as("t"),
-          col("dv").as("dt")))
-        .otherwise(struct(col("v").as("s"), col("u").as("t"),
-          col("du").as("dt"))).as("e"))
-      .select(col("e.s"), col("e.t"), col("e.dt"))
-    // wedges from the shared lower endpoint; close them against the edge set
-    val wedges = oriented.as("p").join(oriented.as("q"), Seq("s"))
-      .filter(struct(col("p.dt"), col("p.t")) < struct(col("q.dt"), col("q.t")))
-      .select(col("p.t").as("u2"), col("q.t").as("v2"))
-    val triangles = wedges.join(
-      oriented.select(col("s").as("u2"), col("t").as("v2")), Seq("u2", "v2"),
-      "left_semi")
-    val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
+    val edges = copurchaseEdges(spark, dir)
+    val deg = copurchaseDeg(spark, dir)
+    val oriented = copurchaseOriented(spark, dir)
+    // Closure by adjacency-list intersection: per oriented edge (s, t),
+    // |N⁺(s) ∩ N⁺(t)| triangles close over it (each triangle counted
+    // exactly once, at the edge between its apex's two out-neighbors'
+    // lower pair). This NEVER materializes the wedge stream — 41 M
+    // wedges at sf0.1 vs 1.2 M edges — the per-edge sorted-merge
+    // ([[graft.functions.IntersectCountSorted]], codegen) does the same
+    // comparisons inside one projection. The out-adjacency index is
+    // ≤ |V| rows with orientation-bounded list lengths (≈√E̅ worst
+    // case, the arboricity bound), broadcast here; partition both sides
+    // by vertex when it outgrows executor memory.
+    graft.functions.IntersectCountSorted.register(spark)
+    val adj = oriented.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    val nTri = oriented
+      .join(broadcast(adj), Seq("s"))
+      .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("nbrs_t"))),
+        Seq("t"), "left")
+      .select(expr(
+        """intersect_count_sorted(nbrs,
+          |  coalesce(nbrs_t, CAST(array() AS ARRAY<BIGINT>)))""".stripMargin)
+        .as("c"))
+      .agg(sum(col("c")).as("n_triangles"))
     val nV = deg.agg(count(lit(1)).as("n_vertices"))
     val nE = edges.agg(count(lit(1)).as("n_edges"))
     // open wedge count from raw degrees: sum C(deg, 2) — exact integers
@@ -82,7 +78,9 @@ object Analytics {
     * standard convergence/latency tradeoff at corpus scale. */
   def graphPagerank(spark: SparkSession, dir: String, iters: Int = 3,
       maxVertex: Long = 100L): DataFrame = {
-    val (edges, deg, nV) = pagerankGraph(spark, dir)
+    val edges = copurchaseEdgesSym(spark, dir)
+    val deg = copurchaseDeg(spark, dir)
+    val nV = deg.count() // persisted: a metadata-speed count
     var pr = deg.select(col("u"), lit(1.0 / nV).as("pr"))
     for (_ <- 1 to iters) {
       pr = edges
@@ -97,47 +95,92 @@ object Analytics {
       .orderBy(col("part"))
   }
 
-  // Persisted pagerank graph (symmetric edges + degrees + vertex count),
-  // keyed on the OWNING SESSION OBJECT via WeakHashMap exactly like
-  // Dedup.sigCache: repeated invocations in a 160-query sweep reuse one
-  // persisted copy instead of leaking a fresh pair of cached DataFrames
-  // per call, and entries drop with their session.
-  private type GraphEntry = (DataFrame, DataFrame, Long)
+  // Persisted co-purchase graph components (distinct edges, symmetric
+  // edges, degrees, degree-orientation), keyed on the OWNING SESSION
+  // OBJECT via WeakHashMap exactly like Dedup.sigCache: triangles and
+  // pagerank SHARE one materialized edge index per (session, dir)
+  // instead of each recomputing the two-distinct lineage per branch —
+  // the 100 TB deployment shape (build the graph once, run many graph
+  // queries against it), and entries drop with their session.
   private val graphCache = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, GraphEntry]]()
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  private def pagerankGraph(spark: SparkSession, dir: String): GraphEntry = {
+  /** Build-once persisted component. The build is materialized (count)
+    * inside the insert so every later use reads warm blocks. Dependent
+    * components are resolved BEFORE their own computeIfAbsent — a
+    * recursive update of one ConcurrentHashMap is illegal. */
+  private def cachedDf(spark: SparkSession, key: String)
+      (build: => DataFrame): DataFrame = {
     val m = graphCache.synchronized {
       var mm = graphCache.get(spark)
       if (mm == null) {
-        mm = new java.util.concurrent.ConcurrentHashMap[String, GraphEntry]()
+        mm = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
         graphCache.put(spark, mm)
       }
       mm
     }
-    m.computeIfAbsent(dir, { _ =>
-      val li = table(spark, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val e0 = li.as("a").join(li.as("b"), Seq("ok"))
-        .filter(col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        .distinct()
-      val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-        .persist()
-      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
-      (edges, deg, deg.count())
+    m.computeIfAbsent(key, { _ =>
+      val df = build.persist()
+      df.count()
+      df
     })
   }
 
-  /** Unpersist and drop every cached pagerank graph (all sessions). */
+  /** Distinct undirected co-purchase edges as (u < v) pairs: parts that
+    * appear in the same order are connected. */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    cachedDf(spark, s"$dir#e0") {
+      val li = table(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.as("a").join(li.as("b"), Seq("ok"))
+        .filter(col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+    }
+
+  /** Both directions of [[copurchaseEdges]] (u→v and v→u). */
+  private def copurchaseEdgesSym(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = copurchaseEdges(spark, dir)
+    cachedDf(spark, s"$dir#sym") {
+      e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+    }
+  }
+
+  /** Per-vertex degree of the undirected graph, keyed `u`. */
+  private def copurchaseDeg(spark: SparkSession, dir: String): DataFrame = {
+    val sym = copurchaseEdgesSym(spark, dir)
+    cachedDf(spark, s"$dir#deg") {
+      sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    }
+  }
+
+  /** Each edge oriented from its lower-(degree, id) endpoint `s` to the
+    * higher one `t` (dt = t's degree) — the arboricity-bounding
+    * orientation triangle counting enumerates wedges from. */
+  private def copurchaseOriented(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = copurchaseEdges(spark, dir)
+    val deg = copurchaseDeg(spark, dir)
+    cachedDf(spark, s"$dir#oriented") {
+      e0
+        .join(deg.withColumnRenamed("deg", "du"), Seq("u"))
+        .join(deg.withColumnRenamed("u", "v").withColumnRenamed("deg", "dv"),
+          Seq("v"))
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+            struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t"),
+              col("du").as("dt"))).as("e"))
+        .select(col("e.s"), col("e.t"), col("e.dt"))
+    }
+  }
+
+  /** Unpersist and drop every cached graph component (all sessions). */
   def clearCaches(): Unit = {
     import scala.jdk.CollectionConverters._
     graphCache.synchronized {
-      graphCache.values.asScala.flatMap(_.values.asScala).foreach {
-        case (e, d, _) =>
-          try { e.unpersist(false); d.unpersist(false) }
-          catch { case _: Throwable => () }
+      graphCache.values.asScala.flatMap(_.values.asScala).foreach { df =>
+        try df.unpersist(false) catch { case _: Throwable => () }
       }
       graphCache.clear()
     }

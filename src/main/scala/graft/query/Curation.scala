@@ -58,13 +58,20 @@ object Curation {
     * first-seen MIN aggregate absorbs (AQE skew split handles the
     * join-back). Collisions in the 2^60 fingerprint space are
     * vanishingly rare and — because the oracle replays the same md5
-    * fingerprints — cross-engine deterministic. */
+    * fingerprints — cross-engine deterministic.
+    *
+    * The per-doc distinct gram-hash set comes from the codegen'd
+    * [[graft.functions.ShingleHashes]] expression (one md5 pass per
+    * gram, in-row sort+dedupe) — the interpreted transform+md5 HOF
+    * formulation of the same set measured ~5× slower, and a
+    * corpus-wide `.distinct()` after explode would shuffle the raw
+    * (doc, gram) pairs a second time for nothing. */
   def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ShingleHashes.register(spark)
     val grams = table(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(Dedup.shingles(col("text"), 3)).as("g"))
-      .select(col("doc_id"), Dedup.hash60(col("g")).as("gh"))
-      .distinct()
+        explode(expr("shingle_hashes(toks, 3)")).as("gh"))
     val firstSeen = grams.groupBy(col("gh"))
       .agg(min(col("doc_id")).as("first_doc"))
     grams.join(firstSeen, Seq("gh"))
