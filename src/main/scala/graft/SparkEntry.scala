@@ -267,6 +267,11 @@ object SparkEntry {
     "ts_interval_overlap"    -> Analytics2.tsIntervalOverlap _,
     "zorder_cluster"         -> Analytics2.zorderCluster _,
     "multimodal_frame_sample" -> Multimodal.multimodalFrameSample _,
+    "ann_filtered_topk"      ->
+      ((s: SparkSession, d: String) => Similarity.annFilteredTopK(s, d)),
+    "eval_retrieval_metrics" ->
+      ((s: SparkSession, d: String) => Similarity.evalRetrievalMetrics(s, d)),
+    "corpus_quality_gate"    -> Curation.corpusQualityGate _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2045,6 +2050,59 @@ object SparkEntry {
         |    || CAST(frame_idx AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
         |    AS frame_fp
         |FROM sel ORDER BY doc_id, frame_idx""".stripMargin,
+    "ann_filtered_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(qe AS DOUBLE[]) FROM q)) AS cosine
+        |FROM embeddings WHERE vec_id <> 0 AND label % 2 = 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "eval_retrieval_metrics" ->
+      """WITH qs AS (
+        |  SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 20
+        |), scored AS (
+        |  SELECT qid, qlabel, e.vec_id, e.label,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(qe AS DOUBLE[])) AS cos
+        |  FROM embeddings e JOIN qs ON e.vec_id <> qid
+        |), ranked AS (
+        |  SELECT qid, qlabel, label,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored
+        |), pq AS (
+        |  SELECT qid,
+        |    sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS hits,
+        |    min(CASE WHEN label = qlabel THEN rn END) AS first_hit
+        |  FROM ranked WHERE rn <= 10 GROUP BY qid
+        |)
+        |SELECT count(*) AS n_queries,
+        |  CAST(avg(CAST(hits AS DOUBLE) / 10) AS REAL) AS precision_at_k,
+        |  CAST(avg(coalesce(1.0 / first_hit, 0.0)) AS REAL) AS mrr
+        |FROM pq""".stripMargin,
+    "corpus_quality_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |    len(string_split(text, ' ')) AS n_ws,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |      AS DOUBLE) / length(text) AS ar
+        |  FROM documents
+        |), k AS (
+        |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canon
+        |  FROM d
+        |), r AS (
+        |  SELECT CASE WHEN lang <> 'en' THEN 'non_en'
+        |    WHEN n_ws < 20 THEN 'too_short'
+        |    WHEN ar < 0.78 THEN 'low_alpha'
+        |    WHEN NOT is_canon THEN 'exact_dup'
+        |    ELSE 'kept' END AS reason
+        |  FROM k
+        |), t AS (SELECT count(*) AS total FROM r)
+        |SELECT reason, count(*) AS n_docs,
+        |  CAST(CAST(count(*) AS DOUBLE) / total AS REAL) AS share
+        |FROM r, t GROUP BY reason, total ORDER BY reason""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

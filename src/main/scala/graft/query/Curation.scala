@@ -114,6 +114,44 @@ object Curation {
         "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + abs(x)) AS q_l1")
       .orderBy(col("vec_id"))
 
+  /** The curation funnel: every document is assigned its FIRST failing
+    * gate — language, length, alphabetic ratio, exact-dup — or `kept`,
+    * and the output is the per-reason drop accounting (the number every
+    * corpus-curation run reports). Gate order is fixed, so each doc has
+    * exactly one reason and the counts partition the corpus.
+    *
+    * Scale shape: the language/length/alpha gates are map-only
+    * expressions over the scan; the dup gate is the one shuffle
+    * (fingerprint window, same key as [[Dedup.dedupExact]]); the
+    * rollup is a ≤5-row aggregate plus a 1-row total broadcast.
+    * Threshold compares happen on deterministic integer-ratio doubles,
+    * identical both engines. */
+  def corpusQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fpw = Window.partitionBy(col("fingerprint"))
+    val staged = table(spark, dir, "documents")
+      .withColumn("fingerprint", md5(Dedup.normText(col("text"))))
+      .withColumn("is_canonical",
+        col("doc_id") === min(col("doc_id")).over(fpw))
+      .withColumn("n_ws", size(split(col("text"), " ")))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+          / length(col("text")))
+    val reason = when(col("lang") =!= "en", "non_en")
+      .when(col("n_ws") < 20, "too_short")
+      .when(col("alpha_ratio") < 0.78, "low_alpha")
+      .when(!col("is_canonical"), "exact_dup")
+      .otherwise("kept")
+    val counts = staged.select(reason.as("reason"))
+      .groupBy(col("reason")).agg(count(lit(1)).as("n_docs"))
+    val total = table(spark, dir, "documents").agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("reason"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total")).cast("float")
+          .as("share"))
+      .orderBy(col("reason"))
+  }
+
   /** φ-frequent keys (heavy hitters): every (lang, source) corpus slice
     * whose document count exceeds φ·N — the top-key profile that drives
     * skew handling (salting those keys), corpus-mix accounting, and

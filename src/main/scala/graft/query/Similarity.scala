@@ -209,4 +209,71 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Filtered vector search: exact cosine top-k among only the vectors
+    * passing a metadata predicate (here `label % 2 = 0`) — the
+    * "filtered ANN" query every vector store serves (search within a
+    * tenant / date range / doc type).
+    *
+    * The predicate applies BEFORE scoring — pre-filtering keeps top-k
+    * semantics exact (post-filtering an unfiltered top-k silently
+    * returns < k or misses qualifying neighbors). At 100 TB the same
+    * shape holds over the bucketed/IVF layouts: push the predicate into
+    * the per-bucket scan, then score survivors only; with partition
+    * pruning on the predicate column the scan skips non-qualifying
+    * files entirely. Map-only scoring + TakeOrdered — no global sort,
+    * no shuffle of scores. */
+  def annFilteredTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val q = array(queryVector(spark, dir, queryId).toIndexedSeq.map(lit): _*)
+    table(spark, dir, "embeddings")
+      .filter(col("vec_id") =!= queryId && pmod(col("label"), lit(2)) === 0)
+      .withColumn("qv", q)
+      .select(col("vec_id"), col("label"),
+        expr("float_dot(embedding, qv)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Retrieval evaluation: label-match precision@k and MRR of exact
+    * cosine search over a fixed query panel (vec_id < `nQueries`) — the
+    * recall/quality harness an embedding pipeline runs after each
+    * index or model change.
+    *
+    * Scale shape: the query panel broadcasts (queries are always the
+    * tiny side) and every corpus partition scores all queries in one
+    * pass — the corpus is scanned ONCE for the whole panel, not once
+    * per query. The per-query top-k is a (query-keyed) window over
+    * scores, ranked on (cosine, vec_id) with the deterministic
+    * [[graft.functions.FloatVecDot]] sequential fold both engines
+    * replay bit-identically. The final averages are cast to float32
+    * (20-addend sum-order tolerance). */
+  def evalRetrievalMetrics(spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.FloatVecDot.register(spark)
+    val emb = table(spark, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val scored = emb.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        expr("float_dot(embedding, qe)").as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val perQuery = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("qid"))
+      .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .as("hits"),
+        min(when(col("label") === col("qlabel"), col("rn"))).as("first_hit"))
+    perQuery.agg(
+        count(lit(1)).as("n_queries"),
+        avg(col("hits").cast("double") / lit(k))
+          .cast("float").as("precision_at_k"),
+        avg(coalesce(lit(1.0) / col("first_hit"), lit(0.0)))
+          .cast("float").as("mrr"))
+  }
 }

@@ -109,4 +109,57 @@ class PlanSpec extends SparkSpec {
     val p = plan(Relational.a1MeanImpute(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("sql_shipping_priority: date filters pushed to all scans, customer broadcast, top-10 TakeOrdered") {
+    val p = plan(graft.query.Analytics2.sqlShippingPriority(spark, sf))
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("LessThan(c_nationkey,5)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // money never aggregates as double: the partial sum is over decimal
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("zorder_cluster: interleave is a static expression inside codegen; read pruned to 2 cols") {
+    val df = graft.query.Analytics2.zorderCluster(spark, sf)
+    val p = plan(df)
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(readSchema.contains("user_id") && readSchema.contains("value"), readSchema)
+    assert(!readSchema.contains("event_type"), readSchema)
+    assert(p.contains("partial_count"), p) // map-side combined extents
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    // the shift/mask chain sits in a WholeStageCodegen span, not a HOF
+    assert(executed.contains("*("), executed)
+    assert(!executed.contains("ArrayTransform"), executed)
+  }
+
+  test("anomaly_mad: per-type stats broadcast back — the fact scan never shuffles") {
+    val p = plan(graft.query.Analytics2.anomalyMad(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no Exchange hashpartitioning over event_id/the raw events side for
+    // the JOIN (the only exchanges feed the 5-row aggregates + dump sort)
+    assert(p.contains("percentile"), p)
+  }
+
+  test("graph_triangles: closure is broadcast adjacency intersection — no wedge-stream shuffle") {
+    val df = graft.query.Analytics.graphTriangles(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("intersect_count_sorted"), executed.take(3000))
+    assert(executed.contains("BroadcastHashJoin"), executed.take(3000))
+  }
+
+  test("heavy_hitters: single aggregation over the scan + 1-row total broadcast") {
+    val p = plan(graft.query.Curation.heavyHitters(spark, sf))
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("ts_interval_overlap: bucketed equi-join, never a nested-loop theta join") {
+    val p = plan(graft.query.Analytics2.tsIntervalOverlap(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.query.{Analytics2, Curation, Dedup, Multimodal}
+import graft.query.{Analytics2, Curation, Dedup, Multimodal, Similarity}
 
 class Round6Spec extends SparkSpec {
   import spark.implicits._
@@ -151,6 +151,43 @@ class Round6Spec extends SparkSpec {
     val wide = out.filter(
       ($"x_max" - $"x_min" > 63) || ($"y_max" - $"y_min" > 63))
     assert(wide.count() == 0)
+  }
+
+  test("ann_filtered_topk: results satisfy the predicate and are the filtered brute-force top-k") {
+    val out = Similarity.annFilteredTopK(spark, sf).cache()
+    assert(out.filter(pmod($"label", lit(2)) =!= 0).count() == 0)
+    // pre-filter semantics: equals brute force restricted to the predicate
+    val ids = out.select($"vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(spark, sf, k = 2000)
+      .join(graft.schema.Schemas.table(spark, sf, "embeddings")
+        .select($"vec_id", $"label"), Seq("vec_id"))
+      .filter(pmod($"label", lit(2)) === 0)
+      // the join does not preserve the top-k sort — re-rank explicitly
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(10).select($"vec_id").as[Long].collect().toSeq
+    assert(ids == brute, s"got $ids expected $brute")
+  }
+
+  test("eval_retrieval_metrics: metrics in [0,1], panel complete, self-retrieval excluded") {
+    val row = Similarity.evalRetrievalMetrics(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_queries") == 20)
+    val p = row.getAs[Float]("precision_at_k")
+    val m = row.getAs[Float]("mrr")
+    assert(p >= 0f && p <= 1f)
+    assert(m >= 0f && m <= 1f)
+    // MRR ≥ precision@k / k is a weak sanity identity (first hit at worst
+    // rank k still contributes 1/k per query with ≥1 hit)
+    assert(m >= p / 10 - 1e-6f)
+  }
+
+  test("corpus_quality_gate: reasons partition the corpus; shares sum to 1") {
+    val out = Curation.corpusQualityGate(spark, sf).cache()
+    val total = graft.schema.Schemas.table(spark, sf, "documents").count()
+    assert(out.agg(sum($"n_docs")).as[Long].collect()(0) == total)
+    val shareSum = out.agg(sum($"share".cast("double"))).as[Double].collect()(0)
+    assert(math.abs(shareSum - 1.0) < 1e-5, s"shares sum to $shareSum")
+    val valid = Set("kept", "non_en", "too_short", "low_alpha", "exact_dup")
+    assert(out.select($"reason").as[String].collect().forall(valid))
   }
 
   test("multimodal_frame_sample: ≤9 frames per doc, stride-even indices inside [0, n_frames)") {
