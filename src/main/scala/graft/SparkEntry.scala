@@ -277,6 +277,7 @@ object SparkEntry {
     "export_jsonl_manifest"  ->
       ((s: SparkSession, d: String) =>
         graft.ingest.Export.exportJsonlManifest(s, d)),
+    "stream_foreachbatch_upsert" -> StreamQueries.streamForeachbatchUpsert _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2160,6 +2161,16 @@ object SparkEntry {
         |  CAST(sum(strlen(text)) AS BIGINT) AS text_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    "stream_foreachbatch_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, t AS last_ts_us, event_id AS last_event_id,
+        |  value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -20,6 +20,25 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamQueries {
 
+  // temp store dirs for the foreachBatch upsert, deleted at JVM exit
+  // (the Relational3 bucket-layout convention)
+  private val upsertDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      upsertDirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val p = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-upsert-store-cleanup"))
+  }
+
   /** Raw events schema as stored (ts is epoch-nanos INT64 in the parquet —
     * the streaming reader gets it as LongType under nanosAsLong). */
   private val eventsSchema = StructType.fromDDL(
@@ -188,4 +207,83 @@ object StreamQueries {
       .agg(max(col("n_sessions")).as("n_sessions"))
       .orderBy(col("user_id"))
   }
+
+  /** Streaming CDC upsert via foreachBatch: each micro-batch MERGEs into
+    * a versioned keyed store — per user the row with the latest
+    * (ts, event_id) wins. This is the sink-side materialization pattern
+    * (stream → MERGE INTO serving table) that complements the
+    * operator-state patterns above: the store is a plain table any
+    * batch reader can query mid-stream, and versioned writes make the
+    * merge idempotent under micro-batch replay (a re-run batch
+    * overwrites its own version — the [[graft.ingest]] batchId-keyed
+    * sink discipline).
+    *
+    * Last-wins by (ts, event_id) is associative and commutative, so the
+    * final store is independent of how the input was micro-batched —
+    * StreamingSpec proves a 3-file split drain equals the single-batch
+    * drain, and the full drain equals the batch argmax (the oracle).
+    * At scale the per-batch merge is MERGE INTO on a keyed table
+    * (Delta/Iceberg); here it is union + argmax + versioned parquet —
+    * same contract, same shuffle shape (one exchange on the key per
+    * batch, batch sizes bound state reads). */
+  def streamForeachbatchUpsert(spark: SparkSession, dir: String): DataFrame =
+    streamForeachbatchUpsertFrom(spark, dir, nanos = true)
+
+  /** [[streamForeachbatchUpsert]] over an arbitrary parquet stream dir:
+    * `nanos = false` reads micros-TIMESTAMP files (re-exported copies)
+    * instead of the raw nanos events file; `filesPerTrigger` forces
+    * multi-file input into that many files per micro-batch so specs can
+    * prove the cross-batch merge (AvailableNow otherwise drains
+    * everything available in one batch). */
+  def streamForeachbatchUpsertFrom(spark: SparkSession, dir: String,
+      nanos: Boolean, filesPerTrigger: Option[Int] = None): DataFrame =
+    spark.synchronized {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-upsert").toString
+      upsertDirs.add(base)
+      def argmaxPerKey(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"),
+            col("m.event_id").as("event_id"), col("m.value").as("value"))
+      val reader0 = spark.readStream.schema(
+        if (nanos) eventsSchema
+        else StructType.fromDDL("event_id LONG, ts TIMESTAMP, " +
+          "user_id LONG, event_type STRING, value DOUBLE, props STRING"))
+      val reader1 =
+        if (nanos) reader0.option("pathGlobFilter", "events.parquet")
+        else reader0
+      val reader = filesPerTrigger.fold(reader1)(n =>
+        reader1.option("maxFilesPerTrigger", n))
+      val src0 = reader.parquet(dir)
+      val src =
+        if (nanos) src0.withColumn("ts",
+          expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
+        else src0
+      @volatile var latest: Option[String] = None
+      val q = src
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val upd = argmaxPerKey(batch)
+          val merged = latest match {
+            case Some(p) => argmaxPerKey(spark.read.parquet(p)
+              .unionByName(upd))
+            case None => upd
+          }
+          val out = s"$base/v$batchId"
+          merged.write.mode("overwrite").parquet(out)
+          latest = Some(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(latest.getOrElse(
+        sys.error("upsert drain produced no batches")))
+        .select(col("user_id"), unix_micros(col("ts")).as("last_ts_us"),
+          col("event_id").as("last_event_id"),
+          col("value").as("last_value"))
+        .orderBy(col("user_id"))
+    }
 }

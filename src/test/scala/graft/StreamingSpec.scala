@@ -52,4 +52,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.nonEmpty)
     out.foreach(r => assert(r.getInt(1) >= 1))
   }
+
+  test("foreachBatch upsert: multi-batch merge equals single-batch drain equals batch argmax") {
+    import org.apache.spark.sql.functions._
+    val single = StreamQueries.streamForeachbatchUpsert(spark, sf).collect()
+    // batch ground truth: per user the latest (ts, event_id) row
+    val batch = Schemas.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), unix_micros(col("m.ts")).as("last_ts_us"),
+        col("m.event_id").as("last_event_id"),
+        col("m.value").as("last_value"))
+      .orderBy(col("user_id")).collect()
+    assert(single.toSeq == batch.toSeq)
+    // split the events into 3 parquet files and force 1 file per
+    // micro-batch: the drain becomes 3 micro-batches, so the versioned
+    // store must merge across batches — last-wins is
+    // batching-independent, so the result is identical
+    val splitDir = java.nio.file.Files
+      .createTempDirectory("graft-upsert-split").toString
+    Schemas.events(spark, sf)
+      .select(col("event_id"),
+        expr("timestamp_micros(unix_micros(ts)) AS ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .repartition(3, col("event_id"))
+      .write.mode("overwrite").parquet(splitDir)
+    val multi = StreamQueries.streamForeachbatchUpsertFrom(
+      spark, splitDir, nanos = false, filesPerTrigger = Some(1)).collect()
+    assert(multi.toSeq == batch.toSeq)
+  }
 }
