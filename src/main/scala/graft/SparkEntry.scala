@@ -278,6 +278,12 @@ object SparkEntry {
       ((s: SparkSession, d: String) =>
         graft.ingest.Export.exportJsonlManifest(s, d)),
     "stream_foreachbatch_upsert" -> StreamQueries.streamForeachbatchUpsert _,
+    "agg_countmin_freq"      ->
+      ((s: SparkSession, d: String) => Analytics2.aggCountminFreq(s, d)),
+    "graph_communities_lpa"  ->
+      ((s: SparkSession, d: String) => Analytics.graphCommunitiesLpa(s, d)),
+    "ts_seasonal_baseline"   ->
+      ((s: SparkSession, d: String) => Analytics2.tsSeasonalBaseline(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2171,6 +2177,68 @@ object SparkEntry {
         |SELECT user_id, t AS last_ts_us, event_id AS last_event_id,
         |  value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "agg_countmin_freq" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |cells AS (
+        |  SELECT r, CAST('0x' || substr(md5('cm' || r || ':'
+        |      || user_id), 1, 15) AS BIGINT) % 256 AS b,
+        |    count(*) AS cnt
+        |  FROM ev, (SELECT unnest(generate_series(0, 3)) AS r) rr
+        |  GROUP BY 1, 2
+        |), exact AS (
+        |  SELECT user_id, count(*) AS n FROM ev GROUP BY 1
+        |  ORDER BY n DESC, user_id LIMIT 10
+        |), probes AS (
+        |  SELECT user_id, n, r, CAST('0x' || substr(md5('cm' || r || ':'
+        |      || user_id), 1, 15) AS BIGINT) % 256 AS b
+        |  FROM exact, (SELECT unnest(generate_series(0, 3)) AS r) rr
+        |)
+        |SELECT user_id, n, min(cnt) AS cm_est,
+        |  CAST(min(cnt) - n AS BIGINT) AS overestimate,
+        |  min(cnt) >= n AS est_ge_exact
+        |FROM probes JOIN cells USING (r, b)
+        |GROUP BY user_id, n
+        |ORDER BY n DESC, user_id""".stripMargin,
+    "graph_communities_lpa" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), edges AS (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), l0 AS (SELECT DISTINCT u, u AS lbl FROM edges),
+        |c1 AS (
+        |  SELECT e.u, l.lbl, count(*) AS c
+        |  FROM edges e JOIN l0 l ON l.u = e.v GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT u, lbl FROM (
+        |    SELECT u, lbl, row_number() OVER (PARTITION BY u
+        |      ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1
+        |), c2 AS (
+        |  SELECT e.u, l.lbl, count(*) AS c
+        |  FROM edges e JOIN l1 l ON l.u = e.v GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT u, lbl FROM (
+        |    SELECT u, lbl, row_number() OVER (PARTITION BY u
+        |      ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1
+        |)
+        |SELECT u AS part, lbl AS community FROM l2
+        |WHERE u <= 100 ORDER BY part""".stripMargin,
+    "ts_seasonal_baseline" ->
+      """WITH ev AS (
+        |  SELECT event_id, value,
+        |    (epoch_us(ts) // 3600000000) % 168 AS how
+        |  FROM events
+        |), b AS (
+        |  SELECT how, avg(value) AS mean, stddev_samp(value) AS sd
+        |  FROM ev GROUP BY how
+        |)
+        |SELECT event_id, how, value,
+        |  CAST((value - mean) / sd AS REAL) AS z
+        |FROM ev JOIN b USING (how)
+        |WHERE abs(CAST((value - mean) / sd AS REAL)) > 3.0
+        |ORDER BY event_id""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -95,6 +95,39 @@ object Analytics {
       .orderBy(col("part"))
   }
 
+  /** Community detection by synchronous label propagation (`rounds`
+    * fixed rounds): labels start as vertex ids; each round every vertex
+    * adopts its neighbors' most frequent label (ties → smallest label —
+    * the determinism contract async LPA lacks). The cheap communities
+    * pass run before expensive per-community work (pagerank within
+    * community, summarization) at corpus scale.
+    *
+    * Scale shape: reuses the persisted [[copurchaseEdgesSym]] index;
+    * each round is one edges⨝labels join (labels are (vertex, long) —
+    * the payload never travels) plus two map-side-combined
+    * aggregations: neighbor-label counts on (vertex, label), then the
+    * per-vertex argmax via `min(struct(-count, label))` — never a
+    * window over the adjacency. Fixed rounds keep the plan finite
+    * (same latency/quality tradeoff as [[graphPagerank]]). */
+  def graphCommunitiesLpa(spark: SparkSession, dir: String,
+      rounds: Int = 2, maxVertex: Long = 100L): DataFrame = {
+    val edges = copurchaseEdgesSym(spark, dir)
+    val deg = copurchaseDeg(spark, dir)
+    var lbl = deg.select(col("u"), col("u").as("lbl"))
+    for (_ <- 1 to rounds) {
+      lbl = edges
+        .join(lbl.select(col("u").as("v"), col("lbl")), Seq("v"))
+        .groupBy(col("u"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("c")).as("negc"), col("lbl"))).as("m"))
+        .select(col("u"), col("m.lbl").as("lbl"))
+    }
+    lbl.filter(col("u") <= maxVertex)
+      .select(col("u").as("part"), col("lbl").as("community"))
+      .orderBy(col("part"))
+  }
+
   // Persisted co-purchase graph components (distinct edges, symmetric
   // edges, degrees, degree-orientation), keyed on the OWNING SESSION
   // OBJECT via WeakHashMap exactly like Dedup.sigCache: triangles and

@@ -178,6 +178,80 @@ object Analytics2 {
       .orderBy(col("w_start"))
   }
 
+  /** Seasonal-baseline anomaly detection: each event scored against its
+    * HOUR-OF-WEEK baseline (mean/stddev per the 168 weekly hours) —
+    * the first seasonal decomposition a metrics pipeline applies, where
+    * a Monday-9am spike is normal and the same value at Sunday-3am is
+    * an alert. The seasonal key is pure integer epoch arithmetic
+    * ((µs ÷ 3600s) mod 168) — no calendar library, no timezone, no
+    * engine-specific day-of-week origin (Spark's dayofweek is 1=Sunday,
+    * DuckDB's dow is 0=Sunday — epoch math sidesteps the trap).
+    *
+    * Scale shape: the 168-row baseline table is one map-side-combined
+    * aggregation broadcast back to the scan — the fact table is never
+    * shuffled. z is computed in double and cast to float32 before the
+    * threshold compare (identical REAL filtered both engines). */
+  def tsSeasonalBaseline(spark: SparkSession, dir: String,
+      threshold: Double = 3.0): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("value"),
+        expr("(unix_micros(ts) DIV 3600000000) % 168").as("how"))
+    val baseline = ev.groupBy(col("how"))
+      .agg(avg(col("value")).as("mean"), stddev_samp(col("value")).as("sd"))
+    ev.join(broadcast(baseline), Seq("how"))
+      .withColumn("z", ((col("value") - col("mean")) / col("sd"))
+        .cast("float"))
+      .filter(abs(col("z")) > threshold)
+      .select(col("event_id"), col("how"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Count-Min sketch frequency estimation, fully replayed: build a
+    * d=4 × w=256 counter matrix over the event user_ids (row hashes are
+    * independent md5-60-bit families), estimate each key's frequency as
+    * the MIN over its d counters, and report the top keys' exact count,
+    * estimate, and overestimate. Because the hash family and counter
+    * sums are exact integer arithmetic, the ESTIMATE ITSELF is
+    * bit-identical cross-engine — the oracle pins the sketch's actual
+    * values, not just an error bound — and `est ≥ exact` is a theorem
+    * of the structure (counters only ever add), asserted per row.
+    *
+    * Scale shape: the sketch is ONE map-side-combined aggregation to
+    * d·w = 1024 cells (each partition pre-aggregates its own counter
+    * matrix — this is why CM works on streams), broadcast back to the
+    * per-key estimate probe. Mergeability across partitions/days is the
+    * entire point of the structure at 100 TB. */
+  def aggCountminFreq(spark: SparkSession, dir: String,
+      d: Int = 4, w: Int = 256, topK: Int = 10): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("user_id"))
+    // each event lands in one bucket per row: (row, hash_row(key) % w)
+    val cells = ev
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .select(col("r"),
+        pmod(Dedup.hash60(concat(lit("cm"), col("r").cast("string"),
+          lit(":"), col("user_id").cast("string"))), lit(w.toLong))
+          .as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(topK)
+    val probes = exact
+      .select(col("user_id"), col("n"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .select(col("user_id"), col("n"), col("r"),
+        pmod(Dedup.hash60(concat(lit("cm"), col("r").cast("string"),
+          lit(":"), col("user_id").cast("string"))), lit(w.toLong))
+          .as("b"))
+    probes.join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("user_id"), col("n"))
+      .agg(min(col("cnt")).as("cm_est"))
+      .select(col("user_id"), col("n"), col("cm_est"),
+        (col("cm_est") - col("n")).as("overestimate"),
+        (col("cm_est") >= col("n")).as("est_ge_exact"))
+      .orderBy(col("n").desc, col("user_id"))
+  }
+
   /** Z-order (Morton) layout bucketing: interleave the bits of two
     * scan-predicate dimensions (user, value band) into one clustering
     * key and report each 4096-cell bucket's row count and per-dimension

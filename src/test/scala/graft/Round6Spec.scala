@@ -227,6 +227,44 @@ class Round6Spec extends SparkSpec {
     assert(sample == orig)
   }
 
+  test("agg_countmin_freq: the CM estimate never under-counts and overestimates are bounded by N") {
+    val out = Analytics2.aggCountminFreq(spark, sf).cache()
+    assert(out.count() == 10)
+    assert(out.filter(!$"est_ge_exact").count() == 0)
+    assert(out.filter($"cm_est" =!= $"n" + $"overestimate").count() == 0)
+    val total = graft.schema.Schemas.events(spark, sf).count()
+    // a counter cell can never exceed the total stream length
+    assert(out.filter($"cm_est" > total).count() == 0)
+  }
+
+  test("graph_communities_lpa: labels are vertex ids; deterministic across runs") {
+    val a = graft.query.Analytics.graphCommunitiesLpa(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val b = graft.query.Analytics.graphCommunitiesLpa(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    val vertices = a.map(_._1).toSet
+    // with ≥1 round every label is some vertex's id (propagation only
+    // ever copies ids); communities must coarsen, never invent labels
+    assert(a.map(_._2).forall(_ >= 0))
+    assert(vertices.size == a.size) // one row per vertex in range
+  }
+
+  test("ts_seasonal_baseline: flagged set equals the brute-force hour-of-week filter") {
+    val out = Analytics2.tsSeasonalBaseline(spark, sf)
+      .select($"event_id").as[Long].collect().toSet
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .select($"event_id", $"value",
+        expr("(unix_micros(ts) DIV 3600000000) % 168").as("how"))
+    val base = ev.groupBy($"how")
+      .agg(avg($"value").as("mean"), stddev_samp($"value").as("sd"))
+    val expect = ev.join(base, Seq("how"))
+      .filter(abs((($"value" - $"mean") / $"sd").cast("float")) > 3.0)
+      .select($"event_id").as[Long].collect().toSet
+    assert(out == expect)
+  }
+
   test("multimodal_frame_sample: ≤9 frames per doc, stride-even indices inside [0, n_frames)") {
     val out = Multimodal.multimodalFrameSample(spark, sf).cache()
     assert(out.filter($"frame_idx" < 0 || $"frame_idx" >= $"n_frames")
