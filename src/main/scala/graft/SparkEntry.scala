@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.ScalarFunctions
-import graft.query.{Analytics, Analytics2, Curation, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis}
+import graft.query.{Analytics, Analytics2, Curation, Curation2, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis, Warehouse}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -284,6 +284,25 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Analytics.graphCommunitiesLpa(s, d)),
     "ts_seasonal_baseline"   ->
       ((s: SparkSession, d: String) => Analytics2.tsSeasonalBaseline(s, d)),
+    // round-6 warehouse suite (TPC-H-derived decision-support shapes)
+    "sql_order_priority"     -> Warehouse.sqlOrderPriority _,
+    "sql_local_supplier_volume" -> Warehouse.sqlLocalSupplierVolume _,
+    "sql_forecast_revenue"   -> Warehouse.sqlForecastRevenue _,
+    "sql_cust_order_dist"    -> Warehouse.sqlCustOrderDist _,
+    "sql_promo_revenue"      -> Warehouse.sqlPromoRevenue _,
+    "sql_top_supplier"       -> Warehouse.sqlTopSupplier _,
+    "sql_small_qty_revenue"  -> Warehouse.sqlSmallQtyRevenue _,
+    "sql_sole_fault_supplier" -> Warehouse.sqlSoleFaultSupplier _,
+    // round-6 corpus-shaping operators
+    "chunk_sliding"          ->
+      ((s: SparkSession, d: String) => Curation2.chunkSliding(s, d)),
+    "curriculum_phases"      ->
+      ((s: SparkSession, d: String) => Curation2.curriculumPhases(s, d)),
+    "dedup_incremental"      -> Curation2.dedupIncremental _,
+    "path_transitions"       -> Curation2.pathTransitions _,
+    "winsorized_stats"       -> Curation2.winsorizedStats _,
+    "histogram_equiwidth"    ->
+      ((s: SparkSession, d: String) => Curation2.histogramEquiWidth(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2239,6 +2258,218 @@ object SparkEntry {
         |FROM ev JOIN b USING (how)
         |WHERE abs(CAST((value - mean) / sd AS REAL)) > 3.0
         |ORDER BY event_id""".stripMargin,
+    // round-6 warehouse suite
+    "sql_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sql_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "sql_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |    AS DECIMAL(28,4)) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
+    "sql_cust_order_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey
+        |) GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "sql_promo_revenue" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(28,4))
+        |      AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |)
+        |SELECT promo_revenue, total_revenue,
+        |  CAST(promo_revenue AS DOUBLE) * 100.0
+        |    / CAST(total_revenue AS DOUBLE) AS promo_pct
+        |FROM m""".stripMargin,
+    "sql_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "sql_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'
+        |), a AS (
+        |  SELECT l_partkey AS a_partkey,
+        |    sum(l_quantity) / count(*) AS avg_qty
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    AS DECIMAL(28,4)) AS yearly_loss,
+        |  count(*) AS n_items
+        |FROM li JOIN a ON l_partkey = a_partkey
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "sql_sole_fault_supplier" ->
+      """WITH profile AS (
+        |  SELECT l_orderkey
+        |  FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING count(DISTINCT l_suppkey) > 1
+        |    AND count(DISTINCT CASE WHEN l_returnflag = 'R'
+        |      THEN l_suppkey END) = 1
+        |)
+        |SELECT s_name, count(DISTINCT l_orderkey) AS numwait
+        |FROM lineitem
+        |JOIN profile USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    // round-6 corpus-shaping operators
+    "chunk_sliding" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, greatest(len(toks), 1), 16)) AS st
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST((st - 1) / 16 AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, st, st + 31)) AS INT) AS n_tok,
+        |  md5(array_to_string(list_slice(toks, st, st + 31), ' '))
+        |    AS chunk_hash
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "curriculum_phases" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT)
+        |    AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+        |      AS cum_before
+        |  FROM d
+        |), p AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(floor(cum_before / 2000.0) AS BIGINT) AS phase
+        |  FROM c
+        |)
+        |SELECT phase, count(*) AS n_docs, sum(n_tok) AS tokens,
+        |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
+        |FROM p GROUP BY phase ORDER BY phase""".stripMargin,
+    "dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents
+        |), corpus AS (
+        |  SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0
+        |), delta AS (
+        |  SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0
+        |), first_in AS (
+        |  SELECT fp, min(doc_id) AS first_id FROM delta GROUP BY fp
+        |)
+        |SELECT d.doc_id, d.fp AS fingerprint,
+        |  CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+        |    WHEN d.doc_id > f.first_id THEN 'dup_in_batch'
+        |    ELSE 'new' END AS status
+        |FROM delta d
+        |LEFT JOIN corpus c ON d.fp = c.fp
+        |JOIN first_in f ON d.fp = f.fp
+        |ORDER BY d.doc_id""".stripMargin,
+    "path_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |), l AS (
+        |  SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM ev
+        |), pairs AS (
+        |  SELECT prev_type, next_type, count(*) AS n
+        |  FROM l WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type)
+        |    AS DOUBLE) AS p
+        |FROM pairs ORDER BY prev_type, next_type""".stripMargin,
+    "winsorized_stats" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS f, l_extendedprice AS p FROM lineitem
+        |), k AS (
+        |  SELECT f, greatest(CAST(ceil(0.05 * count(*)) AS BIGINT), 1)
+        |    AS klo, CAST(ceil(0.95 * count(*)) AS BIGINT) AS khi
+        |  FROM li GROUP BY f
+        |), r AS (
+        |  SELECT f, p,
+        |    row_number() OVER (PARTITION BY f ORDER BY p) AS rn
+        |  FROM li
+        |), thr AS (
+        |  SELECT r.f,
+        |    max(CASE WHEN rn = klo THEN p END) AS lo,
+        |    max(CASE WHEN rn = khi THEN p END) AS hi
+        |  FROM r JOIN k ON r.f = k.f GROUP BY r.f
+        |)
+        |SELECT li.f AS l_returnflag,
+        |  CAST(sum(CAST(least(greatest(p, lo), hi) AS DECIMAL(18,4)))
+        |    AS DECIMAL(28,4)) AS wsum,
+        |  sum(CASE WHEN p < lo THEN 1 ELSE 0 END) AS n_lo_clip,
+        |  sum(CASE WHEN p > hi THEN 1 ELSE 0 END) AS n_hi_clip,
+        |  count(*) AS n
+        |FROM li JOIN thr ON li.f = thr.f
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "histogram_equiwidth" ->
+      """SELECT
+        |  CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0),
+        |    19) AS BIGINT) AS bin,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DECIMAL(28,4)) AS value_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -1,0 +1,236 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas.table
+
+/** Round-6 training-data pipeline operators, part 2: the corpus-shaping
+  * steps between detection and training — context-window chunking,
+  * curriculum scheduling, incremental (delta-vs-corpus) dedup,
+  * behavioral transition models, and robust (winsorized) statistics.
+  * Every operator is DuckDB-oracle exact; the global-rank/prefix-sum
+  * shapes reuse the two-level histogram trick from
+  * [[graft.ingest.Batcher]] so nothing funnels the corpus through one
+  * partition.
+  */
+object Curation2 {
+
+  /** Sliding context-window chunking: split each document's token stream
+    * into overlapping windows of `size` tokens every `stride` tokens —
+    * the RAG-indexing / LLM-pretraining chunker. Emits a deterministic
+    * md5 per chunk (the downstream dedup/index key), not the chunk text,
+    * so the output stays narrow.
+    *
+    * Scale shape: map-only — tokenize, generate the start offsets with
+    * `sequence`, `posexplode`, `slice`; no shuffle anywhere, fanout is
+    * ~n_tokens/stride per doc and bounded by doc length. At 100 TB this
+    * runs at scan speed and partitions inherit the input's. */
+  def chunkSliding(spark: SparkSession, dir: String,
+      size: Int = 32, stride: Int = 16): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1),
+          greatest(org.apache.spark.sql.functions.size(col("toks")), lit(1)),
+          lit(stride))).as(Seq("chunk_idx", "st")))
+      .select(col("doc_id"), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(
+          slice(col("toks"), col("st"), lit(size))).as("n_tok"),
+        md5(concat_ws(" ", slice(col("toks"), col("st"), lit(size))))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Curriculum scheduling: order documents by a quality score (token
+    * count here — any exact score plugs in), then cut the ordered corpus
+    * into phases of ~`budgetTokens` tokens each; report per-phase volume
+    * and score range. This is the data-ordering step of curriculum
+    * training.
+    *
+    * Scale shape: the global running sum over a score-DESC ordering is
+    * NOT a single-partition window — same two-level shape as
+    * [[graft.ingest.Batcher.assignBatches]]: bucket docs by score range
+    * (value-derived, partitioning-independent), aggregate a per-bucket
+    * (tokens, docs) histogram, prefix-sum THAT (a window over the tiny
+    * histogram, not the corpus), then rank inside each bucket in
+    * parallel and add the bucket's broadcast offset. Ties break on
+    * doc_id, so the schedule is total and deterministic. */
+  def curriculumPhases(spark: SparkSession, dir: String,
+      budgetTokens: Long = 2000L): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(Dedup.tokens(col("text")))
+          .cast("long").as("n_tok"))
+      // bucket ascends as score DESCENDS: bucket = -ceil(n_tok/32)
+      .withColumn("bkt", -(col("n_tok") / lit(32L)).cast("long"))
+    val hist = docs.groupBy(col("bkt"))
+      .agg(sum(col("n_tok")).as("b_tok"), count(lit(1)).as("b_docs"))
+    val off = hist.select(col("bkt").as("o_bkt"),
+      (sum(col("b_tok")).over(Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("b_tok")).as("tok_off"))
+    val w = Window.partitionBy(col("bkt"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(off), col("bkt") === col("o_bkt"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("tok_off") + sum(col("n_tok")).over(w) - col("n_tok"))
+          .as("cum_before"))
+      .select(col("doc_id"), col("n_tok"),
+        // explicit floor: bare long/long is DOUBLE division in Spark SQL,
+        // and double→long CASTs disagree across engines (Spark truncates,
+        // DuckDB rounds) — floor is the portable spelling
+        floor(col("cum_before") / lit(budgetTokens.toDouble)).as("phase"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+      .orderBy(col("phase"))
+  }
+
+  /** Incremental dedup: a delta batch (new crawl) checked against the
+    * standing corpus — each delta doc is a corpus duplicate, an
+    * intra-batch duplicate, or genuinely new. This is the shape every
+    * continuously-ingesting pipeline runs; the full-corpus re-dedup
+    * ([[Dedup.dedupExact]]) is its bootstrap. Delta = `doc_id % 5 = 0`,
+    * corpus = the rest (a deterministic stand-in for arrival time).
+    *
+    * Scale shape: the corpus side reduces to its DISTINCT fingerprint
+    * set — at production dup rates a fraction of corpus size, stored
+    * once as the dedup index, not recomputed (here derived inline for
+    * the oracle's benefit). The delta⨝index semi-join shuffles 16-byte
+    * keys only, and a bloom filter of the index (the standard
+    * refinement) would prune most delta rows before the exchange.
+    * Intra-batch dedup is a groupBy-min over the (small) delta alone. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val fp = table(spark, dir, "documents")
+      .select(col("doc_id"), md5(Dedup.normText(col("text"))).as("fp"))
+    val corpusFps = fp.filter(col("doc_id") % 5 =!= 0)
+      .select(col("fp")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val delta = fp.filter(col("doc_id") % 5 === 0)
+    val firstInBatch = delta.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("first_id"))
+    delta.join(corpusFps, Seq("fp"), "left_outer")
+      .join(firstInBatch, Seq("fp"))
+      .select(col("doc_id"), col("fp").as("fingerprint"),
+        when(col("in_corpus").isNotNull, lit("dup_of_corpus"))
+          .when(col("doc_id") > col("first_id"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Behavioral transition matrix: per-user consecutive event-type pairs
+    * (a first-order Markov model of the event stream) with transition
+    * counts and probabilities — the session-modeling / next-event
+    * feature every clickstream pipeline derives.
+    *
+    * Scale shape: one shuffle on user_id for the lag window (ordered by
+    * (ts, event_id) — total and deterministic), then a map-side-combined
+    * count on the (prev, next) pair — a domain of |event_type|² keys.
+    * The probability normalizer is a window over that tiny matrix, not
+    * the events. Counts are exact longs; the probability is one double
+    * division of exact integers — cross-engine deterministic. */
+  def pathTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("next_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type")))
+            .cast("double")).as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** Winsorized (percentile-clipped) statistics per group: clip
+    * `l_extendedprice` to its group's exact [p05, p95] rank thresholds,
+    * then aggregate — outlier-robust stats without dropping rows.
+    *
+    * The thresholds are EXACT order statistics (the k-th smallest value,
+    * k = ceil(q·n)), not interpolated quantiles: rank selection is
+    * engine-independent, interpolation arithmetic is not.
+    *
+    * Scale shape: no per-group global sort. Same two-level selection as
+    * [[graft.ingest.Batcher]]: a per-(group, value-bucket) histogram is
+    * prefix-summed (window over the histogram, not the data) to locate
+    * the ONE bucket holding each k-th value; only rows of those
+    * candidate buckets are ranked (parallel windows over ≤ bucket-width
+    * populations). Ties share a bucket by construction (same value ⇒
+    * same bucket), so the selected VALUE is deterministic regardless of
+    * intra-tie order. Thresholds then broadcast back for the clip. */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("f"), col("l_extendedprice").as("p"))
+      .withColumn("bkt", floor(col("p") / lit(1024.0)).cast("long"))
+    val hist = li.groupBy(col("f"), col("bkt")).agg(count(lit(1)).as("c"))
+      .select(col("f"), col("bkt"), col("c"),
+        sum(col("c")).over(Window.partitionBy(col("f"))
+          .orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum"))
+    val ks = hist.groupBy(col("f")).agg(max(col("cum")).as("n"))
+      .select(col("f").as("k_f"),
+        greatest(ceil(col("n") * 0.05).cast("long"), lit(1L)).as("klo"),
+        ceil(col("n") * 0.95).cast("long").as("khi"))
+    // candidate buckets: the bucket whose cumulative range covers k
+    val cand = hist.join(broadcast(ks), col("f") === col("k_f"))
+      .select(col("f"), col("bkt"), (col("cum") - col("c")).as("off"),
+        col("cum"), col("klo"), col("khi"))
+      .filter((col("off") < col("klo") && col("klo") <= col("cum")) ||
+        (col("off") < col("khi") && col("khi") <= col("cum")))
+      .select(col("f").as("c_f"), col("bkt").as("c_bkt"), col("off"),
+        col("klo"), col("khi"))
+    val wb = Window.partitionBy(col("c_f"), col("c_bkt")).orderBy(col("p"))
+    val thr = li.join(broadcast(cand),
+        col("f") === col("c_f") && col("bkt") === col("c_bkt"))
+      .select(col("f"), col("p"), col("klo"), col("khi"),
+        (row_number().over(wb) + col("off")).as("grank"))
+      .groupBy(col("f"))
+      .agg(max(when(col("grank") === col("klo"), col("p"))).as("lo"),
+        max(when(col("grank") === col("khi"), col("p"))).as("hi"))
+      .select(col("f").as("t_f"), col("lo"), col("hi"))
+    li.join(broadcast(thr), col("f") === col("t_f"))
+      .groupBy(col("f"))
+      .agg(
+        sum(least(greatest(col("p"), col("lo")), col("hi"))
+          .cast("decimal(18,4)")).cast("decimal(28,4)").as("wsum"),
+        sum(when(col("p") < col("lo"), 1L).otherwise(0L)).as("n_lo_clip"),
+        sum(when(col("p") > col("hi"), 1L).otherwise(0L)).as("n_hi_clip"),
+        count(lit(1)).as("n"))
+      .select(col("f").as("l_returnflag"), col("wsum"),
+        col("n_lo_clip"), col("n_hi_clip"), col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Equi-width histogram of order value: fixed [0, 500k) domain cut
+    * into 20 bins — the data-profiling primitive behind skew reports
+    * and equi-width feature binning (the equi-FREQUENCY variant is
+    * [[Analytics.featureBinning]]).
+    *
+    * Scale shape: the bin id is pure row-local arithmetic (no
+    * data-dependent bounds, so no pre-pass); one map-side-combined
+    * aggregation over 20 keys. Bounds are compile-time constants by
+    * design — at 100 TB a data-dependent min/max pre-scan is a full
+    * extra pass; profile with fixed domains, refine bounds offline. */
+  def histogramEquiWidth(spark: SparkSession, dir: String,
+      lo: Double = 0.0, hi: Double = 500000.0, bins: Int = 20): DataFrame = {
+    val width = (hi - lo) / bins
+    table(spark, dir, "orders")
+      .select(least(greatest(
+          floor((col("o_totalprice") - lit(lo)) / lit(width)), lit(0L)),
+        lit(bins - 1L)).cast("long").as("bin"),
+        col("o_totalprice"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("decimal(28,4)").as("value_total"))
+      .orderBy(col("bin"))
+  }
+}
