@@ -303,6 +303,11 @@ object SparkEntry {
     "winsorized_stats"       -> Curation2.winsorizedStats _,
     "histogram_equiwidth"    ->
       ((s: SparkSession, d: String) => Curation2.histogramEquiWidth(s, d)),
+    "stream_late_data"       -> StreamQueries.streamLateData _,
+    "graph_reachability"     ->
+      ((s: SparkSession, d: String) => Analytics.graphReachability(s, d)),
+    "ann_radius_search"      ->
+      ((s: SparkSession, d: String) => Similarity.annRadiusSearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2470,6 +2475,49 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
         |    AS DECIMAL(28,4)) AS value_total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the watermark finalization + late-drop rule as plain SQL: on-time
+    // rows only, windows whose end precedes max(ts) - 1h (the watermark
+    // after the first arrival batch, which holds the newest events)
+    "stream_late_data" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |ontime AS (
+        |  SELECT * FROM events
+        |  WHERE NOT (event_id % 7 = 0 AND ts < TIMESTAMP '2024-01-15')
+        |)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, CAST(sum(value) AS REAL) AS sum_value
+        |FROM ontime, mx
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+        |  <= m - INTERVAL 1 HOUR
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // bounded recursion: Spark runs frontier-delta rounds, the oracle the
+    // equivalent recursive CTE; min(dist) = BFS distance on both sides
+    "graph_reachability" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), edges AS (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), r(u, dist) AS (
+        |  SELECT DISTINCT u, 0 FROM edges WHERE u <= 3
+        |  UNION
+        |  SELECT e.v, r.dist + 1
+        |  FROM r JOIN edges e ON e.u = r.u
+        |  WHERE r.dist < 3
+        |)
+        |SELECT u AS part, CAST(min(dist) AS INT) AS hops
+        |FROM r GROUP BY u ORDER BY part""".stripMargin,
+    "ann_radius_search" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(qe AS DOUBLE[]) FROM q)) AS cosine
+        |FROM embeddings WHERE vec_id <> 0
+        |  AND list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(qe AS DOUBLE[]) FROM q)) >= 0.15
+        |ORDER BY vec_id""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

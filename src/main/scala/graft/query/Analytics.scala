@@ -128,6 +128,40 @@ object Analytics {
       .orderBy(col("part"))
   }
 
+  /** Bounded BFS reachability: minimum hop distance (≤ `maxHops`) from a
+    * seed set (parts with id ≤ `maxSeed`) over the co-purchase graph —
+    * the bounded-recursion surface. Spark has no recursive CTE, so the
+    * engine expresses the recursive query as `maxHops` frontier-delta
+    * rounds: each round joins ONLY the new frontier against the
+    * persisted symmetric edge index (never the full reached set),
+    * anti-joins out already-reached vertices, and admits the remainder
+    * at distance h. First discovery IS the minimum distance (the BFS
+    * invariant), so no min re-aggregation pass is needed; the DuckDB
+    * oracle is the equivalent recursive CTE with `min(dist)`.
+    *
+    * Scale shape: the delta iteration is the standard BSP BFS — per
+    * round one edges⨝frontier equi-join (frontier broadcasts while
+    * small, shuffles on vertex id once it isn't) plus one anti-join
+    * against reached ids (longs only). Fixed rounds keep the plan
+    * finite; an unbounded closure would iterate to fixpoint with the
+    * same per-round shape ([[Dedup.dedupGroups]]' propagation loop). */
+  def graphReachability(spark: SparkSession, dir: String,
+      maxHops: Int = 3, maxSeed: Long = 3L): DataFrame = {
+    val edges = copurchaseEdgesSym(spark, dir)
+    val seeds = edges.select(col("u")).distinct()
+      .filter(col("u") <= maxSeed)
+    var reached = seeds.select(col("u"), lit(0).as("dist"))
+    var frontier = seeds
+    for (h <- 1 to maxHops) {
+      frontier = edges.join(frontier, Seq("u"))
+        .select(col("v").as("u")).distinct()
+        .join(reached, Seq("u"), "left_anti")
+      reached = reached.unionAll(frontier.select(col("u"), lit(h).as("dist")))
+    }
+    reached.select(col("u").as("part"), col("dist").as("hops"))
+      .orderBy(col("part"))
+  }
+
   // Persisted co-purchase graph components (distinct edges, symmetric
   // edges, degrees, degree-orientation), keyed on the OWNING SESSION
   // OBJECT via WeakHashMap exactly like Dedup.sigCache: triangles and

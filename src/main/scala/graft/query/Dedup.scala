@@ -180,9 +180,15 @@ object Dedup {
     * 2-rows MinHash pass as [[dedupNgramJaccard]] (shared persisted
     * signature index, ids-only band shuffle); the intersection runs only
     * on surviving pairs. Integer set sizes ⇒ one exact double division,
-    * hash-compare oracle-able. */
+    * hash-compare oracle-able.
+    *
+    * The intersection count is the codegen'd sorted-merge
+    * `intersect_count_sorted` over the already-sorted distinct hash sets
+    * — `array_intersect` builds a hash set per pair evaluation (measured
+    * ~2× slower on the 16-band candidate volume, same result). */
   def dedupContainment(spark: SparkSession, dir: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    graft.functions.IntersectCountSorted.register(spark)
     val (candidates, candSh) =
       lshCandidatesWithSets(spark, dir, shingleSize, numBands = 16,
         rowsPerBand = 2)
@@ -190,7 +196,7 @@ object Dedup {
       .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        expr("intersect_count_sorted(sh_a, sh_b)").cast("double")
           / least(size(col("sh_a")), size(col("sh_b"))))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("containment"))

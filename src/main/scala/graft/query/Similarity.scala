@@ -52,6 +52,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Radius (range) similarity search: every vector with cosine ≥ `tau`
+    * to the query vector — the recall-guaranteed form of similarity
+    * search (dedup gating, near-duplicate retrieval, compliance "find
+    * everything this close") that top-k cannot express because the
+    * result size is the data's, not the caller's.
+    *
+    * Scale shape: one map-only scan with the codegen'd float_dot —
+    * vectors never shuffle, the radius filter is a scan-side predicate,
+    * and the per-partition result is final (no merge step at all,
+    * unlike top-k's driver-side k-way merge). This exact scan IS the
+    * certified-recall path at 100 TB; when a recall < 1 contract
+    * allows, the sign-LSH bucket prefilter ([[lshTopK]]'s machinery)
+    * prunes partitions first. */
+  def annRadiusSearch(spark: SparkSession, dir: String, queryId: Long = 0L,
+      tau: Double = 0.15): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val q = array(queryVector(spark, dir, queryId).toIndexedSeq.map(lit): _*)
+    table(spark, dir, "embeddings")
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("qv", q)
+      .select(col("vec_id"), expr("float_dot(embedding, qv)").as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy(col("vec_id"))
+  }
+
   // one coarse quantizer per test dir (analogous to ModelStore)
   private val kmeansCache = new ConcurrentHashMap[String, KMeansModel]()
 

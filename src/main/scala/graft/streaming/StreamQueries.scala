@@ -286,4 +286,78 @@ object StreamQueries {
           col("value").as("last_value"))
         .orderBy(col("user_id"))
     }
+
+  // staged two-file replays for the late-data query, one per source dir
+  // (rebuilt at most once per JVM; files are plain parquet any reader
+  // can inspect)
+  private val lateReplayDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Watermark late-data semantics: a three-phase replay where a
+    * tranche of OLD events (`event_id % 7 = 0 AND ts < Jan 15` —
+    * "delayed in transit") arrives LAST, after the rest of the stream
+    * has advanced the watermark to `max(ts) - 1h`. Every late row's
+    * window is finalized (evicted + emitted) before the tranche
+    * arrives, so the engine drops all of it, and the append-mode output
+    * holds exactly the on-time rows' windows whose end ≤ the final
+    * watermark. This is the event-time correctness contract the
+    * reference's arrival-order consumer cannot express (SURVEY §2.8:
+    * "no watermarks, no late-data handling"), and it is fully
+    * deterministic — arrival order is pinned by file modification
+    * times, the cutoffs are constants — so the DuckDB oracle replays
+    * the drop + finalization rule as plain SQL.
+    *
+    * Three batches, not two, because Spark filters late events against
+    * the PREVIOUS batch's committed watermark (watermarkForLateEvents
+    * lags watermarkForEviction by one batch — observed: a late tranche
+    * in batch 1 merges into state, in batch 2 it is dropped with
+    * `numRowsDroppedByWatermark` > 0). Batch 0 carries the bulk, batch
+    * 1 a fresh on-time tail (any subset — totals are
+    * batching-independent), batch 2 the late tranche.
+    *
+    * Scale shape: identical to [[streamWindowAgg]] — per-(window, type)
+    * state, map-side partial aggregation per micro-batch, state-store
+    * partitions sized to the keyspace. Late-row dropping happens BEFORE
+    * the shuffle (the watermark filter is a scan-side predicate), so a
+    * 100 TB backfill of stragglers costs a scan, not state churn. */
+  def streamLateData(spark: SparkSession, dir: String): DataFrame = {
+    val arrivals = lateReplayDirs.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-late-replay").toString
+      upsertDirs.add(base)
+      val ev = graft.schema.Schemas.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val late = col("event_id") % 7 === 0 &&
+        col("ts") < lit("2024-01-15").cast("timestamp")
+      val tail = col("event_id") % 11 === 3
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = s"$base/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(s"$base/arrivals/$name.parquet")
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(mtime) // FileStreamSource orders by mod time
+      }
+      writeOne(ev.filter(!late && !tail), "batch_0", 1000000L)
+      writeOne(ev.filter(!late && tail), "batch_1", 2000000L)
+      writeOne(ev.filter(late), "batch_2", 3000000L)
+      s"$base/arrivals"
+    })
+    val s = spark.readStream
+      .schema(StructType.fromDDL("event_id LONG, ts TIMESTAMP, " +
+        "user_id LONG, event_type STRING, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(arrivals)
+    val agg = s.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("float").as("sum_value"))
+    drain(spark, agg, OutputMode.Append())
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
 }

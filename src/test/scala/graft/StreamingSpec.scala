@@ -81,4 +81,27 @@ class StreamingSpec extends SparkSpec {
       spark, splitDir, nanos = false, filesPerTrigger = Some(1)).collect()
     assert(multi.toSeq == batch.toSeq)
   }
+
+  test("stream late data: late tranche dropped, only finalized windows emitted") {
+    val out = StreamQueries.streamLateData(spark, sf).cache()
+    val ev = Schemas.events(spark, sf)
+    val isLate = col("event_id") % 7 === 0 &&
+      col("ts") < lit("2024-01-15").cast("timestamp")
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    // batch replay of the semantics: on-time rows, windows ending at or
+    // before the post-batch-0 watermark (max ts - 1h)
+    val expect = ev.filter(!isLate)
+      .select(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"), col("value"))
+      .filter(col("window_start") + expr("INTERVAL 1 HOUR")
+        <= lit(new java.sql.Timestamp(maxTs.getTime - 3600 * 1000L)))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("float").as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+      .collect()
+    assert(out.collect().toSeq == expect.toSeq)
+    // the late tranche is genuinely non-empty (the drop is exercised)
+    assert(ev.filter(isLate).count() > 0)
+  }
 }

@@ -257,6 +257,44 @@ class WarehouseSpec extends SparkSpec {
       _ == "BroadcastHashJoin") >= 2, p)
   }
 
+  test("graph_reachability: frontier-delta BFS equals the naive min-over-rounds closure") {
+    val got = graft.query.Analytics.graphReachability(spark, sf)
+      .as[(Long, Int)].collect().toMap
+    // naive reference: iterate FULL relaxation (allow revisits, take min)
+    val li = table(spark, sf, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val e0 = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter($"a.pk" < $"b.pk")
+      .select($"a.pk".as("u"), $"b.pk".as("v")).distinct()
+    val edges = e0.unionAll(e0.select($"v".as("u"), $"u".as("v"))).cache()
+    var dist = edges.select($"u").distinct().filter($"u" <= 3)
+      .select($"u", lit(0).as("d"))
+    for (h <- 1 to 3) {
+      dist = dist.unionAll(
+        edges.join(dist.filter($"d" === h - 1), Seq("u"))
+          .select($"v".as("u"), lit(h).as("d")))
+        .groupBy($"u").agg(min($"d").as("d"))
+    }
+    val brute = dist.as[(Long, Int)].collect().toMap
+    assert(got == brute, s"sizes got=${got.size} brute=${brute.size}")
+  }
+
+  test("ann_radius_search: codegen dot equals the HOF fold; radius filter exact") {
+    val got = graft.query.Similarity.annRadiusSearch(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    val emb = table(spark, sf, "embeddings")
+    val qv = emb.filter($"vec_id" === 0L).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val q = array(qv.toIndexedSeq.map(lit): _*)
+    val brute = emb.filter($"vec_id" =!= 0L)
+      .select($"vec_id",
+        graft.query.Similarity.dot($"embedding", q).as("cosine"))
+      .filter($"cosine" >= 0.15)
+      .as[(Long, Double)].collect().toMap
+    assert(got == brute, s"sizes got=${got.size} brute=${brute.size}")
+    assert(got.nonEmpty)
+  }
+
   test("plan: chunk_sliding is map-only (only the final orderBy exchanges)") {
     // stride 17 ≠ the cached default plan, so the audit sees the raw scan
     val p = plan(Curation2.chunkSliding(spark, sf, size = 32, stride = 17))
