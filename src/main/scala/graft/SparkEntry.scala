@@ -2014,8 +2014,9 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sql_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS revenue_s4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -2023,7 +2024,7 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-07-01'
         |  AND l_shipdate > TIMESTAMP '1998-07-01'
         |GROUP BY 1, 2
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+        |ORDER BY revenue_s4 DESC, l_orderkey LIMIT 10""".stripMargin,
     "ts_interval_overlap" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
@@ -2274,8 +2275,9 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sql_local_supplier_volume" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS revenue_s4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -2286,7 +2288,7 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+        |GROUP BY 1 ORDER BY revenue_s4 DESC, n_name""".stripMargin,
     "sql_forecast_revenue" ->
       """SELECT
         |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
@@ -2339,20 +2341,21 @@ object SparkEntry {
         |ORDER BY s_suppkey""".stripMargin,
     "sql_small_qty_revenue" ->
       """WITH li AS (
-        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  SELECT l_partkey,
+        |    CAST(round(l_quantity) AS BIGINT) AS qty_i,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE p_brand = 'Brand#1'
         |), a AS (
         |  SELECT l_partkey AS a_partkey,
-        |    sum(l_quantity) / count(*) AS avg_qty
+        |    CAST(sum(qty_i) AS BIGINT) AS sum_q, count(*) AS cnt
         |  FROM li GROUP BY 1
         |)
         |SELECT
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
-        |    AS DECIMAL(28,4)) AS yearly_loss,
+        |  CAST(sum(price_c) AS BIGINT) AS yearly_loss_c,
         |  count(*) AS n_items
         |FROM li JOIN a ON l_partkey = a_partkey
-        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+        |WHERE qty_i * cnt * 5 < sum_q""".stripMargin,
     "sql_sole_fault_supplier" ->
       """WITH profile AS (
         |  SELECT l_orderkey
@@ -2393,16 +2396,16 @@ object SparkEntry {
         |  FROM documents
         |), c AS (
         |  SELECT doc_id, n_tok,
-        |    sum(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+        |    CAST(sum(n_tok) OVER (ORDER BY n_tok DESC, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
-        |      AS cum_before
+        |      AS BIGINT) AS cum_before
         |  FROM d
         |), p AS (
-        |  SELECT doc_id, n_tok,
-        |    CAST(floor(cum_before / 2000.0) AS BIGINT) AS phase
+        |  SELECT doc_id, n_tok, cum_before // 2000 AS phase
         |  FROM c
         |)
-        |SELECT phase, count(*) AS n_docs, sum(n_tok) AS tokens,
+        |SELECT phase, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens,
         |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
         |FROM p GROUP BY phase ORDER BY phase""".stripMargin,
     "dedup_incremental" ->
@@ -2460,10 +2463,12 @@ object SparkEntry {
         |  FROM r JOIN k ON r.f = k.f GROUP BY r.f
         |)
         |SELECT li.f AS l_returnflag,
-        |  CAST(sum(CAST(least(greatest(p, lo), hi) AS DECIMAL(18,4)))
-        |    AS DECIMAL(28,4)) AS wsum,
-        |  sum(CASE WHEN p < lo THEN 1 ELSE 0 END) AS n_lo_clip,
-        |  sum(CASE WHEN p > hi THEN 1 ELSE 0 END) AS n_hi_clip,
+        |  CAST(sum(CAST(round(least(greatest(p, lo), hi) * 100)
+        |    AS BIGINT)) AS BIGINT) AS wsum_c,
+        |  CAST(sum(CASE WHEN p < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo_clip,
+        |  CAST(sum(CASE WHEN p > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi_clip,
         |  count(*) AS n
         |FROM li JOIN thr ON li.f = thr.f
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2472,8 +2477,8 @@ object SparkEntry {
         |  CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0),
         |    19) AS BIGINT) AS bin,
         |  count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-        |    AS DECIMAL(28,4)) AS value_total
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS value_total_c
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the watermark finalization + late-drop rule as plain SQL: on-time
     // rows only, windows whose end precedes max(ts) - 1h (the watermark

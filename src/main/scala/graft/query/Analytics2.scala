@@ -101,9 +101,11 @@ object Analytics2 {
     * join and the survivors broadcast (no shuffle of orders by
     * custkey); orders⨝lineitem is the one big shuffle, on the join key
     * both sides already group by afterwards (orderkey — AQE reuses the
-    * exchange for the aggregation). Revenue accumulates as exact
-    * DECIMAL (see [[aggDecimalExact]]), so the top-10 ORDER BY ranks on
-    * exact numbers — never on a float aggregate — and TakeOrdered
+    * exchange for the aggregation). Revenue accumulates as the exact
+    * ×10 000-scaled BIGINT of [[Warehouse.netS4]] (integer cents ×
+    * integer discount complement — no double sums, no double→DECIMAL
+    * cast whose rounding can drift across oracle engine versions), so
+    * the top-10 ORDER BY ranks on exact integers and TakeOrdered
     * replaces a global sort. Both date filters push down to the parquet
     * scans. */
   def sqlShippingPriority(spark: SparkSession, dir: String,
@@ -117,13 +119,13 @@ object Analytics2 {
     val li = table(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
       .select(col("l_orderkey"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)").as("net_dec"))
+        Warehouse.netS4(col("l_extendedprice"), col("l_discount"))
+          .as("net_s4"))
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(sum(col("net_dec")).as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .agg(sum(col("net_s4")).as("revenue_s4"))
+      .orderBy(col("revenue_s4").desc, col("l_orderkey"))
       .limit(10)
   }
 

@@ -54,7 +54,11 @@ object Curation2 {
     * (tokens, docs) histogram, prefix-sum THAT (a window over the tiny
     * histogram, not the corpus), then rank inside each bucket in
     * parallel and add the bucket's broadcast offset. Ties break on
-    * doc_id, so the schedule is total and deterministic. */
+    * doc_id, so the schedule is total and deterministic. Every
+    * intermediate (`n_tok`, `cum_before`, `phase`) is explicit BIGINT
+    * arithmetic — the oracle side likewise CASTs its window sum and
+    * totals to BIGINT so no HUGEINT/double intermediate exists on
+    * either engine. */
   def curriculumPhases(spark: SparkSession, dir: String,
       budgetTokens: Long = 2000L): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -77,10 +81,11 @@ object Curation2 {
         (col("tok_off") + sum(col("n_tok")).over(w) - col("n_tok"))
           .as("cum_before"))
       .select(col("doc_id"), col("n_tok"),
-        // explicit floor: bare long/long is DOUBLE division in Spark SQL,
-        // and double→long CASTs disagree across engines (Spark truncates,
-        // DuckDB rounds) — floor is the portable spelling
-        floor(col("cum_before") / lit(budgetTokens.toDouble)).as("phase"))
+        // pure-BIGINT integer division (`div`), never a double: both
+        // operands are non-negative longs, so truncating and flooring
+        // division agree, and no engine-version double→int rounding
+        // rule can touch the phase id
+        expr(s"cum_before div ${budgetTokens}L").as("phase"))
       .groupBy(col("phase"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
         min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
@@ -199,12 +204,16 @@ object Curation2 {
     li.join(broadcast(thr), col("f") === col("t_f"))
       .groupBy(col("f"))
       .agg(
-        sum(least(greatest(col("p"), col("lo")), col("hi"))
-          .cast("decimal(18,4)")).cast("decimal(28,4)").as("wsum"),
+        // exact integer cents of the clipped value (the clip picks one
+        // of three 2-decimal data doubles, so round(x*100) is exact on
+        // both engines) summed as BIGINT — no double sum, no
+        // double→DECIMAL cast, no engine-version rounding surface
+        sum(round(least(greatest(col("p"), col("lo")), col("hi"))
+          * lit(100)).cast("long")).as("wsum_c"),
         sum(when(col("p") < col("lo"), 1L).otherwise(0L)).as("n_lo_clip"),
         sum(when(col("p") > col("hi"), 1L).otherwise(0L)).as("n_hi_clip"),
         count(lit(1)).as("n"))
-      .select(col("f").as("l_returnflag"), col("wsum"),
+      .select(col("f").as("l_returnflag"), col("wsum_c"),
         col("n_lo_clip"), col("n_hi_clip"), col("n"))
       .orderBy(col("l_returnflag"))
   }
@@ -229,8 +238,13 @@ object Curation2 {
         col("o_totalprice"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,4)"))
-          .cast("decimal(28,4)").as("value_total"))
+        // exact integer cents summed as BIGINT (o_totalprice is
+        // 2-decimal money in a double — see Warehouse numeric
+        // discipline); the bin id itself stays double-arithmetic-free
+        // of rounding hazards (floor of a quotient far from integer
+        // boundaries at these bin widths)
+        sum(round(col("o_totalprice") * lit(100)).cast("long"))
+          .as("value_total_c"))
       .orderBy(col("bin"))
   }
 }

@@ -12,15 +12,37 @@ import graft.schema.Schemas.table
   * 100 TB join/shuffle strategy.
   *
   * Numeric discipline (shared with [[Analytics2.sqlShippingPriority]]):
-  * money aggregates accumulate as exact DECIMAL after a per-row
-  * `cast(decimal(18,4))` — double sums are addition-order dependent and
-  * would hash-mismatch any engine pair; quantity sums are doubles
-  * holding integers ≤ 2^53, exact under any order.
+  * money aggregates accumulate as exact scaled BIGINT. The source data
+  * is 2-decimal money stored as double (max binary error ~1e-9 of a
+  * cent — measured, nowhere near a .5 rounding boundary), so
+  * `round(x * 100)` recovers exact integer cents identically on every
+  * engine, and `cents * (100 - pct_discount)` is pure 64-bit integer
+  * arithmetic from there: no double summation-order sensitivity, no
+  * double→DECIMAL cast whose rounding mode can drift across oracle
+  * engine versions, and associative/commutative so Spark's partial
+  * aggregation is exact. Oracle SQL must also `CAST(sum(..) AS BIGINT)`
+  * — DuckDB sums BIGINT into HUGEINT (int128), a type whose
+  * client-side canonicalization differs across versions. Headroom: max
+  * net-×10k value ≈ 1.05e11, so 2^63 holds ~8.8e7 such rows PER GROUP
+  * after map-side combine — at true 100 TB single-group scale the same
+  * scaled-long values would final-combine via DECIMAL(38,0)/two-longs,
+  * unchanged per-row math.
   */
 object Warehouse {
 
   private def netDec(price: Column, disc: Column): Column =
     (price * (lit(1.0) - disc)).cast("decimal(18,4)")
+
+  /** Exact net revenue scaled ×10 000: integer cents × integer
+    * (100 − discount%), both recovered exactly from the 2-decimal
+    * doubles (see class doc). */
+  private[query] def netS4(price: Column, disc: Column): Column =
+    round(price * lit(100)).cast("long") *
+      (lit(100L) - round(disc * lit(100)).cast("long"))
+
+  /** Exact integer cents of a 2-decimal money double. */
+  private[query] def cents(x: Column): Column =
+    round(x * lit(100)).cast("long")
 
   /** TPC-H-Q4-shaped order-priority check: orders in a quarter having at
     * least one returned item, counted by priority (orders/lineitem via
@@ -55,7 +77,9 @@ object Warehouse {
     * supplier, nation, region all BROADCAST (each ≤ customer, itself
     * ~1e-4 of lineitem at any SF). The co-nation predicate
     * `c_nationkey = s_nationkey` rides the broadcast joins as a residual
-    * — no extra shuffle. One exchange total at 100 TB. */
+    * — no extra shuffle. One exchange total at 100 TB. Revenue is the
+    * exact ×10 000-scaled BIGINT sum (class doc) — driver-proof across
+    * oracle engine versions. */
   def sqlLocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
     val nat = table(spark, dir, "nation")
       .join(table(spark, dir, "region")
@@ -72,15 +96,15 @@ object Warehouse {
       .select(col("o_orderkey"), col("o_custkey"))
     table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"),
-        netDec(col("l_extendedprice"), col("l_discount")).as("net_dec"))
+        netS4(col("l_extendedprice"), col("l_discount")).as("net_s4"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("net_dec")).cast("decimal(28,4)").as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .agg(sum(col("net_s4")).as("revenue_s4"))
+      .orderBy(col("revenue_s4").desc, col("n_name"))
   }
 
   /** TPC-H-Q6-shaped forecast-revenue delta: one filtered scan-agg, the
@@ -106,21 +130,26 @@ object Warehouse {
     * customers placed k orders, for every k including 0 — the LEFT
     * OUTER join + double aggregation shape.
     *
-    * Scale shape: orders shuffles on custkey once (map-side combined to
-    * per-custkey counts first is what the groupBy compiles to); the
-    * left join preserves order-less customers. The second aggregation
+    * Scale shape: AGGREGATE-THEN-JOIN — orders first reduces to one
+    * (custkey, count) row per ordering customer (map-side combined, one
+    * shuffle of |orders| rows collapsing to |custkey| rows); customer
+    * then left-joins those counts with `coalesce(count, 0)` supplying
+    * the zero-order customers. The join therefore moves |custkey| rows,
+    * not |orders| — the join-before-aggregate alternative shuffles and
+    * hash-probes every order row against customer before collapsing,
+    * ~10× more exchange volume at TPC-H ratios. The second aggregation
     * keys on k — tiny domain, broadcast-sized result. Excluded-pattern
-    * residual (`o_orderpriority <> '5-LOW'`) filters BEFORE the join at
-    * the scan. */
+    * residual (`o_orderpriority <> '5-LOW'`) filters BEFORE the
+    * aggregate at the scan. */
   def sqlCustOrderDist(spark: SparkSession, dir: String): DataFrame = {
-    val perCust = table(spark, dir, "customer").select(col("c_custkey"))
-      .join(table(spark, dir, "orders")
-          .filter(col("o_orderpriority") =!= "5-LOW")
-          .select(col("o_custkey"), col("o_orderkey")),
-        col("c_custkey") === col("o_custkey"), "left_outer")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("c_count"))
-    perCust.groupBy(col("c_count"))
+    val perCust = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("o_count"))
+    table(spark, dir, "customer").select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("o_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
@@ -187,23 +216,26 @@ object Warehouse {
     * Scale shape: the per-part average aggregates the brand-pruned
     * lineitem on partkey once; its result has part-dimension
     * cardinality and BROADCASTS back onto the same pruned scan — no
-    * second big shuffle, no correlated re-scan per row. Quantities are
-    * integer-valued doubles: `sum` is exact under any addition order,
-    * so `avg = sum/count` and the `< 0.2·avg` cut are cross-engine
-    * deterministic. */
+    * second big shuffle, no correlated re-scan per row. All-integer
+    * numerics: quantities are exact integers, so the predicate
+    * `qty < 0.2 · (sum_q / cnt)` is evaluated as the equivalent
+    * cross-multiplied BIGINT comparison `5·qty·cnt < sum_q` — zero
+    * floating-point anywhere — and the lost revenue sums exact integer
+    * cents (class doc). */
   def sqlSmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
       .join(broadcast(table(spark, dir, "part")
           .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .select(col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty_i"),
+        cents(col("l_extendedprice")).as("price_c"))
     val avgQ = li.groupBy(col("l_partkey"))
-      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
-      .select(col("l_partkey").as("a_partkey"), col("avg_qty"))
+      .agg(sum(col("qty_i")).as("sum_q"), count(lit(1)).as("cnt"))
+      .select(col("l_partkey").as("a_partkey"), col("sum_q"), col("cnt"))
     li.join(broadcast(avgQ), col("l_partkey") === col("a_partkey"))
-      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
-      .agg(sum(col("l_extendedprice").cast("decimal(18,4)"))
-          .cast("decimal(28,4)").as("yearly_loss"),
+      .filter(col("qty_i") * col("cnt") * lit(5L) < col("sum_q"))
+      .agg(sum(col("price_c")).as("yearly_loss_c"),
         count(lit(1)).as("n_items"))
   }
 

@@ -117,7 +117,8 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LessThan(c_nationkey,5)"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
-    // money never aggregates as double: the partial sum is over decimal
+    // money never aggregates as double: the partial sum is over exact
+    // ×10 000-scaled longs
     assert(p.contains("partial_sum"), p)
   }
 

@@ -118,13 +118,13 @@ class Round6Spec extends SparkSpec {
       s"group=$groupTotal global=$global")
   }
 
-  test("sql_shipping_priority: top-10 ranks on exact decimals, descending, within the filtered set") {
+  test("sql_shipping_priority: top-10 ranks on exact scaled longs, descending, within the filtered set") {
     val out = Analytics2.sqlShippingPriority(spark, sf).collect()
     assert(out.length <= 10)
-    val revs = out.map(_.getDecimal(2))
+    val revs = out.map(_.getLong(2))
     // non-increasing revenue
     revs.sliding(2).foreach {
-      case Array(a, b) => assert(a.compareTo(b) >= 0)
+      case Array(a, b) => assert(a >= b)
       case _ =>
     }
   }

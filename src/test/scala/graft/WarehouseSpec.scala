@@ -32,7 +32,7 @@ class WarehouseSpec extends SparkSpec {
     assert(got == brute, s"got=$got brute=$brute")
   }
 
-  test("sql_local_supplier_volume: region restricted, exact decimal, co-nation holds") {
+  test("sql_local_supplier_volume: region restricted, exact scaled longs, co-nation holds") {
     val out = Warehouse.sqlLocalSupplierVolume(spark, sf).cache()
     val asiaNations = table(spark, sf, "nation")
       .join(table(spark, sf, "region").filter($"r_name" === "ASIA"),
@@ -40,7 +40,29 @@ class WarehouseSpec extends SparkSpec {
       .select($"n_name").as[String].collect().toSet
     val names = out.select($"n_name").as[String].collect().toSet
     assert(names.subsetOf(asiaNations), s"$names not in $asiaNations")
-    assert(out.filter($"revenue" < 0).count() == 0)
+    assert(out.filter($"revenue_s4" < 0).count() == 0)
+    // the scaled-long sum equals the exact decimal sum × 10 000
+    val dec = table(spark, sf, "lineitem")
+      .join(table(spark, sf, "orders")
+          .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1998-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(table(spark, sf, "customer"), $"o_custkey" === $"c_custkey")
+      .join(table(spark, sf, "supplier"),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(table(spark, sf, "nation"), $"s_nationkey" === $"n_nationkey")
+      .join(table(spark, sf, "region").filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(18,4)")).as("rev_dec"))
+      .as[(String, java.math.BigDecimal)].collect().toMap
+    Warehouse.sqlLocalSupplierVolume(spark, sf)
+      .as[(String, Long)].collect().foreach { case (n, s4) =>
+        val want = dec(n).multiply(new java.math.BigDecimal(10000))
+        assert(want.compareTo(new java.math.BigDecimal(s4)) == 0,
+          s"$n scaled=$s4 dec=${dec(n)}")
+      }
   }
 
   test("sql_forecast_revenue: matches direct filtered sum") {
@@ -67,6 +89,17 @@ class WarehouseSpec extends SparkSpec {
       .join(table(spark, sf, "customer"),
         $"o_custkey" === $"c_custkey", "left_semi").count()
     assert(out.map { case (k, d) => k * d }.sum == nOrd)
+  }
+
+  test("plan: sql_cust_order_dist aggregates orders BELOW the customer join") {
+    val p = Warehouse.sqlCustOrderDist(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the per-custkey count happens on the orders side BEFORE the left
+    // outer join: a HashAggregate keyed on o_custkey exists only in the
+    // aggregate-then-join shape (the join-before-aggregate plan groups
+    // on c_custkey after the join)
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("o_custkey")), p)
   }
 
   test("sql_promo_revenue: ratio recomputes from the exact decimal parts") {
@@ -201,7 +234,7 @@ class WarehouseSpec extends SparkSpec {
 
   test("winsorized_stats: thresholds are the exact k-th order statistics") {
     val got = Curation2.winsorizedStats(spark, sf)
-      .as[(String, java.math.BigDecimal, Long, Long, Long)]
+      .as[(String, Long, Long, Long, Long)]
       .collect().map(r => r._1 -> r).toMap
     val byFlag = table(spark, sf, "lineitem")
       .select($"l_returnflag", $"l_extendedprice")
@@ -213,19 +246,18 @@ class WarehouseSpec extends SparkSpec {
       val khi = math.ceil(0.95 * n).toInt
       val lo = ps(klo - 1); val hi = ps(khi - 1)
       val clipped = ps.map(p => math.min(math.max(p, lo), hi))
-      val wsum = clipped.map(p => BigDecimal(p).setScale(4,
-        BigDecimal.RoundingMode.HALF_UP)).sum
+      val wsumC = clipped.map(p => math.round(p * 100)).sum
       val (_, gw, gLo, gHi, gn) = got(f)
       assert(gn == n)
       assert(gLo == ps.count(_ < lo), s"$f lo")
       assert(gHi == ps.count(_ > hi), s"$f hi")
-      assert(BigDecimal(gw) == wsum, s"$f wsum ${BigDecimal(gw)} vs $wsum")
+      assert(gw == wsumC, s"$f wsum_c $gw vs $wsumC")
     }
   }
 
   test("histogram_equiwidth: bins cover all orders, ids in range, recompute matches") {
     val out = Curation2.histogramEquiWidth(spark, sf)
-      .as[(Long, Long, java.math.BigDecimal)].collect()
+      .as[(Long, Long, Long)].collect()
     assert(out.map(_._2).sum == table(spark, sf, "orders").count())
     assert(out.forall(r => r._1 >= 0 && r._1 <= 19))
     val brute = table(spark, sf, "orders")
