@@ -299,6 +299,9 @@ object SparkEntry {
     "curriculum_phases"      ->
       ((s: SparkSession, d: String) => Curation2.curriculumPhases(s, d)),
     "dedup_incremental"      -> Curation2.dedupIncremental _,
+    // round-7: delta-vs-corpus NEAR-dup via the shared MinHash band index
+    "dedup_incremental_minhash" ->
+      ((s: SparkSession, d: String) => Dedup.dedupIncrementalMinhash(s, d)),
     "path_transitions"       -> Curation2.pathTransitions _,
     "winsorized_stats"       -> Curation2.winsorizedStats _,
     "histogram_equiwidth"    ->
@@ -2408,6 +2411,29 @@ object SparkEntry {
         |  CAST(sum(n_tok) AS BIGINT) AS tokens,
         |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
         |FROM p GROUP BY phase ORDER BY phase""".stripMargin,
+    "dedup_incremental_minhash" ->
+      s"""WITH ${minhashPairsCtes(8, 4, "0.5")},
+         |delta AS (SELECT doc_id FROM base WHERE doc_id % 5 = 0),
+         |links AS (
+         |  SELECT doc_a AS d, doc_b AS m FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS d, doc_a AS m FROM pairs
+         |), agg AS (
+         |  SELECT d AS doc_id,
+         |    CAST(sum(CASE WHEN m % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nc,
+         |    CAST(sum(CASE WHEN m % 5 = 0 AND m < d THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nb
+         |  FROM links WHERE d % 5 = 0 GROUP BY d
+         |)
+         |SELECT dd.doc_id,
+         |  CASE WHEN COALESCE(a.nc, 0) > 0 THEN 'near_dup_of_corpus'
+         |       WHEN COALESCE(a.nb, 0) > 0 THEN 'near_dup_in_batch'
+         |       ELSE 'new' END AS status,
+         |  COALESCE(a.nc, 0) AS n_corpus_matches,
+         |  COALESCE(a.nb, 0) AS n_batch_matches
+         |FROM delta dd LEFT JOIN agg a ON dd.doc_id = a.doc_id
+         |ORDER BY dd.doc_id""".stripMargin,
     "dedup_incremental" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(lower(trim(

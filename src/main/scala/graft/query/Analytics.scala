@@ -142,21 +142,33 @@ object Analytics {
     * Scale shape: the delta iteration is the standard BSP BFS — per
     * round one edges⨝frontier equi-join (frontier broadcasts while
     * small, shuffles on vertex id once it isn't) plus one anti-join
-    * against reached ids (longs only). Fixed rounds keep the plan
-    * finite; an unbounded closure would iterate to fixpoint with the
-    * same per-round shape ([[Dedup.dedupGroups]]' propagation loop). */
+    * against reached ids (longs only). Each round's frontier is
+    * MATERIALIZED (eager localCheckpoint — the BSP superstep barrier):
+    * the frontier feeds both the next round's join and the growing
+    * reached union, so a lazy formulation re-evaluates every earlier
+    * round's subtree ~2× per later round (measured 10 s vs ~1 s at
+    * bench scale — exponential in hops, fatal at 100 TB where each
+    * round is a real shuffle). Truncating the lineage per round is
+    * exactly what GraphX/GraphFrames checkpointing does for iterative
+    * algorithms. Fixed rounds keep the plan finite; an unbounded
+    * closure would iterate to fixpoint with the same per-round shape
+    * ([[Dedup.dedupGroups]]' propagation loop). */
   def graphReachability(spark: SparkSession, dir: String,
       maxHops: Int = 3, maxSeed: Long = 3L): DataFrame = {
     val edges = copurchaseEdgesSym(spark, dir)
     val seeds = edges.select(col("u")).distinct()
       .filter(col("u") <= maxSeed)
     var reached = seeds.select(col("u"), lit(0).as("dist"))
-    var frontier = seeds
+      .localCheckpoint(true)
+    var frontier = reached.select(col("u"))
     for (h <- 1 to maxHops) {
       frontier = edges.join(frontier, Seq("u"))
         .select(col("v").as("u")).distinct()
         .join(reached, Seq("u"), "left_anti")
-      reached = reached.unionAll(frontier.select(col("u"), lit(h).as("dist")))
+        .localCheckpoint(true)
+      reached = reached
+        .unionAll(frontier.select(col("u"), lit(h).as("dist")))
+        .localCheckpoint(true)
     }
     reached.select(col("u").as("part"), col("dist").as("hops"))
       .orderBy(col("part"))

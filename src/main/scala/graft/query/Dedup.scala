@@ -247,6 +247,85 @@ object Dedup {
     dedupMinhashLsh(spark, dir, shingleSize, numBands = 16, rowsPerBand = 2,
       jaccardThreshold = threshold)
 
+  /** Incremental NEAR-dup: a delta batch probed against the standing
+    * corpus's MinHash band index — the production shape of continuous
+    * ingest, where exact-fingerprint incremental dedup
+    * ([[Curation2.dedupIncremental]]) misses edited reposts. Delta =
+    * `doc_id % 5 = 0`, corpus = the rest (same deterministic arrival
+    * stand-in as the exact variant). Each delta doc reports verified
+    * (Jaccard ≥ threshold) matches into the corpus and against
+    * EARLIER delta docs, and a status: `near_dup_of_corpus` beats
+    * `near_dup_in_batch` beats `new`.
+    *
+    * Scale shape: the corpus's banded signature index is the SAME
+    * persisted index every LSH query shares (sigCache — in production,
+    * the standing dedup index, built once per corpus version); the
+    * delta computes signatures map-only and probes it with an equi-join
+    * on (band, bucket) — candidates only, never all-pairs, shuffle
+    * payload ids-only. The intra-batch pass self-joins the (small)
+    * delta's bands alone. Exact-Jaccard verification touches only
+    * candidate pairs' shingle sets, exactly like the full-corpus pass. */
+  def dedupIncrementalMinhash(spark: SparkSession, dir: String,
+      shingleSize: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    graft.functions.ShingleHashes.register(spark)
+    graft.functions.JaccardSorted.register(spark)
+    val allDocs = withPlantedNearDups(table(spark, dir, "documents"))
+    val docs = allDocs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
+    // identical cache key to lshCandidatesWithSets: the delta probe hits
+    // the SAME persisted signature index the full-corpus queries built
+    val sig = forSession(sigCache, spark).computeIfAbsent(
+      s"$dir#$shingleSize#${numBands * rowsPerBand}",
+      _ => minhashSignatures(docs, "toks", "doc_id",
+        shingleSize, numBands * rowsPerBand).persist())
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+        .as(Seq("band", "bucket")))
+    val deltaB = banded.filter(col("doc_id") % 5 === 0)
+      .select(col("band"), col("bucket"), col("doc_id").as("delta_id"))
+    val corpusB = banded.filter(col("doc_id") % 5 =!= 0)
+      .select(col("band"), col("bucket"), col("doc_id").as("match_id"))
+    val candCorpus = deltaB.join(corpusB, Seq("band", "bucket"))
+      .select(col("delta_id"), col("match_id")).distinct()
+    // intra-batch: only EARLIER delta docs count as the kept original
+    val candBatch = deltaB.join(
+        deltaB.select(col("band"), col("bucket"),
+          col("delta_id").as("match_id")),
+        Seq("band", "bucket"))
+      .filter(col("match_id") < col("delta_id"))
+      .select(col("delta_id"), col("match_id")).distinct()
+    val cand = candCorpus.unionAll(candBatch)
+    val candIds = cand.select(col("delta_id").as("doc_id"))
+      .unionAll(cand.select(col("match_id").as("doc_id"))).distinct()
+    val candSh = docs.join(candIds, Seq("doc_id"))
+      .select(col("doc_id"),
+        expr(s"shingle_hashes(toks, $shingleSize)").as("sh"))
+    val verified = cand
+      .join(candSh.select(col("doc_id").as("delta_id"), col("sh").as("sh_a")),
+        Seq("delta_id"))
+      .join(candSh.select(col("doc_id").as("match_id"), col("sh").as("sh_b")),
+        Seq("match_id"))
+      .filter(expr("jaccard_sorted(sh_a, sh_b)") >= jaccardThreshold)
+    val agg = verified.groupBy(col("delta_id"))
+      .agg(sum(when(col("match_id") % 5 =!= 0, 1L).otherwise(0L))
+          .as("nc"),
+        sum(when(col("match_id") % 5 === 0, 1L).otherwise(0L))
+          .as("nb"))
+    allDocs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      .join(agg, col("doc_id") === col("delta_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("nc") > 0, lit("near_dup_of_corpus"))
+          .when(col("nb") > 0, lit("near_dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("nc"), lit(0L)).as("n_corpus_matches"),
+        coalesce(col("nb"), lit(0L)).as("n_batch_matches"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate-group assignment: connected components over the near-dup
     * pair graph, labeling every involved doc with the smallest doc_id
     * reachable from it (the canonical representative). This is the step

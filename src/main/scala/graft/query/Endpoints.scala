@@ -40,10 +40,13 @@ object Endpoints {
   }
 
   /** Q1: predict duration (api/api.py:77-104) — validate → 1-row frame →
-    * pipeline transform → scalar prediction. */
-  def q1Predict(spark: SparkSession, dir: String, version: Int = 3): DataFrame = {
+    * pipeline transform → scalar prediction. `features` defaults to the
+    * canonical README payload; the HTTP shell
+    * ([[graft.serve.ApiServer]]) passes request payloads through. */
+  def q1Predict(spark: SparkSession, dir: String, version: Int = 3,
+      features: Map[String, Float] = canonicalFeatures): DataFrame = {
     val model = ModelStore.forDir(spark, dir, version)
-    model.transform(requestDf(spark, canonicalFeatures))
+    model.transform(requestDf(spark, features))
       .select(lit(version).as("model_version"),
         col("prediction").as("predicted_duration"))
   }
@@ -54,11 +57,12 @@ object Endpoints {
     * one Spark job, not N). */
   def q2Sensitivity(spark: SparkSession, dir: String, version: Int = 3,
       variableFeature: String = "Distance",
-      variations: Seq[Float] = Seq(1.0f, 2.0f, 3.0f, 4.0f, 5.0f)): DataFrame = {
+      variations: Seq[Float] = Seq(1.0f, 2.0f, 3.0f, 4.0f, 5.0f),
+      base: Map[String, Float] = canonicalFeatures): DataFrame = {
     require(Schemas.featureCols.contains(variableFeature),
       s"unknown feature $variableFeature")
     val model = ModelStore.forDir(spark, dir, version)
-    val grid = requestDf(spark, canonicalFeatures)
+    val grid = requestDf(spark, base)
       .withColumn("varied_value", explode(array(variations.map(lit): _*)))
       .withColumn(variableFeature, col("varied_value"))
     model.transform(grid)
@@ -71,10 +75,11 @@ object Endpoints {
     * one batched transform, BETWEEN band (T6), best (lowest) first (O2). */
   def q3OptimalTime(spark: SparkSession, dir: String, version: Int = 3,
       hours: Seq[Int] = 7 to 18, minuteOfHour: Int = 30,
-      minDuration: Double = 5.0, maxDuration: Double = 20.0): DataFrame = {
+      minDuration: Double = 5.0, maxDuration: Double = 20.0,
+      baseConditions: Map[String, Float] = canonicalFeatures): DataFrame = {
     val model = ModelStore.forDir(spark, dir, version)
     val valid = hours.filter(h => h >= 0 && h <= 23) // T9
-    val base = canonicalFeatures - "Phour" - "Pmin"
+    val base = baseConditions - "Phour" - "Pmin"
     val grid = requestDf(spark, base)
       .withColumn("hour", explode(array(valid.map(lit): _*)))
       .withColumn("Phour", col("hour").cast("float"))
