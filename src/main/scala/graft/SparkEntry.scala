@@ -293,6 +293,15 @@ object SparkEntry {
     "sql_top_supplier"       -> Warehouse.sqlTopSupplier _,
     "sql_small_qty_revenue"  -> Warehouse.sqlSmallQtyRevenue _,
     "sql_sole_fault_supplier" -> Warehouse.sqlSoleFaultSupplier _,
+    // round-7 warehouse widening (Q7/Q12/Q18/Q19/Q22 shapes)
+    "sql_nation_volume_shipping" ->
+      ((s: SparkSession, d: String) => Warehouse.sqlNationVolumeShipping(s, d)),
+    "sql_priority_linestatus" -> Warehouse.sqlPriorityLinestatus _,
+    "sql_large_volume_customer" ->
+      ((s: SparkSession, d: String) => Warehouse.sqlLargeVolumeCustomer(s, d)),
+    "sql_disjunctive_revenue" -> Warehouse.sqlDisjunctiveRevenue _,
+    "sql_sales_opportunity"  ->
+      ((s: SparkSession, d: String) => Warehouse.sqlSalesOpportunity(s, d)),
     // round-6 corpus-shaping operators
     "chunk_sliding"          ->
       ((s: SparkSession, d: String) => Curation2.chunkSliding(s, d)),
@@ -2359,6 +2368,78 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM li JOIN a ON l_partkey = a_partkey
         |WHERE qty_i * cnt * 5 < sum_q""".stripMargin,
+    "sql_nation_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS revenue_s4
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "sql_priority_linestatus" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sql_large_volume_customer" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |    > 300
+        |)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "sql_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS revenue_s4,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(round(l_quantity) AS BIGINT) <= 30
+        |  AND ((p_brand = 'Brand#1'
+        |      AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#2'
+        |      AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#3'
+        |      AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30))""".stripMargin,
+    "sql_sales_opportunity" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer
+        |), avg_pos AS (
+        |  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+        |    count(*) AS n_pos
+        |  FROM cust WHERE bal_c > 0
+        |)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+        |FROM cust, avg_pos
+        |WHERE bal_c * n_pos > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sql_sole_fault_supplier" ->
       """WITH profile AS (
         |  SELECT l_orderkey

@@ -252,6 +252,157 @@ object Warehouse {
     * same key — AQE reuses the exchange — then aggregate on suppkey
     * (supplier-cardinality). Contrast with the textbook formulation:
     * two additional correlated semi/anti joins over lineitem. */
+  /** TPC-H-Q7-shaped nation-pair volume: revenue flowing between two
+    * trading nations (supplier nation → customer nation, both
+    * directions) per ship year — the two-dimension-lookup star with a
+    * pair predicate.
+    *
+    * Scale shape: both nation lookups ride BROADCAST joins (supplier
+    * and customer are bounded dimensions); the pair predicate
+    * `(s,c) ∈ {(1,2),(2,1)}` is a residual on the broadcasts, pruning
+    * before the one big lineitem⨝orders shuffle's output aggregates.
+    * Group keys (two names + year) are a tiny domain — map-side
+    * combined to nothing. Money is the exact ×10 000-scaled BIGINT
+    * (class doc). */
+  def sqlNationVolumeShipping(spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val supp = table(spark, dir, "supplier")
+      .join(broadcast(table(spark, dir, "nation")
+          .filter(col("n_name").isin(nationA, nationB))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = table(spark, dir, "customer")
+      .join(broadcast(table(spark, dir, "nation")
+          .filter(col("n_name").isin(nationA, nationB))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("l_year"),
+        netS4(col("l_extendedprice"), col("l_discount")).as("net_s4"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("net_s4")).as("revenue_s4"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H-Q12-shaped priority-by-linestatus check: for one ship year,
+    * per line status, how many lines belong to urgent/high-priority
+    * orders vs the rest — the conditional-count-over-join shape
+    * (adapted: the reference schema carries no shipmode/receipt
+    * columns; linestatus stands in for the grouping dimension).
+    *
+    * Scale shape: one lineitem⨝orders shuffle on orderkey (the date
+    * filter prunes lineitem at the scan first); the conditional counts
+    * are map-side combined over a 2-value group domain. All-integer
+    * output. */
+  def sqlPriorityLinestatus(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  /** TPC-H-Q18-shaped large-volume customers: orders whose total
+    * quantity exceeds a threshold, with their customer — the
+    * HAVING-over-aggregate + enrichment-join shape.
+    *
+    * Scale shape: lineitem aggregates per orderkey FIRST (map-side
+    * combined, one shuffle collapsing to |orders| rows) and the HAVING
+    * cut reduces that to a tiny survivor set, which then joins orders
+    * and broadcast customer — the joins move only survivors, the
+    * Q13 aggregate-then-join discipline again. Quantities are exact
+    * integers. */
+  def sqlLargeVolumeCustomer(spark: SparkSession, dir: String,
+      minQty: Long = 300L): DataFrame = {
+    val big = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), round(col("l_quantity")).cast("long").as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("q")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big.join(table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H-Q19-shaped disjunctive-band revenue: revenue from three
+    * (brand, quantity-band) alternatives OR-ed together — the
+    * disjunctive-predicate pushdown probe (each disjunct alone is
+    * selective; the union must not devolve into a full scan of the
+    * JOIN output).
+    *
+    * Scale shape: part BROADCASTS; the disjunction is a residual on the
+    * broadcast join evaluated inside codegen, and the quantity bounds
+    * (the common `qty_i <= 30` envelope) push to the lineitem scan.
+    * Single-row output; money is exact scaled BIGINT. */
+  def sqlDisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty_i"),
+        netS4(col("l_extendedprice"), col("l_discount")).as("net_s4"))
+      .filter(col("qty_i") <= 30L)
+    li.join(broadcast(table(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("qty_i").between(1L, 11L)) ||
+        (col("p_brand") === "Brand#2" && col("qty_i").between(10L, 20L)) ||
+        (col("p_brand") === "Brand#3" && col("qty_i").between(20L, 30L)))
+      .agg(sum(col("net_s4")).as("revenue_s4"), count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H-Q22-shaped sales opportunity: LAPSED customers — above-average
+    * positive account balance, no order since the cutoff — counted per
+    * nation. The scalar-subquery-filter + anti-join shape (the pure
+    * never-ordered variant is degenerate on this schema: order volume
+    * covers nearly every customer, so the anti-join is date-scoped,
+    * which is also the more realistic churn query).
+    *
+    * Scale shape: the global (sum, count) of positive balances is a
+    * 1-row broadcast scalar; the above-average cut is the
+    * cross-multiplied integer comparison `bal_c · n > sum_c` (balances
+    * are 2-decimal money → exact cents, see class doc) — no double
+    * average, no division anywhere. The no-recent-orders check is a
+    * LEFT ANTI join on custkey against the date-pruned orders scan
+    * (filter pushed down; ids only cross the exchange). Both sides of
+    * the compare stay all-BIGINT. */
+  def sqlSalesOpportunity(spark: SparkSession, dir: String,
+      cutoff: String = "2000-01-01"): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("bal_c"))
+    val avgPos = cust.filter(col("bal_c") > 0L)
+      .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("bal_c") * col("n_pos") > col("sum_c"))
+      .join(table(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+      .orderBy(col("c_nationkey"))
+  }
+
   def sqlSoleFaultSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))

@@ -1,10 +1,13 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.query.Dedup
+import graft.query.{Dedup, Warehouse}
+import graft.schema.Schemas.table
 
 /** Round-7 additions: delta-vs-corpus near-dup over the shared MinHash
-  * band index. */
+  * band index, and the widened warehouse suite (Q7/Q12/Q18/Q19/Q22
+  * shapes) cross-checked against independent brute-force
+  * formulations. */
 class Round7Spec extends SparkSpec {
   import spark.implicits._
 
@@ -49,5 +52,91 @@ class Round7Spec extends SparkSpec {
     val p = Dedup.dedupIncrementalMinhash(spark, sf)
       .queryExecution.executedPlan.toString
     assert(p.contains("InMemoryTableScan"), p.take(4000))
+  }
+
+  test("sql_nation_volume_shipping: pair-restricted, both directions, never same nation") {
+    val out = Warehouse.sqlNationVolumeShipping(spark, sf)
+      .as[(String, String, Int, Long)].collect()
+    assert(out.forall(r => r._1 != r._2))
+    assert(out.forall(r =>
+      Set("NATION_1", "NATION_2").contains(r._1) &&
+      Set("NATION_1", "NATION_2").contains(r._2)))
+    assert(out.forall(_._4 >= 0))
+    // total matches an independent unrestricted recomputation
+    val brute = table(spark, sf, "lineitem")
+      .join(table(spark, sf, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(table(spark, sf, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(table(spark, sf, "customer"), $"o_custkey" === $"c_custkey")
+      .filter($"s_nationkey".isin(1, 2) && $"c_nationkey".isin(1, 2) &&
+        $"s_nationkey" =!= $"c_nationkey")
+      .select((round($"l_extendedprice" * 100).cast("long") *
+        (lit(100L) - round($"l_discount" * 100).cast("long"))).as("s4"))
+      .agg(coalesce(sum($"s4"), lit(0L))).as[Long].collect()(0)
+    assert(out.map(_._4).sum == brute)
+  }
+
+  test("sql_priority_linestatus: high+low = all year lines per status") {
+    val out = Warehouse.sqlPriorityLinestatus(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val byStatus = table(spark, sf, "lineitem")
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .groupBy($"l_linestatus").count()
+      .as[(String, Long)].collect().toMap
+    byStatus.foreach { case (st, n) =>
+      val (_, hi, lo) = out(st)
+      assert(hi + lo == n, s"$st hi=$hi lo=$lo n=$n")
+    }
+  }
+
+  test("sql_large_volume_customer: every row's order total exceeds threshold; set complete") {
+    val out = Warehouse.sqlLargeVolumeCustomer(spark, sf)
+      .as[(String, Long, Long, java.sql.Timestamp, Long)].collect()
+    assert(out.forall(_._5 > 300L))
+    val want = table(spark, sf, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum(round($"l_quantity").cast("long")).as("tq"))
+      .filter($"tq" > 300L).count()
+    assert(out.length == math.min(want, 100L), s"got ${out.length} want $want")
+  }
+
+  test("sql_disjunctive_revenue: equals the sum of the three bands computed separately") {
+    val row = Warehouse.sqlDisjunctiveRevenue(spark, sf).collect()(0)
+    val li = table(spark, sf, "lineitem")
+      .join(table(spark, sf, "part"), $"l_partkey" === $"p_partkey")
+      .select($"p_brand", round($"l_quantity").cast("long").as("q"),
+        (round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("s4"))
+    val bands = Seq(("Brand#1", 1L, 11L), ("Brand#2", 10L, 20L),
+      ("Brand#3", 20L, 30L))
+    val parts = bands.map { case (b, lo, hi) =>
+      li.filter($"p_brand" === b && $"q".between(lo, hi))
+        .agg(coalesce(sum($"s4"), lit(0L)), count(lit(1)))
+        .as[(Long, Long)].collect()(0)
+    }
+    assert(row.getAs[Long]("revenue_s4") == parts.map(_._1).sum)
+    assert(row.getAs[Long]("n_items") == parts.map(_._2).sum)
+  }
+
+  test("sql_sales_opportunity: members are order-less and above the positive-balance mean") {
+    val out = Warehouse.sqlSalesOpportunity(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val cust = table(spark, sf, "customer")
+      .select($"c_custkey", $"c_nationkey",
+        round($"c_acctbal" * 100).cast("long").as("bal"))
+      .as[(Long, Long, Long)].collect()
+    val pos = cust.map(_._3).filter(_ > 0L)
+    val (sumC, nPos) = (pos.sum, pos.length.toLong)
+    val ordered = table(spark, sf, "orders")
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select($"o_custkey").distinct().as[Long].collect().toSet
+    val expect = cust
+      .filter { case (ck, _, bal) => bal * nPos > sumC && !ordered(ck) }
+      .groupBy(_._2).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._3).sum)).toMap
+    assert(out.length == expect.size)
+    out.foreach { case (nk, n, tot) =>
+      assert(expect(nk) == ((n, tot)), s"nation $nk")
+    }
   }
 }
