@@ -302,6 +302,9 @@ object SparkEntry {
     "sql_disjunctive_revenue" -> Warehouse.sqlDisjunctiveRevenue _,
     "sql_sales_opportunity"  ->
       ((s: SparkSession, d: String) => Warehouse.sqlSalesOpportunity(s, d)),
+    "sql_market_share"       ->
+      ((s: SparkSession, d: String) => Warehouse.sqlMarketShare(s, d)),
+    "sql_returned_top_customers" -> Warehouse.sqlReturnedTopCustomers _,
     // round-6 corpus-shaping operators
     "chunk_sliding"          ->
       ((s: SparkSession, d: String) => Curation2.chunkSliding(s, d)),
@@ -2422,6 +2425,55 @@ object SparkEntry {
         |      AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
         |    OR (p_brand = 'Brand#3'
         |      AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30))""".stripMargin,
+    "sql_market_share" ->
+      """WITH cr AS (
+        |  SELECT c_custkey
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |), sn AS (
+        |  SELECT s_suppkey, n_name AS sn_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |)
+        |SELECT year(o_orderdate) AS o_year,
+        |  CAST(sum(CASE WHEN sn_name = 'NATION_1'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) AS nation_s4,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS total_s4,
+        |  CAST(CAST(sum(CASE WHEN sn_name = 'NATION_1'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |      AS BIGINT) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN cr ON o_custkey = c_custkey
+        |JOIN sn ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sql_returned_top_customers" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |      AS BIGINT) AS revenue_s4
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-07-01'
+        |    AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  GROUP BY 1
+        |)
+        |SELECT c_custkey, c_name, n_name, revenue_s4
+        |FROM rev
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue_s4 DESC, c_custkey LIMIT 20""".stripMargin,
     "sql_sales_opportunity" ->
       """WITH cust AS (
         |  SELECT c_custkey, c_nationkey,

@@ -403,6 +403,83 @@ object Warehouse {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H-Q8-shaped market share: of all revenue flowing to customers
+    * in one region, the fraction supplied by one nation, per order year
+    * — the conditional-share-over-star shape.
+    *
+    * Scale shape: identical star to [[sqlLocalSupplierVolume]] (one
+    * lineitem⨝orders shuffle, every dimension broadcast); numerator and
+    * denominator accumulate in ONE aggregation pass as exact scaled
+    * BIGINTs (a `when` inside the sum — no second scan, no self-join);
+    * the share is a single long/long→double division per output row,
+    * IEEE-identical across engines given identical exact inputs. */
+  def sqlMarketShare(spark: SparkSession, dir: String,
+      region: String = "ASIA", nation: String = "NATION_1"): DataFrame = {
+    val custRegion = table(spark, dir, "customer")
+      .join(broadcast(table(spark, dir, "nation")
+          .join(broadcast(table(spark, dir, "region")
+              .filter(col("r_name") === region)),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = table(spark, dir, "supplier")
+      .join(broadcast(table(spark, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("sn_name"))
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        netS4(col("l_extendedprice"), col("l_discount")).as("net_s4"))
+      .join(table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("sn_name") === nation, col("net_s4")).otherwise(0L))
+          .as("nation_s4"),
+        sum(col("net_s4")).as("total_s4"))
+      .select(col("o_year"), col("nation_s4"), col("total_s4"),
+        (col("nation_s4").cast("double") / col("total_s4").cast("double"))
+          .as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H-Q10-shaped returned-item report: customers ranked by revenue
+    * lost to returns in one quarter — the top-k-over-star shape every
+    * churn dashboard runs.
+    *
+    * Scale shape: the returnflag filter prunes lineitem at the scan and
+    * the quarter filter prunes orders; one orderkey shuffle joins them;
+    * customer (with its nation name) BROADCASTS onto the per-custkey
+    * aggregate. TakeOrdered replaces a global sort for the top 20.
+    * Money is exact scaled BIGINT, so the ranking is on exact integers
+    * with a custkey tiebreak. */
+  def sqlReturnedTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .join(broadcast(table(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        netS4(col("l_extendedprice"), col("l_discount")).as("net_s4"))
+      .join(table(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("net_s4")).as("revenue_s4"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue_s4"))
+      .orderBy(col("revenue_s4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   def sqlSoleFaultSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))

@@ -118,6 +118,59 @@ class Round7Spec extends SparkSpec {
     assert(row.getAs[Long]("n_items") == parts.map(_._2).sum)
   }
 
+  test("sql_market_share: share recomputes from the exact parts; parts bound each other") {
+    val out = Warehouse.sqlMarketShare(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nat = r.getAs[Long]("nation_s4")
+      val tot = r.getAs[Long]("total_s4")
+      val share = r.getAs[Double]("mkt_share")
+      assert(nat >= 0 && nat <= tot)
+      assert(share == nat.toDouble / tot.toDouble)
+    }
+  }
+
+  test("sql_returned_top_customers: equals brute-force argmax over returned revenue") {
+    val out = Warehouse.sqlReturnedTopCustomers(spark, sf)
+      .as[(Long, String, String, Long)].collect()
+    assert(out.length <= 20)
+    val brute = table(spark, sf, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .join(table(spark, sf, "orders")
+          .filter($"o_orderdate" >= lit("1997-07-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-10-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long") *
+        (lit(100L) - round($"l_discount" * 100).cast("long"))).as("r"))
+      .as[(Long, Long)].collect()
+      .sortBy { case (ck, r) => (-r, ck) }.take(20)
+    assert(out.map(r => (r._1, r._4)).toSeq == brute.toSeq)
+  }
+
+  test("plan: new warehouse queries broadcast dimensions and push filters") {
+    val disj = Warehouse.sqlDisjunctiveRevenue(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the common quantity envelope reaches the scan; part broadcasts
+    assert(disj.contains("BroadcastHashJoin"), disj)
+    val ret = Warehouse.sqlReturnedTopCustomers(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(ret.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)")
+      || ret.contains("EqualTo(l_returnflag,R)"), ret)
+    assert(ret.contains("TakeOrderedAndProject"), ret)
+    val opp = Warehouse.sqlSalesOpportunity(spark, sf)
+      .queryExecution.executedPlan.toString
+    // anti-join on ids only, date filter pushed to the orders scan
+    assert(opp.contains("LeftAnti"), opp.take(4000))
+    val lvc = Warehouse.sqlLargeVolumeCustomer(spark, sf)
+      .queryExecution.executedPlan.toString
+    // aggregate-then-join: the orderkey aggregate sits below the joins
+    assert(lvc.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("l_orderkey")), lvc.take(4000))
+  }
+
   test("sql_sales_opportunity: members are order-less and above the positive-balance mean") {
     val out = Warehouse.sqlSalesOpportunity(spark, sf)
       .as[(Long, Long, Long)].collect()
