@@ -274,6 +274,10 @@ object SparkEntry {
     "corpus_quality_gate"    -> Curation.corpusQualityGate _,
     "emb_pq_codes"           ->
       ((s: SparkSession, d: String) => Curation.embPqCodes(s, d)),
+    "ann_pq_adc_topk"        ->
+      ((s: SparkSession, d: String) => Curation.annPqAdcTopk(s, d)),
+    "multimodal_embed_knn"   ->
+      ((s: SparkSession, d: String) => Multimodal.multimodalEmbedKnn(s, d)),
     "export_jsonl_manifest"  ->
       ((s: SparkSession, d: String) =>
         graft.ingest.Export.exportJsonlManifest(s, d)),
@@ -319,6 +323,7 @@ object SparkEntry {
     "histogram_equiwidth"    ->
       ((s: SparkSession, d: String) => Curation2.histogramEquiWidth(s, d)),
     "stream_late_data"       -> StreamQueries.streamLateData _,
+    "stream_hopping_agg"     -> StreamQueries.streamHoppingAgg _,
     "graph_reachability"     ->
       ((s: SparkSession, d: String) => Analytics.graphReachability(s, d)),
     "ann_radius_search"      ->
@@ -749,6 +754,15 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, CAST(sum(value) AS REAL) AS sum_value
         |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_hopping_agg" ->
+      """WITH e AS (SELECT event_type, value,
+        |    (epoch_ms(ts) // 10800000) * 10800 AS s3 FROM events)
+        |SELECT TIMESTAMP '1970-01-01 00:00:00' + ws * INTERVAL 1 SECOND
+        |    AS window_start,
+        |  event_type, count(*) AS n, CAST(sum(value) AS REAL) AS sum_value
+        |FROM (SELECT event_type, value, unnest([s3 - 10800, s3]) AS ws
+        |  FROM e)
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "stream_session_counts" ->
       """SELECT user_id,
@@ -1196,6 +1210,26 @@ object SparkEntry {
         |JOIN emb eb ON eb.vec_id = c.vec_b
         |WHERE list_dot_product(ea.e, eb.e) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "multimodal_embed_knn" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(text || ':0'), 1, 15) AS BIGINT)
+        |      % 1000000 AS DOUBLE) / 1000000.0 AS f0,
+        |    CAST(CAST('0x' || substr(md5(text || ':1'), 1, 15) AS BIGINT)
+        |      % 1000000 AS DOUBLE) / 1000000.0 AS f1,
+        |    CAST(CAST('0x' || substr(md5(text || ':2'), 1, 15) AS BIGINT)
+        |      % 1000000 AS DOUBLE) / 1000000.0 AS f2,
+        |    CAST(CAST('0x' || substr(md5(text || ':3'), 1, 15) AS BIGINT)
+        |      % 1000000 AS DOUBLE) / 1000000.0 AS f3
+        |  FROM documents
+        |), q AS (
+        |  SELECT f0 AS q0, f1 AS q1, f2 AS q2, f3 AS q3
+        |  FROM f WHERE doc_id = 0
+        |)
+        |SELECT doc_id,
+        |  f0 * q0 + f1 * q1 + f2 * q2 + f3 * q3 AS sim
+        |FROM f, q WHERE doc_id <> 0
+        |ORDER BY sim DESC, doc_id LIMIT 10""".stripMargin,
     "multimodal_summary" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS INT) AS payload_bytes,
@@ -2155,6 +2189,49 @@ object SparkEntry {
         |SELECT reason, count(*) AS n_docs,
         |  CAST(CAST(count(*) AS DOUBLE) / total AS REAL) AS share
         |FROM r, t GROUP BY reason, total ORDER BY reason""".stripMargin,
+    "ann_pq_adc_topk" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / amax)) AS INT))
+        |      AS qv
+        |  FROM a WHERE amax > 0
+        |), cb AS (
+        |  SELECT m, k, d,
+        |    CAST(CAST('0x' || substr(md5('pq:' || m || ':' || k || ':'
+        |      || d), 1, 15) AS BIGINT) % 256 - 128 AS INT) AS c
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS m),
+        |       (SELECT unnest(generate_series(0, 15)) AS k),
+        |       (SELECT unnest(generate_series(0, 7)) AS d)
+        |), sub AS (
+        |  SELECT vec_id, m, d, qv[m * 8 + d + 1] AS qd
+        |  FROM q, (SELECT unnest(generate_series(0, 7)) AS m) mm,
+        |       (SELECT unnest(generate_series(0, 7)) AS d) dd
+        |), dist AS (
+        |  SELECT vec_id, s.m, cb.k, sum(abs(qd - c)) AS dist
+        |  FROM sub s JOIN cb ON cb.m = s.m AND cb.d = s.d
+        |  GROUP BY 1, 2, 3
+        |), best AS (
+        |  SELECT vec_id, m, k, dist,
+        |    row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY dist, k) AS rn
+        |  FROM dist
+        |), codes AS (
+        |  SELECT vec_id, m, k FROM best WHERE rn = 1
+        |), qlut AS (
+        |  SELECT s.m, cb.k, CAST(sum(abs(qd - c)) AS BIGINT) AS qdist
+        |  FROM sub s JOIN cb ON cb.m = s.m AND cb.d = s.d
+        |  WHERE s.vec_id = 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c.vec_id, CAST(sum(l.qdist) AS BIGINT) AS adc_dist
+        |FROM codes c JOIN qlut l ON l.m = c.m AND l.k = c.k
+        |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
     "emb_pq_codes" ->
       """WITH a AS (
         |  SELECT vec_id, embedding,

@@ -131,8 +131,10 @@ object Curation {
     * few ints per subvector, never the vectors. A production path fuses
     * the whole assignment into one codegen expression per row (zero
     * shuffle), as [[graft.functions.MinHashSig]] does for signatures. */
-  def embPqCodes(spark: SparkSession, dir: String,
-      m: Int = 8, k: Int = 16, subDim: Int = 8): DataFrame = {
+  /** The deterministic PQ codebook: (m, k) → subDim-length int centroid
+    * vector, md5-derived (broadcast-sized: M·K rows). */
+  private def pqCodebook(spark: SparkSession,
+      m: Int, k: Int, subDim: Int): DataFrame = {
     val cbRaw = spark.range(m).select(col("id").as("m"))
       .crossJoin(spark.range(k).select(col("id").as("k")))
       .crossJoin(spark.range(subDim).select(col("id").as("d")))
@@ -141,10 +143,15 @@ object Curation {
           lit(":"), col("k").cast("string"),
           lit(":"), col("d").cast("string")))
           % lit(256L) - lit(128L)).cast("int").as("c"))
-    val codebook = cbRaw.groupBy(col("m"), col("k"))
+    cbRaw.groupBy(col("m"), col("k"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
         x => x.getField("c")).as("cvec"))
-    val q = table(spark, dir, "embeddings")
+  }
+
+  /** Per-vector int8 quantization (vec_id, qv) — the shared front of the
+    * PQ family. */
+  private def pqQuantized(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
       .selectExpr("vec_id",
         """array_max(transform(embedding,
           |  x -> abs(CAST(x AS DOUBLE)))) AS amax""".stripMargin,
@@ -154,23 +161,74 @@ object Curation {
         """transform(embedding,
           |  x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / amax)) AS INT))
           |  AS qv""".stripMargin)
+
+  /** Per-(vec, subspace) nearest codeword: (vec_id, m, b.dist, b.k). */
+  private def pqAssign(q: DataFrame, codebook: DataFrame,
+      m: Int, subDim: Int): DataFrame = {
     val subs = q.select(col("vec_id"),
       explode(sequence(lit(0L), lit(m - 1L))).as("m"), col("qv"))
       .select(col("vec_id"), col("m"),
         expr(s"slice(qv, CAST(m * $subDim + 1 AS INT), $subDim)").as("sub"))
-    val scored = subs.join(broadcast(codebook), Seq("m"))
+    subs.join(broadcast(codebook), Seq("m"))
       .select(col("vec_id"), col("m"), col("k"),
         expr("""aggregate(zip_with(sub, cvec, (a, b) -> abs(a - b)),
           |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
           .as("dist"))
-    val best = scored.groupBy(col("vec_id"), col("m"))
+      .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("dist"), col("k"))).as("b"))
+  }
+
+  def embPqCodes(spark: SparkSession, dir: String,
+      m: Int = 8, k: Int = 16, subDim: Int = 8): DataFrame = {
+    val best = pqAssign(pqQuantized(spark, dir),
+      pqCodebook(spark, m, k, subDim), m, subDim)
     val outCols = (0 until m).map(i =>
       max(when(col("m") === i, col("b.k"))).cast("int").as(s"code_$i")) :+
       sum(col("b.dist")).as("l1_err")
     best.groupBy(col("vec_id"))
       .agg(outCols.head, outCols.tail: _*)
       .orderBy(col("vec_id"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: nearest neighbors of one query
+    * vector computed ENTIRELY against the PQ-compressed index — the
+    * scale path of IVF-PQ retrieval. The query builds an M×K lookup
+    * table (L1 distance from each of its subvectors to every codeword);
+    * each indexed vector's approximate distance is then the sum of M
+    * table lookups keyed by its stored codes — the embeddings
+    * themselves are never touched at query time.
+    *
+    * All-integer arithmetic end to end (int8 subvectors, integer
+    * codewords, BIGINT L1 sums), so distances and the (dist, vec_id)
+    * top-k ranking are bit-identical cross-engine — a fully
+    * DuckDB-oracle-able ANN, unlike KMeans-trained PQ.
+    *
+    * Scale shape: the codes table is the persisted PQ index (M small
+    * ints per vector — at 100 TB of embeddings, the index is ~1000×
+    * smaller and is what actually gets scanned); the query LUT is M·K
+    * BIGINTs BROADCAST; scoring is one map-side join + a per-vec sum
+    * (map-side combined over exactly M rows per vec), and
+    * TakeOrdered replaces a global sort for the top-k. */
+  def annPqAdcTopk(spark: SparkSession, dir: String, queryId: Long = 0L,
+      m: Int = 8, k: Int = 16, subDim: Int = 8, topK: Int = 10): DataFrame = {
+    val codebook = pqCodebook(spark, m, k, subDim)
+    val q = pqQuantized(spark, dir)
+    val codes = pqAssign(q, codebook, m, subDim)
+      .select(col("vec_id"), col("m"), col("b.k").as("k"))
+    val qlut = q.filter(col("vec_id") === queryId)
+      .select(explode(sequence(lit(0L), lit(m - 1L))).as("m"), col("qv"))
+      .select(col("m"),
+        expr(s"slice(qv, CAST(m * $subDim + 1 AS INT), $subDim)").as("qsub"))
+      .join(codebook, Seq("m"))
+      .select(col("m"), col("k"),
+        expr("""aggregate(zip_with(qsub, cvec, (a, b) -> abs(a - b)),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+          .as("qdist"))
+    codes.join(broadcast(qlut), Seq("m", "k"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qdist")).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
   }
 
   /** The curation funnel: every document is assigned its FIRST failing

@@ -145,6 +145,37 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Nearest neighbors over the multimodal stub embeddings: one query
+    * doc's 4-dim feature vector against the whole media corpus by dot
+    * product — the retrieval step a real decode→embed→search pipeline
+    * ends with, runnable end-to-end because the stub features are
+    * md5-derived (oracle-replayable).
+    *
+    * Numerics: the dot product is a FIXED left-associated 4-term
+    * expression (not an aggregation), so the double arithmetic order is
+    * identical on both engines — deterministic without any scaled-int
+    * crutch. Ties break on doc_id.
+    *
+    * Scale shape: the query vector is a 1-row broadcast scalar; scoring
+    * is map-only over the feature scan; TakeOrdered picks the top-k.
+    * With a real embedding column this is [[Similarity.annBruteForce]];
+    * at 100 TB the IVF/LSH variants take over — same front half. */
+  def multimodalEmbedKnn(spark: SparkSession, dir: String,
+      queryId: Long = 0L, topK: Int = 10): DataFrame = {
+    val feats = multimodalFeatures(spark, dir)
+      .select(col("doc_id") +: (0 until 4).map(i =>
+        element_at(col("stub_embedding"), i + 1).as(s"f$i")): _*)
+    val q = feats.filter(col("doc_id") === queryId)
+      .select((0 until 4).map(i => col(s"f$i").as(s"q$i")): _*)
+    feats.filter(col("doc_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        (col("f0") * col("q0") + col("f1") * col("q1")
+          + col("f2") * col("q2") + col("f3") * col("q3")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Scalar projection of the multimodal pipeline (Verify-friendly: no
     * binary/struct/array columns in the dump). */
   def multimodalSummary(spark: SparkSession, dir: String): DataFrame =

@@ -110,6 +110,27 @@ object StreamQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Streaming HOPPING-window aggregation: overlapping 6-hour windows
+    * sliding every 3 hours — the stateful streaming twin of the batch
+    * [[graft.query.Relational2]] hopping window. Each event updates
+    * exactly size/slide = 2 window states (Spark expands the window
+    * spec per row before the shuffle — state is per (window, type),
+    * NOT per event), and the watermark bounds total live state to the
+    * horizon ÷ slide windows per key at any scale. Full drain ==
+    * the batch double-assignment query, which is the DuckDB oracle. */
+  def streamHoppingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = streamEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("float").as("sum_value"))
+    drain(spark, agg, OutputMode.Complete())
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Streaming deduplication: dropDuplicatesWithinWatermark on
     * (user_id, event_type). Unlike plain dropDuplicates on non-event-time
     * keys (whose state grows forever — the watermark never evicts keys it

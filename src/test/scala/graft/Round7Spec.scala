@@ -118,6 +118,67 @@ class Round7Spec extends SparkSpec {
     assert(row.getAs[Long]("n_items") == parts.map(_._2).sum)
   }
 
+  test("ann_pq_adc_topk: matches a from-scratch Scala ADC model (codebook, LUT, ranking)") {
+    import graft.query.Curation
+    // independent model: md5-derived codebook, HALF_UP int8 quantization,
+    // integer L1 code assignment, LUT-summed asymmetric distances
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    def cw(m: Int, k: Int, d: Int): Int =
+      (h60(s"pq:$m:$k:$d") % 256L - 128L).toInt
+    def quant(emb: Seq[Float]): Option[Array[Int]] = {
+      val amax = emb.map(x => math.abs(x.toDouble)).max
+      if (amax <= 0) None
+      else Some(emb.map(x => BigDecimal(x.toDouble * (127.0 / amax))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt).toArray)
+    }
+    val embs = graft.schema.Schemas.table(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val qv = quant(embs.find(_._1 == 0L).get._2).get
+    val lut = Array.tabulate(8, 16) { (m, k) =>
+      (0 until 8).map(d => math.abs(qv(m * 8 + d) - cw(m, k, d)).toLong).sum
+    }
+    val expected = embs.flatMap { case (id, emb) =>
+      quant(emb).map { v =>
+        val dist = (0 until 8).map { m =>
+          val best = (0 until 16).map { k =>
+            ((0 until 8).map(d =>
+              math.abs(v(m * 8 + d) - cw(m, k, d)).toLong).sum, k)
+          }.min // (dist, k) — smallest dist, then smallest codeword
+          lut(m)(best._2)
+        }.sum
+        (id, dist)
+      }
+    }.sortBy { case (id, d) => (d, id) }.take(10).toSeq
+    val got = Curation.annPqAdcTopk(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("multimodal_embed_knn: top-k matches Scala brute force over stub features") {
+    import graft.query.Multimodal
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def feat(text: String, seed: Int): Double =
+      (java.lang.Long.parseLong(
+        md5hex(s"$text:$seed").substring(0, 15), 16) % 1000000L) / 1000000.0
+    val docs = table(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val q = docs.find(_._1 == 0L).map(d =>
+      Array.tabulate(4)(feat(d._2, _))).get
+    val expected = docs.filter(_._1 != 0L).map { case (id, text) =>
+      val f = Array.tabulate(4)(feat(text, _))
+      (id, f(0) * q(0) + f(1) * q(1) + f(2) * q(2) + f(3) * q(3))
+    }.sortBy { case (id, sim) => (-sim, id) }.take(10).toSeq
+    val got = Multimodal.multimodalEmbedKnn(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("sql_market_share: share recomputes from the exact parts; parts bound each other") {
     val out = Warehouse.sqlMarketShare(spark, sf).collect()
     assert(out.nonEmpty)

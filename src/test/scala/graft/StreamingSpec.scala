@@ -22,6 +22,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream hopping agg: drain equals batch double-assignment; each event in 2 windows") {
+    val streamed = StreamQueries.streamHoppingAgg(spark, sf).collect()
+    val batch = Schemas.events(spark, sf)
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("float").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getTimestamp(0) == b.getTimestamp(0))
+      assert(s.getString(1) == b.getString(1))
+      assert(s.getLong(2) == b.getLong(2))
+      assert(s.getFloat(3) == b.getFloat(3))
+    }
+    // size/slide = 2: total window-event incidences are exactly 2 per event
+    val nEvents = Schemas.events(spark, sf).count()
+    assert(streamed.map(_.getLong(2)).sum == 2 * nEvents)
+  }
+
   test("stream session counts: gap logic on a hand-computed fixture") {
     import spark.implicits._
     // user 1: events at 0, 10, 50, 65 min (gap 30) -> sessions at 0 and 50 = 2
