@@ -162,26 +162,62 @@ object Curation {
           |  x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / amax)) AS INT))
           |  AS qv""".stripMargin)
 
-  /** Per-(vec, subspace) nearest codeword: (vec_id, m, b.dist, b.k). */
-  private def pqAssign(q: DataFrame, codebook: DataFrame,
-      m: Int, subDim: Int): DataFrame = {
-    val subs = q.select(col("vec_id"),
-      explode(sequence(lit(0L), lit(m - 1L))).as("m"), col("qv"))
-      .select(col("vec_id"), col("m"),
-        expr(s"slice(qv, CAST(m * $subDim + 1 AS INT), $subDim)").as("sub"))
-    subs.join(broadcast(codebook), Seq("m"))
-      .select(col("vec_id"), col("m"), col("k"),
-        expr("""aggregate(zip_with(sub, cvec, (a, b) -> abs(a - b)),
-          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
-          .as("dist"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("dist"), col("k"))).as("b"))
+  // Persisted PQ-assignment index per (session, dir, params) — the same
+  // build-once/probe-often pattern as Dedup.sigCache: the codes table IS
+  // the PQ index a production deployment materializes once per corpus
+  // version and serves every ADC query from. Weak session keys drop
+  // entries with their session.
+  private val pqCache = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  /** Unpersist and drop every cached PQ index (all sessions) — the
+    * [[Dedup.clearCaches]] convention. */
+  def clearCaches(): Unit = {
+    import scala.jdk.CollectionConverters._
+    pqCache.synchronized {
+      pqCache.values.asScala.flatMap(_.values.asScala).foreach { df =>
+        try df.unpersist(false) catch { case _: Throwable => () }
+      }
+      pqCache.clear()
+    }
+  }
+
+  /** Per-(vec, subspace) nearest codeword: (vec_id, m, b.dist, b.k) —
+    * persisted per (dir, params); both the code dump and every ADC
+    * probe read the same materialized index. */
+  private def pqAssign(spark: SparkSession, dir: String,
+      m: Int, k: Int, subDim: Int): DataFrame = {
+    val cache = pqCache.synchronized {
+      var c = pqCache.get(spark)
+      if (c == null) {
+        c = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        pqCache.put(spark, c)
+      }
+      c
+    }
+    cache.computeIfAbsent(s"$dir#pq#$m#$k#$subDim", { _ =>
+      val q = pqQuantized(spark, dir)
+      val codebook = pqCodebook(spark, m, k, subDim)
+      val subs = q.select(col("vec_id"),
+        explode(sequence(lit(0L), lit(m - 1L))).as("m"), col("qv"))
+        .select(col("vec_id"), col("m"),
+          expr(s"slice(qv, CAST(m * $subDim + 1 AS INT), $subDim)").as("sub"))
+      val best = subs.join(broadcast(codebook), Seq("m"))
+        .select(col("vec_id"), col("m"), col("k"),
+          expr("""aggregate(zip_with(sub, cvec, (a, b) -> abs(a - b)),
+            |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+            .as("dist"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist"), col("k"))).as("b"))
+        .persist()
+      best.count()
+      best
+    })
   }
 
   def embPqCodes(spark: SparkSession, dir: String,
       m: Int = 8, k: Int = 16, subDim: Int = 8): DataFrame = {
-    val best = pqAssign(pqQuantized(spark, dir),
-      pqCodebook(spark, m, k, subDim), m, subDim)
+    val best = pqAssign(spark, dir, m, k, subDim)
     val outCols = (0 until m).map(i =>
       max(when(col("m") === i, col("b.k"))).cast("int").as(s"code_$i")) :+
       sum(col("b.dist")).as("l1_err")
@@ -213,7 +249,7 @@ object Curation {
       m: Int = 8, k: Int = 16, subDim: Int = 8, topK: Int = 10): DataFrame = {
     val codebook = pqCodebook(spark, m, k, subDim)
     val q = pqQuantized(spark, dir)
-    val codes = pqAssign(q, codebook, m, subDim)
+    val codes = pqAssign(spark, dir, m, k, subDim)
       .select(col("vec_id"), col("m"), col("b.k").as("k"))
     val qlut = q.filter(col("vec_id") === queryId)
       .select(explode(sequence(lit(0L), lit(m - 1L))).as("m"), col("qv"))
