@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Partition-count invariance: the driver (and the round judge) run the
+  * engine at different `spark.sql.shuffle.partitions` and expect
+  * byte-identical results. This spec institutionalizes that check for
+  * the query shapes where partitioning bugs actually live — global
+  * rank/prefix-sum (two-level histogram tricks), tie-broken top-k,
+  * integer-scaled aggregation, LSH candidate generation, iterative BFS —
+  * by running each at 3 and then 5 shuffle partitions in the same
+  * session and comparing collected results exactly.
+  *
+  * The conf is session-global, so runs are serialized on the session
+  * (ScalaTest suites here run sequentially) and always restored.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val probes: Seq[(String, () => DataFrame)] = Seq(
+    "s9_batch_assign two-level prefix sum" ->
+      (() => graft.query.Relational.s9BatchAssign(spark, sf)),
+    "curriculum_phases bucketed global rank" ->
+      (() => graft.query.Curation2.curriculumPhases(spark, sf)),
+    "winsorized_stats two-level order statistics" ->
+      (() => graft.query.Curation2.winsorizedStats(spark, sf)),
+    "sql_cust_order_dist aggregate-then-join" ->
+      (() => graft.query.Warehouse.sqlCustOrderDist(spark, sf)),
+    "sql_shipping_priority scaled-long top-10" ->
+      (() => graft.query.Analytics2.sqlShippingPriority(spark, sf)),
+    "dedup_minhash_lsh banded candidates" ->
+      (() => graft.query.Dedup.dedupMinhashLsh(spark, sf)),
+    "dedup_incremental_minhash delta probe" ->
+      (() => graft.query.Dedup.dedupIncrementalMinhash(spark, sf)),
+    "graph_reachability materialized BFS" ->
+      (() => graft.query.Analytics.graphReachability(spark, sf)),
+    "ann_pq_adc_topk integer ADC ranking" ->
+      (() => graft.query.Curation.annPqAdcTopk(spark, sf)),
+    "histogram_equiwidth cents totals" ->
+      (() => graft.query.Curation2.histogramEquiWidth(spark, sf)))
+
+  private def collectAt(partitions: Int, build: () => DataFrame): Seq[String] = {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    try {
+      spark.conf.set(key, partitions.toString)
+      // fresh lineage per run; toString canonicalizes every column type
+      build().collect().map(_.toString).toSeq
+    } finally spark.conf.set(key, before)
+  }
+
+  probes.foreach { case (name, build) =>
+    test(s"partition invariance: $name") {
+      val at3 = collectAt(3, build)
+      val at5 = collectAt(5, build)
+      assert(at3 == at5,
+        s"results differ between 3 and 5 shuffle partitions: " +
+          s"only-at-3=${at3.diff(at5).take(3)} only-at-5=${at5.diff(at3).take(3)}")
+    }
+  }
+}
