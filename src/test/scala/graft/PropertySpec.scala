@@ -87,6 +87,40 @@ class PropertySpec extends SparkSpec {
     assert(out.toSeq == xs.map(x => x.toString.toFloat))
   }
 
+  test("scaled-cents law: any 2-decimal money double round-trips exactly through round(x*100)") {
+    // the oracle-robustness discipline (Warehouse doc) rests on one claim:
+    // for money stored as a double of an exact 2-decimal value, round(x*100)
+    // recovers the integer cents EXACTLY on the JVM — for every such value,
+    // not just the ones in the test data. Sample the full plausible money
+    // domain (0 .. 2^39 cents ≈ $5.5B, far past o_totalprice) plus
+    // adversarial .x5 boundaries, and require exact recovery through the
+    // same Spark expression the queries use.
+    val centGen = Gen.oneOf(
+      Gen.chooseNum(0L, 1L << 39),
+      Gen.chooseNum(0L, 10000000L).map(_ * 100 + 50),   // x.50 halves
+      Gen.chooseNum(0L, 10000000L).map(_ * 10 + 5))     // x.x5 tenths
+    val cents = samples(centGen, 4000).distinct
+    val df = cents.toDF("c")
+      .select($"c", ($"c".cast("double") / lit(100.0)).as("price"))
+    val got = df.select($"c",
+        round($"price" * lit(100)).cast("long").as("rt"),
+        // and the netS4 shape: cents × (100 − disc%) for every discount
+        round($"price" * lit(100)).cast("long") *
+          (lit(100L) - lit(7L)).as("net"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (c, rt, net) =>
+      assert(rt == c, s"cents $c -> double -> round(x*100) = $rt")
+      assert(net == c * 93L, s"netS4 shape broke for $c")
+    }
+    // the discount side: every 2-decimal rate in [0, 1] recovers its
+    // integer percent exactly
+    val discs = (0 to 100).map(p => (p.toLong, p.toDouble / 100.0))
+    val dGot = discs.toDF("p", "d")
+      .select($"p", round($"d" * lit(100)).cast("long").as("rp"))
+      .as[(Long, Long)].collect()
+    dGot.foreach { case (p, rp) => assert(rp == p, s"discount $p% -> $rp") }
+  }
+
   test("S9 size law: min(m, ceil(n/b)) batches, all full but the last, exact remainder") {
     val cases = samples(for {
       n <- Gen.chooseNum(1, 500)
