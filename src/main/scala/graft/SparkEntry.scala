@@ -324,6 +324,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Curation2.histogramEquiWidth(s, d)),
     "stream_late_data"       -> StreamQueries.streamLateData _,
     "stream_hopping_agg"     -> StreamQueries.streamHoppingAgg _,
+    "source_orc_agg"         -> graft.ingest.Formats.orcSourceAgg _,
+    "source_jsonl_agg"       -> graft.ingest.Formats.jsonlSourceAgg _,
     "graph_reachability"     ->
       ((s: SparkSession, d: String) => Analytics.graphReachability(s, d)),
     "ann_radius_search"      ->
@@ -755,6 +757,20 @@ object SparkEntry {
         |  count(*) AS n, CAST(sum(value) AS REAL) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // the format queries scan ORC/JSONL copies whose content is identical
+    // to the parquet tables, so the oracle reads the originals
+    "source_orc_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_c
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "source_jsonl_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_c
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_hopping_agg" ->
       """WITH e AS (SELECT event_type, value,
         |    (epoch_ms(ts) // 10800000) * 10800 AS s3 FROM events)

@@ -179,6 +179,29 @@ class Round7Spec extends SparkSpec {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("source formats: ORC and JSONL copies agree with the parquet originals") {
+    import graft.ingest.Formats
+    val orc = Formats.orcSourceAgg(spark, sf).as[(String, Long, Long)].collect()
+    val orcWant = table(spark, sf, "orders")
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)), sum(round($"o_totalprice" * 100).cast("long")))
+      .orderBy($"o_orderpriority")
+      .as[(String, Long, Long)].collect()
+    assert(orc.toSeq == orcWant.toSeq)
+    val jl = Formats.jsonlSourceAgg(spark, sf).as[(String, Long, Long)].collect()
+    val jlWant = table(spark, sf, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)), sum(round($"c_acctbal" * 100).cast("long")))
+      .orderBy($"c_mktsegment")
+      .as[(String, Long, Long)].collect()
+    assert(jl.toSeq == jlWant.toSeq)
+    // the date predicate reaches the ORC reader
+    val p = Formats.orcSourceAgg(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+  }
+
   test("sql_market_share: share recomputes from the exact parts; parts bound each other") {
     val out = Warehouse.sqlMarketShare(spark, sf).collect()
     assert(out.nonEmpty)
