@@ -170,9 +170,11 @@ object Analytics {
         .select(col("v").as("u")).distinct()
         .join(reached, Seq("u"), "left_anti")
         .localCheckpoint(true)
+      // reached needs NO checkpoint of its own: it is a union of
+      // already-materialized frontiers (linear lineage, each referenced
+      // once per round) — only the frontier is consumed twice
       reached = reached
         .unionAll(frontier.select(col("u"), lit(h).as("dist")))
-        .localCheckpoint(true)
     }
     reached.select(col("u").as("part"), col("dist").as("hops"))
       .orderBy(col("part"))
