@@ -324,6 +324,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Curation2.histogramEquiWidth(s, d)),
     "stream_late_data"       -> StreamQueries.streamLateData _,
     "stream_hopping_agg"     -> StreamQueries.streamHoppingAgg _,
+    "stream_session_window"  -> StreamQueries.streamSessionWindowNative _,
     "source_orc_agg"         -> graft.ingest.Formats.orcSourceAgg _,
     "source_jsonl_agg"       -> graft.ingest.Formats.jsonlSourceAgg _,
     "graph_reachability"     ->
@@ -757,6 +758,26 @@ object SparkEntry {
         |  count(*) AS n, CAST(sum(value) AS REAL) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // native session_window in append mode: the oracle is the batch
+    // gap-rule sessionization filtered to sessions the final watermark
+    // (max ts - 1h) finalized — session end = last event + 30min gap
+    "stream_session_window" ->
+      """WITH o AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+        |      AS prev
+        |  FROM events),
+        |m AS (SELECT *,
+        |    sum(CASE WHEN prev IS NULL OR us - prev >= 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |    AS island FROM o),
+        |s AS (SELECT user_id, min(us) AS s_us, max(us) AS e_us,
+        |    count(*) AS n_events
+        |  FROM m GROUP BY user_id, island),
+        |wm AS (SELECT max(us) - 3600000000 AS w FROM o)
+        |SELECT user_id, make_timestamp(s_us) AS session_start, n_events
+        |FROM s, wm WHERE e_us + 1800000000 <= w
+        |ORDER BY user_id, session_start""".stripMargin,
     // the format queries scan ORC/JSONL copies whose content is identical
     // to the parquet tables, so the oracle reads the originals
     "source_orc_agg" ->

@@ -131,6 +131,33 @@ object StreamQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Native session-window streaming aggregation: Spark's built-in
+    * `session_window(ts, gap)` stateful operator — the DECLARATIVE twin
+    * of [[streamSessionCounts]]' hand-rolled mapGroupsWithState
+    * sessionizer (same 30-minute gap rule; an engine should offer
+    * both). Append mode: a session emits once the watermark passes its
+    * end (last event + gap), so the oracle is the batch gap-rule
+    * sessionization filtered to sessions finalized by the final
+    * watermark (max ts − 1 h) — the same drain-finalization modeling as
+    * [[streamLateData]]. The drain is pinned to one micro-batch so the
+    * watermark never advances mid-drain (all sessions form from
+    * complete data, then the no-data flush batch finalizes).
+    *
+    * Scale shape: state is one (user, open-session) entry, merged by
+    * the operator and evicted at finalization — bounded by active users
+    * × gap horizon, not history. */
+  def streamSessionWindowNative(spark: SparkSession, dir: String): DataFrame = {
+    val agg = streamEvents(spark, dir, singleBatch = true)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    drain(spark, agg, OutputMode.Append())
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Streaming deduplication: dropDuplicatesWithinWatermark on
     * (user_id, event_type). Unlike plain dropDuplicates on non-event-time
     * keys (whose state grows forever — the watermark never evicts keys it

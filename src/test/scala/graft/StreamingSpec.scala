@@ -43,6 +43,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.getLong(2)).sum == 2 * nEvents)
   }
 
+  test("stream session_window native: append drain equals batch gap-rule sessions finalized by the watermark") {
+    val streamed = StreamQueries.streamSessionWindowNative(spark, sf)
+      .collect()
+    val ev = Schemas.events(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val sessions = ev
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) >= 1800000000L, 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_events"))
+    val wmRow = ev.agg(max(unix_micros(col("ts"))))
+      .collect()(0).getLong(0) - 3600000000L
+    val batch = sessions
+      .filter(unix_micros(col("last_ts")) + 1800000000L <= wmRow)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+      .collect()
+    assert(streamed.length == batch.length,
+      s"streamed=${streamed.length} batch=${batch.length}")
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0))
+      assert(s.getTimestamp(1) == b.getTimestamp(1))
+      assert(s.getLong(2) == b.getLong(2))
+    }
+  }
+
   test("stream session counts: gap logic on a hand-computed fixture") {
     import spark.implicits._
     // user 1: events at 0, 10, 50, 65 min (gap 30) -> sessions at 0 and 50 = 2
