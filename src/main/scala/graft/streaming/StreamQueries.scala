@@ -225,12 +225,68 @@ object StreamQueries {
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class Session(user_id: Long, n_sessions: Int)
 
+  /** Incremental gap-rule sessionizer for ONE trigger's worth of one key's
+    * events, in arbitrary arrival order. Maintains the set of DISJOINT
+    * session intervals (start → end, two intervals gap-merged when their
+    * boundary gap ≤ `gapMs`) in a TreeMap, so memory is O(#sessions in
+    * the batch) — the semantic floor for exact unordered sessionization
+    * (a later event may bridge any two intervals, so fewer can't be kept)
+    * — NOT O(#events) like a sort-the-iterator buffer. A hot key (bot
+    * traffic: millions of events dense in time) collapses to a handful of
+    * intervals; `maxLiveIntervals` instruments the high-water mark so the
+    * hot-key spec can assert the bound, not just the answer.
+    *
+    * Equivalence to the sorted fold (and the DuckDB oracle): grouping the
+    * batch's sorted events by `diff ≤ gap` yields exactly these maximal
+    * intervals; the prior trigger's carry-over session absorbs the first
+    * interval iff firstStart − prevLastTs ≤ gap (late events — firstStart
+    * < prevLastTs — always absorb, matching the sorted fold's signed
+    * diff); the new carry-over ts is the batch's max event time. */
+  final class SessionMerger(gapMs: Long) {
+    private val iv = new java.util.TreeMap[java.lang.Long, Long]() // start → end
+    var maxLiveIntervals: Int = 0
+    def add(t: Long): Unit = {
+      var start = t
+      var end = t
+      val below = iv.floorEntry(t)
+      if (below != null && t - below.getValue <= gapMs) {
+        start = below.getKey
+        end = math.max(below.getValue, t)
+      }
+      var above = iv.ceilingEntry(start + 1)
+      while (above != null && above.getKey - end <= gapMs) {
+        end = math.max(end, above.getValue)
+        iv.remove(above.getKey)
+        above = iv.ceilingEntry(start + 1)
+      }
+      iv.put(start, end)
+      if (iv.size > maxLiveIntervals) maxLiveIntervals = iv.size
+    }
+    def isEmpty: Boolean = iv.isEmpty
+    def intervalCount: Int = iv.size
+    def firstStart: Long = iv.firstKey
+    def lastEnd: Long = iv.lastEntry.getValue
+    /** Fold this batch into the carried (lastTs, sessions) state. */
+    def merge(state: (Long, Int)): (Long, Int) = {
+      val (lastTs, sessions) = state
+      if (isEmpty) state
+      else {
+        val continued =
+          lastTs != Long.MinValue && firstStart - lastTs <= gapMs
+        (lastEnd, sessions + intervalCount - (if (continued) 1 else 0))
+      }
+    }
+  }
+
   /** Stateful streaming: per-user session counting with a 30-minute
     * inactivity gap via mapGroupsWithState — the custom-state surface
     * (KeyValueGroupedDataset) the reference's count-based consumer loop
-    * maps to when semantics need per-key state. Event-time gap logic on
-    * the drained (single-trigger) stream: state holds last-seen ts and the
-    * session count per user. */
+    * maps to when semantics need per-key state. State carries (last-seen
+    * ts, session count) per user across triggers; within a trigger the
+    * group iterator is folded through [[SessionMerger]] one event at a
+    * time — O(#sessions) memory, never materializing the group (the
+    * sort-the-iterator approach is an executor OOM vector under a 100 TB
+    * hot key). */
   def streamSessionCounts(spark: SparkSession, dir: String,
       gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
@@ -239,16 +295,12 @@ object StreamQueries {
     val counted = ds.groupByKey(_.user_id)
       .mapGroupsWithState[(Long, Int), Session](GroupStateTimeout.NoTimeout()) {
         case (uid, events, state: GroupState[(Long, Int)]) =>
-          val sorted = events.toSeq.sortBy(_.ts.getTime)
-          var (lastTs, sessions) = state.getOption.getOrElse((Long.MinValue, 0))
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (lastTs == Long.MinValue || t - lastTs > gapMinutes * 60000L)
-              sessions += 1
-            lastTs = t
-          }
-          state.update((lastTs, sessions))
-          Session(uid, sessions)
+          val merger = new SessionMerger(gapMinutes * 60000L)
+          events.foreach(e => merger.add(e.ts.getTime))
+          val next =
+            merger.merge(state.getOption.getOrElse((Long.MinValue, 0)))
+          state.update(next)
+          Session(uid, next._2)
       }
     drain(spark, counted.toDF(), OutputMode.Update())
       .groupBy(col("user_id"))

@@ -100,6 +100,79 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1L -> 2, 2L -> 3))
   }
 
+  test("SessionMerger: arbitrary-order fold equals the sorted fold, across triggers") {
+    // reference = the sort-the-whole-group fold the merger replaced
+    def sortedFold(state: (Long, Int), batch: Seq[Long], gapMs: Long): (Long, Int) = {
+      var (lastTs, sessions) = state
+      batch.sorted.foreach { t =>
+        if (lastTs == Long.MinValue || t - lastTs > gapMs) sessions += 1
+        lastTs = t
+      }
+      (lastTs, sessions)
+    }
+    val gapMs = 1800000L
+    val rng = new scala.util.Random(8)
+    (1 to 40).foreach { _ =>
+      val n = 1 + rng.nextInt(400)
+      // timestamps spread so both sub-gap and super-gap diffs occur
+      val ts = Seq.fill(n)(rng.nextLong(200L * gapMs))
+      val triggers = ts.grouped(1 + n / 3).toSeq // 1-4 "micro-batches"
+      var ref = (Long.MinValue, 0)
+      var got = (Long.MinValue, 0)
+      triggers.foreach { batch =>
+        ref = sortedFold(ref, batch, gapMs)
+        val m = new StreamQueries.SessionMerger(gapMs)
+        rng.shuffle(batch).foreach(m.add) // arbitrary arrival order
+        got = m.merge(got)
+      }
+      assert(got == ref)
+    }
+  }
+
+  test("SessionMerger: 200k-event hot key folds in O(sessions) memory, not O(events)") {
+    // bot-shaped hot key: 200k events at 1 s spacing (gap 30 min) in
+    // random arrival order — ONE session; the interval high-water mark
+    // must stay orders of magnitude below the event count (expected
+    // n/(gap*e) ≈ 40 for uniform random arrival)
+    val gapMs = 1800000L
+    val rng = new scala.util.Random(42)
+    val ts = rng.shuffle((0 until 200000).map(_ * 1000L).toVector)
+    val m = new StreamQueries.SessionMerger(gapMs)
+    ts.foreach(m.add)
+    assert(m.intervalCount == 1)
+    assert(m.maxLiveIntervals < 2000,
+      s"interval high-water ${m.maxLiveIntervals} — buffer not bounded")
+    assert(m.merge((Long.MinValue, 0)) == (199999000L, 1))
+  }
+
+  test("stream session counts: 100k-event hot key in one trigger, exact and no blowup") {
+    import spark.implicits._
+    // user 1: 3 bursts of 33,334 events at 1 s spacing, bursts 2 h apart
+    //   -> 3 sessions; user 2: 2 events 45 min apart -> 2 sessions
+    val base = 1700000000000L
+    val hot = (0 until 100000).map { i =>
+      val burst = i / 33334
+      val off = i % 33334
+      (i.toLong, base + burst * 7200000L * 10 + off * 1000L, 1L, "t", 1.0, "{}")
+    }
+    val cold = Seq(
+      (200001L, base, 2L, "t", 1.0, "{}"),
+      (200002L, base + 45 * 60000L, 2L, "t", 1.0, "{}"))
+    val stage = java.nio.file.Files.createTempDirectory("hot-stage").toString
+    val dir = java.nio.file.Files.createTempDirectory("hot").toString
+    (hot ++ cold).toDF("event_id", "ts_ms", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), (col("ts_ms") * 1000000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val out = StreamQueries.streamSessionCounts(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out == Map(1L -> 3, 2L -> 2))
+  }
+
   test("stream session counts on events: positive, bounded by event count") {
     val out = StreamQueries.streamSessionCounts(spark, sf).collect()
     assert(out.nonEmpty)
