@@ -39,8 +39,10 @@ final class ApiServer(spark: SparkSession, dir: String, port: Int = 0) {
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/predict/duration/", handler(predictDuration))
-  server.createContext("/analyze/sensitivity/", handler(analyzeSensitivity))
-  server.createContext("/suggest/optimal-time/", handler(suggestOptimalTime))
+  server.createContext("/analyze/sensitivity/",
+    handler(analyzeSensitivity, "No input payload provided"))
+  server.createContext("/suggest/optimal-time/",
+    handler(suggestOptimalTime, "No input payload provided"))
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
 
   def start(): Unit = server.start()
@@ -51,27 +53,65 @@ final class ApiServer(spark: SparkSession, dir: String, port: Int = 0) {
   private val versions: Set[String] = (1 to graft.ml.Trainer.MaxVersions)
     .map(_.toString).toSet
 
-  /** api/api.py:50-73: coerce every known feature to float; missing →
-    * (0.0, reported); non-numeric → error listing the offenders. */
+  /** Python `float(val)` (api/api.py:62): numbers pass through, bools are
+    * 1/0, numeric STRINGS parse ("2.5" is valid input — api.py accepts
+    * it); anything else is a validation error. (Python raises TypeError —
+    * an unhandled 500 — for list/dict values; the shell folds that into
+    * the same validation error, the one deliberate divergence.) */
+  private def pyFloat(v: JsonNode): Option[Float] =
+    if (v.isNumber) Some(v.floatValue())
+    else if (v.isBoolean) Some(if (v.booleanValue()) 1.0f else 0.0f)
+    else if (v.isTextual)
+      try Some(v.asText().trim.toFloat)
+      catch { case _: NumberFormatException => None }
+    else None
+
+  /** Python repr of a JSON value, for error messages that mirror
+    * api/api.py:68's f-string over the invalid-features dict. */
+  private def pyRepr(n: JsonNode): String = {
+    import scala.jdk.CollectionConverters._
+    if (n.isTextual) "'" + n.asText() + "'"
+    else if (n.isNull) "None"
+    else if (n.isBoolean) { if (n.booleanValue()) "True" else "False" }
+    else if (n.isArray) n.elements().asScala.map(pyRepr).mkString("[", ", ", "]")
+    else if (n.isObject) n.properties().asScala
+      .map(e => s"'${e.getKey}': ${pyRepr(e.getValue)}").mkString("{", ", ", "}")
+    else n.asText()
+  }
+
+  /** Python truthiness of a JSON payload field — api.py gates presence
+    * with `not all([...])`, so empty dict/list/string count as missing. */
+  private def falsy(n: JsonNode): Boolean =
+    n == null || n.isNull ||
+      (n.isContainerNode && n.isEmpty) ||
+      (n.isTextual && n.asText().isEmpty) ||
+      (n.isBoolean && !n.booleanValue()) ||
+      (n.isNumber && n.doubleValue() == 0.0)
+
+  /** api/api.py:49-73: coerce every known feature to float; missing →
+    * (0.0, reported); non-numeric → error listing the offenders as the
+    * Python dict repr (`{'Temp': 'abc'}`). */
   private def validateFeatures(node: JsonNode)
       : Either[String, (Map[String, Float], List[String])] = {
     var missing = List.empty[String]
-    var invalid = List.empty[String]
+    var invalid = List.empty[(String, JsonNode)]
     val vals = Schemas.featureCols.flatMap { c =>
       val v = node.get(c)
       if (v == null || v.isNull) { missing ::= c; Some(c -> 0.0f) }
-      else if (v.isNumber) Some(c -> v.floatValue())
-      else if (v.isTextual) {
-        try Some(c -> v.asText().trim.toFloat)
-        catch { case _: NumberFormatException => invalid ::= c; None }
-      } else { invalid ::= c; None }
+      else pyFloat(v) match {
+        case Some(f) => Some(c -> f)
+        case None => invalid ::= (c, v); None
+      }
     }.toMap
     if (invalid.nonEmpty)
-      Left(s"Invalid non-numeric values for features: ${invalid.reverse.mkString(", ")}")
+      Left("Invalid non-numeric values for features: " + invalid.reverse
+        .map { case (k, v) => s"'$k': ${pyRepr(v)}" }
+        .mkString("{", ", ", "}"))
     else Right((vals, missing.reverse))
   }
 
-  private def handler(f: (String, JsonNode) => (Int, ObjectNode)): HttpHandler =
+  private def handler(f: (String, JsonNode) => (Int, ObjectNode),
+      emptyMsg: String = "No input data provided"): HttpHandler =
     (ex: HttpExchange) => {
       val (status, body) =
         try {
@@ -83,13 +123,15 @@ final class ApiServer(spark: SparkSession, dir: String, port: Int = 0) {
               (404, err(s"Model 'model_$version' not loaded or not found."))
             else {
               val bytes = ex.getRequestBody.readAllBytes()
-              if (bytes.isEmpty) (400, err("No input data provided"))
+              if (bytes.isEmpty) (400, err(emptyMsg))
               else {
                 val node =
                   try mapper.readTree(bytes)
                   catch { case _: Exception => null }
                 if (node == null || !node.isObject)
                   (400, err("Malformed JSON payload"))
+                // Python `if not data:` — an empty JSON object is falsy
+                else if (node.isEmpty) (400, err(emptyMsg))
                 else f(version, node)
               }
             }
@@ -116,6 +158,7 @@ final class ApiServer(spark: SparkSession, dir: String, port: Int = 0) {
           .collect()(0).getAs[Double]("predicted_duration")
         val o = mapper.createObjectNode()
         o.put("model_version_used", s"model_$version")
+        o.set[ObjectNode]("input_features", node.deepCopy[JsonNode]())
         o.put("predicted_duration", pred)
         if (missing.nonEmpty) {
           val a = o.putArray("missing_features_defaulted")
@@ -124,63 +167,142 @@ final class ApiServer(spark: SparkSession, dir: String, port: Int = 0) {
         (200, o)
     }
 
-  /** api/api.py:107-223: one batched transform over the variation grid. */
+  /** api/api.py:107-223: one batched transform over the variation grid.
+    * Each variation is validated INDIVIDUALLY against base ∪ {varied}
+    * (api.py:133-148): a failing variation contributes a per-variation
+    * error entry (`error` + null `predicted_duration`) instead of
+    * failing the request, and successes carry a `base_features_snapshot`
+    * of the exact dict predicted (api.py:190-195). All-failed →
+    * errors-only 200 `{"analysis_results": [...]}`; empty grid after
+    * both → 400 (api.py:150-153). */
   private def analyzeSensitivity(version: String, node: JsonNode): (Int, ObjectNode) = {
+    import scala.jdk.CollectionConverters._
     val base = node.get("base_features")
     val feat = node.get("variable_feature_name")
     val vars = node.get("variation_values")
-    if (base == null || feat == null || vars == null)
+    if (falsy(base) || falsy(feat) || falsy(vars))
       return (400, err("Missing 'base_features', 'variable_feature_name', or 'variation_values' in payload."))
-    if (!vars.isArray)
-      return (400, err("'variation_values' must be a list."))
     val featName = feat.asText()
     if (!Schemas.featureCols.contains(featName))
       return (400, err(s"Invalid 'variable_feature_name': $featName. Not a model feature."))
-    validateFeatures(base) match {
-      case Left(msg) => (400, err(msg))
-      case Right((features, _)) =>
-        import scala.jdk.CollectionConverters._
-        val values = vars.asInstanceOf[ArrayNode].elements().asScala
-          .map(_.floatValue()).toSeq
-        if (values.isEmpty)
-          return (400, err("No valid variations to process after validation."))
-        val rows = Endpoints.q2Sensitivity(spark, dir, version.toInt,
-            featName, values, features).collect()
-        val o = mapper.createObjectNode()
-        o.put("model_version_used", s"model_$version")
-        val a = o.putArray("analysis_results")
-        rows.foreach { r =>
+    if (!vars.isArray)
+      return (400, err("'variation_values' must be a list."))
+    // validate each base ∪ {featName → varVal} variant; keep the raw
+    // JSON value for echoing and the outcome for result assembly
+    val variants = vars.asInstanceOf[ArrayNode].elements().asScala.toSeq
+      .map { varVal =>
+        val merged = base.deepCopy[ObjectNode]()
+        merged.set[ObjectNode](featName, varVal.deepCopy[JsonNode]())
+        (varVal, merged, validateFeatures(merged))
+      }
+    val valid = variants.collect { case (_, _, Right((f, _))) => f(featName) }
+    if (valid.isEmpty) {
+      val o = mapper.createObjectNode()
+      val a = o.putArray("analysis_results")
+      variants.foreach { case (varVal, _, outcome) =>
+        outcome.left.foreach { msg =>
           val e = a.addObject()
           e.put("varied_feature", featName)
-          e.put("value", r.getAs[Float]("varied_value"))
-          e.put("predicted_duration", r.getAs[Double]("prediction"))
+          e.set[ObjectNode]("value", varVal.deepCopy[JsonNode]())
+          e.put("error", msg)
+          e.putNull("predicted_duration")
         }
-        (200, o)
+      }
+      return if (a.isEmpty)
+        (400, err("No valid variations to process after validation."))
+      else (200, o) // errors-only response, api.py:151-152
     }
+    val baseFeatures =
+      variants.collectFirst { case (_, _, Right((f, _))) => f }.get
+    val preds = Endpoints.q2Sensitivity(spark, dir, version.toInt,
+        featName, valid, baseFeatures).collect()
+      .map(r => r.getAs[Double]("prediction"))
+    val o = mapper.createObjectNode()
+    o.put("model_version_used", s"model_$version")
+    val a = o.putArray("analysis_results")
+    var predIdx = 0
+    variants.foreach { case (varVal, merged, outcome) =>
+      val e = a.addObject()
+      e.put("varied_feature", featName)
+      e.set[ObjectNode]("value", varVal.deepCopy[JsonNode]())
+      outcome match {
+        case Right(_) =>
+          e.put("predicted_duration", preds(predIdx))
+          predIdx += 1
+          e.set[ObjectNode]("base_features_snapshot", merged)
+        case Left(msg) =>
+          e.put("error", msg)
+          e.putNull("predicted_duration")
+      }
+    }
+    (200, o)
   }
 
-  /** api/api.py:227-313: hour grid, band filter, sort by duration. */
+  /** Python `float(val)` at full 64-bit precision — for the duration
+    * band bounds (api/api.py:249-250), which are NOT model features
+    * (those go through the FloatType schema, [[pyFloat]]). */
+  private def pyDouble(v: JsonNode): Option[Double] =
+    if (v.isNumber) Some(v.doubleValue())
+    else if (v.isBoolean) Some(if (v.booleanValue()) 1.0 else 0.0)
+    else if (v.isTextual)
+      try Some(v.asText().trim.toDouble)
+      catch { case _: NumberFormatException => None }
+    else None
+
+  /** Python `int(val)` (api/api.py:251): ints pass, floats TRUNCATE
+    * toward zero, integer STRINGS parse; anything else fails. */
+  private def pyInt(v: JsonNode): Option[Int] =
+    if (v.isNumber) Some(v.doubleValue().toInt)
+    else if (v.isBoolean) Some(if (v.booleanValue()) 1 else 0)
+    else if (v.isTextual)
+      try Some(v.asText().trim.toInt)
+      catch { case _: NumberFormatException => None }
+    else None
+
+  /** api/api.py:227-313: hour grid, band filter, sort by duration.
+    * Durations/minute coerce like Python float()/int() — numeric strings
+    * are valid, anything unparseable → the api.py:255 400; hours keep
+    * only in-range JSON INTEGERS (isinstance(hour, int), api.py:262 —
+    * 7.9 and "8" are skipped, not truncated); an empty valid-hour grid →
+    * the api.py:282 200 message, not an empty suggestions run. */
   private def suggestOptimalTime(version: String, node: JsonNode): (Int, ObjectNode) = {
+    import scala.jdk.CollectionConverters._
     val base = node.get("base_conditions")
     val hoursN = node.get("hours_to_evaluate")
     val maxN = node.get("target_duration_max")
-    if (base == null || hoursN == null || maxN == null)
+    if (falsy(base) || falsy(hoursN) || maxN == null || maxN.isNull)
       return (400, err("Missing 'base_conditions', 'hours_to_evaluate', or 'target_duration_max'."))
     if (!hoursN.isArray)
       return (400, err("'hours_to_evaluate' must be a list of integers (0-23)."))
-    val minute = if (node.has("minute_of_hour")) node.get("minute_of_hour").asInt() else 0
-    if (minute < 0 || minute > 59)
-      return (400, err("minute_of_hour must be between 0 and 59."))
-    val maxDur = maxN.asDouble()
-    val minDur = if (node.has("target_duration_min"))
-      node.get("target_duration_min").asDouble() else 0.0
+    val minN = node.get("target_duration_min")
+    val minuteN = node.get("minute_of_hour")
+    val (maxDur, minDur, minute) =
+      (pyDouble(maxN),
+        if (minN == null || minN.isNull) Some(0.0)
+        else pyDouble(minN),
+        if (minuteN == null || minuteN.isNull) Some(0) else pyInt(minuteN)) match {
+        case (Some(mx), Some(mn), Some(m)) =>
+          if (m < 0 || m > 59)
+            return (400, err("Invalid type for target durations or minute: minute_of_hour must be between 0 and 59."))
+          (mx, mn, m)
+        case _ =>
+          return (400, err("Invalid type for target durations or minute: could not convert to number."))
+      }
     validateFeatures(base) match {
       case Left(msg) => (400, err(msg))
       case Right((features, _)) =>
-        import scala.jdk.CollectionConverters._
-        // out-of-range hours are skipped, like api/api.py:263-265
-        val hours = hoursN.asInstanceOf[ArrayNode].elements().asScala
-          .map(_.asInt()).toSeq
+        // in-range JSON integers only, like api/api.py:261-264 —
+        // isinstance(hour, int) rejects floats and strings outright
+        val hours = hoursN.asInstanceOf[ArrayNode].elements().asScala.toSeq
+          .filter(h => h.isIntegralNumber && h.canConvertToInt)
+          .map(_.intValue())
+          .filter(h => h >= 0 && h <= 23)
+        if (hours.isEmpty) {
+          val o = mapper.createObjectNode()
+          o.put("message", "No valid hours to evaluate after validation.")
+          o.putArray("suggestions")
+          return (200, o)
+        }
         val rows = Endpoints.q3OptimalTime(spark, dir, version.toInt,
             hours, minute, minDur, maxDur, features).collect()
         val o = mapper.createObjectNode()

@@ -56,11 +56,32 @@ class ApiServerSpec extends SparkSpec {
     val node = mapper.readTree(body)
     val reported = node.get("missing_features_defaulted")
     assert(reported.isArray && reported.size() == 18, body)
+    // the request payload is echoed back, api/api.py:96
+    assert(node.get("input_features").get("Distance").asDouble() == 3.5, body)
     val (code2, body2) =
       post("/predict/duration/1", """{"Distance": "not-a-number"}""")
     assert(code2 == 400, body2)
-    assert(mapper.readTree(body2).get("error").asText()
-      .contains("Invalid non-numeric"), body2)
+    // golden: the exact api/api.py:68 message (Python dict repr)
+    assert(mapper.readTree(body2).get("error").asText() ==
+      "Invalid non-numeric values for features: {'Distance': 'not-a-number'}",
+      body2)
+  }
+
+  test("numeric strings parse like Python float(); empty JSON object is falsy") {
+    // api/api.py:62 float("3.5") succeeds — a string-typed number must
+    // predict identically to the number, not coerce to 0
+    val (c1, b1) = post("/predict/duration/1", """{"Distance": "3.5"}""")
+    val (c2, b2) = post("/predict/duration/1", """{"Distance": 3.5}""")
+    assert(c1 == 200 && c2 == 200, b1 + b2)
+    assert(mapper.readTree(b1).get("predicted_duration").asDouble() ==
+      mapper.readTree(b2).get("predicted_duration").asDouble())
+    // api/api.py:85-86 `if not data:` — {} is falsy in Python
+    val (c3, b3) = post("/predict/duration/1", "{}")
+    assert(c3 == 400 &&
+      mapper.readTree(b3).get("error").asText() == "No input data provided", b3)
+    val (c4, b4) = post("/analyze/sensitivity/1", "{}")
+    assert(c4 == 400 &&
+      mapper.readTree(b4).get("error").asText() == "No input payload provided", b4)
   }
 
   test("unknown model version 404, empty body 400, GET 405") {
@@ -95,6 +116,45 @@ class ApiServerSpec extends SparkSpec {
     val (code2, body2) = post("/analyze/sensitivity/2", bad)
     assert(code2 == 400 &&
       mapper.readTree(body2).get("error").asText().contains("NotAFeature"))
+    // api/api.py:123 `not all([...])` — an EMPTY variation list is falsy
+    val empty = s"""{"base_features": $canonicalJson,
+      "variable_feature_name": "Distance", "variation_values": []}"""
+    val (code3, body3) = post("/analyze/sensitivity/2", empty)
+    assert(code3 == 400 && mapper.readTree(body3).get("error").asText()
+      .startsWith("Missing 'base_features'"), body3)
+  }
+
+  test("sensitivity: per-variation errors, snapshots, and errors-only 200 (api.py:133-215)") {
+    // mixed grid: 1.0 valid, "2.0" valid via float(), "abc" invalid
+    val payload = s"""{"base_features": $canonicalJson,
+      "variable_feature_name": "Distance",
+      "variation_values": [1.0, "2.0", "abc"]}"""
+    val (code, body) = post("/analyze/sensitivity/2", payload)
+    assert(code == 200, body)
+    val node = mapper.readTree(body)
+    assert(node.get("model_version_used").asText() == "model_2")
+    val rs = node.get("analysis_results")
+    assert(rs.size() == 3, body)
+    // entries stay in request order; successes carry a snapshot of the
+    // exact feature dict predicted (api.py:190-195)
+    val want = Endpoints.q2Sensitivity(spark, sf, 2, "Distance",
+        Seq(1.0f, 2.0f)).collect()
+      .map(r => r.getAs[Double]("prediction")).toSeq
+    assert(rs.get(0).get("predicted_duration").asDouble() == want(0))
+    assert(rs.get(0).get("base_features_snapshot").get("Distance").asDouble() == 1.0)
+    assert(rs.get(1).get("value").asText() == "2.0") // raw value echoed
+    assert(rs.get(1).get("predicted_duration").asDouble() == want(1))
+    assert(rs.get(2).get("predicted_duration").isNull, body)
+    assert(rs.get(2).get("error").asText() ==
+      "Invalid non-numeric values for features: {'Distance': 'abc'}", body)
+    // all variations invalid -> errors-only 200 with bare analysis_results
+    val allBad = s"""{"base_features": $canonicalJson,
+      "variable_feature_name": "Distance", "variation_values": ["x", "y"]}"""
+    val (code2, body2) = post("/analyze/sensitivity/2", allBad)
+    assert(code2 == 200, body2)
+    val node2 = mapper.readTree(body2)
+    assert(node2.get("model_version_used") == null, body2) // api.py:152
+    assert(node2.get("analysis_results").size() == 2, body2)
   }
 
   test("POST /suggest/optimal-time skips invalid hours, sorts by duration") {
@@ -112,7 +172,39 @@ class ApiServerSpec extends SparkSpec {
     val (code2, body2) = post("/suggest/optimal-time/3",
       s"""{"base_conditions": $canonicalJson, "target_duration_max": 10,
         "hours_to_evaluate": [8], "minute_of_hour": 99}""")
-    assert(code2 == 400 &&
-      mapper.readTree(body2).get("error").asText().contains("minute_of_hour"))
+    assert(code2 == 400 && mapper.readTree(body2).get("error").asText() ==
+      "Invalid type for target durations or minute: minute_of_hour must be between 0 and 59.",
+      body2)
+  }
+
+  test("optimal-time: isinstance(hour, int) skip rule and Python float()/int() coercion") {
+    // 7.9 (float) and "8" (string) are SKIPPED, not truncated/parsed
+    // (api/api.py:262); only the JSON integer 9 survives
+    val payload = s"""{"base_conditions": $canonicalJson,
+      "target_duration_max": "1e9", "hours_to_evaluate": [7.9, "8", 9],
+      "minute_of_hour": "30"}"""
+    val (code, body) = post("/suggest/optimal-time/3", payload)
+    assert(code == 200, body)
+    val node = mapper.readTree(body)
+    val sugg = node.get("suggestions")
+    assert(sugg.size() == 1, body)
+    assert(sugg.get(0).get("hour_of_day").asInt() == 9, body)
+    assert(sugg.get(0).get("minute_of_hour").asInt() == 30, body) // int("30")
+    assert(node.get("target_duration_max").asDouble() == 1e9, body) // float("1e9")
+    // every hour invalid -> the api.py:282 message branch, still 200
+    val noneValid = s"""{"base_conditions": $canonicalJson,
+      "target_duration_max": 20, "hours_to_evaluate": [7.5, "8", 99]}"""
+    val (code2, body2) = post("/suggest/optimal-time/3", noneValid)
+    assert(code2 == 200, body2)
+    val node2 = mapper.readTree(body2)
+    assert(node2.get("message").asText() ==
+      "No valid hours to evaluate after validation.", body2)
+    assert(node2.get("suggestions").size() == 0, body2)
+    // unparseable duration -> the api.py:255 conversion 400
+    val badMax = s"""{"base_conditions": $canonicalJson,
+      "target_duration_max": "abc", "hours_to_evaluate": [8]}"""
+    val (code3, body3) = post("/suggest/optimal-time/3", badMax)
+    assert(code3 == 400 && mapper.readTree(body3).get("error").asText()
+      .startsWith("Invalid type for target durations or minute"), body3)
   }
 }
