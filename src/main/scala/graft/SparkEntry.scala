@@ -239,6 +239,11 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.dedupContainment(s, d)),
     "graph_pagerank"         ->
       ((s: SparkSession, d: String) => Analytics.graphPagerank(s, d)),
+    // 10-round variant with lineage truncation every 3 rounds — the
+    // iterate-to-fixpoint shape (plan size stays constant per round)
+    "graph_pagerank_deep"    ->
+      ((s: SparkSession, d: String) =>
+        Analytics.graphPagerank(s, d, iters = 10, checkpointEvery = 3)),
     "agg_mode_per_key"       ->
       ((s: SparkSession, d: String) => Analytics.aggModePerKey(s, d)),
     "ts_resample_interp"     ->
@@ -1924,32 +1929,8 @@ object SparkEntry {
         |    / (2.0 - pow(0.5, len(frame) - 1)) AS REAL) AS ewma
         |FROM f ORDER BY event_id""".stripMargin,
     "dedup_containment" -> containmentOracleSql,
-    "graph_pagerank" ->
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |), e0 AS (
-        |  SELECT DISTINCT a.pk AS u, b.pk AS v
-        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |), edges AS (
-        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
-        |), deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
-        |nv AS (SELECT count(*) AS n FROM deg),
-        |pr0 AS (SELECT u, 1.0 / n AS pr FROM deg, nv),
-        |pr1 AS (
-        |  SELECT e.v AS u, 0.15 / nv.n + 0.85 * sum(p.pr / d.deg) AS pr
-        |  FROM edges e JOIN pr0 p ON p.u = e.u JOIN deg d ON d.u = e.u, nv
-        |  GROUP BY e.v, nv.n
-        |), pr2 AS (
-        |  SELECT e.v AS u, 0.15 / nv.n + 0.85 * sum(p.pr / d.deg) AS pr
-        |  FROM edges e JOIN pr1 p ON p.u = e.u JOIN deg d ON d.u = e.u, nv
-        |  GROUP BY e.v, nv.n
-        |), pr3 AS (
-        |  SELECT e.v AS u, 0.15 / nv.n + 0.85 * sum(p.pr / d.deg) AS pr
-        |  FROM edges e JOIN pr2 p ON p.u = e.u JOIN deg d ON d.u = e.u, nv
-        |  GROUP BY e.v, nv.n
-        |)
-        |SELECT u AS part, CAST(pr AS REAL) AS pagerank
-        |FROM pr3 WHERE u <= 100 ORDER BY part""".stripMargin,
+    "graph_pagerank" -> pagerankOracleSql(3),
+    "graph_pagerank_deep" -> pagerankOracleSql(10),
     "agg_mode_per_key" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS n FROM events
@@ -2865,6 +2846,33 @@ object SparkEntry {
     * [[graft.query.Dedup.dedupContainment]]: |A∩B| / min(|A|,|B|). The
     * chain's `pairs` CTE goes unused (threshold 0.0 keeps it harmless);
     * `cand` and `sh` are the shared machinery. */
+  /** Unrolled `iters`-round pagerank oracle: DuckDB has no iterative
+    * construct that re-aggregates over the recursion, so each damping
+    * round is one mechanical CTE (pr1..prN) — the same literal
+    * arithmetic the Spark loop runs. */
+  private def pagerankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.v AS u, 0.15 / nv.n + 0.85 * sum(p.pr / d.deg) AS pr
+         |  FROM edges e JOIN pr${i - 1} p ON p.u = e.u JOIN deg d ON d.u = e.u, nv
+         |  GROUP BY e.v, nv.n
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e0 AS (
+       |  SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |), edges AS (
+       |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+       |), deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+       |nv AS (SELECT count(*) AS n FROM deg),
+       |pr0 AS (SELECT u, 1.0 / n AS pr FROM deg, nv),
+       |$rounds
+       |SELECT u AS part, CAST(pr AS REAL) AS pagerank
+       |FROM pr$iters WHERE u <= 100 ORDER BY part""".stripMargin
+  }
+
   private def containmentOracleSql: String =
     s"""WITH ${minhashPairsCtes(16, 2, "0.0")}
        |SELECT c.doc_a, c.doc_b,

@@ -24,9 +24,12 @@ object Formats {
 
   private val dirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // every temp dir ever created, for exit cleanup — survives clearCaches()
+  private val created =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      dirs.values.forEach { d =>
+      created.forEach { d =>
         try {
           import scala.jdk.CollectionConverters._
           val p = java.nio.file.Paths.get(d)
@@ -39,15 +42,41 @@ object Formats {
     }, "graft-formats-cleanup"))
   }
 
+  /** Content fingerprint of the source parquet (total size + max mtime
+    * over its files): a regenerated corpus at the SAME path gets a new
+    * cache key, so the converted copy can never silently serve stale
+    * data to source_orc_agg/source_jsonl_agg while the oracle reads the
+    * fresh parquet. */
+  private def fingerprint(path: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      val files = java.nio.file.Files.walk(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+      val size = files.map(java.nio.file.Files.size).sum
+      val mtime = files.map(java.nio.file.Files.getLastModifiedTime(_)
+        .toMillis).maxOption.getOrElse(0L)
+      s"$size@$mtime"
+    }
+  }
+
   private def materialized(spark: SparkSession, dir: String,
       table: String, fmt: String): String =
-    dirs.computeIfAbsent(s"$dir#$table#$fmt", { _ =>
+    dirs.computeIfAbsent(
+      s"$dir#$table#$fmt#${fingerprint(s"$dir/$table.parquet")}", { _ =>
       val out = java.nio.file.Files
         .createTempDirectory(s"graft-$fmt-$table").toString
+      created.add(out)
       graft.schema.Schemas.table(spark, dir, table)
         .write.mode("overwrite").format(fmt).save(out)
       out
     })
+
+  /** Drop all cached conversions (test/corpus-regeneration hook — the
+    * [[graft.query.Dedup.clearCaches]] convention). The temp copies
+    * themselves are reaped by the shutdown hook. */
+  def clearCaches(): Unit = dirs.clear()
 
   /** ORC source: date-filtered priority rollup over orders served from
     * ORC. The date predicate pushes into the ORC reader (stripe-level

@@ -78,21 +78,33 @@ object Analytics {
     * undirected edge list has deg ≥ 1. The vertex count comes from one
     * count() (table statistics in a deployment). Fixed iteration count
     * keeps the plan finite and is the standard convergence/latency
-    * tradeoff at corpus scale. */
+    * tradeoff at corpus scale.
+    *
+    * `checkpointEvery` (0 = off) eagerly localCheckpoints the rank
+    * vector every k rounds — the [[graphReachability]] lineage lesson
+    * applied to iterate-to-fixpoint workloads: without truncation the
+    * rank lineage grows one join+agg subtree per round, so optimizer
+    * time grows superlinearly and a failure replays the whole chain.
+    * With cadence k the live plan never exceeds k rounds (Round8Spec
+    * pins this), at the cost of materializing |V| rank rows every k
+    * rounds — the standard GraphX/Pregel checkpoint-interval tradeoff
+    * (k≈3–5: lineage stays cheap, materialization stays rare). */
   def graphPagerank(spark: SparkSession, dir: String, iters: Int = 3,
-      maxVertex: Long = 100L): DataFrame = {
+      maxVertex: Long = 100L, checkpointEvery: Int = 0): DataFrame = {
     val edges = copurchaseEdgesSym(spark, dir)
     val deg = copurchaseDeg(spark, dir)
     val wedges = cachedDf(spark, s"$dir#wdeg") { edges.join(deg, Seq("u")) }
     val nV = deg.count() // persisted: a metadata-speed count
     var pr = deg.select(col("u"), lit(1.0 / nV).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       pr = wedges
         .join(pr, Seq("u"))
         .groupBy(col("v"))
         .agg(sum(col("pr") / col("deg")).as("inflow"))
         .select(col("v").as("u"),
           (lit(0.15 / nV) + lit(0.85) * col("inflow")).as("pr"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint(true)
     }
     pr.filter(col("u") <= maxVertex)
       .select(col("u").as("part"), col("pr").cast("float").as("pagerank"))
