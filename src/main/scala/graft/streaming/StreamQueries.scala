@@ -83,7 +83,14 @@ object StreamQueries {
     spark.synchronized {
       val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      // test hook: `graft.stream.statePartitions` overrides the state-store
+      // partition count, so PartitionInvarianceSpec can prove the stateful
+      // queries byte-identical across partitionings (each drain starts a
+      // fresh checkpoint, so the count is free to vary between runs here;
+      // a RESUMED production query must keep its original count)
+      val sp = spark.conf.getOption("graft.stream.statePartitions")
+        .map(_.toInt).getOrElse(statePartitions)
+      spark.conf.set("spark.sql.shuffle.partitions", sp.toString)
       try {
         val q = streamed.writeStream
           .outputMode(mode)

@@ -36,16 +36,41 @@ class PartitionInvarianceSpec extends SparkSpec {
     "ann_pq_adc_topk integer ADC ranking" ->
       (() => graft.query.Curation.annPqAdcTopk(spark, sf)),
     "histogram_equiwidth cents totals" ->
-      (() => graft.query.Curation2.histogramEquiWidth(spark, sf)))
+      (() => graft.query.Curation2.histogramEquiWidth(spark, sf)),
+    // stateful streaming: the state-store partition count is what a
+    // 100 TB deployment actually tunes — prove the drained results are
+    // byte-identical at 3 vs 5 state partitions (drain() honors the
+    // graft.stream.statePartitions hook; fresh checkpoint per run)
+    "stream_session_counts mapGroupsWithState" ->
+      (() => graft.streaming.StreamQueries.streamSessionCounts(spark, sf)),
+    "stream_session_window native session operator" ->
+      (() => graft.streaming.StreamQueries.streamSessionWindowNative(spark, sf)),
+    "stream_hopping_agg overlapping window state" ->
+      (() => graft.streaming.StreamQueries.streamHoppingAgg(spark, sf)),
+    "stream_stream_join watermarked interval join" ->
+      (() => graft.streaming.StreamQueries.streamStreamJoin(spark, sf)))
 
   private def collectAt(partitions: Int, build: () => DataFrame): Seq[String] = {
     val key = "spark.sql.shuffle.partitions"
+    val stateKey = "graft.stream.statePartitions"
     val before = spark.conf.get(key)
     try {
       spark.conf.set(key, partitions.toString)
+      spark.conf.set(stateKey, partitions.toString)
+      // drop persisted indexes (Dedup signature/band caches, Curation PQ
+      // assignment, Formats conversions) so BOTH partition settings run
+      // the full index-build lineage — a cached InMemoryTableScan from
+      // the first run would short-circuit the second and prove nothing
+      graft.query.Dedup.clearCaches()
+      graft.query.Curation.clearCaches()
+      graft.query.Analytics.clearCaches()
+      graft.ingest.Formats.clearCaches()
       // fresh lineage per run; toString canonicalizes every column type
       build().collect().map(_.toString).toSeq
-    } finally spark.conf.set(key, before)
+    } finally {
+      spark.conf.set(key, before)
+      spark.conf.unset(stateKey)
+    }
   }
 
   probes.foreach { case (name, build) =>
