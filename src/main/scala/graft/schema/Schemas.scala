@@ -48,9 +48,52 @@ object Schemas {
 
   // ---- test-table access -------------------------------------------------
 
-  /** Read one driver-provided test table from an sf directory. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // weak session key: a stopped test session's cached plans drop with it
+  private val relCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  /** Content fingerprint (total size + max mtime) of a parquet file or
+    * directory — ~1 ms of Files.walk, vs the ~60 ms eager footer
+    * read + file listing `spark.read.parquet` pays per call. */
+  private def fingerprint(path: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      val files = java.nio.file.Files.walk(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+      val size = files.map(java.nio.file.Files.size).sum
+      val mtime = files.map(java.nio.file.Files.getLastModifiedTime(_)
+        .toMillis).maxOption.getOrElse(0L)
+      s"$size@$mtime"
+    }
+  }
+
+  /** Read one driver-provided test table from an sf directory.
+    *
+    * The resolved DataFrame is cached per (session, dir, table, content
+    * fingerprint): `spark.read.parquet` eagerly lists files and reads a
+    * footer for schema inference on EVERY call (~60 ms driver-side —
+    * measured by [[graft.tools.ConstProbe]]), which a 200-query loop
+    * pays hundreds of times for the same dozen tables. A production
+    * deployment gets the same amortization from the catalog's relation
+    * cache; here the fingerprint key keeps a regenerated corpus at the
+    * same path from serving a stale file listing (same discipline as
+    * [[graft.ingest.Formats]]). DataFrames are immutable plans, so
+    * reuse across queries in one session is safe; the session key
+    * keeps plans from crossing SparkSessions in tests. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val key = s"$path#${fingerprint(path)}"
+    relCache
+      .computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(key, _ => spark.read.parquet(path))
+  }
+
+  /** Drop cached relations (test/corpus-regeneration hook). */
+  def clearCaches(): Unit = relCache.clear()
 
   /** `events` with `ts` normalized to a true TimestampType.
     *
