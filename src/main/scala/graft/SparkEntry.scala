@@ -201,6 +201,7 @@ object SparkEntry {
     "train_test_split"       -> Pipeline.trainTestSplit _,
     "class_weights"          -> Pipeline.classWeights _,
     "text_repetition"        -> Pipeline.textRepetition _,
+    "text_top_ngram_cov"     -> TextAnalysis.textTopNgramCoverage _,
     "skew_profile"           -> Pipeline.skewProfile _,
     "quality_topk_per_lang"  ->
       ((s: SparkSession, d: String) => Pipeline.qualityTopkPerLang(s, d)),
@@ -1556,6 +1557,31 @@ object SparkEntry {
         |  count(DISTINCT g) AS n_distinct,
         |  1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS repetition
         |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_top_ngram_cov" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_chars,
+        |    string_split(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), ftoks AS (SELECT * FROM toks WHERE len(t) >= 2),
+        |grams AS (
+        |  SELECT doc_id, n_chars, concat_ws(' ', t[i], t[i+1]) AS g
+        |  FROM ftoks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+        |), counts AS (
+        |  SELECT doc_id, n_chars, g, count(*) AS cnt
+        |  FROM grams GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT doc_id, n_chars, g, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rk
+        |  FROM counts
+        |)
+        |SELECT doc_id, g AS top_gram, cnt AS top_count, n_bigrams,
+        |  CAST(cnt AS DOUBLE) / n_bigrams AS top_frac,
+        |  CAST(cnt AS DOUBLE) * len(g) / n_chars AS char_cov
+        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "multimodal_batch_decode" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS INT) AS payload_bytes,

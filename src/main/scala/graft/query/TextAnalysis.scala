@@ -318,4 +318,43 @@ object TextAnalysis {
           x => x.cast("string"))).as("postings"))
       .filter(col("df").between(minDf, maxDf))
       .orderBy(col("term"))
+
+  /** Top-n-gram coverage (the Gopher-style `rep_top_2gram` repetition
+    * filter): per document, the single most frequent word bigram and
+    * the fraction of the token stream / normalized characters it
+    * covers. Complements [[graft.query.Pipeline.textRepetition]]
+    * (distinct/total ratio): a doc can have low overall repetition but
+    * one pathologically dominant phrase — this is the filter that
+    * catches boilerplate headers and SEO keyword stuffing.
+    *
+    * Scale shape: groupBy(doc_id, gram) is a uniform high-cardinality
+    * partial-agg shuffle; the argmax window partitions by doc_id (never
+    * global). Ratios are single double divisions of exact integers —
+    * bit-identical cross-engine per the numeric discipline on
+    * [[graft.query.Warehouse]]. */
+  def textTopNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(Dedup.normText(col("text"))).cast("long").as("n_chars"),
+        Dedup.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val counts = toks
+      .select(col("doc_id"), col("n_chars"),
+        explode(Dedup.shinglesFromTokens(col("t"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("n_chars"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    counts
+      .withColumn("n_bigrams", sum(col("cnt")).over(byDoc))
+      .withColumn("rk", row_number().over(
+        byDoc.orderBy(col("cnt").desc, col("g"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("g").as("top_gram"),
+        col("cnt").as("top_count"), col("n_bigrams"),
+        (col("cnt").cast("double") / col("n_bigrams")).as("top_frac"),
+        (col("cnt").cast("double") * length(col("g")) / col("n_chars"))
+          .as("char_cov"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -163,4 +163,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("text_top_ngram_cov: argmax window partitions by doc_id, never global") {
+    val df = graft.query.TextAnalysis.textTopNgramCoverage(spark, sf)
+    val p = plan(df)
+    // every Window in the plan carries a doc_id partition spec — a bare
+    // `Window [..], [rk]` with no PartitionSpec would pull the corpus
+    // onto one task at 100 TB
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, p)
+    val args = p.linesIterator
+      .filter(l => l.contains("Arguments:") && l.contains("row_number"))
+      .toSeq
+    assert(args.forall(_.contains("partitionby")) ||
+      p.contains("PartitionSpec: [doc_id") || p.contains("doc_id#"), p)
+    // and the invariant the two ratios promise: top_count <= n_bigrams,
+    // frac in (0, 1], argmax unique per doc
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3))
+      val f = r.getDouble(4)
+      assert(f > 0.0 && f <= 1.0, r)
+    }
+  }
 }
