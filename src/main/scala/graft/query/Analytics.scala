@@ -93,7 +93,7 @@ object Analytics {
       maxVertex: Long = 100L, checkpointEvery: Int = 0): DataFrame = {
     val edges = copurchaseEdgesSym(spark, dir)
     val deg = copurchaseDeg(spark, dir)
-    val wedges = cachedDf(spark, s"$dir#wdeg") { edges.join(deg, Seq("u")) }
+    val wedges = cachedDf(spark, gkey(dir, "wdeg")) { edges.join(deg, Seq("u")) }
     val nV = deg.count() // persisted: a metadata-speed count
     var pr = deg.select(col("u"), lit(1.0 / nV).as("pr"))
     for (i <- 1 to iters) {
@@ -202,6 +202,13 @@ object Analytics {
   private val graphCache = new java.util.WeakHashMap[
     SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
+  /** Graph-cache key: every component derives from lineitem, so the key
+    * carries its content fingerprint — a corpus regenerated at the same
+    * path rebuilds the index instead of serving stale persisted blocks
+    * (the [[graft.schema.Schemas.fingerprint]] discipline). */
+  private def gkey(dir: String, suffix: String): String =
+    s"$dir#${graft.schema.Schemas.fingerprint(s"$dir/lineitem.parquet")}#$suffix"
+
   /** Build-once persisted component. The build is materialized (count)
     * inside the insert so every later use reads warm blocks. Dependent
     * components are resolved BEFORE their own computeIfAbsent — a
@@ -226,7 +233,7 @@ object Analytics {
   /** Distinct undirected co-purchase edges as (u < v) pairs: parts that
     * appear in the same order are connected. */
   private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
-    cachedDf(spark, s"$dir#e0") {
+    cachedDf(spark, gkey(dir, "e0")) {
       val li = table(spark, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -239,7 +246,7 @@ object Analytics {
   /** Both directions of [[copurchaseEdges]] (u→v and v→u). */
   private def copurchaseEdgesSym(spark: SparkSession, dir: String): DataFrame = {
     val e0 = copurchaseEdges(spark, dir)
-    cachedDf(spark, s"$dir#sym") {
+    cachedDf(spark, gkey(dir, "sym")) {
       e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
     }
   }
@@ -247,7 +254,7 @@ object Analytics {
   /** Per-vertex degree of the undirected graph, keyed `u`. */
   private def copurchaseDeg(spark: SparkSession, dir: String): DataFrame = {
     val sym = copurchaseEdgesSym(spark, dir)
-    cachedDf(spark, s"$dir#deg") {
+    cachedDf(spark, gkey(dir, "deg")) {
       sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     }
   }
@@ -258,7 +265,7 @@ object Analytics {
   private def copurchaseOriented(spark: SparkSession, dir: String): DataFrame = {
     val e0 = copurchaseEdges(spark, dir)
     val deg = copurchaseDeg(spark, dir)
-    cachedDf(spark, s"$dir#oriented") {
+    cachedDf(spark, gkey(dir, "oriented")) {
       e0
         .join(deg.withColumnRenamed("deg", "du"), Seq("u"))
         .join(deg.withColumnRenamed("u", "v").withColumnRenamed("deg", "dv"),

@@ -195,7 +195,8 @@ object Curation {
       }
       c
     }
-    cache.computeIfAbsent(s"$dir#pq#$m#$k#$subDim", { _ =>
+    cache.computeIfAbsent(s"$dir#pq#$m#$k#$subDim#" +
+      graft.schema.Schemas.fingerprint(s"$dir/embeddings.parquet"), { _ =>
       val q = pqQuantized(spark, dir)
       val codebook = pqCodebook(spark, m, k, subDim)
       val subs = q.select(col("vec_id"),

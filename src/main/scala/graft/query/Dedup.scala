@@ -137,7 +137,8 @@ object Dedup {
     // Catalyst). At scale this is the standard persisted minhash index
     // (32 longs/doc), written once, probed often.
     val sig = forSession(sigCache, spark).computeIfAbsent(
-      s"$dir#$shingleSize#${numBands * rowsPerBand}",
+      s"$dir#$shingleSize#${numBands * rowsPerBand}#" +
+        graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"),
       _ => minhashSignatures(docs, "toks", "doc_id",
         shingleSize, numBands * rowsPerBand).persist())
     // band keys carry ONLY (band, bucket, doc_id): the candidate self-join
@@ -277,7 +278,8 @@ object Dedup {
     // identical cache key to lshCandidatesWithSets: the delta probe hits
     // the SAME persisted signature index the full-corpus queries built
     val sig = forSession(sigCache, spark).computeIfAbsent(
-      s"$dir#$shingleSize#${numBands * rowsPerBand}",
+      s"$dir#$shingleSize#${numBands * rowsPerBand}#" +
+        graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"),
       _ => minhashSignatures(docs, "toks", "doc_id",
         shingleSize, numBands * rowsPerBand).persist())
     val banded = sig.select(col("doc_id"),
@@ -385,7 +387,9 @@ object Dedup {
 
   def dedupGroups(spark: SparkSession, dir: String,
       maxIters: Int = 20, driverUnionFindMax: Long = 4000000L): DataFrame = {
-    val pairs = forSession(pairCache, spark).computeIfAbsent(dir, { _ =>
+    val pairs = forSession(pairCache, spark).computeIfAbsent(
+      dir + "#" + graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"),
+      { _ =>
       val p = dedupMinhashLsh(spark, dir)
         .select(col("doc_a"), col("doc_b")).persist()
       p.count() // materialize the index once

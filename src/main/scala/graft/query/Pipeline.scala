@@ -31,7 +31,8 @@ object Pipeline {
       if (m == null) { m = new IndexMap(); gramCache.put(spark, m) }
       m
     }
-    perSession.computeIfAbsent(s"$dir#$n", { _ =>
+    perSession.computeIfAbsent(s"$dir#$n#" +
+      graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"), { _ =>
       val g = table(spark, dir, "documents")
         .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= n)

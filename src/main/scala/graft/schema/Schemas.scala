@@ -55,8 +55,12 @@ object Schemas {
 
   /** Content fingerprint (total size + max mtime) of a parquet file or
     * directory — ~1 ms of Files.walk, vs the ~60 ms eager footer
-    * read + file listing `spark.read.parquet` pays per call. */
-  private def fingerprint(path: String): String = {
+    * read + file listing `spark.read.parquet` pays per call. Public:
+    * every build-once/probe-often index cache (Dedup signatures,
+    * Curation PQ codes, the co-purchase graph, Pipeline gram index)
+    * keys on it too, so a corpus regenerated at the same path can never
+    * serve a stale persisted index. */
+  def fingerprint(path: String): String = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) "absent"

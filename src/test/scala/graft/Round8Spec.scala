@@ -27,6 +27,20 @@ class Round8Spec extends SparkSpec {
     assert(after > 0 && after < before, s"before=$before after=$after")
   }
 
+  test("Dedup: regenerating a corpus at the same path rebuilds the persisted signature index") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup-regen").toString
+    Schemas.table(spark, sf, "documents")
+      .write.parquet(s"$dir/documents.parquet")
+    val before = graft.query.Dedup.dedupMinhashLsh(spark, dir).count()
+    // halve the corpus in place — the next query must rebuild the
+    // signature index from the new content, not probe stale persisted
+    // blocks (same fingerprint discipline as the Formats test above)
+    Schemas.table(spark, sf, "documents").filter($"doc_id" % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val after = graft.query.Dedup.dedupMinhashLsh(spark, dir).count()
+    assert(before > 0 && after < before, s"before=$before after=$after")
+  }
+
   /** Write a minimal events dir the streaming fixture reader accepts
     * (single `events.parquet` FILE, ts as epoch-micros stored LONG-nanos). */
   private def eventsDir(rows: Seq[(Long, Long, Long)]): String = {
