@@ -42,29 +42,14 @@ object Formats {
     }, "graft-formats-cleanup"))
   }
 
-  /** Content fingerprint of the source parquet (total size + max mtime
-    * over its files): a regenerated corpus at the SAME path gets a new
-    * cache key, so the converted copy can never silently serve stale
-    * data to source_orc_agg/source_jsonl_agg while the oracle reads the
-    * fresh parquet. */
-  private def fingerprint(path: String): String = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(p)) "absent"
-    else {
-      val files = java.nio.file.Files.walk(p).iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_)).toSeq
-      val size = files.map(java.nio.file.Files.size).sum
-      val mtime = files.map(java.nio.file.Files.getLastModifiedTime(_)
-        .toMillis).maxOption.getOrElse(0L)
-      s"$size@$mtime"
-    }
-  }
-
   private def materialized(spark: SparkSession, dir: String,
       table: String, fmt: String): String =
-    dirs.computeIfAbsent(
-      s"$dir#$table#$fmt#${fingerprint(s"$dir/$table.parquet")}", { _ =>
+    // content-fingerprinted key: a regenerated corpus at the SAME path
+    // gets a new cache key, so the converted copy can never silently
+    // serve stale data to source_orc_agg/source_jsonl_agg while the
+    // oracle reads the fresh parquet
+    dirs.computeIfAbsent(s"$dir#$table#$fmt#" +
+      graft.schema.Schemas.fingerprint(s"$dir/$table.parquet"), { _ =>
       val out = java.nio.file.Files
         .createTempDirectory(s"graft-$fmt-$table").toString
       created.add(out)
