@@ -133,6 +133,26 @@ class Round8Spec extends SparkSpec {
     assert(r >= 0.4, f"ivf recall@10 regressed: $r%.3f < 0.4")
   }
 
+  test("dedup_embedding_cosine: exact precision, pinned recall vs brute-force truth") {
+    graft.functions.FloatVecDot.register(spark)
+    val base = Schemas.table(spark, sf01, "embeddings")
+      .select($"vec_id", $"embedding")
+    val truth = base.as("a").join(base.as("b"),
+        $"a.vec_id" < $"b.vec_id")
+      .filter(expr("float_dot(a.embedding, b.embedding)") >= 0.4)
+      .select($"a.vec_id", $"b.vec_id").as[(Long, Long)].collect().toSet
+    val got = graft.query.Dedup.dedupEmbeddingCosine(spark, sf01)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    // the exact verify inside the operator makes every emitted pair a
+    // true >= threshold pair: precision is exactly 1 by construction
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(5)}")
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"embedding near-dup recall = $recall%.3f (${truth.size} truth pairs)")
+    // measured 0.983 (58/59) — floor at ~70% of measured, same
+    // tripwire convention as the ANN recall floors below
+    assert(recall >= 0.7, f"recall regressed: $recall%.3f < 0.7")
+  }
+
   test("ann_pq_adc_topk recall@10 floor") {
     val r = recallAt10(qid => Curation.annPqAdcTopk(spark, sf01, qid))
     info(f"pq-adc recall@10 = $r%.3f")
