@@ -37,6 +37,11 @@ class PartitionInvarianceSpec extends SparkSpec {
       (() => graft.query.Curation.annPqAdcTopk(spark, sf)),
     "histogram_equiwidth cents totals" ->
       (() => graft.query.Curation2.histogramEquiWidth(spark, sf)),
+    "graph_pagerank_deep 10-round double accumulation" ->
+      (() => graft.query.Analytics.graphPagerank(spark, sf, iters = 10,
+        checkpointEvery = 3)),
+    "text_top_ngram_cov tie-broken argmax window" ->
+      (() => graft.query.TextAnalysis.textTopNgramCoverage(spark, sf)),
     // stateful streaming: the state-store partition count is what a
     // 100 TB deployment actually tunes — prove the drained results are
     // byte-identical at 3 vs 5 state partitions (drain() honors the
