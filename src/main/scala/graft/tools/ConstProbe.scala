@@ -64,6 +64,17 @@ object ConstProbe {
     val s = () => Schemas.table(spark, dir, "orders")
       .selectExpr("sum(o_totalprice)")
     p("end-to-end: single-stage scan agg", best(10)(s().collect()))
+    // the STREAMING constant: a full AvailableNow drain pays query
+    // start/stop, checkpoint setup, and per-micro-batch planning on top
+    // of the data work — measured against the tiny sf0.001 fixture,
+    // where the data itself is negligible, this is ≈ the fixed overhead
+    // every bench streaming query carries (13 queries × ~0.5-1 s)
+    val warm = "/root/testdata/sf0.001"
+    graft.streaming.StreamQueries.streamWindowAgg(spark, warm).count()
+    p("streaming drain floor: window agg on sf0.001",
+      best(5)(graft.streaming.StreamQueries.streamWindowAgg(spark, warm).count()))
+    p("streaming drain floor: stateful sessions on sf0.001",
+      best(5)(graft.streaming.StreamQueries.streamSessionCounts(spark, warm).count()))
     spark.stop()
   }
 }

@@ -153,6 +153,29 @@ class Round8Spec extends SparkSpec {
     assert(recall >= 0.7, f"recall regressed: $recall%.3f < 0.7")
   }
 
+  test("dedup_minhash_lsh: exact precision, pinned recall vs all-pairs Jaccard truth") {
+    graft.functions.ShingleHashes.register(spark)
+    graft.functions.JaccardSorted.register(spark)
+    val sh = graft.query.Dedup
+      .withPlantedNearDups(Schemas.table(spark, sf01, "documents"))
+      .select($"doc_id", graft.query.Dedup.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", expr("shingle_hashes(toks, 3)").as("sh"))
+    val truth = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter(expr("jaccard_sorted(a.sh, b.sh)") >= 0.5)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    val got = graft.query.Dedup.dedupMinhashLsh(spark, sf01)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // the exact-Jaccard verify tail makes precision exactly 1
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(5)}")
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"minhash-lsh recall = $recall%.3f (${truth.size} truth pairs)")
+    // measured 1.000 (36/36: truth pairs are dominated by high-Jaccard
+    // planted dups, where 8-band × 4-row candidate probability ≈ 1);
+    // floor at 0.7, the same ~70%-of-measured tripwire convention
+    assert(recall >= 0.7, f"recall regressed: $recall%.3f < 0.7")
+  }
+
   test("ann_pq_adc_topk recall@10 floor") {
     val r = recallAt10(qid => Curation.annPqAdcTopk(spark, sf01, qid))
     info(f"pq-adc recall@10 = $r%.3f")
