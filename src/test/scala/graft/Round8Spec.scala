@@ -176,6 +176,27 @@ class Round8Spec extends SparkSpec {
     assert(recall >= 0.7, f"recall regressed: $recall%.3f < 0.7")
   }
 
+  test("dedup_simhash: pigeonhole bucketing is EXACT vs brute-force hamming <= 3") {
+    // a pair differing in <= 3 of 60 bits touches <= 3 of the 4 15-bit
+    // chunks, so at least one chunk matches — the bucketing provably
+    // loses nothing; output must EQUAL the all-pairs answer, not
+    // approximate it
+    graft.functions.SimHash60.register(spark)
+    val docs = graft.query.Dedup
+      .withPlantedNearDups(Schemas.table(spark, sf01, "documents"))
+      .select($"doc_id", expr("simhash60(" +
+        "split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '))").as("h"))
+    val truth = docs.as("a").join(docs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter(bit_count($"a.h".bitwiseXOR($"b.h")) <= 3)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    val got = graft.query.Dedup.dedupSimhash(spark, sf01)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got == truth,
+      s"missed: ${truth.diff(got).take(5)} extra: ${got.diff(truth).take(5)} " +
+        s"(truth=${truth.size}, got=${got.size})")
+    assert(truth.nonEmpty, "degenerate: no hamming<=3 pairs in the corpus")
+  }
+
   test("ann_pq_adc_topk recall@10 floor") {
     val r = recallAt10(qid => Curation.annPqAdcTopk(spark, sf01, qid))
     info(f"pq-adc recall@10 = $r%.3f")
