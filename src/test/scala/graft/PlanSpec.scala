@@ -164,6 +164,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedup family: no nested-loop or cartesian pair generation anywhere") {
+    // the core 100 TB rule for every near-dup operator: candidates come
+    // from bucket-key equi-joins, never an all-pairs product — asserted
+    // over the whole family so a refactor can't quietly reintroduce one
+    val family = Seq[(String, () => DataFrame)](
+      "minhash_lsh" -> (() => graft.query.Dedup.dedupMinhashLsh(spark, sf)),
+      "simhash" -> (() => graft.query.Dedup.dedupSimhash(spark, sf)),
+      "ngram_jaccard" -> (() => graft.query.Dedup.dedupNgramJaccard(spark, sf)),
+      "containment" -> (() => graft.query.Dedup.dedupContainment(spark, sf)),
+      "embedding_cosine" ->
+        (() => graft.query.Dedup.dedupEmbeddingCosine(spark, sf)))
+    family.foreach { case (name, q) =>
+      val p = plan(q())
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: ${p.take(2000)}")
+    }
+  }
+
   test("text_top_ngram_cov: argmax window partitions by doc_id, never global") {
     val df = graft.query.TextAnalysis.textTopNgramCoverage(spark, sf)
     val p = plan(df)
