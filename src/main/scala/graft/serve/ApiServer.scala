@@ -214,21 +214,27 @@ final class ApiServer(spark: SparkSession, dir: String, port: Int = 0) {
     }
     val baseFeatures =
       variants.collectFirst { case (_, _, Right((f, _))) => f }.get
-    val preds = Endpoints.q2Sensitivity(spark, dir, version.toInt,
-        featName, valid, baseFeatures).collect()
-      .map(r => r.getAs[Double]("prediction"))
+    // q2Sensitivity returns rows sorted by varied_value, while the response
+    // must echo REQUEST order (api.py appends per-variation in input order) —
+    // so look predictions up by value, never positionally. Keyed on the
+    // float's int-bits so a NaN variation (textual "NaN" passes float())
+    // still round-trips (NaN != NaN under ==).
+    val predByValue: Map[Int, Double] = Endpoints.q2Sensitivity(spark, dir,
+        version.toInt, featName, valid, baseFeatures).collect()
+      .map(r => java.lang.Float.floatToIntBits(r.getAs[Float]("varied_value"))
+        -> r.getAs[Double]("prediction"))
+      .toMap
     val o = mapper.createObjectNode()
     o.put("model_version_used", s"model_$version")
     val a = o.putArray("analysis_results")
-    var predIdx = 0
     variants.foreach { case (varVal, merged, outcome) =>
       val e = a.addObject()
       e.put("varied_feature", featName)
       e.set[ObjectNode]("value", varVal.deepCopy[JsonNode]())
       outcome match {
-        case Right(_) =>
-          e.put("predicted_duration", preds(predIdx))
-          predIdx += 1
+        case Right((f, _)) =>
+          e.put("predicted_duration",
+            predByValue(java.lang.Float.floatToIntBits(f(featName))))
           e.set[ObjectNode]("base_features_snapshot", merged)
         case Left(msg) =>
           e.put("error", msg)

@@ -157,6 +157,29 @@ class ApiServerSpec extends SparkSpec {
     assert(node2.get("analysis_results").size() == 2, body2)
   }
 
+  test("sensitivity: unsorted variation grid keeps value↔prediction pairing") {
+    // q2Sensitivity sorts rows by varied_value; the response must pair each
+    // REQUEST-order entry with ITS prediction, not the i-th sorted one.
+    val payload = s"""{"base_features": $canonicalJson,
+      "variable_feature_name": "Distance",
+      "variation_values": [3.0, "bad", 1.0, 2.0]}"""
+    val (code, body) = post("/analyze/sensitivity/2", payload)
+    assert(code == 200, body)
+    val rs = mapper.readTree(body).get("analysis_results")
+    assert(rs.size() == 4, body)
+    // ground truth keyed by value from the dataflow itself
+    val byVal = Endpoints.q2Sensitivity(spark, sf, 2, "Distance",
+        Seq(3.0f, 1.0f, 2.0f)).collect()
+      .map(r => r.getAs[Float]("varied_value") -> r.getAs[Double]("prediction"))
+      .toMap
+    assert(rs.get(0).get("predicted_duration").asDouble() == byVal(3.0f), body)
+    assert(rs.get(1).get("predicted_duration").isNull, body)
+    assert(rs.get(2).get("predicted_duration").asDouble() == byVal(1.0f), body)
+    assert(rs.get(3).get("predicted_duration").asDouble() == byVal(2.0f), body)
+    // the snapshot echoes the variant actually predicted
+    assert(rs.get(0).get("base_features_snapshot").get("Distance").asDouble() == 3.0)
+  }
+
   test("POST /suggest/optimal-time skips invalid hours, sorts by duration") {
     val payload = s"""{"base_conditions": $canonicalJson,
       "target_duration_max": 1e9, "hours_to_evaluate": [-1, 8, 9, 10, 30],
