@@ -240,11 +240,17 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.dedupContainment(s, d)),
     "graph_pagerank"         ->
       ((s: SparkSession, d: String) => Analytics.graphPagerank(s, d)),
-    // 10-round variant with lineage truncation every 3 rounds — the
-    // iterate-to-fixpoint shape (plan size stays constant per round)
+    // Deeper variant with lineage truncation every 3 rounds — the
+    // iterate-to-fixpoint shape (plan size stays constant per round).
+    // Registered at 6 rounds: the bench pays per-round cost ×iters with
+    // zero extra plan coverage past the first checkpoint boundary, and
+    // the round-8 driver run showed one 10-round entry eating 23% of the
+    // whole bench budget. The 10-round shape itself stays pinned by
+    // Round8Spec ("constant per-round plan size") and
+    // PartitionInvarianceSpec's 10-round accumulation check.
     "graph_pagerank_deep"    ->
       ((s: SparkSession, d: String) =>
-        Analytics.graphPagerank(s, d, iters = 10, checkpointEvery = 3)),
+        Analytics.graphPagerank(s, d, iters = 6, checkpointEvery = 3)),
     "agg_mode_per_key"       ->
       ((s: SparkSession, d: String) => Analytics.aggModePerKey(s, d)),
     "ts_resample_interp"     ->
@@ -1956,7 +1962,7 @@ object SparkEntry {
         |FROM f ORDER BY event_id""".stripMargin,
     "dedup_containment" -> containmentOracleSql,
     "graph_pagerank" -> pagerankOracleSql(3),
-    "graph_pagerank_deep" -> pagerankOracleSql(10),
+    "graph_pagerank_deep" -> pagerankOracleSql(6),
     "agg_mode_per_key" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS n FROM events

@@ -93,12 +93,29 @@ object Analytics {
       maxVertex: Long = 100L, checkpointEvery: Int = 0): DataFrame = {
     val edges = copurchaseEdgesSym(spark, dir)
     val deg = copurchaseDeg(spark, dir)
-    val wedges = cachedDf(spark, gkey(dir, "wdeg")) { edges.join(deg, Seq("u")) }
+    // Explicit partition count on the persisted per-round scan side: AQE
+    // coalesces the small build shuffle to 1-2 partitions (~60 MB of sf0.1
+    // edges fits one advisory target), which would serialize EVERY round's
+    // join+partial-agg onto 1-2 tasks ×iters. Pinning to defaultParallelism
+    // keeps each round's map side as wide as the machine; hash(u) keeps the
+    // layout co-partitioned with the rank vector if the broadcast hint ever
+    // comes off at billion-vertex scale.
+    val nPart = spark.sparkContext.defaultParallelism
+    val wedges = cachedDf(spark, gkey(dir, "wdeg")) {
+      edges.join(deg, Seq("u")).repartition(nPart, col("u"))
+    }
     val nV = deg.count() // persisted: a metadata-speed count
     var pr = deg.select(col("u"), lit(1.0 / nV).as("pr"))
     for (i <- 1 to iters) {
+      // The rank vector is ≤|V| rows of (id, double) — the canonical
+      // broadcast side. The explicit hint keeps every round's join a
+      // BroadcastHashJoin over the PERSISTED wedges index (no per-round
+      // reshuffle of the edge data, no reliance on AQE's runtime size
+      // estimate of an iterative plan). At billion-vertex scale the hint
+      // comes off and the join falls back to the persisted index's hash
+      // partitioning — the Pregel shape — with only pr shuffling.
       pr = wedges
-        .join(pr, Seq("u"))
+        .join(broadcast(pr), Seq("u"))
         .groupBy(col("v"))
         .agg(sum(col("pr") / col("deg")).as("inflow"))
         .select(col("v").as("u"),
