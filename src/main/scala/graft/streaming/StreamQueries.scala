@@ -91,17 +91,52 @@ object StreamQueries {
       val sp = spark.conf.getOption("graft.stream.statePartitions")
         .map(_.toInt).getOrElse(statePartitions)
       spark.conf.set("spark.sql.shuffle.partitions", sp.toString)
+      // Checkpoint on tmpfs when available: a one-shot drain's checkpoint
+      // (offset/commit logs + per-partition state-store deltas, fsync'd
+      // each micro-batch) is pure scratch, and on a contended host disk
+      // /tmp turns those small synchronous writes into the drain's noise
+      // floor (StreamProbe: ~50 ms min / ~170 ms median per drain quiet;
+      // more under contention). A RESUMABLE production query must keep
+      // its checkpoint on durable storage — this shortcut is only valid
+      // because AvailableNow + memory sink makes the checkpoint
+      // single-use by construction.
+      val ckpt = tmpfsCheckpointDir(name)
       try {
-        val q = streamed.writeStream
+        val w = streamed.writeStream
           .outputMode(mode)
           .format("memory")
           .queryName(name)
           .trigger(Trigger.AvailableNow())
-          .start()
+        val q = ckpt.map(c => w.option("checkpointLocation", c))
+          .getOrElse(w).start()
         q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ckpt.foreach(deleteRecursively)
+      }
       spark.table(name)
     }
+
+  /** Scratch checkpoint dir on tmpfs, or None to let Spark pick its own
+    * temp location (which it also deletes for memory-sink queries). */
+  private def tmpfsCheckpointDir(name: String): Option[String] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm))
+      Some(shm.resolve(s"graft-ckpt-$name").toString)
+    else None
+  }
+
+  private def deleteRecursively(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    } catch { case _: Throwable => () }
 
   /** Event-time tumbling-window aggregation with a watermark — count and
     * sum of `value` per (hour window, event_type). Full-drain result ==
@@ -368,7 +403,9 @@ object StreamQueries {
           expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
         else src0
       @volatile var latest: Option[String] = None
-      val q = src
+      val upsertCkpt = tmpfsCheckpointDir(
+        "upsert" + UUID.randomUUID().toString.replace("-", ""))
+      val w0 = src
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
         .writeStream
         .outputMode(OutputMode.Append())
@@ -384,8 +421,10 @@ object StreamQueries {
           latest = Some(out)
         }
         .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val q = upsertCkpt.map(c => w0.option("checkpointLocation", c))
+        .getOrElse(w0).start()
+      try q.awaitTermination()
+      finally upsertCkpt.foreach(deleteRecursively)
       spark.read.parquet(latest.getOrElse(
         sys.error("upsert drain produced no batches")))
         .select(col("user_id"), unix_micros(col("ts")).as("last_ts_us"),
