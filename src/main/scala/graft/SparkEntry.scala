@@ -153,6 +153,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_ivf_topk"           ->
       ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    // deterministic-cell IVF: same probe machinery, hash-exact oracle
+    "ann_ivf_det_topk"       ->
+      ((s: SparkSession, d: String) => Similarity.ivfDetTopK(s, d)),
     // north-star: text analysis
     "text_quality"           -> TextAnalysis.textQuality _,
     "text_token_count"       -> TextAnalysis.textTokenCount _,
@@ -1784,6 +1787,34 @@ object SparkEntry {
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
         |  FROM documents WHERE doc_id < 100)
         |GROUP BY 1, 2 ORDER BY doc_id, feature_idx""".stripMargin,
+    "ann_ivf_det_topk" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), seeds AS (
+        |  SELECT seed_vid, seed_e,
+        |    CAST(row_number() OVER (ORDER BY h, seed_vid) - 1 AS BIGINT)
+        |      AS cell
+        |  FROM (
+        |    SELECT vec_id AS seed_vid, e AS seed_e,
+        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+        |        AS BIGINT) AS h
+        |    FROM emb ORDER BY h, vec_id LIMIT 16)
+        |), assigned AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT emb.vec_id, emb.e, s.cell,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY list_dot_product(emb.e, s.seed_e) DESC, s.cell)
+        |        AS rn
+        |    FROM emb, seeds s) WHERE rn = 1
+        |), qe AS (SELECT e AS q FROM emb WHERE vec_id = 0
+        |), probes AS (
+        |  SELECT cell FROM seeds, qe
+        |  ORDER BY list_dot_product(seed_e, q) DESC, cell LIMIT 4
+        |)
+        |SELECT a.vec_id, a.cell, list_dot_product(a.e, qe.q) AS cosine
+        |FROM assigned a JOIN probes USING (cell), qe
+        |WHERE a.vec_id <> 0
+        |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin,
     "ann_lsh_topk" ->
       """WITH planes AS (
         |  SELECT pp.p AS p,

@@ -235,6 +235,68 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic-cell IVF top-k — the same coarse-quantize → probe →
+    * exact-re-rank machinery as [[ivfTopK]], with the KMeans quantizer
+    * replaced by a DETERMINISTIC one so the whole pipeline is
+    * DuckDB-oracle exact (the [[Curation.pqAdcTopK]] trick applied to
+    * the cell stage):
+    *
+    *   - seed panel: the `nCells` corpus vectors ranked first by
+    *     md5-hash of their id ([[Dedup.hash60]] — a deterministic
+    *     pseudo-random draw both engines replay) serve as cell anchors,
+    *     i.e. Forgy initialization without the Lloyd iterations;
+    *   - assignment: every vector joins the broadcast seed panel and
+    *     takes argmax dot (ties → lower cell) — one map-side-combined
+    *     aggregation, never a window over the ×nCells fanout;
+    *   - probe: the `nProbe` cells whose anchors score highest against
+    *     the query; re-rank is exact within probed cells only.
+    *
+    * The KMeans variant stays registered for recall realism; this one
+    * gives the approximate path a hash-exact CORRECTNESS row. At scale
+    * the corpus is written partitioned by cell, so a probe reads
+    * nProbe/nCells of the data — identical layout story to [[ivfTopK]].
+    */
+  def ivfDetTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val seedRank = Dedup.hash60(col("vec_id").cast("string"))
+    // TakeOrdered top-nCells (no global sort), then a single-partition
+    // row_number over nCells rows assigns stable cell ids
+    val seeds = emb
+      .orderBy(seedRank, col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("seed_vid"), col("embedding").as("seed_e"))
+      .withColumn("cell",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(Dedup.hash60(col("seed_vid").cast("string")),
+            col("seed_vid"))) - 1).cast("long"))
+    val assigned = emb
+      .crossJoin(broadcast(seeds))
+      .withColumn("dp", expr("float_dot(embedding, seed_e)"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("dp"), (-col("cell")).as("negc"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), (-col("best.negc")).as("cell"))
+    val qv = queryVector(spark, dir, queryId)
+    val q = array(qv.toIndexedSeq.map(lit): _*)
+    val probes = seeds
+      .withColumn("qv", q)
+      .withColumn("qdp", expr("float_dot(seed_e, qv)"))
+      .orderBy(col("qdp").desc, col("cell"))
+      .limit(nProbe)
+      .select(col("cell"))
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("qv", q)
+      .select(col("vec_id"), col("cell"),
+        expr("float_dot(embedding, qv)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Filtered vector search: exact cosine top-k among only the vectors
     * passing a metadata predicate (here `label % 2 = 0`) — the
     * "filtered ANN" query every vector store serves (search within a
