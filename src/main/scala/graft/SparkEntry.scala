@@ -222,6 +222,10 @@ object SparkEntry {
     // north-star: multimodal plumbing
     "multimodal_summary"     -> Multimodal.multimodalSummary _,
     "multimodal_batch_decode" -> Multimodal.multimodalBatchDecode _,
+    // real javax.imageio bytes->pixels decode; oracle replays the
+    // expected integer pixel sums arithmetically
+    "multimodal_image_decode" ->
+      ((s: SparkSession, d: String) => Multimodal.multimodalImageDecode(s, d)),
     // round 5: text statistics, embedding prototypes, graph/anomaly/
     // sampling/window/sketch analytics
     "text_unigram_logprob"   -> TextAnalysis.unigramLogprob _,
@@ -1591,6 +1595,32 @@ object SparkEntry {
         |  CAST(cnt AS DOUBLE) / n_bigrams AS top_frac,
         |  CAST(cnt AS DOUBLE) * len(g) / n_chars AS char_cov
         |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "multimodal_image_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    4 + CAST('0x' || substr(md5(doc_id || ':iw'), 1, 15) AS BIGINT)
+        |      % 13 AS w,
+        |    4 + CAST('0x' || substr(md5(doc_id || ':ih'), 1, 15) AS BIGINT)
+        |      % 9 AS h,
+        |    CAST('0x' || substr(md5(doc_id || ':r'), 1, 15) AS BIGINT)
+        |      % 256 AS r0,
+        |    CAST('0x' || substr(md5(doc_id || ':g'), 1, 15) AS BIGINT)
+        |      % 256 AS g0,
+        |    CAST('0x' || substr(md5(doc_id || ':b'), 1, 15) AS BIGINT)
+        |      % 256 AS b0,
+        |    CAST('0x' || substr(md5(doc_id || ':wr'), 1, 15) AS BIGINT)
+        |      % 256 AS wr,
+        |    CAST('0x' || substr(md5(doc_id || ':wg'), 1, 15) AS BIGINT)
+        |      % 256 AS wg,
+        |    CAST('0x' || substr(md5(doc_id || ':wb'), 1, 15) AS BIGINT)
+        |      % 256 AS wb
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(r0 * (w * h - 1) + wr AS BIGINT) AS sum_r,
+        |  CAST(g0 * (w * h - 1) + wg AS BIGINT) AS sum_g,
+        |  CAST(b0 * (w * h - 1) + wb AS BIGINT) AS sum_b
+        |FROM p ORDER BY doc_id""".stripMargin,
     "multimodal_batch_decode" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS INT) AS payload_bytes,

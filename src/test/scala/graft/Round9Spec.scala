@@ -1,13 +1,75 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.query.Similarity
+import graft.query.{Multimodal, Similarity}
 
-/** Round-9 hardening: the deterministic-cell IVF's contract. */
+/** Round-9 hardening: the deterministic-cell IVF's contract and the
+  * real (javax.imageio) multimodal decode path. */
 class Round9Spec extends SparkSpec {
   import spark.implicits._
 
   private val sf01 = "/root/testdata/sf0.01"
+
+  // ---- real image decode (javax.imageio) ---------------------------------
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("decodeImageStats: golden pixel sums for PNG and BMP fixtures") {
+    // 3x2 fixture with known pixels: decode must reproduce the exact
+    // per-channel sums through a genuine bytes->pixels round trip
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Seq( // (x, y, r, g, b)
+      (0, 0, 255, 0, 0), (1, 0, 0, 255, 0), (2, 0, 0, 0, 255),
+      (0, 1, 10, 20, 30), (1, 1, 40, 50, 60), (2, 1, 70, 80, 90))
+    px.foreach { case (x, y, r, g, b) =>
+      img.setRGB(x, y, (r << 16) | (g << 8) | b) }
+    val wantR = px.map(_._3).sum.toLong
+    val wantG = px.map(_._4).sum.toLong
+    val wantB = px.map(_._5).sum.toLong
+    for (fmt <- Seq("png", "bmp")) {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      val st = Multimodal.decodeImageStats(baos.toByteArray)
+        .getOrElse(fail(s"decode failed for $fmt"))
+      assert((st.width, st.height) == (3, 2), fmt)
+      assert((st.sum_r, st.sum_g, st.sum_b) == ((wantR, wantG, wantB)), fmt)
+    }
+  }
+
+  test("decodeImageStats: corrupt and truncated payloads are row-level Nones") {
+    assert(Multimodal.decodeImageStats("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImageStats(Array.emptyByteArray).isEmpty)
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val truncated = pngBytes(img).take(20) // header only, body gone
+    assert(Multimodal.decodeImageStats(truncated).isEmpty)
+  }
+
+  test("multimodal_image_decode: executor decode matches closed-form sums, batch-invariant") {
+    val tiny = "/root/testdata/sf0.001"
+    val got = Multimodal.multimodalImageDecode(spark, tiny)
+      .as[(Long, Int, Int, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // closed form: base*(w*h-1) + watermark per channel
+    got.foreach { case (id, w, h, sr, sg, sb) =>
+      def hx(t: String) = graft.functions.SimHashImpl.hash60(
+        s"$id:$t".getBytes("UTF-8"))
+      assert(w == (4 + hx("iw") % 13).toInt && h == (4 + hx("ih") % 9).toInt)
+      val n = w.toLong * h - 1
+      assert(sr == (hx("r") % 256) * n + hx("wr") % 256, s"doc $id red")
+      assert(sg == (hx("g") % 256) * n + hx("wg") % 256, s"doc $id green")
+      assert(sb == (hx("b") % 256) * n + hx("wb") % 256, s"doc $id blue")
+    }
+    // batch size must not change results (the mapInPandas-shape contract)
+    val b1 = Multimodal.multimodalImageDecode(spark, tiny, batchSize = 1)
+      .as[(Long, Int, Int, Long, Long, Long)].collect().toSeq
+    assert(b1 == got)
+  }
 
   test("ann_ivf_det_topk: nProbe = nCells degenerates to exact brute-force top-k") {
     // probing every cell makes the coarse quantizer irrelevant — the
