@@ -125,6 +125,41 @@ object Dedup {
     * sorted distinct shingle-hash sets for the docs appearing in a
     * pair). Extracted so every exact-verify tail (Jaccard, containment)
     * reuses the same persisted signature index and ids-only shuffles. */
+  /** Candidate-pair generation inside LSH buckets with an
+    * ADVERSARIAL-OCCUPANCY CAP. A normal corpus lands ≤ a handful of
+    * docs per (band, bucket), and those buckets produce exact all-pairs
+    * — bit-identical to the uncapped join, which is what keeps the
+    * DuckDB oracles exact. A degenerate corpus (mass-duplicated docs, a
+    * template attack) lands thousands of members in ONE bucket, where
+    * all-pairs is O(b²); such buckets instead emit hub-spoke pairs to
+    * the bucket's minimum id — O(b) candidates, connectivity preserved
+    * (every member still reaches the hub, so downstream grouping /
+    * keep-best sees the same connected component; exact-verify still
+    * scores every emitted pair). `maxBucket` = 64 is ≥10× the occupancy
+    * a banding/occupancy-tuned corpus produces and ≤1/30th of the pair
+    * blowup a 2k-duplicate attack would cause. Cost on the normal path:
+    * one extra same-key aggregation joined back on the bucket key (the
+    * shuffle layout is reused — no new wide exchange). */
+  private def boundedSelfPairs(keyed: DataFrame, keyCols: Seq[String],
+      idCol: String, outA: String, outB: String,
+      maxBucket: Int = 64): DataFrame = {
+    val keys = keyCols.map(col)
+    val stats = keyed.groupBy(keys: _*)
+      .agg(count(lit(1)).as("bsz"), min(col(idCol)).as("bmin"))
+    val withStats = keyed.join(stats, keyCols)
+    val small = withStats.filter(col("bsz") <= maxBucket)
+    val smallPairs = small
+      .select(keys :+ col(idCol).as(outA): _*)
+      .join(small.select(keys :+ col(idCol).as(outB): _*), keyCols)
+      .filter(col(outA) < col(outB))
+      .select(col(outA), col(outB))
+    val hubPairs = withStats
+      .filter(col("bsz") > maxBucket && col(idCol) =!= col("bmin"))
+      .select(col("bmin").as(outA), col(idCol).as(outB))
+    smallPairs.unionAll(hubPairs)
+      .distinct() // a pair may collide in several bands/tables
+  }
+
   private def lshCandidatesWithSets(spark: SparkSession, dir: String,
       shingleSize: Int, numBands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     val docs = withPlantedNearDups(table(spark, dir, "documents"))
@@ -149,12 +184,8 @@ object Dedup {
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
         .as(Seq("band", "bucket")))
-    val candidates = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
-        Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct() // a pair may collide in several bands
+    val candidates = boundedSelfPairs(banded, Seq("band", "bucket"),
+      "doc_id", "doc_a", "doc_b")
     // exact-verify tail: per-doc SORTED DISTINCT shingle-hash sets
     // (codegen'd [[graft.functions.ShingleHashes]], longs — the join
     // replicates ~8 bytes/shingle per pair instead of gram text), built
@@ -516,11 +547,11 @@ object Dedup {
       .select(col("vec_id"),
         posexplode(expr(s"sign_lsh_sigs(embedding, $numTables, $r)"))
           .as(Seq("t", "sig")))
-    val cand = sigs.as("a")
-      .join(sigs.as("b"), Seq("t", "sig"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    // occupancy-adaptive r bounds EXPECTED bucket size; the cap bounds
+    // the adversarial tail (identical vectors share every sign bucket
+    // no matter how many planes are added)
+    val cand = boundedSelfPairs(sigs, Seq("t", "sig"),
+      "vec_id", "vec_a", "vec_b")
     cand
       .join(base.select(col("vec_id").as("vec_a"),
         col("embedding").as("emb_a")), Seq("vec_a"))

@@ -99,6 +99,52 @@ class Round9Spec extends SparkSpec {
     assert(r >= RecallFloor, f"ivf-det recall@10 regressed: $r%.3f")
   }
 
+  // ---- adversarial LSH occupancy -----------------------------------------
+
+  test("dedup_minhash_lsh: an all-duplicates corpus stays O(n), connectivity intact") {
+    // 2000 byte-identical docs land in ONE bucket per band — uncapped
+    // all-pairs would be ~2M candidate pairs; the occupancy cap emits
+    // hub-spoke pairs instead: exactly n-1 results, all jaccard 1.0
+    val dir = java.nio.file.Files.createTempDirectory("adv-dup").toString
+    val n = 2000
+    spark.range(n).select($"id".as("doc_id"),
+        lit("the same exact duplicated document text repeated " +
+          "across the entire corpus as a template attack").as("text"),
+        lit("en").as("lang"), lit("adv").as("source"),
+        lit(96L).as("n_chars"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val pairs = graft.query.Dedup.dedupMinhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b", $"jaccard").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"adversarial minhash pairs=${pairs.length} in $secs%.1f s")
+    // planted near-dups add 10 docs (copies of doc_id<10): those join
+    // the same duplicate component via their own buckets
+    assert(pairs.length < 3 * n,
+      s"candidate blowup: ${pairs.length} pairs for $n duplicates")
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+    // connectivity: every doc appears in at least one pair (single
+    // component via the hub)
+    val touched = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(touched.size >= n, s"lost members: ${touched.size} < $n")
+  }
+
+  test("dedup_embedding_cosine: identical vectors stay O(n) under the cap") {
+    val dir = java.nio.file.Files.createTempDirectory("adv-vec").toString
+    val n = 2000
+    val v = Array.tabulate(64)(i => (if (i == 0) 1.0f else 0.0f))
+    spark.range(n).select($"id".as("vec_id"),
+        typedLit(v.toSeq).as("embedding"), lit(0).as("label"))
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val pairs = graft.query.Dedup.dedupEmbeddingCosine(spark, dir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect()
+    info(s"adversarial embedding pairs=${pairs.length}")
+    assert(pairs.length == n - 1,
+      s"expected hub-spoke n-1 pairs, got ${pairs.length}")
+    assert(pairs.forall(_._1 == 0L)) // hub = min vec_id in every bucket
+    assert(pairs.map(_._2).toSet.size == n - 1)
+  }
+
   // measured 0.475 on the near-uniform synthetic corpus (4/16 cells
   // probed ⇒ ~0.25 expected under uniformity; anchor-correlated cells
   // add signal); floor at ~70% of measured, 166× the 0.002
