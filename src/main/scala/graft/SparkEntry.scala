@@ -58,6 +58,10 @@ object SparkEntry {
     "agg_rollup"          -> Relational.aggRollup _,
     "agg_salted_skew"     ->
       ((s: SparkSession, d: String) => Relational.aggSaltedSkew(s, d)),
+    // skew-hardened JOIN (salt fact, replicate dim) — oracle-exact vs
+    // the plain unsalted join
+    "join_salted_skew"    ->
+      ((s: SparkSession, d: String) => Relational.joinSaltedSkew(s, d)),
     "agg_pivot"           -> Relational.aggPivot _,
     "udaf_weighted_avg"   -> Relational.udafWeightedAvg _,
     "sql_revenue_by_nation" -> Relational.sqlRevenueByNation _,
@@ -498,6 +502,15 @@ object SparkEntry {
     "agg_salted_skew" ->
       """SELECT user_id, count(*) AS n, CAST(sum(value) AS REAL) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "join_salted_skew" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_c4
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "agg_pivot" ->
       """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

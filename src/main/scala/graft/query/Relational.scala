@@ -591,6 +591,54 @@ object Relational {
       .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("float").as("sum_value"))
       .orderBy(col("user_id"))
 
+  /** Salted shuffle equi-join — the skew-join twin of [[aggSaltedSkew]].
+    * The fact side gets a deterministic salt in [0, salts); the dim side
+    * is replicated ×salts (one copy per salt value); the join key becomes
+    * (key, salt), so a hot key's rows spread across `salts` post-shuffle
+    * partitions instead of landing on one straggler. The `shuffle_hash`
+    * hint keeps the pattern honest — salting exists precisely for dims
+    * too big to broadcast, and a broadcast plan would salt nothing.
+    * Result rows are EXACTLY the unsalted join's (each fact row meets its
+    * key's dim copy for its own salt exactly once), which is what the
+    * oracle checks. Cost: dim ×salts replication — the standard skew
+    * tradeoff; AQE's skew-join split handles runtime-detected skew, this
+    * handles the skew you know at authoring time. */
+  def saltedEquiJoin(fact: DataFrame, factKey: String, saltSrc: Column,
+      dim: DataFrame, dimKey: String, salts: Int): DataFrame = {
+    val salted = fact.withColumn("jsalt",
+      pmod(saltSrc, lit(salts)).cast("int"))
+    val replicated = dim.withColumnRenamed(dimKey, factKey)
+      .withColumn("jsalt",
+        explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated.hint("shuffle_hash"), Seq(factKey, "jsalt"))
+      .drop("jsalt")
+  }
+
+  /** Skew-hardened revenue-by-nation: lineitem (fact) salted-joined to
+    * supplier (dim, replicated ×salts), then nation broadcast and exact
+    * scaled-integer revenue per nation — oracle-exact vs the plain
+    * unsalted SQL join. Money stays in BIGINT cents ×(100−disc_c)
+    * (the engine-version-proof scaled-integer discipline). */
+  def joinSaltedSkew(spark: SparkSession, dir: String,
+      salts: Int = 8): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+    val sup = table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    saltedEquiJoin(li, "l_suppkey",
+        col("l_orderkey") + col("l_linenumber"), sup, "s_suppkey", salts)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+          .as("revenue_c4"))
+      .orderBy(col("n_name"))
+  }
+
   /** ROLLUP grouping sets — per-(type, user-bucket) stats plus per-type and
     * grand-total subtotals in one pass (one shuffle; Expand feeds the same
     * partial-agg pipeline). Null grouping keys are the subtotal markers. */

@@ -35,6 +35,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("join_salted_skew: shuffle join on (key, salt) — no broadcast, no cartesian") {
+    // sparkPlan's simple format keeps join keys on the operator line
+    val p = Relational.joinSaltedSkew(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the salted pattern only exists for dims too big to broadcast —
+    // the hint must hold the fact⨝dim join in shuffle land, and its
+    // keys must carry the salt (that IS the skew spreading)
+    assert(p.linesIterator.exists(l =>
+      (l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("jsalt") && l.contains("l_suppkey")), p)
+  }
+
   test("o2 top-k: TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.o2TopkAsc(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -99,6 +99,57 @@ class Round9Spec extends SparkSpec {
     assert(r >= RecallFloor, f"ivf-det recall@10 regressed: $r%.3f")
   }
 
+  // ---- salted skew join --------------------------------------------------
+
+  test("saltedEquiJoin: 90%-one-key fact spreads across post-shuffle partitions") {
+    val salts = 8
+    val n = 40000
+    // 90% of fact rows carry key 1; dim has 50 keys
+    val fact = spark.range(n).select($"id",
+      when($"id" % 10 < 9, lit(1L)).otherwise($"id" % 50).as("k"))
+    val dim = spark.range(50).select($"id".as("k"), ($"id" * 100).as("payload"))
+    val salted = graft.query.Relational.saltedEquiJoin(
+      fact, "k", col("id"), dim, "k", salts)
+    // row-identical to the unsalted join
+    assert(salted.count() == n)
+    val unsaltedSum = fact.join(dim, Seq("k"))
+      .agg(sum($"payload")).as[Long].head()
+    assert(salted.agg(sum($"payload")).as[Long].head() == unsaltedSum)
+    // distribution: the hot key's rows must occupy `salts` distinct
+    // post-shuffle partitions, with no partition holding more than
+    // ~1/salts of the hot key (+ slack) — measured on the join output
+    // via spark_partition_id. AQE's small-shuffle coalescing would fold
+    // these test-sized partitions back together (a tiny-data artifact —
+    // at real scale hot partitions exceed the advisory target and stay
+    // apart), so the measurement runs with AQE off.
+    val hot = n * 9 / 10
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val perPart = salted.filter($"k" === 1L)
+        .select(spark_partition_id().as("pid"))
+        .groupBy($"pid").count().as[(Int, Long)].collect()
+      // 8 (key, salt) groups hash into 32 partitions: allow for hash
+      // collisions but require genuine spreading
+      assert(perPart.length >= salts / 2,
+        s"hot key landed on ${perPart.length} partitions")
+      val maxPart = perPart.map(_._2).max
+      assert(maxPart <= hot.toLong / salts * 2 + 100,
+        s"straggler partition: $maxPart of $hot hot rows")
+      // and the unsalted join concentrates them on ONE partition (the
+      // hazard this operator exists for)
+      val unsaltedMax = fact.join(dim.hint("shuffle_hash"), Seq("k"))
+        .filter($"k" === 1L).select(spark_partition_id().as("pid"))
+        .groupBy($"pid").count().as[(Int, Long)].collect()
+      assert(unsaltedMax.length == 1 && unsaltedMax.head._2 == hot)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
+  }
+
   // ---- adversarial LSH occupancy -----------------------------------------
 
   test("dedup_minhash_lsh: an all-duplicates corpus stays O(n), connectivity intact") {
