@@ -99,6 +99,36 @@ class Round9Spec extends SparkSpec {
     assert(r >= RecallFloor, f"ivf-det recall@10 regressed: $r%.3f")
   }
 
+  // ---- RF model-version drift golden -------------------------------------
+
+  test("growing-window importances match the committed fingerprint (Spark-jar drift tripwire)") {
+    // MlSpec proves seed-42 determinism WITHIN a build; this pins the
+    // trained models ACROSS builds: a Spark/MLlib upgrade that changes
+    // RF split selection would silently shift every q1/q2/q3_*_ml
+    // output — this golden turns that into a test failure with a
+    // re-pin instruction instead.
+    val parts = (1 to graft.ml.Trainer.MaxVersions).map { v =>
+      val m = graft.ml.ModelStore.forDir(spark, sf, v)
+      graft.ml.Trainer.featureImportances(m)
+        .map { case (name, imp) => s"$v:$name:${imp.toString}" }
+        .mkString("\n")
+    }
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val goldenFile = java.nio.file.Paths.get(
+      "src/test/resources/rf_importances_sf0001.md5")
+    assert(java.nio.file.Files.exists(goldenFile),
+      s"golden missing; computed fingerprint: $digest")
+    val want = new String(java.nio.file.Files.readAllBytes(goldenFile),
+      "UTF-8").trim
+    assert(digest == want,
+      s"RF importances drifted from the committed golden ($digest != " +
+        s"$want). If the Spark jars were intentionally upgraded, re-pin " +
+        "src/test/resources/rf_importances_sf0001.md5 and re-verify the " +
+        "q1/q2/q3 ML goldens in ApiServerSpec/README.")
+  }
+
   // ---- salted skew join --------------------------------------------------
 
   test("saltedEquiJoin: 90%-one-key fact spreads across post-shuffle partitions") {
