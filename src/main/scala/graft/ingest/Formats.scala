@@ -47,15 +47,28 @@ object Formats {
     // content-fingerprinted key: a regenerated corpus at the SAME path
     // gets a new cache key, so the converted copy can never silently
     // serve stale data to source_orc_agg/source_jsonl_agg while the
-    // oracle reads the fresh parquet
-    dirs.computeIfAbsent(s"$dir#$table#$fmt#" +
-      graft.schema.Schemas.fingerprint(s"$dir/$table.parquet"), { _ =>
+    // oracle reads the fresh parquet. The SUPERSEDED conversion's temp
+    // dir is deleted on the rebuild (evictingComputeIfAbsent) instead
+    // of lingering until JVM exit.
+    graft.schema.Schemas.evictingComputeIfAbsent(dirs,
+      s"$dir#$table#$fmt",
+      graft.schema.Schemas.fingerprint(s"$dir/$table.parquet"))({
       val out = java.nio.file.Files
         .createTempDirectory(s"graft-$fmt-$table").toString
       created.add(out)
       graft.schema.Schemas.table(spark, dir, table)
         .write.mode("overwrite").format(fmt).save(out)
       out
+    })({ stale =>
+      created.remove(stale)
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(stale)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
     })
 
   /** Drop all cached conversions (test/corpus-regeneration hook — the

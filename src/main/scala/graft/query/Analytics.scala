@@ -219,12 +219,13 @@ object Analytics {
   private val graphCache = new java.util.WeakHashMap[
     SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  /** Graph-cache key: every component derives from lineitem, so the key
-    * carries its content fingerprint — a corpus regenerated at the same
-    * path rebuilds the index instead of serving stale persisted blocks
-    * (the [[graft.schema.Schemas.fingerprint]] discipline). */
-  private def gkey(dir: String, suffix: String): String =
-    s"$dir#${graft.schema.Schemas.fingerprint(s"$dir/lineitem.parquet")}#$suffix"
+  /** Graph-cache key prefix: every component derives from lineitem; the
+    * full key appends its content fingerprint — a corpus regenerated at
+    * the same path rebuilds the index instead of serving stale persisted
+    * blocks (the [[graft.schema.Schemas.fingerprint]] discipline), and
+    * the SUPERSEDED generation is unpersisted on the rebuild
+    * ([[graft.schema.Schemas.evictingComputeIfAbsent]]). */
+  private def gkey(dir: String, suffix: String): String = s"$dir#$suffix"
 
   /** Build-once persisted component. The build is materialized (count)
     * inside the insert so every later use reads warm blocks. Dependent
@@ -240,11 +241,13 @@ object Analytics {
       }
       mm
     }
-    m.computeIfAbsent(key, { _ =>
+    val dir = key.takeWhile(_ != '#')
+    graft.schema.Schemas.evictingComputeIfAbsent(m, key,
+      graft.schema.Schemas.fingerprint(s"$dir/lineitem.parquet"))({
       val df = build.persist()
       df.count()
       df
-    })
+    })(_.unpersist(false))
   }
 
   /** Distinct undirected co-purchase edges as (u < v) pairs: parts that

@@ -195,8 +195,9 @@ object Curation {
       }
       c
     }
-    cache.computeIfAbsent(s"$dir#pq#$m#$k#$subDim#" +
-      graft.schema.Schemas.fingerprint(s"$dir/embeddings.parquet"), { _ =>
+    graft.schema.Schemas.evictingComputeIfAbsent(cache,
+      s"$dir#pq#$m#$k#$subDim",
+      graft.schema.Schemas.fingerprint(s"$dir/embeddings.parquet"))({
       val q = pqQuantized(spark, dir)
       val codebook = pqCodebook(spark, m, k, subDim)
       val subs = q.select(col("vec_id"),
@@ -213,7 +214,7 @@ object Curation {
         .persist()
       best.count()
       best
-    })
+    })(_.unpersist(false))
   }
 
   def embPqCodes(spark: SparkSession, dir: String,

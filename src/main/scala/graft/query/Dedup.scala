@@ -171,11 +171,13 @@ object Dedup {
     // re-evaluate the signatures on BOTH branches (no cross-branch CSE in
     // Catalyst). At scale this is the standard persisted minhash index
     // (32 longs/doc), written once, probed often.
-    val sig = forSession(sigCache, spark).computeIfAbsent(
-      s"$dir#$shingleSize#${numBands * rowsPerBand}#" +
-        graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"),
-      _ => minhashSignatures(docs, "toks", "doc_id",
-        shingleSize, numBands * rowsPerBand).persist())
+    val sig = graft.schema.Schemas.evictingComputeIfAbsent(
+      forSession(sigCache, spark),
+      s"$dir#$shingleSize#${numBands * rowsPerBand}",
+      graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"))(
+      minhashSignatures(docs, "toks", "doc_id",
+        shingleSize, numBands * rowsPerBand).persist())(
+      _.unpersist(false))
     // band keys carry ONLY (band, bucket, doc_id): the candidate self-join
     // and pair-distinct shuffle longs, never shingle arrays — at 100 TB the
     // shuffle payload is O(bands·docs·24 bytes), not O(corpus text)
@@ -308,11 +310,13 @@ object Dedup {
       .filter(size(col("toks")) >= shingleSize)
     // identical cache key to lshCandidatesWithSets: the delta probe hits
     // the SAME persisted signature index the full-corpus queries built
-    val sig = forSession(sigCache, spark).computeIfAbsent(
-      s"$dir#$shingleSize#${numBands * rowsPerBand}#" +
-        graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"),
-      _ => minhashSignatures(docs, "toks", "doc_id",
-        shingleSize, numBands * rowsPerBand).persist())
+    val sig = graft.schema.Schemas.evictingComputeIfAbsent(
+      forSession(sigCache, spark),
+      s"$dir#$shingleSize#${numBands * rowsPerBand}",
+      graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"))(
+      minhashSignatures(docs, "toks", "doc_id",
+        shingleSize, numBands * rowsPerBand).persist())(
+      _.unpersist(false))
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(concat_ws(",",
@@ -418,14 +422,14 @@ object Dedup {
 
   def dedupGroups(spark: SparkSession, dir: String,
       maxIters: Int = 20, driverUnionFindMax: Long = 4000000L): DataFrame = {
-    val pairs = forSession(pairCache, spark).computeIfAbsent(
-      dir + "#" + graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"),
-      { _ =>
+    val pairs = graft.schema.Schemas.evictingComputeIfAbsent(
+      forSession(pairCache, spark), dir,
+      graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"))({
       val p = dedupMinhashLsh(spark, dir)
         .select(col("doc_a"), col("doc_b")).persist()
       p.count() // materialize the index once
       p
-    })
+    })(_.unpersist(false))
     // The verified near-dup edge list is orders of magnitude smaller than
     // the corpus (it holds ONLY pairs that passed exact Jaccard — ~0.001%
     // of docs at production dup rates). Below `driverUnionFindMax` edges

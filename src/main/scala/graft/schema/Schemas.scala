@@ -63,14 +63,29 @@ object Schemas {
   def fingerprint(path: String): String = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(p)) "absent"
-    else {
-      val files = java.nio.file.Files.walk(p).iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_)).toSeq
-      val size = files.map(java.nio.file.Files.size).sum
-      val mtime = files.map(java.nio.file.Files.getLastModifiedTime(_)
-        .toMillis).maxOption.getOrElse(0L)
-      s"$size@$mtime"
+    // A concurrent regeneration can delete files between the walk and the
+    // stat — exactly the window this function guards. Any IO error
+    // degrades to a UNIQUE token, i.e. a cache miss (the next call after
+    // the regeneration settles re-fingerprints cleanly); it must never
+    // surface as a query crash. The nanoTime tail keeps two degraded
+    // tokens from ever colliding.
+    try {
+      if (!java.nio.file.Files.exists(p)) "absent"
+      else {
+        val walk = java.nio.file.Files.walk(p) // javadoc: must be closed
+        val (size, mtime) =
+          try {
+            val files = walk.iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+            (files.map(java.nio.file.Files.size).sum,
+              files.map(java.nio.file.Files.getLastModifiedTime(_)
+                .toMillis).maxOption.getOrElse(0L))
+          } finally walk.close()
+        s"$size@$mtime"
+      }
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException =>
+        s"racing@${System.nanoTime()}"
     }
   }
 
@@ -89,11 +104,37 @@ object Schemas {
     * keeps plans from crossing SparkSessions in tests. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val key = s"$path#${fingerprint(path)}"
-    relCache
-      .computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-      .computeIfAbsent(key, _ => spark.read.parquet(path))
+    evictingComputeIfAbsent(
+      relCache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()),
+      path, fingerprint(path))(spark.read.parquet(path))(_ => ())
+  }
+
+  /** `computeIfAbsent` for fingerprint-keyed caches WITH eviction of the
+    * superseded generation: the cache key is `prefix#fp`; on a miss,
+    * entries under the same `prefix#` with a DIFFERENT fingerprint are
+    * removed and handed to `retire` (unpersist a DataFrame, delete a
+    * temp dir) before the new entry is built. Without this, every corpus
+    * regeneration in a long-lived session leaks the old generation's
+    * persisted blocks / on-disk copies until JVM exit. The trailing `#`
+    * in the prefix match keeps sibling prefixes (`/a/b` vs `/a/bc`)
+    * apart. Removal uses the map's atomic remove, so concurrent misses
+    * retire each stale entry at most once. */
+  def evictingComputeIfAbsent[V](
+      map: java.util.concurrent.ConcurrentHashMap[String, V],
+      prefix: String, fp: String)(build: => V)(retire: V => Unit): V = {
+    val key = s"$prefix#$fp"
+    val hit = map.get(key)
+    if (hit != null) hit
+    else {
+      import scala.jdk.CollectionConverters._
+      map.keySet().asScala.filter(k => k != key && k.startsWith(s"$prefix#"))
+        .foreach { stale =>
+          val v = map.remove(stale)
+          if (v != null) try retire(v) catch { case _: Throwable => () }
+        }
+      map.computeIfAbsent(key, _ => build)
+    }
   }
 
   /** Drop cached relations (test/corpus-regeneration hook). */

@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.query.{Multimodal, Similarity}
 
@@ -97,6 +98,54 @@ class Round9Spec extends SparkSpec {
     val r = per.sum / per.size
     info(f"ivf-det recall@10 = $r%.3f")
     assert(r >= RecallFloor, f"ivf-det recall@10 regressed: $r%.3f")
+  }
+
+  // ---- superseded-generation cache eviction ------------------------------
+
+  test("corpus regeneration unpersists the superseded signature index") {
+    val dir = java.nio.file.Files.createTempDirectory("evict-sig").toString
+    def write(n: Int): Unit = graft.schema.Schemas
+      .table(spark, sf, "documents").limit(n)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(60)
+    graft.query.Dedup.dedupMinhashLsh(spark, dir).count()
+    val afterFirst = spark.sparkContext.getPersistentRDDs.size
+    // regenerate twice more at the same path: each rebuild must retire
+    // the previous generation's persisted blocks, so the persistent-RDD
+    // census cannot grow run-over-run
+    write(50)
+    graft.query.Dedup.dedupMinhashLsh(spark, dir).count()
+    write(40)
+    graft.query.Dedup.dedupMinhashLsh(spark, dir).count()
+    val afterThird = spark.sparkContext.getPersistentRDDs.size
+    assert(afterThird <= afterFirst,
+      s"persisted generations leaked: $afterFirst -> $afterThird")
+  }
+
+  test("corpus regeneration deletes the superseded Formats conversion") {
+    val dir = java.nio.file.Files.createTempDirectory("evict-fmt").toString
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"))
+    def orcDirs(): Set[String] = {
+      val walk = java.nio.file.Files.list(tmp)
+      try walk.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("graft-orc-orders"))
+        .toSet
+      finally walk.close()
+    }
+    val before = orcDirs()
+    def regen(n: Int): Unit = graft.schema.Schemas
+      .table(spark, sf, "orders").limit(n)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    regen(100)
+    graft.ingest.Formats.orcSourceAgg(spark, dir).count()
+    val gen1 = orcDirs() -- before
+    assert(gen1.size == 1, s"expected one conversion, got $gen1")
+    regen(80)
+    graft.ingest.Formats.orcSourceAgg(spark, dir).count()
+    val gen2 = orcDirs() -- before
+    assert(gen2.size == 1, s"superseded conversion not deleted: $gen2")
+    assert(gen2 != gen1, "conversion was not rebuilt for the new corpus")
   }
 
   // ---- RF model-version drift golden -------------------------------------
