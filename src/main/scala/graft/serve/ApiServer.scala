@@ -66,16 +66,32 @@ final class ApiServer(spark: SparkSession, dir: String, port: Int = 0) {
       catch { case _: NumberFormatException => None }
     else None
 
+  /** Python str repr: backslashes and control chars escape; quote
+    * selection follows CPython (single quotes unless the string contains
+    * `'` and no `"`, in which case double quotes; single quotes escape
+    * only inside a single-quoted repr). */
+  private def pyStrRepr(s: String): String = {
+    val esc = s.flatMap {
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c => c.toString
+    }
+    if (esc.contains('\'') && !esc.contains('"')) "\"" + esc + "\""
+    else "'" + esc.replace("'", "\\'") + "'"
+  }
+
   /** Python repr of a JSON value, for error messages that mirror
     * api/api.py:68's f-string over the invalid-features dict. */
   private def pyRepr(n: JsonNode): String = {
     import scala.jdk.CollectionConverters._
-    if (n.isTextual) "'" + n.asText() + "'"
+    if (n.isTextual) pyStrRepr(n.asText())
     else if (n.isNull) "None"
     else if (n.isBoolean) { if (n.booleanValue()) "True" else "False" }
     else if (n.isArray) n.elements().asScala.map(pyRepr).mkString("[", ", ", "]")
     else if (n.isObject) n.properties().asScala
-      .map(e => s"'${e.getKey}': ${pyRepr(e.getValue)}").mkString("{", ", ", "}")
+      .map(e => s"${pyStrRepr(e.getKey)}: ${pyRepr(e.getValue)}").mkString("{", ", ", "}")
     else n.asText()
   }
 
@@ -105,7 +121,7 @@ final class ApiServer(spark: SparkSession, dir: String, port: Int = 0) {
     }.toMap
     if (invalid.nonEmpty)
       Left("Invalid non-numeric values for features: " + invalid.reverse
-        .map { case (k, v) => s"'$k': ${pyRepr(v)}" }
+        .map { case (k, v) => s"${pyStrRepr(k)}: ${pyRepr(v)}" }
         .mkString("{", ", ", "}"))
     else Right((vals, missing.reverse))
   }
@@ -246,24 +262,44 @@ final class ApiServer(spark: SparkSession, dir: String, port: Int = 0) {
 
   /** Python `float(val)` at full 64-bit precision — for the duration
     * band bounds (api/api.py:249-250), which are NOT model features
-    * (those go through the FloatType schema, [[pyFloat]]). */
-  private def pyDouble(v: JsonNode): Option[Double] =
-    if (v.isNumber) Some(v.doubleValue())
-    else if (v.isBoolean) Some(if (v.booleanValue()) 1.0 else 0.0)
-    else if (v.isTextual)
-      try Some(v.asText().trim.toDouble)
-      catch { case _: NumberFormatException => None }
-    else None
+    * (those go through the FloatType schema, [[pyFloat]]). Left carries
+    * the EXACT CPython ValueError text api/api.py:255 interpolates into
+    * its 400 body. Deliberate divergence, documented: CPython raises
+    * TypeError (uncaught at api.py:254 → 500) for None/list/dict inputs;
+    * a malformed payload field should be a 400, so those fold into the
+    * same Left here. */
+  private def pyDouble(v: JsonNode): Either[String, Double] =
+    if (v.isNumber) Right(v.doubleValue())
+    else if (v.isBoolean) Right(if (v.booleanValue()) 1.0 else 0.0)
+    else if (v.isTextual) {
+      val t = v.asText().trim
+      // Float.parseDouble accepts Java-isms CPython rejects (trailing
+      // d/f suffixes); strip those to ValueError before parsing
+      if (t.nonEmpty && "dDfF".contains(t.last))
+        Left(s"could not convert string to float: ${pyStrRepr(v.asText())}")
+      else
+        try Right(t.toDouble)
+        catch { case _: NumberFormatException =>
+          Left(s"could not convert string to float: ${pyStrRepr(v.asText())}")
+        }
+    } else Left(s"could not convert to float: ${pyRepr(v)}")
 
   /** Python `int(val)` (api/api.py:251): ints pass, floats TRUNCATE
-    * toward zero, integer STRINGS parse; anything else fails. */
-  private def pyInt(v: JsonNode): Option[Int] =
-    if (v.isNumber) Some(v.doubleValue().toInt)
-    else if (v.isBoolean) Some(if (v.booleanValue()) 1 else 0)
+    * toward zero (NaN → the CPython ValueError), integer STRINGS parse;
+    * anything else fails with the CPython message. */
+  private def pyInt(v: JsonNode): Either[String, Int] =
+    if (v.isNumber) {
+      if (v.isDouble && v.doubleValue().isNaN)
+        Left("cannot convert float NaN to integer")
+      else Right(v.doubleValue().toInt)
+    } else if (v.isBoolean) Right(if (v.booleanValue()) 1 else 0)
     else if (v.isTextual)
-      try Some(v.asText().trim.toInt)
-      catch { case _: NumberFormatException => None }
-    else None
+      try Right(v.asText().trim.toInt)
+      catch { case _: NumberFormatException =>
+        Left("invalid literal for int() with base 10: " +
+          pyStrRepr(v.asText()))
+      }
+    else Left(s"could not convert to int: ${pyRepr(v)}")
 
   /** api/api.py:227-313: hour grid, band filter, sort by duration.
     * Durations/minute coerce like Python float()/int() — numeric strings
@@ -282,26 +318,35 @@ final class ApiServer(spark: SparkSession, dir: String, port: Int = 0) {
       return (400, err("'hours_to_evaluate' must be a list of integers (0-23)."))
     val minN = node.get("target_duration_min")
     val minuteN = node.get("minute_of_hour")
-    val (maxDur, minDur, minute) =
-      (pyDouble(maxN),
-        if (minN == null || minN.isNull) Some(0.0)
-        else pyDouble(minN),
-        if (minuteN == null || minuteN.isNull) Some(0) else pyInt(minuteN)) match {
-        case (Some(mx), Some(mn), Some(m)) =>
-          if (m < 0 || m > 59)
-            return (400, err("Invalid type for target durations or minute: minute_of_hour must be between 0 and 59."))
-          (mx, mn, m)
-        case _ =>
-          return (400, err("Invalid type for target durations or minute: could not convert to number."))
-      }
+    // api/api.py:249-255: conversions run in ORDER (max, min, minute) and
+    // the first ValueError's own text lands in the 400 body
+    val conv = for {
+      mx <- pyDouble(maxN)
+      mn <- if (minN == null || minN.isNull) Right(0.0) else pyDouble(minN)
+      m <- if (minuteN == null || minuteN.isNull) Right(0) else pyInt(minuteN)
+      _ <- if (m < 0 || m > 59)
+        Left("minute_of_hour must be between 0 and 59.") else Right(())
+    } yield (mx, mn, m)
+    val (maxDur, minDur, minute) = conv match {
+      case Right(t) => t
+      case Left(ve) =>
+        return (400, err(s"Invalid type for target durations or minute: $ve"))
+    }
     validateFeatures(base) match {
       case Left(msg) => (400, err(msg))
       case Right((features, _)) =>
-        // in-range JSON integers only, like api/api.py:261-264 —
-        // isinstance(hour, int) rejects floats and strings outright
+        // api/api.py:262 `0 <= hour <= 23 and isinstance(hour, int)`:
+        // floats are skipped (isinstance fails); booleans PASS
+        // (isinstance(True, int) is True → hour 1/0). Deliberate
+        // divergence, documented: a STRING hour makes CPython's
+        // `0 <= hour` raise TypeError (uncaught → 500); a malformed
+        // list element should not take down the request, so strings
+        // are skipped here like floats.
         val hours = hoursN.asInstanceOf[ArrayNode].elements().asScala.toSeq
-          .filter(h => h.isIntegralNumber && h.canConvertToInt)
-          .map(_.intValue())
+          .collect {
+            case h if h.isIntegralNumber && h.canConvertToInt => h.intValue()
+            case h if h.isBoolean => if (h.booleanValue()) 1 else 0
+          }
           .filter(h => h >= 0 && h <= 23)
         if (hours.isEmpty) {
           val o = mapper.createObjectNode()

@@ -230,4 +230,50 @@ class ApiServerSpec extends SparkSpec {
     assert(code3 == 400 && mapper.readTree(body3).get("error").asText()
       .startsWith("Invalid type for target durations or minute"), body3)
   }
+
+  test("optimal-time: CPython ValueError texts, boolean hours, repr escaping") {
+    // float('abc') ValueError text lands verbatim in the 400 body
+    val badMax = s"""{"base_conditions": $canonicalJson,
+      "target_duration_max": "abc", "hours_to_evaluate": [8]}"""
+    val (c1, b1) = post("/suggest/optimal-time/3", badMax)
+    assert(c1 == 400 && mapper.readTree(b1).get("error").asText() ==
+      "Invalid type for target durations or minute: " +
+        "could not convert string to float: 'abc'", b1)
+    // int('x') ValueError text, from minute_of_hour
+    val badMin = s"""{"base_conditions": $canonicalJson,
+      "target_duration_max": 20, "hours_to_evaluate": [8],
+      "minute_of_hour": "x"}"""
+    val (c2, b2) = post("/suggest/optimal-time/3", badMin)
+    assert(c2 == 400 && mapper.readTree(b2).get("error").asText() ==
+      "Invalid type for target durations or minute: " +
+        "invalid literal for int() with base 10: 'x'", b2)
+    // isinstance(True, int) is True in Python: boolean hours are 1/0
+    val boolHour = s"""{"base_conditions": $canonicalJson,
+      "target_duration_max": 1e9, "hours_to_evaluate": [true, 9]}"""
+    val (c3, b3) = post("/suggest/optimal-time/3", boolHour)
+    assert(c3 == 200, b3)
+    val hours = mapper.readTree(b3).get("suggestions").elements()
+    val got = Iterator.continually(hours).takeWhile(_.hasNext)
+      .map(_.next().get("hour_of_day").asInt()).toSet
+    assert(got == Set(1, 9), b3)
+    // Python repr quote selection: a value containing ' renders
+    // double-quoted in the invalid-features dict (api.py:68)
+    val quoted = s"""{"base_features": $canonicalJson,
+      "variable_feature_name": "Distance",
+      "variation_values": ["a'b"]}"""
+    val (c4, b4) = post("/analyze/sensitivity/2", quoted)
+    assert(c4 == 200, b4)
+    val entry = mapper.readTree(b4).get("analysis_results").get(0)
+    assert(entry.get("error").asText() ==
+      "Invalid non-numeric values for features: {'Distance': \"a'b\"}", b4)
+    // and a backslash escapes like repr('a\\b')
+    val backslash = s"""{"base_features": $canonicalJson,
+      "variable_feature_name": "Distance",
+      "variation_values": ["a\\\\b"]}"""
+    val (c5, b5) = post("/analyze/sensitivity/2", backslash)
+    assert(c5 == 200, b5)
+    val entry5 = mapper.readTree(b5).get("analysis_results").get(0)
+    assert(entry5.get("error").asText() ==
+      "Invalid non-numeric values for features: {'Distance': 'a\\\\b'}", b5)
+  }
 }
