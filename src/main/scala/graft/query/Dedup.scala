@@ -138,15 +138,22 @@ object Dedup {
     * scores every emitted pair). `maxBucket` = 64 is ≥10× the occupancy
     * a banding/occupancy-tuned corpus produces and ≤1/30th of the pair
     * blowup a 2k-duplicate attack would cause. Cost on the normal path:
-    * one extra same-key aggregation joined back on the bucket key (the
-    * shuffle layout is reused — no new wide exchange). */
+    * two window functions over the bucket partitioning — ONE exchange,
+    * identical on both self-join branches so ReuseExchange shuffles the
+    * keyed rows once (the first cut used a separate aggregate joined
+    * back, which re-exchanged the keyed rows twice more and showed up
+    * as a ~2× bench regression on the whole MinHash family). WindowExec
+    * sorts-and-spills per bucket, so an adversarial giant bucket
+    * degrades to disk, never to an in-memory bucket materialization. */
   private def boundedSelfPairs(keyed: DataFrame, keyCols: Seq[String],
       idCol: String, outA: String, outB: String,
       maxBucket: Int = 64): DataFrame = {
     val keys = keyCols.map(col)
-    val stats = keyed.groupBy(keys: _*)
-      .agg(count(lit(1)).as("bsz"), min(col(idCol)).as("bmin"))
-    val withStats = keyed.join(stats, keyCols)
+    val w = Window.partitionBy(keys: _*)
+    val withStats = keyed.select(
+      keys ++ Seq(col(idCol),
+        count(lit(1)).over(w).as("bsz"),
+        min(col(idCol)).over(w).as("bmin")): _*)
     val small = withStats.filter(col("bsz") <= maxBucket)
     val smallPairs = small
       .select(keys :+ col(idCol).as(outA): _*)
