@@ -152,6 +152,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.dedupGroups(s, d)),
     "dedup_embedding_cosine" ->
       ((s: SparkSession, d: String) => Dedup.dedupEmbeddingCosine(s, d)),
+    // SemDeDup: deterministic-cell cluster + within-cell cosine prune
+    "dedup_semantic"         ->
+      ((s: SparkSession, d: String) => Dedup.dedupSemantic(s, d)),
     // north-star: similarity search
     "ann_brute_force_topk"   ->
       ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -1279,6 +1282,39 @@ object SparkEntry {
         |JOIN emb eb ON eb.vec_id = c.vec_b
         |WHERE list_dot_product(ea.e, eb.e) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_semantic" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), k AS (
+        |  SELECT CASE WHEN CAST(ceil(count(*) / 32.0) AS BIGINT) > 16
+        |    THEN CAST(ceil(count(*) / 32.0) AS BIGINT)
+        |    ELSE 16 END AS nc
+        |  FROM emb
+        |), seeds AS (
+        |  SELECT seed_vid, seed_e, CAST(rnk - 1 AS BIGINT) AS cell
+        |  FROM (
+        |    SELECT vec_id AS seed_vid, e AS seed_e,
+        |      row_number() OVER (ORDER BY
+        |        CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+        |          AS BIGINT), vec_id) AS rnk
+        |    FROM emb)
+        |  WHERE rnk <= (SELECT nc FROM k)
+        |), assigned AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT emb.vec_id, emb.e, s.cell,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY list_dot_product(emb.e, s.seed_e) DESC, s.cell)
+        |        AS rn
+        |    FROM emb, seeds s) WHERE rn = 1
+        |), removed AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e) >= 0.4
+        |)
+        |SELECT a.vec_id, a.cell,
+        |  a.vec_id NOT IN (SELECT vec_id FROM removed) AS kept
+        |FROM assigned a ORDER BY a.vec_id""".stripMargin,
     "multimodal_embed_knn" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -573,4 +573,68 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * coarse-cluster the embedding space, then drop within-cluster
+    * semantic near-duplicates, keeping one representative per
+    * neighborhood. Output: every vector with its cell and a `kept`
+    * verdict — removed ⇔ some lower-id same-cell neighbor scores
+    * cosine ≥ `threshold` against it (the deterministic stand-in for
+    * the paper's keep-one-per-group rule).
+    *
+    * The cluster stage reuses [[graft.query.Similarity.ivfDetTopK]]'s
+    * deterministic quantizer — the `nCells` corpus vectors ranked first
+    * by [[hash60]] of their id as Forgy anchors, argmax-dot assignment
+    * — so the DuckDB oracle replays cells, pairs, and verdicts
+    * hash-exactly; the KMeans-cell realism lives in the IVF variant.
+    *
+    * Scale shape: `nCells` grows with the corpus (max(16, n/32), the
+    * same occupancy-targeting count() that sizes [[dedupEmbeddingCosine]]'s
+    * planes) so EXPECTED cell size stays ~32 — under the 64 cap, i.e.
+    * the capped path is exact all-pairs on any normal corpus at every
+    * scale factor, and hub-spoke remains a pure adversarial backstop.
+    * Anchors are a broadcast panel; assignment is one map-side
+    * crossJoin + max-struct aggregation (map-side combined, no corpus
+    * shuffle beyond the agg); the within-cell pair stage shuffles
+    * (cell, id) keys only, and embedding payloads rejoin by id once,
+    * at the cosine verify. At 1e12-doc scale the linear panel tiers
+    * into a two-level coarse→fine assignment; the per-cell machinery
+    * below is the fine level unchanged. */
+  def dedupSemantic(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val nCells = math.max(16L, math.ceil(emb.count() / 32.0).toLong).toInt
+    val seeds = emb
+      .orderBy(hash60(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("seed_vid"), col("embedding").as("seed_e"))
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(
+          hash60(col("seed_vid").cast("string")), col("seed_vid"))) - 1)
+          .cast("long"))
+    val assigned = emb
+      .crossJoin(broadcast(seeds.select(col("cell"), col("seed_e"))))
+      .withColumn("dp", expr("float_dot(embedding, seed_e)"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("dp"), (-col("cell")).as("negc"))).as("best"))
+      .select(col("vec_id"), (-col("best.negc")).as("cell"))
+    val cand = boundedSelfPairs(assigned, Seq("cell"),
+      "vec_id", "vec_a", "vec_b")
+    val removed = cand
+      .join(emb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("vec_b"))
+      .filter(expr("float_dot(emb_a, emb_b)") >= threshold)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+      .withColumn("removed", lit(true))
+    assigned
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(!col("removed"), lit(true)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -275,6 +275,48 @@ class Round9Spec extends SparkSpec {
     assert(pairs.map(_._2).toSet.size == n - 1)
   }
 
+  // ---- semantic dedup (SemDeDup) -----------------------------------------
+
+  test("dedup_semantic: kept verdicts match a brute-force within-cell check") {
+    val out = graft.query.Dedup.dedupSemantic(spark, sf01)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.length == 500)
+    assert(out.count(!_._3) > 0, "no removals on the test corpus")
+    val emb = graft.schema.Schemas.table(spark, sf01, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    // given the (oracle-checked) cell assignment, the verdict rule is
+    // independently recomputable: removed <=> a lower-id same-cell
+    // neighbor scores >= threshold
+    out.foreach { case (id, cell, kept) =>
+      val hasSmaller = out.exists { case (o, ocell, _) =>
+        o < id && ocell == cell && cos(emb(o), emb(id)) >= 0.4 }
+      assert(kept == !hasSmaller, s"vec $id cell $cell")
+    }
+  }
+
+  test("dedup_semantic: identical-vector attack keeps exactly one representative") {
+    // 2000 identical vectors: every dot ties, so all land in cell 0;
+    // the occupancy cap hub-spokes the cell and the hub removes every
+    // other member — O(n) candidates, one survivor
+    val dir = java.nio.file.Files.createTempDirectory("adv-sem").toString
+    val n = 2000
+    val v = Array.tabulate(64)(i => (if (i == 0) 1.0f else 0.0f))
+    spark.range(n).select($"id".as("vec_id"),
+        typedLit(v.toSeq).as("embedding"), lit(0).as("label"))
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val out = graft.query.Dedup.dedupSemantic(spark, dir)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.length == n)
+    val kept = out.filter(_._3).map(_._1)
+    assert(kept == Seq(0L), s"expected only vec 0 kept, got $kept")
+  }
+
   // measured 0.475 on the near-uniform synthetic corpus (4/16 cells
   // probed ⇒ ~0.25 expected under uniformity; anchor-correlated cells
   // add signal); floor at ~70% of measured, 166× the 0.002
