@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{FloatVecDot, JaccardSorted, MinHashSig, ShingleHashes, SignLshSigs, SimHash60}
+import graft.functions.{FloatVecDot, JaccardSorted, JlProject, MinHashSig, ShingleHashes, SignLshSigs, SimHash60}
 
 /** Session extensions: registers the engine's custom Catalyst expressions
   * (`simhash60`, `float_dot`, `minhash_sig`, `shingle_hashes`,
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(ShingleHashes.descriptor)
     e.injectFunction(JaccardSorted.descriptor)
     e.injectFunction(SignLshSigs.descriptor)
+    e.injectFunction(JlProject.descriptor)
   }
 }
 
@@ -35,5 +36,6 @@ object GraftExtensions {
     ShingleHashes.register(spark)
     JaccardSorted.register(spark)
     SignLshSigs.register(spark)
+    JlProject.register(spark)
   }
 }

@@ -297,6 +297,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.annFilteredTopK(s, d)),
     "eval_retrieval_metrics" ->
       ((s: SparkSession, d: String) => Similarity.evalRetrievalMetrics(s, d)),
+    // JL dimension reduction + exact recall audit (codegen'd jl_project)
+    "emb_jl_recall"          ->
+      ((s: SparkSession, d: String) => Similarity.embJlRecall(s, d)),
     "corpus_quality_gate"    -> Curation.corpusQualityGate _,
     "emb_pq_codes"           ->
       ((s: SparkSession, d: String) => Curation.embPqCodes(s, d)),
@@ -2327,6 +2330,43 @@ object SparkEntry {
         |  CAST(avg(CAST(hits AS DOUBLE) / 10) AS REAL) AS precision_at_k,
         |  CAST(avg(coalesce(1.0 / first_hit, 0.0)) AS REAL) AS mrr
         |FROM pq""".stripMargin,
+    "emb_jl_recall" ->
+      """WITH planes AS (
+        |  SELECT jj.j AS pj,
+        |    list(CAST(CAST('0x' || substr(
+        |        md5('jl:' || jj.j || ':' || ii.i), 1, 15)
+        |        AS BIGINT) AS DOUBLE) / 576460752303423488.0 - 1.0
+        |      ORDER BY ii.i) AS plane
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS j) jj,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) ii
+        |  GROUP BY jj.j
+        |), emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), proj AS (
+        |  SELECT vec_id,
+        |    list(list_dot_product(e, plane) ORDER BY pj) AS pe
+        |  FROM emb, planes GROUP BY vec_id
+        |), fullv AS (
+        |  SELECT emb.vec_id, emb.e, proj.pe
+        |  FROM emb JOIN proj USING (vec_id)
+        |), scored AS (
+        |  SELECT q.vec_id AS qid, x.vec_id,
+        |    list_dot_product(x.e, q.e) AS cf,
+        |    list_dot_product(x.pe, q.pe) AS cp
+        |  FROM fullv x JOIN fullv q
+        |    ON q.vec_id < 20 AND x.vec_id <> q.vec_id
+        |), ranked AS (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cf DESC, vec_id) AS rf,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cp DESC, vec_id) AS rp
+        |  FROM scored
+        |)
+        |SELECT qid, CAST(count(*) AS BIGINT) AS n_retrieved,
+        |  CAST(sum(CASE WHEN rf <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hits_at_k
+        |FROM ranked WHERE rp <= 10 GROUP BY qid ORDER BY qid""".stripMargin,
     "corpus_quality_gate" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -363,4 +363,53 @@ object Similarity {
         avg(coalesce(lit(1.0) / col("first_hit"), lit(0.0)))
           .cast("float").as("mrr"))
   }
+
+  /** Johnson–Lindenstrauss reduced-dimension retrieval with an exact
+    * recall audit: project every embedding 64→`outDim` dims through the
+    * codegen'd [[graft.functions.JlProject]] (md5-derived planes a SQL
+    * oracle replays bit-exactly), rank candidates per query vector in
+    * BOTH the full and the projected space, and report per-query
+    * `hits_at_k` — how many of the full-space top-k survive in the
+    * projected top-k. Output is integer-only (robustness discipline).
+    *
+    * Scale shape: the projection is a map-only Project over the scan
+    * (no shuffle, no plane literals in the plan); at corpus scale the
+    * projected vectors are what the ANN index stores — outDim/dim of
+    * the memory and dot-product cost (64→16 = 4×) with JL-bounded
+    * distortion — and this query IS the offline recall audit a 100 TB
+    * deployment runs on a sample before committing to the index. The
+    * ranking here is brute-force on purpose (it audits the projection
+    * alone, not a bucketing scheme); the query panel is broadcast and
+    * the per-query top-k is window-ranked, shuffling (qid, vec_id,
+    * two doubles) only. */
+  def embJlRecall(spark: SparkSession, dir: String, outDim: Int = 16,
+      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.FloatVecDot.register(spark)
+    graft.functions.JlProject.register(spark)
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr(s"jl_project(embedding, $outDim)").as("pe"))
+    val qs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("pe").as("pqe"))
+    val scored = emb.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("float_dot(embedding, qe)").as("cf"),
+        // projected-space score: float_dot's dotDD tight loop over the
+        // two jl_project outputs — bit-identical to list_dot_product
+        expr("float_dot(pe, pqe)").as("cp"))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("cf").desc, col("vec_id"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cp").desc, col("vec_id"))
+    scored
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rp", row_number().over(wp))
+      .filter(col("rp") <= k)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(when(col("rf") <= k, 1L).otherwise(0L)).as("hits_at_k"))
+      .orderBy(col("qid"))
+  }
 }

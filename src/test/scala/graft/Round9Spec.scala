@@ -317,6 +317,44 @@ class Round9Spec extends SparkSpec {
     assert(kept == Seq(0L), s"expected only vec 0 kept, got $kept")
   }
 
+  // ---- JL random projection --------------------------------------------
+
+  test("jl_project: one-hot input recovers the exact md5-derived plane column") {
+    // projection is linear, so e_i in → column i of the plane matrix
+    // out, bit-exact (single product against 1.0f, no summation error)
+    graft.functions.JlProject.register(spark)
+    val oneHot = Array.tabulate(64)(i => if (i == 5) 1.0f else 0.0f)
+    val out = spark.range(1)
+      .select(typedLit(oneHot.toSeq).as("e"))
+      .select(expr("jl_project(e, 16)"))
+      .as[Seq[Double]].head()
+    val expected = (0 until 16).map { jj =>
+      graft.functions.SimHashImpl.hash60(
+        s"jl:$jj:5".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .toDouble / 576460752303423488.0 - 1.0
+    }
+    assert(out == expected)
+    assert(out.forall(v => v >= -1.0 && v < 1.0))
+  }
+
+  test("emb_jl_recall: projection stays in whole-stage codegen; recall above floor") {
+    val df = graft.query.Similarity.embJlRecall(spark, sf01)
+    val rows = df.as[(Long, Long, Long)].collect().toSeq
+    assert(rows.length == 20 && rows.forall(_._2 == 10L))
+    // measured Σhits = 23 (mean recall@10 0.115 on the near-uniform
+    // synthetic corpus — 5.7× the 10/499 ≈ 0.02 chance baseline, same
+    // regime as the pinned sign-LSH 0.113); floor at ~70% of measured
+    val totalHits = rows.map(_._3).sum
+    assert(totalHits >= 16L, s"JL recall collapsed: $totalHits hits")
+    val df2 = graft.query.Similarity.embJlRecall(spark, sf01)
+    df2.collect() // finalize AQE so codegen spans (*) appear
+    val executed = df2.queryExecution.executedPlan.toString
+    assert(executed.contains("jl_project"), executed)
+    val star = executed.linesIterator.exists(l => l.contains("jl_project") &&
+      l.replaceAll("^[\\s:+-]*", "").startsWith("*("))
+    assert(star, "jl_project fell out of whole-stage codegen:\n" + executed)
+  }
+
   // measured 0.475 on the near-uniform synthetic corpus (4/16 cells
   // probed ⇒ ~0.25 expected under uniformity; anchor-correlated cells
   // add signal); floor at ~70% of measured, 166× the 0.002
