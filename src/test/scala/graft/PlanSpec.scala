@@ -196,6 +196,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic: pairs via cell equi-join; the only product is the broadcast anchor panel") {
+    // assignment legitimately crosses the corpus with the BOUNDED
+    // (~n/32-row, broadcast) anchor panel — one BNLJ; the candidate-pair
+    // stage must still be the boundedSelfPairs equi-join, never a product
+    val p = plan(graft.query.Dedup.dedupSemantic(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the assigned subtree is inlined once per consumer, so the panel
+    // BNLJ repeats textually; what must NEVER appear is a non-Cross
+    // (corpus×corpus theta) nested-loop join
+    // tree lines only ("... (id)") — the formatted detail section
+    // repeats each operator name bare
+    val bnljs = "BroadcastNestedLoopJoin[^\\n]*\\(\\d+\\)".r.findAllIn(p).toSeq
+    assert(bnljs.nonEmpty && bnljs.forall(_.contains("Cross BuildRight")),
+      s"non-panel nested-loop join:\n${bnljs.mkString("\n")}")
+    // and the candidate-pair stage is a real equi-join on the cell key
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      p.take(2000))
+  }
+
   test("text_top_ngram_cov: argmax window partitions by doc_id, never global") {
     val df = graft.query.TextAnalysis.textTopNgramCoverage(spark, sf)
     val p = plan(df)
