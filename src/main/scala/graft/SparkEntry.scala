@@ -62,6 +62,9 @@ object SparkEntry {
     // the plain unsalted join
     "join_salted_skew"    ->
       ((s: SparkSession, d: String) => Relational.joinSaltedSkew(s, d)),
+    // bloom runtime-filter join (might_contain prune before the shuffle)
+    "join_bloom_prefilter" ->
+      ((s: SparkSession, d: String) => Relational.joinBloomPrefilter(s, d)),
     "agg_pivot"           -> Relational.aggPivot _,
     "udaf_weighted_avg"   -> Relational.udafWeightedAvg _,
     "sql_revenue_by_nation" -> Relational.sqlRevenueByNation _,
@@ -517,6 +520,15 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_bloom_prefilter" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_c4
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_pivot" ->
       """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -639,6 +639,55 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** Bloom-prefiltered fact→dim join — the runtime-filter pattern for the
+    * dim-too-big-to-broadcast regime: build a bloom filter over the
+    * selective dim's keys (`bloom_filter_agg`, an ObjectHashAggregate
+    * whose one-row binary result broadcasts at ~100 KB), semi-filter the
+    * fact with `might_contain` BEFORE its shuffle, then run the real
+    * equi-join on the survivors. False positives only cost a little
+    * extra shuffle — the join keeps results exact, which is what the
+    * plain-join oracle checks. At 100 TB this is the difference between
+    * shuffling the full fact table and shuffling the ~selectivity
+    * fraction that can match (Spark's own AQE runtime filter injects the
+    * same shape; building it explicitly keeps it deterministic and
+    * hint-controlled). Sizing here is fixed (1e5 items / 8e5 bits ≈ 2%
+    * FPP); a production build sizes from dim-side stats. */
+  def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("bloom_filter_agg",
+      exprs => BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("might_contain",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
+    table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .createOrReplaceTempView("v_bloom_urgent")
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .createOrReplaceTempView("v_bloom_li")
+    // might_contain requires the filter side to be a constant or scalar
+    // subquery (the shape Spark's AQE runtime filter injects); the
+    // subquery plans once, its ~100 KB binary result ships to every
+    // fact-side task, and the filter pushes below the fact's exchange
+    spark.sql(
+      """SELECT /*+ SHUFFLE_HASH(o) */
+        |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  count(*) AS n_items,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100L - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS revenue_c4
+        |FROM v_bloom_li l
+        |JOIN v_bloom_urgent o ON l_orderkey = o_orderkey
+        |WHERE might_contain(
+        |    (SELECT bloom_filter_agg(xxhash64(o_orderkey),
+        |       100000L, 800000L) FROM v_bloom_urgent),
+        |    xxhash64(l_orderkey))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** ROLLUP grouping sets — per-(type, user-bucket) stats plus per-type and
     * grand-total subtotals in one pass (one shuffle; Expand feeds the same
     * partial-agg pipeline). Null grouping keys are the subtotal markers. */

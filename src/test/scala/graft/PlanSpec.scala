@@ -196,6 +196,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_bloom_prefilter: might_contain prunes the fact BELOW its shuffle") {
+    val p = plan(graft.query.Relational.joinBloomPrefilter(spark, sf))
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    // the pruning filter must be on the scan side of the exchange: in the
+    // formatted tree the Filter(might_contain) line appears deeper than
+    // (after) the Exchange that feeds the join probe side
+    val tree = p.linesIterator.takeWhile(!_.startsWith("(")).toSeq
+    val filterIdx = tree.indexWhere(_.contains("Filter"))
+    val exchangeIdx = tree.indexWhere(_.contains("Exchange"))
+    assert(filterIdx > exchangeIdx && exchangeIdx >= 0,
+      s"filter not below the exchange:\n${tree.mkString("\n")}")
+  }
+
   test("dedup_semantic: pairs via cell equi-join; the only product is the broadcast anchor panel") {
     // assignment legitimately crosses the corpus with the BOUNDED
     // (~n/32-row, broadcast) anchor panel — one BNLJ; the candidate-pair
