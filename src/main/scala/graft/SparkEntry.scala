@@ -359,6 +359,8 @@ object SparkEntry {
     "stream_session_window"  -> StreamQueries.streamSessionWindowNative _,
     "source_orc_agg"         -> graft.ingest.Formats.orcSourceAgg _,
     "source_jsonl_agg"       -> graft.ingest.Formats.jsonlSourceAgg _,
+    // mergeSchema read over mixed-generation parquet (evolved column)
+    "source_schema_evolution" -> graft.ingest.Formats.schemaEvolutionAgg _,
     "graph_reachability"     ->
       ((s: SparkSession, d: String) => Analytics.graphReachability(s, d)),
     "ann_radius_search"      ->
@@ -842,6 +844,13 @@ object SparkEntry {
         |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
         |    AS acctbal_c
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "source_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<legacy>'
+        |    ELSE o_orderpriority END AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_hopping_agg" ->
       """WITH e AS (SELECT event_type, value,
         |    (epoch_ms(ts) // 10800000) * 10800 AS s3 FROM events)

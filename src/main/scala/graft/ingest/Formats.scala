@@ -88,6 +88,52 @@ object Formats {
           .as("value_c"))
       .orderBy(col("o_orderpriority"))
 
+  /** Schema-evolution source: one parquet directory whose files come
+    * from TWO pipeline generations — legacy files (even order keys)
+    * lack `o_orderpriority`, current files (odd keys) carry it — read
+    * through `mergeSchema=true`, the lakehouse answer to columns added
+    * mid-stream. Legacy rows surface as NULLs in the evolved column;
+    * the rollup tags them `<legacy>` so the oracle can replay the
+    * split arithmetically from the original table. At 100 TB merged
+    * reads cost one footer per file (schema union on the driver);
+    * per-file column absence is free (the reader fills nulls), so
+    * evolution never forces a rewrite of old data. */
+  def schemaEvolutionAgg(spark: SparkSession, dir: String): DataFrame = {
+    val evoDir = graft.schema.Schemas.evictingComputeIfAbsent(dirs,
+      s"$dir#orders#pqevo",
+      graft.schema.Schemas.fingerprint(s"$dir/orders.parquet"))({
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-pqevo-orders").toString
+      created.add(out)
+      val orders = graft.schema.Schemas.table(spark, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(out)
+      orders.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("append").parquet(out)
+      out
+    })({ stale =>
+      created.remove(stale)
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(stale)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    })
+    spark.read.option("mergeSchema", "true").parquet(evoDir)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<legacy>"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * lit(100)).cast("long"))
+          .as("value_c"))
+      .orderBy(col("priority"))
+  }
+
   /** JSON-lines source: segment rollup over customer served from JSONL
     * with an EXPLICIT schema (no inference pass — at 100 TB schema
     * inference is a full extra scan). Account balances as exact cents

@@ -317,6 +317,19 @@ class Round9Spec extends SparkSpec {
     assert(kept == Seq(0L), s"expected only vec 0 kept, got $kept")
   }
 
+  // ---- schema evolution ------------------------------------------------
+
+  test("source_schema_evolution: legacy files surface as <legacy> with exact value sums") {
+    val byPrio = graft.schema.Schemas.table(spark, sf01, "orders")
+      .groupBy(when($"o_orderkey" % 2 === 0, "<legacy>")
+        .otherwise($"o_orderpriority").as("p"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    val got = graft.ingest.Formats.schemaEvolutionAgg(spark, sf01)
+      .select($"priority", $"n_orders").as[(String, Long)].collect().toMap
+    assert(got == byPrio)
+    assert(got.contains("<legacy>") && got("<legacy>") > 0)
+  }
+
   // ---- JL random projection --------------------------------------------
 
   test("jl_project: one-hot input recovers the exact md5-derived plane column") {
