@@ -652,7 +652,8 @@ object Relational {
     * same shape; building it explicitly keeps it deterministic and
     * hint-controlled). Sizing here is fixed (1e5 items / 8e5 bits ≈ 2%
     * FPP); a production build sizes from dim-side stats. */
-  def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+  def joinBloomPrefilter(spark: SparkSession, dir: String,
+      numItems: Long = 100000L, numBits: Long = 800000L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val reg = spark.sessionState.functionRegistry
@@ -673,7 +674,7 @@ object Relational {
     // subquery plans once, its ~100 KB binary result ships to every
     // fact-side task, and the filter pushes below the fact's exchange
     spark.sql(
-      """SELECT /*+ SHUFFLE_HASH(o) */
+      s"""SELECT /*+ SHUFFLE_HASH(o) */
         |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
         |  count(*) AS n_items,
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -683,7 +684,7 @@ object Relational {
         |JOIN v_bloom_urgent o ON l_orderkey = o_orderkey
         |WHERE might_contain(
         |    (SELECT bloom_filter_agg(xxhash64(o_orderkey),
-        |       100000L, 800000L) FROM v_bloom_urgent),
+        |       ${numItems}L, ${numBits}L) FROM v_bloom_urgent),
         |    xxhash64(l_orderkey))
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }

@@ -210,6 +210,16 @@ class PlanSpec extends SparkSpec {
       s"filter not below the exchange:\n${tree.mkString("\n")}")
   }
 
+  test("join_bloom_prefilter: an undersized (high-FP) filter cannot change results") {
+    // 100 items / 800 bits over ~1500 urgent keys → near-total false
+    // positives; the equi-join behind the prune must keep results exact
+    val tight = graft.query.Relational.joinBloomPrefilter(spark, sf).collect()
+    val sloppy = graft.query.Relational
+      .joinBloomPrefilter(spark, sf, numItems = 100L, numBits = 800L)
+      .collect()
+    assert(tight.nonEmpty && tight.toSeq == sloppy.toSeq)
+  }
+
   test("dedup_semantic: pairs via cell equi-join; the only product is the broadcast anchor panel") {
     // assignment legitimately crosses the corpus with the BOUNDED
     // (~n/32-row, broadcast) anchor panel — one BNLJ; the candidate-pair
