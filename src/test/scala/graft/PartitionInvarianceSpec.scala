@@ -42,6 +42,12 @@ class PartitionInvarianceSpec extends SparkSpec {
         checkpointEvery = 3)),
     "text_top_ngram_cov tie-broken argmax window" ->
       (() => graft.query.TextAnalysis.textTopNgramCoverage(spark, sf)),
+    "dedup_semantic anchor argmax + cell pairs" ->
+      (() => graft.query.Dedup.dedupSemantic(spark, sf)),
+    "emb_jl_recall dual-window rank overlap" ->
+      (() => graft.query.Similarity.embJlRecall(spark, sf)),
+    "join_bloom_prefilter partial bloom OR-merge" ->
+      (() => graft.query.Relational.joinBloomPrefilter(spark, sf)),
     // stateful streaming: the state-store partition count is what a
     // 100 TB deployment actually tunes — prove the drained results are
     // byte-identical at 3 vs 5 state partitions (drain() honors the
