@@ -303,6 +303,9 @@ object SparkEntry {
     // JL dimension reduction + exact recall audit (codegen'd jl_project)
     "emb_jl_recall"          ->
       ((s: SparkSession, d: String) => Similarity.embJlRecall(s, d)),
+    // JL-projected pre-rank + exact re-rank top-k
+    "ann_jl_topk"            ->
+      ((s: SparkSession, d: String) => Similarity.annJlTopK(s, d)),
     "corpus_quality_gate"    -> Curation.corpusQualityGate _,
     "emb_pq_codes"           ->
       ((s: SparkSession, d: String) => Curation.embPqCodes(s, d)),
@@ -2351,6 +2354,36 @@ object SparkEntry {
         |  CAST(avg(CAST(hits AS DOUBLE) / 10) AS REAL) AS precision_at_k,
         |  CAST(avg(coalesce(1.0 / first_hit, 0.0)) AS REAL) AS mrr
         |FROM pq""".stripMargin,
+    "ann_jl_topk" ->
+      """WITH planes AS (
+        |  SELECT jj.j AS pj,
+        |    list(CAST(CAST('0x' || substr(
+        |        md5('jl:' || jj.j || ':' || ii.i), 1, 15)
+        |        AS BIGINT) AS DOUBLE) / 576460752303423488.0 - 1.0
+        |      ORDER BY ii.i) AS plane
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS j) jj,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) ii
+        |  GROUP BY jj.j
+        |), emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), qp AS (
+        |  SELECT list(list_dot_product(q.e, pl.plane) ORDER BY pl.pj)
+        |    AS pq
+        |  FROM (SELECT e FROM emb WHERE vec_id = 0) q, planes pl
+        |), proj AS (
+        |  SELECT emb.vec_id,
+        |    list(list_dot_product(emb.e, pl.plane) ORDER BY pl.pj) AS pe
+        |  FROM emb, planes pl WHERE emb.vec_id <> 0
+        |  GROUP BY emb.vec_id
+        |), cand AS (
+        |  SELECT vec_id FROM proj, qp
+        |  ORDER BY list_dot_product(pe, pq) DESC, vec_id LIMIT 80
+        |)
+        |SELECT c.vec_id,
+        |  list_dot_product(e.e,
+        |    (SELECT e FROM emb WHERE vec_id = 0)) AS cosine
+        |FROM cand c JOIN emb e USING (vec_id)
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "emb_jl_recall" ->
       """WITH planes AS (
         |  SELECT jj.j AS pj,

@@ -364,6 +364,44 @@ object Similarity {
           .cast("float").as("mrr"))
   }
 
+  /** JL-accelerated top-k: rank the corpus by dot product in the
+    * [[graft.functions.JlProject]] 16-dim space (4× cheaper per
+    * candidate than full-dim — and at index scale, 4× less memory
+    * traffic), keep the top `k`·`candMult` candidates, then re-rank
+    * EXACTLY in the original space and return the top `k` — the
+    * approximate-rank → exact-re-rank pattern shared with
+    * `ann_pq_adc_topk`. Both stages are TakeOrdered (no global sort);
+    * the projected query vector is computed on the driver from the
+    * same cached plane matrix the executors use, so the whole
+    * pipeline — planes, projections, both rankings — replays
+    * bit-exactly in the SQL oracle. Recall vs brute force is pinned by
+    * spec; misses are exactly the true-top-k members whose projected
+    * rank falls outside the candidate set (JL distortion). */
+  def annJlTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, outDim: Int = 16, candMult: Int = 8): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    graft.functions.JlProject.register(spark)
+    val qv = queryVector(spark, dir, queryId)
+    val planes = graft.functions.JlProjectImpl.planes(outDim, qv.length)
+    val qProj = planes.map { p =>
+      var s = 0.0; var i = 0
+      while (i < qv.length) { s += qv(i).toDouble * p(i); i += 1 }
+      s
+    }
+    val cand = table(spark, dir, "embeddings")
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("pq", typedLit(qProj.toIndexedSeq))
+      .select(col("vec_id"), col("embedding"),
+        expr(s"float_dot(jl_project(embedding, $outDim), pq)").as("cp"))
+      .orderBy(col("cp").desc, col("vec_id"))
+      .limit(k * candMult)
+    cand
+      .withColumn("qv", array(qv.toIndexedSeq.map(lit): _*))
+      .select(col("vec_id"), expr("float_dot(embedding, qv)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Johnson–Lindenstrauss reduced-dimension retrieval with an exact
     * recall audit: project every embedding 64→`outDim` dims through the
     * codegen'd [[graft.functions.JlProject]] (md5-derived planes a SQL

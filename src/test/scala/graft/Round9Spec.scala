@@ -368,6 +368,26 @@ class Round9Spec extends SparkSpec {
     assert(star, "jl_project fell out of whole-stage codegen:\n" + executed)
   }
 
+  test("ann_jl_topk: full-candidate probe IS brute force; default probe beats chance") {
+    // candMult covering the corpus makes the exact re-rank see every
+    // vector — the projected pre-rank can then drop nothing
+    val full = graft.query.Similarity
+      .annJlTopK(spark, sf01, 0L, 10, candMult = 50).collect().toSeq
+    val bf = graft.query.Similarity
+      .bruteForceTopK(spark, sf01, 0L, 10).collect().toSeq
+    assert(full == bf)
+    // measured Σhits = 37/100 over queries 0–9 (80/499 ≈ 0.16 chance
+    // ⇒ chance Σ ≈ 16); floor at ~68% of measured
+    val hits = (0L until 10L).map { q =>
+      val ex = graft.query.Similarity.bruteForceTopK(spark, sf01, q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val jl = graft.query.Similarity.annJlTopK(spark, sf01, q, 10)
+        .collect().map(_.getLong(0)).toSet
+      (ex & jl).size
+    }.sum
+    assert(hits >= 25, s"JL pre-rank recall collapsed: $hits/100")
+  }
+
   // measured 0.475 on the near-uniform synthetic corpus (4/16 cells
   // probed ⇒ ~0.25 expected under uniformity; anchor-correlated cells
   // add signal); floor at ~70% of measured, 166× the 0.002
