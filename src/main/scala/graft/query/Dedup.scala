@@ -403,6 +403,13 @@ object Dedup {
     new java.util.WeakHashMap[SparkSession, IndexMap]()
   private val pairCache =
     new java.util.WeakHashMap[SparkSession, IndexMap]()
+  //   semCache: SemDeDup cell assignment per (dir) — (vec_id, cell)
+  //     longs; the pair stage, the removal verdict, and the output all
+  //     probe the same persisted assignment instead of re-running the
+  //     anchor crossJoin + argmax aggregation per consumer (exchange
+  //     reuse only amortizes part of the duplicated subtree)
+  private val semCache =
+    new java.util.WeakHashMap[SparkSession, IndexMap]()
 
   /** The per-session index map (WeakHashMap is not thread-safe — all
     * access goes through this synchronized accessor). */
@@ -417,7 +424,7 @@ object Dedup {
     * Call when a session is being stopped or tests want a cold start. */
   def clearCaches(): Unit = {
     import scala.jdk.CollectionConverters._
-    Seq(sigCache, pairCache).foreach { cache =>
+    Seq(sigCache, pairCache, semCache).foreach { cache =>
       cache.synchronized {
         cache.values.asScala.flatMap(_.values.asScala).foreach { df =>
           try df.unpersist(false) catch { case _: Throwable => () }
@@ -605,21 +612,32 @@ object Dedup {
     graft.functions.FloatVecDot.register(spark)
     val emb = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val nCells = math.max(16L, math.ceil(emb.count() / 32.0).toLong).toInt
-    val seeds = emb
-      .orderBy(hash60(col("vec_id").cast("string")), col("vec_id"))
-      .limit(nCells)
-      .select(col("vec_id").as("seed_vid"), col("embedding").as("seed_e"))
-      .withColumn("cell",
-        (row_number().over(Window.orderBy(
-          hash60(col("seed_vid").cast("string")), col("seed_vid"))) - 1)
-          .cast("long"))
-    val assigned = emb
-      .crossJoin(broadcast(seeds.select(col("cell"), col("seed_e"))))
-      .withColumn("dp", expr("float_dot(embedding, seed_e)"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("dp"), (-col("cell")).as("negc"))).as("best"))
-      .select(col("vec_id"), (-col("best.negc")).as("cell"))
+    // assignment is computed ONCE per corpus content fingerprint and
+    // persisted (ids+cells, 16 bytes/row): the pair stage, the removal
+    // verdict, and the output frame all probe the same cached index —
+    // at corpus scale re-running the anchor panel scan per consumer is
+    // the dominant avoidable cost
+    val assigned = graft.schema.Schemas.evictingComputeIfAbsent(
+      forSession(semCache, spark), s"$dir#semassign",
+      graft.schema.Schemas.fingerprint(s"$dir/embeddings.parquet"))({
+      val nCells =
+        math.max(16L, math.ceil(emb.count() / 32.0).toLong).toInt
+      val seeds = emb
+        .orderBy(hash60(col("vec_id").cast("string")), col("vec_id"))
+        .limit(nCells)
+        .select(col("vec_id").as("seed_vid"), col("embedding").as("seed_e"))
+        .withColumn("cell",
+          (row_number().over(Window.orderBy(
+            hash60(col("seed_vid").cast("string")), col("seed_vid"))) - 1)
+            .cast("long"))
+      emb
+        .crossJoin(broadcast(seeds.select(col("cell"), col("seed_e"))))
+        .withColumn("dp", expr("float_dot(embedding, seed_e)"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("dp"), (-col("cell")).as("negc"))).as("best"))
+        .select(col("vec_id"), (-col("best.negc")).as("cell"))
+        .persist()
+    })(_.unpersist(false))
     val cand = boundedSelfPairs(assigned, Seq("cell"),
       "vec_id", "vec_a", "vec_b")
     val removed = cand
