@@ -349,6 +349,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Curation2.chunkSliding(s, d)),
     "curriculum_phases"      ->
       ((s: SparkSession, d: String) => Curation2.curriculumPhases(s, d)),
+    // α=0.5 temperature rebalancing across skewed language groups
+    "corpus_temperature_mix" ->
+      ((s: SparkSession, d: String) => Curation2.corpusTemperatureMix(s, d)),
     "dedup_incremental"      -> Curation2.dedupIncremental _,
     // round-7: delta-vs-corpus NEAR-dup via the shared MinHash band index
     "dedup_incremental_minhash" ->
@@ -2855,6 +2858,19 @@ object SparkEntry {
         |  md5(array_to_string(list_slice(toks, st, st + 31), ' '))
         |    AS chunk_hash
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "corpus_temperature_mix" ->
+      """WITH n AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        |), m AS (SELECT min(n_docs) AS n_min FROM n)
+        |SELECT d.lang, n.n_docs,
+        |  CAST(sum(CASE WHEN
+        |      CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+        |          || ':tm'), 1, 15) AS BIGINT) AS DOUBLE)
+        |        * sqrt(CAST(n.n_docs AS DOUBLE))
+        |      < 1152921504606846976.0 * sqrt(CAST(m.n_min AS DOUBLE))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN n USING (lang), m
+        |GROUP BY d.lang, n.n_docs ORDER BY d.lang""".stripMargin,
     "curriculum_phases" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split(lower(trim(

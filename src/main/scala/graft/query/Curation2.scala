@@ -247,4 +247,38 @@ object Curation2 {
           .as("value_total_c"))
       .orderBy(col("bin"))
   }
+
+  /** Temperature-weighted (α = 0.5) multi-group corpus mixing — the
+    * standard LM rebalancing pass: each group's keep rate is
+    * sqrt(n_min/n_group), so the smallest group passes whole (rate 1,
+    * deterministically: its hash threshold clears the full 60-bit
+    * range) and larger groups downsample SUBLINEARLY to an effective
+    * count of sqrt(n_group · n_min) — exactly the α = 0.5 temperature
+    * counts. The keep decision is a per-doc deterministic hash compare,
+    * cross-multiplied so both sides stay in IEEE-exact operations
+    * (double multiply + sqrt are correctly rounded; no pow, whose libm
+    * rounding varies across engines): keep ⇔
+    * hash60(doc) · sqrt(n_group) < 2^60 · sqrt(n_min).
+    *
+    * Scale shape: one map-side-combined count per group, the tiny
+    * (group, n) panel broadcast back, then a map-only filter over the
+    * corpus — no data shuffle at all beyond the count's. Per-group
+    * summary out; the same `kept` predicate inlines into any
+    * downstream corpus scan. */
+  def corpusTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val n = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val nmin = n.agg(min(col("n_docs")).as("n_min"))
+    d.join(broadcast(n), Seq("lang"))
+      .crossJoin(broadcast(nmin))
+      .withColumn("kept",
+        Dedup.hash60(concat(col("doc_id").cast("string"), lit(":tm")))
+            .cast("double") * sqrt(col("n_docs").cast("double")) <
+          lit(1152921504606846976.0) * sqrt(col("n_min").cast("double")))
+      .groupBy(col("lang"), col("n_docs"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("n_kept"))
+      .orderBy(col("lang"))
+  }
 }

@@ -368,6 +368,25 @@ class Round9Spec extends SparkSpec {
     assert(star, "jl_project fell out of whole-stage codegen:\n" + executed)
   }
 
+  test("corpus_temperature_mix: smallest group passes whole; larger groups hit sqrt counts") {
+    val rows = graft.query.Curation2.corpusTemperatureMix(spark, sf01)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.map(_._1).toSet == Set("en", "de", "es", "fr", "zh"))
+    val nMin = rows.map(_._2).min
+    rows.foreach { case (lang, n, kept) =>
+      if (n == nMin) assert(kept == n, s"$lang: smallest group must pass whole")
+      // binomial 4σ band around the α=0.5 effective count sqrt(n·n_min)
+      val expected = math.sqrt(n.toDouble * nMin)
+      val sigma = math.sqrt(expected * (1.0 - expected / n))
+      assert(math.abs(kept - expected) <= 4 * sigma + 1,
+        s"$lang: kept=$kept expected≈$expected σ=$sigma")
+    }
+    val (_, nMax, keptMax) = rows.maxBy(_._2)
+    val (_, nSm, keptSm) = rows.minBy(_._2)
+    assert(keptMax.toDouble / nMax < keptSm.toDouble / nSm,
+      "largest group must downsample harder than the smallest")
+  }
+
   test("ann_jl_topk: full-candidate probe IS brute force; default probe beats chance") {
     // candMult covering the corpus makes the exact re-rank see every
     // vector — the projected pre-rank can then drop nothing
