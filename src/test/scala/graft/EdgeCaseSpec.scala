@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Degenerate-corpus robustness: every corpus-level curation operator
+  * must return a well-formed (usually empty) result on an EMPTY corpus
+  * and a sane one on a SINGLE-row corpus — not throw. These are the
+  * boundary states every long-lived 100 TB deployment actually visits
+  * (first load of a new corpus version, a partition whose filter
+  * matched nothing, a delta with one document), and the failure mode
+  * they guard against — `head()` on an empty frame, a null aggregate
+  * flowing into arithmetic, a window over zero rows — is a crash, not
+  * a wrong answer, so no oracle covers it.
+  */
+class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sf = SparkSpec.sf
+
+  /** A corpus dir holding EMPTY documents + embeddings tables with the
+    * real schemas (parquet written from limit(0) of the fixtures). */
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("edge-empty").toString
+    Seq("documents", "embeddings").foreach { t =>
+      graft.schema.Schemas.table(spark, sf, t).limit(0)
+        .coalesce(1).write.parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  /** Same, with exactly ONE row per table. */
+  private lazy val oneDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("edge-one").toString
+    Seq("documents" -> "doc_id", "embeddings" -> "vec_id").foreach {
+      case (t, id) =>
+        graft.schema.Schemas.table(spark, sf, t)
+          .orderBy(org.apache.spark.sql.functions.col(id)).limit(1)
+          .coalesce(1).write.parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private val corpusOps: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] = Seq(
+    "dedup_exact" -> ((s, d) => graft.query.Dedup.dedupExact(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => graft.query.Dedup.dedupMinhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => graft.query.Dedup.dedupSimhash(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => graft.query.Dedup.dedupNgramJaccard(s, d)),
+    "dedup_semantic" -> ((s, d) => graft.query.Dedup.dedupSemantic(s, d)),
+    "dedup_embedding_cosine" ->
+      ((s, d) => graft.query.Dedup.dedupEmbeddingCosine(s, d)),
+    "emb_jl_recall" -> ((s, d) => graft.query.Similarity.embJlRecall(s, d)),
+    "text_quality" -> ((s, d) => graft.query.TextAnalysis.textQuality(s, d)),
+    "text_tfidf" -> ((s, d) => graft.query.TextAnalysis.textTfidf(s, d)),
+    "corpus_temperature_mix" ->
+      ((s, d) => graft.query.Curation2.corpusTemperatureMix(s, d)))
+
+  test("empty corpus: every corpus-level operator returns a well-formed empty result") {
+    graft.query.Dedup.clearCaches()
+    corpusOps.foreach { case (name, op) =>
+      val out =
+        try op(spark, emptyDir).collect()
+        catch { case e: Throwable =>
+          fail(s"$name threw on the empty corpus: $e") }
+      assert(out.isEmpty, s"$name returned rows on an empty corpus")
+    }
+    graft.query.Dedup.clearCaches()
+  }
+
+  test("single-row corpus: no self-pairs, singletons kept, stats well-formed") {
+    graft.query.Dedup.clearCaches()
+    // text near-dup ops PLANT a twin (doc_id+1000000) for doc_id<10 by
+    // declared design — a singleton corpus must pair with its twin and
+    // NOTHING else
+    Seq[(String, DataFrame)](
+      "dedup_minhash_lsh" -> graft.query.Dedup.dedupMinhashLsh(spark, oneDir),
+      "dedup_ngram_jaccard" ->
+        graft.query.Dedup.dedupNgramJaccard(spark, oneDir))
+      .foreach { case (name, df) =>
+        val pairs = df.select("doc_a", "doc_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(pairs.forall { case (a, b) => b == a + 1000000L },
+          s"$name produced a non-planted pair on a singleton: $pairs")
+      }
+    // the embeddings table has no planting: a single vector cannot pair
+    assert(graft.query.Dedup.dedupEmbeddingCosine(spark, oneDir)
+      .collect().isEmpty, "dedup_embedding_cosine paired a singleton")
+    // verdict ops: the singleton survives
+    val sem = graft.query.Dedup.dedupSemantic(spark, oneDir).collect()
+    assert(sem.length == 1 && sem.head.getBoolean(2),
+      "dedup_semantic must keep the only vector")
+    val mix = graft.query.Curation2.corpusTemperatureMix(spark, oneDir)
+      .collect()
+    assert(mix.length == 1 && mix.head.getLong(1) == 1L
+      && mix.head.getLong(2) == 1L,
+      "temperature mix must keep the only doc whole")
+    graft.query.Dedup.clearCaches()
+  }
+}
