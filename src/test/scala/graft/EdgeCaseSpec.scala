@@ -65,6 +65,21 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     graft.query.Dedup.clearCaches()
   }
 
+  test("empty events stream: stateful drains produce zero rows, not a crash") {
+    // first trigger on a brand-new stream with nothing to read — the
+    // state-store setup, watermark init, and finalization batch all run
+    // against zero input
+    val dir = java.nio.file.Files.createTempDirectory("edge-empty-ev").toString
+    graft.schema.Schemas.table(spark, sf, "events").limit(0)
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val windowed =
+      graft.streaming.StreamQueries.streamWindowAgg(spark, dir).collect()
+    assert(windowed.isEmpty, "windowed agg invented rows on an empty stream")
+    val sessions =
+      graft.streaming.StreamQueries.streamSessionCounts(spark, dir).collect()
+    assert(sessions.isEmpty, "sessionizer invented rows on an empty stream")
+  }
+
   test("single-row corpus: no self-pairs, singletons kept, stats well-formed") {
     graft.query.Dedup.clearCaches()
     // text near-dup ops PLANT a twin (doc_id+1000000) for doc_id<10 by
