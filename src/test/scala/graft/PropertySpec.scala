@@ -142,4 +142,27 @@ class PropertySpec extends SparkSpec {
       assert(res.batches.count() == math.min(n.toLong, b.toLong * m), s"case ($n,$b,$m)")
     }
   }
+
+  test("jl_project: linear under power-of-two scaling, bit-exact, dimension-stable") {
+    // projection is a fixed linear map: scaling the input by 2^k scales
+    // every output coordinate by exactly 2^k (power-of-two products and
+    // sums are IEEE-exact), and repeated evaluation is bit-stable
+    graft.functions.JlProject.register(spark)
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-4.0f, 4.0f))
+    samples(vecGen, 20).foreach { v =>
+      val df = Seq((v, v.map(_ * 2.0f), v.map(_ * 0.25f)))
+        .toDF("x", "x2", "xq")
+      val row = df.select(
+        expr("jl_project(x, 16)"), expr("jl_project(x2, 16)"),
+        expr("jl_project(xq, 16)")).head()
+      val Array(p, p2, pq) =
+        (0 until 3).map(row.getSeq[Double](_).toList).toArray
+      assert(p.length == 16)
+      assert(p2 == p.map(_ * 2.0), "×2 scaling must be exact")
+      assert(pq == p.map(_ * 0.25), "×1/4 scaling must be exact")
+      val again = df.select(expr("jl_project(x, 16)"))
+        .head().getSeq[Double](0).toList
+      assert(again == p, "re-evaluation must be bit-stable")
+    }
+  }
 }
