@@ -1320,15 +1320,20 @@ object SparkEntry {
         |    THEN CAST(ceil(count(*) / 32.0) AS BIGINT)
         |    ELSE 16 END AS nc
         |  FROM emb
+        |), cells AS (
+        |  SELECT vec_id, e,
+        |    CAST(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % (SELECT nc FROM k) AS BIGINT) AS cell,
+        |    lpad(CAST(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+        |        17, 15) AS BIGINT) AS VARCHAR), 19, '0')
+        |      || lpad(CAST(vec_id AS VARCHAR), 19, '0') AS skey
+        |  FROM emb
         |), seeds AS (
-        |  SELECT seed_vid, seed_e, CAST(rnk - 1 AS BIGINT) AS cell
-        |  FROM (
-        |    SELECT vec_id AS seed_vid, e AS seed_e,
-        |      row_number() OVER (ORDER BY
-        |        CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
-        |          AS BIGINT), vec_id) AS rnk
-        |    FROM emb)
-        |  WHERE rnk <= (SELECT nc FROM k)
+        |  SELECT s.cell, e2.e AS seed_e
+        |  FROM (SELECT cell, CAST(substr(min(skey), 20, 19) AS BIGINT)
+        |          AS seed_vid
+        |        FROM cells GROUP BY cell) s
+        |  JOIN emb e2 ON e2.vec_id = s.seed_vid
         |), assigned AS (
         |  SELECT vec_id, e, cell FROM (
         |    SELECT emb.vec_id, emb.e, s.cell,

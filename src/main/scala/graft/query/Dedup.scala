@@ -589,11 +589,13 @@ object Dedup {
     * cosine ≥ `threshold` against it (the deterministic stand-in for
     * the paper's keep-one-per-group rule).
     *
-    * The cluster stage reuses [[graft.query.Similarity.ivfDetTopK]]'s
-    * deterministic quantizer — the `nCells` corpus vectors ranked first
-    * by [[hash60]] of their id as Forgy anchors, argmax-dot assignment
-    * — so the DuckDB oracle replays cells, pairs, and verdicts
-    * hash-exactly; the KMeans-cell realism lives in the IVF variant.
+    * The cluster stage is a deterministic quantizer in the
+    * [[graft.query.Similarity.ivfDetTopK]] family: vectors hash into
+    * `nCells` buckets and each bucket's ([[hash60lo]], id)-argmin
+    * member anchors it (distributed Forgy), then every vector assigns
+    * by argmax dot against the anchor panel — so the DuckDB oracle
+    * replays cells, pairs, and verdicts hash-exactly; the KMeans-cell
+    * realism lives in the IVF variant.
     *
     * Scale shape: `nCells` grows with the corpus (max(16, n/32), the
     * same occupancy-targeting count() that sizes [[dedupEmbeddingCosine]]'s
@@ -622,16 +624,29 @@ object Dedup {
       graft.schema.Schemas.fingerprint(s"$dir/embeddings.parquet"))({
       val nCells =
         math.max(16L, math.ceil(emb.count() / 32.0).toLong).toInt
+      // Seed selection is FULLY distributed: each vector hashes to a
+      // cell bucket and the bucket's seed is its (hash60lo, vec_id)
+      // argmin — a map-side-combined string-min aggregation, not a
+      // global TakeOrdered of n/32 rows through the driver. The
+      // fixed-width decimal key makes lexicographic min == numeric
+      // argmin and replays verbatim in SQL (lpad/substr/CAST). An
+      // empty bucket simply contributes no seed (p ≈ e^-32 per
+      // bucket at the 32× occupancy target) — cells are defined by
+      // the seeds that exist.
       val seeds = emb
-        .orderBy(hash60(col("vec_id").cast("string")), col("vec_id"))
-        .limit(nCells)
-        .select(col("vec_id").as("seed_vid"), col("embedding").as("seed_e"))
         .withColumn("cell",
-          (row_number().over(Window.orderBy(
-            hash60(col("seed_vid").cast("string")), col("seed_vid"))) - 1)
-            .cast("long"))
+          pmod(hash60(col("vec_id").cast("string")), lit(nCells.toLong)))
+        .withColumn("skey", concat(
+          format_string("%019d", hash60lo(col("vec_id").cast("string"))),
+          format_string("%019d", col("vec_id"))))
+        .groupBy(col("cell")).agg(min(col("skey")).as("k"))
+        .select(col("cell"),
+          expr("CAST(substring(k, 20, 19) AS BIGINT)").as("seed_vid"))
+        .join(emb.select(col("vec_id").as("seed_vid"),
+          col("embedding").as("seed_e")), Seq("seed_vid"))
+        .select(col("cell"), col("seed_e"))
       emb
-        .crossJoin(broadcast(seeds.select(col("cell"), col("seed_e"))))
+        .crossJoin(broadcast(seeds))
         .withColumn("dp", expr("float_dot(embedding, seed_e)"))
         .groupBy(col("vec_id"))
         .agg(max(struct(col("dp"), (-col("cell")).as("negc"))).as("best"))
