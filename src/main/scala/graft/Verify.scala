@@ -12,8 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS); Spark reads it as LongType
-      // (epoch nanos) under this flag — Schemas.events normalizes to micros.
+      // Some testdata generations store events.ts as TIMESTAMP(NANOS);
+      // this flag surfaces those as LongType (epoch nanos) instead of
+      // erroring — Schemas.events normalizes every stored shape (nanos
+      // long / NTZ micros / UTC micros) to TimestampType.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // bucketed-table layouts (join_bucketed) register external tables;

@@ -142,10 +142,19 @@ object Schemas {
 
   /** `events` with `ts` normalized to a true TimestampType.
     *
-    * The parquet stores TIMESTAMP(NANOS), which Spark surfaces as LongType
-    * epoch-nanos under `spark.sql.legacy.parquet.nanosAsLong`. Integer
-    * division (DIV) truncates to micros — a double-precision path would
-    * corrupt 2024-era epoch-nanos (1.7e18 > 2^53).
+    * The testdata generator has shipped `ts` as THREE physical shapes
+    * across regenerations: TIMESTAMP(NANOS) (surfaced as LongType
+    * epoch-nanos under `spark.sql.legacy.parquet.nanosAsLong`),
+    * TIMESTAMP(MICROS) isAdjustedToUTC=false (surfaced as
+    * TIMESTAMP_NTZ / LocalDateTime in Spark 4), and plain UTC-adjusted
+    * TIMESTAMP. All three normalize here to TimestampType so every
+    * downstream consumer — batch, streaming, and specs comparing
+    * `Row.getTimestamp` — sees one type. Under the UTC session timezone
+    * the NTZ→TZ cast is a pure reinterpretation (same micros value),
+    * matching DuckDB's naive-timestamp read of the same file. For the
+    * nanos case, integer division (DIV) truncates to micros — a
+    * double-precision path would corrupt 2024-era epoch-nanos
+    * (1.7e18 > 2^53).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val df = table(spark, sfDir, "events")
@@ -153,6 +162,9 @@ object Schemas {
       case LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
       case _ => df
     }
   }

@@ -39,15 +39,44 @@ object StreamQueries {
     }, "graft-upsert-store-cleanup"))
   }
 
-  /** Raw events schema as stored (ts is epoch-nanos INT64 in the parquet —
-    * the streaming reader gets it as LongType under nanosAsLong). */
-  private val eventsSchema = StructType.fromDDL(
+  /** Raw events schema when `ts` is stored as TIMESTAMP(NANOS) — Spark
+    * surfaces it as LongType epoch-nanos under nanosAsLong. */
+  private val eventsSchemaNanos = StructType.fromDDL(
     "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+
+  /** Raw events schema when `ts` is stored as TIMESTAMP(MICROS) — a true
+    * TimestampType; no conversion needed. */
+  private val eventsSchemaMicros = StructType.fromDDL(
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+
+  // The testdata generator has shipped events.ts as BOTH physical types
+  // across regenerations (TIMESTAMP(NANOS) and TIMESTAMP(MICROS)).
+  // A streaming source must declare its schema up front, so probe the
+  // footer once per dir with a batch read — assuming one type silently
+  // compresses event time 1000× when the other shows up (every window
+  // collapses; an interval join goes near-cartesian). The batch path
+  // (Schemas.events) adapts the same way per-plan.
+  private val tsIsLongByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def eventsTsIsLong(spark: SparkSession, dir: String): Boolean =
+    tsIsLongByDir.computeIfAbsent(dir, _ => {
+      // read the events path directly (works whether events.parquet is a
+      // single file, as in the sf dirs, or a directory of part files, as
+      // specs write). An unreadable/empty path — e.g. a 0-row write that
+      // produced no part files — degrades to the micros schema: with no
+      // rows to read, the declared type only has to parse.
+      val probed =
+        try spark.read.parquet(s"$dir/events.parquet")
+          .schema("ts").dataType == org.apache.spark.sql.types.LongType
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      java.lang.Boolean.valueOf(probed)
+    }).booleanValue()
 
   private def streamEvents(spark: SparkSession, dir: String,
       singleBatch: Boolean = false): DataFrame = {
+    val nanos = eventsTsIsLong(spark, dir)
     val reader = spark.readStream
-      .schema(eventsSchema)
+      .schema(if (nanos) eventsSchemaNanos else eventsSchemaMicros)
       // FileStreamSource wants a directory: stream the sf dir, filtered to
       // the events file (a Kafka source swaps in here via StreamTransport)
       .option("pathGlobFilter", "events.parquet")
@@ -56,10 +85,14 @@ object StreamQueries {
     // the watermark between batches) — required where a query's
     // batch-equivalence contract assumes empty initial state, e.g.
     // dropDuplicatesWithinWatermark == SELECT DISTINCT.
-    (if (singleBatch) reader.option("maxFilesPerTrigger", Int.MaxValue)
+    val src = (if (singleBatch) reader.option("maxFilesPerTrigger", Int.MaxValue)
      else reader)
       .parquet(dir)
-      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
+    // Integer DIV, not a double path: 2024-era epoch-nanos (1.7e18)
+    // exceed 2^53 and would corrupt under floating point.
+    if (nanos)
+      src.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
+    else src
   }
 
   /** Run `build(stream)` to completion (AvailableNow drain into a memory
@@ -369,16 +402,17 @@ object StreamQueries {
     * same contract, same shuffle shape (one exchange on the key per
     * batch, batch sizes bound state reads). */
   def streamForeachbatchUpsert(spark: SparkSession, dir: String): DataFrame =
-    streamForeachbatchUpsertFrom(spark, dir, nanos = true)
+    streamForeachbatchUpsertFrom(spark, dir, rawEvents = true)
 
   /** [[streamForeachbatchUpsert]] over an arbitrary parquet stream dir:
-    * `nanos = false` reads micros-TIMESTAMP files (re-exported copies)
-    * instead of the raw nanos events file; `filesPerTrigger` forces
-    * multi-file input into that many files per micro-batch so specs can
-    * prove the cross-batch merge (AvailableNow otherwise drains
-    * everything available in one batch). */
+    * `rawEvents = true` reads the sf dir's events file (probing its
+    * stored ts type — nanos-as-long or micros); `rawEvents = false`
+    * reads micros-TIMESTAMP files (re-exported copies); `filesPerTrigger`
+    * forces multi-file input into that many files per micro-batch so
+    * specs can prove the cross-batch merge (AvailableNow otherwise
+    * drains everything available in one batch). */
   def streamForeachbatchUpsertFrom(spark: SparkSession, dir: String,
-      nanos: Boolean, filesPerTrigger: Option[Int] = None): DataFrame =
+      rawEvents: Boolean, filesPerTrigger: Option[Int] = None): DataFrame =
     spark.synchronized {
       val base = java.nio.file.Files
         .createTempDirectory("graft-upsert").toString
@@ -388,12 +422,11 @@ object StreamQueries {
           .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
           .select(col("user_id"), col("m.ts").as("ts"),
             col("m.event_id").as("event_id"), col("m.value").as("value"))
+      val nanos = rawEvents && eventsTsIsLong(spark, dir)
       val reader0 = spark.readStream.schema(
-        if (nanos) eventsSchema
-        else StructType.fromDDL("event_id LONG, ts TIMESTAMP, " +
-          "user_id LONG, event_type STRING, value DOUBLE, props STRING"))
+        if (nanos) eventsSchemaNanos else eventsSchemaMicros)
       val reader1 =
-        if (nanos) reader0.option("pathGlobFilter", "events.parquet")
+        if (rawEvents) reader0.option("pathGlobFilter", "events.parquet")
         else reader0
       val reader = filesPerTrigger.fold(reader1)(n =>
         reader1.option("maxFilesPerTrigger", n))

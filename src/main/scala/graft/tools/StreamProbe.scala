@@ -25,13 +25,24 @@ object StreamProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // probe the stored ts type — the generator has shipped both
+    // TIMESTAMP(NANOS) (long under nanosAsLong) and TIMESTAMP(MICROS)
+    val tsIsLong = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
     val eventsSchema = StructType.fromDDL(
-      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-    def stream(): DataFrame = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
+      s"event_id LONG, ts ${if (tsIsLong) "LONG" else "TIMESTAMP"}, " +
+        "user_id LONG, event_type STRING, value DOUBLE, props STRING")
+    def stream(): DataFrame = {
+      val src = spark.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      if (tsIsLong)
+        src.withColumn("ts",
+          expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
+      else src
+    }
 
     var n = 0
     def drain(df: DataFrame, mode: OutputMode, sp: Int,

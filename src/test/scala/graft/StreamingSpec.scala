@@ -204,7 +204,7 @@ class StreamingSpec extends SparkSpec {
       .repartition(3, col("event_id"))
       .write.mode("overwrite").parquet(splitDir)
     val multi = StreamQueries.streamForeachbatchUpsertFrom(
-      spark, splitDir, nanos = false, filesPerTrigger = Some(1)).collect()
+      spark, splitDir, rawEvents = false, filesPerTrigger = Some(1)).collect()
     assert(multi.toSeq == batch.toSeq)
   }
 
