@@ -59,7 +59,11 @@ object StreamQueries {
   private val tsIsLongByDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def eventsTsIsLong(spark: SparkSession, dir: String): Boolean =
-    tsIsLongByDir.computeIfAbsent(dir, _ => {
+    // fingerprint-keyed like every build-once/probe-often cache (Schemas
+    // relCache, Dedup sigCache): a corpus regenerated at the same path
+    // with the OTHER physical type must re-probe, not serve a stale bit
+    graft.schema.Schemas.evictingComputeIfAbsent(tsIsLongByDir, dir,
+      graft.schema.Schemas.fingerprint(s"$dir/events.parquet")) {
       // read the events path directly (works whether events.parquet is a
       // single file, as in the sf dirs, or a directory of part files, as
       // specs write). An unreadable/empty path — e.g. a 0-row write that
@@ -70,7 +74,7 @@ object StreamQueries {
           .schema("ts").dataType == org.apache.spark.sql.types.LongType
         catch { case _: org.apache.spark.sql.AnalysisException => false }
       java.lang.Boolean.valueOf(probed)
-    }).booleanValue()
+    }(_ => ()).booleanValue()
 
   private def streamEvents(spark: SparkSession, dir: String,
       singleBatch: Boolean = false): DataFrame = {
