@@ -177,6 +177,12 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextAnalysis.textNgramCounts(s, d)),
     "text_bm25"              ->
       ((s: SparkSession, d: String) => TextAnalysis.textBm25(s, d)),
+    // tokenizer induction: the BPE first-merge pair-frequency table
+    "text_bpe_pairs"         ->
+      ((s: SparkSession, d: String) => TextAnalysis.textBpePairs(s, d)),
+    // hybrid lexical+semantic retrieval fused by reciprocal rank
+    "retrieval_rrf_hybrid"   ->
+      ((s: SparkSession, d: String) => Similarity.retrievalRrfHybrid(s, d)),
     "agg_grouping_sets"      -> Relational2.aggGroupingSets _,
     "o4_sort_nulls"          -> Relational2.o4SortNulls _,
     "t10_distinct"           -> Relational2.t10Distinct _,
@@ -1098,6 +1104,69 @@ object SparkEntry {
         |)
         |SELECT gram, count(*) AS n FROM grams GROUP BY gram
         |ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT substr(tok, i, 2) AS pair
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, length(tok) - 1)) AS i) s
+        |  WHERE length(tok) >= 2
+        |)
+        |SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // RRF fusion of BM25 (terms: table, join, query) and cosine-vs-vec-0
+    // rankings. Per-term BM25 columns fused in FIXED order so the double
+    // adds are bit-identical to Spark's; ranks are row_numbers with id
+    // tiebreaks; rrf = 1/(60+rank) sums on exact integers.
+    "retrieval_rrf_hybrid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN ('table', 'join', 'query')
+        |  GROUP BY doc_id, tok
+        |), dfreq AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        |), nn AS (SELECT count(*) AS n FROM documents),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT t.doc_id, t.tok,
+        |    ln((nn.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * t.tf * 2.2
+        |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / ad.avgdl)) AS bm25
+        |  FROM tf t JOIN dfreq d USING (tok) JOIN dl l USING (doc_id)
+        |  CROSS JOIN nn CROSS JOIN ad
+        |), per_doc AS (
+        |  SELECT doc_id,
+        |    COALESCE(max(CASE WHEN tok = 'table' THEN bm25 END), 0.0)
+        |      + COALESCE(max(CASE WHEN tok = 'join' THEN bm25 END), 0.0)
+        |      + COALESCE(max(CASE WHEN tok = 'query' THEN bm25 END), 0.0)
+        |      AS text_score
+        |  FROM scored GROUP BY doc_id
+        |), text_rank AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY text_score DESC, doc_id) AS BIGINT) AS text_rank
+        |  FROM per_doc
+        |  QUALIFY text_rank <= 20
+        |), vec_rank AS (
+        |  SELECT vec_id AS doc_id, CAST(row_number() OVER (
+        |    ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)) DESC, vec_id) AS BIGINT) AS vec_rank
+        |  FROM embeddings WHERE vec_id <> 0
+        |  QUALIFY vec_rank <= 20
+        |)
+        |SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+        |  t.text_rank, v.vec_rank,
+        |  CAST(COALESCE(1.0 / (60 + t.text_rank), 0.0)
+        |    + COALESCE(1.0 / (60 + v.vec_rank), 0.0) AS REAL) AS rrf_score
+        |FROM text_rank t FULL OUTER JOIN vec_rank v ON t.doc_id = v.doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(

@@ -364,6 +364,107 @@ object Similarity {
           .cast("float").as("mrr"))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF): the standard
+    * way a curation/RAG pipeline merges LEXICAL (BM25) and SEMANTIC
+    * (embedding-cosine) rankings without score calibration — fused
+    * score = Σ 1/(rrfK + rank) over the rankings that retrieved the
+    * doc (Cormack et al.'s rank-based fusion; rrfK=60 is the
+    * conventional damping).
+    *
+    * Text side: per-doc BM25 summed over the fixed query terms; each
+    * term's score lands in its own column and the sum is a FIXED-ORDER
+    * chain of double adds (coalesce(t1,0)+coalesce(t2,0)+…), so both
+    * engines — and the oracle — evaluate bit-identical doubles (a
+    * groupBy sum's order is engine-dependent in the last ulp; a rank
+    * flip there would change the output). Vector side: the
+    * [[bruteForceTopK]] scan against vec_id 0. Ranks are row_numbers
+    * with doc-id tiebreaks, so every downstream value is exact-integer
+    * derived.
+    *
+    * Scale shape: both arms end in a top-`poolK` reduce (window over
+    * score — at 100 TB the BM25 arm is the inverted-index/impact-ordered
+    * scan and the ANN arm any index in this file; the fusion join then
+    * touches 2·poolK ROWS TOTAL, broadcast regardless of corpus size.
+    * Nothing in the fusion step scales with the data. */
+  def retrievalRrfHybrid(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("table", "join", "query"),
+      queryId: Long = 0L, poolK: Int = 20, k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.FloatVecDot.register(spark)
+    val docs = table(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(graft.query.Dedup.tokens(col("text"))).as("tok"))
+    // corpus-wide statistics only where BM25 requires them (dl, avgdl,
+    // N); term frequencies are computed on the QUERY TERMS ONLY — the
+    // isin filter sits directly on the exploded tokens, so the only
+    // full-corpus shuffle in the text arm is the per-doc length count
+    // (df for a term == docs with tf>0, recoverable from filtered tf)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n") - col("df") + lit(0.5))
+      / (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+      + lit(0.75) * col("dl") / col("avgdl"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+      .select(col("doc_id"), col("tok"),
+        (idf * col("tf") * lit(2.2) / norm).as("bm25"))
+    // one column per query term via conditional aggregation (a single
+    // doc-keyed shuffle — no outer-join chain), fused in declaration
+    // order so the double adds are bit-identical in both engines; max
+    // over the singleton (doc, term) score is the score itself
+    val perDoc = scored.groupBy(col("doc_id")).agg(
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        max(when(col("tok") === t, col("bm25"))).as(s"s_$i")
+      }.head,
+      queryTerms.zipWithIndex.tail.map { case (t, i) =>
+        max(when(col("tok") === t, col("bm25"))).as(s"s_$i")
+      }: _*)
+    val joined = perDoc
+    val textScore = queryTerms.indices
+      .map(i => coalesce(col(s"s_$i"), lit(0.0)))
+      .reduce(_ + _)
+    // top-poolK FIRST via orderBy+limit (TakeOrderedAndProject — a
+    // per-partition k-reduce, never a global sort), so the ranking
+    // row_number window runs over ≤ poolK rows, not the corpus
+    val textPool = joined
+      .select(col("doc_id"), textScore.as("text_score"))
+      .orderBy(col("text_score").desc, col("doc_id"))
+      .limit(poolK)
+    val textRank = textPool
+      .withColumn("text_rank", row_number().over(
+        Window.orderBy(col("text_score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("text_rank").cast("long").as("text_rank"))
+    val q = array(queryVector(spark, dir, queryId).toIndexedSeq.map(lit): _*)
+    val vecPool = table(spark, dir, "embeddings")
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("qv", q)
+      .select(col("vec_id").as("doc_id"),
+        expr("float_dot(embedding, qv)").as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(poolK)
+    val vecRank = vecPool
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id"))))
+      .select(col("doc_id"), col("vec_rank").cast("long").as("vec_rank"))
+    textRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("text_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("text_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+          .cast("float").as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** JL-accelerated top-k: rank the corpus by dot product in the
     * [[graft.functions.JlProject]] 16-dim space (4× cheaper per
     * candidate than full-dim — and at index scale, 4× less memory

@@ -132,6 +132,30 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("gram"))
       .limit(k)
 
+  /** BPE merge-step induction: the frequency table of ADJACENT CHARACTER
+    * PAIRS inside word occurrences — exactly the statistic byte-pair
+    * encoding maximizes on its first merge iteration (Sennrich et al.;
+    * counting over occurrences ≡ counting over the vocabulary weighted
+    * by word frequency). A tokenizer-training pipeline at 100 TB runs
+    * this repeatedly; the expensive part is always this count.
+    *
+    * Scale shape: tokenize → per-token pair explosion (bounded by token
+    * length, a data constant — no joins, no corpus-sized state) → one
+    * map-side-combined count on the pair key (alphabet², a tiny
+    * keyspace, so partial aggregation collapses almost everything
+    * before the shuffle) → top-k TakeOrdered. All integer counts:
+    * hash-exact in any engine. */
+  def textBpePairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(col("tok"), explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+      .select(expr("substring(tok, i, 2)").as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
   /** TF-IDF term weighting: term frequency per (doc, term), document
     * frequency per term over the WHOLE corpus, idf = ln((N+1)/(df+1))+1
     * (smoothed). Two aggregations + a broadcast of the 1-row corpus count
