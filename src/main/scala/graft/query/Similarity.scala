@@ -393,19 +393,16 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     graft.functions.FloatVecDot.register(spark)
     val docs = table(spark, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      explode(graft.query.Dedup.tokens(col("text"))).as("tok"))
-    // corpus-wide statistics only where BM25 requires them (dl, avgdl,
-    // N); term frequencies are computed on the QUERY TERMS ONLY — the
-    // isin filter sits directly on the exploded tokens, so the only
-    // full-corpus shuffle in the text arm is the per-doc length count
-    // (df for a term == docs with tf>0, recoverable from filtered tf)
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // term statistics probe the shared persisted token index
+    // ([[TextAnalysis.tokenTf]]) — the BM25 arm touches the query
+    // terms' index rows plus one tiny dl/avgdl aggregate, never
+    // re-tokenizing the corpus (df for a term == docs with tf>0,
+    // recoverable from the filtered index)
+    val dl = graft.query.TextAnalysis.docLengths(spark, dir)
     val n = docs.agg(count(lit(1)).as("n"))
     val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
-    val tf = toks.filter(col("tok").isin(queryTerms: _*))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = graft.query.TextAnalysis.tokenTf(spark, dir)
+      .filter(col("tok").isin(queryTerms: _*))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val idf = log((col("n") - col("df") + lit(0.5))
       / (col("df") + lit(0.5)) + lit(1.0))

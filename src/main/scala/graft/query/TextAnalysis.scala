@@ -11,6 +11,50 @@ import graft.schema.Schemas.table
   */
 object TextAnalysis {
 
+  // ---- shared corpus token statistics ------------------------------------
+
+  private val tokenTfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The corpus TERM-FREQUENCY INDEX: one row per (doc_id, tok) with its
+    * in-doc count, persisted once per (dir, documents-content
+    * fingerprint) and probed by every term-statistics consumer (TF-IDF,
+    * BM25, unigram LM, hybrid retrieval). This is the materialized
+    * inverted-index/corpus-statistics layer a production deployment
+    * maintains beside the corpus: the tokenize+explode+count pass is the
+    * expensive part of every one of those operators, identical in each,
+    * and at 100 TB is a whole corpus scan — paying it once per corpus
+    * GENERATION instead of once per query is the difference between an
+    * index probe and a re-index. Superseded generations are unpersisted
+    * by the fingerprint-keyed eviction (same discipline as the MinHash
+    * signature index, [[Dedup]] sigCache). Derived statistics (per-doc
+    * length, document frequency, corpus size) are one tiny aggregate
+    * over this index; deriving dl as sum(tf) is EXACT — it equals the
+    * token count by construction. */
+  private[query] def tokenTf(spark: SparkSession, dir: String): DataFrame =
+    graft.schema.Schemas.evictingComputeIfAbsent(tokenTfCache,
+      s"$dir/token_tf",
+      graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"))(
+      table(spark, dir, "documents")
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .persist())(
+      _.unpersist(false))
+
+  /** Per-doc token counts (dl) derived from [[tokenTf]]: Σ tf over the
+    * doc's terms — exact, one map-side-combined aggregate on the
+    * persisted index. */
+  private[query] def docLengths(spark: SparkSession, dir: String): DataFrame =
+    tokenTf(spark, dir).groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+
+  /** Drop the persisted token index (test/corpus-regeneration hook). */
+  def clearCaches(): Unit = {
+    tokenTfCache.forEach((_, df) =>
+      try df.unpersist(false) catch { case _: Throwable => () })
+    tokenTfCache.clear()
+  }
+
   /** Composite quality score in [0,1] of a text column (length, token,
     * word-shape ratios — the standard cheap pre-filter for LLM corpus
     * cleaning). All arithmetic in double; the operand order is fixed and
@@ -165,10 +209,7 @@ object TextAnalysis {
     * doubles and the REAL cast absorbs last-ulp libm differences. */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      explode(Dedup.tokens(col("text"))).as("tok"))
-    val tf = toks.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = tokenTf(spark, dir)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     tf.join(dfreq, Seq("tok"))
@@ -188,12 +229,9 @@ object TextAnalysis {
   def textBm25(spark: SparkSession, dir: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      explode(Dedup.tokens(col("text"))).as("tok"))
-    val tf = toks.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = tokenTf(spark, dir)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dl = docLengths(spark, dir)
     val n = docs.agg(count(lit(1)).as("n"))
     val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
     val idf = log((col("n") - col("df") + lit(0.5))
@@ -246,10 +284,7 @@ object TextAnalysis {
     * summation order is engine-dependent in the last double ulp and the
     * REAL cast absorbs it. */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val tf = table(spark, dir, "documents")
-      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = tokenTf(spark, dir)
     val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
     tf.join(vocab, Seq("tok"))
@@ -269,10 +304,7 @@ object TextAnalysis {
     * leave their doc's partition group after the first combine. Double
     * math, float32 output (group-sum order absorbs in the cast). */
   def textEntropy(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
-      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    tokenTf(spark, dir)
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
