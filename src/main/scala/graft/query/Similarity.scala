@@ -392,27 +392,31 @@ object Similarity {
       rrfK: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.FloatVecDot.register(spark)
-    val docs = table(spark, dir, "documents")
     // term statistics probe the shared persisted token index
     // ([[TextAnalysis.tokenTf]]) — the BM25 arm touches the query
-    // terms' index rows plus one tiny dl/avgdl aggregate, never
-    // re-tokenizing the corpus (df for a term == docs with tf>0,
-    // recoverable from the filtered index)
+    // terms' index rows plus one tiny dl aggregate, never re-tokenizing
+    // the corpus (df for a term == docs with tf>0, recoverable from the
+    // filtered index). The two scalar corpus constants (N, avgdl) are
+    // driver-fetched ONCE and inlined as literals — query constants,
+    // not data movement (the [[queryVector]] convention); as literals
+    // they are the same doubles either engine computes, and two 1-row
+    // crossJoin stages drop out of the plan.
     val dl = graft.query.TextAnalysis.docLengths(spark, dir)
-    val n = docs.agg(count(lit(1)).as("n"))
-    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    // N counts DOCUMENTS (the oracle's count(*) FROM documents), not dl
+    // rows; avgdl is an exact-integer sum / count, identical doubles in
+    // either engine
+    val nDocs = table(spark, dir, "documents").count().toDouble
+    val avgdlV = dl.agg(avg(col("dl")).as("avgdl")).head().getDouble(0)
     val tf = graft.query.TextAnalysis.tokenTf(spark, dir)
       .filter(col("tok").isin(queryTerms: _*))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val idf = log((col("n") - col("df") + lit(0.5))
+    val idf = log((lit(nDocs) - col("df") + lit(0.5))
       / (col("df") + lit(0.5)) + lit(1.0))
     val norm = col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
-      + lit(0.75) * col("dl") / col("avgdl"))
+      + lit(0.75) * col("dl") / lit(avgdlV))
     val scored = tf
       .join(broadcast(dfreq), Seq("tok"))
       .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(n))
-      .crossJoin(broadcast(avgdl))
       .select(col("doc_id"), col("tok"),
         (idf * col("tf") * lit(2.2) / norm).as("bm25"))
     // one column per query term via conditional aggregation (a single

@@ -31,7 +31,7 @@ object TextAnalysis {
     * length, document frequency, corpus size) are one tiny aggregate
     * over this index; deriving dl as sum(tf) is EXACT — it equals the
     * token count by construction. */
-  private[query] def tokenTf(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def tokenTf(spark: SparkSession, dir: String): DataFrame =
     graft.schema.Schemas.evictingComputeIfAbsent(tokenTfCache,
       s"$dir/token_tf",
       graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"))(
@@ -45,7 +45,7 @@ object TextAnalysis {
   /** Per-doc token counts (dl) derived from [[tokenTf]]: Σ tf over the
     * doc's terms — exact, one map-side-combined aggregate on the
     * persisted index. */
-  private[query] def docLengths(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docLengths(spark: SparkSession, dir: String): DataFrame =
     tokenTf(spark, dir).groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
 
   /** Drop the persisted token index (test/corpus-regeneration hook). */
