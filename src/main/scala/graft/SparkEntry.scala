@@ -253,6 +253,9 @@ object SparkEntry {
     "graph_triangles"        -> Analytics.graphTriangles _,
     "anomaly_zscore"         ->
       ((s: SparkSession, d: String) => Analytics.anomalyZscore(s, d)),
+    // corpus drift monitoring: exact two-sample KS statistic
+    "drift_ks_value"         ->
+      ((s: SparkSession, d: String) => Analytics.driftKsValue(s, d)),
     "sample_weighted"        -> Analytics.sampleWeighted _,
     "window_rolling_median"  ->
       ((s: SparkSession, d: String) => Analytics.rollingMedian(s, d)),
@@ -2148,6 +2151,35 @@ object SparkEntry {
         |FROM events e JOIN s USING (event_type)
         |WHERE abs(CAST((e.value - s.mean) / s.sd AS REAL)) > 3.0
         |ORDER BY event_id""".stripMargin,
+    // exact-integer KS: D's numerator max|cumA*nB - cumB*nA| is a BIGINT,
+    // divided once — identical doubles either engine. The oracle uses the
+    // plain global-window ECDF; the Spark side's bucketed two-level
+    // prefix sum is an execution-shape choice with the same result.
+    "drift_ks_value" ->
+      """WITH s AS (
+        |  SELECT value,
+        |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS isa
+        |  FROM events
+        |), pv AS (
+        |  SELECT value, sum(isa) AS ca, sum(1 - isa) AS cb
+        |  FROM s GROUP BY value
+        |), c AS (
+        |  SELECT value,
+        |    sum(ca) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM pv
+        |), nn AS (
+        |  SELECT CAST(sum(isa) AS BIGINT) AS na,
+        |    CAST(sum(1 - isa) AS BIGINT) AS nb FROM s
+        |)
+        |SELECT nn.na AS n_a, nn.nb AS n_b,
+        |  CAST(max(abs(cuma * nn.nb - cumb * nn.na)) AS BIGINT) AS ks_num,
+        |  CAST(CAST(max(abs(cuma * nn.nb - cumb * nn.na)) AS BIGINT)
+        |      AS DOUBLE)
+        |    / CAST(nn.na * nn.nb AS DOUBLE) AS ks_d
+        |FROM c CROSS JOIN nn GROUP BY nn.na, nn.nb""".stripMargin,
     "sample_weighted" ->
       """WITH mx AS (SELECT max(value) AS vmax FROM events)
         |SELECT event_id, value FROM events, mx

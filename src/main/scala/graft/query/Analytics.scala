@@ -416,6 +416,68 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the `value`
+    * distributions of two event cohorts (even vs odd event_id — the
+    * deterministic stand-in for "yesterday's corpus vs today's"): D =
+    * max over observed values of |F_A(v) − F_B(v)|. THE standard
+    * data-drift monitor a production training pipeline runs per feature
+    * per ingest batch. Computed in the EXACT integer form
+    * max |cumA·nB − cumB·nA| (one BIGINT per distinct value, ≤2^53 at
+    * any realistic scale), divided once at the end — both engines
+    * produce the identical double.
+    *
+    * Scale shape: per-distinct-value cohort counts first (one
+    * well-distributed shuffle), then the empirical-CDF prefix sums use
+    * the house two-level trick ([[graft.query.Pipeline.packSequences]],
+    * s9): per-bucket subtotals → a prefix window over the ≤`buckets`-row
+    * HISTOGRAM (the only single-partition window — never the data) →
+    * broadcast offsets + within-bucket windows. The final reduce is a
+    * 1-row max. Bucket boundaries derive from driver-fetched min/max
+    * (query constants, the [[Similarity]] queryVector convention); the
+    * bucketing changes the execution shape only — the result equals the
+    * global-window definition, which IS the DuckDB oracle. */
+  def driftKsValue(spark: SparkSession, dir: String,
+      buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sides = graft.schema.Schemas.events(spark, dir)
+      .select(col("value"), (col("event_id") % 2 === 0).as("is_a"))
+    val head = sides.agg(
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("is_a"), 0L).otherwise(1L)).as("nb")).head()
+    val (vmin, vmax, na, nb) =
+      (head.getDouble(0), head.getDouble(1), head.getLong(2), head.getLong(3))
+    val w = (vmax - vmin) / buckets
+    val bucket =
+      if (w > 0)
+        least(floor((col("value") - lit(vmin)) / lit(w)),
+          lit(buckets - 1L)).cast("long")
+      else lit(0L)
+    val perValue = sides.groupBy(col("value"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+      .withColumn("bucket", bucket)
+    val hist = perValue.groupBy(col("bucket"))
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
+      .withColumn("offa", coalesce(sum(col("ba")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("offb", coalesce(sum(col("bb")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offa"), col("offb"))
+    val wLoc = Window.partitionBy(col("bucket")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue.join(broadcast(hist), Seq("bucket"))
+      .select((abs((col("offa") + sum(col("ca")).over(wLoc)) * lit(nb)
+        - (col("offb") + sum(col("cb")).over(wLoc)) * lit(na)))
+        .as("dnum"))
+      .agg(max(col("dnum")).as("ks_num"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("ks_num"),
+        (col("ks_num").cast("double") / lit((na * nb).toDouble))
+          .as("ks_d"))
+  }
+
   /** Deterministic weighted Bernoulli sampling: keep a row with
     * probability value/max(value), decided by the row's md5-derived
     * 60-bit hash — reproducible across engines, runs, and partitionings

@@ -35,6 +35,34 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("drift_ks_value: exact integer KS equals a hand fold; bounds hold") {
+    val r = graft.query.Analytics.driftKsValue(spark, sf).head()
+    val (na, nb, ksNum, ksD) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    // hand fold: global sort of (value, cohort) pairs
+    val rows = Schemas.events(spark, sf)
+      .select(col("value"), (col("event_id") % 2 === 0).as("isA"))
+      .collect().map(x => (x.getDouble(0), x.getBoolean(1)))
+    val hNa = rows.count(_._2).toLong
+    val hNb = rows.length - hNa
+    var cumA = 0L; var cumB = 0L; var best = 0L
+    rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, g) =>
+      cumA += g.count(_._2); cumB += g.count(!_._2)
+      best = math.max(best, math.abs(cumA * hNb - cumB * hNa))
+    }
+    assert(na == hNa && nb == hNb)
+    assert(ksNum == best, s"ks_num $ksNum vs hand $best")
+    assert(ksD == best.toDouble / (hNa * hNb).toDouble)
+    assert(ksD >= 0.0 && ksD <= 1.0)
+    // identical cohorts ⇒ D is small for a same-distribution split;
+    // the statistic still must be > 0 on continuous data (finite n)
+    assert(ksNum > 0L)
+    // the bucketed execution equals the definition at a degenerate
+    // bucket count too (every value in one bucket)
+    val one = graft.query.Analytics.driftKsValue(spark, sf, buckets = 1).head()
+    assert(one.getLong(2) == best && one.getLong(0) == na)
+  }
+
   test("retrieval_rrf_hybrid: fusion arithmetic, pool membership, determinism") {
     val out = Similarity.retrievalRrfHybrid(spark, sf).collect()
     assert(out.length == 10)
