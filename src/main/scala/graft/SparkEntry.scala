@@ -256,6 +256,9 @@ object SparkEntry {
     // corpus drift monitoring: exact two-sample KS statistic
     "drift_ks_value"         ->
       ((s: SparkSession, d: String) => Analytics.driftKsValue(s, d)),
+    // per-bin PSI terms (binned drift, direction-sensitive)
+    "drift_psi_value"        ->
+      ((s: SparkSession, d: String) => Analytics.driftPsiValue(s, d)),
     "sample_weighted"        -> Analytics.sampleWeighted _,
     "window_rolling_median"  ->
       ((s: SparkSession, d: String) => Analytics.rollingMedian(s, d)),
@@ -2180,6 +2183,36 @@ object SparkEntry {
         |      AS DOUBLE)
         |    / CAST(nn.na * nn.nb AS DOUBLE) AS ks_d
         |FROM c CROSS JOIN nn GROUP BY nn.na, nn.nb""".stripMargin,
+    // per-bin PSI: bin edges replay from SQL min/max — (vmax-vmin)/10.0
+    // rounds to the same double the Spark side precomputes; proportions
+    // are exact-integer divisions; ln is libm on identical doubles with
+    // the REAL cast absorbing the last ulp
+    "drift_psi_value" ->
+      """WITH s AS (
+        |  SELECT value,
+        |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS isa
+        |  FROM events
+        |), st AS (
+        |  SELECT min(value) AS vmin, max(value) AS vmax,
+        |    CAST(sum(isa) AS BIGINT) AS na,
+        |    CAST(sum(1 - isa) AS BIGINT) AS nb
+        |  FROM s
+        |), b AS (
+        |  SELECT least(CAST(floor((value - st.vmin)
+        |      / ((st.vmax - st.vmin) / 10.0)) AS BIGINT), 9) AS bin, isa
+        |  FROM s CROSS JOIN st
+        |), g AS (
+        |  SELECT bin, CAST(sum(isa) AS BIGINT) AS ca,
+        |    CAST(sum(1 - isa) AS BIGINT) AS cb
+        |  FROM b GROUP BY bin
+        |)
+        |SELECT bin, ca, cb,
+        |  CAST((greatest(CAST(ca AS DOUBLE) / CAST(st.na AS DOUBLE), 0.0001)
+        |      - greatest(CAST(cb AS DOUBLE) / CAST(st.nb AS DOUBLE), 0.0001))
+        |    * ln(greatest(CAST(ca AS DOUBLE) / CAST(st.na AS DOUBLE), 0.0001)
+        |       / greatest(CAST(cb AS DOUBLE) / CAST(st.nb AS DOUBLE), 0.0001))
+        |    AS REAL) AS psi_term
+        |FROM g CROSS JOIN st ORDER BY bin""".stripMargin,
     "sample_weighted" ->
       """WITH mx AS (SELECT max(value) AS vmax FROM events)
         |SELECT event_id, value FROM events, mx

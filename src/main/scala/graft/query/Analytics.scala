@@ -478,6 +478,47 @@ object Analytics {
           .as("ks_d"))
   }
 
+  /** Per-bin Population Stability Index terms between the same two event
+    * cohorts as [[driftKsValue]] — the OTHER standard drift monitor
+    * (binned, direction-sensitive, the model-monitoring convention:
+    * PSI > 0.2 ⇒ investigate). Emitted PER BIN (term = (pA−pB)·ln(pA/pB),
+    * with the conventional 1e-4 floor for empty bins) rather than as a
+    * pre-summed scalar: a 10-term engine-side sum has engine-dependent
+    * addition order in the last ulp, while per-bin terms are fixed-order
+    * arithmetic on exact integer counts — bit-identical in any engine —
+    * and the per-bin view is what a monitoring dashboard wants anyway
+    * (WHICH bins drifted, not just that some did).
+    *
+    * Scale shape: one map-side-combined groupBy on (bin) — a ≤`bins`-row
+    * aggregate regardless of corpus size; bin edges from driver-fetched
+    * min/max (query constants). */
+  def driftPsiValue(spark: SparkSession, dir: String,
+      bins: Int = 10): DataFrame = {
+    val sides = graft.schema.Schemas.events(spark, dir)
+      .select(col("value"), (col("event_id") % 2 === 0).as("is_a"))
+    val head = sides.agg(
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("is_a"), 0L).otherwise(1L)).as("nb")).head()
+    val (vmin, vmax, na, nb) =
+      (head.getDouble(0), head.getDouble(1), head.getLong(2), head.getLong(3))
+    val w = (vmax - vmin) / bins
+    val bin =
+      if (w > 0)
+        least(floor((col("value") - lit(vmin)) / lit(w)),
+          lit(bins - 1L)).cast("long")
+      else lit(0L)
+    val floorP = 1e-4
+    val pa = greatest(col("ca").cast("double") / lit(na.toDouble), lit(floorP))
+    val pb = greatest(col("cb").cast("double") / lit(nb.toDouble), lit(floorP))
+    sides.groupBy(bin.as("bin"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+      .select(col("bin"), col("ca"), col("cb"),
+        ((pa - pb) * log(pa / pb)).cast("float").as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
   /** Deterministic weighted Bernoulli sampling: keep a row with
     * probability value/max(value), decided by the row's md5-derived
     * 60-bit hash — reproducible across engines, runs, and partitionings

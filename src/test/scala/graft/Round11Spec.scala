@@ -63,6 +63,33 @@ class Round11Spec extends SparkSpec {
     assert(one.getLong(2) == best && one.getLong(0) == na)
   }
 
+  test("drift_psi_value: per-bin terms match a hand fold; counts conserve") {
+    val out = graft.query.Analytics.driftPsiValue(spark, sf).collect()
+    val rows = Schemas.events(spark, sf)
+      .select(col("value"), (col("event_id") % 2 === 0).as("isA"))
+      .collect().map(x => (x.getDouble(0), x.getBoolean(1)))
+    val na = rows.count(_._2).toLong
+    val nb = rows.length - na
+    assert(out.map(_.getLong(1)).sum == na, "cohort-A mass not conserved")
+    assert(out.map(_.getLong(2)).sum == nb, "cohort-B mass not conserved")
+    val vmin = rows.map(_._1).min
+    val vmax = rows.map(_._1).max
+    val w = (vmax - vmin) / 10
+    out.foreach { r =>
+      val (bin, ca, cb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(bin >= 0 && bin <= 9)
+      val hand = rows.filter { case (v, _) =>
+        math.min(math.floor((v - vmin) / w), 9.0).toLong == bin
+      }
+      assert(hand.count(_._2) == ca && hand.count(!_._2) == cb,
+        s"bin $bin count mismatch")
+      val pa = math.max(ca.toDouble / na, 1e-4)
+      val pb = math.max(cb.toDouble / nb, 1e-4)
+      assert(r.getFloat(3) == ((pa - pb) * math.log(pa / pb)).toFloat,
+        s"bin $bin psi term mismatch")
+    }
+  }
+
   test("retrieval_rrf_hybrid: fusion arithmetic, pool membership, determinism") {
     val out = Similarity.retrievalRrfHybrid(spark, sf).collect()
     assert(out.length == 10)
