@@ -445,6 +445,15 @@ object Analytics {
       min(col("value")).as("vmin"), max(col("value")).as("vmax"),
       sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
       sum(when(col("is_a"), 0L).otherwise(1L)).as("nb")).head()
+    // empty input (min/max NULL) or a one-sided split: the statistic is
+    // undefined — return the well-formed empty result instead of
+    // NPE-ing on the driver fetch / emitting a NaN row (EdgeCaseSpec
+    // discipline: boundary states must degrade, not crash)
+    if (head.isNullAt(0) || head.getLong(2) == 0L || head.getLong(3) == 0L)
+      return sides.sparkSession.createDataFrame(
+        sides.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "n_a LONG, n_b LONG, ks_num LONG, ks_d DOUBLE"))
     val (vmin, vmax, na, nb) =
       (head.getDouble(0), head.getDouble(1), head.getLong(2), head.getLong(3))
     val w = (vmax - vmin) / buckets
@@ -500,6 +509,13 @@ object Analytics {
       min(col("value")).as("vmin"), max(col("value")).as("vmax"),
       sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
       sum(when(col("is_a"), 0L).otherwise(1L)).as("nb")).head()
+    // empty / one-sided input: proportions are undefined — degrade to
+    // the well-formed empty result (same contract as [[driftKsValue]])
+    if (head.isNullAt(0) || head.getLong(2) == 0L || head.getLong(3) == 0L)
+      return sides.sparkSession.createDataFrame(
+        sides.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "bin LONG, ca LONG, cb LONG, psi_term FLOAT"))
     val (vmin, vmax, na, nb) =
       (head.getDouble(0), head.getDouble(1), head.getLong(2), head.getLong(3))
     val w = (vmax - vmin) / bins

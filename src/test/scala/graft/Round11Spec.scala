@@ -63,6 +63,20 @@ class Round11Spec extends SparkSpec {
     assert(one.getLong(2) == best && one.getLong(0) == na)
   }
 
+  test("drift monitors degrade to empty on a one-sided cohort split") {
+    // a dir whose events all fall in cohort A (even event_id): the
+    // statistic is undefined and must come back EMPTY, not NaN/crash
+    val dir = java.nio.file.Files.createTempDirectory("drift-onesided")
+    dir.toFile.deleteOnExit()
+    Schemas.events(spark, sf).filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("events.parquet").toString)
+    assert(graft.query.Analytics.driftKsValue(spark, dir.toString)
+      .collect().isEmpty)
+    assert(graft.query.Analytics.driftPsiValue(spark, dir.toString)
+      .collect().isEmpty)
+  }
+
   test("drift_psi_value: per-bin terms match a hand fold; counts conserve") {
     val out = graft.query.Analytics.driftPsiValue(spark, sf).collect()
     val rows = Schemas.events(spark, sf)
