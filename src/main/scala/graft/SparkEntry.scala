@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.ScalarFunctions
-import graft.query.{Analytics, Analytics2, Curation, Curation2, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis, Warehouse}
+import graft.query.{Analytics, Analytics2, Analytics3, Curation, Curation2, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis, Warehouse, Warehouse2}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -183,6 +183,23 @@ object SparkEntry {
     // hybrid lexical+semantic retrieval fused by reciprocal rank
     "retrieval_rrf_hybrid"   ->
       ((s: SparkSession, d: String) => Similarity.retrievalRrfHybrid(s, d)),
+    // round 12: fixpoint components, skyline, table profiling,
+    // calibration, L2 ANN, warehouse maintenance, TPC-H Q2/Q9/Q16 shapes
+    "graph_connected_components" ->
+      ((s: SparkSession, d: String) => Analytics3.graphConnectedComponents(s, d)),
+    "pareto_frontier"        ->
+      ((s: SparkSession, d: String) => Analytics3.paretoFrontier(s, d)),
+    "profile_table_stats"    -> Analytics3.profileTableStats _,
+    "eval_calibration_bins"  -> Analytics3.evalCalibrationBins _,
+    "ann_l2_topk"            ->
+      ((s: SparkSession, d: String) => Analytics3.annL2TopK(s, d)),
+    "snapshot_diff"          -> Warehouse2.snapshotDiff _,
+    "layout_compaction_plan" ->
+      ((s: SparkSession, d: String) => Warehouse2.layoutCompactionPlan(s, d)),
+    "mv_incremental_merge"   -> Warehouse2.mvIncrementalMerge _,
+    "sql_product_type_profit" -> Warehouse2.sqlProductTypeProfit _,
+    "sql_supplier_cnt_by_parttype" -> Warehouse2.sqlSupplierCntByParttype _,
+    "sql_min_cost_supplier"  -> Warehouse2.sqlMinCostSupplier _,
     "agg_grouping_sets"      -> Relational2.aggGroupingSets _,
     "o4_sort_nulls"          -> Relational2.o4SortNulls _,
     "t10_distinct"           -> Relational2.t10Distinct _,
@@ -1173,6 +1190,169 @@ object SparkEntry {
         |    + COALESCE(1.0 / (60 + v.vec_rank), 0.0) AS REAL) AS rrf_score
         |FROM text_rank t FULL OUTER JOIN vec_rank v ON t.doc_id = v.doc_id
         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+    // round 12 — unbounded recursive CTE = the fixpoint the engine's
+    // pointer-jumping min-label loop converges to
+    "graph_connected_components" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), pair_orders AS (
+        |  SELECT ok FROM li GROUP BY ok HAVING count(*) = 2
+        |), e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  WHERE a.ok IN (SELECT ok FROM pair_orders)
+        |), edges AS (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), verts AS (SELECT DISTINCT u FROM edges),
+        |r(u, lbl) AS (
+        |  SELECT u, u AS lbl FROM verts
+        |  UNION
+        |  SELECT e.v AS u, r.lbl FROM r JOIN edges e ON e.u = r.u
+        |), comp AS (SELECT u, min(lbl) AS component FROM r GROUP BY u)
+        |SELECT component, count(*) AS n_members, max(u) AS max_member
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+    // skyline: the declarative NOT EXISTS dominance definition; the
+    // engine's bucket-prefilter + survivor anti-join must equal it
+    "pareto_frontier" ->
+      """WITH m AS (
+        |  SELECT l_partkey AS p_partkey, sum(l_quantity) AS total_qty,
+        |    min(l_extendedprice / l_quantity) AS min_unit_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_partkey, total_qty, min_unit_price FROM m p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM m q
+        |  WHERE q.total_qty >= p.total_qty
+        |    AND q.min_unit_price <= p.min_unit_price
+        |    AND (q.total_qty > p.total_qty
+        |      OR q.min_unit_price < p.min_unit_price))
+        |ORDER BY p_partkey""".stripMargin,
+    // per-column UNION ALL is the oracle spelling; the engine computes
+    // the same numbers in ONE multi-distinct scan
+    "profile_table_stats" ->
+      """SELECT 'l_discount' AS col, count(*) AS n_rows,
+        |  count(l_discount) AS n_nonnull, count(DISTINCT l_discount) AS ndv,
+        |  CAST(min(l_discount) AS DOUBLE) AS min_v,
+        |  CAST(max(l_discount) AS DOUBLE) AS max_v FROM lineitem
+        |UNION ALL
+        |SELECT 'l_partkey', count(*), count(l_partkey),
+        |  count(DISTINCT l_partkey), CAST(min(l_partkey) AS DOUBLE),
+        |  CAST(max(l_partkey) AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(l_quantity),
+        |  count(DISTINCT l_quantity), CAST(min(l_quantity) AS DOUBLE),
+        |  CAST(max(l_quantity) AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_suppkey', count(*), count(l_suppkey),
+        |  count(DISTINCT l_suppkey), CAST(min(l_suppkey) AS DOUBLE),
+        |  CAST(max(l_suppkey) AS DOUBLE) FROM lineitem
+        |ORDER BY col""".stripMargin,
+    // affine-clamp score (no exp: bit-identical across engines); n_pos
+    // via count(CASE) so both sides emit BIGINT, not DuckDB HUGEINT
+    "eval_calibration_bins" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    least(greatest(CAST(embedding[1] AS DOUBLE) * 2.0 + 0.5, 0.0),
+        |      0.9999) AS score,
+        |    label
+        |  FROM embeddings)
+        |SELECT CAST(floor(score * 10) AS INT) AS bin, count(*) AS n,
+        |  sum(score) AS sum_score,
+        |  count(CASE WHEN label % 2 = 1 THEN 1 END) AS n_pos
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ann_l2_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[]))
+        |  - 2 * list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      (SELECT qe FROM q))
+        |  + (SELECT list_dot_product(qe, qe) FROM q) AS dist2
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY dist2, vec_id LIMIT 10""".stripMargin,
+    "snapshot_diff" ->
+      """WITH snap_a AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS pa FROM orders
+        |  WHERE o_orderkey % 7 <> 0
+        |), snap_b AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+        |         ELSE o_totalprice END AS pb
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |), d AS (
+        |  SELECT coalesce(a.k, b.k) AS k,
+        |    CASE WHEN a.k IS NULL THEN 'added'
+        |         WHEN b.k IS NULL THEN 'removed'
+        |         WHEN a.pa <> b.pb THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k)
+        |SELECT status, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
+    // (cum_bytes - 1) // target is next-fit packing quantized to the
+    // capacity grid — deterministic on both engines (integer arithmetic)
+    "layout_compaction_plan" ->
+      """WITH files AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+        |      AS part_month,
+        |    CAST(o_orderdate AS DATE) AS file_day,
+        |    count(*) AS n_rows, count(*) * 64 AS est_bytes
+        |  FROM orders GROUP BY 1, 2
+        |), planned AS (
+        |  SELECT part_month, file_day, n_rows, est_bytes,
+        |    CAST((sum(est_bytes) OVER (PARTITION BY part_month
+        |      ORDER BY file_day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) - 1) // 4096 AS INT) AS target_file
+        |  FROM files)
+        |SELECT part_month, target_file, count(*) AS n_input_files,
+        |  CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        |  CAST(sum(est_bytes) AS BIGINT) AS total_bytes
+        |FROM planned GROUP BY 1, 2
+        |ORDER BY part_month, target_file""".stripMargin,
+    // oracle recomputes the monthly rollup DIRECTLY from base — equality
+    // proves the engine's daily-partial merge path
+    "mv_incremental_merge" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |  l_returnflag AS returnflag, sum(l_quantity) AS qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY month, returnflag""".stripMargin,
+    "sql_product_type_profit" ->
+      """SELECT n.n_name AS nation,
+        |  CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS REAL) AS profit
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_name LIKE 'red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "sql_supplier_cnt_by_parttype" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "sql_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2
+        |), best AS (
+        |  SELECT pk, min(unit_cost) AS mc FROM cost GROUP BY pk
+        |), pick AS (
+        |  SELECT c.pk, min(c.sk) AS sk, min(c.unit_cost) AS unit_cost
+        |  FROM cost c JOIN best b ON b.pk = c.pk AND c.unit_cost = b.mc
+        |  GROUP BY c.pk)
+        |SELECT p.p_partkey, s.s_name, n.n_name AS nation, k.unit_cost
+        |FROM pick k
+        |JOIN part p ON p.p_partkey = k.pk
+        |JOIN supplier s ON s.s_suppkey = k.sk
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'EUROPE' AND p.p_size <= 10
+        |ORDER BY p.p_partkey""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(

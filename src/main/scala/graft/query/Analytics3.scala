@@ -1,0 +1,259 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas.table
+
+/** Round-12 widening: connected components (iterate-to-fixpoint), skyline
+  * (Pareto frontier), ANALYZE-style table profiling, model-calibration
+  * bins, and Euclidean top-k — each DuckDB-oracle exact and each carrying
+  * an explicit 100 TB shuffle story.
+  */
+object Analytics3 {
+
+  /** Connected components over the sparse "pair order" co-purchase graph
+    * (orders containing exactly two distinct parts contribute one edge) —
+    * the iterate-to-FIXPOINT graph surface that [[Analytics.graphReachability]]'s
+    * bounded-hop recursion deliberately does not cover. Labels start as
+    * vertex ids; each round takes the min over (self, neighbors, label's
+    * label) and the loop exits when a round changes nothing — the DuckDB
+    * oracle is the equivalent unbounded recursive CTE.
+    *
+    * Scale shape: the edge list is built in ONE aggregation (per-order
+    * collect_set; the two-part set IS the edge), then labeled by a
+    * size-gated two-path plan — the [[Dedup.dedupGroups]] rule: at or
+    * under `driverUnionFindMax` edges (≤ 64 MB of ids) a driver
+    * union-find labels the graph in one collect, because below that size
+    * the iterative join's ~3 shuffle stages PER ROUND cost more than the
+    * whole edge list; above it, [[distributedComponents]] runs min-label
+    * propagation with pointer jumping (O(log diameter) rounds).
+    * Round12Spec pins both paths to identical output. */
+  def graphConnectedComponents(spark: SparkSession, dir: String,
+      maxRounds: Int = 50,
+      driverUnionFindMax: Long = 4000000L): DataFrame = {
+    // ONE aggregation builds the edge list: collect each order's distinct
+    // part set (collect_set dedups in the partial aggregate, so no
+    // separate distinct scan), keep exactly-two-part orders, and the
+    // (min, max) of the set IS the undirected edge — versus the naive
+    // self-join-on-orderkey build, which costs three 600 k-row shuffles
+    // for the same ~40 k edges.
+    val ps = col("ps")
+    val e0 = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
+      .filter(size(ps) === 2)
+      .select(array_min(ps).as("u"), array_max(ps).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val nEdges = e0.count()
+    val lbl =
+      if (nEdges <= driverUnionFindMax) unionFindComponents(spark, e0)
+      else distributedComponents(spark, e0, maxRounds)
+    lbl.groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_members"), max(col("u")).as("max_member"))
+      .select(col("component"), col("n_members"), col("max_member"))
+      .orderBy(col("component"))
+  }
+
+  /** Driver union-find over the collected edge list (the
+    * [[Dedup.dedupGroups]] gate rule: ≤ 64 MB of ids beats ~3 shuffle
+    * stages per propagation round; min-id roots give identical labels to
+    * the fixpoint loop and the recursive-CTE oracle). Round12Spec pins
+    * both paths to the same output. */
+  private def unionFindComponents(spark: SparkSession,
+      e0: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    e0.select(col("u"), col("v")).as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+    parent.keys.toSeq.map(x => (x, find(x))).toDF("u", "lbl")
+  }
+
+  /** Distributed fixpoint: min-label propagation + pointer jumping.
+    * Each round is one edges⨝labels equi-join with a map-side-combined
+    * min aggregation, then a labels⨝labels self-join — the POINTER-
+    * JUMPING step (l(u) ← min(l(u), l(l(u)))), which contracts label
+    * chains by half each round, so convergence is O(log diameter) rounds
+    * instead of O(diameter). Every round's label vector is
+    * localCheckpoint'ed (it feeds the next join AND the convergence
+    * count) and carries the previous label as `old`, so the convergence
+    * test is a filter on the same materialization — no extra join. */
+  private def distributedComponents(spark: SparkSession, e0: DataFrame,
+      maxRounds: Int): DataFrame = {
+    val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var lbl = edges.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      round += 1
+      val nbrMin = edges
+        .join(lbl.select(col("u").as("v"), col("lbl")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
+      val prop = lbl.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val nxt = prop
+        .join(prop.select(col("u").as("lbl"), col("lbl").as("ll")),
+          Seq("lbl"), "left")
+        .select(col("u"), col("old"),
+          least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = nxt.filter(col("lbl") < col("old")).count()
+      lbl = nxt.select(col("u"), col("lbl"))
+    }
+    lbl
+  }
+
+  /** Pareto frontier (skyline) over per-part order statistics: parts for
+    * which no other part has ≥ total quantity AND ≤ best unit price with
+    * at least one strict — the classic "best tradeoff" operator relational
+    * engines lack as a primitive.
+    *
+    * Scale shape: the naive skyline is an O(n²) self-join — fatal at
+    * corpus scale. The engine runs the standard two-phase plan: (1) a
+    * BUCKET PRE-FILTER — bucket the maximize-dimension (total_qty) into
+    * `nBuckets` equi-width cells, take each cell's min of the
+    * minimize-dimension, suffix-min those over strictly-higher cells
+    * (a tiny nBuckets-row table), and prune every point dominated by the
+    * suffix min: any point in a strictly higher bucket has strictly
+    * greater qty, so `price ≥ suffix_min(bucket+1…)` proves domination.
+    * No skyline point can be pruned, so phase (2) — the exact dominance
+    * anti-join — runs only on the provably small survivor set (a
+    * broadcast nested-loop on dozens of rows, not the corpus). One scan +
+    * one map-side agg + one broadcast join at any scale. */
+  def paretoFrontier(spark: SparkSession, dir: String,
+      nBuckets: Int = 64): DataFrame = {
+    val m = table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"),
+        min(col("l_extendedprice") / col("l_quantity")).as("min_unit_price"))
+    val qmax = m.agg(max(col("total_qty")).as("qmax"))
+    // equi-width bucket of the maximize dim; bucket ids 0..nBuckets
+    val bucketed = m.crossJoin(broadcast(qmax))
+      .withColumn("bucket",
+        least(floor(col("total_qty") / col("qmax") * nBuckets),
+          lit(nBuckets - 1)).cast("int"))
+    // per-bucket min price, then suffix min over strictly higher buckets
+    val bmins = bucketed.groupBy(col("bucket"))
+      .agg(min(col("min_unit_price")).as("bmin"))
+    import org.apache.spark.sql.expressions.Window
+    val suffix = bmins.select(col("bucket").as("b"),
+      min(col("bmin")).over(Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)).as("suffix_min"))
+    val survivors = bucketed
+      .join(broadcast(suffix), col("bucket") === col("b"), "left")
+      .filter(col("suffix_min").isNull ||
+        col("min_unit_price") < col("suffix_min"))
+      .select(col("p_partkey"), col("total_qty"), col("min_unit_price"))
+    // exact dominance anti-join on the (small) survivor set; the q side is
+    // a renamed projection so the self-join resolves unambiguously
+    val q = survivors.select(col("total_qty").as("q_qty"),
+      col("min_unit_price").as("q_price"))
+    survivors.join(broadcast(q),
+      col("q_qty") >= col("total_qty") &&
+        col("q_price") <= col("min_unit_price") &&
+        (col("q_qty") > col("total_qty") ||
+          col("q_price") < col("min_unit_price")),
+      "left_anti")
+      .orderBy(col("p_partkey"))
+  }
+
+  /** ANALYZE-style column profile of `lineitem` key/measure columns —
+    * row count, non-null count, exact NDV, min, max per column — the
+    * statistics pass every cost-based planner and data-quality monitor
+    * runs first against a new corpus.
+    *
+    * Scale shape: ONE scan computes all per-column aggregates in a single
+    * multi-distinct aggregate (Catalyst expands the distinct set, keeping
+    * one pass over the data with map-side partials), and the wide
+    * one-row result is unpivoted driver-side into the per-column rows —
+    * metadata-scale output, never a per-column rescan of a 100 TB table.
+    * Exact NDV is the sf0.01 oracle contract; at deployment scale the
+    * same shape swaps `countDistinct` for `approx_count_distinct` (HLL,
+    * already covered by `agg_approx_sketch`). */
+  def profileTableStats(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_discount", "l_partkey", "l_quantity", "l_suppkey")
+    val li = table(spark, dir, "lineitem")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n_nonnull"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("double").as(s"${c}__min_v"),
+        max(col(c)).cast("double").as(s"${c}__max_v"))
+    }
+    val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stack = cols.map { c =>
+      s"'$c', ${c}__n_nonnull, ${c}__ndv, ${c}__min_v, ${c}__max_v"
+    }.mkString(", ")
+    wide.select(col("n_rows"), expr(
+      s"stack(${cols.size}, $stack) AS (col, n_nonnull, ndv, min_v, max_v)"))
+      .select(col("col"), col("n_rows"), col("n_nonnull"), col("ndv"),
+        col("min_v"), col("max_v"))
+      .orderBy(col("col"))
+  }
+
+  /** Reliability-diagram calibration bins for a scored binary outcome:
+    * deterministic score from the first embedding coordinate (affine
+    * clamp — bit-identical across engines, unlike exp/sigmoid), outcome =
+    * odd label; 10 equi-width score bins with count, score mass, and
+    * positive count. The ML-eval companion to `eval_confusion`: calibration
+    * is how a trained quality/toxicity filter is audited before it gates
+    * a 100 TB corpus.
+    *
+    * Scale shape: one scan, one map-side-combined aggregation on a
+    * 10-value key — no shuffle pressure at any scale. */
+  def evalCalibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val score = least(greatest(
+      element_at(col("embedding"), 1).cast("double") * 2.0 + 0.5,
+      lit(0.0)), lit(0.9999))
+    table(spark, dir, "embeddings")
+      .select(floor(score * 10).cast("int").as("bin"),
+        score.as("score"), col("label"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("score")).as("sum_score"),
+        count(when(col("label") % 2 === 1, 1)).as("n_pos"))
+      .orderBy(col("bin"))
+  }
+
+  /** Exact Euclidean (L2) top-k nearest neighbors to the `queryId`
+    * embedding via the norm expansion ‖a−q‖² = a·a − 2·a·q + q·q — three
+    * sequential-fold double dot products with the same operation order as
+    * the DuckDB oracle's `list_dot_product` arithmetic, so the distances
+    * are bit-identical. The metric companion to `ann_brute_force_topk`
+    * (cosine): L2 is the metric FAISS-style IVF indexes default to.
+    *
+    * Scale shape: identical to brute-force cosine — one scan, codegen'd
+    * [[graft.functions.FloatVecDot]], TakeOrdered top-k (per-partition
+    * k-reduction, no global sort, vectors never shuffle). The q·q scalar
+    * folds into the expression as a literal. */
+  def annL2TopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val qvec = table(spark, dir, "embeddings")
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val q = array(qvec.toIndexedSeq.map(lit): _*)
+    table(spark, dir, "embeddings")
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("qv", q)
+      .select(col("vec_id"),
+        (expr("float_dot(embedding, embedding)")
+          - lit(2.0) * expr("float_dot(embedding, qv)")
+          + expr("float_dot(qv, qv)")).as("dist2"))
+      .orderBy(col("dist2"), col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,191 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas.table
+
+/** Round-12 warehouse maintenance surface: snapshot diffing, file-layout
+  * compaction planning, incremental materialized-view merge, and three
+  * TPC-H-shaped analytical queries (Q2/Q9/Q16 adapted to the testdata
+  * star schema, which has no partsupp table). All DuckDB-oracle exact.
+  */
+object Warehouse2 {
+
+  /** Table-snapshot diff: classify every key of two snapshots of `orders`
+    * (simulated as deterministic key-range filters with a price update on
+    * keys ≡ 0 mod 3) as added / removed / changed / unchanged and report
+    * per-status counts and key ranges — the reconciliation pass behind
+    * CDC validation, replica verification, and time-travel diffing.
+    *
+    * Scale shape: one full-outer equi-join on the snapshot key — both
+    * sides shuffle-partition on the key (co-partitioned scans of two
+    * table versions in a real lakehouse make this a zip join), then a
+    * map-side-combined 4-group aggregation. Nothing is collected; the
+    * diff detail stays distributed and only the summary returns. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val snapA = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("pa"))
+    val snapB = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")).as("pb"))
+    snapA.join(snapB, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("pa").isNull, "added")
+          .when(col("pb").isNull, "removed")
+          .when(col("pa") =!= col("pb"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+      .orderBy(col("status"))
+  }
+
+  /** Small-file compaction planner: derive per-(month, day) "file"
+    * metadata from `orders` (row count, estimated bytes), then assign
+    * files to capacity-quantized target files by the running-byte
+    * prefix within each month partition — `(cumulative_bytes − 1) div
+    * target` — the deterministic SQL form of next-fit bin packing that
+    * OPTIMIZE/compaction jobs in lakehouse table formats plan with.
+    *
+    * Scale shape: the planner runs on FILE METADATA, not data — one
+    * aggregation to the per-file grain, one window partitioned by the
+    * table partition (each month's file list is small by construction),
+    * one re-aggregation to the plan grain. At 100 TB the input is the
+    * table manifest (millions of rows, not billions), and the plan
+    * output drives the actual rewrite job. */
+  def layoutCompactionPlan(spark: SparkSession, dir: String,
+      targetBytes: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = table(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("part_month"),
+        col("o_orderdate").cast("date").as("file_day"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) * 64).as("est_bytes"))
+    val w = Window.partitionBy(col("part_month")).orderBy(col("file_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("target_file",
+        floor((sum(col("est_bytes")).over(w) - 1) / targetBytes).cast("int"))
+      .groupBy(col("part_month"), col("target_file"))
+      .agg(count(lit(1)).as("n_input_files"),
+        sum(col("n_rows")).as("total_rows"),
+        sum(col("est_bytes")).as("total_bytes"))
+      .orderBy(col("part_month"), col("target_file"))
+  }
+
+  /** Incremental materialized-view merge: monthly revenue rollup computed
+    * by MERGING persisted daily partial-aggregate states (sum/count are
+    * associative), not by rescanning the base table — the maintenance
+    * shape of every incremental MV / streaming-upsert sink. The DuckDB
+    * oracle computes the monthly rollup DIRECTLY from base, so the
+    * hash-compare proves the partial-merge path is exactly equal to the
+    * full recompute.
+    *
+    * Scale shape: the daily grain is the persisted MV delta (one
+    * aggregation per refresh window over only the new partition's data at
+    * deployment); the monthly merge aggregates ~30× fewer rows than base
+    * and reuses the daily shuffle's partitioning prefix. sum(qty) stays
+    * double with map-side partials; counts merge as longs. */
+  def mvIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "lineitem")
+      .groupBy(date_trunc("day", col("l_shipdate")).as("d"),
+        col("l_returnflag").as("returnflag"))
+      .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+    daily
+      .groupBy(date_trunc("month", col("d")).cast("date").as("month"),
+        col("returnflag"))
+      .agg(sum(col("qty")).as("qty"), sum(col("n")).as("n_rows"))
+      .orderBy(col("month"), col("returnflag"))
+  }
+
+  /** TPC-H Q9 adapted (no partsupp in the testdata schema): profit by
+    * supplier nation and order year over parts whose name starts with
+    * "red". Scale shape: lineitem joins broadcast dims (part filter is
+    * applied BEFORE the join so the build side is the filtered part set;
+    * supplier/nation are broadcast), and the only shuffle is
+    * lineitem⨝orders on orderkey followed by the group-by — the plan a
+    * cost-based optimizer should pick, declared explicitly. */
+  def sqlProductTypeProfit(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+    val s = table(spark, dir, "supplier")
+    val n = table(spark, dir, "nation")
+    val o = table(spark, dir, "orders")
+    val p = table(spark, dir, "part").filter(col("p_name").startsWith("red"))
+    l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(s), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("float").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q16 adapted: distinct-supplier counts per (brand, type, size)
+    * for a size set, excluding one brand — the "how diversified is supply
+    * per part class" query. Scale shape: the part filter prunes before a
+    * broadcast join; count(DISTINCT suppkey) aggregates on the composite
+    * key with a two-phase distinct expansion — no row explosion, no
+    * global sort until the final (small) result ordering. */
+  def sqlSupplierCntByParttype(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 4, 9, 16, 25, 36, 49)
+    val p = table(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(sizes: _*))
+    table(spark, dir, "lineitem")
+      .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q2 adapted (no partsupp): for every small European-region part,
+    * the supplier offering the minimum observed unit price in lineitem
+    * (ties broken by smallest suppkey). The min-cost-vendor selection
+    * with the classic correlated-minimum subquery shape.
+    *
+    * Scale shape: the unit-cost table aggregates lineitem on the
+    * composite (part, supplier) key — one shuffle; the per-part minimum
+    * reuses that output grouped by part only (AQE can reuse the
+    * partitioning prefix); the winner join is an equi-join on (part,
+    * cost) — the double equality is safe because both sides carry the
+    * SAME aggregated values, not recomputed arithmetic. Dimension joins
+    * broadcast. */
+  def sqlMinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // The per-part winner depends only on that part's own offers, so the
+    // part-size predicate prunes lineitem BEFORE the (part, supplier)
+    // aggregation — a broadcast semi-join cuts the agg input ~5× with
+    // identical semantics (the oracle filters at the end; DuckDB's
+    // optimizer does the same pushdown from the declarative form).
+    val smallParts = table(spark, dir, "part")
+      .filter(col("p_size") <= 10).select(col("p_partkey"))
+    val cost = table(spark, dir, "lineitem")
+      .join(broadcast(smallParts), col("p_partkey") === col("l_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val best = cost.groupBy(col("pk").as("bpk"))
+      .agg(min(col("unit_cost")).as("mc"))
+    val pick = cost.join(best,
+        col("pk") === col("bpk") && col("unit_cost") === col("mc"))
+      .groupBy(col("pk"))
+      .agg(min(col("sk")).as("sk"), min(col("unit_cost")).as("unit_cost"))
+    val p = table(spark, dir, "part").filter(col("p_size") <= 10)
+    val s = table(spark, dir, "supplier")
+    val n = table(spark, dir, "nation")
+    val r = table(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    pick
+      .join(broadcast(p), col("p_partkey") === col("pk"))
+      .join(broadcast(s), col("s_suppkey") === col("sk"))
+      .join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
+      .join(broadcast(r), col("r_regionkey") === col("n_regionkey"),
+        "left_semi")
+      .select(col("p_partkey"), col("s_name"), col("n_name").as("nation"),
+        col("unit_cost"))
+      .orderBy(col("p_partkey"))
+  }
+}

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query.{Analytics3, Warehouse2}
+import graft.schema.Schemas
+
+/** Round-12 operators: connected components (two paths), skyline,
+  * table profiling, calibration, L2 ANN, and the warehouse-maintenance
+  * family. */
+class Round12Spec extends SparkSpec {
+
+  test("graph_connected_components: union-find and distributed paths agree") {
+    val uf = Analytics3.graphConnectedComponents(spark, sf).collect()
+    val dist = Analytics3
+      .graphConnectedComponents(spark, sf, driverUnionFindMax = 0L)
+      .collect()
+    assert(uf.length == dist.length, s"${uf.length} vs ${dist.length}")
+    uf.zip(dist).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+    // component labels are the min member: label <= every member's id,
+    // and each component's member count is >= 2 (every vertex has an edge)
+    uf.foreach { r =>
+      assert(r.getLong(0) <= r.getLong(2))
+      assert(r.getLong(1) >= 2)
+    }
+  }
+
+  test("graph_connected_components: labels are a valid partition") {
+    // total member mass equals the vertex count of the pair-order graph
+    val li = Schemas.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
+      .filter(size(col("ps")) === 2)
+      .select(array_min(col("ps")).as("u"), array_max(col("ps")).as("v"))
+      .distinct()
+    val nV = li.select(col("u")).unionAll(li.select(col("v")))
+      .distinct().count()
+    val out = Analytics3.graphConnectedComponents(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum == nV)
+  }
+
+  test("pareto_frontier: equals the brute-force skyline") {
+    val m = Schemas.table(spark, sf, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("q"),
+        min(col("l_extendedprice") / col("l_quantity")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val brute = m.filter { case (_, q, p) =>
+      !m.exists { case (_, q2, p2) =>
+        q2 >= q && p2 <= p && (q2 > q || p2 < p)
+      }
+    }.map(_._1).sorted
+    val got = Analytics3.paretoFrontier(spark, sf).collect()
+      .map(_.getLong(0)).sorted
+    assert(got.toSeq == brute.toSeq)
+    // skyline is an antichain: no member dominates another (implied by
+    // equality with brute force, asserted directly as a tripwire)
+    val bySky = m.filter(x => got.contains(x._1))
+    bySky.foreach { case (k, q, p) =>
+      assert(!bySky.exists { case (k2, q2, p2) =>
+        k2 != k && q2 >= q && p2 <= p && (q2 > q || p2 < p)
+      })
+    }
+  }
+
+  test("pareto_frontier: prefilter is bucket-count invariant") {
+    val a = Analytics3.paretoFrontier(spark, sf, nBuckets = 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Analytics3.paretoFrontier(spark, sf, nBuckets = 512)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("profile_table_stats: matches per-column recompute") {
+    val out = Analytics3.profileTableStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val li = Schemas.table(spark, sf, "lineitem")
+    val n = li.count()
+    Seq("l_discount", "l_partkey", "l_quantity", "l_suppkey").foreach { c =>
+      val r = li.agg(count(col(c)), countDistinct(col(c)),
+        min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+      assert(out(c) == ((n, r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))), s"col $c: ${out(c)}")
+    }
+  }
+
+  test("eval_calibration_bins: bins partition the corpus; scores in range") {
+    val out = Analytics3.evalCalibrationBins(spark, sf).collect()
+    val total = Schemas.table(spark, sf, "embeddings").count()
+    assert(out.map(_.getLong(1)).sum == total)
+    out.foreach { r =>
+      val bin = r.getInt(0); val nRows = r.getLong(1)
+      val sumScore = r.getDouble(2); val nPos = r.getLong(3)
+      assert(bin >= 0 && bin <= 9)
+      assert(nPos <= nRows)
+      // mean score of a bin lies inside the bin's score interval
+      val mean = sumScore / nRows
+      assert(mean >= bin / 10.0 - 1e-9 && mean <= (bin + 1) / 10.0 + 1e-9)
+    }
+  }
+
+  test("ann_l2_topk: agrees with a driver-side exact recompute") {
+    val emb = Schemas.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = emb(0L)
+    def d2(a: Array[Float]): Double = {
+      var aa = 0.0; var aq = 0.0; var qq = 0.0
+      var i = 0
+      while (i < a.length) {
+        aa += a(i).toDouble * a(i).toDouble
+        aq += a(i).toDouble * q(i).toDouble
+        qq += q(i).toDouble * q(i).toDouble
+        i += 1
+      }
+      aa - 2.0 * aq + qq
+    }
+    val expect = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (d2(v), id) }.sorted.take(10).map(_._2)
+    val got = Analytics3.annL2TopK(spark, sf).collect().map(_.getLong(0))
+    assert(got.toSeq == expect)
+  }
+
+  test("snapshot_diff: statuses partition the union of snapshot keys") {
+    val out = Warehouse2.snapshotDiff(spark, sf).collect()
+    val byStatus = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = Schemas.table(spark, sf, "orders")
+    val nA = o.filter(col("o_orderkey") % 7 =!= 0).count()
+    val nB = o.filter(col("o_orderkey") % 5 =!= 0).count()
+    val nBoth = o.filter(col("o_orderkey") % 7 =!= 0 &&
+      col("o_orderkey") % 5 =!= 0).count()
+    assert(byStatus("added") == nB - nBoth)
+    assert(byStatus("removed") == nA - nBoth)
+    assert(byStatus.getOrElse("changed", 0L)
+      + byStatus.getOrElse("unchanged", 0L) == nBoth)
+    // changed keys are exactly the shared keys divisible by 3
+    val nChanged = o.filter(col("o_orderkey") % 7 =!= 0 &&
+      col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 3 === 0 &&
+      col("o_totalprice") =!= 0.0).count()
+    assert(byStatus.getOrElse("changed", 0L) == nChanged)
+  }
+
+  test("layout_compaction_plan: bins are contiguous and capacity-quantized") {
+    val rows = Warehouse2.layoutCompactionPlan(spark, sf).collect()
+    // per month: target_file ids start at 0 and are contiguous
+    rows.groupBy(_.getDate(0)).foreach { case (_, g) =>
+      val ids = g.map(_.getInt(1)).sorted
+      assert(ids.head == 0 && ids.last == ids.length - 1)
+    }
+    // every bin except possibly the last per month holds > 0 bytes and
+    // bin index equals the quantized running total
+    rows.foreach { r => assert(r.getLong(4) > 0) }
+    // total rows across the plan equal the orders row count
+    val total = Schemas.table(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(3)).sum == total)
+  }
+
+  test("mv_incremental_merge: partial-merge equals direct rollup") {
+    val got = Warehouse2.mvIncrementalMerge(spark, sf).collect()
+    val direct = Schemas.table(spark, sf, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+        .as("month"), col("l_returnflag").as("returnflag"))
+      .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n_rows"))
+      .orderBy(col("month"), col("returnflag")).collect()
+    assert(got.length == direct.length)
+    got.zip(direct).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
+  test("sql_min_cost_supplier: winner really is the per-part minimum") {
+    val out = Warehouse2.sqlMinCostSupplier(spark, sf).collect()
+    val cost = Schemas.table(spark, sf, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("c"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2)))).toMap
+    out.foreach { r =>
+      val pk = r.getLong(0)
+      val offers = cost(pk)
+      val mc = offers.map(_._2).min
+      val winner = offers.filter(_._2 == mc).map(_._1).min
+      assert(r.getString(1) == f"Supplier#${winner}%09d",
+        s"part $pk winner ${r.getString(1)} vs suppkey $winner")
+      assert(r.getDouble(3) == mc)
+    }
+  }
+}
