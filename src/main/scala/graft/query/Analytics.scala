@@ -97,12 +97,18 @@ object Analytics {
     // coalesces the small build shuffle to 1-2 partitions (~60 MB of sf0.1
     // edges fits one advisory target), which would serialize EVERY round's
     // join+partial-agg onto 1-2 tasks ×iters. Pinning to defaultParallelism
-    // keeps each round's map side as wide as the machine; hash(u) keeps the
-    // layout co-partitioned with the rank vector if the broadcast hint ever
-    // comes off at billion-vertex scale.
+    // keeps each round's map side as wide as the machine. The layout key is
+    // the DESTINATION vertex: with the rank vector broadcast, the join
+    // preserves the scan's hash(v) partitioning, so each round's
+    // groupBy(v) aggregation runs exchange-free on the persisted layout —
+    // the per-round shuffle of |E| contribution rows (the dominant
+    // iterative cost) disappears. If the broadcast hint ever comes off at
+    // billion-vertex scale, hash(v) is still the right key: contributions
+    // aggregate where they land, and only the (small) rank vector
+    // re-shuffles to meet the edge index.
     val nPart = spark.sparkContext.defaultParallelism
     val wedges = cachedDf(spark, gkey(dir, "wdeg")) {
-      edges.join(deg, Seq("u")).repartition(nPart, col("u"))
+      edges.join(deg, Seq("u")).repartition(nPart, col("v"))
     }
     val nV = deg.count() // persisted: a metadata-speed count
     var pr = deg.select(col("u"), lit(1.0 / nV).as("pr"))

@@ -58,6 +58,16 @@ class PartitionInvarianceSpec extends SparkSpec {
       (() => graft.streaming.StreamQueries.streamSessionWindowNative(spark, sf)),
     "stream_hopping_agg overlapping window state" ->
       (() => graft.streaming.StreamQueries.streamHoppingAgg(spark, sf)),
+    // round 12: the distributed fixpoint path (gate forced off) and the
+    // prefilter-dependent skyline — the two new shapes where a
+    // partition-count bug could hide
+    "graph_connected_components distributed fixpoint" ->
+      (() => graft.query.Analytics3.graphConnectedComponents(spark, sf,
+        driverUnionFindMax = 0L)),
+    "pareto_frontier bucket prefilter + survivor anti-join" ->
+      (() => graft.query.Analytics3.paretoFrontier(spark, sf)),
+    "layout_compaction_plan running-byte window" ->
+      (() => graft.query.Warehouse2.layoutCompactionPlan(spark, sf)),
     "stream_stream_join watermarked interval join" ->
       (() => graft.streaming.StreamQueries.streamStreamJoin(spark, sf)))
 

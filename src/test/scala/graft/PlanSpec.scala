@@ -292,4 +292,81 @@ class PlanSpec extends SparkSpec {
     val b = graft.query.TextAnalysis.tokenTf(spark, sf)
     assert(a eq b, "tokenTf rebuilt the index for an unchanged corpus")
   }
+
+  test("pareto_frontier: only broadcast joins — the exact pass never " +
+    "shuffles or nested-loops the full metric table") {
+    val p = graft.query.Analytics3.paretoFrontier(spark, sf)
+      .queryExecution.sparkPlan.toString
+    // the one tolerated nested loop is the survivor×survivor dominance
+    // check (both sides are the provably-small candidate set); the
+    // metric table itself must never appear under a join's streamed side
+    // except via broadcast
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("profile_table_stats: ONE scan of lineitem (multi-distinct expand, " +
+    "not a per-column rescan)") {
+    val p = graft.query.Analytics3.profileTableStats(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val nScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(nScans == 1, s"expected 1 lineitem scan, got $nScans\n$p")
+    assert(p.contains("Expand"), p)
+  }
+
+  test("ann_l2_topk: TakeOrdered top-k; float_dot inside codegen") {
+    val df = graft.query.Analytics3.annL2TopK(spark, sf)
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("TakeOrderedAndProject"), executed)
+    // `*(1) Project [... float_dot(...)]`: the three dot products sit
+    // inside the whole-stage-codegen span over the columnar scan
+    assert(executed.contains("*("), executed)
+    assert(executed.contains("float_dot"), executed)
+  }
+
+  test("sql queries (round 12): dims broadcast, part filter pushed below " +
+    "the cost aggregation") {
+    val profit = graft.query.Warehouse2.sqlProductTypeProfit(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(profit.contains("BroadcastHashJoin"), profit)
+    assert(!profit.contains("CartesianProduct"), profit)
+    val mincost = graft.query.Warehouse2.sqlMinCostSupplier(spark, sf)
+      .queryExecution.sparkPlan.toString
+    // the semi-join prune must sit BELOW the (pk, sk) aggregate: the
+    // aggregate's child subtree contains the broadcast semi join
+    val aggIdx = mincost.linesIterator.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial_min"))
+    val semiIdx = mincost.linesIterator.indexWhere(l =>
+      l.contains("LeftSemi") && l.contains("l_partkey"))
+    assert(aggIdx >= 0 && semiIdx > aggIdx,
+      s"semi-join prune not below the cost aggregate\n$mincost")
+  }
+
+  test("graph_pagerank: per-round aggregation reuses the persisted " +
+    "hash(v) layout — no ENSURE_REQUIREMENTS exchange on the dest key") {
+    // the wedges index is repartitioned by destination vertex at build
+    // (REPARTITION_BY_NUM, paid once); with the rank vector broadcast,
+    // every round's groupBy(v) must consume that layout directly — a
+    // per-round ENSURE_REQUIREMENTS exchange on v is the regression this
+    // pins out (it re-shuffles |E| contribution rows × iters)
+    val p = graft.query.Analytics.graphPagerank(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(v#") &&
+        l.contains("ENSURE_REQUIREMENTS"))
+    assert(!badExchange, "per-round shuffle of edge contributions came back")
+  }
+
+  test("graph_connected_components (gated path): result plan is " +
+    "metadata-scale — labels live on the driver, no parquet rescan") {
+    // below the union-find gate the returned frame aggregates a local
+    // relation; the edge build ran once inside the operator (one
+    // aggregation, localCheckpoint'ed) and must not re-enter the plan
+    val p = graft.query.Analytics3.graphConnectedComponents(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("FileScan parquet"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
