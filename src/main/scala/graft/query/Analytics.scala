@@ -269,7 +269,13 @@ object Analytics {
         .distinct()
     }
 
-  /** Both directions of [[copurchaseEdges]] (u→v and v→u). */
+  /** Both directions of [[copurchaseEdges]] (u→v and v→u). Deliberately
+    * NOT pinned to a hash(v) layout: unlike [[graphPagerank]]'s wedges
+    * (whose per-round aggregation moves |E| contribution rows and so
+    * earns a pinned-width destination layout), BFS and LPA rounds carry
+    * small frontier/label deltas — pinning the index to full width was
+    * measured 1.8-2× SLOWER at bench scale because every tiny per-round
+    * stage inherits 32 tasks that AQE would otherwise coalesce. */
   private def copurchaseEdgesSym(spark: SparkSession, dir: String): DataFrame = {
     val e0 = copurchaseEdges(spark, dir)
     cachedDf(spark, gkey(dir, "sym")) {
