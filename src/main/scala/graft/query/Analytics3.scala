@@ -242,11 +242,16 @@ object Analytics3 {
   def annL2TopK(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 10): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
-    val qvec = table(spark, dir, "embeddings")
-      .filter(col("vec_id") === queryId)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val base = table(spark, dir, "embeddings")
+    // degrade to a well-formed empty result when the query vector is
+    // absent (empty corpus / deleted id) instead of head() crashing
+    val qrow = base.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head(1)
+    if (qrow.isEmpty)
+      return base.select(col("vec_id"), lit(0.0).as("dist2")).limit(0)
+    val qvec = qrow(0).getSeq[Float](0).toArray
     val q = array(qvec.toIndexedSeq.map(lit): _*)
-    table(spark, dir, "embeddings")
+    base
       .filter(col("vec_id") =!= queryId)
       .withColumn("qv", q)
       .select(col("vec_id"),

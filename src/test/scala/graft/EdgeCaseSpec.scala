@@ -109,4 +109,46 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
       "temperature mix must keep the only doc whole")
     graft.query.Dedup.clearCaches()
   }
+
+  /** Star-schema dir with EMPTY fact/dim tables (round-12 family). */
+  private lazy val emptyStarDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("edge-star").toString
+    Seq("lineitem", "orders", "part", "supplier", "nation", "region",
+      "embeddings").foreach { t =>
+      graft.schema.Schemas.table(spark, sf, t).limit(0)
+        .coalesce(1).write.parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("round-12 family: empty star schema degrades to well-formed results") {
+    import graft.query.{Analytics3, Warehouse2}
+    // empty edge list → zero components via the union-find path
+    assert(Analytics3.graphConnectedComponents(spark, emptyStarDir)
+      .collect().isEmpty)
+    // and via the forced distributed path
+    assert(Analytics3.graphConnectedComponents(spark, emptyStarDir,
+      driverUnionFindMax = 0L).collect().isEmpty)
+    assert(Analytics3.paretoFrontier(spark, emptyStarDir).collect().isEmpty)
+    // profile keeps its 4 rows with n_rows=0 and null extrema — the
+    // ANALYZE contract for an empty table, not a crash
+    val prof = Analytics3.profileTableStats(spark, emptyStarDir).collect()
+    assert(prof.length == 4 && prof.forall(r =>
+      r.getLong(1) == 0L && r.isNullAt(4) && r.isNullAt(5)))
+    assert(Analytics3.evalCalibrationBins(spark, emptyStarDir)
+      .collect().isEmpty)
+    // missing query vector → empty top-k, not head() on nothing
+    assert(Analytics3.annL2TopK(spark, emptyStarDir).collect().isEmpty)
+    assert(Warehouse2.snapshotDiff(spark, emptyStarDir).collect().isEmpty)
+    assert(Warehouse2.layoutCompactionPlan(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Warehouse2.mvIncrementalMerge(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Warehouse2.sqlProductTypeProfit(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Warehouse2.sqlSupplierCntByParttype(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Warehouse2.sqlMinCostSupplier(spark, emptyStarDir)
+      .collect().isEmpty)
+  }
 }
