@@ -193,6 +193,10 @@ object SparkEntry {
     "eval_calibration_bins"  -> Analytics3.evalCalibrationBins _,
     "ann_l2_topk"            ->
       ((s: SparkSession, d: String) => Analytics3.annL2TopK(s, d)),
+    "drift_chi2_terms"       -> Analytics3.driftChi2Terms _,
+    "dq_constraint_report"   -> Warehouse2.dqConstraintReport _,
+    "corpus_diversity_stats" -> TextAnalysis.corpusDiversityStats _,
+    "text_bigram_logprob"    -> TextAnalysis.textBigramLogprob _,
     "snapshot_diff"          -> Warehouse2.snapshotDiff _,
     "layout_compaction_plan" ->
       ((s: SparkSession, d: String) => Warehouse2.layoutCompactionPlan(s, d)),
@@ -1270,6 +1274,97 @@ object SparkEntry {
         |  + (SELECT list_dot_product(qe, qe) FROM q) AS dist2
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY dist2, vec_id LIMIT 10""".stripMargin,
+    // categorical drift: per-category chi-square terms (the PSI-terms
+    // precedent — emit terms, sum is the statistic); identical double
+    // expression tree on both sides, REAL cast
+    "drift_chi2_terms" ->
+      """WITH s AS (
+        |  SELECT event_type AS cat,
+        |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS isa
+        |  FROM events
+        |), tot AS (
+        |  SELECT CAST(sum(isa) AS BIGINT) AS na,
+        |    CAST(sum(1 - isa) AS BIGINT) AS nb FROM s
+        |), g AS (
+        |  SELECT cat, CAST(sum(isa) AS BIGINT) AS ca,
+        |    CAST(sum(1 - isa) AS BIGINT) AS cb
+        |  FROM s GROUP BY cat
+        |)
+        |SELECT cat, ca, cb,
+        |  CAST((CAST(ca AS DOUBLE) - CAST(ca + cb AS DOUBLE)
+        |      * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |    * (CAST(ca AS DOUBLE) - CAST(ca + cb AS DOUBLE)
+        |      * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |    / (CAST(ca + cb AS DOUBLE) * CAST(na AS DOUBLE)
+        |      / CAST(na + nb AS DOUBLE))
+        |  + (CAST(cb AS DOUBLE) - CAST(ca + cb AS DOUBLE)
+        |      * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |    * (CAST(cb AS DOUBLE) - CAST(ca + cb AS DOUBLE)
+        |      * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |    / (CAST(ca + cb AS DOUBLE) * CAST(nb AS DOUBLE)
+        |      / CAST(na + nb AS DOUBLE))
+        |  AS REAL) AS chi2_term
+        |FROM g CROSS JOIN tot ORDER BY cat""".stripMargin,
+    "dq_constraint_report" ->
+      """SELECT 'lineitem_orderkey_fk' AS constraint_name,
+        |  CAST(count(*) AS BIGINT) AS n_checked,
+        |  CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_violations
+        |FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |UNION ALL
+        |SELECT 'lineitem_qty_positive', CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN l_quantity <= 0 THEN 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+        |FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        |UNION ALL
+        |SELECT 'orders_price_nonnull', CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'part_partkey_unique', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(DISTINCT p_partkey) AS BIGINT) FROM part
+        |ORDER BY constraint_name""".stripMargin,
+    "corpus_diversity_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |)
+        |SELECT lang, source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+        |  CAST(CAST(count(DISTINCT tok) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS REAL) AS type_token_ratio
+        |FROM toks GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(
+        |    generate_series(1, len(t) - 1)) AS i) s
+        |  WHERE len(t) >= 2
+        |), bg AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg
+        |  FROM grams GROUP BY w1, w2
+        |), ug AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS cug FROM grams GROUP BY w1
+        |), vocab AS (
+        |  SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM grams
+        |)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(ln((CAST(b.cbg AS DOUBLE) + 1.0)
+        |      / (CAST(u.cug AS DOUBLE) + CAST(vocab.v AS DOUBLE))))
+        |    / CAST(count(*) AS DOUBLE) AS REAL) AS mean_logprob
+        |FROM grams g JOIN bg b ON b.w1 = g.w1 AND b.w2 = g.w2
+        |JOIN ug u ON u.w1 = g.w1 CROSS JOIN vocab
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "snapshot_diff" ->
       """WITH snap_a AS (
         |  SELECT o_orderkey AS k, o_totalprice AS pa FROM orders

@@ -228,6 +228,38 @@ object Analytics3 {
       .orderBy(col("bin"))
   }
 
+  /** Per-category chi-square drift terms between the even/odd event-id
+    * cohorts over the categorical `event_type` distribution — the
+    * CATEGORICAL member of the drift-monitor family (`drift_ks_value` is
+    * the continuous exact statistic, `drift_psi_value` the binned
+    * direction-sensitive one). Emitted per category like the PSI terms,
+    * so the monitor can localize WHICH category moved; the scalar
+    * statistic is the sum of the terms.
+    *
+    * Scale shape: one scan, one map-side-combined aggregation on the
+    * (tiny) category key, a broadcast 1-row margin join — no shuffle
+    * pressure at any corpus size. Expected counts are computed with the
+    * identical double expression tree as the DuckDB oracle. */
+  def driftChi2Terms(spark: SparkSession, dir: String): DataFrame = {
+    val s = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_type").as("cat"),
+        when(col("event_id") % 2 === 0, 1).otherwise(0).as("isa"))
+    val tot = s.agg(sum(col("isa")).cast("long").as("na"),
+      sum(lit(1) - col("isa")).cast("long").as("nb"))
+    val g = s.groupBy(col("cat"))
+      .agg(sum(col("isa")).cast("long").as("ca"),
+        sum(lit(1) - col("isa")).cast("long").as("cb"))
+    def d(c: Column): Column = c.cast("double")
+    val ea = d(col("ca") + col("cb")) * d(col("na")) / d(col("na") + col("nb"))
+    val eb = d(col("ca") + col("cb")) * d(col("nb")) / d(col("na") + col("nb"))
+    g.crossJoin(broadcast(tot))
+      .select(col("cat"), col("ca"), col("cb"),
+        ((d(col("ca")) - ea) * (d(col("ca")) - ea) / ea
+          + (d(col("cb")) - eb) * (d(col("cb")) - eb) / eb)
+          .cast("float").as("chi2_term"))
+      .orderBy(col("cat"))
+  }
+
   /** Exact Euclidean (L2) top-k nearest neighbors to the `queryId`
     * embedding via the norm expansion ‖a−q‖² = a·a − 2·a·q + q·q — three
     * sequential-fold double dot products with the same operation order as

@@ -413,4 +413,64 @@ object TextAnalysis {
           .as("char_cov"))
       .orderBy(col("doc_id"))
   }
+
+  /** Corpus diversity report per (lang, source) stratum: document count,
+    * token mass, vocabulary size, and type–token ratio — the
+    * composition/diversity dashboard a corpus curator reads before
+    * setting mixture weights (a stratum whose TTR collapses is template
+    * spam; one whose vocabulary explodes is noise).
+    *
+    * Scale shape: tokenize→explode once, then ONE aggregation on the
+    * (lang, source) stratum key with a two-distinct expand (docs,
+    * types) — the stratum keyspace is tiny, so partial aggregation
+    * collapses the exploded mass before the shuffle. */
+  def corpusDiversityStats(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "documents")
+      .select(col("lang"), col("source"), col("doc_id"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"),
+        (countDistinct(col("tok")).cast("double")
+          / count(lit(1)).cast("double")).cast("float")
+          .as("type_token_ratio"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Per-document mean log-probability under an add-1-smoothed corpus
+    * BIGRAM language model: ln((c(w1,w2)+1)/(c(w1)+V)) averaged over the
+    * document's bigram positions — the bigram upgrade of
+    * `text_unigram_logprob` (fluency scoring that, unlike unigram,
+    * penalizes improbable word ORDER, the standard cheap quality filter
+    * between heuristics and a neural LM).
+    *
+    * Scale shape: the bigram stream is computed once and the two count
+    * statistics attach as WINDOW aggregates over it (count over
+    * (w1, w2), count over (w1)) — no join of the stream against its own
+    * aggregation, so the corpus-sized gram table shuffles exactly twice
+    * regardless of vocabulary size; the vocabulary scalar broadcasts. */
+  def textBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = table(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+    val v = grams.agg(countDistinct(col("w2")).as("v"))
+    grams
+      .withColumn("cbg",
+        count(lit(1)).over(Window.partitionBy(col("w1"), col("w2"))))
+      .withColumn("cug", count(lit(1)).over(Window.partitionBy(col("w1"))))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(log((col("cbg").cast("double") + 1.0)
+          / (col("cug").cast("double") + col("v").cast("double"))))
+          / count(lit(1)).cast("double")).cast("float").as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.schema.Schemas.table
 
@@ -99,6 +99,47 @@ object Warehouse2 {
         col("returnflag"))
       .agg(sum(col("qty")).as("qty"), sum(col("n")).as("n_rows"))
       .orderBy(col("month"), col("returnflag"))
+  }
+
+  /** Data-quality constraint report — the dbt-test / Deequ shape: each
+    * declared constraint (FK integrity, uniqueness, value-range,
+    * non-null) is evaluated over its full table and reported as one
+    * (constraint, n_checked, n_violations) row. The gate every corpus
+    * refresh runs before downstream jobs consume the new snapshot.
+    *
+    * Scale shape: FK checks are broadcast-probe left joins counted in
+    * one pass (the fact side never shuffles; a null probe IS the
+    * violation); uniqueness is count − countDistinct in one aggregate;
+    * range/null checks are map-side conditional counts. Output is one
+    * row per constraint — metadata-scale — so the five checks union
+    * cheaply. */
+  def dqConstraintReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    val p = table(spark, dir, "part")
+    def report(name: String, checked: Column, violations: Column,
+        src: DataFrame): DataFrame =
+      src.agg(checked.cast("long").as("n_checked"),
+        violations.cast("long").as("n_violations"))
+        .select(lit(name).as("constraint_name"), col("n_checked"),
+          col("n_violations"))
+    val liFk = report("lineitem_orderkey_fk", count(lit(1)),
+      count(when(col("o_orderkey").isNull, 1)),
+      li.join(broadcast(o.select(col("o_orderkey"))),
+        col("o_orderkey") === col("l_orderkey"), "left"))
+    val qty = report("lineitem_qty_positive", count(lit(1)),
+      count(when(col("l_quantity") <= 0, 1)), li)
+    val oFk = report("orders_custkey_fk", count(lit(1)),
+      count(when(col("c_custkey").isNull, 1)),
+      o.join(broadcast(c.select(col("c_custkey"))),
+        col("c_custkey") === col("o_custkey"), "left"))
+    val price = report("orders_price_nonnull", count(lit(1)),
+      count(when(col("o_totalprice").isNull, 1)), o)
+    val uniq = report("part_partkey_unique", count(lit(1)),
+      count(lit(1)) - countDistinct(col("p_partkey")), p)
+    liFk.unionAll(qty).unionAll(oFk).unionAll(price).unionAll(uniq)
+      .orderBy(col("constraint_name"))
   }
 
   /** TPC-H Q9 adapted (no partsupp in the testdata schema): profit by

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.query.{Analytics3, Warehouse2}
+import graft.query.{Analytics3, TextAnalysis, Warehouse2}
 import graft.schema.Schemas
 
 /** Round-12 operators: connected components (two paths), skyline,
@@ -184,5 +184,87 @@ class Round12Spec extends SparkSpec {
         s"part $pk winner ${r.getString(1)} vs suppkey $winner")
       assert(r.getDouble(3) == mc)
     }
+  }
+
+  test("drift_chi2_terms: nonnegative terms; margins conserve; identical " +
+    "cohorts give ~zero statistic") {
+    val out = Analytics3.driftChi2Terms(spark, sf).collect()
+    val total = Schemas.events(spark, sf).count()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+    out.foreach(r => assert(r.getFloat(3) >= 0.0f))
+    // hand fold of one category's term from its own counts
+    val na = out.map(_.getLong(1)).sum.toDouble
+    val nb = out.map(_.getLong(2)).sum.toDouble
+    out.foreach { r =>
+      val ca = r.getLong(1).toDouble; val cb = r.getLong(2).toDouble
+      val ea = (ca + cb) * na / (na + nb); val eb = (ca + cb) * nb / (na + nb)
+      val expect = ((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb)
+        .toFloat
+      assert(r.getFloat(3) == expect, s"${r.getString(0)}")
+    }
+  }
+
+  test("dq_constraint_report: planted violations are counted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dq-plant").toString
+    // orders: 3 rows referencing missing customers + 1 null price;
+    // customer: one valid key; lineitem: 2 non-positive quantities + 1
+    // orphan orderkey; part: a duplicated key
+    Seq((1L, 10L, Option(5.0)), (2L, 999L, Option(6.0)),
+      (3L, 998L, None), (4L, 997L, Option(7.0)))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(10L).toDF("c_custkey").write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 1.0), (1L, 0.0), (2L, -3.0), (77L, 4.0))
+      .toDF("l_orderkey", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq(100L, 100L, 101L).toDF("p_partkey")
+      .write.parquet(s"$dir/part.parquet")
+    val rep = Warehouse2.dqConstraintReport(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("lineitem_orderkey_fk") == ((4L, 1L)))
+    assert(rep("lineitem_qty_positive") == ((4L, 2L)))
+    assert(rep("orders_custkey_fk") == ((4L, 3L)))
+    assert(rep("orders_price_nonnull") == ((4L, 1L)))
+    assert(rep("part_partkey_unique") == ((3L, 1L)))
+  }
+
+  test("corpus_diversity_stats: strata partition the corpus; TTR bounds") {
+    val out = TextAnalysis.corpusDiversityStats(spark, sf).collect()
+    val nDocs = Schemas.table(spark, sf, "documents").count()
+    assert(out.map(_.getLong(2)).sum == nDocs)
+    out.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3)) // types <= tokens
+      val ttr = r.getFloat(5)
+      assert(ttr > 0.0f && ttr <= 1.0f)
+    }
+  }
+
+  test("text_bigram_logprob: hand fold of the smoothed bigram model") {
+    val out = TextAnalysis.textBigramLogprob(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getFloat(2))).toMap
+    // rebuild the model driver-side from the same tokenization
+    val docs = Schemas.table(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.query.Dedup.tokens(org.apache.spark.sql.functions.col("text"))
+          .as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toArray)
+    val grams = docs.flatMap { case (id, t) =>
+      t.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1)))
+    }
+    val cbg = grams.groupBy(g => (g._2, g._3)).view.mapValues(_.length).toMap
+    val cug = grams.groupBy(_._2).view.mapValues(_.length).toMap
+    val v = grams.map(_._3).distinct.length.toDouble
+    grams.groupBy(_._1).foreach { case (id, g) =>
+      val mean = g.map { case (_, w1, w2) =>
+        math.log((cbg((w1, w2)) + 1.0) / (cug(w1) + v))
+      }.sum / g.length
+      val (n, got) = out(id)
+      assert(n == g.length, s"doc $id n_bigrams")
+      assert(math.abs(got - mean.toFloat) <= 2e-6f * math.abs(mean).toFloat,
+        s"doc $id: $got vs $mean")
+    }
+    // every multi-token doc is scored
+    assert(out.size == docs.count(_._2.length >= 2))
   }
 }
