@@ -483,16 +483,21 @@ object Warehouse {
   def sqlSoleFaultSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-    val profile = li.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_ret_supp"))
+    // distinct-supplier profile WITHOUT multi-distinct expand: collapse
+    // to the (order, supplier) grain once (carrying a has-return flag),
+    // then the per-order counts are plain aggregates whose shuffle key
+    // is a prefix of the first — no Expand multiplication of the fact
+    val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+        .as("has_r"))
+    val profile = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_ret_supp"))
       .filter(col("n_supp") > 1 && col("n_ret_supp") === 1)
       .select(col("l_orderkey").as("p_orderkey"))
-    li.filter(col("l_returnflag") === "R")
+    perSupp.filter(col("has_r") === 1)
       .join(profile, col("l_orderkey") === col("p_orderkey"))
       .groupBy(col("l_suppkey"))
-      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .agg(count(lit(1)).as("numwait"))
       .join(broadcast(table(spark, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
