@@ -194,6 +194,10 @@ object SparkEntry {
     "ann_l2_topk"            ->
       ((s: SparkSession, d: String) => Analytics3.annL2TopK(s, d)),
     "drift_chi2_terms"       -> Analytics3.driftChi2Terms _,
+    "ts_cusum_changepoint"   ->
+      ((s: SparkSession, d: String) => Analytics3.tsCusumChangepoint(s, d)),
+    "anomaly_spc_runs"       ->
+      ((s: SparkSession, d: String) => Analytics3.anomalySpcRuns(s, d)),
     "dq_constraint_report"   -> Warehouse2.dqConstraintReport _,
     "corpus_diversity_stats" -> TextAnalysis.corpusDiversityStats _,
     "text_bigram_logprob"    -> TextAnalysis.textBigramLogprob _,
@@ -1305,6 +1309,67 @@ object SparkEntry {
         |      / CAST(na + nb AS DOUBLE))
         |  AS REAL) AS chi2_term
         |FROM g CROSS JOIN tot ORDER BY cat""".stripMargin,
+    // ordered-frame folds on both sides → identical doubles; REAL casts
+    // as the documented float-noise backstop
+    "ts_cusum_changepoint" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events
+        |  WHERE user_id < 50
+        |), m AS (
+        |  SELECT user_id, t, event_id, value,
+        |    sum(value) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS tot,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, t, event_id, n,
+        |    sum(value - tot / n) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM m
+        |)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(max(cusum) - min(cusum) AS REAL) AS cusum_range,
+        |  CAST(min(CASE WHEN rnk = 1 THEN event_id END) AS BIGINT)
+        |    AS peak_event
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY abs(cusum) DESC, t, event_id) AS rnk
+        |  FROM s)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "anomaly_spc_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events
+        |  WHERE user_id < 50
+        |), med AS (
+        |  SELECT user_id, quantile_cont(value, 0.5) AS med FROM e
+        |  GROUP BY user_id
+        |), sgn AS (
+        |  SELECT e.user_id, t, event_id,
+        |    CASE WHEN value > m.med THEN 1 WHEN value < m.med THEN -1
+        |         ELSE 0 END AS sgn
+        |  FROM e JOIN med m ON m.user_id = e.user_id
+        |), chg AS (
+        |  SELECT user_id, t, event_id, sgn,
+        |    CASE WHEN sgn = lag(sgn) OVER w THEN 0 ELSE 1 END AS brk
+        |  FROM sgn WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |), grp AS (
+        |  SELECT user_id, sgn, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM chg
+        |), runs AS (
+        |  SELECT user_id, g, sgn, count(*) AS run_len FROM grp
+        |  GROUP BY user_id, g, sgn
+        |)
+        |SELECT user_id,
+        |  CAST(max(CASE WHEN sgn = 1 THEN run_len ELSE 0 END) AS BIGINT)
+        |    AS longest_above,
+        |  CAST(max(CASE WHEN sgn = -1 THEN run_len ELSE 0 END) AS BIGINT)
+        |    AS longest_below,
+        |  CAST(count(CASE WHEN sgn <> 0 AND run_len >= 8 THEN 1 END)
+        |    AS BIGINT) AS n_alert_runs
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "dq_constraint_report" ->
       """SELECT 'lineitem_orderkey_fk' AS constraint_name,
         |  CAST(count(*) AS BIGINT) AS n_checked,

@@ -228,6 +228,85 @@ object Analytics3 {
       .orderBy(col("bin"))
   }
 
+  /** CUSUM changepoint scan per user over the event stream: the running
+    * cumulative sum of deviations from the series mean (Page's CUSUM),
+    * its range (max − min, the changepoint magnitude), and the event at
+    * the peak |deviation| (the changepoint location candidate). The
+    * SEQUENTIAL-pattern member of the anomaly family — `anomaly_zscore`/
+    * `anomaly_mad` flag point outliers; CUSUM flags level SHIFTS that no
+    * single point reveals.
+    *
+    * Determinism: the series mean comes from a FULL-FRAME ordered window
+    * sum (both engines fold the frame in the same (ts, event_id) order →
+    * identical doubles), the running sum is an ordered prefix fold, and
+    * the peak is a row_number tie-broken by (ts, event_id). Scale shape:
+    * one shuffle on user_id; every window shares that partitioning; the
+    * per-user output is 1 row. */
+  def tsCusumChangepoint(spark: SparkSession, dir: String,
+      maxUser: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val byUser = Window.partitionBy(col("user_id"))
+    val ordered = byUser.orderBy(col("ts"), col("event_id"))
+    val s = e
+      .withColumn("tot", sum(col("value")).over(ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("cusum", sum(col("value") - col("tot") / col("n"))
+        .over(ordered.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("rnk", row_number().over(byUser.orderBy(
+        abs(col("cusum")).desc, col("ts"), col("event_id"))))
+    s.groupBy(col("user_id"))
+      .agg(max(col("n")).cast("long").as("n_events"),
+        (max(col("cusum")) - min(col("cusum"))).cast("float")
+          .as("cusum_range"),
+        min(when(col("rnk") === 1, col("event_id"))).cast("long")
+          .as("peak_event"))
+      .orderBy(col("user_id"))
+  }
+
+  /** SPC run-length rules per user (Western-Electric style): longest run
+    * of consecutive observations strictly above / below the user's
+    * median, and the count of alert runs (length ≥ 8 on one side) — the
+    * control-chart complement to CUSUM (a long one-sided run is drift
+    * even when every point is individually unremarkable).
+    *
+    * Scale shape: exact per-user median broadcasts back to the stream
+    * (the `anomaly_mad` pattern); run segmentation is the gaps-islands
+    * lag+prefix-sum idiom inside the same user_id partitioning; run
+    * lengths are integers — hash-exact. */
+  def anomalySpcRuns(spark: SparkSession, dir: String,
+      maxUser: Long = 50L, alertLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val med = e.groupBy(col("user_id"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val ordered = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = e.join(broadcast(med), Seq("user_id"))
+      .withColumn("sgn", when(col("value") > col("med"), 1)
+        .when(col("value") < col("med"), -1).otherwise(0))
+      .withColumn("brk", when(col("sgn") ===
+        lag(col("sgn"), 1).over(ordered), 0).otherwise(1))
+      .withColumn("g", sum(col("brk")).over(ordered.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("g"), col("sgn"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("user_id"))
+      .agg(max(when(col("sgn") === 1, col("run_len")).otherwise(0))
+        .cast("long").as("longest_above"),
+        max(when(col("sgn") === -1, col("run_len")).otherwise(0))
+          .cast("long").as("longest_below"),
+        count(when(col("sgn") =!= 0 && col("run_len") >= alertLen, 1))
+          .cast("long").as("n_alert_runs"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-category chi-square drift terms between the even/odd event-id
     * cohorts over the categorical `event_type` distribution — the
     * CATEGORICAL member of the drift-monitor family (`drift_ks_value` is

@@ -186,6 +186,49 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("ts_cusum_changepoint: hand fold of one user's CUSUM") {
+    val out = Analytics3.tsCusumChangepoint(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getFloat(2), r.getLong(3)))
+      .toMap
+    val rows = Schemas.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("user_id") < 50)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (uid, g) =>
+      val ordered = g.sortBy(x => (x._2, x._3))
+      val mean = ordered.map(_._4).sum / ordered.length
+      var acc = 0.0
+      val cusums = ordered.map { x => acc += x._4 - mean; acc }
+      val range = (cusums.max - cusums.min).toFloat
+      val (n, gotRange, peak) = out(uid)
+      assert(n == ordered.length)
+      // driver fold sums in a different order than the engine's ordered
+      // frame only for the MEAN term; float cast absorbs the last-ulp
+      assert(math.abs(gotRange - range) <= 1e-4f * math.abs(range),
+        s"user $uid: $gotRange vs $range")
+      val peakIdx = cusums.zipWithIndex.maxBy {
+        case (c, i) => (math.abs(c), -i)
+      }._2
+      assert(peak == ordered(peakIdx)._3, s"user $uid peak")
+    }
+  }
+
+  test("anomaly_spc_runs: run lengths partition each user's series") {
+    val out = Analytics3.anomalySpcRuns(spark, sf).collect()
+    val counts = Schemas.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("user_id") < 50)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == counts.size)
+    out.foreach { r =>
+      val uid = r.getLong(0)
+      assert(r.getLong(1) >= 1 || r.getLong(2) >= 1)
+      assert(r.getLong(1) <= counts(uid) && r.getLong(2) <= counts(uid))
+      assert(r.getLong(3) >= 0)
+    }
+  }
+
   test("drift_chi2_terms: nonnegative terms; margins conserve; identical " +
     "cohorts give ~zero statistic") {
     val out = Analytics3.driftChi2Terms(spark, sf).collect()
