@@ -333,6 +333,11 @@ object SparkEntry {
     "ts_interval_overlap"    -> Analytics2.tsIntervalOverlap _,
     "zorder_cluster"         -> Analytics2.zorderCluster _,
     "multimodal_frame_sample" -> Multimodal.multimodalFrameSample _,
+    "multimodal_resize_plan" ->
+      ((s: SparkSession, d: String) => Multimodal.multimodalResizePlan(s, d)),
+    "multimodal_audio_windows" ->
+      ((s: SparkSession, d: String) =>
+        Multimodal.multimodalAudioWindows(s, d)),
     "ann_filtered_topk"      ->
       ((s: SparkSession, d: String) => Similarity.annFilteredTopK(s, d)),
     "eval_retrieval_metrics" ->
@@ -1797,6 +1802,49 @@ object SparkEntry {
         |  CAST(CAST('0x' || substr(md5(text || ':1'), 1, 15) AS BIGINT)
         |    % 1000000 AS DOUBLE) / 1000000.0 AS f1
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // metadata-arithmetic resize plan over the md5-stub dimensions
+    "multimodal_resize_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':w'),
+        |      1, 15) AS BIGINT) % 1024 + 256 AS INT) AS width,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':h'),
+        |      1, 15) AS BIGINT) % 768 + 256 AS INT) AS height
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, width, height,
+        |    least(least(512.0 / CAST(width AS DOUBLE),
+        |      512.0 / CAST(height AS DOUBLE)), 1.0) AS scale
+        |  FROM m
+        |)
+        |SELECT doc_id, width, height,
+        |  CAST(floor(CAST(width AS DOUBLE) * scale) AS INT) AS out_w,
+        |  CAST(floor(CAST(height AS DOUBLE) * scale) AS INT) AS out_h,
+        |  CAST(width AS BIGINT) * CAST(height AS BIGINT) AS in_pixels,
+        |  CAST(floor(CAST(width AS DOUBLE) * scale) AS BIGINT)
+        |    * CAST(floor(CAST(height AS DOUBLE) * scale) AS BIGINT)
+        |    AS out_pixels
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "multimodal_audio_windows" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dur'),
+        |      1, 15) AS BIGINT) % 30000 + 1000 AS duration_ms
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, duration_ms,
+        |    duration_ms * 16000 // 1000 AS n_samples
+        |  FROM m
+        |), f AS (
+        |  SELECT doc_id, duration_ms, n_samples,
+        |    CASE WHEN n_samples >= 400
+        |      THEN (n_samples - 400) // 160 + 1 ELSE 0 END AS n_frames
+        |  FROM s
+        |)
+        |SELECT doc_id, duration_ms, n_samples, n_frames,
+        |  n_samples - CASE WHEN n_frames > 0
+        |    THEN (n_frames - 1) * 160 + 400 ELSE 0 END AS tail_samples
+        |FROM f ORDER BY doc_id""".stripMargin,
     "scd2_versions" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, ts FROM events

@@ -291,4 +291,60 @@ object Multimodal {
         element_at(col("stub_embedding"), 1).as("f0"),
         element_at(col("stub_embedding"), 2).as("f1"))
       .orderBy(col("doc_id"))
+
+  /** Aspect-preserving resize plan: for each media row, the target
+    * dimensions fitting a `box`×`box` bounding box (scale = min(box/w,
+    * box/h) clamped to ≤ 1 — never upscale), plus input/output pixel
+    * counts — the planning half of an image-resize stage, computed
+    * entirely on the METADATA struct (the decode+rewrite executes
+    * downstream on the planned rows). The real pipeline filters on
+    * `out_pixels` to budget GPU batches; everything here is per-row
+    * arithmetic in whole-stage codegen — no shuffle, no UDF.
+    *
+    * floor(w·scale) is double arithmetic with identical operation order
+    * in both engines (and float64 is exact for these magnitudes). */
+  def multimodalResizePlan(spark: SparkSession, dir: String,
+      box: Int = 512): DataFrame = {
+    val w = col("media_meta.width").cast("double")
+    val h = col("media_meta.height").cast("double")
+    val scale = least(least(lit(box.toDouble) / w, lit(box.toDouble) / h),
+      lit(1.0))
+    multimodalFeatures(spark, dir)
+      .select(col("doc_id"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        floor(w * scale).cast("int").as("out_w"),
+        floor(h * scale).cast("int").as("out_h"),
+        (col("media_meta.width").cast("long")
+          * col("media_meta.height").cast("long")).as("in_pixels"),
+        (floor(w * scale).cast("long") * floor(h * scale).cast("long"))
+          .as("out_pixels"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Audio framing plan: pseudo per-doc stream metadata (duration from
+    * the md5 stub convention, 16 kHz mono) expanded to the STFT frame
+    * grid — 25 ms windows, 10 ms hop (the standard speech-feature
+    * shape): sample count, frame count, and the clipped tail. The audio
+    * sibling of [[multimodalFrameSample]]'s video fps arithmetic; a real
+    * feature extractor maps each (doc, frame) row to a filterbank batch.
+    * Pure integer arithmetic on metadata — hash-exact, no shuffle. */
+  def multimodalAudioWindows(spark: SparkSession, dir: String,
+      sampleRate: Int = 16000, winMs: Int = 25, hopMs: Int = 10): DataFrame = {
+    val durationMs = (Dedup.hash60(concat(col("doc_id").cast("string"),
+      lit(":dur"))) % lit(30000L) + lit(1000L)).as("duration_ms")
+    val win = sampleRate.toLong * winMs / 1000   // 400 samples
+    val hop = sampleRate.toLong * hopMs / 1000   // 160 samples
+    table(spark, dir, "documents")
+      .select(col("doc_id"), durationMs)
+      .withColumn("n_samples",
+        expr(s"duration_ms * $sampleRate DIV 1000"))
+      .withColumn("n_frames",
+        when(col("n_samples") >= win,
+          expr(s"(n_samples - $win) DIV $hop") + 1L).otherwise(0L))
+      .withColumn("tail_samples",
+        col("n_samples") - when(col("n_frames") > 0,
+          (col("n_frames") - 1) * hop + win).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -186,6 +186,38 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("multimodal_resize_plan: never upscale; box respected; aspect kept") {
+    graft.query.Multimodal.multimodalResizePlan(spark, sf).collect()
+      .foreach { r =>
+        val (w, h, ow, oh) =
+          (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+        assert(ow <= 512 && oh <= 512)
+        assert(ow <= w && oh <= h)
+        // when any scaling occurred, the long side lands on the box edge
+        // up to floor's truncation of the near-integer product (w·box/w
+        // can evaluate to 511.999…)
+        assert(ow == w && oh == h || math.max(ow, oh) >= 511,
+          s"partial scale without hitting the box: $r")
+        // aspect ratio preserved to within the floor's 1-pixel truncation
+        assert(math.abs(ow.toDouble / w - oh.toDouble / h)
+          <= 1.0 / math.min(w, h))
+        assert(r.getLong(6) == ow.toLong * oh)
+      }
+  }
+
+  test("multimodal_audio_windows: frame grid reconstructs the stream") {
+    graft.query.Multimodal.multimodalAudioWindows(spark, sf).collect()
+      .foreach { r =>
+        val (dur, n, frames, tail) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(n == dur * 16000 / 1000)
+        if (frames > 0) {
+          assert((frames - 1) * 160 + 400 <= n)
+          assert(tail >= 0 && tail < 160, s"tail $tail")
+        } else assert(n < 400 && tail == n)
+      }
+  }
+
   test("ts_cusum_changepoint: hand fold of one user's CUSUM") {
     val out = Analytics3.tsCusumChangepoint(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getFloat(2), r.getLong(3)))
