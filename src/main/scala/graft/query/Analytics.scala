@@ -195,7 +195,10 @@ object Analytics {
   def graphReachability(spark: SparkSession, dir: String,
       maxHops: Int = 3, maxSeed: Long = 3L): DataFrame = {
     val edges = copurchaseEdgesSym(spark, dir)
-    val seeds = edges.select(col("u")).distinct()
+    // the persisted degree table IS the distinct vertex set — seeding
+    // from it probes |V| cached rows instead of re-distincting the |E|
+    // edge list (one full shuffle saved before the first round)
+    val seeds = copurchaseDeg(spark, dir).select(col("u"))
       .filter(col("u") <= maxSeed)
     var reached = seeds.select(col("u"), lit(0).as("dist"))
       .localCheckpoint(true)
