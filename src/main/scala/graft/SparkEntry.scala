@@ -194,6 +194,9 @@ object SparkEntry {
     "ann_l2_topk"            ->
       ((s: SparkSession, d: String) => Analytics3.annL2TopK(s, d)),
     "drift_chi2_terms"       -> Analytics3.driftChi2Terms _,
+    "pii_scan_report"        -> TextAnalysis.piiScanReport _,
+    "context_length_bands"   -> TextAnalysis.contextLengthBands _,
+    "eval_auc_roc"           -> Analytics3.evalAucRoc _,
     "ts_cusum_changepoint"   ->
       ((s: SparkSession, d: String) => Analytics3.tsCusumChangepoint(s, d)),
     "anomaly_spc_runs"       ->
@@ -1314,6 +1317,63 @@ object SparkEntry {
         |      / CAST(na + nb AS DOUBLE))
         |  AS REAL) AS chi2_term
         |FROM g CROSS JOIN tot ORDER BY cat""".stripMargin,
+    "pii_scan_report" ->
+      """WITH counts AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(text,
+        |      '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |    len(regexp_extract_all(text,
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+        |    len(regexp_extract_all(text, '[0-9]{16}')) AS n_pan16
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_email) AS BIGINT) AS n_email,
+        |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+        |  CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+        |  CAST(sum(n_pan16) AS BIGINT) AS n_pan16,
+        |  CAST(count(CASE WHEN n_email + n_phone + n_ipv4 + n_pan16 > 0
+        |    THEN 1 END) AS BIGINT) AS n_flagged
+        |FROM counts GROUP BY source ORDER BY source""".stripMargin,
+    // skew_profile's integer log2 band (length(bin(n)) - 1) over token
+    // counts — no float log anywhere
+    "context_length_bands" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+        |    AS BIGINT) AS n
+        |  FROM documents
+        |)
+        |SELECT CAST(length(bin(n)) - 1 AS INT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n) AS min_tokens, max(n) AS max_tokens,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens
+        |FROM t GROUP BY band ORDER BY band""".stripMargin,
+    "eval_auc_roc" ->
+      """WITH s AS (
+        |  SELECT least(greatest(CAST(embedding[1] AS DOUBLE) * 2.0 + 0.5,
+        |    0.0), 0.9999) AS score,
+        |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings
+        |), r AS (
+        |  SELECT y, CAST(rank() OVER (ORDER BY score) AS DOUBLE)
+        |    + (CAST(count(*) OVER (PARTITION BY score) AS DOUBLE) - 1.0)
+        |      / 2.0 AS avg_rank
+        |  FROM s
+        |), agg AS (
+        |  SELECT CAST(sum(CASE WHEN y = 1 THEN avg_rank END) AS DOUBLE)
+        |      AS rpos,
+        |    CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS npos,
+        |    CAST(count(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS nneg
+        |  FROM r
+        |)
+        |SELECT npos, nneg,
+        |  CAST((rpos - CAST(npos AS DOUBLE) * (CAST(npos AS DOUBLE) + 1.0)
+        |      / 2.0)
+        |    / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) AS REAL) AS auc
+        |FROM agg""".stripMargin,
     // ordered-frame folds on both sides → identical doubles; REAL casts
     // as the documented float-noise backstop
     "ts_cusum_changepoint" ->

@@ -307,6 +307,42 @@ object Analytics3 {
       .orderBy(col("user_id"))
   }
 
+  /** Exact ROC-AUC by the rank-sum (Mann–Whitney U) identity over the
+    * deterministic calibration score ([[evalCalibrationBins]]' affine
+    * clamp) and odd-label outcome: AUC = (Σ ranks(pos) − n⁺(n⁺+1)/2) /
+    * (n⁺·n⁻), with ties taking the average rank — the exact value, not a
+    * trapezoid approximation. Completes the offline-eval family
+    * (confusion, retrieval metrics, calibration).
+    *
+    * Scale shape: the global rank window here runs over the embeddings
+    * table (bounded); at corpus scale the rank substitutes the two-level
+    * value-range bucketing the engine already uses for
+    * `curriculum_phases`/`winsorized_stats` — the AUC identity itself
+    * only needs rank SUMS, which bucket prefix-counts provide. */
+  def evalAucRoc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val score = least(greatest(
+      element_at(col("embedding"), 1).cast("double") * 2.0 + 0.5,
+      lit(0.0)), lit(0.9999))
+    val s = table(spark, dir, "embeddings")
+      .select(score.as("score"),
+        when(col("label") % 2 === 1, 1).otherwise(0).as("y"))
+    val ranked = s
+      .withColumn("avg_rank",
+        rank().over(Window.orderBy(col("score"))).cast("double")
+          + (count(lit(1)).over(Window.partitionBy(col("score")))
+            .cast("double") - 1.0) / 2.0)
+    ranked.agg(
+      count(when(col("y") === 1, 1)).as("npos"),
+      count(when(col("y") === 0, 1)).as("nneg"),
+      sum(when(col("y") === 1, col("avg_rank"))).as("rpos"))
+      .select(col("npos"), col("nneg"),
+        ((col("rpos") - col("npos").cast("double")
+          * (col("npos").cast("double") + 1.0) / 2.0)
+          / (col("npos").cast("double") * col("nneg").cast("double")))
+          .cast("float").as("auc"))
+  }
+
   /** Per-category chi-square drift terms between the even/odd event-id
     * cohorts over the categorical `event_type` distribution — the
     * CATEGORICAL member of the drift-monitor family (`drift_ks_value` is

@@ -438,6 +438,52 @@ object TextAnalysis {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** PII scan report per source: occurrence counts of email / US-phone /
+    * IPv4 / 16-digit-PAN patterns and the count of flagged documents —
+    * the AGGREGATE compliance dashboard beside `text_scrub` (which
+    * redacts): a corpus release gate reads this report per source before
+    * deciding what to scrub or drop. Patterns are deliberately in the
+    * regex subset Java and DuckDB/RE2 evaluate identically.
+    *
+    * Scale shape: per-row regexp counts inside codegen (no explode — a
+    * document never leaves its partition), one map-side-combined
+    * aggregation on the source key. */
+  def piiScanReport(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+    table(spark, dir, "documents")
+      .select(col("source"),
+        cnt("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}").as("e"),
+        cnt("[0-9]{3}-[0-9]{3}-[0-9]{4}").as("p"),
+        cnt("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}").as("i"),
+        cnt("[0-9]{16}").as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("e")).as("n_email"), sum(col("p")).as("n_phone"),
+        sum(col("i")).as("n_ipv4"), sum(col("c")).as("n_pan16"),
+        count(when(col("e") + col("p") + col("i") + col("c") > 0, 1))
+          .as("n_flagged"))
+      .orderBy(col("source"))
+  }
+
+  /** Context-length band histogram: documents bucketed by the integer
+    * log2 of their token count (the [[skew_profile]] band convention —
+    * `length(bin(n)) - 1`, pure integer string ops, no float log) — the
+    * planning input for sequence packing and context-window budgeting
+    * (how much of the corpus fits 2^k-token windows).
+    *
+    * Scale shape: tokenize → size() per row (no explode), one
+    * aggregation on the ~16-value band key. */
+  def contextLengthBands(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(size(Dedup.tokens(col("text"))).cast("long").as("n"))
+      .select(col("n"), (length(bin(col("n"))) - 1).cast("int").as("band"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"),
+        sum(col("n")).as("total_tokens"))
+      .orderBy(col("band"))
+
   /** Per-document mean log-probability under an add-1-smoothed corpus
     * BIGRAM language model: ln((c(w1,w2)+1)/(c(w1)+V)) averaged over the
     * document's bigram positions — the bigram upgrade of

@@ -186,6 +186,58 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("pii_scan_report: planted PII is counted per type") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pii-plant").toString
+    Seq(
+      (1L, "contact me at alice@example.com or bob@test.org thanks", "sA"),
+      (2L, "call 555-123-4567 from 10.0.0.1 now", "sA"),
+      (3L, "card 1234567890123456 leaked", "sB"),
+      (4L, "perfectly clean text", "sB"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val rep = TextAnalysis.piiScanReport(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(rep("sA") == ((2L, 2L, 1L, 1L, 0L, 2L)), rep("sA"))
+    assert(rep("sB") == ((2L, 0L, 0L, 0L, 1L, 1L)), rep("sB"))
+  }
+
+  test("context_length_bands: bands partition docs; 2^band bound holds") {
+    val out = TextAnalysis.contextLengthBands(spark, sf).collect()
+    val total = Schemas.table(spark, sf, "documents").count()
+    assert(out.map(_.getLong(1)).sum == total)
+    out.foreach { r =>
+      val band = r.getInt(0)
+      val lo = 1L << band; val hi = 1L << (band + 1)
+      assert(r.getLong(2) >= lo && r.getLong(3) < hi,
+        s"band $band range [${r.getLong(2)}, ${r.getLong(3)}]")
+    }
+  }
+
+  test("eval_auc_roc: rank-sum equals a driver fold; separable set gives 1") {
+    val row = Analytics3.evalAucRoc(spark, sf).head()
+    val pairs = Schemas.table(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.col("embedding"), 1).cast("double"),
+        org.apache.spark.sql.functions.col("label")).collect()
+      .map(r => (math.min(math.max(r.getDouble(0) * 2.0 + 0.5, 0.0), 0.9999),
+        r.getInt(1) % 2))
+    // driver fold: probability a random positive outranks a random
+    // negative, ties counting half
+    var wins = 0.0
+    val pos = pairs.filter(_._2 == 1).map(_._1)
+    val neg = pairs.filter(_._2 == 0).map(_._1)
+    pos.foreach(p => neg.foreach { n =>
+      if (p > n) wins += 1.0 else if (p == n) wins += 0.5
+    })
+    val auc = (wins / (pos.length.toDouble * neg.length)).toFloat
+    assert(row.getLong(0) == pos.length && row.getLong(1) == neg.length)
+    assert(math.abs(row.getFloat(2) - auc) <= 1e-6f,
+      s"${row.getFloat(2)} vs $auc")
+  }
+
   test("multimodal_resize_plan: never upscale; box respected; aspect kept") {
     graft.query.Multimodal.multimodalResizePlan(spark, sf).collect()
       .foreach { r =>
