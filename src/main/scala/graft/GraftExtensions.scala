@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{FloatVecDot, JaccardSorted, JlProject, MinHashSig, ShingleHashes, SignLshSigs, SimHash60}
+import graft.functions.{FloatVecDot, IntersectCountSorted, JaccardSorted, JlProject, MinHashSig, ShingleHashes, SignLshSigs, SimHash60}
 
 /** Session extensions: registers the engine's custom Catalyst expressions
   * (`simhash60`, `float_dot`, `minhash_sig`, `shingle_hashes`,
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(JaccardSorted.descriptor)
     e.injectFunction(SignLshSigs.descriptor)
     e.injectFunction(JlProject.descriptor)
+    e.injectFunction(IntersectCountSorted.descriptor)
   }
 }
 
@@ -37,5 +38,6 @@ object GraftExtensions {
     JaccardSorted.register(spark)
     SignLshSigs.register(spark)
     JlProject.register(spark)
+    IntersectCountSorted.register(spark)
   }
 }

@@ -54,6 +54,12 @@ class FunctionsSpec extends SparkSpec {
         |""".stripMargin).head()
     assert(r.getLong(0) != 0L)
     assert(r.getDouble(1) == 4.0)
+    // the full injected surface answers from SQL (round-12 closed the
+    // intersect_count_sorted gap)
+    val ic = spark.sql(
+      """SELECT intersect_count_sorted(array(1L, 3L, 5L),
+        |  array(3L, 4L, 5L)) AS c""".stripMargin).head()
+    assert(ic.getLong(0) == 2L)
   }
 
   test("sign_lsh_sigs: SQL-exposed, one long per table, interpreted == codegen path") {
