@@ -68,6 +68,12 @@ class PartitionInvarianceSpec extends SparkSpec {
       (() => graft.query.Analytics3.paretoFrontier(spark, sf)),
     "layout_compaction_plan running-byte window" ->
       (() => graft.query.Warehouse2.layoutCompactionPlan(spark, sf)),
+    "eval_auc_roc tie-averaged global rank" ->
+      (() => graft.query.Analytics3.evalAucRoc(spark, sf)),
+    "text_bigram_logprob window-attached counts" ->
+      (() => graft.query.TextAnalysis.textBigramLogprob(spark, sf)),
+    "ts_cusum_changepoint ordered prefix folds" ->
+      (() => graft.query.Analytics3.tsCusumChangepoint(spark, sf)),
     "stream_stream_join watermarked interval join" ->
       (() => graft.streaming.StreamQueries.streamStreamJoin(spark, sf)))
 
