@@ -209,6 +209,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Warehouse2.layoutCompactionPlan(s, d)),
     "mv_incremental_merge"   -> Warehouse2.mvIncrementalMerge _,
     "sql_product_type_profit" -> Warehouse2.sqlProductTypeProfit _,
+    "sql_yearly_growth"      -> Warehouse2.sqlYearlyGrowth _,
+    "sql_basket_affinity"    ->
+      ((s: SparkSession, d: String) => Warehouse2.sqlBasketAffinity(s, d)),
     "sql_supplier_cnt_by_parttype" -> Warehouse2.sqlSupplierCntByParttype _,
     "sql_min_cost_supplier"  -> Warehouse2.sqlMinCostSupplier _,
     "agg_grouping_sets"      -> Relational2.aggGroupingSets _,
@@ -1540,6 +1543,48 @@ object SparkEntry {
         |  l_returnflag AS returnflag, sum(l_quantity) AS qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY month, returnflag""".stripMargin,
+    // growth arithmetic in DOUBLE over float32 yearly totals (exactly
+    // representable) so both engines emit identical rates
+    "sql_yearly_growth" ->
+      """WITH y AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        |    CAST(sum(o_totalprice) AS REAL) AS revenue,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT yr, revenue, n_orders,
+        |  lag(revenue) OVER (ORDER BY yr) AS prev_revenue,
+        |  CAST(CASE WHEN lag(revenue) OVER (ORDER BY yr) IS NOT NULL
+        |    THEN (CAST(revenue AS DOUBLE)
+        |        - CAST(lag(revenue) OVER (ORDER BY yr) AS DOUBLE))
+        |      / CAST(lag(revenue) OVER (ORDER BY yr) AS DOUBLE) END AS REAL)
+        |    AS yoy_growth
+        |FROM y ORDER BY yr""".stripMargin,
+    "sql_basket_affinity" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |), n AS (
+        |  SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM ob
+        |), bc AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS nb FROM ob GROUP BY b
+        |), pairs AS (
+        |  SELECT a.b AS brand_a, c.b AS brand_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+        |  GROUP BY 1, 2
+        |)
+        |SELECT brand_a, brand_b, n_both,
+        |  CAST(CAST(n_both AS DOUBLE) / CAST(n.n_orders AS DOUBLE) AS REAL)
+        |    AS support,
+        |  CAST(CAST(n_both AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+        |    / (CAST(ba.nb AS DOUBLE) * CAST(bb.nb AS DOUBLE)) AS REAL)
+        |    AS lift
+        |FROM pairs
+        |JOIN bc ba ON ba.b = brand_a JOIN bc bb ON bb.b = brand_b
+        |CROSS JOIN n
+        |WHERE n_both >= 20
+        |ORDER BY lift DESC, brand_a, brand_b LIMIT 30""".stripMargin,
     "sql_product_type_profit" ->
       """SELECT n.n_name AS nation,
         |  CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,

@@ -142,6 +142,68 @@ object Warehouse2 {
       .orderBy(col("constraint_name"))
   }
 
+  /** Year-over-year revenue growth: the yearly rollup with a lag window
+    * computing each year's growth rate — the canonical trend KPI query.
+    * Growth arithmetic runs in double over the float32 yearly totals
+    * (exactly representable), so both engines compute identical rates.
+    * Scale shape: one aggregation to the year grain (4 rows), then a
+    * window over the tiny rollup — never over the fact table. */
+  def sqlYearlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val y = table(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(col("o_totalprice")).cast("float").as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("yr"))
+    y.withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("yoy_growth",
+        when(col("prev_revenue").isNotNull,
+          (col("revenue").cast("double") - col("prev_revenue").cast("double"))
+            / col("prev_revenue").cast("double")).cast("float"))
+      .orderBy(col("yr"))
+  }
+
+  /** Market-basket brand affinity: support and lift for brand pairs
+    * co-occurring in an order — the association-rule-mining shape
+    * (frequent itemsets at the 2-itemset level) over the star schema.
+    *
+    * Scale shape: baskets collapse to the DISTINCT (order, brand) grain
+    * first (broadcast part attach, ~25 brands), so the pair self-join on
+    * orderkey fans out at most C(brands-per-order, 2) rows per order —
+    * bounded by the schema, never O(n²); the brand-count margins are a
+    * tiny broadcast; min-support prunes before ranking. */
+  def sqlBasketAffinity(spark: SparkSession, dir: String,
+      minSupport: Int = 20, k: Int = 30): DataFrame = {
+    val ob = table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+    val nOrders = ob.agg(countDistinct(col("ok")).as("n_orders"))
+    val bc = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+    val pairs = ob.as("a")
+      .join(ob.select(col("ok"), col("b").as("b2")), Seq("ok"))
+      .where(col("b") < col("b2"))
+      .groupBy(col("b").as("brand_a"), col("b2").as("brand_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    pairs
+      .join(broadcast(bc.select(col("b").as("brand_a"), col("nb").as("na"))),
+        Seq("brand_a"))
+      .join(broadcast(bc.select(col("b").as("brand_b"), col("nb").as("nb2"))),
+        Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_both"),
+        (col("n_both").cast("double") / col("n_orders").cast("double"))
+          .cast("float").as("support"),
+        (col("n_both").cast("double") * col("n_orders").cast("double")
+          / (col("na").cast("double") * col("nb2").cast("double")))
+          .cast("float").as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(k)
+  }
+
   /** TPC-H Q9 adapted (no partsupp in the testdata schema): profit by
     * supplier nation and order year over parts whose name starts with
     * "red". Scale shape: lineitem joins broadcast dims (part filter is

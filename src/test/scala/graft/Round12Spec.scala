@@ -186,6 +186,40 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("sql_yearly_growth: rates recompute from the reported totals") {
+    val out = Warehouse2.sqlYearlyGrowth(spark, sf).collect()
+    assert(out.head.isNullAt(3) && out.head.isNullAt(4))
+    out.sliding(2).foreach {
+      case Array(prev, cur) =>
+        assert(cur.getFloat(3) == prev.getFloat(1))
+        val expect = ((cur.getFloat(1).toDouble - prev.getFloat(1).toDouble)
+          / prev.getFloat(1).toDouble).toFloat
+        assert(cur.getFloat(4) == expect)
+      case _ => ()
+    }
+  }
+
+  test("sql_basket_affinity: support/lift identities and antimonotonicity") {
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    val out = Warehouse2.sqlBasketAffinity(spark, sf).collect()
+    val ob = Schemas.table(spark, sf, "lineitem")
+      .join(Schemas.table(spark, sf, "part"),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val nOrders = ob.select("l_orderkey").distinct().count()
+    val brandN = ob.groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty && out.length <= 30)
+    out.foreach { r =>
+      val (a, b, nBoth) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b)
+      assert(nBoth >= 20 && nBoth <= math.min(brandN(a), brandN(b)))
+      assert(r.getFloat(3) == (nBoth.toDouble / nOrders).toFloat)
+      assert(r.getFloat(4) == (nBoth.toDouble * nOrders
+        / (brandN(a).toDouble * brandN(b))).toFloat)
+    }
+  }
+
   test("pii_scan_report: planted PII is counted per type") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("pii-plant").toString
