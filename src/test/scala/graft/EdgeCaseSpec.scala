@@ -114,7 +114,7 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
   private lazy val emptyStarDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("edge-star").toString
     Seq("lineitem", "orders", "part", "supplier", "nation", "region",
-      "embeddings").foreach { t =>
+      "embeddings", "customer", "documents", "events").foreach { t =>
       graft.schema.Schemas.table(spark, sf, t).limit(0)
         .coalesce(1).write.parquet(s"$dir/$t.parquet")
     }
@@ -149,6 +149,38 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Warehouse2.sqlSupplierCntByParttype(spark, emptyStarDir)
       .collect().isEmpty)
     assert(Warehouse2.sqlMinCostSupplier(spark, emptyStarDir)
+      .collect().isEmpty)
+  }
+
+  test("round-12 late batches: empty tables degrade to well-formed results") {
+    import graft.query.{Analytics3, TextAnalysis, Warehouse2}
+    assert(Analytics3.driftChi2Terms(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics3.tsCusumChangepoint(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics3.anomalySpcRuns(spark, emptyStarDir).collect().isEmpty)
+    // AUC over nothing: one row, zero counts, null rate — not a crash
+    val auc = Analytics3.evalAucRoc(spark, emptyStarDir).collect()
+    assert(auc.length == 1 && auc.head.getLong(0) == 0L
+      && auc.head.isNullAt(2))
+    assert(TextAnalysis.corpusDiversityStats(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(TextAnalysis.textBigramLogprob(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(TextAnalysis.piiScanReport(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(TextAnalysis.contextLengthBands(spark, emptyStarDir)
+      .collect().isEmpty)
+    // the DQ gate still reports every constraint, all zero-checked
+    val dq = Warehouse2.dqConstraintReport(spark, emptyStarDir).collect()
+    assert(dq.length == 5 && dq.forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) == 0L))
+    assert(Warehouse2.sqlYearlyGrowth(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Warehouse2.sqlBasketAffinity(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(graft.query.Multimodal.multimodalResizePlan(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(graft.query.Multimodal.multimodalAudioWindows(spark, emptyStarDir)
       .collect().isEmpty)
   }
 }

@@ -359,6 +359,28 @@ class PlanSpec extends SparkSpec {
     assert(!badExchange, "per-round shuffle of edge contributions came back")
   }
 
+  test("sql_basket_affinity: pair generation is an orderkey equi-join — " +
+    "no cartesian, margins broadcast") {
+    val p = graft.query.Warehouse2.sqlBasketAffinity(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loop allowed is the 1-row n_orders attach
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.size <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("pii_scan_report: ONE documents scan; regex counts are per-row " +
+    "projections inside codegen") {
+    val df = graft.query.TextAnalysis.piiScanReport(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    val nScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(nScans == 1, s"expected 1 documents scan, got $nScans\n$p")
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*("), executed)
+  }
+
   test("graph_connected_components (gated path): result plan is " +
     "metadata-scale — labels live on the driver, no parquet rescan") {
     // below the union-find gate the returned frame aggregates a local
