@@ -377,6 +377,8 @@ class PlanSpec extends SparkSpec {
     val nScans = p.linesIterator.count(l =>
       l.contains("Scan parquet") && l.contains("documents"))
     assert(nScans == 1, s"expected 1 documents scan, got $nScans\n$p")
+    // AQE prints codegen spans only in the FINAL plan — execute first
+    df.collect()
     val executed = df.queryExecution.executedPlan.toString
     assert(executed.contains("*("), executed)
   }
