@@ -204,9 +204,15 @@ object Analytics {
       .localCheckpoint(true)
     var frontier = reached.select(col("u"))
     for (h <- 1 to maxHops) {
+      // anti-join BEFORE the distinct: the broadcast reached-set prune
+      // runs map-side over the edge fanout, so the distinct's shuffle
+      // carries only unvisited vertices — in late rounds most of the
+      // fanout is already reached, and that is exactly the traffic a
+      // 100 TB BFS must not shuffle
       frontier = edges.join(frontier, Seq("u"))
-        .select(col("v").as("u")).distinct()
+        .select(col("v").as("u"))
         .join(reached, Seq("u"), "left_anti")
+        .distinct()
         .localCheckpoint(true)
       // reached needs NO checkpoint of its own: it is a union of
       // already-materialized frontiers (linear lineage, each referenced
