@@ -404,9 +404,10 @@ object Similarity {
     val dl = graft.query.TextAnalysis.docLengths(spark, dir)
     // N counts DOCUMENTS (the oracle's count(*) FROM documents), not dl
     // rows; avgdl is an exact-integer sum / count, identical doubles in
-    // either engine
-    val nDocs = table(spark, dir, "documents").count().toDouble
-    val avgdlV = dl.agg(avg(col("dl")).as("avgdl")).head().getDouble(0)
+    // either engine — both served from the fingerprint-keyed scalar
+    // cache (no per-call driver jobs)
+    val (nDocs, avgdlV) =
+      graft.query.TextAnalysis.corpusConstants(spark, dir)
     val tf = graft.query.TextAnalysis.tokenTf(spark, dir)
       .filter(col("tok").isin(queryTerms: _*))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -48,11 +48,31 @@ object TextAnalysis {
   private[graft] def docLengths(spark: SparkSession, dir: String): DataFrame =
     tokenTf(spark, dir).groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
 
+  // corpus scalar constants (N, avgdl) — two driver-side numbers every
+  // BM25-family call would otherwise re-fetch with two jobs over the
+  // index; fingerprint-keyed like the index itself, so a regenerated
+  // corpus recomputes (stale entries are never served, and at 16 bytes
+  // each never evicted)
+  private val constCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
+
+  /** (document count, average doc length) for the corpus at `dir`. */
+  private[graft] def corpusConstants(spark: SparkSession,
+      dir: String): (Double, Double) =
+    constCache.computeIfAbsent(s"$dir#" +
+      graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"), { _ =>
+      val n = table(spark, dir, "documents").count().toDouble
+      val a = docLengths(spark, dir)
+        .agg(avg(col("dl")).as("avgdl")).head().getDouble(0)
+      (n, a)
+    })
+
   /** Drop the persisted token index (test/corpus-regeneration hook). */
   def clearCaches(): Unit = {
     tokenTfCache.forEach((_, df) =>
       try df.unpersist(false) catch { case _: Throwable => () })
     tokenTfCache.clear()
+    constCache.clear()
   }
 
   /** Composite quality score in [0,1] of a text column (length, token,
