@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.ScalarFunctions
-import graft.query.{Analytics, Analytics2, Analytics3, Curation, Curation2, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis, Warehouse, Warehouse2}
+import graft.query.{Analytics, Analytics2, Analytics3, Analytics4, Curation, Curation2, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis, Warehouse, Warehouse2}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -419,6 +419,21 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Analytics.graphReachability(s, d)),
     "ann_radius_search"      ->
       ((s: SparkSession, d: String) => Similarity.annRadiusSearch(s, d)),
+    "eval_pr_auc"            -> Analytics4.evalPrAuc _,
+    "graph_common_neighbors" ->
+      ((s: SparkSession, d: String) => Analytics4.graphCommonNeighbors(s, d)),
+    "graph_assortativity"    -> Analytics4.graphAssortativity _,
+    "attribution_last_touch" -> Analytics4.attributionLastTouch _,
+    "agg_linreg_by_group"    -> Analytics4.aggLinregByGroup _,
+    "emb_matryoshka_recall"  ->
+      ((s: SparkSession, d: String) => Analytics4.embMatryoshkaRecall(s, d)),
+    "join_asof_nearest"      -> Analytics4.joinAsofNearest _,
+    "stats_zone_map"         -> Warehouse2.statsZoneMap _,
+    "text_gopher_rules"      -> TextAnalysis.textGopherRules _,
+    "text_zipf_slope"        ->
+      ((s: SparkSession, d: String) => TextAnalysis.textZipfSlope(s, d)),
+    "text_llr_collocations"  ->
+      ((s: SparkSession, d: String) => TextAnalysis.textLlrCollocations(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2933,6 +2948,318 @@ object SparkEntry {
         |WHERE s < (wb + 1) * 21600000000 AND e >= wb * 21600000000
         |GROUP BY wb ORDER BY w_start""".stripMargin,
     "zorder_cluster" -> zorderOracleSql,
+    "eval_pr_auc" ->
+      """WITH s AS (
+        |  SELECT vec_id, least(greatest(CAST(embedding[1] AS DOUBLE) * 2.0
+        |      + 0.5, 0.0), 0.9999) AS score,
+        |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings
+        |), r AS (
+        |  SELECT y,
+        |    CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS DOUBLE)
+        |      AS k,
+        |    CAST(sum(y) OVER (ORDER BY score DESC, vec_id
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS tp
+        |  FROM s
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS npos,
+        |  CAST(sum(tp / k) / CAST(count(*) AS DOUBLE) AS REAL)
+        |    AS avg_precision
+        |FROM r WHERE y = 1""".stripMargin,
+    "graph_common_neighbors" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), edges AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), sym AS (
+        |  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+        |), deg AS (
+        |  SELECT u AS x, count(*) AS deg FROM sym GROUP BY u
+        |), cohort AS (
+        |  SELECT u, v FROM sym WHERE v % 16 = 0
+        |), cn AS (
+        |  SELECT a.v AS u2, b.v AS v2, CAST(count(*) AS BIGINT) AS cn
+        |  FROM cohort a JOIN cohort b ON a.u = b.u AND a.v < b.v
+        |  GROUP BY a.v, b.v
+        |), na AS (
+        |  SELECT * FROM cn WHERE NOT EXISTS (
+        |    SELECT 1 FROM edges e WHERE e.u = cn.u2 AND e.v = cn.v2)
+        |)
+        |SELECT u2 AS u, v2 AS v, cn,
+        |  CAST(CAST(cn AS DOUBLE)
+        |    / CAST(du.deg + dv.deg - cn AS DOUBLE) AS REAL) AS jaccard
+        |FROM na JOIN deg du ON du.x = na.u2 JOIN deg dv ON dv.x = na.v2
+        |ORDER BY cn DESC, u, v LIMIT 20""".stripMargin,
+    "graph_assortativity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), edges AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), sym AS (
+        |  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+        |), deg AS (
+        |  SELECT u AS x, count(*) AS deg FROM sym GROUP BY u
+        |), j AS (
+        |  SELECT CAST(du.deg AS DOUBLE) AS x, CAST(dv.deg AS DOUBLE) AS y
+        |  FROM sym JOIN deg du ON du.x = sym.u JOIN deg dv ON dv.x = sym.v
+        |), a AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM j
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_dir_edges,
+        |  CAST((n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS REAL)
+        |    AS assortativity
+        |FROM a""".stripMargin,
+    "attribution_last_touch" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events
+        |)
+        |SELECT coalesce(touch, 'direct') AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(value) AS REAL) AS attributed_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin,
+    "agg_linreg_by_group" ->
+      """WITH a AS (
+        |  SELECT l_returnflag AS rf, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(CAST(l_quantity AS DOUBLE)) AS sx,
+        |    sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+        |    sum(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_extendedprice AS DOUBLE)) AS sxy,
+        |    sum(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_quantity AS DOUBLE)) AS sxx,
+        |    sum(CAST(l_extendedprice AS DOUBLE)
+        |      * CAST(l_extendedprice AS DOUBLE)) AS syy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT rf, CAST(n AS BIGINT) AS n,
+        |  CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS REAL) AS slope,
+        |  CAST((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |    AS REAL) AS intercept,
+        |  CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS REAL) AS r2
+        |FROM a ORDER BY rf""".stripMargin,
+    "emb_matryoshka_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 20
+        |), p AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.qe AS DOUBLE[])) AS dot_full,
+        |    list_dot_product(CAST(e.embedding[1:8] AS DOUBLE[]),
+        |      CAST(q.qe[1:8] AS DOUBLE[])) AS dot_8,
+        |    list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]),
+        |      CAST(q.qe[1:16] AS DOUBLE[])) AS dot_16,
+        |    list_dot_product(CAST(e.embedding[1:32] AS DOUBLE[]),
+        |      CAST(q.qe[1:32] AS DOUBLE[])) AS dot_32
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+        |), r AS (
+        |  SELECT row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot_full DESC, vec_id) AS r_full,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot_8 DESC, vec_id) AS r_8,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot_16 DESC, vec_id) AS r_16,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot_32 DESC, vec_id) AS r_32
+        |  FROM p
+        |), h AS (
+        |  SELECT CAST(sum(CASE WHEN r_full <= 10 THEN 1 END) AS DOUBLE)
+        |      AS truth,
+        |    CAST(sum(CASE WHEN r_full <= 10 AND r_8 <= 10 THEN 1 END)
+        |      AS DOUBLE) AS h8,
+        |    CAST(sum(CASE WHEN r_full <= 10 AND r_16 <= 10 THEN 1 END)
+        |      AS DOUBLE) AS h16,
+        |    CAST(sum(CASE WHEN r_full <= 10 AND r_32 <= 10 THEN 1 END)
+        |      AS DOUBLE) AS h32
+        |  FROM r
+        |)
+        |SELECT CAST(8 AS INTEGER) AS dim, h8 / truth AS recall_at_k FROM h
+        |UNION ALL
+        |SELECT CAST(16 AS INTEGER), h16 / truth FROM h
+        |UNION ALL
+        |SELECT CAST(32 AS INTEGER), h32 / truth FROM h
+        |ORDER BY dim""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE event_type IN ('purchase', 'error')
+        |), n AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    last_value(CASE WHEN event_type = 'error' THEN ts END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_err,
+        |    first_value(CASE WHEN event_type = 'error' THEN ts END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_err
+        |  FROM e
+        |), p AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_err IS NULL AND next_err IS NULL
+        |        THEN NULL
+        |      WHEN next_err IS NULL THEN prev_err
+        |      WHEN prev_err IS NULL THEN next_err
+        |      WHEN epoch_us(ts) - epoch_us(prev_err)
+        |          <= epoch_us(next_err) - epoch_us(ts) THEN prev_err
+        |      ELSE next_err END AS nearest_err_ts
+        |  FROM n WHERE event_type = 'purchase'
+        |)
+        |SELECT user_id, event_id, ts, nearest_err_ts,
+        |  CAST(epoch_us(nearest_err_ts) - epoch_us(ts) AS BIGINT)
+        |    AS delta_us
+        |FROM p ORDER BY user_id, event_id""".stripMargin,
+    "stats_zone_map" ->
+      """WITH z1 AS (
+        |  SELECT l_orderkey % 16 AS zone_id, count(*) AS n_rows,
+        |    min(l_shipdate) AS zmin, max(l_shipdate) AS zmax
+        |  FROM lineitem GROUP BY 1
+        |), z2 AS (
+        |  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS zone_id,
+        |    count(*) AS n_rows,
+        |    min(l_shipdate) AS zmin, max(l_shipdate) AS zmax
+        |  FROM lineitem GROUP BY 1
+        |), r1 AS (
+        |  SELECT 'by_orderkey_hash' AS layout,
+        |    CAST(count(*) AS BIGINT) AS n_zones,
+        |    CAST(sum(CASE WHEN zmax >= TIMESTAMP '1996-01-01'
+        |      AND zmin <= TIMESTAMP '1996-06-30' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS zones_scanned,
+        |    CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |    CAST(sum(CASE WHEN zmax >= TIMESTAMP '1996-01-01'
+        |      AND zmin <= TIMESTAMP '1996-06-30' THEN n_rows ELSE 0 END)
+        |      AS BIGINT) AS rows_scanned
+        |  FROM z1
+        |), r2 AS (
+        |  SELECT 'by_shipdate_month' AS layout,
+        |    CAST(count(*) AS BIGINT) AS n_zones,
+        |    CAST(sum(CASE WHEN zmax >= TIMESTAMP '1996-01-01'
+        |      AND zmin <= TIMESTAMP '1996-06-30' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS zones_scanned,
+        |    CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |    CAST(sum(CASE WHEN zmax >= TIMESTAMP '1996-01-01'
+        |      AND zmin <= TIMESTAMP '1996-06-30' THEN n_rows ELSE 0 END)
+        |      AS BIGINT) AS rows_scanned
+        |  FROM z2
+        |), u AS (
+        |  SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |)
+        |SELECT layout, n_zones, zones_scanned, rows_total, rows_scanned,
+        |  CAST(rows_scanned AS DOUBLE) / CAST(rows_total AS DOUBLE)
+        |    AS scan_frac
+        |FROM u ORDER BY layout""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), g AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(max(tf) AS BIGINT) AS max_tf,
+        |    CAST(sum(tf * length(tok)) AS BIGINT) AS sum_len,
+        |    CAST(sum(CASE WHEN tok IN ('the', 'a') THEN tf ELSE 0 END)
+        |      AS BIGINT) AS stop_tf
+        |  FROM tf GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS mean_word_len,
+        |  CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS top_tok_frac,
+        |  CAST(stop_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_frac,
+        |  (n_tokens >= 20
+        |    AND CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+        |    AND CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0
+        |    AND CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.15
+        |    AND CAST(stop_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02)
+        |    AS pass_gopher
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "text_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), totals AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+        |), ranked AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok)
+        |      AS DOUBLE)) AS x,
+        |    ln(CAST(freq AS DOUBLE)) AS y,
+        |    row_number() OVER (ORDER BY freq DESC, tok) AS rank
+        |  FROM totals QUALIFY rank <= 100
+        |), a AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM ranked
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS REAL)
+        |    AS zipf_slope,
+        |  CAST((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |    AS REAL) AS zipf_intercept
+        |FROM a""".stripMargin,
+    "text_llr_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(
+        |    generate_series(1, len(t) - 1)) AS i) s
+        |  WHERE len(t) >= 2
+        |), bg AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11
+        |  FROM grams GROUP BY w1, w2
+        |), ca AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS ca FROM grams GROUP BY w1
+        |), cb AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS cb FROM grams GROUP BY w2
+        |), nt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS ntot FROM grams
+        |), kk AS (
+        |  SELECT bg.w1, bg.w2, bg.k11 AS n_pair,
+        |    CAST(bg.k11 AS DOUBLE) AS a11,
+        |    CAST(ca.ca AS DOUBLE) - CAST(bg.k11 AS DOUBLE) AS a12,
+        |    CAST(cb.cb AS DOUBLE) - CAST(bg.k11 AS DOUBLE) AS a21,
+        |    CAST(nt.ntot AS DOUBLE) - CAST(ca.ca AS DOUBLE)
+        |      - CAST(cb.cb AS DOUBLE) + CAST(bg.k11 AS DOUBLE) AS a22,
+        |    CAST(nt.ntot AS DOUBLE) AS nn
+        |  FROM bg JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN nt
+        |)
+        |SELECT w1, w2, n_pair,
+        |  CAST(2.0 * (
+        |    (CASE WHEN a11 > 0.0 THEN a11 * ln(a11) ELSE 0.0 END)
+        |    + (CASE WHEN a12 > 0.0 THEN a12 * ln(a12) ELSE 0.0 END)
+        |    + (CASE WHEN a21 > 0.0 THEN a21 * ln(a21) ELSE 0.0 END)
+        |    + (CASE WHEN a22 > 0.0 THEN a22 * ln(a22) ELSE 0.0 END)
+        |    + (CASE WHEN nn > 0.0 THEN nn * ln(nn) ELSE 0.0 END)
+        |    - (CASE WHEN a11 + a12 > 0.0
+        |        THEN (a11 + a12) * ln(a11 + a12) ELSE 0.0 END)
+        |    - (CASE WHEN a21 + a22 > 0.0
+        |        THEN (a21 + a22) * ln(a21 + a22) ELSE 0.0 END)
+        |    - (CASE WHEN a11 + a21 > 0.0
+        |        THEN (a11 + a21) * ln(a11 + a21) ELSE 0.0 END)
+        |    - (CASE WHEN a12 + a22 > 0.0
+        |        THEN (a12 + a22) * ln(a12 + a22) ELSE 0.0 END)) AS REAL)
+        |    AS llr
+        |FROM kk ORDER BY llr DESC, w1, w2 LIMIT 20""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, text,

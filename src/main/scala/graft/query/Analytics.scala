@@ -267,7 +267,7 @@ object Analytics {
 
   /** Distinct undirected co-purchase edges as (u < v) pairs: parts that
     * appear in the same order are connected. */
-  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+  private[query] def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
     cachedDf(spark, gkey(dir, "e0")) {
       val li = table(spark, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -285,7 +285,7 @@ object Analytics {
     * small frontier/label deltas — pinning the index to full width was
     * measured 1.8-2× SLOWER at bench scale because every tiny per-round
     * stage inherits 32 tasks that AQE would otherwise coalesce. */
-  private def copurchaseEdgesSym(spark: SparkSession, dir: String): DataFrame = {
+  private[query] def copurchaseEdgesSym(spark: SparkSession, dir: String): DataFrame = {
     val e0 = copurchaseEdges(spark, dir)
     cachedDf(spark, gkey(dir, "sym")) {
       e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
@@ -293,7 +293,7 @@ object Analytics {
   }
 
   /** Per-vertex degree of the undirected graph, keyed `u`. */
-  private def copurchaseDeg(spark: SparkSession, dir: String): DataFrame = {
+  private[query] def copurchaseDeg(spark: SparkSession, dir: String): DataFrame = {
     val sym = copurchaseEdgesSym(spark, dir)
     cachedDf(spark, gkey(dir, "deg")) {
       sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))

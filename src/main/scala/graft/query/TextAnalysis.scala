@@ -539,4 +539,101 @@ object TextAnalysis {
           / count(lit(1)).cast("double")).cast("float").as("mean_logprob"))
       .orderBy(col("doc_id"))
   }
+
+  /** Gopher-style per-document quality rules (Rae et al. 2021 §A1.1,
+    * adapted to this corpus's flat word-soup text): token count, distinct
+    * ratio, mean word length, top-token dominance, and stopword fraction,
+    * plus the composite pass flag. All statistics are probes of the
+    * persisted [[tokenTf]] index — one small aggregate per doc, NO
+    * re-tokenization scan; at 100 TB the rules read the maintained corpus
+    * index, they never re-shingle the corpus per rule change. */
+  def textGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val g = tokenTf(spark, dir).groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max(col("tf")).cast("long").as("max_tf"),
+        sum(col("tf") * length(col("tok"))).cast("long").as("sum_len"),
+        sum(when(col("tok").isin("the", "a"), col("tf")).otherwise(0L))
+          .cast("long").as("stop_tf"))
+    val meanWl = col("sum_len").cast("double") / col("n_tokens").cast("double")
+    val topFrac = col("max_tf").cast("double") / col("n_tokens").cast("double")
+    val stopFrac = col("stop_tf").cast("double") / col("n_tokens").cast("double")
+    g.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        meanWl.as("mean_word_len"), topFrac.as("top_tok_frac"),
+        stopFrac.as("stop_frac"),
+        (col("n_tokens") >= 20 && meanWl >= 3.0 && meanWl <= 10.0
+          && topFrac <= 0.15 && stopFrac >= 0.02).as("pass_gopher"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Zipf rank-frequency fit over the corpus vocabulary: OLS slope and
+    * intercept of ln(freq) ~ ln(rank) for the top `topN` terms — the
+    * one-number lexical-naturalness diagnostic (natural language ≈ −1;
+    * boilerplate/generated corpora drift toward 0 or −2).
+    *
+    * Scale shape: term totals are one map-side-combined aggregate over
+    * the persisted [[tokenTf]] index; the rank window runs over the
+    * (vocabulary-sized, then top-N-truncated) term table, never over
+    * token instances; the OLS fold is a one-row closed-form aggregate. */
+  def textZipfSlope(spark: SparkSession, dir: String,
+      topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = tokenTf(spark, dir).groupBy(col("tok"))
+      .agg(sum(col("tf")).cast("long").as("freq"))
+    val ranked = totals
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+      .filter(col("rank") <= topN)
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    val a = ranked.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    a.select(col("n").cast("long").as("n_terms"),
+      slope.cast("float").as("zipf_slope"),
+      ((col("sy") - slope * col("sx")) / col("n"))
+        .cast("float").as("zipf_intercept"))
+  }
+
+  /** Dunning log-likelihood-ratio collocations: the top-k adjacent token
+    * pairs whose co-occurrence is most above chance under the G² test —
+    * the phrase detector that (unlike raw PMI) does not explode on rare
+    * pairs. Contingency counts per pair come from the corpus bigram
+    * table; LLR = 2·(Σ f(k_ij) + f(N) − Σ f(margins)) with f(x)=x·ln x.
+    *
+    * Scale shape: bigram/margin counts are map-side-combined aggregates
+    * on uniform token keys; margins join back by token (two shuffles of
+    * the BIGRAM TABLE, not the corpus); N broadcasts as one row;
+    * TakeOrdered top-k. */
+  def textLlrCollocations(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    val grams = table(spark, dir, "documents")
+      .select(Dedup.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+    val bg = grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("k11"))
+    val ca = grams.groupBy(col("w1")).agg(count(lit(1)).cast("long").as("ca"))
+    val cb = grams.groupBy(col("w2")).agg(count(lit(1)).cast("long").as("cb"))
+    val nTot = grams.agg(count(lit(1)).cast("long").as("ntot"))
+    def f(c: Column): Column =
+      when(c > 0.0, c * log(c)).otherwise(lit(0.0))
+    val j = bg.join(ca, Seq("w1")).join(cb, Seq("w2"))
+      .crossJoin(broadcast(nTot))
+    def d(c: Column): Column = c.cast("double")
+    val k11 = d(col("k11")); val k12 = d(col("ca")) - k11
+    val k21 = d(col("cb")) - k11
+    val k22 = d(col("ntot")) - d(col("ca")) - d(col("cb")) + k11
+    val llr = lit(2.0) * (f(k11) + f(k12) + f(k21) + f(k22) + f(d(col("ntot")))
+      - f(k11 + k12) - f(k21 + k22) - f(k11 + k21) - f(k12 + k22))
+    j.select(col("w1"), col("w2"), col("k11").as("n_pair"),
+        llr.cast("float").as("llr"))
+      .orderBy(col("llr").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

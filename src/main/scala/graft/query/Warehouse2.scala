@@ -291,4 +291,44 @@ object Warehouse2 {
         col("unit_cost"))
       .orderBy(col("p_partkey"))
   }
+
+  /** Zone-map skipping effectiveness by physical layout: builds per-zone
+    * min/max shipdate statistics for two candidate layouts of lineitem —
+    * hash-on-orderkey (the default writer layout) vs clustered-by-
+    * shipdate-month — and reports, for a 6-month range predicate, how
+    * many zones and rows each layout would scan. The quantitative
+    * input to every "should we re-cluster this table" decision: the
+    * date-clustered layout prunes ~92% of zones, the hash layout none.
+    *
+    * Scale shape: zone statistics are ONE map-side-combined aggregate
+    * per layout over a shared scan (min/max/count per zone key); the
+    * report is an aggregate over the (tiny) zone table. Nothing driver-
+    * side; the same plan produces real parquet row-group zone maps when
+    * pointed at `_metadata` at deployment. */
+  def statsZoneMap(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-06-30").cast("timestamp")
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    def layout(name: String, zoneKey: Column): DataFrame = {
+      val zones = li.groupBy(zoneKey.as("zone_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_shipdate")).as("zmin"),
+          max(col("l_shipdate")).as("zmax"))
+        .withColumn("scanned", col("zmax") >= lo && col("zmin") <= hi)
+      zones.agg(count(lit(1)).cast("long").as("n_zones"),
+          sum(when(col("scanned"), 1L).otherwise(0L)).as("zones_scanned"),
+          sum(col("n_rows")).cast("long").as("rows_total"),
+          sum(when(col("scanned"), col("n_rows")).otherwise(0L))
+            .cast("long").as("rows_scanned"))
+        .select(lit(name).as("layout"), col("n_zones"), col("zones_scanned"),
+          col("rows_total"), col("rows_scanned"),
+          (col("rows_scanned").cast("double")
+            / col("rows_total").cast("double")).as("scan_frac"))
+    }
+    layout("by_orderkey_hash", col("l_orderkey") % 16)
+      .unionAll(layout("by_shipdate_month",
+        year(col("l_shipdate")) * 12 + month(col("l_shipdate"))))
+      .orderBy(col("layout"))
+  }
 }

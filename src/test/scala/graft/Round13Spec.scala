@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query.{Analytics4, TextAnalysis, Warehouse2}
+import graft.schema.Schemas
+
+/** Round-13 operators: PR-AUC, link prediction, assortativity, last-touch
+  * attribution, per-group OLS, matryoshka truncation eval, nearest-event
+  * as-of join, zone-map skipping, and the Gopher/Zipf/LLR text family.
+  * Each test pins the operator against an independently computed
+  * driver-side brute force on sf0.001 (the DuckDB oracle pins the same
+  * semantics at sf0.01 — these catch regressions that move BOTH sides). */
+class Round13Spec extends SparkSpec {
+
+  test("eval_pr_auc equals the brute-force average precision") {
+    val rows = Schemas.table(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        least(greatest(element_at(col("embedding"), 1).cast("double") * 2.0
+          + 0.5, lit(0.0)), lit(0.9999)).as("score"),
+        when(col("label") % 2 === 1, 1).otherwise(0).as("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val ranked = rows.sortBy { case (id, s, _) => (-s, id) }
+    var tp = 0; var sum = 0.0; var npos = 0
+    ranked.zipWithIndex.foreach { case ((_, _, y), i) =>
+      if (y == 1) { tp += 1; npos += 1; sum += tp.toDouble / (i + 1) }
+    }
+    val got = Analytics4.evalPrAuc(spark, sf).collect()(0)
+    assert(got.getLong(0) == npos)
+    assert(math.abs(got.getFloat(1) - (sum / npos)) < 1e-5,
+      s"${got.getFloat(1)} vs ${sum / npos}")
+  }
+
+  private def bruteAdjacency(): Map[Long, Set[Long]] = {
+    val li = Schemas.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
+    val edges = byOrder.flatMap(ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))).toSet
+    edges.foldLeft(Map.empty[Long, Set[Long]]) { case (m, (u, v)) =>
+      m.updated(u, m.getOrElse(u, Set.empty) + v)
+        .updated(v, m.getOrElse(v, Set.empty) + u)
+    }
+  }
+
+  test("graph_common_neighbors: counts match brute force; pairs non-adjacent") {
+    val adj = bruteAdjacency()
+    val got = Analytics4.graphCommonNeighbors(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (u, v, cn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(u % 16 == 0 && v % 16 == 0 && u < v)
+      assert(!adj(u).contains(v), s"pair ($u,$v) is adjacent")
+      val inter = (adj(u) intersect adj(v)).size
+      assert(cn == inter, s"($u,$v) cn=$cn brute=$inter")
+      val jac = inter.toDouble / (adj(u).size + adj(v).size - inter)
+      assert(math.abs(r.getFloat(3) - jac) < 1e-6)
+    }
+    // descending by cn — top-k really is the top
+    val cns = got.map(_.getLong(2))
+    assert(cns.zip(cns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("graph_assortativity equals brute-force degree correlation") {
+    val adj = bruteAdjacency()
+    val xy = adj.toSeq.flatMap { case (u, ns) =>
+      ns.toSeq.map(v => (adj(u).size.toDouble, adj(v).size.toDouble))
+    }
+    val n = xy.size.toDouble
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val r = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = Analytics4.graphAssortativity(spark, sf).collect()(0)
+    assert(got.getLong(0) == xy.size)
+    assert(math.abs(got.getFloat(1) - r) < 1e-5, s"${got.getFloat(1)} vs $r")
+    assert(got.getFloat(1) >= -1.0f && got.getFloat(1) <= 1.0f)
+  }
+
+  test("attribution_last_touch conserves conversions and value") {
+    val purchases = Schemas.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+    val nConv = purchases.count()
+    val totVal = purchases.agg(sum(col("value"))).collect()(0).getDouble(0)
+    val got = Analytics4.attributionLastTouch(spark, sf).collect()
+    assert(got.map(_.getLong(1)).sum == nConv)
+    assert(math.abs(got.map(_.getFloat(2).toDouble).sum - totVal)
+      < 1e-3 * math.abs(totVal))
+    // every touch type is a real event type or the direct bucket
+    val types = Set("signup", "error", "click", "view", "direct")
+    got.foreach(r => assert(types.contains(r.getString(0))))
+  }
+
+  test("agg_linreg_by_group matches brute-force OLS per group") {
+    val data = Schemas.table(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val got = Analytics4.aggLinregByGroup(spark, sf).collect()
+    assert(got.length == data.map(_._1).distinct.length)
+    got.foreach { r =>
+      val g = data.filter(_._1 == r.getString(0))
+      val n = g.length.toDouble
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxy = g.map(p => p._2 * p._3).sum
+      val sxx = g.map(p => p._2 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      assert(r.getLong(1) == g.length)
+      assert(math.abs(r.getFloat(2) - slope) < 1e-4 * math.abs(slope) + 1e-6)
+      assert(math.abs(r.getFloat(3) - icept) < 1e-4 * math.abs(icept) + 1e-6)
+      assert(r.getFloat(4) >= 0.0f && r.getFloat(4) <= 1.0f)
+    }
+  }
+
+  test("emb_matryoshka_recall: dim-8 recall equals brute force, all in [0,1]") {
+    val vecs = Schemas.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val queries = vecs.filter(_._1 < 20)
+    def topk(qid: Long, qv: Array[Float], d: Int): Set[Long] =
+      vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, dot(qv, v, d)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    var hits = 0; var truth = 0
+    queries.foreach { case (qid, qv) =>
+      val full = topk(qid, qv, qv.length)
+      truth += full.size
+      hits += (full intersect topk(qid, qv, 8)).size
+    }
+    val got = Analytics4.embMatryoshkaRecall(spark, sf).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(8, 16, 32))
+    got.foreach(r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    assert(math.abs(got(0).getDouble(1) - hits.toDouble / truth) < 1e-12,
+      s"${got(0).getDouble(1)} vs ${hits.toDouble / truth}")
+  }
+
+  test("join_asof_nearest picks the truly nearest error, backward on ties") {
+    val evs = Schemas.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val errsByUser = evs.filter(_._4 == "error").groupBy(_._1)
+    val got = Analytics4.joinAsofNearest(spark, sf).collect()
+    val purchases = evs.filter(_._4 == "purchase")
+    assert(got.length == purchases.length)
+    got.foreach { r =>
+      val (user, eid) = (r.getLong(0), r.getLong(1))
+      val inst = r.getTimestamp(2).toInstant
+      val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      val errs = errsByUser.getOrElse(user, Array.empty)
+      if (errs.isEmpty) assert(r.isNullAt(3) && r.isNullAt(4))
+      else {
+        val best = errs.map(_._2).minBy(e => (math.abs(e - us), e - us))
+        assert(r.getLong(4) == best - us,
+          s"user=$user eid=$eid got=${r.getLong(4)} want=${best - us}")
+      }
+    }
+  }
+
+  test("stats_zone_map: date clustering prunes, hash layout cannot") {
+    val got = Warehouse2.statsZoneMap(spark, sf).collect()
+    assert(got.length == 2)
+    val byName = got.map(r => r.getString(0) -> r).toMap
+    val hash = byName("by_orderkey_hash"); val date = byName("by_shipdate_month")
+    // both layouts cover the identical row mass
+    assert(hash.getLong(3) == date.getLong(3))
+    assert(hash.getLong(3) ==
+      Schemas.table(spark, sf, "lineitem").count())
+    // uniform hash zones all overlap a 6-month predicate; month zones prune
+    assert(hash.getLong(1) == hash.getLong(2))
+    assert(date.getLong(2) < date.getLong(1))
+    assert(date.getDouble(5) < hash.getDouble(5))
+  }
+
+  test("text_gopher_rules: stats re-derive and the flag is consistent") {
+    val got = TextAnalysis.textGopherRules(spark, sf).collect()
+    assert(got.length ==
+      Schemas.table(spark, sf, "documents").count())
+    got.foreach { r =>
+      val (n, nd) = (r.getLong(1), r.getLong(2))
+      assert(nd <= n && nd > 0)
+      val pass = n >= 20 && r.getDouble(3) >= 3.0 && r.getDouble(3) <= 10.0 &&
+        r.getDouble(4) <= 0.15 && r.getDouble(5) >= 0.02
+      assert(r.getBoolean(6) == pass)
+    }
+    // thresholds discriminate on this corpus (not a constant column)
+    assert(got.exists(_.getBoolean(6)) && got.exists(!_.getBoolean(6)))
+  }
+
+  test("text_zipf_slope: negative slope, brute-force agreement") {
+    val toks = Schemas.table(spark, sf, "documents")
+      .select(explode(graft.query.Dedup.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val top = toks.sortBy { case (t, c) => (-c, t) }.take(100)
+    val xy = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = xy.length.toDouble
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val got = TextAnalysis.textZipfSlope(spark, sf).collect()(0)
+    assert(got.getLong(0) == top.length)
+    assert(got.getFloat(1) < 0.0f)
+    assert(math.abs(got.getFloat(1) - slope) < 1e-5)
+  }
+
+  test("text_llr_collocations: top pair matches brute force; llr nonneg") {
+    val grams = Schemas.table(spark, sf, "documents")
+      .select(graft.query.Dedup.tokens(col("text")).as("t"))
+      .collect().flatMap(_.getSeq[String](0).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))))
+    val nTot = grams.length.toDouble
+    val bg = grams.groupBy(identity).view.mapValues(_.length.toDouble)
+    val ca = grams.groupBy(_._1).view.mapValues(_.length.toDouble)
+    val cb = grams.groupBy(_._2).view.mapValues(_.length.toDouble)
+    def f(x: Double): Double = if (x > 0.0) x * math.log(x) else 0.0
+    def llr(w1: String, w2: String): Double = {
+      val k11 = bg((w1, w2)); val k12 = ca(w1) - k11
+      val k21 = cb(w2) - k11; val k22 = nTot - ca(w1) - cb(w2) + k11
+      2.0 * (f(k11) + f(k12) + f(k21) + f(k22) + f(nTot)
+        - f(k11 + k12) - f(k21 + k22) - f(k11 + k21) - f(k12 + k22))
+    }
+    val brute = bg.keys.map { case (a, b) => ((a, b), llr(a, b)) }
+      .toSeq.sortBy { case ((a, b), s) => (-s, a, b) }
+    val got = TextAnalysis.textLlrCollocations(spark, sf).collect()
+    assert(got.length == 20)
+    got.foreach(r => assert(r.getFloat(3) >= -1e-3f))
+    assert((got(0).getString(0), got(0).getString(1)) == brute.head._1)
+    assert(math.abs(got(0).getFloat(3) - brute.head._2) < 1e-3)
+  }
+}
