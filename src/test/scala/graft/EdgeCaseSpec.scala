@@ -183,4 +183,34 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(graft.query.Multimodal.multimodalAudioWindows(spark, emptyStarDir)
       .collect().isEmpty)
   }
+
+  test("round-13 family: empty tables degrade to well-formed results") {
+    import graft.query.{Analytics4, TextAnalysis, Warehouse2}
+    // scalar evaluations keep their report row with zero counts/null stats
+    val ap = Analytics4.evalPrAuc(spark, emptyStarDir).collect()
+    assert(ap.length == 1 && ap.head.getLong(0) == 0L && ap.head.isNullAt(1))
+    val as = Analytics4.graphAssortativity(spark, emptyStarDir).collect()
+    assert(as.length == 1 && as.head.getLong(0) == 0L && as.head.isNullAt(1))
+    val zs = TextAnalysis.textZipfSlope(spark, emptyStarDir).collect()
+    assert(zs.length == 1 && zs.head.getLong(0) == 0L && zs.head.isNullAt(1))
+    // per-dim recall keeps its dim rows with null recall (no neighbors)
+    val mr = Analytics4.embMatryoshkaRecall(spark, emptyStarDir).collect()
+    assert(mr.length == 3 && mr.forall(_.isNullAt(1)))
+    // row-emitting operators produce zero rows, not a crash
+    assert(Analytics4.graphCommonNeighbors(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics4.attributionLastTouch(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics4.aggLinregByGroup(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics4.joinAsofNearest(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(TextAnalysis.textGopherRules(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(TextAnalysis.textLlrCollocations(spark, emptyStarDir)
+      .collect().isEmpty)
+    // zone-map report keeps both layout rows with zero zones
+    val zm = Warehouse2.statsZoneMap(spark, emptyStarDir).collect()
+    assert(zm.length == 2 && zm.forall(_.getLong(1) == 0L))
+  }
 }

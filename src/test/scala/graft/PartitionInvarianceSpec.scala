@@ -75,7 +75,18 @@ class PartitionInvarianceSpec extends SparkSpec {
     "ts_cusum_changepoint ordered prefix folds" ->
       (() => graft.query.Analytics3.tsCusumChangepoint(spark, sf)),
     "stream_stream_join watermarked interval join" ->
-      (() => graft.streaming.StreamQueries.streamStreamJoin(spark, sf)))
+      (() => graft.streaming.StreamQueries.streamStreamJoin(spark, sf)),
+    // round 13: global ordered-window AP, wedge-join top-k with float
+    // tie-breaks, multi-window rank overlap, and the float-ordered LLR
+    // top-k — the new shapes where partitioning could perturb order
+    "eval_pr_auc ordered precision prefix" ->
+      (() => graft.query.Analytics4.evalPrAuc(spark, sf)),
+    "graph_common_neighbors wedge-join top-k" ->
+      (() => graft.query.Analytics4.graphCommonNeighbors(spark, sf)),
+    "emb_matryoshka_recall per-dim rank overlap" ->
+      (() => graft.query.Analytics4.embMatryoshkaRecall(spark, sf)),
+    "text_llr_collocations float-ordered top-k" ->
+      (() => graft.query.TextAnalysis.textLlrCollocations(spark, sf)))
 
   private def collectAt(partitions: Int, build: () => DataFrame): Seq[String] = {
     val key = "spark.sql.shuffle.partitions"
