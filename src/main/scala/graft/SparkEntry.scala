@@ -434,6 +434,12 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextAnalysis.textZipfSlope(s, d)),
     "text_llr_collocations"  ->
       ((s: SparkSession, d: String) => TextAnalysis.textLlrCollocations(s, d)),
+    "ts_holt_forecast"       -> Analytics4.tsHoltForecast _,
+    "retrieval_ndcg"         ->
+      ((s: SparkSession, d: String) => Analytics4.retrievalNdcg(s, d)),
+    "emb_power_iteration"    ->
+      ((s: SparkSession, d: String) => Analytics4.embPowerIteration(s, d)),
+    "quality_ablation_report" -> TextAnalysis.qualityAblationReport _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3260,6 +3266,129 @@ object SparkEntry {
         |        THEN (a12 + a22) * ln(a12 + a22) ELSE 0.0 END)) AS REAL)
         |    AS llr
         |FROM kk ORDER BY llr DESC, w1, w2 LIMIT 20""".stripMargin,
+    // NOTE: duckdb 1.0's list_reduce mutates the struct accumulator
+    // field-by-field (the 'b' expression would see the UPDATED 'l'), so
+    // the oracle replays the fold as a recursive CTE, where the
+    // recursive term reads the previous ROW's columns — standard SQL
+    // semantics, bit-identical to Spark's aggregate() fold
+    "ts_holt_forecast" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id
+        |), r AS (
+        |  SELECT user_id, vals, 1 AS i, CAST(vals[1] AS DOUBLE) AS l,
+        |    CAST(0.0 AS DOUBLE) AS b
+        |  FROM o
+        |  UNION ALL
+        |  SELECT user_id, vals, i + 1,
+        |    0.5 * vals[i + 1] + 0.5 * (l + b),
+        |    0.3 * ((0.5 * vals[i + 1] + 0.5 * (l + b)) - l) + 0.7 * b
+        |  FROM r WHERE i < len(vals)
+        |)
+        |SELECT user_id, CAST(i AS BIGINT) AS n_events,
+        |  CAST(l AS REAL) AS level, CAST(b AS REAL) AS trend,
+        |  CAST(l + 3.0 * b AS REAL) AS forecast_3
+        |FROM r WHERE i = len(vals) ORDER BY user_id""".stripMargin,
+    "retrieval_ndcg" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 20
+        |), p AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.qe AS DOUBLE[])) AS dot,
+        |    CASE WHEN e.label = q.qlabel THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS rel
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+        |), r AS (
+        |  SELECT qid, rel,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot DESC, vec_id) AS r,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY rel DESC, vec_id) AS ri
+        |  FROM p
+        |), g AS (
+        |  SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel,
+        |    sum(CASE WHEN r <= 10 THEN rel
+        |      / (ln(CAST(r + 1 AS DOUBLE)) / ln(CAST(2.0 AS DOUBLE)))
+        |      ELSE CAST(0.0 AS DOUBLE) END) AS dcg,
+        |    sum(CASE WHEN ri <= 10 THEN rel
+        |      / (ln(CAST(ri + 1 AS DOUBLE)) / ln(CAST(2.0 AS DOUBLE)))
+        |      ELSE CAST(0.0 AS DOUBLE) END) AS idcg
+        |  FROM r GROUP BY qid
+        |)
+        |SELECT qid, n_rel, CAST(dcg AS REAL) AS dcg,
+        |  CAST(idcg AS REAL) AS idcg, CAST(dcg / idcg AS REAL) AS ndcg
+        |FROM g ORDER BY qid""".stripMargin,
+    "emb_power_iteration" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+        |), v0 AS (
+        |  SELECT list_transform(generate_series(1, 64),
+        |    i -> CAST(0.125 AS DOUBLE)) AS v
+        |), s1 AS (
+        |  SELECT x.x, list_dot_product(x.x, v0.v) AS score
+        |  FROM x CROSS JOIN v0
+        |), c1 AS (
+        |  SELECT j, sum(x[j] * score) AS s
+        |  FROM s1, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) t
+        |  GROUP BY j
+        |), u1 AS (
+        |  SELECT list(s ORDER BY j) AS u FROM c1
+        |), v1 AS (
+        |  SELECT list_transform(u,
+        |    e -> e / sqrt(list_dot_product(u, u))) AS v FROM u1
+        |), s2 AS (
+        |  SELECT x.x, list_dot_product(x.x, v1.v) AS score
+        |  FROM x CROSS JOIN v1
+        |), c2 AS (
+        |  SELECT j, sum(x[j] * score) AS s
+        |  FROM s2, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) t
+        |  GROUP BY j
+        |), u2 AS (
+        |  SELECT list(s ORDER BY j) AS u FROM c2
+        |), v2 AS (
+        |  SELECT list_transform(u,
+        |    e -> e / sqrt(list_dot_product(u, u))) AS v FROM u2
+        |), s3 AS (
+        |  SELECT x.x, list_dot_product(x.x, v2.v) AS score
+        |  FROM x CROSS JOIN v2
+        |), c3 AS (
+        |  SELECT j, sum(x[j] * score) AS s
+        |  FROM s3, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) t
+        |  GROUP BY j
+        |), u3 AS (
+        |  SELECT list(s ORDER BY j) AS u FROM c3
+        |), v3 AS (
+        |  SELECT list_transform(u,
+        |    e -> e / sqrt(list_dot_product(u, u))) AS v FROM u3
+        |), fs AS (
+        |  SELECT list_dot_product(x.x, v3.v) AS score FROM x CROSS JOIN v3
+        |), lam AS (
+        |  SELECT sum(score * score) AS lam FROM fs
+        |)
+        |SELECT j AS dim, CAST(v[j] AS REAL) AS loading,
+        |  CAST(lam AS REAL) AS eigenvalue
+        |FROM v3 CROSS JOIN lam,
+        |  LATERAL (SELECT unnest(generate_series(1, 64)) AS j) t
+        |ORDER BY dim""".stripMargin,
+    // flags stringified with an 'all' rollup sentinel: NULL grouping
+    // keys round-trip differently through parquet/pandas booleans
+    "quality_ablation_report" ->
+      """WITH c AS (
+        |  SELECT n_chars >= 200 AS so, lang = 'en' AS le,
+        |    contains(text, ' the ') AS hs,
+        |    CAST(GROUPING(n_chars >= 200, lang = 'en',
+        |      contains(text, ' the ')) AS INT) AS gid,
+        |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_total
+        |  FROM documents
+        |  GROUP BY CUBE(so, le, hs)
+        |)
+        |SELECT coalesce(CAST(so AS VARCHAR), 'all') AS size_ok,
+        |  coalesce(CAST(le AS VARCHAR), 'all') AS lang_en,
+        |  coalesce(CAST(hs AS VARCHAR), 'all') AS has_stop,
+        |  gid, n_docs, chars_total
+        |FROM c ORDER BY gid, size_ok, lang_en, has_stop""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, text,

@@ -271,4 +271,152 @@ object Analytics4 {
         (unix_micros(nearest) - unix_micros(col("ts"))).as("delta_us"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  // ---- forecasting -------------------------------------------------------
+
+  /** Holt double-exponential smoothing per user over the ordered event
+    * value series: final level, trend, and the 3-step-ahead forecast.
+    * The recursion l_t = α·x_t + (1−α)(l+b), b_t = γ(l_t−l) + (1−γ)b is
+    * inherently order-dependent, so it runs as ONE sequential in-memory
+    * fold per key (`aggregate` over the sorted value array) — the exact
+    * fixed-order evaluation both engines replay identically, the same
+    * discipline as `window_ewma`. Initialization: level = first value,
+    * trend = 0.
+    *
+    * Scale shape: one shuffle to group by key; each key's series folds
+    * inside its row (array ops, no window state). Keys are users —
+    * bounded series; an unbounded series would stream through
+    * mapGroupsWithState instead (the [[graft.streaming]] sessionizer
+    * shape). Nulls are excluded before folding on both engines. */
+  def tsHoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    val a = 0.5; val oma = 0.5; val g = 0.3; val omg = 0.7
+    val e = graft.schema.Schemas.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("value")).as("s"))
+    val per = e.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"))
+      .select(col("user_id"),
+        transform(col("arr"), s => s.getField("value")).as("vals"))
+    val st = aggregate(
+      slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+      struct(element_at(col("vals"), 1).as("l"), lit(0.0).as("b")),
+      (acc, x) => {
+        val nl = lit(a) * x + lit(oma) * (acc.getField("l") + acc.getField("b"))
+        struct(nl.as("l"),
+          (lit(g) * (nl - acc.getField("l"))
+            + lit(omg) * acc.getField("b")).as("b"))
+      })
+    per.filter(size(col("vals")) >= 1)
+      .select(col("user_id"), size(col("vals")).cast("long").as("n_events"),
+        st.getField("l").cast("float").as("level"),
+        st.getField("b").cast("float").as("trend"),
+        (st.getField("l") + lit(3.0) * st.getField("b"))
+          .cast("float").as("forecast_3"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---- retrieval quality -------------------------------------------------
+
+  /** nDCG@k of dot-product retrieval per query: binary relevance (the
+    * candidate shares the query's label), log2-discounted cumulative
+    * gain over the score ranking, normalized by the ideal ordering —
+    * the graded companion of [[Similarity]]'s recall@k/MRR evaluation.
+    *
+    * Scale shape: identical to [[embMatryoshkaRecall]] — queries
+    * broadcast against one corpus scan, two bounded windows per qid
+    * (score rank, ideal rank), one aggregate. */
+  def retrievalNdcg(spark: SparkSession, dir: String, nQ: Int = 20,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.FloatVecDot.register(spark)
+    val emb = table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("float_dot(embedding, qe)").as("dot"),
+        when(col("label") === col("qlabel"), 1.0).otherwise(0.0).as("rel"))
+    val byScore = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    val ideal = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val ranked = scored
+      .withColumn("r", row_number().over(byScore))
+      .withColumn("ri", row_number().over(ideal))
+    def gain(rank: Column): Column =
+      col("rel") / (log(rank.cast("double") + 1.0) / log(lit(2.0)))
+    val per = ranked.groupBy(col("qid"))
+      .agg(sum(col("rel")).cast("long").as("n_rel"),
+        sum(when(col("r") <= k, gain(col("r"))).otherwise(0.0)).as("dcg"),
+        sum(when(col("ri") <= k, gain(col("ri"))).otherwise(0.0)).as("idcg"))
+    per.select(col("qid"), col("n_rel"),
+        col("dcg").cast("float").as("dcg"),
+        col("idcg").cast("float").as("idcg"),
+        (col("dcg") / col("idcg")).cast("float").as("ndcg"))
+      .orderBy(col("qid"))
+  }
+
+  // ---- spectral ----------------------------------------------------------
+
+  /** Dominant principal component of the embedding corpus by three
+    * matrix-free power-iteration rounds from the deterministic uniform
+    * start v₀ = (1/8,…,1/8): v ← normalize(Σᵢ xᵢ·(xᵢ·v)). Emits the
+    * 64 loadings and the Rayleigh-quotient eigenvalue estimate — the
+    * direction every embedding-whitening / anisotropy diagnosis needs
+    * first. Uncentered (corpus second moment), deterministic: no RNG,
+    * fixed iteration count, sign fixed by the positive start.
+    *
+    * Scale shape: each round is one corpus scan computing xᵢ·v (ordered
+    * in-row fold), then a (dim,contrib) explode aggregated per dim —
+    * map-side combined, 64 output rows — and a 1-row norm broadcast
+    * folded into the next round's literal-free plan. Never a driver
+    * collect of the matrix; only the 64-vector round-trips, exactly how
+    * distributed power iteration runs at any scale. */
+  def embPowerIteration(spark: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), f => f.cast("double")).as("x"))
+    val dim = 64
+    // v as a 1-row DataFrame with an array column — broadcast-joined
+    // into each round (never a collected literal, so the plan shape is
+    // identical at any corpus size)
+    var v = spark.range(1).select(
+      array((0 until dim).map(_ => lit(1.0 / 8.0)): _*).as("v"))
+    for (_ <- 1 to iters) {
+      val scoreCol = aggregate(
+        zip_with(col("x"), col("v"), (a, b) => a * b),
+        lit(0.0), (acc, t) => acc + t)
+      val contrib = emb.crossJoin(broadcast(v))
+        .select(col("x"), scoreCol.as("score"))
+        .select(explode(expr(
+          "transform(x, (xi, i) -> struct(i + 1 as j, xi * score as c))"))
+          .as("e"))
+        .groupBy(col("e.j").as("j")).agg(sum(col("e.c")).as("s"))
+      // sort_array on (j, s) structs rebuilds the dense vector in dim
+      // order — collect_list alone has NO order guarantee post-shuffle
+      val unnorm = contrib
+        .agg(sort_array(collect_list(struct(col("j"), col("s")))).as("ps"))
+        .select(transform(col("ps"), p => p.getField("s")).as("u"))
+      v = unnorm.select(transform(col("u"),
+        e => e / sqrt(aggregate(
+          transform(col("u"), t => t * t),
+          lit(0.0), (acc, t) => acc + t))).as("v"))
+    }
+    val rayleigh = aggregate(
+      zip_with(col("x"), col("v"), (a, b) => a * b),
+      lit(0.0), (acc, t) => acc + t)
+    emb.crossJoin(broadcast(v))
+      .select(explode(expr(
+        "transform(v, (vj, i) -> struct(i + 1 as j, vj as loading))"))
+        .as("e"), rayleigh.as("score"))
+      .groupBy(col("e.j").as("dim"), col("e.loading").as("ld"))
+      .agg(sum(col("score") * col("score")).as("lam"))
+      .select(col("dim"), col("ld").cast("float").as("loading"),
+        col("lam").cast("float").as("eigenvalue"))
+      .orderBy(col("dim"))
+  }
 }

@@ -636,4 +636,30 @@ object TextAnalysis {
       .orderBy(col("llr").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Quality-filter ablation report: document and character counts for
+    * every combination of three cheap curation gates (size, language,
+    * stopword presence) via CUBE — the table a corpus curator reads
+    * before committing a filter stack, showing what each gate and each
+    * interaction would remove. The same expand+aggregate shape as
+    * `agg_cube`; one scan, tiny output. */
+  def qualityAblationReport(spark: SparkSession, dir: String): DataFrame = {
+    // rolled-up flag levels surface as the 'all' sentinel, not NULL:
+    // the report reads as a table, and NULL booleans round-trip
+    // asymmetrically through the comparison harness
+    def flag(c: Column): Column = coalesce(c.cast("string"), lit("all"))
+    table(spark, dir, "documents")
+      .select(col("n_chars"),
+        (col("n_chars") >= 200).as("so"),
+        (col("lang") === "en").as("le"),
+        col("text").contains(" the ").as("hs"))
+      .cube(col("so"), col("le"), col("hs"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_total"))
+      .select(flag(col("so")).as("size_ok"), flag(col("le")).as("lang_en"),
+        flag(col("hs")).as("has_stop"), col("gid"), col("n_docs"),
+        col("chars_total"))
+      .orderBy(col("gid"), col("size_ok"), col("lang_en"), col("has_stop"))
+  }
 }

@@ -212,5 +212,14 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     // zone-map report keeps both layout rows with zero zones
     val zm = Warehouse2.statsZoneMap(spark, emptyStarDir).collect()
     assert(zm.length == 2 && zm.forall(_.getLong(1) == 0L))
+    // batch 2: fold/rank operators emit zero rows on empty input
+    assert(Analytics4.tsHoltForecast(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics4.retrievalNdcg(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics4.embPowerIteration(spark, emptyStarDir)
+      .collect().isEmpty)
+    // the ablation CUBE keeps at most its grand-total row, zero-counted
+    val abl = TextAnalysis.qualityAblationReport(spark, emptyStarDir)
+      .collect()
+    assert(abl.forall(_.getLong(4) == 0L))
   }
 }

@@ -241,4 +241,92 @@ class Round13Spec extends SparkSpec {
     assert((got(0).getString(0), got(0).getString(1)) == brute.head._1)
     assert(math.abs(got(0).getFloat(3) - brute.head._2) < 1e-3)
   }
+
+  test("ts_holt_forecast replays the exact sequential fold per user") {
+    val evs = Schemas.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = Analytics4.tsHoltForecast(spark, sf).collect()
+    val byUser = evs.groupBy(_._1)
+    assert(got.length == byUser.size)
+    got.foreach { r =>
+      val vals = byUser(r.getLong(0)).sortBy(e => (e._2, e._3)).map(_._4)
+      var l = vals.head; var b = 0.0
+      vals.tail.foreach { x =>
+        val nl = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (nl - l) + 0.7 * b; l = nl
+      }
+      assert(r.getLong(1) == vals.length)
+      assert(math.abs(r.getFloat(2) - l) < 1e-4 * (math.abs(l) + 1))
+      assert(math.abs(r.getFloat(3) - b) < 1e-4 * (math.abs(b) + 1))
+      assert(math.abs(r.getFloat(4) - (l + 3.0 * b))
+        < 1e-4 * (math.abs(l + 3 * b) + 1))
+    }
+  }
+
+  test("retrieval_ndcg: dcg bounded by idcg, ndcg in [0,1], ranks real") {
+    val got = Analytics4.retrievalNdcg(spark, sf).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      assert(r.getFloat(2) <= r.getFloat(3) + 1e-6,
+        s"dcg ${r.getFloat(2)} exceeds idcg ${r.getFloat(3)}")
+      if (r.getLong(1) > 0) {
+        assert(r.getFloat(4) >= 0.0f && r.getFloat(4) <= 1.0f + 1e-6f)
+      }
+    }
+    // with 10 labels over the corpus every query has relevant candidates
+    assert(got.forall(_.getLong(1) > 0))
+  }
+
+  test("emb_power_iteration matches a driver-side 3-round power iteration") {
+    val vecs = Schemas.table(spark, sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = 64
+    var v = Array.fill(dim)(0.125)
+    for (_ <- 1 to 3) {
+      val acc = Array.fill(dim)(0.0)
+      vecs.foreach { x =>
+        var s = 0.0; var i = 0
+        while (i < dim) { s += x(i) * v(i); i += 1 }
+        i = 0
+        while (i < dim) { acc(i) += x(i) * s; i += 1 }
+      }
+      val norm = math.sqrt(acc.map(e => e * e).sum)
+      v = acc.map(_ / norm)
+    }
+    val lam = vecs.map { x =>
+      val s = x.zip(v).map { case (a, b) => a * b }.sum; s * s
+    }.sum
+    val got = Analytics4.embPowerIteration(spark, sf).collect()
+    assert(got.length == dim)
+    // unit-norm loadings in dim order
+    val loadings = got.map(_.getFloat(1).toDouble)
+    assert(math.abs(loadings.map(e => e * e).sum - 1.0) < 1e-5)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == i + 1)
+      assert(math.abs(r.getFloat(1) - v(i)) < 1e-5,
+        s"dim ${i + 1}: ${r.getFloat(1)} vs ${v(i)}")
+      assert(math.abs(r.getFloat(2) - lam) < 1e-3 * lam)
+    }
+  }
+
+  test("quality_ablation_report: rollup totals are consistent") {
+    val total = Schemas.table(spark, sf, "documents").count()
+    val got = TextAnalysis.qualityAblationReport(spark, sf).collect()
+    assert(got.length == 27)
+    // grand total (gid=7, all flags rolled up)
+    val grand = got.filter(_.getInt(3) == 7)
+    assert(grand.length == 1 && grand.head.getLong(4) == total)
+    // the 8 fully-specified cells partition the corpus
+    assert(got.filter(_.getInt(3) == 0).map(_.getLong(4)).sum == total)
+    // each single-flag marginal pair sums to the total
+    Seq(3, 5, 6).foreach { gid =>
+      assert(got.filter(_.getInt(3) == gid).map(_.getLong(4)).sum == total,
+        s"marginals at gid=$gid do not cover the corpus")
+    }
+  }
 }
