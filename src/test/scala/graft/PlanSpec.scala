@@ -393,4 +393,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("FileScan parquet"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("graph_common_neighbors: equi-joins only, TakeOrdered top-k") {
+    val p = graft.query.Analytics4.graphCommonNeighbors(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("agg_linreg_by_group: all five moments combine map-side") {
+    val p = plan(graft.query.Analytics4.aggLinregByGroup(spark, sf))
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("emb_matryoshka_recall: query cohort broadcasts; dots codegen'd") {
+    val df = graft.query.Analytics4.embMatryoshkaRecall(spark, sf)
+    val p = plan(df)
+    // the bounded query side rides a broadcast against one corpus scan
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("float_dot"), p)
+    // per-dim ranks ride qid-partitioned windows, never a global sort
+    assert(!p.contains("GlobalSort"), p)
+  }
+
+  test("ts_holt_forecast: in-row fold — no window operator, one shuffle") {
+    val p = graft.query.Analytics4.tsHoltForecast(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the fold happens inside the aggregated row: exactly one exchange
+    // moves event data (grouping) plus the final ordering exchange
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"$exchanges exchanges\n$p")
+  }
+
+  test("stats_zone_map: zone stats are partial min/max aggregates") {
+    val p = plan(graft.query.Warehouse2.statsZoneMap(spark, sf))
+    assert(p.contains("partial_min") || p.contains("partial_max"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_llr_collocations: TakeOrdered top-k over the bigram table") {
+    val p = plan(graft.query.TextAnalysis.textLlrCollocations(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
