@@ -440,6 +440,13 @@ object SparkEntry {
     "emb_power_iteration"    ->
       ((s: SparkSession, d: String) => Analytics4.embPowerIteration(s, d)),
     "quality_ablation_report" -> TextAnalysis.qualityAblationReport _,
+    "window_rolling_slope"   ->
+      ((s: SparkSession, d: String) => Analytics4.windowRollingSlope(s, d)),
+    "eval_brier_decomp"      -> Analytics4.evalBrierDecomp _,
+    "text_oov_rate"          ->
+      ((s: SparkSession, d: String) => TextAnalysis.textOovRate(s, d)),
+    "privacy_k_anonymity"    ->
+      ((s: SparkSession, d: String) => Warehouse2.privacyKAnonymity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3389,6 +3396,94 @@ object SparkEntry {
         |  coalesce(CAST(hs AS VARCHAR), 'all') AS has_stop,
         |  gid, n_docs, chars_total
         |FROM c ORDER BY gid, size_ok, lang_en, has_stop""".stripMargin,
+    // frame lists + explicit sequential folds on BOTH sides (the ewma
+    // discipline): the closed-form slope cancels catastrophically at
+    // epoch-hour magnitudes, so only bit-identical op order agrees
+    "window_rolling_slope" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id,
+        |    list(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fx,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fy
+        |  FROM events WHERE user_id < 40
+        |), s AS (
+        |  SELECT event_id, user_id, CAST(len(fx) AS DOUBLE) AS n,
+        |    (SELECT sum(fx[i]) FROM (SELECT unnest(
+        |      generate_series(1, len(fx))) AS i)) AS sx,
+        |    (SELECT sum(fy[i]) FROM (SELECT unnest(
+        |      generate_series(1, len(fy))) AS i)) AS sy,
+        |    (SELECT sum(fx[i] * fy[i]) FROM (SELECT unnest(
+        |      generate_series(1, len(fx))) AS i)) AS sxy,
+        |    (SELECT sum(fx[i] * fx[i]) FROM (SELECT unnest(
+        |      generate_series(1, len(fx))) AS i)) AS sxx
+        |  FROM f
+        |)
+        |SELECT event_id, user_id, CAST(n AS BIGINT) AS n_frame,
+        |  CAST(CASE WHEN n * sxx - sx * sx <> 0.0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        |    ELSE NULL END AS REAL) AS slope_per_hour
+        |FROM s ORDER BY event_id""".stripMargin,
+    "eval_brier_decomp" ->
+      """WITH s AS (
+        |  SELECT least(greatest(CAST(embedding[1] AS DOUBLE) * 2.0 + 0.5,
+        |      0.0), 0.9999) AS p,
+        |    CASE WHEN label % 2 = 1 THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS y
+        |  FROM embeddings
+        |), sb AS (
+        |  SELECT p, y, CAST(least(floor(p * 10.0), 9.0) AS INT) AS bin
+        |  FROM s
+        |), tot AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(y) AS sumy,
+        |    sum((p - y) * (p - y)) AS sumsq
+        |  FROM sb
+        |), b AS (
+        |  SELECT bin, CAST(count(*) AS DOUBLE) AS nb, sum(p) AS sp,
+        |    sum(y) AS sy
+        |  FROM sb GROUP BY bin
+        |), d AS (
+        |  SELECT n, sumsq, sumy,
+        |    sum(nb * (sp / nb - sy / nb) * (sp / nb - sy / nb)) AS rel,
+        |    sum(nb * (sy / nb - sumy / n) * (sy / nb - sumy / n)) AS res
+        |  FROM b CROSS JOIN tot GROUP BY n, sumsq, sumy
+        |)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sumsq / n AS REAL) AS brier,
+        |  CAST(rel / n AS REAL) AS reliability,
+        |  CAST(res / n AS REAL) AS resolution,
+        |  CAST((sumy / n) * (1.0 - sumy / n) AS REAL) AS uncertainty
+        |FROM d""".stripMargin,
+    "text_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens
+        |  FROM tf GROUP BY doc_id
+        |), tot AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS freq FROM tf GROUP BY tok
+        |), vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+        |    FROM tot) WHERE rank <= 256
+        |), oov AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_oov FROM tf
+        |  WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id
+        |)
+        |SELECT dl.doc_id, dl.n_tokens, coalesce(oov.n_oov, 0) AS n_oov,
+        |  CAST(coalesce(oov.n_oov, 0) AS DOUBLE)
+        |    / CAST(dl.n_tokens AS DOUBLE) AS oov_rate
+        |FROM dl LEFT JOIN oov USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "privacy_k_anonymity" ->
+      """SELECT c_nationkey AS nation,
+        |  CAST(year(o_orderdate) AS INT) AS order_year,
+        |  count(*) AS class_size, count(*) < 10 AS at_risk
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY nation, order_year""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, text,

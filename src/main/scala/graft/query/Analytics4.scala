@@ -419,4 +419,87 @@ object Analytics4 {
         col("lam").cast("float").as("eigenvalue"))
       .orderBy(col("dim"))
   }
+
+  // ---- rolling regression ------------------------------------------------
+
+  /** Rolling OLS slope of value vs time (value-units per hour) over each
+    * user's trailing 8 events — the local-trend monitor a metrics
+    * pipeline attaches per entity. The frame's x/y series are collected
+    * as ordered lists and ALL five moments come from explicit
+    * sequential folds over them (the [[Analytics.windowEwma]]
+    * discipline): the closed-form slope suffers catastrophic
+    * cancellation at epoch-hour magnitudes, so the only way two engines
+    * agree is to make every double op bit-identical, not just
+    * mathematically equal.
+    *
+    * Scale shape: one shuffle on user_id; frames are bounded (8), so
+    * state is O(frame) per row and the folds are in-row arithmetic. */
+  def windowRollingSlope(spark: SparkSession, dir: String,
+      maxUser: Long = 40L): DataFrame =
+    graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .selectExpr("event_id", "user_id",
+        """collect_list(CAST(unix_micros(ts) AS DOUBLE) / 3600000000.0)
+          |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fx""".stripMargin,
+        """collect_list(value) OVER (
+          |  PARTITION BY user_id ORDER BY ts, event_id
+          |  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fy""".stripMargin)
+      .selectExpr("event_id", "user_id",
+        "CAST(size(fx) AS DOUBLE) AS n",
+        "aggregate(fx, CAST(0.0 AS DOUBLE), (a, e) -> a + e) AS sx",
+        "aggregate(fy, CAST(0.0 AS DOUBLE), (a, e) -> a + e) AS sy",
+        """aggregate(sequence(1, size(fx)), CAST(0.0 AS DOUBLE),
+          |  (a, i) -> a + element_at(fx, i) * element_at(fy, i))
+          |AS sxy""".stripMargin,
+        """aggregate(fx, CAST(0.0 AS DOUBLE),
+          |  (a, e) -> a + e * e) AS sxx""".stripMargin)
+      .selectExpr("event_id", "user_id", "CAST(n AS BIGINT) AS n_frame",
+        """CAST(CASE WHEN n * sxx - sx * sx <> 0.0
+          |  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+          |  ELSE NULL END AS FLOAT) AS slope_per_hour""".stripMargin)
+      .orderBy(col("event_id"))
+
+  // ---- calibration -------------------------------------------------------
+
+  /** Murphy decomposition of the Brier score over 10 equal-width
+    * probability bins: BS = reliability − resolution + uncertainty.
+    * Reliability isolates miscalibration (what [[Analytics3
+    * .evalCalibrationBins]] shows per bin, here aggregated), resolution
+    * rewards discrimination, uncertainty is the label-entropy floor.
+    * The emitted `brier` is the direct mean((p−y)²), so the identity
+    * itself is checkable downstream.
+    *
+    * Scale shape: one scan feeding a 10-key map-side-combined bin
+    * aggregate plus a 1-row global aggregate; the decomposition folds
+    * the tiny bin table against the broadcast total. */
+  def evalBrierDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val p = least(greatest(
+      element_at(col("embedding"), 1).cast("double") * 2.0 + 0.5,
+      lit(0.0)), lit(0.9999))
+    val s = table(spark, dir, "embeddings")
+      .select(p.as("p"),
+        when(col("label") % 2 === 1, 1.0).otherwise(0.0).as("y"))
+      .withColumn("bin", least(floor(col("p") * 10.0), lit(9.0)).cast("int"))
+    val tot = s.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("y")).as("sumy"),
+      sum((col("p") - col("y")) * (col("p") - col("y"))).as("sumsq"))
+    val bins = s.groupBy(col("bin"))
+      .agg(count(lit(1)).cast("double").as("nb"),
+        sum(col("p")).as("sp"), sum(col("y")).as("sy"))
+    val pbar = col("sp") / col("nb"); val ybar = col("sy") / col("nb")
+    val ybarAll = col("sumy") / col("n")
+    bins.crossJoin(broadcast(tot))
+      .select(col("n"), col("sumsq"), col("sumy"),
+        (col("nb") * (pbar - ybar) * (pbar - ybar)).as("relterm"),
+        (col("nb") * (ybar - ybarAll) * (ybar - ybarAll)).as("resterm"))
+      .groupBy(col("n"), col("sumsq"), col("sumy"))
+      .agg(sum(col("relterm")).as("rel"), sum(col("resterm")).as("res"))
+      .select(col("n").cast("long").as("n"),
+        (col("sumsq") / col("n")).cast("float").as("brier"),
+        (col("rel") / col("n")).cast("float").as("reliability"),
+        (col("res") / col("n")).cast("float").as("resolution"),
+        ((col("sumy") / col("n")) * (lit(1.0) - col("sumy") / col("n")))
+          .cast("float").as("uncertainty"))
+  }
 }

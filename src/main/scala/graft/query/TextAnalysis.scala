@@ -643,6 +643,36 @@ object TextAnalysis {
     * before committing a filter stack, showing what each gate and each
     * interaction would remove. The same expand+aggregate shape as
     * `agg_cube`; one scan, tiny output. */
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-`vocabSize` token vocabulary — the tokenizer-fit diagnostic
+    * run before committing a vocab budget (docs with high OOV fragment
+    * into byte-level tokens and blow up sequence length).
+    *
+    * Scale shape: vocabulary = one aggregate over the persisted
+    * [[tokenTf]] index + a global top-N (tiny, broadcasts); the per-doc
+    * pass is a broadcast anti-join of the SAME index — the corpus text
+    * is never re-tokenized. */
+  def textOovRate(spark: SparkSession, dir: String,
+      vocabSize: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokenTf(spark, dir)
+    val vocab = tf.groupBy(col("tok"))
+      .agg(sum(col("tf")).cast("long").as("freq"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+      .filter(col("rank") <= vocabSize)
+      .select(col("tok"))
+    val oov = tf.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("n_oov"))
+    docLengths(spark, dir)
+      .join(oov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("dl").cast("long").as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        (coalesce(col("n_oov"), lit(0L)).cast("double")
+          / col("dl").cast("double")).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   def qualityAblationReport(spark: SparkSession, dir: String): DataFrame = {
     // rolled-up flag levels surface as the 'all' sentinel, not NULL:
     // the report reads as a table, and NULL booleans round-trip

@@ -357,4 +357,26 @@ object Warehouse2 {
         year(col("l_shipdate")) * 12 + month(col("l_shipdate"))))
       .orderBy(col("layout"))
   }
+
+  /** k-anonymity audit over the (nation, order-year) quasi-identifier:
+    * every equivalence class with its size and an at-risk flag
+    * (size < k) — the table a privacy review reads before a release.
+    * Generalizing the QI (coarser year bands, region instead of
+    * nation) re-runs the same plan with a different grouping key.
+    *
+    * Scale shape: fact⨝broadcast-dim, one map-side-combined aggregate
+    * on the QI key; output is |QI-domain|-sized. */
+  def privacyKAnonymity(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame =
+    table(spark, dir, "orders")
+      .join(broadcast(table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nation"),
+        year(col("o_orderdate")).as("order_year"))
+      .groupBy(col("nation"), col("order_year"))
+      .agg(count(lit(1)).as("class_size"))
+      .select(col("nation"), col("order_year"), col("class_size"),
+        (col("class_size") < k).as("at_risk"))
+      .orderBy(col("nation"), col("order_year"))
 }

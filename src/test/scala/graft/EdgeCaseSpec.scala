@@ -221,5 +221,13 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     val abl = TextAnalysis.qualityAblationReport(spark, emptyStarDir)
       .collect()
     assert(abl.forall(_.getLong(4) == 0L))
+    // batch 3
+    assert(Analytics4.windowRollingSlope(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics4.evalBrierDecomp(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(TextAnalysis.textOovRate(spark, emptyStarDir).collect().isEmpty)
+    assert(Warehouse2.privacyKAnonymity(spark, emptyStarDir)
+      .collect().isEmpty)
   }
 }

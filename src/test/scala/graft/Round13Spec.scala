@@ -314,6 +314,100 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("window_rolling_slope replays the exact frame fold per row") {
+    val evs = Schemas.events(spark, sf)
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = evs.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._2, e._3))).toMap
+    val got = Analytics4.windowRollingSlope(spark, sf).collect()
+    assert(got.length == evs.length)
+    val gotByEvent = got.map(r => r.getLong(0) -> r).toMap
+    byUser.foreach { case (_, seq) =>
+      seq.zipWithIndex.foreach { case ((_, _, eid, _), idx) =>
+        val frame = seq.slice(math.max(0, idx - 7), idx + 1)
+        val fx = frame.map(_._2.toDouble / 3600000000.0)
+        val fy = frame.map(_._4)
+        val n = fx.length.toDouble
+        val sx = fx.foldLeft(0.0)(_ + _); val sy = fy.foldLeft(0.0)(_ + _)
+        val sxy = fx.zip(fy).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        val sxx = fx.foldLeft(0.0)((a, e) => a + e * e)
+        val r = gotByEvent(eid)
+        assert(r.getLong(2) == frame.length)
+        if (n * sxx - sx * sx != 0.0) {
+          val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+          assert(math.abs(r.getFloat(3) - slope)
+            < 1e-3 * (math.abs(slope) + 1), s"eid=$eid")
+        } else assert(r.isNullAt(3))
+      }
+    }
+  }
+
+  test("eval_brier_decomp: Murphy identity holds, brier matches brute force") {
+    val rows = Schemas.table(spark, sf, "embeddings")
+      .select(least(greatest(element_at(col("embedding"), 1).cast("double")
+        * 2.0 + 0.5, lit(0.0)), lit(0.9999)).as("p"),
+        when(col("label") % 2 === 1, 1.0).otherwise(0.0).as("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val brier = rows.map { case (p, y) => (p - y) * (p - y) }.sum / rows.length
+    val r = Analytics4.evalBrierDecomp(spark, sf).collect()(0)
+    assert(r.getLong(0) == rows.length)
+    assert(math.abs(r.getFloat(1) - brier) < 1e-5)
+    // recompute each decomposition term brute-force with the same bins
+    val n = rows.length.toDouble
+    val ybarAll = rows.map(_._2).sum / n
+    val byBin = rows.groupBy { case (p, _) => math.min((p * 10).toInt, 9) }
+    val rel = byBin.values.map { g =>
+      val pb = g.map(_._1).sum / g.length; val yb = g.map(_._2).sum / g.length
+      g.length * (pb - yb) * (pb - yb)
+    }.sum / n
+    val res = byBin.values.map { g =>
+      val yb = g.map(_._2).sum / g.length
+      g.length * (yb - ybarAll) * (yb - ybarAll)
+    }.sum / n
+    assert(math.abs(r.getFloat(2) - rel) < 1e-5)
+    assert(math.abs(r.getFloat(3) - res) < 1e-5)
+    assert(math.abs(r.getFloat(4) - ybarAll * (1 - ybarAll)) < 1e-5)
+    // Murphy identity holds up to the within-bin terms of CONTINUOUS
+    // forecasts (exact only for discrete forecast values)
+    val identity = r.getFloat(2) - r.getFloat(3) + r.getFloat(4)
+    assert(math.abs(r.getFloat(1) - identity) < 0.02,
+      s"brier=${r.getFloat(1)} rel-res+unc=$identity")
+  }
+
+  test("text_oov_rate: vocabulary covers the head, rates re-derive") {
+    val got = TextAnalysis.textOovRate(spark, sf).collect()
+    assert(got.length == Schemas.table(spark, sf, "documents").count())
+    got.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(math.abs(r.getDouble(3)
+        - r.getLong(2).toDouble / r.getLong(1).toDouble) < 1e-12)
+    }
+    // this corpus's vocabulary is tiny (~200 distinct tokens), so a
+    // 256-token vocab must cover everything → all OOV rates zero;
+    // a corpus with a longer tail would show nonzero rates
+    val totalOov = got.map(_.getLong(2)).sum
+    val vocabSize = Schemas.table(spark, sf, "documents")
+      .select(explode(graft.query.Dedup.tokens(col("text"))).as("t"))
+      .distinct().count()
+    if (vocabSize <= 256) assert(totalOov == 0L)
+    else assert(totalOov > 0L)
+  }
+
+  test("privacy_k_anonymity: classes partition the joined rows") {
+    val orders = Schemas.table(spark, sf, "orders").count()
+    val got = Warehouse2.privacyKAnonymity(spark, sf).collect()
+    assert(got.map(_.getLong(2)).sum == orders)
+    got.foreach(r => assert(r.getBoolean(3) == (r.getLong(2) < 10)))
+    // QI keys are unique rows (nation's physical type varies by
+    // generation — read it numerically, not as a fixed width)
+    assert(got.map(r => (r.getAs[Number](0).longValue, r.getInt(1)))
+      .distinct.length == got.length)
+  }
+
   test("quality_ablation_report: rollup totals are consistent") {
     val total = Schemas.table(spark, sf, "documents").count()
     val got = TextAnalysis.qualityAblationReport(spark, sf).collect()
