@@ -447,6 +447,13 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextAnalysis.textOovRate(s, d)),
     "privacy_k_anonymity"    ->
       ((s: SparkSession, d: String) => Warehouse2.privacyKAnonymity(s, d)),
+    "window_drawdown"        ->
+      ((s: SparkSession, d: String) => Analytics4.windowDrawdown(s, d)),
+    "agg_pareto_concentration" -> Analytics4.aggParetoConcentration _,
+    "join_asof_tolerance"    ->
+      ((s: SparkSession, d: String) => Analytics4.joinAsofTolerance(s, d)),
+    "graph_local_clustering" ->
+      ((s: SparkSession, d: String) => Analytics4.graphLocalClustering(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3484,6 +3491,87 @@ object SparkEntry {
         |  count(*) AS class_size, count(*) < 10 AS at_risk
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY nation, order_year""".stripMargin,
+    "window_drawdown" ->
+      """SELECT event_id, user_id, CAST(value AS REAL) AS value,
+        |  CAST(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS REAL) AS peak,
+        |  CAST(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) - value AS REAL) AS drawdown
+        |FROM events WHERE user_id < 100 ORDER BY event_id""".stripMargin,
+    "agg_pareto_concentration" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY l_partkey
+        |), r AS (
+        |  SELECT l_partkey, cents,
+        |    row_number() OVER (ORDER BY cents DESC, l_partkey) AS rk,
+        |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM pp
+        |), t AS (
+        |  SELECT CAST(sum(cents) AS BIGINT) AS t, count(*) AS p FROM pp
+        |)
+        |SELECT CAST(t.p AS BIGINT) AS n_parts,
+        |  CAST(sum(CASE WHEN (cum - cents) * 10 < t.t * 8
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_parts_80pct,
+        |  CAST(sum(CASE WHEN rk <= ceil(CAST(t.p AS DOUBLE) / 10.0)
+        |      THEN cents ELSE 0 END) AS DOUBLE) / CAST(t.t AS DOUBLE)
+        |    AS top_decile_share
+        |FROM r CROSS JOIN t GROUP BY t.t, t.p""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE event_type IN ('purchase', 'error')
+        |), n AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    last_value(CASE WHEN event_type = 'error' THEN ts END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_err
+        |  FROM e
+        |)
+        |SELECT user_id, event_id, ts,
+        |  CASE WHEN epoch_us(ts) - epoch_us(prev_err) <= 3600000000
+        |    THEN prev_err END AS matched_err_ts,
+        |  CASE WHEN epoch_us(ts) - epoch_us(prev_err) <= 3600000000
+        |    THEN CAST(epoch_us(ts) - epoch_us(prev_err) AS BIGINT) END
+        |    AS gap_us
+        |FROM n WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+    "graph_local_clustering" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), edges AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), sym AS (
+        |  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+        |), deg AS (
+        |  SELECT u AS x, count(*) AS deg FROM sym GROUP BY u
+        |), nbrs AS (
+        |  SELECT u, v FROM sym WHERE u % 128 = 0
+        |), wedges AS (
+        |  SELECT a.u AS x, a.v AS u2, b.v AS v2
+        |  FROM nbrs a JOIN nbrs b ON a.u = b.u AND a.v < b.v
+        |), closed AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS n_closed FROM wedges w
+        |  WHERE EXISTS (SELECT 1 FROM edges e
+        |    WHERE e.u = w.u2 AND e.v = w.v2)
+        |  GROUP BY x
+        |), alln AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS n_wedges
+        |  FROM wedges GROUP BY x
+        |)
+        |SELECT alln.x AS vertex, CAST(deg.deg AS BIGINT) AS deg, n_wedges,
+        |  coalesce(n_closed, 0) AS n_closed,
+        |  CAST(coalesce(n_closed, 0) AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+        |    AS clustering_coeff
+        |FROM alln LEFT JOIN closed USING (x)
+        |JOIN deg ON deg.x = alln.x
+        |ORDER BY vertex""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, text,

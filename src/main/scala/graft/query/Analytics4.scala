@@ -460,6 +460,131 @@ object Analytics4 {
           |  ELSE NULL END AS FLOAT) AS slope_per_hour""".stripMargin)
       .orderBy(col("event_id"))
 
+  // ---- running extrema ---------------------------------------------------
+
+  /** Per-user running peak and drawdown over the ordered value series —
+    * the standard running-max monitor (portfolio drawdown, watermark
+    * lag, capacity headroom). One bounded window pass; ties ordered by
+    * event_id so the peak is deterministic. */
+  def windowDrawdown(spark: SparkSession, dir: String,
+      maxUser: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(col("event_id"), col("user_id"), col("value"),
+        max(col("value")).over(w).as("peak"))
+      .select(col("event_id"), col("user_id"),
+        col("value").cast("float").as("value"),
+        col("peak").cast("float").as("peak"),
+        (col("peak") - col("value")).cast("float").as("drawdown"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- concentration -----------------------------------------------------
+
+  /** Pareto concentration of revenue over parts: how many parts carry
+    * 80% of revenue, and what share the top decile of parts holds.
+    * Revenue is summed in CENTS (exact integers) so the threshold
+    * comparisons are deterministic under any partitioning — a double
+    * cumulative sum could flip the boundary row between engines.
+    *
+    * Scale shape: one map-side-combined aggregate to per-part cents,
+    * then rank/cumsum windows over the PART table (|parts| ≪ |fact|);
+    * the global windows run on the aggregated table only. */
+  def aggParetoConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perPart = table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+    val ranked = perPart.select(col("l_partkey"), col("cents"),
+      row_number().over(w).as("rk"),
+      sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum"))
+    val tot = perPart.agg(sum(col("cents")).as("t"),
+      count(lit(1)).as("p"))
+    // a part is needed for the 80% budget when the revenue BEFORE it is
+    // still under the threshold; all comparisons on exact cent integers
+    // (scaled by 10 vs 8·t to stay integral)
+    ranked.crossJoin(broadcast(tot))
+      .agg(first(col("p")).as("n_parts"),
+        sum(when((col("cum") - col("cents")) * 10 < col("t") * 8, 1L)
+          .otherwise(0L)).as("n_parts_80pct"),
+        sum(when(col("rk") <= ceil(col("p").cast("double") / 10.0),
+          col("cents")).otherwise(0L)).as("top_decile_cents"),
+        first(col("t")).as("t2"))
+      .select(col("n_parts").cast("long").as("n_parts"),
+        col("n_parts_80pct").cast("long").as("n_parts_80pct"),
+        (col("top_decile_cents").cast("double") / col("t2").cast("double"))
+          .as("top_decile_share"))
+  }
+
+  // ---- as-of with tolerance ----------------------------------------------
+
+  /** Backward as-of join with a max-gap tolerance: each purchase matches
+    * the same user's most recent PRIOR error only when it happened
+    * within `toleranceUs` — the tick-data semantics where a stale quote
+    * must not match. Same one-window shape as [[joinAsofNearest]]. */
+  def joinAsofTolerance(spark: SparkSession, dir: String,
+      toleranceUs: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.schema.Schemas.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPrev = e.withColumn("prev_err",
+        last(when(col("event_type") === "error", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+    val gap = unix_micros(col("ts")) - unix_micros(col("prev_err"))
+    withPrev.select(col("user_id"), col("event_id"), col("ts"),
+        when(gap <= toleranceUs, col("prev_err")).as("matched_err_ts"),
+        when(gap <= toleranceUs, gap).as("gap_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // ---- local clustering --------------------------------------------------
+
+  /** Local clustering coefficient for the `pk % 128 == 0` vertex cohort:
+    * closed wedges at the vertex / all wedges at the vertex — the
+    * per-vertex companion of [[Analytics.graphTriangles]]'s global
+    * closure rate. Cohort sampling bounds the deg² wedge fanout the
+    * same way [[graphCommonNeighbors]] does; closure is one equi-join
+    * against the undirected edge list (u < v pairs align by
+    * construction).
+    *
+    * Scale shape: wedge enumeration shuffles on the center vertex
+    * (uniform); the closure check is an ids-only left-semi equi-join;
+    * the per-center rollup is map-side combined. */
+  def graphLocalClustering(spark: SparkSession, dir: String,
+      mod: Int = 128): DataFrame = {
+    val sym = Analytics.copurchaseEdgesSym(spark, dir)
+    val deg = Analytics.copurchaseDeg(spark, dir)
+    val e0 = Analytics.copurchaseEdges(spark, dir)
+    val nbrs = sym.filter(col("u") % mod === 0)
+    val wedges = nbrs.as("a").join(nbrs.as("b"), col("a.u") === col("b.u"))
+      .filter(col("a.v") < col("b.v"))
+      .select(col("a.u").as("x"), col("a.v").as("u"), col("b.v").as("v"))
+    val closed = wedges.join(e0, Seq("u", "v"), "left_semi")
+      .groupBy(col("x")).agg(count(lit(1)).as("n_closed"))
+    val all = wedges.groupBy(col("x")).agg(count(lit(1)).as("n_wedges"))
+    all.join(closed, Seq("x"), "left_outer")
+      .join(deg.select(col("u").as("x"), col("deg")), Seq("x"))
+      .select(col("x").as("vertex"), col("deg"),
+        col("n_wedges"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"),
+        (coalesce(col("n_closed"), lit(0L)).cast("double")
+          / col("n_wedges").cast("double")).as("clustering_coeff"))
+      .orderBy(col("vertex"))
+  }
+
   // ---- calibration -------------------------------------------------------
 
   /** Murphy decomposition of the Brier score over 10 equal-width

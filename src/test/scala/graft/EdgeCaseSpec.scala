@@ -229,5 +229,14 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(TextAnalysis.textOovRate(spark, emptyStarDir).collect().isEmpty)
     assert(Warehouse2.privacyKAnonymity(spark, emptyStarDir)
       .collect().isEmpty)
+    // batch 4
+    assert(Analytics4.windowDrawdown(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics4.joinAsofTolerance(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics4.graphLocalClustering(spark, emptyStarDir)
+      .collect().isEmpty)
+    val pc = Analytics4.aggParetoConcentration(spark, emptyStarDir)
+      .collect()
+    assert(pc.length <= 1 && pc.forall(r => r.isNullAt(0) || r.getLong(0) == 0L))
   }
 }

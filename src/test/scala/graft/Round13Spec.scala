@@ -408,6 +408,81 @@ class Round13Spec extends SparkSpec {
       .distinct.length == got.length)
   }
 
+  test("window_drawdown: peak is the running max, drawdown nonnegative") {
+    val got = Analytics4.windowDrawdown(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getFloat(3) >= r.getFloat(2) - 1e-6f)
+      assert(r.getFloat(4) >= -1e-6f)
+      assert(math.abs(r.getFloat(3) - r.getFloat(2) - r.getFloat(4)) < 1e-3f)
+    }
+  }
+
+  test("agg_pareto_concentration matches the brute-force cents ranking") {
+    val cents = Schemas.table(spark, sf, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = cents.sortBy { case (k, c) => (-c, k) }
+    val total = sorted.map(_._2).sum
+    var cum = 0L; var n80 = 0
+    sorted.foreach { case (_, c) =>
+      if (cum * 10 < total * 8) n80 += 1
+      cum += c
+    }
+    val topDecile = sorted.take(math.ceil(sorted.length / 10.0).toInt)
+      .map(_._2).sum
+    val r = Analytics4.aggParetoConcentration(spark, sf).collect()(0)
+    assert(r.getLong(0) == sorted.length)
+    assert(r.getLong(1) == n80, s"got ${r.getLong(1)} want $n80")
+    assert(math.abs(r.getDouble(2) - topDecile.toDouble / total) < 1e-12)
+    // concentration is real: the top decile holds more than its share
+    assert(r.getDouble(2) > 0.1)
+  }
+
+  test("join_asof_tolerance: matches only within the gap, backward only") {
+    val evs = Schemas.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val got = Analytics4.joinAsofTolerance(spark, sf).collect()
+    val byUser = evs.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._2, e._3))).toMap
+    got.foreach { r =>
+      val inst = r.getTimestamp(2).toInstant
+      val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      val eid = r.getLong(1)
+      val seq = byUser(r.getLong(0))
+      val idx = seq.indexWhere(_._3 == eid)
+      val prior = seq.take(idx).reverse.find(_._4 == "error")
+      prior match {
+        case Some((_, eus, _, _)) if us - eus <= 3600000000L =>
+          assert(!r.isNullAt(4) && r.getLong(4) == us - eus)
+        case _ => assert(r.isNullAt(3) && r.isNullAt(4))
+      }
+    }
+  }
+
+  test("graph_local_clustering matches brute-force per-center closure") {
+    val adj = bruteAdjacency()
+    val got = Analytics4.graphLocalClustering(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val x = r.getLong(0)
+      assert(x % 128 == 0)
+      val ns = adj(x).toSeq.sorted
+      val wedges = for (i <- ns.indices; j <- (i + 1) until ns.length)
+        yield (ns(i), ns(j))
+      val closed = wedges.count { case (a, b) => adj(a).contains(b) }
+      assert(r.getLong(1) == ns.length)
+      assert(r.getLong(2) == wedges.length)
+      assert(r.getLong(3) == closed)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("quality_ablation_report: rollup totals are consistent") {
     val total = Schemas.table(spark, sf, "documents").count()
     val got = TextAnalysis.qualityAblationReport(spark, sf).collect()
