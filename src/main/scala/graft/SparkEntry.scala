@@ -454,6 +454,11 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Analytics4.joinAsofTolerance(s, d)),
     "graph_local_clustering" ->
       ((s: SparkSession, d: String) => Analytics4.graphLocalClustering(s, d)),
+    "ts_autocorr_lag1"       ->
+      ((s: SparkSession, d: String) => Analytics4.tsAutocorrLag1(s, d)),
+    "graph_copurchase_weights" ->
+      ((s: SparkSession, d: String) => Analytics4.graphCopurchaseWeights(s, d)),
+    "text_hapax_stats"       -> TextAnalysis.textHapaxStats _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3572,6 +3577,53 @@ object SparkEntry {
         |FROM alln LEFT JOIN closed USING (x)
         |JOIN deg ON deg.x = alln.x
         |ORDER BY vertex""".stripMargin,
+    "ts_autocorr_lag1" ->
+      """WITH l AS (
+        |  SELECT user_id, value AS y,
+        |    lag(value, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS x
+        |  FROM events WHERE user_id < 100
+        |), p AS (
+        |  SELECT user_id, x, y FROM l WHERE x IS NOT NULL
+        |), a AS (
+        |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY user_id
+        |)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+        |  CAST((n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS REAL)
+        |    AS autocorr_lag1
+        |FROM a ORDER BY user_id""".stripMargin,
+    "graph_copurchase_weights" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |)
+        |SELECT a.pk AS u, b.pk AS v, CAST(count(*) AS BIGINT) AS weight
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY a.pk, b.pk
+        |ORDER BY weight DESC, u, v LIMIT 25""".stripMargin,
+    "text_hapax_stats" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), tot AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+        |), r AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+        |  FROM tot
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        |  CAST(sum(freq) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS hapax_ratio,
+        |  CAST(sum(CASE WHEN rank <= 10 THEN freq ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(freq) AS DOUBLE) AS top10_mass
+        |FROM r""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, text,

@@ -585,6 +585,65 @@ object Analytics4 {
       .orderBy(col("vertex"))
   }
 
+  // ---- autocorrelation ---------------------------------------------------
+
+  /** Lag-1 autocorrelation of each user's value series (Pearson over the
+    * (x_t, x_{t−1}) pairs) — the "is this metric trending or noise"
+    * one-number diagnostic, and the stationarity check run before any
+    * forecasting model. Closed form from one lag window + one
+    * map-side-combined moment aggregate per user; float cast absorbs
+    * partial-sum reassociation.
+    *
+    * Scale shape: one shuffle on user_id for the lag ordering, one
+    * aggregation on the same key — the second stage reuses the first's
+    * partitioning. */
+  def tsAutocorrLag1(spark: SparkSession, dir: String,
+      maxUser: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagged = graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(col("user_id"), col("value").as("y"),
+        lag(col("value"), 1).over(w).as("x"))
+      .filter(col("x").isNotNull)
+    val a = lagged.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    a.select(col("user_id"), col("n").cast("long").as("n_pairs"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .cast("float").as("autocorr_lag1"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---- weighted projection -----------------------------------------------
+
+  /** Weighted bipartite projection: the strongest co-purchase part pairs
+    * by SHARED ORDER COUNT — the weighted edges the unweighted
+    * [[Analytics.copurchaseEdges]] index collapses. Top-k by weight
+    * with id tie-breaks; at scale the same plan emits the full weighted
+    * edge list for a downstream similarity join.
+    *
+    * Scale shape: the pair fanout is the per-order basket square
+    * (bounded by basket size, not degree); one map-side-combined count
+    * on the uniform pair key; TakeOrdered top-k. */
+  def graphCopurchaseWeights(spark: SparkSession, dir: String,
+      k: Int = 25): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("weight"))
+      .orderBy(col("weight").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
   // ---- calibration -------------------------------------------------------
 
   /** Murphy decomposition of the Brier score over 10 equal-width

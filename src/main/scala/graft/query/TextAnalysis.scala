@@ -637,6 +637,31 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus hapax statistics: vocabulary size, hapax legomena count
+    * (terms occurring exactly once corpus-wide), their share of the
+    * vocabulary, and the token-mass share of the top-10 terms — the
+    * vocabulary-health companion to [[textZipfSlope]] (a natural corpus
+    * runs ~40-60% hapax; near 0% signals template/generated text).
+    * One aggregate over the persisted [[tokenTf]] index. */
+  def textHapaxStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = tokenTf(spark, dir).groupBy(col("tok"))
+      .agg(sum(col("tf")).cast("long").as("freq"))
+    val ranked = totals.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+    ranked.agg(
+        count(lit(1)).as("n_vocab"),
+        sum(col("freq")).cast("long").as("n_tokens"),
+        sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("rank") <= 10, col("freq")).otherwise(0L))
+          .cast("long").as("top10_tokens"))
+      .select(col("n_vocab"), col("n_tokens"), col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_vocab").cast("double"))
+          .as("hapax_ratio"),
+        (col("top10_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("top10_mass"))
+  }
+
   /** Quality-filter ablation report: document and character counts for
     * every combination of three cheap curation gates (size, language,
     * stopword presence) via CUBE — the table a corpus curator reads

@@ -238,5 +238,11 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     val pc = Analytics4.aggParetoConcentration(spark, emptyStarDir)
       .collect()
     assert(pc.length <= 1 && pc.forall(r => r.isNullAt(0) || r.getLong(0) == 0L))
+    // batch 5
+    assert(Analytics4.tsAutocorrLag1(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics4.graphCopurchaseWeights(spark, emptyStarDir)
+      .collect().isEmpty)
+    val hx = TextAnalysis.textHapaxStats(spark, emptyStarDir).collect()
+    assert(hx.length == 1 && hx.head.getLong(0) == 0L)
   }
 }

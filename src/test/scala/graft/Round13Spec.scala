@@ -483,6 +483,67 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("ts_autocorr_lag1 matches brute-force lag-pair correlation") {
+    val evs = Schemas.events(spark, sf)
+      .filter(col("user_id") < 100)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = Analytics4.tsAutocorrLag1(spark, sf).collect()
+    val byUser = evs.groupBy(_._1)
+    got.foreach { r =>
+      val vals = byUser(r.getLong(0)).sortBy(e => (e._2, e._3)).map(_._4)
+      val pairs = vals.zip(vals.tail).map { case (x, y) => (x, y) }
+      assert(r.getLong(1) == pairs.length)
+      if (pairs.length >= 2) {
+        val n = pairs.length.toDouble
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val c = (n * sxy - sx * sy) /
+          (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+        assert(math.abs(r.getFloat(2) - c) < 1e-4,
+          s"user ${r.getLong(0)}: ${r.getFloat(2)} vs $c")
+        assert(r.getFloat(2) >= -1.0001f && r.getFloat(2) <= 1.0001f)
+      }
+    }
+  }
+
+  test("graph_copurchase_weights: weights are shared-order counts") {
+    val li = Schemas.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val counts = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+    val brute = counts.toSeq
+      .sortBy { case ((u, v), w) => (-w, u, v) }.take(25)
+    val got = Analytics4.graphCopurchaseWeights(spark, sf).collect()
+    assert(got.length == brute.length)
+    got.zip(brute).foreach { case (r, ((u, v), w)) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (u, v, w))
+    }
+  }
+
+  test("text_hapax_stats re-derives from the token totals") {
+    val totals = Schemas.table(spark, sf, "documents")
+      .select(explode(graft.query.Dedup.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val r = TextAnalysis.textHapaxStats(spark, sf).collect()(0)
+    assert(r.getLong(0) == totals.length)
+    assert(r.getLong(1) == totals.map(_._2).sum)
+    assert(r.getLong(2) == totals.count(_._2 == 1))
+    val top10 = totals.sortBy { case (t, c) => (-c, t) }.take(10)
+      .map(_._2).sum
+    assert(math.abs(r.getDouble(4)
+      - top10.toDouble / totals.map(_._2).sum) < 1e-12)
+  }
+
   test("quality_ablation_report: rollup totals are consistent") {
     val total = Schemas.table(spark, sf, "documents").count()
     val got = TextAnalysis.qualityAblationReport(spark, sf).collect()
