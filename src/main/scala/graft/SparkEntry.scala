@@ -459,6 +459,9 @@ object SparkEntry {
     "graph_copurchase_weights" ->
       ((s: SparkSession, d: String) => Analytics4.graphCopurchaseWeights(s, d)),
     "text_hapax_stats"       -> TextAnalysis.textHapaxStats _,
+    "agg_gini_cents"         -> Analytics4.aggGiniCents _,
+    "dedup_prefix_groups"    ->
+      ((s: SparkSession, d: String) => Analytics4.dedupPrefixGroups(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3624,6 +3627,38 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rank <= 10 THEN freq ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(freq) AS DOUBLE) AS top10_mass
         |FROM r""".stripMargin,
+    "agg_gini_cents" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY l_partkey
+        |), r AS (
+        |  SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents, l_partkey) AS BIGINT)
+        |      AS i
+        |  FROM pp
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_parts,
+        |  (2.0 * CAST(sum(i * cents) AS DOUBLE))
+        |    / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+        |  - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE)
+        |    AS gini
+        |FROM r""".stripMargin,
+    "dedup_prefix_groups" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(array_to_string(t[1:5], ' ')), 1, 15)
+        |      AS BIGINT) AS pfx
+        |  FROM toks WHERE len(t) >= 5
+        |)
+        |SELECT pfx, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY pfx HAVING count(*) > 1 ORDER BY pfx""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, text,

@@ -265,17 +265,30 @@ object Analytics {
     })(_.unpersist(false))
   }
 
-  /** Distinct undirected co-purchase edges as (u < v) pairs: parts that
-    * appear in the same order are connected. */
-  private[query] def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
-    cachedDf(spark, gkey(dir, "e0")) {
+  /** WEIGHTED undirected co-purchase edges (u < v, weight = number of
+    * shared orders) — the base graph index everything else derives
+    * from: a production deployment stores the weighted projection once
+    * and reads the unweighted view out of it, rather than maintaining
+    * two edge builds over the fact table. Same per-order-basket pair
+    * fanout as the old distinct-pairs build (the groupBy count and the
+    * distinct are the same shuffle). */
+  private[query] def copurchaseWeighted(spark: SparkSession,
+      dir: String): DataFrame =
+    cachedDf(spark, gkey(dir, "ew")) {
       val li = table(spark, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       li.as("a").join(li.as("b"), Seq("ok"))
         .filter(col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        .distinct()
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("weight"))
+    }
+
+  /** Distinct undirected co-purchase edges as (u < v) pairs: the
+    * unweighted view of [[copurchaseWeighted]]. */
+  private[query] def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    cachedDf(spark, gkey(dir, "e0")) {
+      copurchaseWeighted(spark, dir).select(col("u"), col("v"))
     }
 
   /** Both directions of [[copurchaseEdges]] (u→v and v→u). Deliberately

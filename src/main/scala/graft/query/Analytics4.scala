@@ -632,16 +632,65 @@ object Analytics4 {
     * (bounded by basket size, not degree); one map-side-combined count
     * on the uniform pair key; TakeOrdered top-k. */
   def graphCopurchaseWeights(spark: SparkSession, dir: String,
-      k: Int = 25): DataFrame = {
-    val li = table(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("weight"))
+      k: Int = 25): DataFrame =
+    Analytics.copurchaseWeighted(spark, dir)
       .orderBy(col("weight").desc, col("u"), col("v"))
       .limit(k)
+
+  // ---- inequality --------------------------------------------------------
+
+  /** Gini coefficient of revenue over parts, on exact cent integers:
+    * G = (2·Σ i·xᵢ) / (n·Σx) − (n+1)/n over the ascending-sorted
+    * revenue sequence — the inequality companion of
+    * [[aggParetoConcentration]] (same index, one number). Integer rank
+    * products keep the sort-position sum deterministic; the final
+    * ratio is one double division.
+    *
+    * Scale shape: per-part cents is a map-side-combined aggregate; the
+    * rank window runs over the PART table; the moment fold is one row.
+    * (Σ i·xᵢ can exceed 2⁶³ only past ~10¹⁰ parts·cents — cast to
+    * double at that scale, accepting float noise in the ratio.) */
+  def aggGiniCents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perPart = table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("cents"))
+    val ranked = perPart.select(col("cents"),
+      row_number().over(Window.orderBy(col("cents"), col("l_partkey")))
+        .cast("long").as("i"))
+    ranked.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cents")).as("sx"),
+        sum(col("i") * col("cents")).as("six"))
+      .select(col("n").cast("long").as("n_parts"),
+        ((lit(2.0) * col("six").cast("double"))
+          / (col("n").cast("double") * col("sx").cast("double"))
+          - (col("n").cast("double") + 1.0) / col("n").cast("double"))
+          .as("gini"))
+  }
+
+  // ---- prefix duplicates -------------------------------------------------
+
+  /** Prefix-duplicate groups: documents sharing their first `k`
+    * normalized tokens — the boilerplate-intro detector (template
+    * headers, scraped navigation preambles) that full-document hashing
+    * misses once bodies diverge. Groups keyed by the md5-60 hash of the
+    * joined prefix so the oracle replays the grouping bit-identically.
+    *
+    * Scale shape: one scan, map-side-combined count on the uniform
+    * prefix-hash key, groups-only output (HAVING > 1). */
+  def dedupPrefixGroups(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        Dedup.hash60(concat_ws(" ", slice(col("t"), 1, k))).as("pfx"))
+    docs.groupBy(col("pfx"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("pfx"))
   }
 
   // ---- calibration -------------------------------------------------------

@@ -244,5 +244,10 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().isEmpty)
     val hx = TextAnalysis.textHapaxStats(spark, emptyStarDir).collect()
     assert(hx.length == 1 && hx.head.getLong(0) == 0L)
+    // batch 6
+    val gn = Analytics4.aggGiniCents(spark, emptyStarDir).collect()
+    assert(gn.length == 1 && gn.head.getLong(0) == 0L)
+    assert(Analytics4.dedupPrefixGroups(spark, emptyStarDir)
+      .collect().isEmpty)
   }
 }

@@ -86,7 +86,17 @@ class PartitionInvarianceSpec extends SparkSpec {
     "emb_matryoshka_recall per-dim rank overlap" ->
       (() => graft.query.Analytics4.embMatryoshkaRecall(spark, sf)),
     "text_llr_collocations float-ordered top-k" ->
-      (() => graft.query.TextAnalysis.textLlrCollocations(spark, sf)))
+      (() => graft.query.TextAnalysis.textLlrCollocations(spark, sf)),
+    // round-13 late batches: the sequential Holt fold, the exact-cents
+    // threshold counts, and the wedge-closure rollup
+    "ts_holt_forecast per-key ordered fold" ->
+      (() => graft.query.Analytics4.tsHoltForecast(spark, sf)),
+    "agg_pareto_concentration cents thresholds" ->
+      (() => graft.query.Analytics4.aggParetoConcentration(spark, sf)),
+    "agg_gini_cents rank products" ->
+      (() => graft.query.Analytics4.aggGiniCents(spark, sf)),
+    "graph_local_clustering wedge closure" ->
+      (() => graft.query.Analytics4.graphLocalClustering(spark, sf)))
 
   private def collectAt(partitions: Int, build: () => DataFrame): Seq[String] = {
     val key = "spark.sql.shuffle.partitions"

@@ -544,6 +544,39 @@ class Round13Spec extends SparkSpec {
       - top10.toDouble / totals.map(_._2).sum) < 1e-12)
   }
 
+  test("agg_gini_cents matches the brute-force sorted-rank formula") {
+    val cents = Schemas.table(spark, sf, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = cents.sortBy { case (k, c) => (c, k) }.map(_._2)
+    val n = sorted.length.toDouble
+    val sx = sorted.sum.toDouble
+    val six = sorted.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val gini = 2.0 * six / (n * sx) - (n + 1.0) / n
+    val r = Analytics4.aggGiniCents(spark, sf).collect()(0)
+    assert(r.getLong(0) == sorted.length)
+    assert(math.abs(r.getDouble(1) - gini) < 1e-12)
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+  }
+
+  test("dedup_prefix_groups: groups re-derive from raw prefixes") {
+    val docs = Schemas.table(spark, sf, "documents")
+      .select(col("doc_id"), graft.query.Dedup.tokens(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val groups = docs.filter(_._2.length >= 5)
+      .groupBy(_._2.take(5).mkString(" "))
+      .filter(_._2.length > 1)
+    val got = Analytics4.dedupPrefixGroups(spark, sf).collect()
+    assert(got.length == groups.size)
+    val wantSizes = groups.values.map(g =>
+      (g.map(_._1).min, g.map(_._1).max, g.length.toLong)).toSet
+    got.foreach { r =>
+      assert(wantSizes.contains((r.getLong(2), r.getLong(3), r.getLong(1))),
+        s"unmatched group ${r.getLong(0)}")
+    }
+  }
+
   test("quality_ablation_report: rollup totals are consistent") {
     val total = Schemas.table(spark, sf, "documents").count()
     val got = TextAnalysis.qualityAblationReport(spark, sf).collect()
