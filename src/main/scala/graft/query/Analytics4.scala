@@ -390,20 +390,19 @@ object Analytics4 {
       val scoreCol = aggregate(
         zip_with(col("x"), col("v"), (a, b) => a * b),
         lit(0.0), (acc, t) => acc + t)
-      val contrib = emb.crossJoin(broadcast(v))
+      // Σᵢ xᵢⱼ·scoreᵢ for all 64 dims as ONE map-side-combined
+      // aggregate row (64 sum expressions) — no per-dim explode, no
+      // dim-keyed shuffle, and the dense vector arrives already in dim
+      // order. Each round is scan → partial agg → 1-row final agg.
+      val sums = (0 until dim).map(j =>
+        sum(element_at(col("x"), j + 1) * col("score")).as(s"s$j"))
+      val row = emb.crossJoin(broadcast(v))
         .select(col("x"), scoreCol.as("score"))
-        .select(explode(expr(
-          "transform(x, (xi, i) -> struct(i + 1 as j, xi * score as c))"))
-          .as("e"))
-        .groupBy(col("e.j").as("j")).agg(sum(col("e.c")).as("s"))
-      // sort_array on (j, s) structs rebuilds the dense vector in dim
-      // order — collect_list alone has NO order guarantee post-shuffle
-      val unnorm = contrib
-        .agg(sort_array(collect_list(struct(col("j"), col("s")))).as("ps"))
-        .select(transform(col("ps"), p => p.getField("s")).as("u"))
-      v = unnorm.select(transform(col("u"),
+        .agg(sums.head, sums.tail: _*)
+      val u = array((0 until dim).map(j => col(s"s$j")): _*)
+      v = row.select(transform(u.as("u0"),
         e => e / sqrt(aggregate(
-          transform(col("u"), t => t * t),
+          transform(u, t => t * t),
           lit(0.0), (acc, t) => acc + t))).as("v"))
     }
     val rayleigh = aggregate(
