@@ -185,12 +185,16 @@ object Warehouse2 {
     graft.schema.Schemas.evictingComputeIfAbsent(basketCache,
       s"$dir/order_brand",
       graft.schema.Schemas.fingerprint(s"$dir/lineitem.parquet"))({
+      // persisted PRE-PARTITIONED on the order key: the affinity
+      // self-join then consumes the stored layout directly instead of
+      // re-exchanging both branches per query
       val df = table(spark, dir, "lineitem")
         .join(broadcast(table(spark, dir, "part")
           .select(col("p_partkey"), col("p_brand"))),
           col("p_partkey") === col("l_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
         .distinct()
+        .repartition(col("ok"))
         .persist()
       df.count()
       df
