@@ -490,12 +490,17 @@ object Warehouse {
     val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
         .as("has_r"))
-    val profile = perSupp.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_ret_supp"))
-      .filter(col("n_supp") > 1 && col("n_ret_supp") === 1)
-      .select(col("l_orderkey").as("p_orderkey"))
-    perSupp.filter(col("has_r") === 1)
-      .join(profile, col("l_orderkey") === col("p_orderkey"))
+    // the order profile attaches as a window over the SAME (order,
+    // supplier) grain rather than a groupBy+self-join — the join form
+    // evaluated the perSupp aggregation on both branches (no
+    // cross-branch CSE), doubling the fact pass
+    val wOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(wOrder))
+      .withColumn("n_ret_supp", sum(col("has_r")).over(wOrder))
+      .filter(col("has_r") === 1 && col("n_supp") > 1
+        && col("n_ret_supp") === 1)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(table(spark, dir, "supplier")
