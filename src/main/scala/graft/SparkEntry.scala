@@ -462,6 +462,7 @@ object SparkEntry {
     "agg_gini_cents"         -> Analytics4.aggGiniCents _,
     "dedup_prefix_groups"    ->
       ((s: SparkSession, d: String) => Analytics4.dedupPrefixGroups(s, d)),
+    "join_dpp_pruned"        -> Relational2.joinDppPruned _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3627,6 +3628,11 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rank <= 10 THEN freq ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(freq) AS DOUBLE) AS top10_mass
         |FROM r""".stripMargin,
+    "join_dpp_pruned" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(value) AS REAL) AS sum_value
+        |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_gini_cents" ->
       """WITH pp AS (
         |  SELECT l_partkey,

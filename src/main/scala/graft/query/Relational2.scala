@@ -286,8 +286,41 @@ object Relational2 {
       .orderBy(col("user_id"))
   }
 
+  /** Dynamic-partition-pruned dimension join: the partitioned fact is
+    * joined to a small category dimension filtered at query time —
+    * which partitions survive is only known AFTER the dim filter runs,
+    * so static pruning cannot help and Catalyst injects a
+    * DynamicPruningExpression probe into the fact scan (plan-audited in
+    * PlanSpec). THE mechanism that keeps star-schema scans at 100 TB
+    * from reading partitions the dim filter would discard. */
+  def joinDppPruned(spark: SparkSession, dir: String): DataFrame = {
+    // the dim must be a REAL relation with a filter on top — an inline
+    // local relation constant-folds the predicate away and DPP sees no
+    // selective build side to subscribe the fact scan to
+    val dimPath = dppDimDirs.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("event_type_dim").toString
+      val cat = Seq(("click", "engagement"), ("view", "engagement"),
+        ("purchase", "revenue"), ("signup", "ops"), ("error", "ops"))
+      spark.createDataFrame(cat).toDF("event_type", "category")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    val dim = spark.read.parquet(dimPath)
+    partitionedEvents(spark, dir)
+      .join(dim.filter(col("category") === "engagement"), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("float").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   // one partitioned copy of events per (jvm, sf dir) — the "table layout"
   private val partDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // the event-category dim as a real parquet relation (see joinDppPruned)
+  private val dppDimDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[query] def partitionedEvents(spark: SparkSession, dir: String): DataFrame = {

@@ -440,4 +440,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("join_dpp_pruned: dynamic pruning probe reaches the partitioned scan") {
+    val df = graft.query.Relational2.joinDppPruned(spark, sf)
+    val p = plan(df)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningExpression in the fact scan:\n$p")
+    // and the result is correct at the fixture scale
+    assert(df.collect().map(_.getString(0)).toSet == Set("click", "view"))
+  }
+
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      import org.apache.spark.sql.functions.{col, when}
+      // 90% of the left lands on key 0 — one shuffle partition dwarfs
+      // the rest, exactly the runtime skew AQE's OptimizeSkewedJoin
+      // must split (the static-salting alternative is join_salted_skew)
+      val left = spark.range(0, 200000).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id") % 1000).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 2).as("rv"))
+      val j = left.join(right, "k")
+      // execute THIS dataframe — count() builds its own query execution
+      // and the adaptive plan only finalizes on the executed one
+      assert(j.collect().length == 200000)
+      val ep = j.queryExecution.executedPlan.toString
+      assert(ep.contains("skew=true"),
+        s"OptimizeSkewedJoin did not split the hot partition:\n$ep")
+    } finally keep.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k) }
+    }
+  }
 }
