@@ -463,6 +463,8 @@ object SparkEntry {
     "dedup_prefix_groups"    ->
       ((s: SparkSession, d: String) => Analytics4.dedupPrefixGroups(s, d)),
     "join_dpp_pruned"        -> Relational2.joinDppPruned _,
+    "eval_silhouette_centroid" -> Analytics4.evalSilhouetteCentroid _,
+    "emb_dim_stats"          -> Analytics4.embDimStats _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3633,6 +3635,46 @@ object SparkEntry {
         |  CAST(sum(value) AS REAL) AS sum_value
         |FROM events WHERE event_type IN ('click', 'view')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "eval_silhouette_centroid" ->
+      """WITH x AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x
+        |  FROM embeddings
+        |), cs AS (
+        |  SELECT label, j, sum(x[j]) AS s, CAST(count(*) AS DOUBLE) AS cn
+        |  FROM x, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) t
+        |  GROUP BY label, j
+        |), cent AS (
+        |  SELECT label AS clabel, list(s / cn ORDER BY j) AS c FROM cs
+        |  GROUP BY label
+        |), d AS (
+        |  SELECT x.vec_id, x.label, cent.clabel,
+        |    sqrt(greatest(
+        |      list_dot_product(x.x, x.x)
+        |        - 2.0 * list_dot_product(x.x, cent.c)
+        |        + list_dot_product(cent.c, cent.c), 0.0)) AS dist
+        |  FROM x CROSS JOIN cent
+        |), ab AS (
+        |  SELECT vec_id, label,
+        |    min(CASE WHEN label = clabel THEN dist END) AS a,
+        |    min(CASE WHEN label <> clabel THEN dist END) AS b
+        |  FROM d GROUP BY vec_id, label
+        |)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(avg((b - a) / greatest(a, b)) AS REAL) AS mean_silhouette
+        |FROM ab GROUP BY label ORDER BY label""".stripMargin,
+    "emb_dim_stats" ->
+      """WITH e AS (
+        |  SELECT j AS dim, CAST(embedding[j] AS DOUBLE) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, 64)) AS j) t
+        |)
+        |SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) / CAST(count(*) AS DOUBLE) AS REAL) AS mean,
+        |  CAST(sum(v * v) / CAST(count(*) AS DOUBLE)
+        |    - (sum(v) / CAST(count(*) AS DOUBLE))
+        |      * (sum(v) / CAST(count(*) AS DOUBLE)) AS REAL) AS variance,
+        |  CAST(min(v) AS REAL) AS vmin, CAST(max(v) AS REAL) AS vmax
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
     "agg_gini_cents" ->
       """WITH pp AS (
         |  SELECT l_partkey,

@@ -636,6 +636,73 @@ object Analytics4 {
       .orderBy(col("weight").desc, col("u"), col("v"))
       .limit(k)
 
+  // ---- clustering quality ------------------------------------------------
+
+  /** Simplified (centroid) silhouette per label: s = (b−a)/max(a,b)
+    * with a = distance to the own-label centroid and b = distance to
+    * the nearest other centroid — the O(n·k) clustering-quality score
+    * that replaces the O(n²) full silhouette at scale (medoid variant
+    * of Rousseeuw). Positive mean ⇒ labels are geometrically separable
+    * in embedding space; ≈0 ⇒ labels are noise w.r.t. the geometry.
+    *
+    * Scale shape: centroids are ONE 64-sum map-side-combined aggregate
+    * per label (10 rows, broadcast); each corpus vector computes k
+    * distances in-row (fold dot products); two tiny rollups. Corpus
+    * vectors never shuffle. */
+  def evalSilhouetteCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), f => f.cast("double")).as("x"))
+    val sums = (0 until dim).map(j =>
+      sum(element_at(col("x"), j + 1)).as(s"s$j"))
+    val cents = emb.groupBy(col("label"))
+      .agg(count(lit(1)).cast("double").as("cn"), sums: _*)
+      .select(col("label").as("clabel"),
+        transform(array((0 until dim).map(j => col(s"s$j")): _*),
+          e => e / col("cn")).as("c"))
+    def dot(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
+    val d2 = dot(col("x"), col("x")) - lit(2.0) * dot(col("x"), col("c")) +
+      dot(col("c"), col("c"))
+    val dists = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        sqrt(greatest(d2, lit(0.0))).as("dist"))
+    val ab = dists.groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("label") === col("clabel"), col("dist"))).as("a"),
+        min(when(col("label") =!= col("clabel"), col("dist"))).as("b"))
+    ab.select(col("label"),
+        ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("s"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"),
+        avg(col("s")).cast("float").as("mean_silhouette"))
+      .orderBy(col("label"))
+  }
+
+  /** Per-dimension embedding statistics (mean, population variance,
+    * extrema) — the anisotropy/energy-spectrum diagnostic read beside
+    * [[embPowerIteration]]: a few dominant-variance dims mean the
+    * corpus embeddings are effectively low-rank. One explode + one
+    * map-side-combined aggregate on the 64-value dim key. */
+  def embDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("j0", "xf")))
+      .select((col("j0") + 1).as("dim"), col("xf").cast("double").as("v"))
+    e.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .select(col("dim"), col("n"),
+        (col("s") / col("n").cast("double")).cast("float").as("mean"),
+        (col("ss") / col("n").cast("double")
+          - (col("s") / col("n").cast("double"))
+            * (col("s") / col("n").cast("double")))
+          .cast("float").as("variance"),
+        col("vmin").cast("float").as("vmin"),
+        col("vmax").cast("float").as("vmax"))
+      .orderBy(col("dim"))
+  }
+
   // ---- inequality --------------------------------------------------------
 
   /** Gini coefficient of revenue over parts, on exact cent integers:

@@ -249,5 +249,9 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(gn.length == 1 && gn.head.getLong(0) == 0L)
     assert(Analytics4.dedupPrefixGroups(spark, emptyStarDir)
       .collect().isEmpty)
+    // batch 7
+    assert(Analytics4.evalSilhouetteCentroid(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics4.embDimStats(spark, emptyStarDir).collect().isEmpty)
   }
 }

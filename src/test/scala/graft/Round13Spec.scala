@@ -577,6 +577,53 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("eval_silhouette_centroid matches the driver-side recomputation") {
+    val vecs = Schemas.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val cents = byLabel.view.mapValues { g =>
+      val n = g.length.toDouble
+      (0 until 64).map(j => g.map(_._3(j)).sum / n).toArray
+    }.toMap
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(math.max(0.0,
+        a.zip(b).map { case (p, q) => (p - q) * (p - q) }.sum))
+    val perLabel = byLabel.view.mapValues { g =>
+      val ss = g.map { case (_, l, x) =>
+        val a = dist(x, cents(l))
+        val b = cents.filter(_._1 != l).values.map(dist(x, _)).min
+        (b - a) / math.max(a, b)
+      }
+      (g.length.toLong, ss.sum / ss.length)
+    }.toMap
+    val got = Analytics4.evalSilhouetteCentroid(spark, sf).collect()
+    assert(got.length == byLabel.size)
+    got.foreach { r =>
+      val (n, s) = perLabel(r.getInt(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getFloat(2) - s) < 1e-4,
+        s"label ${r.getInt(0)}: ${r.getFloat(2)} vs $s")
+    }
+  }
+
+  test("emb_dim_stats: 64 dims, variance nonnegative, mean re-derives") {
+    val vecs = Schemas.table(spark, sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val got = Analytics4.embDimStats(spark, sf).collect()
+    assert(got.length == 64)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == i + 1)
+      assert(r.getLong(1) == vecs.length)
+      val mean = vecs.map(_(i)).sum / vecs.length
+      assert(math.abs(r.getFloat(2) - mean) < 1e-5)
+      assert(r.getFloat(3) >= -1e-6f)
+      assert(r.getFloat(4) <= r.getFloat(5))
+    }
+  }
+
   test("quality_ablation_report: rollup totals are consistent") {
     val total = Schemas.table(spark, sf, "documents").count()
     val got = TextAnalysis.qualityAblationReport(spark, sf).collect()
