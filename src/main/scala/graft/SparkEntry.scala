@@ -465,6 +465,10 @@ object SparkEntry {
     "join_dpp_pruned"        -> Relational2.joinDppPruned _,
     "eval_silhouette_centroid" -> Analytics4.evalSilhouetteCentroid _,
     "emb_dim_stats"          -> Analytics4.embDimStats _,
+    "ts_holt_backtest"       -> Analytics4.tsHoltBacktest _,
+    "privacy_l_diversity"    ->
+      ((s: SparkSession, d: String) => Warehouse2.privacyLDiversity(s, d)),
+    "dq_freshness_lag"       -> Warehouse2.dqFreshnessLag _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3675,6 +3679,48 @@ object SparkEntry {
         |      * (sum(v) / CAST(count(*) AS DOUBLE)) AS REAL) AS variance,
         |  CAST(min(v) AS REAL) AS vmin, CAST(max(v) AS REAL) AS vmax
         |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
+    // same recursive-CTE replay as ts_holt_forecast, with the error
+    // accumulators carried beside the Holt state
+    "ts_holt_backtest" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id
+        |), f AS (
+        |  SELECT user_id, vals FROM o WHERE len(vals) >= 2
+        |), r AS (
+        |  SELECT user_id, vals, 1 AS i, CAST(vals[1] AS DOUBLE) AS l,
+        |    CAST(0.0 AS DOUBLE) AS b, CAST(vals[1] AS DOUBLE) AS prev,
+        |    CAST(0.0 AS DOUBLE) AS errsum, CAST(0.0 AS DOUBLE) AS naivesum
+        |  FROM f
+        |  UNION ALL
+        |  SELECT user_id, vals, i + 1,
+        |    0.5 * vals[i + 1] + 0.5 * (l + b),
+        |    0.3 * ((0.5 * vals[i + 1] + 0.5 * (l + b)) - l) + 0.7 * b,
+        |    vals[i + 1],
+        |    errsum + abs(vals[i + 1] - (l + b)),
+        |    naivesum + abs(vals[i + 1] - prev)
+        |  FROM r WHERE i < len(vals)
+        |)
+        |SELECT user_id, CAST(len(vals) - 1 AS BIGINT) AS n_forecasts,
+        |  CAST(errsum / CAST(len(vals) - 1 AS DOUBLE) AS REAL)
+        |    AS mae_holt,
+        |  CAST(naivesum / CAST(len(vals) - 1 AS DOUBLE) AS REAL)
+        |    AS mae_naive
+        |FROM r WHERE i = len(vals) ORDER BY user_id""".stripMargin,
+    "privacy_l_diversity" ->
+      """SELECT c_nationkey AS nation,
+        |  CAST(year(o_orderdate) AS INT) AS order_year,
+        |  count(*) AS class_size,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_sensitive,
+        |  count(DISTINCT o_orderpriority) < 3 AS below_l
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY nation, order_year""".stripMargin,
+    "dq_freshness_lag" ->
+      """WITH g AS (SELECT max(ts) AS gmax FROM events)
+        |SELECT event_type, count(*) AS n_events, max(ts) AS newest,
+        |  CAST((epoch_us((SELECT gmax FROM g)) - epoch_us(max(ts)))
+        |    // 60000000 AS BIGINT) AS lag_minutes
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_gini_cents" ->
       """WITH pp AS (
         |  SELECT l_partkey,

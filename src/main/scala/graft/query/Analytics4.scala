@@ -316,6 +316,55 @@ object Analytics4 {
       .orderBy(col("user_id"))
   }
 
+  /** Rolling-origin backtest of the Holt forecaster: at every step t the
+    * model fitted on values 1..t forecasts value t+1, and the absolute
+    * errors accumulate — the honest out-of-sample evaluation a
+    * forecasting pipeline reports (in-sample fit always flatters).
+    * Emits per-user n_forecasts, MAE, and the naive-baseline MAE
+    * (forecast = last value) whose ratio is the skill score.
+    *
+    * The error accumulators ride INSIDE the same sequential fold as the
+    * Holt state ((l, b, errSum, naiveSum) struct), so the whole
+    * backtest is one pass — the oracle replays it as one recursive CTE
+    * carrying the same four columns. */
+  def tsHoltBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val a = 0.5; val oma = 0.5; val g = 0.3; val omg = 0.7
+    val per = graft.schema.Schemas.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("value")).as("s"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"))
+      .select(col("user_id"),
+        transform(col("arr"), s => s.getField("value")).as("vals"))
+      .filter(size(col("vals")) >= 2)
+    val st = aggregate(
+      slice(col("vals"), lit(2), size(col("vals")) - 1),
+      struct(element_at(col("vals"), 1).as("l"), lit(0.0).as("b"),
+        element_at(col("vals"), 1).as("prev"),
+        lit(0.0).as("errsum"), lit(0.0).as("naivesum")),
+      (acc, x) => {
+        val fc = acc.getField("l") + acc.getField("b")
+        val nl = lit(a) * x + lit(oma) * fc
+        struct(nl.as("l"),
+          (lit(g) * (nl - acc.getField("l"))
+            + lit(omg) * acc.getField("b")).as("b"),
+          x.as("prev"),
+          (acc.getField("errsum") + abs(x - fc)).as("errsum"),
+          (acc.getField("naivesum") + abs(x - acc.getField("prev")))
+            .as("naivesum"))
+      })
+    per.select(col("user_id"),
+        (size(col("vals")) - 1).cast("long").as("n_forecasts"),
+        (st.getField("errsum")
+          / (size(col("vals")) - 1).cast("double"))
+          .cast("float").as("mae_holt"),
+        (st.getField("naivesum")
+          / (size(col("vals")) - 1).cast("double"))
+          .cast("float").as("mae_naive"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- retrieval quality -------------------------------------------------
 
   /** nDCG@k of dot-product retrieval per query: binary relevance (the

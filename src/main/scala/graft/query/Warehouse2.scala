@@ -370,6 +370,44 @@ object Warehouse2 {
     *
     * Scale shape: fact⨝broadcast-dim, one map-side-combined aggregate
     * on the QI key; output is |QI-domain|-sized. */
+  /** l-diversity audit, the k-anonymity companion: a QI class can be
+    * large yet still leak when every member shares the same SENSITIVE
+    * value. Counts distinct order priorities per (nation, order-year)
+    * class and flags classes below l — read together with
+    * [[privacyKAnonymity]] before a release. */
+  def privacyLDiversity(spark: SparkSession, dir: String,
+      l: Int = 3): DataFrame =
+    table(spark, dir, "orders")
+      .join(broadcast(table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nation"),
+        year(col("o_orderdate")).as("order_year"), col("o_orderpriority"))
+      .groupBy(col("nation"), col("order_year"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("o_orderpriority")).as("n_sensitive"))
+      .select(col("nation"), col("order_year"), col("class_size"),
+        col("n_sensitive"), (col("n_sensitive") < l).as("below_l"))
+      .orderBy(col("nation"), col("order_year"))
+
+  /** Freshness-lag report: each event type's newest timestamp and its
+    * lag behind the corpus's newest event — the ops dashboard row that
+    * catches a stalled upstream topic. Lag is relative to the data's
+    * own maximum (never wall-clock), so the report is deterministic. */
+  def dqFreshnessLag(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.schema.Schemas.events(spark, dir)
+    val perType = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("newest"))
+    val global = e.agg(max(col("ts")).as("gmax"))
+    perType.crossJoin(broadcast(global))
+      .select(col("event_type"), col("n_events"), col("newest"),
+        // `div`, not `/`: Spark's / is fractional even on longs; the
+        // oracle's // is integer floor division
+        expr("(unix_micros(gmax) - unix_micros(newest)) div 60000000")
+          .as("lag_minutes"))
+      .orderBy(col("event_type"))
+  }
+
   def privacyKAnonymity(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame =
     table(spark, dir, "orders")

@@ -253,5 +253,11 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Analytics4.evalSilhouetteCentroid(spark, emptyStarDir)
       .collect().isEmpty)
     assert(Analytics4.embDimStats(spark, emptyStarDir).collect().isEmpty)
+    // batch 8
+    assert(Analytics4.tsHoltBacktest(spark, emptyStarDir).collect().isEmpty)
+    assert(Warehouse2.privacyLDiversity(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Warehouse2.dqFreshnessLag(spark, emptyStarDir)
+      .collect().isEmpty)
   }
 }

@@ -624,6 +624,53 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("ts_holt_backtest replays the rolling-origin fold; naive is honest") {
+    val evs = Schemas.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = Analytics4.tsHoltBacktest(spark, sf).collect()
+    val byUser = evs.groupBy(_._1)
+    got.foreach { r =>
+      val vals = byUser(r.getLong(0)).sortBy(e => (e._2, e._3)).map(_._4)
+      var l = vals.head; var b = 0.0; var prev = vals.head
+      var errs = 0.0; var naive = 0.0
+      vals.tail.foreach { x =>
+        val fc = l + b
+        errs += math.abs(x - fc); naive += math.abs(x - prev)
+        val nl = 0.5 * x + 0.5 * fc
+        b = 0.3 * (nl - l) + 0.7 * b; l = nl; prev = x
+      }
+      val n = (vals.length - 1).toDouble
+      assert(r.getLong(1) == vals.length - 1)
+      assert(math.abs(r.getFloat(2) - errs / n) < 1e-4 * (errs / n + 1))
+      assert(math.abs(r.getFloat(3) - naive / n) < 1e-4 * (naive / n + 1))
+    }
+  }
+
+  test("privacy_l_diversity: sensitive diversity bounded by class size") {
+    val got = Warehouse2.privacyLDiversity(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(2))
+      assert(r.getBoolean(4) == (r.getLong(3) < 3))
+      // the orders table has 5 priorities — diversity can't exceed that
+      assert(r.getLong(3) <= 5)
+    }
+  }
+
+  test("dq_freshness_lag: one type has zero lag, all lags nonnegative") {
+    val got = Warehouse2.dqFreshnessLag(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.exists(_.getLong(3) == 0L),
+      "the globally newest type must show zero lag")
+    got.foreach(r => assert(r.getLong(3) >= 0L))
+    assert(got.map(_.getLong(1)).sum ==
+      Schemas.events(spark, sf).count())
+  }
+
   test("quality_ablation_report: rollup totals are consistent") {
     val total = Schemas.table(spark, sf, "documents").count()
     val got = TextAnalysis.qualityAblationReport(spark, sf).collect()
