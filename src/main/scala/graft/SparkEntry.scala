@@ -469,6 +469,8 @@ object SparkEntry {
     "privacy_l_diversity"    ->
       ((s: SparkSession, d: String) => Warehouse2.privacyLDiversity(s, d)),
     "dq_freshness_lag"       -> Warehouse2.dqFreshnessLag _,
+    "agg_entropy_by_key"     -> Analytics4.aggEntropyByKey _,
+    "text_js_divergence"     -> Analytics4.textJsDivergence _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3721,6 +3723,53 @@ object SparkEntry {
         |  CAST((epoch_us((SELECT gmax FROM g)) - epoch_us(max(ts)))
         |    // 60000000 AS BIGINT) AS lag_minutes
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_entropy_by_key" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, CAST(sum(n) AS BIGINT) AS ntot,
+        |    CAST(count(*) AS BIGINT) AS n_types
+        |  FROM c GROUP BY user_id
+        |)
+        |SELECT c.user_id, t.n_types,
+        |  CAST(sum(-((CAST(c.n AS DOUBLE) / CAST(t.ntot AS DOUBLE))
+        |    * ln(CAST(c.n AS DOUBLE) / CAST(t.ntot AS DOUBLE)))) AS REAL)
+        |    AS entropy_nats
+        |FROM c JOIN t USING (user_id)
+        |GROUP BY c.user_id, t.n_types ORDER BY user_id""".stripMargin,
+    "text_js_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), bysrc AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2
+        |), st AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS ct FROM bysrc
+        |  GROUP BY source
+        |), corpus AS (
+        |  SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM bysrc GROUP BY tok
+        |), gt AS (
+        |  SELECT CAST(sum(g) AS BIGINT) AS gt FROM corpus
+        |), j AS (
+        |  SELECT b.source,
+        |    CAST(b.c AS DOUBLE) / CAST(st.ct AS DOUBLE) AS p,
+        |    CAST(co.g AS DOUBLE) / CAST(gt.gt AS DOUBLE) AS q
+        |  FROM bysrc b JOIN st USING (source) JOIN corpus co USING (tok)
+        |  CROSS JOIN gt
+        |), s AS (
+        |  SELECT source,
+        |    sum(0.5 * p * ln(2.0 * p / (p + q))) AS pterm,
+        |    sum(0.5 * q * ln(2.0 * q / (p + q))) AS qterm,
+        |    sum(q) AS qcov
+        |  FROM j GROUP BY source
+        |)
+        |SELECT source,
+        |  CAST(pterm + qterm + 0.5 * (1.0 - qcov) * ln(2.0) AS REAL)
+        |    AS js_divergence
+        |FROM s ORDER BY source""".stripMargin,
     "agg_gini_cents" ->
       """WITH pp AS (
         |  SELECT l_partkey,

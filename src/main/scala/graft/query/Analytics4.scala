@@ -468,6 +468,80 @@ object Analytics4 {
       .orderBy(col("dim"))
   }
 
+  // ---- behavioral entropy ------------------------------------------------
+
+  /** Shannon entropy of each user's event-type distribution — the
+    * behavioral-diversity score (bots and stuck clients collapse to
+    * near-zero entropy; engaged users spread across types). One
+    * aggregation to (user, type) counts, one rollup with the Σ −p·ln p
+    * fold; both shuffles share the user_id prefix.
+    *
+    * At 100 TB the same two-level shape holds: the (user, type) grain
+    * is the only wide state and it map-side combines. */
+  def aggEntropyByKey(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.schema.Schemas.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("user_id"))
+      .agg(sum(col("n")).as("ntot"), count(lit(1)).as("n_types"))
+    c.join(tot, Seq("user_id"))
+      .select(col("user_id"), col("n_types"),
+        (col("n").cast("double") / col("ntot").cast("double")).as("p"))
+      .groupBy(col("user_id"))
+      .agg(first(col("n_types")).as("n_types"),
+        sum(negate(col("p") * log(col("p")))).cast("float")
+          .as("entropy_nats"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---- divergence --------------------------------------------------------
+
+  /** Jensen-Shannon divergence between each source's token distribution
+    * and the corpus-wide distribution — the bounded, symmetric "which
+    * source drifted" monitor for text (KL explodes on unseen tokens;
+    * JS never does). Distributions share the persisted token index;
+    * output is one row per source, ordered.
+    *
+    * Scale shape: per-source and corpus token totals are map-side
+    * combined over the index; the JS fold joins them ON TOKEN (uniform
+    * key) and rolls up per source. */
+  def textJsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val tf = TextAnalysis.tokenTf(spark, dir)
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val bySrc = tf.join(docs, Seq("doc_id"))
+      .groupBy(col("source"), col("tok"))
+      .agg(sum(col("tf")).as("c"))
+    val srcTot = bySrc.groupBy(col("source")).agg(sum(col("c")).as("ct"))
+    val corpus = bySrc.groupBy(col("tok")).agg(sum(col("c")).as("g"))
+    val gTot = corpus.agg(sum(col("g")).as("gt"))
+    val joined = bySrc
+      .join(srcTot, Seq("source"))
+      .join(corpus, Seq("tok"))
+      .crossJoin(broadcast(gTot))
+      .select(col("source"),
+        (col("c").cast("double") / col("ct").cast("double")).as("p"),
+        (col("g").cast("double") / col("gt").cast("double")).as("q"))
+    // JS(p||q) = H(m) − (H(p)+H(q))/2 over the tokens present in p;
+    // absent-in-p tokens contribute only to the q half, folded via the
+    // per-source coverage term: compute with the pointwise form
+    // 0.5·Σ p·ln(2p/(p+q)) + 0.5·Σ q·ln(2q/(p+q)) restricted to the
+    // source's support plus the q-mass outside it (ln 2 weighted).
+    val inSupport = joined.groupBy(col("source"))
+      .agg(
+        sum(lit(0.5) * col("p")
+          * log(lit(2.0) * col("p") / (col("p") + col("q")))).as("pterm"),
+        sum(lit(0.5) * col("q")
+          * log(lit(2.0) * col("q") / (col("p") + col("q")))).as("qterm"),
+        sum(col("q")).as("qcov"))
+    inSupport
+      .select(col("source"),
+        (col("pterm") + col("qterm")
+          + lit(0.5) * (lit(1.0) - col("qcov")) * log(lit(2.0)))
+          .cast("float").as("js_divergence"))
+      .orderBy(col("source"))
+  }
+
   // ---- rolling regression ------------------------------------------------
 
   /** Rolling OLS slope of value vs time (value-units per hour) over each

@@ -259,5 +259,10 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().isEmpty)
     assert(Warehouse2.dqFreshnessLag(spark, emptyStarDir)
       .collect().isEmpty)
+    // batch 9
+    assert(Analytics4.aggEntropyByKey(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics4.textJsDivergence(spark, emptyStarDir)
+      .collect().isEmpty)
   }
 }

@@ -671,6 +671,54 @@ class Round13Spec extends SparkSpec {
       Schemas.events(spark, sf).count())
   }
 
+  test("agg_entropy_by_key: bounds and brute-force agreement") {
+    val evs = Schemas.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = Analytics4.aggEntropyByKey(spark, sf).collect()
+    val byUser = evs.groupBy(_._1)
+    assert(got.length == byUser.size)
+    got.foreach { r =>
+      val g = byUser(r.getLong(0)).groupBy(_._2).values.map(_.size).toSeq
+      val n = g.sum.toDouble
+      val h = g.map { c => val p = c / n; -p * math.log(p) }.sum
+      assert(r.getLong(1) == g.length)
+      assert(math.abs(r.getFloat(2) - h) < 1e-5)
+      // entropy bounded by ln(k)
+      assert(r.getFloat(2) >= -1e-6f &&
+        r.getFloat(2) <= math.log(g.length.toDouble) + 1e-6)
+    }
+  }
+
+  test("text_js_divergence: bounded by ln 2, brute-force agreement") {
+    val rows = Schemas.table(spark, sf, "documents")
+      .select(col("source"),
+        explode(graft.query.Dedup.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrc = rows.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.size.toDouble).toMap)
+      .toMap
+    val corpus = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val gTot = rows.length.toDouble
+    val got = Analytics4.textJsDivergence(spark, sf).collect()
+    assert(got.length == bySrc.size)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val cs = bySrc(src); val ct = cs.values.sum
+      var js = 0.0; var qcov = 0.0
+      cs.foreach { case (tok, c) =>
+        val p = c / ct; val q = corpus(tok) / gTot
+        js += 0.5 * p * math.log(2 * p / (p + q))
+        js += 0.5 * q * math.log(2 * q / (p + q))
+        qcov += q
+      }
+      js += 0.5 * (1.0 - qcov) * math.log(2.0)
+      assert(math.abs(r.getFloat(1) - js) < 1e-5, s"$src")
+      assert(r.getFloat(1) >= -1e-6f &&
+        r.getFloat(1) <= math.log(2.0) + 1e-6)
+    }
+  }
+
   test("quality_ablation_report: rollup totals are consistent") {
     val total = Schemas.table(spark, sf, "documents").count()
     val got = TextAnalysis.qualityAblationReport(spark, sf).collect()
