@@ -471,6 +471,7 @@ object SparkEntry {
     "dq_freshness_lag"       -> Warehouse2.dqFreshnessLag _,
     "agg_entropy_by_key"     -> Analytics4.aggEntropyByKey _,
     "text_js_divergence"     -> Analytics4.textJsDivergence _,
+    "stream_stream_left_join" -> StreamQueries.streamStreamLeftJoin _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3723,6 +3724,41 @@ object SparkEntry {
         |  CAST((epoch_us((SELECT gmax FROM g)) - epoch_us(max(ts)))
         |    // 60000000 AS BIGINT) AS lag_minutes
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // LEFT OUTER stream-stream join: the inner matches plus one
+    // (click, NULL) row per click the FINAL watermark proved
+    // unmatchable. Watermark = min of the two streams' (ms-floored)
+    // max event times − 1h (multiple-watermark min policy); a click's
+    // null emits when its 10-minute window closes strictly before it
+    "stream_stream_left_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT date_trunc('milliseconds',
+        |    least(max(CASE WHEN event_type = 'click' THEN ts END),
+        |      max(CASE WHEN event_type = 'purchase' THEN ts END)))
+        |    - INTERVAL 1 HOUR AS wm
+        |  FROM events
+        |), m AS (
+        |  SELECT c.click_id, p.purchase_id, c.user_id
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND p.purchase_ts >= c.click_ts
+        |    AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+        |), u AS (
+        |  SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+        |    c.user_id
+        |  FROM c, w
+        |  WHERE NOT EXISTS (SELECT 1 FROM p
+        |    WHERE p.user_id = c.user_id
+        |      AND p.purchase_ts >= c.click_ts
+        |      AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE)
+        |    AND c.click_ts + INTERVAL 10 MINUTE < w.wm
+        |)
+        |SELECT * FROM m UNION ALL SELECT * FROM u
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "agg_entropy_by_key" ->
       """WITH c AS (
         |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n

@@ -313,6 +313,36 @@ object StreamQueries {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** LEFT OUTER stream-stream join: every click, with its purchases
+    * inside the 10-minute attribution window — and, unlike the inner
+    * form, a (click, NULL) row once the watermark PROVES no purchase
+    * can still arrive. The null-emission side of interval joins is the
+    * semantics production attribution actually needs (an unmatched
+    * click is a result, not an absence), and it only exists in
+    * streaming because the watermark bounds how long the operator must
+    * wait. State: both sides watermarked 1 h; the interval condition
+    * lets the state store evict rows the watermark has passed. */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = streamEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = streamEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user_id
+             |AND purchase_ts >= click_ts
+             |AND purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin),
+      "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+    drain(spark, joined, OutputMode.Append())
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   // public: Catalyst's generated (de)serializers must access these
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class Session(user_id: Long, n_sessions: Int)

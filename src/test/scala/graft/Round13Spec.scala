@@ -719,6 +719,44 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("stream_stream_left_join: inner matches + watermark-proven nulls only") {
+    val evs = Schemas.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicks = evs.filter(_._4 == "click")
+    val purchases = evs.filter(_._4 == "purchase")
+    val tenMinUs = 600000000L
+    def inWindow(c: (Long, Long, Long, String)) = purchases.filter(p =>
+      p._2 == c._2 && p._3 >= c._3 && p._3 <= c._3 + tenMinUs)
+    // final watermark: min of the two streams' ms-floored maxima − 1h
+    val wm = math.min(clicks.map(_._3).max / 1000 * 1000,
+      purchases.map(_._3).max / 1000 * 1000) - 3600000000L
+    val got = graft.streaming.StreamQueries.streamStreamLeftJoin(spark, sf)
+      .collect()
+    val (matched, nulls) = got.partition(r => !r.isNullAt(1))
+    // matched = the batch inner join, exactly
+    val wantPairs = clicks.flatMap(c =>
+      inWindow(c).map(p => (c._1, p._1))).toSet
+    assert(matched.map(r => (r.getLong(0), r.getLong(1))).toSet == wantPairs)
+    // nulls: no in-window purchase AND the window closed before the
+    // final watermark; and never beside a matched row for the same click
+    val matchedIds = matched.map(_.getLong(0)).toSet
+    nulls.foreach { r =>
+      val c = clicks.find(_._1 == r.getLong(0)).get
+      assert(inWindow(c).isEmpty)
+      assert(c._3 + tenMinUs < wm,
+        s"click ${c._1} nulled before its window closed")
+      assert(!matchedIds.contains(c._1))
+    }
+    // completeness: every provably-unmatchable click IS nulled
+    val wantNulls = clicks.filter(c =>
+      inWindow(c).isEmpty && c._3 + tenMinUs < wm).map(_._1).toSet
+    assert(nulls.map(_.getLong(0)).toSet == wantNulls)
+  }
+
   test("quality_ablation_report: rollup totals are consistent") {
     val total = Schemas.table(spark, sf, "documents").count()
     val got = TextAnalysis.qualityAblationReport(spark, sf).collect()
