@@ -472,6 +472,7 @@ object SparkEntry {
     "agg_entropy_by_key"     -> Analytics4.aggEntropyByKey _,
     "text_js_divergence"     -> Analytics4.textJsDivergence _,
     "stream_stream_left_join" -> StreamQueries.streamStreamLeftJoin _,
+    "stream_two_level_agg"   -> StreamQueries.streamTwoLevelAgg _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3759,6 +3760,20 @@ object SparkEntry {
         |)
         |SELECT * FROM m UNION ALL SELECT * FROM u
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // chained stateful aggs: only hours the FINAL watermark finalized
+    // flow through level 2 and emit
+    "stream_two_level_agg" ->
+      """WITH w AS (
+        |  SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events
+        |), l1 AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT h AS window_start, CAST(count(*) AS BIGINT) AS n_types,
+        |  max(n) AS max_n, CAST(sum(n) AS BIGINT) AS n_total
+        |FROM l1, w WHERE h + INTERVAL 1 HOUR < wm
+        |GROUP BY h ORDER BY window_start""".stripMargin,
     "agg_entropy_by_key" ->
       """WITH c AS (
         |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n

@@ -343,6 +343,29 @@ object StreamQueries {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** CHAINED stateful aggregations (Spark ≥3.4 multiple-stateful-
+    * operator support): hourly per-type counts re-aggregated into a
+    * per-hour profile (distinct types, hottest type's count, total) in
+    * ONE streaming query — level 1 emits a window downstream only when
+    * the watermark finalizes it, and level 2 re-windows on
+    * `window_time` (the first window's event time) under the same
+    * watermark. The two-level rollup every metrics pipeline wants
+    * without a second job or an intermediate topic. */
+  def streamTwoLevelAgg(spark: SparkSession, dir: String): DataFrame = {
+    val lvl1 = streamEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val lvl2 = lvl1
+      .groupBy(window(window_time(col("w")), "1 hour").as("w2"))
+      .agg(count(lit(1)).as("n_types"), max(col("n")).as("max_n"),
+        sum(col("n")).as("n_total"))
+    drain(spark, lvl2, OutputMode.Append())
+      .select(col("w2.start").as("window_start"), col("n_types"),
+        col("max_n"), col("n_total"))
+      .orderBy(col("window_start"))
+  }
+
   // public: Catalyst's generated (de)serializers must access these
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class Session(user_id: Long, n_sessions: Int)

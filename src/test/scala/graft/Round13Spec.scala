@@ -757,6 +757,28 @@ class Round13Spec extends SparkSpec {
     assert(nulls.map(_.getLong(0)).toSet == wantNulls)
   }
 
+  test("stream_two_level_agg equals the batch rollup on finalized hours") {
+    val evs = Schemas.events(spark, sf)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val wm = evs.map(_._3).max - 3600000000L
+    val finalized = evs.groupBy(_._1)
+      .filter { case (h, _) => (h + 1) * 3600000000L < wm }
+    val got = graft.streaming.StreamQueries.streamTwoLevelAgg(spark, sf)
+      .collect()
+    assert(got.length == finalized.size)
+    got.foreach { r =>
+      val inst = r.getTimestamp(0).toInstant
+      val h = (inst.getEpochSecond * 1000000L + inst.getNano / 1000L) /
+        3600000000L
+      val byType = finalized(h).groupBy(_._2).values.map(_.size.toLong)
+      assert(r.getLong(1) == byType.size)
+      assert(r.getLong(2) == byType.max)
+      assert(r.getLong(3) == byType.sum)
+    }
+  }
+
   test("quality_ablation_report: rollup totals are consistent") {
     val total = Schemas.table(spark, sf, "documents").count()
     val got = TextAnalysis.qualityAblationReport(spark, sf).collect()
