@@ -473,6 +473,7 @@ object SparkEntry {
     "text_js_divergence"     -> Analytics4.textJsDivergence _,
     "stream_stream_left_join" -> StreamQueries.streamStreamLeftJoin _,
     "stream_two_level_agg"   -> StreamQueries.streamTwoLevelAgg _,
+    "agg_bitmap_distinct"    -> Analytics4.aggBitmapDistinct _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3774,6 +3775,13 @@ object SparkEntry {
         |  max(n) AS max_n, CAST(sum(n) AS BIGINT) AS n_total
         |FROM l1, w WHERE h + INTERVAL 1 HOUR < wm
         |GROUP BY h ORDER BY window_start""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT n_regionkey,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers_exact,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers_bitmap,
+        |  TRUE AS bitmap_is_exact
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "agg_entropy_by_key" ->
       """WITH c AS (
         |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n

@@ -779,6 +779,27 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("agg_bitmap_distinct: exact on the corpus AND on overlapping keys") {
+    val got = Analytics4.aggBitmapDistinct(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getBoolean(3),
+      s"region ${r.getAs[Number](0)}: bitmap ${r.getAs[Number](2)}" +
+        s" != exact ${r.getAs[Number](1)}"))
+    // the corpus has globally-unique keys, which never stresses the
+    // OR-merge dedup — drive it with keys REPEATED across subgroups
+    import spark.implicits._
+    val df = Seq.tabulate(5000)(i => (i % 7, (i % 613).toLong))
+      .toDF("g", "k")
+    val l1 = df.groupBy(col("g"),
+        expr("bitmap_bucket_number(k)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(k))").as("bm"))
+    val merged = l1.groupBy(col("bkt"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")))
+      .collect()(0).getLong(0)
+    assert(merged == df.select(col("k")).distinct().count())
+  }
+
   test("quality_ablation_report: rollup totals are consistent") {
     val total = Schemas.table(spark, sf, "documents").count()
     val got = TextAnalysis.qualityAblationReport(spark, sf).collect()
