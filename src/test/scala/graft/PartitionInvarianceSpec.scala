@@ -96,7 +96,20 @@ class PartitionInvarianceSpec extends SparkSpec {
     "agg_gini_cents rank products" ->
       (() => graft.query.Analytics4.aggGiniCents(spark, sf)),
     "graph_local_clustering wedge closure" ->
-      (() => graft.query.Analytics4.graphLocalClustering(spark, sf)))
+      (() => graft.query.Analytics4.graphLocalClustering(spark, sf)),
+    // round-13 closing batches: REAL-cast divergence sums, CUBE expand,
+    // md5-keyed prefix groups, bitmap OR-merge, and the outer stream-
+    // stream join's watermark-gated null emission
+    "text_js_divergence bounded fold" ->
+      (() => graft.query.Analytics4.textJsDivergence(spark, sf)),
+    "quality_ablation_report cube expand" ->
+      (() => graft.query.TextAnalysis.qualityAblationReport(spark, sf)),
+    "dedup_prefix_groups hashed grouping" ->
+      (() => graft.query.Analytics4.dedupPrefixGroups(spark, sf)),
+    "agg_bitmap_distinct OR-merge" ->
+      (() => graft.query.Analytics4.aggBitmapDistinct(spark, sf)),
+    "stream_stream_left_join null emission" ->
+      (() => graft.streaming.StreamQueries.streamStreamLeftJoin(spark, sf)))
 
   private def collectAt(partitions: Int, build: () => DataFrame): Seq[String] = {
     val key = "spark.sql.shuffle.partitions"
