@@ -474,6 +474,8 @@ object SparkEntry {
     "stream_stream_left_join" -> StreamQueries.streamStreamLeftJoin _,
     "stream_two_level_agg"   -> StreamQueries.streamTwoLevelAgg _,
     "agg_bitmap_distinct"    -> Analytics4.aggBitmapDistinct _,
+    "emb_hubness_stats"      ->
+      ((s: SparkSession, d: String) => Analytics4.embHubnessStats(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3775,6 +3777,26 @@ object SparkEntry {
         |  max(n) AS max_n, CAST(sum(n) AS BIGINT) AS n_total
         |FROM l1, w WHERE h + INTERVAL 1 HOUR < wm
         |GROUP BY h ORDER BY window_start""".stripMargin,
+    "emb_hubness_stats" ->
+      """WITH p AS (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.embedding AS DOUBLE[])) AS dot
+        |  FROM embeddings e CROSS JOIN embeddings q
+        |  WHERE e.vec_id <> q.vec_id
+        |), r AS (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot DESC, vec_id) AS r
+        |  FROM p
+        |), indeg AS (
+        |  SELECT vec_id, CAST(count(*) AS BIGINT) AS d FROM r
+        |  WHERE r <= 5 GROUP BY vec_id
+        |)
+        |SELECT coalesce(indeg.d, 0) AS in_degree,
+        |  CAST(count(*) AS BIGINT) AS n_vectors
+        |FROM embeddings e LEFT JOIN indeg USING (vec_id)
+        |GROUP BY 1 ORDER BY in_degree""".stripMargin,
     "agg_bitmap_distinct" ->
       """SELECT n_regionkey,
         |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers_exact,

@@ -826,6 +826,46 @@ object Analytics4 {
       .orderBy(col("dim"))
   }
 
+  // ---- hubness -----------------------------------------------------------
+
+  /** Reverse-kNN hubness statistics: how often each vector appears in
+    * other vectors' dot-product top-k, summarized as an in-degree
+    * histogram — the high-dimensional "hub" pathology diagnostic every
+    * vector index should be checked for (hubs dominate retrieval and
+    * poison downstream kNN classifiers; skewed in-degree = trouble).
+    *
+    * Scale shape: the all-pairs scoring here is the sf-bounded
+    * diagnostic form; at corpus scale the same rollup consumes the ANN
+    * index's candidate lists instead (scores per probed pair), keeping
+    * the histogram exact over retrieved neighborhoods. Ranks are
+    * per-query bounded windows; the in-degree rollup and histogram are
+    * map-side-combined counts. */
+  def embHubnessStats(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.FloatVecDot.register(spark)
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ranked = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("float_dot(embedding, qe)").as("dot"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dot").desc,
+          col("vec_id"))))
+      .filter(col("r") <= k)
+    val indeg = ranked.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    // vectors never retrieved have in-degree 0 — keep them via the left
+    // join so the histogram's mass equals the corpus size
+    emb.select(col("vec_id")).join(indeg, Seq("vec_id"), "left_outer")
+      .select(coalesce(col("in_degree"), lit(0L)).as("d"))
+      .groupBy(col("d").as("in_degree"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("in_degree"))
+  }
+
   // ---- re-aggregatable exact distinct ------------------------------------
 
   /** EXACT distinct counting through mergeable bitmap partials: per

@@ -800,6 +800,19 @@ class Round13Spec extends SparkSpec {
     assert(merged == df.select(col("k")).distinct().count())
   }
 
+  test("emb_hubness_stats: histogram mass and edge count conserve") {
+    val nVec = Schemas.table(spark, sf, "embeddings").count()
+    val got = Analytics4.embHubnessStats(spark, sf).collect()
+    // every vector lands in exactly one in-degree band
+    assert(got.map(_.getLong(1)).sum == nVec)
+    // total reverse-kNN edges = k per query vector
+    assert(got.map(r => r.getLong(0) * r.getLong(1)).sum == 5L * nVec)
+    // the histogram is keyed uniquely and sorted
+    val keys = got.map(_.getLong(0))
+    assert(keys.distinct.length == keys.length)
+    assert(keys.zip(keys.tail).forall { case (a, b) => a < b })
+  }
+
   test("quality_ablation_report: rollup totals are consistent") {
     val total = Schemas.table(spark, sf, "documents").count()
     val got = TextAnalysis.qualityAblationReport(spark, sf).collect()
