@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.ScalarFunctions
-import graft.query.{Analytics, Analytics2, Analytics3, Analytics4, Curation, Curation2, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis, Warehouse, Warehouse2}
+import graft.query.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Curation, Curation2, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis, Warehouse, Warehouse2}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -476,6 +476,23 @@ object SparkEntry {
     "agg_bitmap_distinct"    -> Analytics4.aggBitmapDistinct _,
     "emb_hubness_stats"      ->
       ((s: SparkSession, d: String) => Analytics4.embHubnessStats(s, d)),
+    "sample_weighted"        ->
+      ((s: SparkSession, d: String) => Analytics5.sampleWeighted(s, d)),
+    "agg_weighted_median"    -> Analytics5.aggWeightedMedian _,
+    "ts_interval_union"      ->
+      ((s: SparkSession, d: String) => Analytics5.tsIntervalUnion(s, d)),
+    "drift_psi"              ->
+      ((s: SparkSession, d: String) => Analytics5.driftPsi(s, d)),
+    "dq_join_profile"        -> Analytics5.dqJoinProfile _,
+    "attribution_linear"     ->
+      ((s: SparkSession, d: String) => Analytics5.attributionLinear(s, d)),
+    "graph_kcore"            ->
+      ((s: SparkSession, d: String) => Analytics5.graphKcore(s, d)),
+    "join_edit_distance"     ->
+      ((s: SparkSession, d: String) => Analytics5.joinEditDistance(s, d)),
+    "f_variant_json"         -> Analytics5.fVariantJson _,
+    "dedup_time_window"      ->
+      ((s: SparkSession, d: String) => Analytics5.dedupTimeWindow(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4611,6 +4628,194 @@ object SparkEntry {
         |  AND list_dot_product(CAST(embedding AS DOUBLE[]),
         |    (SELECT CAST(qe AS DOUBLE[]) FROM q)) >= 0.15
         |ORDER BY vec_id""".stripMargin,
+    // Efraimidis–Spirakis keys from the md5-derived uniform: DuckDB
+    // replays the same hash60 bits, so the sample is bit-identical
+    "sample_weighted" ->
+      """WITH k AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    -ln((CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+        |          AS BIGINT) + 1) / 1152921504606846976.0)
+        |      / o_totalprice AS es_key
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_totalprice, CAST(es_key AS REAL) AS es_key
+        |FROM k ORDER BY k.es_key, o_orderkey LIMIT 100""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS rf, l_quantity AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS w_cents,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem
+        |), c AS (
+        |  SELECT rf, q, w_cents,
+        |    sum(w_cents) OVER (PARTITION BY rf
+        |      ORDER BY q, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w_cents) OVER (PARTITION BY rf) AS tot_cents
+        |  FROM li
+        |)
+        |SELECT rf AS l_returnflag, min(q) AS weighted_median,
+        |  CAST(min(tot_cents) AS BIGINT) AS total_cents
+        |FROM c WHERE cum * 2 >= tot_cents
+        |GROUP BY rf ORDER BY rf""".stripMargin,
+    "ts_interval_union" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 300000000 AS en, event_id
+        |  FROM events
+        |), m AS (
+        |  SELECT *, max(en) OVER (PARTITION BY user_id
+        |    ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e
+        |), f AS (
+        |  SELECT *, CASE WHEN prev_end IS NULL OR s > prev_end
+        |    THEN 1 ELSE 0 END AS ni
+        |  FROM m
+        |), g AS (
+        |  SELECT *, sum(ni) OVER (PARTITION BY user_id
+        |    ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f
+        |), isl AS (
+        |  SELECT user_id, island, min(s) AS is_start, max(en) AS is_end
+        |  FROM g GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(is_end - is_start) AS BIGINT) AS covered_micros
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "drift_psi" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS tus, value FROM events
+        |), ext AS (SELECT min(tus) AS lo, max(tus) AS hi FROM e),
+        |b AS (
+        |  SELECT CASE WHEN tus * 2 < lo + hi THEN 'early' ELSE 'late' END
+        |      AS half,
+        |    least(greatest(CAST(floor(value / 10) AS INT), 0), 9) AS bin
+        |  FROM e, ext
+        |), c AS (
+        |  SELECT bin,
+        |    sum(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS n_early,
+        |    sum(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS n_late
+        |  FROM b GROUP BY bin
+        |), t AS (SELECT sum(n_early) AS te, sum(n_late) AS tl FROM c)
+        |SELECT bin, CAST(n_early AS BIGINT) AS n_early,
+        |  CAST(n_late AS BIGINT) AS n_late,
+        |  CAST(((n_early + 1.0) / (te + 10.0) - (n_late + 1.0) / (tl + 10.0))
+        |    * ln(((n_early + 1.0) / (te + 10.0))
+        |        / ((n_late + 1.0) / (tl + 10.0))) AS REAL) AS psi_term
+        |FROM c, t ORDER BY bin""".stripMargin,
+    "dq_join_profile" ->
+      """WITH ck AS (SELECT DISTINCT c_custkey AS pk FROM customer),
+        |pk AS (SELECT DISTINCT p_partkey AS pk FROM part),
+        |r1 AS (
+        |  SELECT 'orders->customer' AS relationship,
+        |    CAST(count(*) AS BIGINT) AS child_rows,
+        |    CAST(count(ck.pk) AS BIGINT) AS matched_rows,
+        |    CAST(count(*) - count(ck.pk) AS BIGINT) AS orphan_rows,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |      AS distinct_child_keys,
+        |    CAST(count(ck.pk) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      AS match_rate
+        |  FROM orders LEFT JOIN ck ON o_custkey = ck.pk
+        |), r2 AS (
+        |  SELECT 'lineitem->part' AS relationship,
+        |    CAST(count(*) AS BIGINT) AS child_rows,
+        |    CAST(count(pk.pk) AS BIGINT) AS matched_rows,
+        |    CAST(count(*) - count(pk.pk) AS BIGINT) AS orphan_rows,
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT)
+        |      AS distinct_child_keys,
+        |    CAST(count(pk.pk) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      AS match_rate
+        |  FROM lineitem LEFT JOIN pk ON l_partkey = pk.pk
+        |)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |ORDER BY relationship""".stripMargin,
+    "attribution_linear" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus, value
+        |  FROM events
+        |), p AS (
+        |  SELECT event_id AS p_id, user_id, tus AS p_tus, value AS p_value
+        |  FROM e WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, event_type AS touch_type, tus AS t_tus
+        |  FROM e WHERE event_type IN ('click', 'view')
+        |), j AS (
+        |  SELECT p.p_id, p.p_value, t.touch_type, t.t_tus
+        |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+        |    AND t.t_tus <= p.p_tus AND p.p_tus - t.t_tus < 3600000000
+        |), n AS (
+        |  SELECT p_id, p_value, touch_type, t_tus,
+        |    count(t_tus) OVER (PARTITION BY p_id) AS n_touch
+        |  FROM j
+        |)
+        |SELECT CASE WHEN t_tus IS NULL THEN 'direct' ELSE touch_type END
+        |    AS credit_type,
+        |  CAST(count(*) AS BIGINT) AS n_credits,
+        |  CAST(sum(CASE WHEN t_tus IS NULL THEN p_value
+        |    ELSE p_value / n_touch END) AS REAL) AS credited_value
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    // three unrolled peel rounds — the Spark side runs the identical
+    // fixed-round fold over the shared co-purchase edge index
+    "graph_kcore" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), edges AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), sym AS (
+        |  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+        |), thr AS (
+        |  SELECT quantile_cont(deg, 0.1) AS k FROM (
+        |    SELECT CAST(count(*) AS DOUBLE) AS deg FROM sym GROUP BY u)
+        |), a1 AS (SELECT u FROM sym GROUP BY u
+        |  HAVING count(*) >= (SELECT k FROM thr)),
+        |e1 AS (SELECT u, v FROM sym
+        |  WHERE u IN (SELECT u FROM a1) AND v IN (SELECT u FROM a1)),
+        |a2 AS (SELECT u FROM e1 GROUP BY u
+        |  HAVING count(*) >= (SELECT k FROM thr)),
+        |e2 AS (SELECT u, v FROM e1
+        |  WHERE u IN (SELECT u FROM a2) AND v IN (SELECT u FROM a2)),
+        |a3 AS (SELECT u FROM e2 GROUP BY u
+        |  HAVING count(*) >= (SELECT k FROM thr)),
+        |e3 AS (SELECT u, v FROM e2
+        |  WHERE u IN (SELECT u FROM a3) AND v IN (SELECT u FROM a3))
+        |SELECT u AS vertex, CAST(count(*) AS BIGINT) AS core_degree
+        |FROM e3 GROUP BY u ORDER BY vertex""".stripMargin,
+    // the oracle is the brute-force all-pairs truth over the DISTINCT
+    // name vocabulary; matching it proves the FastSS deletion-
+    // neighborhood candidate generation is complete
+    "join_edit_distance" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    "f_variant_json" ->
+      """SELECT event_type,
+        |  CAST(count(CAST(props->>'$.k' AS INT)) AS BIGINT) AS n_with_k,
+        |  CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+        |  min(CAST(props->>'$.k' AS INT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS INT)) AS max_k,
+        |  CAST(sum(CAST(props->>'$.k' AS INT)) AS DOUBLE)
+        |    / CAST(count(CAST(props->>'$.k' AS INT)) AS DOUBLE) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "dedup_time_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+        |    make_timestamp(epoch_us(ts) - epoch_us(ts) % 600000000)
+        |      AS win_start
+        |  FROM events
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type, win_start
+        |    ORDER BY tus, event_id) AS rn
+        |  FROM e
+        |)
+        |SELECT event_id, user_id, event_type, win_start
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -1,0 +1,386 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas.table
+
+/** Round-14 analytics: weighted sampling and weighted order statistics,
+  * interval-coverage time series, distribution-drift monitoring (PSI),
+  * referential-integrity profiling, linear multi-touch attribution,
+  * k-core graph decomposition, a FastSS deletion-neighborhood edit-
+  * distance similarity join, VARIANT-typed semi-structured extraction,
+  * and event-time batch deduplication.
+  *
+  * Reference scope note: the reference (api/api.py) serves point ML
+  * predictions; these are the corpus-curation / monitoring operators the
+  * same pipeline needs in production. Every operator is a declarative
+  * Catalyst plan (windows, map-side-combined aggregates, broadcast
+  * joins) — no driver-side loops, no UDFs; near-dup candidate
+  * generation is key-blocked, never all-pairs.
+  */
+object Analytics5 {
+
+  // ---- sampling ----------------------------------------------------------
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ExpJ
+    * order form): each order draws an exponential key Exp(w) =
+    * -ln(u)/w from a DETERMINISTIC md5-derived uniform u ∈ (0, 1], and
+    * the k smallest keys form an exact weighted sample — heavier
+    * o_totalprice → proportionally higher inclusion odds. The md5
+    * derivation (the corpus-wide [[Dedup.hash60]] discipline) makes the
+    * draw reproducible run-to-run and replayable bit-for-bit by the
+    * DuckDB oracle — the property a training-data subsampling pass
+    * needs for lineage.
+    *
+    * Scale shape: one scan, per-row key arithmetic inside codegen, and
+    * a TakeOrdered top-k — no global sort, no shuffle beyond the k-row
+    * reduction. At 100 TB the same plan streams map-side heaps of size
+    * k to the driver-side merge. */
+  def sampleWeighted(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    // (hash60 + 1) / 2^60 ∈ (0, 1]: never 0, so ln(u) is finite
+    val u = (Dedup.hash60(col("o_orderkey").cast("string")) + 1).cast("double") /
+      lit(1152921504606846976.0)
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (-log(u) / col("o_totalprice")).as("es_key"))
+      .orderBy(col("es_key"), col("o_orderkey"))
+      .limit(k)
+      // float cast absorbs last-ulp ln()/division divergence across
+      // libm implementations; the RANKING is safe at double precision
+      // (adjacent keys differ by ~1e-6 relative, ulp noise is ~1e-16)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("es_key").cast("float").as("es_key"))
+  }
+
+  // ---- weighted order statistics -----------------------------------------
+
+  /** Exact weighted median of l_quantity per return flag, weighted by
+    * extended price in EXACT CENTS (the [[Analytics4.aggGiniCents]]
+    * discipline): the smallest quantity whose running weight reaches
+    * half the group total. Integer cumulative sums make the crossing
+    * test exact — a floating cumsum could flip the boundary row between
+    * engines.
+    *
+    * Scale shape: one ranked window per (tiny) group key + one
+    * broadcast 1-row-per-group total join; the window is the same
+    * shuffle the final GROUP BY needs, so the whole operator is one
+    * exchange. */
+  def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"), col("l_quantity").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("w_cents"),
+        col("l_orderkey"), col("l_linenumber"))
+    val win = Window.partitionBy(col("rf"))
+      .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = li.groupBy(col("rf"))
+      .agg(sum(col("w_cents")).as("tot_cents"))
+    li.withColumn("cum", sum(col("w_cents")).over(win))
+      .join(broadcast(tot), Seq("rf"))
+      .filter(col("cum") * 2 >= col("tot_cents"))
+      .groupBy(col("rf"))
+      .agg(min(col("q")).as("weighted_median"),
+        min(col("tot_cents")).as("total_cents"))
+      .select(col("rf").as("l_returnflag"), col("weighted_median"),
+        col("total_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---- time series -------------------------------------------------------
+
+  /** Per-user union-of-intervals coverage: each event opens a 300-second
+    * activity interval; overlapping intervals merge (gaps-and-islands by
+    * running-max end), and the result is the user's island count and
+    * total covered seconds — the "active time" metric that naive
+    * count×300 double-counts. All arithmetic is integer epoch-micros,
+    * so the merge is exact.
+    *
+    * Scale shape: one window per user (the same user-hash shuffle every
+    * sessionizer pays), then one map-side-combined aggregate. State is
+    * one running max per row — nothing resident. */
+  def tsIntervalUnion(spark: SparkSession, dir: String,
+      holdSec: Int = 300): DataFrame = {
+    val e = graft.schema.Schemas.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + lit(holdSec * 1000000L)).as("en"),
+        col("event_id"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+    val prevEnd = max(col("en")).over(ord.rowsBetween(
+      Window.unboundedPreceding, -1))
+    e.withColumn("new_island",
+        when(col("s") > coalesce(prevEnd, lit(Long.MinValue)), 1).otherwise(0))
+      .withColumn("island",
+        sum(col("new_island")).over(ord.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("is_start"), max(col("en")).as("is_end"))
+      .groupBy(col("user_id"))
+      // exact integer micros — a seconds division would hit the
+      // Spark-truncates / DuckDB-rounds long-cast divergence
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("is_end") - col("is_start")).as("covered_micros"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---- drift monitoring --------------------------------------------------
+
+  /** Population Stability Index of `value` between the first and second
+    * halves of the event timeline (split at the midpoint of the
+    * observed epoch-micros range — no calendar assumption), over ten
+    * fixed-width bins with add-one smoothing: term_b =
+    * (p_b − q_b) · ln(p_b / q_b). The standard "did the feature
+    * distribution move between training and serving" monitor; Σ terms
+    * < 0.1 is the conventional stable band.
+    *
+    * Scale shape: the timeline extent is ONE broadcast 1-row aggregate;
+    * binning is per-row arithmetic in codegen; the rest is a 10-key
+    * aggregate. Smoothed ratios are exact integer-rational doubles —
+    * only the ln() result needs the float absorb. */
+  def driftPsi(spark: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    val e = graft.schema.Schemas.events(spark, dir)
+      .select(unix_micros(col("ts")).as("tus"), col("value"))
+    val extent = e.agg(min(col("tus")).as("lo"), max(col("tus")).as("hi"))
+    val binned = e.crossJoin(broadcast(extent))
+      .select(
+        when(col("tus") * 2 < col("lo") + col("hi"), lit("early"))
+          .otherwise(lit("late")).as("half"),
+        least(greatest(floor(col("value") / 10).cast("int"), lit(0)),
+          lit(bins - 1)).as("bin"))
+    val counts = binned.groupBy(col("bin")).pivot("half",
+        Seq("early", "late")).count().na.fill(0L)
+    val tot = counts.agg(sum(col("early")).as("te"),
+      sum(col("late")).as("tl"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bin"),
+        col("early").as("n_early"), col("late").as("n_late"),
+        ((col("early") + 1).cast("double") /
+          (col("te") + bins).cast("double")).as("p"),
+        ((col("late") + 1).cast("double") /
+          (col("tl") + bins).cast("double")).as("q"))
+      .withColumn("psi_term",
+        ((col("p") - col("q")) * log(col("p") / col("q")))
+          .cast("float"))
+      .select(col("bin"), col("n_early"), col("n_late"), col("psi_term"))
+      .orderBy(col("bin"))
+  }
+
+  // ---- data quality ------------------------------------------------------
+
+  /** Referential-integrity profile of the star schema's two fact→dim
+    * relationships (orders→customer, lineitem→part): child rows,
+    * matched rows, orphans, distinct child keys, and the match rate —
+    * the first report a warehouse DQ gate emits before trusting a join.
+    *
+    * Scale shape: per relationship, ONE broadcast left-semi-shaped
+    * aggregation — the dim key set broadcasts (dims are small by star
+    * design), the fact side aggregates match indicators map-side;
+    * no fact shuffle at all. */
+  def dqJoinProfile(spark: SparkSession, dir: String): DataFrame = {
+    def profile(rel: String, child: DataFrame, key: String,
+        parentKeys: DataFrame): DataFrame =
+      child.select(col(key).as("k"))
+        .join(broadcast(parentKeys.select(col("pk")).distinct()
+          .withColumn("m", lit(1))), col("k") === col("pk"), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          count(col("m")).as("matched_rows"),
+          (count(lit(1)) - count(col("m"))).as("orphan_rows"),
+          countDistinct(col("k")).as("distinct_child_keys"))
+        .select(lit(rel).as("relationship"), col("child_rows"),
+          col("matched_rows"), col("orphan_rows"),
+          col("distinct_child_keys"),
+          (col("matched_rows").cast("double") /
+            col("child_rows").cast("double")).as("match_rate"))
+    profile("orders->customer", table(spark, dir, "orders"), "o_custkey",
+        table(spark, dir, "customer").select(col("c_custkey").as("pk")))
+      .unionAll(profile("lineitem->part", table(spark, dir, "lineitem"),
+        "l_partkey",
+        table(spark, dir, "part").select(col("p_partkey").as("pk"))))
+      .orderBy(col("relationship"))
+  }
+
+  // ---- attribution -------------------------------------------------------
+
+  /** Linear (equal-split) multi-touch attribution: every click/view in
+    * the hour before a purchase shares that purchase's value equally;
+    * purchases with no in-window touch credit "direct". The multi-touch
+    * companion of [[Analytics4.attributionLastTouch]] — conservation
+    * (Σ credit = Σ purchase value) is the spec-pinned invariant.
+    *
+    * Scale shape: the touch↔purchase pairing is a user-key equi-join
+    * with a bounded time-band predicate (the [[Relational2]] range-join
+    * discipline — fanout is bounded by touches-per-user-hour, never
+    * |purchases|×|touches|); credit split is one count window per
+    * purchase; the rollup is a tiny-key aggregate. */
+  def attributionLinear(spark: SparkSession, dir: String,
+      windowSec: Int = 3600): DataFrame = {
+    val e = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("tus").as("p_tus"), col("value").as("p_value"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("tus").as("t_tus"))
+    // the time band lives IN the join condition: a post-filter on a
+    // plain left join would drop purchases whose user has touches but
+    // none in-window, instead of crediting them "direct"
+    val paired = purchases.as("p").join(touches.as("t"),
+      col("p.user_id") === col("t.user_id") &&
+        col("t.t_tus") <= col("p.p_tus") &&
+        col("p.p_tus") - col("t.t_tus") < lit(windowSec * 1000000L),
+      "left")
+    val n = Window.partitionBy(col("p_id"))
+    paired.withColumn("n_touch", count(col("t_tus")).over(n))
+      .select(
+        when(col("t_tus").isNull, lit("direct"))
+          .otherwise(col("touch_type")).as("credit_type"),
+        when(col("t_tus").isNull, col("p_value"))
+          .otherwise(col("p_value") / col("n_touch").cast("double"))
+          .as("credit"))
+      .groupBy(col("credit_type"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit")).cast("float").as("credited_value"))
+      .orderBy(col("credit_type"))
+  }
+
+  // ---- graph -------------------------------------------------------------
+
+  /** Bounded k-core peel of the co-purchase graph at k = the INITIAL
+    * 10th-percentile degree: three synchronous peel rounds (drop
+    * vertices whose induced degree falls below k, recompute degrees
+    * over the induced subgraph), emitting the survivors with their
+    * round-3 induced degree. The quantile-derived k makes the peel
+    * bite — but not collapse — at every corpus scale: co-purchase
+    * density grows with SF, so any absolute k either never peels or
+    * empties the graph, and this near-uniform degree distribution
+    * cascades to EMPTY for any k above ~the 15th percentile (measured:
+    * median-k → 0 survivors; p10-k → 22% peeled, stable core). Fixed
+    * round count keeps the operator a finite declarative plan the
+    * oracle replays with unrolled CTEs; production convergence loops
+    * the same round under the [[Analytics]] localCheckpoint cadence.
+    *
+    * Scale shape: reuses the persisted [[Analytics.copurchaseEdgesSym]]
+    * index; k is one broadcast 1-row exact-median aggregate over the
+    * |V|-sized degree table; each round is one map-side-combined degree
+    * aggregate + two semi-joins of the edge list against the (|V|-sized,
+    * auto-broadcast under AQE) survivor set — never an edge self-join. */
+  def graphKcore(spark: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame = {
+    val sym0 = Analytics.copurchaseEdgesSym(spark, dir)
+    // exact interpolated percentile of integer degrees: both engines
+    // lerp a + f·(b−a) over the sorted multiset, bit-exact either side
+    val thresh = sym0.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .agg(percentile(col("deg").cast("double"), lit(0.1)).as("k"))
+    def peel(sym: DataFrame): DataFrame = {
+      val alive = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .crossJoin(broadcast(thresh))
+        .filter(col("deg") >= col("k")).select(col("u").as("av"))
+      sym.join(alive, col("u") === col("av"), "left_semi")
+        .join(alive.select(col("av").as("bv")),
+          col("v") === col("bv"), "left_semi")
+    }
+    val peeled = (1 to rounds).foldLeft(sym0)((s, _) => peel(s))
+    peeled.groupBy(col("u").as("vertex"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("vertex"))
+  }
+
+  // ---- similarity join ---------------------------------------------------
+
+  /** Edit-distance similarity self-join over the DISTINCT part-name
+    * vocabulary via FastSS deletion neighborhoods: two names within
+    * Levenshtein distance ≤ 2 must share a string reachable by deleting
+    * ≤ 2 characters from each, so candidate pairs come from an
+    * equi-join on the ≤2-deletion key set (|name|²/2 keys per name) and
+    * only candidates pay the Levenshtein verify — the record-linkage
+    * blocking discipline (candidate generation linear in vocab size,
+    * never an all-pairs cross join).
+    *
+    * The vocabulary grain matters at scale: corpus rows dedup to their
+    * name first (exact-dup groups would otherwise make ANY pair join
+    * quadratic in the hottest group), then the vocab-level join is
+    * bounded by vocabulary size, which grows sub-linearly in corpus
+    * size. */
+  def joinEditDistance(spark: SparkSession, dir: String,
+      maxDist: Int = 2): DataFrame = {
+    val names = table(spark, dir, "part").select(col("p_name").as("name"))
+      .distinct()
+    // ≤2-deletion neighborhood: delete position i (1-based, 0 = keep),
+    // then position j of the result. i=0,j=0 keeps the original, so
+    // exact matches and distance-1/2 pairs all share keys.
+    val del = (s: Column, i: Column) => when(i === 0, s).otherwise(
+      concat(s.substr(lit(1), i - 1), s.substr(i + 1, lit(999))))
+    val keyed = names
+      .select(col("name"), explode(sequence(lit(0), length(col("name"))))
+        .as("i"))
+      .select(col("name"), del(col("name"), col("i")).as("d1"))
+      .select(col("name"), col("d1"),
+        explode(sequence(lit(0), length(col("d1")))).as("j"))
+      .select(col("name"), del(col("d1"), col("j")).as("key"))
+      .distinct()
+    keyed.as("a").join(keyed.as("b"),
+        col("a.key") === col("b.key") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  // ---- semi-structured ---------------------------------------------------
+
+  /** VARIANT-typed extraction over the events `props` JSON: parse once
+    * to Spark 4's binary VARIANT encoding, path-extract `$.k`, and
+    * profile it per event type — the open-schema ingestion path for
+    * heterogeneous metadata columns (the shredded alternative to a
+    * rigid from_json StructType, and to string re-parsing per access).
+    *
+    * Scale shape: parse + extract are per-row codegen expressions; the
+    * rollup is a tiny-key map-side-combined aggregate. avg is emitted
+    * as an exact integer-sum/count division so the oracle compare is
+    * bit-exact. */
+  def fVariantJson(spark: SparkSession, dir: String): DataFrame = {
+    val k = variant_get(parse_json(col("props")), "$.k", "int")
+    table(spark, dir, "events")
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .withColumn("avg_k",
+        col("sum_k").cast("double") / col("n_with_k").cast("double"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---- dedup -------------------------------------------------------------
+
+  /** Event-time batch deduplication: first event wins per (user, type,
+    * 10-minute tumbling window) — the batch twin of the watermarked
+    * streaming `dropDuplicatesWithinWatermark` path
+    * ([[graft.streaming.StreamQueries]]), used to compact replayed /
+    * at-least-once event logs before aggregation.
+    *
+    * Scale shape: one ranked window on the (user, type, window-bucket)
+    * composite — the dedup shuffle — then a filter; integer
+    * epoch-micros bucketing keeps window assignment exact. */
+  def dedupTimeWindow(spark: SparkSession, dir: String,
+      windowSec: Int = 600): DataFrame = {
+    val span = lit(windowSec * 1000000L)
+    val e = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      // integer modulo, not a double division: exact at any epoch
+      .withColumn("win_start",
+        timestamp_micros(col("tus") - col("tus") % span))
+    val w = Window.partitionBy(col("user_id"), col("event_type"),
+      col("win_start")).orderBy(col("tus"), col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("win_start"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -109,7 +109,20 @@ class PartitionInvarianceSpec extends SparkSpec {
     "agg_bitmap_distinct OR-merge" ->
       (() => graft.query.Analytics4.aggBitmapDistinct(spark, sf)),
     "stream_stream_left_join null emission" ->
-      (() => graft.streaming.StreamQueries.streamStreamLeftJoin(spark, sf)))
+      (() => graft.streaming.StreamQueries.streamStreamLeftJoin(spark, sf)),
+    // round-14 shapes: double-keyed weighted top-k, cumulative-weight
+    // crossing, percentile-thresholded iterative peel, per-key interval
+    // fold, and deletion-neighborhood candidate generation
+    "sample_weighted exponential-key top-k" ->
+      (() => graft.query.Analytics5.sampleWeighted(spark, sf)),
+    "agg_weighted_median cumulative crossing" ->
+      (() => graft.query.Analytics5.aggWeightedMedian(spark, sf)),
+    "graph_kcore percentile peel" ->
+      (() => graft.query.Analytics5.graphKcore(spark, sf)),
+    "ts_interval_union island fold" ->
+      (() => graft.query.Analytics5.tsIntervalUnion(spark, sf)),
+    "join_edit_distance deletion-key blocking" ->
+      (() => graft.query.Analytics5.joinEditDistance(spark, sf)))
 
   private def collectAt(partitions: Int, build: () => DataFrame): Seq[String] = {
     val key = "spark.sql.shuffle.partitions"

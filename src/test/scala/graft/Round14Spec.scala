@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query.Analytics5
+import graft.schema.Schemas
+
+/** Round-14 operators: weighted sampling, weighted median, interval
+  * union, PSI drift, FK profiling, linear attribution, k-core,
+  * edit-distance similarity join, VARIANT extraction, and event-time
+  * batch dedup. Each test pins an invariant or a driver-side brute
+  * force on sf0.001, independent of the DuckDB oracle that pins the
+  * same semantics at sf0.01 — these catch regressions that move BOTH
+  * engine and oracle. */
+class Round14Spec extends SparkSpec {
+
+  test("sample_weighted: deterministic, size-k, keys ascending") {
+    val a = Analytics5.sampleWeighted(spark, sf, k = 50).collect()
+    val b = Analytics5.sampleWeighted(spark, sf, k = 50).collect()
+    assert(a.toSeq == b.toSeq, "re-run must be bit-identical")
+    assert(a.length == 50)
+    val keys = a.map(_.getFloat(2))
+    assert(keys.zip(keys.tail).forall { case (x, y) => x <= y },
+      "exponential keys must be emitted in ascending order")
+  }
+
+  test("sample_weighted: heavier rows are overrepresented vs uniform") {
+    // the weighted sample's mean o_totalprice must exceed the
+    // population mean — the whole point of importance weighting
+    val popMean = Schemas.table(spark, sf, "orders")
+      .agg(avg(col("o_totalprice"))).collect()(0).getDouble(0)
+    val sampMean = Analytics5.sampleWeighted(spark, sf, k = 100)
+      .agg(avg(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(sampMean > popMean,
+      s"weighted sample mean $sampMean should exceed population $popMean")
+  }
+
+  test("agg_weighted_median: brute-force crossing per group") {
+    val rows = Schemas.table(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    val expect = rows.groupBy(_._1).map { case (rf, g) =>
+      val sorted = g.sortBy(t => (t._2, t._4, t._5))
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      val med = sorted.find { t => cum += t._3; cum * 2 >= tot }.get._2
+      rf -> (med, tot)
+    }
+    val got = Analytics5.aggWeightedMedian(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == expect)
+  }
+
+  test("ts_interval_union: bounds and a hand-built overlap fixture") {
+    val hold = 300L * 1000000L
+    val got = Analytics5.tsIntervalUnion(spark, sf).collect()
+    val perUser = Schemas.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val (u, islands, covered) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val n = perUser(u)
+      assert(islands >= 1 && islands <= n)
+      assert(covered >= hold, s"user $u: one event covers >= hold")
+      assert(covered <= n * hold, s"user $u: union cannot exceed sum")
+    }
+    // driver brute force on one user: merge intervals by sweep
+    val u0 = got.head.getLong(0)
+    val ts = Schemas.events(spark, sf).filter(col("user_id") === u0)
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+    var end = Long.MinValue; var covered = 0L; var islands = 0L
+    ts.foreach { s =>
+      if (s > end) { islands += 1; covered += hold; end = s + hold }
+      else { covered += (s + hold) - end; end = s + hold }
+    }
+    val row = got.find(_.getLong(0) == u0).get
+    assert(row.getLong(1) == islands && row.getLong(2) == covered)
+  }
+
+  test("drift_psi: every term is non-negative (Gibbs)") {
+    val terms = Analytics5.driftPsi(spark, sf).collect()
+      .map(_.getFloat(3))
+    assert(terms.forall(_ >= -1e-7f),
+      s"(p-q)ln(p/q) >= 0 termwise; got ${terms.mkString(",")}")
+  }
+
+  test("dq_join_profile: conservation and clean-FK witness") {
+    val rows = Analytics5.dqJoinProfile(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        "child = matched + orphan")
+      val rate = r.getDouble(5)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // the synthetic star schema is referentially clean — both rates 1.0
+    assert(rows.forall(_.getDouble(5) == 1.0))
+  }
+
+  test("attribution_linear: credit conservation") {
+    val total = Schemas.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    val credited = Analytics5.attributionLinear(spark, sf).collect()
+      .map(_.getFloat(2).toDouble).sum
+    assert(math.abs(credited - total) < 1e-3 * math.abs(total),
+      s"sum of credit $credited must equal purchase value $total")
+  }
+
+  test("graph_kcore: peel bites, survivors within initial degrees") {
+    // rebuild the co-purchase degree table from lineitem (the index
+    // itself is private[query]); same edge semantics as the oracle CTE
+    val li = Schemas.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    val init = edges.select(col("u"))
+      .unionAll(edges.select(col("v")))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val core = Analytics5.graphKcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(core.nonEmpty, "p10 threshold must keep a core")
+    assert(core.length < init.size, "p10 threshold must peel something")
+    core.foreach { case (v, d) =>
+      assert(init.contains(v) && d <= init(v),
+        s"induced degree of $v can only shrink")
+    }
+  }
+
+  test("join_edit_distance: matches brute force over the vocabulary") {
+    val names = Schemas.table(spark, sf, "part")
+      .select(col("p_name")).distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      a <- names; b <- names if a < b
+      dist = lev(a, b) if dist <= 2
+    } yield (a, b, dist)).toSet
+    val got = Analytics5.joinEditDistance(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+  }
+
+  test("join_edit_distance: plan has no cartesian / nested-loop join") {
+    val plan = Analytics5.joinEditDistance(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+
+  test("f_variant_json: every event carries k; avg within [min,max]") {
+    val rows = Analytics5.fVariantJson(spark, sf).collect()
+    val perType = Schemas.table(spark, sf, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == perType(r.getString(0)),
+        "all props rows parse under VARIANT")
+      assert(r.getInt(3) <= r.getInt(4))
+      assert(r.getDouble(5) >= r.getInt(3) && r.getDouble(5) <= r.getInt(4))
+    }
+  }
+
+  test("dedup_time_window: one survivor per bucket, idempotent") {
+    val kept = Analytics5.dedupTimeWindow(spark, sf)
+    val dup = kept.groupBy(col("user_id"), col("event_type"),
+        col("win_start")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(dup == 0, "at most one kept row per (user, type, window)")
+    val total = Schemas.events(spark, sf).count()
+    assert(kept.count() <= total)
+    // kept set must be a fixpoint: every kept row is its own bucket's
+    // first row, so re-deduping the kept rows changes nothing
+    val w = lit(600L * 1000000L)
+    val again = kept
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("win_start"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"), col("win_start"))
+          .orderBy(col("event_id"))))
+      .filter(col("rn") === 1).count()
+    assert(again == kept.count())
+  }
+}
