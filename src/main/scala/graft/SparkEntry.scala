@@ -493,6 +493,12 @@ object SparkEntry {
     "f_variant_json"         -> Analytics5.fVariantJson _,
     "dedup_time_window"      ->
       ((s: SparkSession, d: String) => Analytics5.dedupTimeWindow(s, d)),
+    "corpus_sample_stratified" -> Analytics5.corpusSampleStratified _,
+    "anomaly_rolling_z"      ->
+      ((s: SparkSession, d: String) => Analytics5.anomalyRollingZ(s, d)),
+    "agg_histogram_quantiles" ->
+      ((s: SparkSession, d: String) => Analytics5.aggHistogramQuantiles(s, d)),
+    "sql_inactive_customers" -> Analytics5.sqlInactiveCustomers _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4816,6 +4822,84 @@ object SparkEntry {
         |)
         |SELECT event_id, user_id, event_type, win_start
         |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "corpus_sample_stratified" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang, (count(*) + 9) // 10 AS target FROM d GROUP BY lang
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |  FROM d
+        |)
+        |SELECT r.doc_id, r.lang FROM r JOIN s USING (lang)
+        |WHERE rn <= target ORDER BY doc_id""".stripMargin,
+    "anomaly_rolling_z" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, value,
+        |    count(value) OVER f AS n,
+        |    sum(value) OVER f AS s1,
+        |    sum(value * value) OVER f AS s2
+        |  FROM events
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        |), v AS (
+        |  SELECT event_id, user_id, value, s1 / n AS mean,
+        |    (s2 - s1 * s1 / n) / (n - 1) AS variance
+        |  FROM w WHERE n >= 10
+        |)
+        |SELECT event_id, user_id, value,
+        |  CAST((value - mean) / sqrt(variance) AS REAL) AS z
+        |FROM v WHERE variance > 0
+        |  AND abs((value - mean) / sqrt(variance)) > 3.0
+        |ORDER BY event_id""".stripMargin,
+    "agg_histogram_quantiles" ->
+      """WITH x AS (SELECT l_extendedprice AS x FROM lineitem),
+        |ext AS (SELECT min(x) AS lo, max(x) AS hi FROM x),
+        |c AS (
+        |  SELECT least(greatest(
+        |      CAST(floor((x - lo) * 32 / (hi - lo)) AS INT), 0), 31) AS bin,
+        |    min(lo) AS lo, min(hi) AS hi, count(*) AS n
+        |  FROM x, ext GROUP BY 1
+        |), cum AS (
+        |  SELECT bin, lo, hi, n,
+        |    coalesce(sum(n) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM c
+        |), tot AS (SELECT sum(n) AS total FROM c),
+        |t AS (
+        |  SELECT q, total,
+        |    CASE q WHEN 'p50' THEN (total + 1) // 2
+        |           WHEN 'p90' THEN total * 9 // 10
+        |           ELSE total * 99 // 100 END AS k
+        |  FROM (SELECT unnest(['p50', 'p90', 'p99']) AS q), tot
+        |)
+        |SELECT q, CAST(k AS BIGINT) AS k,
+        |  CAST(lo + (hi - lo) / 32 * (CAST(bin AS DOUBLE)
+        |    + CAST(k - cum_before AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS REAL) AS estimate
+        |FROM t JOIN cum ON k > cum_before AND k <= cum_before + n
+        |ORDER BY q""".stripMargin,
+    "sql_inactive_customers" ->
+      """WITH balavg AS (
+        |  SELECT avg(c_acctbal) AS bal_avg FROM customer
+        |  WHERE c_acctbal > 0.0
+        |), hibar AS (
+        |  SELECT avg(o_totalprice) * 2.0 AS hi_bar FROM orders
+        |), big AS (
+        |  SELECT DISTINCT o_custkey FROM orders, hibar
+        |  WHERE o_totalprice > hi_bar
+        |)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(c_acctbal) AS REAL) AS totacctbal
+        |FROM customer, balavg
+        |WHERE c_acctbal > bal_avg
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM big)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

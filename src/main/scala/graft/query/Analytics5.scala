@@ -270,20 +270,38 @@ object Analytics5 {
   def graphKcore(spark: SparkSession, dir: String,
       rounds: Int = 3): DataFrame = {
     val sym0 = Analytics.copurchaseEdgesSym(spark, dir)
+    val deg0 = Analytics.copurchaseDeg(spark, dir)
     // exact interpolated percentile of integer degrees: both engines
-    // lerp a + f·(b−a) over the sorted multiset, bit-exact either side
-    val thresh = sym0.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .agg(percentile(col("deg").cast("double"), lit(0.1)).as("k"))
-    def peel(sym: DataFrame): DataFrame = {
-      val alive = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        .crossJoin(broadcast(thresh))
-        .filter(col("deg") >= col("k")).select(col("u").as("av"))
-      sym.join(alive, col("u") === col("av"), "left_semi")
-        .join(alive.select(col("av").as("bv")),
+    // lerp a + f·(b−a) over the sorted multiset, bit-exact either
+    // side. Resolved to a DRIVER SCALAR once over the CACHED degree
+    // index (the BM25 scalar-constant discipline): left as a subplan,
+    // every peel round re-aggregates the base index under it.
+    val k = deg0.agg(percentile(col("deg").cast("double"), lit(0.1)))
+      .collect()(0).getDouble(0)
+    // The iterated state is the |V|-sized ALIVE SET, not the edge list:
+    // an unmaterialized round-N plan re-evaluates round N-1 three times
+    // (exponential re-execution: 15.8 s measured), and materializing
+    // the |E|-row induced edge list instead still writes ~3M rows per
+    // round (5.9 s). Checkpointing only the vertex set and re-filtering
+    // the CACHED sym index each round runs one in-memory scan + one
+    // map-side-combined aggregate per round (~1 s). Survivor sets are
+    // |V|-sized, so they broadcast long after |E| stops fitting
+    // anywhere — the hint is explicit because checkpointed plans carry
+    // no size statistics.
+    def induced(alive: DataFrame): DataFrame =
+      sym0.join(broadcast(alive), col("u") === col("av"), "left_semi")
+        .join(broadcast(alive.select(col("av").as("bv"))),
           col("v") === col("bv"), "left_semi")
+    // round 1's degrees ARE the cached degree index — no sym scan
+    var alive = deg0.filter(col("deg") >= k).select(col("u").as("av"))
+      .localCheckpoint(true)
+    for (_ <- 2 to rounds) {
+      alive = induced(alive)
+        .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u").as("av"))
+        .localCheckpoint(true)
     }
-    val peeled = (1 to rounds).foldLeft(sym0)((s, _) => peel(s))
-    peeled.groupBy(col("u").as("vertex"))
+    induced(alive).groupBy(col("u").as("vertex"))
       .agg(count(lit(1)).as("core_degree"))
       .orderBy(col("vertex"))
   }
@@ -382,5 +400,145 @@ object Analytics5 {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("win_start"))
       .orderBy(col("event_id"))
+  }
+
+  // ---- stratified sampling ----------------------------------------------
+
+  /** Proportional stratified corpus sample: per language stratum, keep
+    * ceil(10%) of documents selected by md5-hash order — the
+    * language-balance-preserving subsample a corpus-mix pipeline draws
+    * before expensive per-doc processing. Deterministic (hash-ranked,
+    * not random), so lineage is reproducible and the oracle replays it.
+    * Integer ceil — (n + 9) DIV 10 — sidesteps the n·0.1 float trap
+    * (10 · 0.1 rounds to 1.0000000000000002, and ceil flips).
+    *
+    * Scale shape: one rank window per stratum (the stratum key is the
+    * shuffle key) + one broadcast per-stratum count join; no global
+    * sort, no driver pass. */
+  def corpusSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        Dedup.hash60(col("doc_id").cast("string")).as("h"))
+    val sizes = d.groupBy(col("lang"))
+      .agg(((count(lit(1)) + 9) / 10).cast("long").as("target"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    d.withColumn("rn", row_number().over(w))
+      .join(broadcast(sizes), Seq("lang"))
+      .filter(col("rn") <= col("target"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- anomaly detection -------------------------------------------------
+
+  /** Rolling z-score anomaly flags: per user, each value is scored
+    * against the mean/stddev of its previous 20 events (frame excludes
+    * the current row — a self-inclusive frame masks the very anomaly it
+    * scores), and |z| > 3 rows are emitted. Variance comes from the
+    * (Σx, Σx², n) sufficient statistics in ONE window pass — the
+    * mergeable form, not a two-pass centered computation.
+    *
+    * Scale shape: one user-partitioned window (the sessionizer
+    * shuffle), everything else per-row arithmetic in codegen. */
+  def anomalyRollingZ(spark: SparkSession, dir: String,
+      lookback: Int = 20, minN: Int = 10): DataFrame = {
+    val e = graft.schema.Schemas.events(spark, dir)
+    val frame = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    val scored = e.select(col("event_id"), col("user_id"), col("value"),
+      count(col("value")).over(frame).as("n"),
+      sum(col("value")).over(frame).as("s1"),
+      sum(col("value") * col("value")).over(frame).as("s2"))
+    scored.filter(col("n") >= minN)
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("variance",
+        (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      .filter(col("variance") > 0)
+      .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("user_id"),
+        col("value"), col("z").cast("float").as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- sketch quantiles --------------------------------------------------
+
+  /** Mergeable equi-width histogram quantiles over l_extendedprice: 32
+    * fixed bins spanned by the broadcast (min, max) extent, per-bin
+    * counts from one map-side-combined aggregate, then p50/p90/p99
+    * estimated by linear interpolation inside the crossing bin. The
+    * scan-friendly alternative to an exact global sort: the histogram
+    * is a 32-row mergeable partial (union = add counts), which is what
+    * a 100 TB profiler actually ships between stages. Target ranks use
+    * integer DIV — never q·N float arithmetic.
+    *
+    * Scale shape: two scans (extent, counts) of which the second does
+    * all work map-side; the quantile solve runs on the 32-row
+    * histogram, broadcast-joined — no sort anywhere. */
+  def aggHistogramQuantiles(spark: SparkSession, dir: String,
+      bins: Int = 32): DataFrame = {
+    val x = table(spark, dir, "lineitem").select(col("l_extendedprice").as("x"))
+    val ext = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val counts = x.crossJoin(broadcast(ext))
+      .select(least(greatest(
+        floor((col("x") - col("lo")) * bins / (col("hi") - col("lo")))
+          .cast("int"), lit(0)), lit(bins - 1)).as("bin"),
+        col("lo"), col("hi"))
+      .groupBy(col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"))
+    val cum = counts
+      .withColumn("cum_before", coalesce(sum(col("n")).over(
+        Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    val targets = spark.range(1).select(
+      explode(array(lit("p50"), lit("p90"), lit("p99"))).as("q"))
+      .crossJoin(broadcast(tot))
+      .select(col("q"), col("total"),
+        when(col("q") === "p50", (col("total") + 1) / 2)
+          .when(col("q") === "p90", col("total") * 9 / 10)
+          .otherwise(col("total") * 99 / 100).cast("long").as("k"))
+    targets.join(cum,
+        col("k") > col("cum_before") && col("k") <= col("cum_before") + col("n"))
+      .select(col("q"), col("k"),
+        (col("lo") + (col("hi") - col("lo")) / bins *
+          (col("bin").cast("double") +
+            (col("k") - col("cum_before")).cast("double") /
+              col("n").cast("double")))
+          .cast("float").as("estimate"))
+      .orderBy(col("q"))
+  }
+
+  // ---- warehouse ---------------------------------------------------------
+
+  /** Dormant high-balance customers (the TPC-H Q22 shape, adapted:
+    * this corpus has no order-less customers): customers whose account
+    * balance exceeds the positive-balance average yet have NO
+    * high-value order (totalprice > 2× the average order), rolled up
+    * per nation — the "idle capital" segment report.
+    *
+    * Scale shape: both thresholds are broadcast 1-row aggregates; the
+    * exclusion is a left-anti join against the (pre-filtered,
+    * pre-deduped) high-value buyer key set; the rollup is a tiny-key
+    * aggregate. The fact table is scanned once, filtered before the
+    * distinct. */
+  def sqlInactiveCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val orders = table(spark, dir, "orders")
+    val balAvg = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("bal_avg"))
+    val priceAvg = orders.agg((avg(col("o_totalprice")) * 2.0).as("hi_bar"))
+    val bigBuyers = orders.crossJoin(broadcast(priceAvg))
+      .filter(col("o_totalprice") > col("hi_bar"))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(balAvg))
+      .filter(col("c_acctbal") > col("bal_avg"))
+      .join(bigBuyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal")).cast("float").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
   }
 }

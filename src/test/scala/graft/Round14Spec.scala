@@ -196,4 +196,86 @@ class Round14Spec extends SparkSpec {
       .filter(col("rn") === 1).count()
     assert(again == kept.count())
   }
+
+  test("corpus_sample_stratified: exact ceil(10%) per stratum") {
+    val sizes = Schemas.table(spark, sf, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Analytics5.corpusSampleStratified(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(byLang.getOrElse(lang, 0L) == (n + 9) / 10,
+        s"$lang: ${byLang.get(lang)} vs ceil($n/10)")
+    }
+    val all = Schemas.table(spark, sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept.forall(d => all.contains(d._1)))
+  }
+
+  test("anomaly_rolling_z: driver replay on the flagged rows") {
+    val got = Analytics5.anomalyRollingZ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getFloat(3)))
+    assert(got.forall { case (_, _, _, z) => math.abs(z) > 3.0f - 1e-4f })
+    // recompute z for every flagged event from that user's raw series
+    val byUser = Schemas.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getDouble(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._2, t._3)).map(e => (e._3, e._4)).toIndexedSeq)
+      .toMap
+    got.foreach { case (eid, uid, v, z) =>
+      val series = byUser(uid)
+      val i = series.indexWhere(_._1 == eid)
+      val frame = series.slice(math.max(0, i - 20), i).map(_._2)
+      val n = frame.length
+      assert(n >= 10)
+      val s1 = frame.sum; val s2 = frame.map(x => x * x).sum
+      val mean = s1 / n
+      val variance = (s2 - s1 * s1 / n) / (n - 1)
+      val expectZ = (v - mean) / math.sqrt(variance)
+      assert(math.abs(expectZ - z) < 1e-3,
+        s"event $eid: replay $expectZ vs engine $z")
+    }
+  }
+
+  test("agg_histogram_quantiles: ordered, in-range, within a bin width") {
+    val est = Analytics5.aggHistogramQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getFloat(2)).toMap
+    assert(est("p50") <= est("p90") && est("p90") <= est("p99"))
+    val xs = Schemas.table(spark, sf, "lineitem")
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val (lo, hi) = (xs.head, xs.last)
+    val width = (hi - lo) / 32
+    def exactK(k: Long): Double = xs((k - 1).toInt)
+    val n = xs.length.toLong
+    val ks = Map("p50" -> (n + 1) / 2, "p90" -> n * 9 / 10,
+      "p99" -> n * 99 / 100)
+    ks.foreach { case (q, k) =>
+      val e = est(q)
+      assert(e >= lo && e <= hi)
+      assert(math.abs(e - exactK(k)) <= width + 1e-6,
+        s"$q: estimate $e vs exact ${exactK(k)} (bin width $width)")
+    }
+  }
+
+  test("sql_inactive_customers: membership re-derived brute force") {
+    val custs = Schemas.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val orders = Schemas.table(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val balAvg = { val p = custs.map(_._3).filter(_ > 0); p.sum / p.length }
+    val hiBar = orders.map(_._2).sum / orders.length * 2.0
+    val big = orders.filter(_._2 > hiBar).map(_._1).toSet
+    val expect = custs
+      .filter(c => c._3 > balAvg && !big.contains(c._1))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = Analytics5.sqlInactiveCustomers(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"got $got vs $expect")
+  }
 }
