@@ -499,6 +499,7 @@ object SparkEntry {
     "agg_histogram_quantiles" ->
       ((s: SparkSession, d: String) => Analytics5.aggHistogramQuantiles(s, d)),
     "sql_inactive_customers" -> Analytics5.sqlInactiveCustomers _,
+    "stream_transform_with_state" -> StreamQueries.streamTransformWithState _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4900,6 +4901,13 @@ object SparkEntry {
         |WHERE c_acctbal > bal_avg
         |  AND c_custkey NOT IN (SELECT o_custkey FROM big)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // full AvailableNow drain == batch aggregate (the streaming-oracle
+    // contract shared by the whole stream_* family)
+    "stream_transform_with_state" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(value) AS REAL) AS sum_value,
+        |  max(ts) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -609,4 +609,102 @@ object StreamQueries {
         col("n"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
   }
+
+  // ---- Spark 4 transformWithState ---------------------------------------
+
+  // public: Catalyst's generated (de)serializers must access these
+  case class TwsState(n: Long, sum: Double, maxTs: Long)
+  case class TwsRow(user_id: Long, n_events: Long, sum_value: Double,
+    last_ts: java.sql.Timestamp)
+
+  /** Per-user running profile for [[streamTransformWithState]]: one
+    * ValueState cell per key, updated once per (key, micro-batch) and
+    * re-emitted — the arbitrary-state API v2 successor to
+    * [[streamSessionCounts]]' mapGroupsWithState. Within-batch fold
+    * order is arbitrary (shuffled input); count/max are order-free and
+    * the double sum reassociates well below the float cast emitted
+    * downstream, so the drained result is batch-deterministic. */
+  private class RunningProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, TwsRow] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[TwsState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TwsState]("profile",
+        org.apache.spark.sql.Encoders.product[TwsState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsRow] = {
+      var s = if (st.exists()) st.get() else TwsState(0L, 0.0, Long.MinValue)
+      rows.foreach { e =>
+        // epoch-MICROS, not getTime's millis — the stored timestamps
+        // carry micros and a truncated max breaks the batch oracle
+        val us = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+        s = TwsState(s.n + 1, s.sum + e.value, math.max(s.maxTs, us))
+      }
+      st.update(s)
+      val out = new java.sql.Timestamp(Math.floorDiv(s.maxTs, 1000000L) * 1000)
+      out.setNanos((Math.floorMod(s.maxTs, 1000000L) * 1000).toInt)
+      Iterator.single(TwsRow(key, s.n, s.sum, out))
+    }
+  }
+
+  /** Per-user running (count, sum, last-seen) via Spark 4's
+    * transformWithState — the arbitrary-state processor API with typed
+    * ValueState on the RocksDB state-store provider (transformWithState
+    * requires it; HDFS-backed stores don't implement the v2 column
+    * families). The production shape this models: a continuously
+    * updated per-entity feature profile serving online lookups.
+    *
+    * Scale shape: state is one fixed-size cell per user in RocksDB —
+    * spillable off-heap, so the keyspace can exceed executor memory
+    * (the reason to prefer transformWithState over mapGroupsWithState's
+    * HDFS store at 100 TB keyspaces); each micro-batch touches only the
+    * keys it carries. Update-mode drain re-emits a key's profile per
+    * batch; the max_by(n) rollup keeps the final (largest-n) emission
+    * per key, making the full drain equal the batch aggregate — the
+    * oracle contract. */
+  def streamTransformWithState(spark: SparkSession, dir: String): DataFrame =
+    streamTransformWithStateFrom(spark, dir, rawEvents = true,
+      filesPerTrigger = None)
+
+  /** [[streamTransformWithState]] over an arbitrary parquet stream dir —
+    * the [[streamForeachbatchUpsertFrom]] convention: `rawEvents = true`
+    * reads the sf dir's events file (probed ts type); `rawEvents =
+    * false` reads micros-TIMESTAMP re-exports; `filesPerTrigger` forces
+    * a multi-micro-batch drain so specs can prove the ValueState
+    * carries across batches. */
+  def streamTransformWithStateFrom(spark: SparkSession, dir: String,
+      rawEvents: Boolean, filesPerTrigger: Option[Int]): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src =
+        if (rawEvents) streamEvents(spark, dir)
+        else {
+          val reader1 = spark.readStream.schema(StructType.fromDDL(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+              "event_type STRING, value DOUBLE, props STRING"))
+          filesPerTrigger.fold(reader1)(n =>
+            reader1.option("maxFilesPerTrigger", n)).parquet(dir)
+        }
+      val ds: Dataset[Ev] = src
+        .select(col("user_id"), col("ts"), col("value")).as[Ev]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new RunningProfileProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      drain(spark, out.toDF(), OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max_by(col("sum_value"), col("n_events"))
+            .cast("float").as("sum_value"),
+          max(col("last_ts")).as("last_ts"))
+        .orderBy(col("user_id"))
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
+  }
 }

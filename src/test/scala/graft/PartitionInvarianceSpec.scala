@@ -122,7 +122,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "ts_interval_union island fold" ->
       (() => graft.query.Analytics5.tsIntervalUnion(spark, sf)),
     "join_edit_distance deletion-key blocking" ->
-      (() => graft.query.Analytics5.joinEditDistance(spark, sf)))
+      (() => graft.query.Analytics5.joinEditDistance(spark, sf)),
+    "stream_transform_with_state RocksDB ValueState" ->
+      (() => graft.streaming.StreamQueries.streamTransformWithState(spark, sf)))
 
   private def collectAt(partitions: Int, build: () => DataFrame): Seq[String] = {
     val key = "spark.sql.shuffle.partitions"

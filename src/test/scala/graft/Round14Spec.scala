@@ -278,4 +278,32 @@ class Round14Spec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == expect, s"got $got vs $expect")
   }
+
+  test("transformWithState: full drain equals batch; state carries across micro-batches") {
+    import graft.streaming.StreamQueries
+    val batch = Schemas.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).cast("float").as("sum_value"),
+        max(col("ts")).as("last_ts"))
+      .orderBy(col("user_id")).collect()
+    val single = StreamQueries.streamTransformWithState(spark, sf).collect()
+    assert(single.toSeq == batch.toSeq)
+    // 3 files, 1 per micro-batch: the RocksDB ValueState must carry the
+    // running (n, sum, max) across batches for the final emission per
+    // key to equal the batch aggregate
+    val splitDir = java.nio.file.Files
+      .createTempDirectory("graft-tws-split").toString
+    Schemas.events(spark, sf)
+      .select(col("event_id"),
+        expr("timestamp_micros(unix_micros(ts)) AS ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .repartition(3, col("event_id"))
+      .write.mode("overwrite").parquet(splitDir)
+    val multi = StreamQueries.streamTransformWithStateFrom(
+      spark, splitDir, rawEvents = false, filesPerTrigger = Some(1))
+      .collect()
+    assert(multi.toSeq == batch.toSeq,
+      "multi-batch drain must equal the batch aggregate")
+  }
 }
