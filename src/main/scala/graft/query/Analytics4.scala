@@ -840,21 +840,65 @@ object Analytics4 {
     * the histogram exact over retrieved neighborhoods. Ranks are
     * per-query bounded windows; the in-degree rollup and histogram are
     * map-side-combined counts. */
-  def embHubnessStats(spark: SparkSession, dir: String,
-      k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  // (ids, flat matrix, dim) broadcasts per (dir, fingerprint) — pass 2
+  // of a bench run must not re-collect the corpus
+  private val hubMatCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.broadcast.Broadcast[Array[Long]],
+      org.apache.spark.broadcast.Broadcast[Array[Float]], Int)]()
+
+  def embHubnessStats(spark: SparkSession, dir: String, k: Int = 5,
+      matrixGateBytes: Long = 64L << 20): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
     val emb = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val ranked = emb.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        expr("float_dot(embedding, qe)").as("dot"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("dot").desc,
-          col("vec_id"))))
-      .filter(col("r") <= k)
+    val dim = emb.select(size(col("embedding"))).limit(1)
+      .collect()(0).getInt(0)
+    val n = emb.count()
+    // Matrix path gate: brute-force reverse-kNN is only defensible while
+    // the corpus broadcasts (the cross-join form needed broadcast(q)
+    // just the same); past the gate, fall back to the map-side-
+    // combinable top-k aggregate — still exact, no n²-row shuffle.
+    // Spec hook: Round14Spec forces the fallback with gate 0 and proves
+    // both paths byte-identical.
+    val ranked = if (n * dim * 4L <= matrixGateBytes) {
+      val (bIds, bMat, _) = graft.schema.Schemas.evictingComputeIfAbsent(
+        hubMatCache, s"$dir/embeddings.parquet",
+        graft.schema.Schemas.fingerprint(s"$dir/embeddings.parquet")) {
+        val rows = emb.collect()
+        val ids = new Array[Long](rows.length)
+        val mat = new Array[Float](rows.length * dim)
+        var j = 0
+        rows.foreach { r =>
+          ids(j) = r.getLong(0)
+          val v = r.getSeq[Float](1)
+          var i = 0
+          while (i < dim) { mat(j * dim + i) = v(i); i += 1 }
+          j += 1
+        }
+        (spark.sparkContext.broadcast(ids),
+          spark.sparkContext.broadcast(mat), dim)
+      } { case (i0, m0, _) => i0.destroy(); m0.destroy() }
+      // temp-function builder closes over THIS corpus' broadcasts;
+      // Datasets analyze eagerly on creation, so the select below binds
+      // the current registration permanently — later re-registrations
+      // for another dir cannot retarget it
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_topk_dot_ids",
+        exprs => graft.functions.TopKDotIds(exprs(0), exprs(1),
+          bIds, bMat, dim, k), "scala_udf")
+      emb.select(
+        explode(expr("graft_topk_dot_ids(embedding, vec_id)")).as("vec_id"))
+    } else {
+      val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val topk = udaf(new graft.functions.TopKByScore(k))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          expr("float_dot(embedding, qe)").as("dot"), col("vec_id"))
+        .groupBy(col("qid"))
+        .agg(topk(col("dot"), col("vec_id")).as("nn"))
+        .select(explode(col("nn")).as("vec_id"))
+    }
     val indeg = ranked.groupBy(col("vec_id"))
       .agg(count(lit(1)).as("in_degree"))
     // vectors never retrieved have in-degree 0 — keep them via the left

@@ -306,4 +306,17 @@ class Round14Spec extends SparkSpec {
     assert(multi.toSeq == batch.toSeq,
       "multi-batch drain must equal the batch aggregate")
   }
+
+  test("emb_hubness_stats: matrix path and top-k-aggregate fallback agree") {
+    import graft.query.Analytics4
+    val matrix = Analytics4.embHubnessStats(spark, sf).collect().toSeq
+    val fallback = Analytics4
+      .embHubnessStats(spark, sf, matrixGateBytes = 0L).collect().toSeq
+    assert(matrix == fallback,
+      s"matrix ${matrix.take(3)} vs aggregate ${fallback.take(3)}")
+    // histogram mass conserves the corpus
+    val total = matrix.map(_.getLong(1)).sum
+    val nVec = Schemas.table(spark, sf, "embeddings").count()
+    assert(total == nVec)
+  }
 }
