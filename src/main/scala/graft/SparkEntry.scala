@@ -500,6 +500,13 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Analytics5.aggHistogramQuantiles(s, d)),
     "sql_inactive_customers" -> Analytics5.sqlInactiveCustomers _,
     "stream_transform_with_state" -> StreamQueries.streamTransformWithState _,
+    "sql_priority_returns"   -> Analytics5.sqlPriorityReturns _,
+    "quality_lang_confusion" -> Analytics5.qualityLangConfusion _,
+    "agg_dow_hour_grid"      -> Analytics5.aggDowHourGrid _,
+    "graph_two_hop_reach"    -> Analytics5.graphTwoHopReach _,
+    "privacy_dp_counts"      ->
+      ((s: SparkSession, d: String) => Analytics5.privacyDpCounts(s, d)),
+    "corpus_mix_weights"     -> Analytics5.corpusMixWeights _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4908,6 +4915,92 @@ object SparkEntry {
         |  CAST(sum(value) AS REAL) AS sum_value,
         |  max(ts) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "sql_priority_returns" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the langid oracle wrapped in the confusion rollup — same scoring
+    "quality_lang_confusion" ->
+      """WITH u AS (SELECT doc_id, lang,
+        |    list_distinct(string_split(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS t
+        |  FROM documents),
+        |scores AS (SELECT doc_id, lang,
+        |    CAST(len(list_intersect(t, ['der','die','das','und','ist','von','ein','eine','zu','mit'])) AS DOUBLE) / 10.0 AS s_de,
+        |    CAST(len(list_intersect(t, ['the','a','of','and','to','in','is','that','it','for'])) AS DOUBLE) / 10.0 AS s_en,
+        |    CAST(len(list_intersect(t, ['el','la','de','que','y','en','un','una','es','por'])) AS DOUBLE) / 10.0 AS s_es,
+        |    CAST(len(list_intersect(t, ['le','la','de','et','les','des','un','une','est','dans'])) AS DOUBLE) / 10.0 AS s_fr,
+        |    CAST(len(list_intersect(t, ['de','shi','bu','le','zai','ren','you','wo','ta','zhe'])) AS DOUBLE) / 10.0 AS s_zh
+        |  FROM u),
+        |det AS (
+        |  SELECT lang AS lang_labeled,
+        |    CASE WHEN m = 0 THEN 'und'
+        |         WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+        |         WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+        |         ELSE 'de' END AS lang_detected
+        |  FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m
+        |        FROM scores)
+        |)
+        |SELECT lang_labeled, lang_detected,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM det GROUP BY 1, 2
+        |ORDER BY lang_labeled, lang_detected""".stripMargin,
+    "agg_dow_hour_grid" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, user_id FROM events
+        |)
+        |SELECT CAST((us // 86400000000 + 4) % 7 AS INT) AS dow,
+        |  CAST((us % 86400000000) // 3600000000 AS INT) AS hour,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
+    "graph_two_hop_reach" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), edges AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), sym AS (
+        |  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+        |), cohort AS (SELECT u, v FROM sym WHERE u % 16 = 0),
+        |hop1 AS (SELECT u AS src, v AS reach FROM cohort),
+        |hop2 AS (
+        |  SELECT a.u AS src, b.v AS reach
+        |  FROM cohort a JOIN sym b ON a.v = b.u WHERE b.v <> a.u
+        |)
+        |SELECT src, CAST(count(DISTINCT reach) AS BIGINT) AS reach_2hop
+        |FROM (SELECT * FROM hop1 UNION ALL SELECT * FROM hop2)
+        |GROUP BY src ORDER BY src""".stripMargin,
+    "privacy_dp_counts" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS exact_count
+        |  FROM customer GROUP BY c_nationkey
+        |), n AS (
+        |  SELECT *,
+        |    (CAST('0x' || substr(md5('dp:' || CAST(c_nationkey AS VARCHAR)),
+        |       1, 15) AS BIGINT) + 0.5) / 1152921504606846976.0 - 0.5 AS p
+        |  FROM c
+        |)
+        |SELECT c_nationkey, exact_count,
+        |  CAST(-sign(p) * ln(1.0 - abs(p) * 2.0) AS REAL) AS noise,
+        |  CAST(exact_count + (-sign(p) * ln(1.0 - abs(p) * 2.0)) AS REAL)
+        |    AS noisy_count
+        |FROM n ORDER BY c_nationkey""".stripMargin,
+    "corpus_mix_weights" ->
+      """WITH p AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang
+        |), t AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS n_langs FROM p
+        |)
+        |SELECT lang, n_docs,
+        |  CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+        |  CAST(n_total AS DOUBLE) / CAST(n_langs * n_docs AS DOUBLE)
+        |    AS weight
+        |FROM p, t ORDER BY lang""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

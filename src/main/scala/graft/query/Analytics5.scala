@@ -541,4 +541,132 @@ object Analytics5 {
         sum(col("c_acctbal")).cast("float").as("totacctbal"))
       .orderBy(col("c_nationkey"))
   }
+
+  /** Orders with at least one returned line, counted per order priority
+    * — the TPC-H Q4 shape (EXISTS-correlated subquery → left-semi
+    * join) on this schema's columns.
+    *
+    * Scale shape: the fact side is filtered and key-projected BEFORE
+    * the semi-join, so the join carries returned orderkeys only; the
+    * rollup key is tiny. */
+  def sqlPriorityReturns(spark: SparkSession, dir: String): DataFrame = {
+    val returned = table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    table(spark, dir, "orders")
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Language-ID quality audit: confusion counts of detected vs labeled
+    * language over the corpus — the eval loop that decides whether the
+    * n-gram heuristic ([[TextAnalysis.textLangid]]) is good enough to
+    * gate ingestion on. Composes the langid operator unchanged, so the
+    * confusion matrix can never drift from what the filter actually
+    * does.
+    *
+    * Scale shape: whatever langid costs plus one tiny-key aggregate. */
+  def qualityLangConfusion(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textLangId(spark, dir)
+      .groupBy(col("lang_labeled"), col("lang_detected"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_labeled"), col("lang_detected"))
+
+  /** Event activity grid by (day-of-week, hour): the ops heat-map
+    * behind capacity planning. Both axes come from INTEGER epoch-micros
+    * arithmetic ((days+4) mod 7 pins Thursday=1970-01-01 with
+    * 0=Sunday) — calendar functions differ across engines on week
+    * origin, integer arithmetic cannot.
+    *
+    * Scale shape: per-row codegen arithmetic into a 168-key map-side-
+    * combined aggregate. */
+  def aggDowHourGrid(spark: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val day = lit(86400000000L)
+    graft.schema.Schemas.events(spark, dir)
+      .select(((us - pmod(us, day)) / day % 7 + 4).cast("long").as("d0"),
+        (pmod(us, day) / lit(3600000000L)).cast("int").as("hour"),
+        col("user_id"))
+      .select(pmod(col("d0"), lit(7)).cast("int").as("dow"), col("hour"),
+        col("user_id"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  /** Distinct ≤2-hop reach per cohort vertex of the co-purchase graph
+    * (friend-of-friend audience size): neighbors ∪
+    * neighbors-of-neighbors, self excluded. Cohort-sampled by the
+    * [[Analytics4.graphCommonNeighbors]] `pk % 16` rule — the full
+    * per-vertex enumeration is quadratic in degree and is exactly what
+    * a 100 TB deployment runs on a cohort, not the corpus.
+    *
+    * Scale shape: one wedge equi-join from the cohort's edges through
+    * the shared sym index, one distinct aggregate on the (uniform)
+    * cohort vertex. */
+  def graphTwoHopReach(spark: SparkSession, dir: String): DataFrame = {
+    val sym = Analytics.copurchaseEdgesSym(spark, dir)
+    val cohort = sym.filter(col("u") % 16 === 0)
+    val oneHop = cohort.select(col("u").as("src"), col("v").as("reach"))
+    val twoHop = cohort.as("a")
+      .join(sym.as("b"), col("a.v") === col("b.u"))
+      .filter(col("b.v") =!= col("a.u"))
+      .select(col("a.u").as("src"), col("b.v").as("reach"))
+    oneHop.unionAll(twoHop)
+      .groupBy(col("src"))
+      .agg(countDistinct(col("reach")).as("reach_2hop"))
+      .orderBy(col("src"))
+  }
+
+  /** Laplace-mechanism noised counts per nation (ε = 1): noise drawn by
+    * inverse-CDF from the md5-derived uniform, so the mechanism SHAPE
+    * is deterministic and oracle-replayable. Demo grain: the exact
+    * count ships beside the noised one to make the calibration
+    * auditable — a real ε-DP release emits ONLY `noisy_count` (and a
+    * fresh, non-derivable draw); this operator documents the plumbing
+    * a private-aggregation pipeline drops in.
+    *
+    * Scale shape: one tiny-key aggregate; noise is per-GROUP scalar
+    * arithmetic. */
+  def privacyDpCounts(spark: SparkSession, dir: String,
+      epsilon: Double = 1.0): DataFrame = {
+    // u ∈ (0,1) strictly: +0.5 keeps both ln() args positive
+    val u = (Dedup.hash60(concat(lit("dp:"), col("c_nationkey")))
+      .cast("double") + 0.5) / lit(1152921504606846976.0)
+    val p = u - 0.5
+    val noise = (-signum(p) / epsilon) * log(lit(1.0) - abs(p) * 2.0)
+    table(spark, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("exact_count"))
+      .withColumn("noise", noise.cast("float"))
+      .withColumn("noisy_count",
+        (col("exact_count") + noise).cast("float"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Per-language resampling weights that rebalance the corpus toward a
+    * uniform language mix: weight_h = target/share_h = N/(L·n_h),
+    * computed as ONE exact integer-rational division (never the
+    * float-share chain t/s whose intermediate rounding differs by
+    * association). The knob a corpus-mix pipeline multiplies into
+    * per-doc sampling probabilities ([[corpusSampleStratified]] draws
+    * with it).
+    *
+    * Scale shape: one tiny-key aggregate + a broadcast 1-row total. */
+  def corpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = table(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = perLang.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("share"),
+        (col("n_total").cast("double") /
+          (col("n_langs") * col("n_docs")).cast("double")).as("weight"))
+      .orderBy(col("lang"))
+  }
 }

@@ -307,6 +307,76 @@ class Round14Spec extends SparkSpec {
       "multi-batch drain must equal the batch aggregate")
   }
 
+  test("quality_lang_confusion: mass equals the corpus") {
+    val rows = Analytics5.qualityLangConfusion(spark, sf).collect()
+    val total = Schemas.table(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    val langs = Schemas.table(spark, sf, "documents")
+      .select(col("lang")).distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet.subsetOf(langs))
+  }
+
+  test("agg_dow_hour_grid: bounded axes, mass equals events") {
+    val rows = Analytics5.aggDowHourGrid(spark, sf).collect()
+    assert(rows.length <= 168)
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 6)
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 23)
+      assert(r.getLong(3) <= r.getLong(2), "users <= events per cell")
+    }
+    assert(rows.map(_.getLong(2)).sum == Schemas.events(spark, sf).count())
+  }
+
+  test("graph_two_hop_reach: reach dominates the 1-hop degree") {
+    val li = Schemas.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    val deg = edges.select(col("u")).unionAll(edges.select(col("v")))
+      .filter(col("u") % 16 === 0)
+      .groupBy(col("u")).agg(count(lit(1)).as("deg")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reach = Analytics5.graphTwoHopReach(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reach.keySet == deg.keySet)
+    reach.foreach { case (v, r) =>
+      assert(r >= deg(v), s"vertex $v: 2-hop reach $r < degree ${deg(v)}")
+    }
+  }
+
+  test("privacy_dp_counts: noise reconciles, exact counts exact") {
+    val rows = Analytics5.privacyDpCounts(spark, sf).collect()
+    val exact = Schemas.table(spark, sf, "customer")
+      .groupBy(col("c_nationkey")).agg(count(lit(1))).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getInt(0)))
+      assert(math.abs(r.getLong(1) + r.getFloat(2) - r.getFloat(3)) < 1e-2f)
+    }
+  }
+
+  test("corpus_mix_weights: shares sum to 1, weight inverts the share") {
+    val rows = Analytics5.corpusMixWeights(spark, sf).collect()
+    val l = rows.length
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) * r.getDouble(2) - 1.0 / l) < 1e-12)
+    }
+  }
+
+  test("sql_priority_returns: total equals distinct returned orders") {
+    val total = Analytics5.sqlPriorityReturns(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    val expect = Schemas.table(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(Schemas.table(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey")).distinct().count()
+    assert(total == expect)
+  }
+
   test("emb_hubness_stats: matrix path and top-k-aggregate fallback agree") {
     import graft.query.Analytics4
     val matrix = Analytics4.embHubnessStats(spark, sf).collect().toSeq
