@@ -240,13 +240,13 @@ object Analytics {
     * blocks (the [[graft.schema.Schemas.fingerprint]] discipline), and
     * the SUPERSEDED generation is unpersisted on the rebuild
     * ([[graft.schema.Schemas.evictingComputeIfAbsent]]). */
-  private def gkey(dir: String, suffix: String): String = s"$dir#$suffix"
+  private[query] def gkey(dir: String, suffix: String): String = s"$dir#$suffix"
 
   /** Build-once persisted component. The build is materialized (count)
     * inside the insert so every later use reads warm blocks. Dependent
     * components are resolved BEFORE their own computeIfAbsent — a
     * recursive update of one ConcurrentHashMap is illegal. */
-  private def cachedDf(spark: SparkSession, key: String)
+  private[query] def cachedDf(spark: SparkSession, key: String)
       (build: => DataFrame): DataFrame = {
     val m = graphCache.synchronized {
       var mm = graphCache.get(spark)

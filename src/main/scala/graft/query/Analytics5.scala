@@ -269,8 +269,20 @@ object Analytics5 {
     * auto-broadcast under AQE) survivor set — never an edge self-join. */
   def graphKcore(spark: SparkSession, dir: String,
       rounds: Int = 3): DataFrame = {
+    // base indexes resolve OUTSIDE the cache thunk — a nested cachedDf
+    // lookup inside the build is a recursive ConcurrentHashMap update
     val sym0 = Analytics.copurchaseEdgesSym(spark, dir)
     val deg0 = Analytics.copurchaseDeg(spark, dir)
+    // the decomposition is a derived graph INDEX (core membership +
+    // induced degree) — persisted per corpus generation like the sym /
+    // degree / wedges indexes it reads, and evicted with them
+    Analytics.cachedDf(spark, Analytics.gkey(dir, s"kcore$rounds")) {
+      graphKcoreBuild(sym0, deg0, rounds)
+    }
+  }
+
+  private def graphKcoreBuild(sym0: DataFrame, deg0: DataFrame,
+      rounds: Int): DataFrame = {
     // exact interpolated percentile of integer degrees: both engines
     // lerp a + f·(b−a) over the sorted multiset, bit-exact either
     // side. Resolved to a DRIVER SCALAR once over the CACHED degree
