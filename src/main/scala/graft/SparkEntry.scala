@@ -507,6 +507,10 @@ object SparkEntry {
     "privacy_dp_counts"      ->
       ((s: SparkSession, d: String) => Analytics5.privacyDpCounts(s, d)),
     "corpus_mix_weights"     -> Analytics5.corpusMixWeights _,
+    "eval_ks_test"           -> Analytics5.evalKsTest _,
+    "sql_monthly_cum_revenue" -> Analytics5.sqlMonthlyCumRevenue _,
+    "stream_idle_timeout"    ->
+      ((s: SparkSession, d: String) => StreamQueries.streamIdleTimeout(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5001,6 +5005,56 @@ object SparkEntry {
         |  CAST(n_total AS DOUBLE) / CAST(n_langs * n_docs AS DOUBLE)
         |    AS weight
         |FROM p, t ORDER BY lang""".stripMargin,
+    "eval_ks_test" ->
+      """WITH pv AS (
+        |  SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY value
+        |), t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM pv),
+        |c AS (
+        |  SELECT value,
+        |    sum(na) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(nb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM pv
+        |)
+        |SELECT CAST(ta AS BIGINT) AS n_click, CAST(tb AS BIGINT)
+        |    AS n_purchase,
+        |  max(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+        |    - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))) AS ks_stat
+        |FROM c, t GROUP BY ta, tb""".stripMargin,
+    "sql_monthly_cum_revenue" ->
+      """WITH m AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+        |      + EXTRACT(month FROM o_orderdate) AS INT) AS ym,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS revenue_cents
+        |  FROM orders GROUP BY 1
+        |), t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS total_cents
+        |  FROM m)
+        |SELECT ym, revenue_cents,
+        |  CAST(sum(revenue_cents) OVER (ORDER BY ym
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_cents,
+        |  CAST(sum(revenue_cents) OVER (ORDER BY ym
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(total_cents AS DOUBLE) AS cum_share
+        |FROM m, t ORDER BY ym""".stripMargin,
+    // timer contract: emitted = users idle >= gap behind the final
+    // watermark, all in the engine's millisecond-floor arithmetic
+    "stream_idle_timeout" ->
+      """WITH wm AS (
+        |  SELECT max(epoch_us(ts)) // 1000 - 600000 AS w FROM events
+        |), u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    max(ts) AS idle_since FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, n_events, idle_since FROM u, wm
+        |WHERE epoch_us(idle_since) // 1000 + 1800000 <= w
+        |ORDER BY user_id""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

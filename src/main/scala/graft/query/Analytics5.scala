@@ -659,6 +659,71 @@ object Analytics5 {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the `value`
+    * distributions of click and purchase events: D = max |F_a − F_b|
+    * over the pooled sample, with ties handled at distinct-value grain
+    * (both CDFs step together on a shared value). The
+    * distribution-shift test a feature monitor runs beside [[driftPsi]]
+    * when binning is too coarse. All CDF terms are exact integer
+    * rationals, so D is bit-deterministic.
+    *
+    * Scale shape: one tiny-key pre-aggregation to DISTINCT pooled
+    * values, then one ordered prefix window over that (bounded) value
+    * grain — the [[Analytics4.evalPrAuc]] argument: one KS-tests a
+    * model's eval split, not the corpus; per-segment KS partitions the
+    * same window by segment. */
+  def evalKsTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.schema.Schemas.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"))
+    val perValue = e.groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("na"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("nb"))
+    val tot = perValue.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .select(col("value"), sum(col("na")).over(w).as("ca"),
+        sum(col("nb")).over(w).as("cb"))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("ca").cast("double") / col("ta").cast("double")
+        - col("cb").cast("double") / col("tb").cast("double")).as("d"),
+        col("ta"), col("tb"))
+      .groupBy(col("ta").as("n_click"), col("tb").as("n_purchase"))
+      .agg(max(col("d")).as("ks_stat"))
+      .select(col("n_click"), col("n_purchase"), col("ks_stat"))
+  }
+
+  /** Monthly revenue rollup with running cumulative share — the
+    * finance-calendar pacing report. Money is exact cents; the month
+    * key is EXTRACT-based (year/month have no engine-origin ambiguity,
+    * unlike week); only the final share division leaves integers.
+    *
+    * Scale shape: one map-side-combined aggregate onto the (tiny)
+    * month grain, then a window over months — at any corpus size the
+    * window input is #months rows. */
+  def sqlMonthlyCumRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = table(spark, dir, "orders")
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("ym"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("ym"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+    val tot = monthly.agg(sum(col("revenue_cents")).as("total_cents"))
+    val w = Window.orderBy(col("ym"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .select(col("ym"), col("revenue_cents"),
+        sum(col("revenue_cents")).over(w).as("cum_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("ym"), col("revenue_cents"), col("cum_cents"),
+        (col("cum_cents").cast("double") / col("total_cents").cast("double"))
+          .as("cum_share"))
+      .orderBy(col("ym"))
+  }
+
   /** Per-language resampling weights that rebalance the corpus toward a
     * uniform language mix: weight_h = target/share_h = N/(L·n_h),
     * computed as ONE exact integer-rational division (never the

@@ -648,6 +648,95 @@ object StreamQueries {
     }
   }
 
+  case class IdleRow(user_id: Long, n_events: Long,
+    idle_since: java.sql.Timestamp)
+
+  /** Event-time-timer processor for [[streamIdleTimeout]]: every batch
+    * refreshes the key's (count, last-seen) state and re-arms ONE timer
+    * at last-seen + gap; when the WATERMARK crosses that expiry the
+    * timer fires, the key is emitted as idle, and its state clears.
+    * Stale timers (an older batch's arm that a newer event superseded)
+    * are deleted on re-arm and double-checked against state at expiry —
+    * the standard guard, since timer delivery is at-least-once across
+    * re-arms. Timers live at WATERMARK (ms) precision; the oracle
+    * replays the same ms-floor arithmetic. */
+  private class IdleTimeoutProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, IdleRow] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[TwsState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TwsState]("idle",
+        org.apache.spark.sql.Encoders.product[TwsState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[IdleRow] = {
+      var s = if (st.exists()) st.get() else TwsState(0L, 0.0, Long.MinValue)
+      rows.foreach { e =>
+        val us = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+        s = TwsState(s.n + 1, 0.0, math.max(s.maxTs, us))
+      }
+      st.update(s)
+      getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(s.maxTs / 1000 + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[IdleRow] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val s = st.get()
+        // a re-armed (later) timer owns the emission; ignore stale fires
+        if (expiredTimerInfo.getExpiryTimeInMs() < s.maxTs / 1000 + gapMs)
+          Iterator.empty
+        else {
+          st.clear()
+          val out = new java.sql.Timestamp(Math.floorDiv(s.maxTs, 1000000L) * 1000)
+          out.setNanos((Math.floorMod(s.maxTs, 1000000L) * 1000).toInt)
+          Iterator.single(IdleRow(key, s.n, out))
+        }
+      }
+    }
+  }
+
+  /** Idle-key detection via transformWithState EVENT-TIME TIMERS: a
+    * user whose last event is ≥ 30 minutes (event time) behind the
+    * watermark is emitted once with their lifetime event count and
+    * last-seen timestamp, and their state is freed — the timer-driven
+    * state-expiry pattern (abandoned-cart / session-timeout alerts)
+    * that polling-free streaming pipelines build on. Companion of
+    * [[streamTransformWithState]]: that one exercises ValueState
+    * update-per-batch, this one the timer callback surface.
+    *
+    * Oracle contract: after a full drain the emitted set is exactly the
+    * users with last-seen + gap ≤ final watermark (max event time −
+    * 10 min delay), all in WATERMARK (millisecond-floor) arithmetic —
+    * the batch-replayable form of "the timer fired before the stream
+    * drained". Scale shape: one ValueState cell + one armed timer per
+    * key in RocksDB; expiry walks only the timer column family, never
+    * the keyspace. */
+  def streamIdleTimeout(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30, delayMinutes: Int = 10): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds: Dataset[Ev] = streamEvents(spark, dir)
+        .withWatermark("ts", s"$delayMinutes minutes")
+        .select(col("user_id"), col("ts"), col("value")).as[Ev]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new IdleTimeoutProcessor(gapMinutes * 60000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+      drain(spark, out.toDF(), OutputMode.Append())
+        .orderBy(col("user_id"))
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
+  }
+
   /** Per-user running (count, sum, last-seen) via Spark 4's
     * transformWithState — the arbitrary-state processor API with typed
     * ValueState on the RocksDB state-store provider (transformWithState

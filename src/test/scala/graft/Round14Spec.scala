@@ -377,6 +377,52 @@ class Round14Spec extends SparkSpec {
     assert(total == expect)
   }
 
+  test("stream_idle_timeout: timers emit exactly the watermark-idle users") {
+    import graft.streaming.StreamQueries
+    val got = StreamQueries.streamIdleTimeout(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // driver replay of the ms-floor timer contract
+    val perUser = Schemas.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(unix_micros(col("ts"))).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wm = perUser.map(_._3).max / 1000 - 600000L
+    val expect = perUser
+      .filter { case (_, _, mx) => mx / 1000 + 1800000L <= wm }
+      .map(t => t._1 -> t._2).toMap
+    assert(got == expect)
+    // the gate is genuinely exercised: some users idle, some still live
+    assert(expect.nonEmpty && expect.size < perUser.length,
+      s"${expect.size} of ${perUser.length} idle")
+  }
+
+  test("eval_ks_test: driver brute-force replay, D in [0,1]") {
+    val r = Analytics5.evalKsTest(spark, sf).collect()(0)
+    val (na, nb, d) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(d >= 0.0 && d <= 1.0)
+    val rows = Schemas.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val a = rows.filter(_._1 == "click").map(_._2).sorted
+    val b = rows.filter(_._1 == "purchase").map(_._2).sorted
+    assert(na == a.length && nb == b.length)
+    val pooled = (a ++ b).distinct.sorted
+    val dBrute = pooled.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.length
+        - b.count(_ <= v).toDouble / b.length)
+    }.max
+    assert(math.abs(d - dBrute) < 1e-12, s"$d vs $dBrute")
+  }
+
+  test("sql_monthly_cum_revenue: monotone cumulative closing at share 1") {
+    val rows = Analytics5.sqlMonthlyCumRevenue(spark, sf).collect()
+    val cums = rows.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (x, y) => x < y })
+    assert(rows.last.getDouble(3) == 1.0)
+    assert(rows.map(_.getLong(1)).sum == rows.last.getLong(2))
+  }
+
   test("emb_hubness_stats: matrix path and top-k-aggregate fallback agree") {
     import graft.query.Analytics4
     val matrix = Analytics4.embHubnessStats(spark, sf).collect().toSeq
