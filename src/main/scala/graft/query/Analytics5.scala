@@ -620,17 +620,22 @@ object Analytics5 {
     * the shared sym index, one distinct aggregate on the (uniform)
     * cohort vertex. */
   def graphTwoHopReach(spark: SparkSession, dir: String): DataFrame = {
+    // base index OUTSIDE the cache thunk (recursive-update rule)
     val sym = Analytics.copurchaseEdgesSym(spark, dir)
-    val cohort = sym.filter(col("u") % 16 === 0)
-    val oneHop = cohort.select(col("u").as("src"), col("v").as("reach"))
-    val twoHop = cohort.as("a")
-      .join(sym.as("b"), col("a.v") === col("b.u"))
-      .filter(col("b.v") =!= col("a.u"))
-      .select(col("a.u").as("src"), col("b.v").as("reach"))
-    oneHop.unionAll(twoHop)
-      .groupBy(col("src"))
-      .agg(countDistinct(col("reach")).as("reach_2hop"))
-      .orderBy(col("src"))
+    // reach counts are a derived graph index (the audience-size table
+    // serving repeated lookups) — persisted per corpus generation
+    Analytics.cachedDf(spark, Analytics.gkey(dir, "reach2")) {
+      val cohort = sym.filter(col("u") % 16 === 0)
+      val oneHop = cohort.select(col("u").as("src"), col("v").as("reach"))
+      val twoHop = cohort.as("a")
+        .join(sym.as("b"), col("a.v") === col("b.u"))
+        .filter(col("b.v") =!= col("a.u"))
+        .select(col("a.u").as("src"), col("b.v").as("reach"))
+      oneHop.unionAll(twoHop)
+        .groupBy(col("src"))
+        .agg(countDistinct(col("reach")).as("reach_2hop"))
+        .orderBy(col("src"))
+    }
   }
 
   /** Laplace-mechanism noised counts per nation (ε = 1): noise drawn by

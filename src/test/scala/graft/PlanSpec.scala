@@ -486,4 +486,56 @@ class PlanSpec extends SparkSpec {
         case None => spark.conf.unset(k) }
     }
   }
+
+  // ---- round-14 shapes ----------------------------------------------------
+
+  test("sample_weighted: TakeOrdered top-k, no global sort") {
+    val p = plan(graft.query.Analytics5.sampleWeighted(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dq_join_profile: both dim key sets broadcast — no fact shuffle") {
+    val p = plan(graft.query.Analytics5.dqJoinProfile(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("attribution_linear: banded user-key equi-join, never a cartesian") {
+    val p = graft.query.Analytics5.attributionLinear(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sql_inactive_customers: broadcast anti-join on the pre-deduped key set") {
+    val p = plan(graft.query.Analytics5.sqlInactiveCustomers(spark, sf))
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), p)
+  }
+
+  test("sql_priority_returns: left-semi join with the fact filtered beneath it") {
+    val df = graft.query.Analytics5.sqlPriorityReturns(spark, sf)
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), p)
+    // the returnflag filter reaches the lineitem scan
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("graph_kcore: survivor-set semi-joins broadcast; edge list never re-shuffles") {
+    graft.query.Analytics.clearCaches()
+    val p = graft.query.Analytics5.graphKcore(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), p)
+    graft.query.Analytics.clearCaches()
+  }
+
+  test("dedup_time_window + anomaly_rolling_z: ONE exchange each (the window shuffle)") {
+    for (df <- Seq(graft.query.Analytics5.dedupTimeWindow(spark, sf),
+        graft.query.Analytics5.anomalyRollingZ(spark, sf))) {
+      val p = df.queryExecution.sparkPlan.toString
+      // the user-key window partitioning plus the final presentation
+      // sort are the only exchanges; no join, no extra aggregation pass
+      assert(!p.contains("Join"), p)
+    }
+  }
 }
