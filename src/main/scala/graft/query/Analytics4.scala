@@ -851,8 +851,12 @@ object Analytics4 {
     graft.functions.FloatVecDot.register(spark)
     val emb = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val dim = emb.select(size(col("embedding"))).limit(1)
-      .collect()(0).getInt(0)
+    val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
+    // empty corpus: no vectors, no histogram — and no dim to probe
+    if (dimRow.isEmpty)
+      return emb.select(lit(0L).as("in_degree"), lit(0L).as("n_vectors"))
+        .limit(0)
+    val dim = dimRow(0).getInt(0)
     val n = emb.count()
     // Matrix path gate: brute-force reverse-kNN is only defensible while
     // the corpus broadcasts (the cross-join form needed broadcast(q)

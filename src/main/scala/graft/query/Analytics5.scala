@@ -190,8 +190,10 @@ object Analytics5 {
         .select(lit(rel).as("relationship"), col("child_rows"),
           col("matched_rows"), col("orphan_rows"),
           col("distinct_child_keys"),
-          (col("matched_rows").cast("double") /
-            col("child_rows").cast("double")).as("match_rate"))
+          // ANSI 0/0 throws; an empty child has no defined match rate
+          when(col("child_rows") === 0, lit(null).cast("double"))
+            .otherwise(col("matched_rows").cast("double") /
+              col("child_rows").cast("double")).as("match_rate"))
     profile("orders->customer", table(spark, dir, "orders"), "o_custkey",
         table(spark, dir, "customer").select(col("c_custkey").as("pk")))
       .unionAll(profile("lineitem->part", table(spark, dir, "lineitem"),
@@ -283,13 +285,19 @@ object Analytics5 {
 
   private def graphKcoreBuild(sym0: DataFrame, deg0: DataFrame,
       rounds: Int): DataFrame = {
+    // empty graph: percentile aggregates to null — return the empty
+    // decomposition rather than unboxing it
+    val kRow = deg0.agg(percentile(col("deg").cast("double"), lit(0.1)))
+      .collect()(0)
+    if (kRow.isNullAt(0))
+      return sym0.select(col("u").as("vertex"), lit(0L).as("core_degree"))
+        .limit(0)
     // exact interpolated percentile of integer degrees: both engines
     // lerp a + f·(b−a) over the sorted multiset, bit-exact either
     // side. Resolved to a DRIVER SCALAR once over the CACHED degree
     // index (the BM25 scalar-constant discipline): left as a subplan,
     // every peel round re-aggregates the base index under it.
-    val k = deg0.agg(percentile(col("deg").cast("double"), lit(0.1)))
-      .collect()(0).getDouble(0)
+    val k = kRow.getDouble(0)
     // The iterated state is the |V|-sized ALIVE SET, not the edge list:
     // an unmaterialized round-N plan re-evaluates round N-1 three times
     // (exponential re-execution: 15.8 s measured), and materializing
@@ -494,9 +502,12 @@ object Analytics5 {
     val x = table(spark, dir, "lineitem").select(col("l_extendedprice").as("x"))
     val ext = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
     val counts = x.crossJoin(broadcast(ext))
-      .select(least(greatest(
-        floor((col("x") - col("lo")) * bins / (col("hi") - col("lo")))
-          .cast("int"), lit(0)), lit(bins - 1)).as("bin"),
+      // hi == lo (constant column / single row): everything is bin 0 —
+      // ANSI would throw on the zero-width division
+      .select(when(col("hi") === col("lo"), lit(0)).otherwise(
+        least(greatest(
+          floor((col("x") - col("lo")) * bins / (col("hi") - col("lo")))
+            .cast("int"), lit(0)), lit(bins - 1))).as("bin"),
         col("lo"), col("hi"))
       .groupBy(col("bin"), col("lo"), col("hi"))
       .agg(count(lit(1)).as("n"))

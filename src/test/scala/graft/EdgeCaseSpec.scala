@@ -265,4 +265,57 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Analytics4.textJsDivergence(spark, emptyStarDir)
       .collect().isEmpty)
   }
+
+  test("round-14 family: empty star schema degrades to well-formed results") {
+    import graft.query.{Analytics, Analytics4, Analytics5}
+    Analytics.clearCaches()
+    assert(Analytics5.sampleWeighted(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics5.aggWeightedMedian(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.tsIntervalUnion(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics5.driftPsi(spark, emptyStarDir).collect().isEmpty)
+    // FK profile keeps its 2 relationship rows with zero counts
+    val dq = Analytics5.dqJoinProfile(spark, emptyStarDir).collect()
+    assert(dq.length == 2 && dq.forall(_.getLong(1) == 0L))
+    assert(Analytics5.attributionLinear(spark, emptyStarDir)
+      .collect().isEmpty)
+    // empty graph: percentile threshold is null — empty core, no unbox
+    assert(Analytics5.graphKcore(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics5.graphTwoHopReach(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.joinEditDistance(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.fVariantJson(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics5.dedupTimeWindow(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.corpusSampleStratified(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.anomalyRollingZ(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.aggHistogramQuantiles(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.sqlInactiveCustomers(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.sqlPriorityReturns(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.qualityLangConfusion(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.aggDowHourGrid(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics5.privacyDpCounts(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.corpusMixWeights(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.evalKsTest(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics5.sqlMonthlyCumRevenue(spark, emptyStarDir)
+      .collect().isEmpty)
+    // empty corpus histogram: no dim to probe, no rows
+    assert(Analytics4.embHubnessStats(spark, emptyStarDir)
+      .collect().isEmpty)
+    // stateful streaming round-14: zero rows, not a crash
+    assert(graft.streaming.StreamQueries
+      .streamTransformWithState(spark, emptyStarDir).collect().isEmpty)
+    assert(graft.streaming.StreamQueries
+      .streamIdleTimeout(spark, emptyStarDir).collect().isEmpty)
+    Analytics.clearCaches()
+  }
 }
