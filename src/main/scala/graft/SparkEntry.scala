@@ -511,6 +511,8 @@ object SparkEntry {
     "sql_monthly_cum_revenue" -> Analytics5.sqlMonthlyCumRevenue _,
     "stream_idle_timeout"    ->
       ((s: SparkSession, d: String) => StreamQueries.streamIdleTimeout(s, d)),
+    "eval_decile_lift"       -> Analytics5.evalDecileLift _,
+    "privacy_t_closeness_tv" -> Analytics5.privacyTClosenessTv _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5055,6 +5057,47 @@ object SparkEntry {
         |SELECT user_id, n_events, idle_since FROM u, wm
         |WHERE epoch_us(idle_since) // 1000 + 1800000 <= w
         |ORDER BY user_id""".stripMargin,
+    "eval_decile_lift" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    least(greatest(
+        |      CAST(embedding[1] AS DOUBLE) * 2.0 + 0.5, 0.0), 0.9999)
+        |      AS score,
+        |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+        |    CAST(sum(y) AS BIGINT) AS np FROM s),
+        |r AS (
+        |  SELECT y, row_number() OVER (ORDER BY score DESC, vec_id) AS r
+        |  FROM s
+        |), d AS (
+        |  SELECT CAST((r - 1) * 10 // nt AS INT) AS decile, y FROM r, t
+        |)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos_decile,
+        |  CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS response_rate,
+        |  CAST((CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    / ((SELECT CAST(np AS DOUBLE) FROM t)
+        |       / (SELECT CAST(nt AS DOUBLE) FROM t)) AS REAL) AS lift
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    "privacy_t_closeness_tv" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nk, c_mktsegment AS seg FROM customer
+        |), cs AS (SELECT nk, seg, count(*) AS ns FROM c GROUP BY 1, 2),
+        |ct AS (SELECT nk, count(*) AS nc FROM c GROUP BY nk),
+        |gs AS (SELECT seg, count(*) AS gs FROM c GROUP BY seg),
+        |gt AS (SELECT count(*) AS gt FROM c),
+        |f AS (
+        |  SELECT ct.nk, ct.nc,
+        |    abs(CAST(coalesce(cs.ns, 0) AS DOUBLE) / CAST(ct.nc AS DOUBLE)
+        |      - CAST(gs.gs AS DOUBLE) / CAST(gt.gt AS DOUBLE)) AS term
+        |  FROM ct CROSS JOIN gs CROSS JOIN gt
+        |  LEFT JOIN cs ON cs.nk = ct.nk AND cs.seg = gs.seg
+        |)
+        |SELECT nk AS c_nationkey, CAST(min(nc) AS BIGINT) AS class_size,
+        |  CAST(sum(term) / 2.0 AS REAL) AS tv_distance
+        |FROM f GROUP BY nk ORDER BY c_nationkey""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

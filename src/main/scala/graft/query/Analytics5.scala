@@ -740,6 +740,75 @@ object Analytics5 {
       .orderBy(col("ym"))
   }
 
+  /** Decile lift table for a score ranking: vectors ranked by the
+    * [[Analytics4.evalPrAuc]] score, cut into ten INTEGER-arithmetic
+    * deciles ((rank−1)·10 / N — never an ntile tie lottery or a q·N
+    * float), each reporting its positive rate and lift over the global
+    * base rate — the campaign-targeting readout beside ROC/PR.
+    *
+    * Scale shape: one ordered rank window over the scored eval split
+    * (bounded — the PR-AUC argument), then a 10-key aggregate; the
+    * base rate is a broadcast 1-row aggregate. */
+  def evalDecileLift(spark: SparkSession, dir: String): DataFrame = {
+    val score = least(greatest(
+      element_at(col("embedding"), 1).cast("double") * 2.0 + 0.5,
+      lit(0.0)), lit(0.9999))
+    val s = table(spark, dir, "embeddings")
+      .select(col("vec_id"), score.as("score"),
+        when(col("label") % 2 === 1, 1L).otherwise(0L).as("y"))
+    val n = Window.orderBy(col("score").desc, col("vec_id"))
+    val ranked = s
+      .select(col("y"), row_number().over(n).as("r"))
+      .crossJoin(broadcast(s.agg(count(lit(1)).as("n_total"),
+        sum(col("y")).as("n_pos"))))
+      .select((((col("r") - 1) * 10) / col("n_total")).cast("int")
+          .as("decile"),
+        col("y"), col("n_total"), col("n_pos"))
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos_decile"),
+        min(col("n_total")).as("nt"), min(col("n_pos")).as("np"))
+      .select(col("decile"), col("n"), col("n_pos_decile"),
+        (col("n_pos_decile").cast("double") / col("n").cast("double"))
+          .as("response_rate"),
+        ((col("n_pos_decile").cast("double") / col("n").cast("double")) /
+          (col("np").cast("double") / col("nt").cast("double")))
+          .cast("float").as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  /** t-closeness audit by total variation: for each (nation)
+    * quasi-identifier class, TV distance between the class's
+    * market-segment distribution and the corpus-wide one — the
+    * distributional companion of the k-anonymity / l-diversity audits
+    * (a class may be large AND diverse yet still leak via skew).
+    *
+    * Scale shape: two tiny-key aggregates + one broadcast join on the
+    * (class, segment) grain; max-per-class is a final tiny aggregate. */
+  def privacyTClosenessTv(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+      .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+    val classSeg = c.groupBy(col("nk"), col("seg"))
+      .agg(count(lit(1)).as("ns"))
+    val classTot = c.groupBy(col("nk")).agg(count(lit(1)).as("nc"))
+    val globSeg = c.groupBy(col("seg")).agg(count(lit(1)).as("gs"))
+    val globTot = c.agg(count(lit(1)).as("gt"))
+    // the global segment grain is the frame: a class missing a segment
+    // contributes |0 − q| for it, so join FROM the (class × segment)
+    // cross of the two tiny dimension tables
+    classTot.crossJoin(globSeg).crossJoin(broadcast(globTot))
+      .join(classSeg, Seq("nk", "seg"), "left")
+      .select(col("nk"),
+        abs(coalesce(col("ns"), lit(0L)).cast("double")
+            / col("nc").cast("double")
+          - col("gs").cast("double") / col("gt").cast("double"))
+          .as("term"),
+        col("nc"))
+      .groupBy(col("nk").as("c_nationkey"))
+      .agg(min(col("nc")).as("class_size"),
+        (sum(col("term")) / 2.0).cast("float").as("tv_distance"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Per-language resampling weights that rebalance the corpus toward a
     * uniform language mix: weight_h = target/share_h = N/(L·n_h),
     * computed as ONE exact integer-rational division (never the

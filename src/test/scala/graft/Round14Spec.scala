@@ -423,6 +423,40 @@ class Round14Spec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == rows.last.getLong(2))
   }
 
+  test("eval_decile_lift: mass conserved, lift averages to 1") {
+    val rows = Analytics5.evalDecileLift(spark, sf).collect()
+    assert(rows.length == 10)
+    val nTotal = Schemas.table(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == nTotal)
+    // Σ decile_n · response = total positives ⇒ weighted lift avg = 1
+    val weighted = rows.map(r => r.getLong(1) * r.getFloat(4).toDouble).sum
+    assert(math.abs(weighted / nTotal - 1.0) < 1e-4,
+      s"weighted mean lift ${weighted / nTotal}")
+  }
+
+  test("privacy_t_closeness_tv: TV in [0,1], zero only for exact match") {
+    val rows = Analytics5.privacyTClosenessTv(spark, sf).collect()
+    val classes = Schemas.table(spark, sf, "customer")
+      .select(col("c_nationkey")).distinct().count()
+    assert(rows.length == classes)
+    rows.foreach { r =>
+      val tv = r.getFloat(2)
+      assert(tv >= 0.0f && tv <= 1.0f)
+    }
+    // driver replay for one class
+    val cust = Schemas.table(spark, sf, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val nk0 = rows.head.getInt(0)
+    val cls = cust.filter(_._1 == nk0)
+    val segs = cust.map(_._2).distinct
+    val tv = segs.map { s =>
+      math.abs(cls.count(_._2 == s).toDouble / cls.length
+        - cust.count(_._2 == s).toDouble / cust.length)
+    }.sum / 2.0
+    assert(math.abs(rows.head.getFloat(2) - tv) < 1e-5)
+  }
+
   test("emb_hubness_stats: matrix path and top-k-aggregate fallback agree") {
     import graft.query.Analytics4
     val matrix = Analytics4.embHubnessStats(spark, sf).collect().toSeq
