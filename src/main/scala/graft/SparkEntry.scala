@@ -513,6 +513,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => StreamQueries.streamIdleTimeout(s, d)),
     "eval_decile_lift"       -> Analytics5.evalDecileLift _,
     "privacy_t_closeness_tv" -> Analytics5.privacyTClosenessTv _,
+    "dq_volume_anomaly"      -> Analytics5.dqVolumeAnomaly _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5098,6 +5099,28 @@ object SparkEntry {
         |SELECT nk AS c_nationkey, CAST(min(nc) AS BIGINT) AS class_size,
         |  CAST(sum(term) / 2.0 AS REAL) AS tv_distance
         |FROM f GROUP BY nk ORDER BY c_nationkey""".stripMargin,
+    "dq_volume_anomaly" ->
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_index,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT day_index, n_events,
+        |    count(n_events) OVER f AS trail_days,
+        |    sum(n_events) OVER f AS trail_sum
+        |  FROM d
+        |  WINDOW f AS (ORDER BY day_index
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT CAST(day_index AS BIGINT) AS day_index, n_events,
+        |  CAST(trail_days AS BIGINT) AS trail_days,
+        |  CAST(n_events * trail_days AS DOUBLE)
+        |    / CAST(trail_sum AS DOUBLE) AS volume_ratio,
+        |  (CAST(n_events * trail_days AS DOUBLE)
+        |    / CAST(trail_sum AS DOUBLE) >= 1.5
+        |   OR CAST(n_events * trail_days AS DOUBLE)
+        |    / CAST(trail_sum AS DOUBLE) <= 0.5) AS flagged
+        |FROM t WHERE trail_days >= 3 ORDER BY day_index""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -795,7 +795,7 @@ object Analytics5 {
     // the global segment grain is the frame: a class missing a segment
     // contributes |0 − q| for it, so join FROM the (class × segment)
     // cross of the two tiny dimension tables
-    classTot.crossJoin(globSeg).crossJoin(broadcast(globTot))
+    classTot.crossJoin(broadcast(globSeg)).crossJoin(broadcast(globTot))
       .join(classSeg, Seq("nk", "seg"), "left")
       .select(col("nk"),
         abs(coalesce(col("ns"), lit(0L)).cast("double")
@@ -807,6 +807,37 @@ object Analytics5 {
       .agg(min(col("nc")).as("class_size"),
         (sum(col("term")) / 2.0).cast("float").as("tv_distance"))
       .orderBy(col("c_nationkey"))
+  }
+
+  /** Daily ingest-volume anomaly monitor: each observed day's event
+    * count against the trailing 7-observed-day mean, flagged outside
+    * [0.5×, 1.5×] — the first data-quality alarm a pipeline wires
+    * (dropped feed / replay storm detection). The day axis is integer
+    * epoch-micros division; the ratio is ONE exact integer-rational
+    * division (n·cnt / Σ), so the flag threshold cannot waver between
+    * engines. Days 1–3 are warm-up (no trailing baseline) and are
+    * excluded.
+    *
+    * Scale shape: one map-side-combined aggregate onto the day grain,
+    * then a window over days — input is #days rows at any corpus
+    * size. */
+  def dqVolumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.schema.Schemas.events(spark, dir)
+      .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+        .as("day_index"))
+      .groupBy(col("day_index")).agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("day_index")).rowsBetween(-7, -1)
+    daily
+      .select(col("day_index"), col("n_events"),
+        count(col("n_events")).over(w).as("trail_days"),
+        sum(col("n_events")).over(w).as("trail_sum"))
+      .filter(col("trail_days") >= 3)
+      .select(col("day_index"), col("n_events"), col("trail_days"),
+        ((col("n_events") * col("trail_days")).cast("double") /
+          col("trail_sum").cast("double")).as("volume_ratio"))
+      .withColumn("flagged",
+        col("volume_ratio") >= 1.5 || col("volume_ratio") <= 0.5)
+      .orderBy(col("day_index"))
   }
 
   /** Per-language resampling weights that rebalance the corpus toward a

@@ -457,6 +457,27 @@ class Round14Spec extends SparkSpec {
     assert(math.abs(rows.head.getFloat(2) - tv) < 1e-5)
   }
 
+  test("dq_volume_anomaly: warm-up excluded, ratio re-derived per day") {
+    val rows = Analytics5.dqVolumeAnomaly(spark, sf).collect()
+    val daily = Schemas.events(spark, sf)
+      .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long"))
+      .collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val days = daily.keys.toSeq.sorted
+    // trail count for the i-th observed day is min(i, 7) ⇒ the ≥3
+    // warm-up filter keeps exactly days 4..n
+    assert(rows.length == days.length - 3)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val trail = days.filter(_ < d).takeRight(7).map(daily)
+      assert(r.getLong(1) == daily(d))
+      assert(r.getLong(2) == trail.length)
+      val expect = daily(d).toDouble * trail.length / trail.sum
+      assert(math.abs(r.getDouble(3) - expect) < 1e-12)
+      assert(r.getBoolean(4) == (expect >= 1.5 || expect <= 0.5))
+    }
+  }
+
   test("emb_hubness_stats: matrix path and top-k-aggregate fallback agree") {
     import graft.query.Analytics4
     val matrix = Analytics4.embHubnessStats(spark, sf).collect().toSeq
