@@ -514,6 +514,8 @@ object SparkEntry {
     "eval_decile_lift"       -> Analytics5.evalDecileLift _,
     "privacy_t_closeness_tv" -> Analytics5.privacyTClosenessTv _,
     "dq_volume_anomaly"      -> Analytics5.dqVolumeAnomaly _,
+    "stream_user_top_values" -> StreamQueries.streamUserTopValues _,
+    "stream_user_type_counts" -> StreamQueries.streamUserTypeCounts _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5121,6 +5123,25 @@ object SparkEntry {
         |   OR CAST(n_events * trail_days AS DOUBLE)
         |    / CAST(trail_sum AS DOUBLE) <= 0.5) AS flagged
         |FROM t WHERE trail_days >= 3 ORDER BY day_index""".stripMargin,
+    "stream_user_top_values" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events
+        |), u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT u.user_id AS user_id, n_seen,
+        |  max(CASE WHEN rk = 1 THEN value END) AS v1,
+        |  max(CASE WHEN rk = 2 THEN value END) AS v2,
+        |  max(CASE WHEN rk = 3 THEN value END) AS v3
+        |FROM u JOIN r ON u.user_id = r.user_id AND rk <= 3
+        |GROUP BY u.user_id, n_seen ORDER BY u.user_id""".stripMargin,
+    "stream_user_type_counts" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -648,6 +648,137 @@ object StreamQueries {
     }
   }
 
+  case class TopVals(user_id: Long, n_seen: Long, v1: Double, v2: Double,
+    v3: Double)
+
+  /** ListState processor for [[streamUserTopValues]]: a bounded top-3
+    * (value DESC, event_id ASC) list per user, overwritten per batch —
+    * the bounded-leaderboard state shape. The list never exceeds k
+    * elements in the store, whatever the stream length. */
+  private class TopValuesProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvId, TopVals] {
+    @transient private var top: org.apache.spark.sql.streaming.ListState[(Double, Long)] = _
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      top = getHandle.getListState[(Double, Long)]("top",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[EvId],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TopVals] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      top.get().foreach(buf += _)
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { e => n += 1; buf += ((e.value, e.event_id)) }
+      val kept = buf.sortBy(t => (-t._1, t._2)).take(3)
+      top.put(kept.toArray)
+      seen.update(n)
+      val v = kept.map(_._1).padTo(3, Double.NaN)
+      Iterator.single(TopVals(key, n, v(0), v(1), v(2)))
+    }
+  }
+
+  /** Per-user bounded leaderboard via transformWithState LIST state:
+    * the top-3 event values per user, exact under any micro-batching
+    * (the merge is a total-order prune, arrival-order invariant). The
+    * update-mode drain re-emits per batch; max_by(n_seen) keeps the
+    * final state — full drain equals the batch top-3, the oracle
+    * contract. Completes the state-type surface beside
+    * [[streamTransformWithState]] (ValueState) and
+    * [[streamIdleTimeout]] (timers); [[streamUserTypeCounts]] covers
+    * MapState. */
+  def streamUserTopValues(spark: SparkSession, dir: String): DataFrame =
+    streamUserTopValuesFrom(spark, dir, rawEvents = true, None)
+
+  def streamUserTopValuesFrom(spark: SparkSession, dir: String,
+      rawEvents: Boolean, filesPerTrigger: Option[Int]): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds: Dataset[EvId] = twsSource(spark, dir, rawEvents, filesPerTrigger)
+        .select(col("event_id"), col("user_id"), col("value")).as[EvId]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new TopValuesProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      drain(spark, out.toDF(), OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(max(col("n_seen")).as("n_seen"),
+          max_by(col("v1"), col("n_seen")).as("v1"),
+          max_by(col("v2"), col("n_seen")).as("v2"),
+          max_by(col("v3"), col("n_seen")).as("v3"))
+        .orderBy(col("user_id"))
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
+  }
+
+  case class EvId(event_id: Long, user_id: Long, value: Double)
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** MapState processor for [[streamUserTypeCounts]]: per-user map of
+    * event_type → running count, incremented per batch — the
+    * keyed-submap state shape (feature buckets per entity). */
+  private class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, String), TypeCount] {
+    @transient private var m: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      m = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      rows.foreach { case (_, t) =>
+        val cur = if (m.containsKey(t)) m.getValue(t) else 0L
+        m.updateValue(t, cur + 1)
+      }
+      m.iterator().map { case (t, n) => TypeCount(key, t, n) }
+    }
+  }
+
+  /** Per-(user, type) running counts via transformWithState MAP state:
+    * each micro-batch bumps only the touched submap keys and re-emits
+    * the key's full map; the rollup keeps the max per (user, type) —
+    * counts are monotone, so the full drain equals the batch GROUP BY
+    * (the oracle contract). */
+  def streamUserTypeCounts(spark: SparkSession, dir: String): DataFrame =
+    streamUserTypeCountsFrom(spark, dir, rawEvents = true, None)
+
+  def streamUserTypeCountsFrom(spark: SparkSession, dir: String,
+      rawEvents: Boolean, filesPerTrigger: Option[Int]): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = twsSource(spark, dir, rawEvents, filesPerTrigger)
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)]
+      val out = ds.groupByKey(_._1)
+        .transformWithState(new TypeCountsProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      drain(spark, out.toDF(), OutputMode.Update())
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n")).as("n_events"))
+        .orderBy(col("user_id"), col("event_type"))
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
+  }
+
   case class IdleRow(user_id: Long, n_events: Long,
     idle_since: java.sql.Timestamp)
 
@@ -762,6 +893,22 @@ object StreamQueries {
     * false` reads micros-TIMESTAMP re-exports; `filesPerTrigger` forces
     * a multi-micro-batch drain so specs can prove the ValueState
     * carries across batches. */
+  /** Shared micro-batch source for the transformWithState family:
+    * `rawEvents = true` reads the sf dir's events file (probed ts
+    * type); `rawEvents = false` reads micros-TIMESTAMP re-exports,
+    * with `filesPerTrigger` forcing a multi-micro-batch drain so specs
+    * can prove state carries across batches. */
+  private def twsSource(spark: SparkSession, dir: String,
+      rawEvents: Boolean, filesPerTrigger: Option[Int]): DataFrame =
+    if (rawEvents) streamEvents(spark, dir)
+    else {
+      val reader1 = spark.readStream.schema(StructType.fromDDL(
+        "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE, props STRING"))
+      filesPerTrigger.fold(reader1)(n =>
+        reader1.option("maxFilesPerTrigger", n)).parquet(dir)
+    }
+
   def streamTransformWithStateFrom(spark: SparkSession, dir: String,
       rawEvents: Boolean, filesPerTrigger: Option[Int]): DataFrame = {
     import spark.implicits._
@@ -770,16 +917,7 @@ object StreamQueries {
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val src =
-        if (rawEvents) streamEvents(spark, dir)
-        else {
-          val reader1 = spark.readStream.schema(StructType.fromDDL(
-            "event_id LONG, ts TIMESTAMP, user_id LONG, " +
-              "event_type STRING, value DOUBLE, props STRING"))
-          filesPerTrigger.fold(reader1)(n =>
-            reader1.option("maxFilesPerTrigger", n)).parquet(dir)
-        }
-      val ds: Dataset[Ev] = src
+      val ds: Dataset[Ev] = twsSource(spark, dir, rawEvents, filesPerTrigger)
         .select(col("user_id"), col("ts"), col("value")).as[Ev]
       val out = ds.groupByKey(_.user_id)
         .transformWithState(new RunningProfileProcessor(),

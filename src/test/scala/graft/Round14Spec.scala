@@ -478,6 +478,46 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("ListState/MapState: full drains equal batch; state merges across micro-batches") {
+    import graft.streaming.StreamQueries
+    // batch twins
+    val topBatch = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      Schemas.events(spark, sf)
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_seen"),
+          max(when(col("rk") === 1, col("value"))).as("v1"),
+          max(when(col("rk") === 2, col("value"))).as("v2"),
+          max(when(col("rk") === 3, col("value"))).as("v3"))
+        .orderBy(col("user_id")).collect()
+    }
+    val cntBatch = Schemas.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("event_type")).collect()
+    assert(StreamQueries.streamUserTopValues(spark, sf).collect().toSeq
+      == topBatch.toSeq)
+    assert(StreamQueries.streamUserTypeCounts(spark, sf).collect().toSeq
+      == cntBatch.toSeq)
+    // 3 files, 1 per micro-batch: list prune and map increments must
+    // merge across batches to still equal the batch twins
+    val splitDir = java.nio.file.Files
+      .createTempDirectory("graft-tws-split2").toString
+    Schemas.events(spark, sf)
+      .select(col("event_id"),
+        expr("timestamp_micros(unix_micros(ts)) AS ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .repartition(3, col("event_id"))
+      .write.mode("overwrite").parquet(splitDir)
+    assert(StreamQueries.streamUserTopValuesFrom(spark, splitDir,
+      rawEvents = false, Some(1)).collect().toSeq == topBatch.toSeq)
+    assert(StreamQueries.streamUserTypeCountsFrom(spark, splitDir,
+      rawEvents = false, Some(1)).collect().toSeq == cntBatch.toSeq)
+  }
+
   test("emb_hubness_stats: matrix path and top-k-aggregate fallback agree") {
     import graft.query.Analytics4
     val matrix = Analytics4.embHubnessStats(spark, sf).collect().toSeq
