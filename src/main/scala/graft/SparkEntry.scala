@@ -4891,8 +4891,8 @@ object SparkEntry {
         |t AS (
         |  SELECT q, total,
         |    CASE q WHEN 'p50' THEN (total + 1) // 2
-        |           WHEN 'p90' THEN total * 9 // 10
-        |           ELSE total * 99 // 100 END AS k
+        |           WHEN 'p90' THEN (total * 9 + 9) // 10
+        |           ELSE (total * 99 + 99) // 100 END AS k
         |  FROM (SELECT unnest(['p50', 'p90', 'p99']) AS q), tot
         |)
         |SELECT q, CAST(k AS BIGINT) AS k,

@@ -516,13 +516,15 @@ object Analytics5 {
         Window.orderBy(col("bin"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val tot = counts.agg(sum(col("n")).as("total"))
+    // ceil targets — the smallest k with k/N ≥ q; a floor form emits
+    // k=0 (no crossing bin at all) on tiny N
     val targets = spark.range(1).select(
       explode(array(lit("p50"), lit("p90"), lit("p99"))).as("q"))
       .crossJoin(broadcast(tot))
       .select(col("q"), col("total"),
         when(col("q") === "p50", (col("total") + 1) / 2)
-          .when(col("q") === "p90", col("total") * 9 / 10)
-          .otherwise(col("total") * 99 / 100).cast("long").as("k"))
+          .when(col("q") === "p90", (col("total") * 9 + 9) / 10)
+          .otherwise((col("total") * 99 + 99) / 100).cast("long").as("k"))
     targets.join(cum,
         col("k") > col("cum_before") && col("k") <= col("cum_before") + col("n"))
       .select(col("q"), col("k"),
@@ -704,6 +706,8 @@ object Analytics5 {
       .select(col("value"), sum(col("na")).over(w).as("ca"),
         sum(col("nb")).over(w).as("cb"))
       .crossJoin(broadcast(tot))
+      // one-sided sample: KS is undefined (and ANSI 0/0 throws)
+      .filter(col("ta") > 0 && col("tb") > 0)
       .select(abs(col("ca").cast("double") / col("ta").cast("double")
         - col("cb").cast("double") / col("tb").cast("double")).as("d"),
         col("ta"), col("tb"))
@@ -770,9 +774,11 @@ object Analytics5 {
       .select(col("decile"), col("n"), col("n_pos_decile"),
         (col("n_pos_decile").cast("double") / col("n").cast("double"))
           .as("response_rate"),
-        ((col("n_pos_decile").cast("double") / col("n").cast("double")) /
-          (col("np").cast("double") / col("nt").cast("double")))
-          .cast("float").as("lift"))
+        // no positives anywhere: lift is undefined (ANSI x/0 throws)
+        when(col("np") === 0, lit(null).cast("float")).otherwise(
+          ((col("n_pos_decile").cast("double") / col("n").cast("double")) /
+            (col("np").cast("double") / col("nt").cast("double")))
+            .cast("float")).as("lift"))
       .orderBy(col("decile"))
   }
 

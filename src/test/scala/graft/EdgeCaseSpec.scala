@@ -316,6 +316,81 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
       .streamTransformWithState(spark, emptyStarDir).collect().isEmpty)
     assert(graft.streaming.StreamQueries
       .streamIdleTimeout(spark, emptyStarDir).collect().isEmpty)
+    assert(graft.streaming.StreamQueries
+      .streamUserTopValues(spark, emptyStarDir).collect().isEmpty)
+    assert(graft.streaming.StreamQueries
+      .streamUserTypeCounts(spark, emptyStarDir).collect().isEmpty)
+    Analytics.clearCaches()
+  }
+
+  /** Star-schema dir with exactly ONE row per table. */
+  private lazy val oneStarDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("edge-star1").toString
+    Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+      "part" -> "p_partkey", "supplier" -> "s_suppkey",
+      "nation" -> "n_nationkey", "region" -> "r_regionkey",
+      "embeddings" -> "vec_id", "customer" -> "c_custkey",
+      "documents" -> "doc_id", "events" -> "event_id").foreach {
+      case (t, id) =>
+        graft.schema.Schemas.table(spark, sf, t)
+          .orderBy(org.apache.spark.sql.functions.col(id)).limit(1)
+          .coalesce(1).write.parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("round-14 family: single-row star degrades to well-formed results") {
+    import graft.query.{Analytics, Analytics5}
+    import org.apache.spark.sql.functions._
+    Analytics.clearCaches()
+    // one order, one customer: weighted sample of size 1, exact key
+    val sw = Analytics5.sampleWeighted(spark, oneStarDir).collect()
+    assert(sw.length == 1)
+    val wm = Analytics5.aggWeightedMedian(spark, oneStarDir).collect()
+    assert(wm.length == 1)
+    // one event: one island covering exactly the hold window
+    val iu = Analytics5.tsIntervalUnion(spark, oneStarDir).collect()
+    assert(iu.length == 1 && iu.head.getLong(1) == 1L
+      && iu.head.getLong(2) == 300000000L)
+    // single timestamp: the one event is 'late' by the midpoint rule
+    val psi = Analytics5.driftPsi(spark, oneStarDir).collect()
+    assert(psi.length == 1 && psi.head.getLong(1) == 0L
+      && psi.head.getLong(2) == 1L)
+    // one-sided KS (only one event type present) is undefined — empty
+    assert(Analytics5.evalKsTest(spark, oneStarDir).collect().isEmpty)
+    // one vector: a single decile row; lift defined iff label is odd
+    val dl = Analytics5.evalDecileLift(spark, oneStarDir).collect()
+    assert(dl.length == 1 && dl.head.getLong(1) == 1L)
+    // constant-value histogram: all three quantiles land in bin 0 at lo
+    val hq = Analytics5.aggHistogramQuantiles(spark, oneStarDir).collect()
+    assert(hq.length == 3)
+    // single lineitem row: no co-purchase pairs — graph ops are empty
+    assert(Analytics5.graphKcore(spark, oneStarDir).collect().isEmpty)
+    assert(Analytics5.graphTwoHopReach(spark, oneStarDir)
+      .collect().isEmpty)
+    // singleton vocabulary: no pairs
+    assert(Analytics5.joinEditDistance(spark, oneStarDir)
+      .collect().isEmpty)
+    // one user, one event: kept verbatim; no anomaly baseline yet
+    assert(Analytics5.dedupTimeWindow(spark, oneStarDir)
+      .collect().length == 1)
+    assert(Analytics5.anomalyRollingZ(spark, oneStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.dqVolumeAnomaly(spark, oneStarDir)
+      .collect().isEmpty)
+    // one doc: ceil(10%) of a 1-doc stratum keeps it
+    assert(Analytics5.corpusSampleStratified(spark, oneStarDir)
+      .collect().length == 1)
+    val mw = Analytics5.corpusMixWeights(spark, oneStarDir).collect()
+    assert(mw.length == 1 && mw.head.getDouble(2) == 1.0
+      && mw.head.getDouble(3) == 1.0)
+    val dp = Analytics5.privacyDpCounts(spark, oneStarDir).collect()
+    assert(dp.length == 1 && dp.head.getLong(1) == 1L)
+    val tv = Analytics5.privacyTClosenessTv(spark, oneStarDir).collect()
+    assert(tv.length == 1 && tv.head.getFloat(2) == 0.0f,
+      "a lone class IS the corpus distribution — TV must be 0")
+    val fk = Analytics5.dqJoinProfile(spark, oneStarDir).collect()
+    assert(fk.length == 2)
     Analytics.clearCaches()
   }
 }

@@ -251,8 +251,8 @@ class Round14Spec extends SparkSpec {
     val width = (hi - lo) / 32
     def exactK(k: Long): Double = xs((k - 1).toInt)
     val n = xs.length.toLong
-    val ks = Map("p50" -> (n + 1) / 2, "p90" -> n * 9 / 10,
-      "p99" -> n * 99 / 100)
+    val ks = Map("p50" -> (n + 1) / 2, "p90" -> (n * 9 + 9) / 10,
+      "p99" -> (n * 99 + 99) / 100)
     ks.foreach { case (q, k) =>
       val e = est(q)
       assert(e >= lo && e <= hi)
