@@ -516,6 +516,8 @@ object SparkEntry {
     "dq_volume_anomaly"      -> Analytics5.dqVolumeAnomaly _,
     "stream_user_top_values" -> StreamQueries.streamUserTopValues _,
     "stream_user_type_counts" -> StreamQueries.streamUserTypeCounts _,
+    "ann_recall_curve"       ->
+      ((s: SparkSession, d: String) => Similarity.annRecallCurve(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5142,6 +5144,60 @@ object SparkEntry {
     "stream_user_type_counts" ->
       """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+    // the full det-cell IVF sweep replayed: md5 Forgy anchors, argmax
+    // cells, per-query probe ranks, exact and per-level top-10 lists
+    "ann_recall_curve" ->
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS seed_vid, embedding AS seed_e,
+        |    row_number() OVER (ORDER BY
+        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+        |        AS BIGINT), vec_id) - 1 AS cell
+        |  FROM emb
+        |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT), vec_id
+        |  LIMIT 16
+        |), assigned AS (
+        |  SELECT e.vec_id,
+        |    -(max(struct_pack(
+        |        dp := list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(s.seed_e AS DOUBLE[])),
+        |        negc := -s.cell))).negc AS cell
+        |  FROM emb e CROSS JOIN seeds s GROUP BY e.vec_id
+        |), panel AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM emb WHERE vec_id < 20
+        |), cr AS (
+        |  SELECT qid, cell,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_dot_product(CAST(qe AS DOUBLE[]),
+        |        CAST(seed_e AS DOUBLE[])) DESC, cell) AS cell_rank
+        |  FROM panel CROSS JOIN seeds
+        |), scr AS (
+        |  SELECT p.qid, e.vec_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(p.qe AS DOUBLE[])) AS dot,
+        |    cr.cell_rank
+        |  FROM emb e CROSS JOIN panel p
+        |  JOIN assigned a ON a.vec_id = e.vec_id
+        |  JOIN cr ON cr.qid = p.qid AND cr.cell = a.cell
+        |  WHERE e.vec_id <> p.qid
+        |), exact AS (
+        |  SELECT qid, (list(vec_id ORDER BY dot DESC, vec_id))[1:10]
+        |    AS exact_ids
+        |  FROM scr GROUP BY qid
+        |), lv AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+        |pl AS (
+        |  SELECT nprobe, qid,
+        |    (list(vec_id ORDER BY dot DESC, vec_id))[1:10] AS ivf_ids,
+        |    count(*) AS n_candidates
+        |  FROM scr, lv WHERE cell_rank <= nprobe GROUP BY nprobe, qid
+        |)
+        |SELECT nprobe,
+        |  CAST(sum(len(list_intersect(ivf_ids, exact_ids))) AS DOUBLE)
+        |    / 200.0 AS avg_recall,
+        |  CAST(sum(n_candidates) AS DOUBLE) / 20.0 AS avg_candidates
+        |FROM pl JOIN exact USING (qid)
+        |GROUP BY nprobe ORDER BY nprobe""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -553,4 +553,80 @@ object Similarity {
         sum(when(col("rf") <= k, 1L).otherwise(0L)).as("hits_at_k"))
       .orderBy(col("qid"))
   }
+
+  /** Recall@k vs probe-count curve for the deterministic-cell IVF
+    * index ([[ivfDetTopK]]'s quantizer): over a fixed query panel,
+    * sweep nProbe ∈ {1, 2, 4, 8} of 16 cells in ONE plan and report
+    * average recall against the exact top-k plus the average candidate
+    * volume — the tuning curve that decides an ANN deployment's
+    * recall/cost point. Deterministic end to end (md5-seeded anchors,
+    * argmax cells, exact re-rank), so the whole sweep is
+    * DuckDB-hash-exact — unusual for ANN evaluation, and exactly why
+    * the det-cell variant exists beside the KMeans one.
+    *
+    * Scale shape: the panel×corpus score table is computed ONCE; both
+    * the exact and per-level IVF top-k ride the map-side-combinable
+    * [[graft.functions.TopKByScore]] aggregate (no ×levels rescan —
+    * levels explode only the aggregation key); candidate volume per
+    * level is a byproduct count. At 100 TB the corpus side is the
+    * cell-partitioned layout and each level reads its probed cells. */
+  def annRecallCurve(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 20, nCells: Int = 16): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // deterministic Forgy anchors (the ivfDetTopK seed panel)
+    val seeds = emb
+      .orderBy(Dedup.hash60(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("seed_vid"), col("embedding").as("seed_e"))
+      .withColumn("cell",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(Dedup.hash60(col("seed_vid").cast("string")),
+            col("seed_vid"))) - 1).cast("long"))
+    val assigned = emb
+      .crossJoin(broadcast(seeds))
+      .withColumn("dp", expr("float_dot(embedding, seed_e)"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("dp"), (-col("cell")).as("negc"))).as("best"))
+      .select(col("vec_id"), (-col("best.negc")).as("cell"))
+    val panel = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // per-query cell ranking (which cells probe first)
+    val cellRank = panel.crossJoin(broadcast(seeds))
+      .withColumn("qdp", expr("float_dot(qe, seed_e)"))
+      .select(col("qid"), col("cell"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("qdp").desc, col("cell"))).as("cell_rank"))
+    // panel × corpus scores, each carrying its vector's probe rank
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    val scores = emb.crossJoin(broadcast(panel))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("float_dot(embedding, qe)").as("dot"))
+      .join(assigned, Seq("vec_id"))
+      .join(broadcast(cellRank), Seq("qid", "cell"))
+    val exact = scores.groupBy(col("qid"))
+      .agg(topk(col("dot"), col("vec_id")).as("exact_ids"))
+    val levels = Seq(1, 2, 4, 8)
+    val perLevel = scores
+      .crossJoin(broadcast(spark.range(1).select(
+        explode(array(levels.map(lit): _*)).as("nprobe"))))
+      .filter(col("cell_rank") <= col("nprobe"))
+      .groupBy(col("nprobe"), col("qid"))
+      .agg(topk(col("dot"), col("vec_id")).as("ivf_ids"),
+        count(lit(1)).as("n_candidates"))
+    perLevel.join(broadcast(exact), Seq("qid"))
+      .select(col("nprobe"),
+        size(array_intersect(col("ivf_ids"), col("exact_ids")))
+          .cast("long").as("hits"),
+        col("n_candidates"))
+      .groupBy(col("nprobe"))
+      .agg((sum(col("hits")).cast("double") /
+          lit(k.toDouble * nQueries)).as("avg_recall"),
+        (sum(col("n_candidates")).cast("double") / nQueries)
+          .as("avg_candidates"))
+      .orderBy(col("nprobe"))
+  }
 }

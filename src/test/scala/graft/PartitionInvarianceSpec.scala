@@ -124,7 +124,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     "join_edit_distance deletion-key blocking" ->
       (() => graft.query.Analytics5.joinEditDistance(spark, sf)),
     "stream_transform_with_state RocksDB ValueState" ->
-      (() => graft.streaming.StreamQueries.streamTransformWithState(spark, sf)))
+      (() => graft.streaming.StreamQueries.streamTransformWithState(spark, sf)),
+    "stream_user_top_values ListState prune" ->
+      (() => graft.streaming.StreamQueries.streamUserTopValues(spark, sf)),
+    "stream_user_type_counts MapState submaps" ->
+      (() => graft.streaming.StreamQueries.streamUserTypeCounts(spark, sf)),
+    "stream_idle_timeout event-time timers" ->
+      (() => graft.streaming.StreamQueries.streamIdleTimeout(spark, sf)))
 
   private def collectAt(partitions: Int, build: () => DataFrame): Seq[String] = {
     val key = "spark.sql.shuffle.partitions"

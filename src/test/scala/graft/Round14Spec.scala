@@ -518,6 +518,19 @@ class Round14Spec extends SparkSpec {
       rawEvents = false, Some(1)).collect().toSeq == cntBatch.toSeq)
   }
 
+  test("ann_recall_curve: recall and candidate volume strictly widen with probes") {
+    val rows = graft.query.Similarity.annRecallCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    rows.foreach { case (_, rec, _) => assert(rec >= 0.0 && rec <= 1.0) }
+    rows.zip(rows.tail).foreach { case ((_, r1, c1), (_, r2, c2)) =>
+      assert(r2 >= r1, "recall must not shrink as probes widen")
+      assert(c2 > c1, "candidate volume must grow with probes")
+    }
+    assert(rows.last._2 > rows.head._2,
+      "the sweep must show a real recall/cost trade-off")
+  }
+
   test("emb_hubness_stats: matrix path and top-k-aggregate fallback agree") {
     import graft.query.Analytics4
     val matrix = Analytics4.embHubnessStats(spark, sf).collect().toSeq
