@@ -69,9 +69,19 @@ object Analytics4 {
     * adjacency check is a left-anti equi-join; TakeOrdered top-k. */
   def graphCommonNeighbors(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame = {
+    // base indexes resolve OUTSIDE the cache thunk (recursive-update
+    // rule); the top-k candidate-link table is itself a derived index —
+    // the recommendation candidates a serving layer reads repeatedly
     val sym = Analytics.copurchaseEdgesSym(spark, dir)
     val deg = Analytics.copurchaseDeg(spark, dir)
     val e0 = Analytics.copurchaseEdges(spark, dir)
+    Analytics.cachedDf(spark, Analytics.gkey(dir, s"linkcand$k")) {
+      graphCommonNeighborsBuild(sym, deg, e0, k)
+    }
+  }
+
+  private def graphCommonNeighborsBuild(sym: DataFrame, deg: DataFrame,
+      e0: DataFrame, k: Int): DataFrame = {
     val cohort = sym.filter(col("v") % 16 === 0)
     val cn = cohort.as("a").join(cohort.as("b"), col("a.u") === col("b.u"))
       .filter(col("a.v") < col("b.v"))
@@ -687,9 +697,18 @@ object Analytics4 {
     * the per-center rollup is map-side combined. */
   def graphLocalClustering(spark: SparkSession, dir: String,
       mod: Int = 128): DataFrame = {
+    // the per-vertex coefficient table is a derived vertex-feature
+    // index; base indexes resolve outside the cache thunk
     val sym = Analytics.copurchaseEdgesSym(spark, dir)
     val deg = Analytics.copurchaseDeg(spark, dir)
     val e0 = Analytics.copurchaseEdges(spark, dir)
+    Analytics.cachedDf(spark, Analytics.gkey(dir, s"localcc$mod")) {
+      graphLocalClusteringBuild(sym, deg, e0, mod)
+    }
+  }
+
+  private def graphLocalClusteringBuild(sym: DataFrame, deg: DataFrame,
+      e0: DataFrame, mod: Int): DataFrame = {
     val nbrs = sym.filter(col("u") % mod === 0)
     val wedges = nbrs.as("a").join(nbrs.as("b"), col("a.u") === col("b.u"))
       .filter(col("a.v") < col("b.v"))
