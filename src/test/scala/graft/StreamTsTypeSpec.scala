@@ -89,4 +89,20 @@ class StreamTsTypeSpec extends SparkSpec {
       }
     }
   }
+
+  test("transformWithState profile agrees with batch under BOTH stored ts types") {
+    val batch = Schemas.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).cast("float").as("sum_value"),
+        max(col("ts")).as("last_ts"))
+      .orderBy(col("user_id")).collect()
+    for (nanos <- Seq(true, false)) {
+      val dir = exportEvents(asLongNanos = nanos)
+      val streamed =
+        StreamQueries.streamTransformWithState(spark, dir).collect()
+      assert(streamed.toSeq == batch.toSeq,
+        s"asLongNanos=$nanos: ValueState profile diverged from batch")
+    }
+  }
 }
