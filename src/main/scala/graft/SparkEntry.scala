@@ -518,6 +518,10 @@ object SparkEntry {
     "stream_user_type_counts" -> StreamQueries.streamUserTypeCounts _,
     "ann_recall_curve"       ->
       ((s: SparkSession, d: String) => Similarity.annRecallCurve(s, d)),
+    "emb_cell_balance"       ->
+      ((s: SparkSession, d: String) => Similarity.embCellBalance(s, d)),
+    "text_rare_span"         ->
+      ((s: SparkSession, d: String) => TextAnalysis.textRareSpan(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5198,6 +5202,60 @@ object SparkEntry {
         |  CAST(sum(n_candidates) AS DOUBLE) / 20.0 AS avg_candidates
         |FROM pl JOIN exact USING (qid)
         |GROUP BY nprobe ORDER BY nprobe""".stripMargin,
+    "emb_cell_balance" ->
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS seed_vid, embedding AS seed_e,
+        |    row_number() OVER (ORDER BY
+        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+        |        AS BIGINT), vec_id) - 1 AS cell
+        |  FROM emb
+        |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT), vec_id
+        |  LIMIT 16
+        |), assigned AS (
+        |  SELECT e.vec_id,
+        |    -(max(struct_pack(
+        |        dp := list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(s.seed_e AS DOUBLE[])),
+        |        negc := -s.cell))).negc AS cell
+        |  FROM emb e CROSS JOIN seeds s GROUP BY e.vec_id
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM emb)
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        |FROM assigned, tot GROUP BY cell, n_total
+        |ORDER BY cell""".stripMargin,
+    "text_rare_span" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, i, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(
+        |    generate_series(1, len(t) - 1)) AS i) s
+        |  WHERE len(t) >= 2
+        |), bg AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg
+        |  FROM grams GROUP BY w1, w2
+        |), sc AS (
+        |  SELECT g.doc_id, g.i, b.cbg
+        |  FROM grams g JOIN bg b ON b.w1 = g.w1 AND b.w2 = g.w2
+        |), win AS (
+        |  SELECT doc_id, i,
+        |    sum(cbg) OVER f AS span_freq_sum,
+        |    count(*) OVER f AS span_n
+        |  FROM sc
+        |  WINDOW f AS (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING)
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST((min(struct_pack(s := span_freq_sum, i := i))).i AS BIGINT)
+        |    AS span_start,
+        |  CAST((min(struct_pack(s := span_freq_sum, i := i))).s AS BIGINT)
+        |    AS span_freq_sum
+        |FROM win WHERE span_n = 20
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

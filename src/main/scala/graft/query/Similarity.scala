@@ -554,6 +554,40 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Cell-occupancy balance of the deterministic-cell IVF quantizer:
+    * vectors per cell and share of corpus — the index-health diagnostic
+    * read before trusting [[annRecallCurve]]'s cost numbers (a skewed
+    * quantizer makes nProbe meaningless: one hot cell IS the corpus).
+    *
+    * Scale shape: the argmax assignment is one broadcast join + one
+    * map-side-combined aggregate; the histogram is nCells rows. */
+  def embCellBalance(spark: SparkSession, dir: String,
+      nCells: Int = 16): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = emb
+      .orderBy(Dedup.hash60(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("seed_vid"), col("embedding").as("seed_e"))
+      .withColumn("cell",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(Dedup.hash60(col("seed_vid").cast("string")),
+            col("seed_vid"))) - 1).cast("long"))
+    val tot = emb.agg(count(lit(1)).as("n_total"))
+    emb.crossJoin(broadcast(seeds))
+      .withColumn("dp", expr("float_dot(embedding, seed_e)"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("dp"), (-col("cell")).as("negc"))).as("best"))
+      .select((-col("best.negc")).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("n_total").cast("double"))
+          .as("share"))
+      .orderBy(col("cell"))
+  }
+
   /** Recall@k vs probe-count curve for the deterministic-cell IVF
     * index ([[ivfDetTopK]]'s quantizer): over a fixed query panel,
     * sweep nProbe ∈ {1, 2, 4, 8} of 16 cells in ONE plan and report

@@ -717,4 +717,49 @@ object TextAnalysis {
         col("chars_total"))
       .orderBy(col("gid"), col("size_ok"), col("lang_en"), col("has_stop"))
   }
+
+  /** Rarest span per document: the 20-bigram sliding window whose
+    * corpus bigram-frequency sum is SMALLEST (ties → earliest start) —
+    * span-level quality localization (the gibberish stretch inside an
+    * otherwise-fine document that document-level scores average away;
+    * real curation pipelines trim spans, not documents). The selection
+    * criterion is an INTEGER window sum, deliberately: engines
+    * associate sliding float sums differently (segment trees vs
+    * per-frame recompute), and an argmin over float near-ties would
+    * flip between them — rarity ranks the same way under the integer
+    * sum, and the selection stays bit-deterministic.
+    *
+    * Scale shape: bigram counts come from one corpus aggregation joined
+    * back by key (bounded fanout — bigram vocabulary, not corpus
+    * size); the sliding sum and argmin are one doc-partitioned window
+    * pass + one map-side-combined min-of-struct aggregate. */
+  def textRareSpan(spark: SparkSession, dir: String,
+      span: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = table(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(col("doc_id"), col("i"),
+        element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+    val counts = grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cbg"))
+    val scored = grams.join(counts, Seq("w1", "w2"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(0, span - 1)
+    scored
+      .select(col("doc_id"), col("i"),
+        sum(col("cbg")).over(w).as("span_freq_sum"),
+        count(lit(1)).over(w).as("span_n"))
+      .filter(col("span_n") === span)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        min(struct(col("span_freq_sum"), col("i"))).as("worst"))
+      .select(col("doc_id"), col("n_windows"),
+        col("worst.i").cast("long").as("span_start"),
+        col("worst.span_freq_sum").as("span_freq_sum"))
+      .orderBy(col("doc_id"))
+  }
 }

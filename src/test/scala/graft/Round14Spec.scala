@@ -531,6 +531,44 @@ class Round14Spec extends SparkSpec {
       "the sweep must show a real recall/cost trade-off")
   }
 
+  test("emb_cell_balance: histogram mass equals the corpus, shares close") {
+    val rows = graft.query.Similarity.embCellBalance(spark, sf).collect()
+    val total = Schemas.table(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.length <= 16)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+  }
+
+  test("text_rare_span: driver replay of the worst window for sample docs") {
+    val got = graft.query.TextAnalysis.textRareSpan(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // rebuild bigram counts + windows on the driver for 3 docs
+    val docs = Schemas.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(s: String): Array[String] =
+      s.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+    val allGrams = docs.flatMap { case (_, t) =>
+      val w = toks(t); w.indices.dropRight(1).map(i => (w(i), w(i + 1)))
+    }
+    val cbg = allGrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    docs.take(3).foreach { case (id, t) =>
+      val w = toks(t)
+      val freqs = w.indices.dropRight(1)
+        .map(i => cbg((w(i), w(i + 1)))).toArray
+      if (freqs.length >= 20) {
+        val windows = freqs.indices.dropRight(19)
+          .map(i => (freqs.slice(i, i + 20).sum, i + 1L))
+        val worst = windows.min
+        val (nw, start, s) = got(id)
+        assert(nw == windows.length && start == worst._2 && s == worst._1,
+          s"doc $id: engine ($nw,$start,$s) vs replay " +
+            s"(${windows.length},${worst._2},${worst._1})")
+      } else assert(!got.contains(id))
+    }
+  }
+
   test("emb_hubness_stats: matrix path and top-k-aggregate fallback agree") {
     import graft.query.Analytics4
     val matrix = Analytics4.embHubnessStats(spark, sf).collect().toSeq
