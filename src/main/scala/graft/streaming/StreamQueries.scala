@@ -710,7 +710,7 @@ object StreamQueries {
         .transformWithState(new TopValuesProcessor(),
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Update())
-      drain(spark, out.toDF(), OutputMode.Update())
+      drain(spark, out.toDF(), OutputMode.Update(), statePartitions = 4)
         .groupBy(col("user_id"))
         .agg(max(col("n_seen")).as("n_seen"),
           max_by(col("v1"), col("n_seen")).as("v1"),
@@ -770,7 +770,7 @@ object StreamQueries {
         .transformWithState(new TypeCountsProcessor(),
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Update())
-      drain(spark, out.toDF(), OutputMode.Update())
+      drain(spark, out.toDF(), OutputMode.Update(), statePartitions = 4)
         .groupBy(col("user_id"), col("event_type"))
         .agg(max(col("n")).as("n_events"))
         .orderBy(col("user_id"), col("event_type"))
@@ -861,7 +861,7 @@ object StreamQueries {
         .transformWithState(new IdleTimeoutProcessor(gapMinutes * 60000L),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           OutputMode.Append())
-      drain(spark, out.toDF(), OutputMode.Append())
+      drain(spark, out.toDF(), OutputMode.Append(), statePartitions = 4)
         .orderBy(col("user_id"))
     } finally {
       prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
@@ -923,7 +923,7 @@ object StreamQueries {
         .transformWithState(new RunningProfileProcessor(),
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Update())
-      drain(spark, out.toDF(), OutputMode.Update())
+      drain(spark, out.toDF(), OutputMode.Update(), statePartitions = 4)
         .groupBy(col("user_id"))
         .agg(max(col("n_events")).as("n_events"),
           max_by(col("sum_value"), col("n_events"))
