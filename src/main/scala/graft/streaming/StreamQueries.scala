@@ -722,6 +722,51 @@ object StreamQueries {
     }
   }
 
+  /** [[streamTransformWithState]] against a DURABLE checkpoint — the
+    * restart-resume path: a second AvailableNow run over the same
+    * checkpoint processes only files added since the first run, and
+    * the per-user ValueState must RESUME (emitted profiles count the
+    * whole history, not the new tranche). Each run returns only that
+    * run's Update-mode emissions (fresh memory sink), which is exactly
+    * what the resume spec needs to observe. The sink is foreachBatch →
+    * parquet, NOT the memory sink: only fault-tolerant sinks may
+    * recover from a checkpoint. State-store partition count is pinned
+    * (a resumed query must keep its original count — the [[drain]]
+    * scaladoc rule, enforced here by construction). */
+  def streamTransformWithStateResumable(spark: SparkSession, dir: String,
+      checkpoint: String, outDir: String): DataFrame = spark.synchronized {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val ds: Dataset[Ev] = twsSource(spark, dir, rawEvents = false, None)
+        .select(col("user_id"), col("ts"), col("value")).as[Ev]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new RunningProfileProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val q = out.toDF().writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.schema(
+        "user_id LONG, n_events LONG, sum_value DOUBLE, last_ts TIMESTAMP")
+        .parquet(outDir)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      prevProv.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
+  }
+
   case class EvId(event_id: Long, user_id: Long, value: Double)
   case class TypeCount(user_id: Long, event_type: String, n: Long)
 

@@ -569,6 +569,51 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("transformWithState: state survives a checkpoint restart") {
+    import graft.streaming.StreamQueries
+    val base = java.nio.file.Files.createTempDirectory("graft-tws-resume")
+    val srcDir = base.resolve("src").toString
+    val ckpt = base.resolve("ckpt").toString
+    new java.io.File(srcDir).mkdirs()
+    val ev = Schemas.events(spark, sf)
+      .select(col("event_id"),
+        expr("timestamp_micros(unix_micros(ts)) AS ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    def writeTranche(pred: org.apache.spark.sql.Column, n: String): Unit = {
+      val stage = base.resolve(s"stage-$n").toString
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/$n.parquet"))
+    }
+    // run 1: two tranches; run 2 (same checkpoint): the third appears
+    writeTranche(col("event_id") % 3 === 0, "t0")
+    writeTranche(col("event_id") % 3 === 1, "t1")
+    val run1 = StreamQueries.streamTransformWithStateResumable(
+      spark, srcDir, ckpt, base.resolve("out1").toString).collect()
+    assert(run1.nonEmpty)
+    writeTranche(col("event_id") % 3 === 2, "t2")
+    val run2 = StreamQueries.streamTransformWithStateResumable(
+      spark, srcDir, ckpt, base.resolve("out2").toString).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // run 2 emits only keys the NEW tranche touched, but with counts
+    // over the FULL history — the resumed-ValueState proof: tranche 2
+    // alone could never reach these totals
+    val full = Schemas.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t2users = Schemas.events(spark, sf)
+      .filter(col("event_id") % 3 === 2)
+      .select(col("user_id")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(run2.keySet == t2users)
+    run2.foreach { case (u, n) =>
+      assert(n == full(u),
+        s"user $u resumed to $n, expected full-history ${full(u)}")
+    }
+  }
+
   test("emb_hubness_stats: matrix path and top-k-aggregate fallback agree") {
     import graft.query.Analytics4
     val matrix = Analytics4.embHubnessStats(spark, sf).collect().toSeq
