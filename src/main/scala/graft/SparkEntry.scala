@@ -522,6 +522,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.embCellBalance(s, d)),
     "text_rare_span"         ->
       ((s: SparkSession, d: String) => TextAnalysis.textRareSpan(s, d)),
+    "join_asof_forward"      ->
+      ((s: SparkSession, d: String) => Analytics5.joinAsofForward(s, d)),
+    "graph_degree_bands"     -> Analytics5.graphDegreeBands _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3609,6 +3612,43 @@ object SparkEntry {
         |    AS gap_us
         |FROM n WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id""".stripMargin,
+    "join_asof_forward" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE event_type IN ('purchase', 'error')
+        |), n AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN ts END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_buy
+        |  FROM e
+        |)
+        |SELECT user_id, event_id, ts,
+        |  CASE WHEN epoch_us(next_buy) - epoch_us(ts) <= 3600000000
+        |    THEN next_buy END AS matched_buy_ts,
+        |  CASE WHEN epoch_us(next_buy) - epoch_us(ts) <= 3600000000
+        |    THEN CAST(epoch_us(next_buy) - epoch_us(ts) AS BIGINT) END
+        |    AS gap_us
+        |FROM n WHERE event_type = 'error'
+        |ORDER BY user_id, event_id""".stripMargin,
+    "graph_degree_bands" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), edges AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), sym AS (
+        |  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+        |), d AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM d)
+        |SELECT CAST(length(bin(deg)) - 1 AS INT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_vertices_band,
+        |  CAST(min(deg) AS BIGINT) AS deg_min,
+        |  CAST(max(deg) AS BIGINT) AS deg_max,
+        |  CAST(count(*) AS DOUBLE) / CAST(n_vertices AS DOUBLE) AS share
+        |FROM d, t GROUP BY 1, n_vertices ORDER BY band""".stripMargin,
     "graph_local_clustering" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

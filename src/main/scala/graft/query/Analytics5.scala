@@ -815,6 +815,60 @@ object Analytics5 {
       .orderBy(col("c_nationkey"))
   }
 
+  /** FORWARD as-of join: each error event matched to the user's NEXT
+    * purchase within one hour — "did the failure convert anyway", the
+    * directional mirror of [[Analytics4.joinAsofTolerance]]'s backward
+    * lookup (the pair covers both as-of orientations; nearest-ties
+    * live in `join_asof_nearest`). Unmatched errors survive with null
+    * match columns — the LEFT as-of contract.
+    *
+    * Scale shape: one user-partitioned window pass (FOLLOWING frame —
+    * the same shuffle as the backward form), no joins at all. */
+  def joinAsofForward(spark: SparkSession, dir: String,
+      toleranceUs: Long = 3600000000L): DataFrame = {
+    val e = graft.schema.Schemas.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val withNext = e.withColumn("next_buy",
+        first(when(col("event_type") === "purchase", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+    val gap = unix_micros(col("next_buy")) - unix_micros(col("ts"))
+    withNext.select(col("user_id"), col("event_id"), col("ts"),
+        when(gap <= toleranceUs, col("next_buy")).as("matched_buy_ts"),
+        when(gap <= toleranceUs, gap).as("gap_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Degree distribution of the co-purchase graph in log2 bands — the
+    * one-glance skew diagnostic read before choosing graph-algorithm
+    * parameters (hub-dominated bands mean cohort sampling and
+    * occupancy caps are load-bearing; a tight band means they are
+    * slack). The [[skew_profile]] discipline applied to the graph.
+    *
+    * Scale shape: one aggregate over the cached |V|-row degree index;
+    * band assignment is integer bit-length arithmetic. */
+  def graphDegreeBands(spark: SparkSession, dir: String): DataFrame = {
+    val deg = Analytics.copurchaseDeg(spark, dir)
+    val tot = deg.agg(count(lit(1)).as("n_vertices"))
+    // floor(log2(n)) as binary-string length − 1: libm log2 rounds
+    // below the integer at exact powers of two on some engines
+    deg.select((length(conv(col("deg"), 10, 2)) - 1).as("band"),
+        col("deg"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_vertices_band"),
+        min(col("deg")).as("deg_min"), max(col("deg")).as("deg_max"))
+      .crossJoin(broadcast(tot))
+      .select(col("band"), col("n_vertices_band"), col("deg_min"),
+        col("deg_max"),
+        (col("n_vertices_band").cast("double") /
+          col("n_vertices").cast("double")).as("share"))
+      .orderBy(col("band"))
+  }
+
   /** Daily ingest-volume anomaly monitor: each observed day's event
     * count against the trailing 7-observed-day mean, flagged outside
     * [0.5×, 1.5×] — the first data-quality alarm a pipeline wires

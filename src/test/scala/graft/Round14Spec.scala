@@ -614,6 +614,52 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("join_asof_forward: per-row next-purchase proof") {
+    val got = Analytics5.joinAsofForward(spark, sf).collect()
+    val events = Schemas.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val buysByUser = events.filter(_._4 == "purchase")
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sorted.toSeq).toMap
+    val errors = events.filter(_._4 == "error")
+    assert(got.length == errors.length, "every error row survives (LEFT)")
+    got.foreach { r =>
+      val (u, eid) = (r.getLong(0), r.getLong(1))
+      val e = errors.find(t => t._1 == u && t._3 == eid).get
+      // next purchase strictly after (ts, event_id) in sort order
+      val next = buysByUser.getOrElse(u, Seq.empty[(Long, Long)])
+        .find(b => b._1 > e._2 || (b._1 == e._2 && b._2 > eid))
+      val expectGap = next.map(_._1 - e._2).filter(_ <= 3600000000L)
+      if (expectGap.isEmpty) assert(r.isNullAt(4), s"error $eid")
+      else assert(r.getLong(4) == expectGap.get, s"error $eid")
+    }
+  }
+
+  test("graph_degree_bands: mass conserved, bands are true log2 bins") {
+    val rows = Analytics5.graphDegreeBands(spark, sf).collect()
+    val li = Schemas.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nVertices = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .select(col("u")).unionAll(
+        li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        .select(col("v")))
+      .distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nVertices)
+    rows.foreach { r =>
+      val band = r.getInt(0)
+      assert(r.getLong(2) >= (1L << band) && r.getLong(3) < (2L << band),
+        s"band $band holds [${r.getLong(2)}, ${r.getLong(3)}]")
+    }
+  }
+
   test("emb_hubness_stats: matrix path and top-k-aggregate fallback agree") {
     import graft.query.Analytics4
     val matrix = Analytics4.embHubnessStats(spark, sf).collect().toSeq
