@@ -290,7 +290,9 @@ object SparkEntry {
     // per-bin PSI terms (binned drift, direction-sensitive)
     "drift_psi_value"        ->
       ((s: SparkSession, d: String) => Analytics.driftPsiValue(s, d)),
-    "sample_weighted"        -> Analytics.sampleWeighted _,
+    // value-proportional Bernoulli sample (P[keep] = value/max) — distinct
+    // from the Efraimidis–Spirakis weighted RESERVOIR in `sample_weighted`
+    "sample_prop_value"      -> Analytics.sampleWeighted _,
     "window_rolling_median"  ->
       ((s: SparkSession, d: String) => Analytics.rollingMedian(s, d)),
     "window_ewma"            ->
@@ -525,6 +527,14 @@ object SparkEntry {
     "join_asof_forward"      ->
       ((s: SparkSession, d: String) => Analytics5.joinAsofForward(s, d)),
     "graph_degree_bands"     -> Analytics5.graphDegreeBands _,
+    // round 15: keyword extraction, streaming SCD2 point-in-time
+    // enrichment, and additive seasonal-trend decomposition
+    "text_keywords_topk"     ->
+      ((s: SparkSession, d: String) => TextAnalysis.textKeywordsTopk(s, d)),
+    "stream_scd2_enrich"     ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.StreamQueries.streamScd2Enrich(s, d)),
+    "ts_stl_decompose"       -> Analytics5.tsStlDecompose _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2812,7 +2822,7 @@ object SparkEntry {
         |       / greatest(CAST(cb AS DOUBLE) / CAST(st.nb AS DOUBLE), 0.0001))
         |    AS REAL) AS psi_term
         |FROM g CROSS JOIN st ORDER BY bin""".stripMargin,
-    "sample_weighted" ->
+    "sample_prop_value" ->
       """WITH mx AS (SELECT max(value) AS vmax FROM events)
         |SELECT event_id, value FROM events, mx
         |WHERE CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
@@ -3649,6 +3659,85 @@ object SparkEntry {
         |  CAST(max(deg) AS BIGINT) AS deg_max,
         |  CAST(count(*) AS DOUBLE) / CAST(n_vertices AS DOUBLE) AS share
         |FROM d, t GROUP BY 1, n_vertices ORDER BY band""".stripMargin,
+    "text_keywords_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+        |), dfreq AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        |), nn AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.tok,
+        |    t.tf * (ln((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS tfidf
+        |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN nn
+        |), r AS (
+        |  SELECT doc_id, tok, tfidf, CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, rank, tok, CAST(tfidf AS REAL) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "stream_scd2_enrich" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, ts FROM events
+        |  WHERE user_id < 20
+        |), marked AS (
+        |  SELECT *, lag(event_type) OVER w AS prev_type
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM marked
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |), versioned AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER w2 AS INT) AS version_n,
+        |    event_type AS attr, ts AS valid_from,
+        |    lead(ts) OVER w2 AS valid_to
+        |  FROM changes
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT e.event_id, e.user_id, v.version_n, v.attr
+        |FROM ev e JOIN versioned v
+        |  ON v.user_id = e.user_id AND v.valid_from <= e.ts
+        |  AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+        |ORDER BY e.event_id""".stripMargin,
+    "ts_stl_decompose" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h,
+        |    CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS v6
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT h, v6,
+        |    CAST(sum(v6) OVER w AS BIGINT) AS t25_sum,
+        |    count(*) OVER w AS t25_n
+        |  FROM hourly
+        |  WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        |), d AS (
+        |  SELECT *,
+        |    CASE WHEN t25_n = 25 THEN 25 * v6 - t25_sum END AS detr25,
+        |    CAST(h % 24 AS INT) AS hod
+        |  FROM t
+        |), s AS (
+        |  SELECT hod, CAST(sum(detr25) AS BIGINT) AS s_sum,
+        |    count(*) AS s_n
+        |  FROM d WHERE detr25 IS NOT NULL GROUP BY hod
+        |)
+        |SELECT make_timestamp(h * 3600000000) AS hour_ts,
+        |  CAST(CAST(v6 AS DOUBLE) / 1000000.0 AS REAL) AS value,
+        |  CAST(CASE WHEN t25_n = 25
+        |    THEN CAST(t25_sum AS DOUBLE) / 25000000.0 END AS REAL) AS trend,
+        |  CAST(CASE WHEN d.detr25 IS NOT NULL
+        |    THEN CAST(s_sum AS DOUBLE) / CAST(s_n * 25 AS DOUBLE)
+        |      / 1000000.0 END AS REAL) AS seasonal,
+        |  CAST(CASE WHEN d.detr25 IS NOT NULL
+        |    THEN CAST(d.detr25 AS DOUBLE) / 25000000.0
+        |      - CAST(s_sum AS DOUBLE) / CAST(s_n * 25 AS DOUBLE)
+        |        / 1000000.0 END AS REAL) AS residual
+        |FROM d LEFT JOIN s USING (hod)
+        |ORDER BY hour_ts""".stripMargin,
     "graph_local_clustering" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -909,6 +909,63 @@ object Analytics5 {
     * with it).
     *
     * Scale shape: one tiny-key aggregate + a broadcast 1-row total. */
+  /** Additive seasonal-trend decomposition of the hourly event-value
+    * series (STL-lite, moving-average flavor): trend = centered 25-hour
+    * moving average, seasonal = per-hour-of-day mean of the detrended
+    * series, residual = value − trend − seasonal. The decomposition
+    * behind "is this spike load growth, time-of-day, or an incident" —
+    * complementing [[Analytics2.tsSeasonalBaseline]]'s hour-of-week
+    * z-score (which classifies points; this SPLITS the series).
+    *
+    * Integer-exact cross-engine: the hourly series is an exact scaled
+    * BIGINT (Σ round(value·1e6)); the 25-hour trend sum and the
+    * ×25-scaled detrended values stay BIGINT (25·v − Σ25 — division by
+    * 25 is deferred, never rounded), and the seasonal mean divides two
+    * exact integers once. Every emitted double is one identical IEEE
+    * expression over exact integers in both engines; REAL casts absorb
+    * nothing here but keep the output schema uniform.
+    *
+    * Scale shape: the hourly rollup is the only data-sized aggregate
+    * (map-side-combined). Everything after runs on the hourly series,
+    * whose length is bounded by wall-clock hours (8 760/year) — the
+    * single-partition window is over that inherently tiny series, the
+    * same justification as the Holt family. Edge hours (incomplete
+    * 25-row frame) emit null trend/seasonal/residual, the standard
+    * moving-average STL contract. */
+  def tsStlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = graft.schema.Schemas.events(spark, dir)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(sum(round(col("value") * lit(1e6)).cast("long")).as("v6"))
+    val w = Window.orderBy(col("h")).rowsBetween(-12, 12)
+    val trended = hourly
+      .withColumn("t25_sum", sum(col("v6")).over(w))
+      .withColumn("t25_n", count(lit(1)).over(w))
+      // 25·v − Σ25: the ×25-scaled detrended value, exact BIGINT
+      .withColumn("detr25",
+        when(col("t25_n") === 25, lit(25L) * col("v6") - col("t25_sum")))
+      .withColumn("hod", (col("h") % 24).cast("int"))
+    val seasonal = trended.filter(col("detr25").isNotNull)
+      .groupBy(col("hod"))
+      .agg(sum(col("detr25")).as("s_sum"), count(lit(1)).as("s_n"))
+    trended.join(broadcast(seasonal), Seq("hod"), "left")
+      .select(
+        timestamp_micros(col("h") * lit(3600000000L)).as("hour_ts"),
+        (col("v6").cast("double") / lit(1e6)).cast("float").as("value"),
+        when(col("t25_n") === 25,
+          col("t25_sum").cast("double") / lit(25e6)).cast("float")
+          .as("trend"),
+        when(col("detr25").isNotNull,
+          col("s_sum").cast("double")
+            / (col("s_n") * lit(25L)).cast("double") / lit(1e6))
+          .cast("float").as("seasonal"),
+        when(col("detr25").isNotNull,
+          (col("detr25").cast("double") / lit(25e6))
+            - (col("s_sum").cast("double")
+               / (col("s_n") * lit(25L)).cast("double") / lit(1e6)))
+          .cast("float").as("residual"))
+      .orderBy(col("hour_ts"))
+  }
+
   def corpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val perLang = table(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

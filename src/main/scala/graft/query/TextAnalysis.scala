@@ -241,6 +241,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("tok"))
   }
 
+  /** Keyword extraction: the top-k terms per document by TF-IDF — the
+    * summarization/tagging primitive built on [[textTfidf]]'s exact
+    * integer inputs (tf, df, N). Ranking compares doubles both engines
+    * derive from identical integer rationals; distinct terms with equal
+    * (tf, df) score mathematically equal and fall to the token
+    * tie-break, so the selection is cross-engine deterministic.
+    *
+    * Scale shape: the rank window partitions on doc_id, and a document's
+    * distinct-term count is bounded by its own length — per-group work
+    * is O(doc length), independent of corpus size (this is why a window
+    * is scale-correct HERE while group-wide rankings ride
+    * [[graft.functions.TopKByScore]]). */
+  def textKeywordsTopk(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val tf = tokenTf(spark, dir)
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0)))
+          + lit(1.0)))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"),
+        col("tfidf").cast("float").as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Okapi BM25 term scoring (k1=1.2, b=0.75): the retrieval-grade
     * refinement of TF-IDF with document-length normalization. All inputs
     * (tf, df, dl, N) are exact integers, avgdl is one exact double

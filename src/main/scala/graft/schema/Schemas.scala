@@ -107,7 +107,37 @@ object Schemas {
     evictingComputeIfAbsent(
       relCache.computeIfAbsent(spark,
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()),
-      path, fingerprint(path))(spark.read.parquet(path))(_ => ())
+      path, fingerprint(path))(
+      normalizePhysicalTypes(name, spark.read.parquet(path)))(_ => ())
+  }
+
+  /** Normalize generator-dependent physical types at the read boundary —
+    * the same discipline [[events]] applies to `ts`, extended to every
+    * column a regenerated corpus has drifted (or could drift) on. The
+    * `events.ts` drift silently compressed event time 1000× in round 10;
+    * an `embedding` shipped as list<double> would hard-crash all 30+
+    * vector consumers (the codegen'd kernels bind to ArrayType(FloatType)),
+    * and integer widths (`n_chars`, `label`) feed hash-exact oracles where
+    * a silent INT32/INT64 flip changes result schemas. Casting when the
+    * type already matches is a no-op Catalyst elides, so the steady-state
+    * plan is unchanged. */
+  private def normalizePhysicalTypes(name: String, df: DataFrame): DataFrame = {
+    def matches(have: DataType, want: DataType): Boolean = (have, want) match {
+      case (ArrayType(e1, _), ArrayType(e2, _)) => matches(e1, e2)
+      case _ => have == want
+    }
+    def castIf(d: DataFrame, c: String, want: DataType): DataFrame =
+      if (d.columns.contains(c) && !matches(d.schema(c).dataType, want))
+        d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(want))
+      else d
+    name match {
+      case "embeddings" =>
+        castIf(castIf(castIf(df, "embedding", ArrayType(FloatType)),
+          "vec_id", LongType), "label", IntegerType)
+      case "documents" =>
+        castIf(castIf(df, "n_chars", LongType), "doc_id", LongType)
+      case _ => df
+    }
   }
 
   /** `computeIfAbsent` for fingerprint-keyed caches WITH eviction of the
@@ -133,7 +163,24 @@ object Schemas {
           val v = map.remove(stale)
           if (v != null) try retire(v) catch { case _: Throwable => () }
         }
-      map.computeIfAbsent(key, _ => build)
+      // build OUTSIDE the map's compute: a build thunk that resolves a
+      // BASE index through this same cache (derived-index composition)
+      // would otherwise be a recursive computeIfAbsent — which
+      // ConcurrentHashMap rejects with IllegalStateException("Recursive
+      // update") WHEN the two keys land in the same hash bin. The keys
+      // embed content fingerprints, so bin collisions arrive and vanish
+      // with testdata regenerations — a crash that appears "randomly"
+      // across corpus generations (observed: dedup_groups → minhash
+      // candidates). Cost of the non-reentrant form: two racing threads
+      // may both build; the loser's value is retired, the winner is
+      // served to both — builds here are idempotent persisted plans, so
+      // at-most-once was a nicety, recursion-safety is correctness.
+      val built = build
+      val prev = map.putIfAbsent(key, built)
+      if (prev != null) {
+        if (!prev.equals(built)) try retire(built) catch { case _: Throwable => () }
+        prev
+      } else built
     }
   }
 

@@ -271,6 +271,38 @@ object StreamQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Streaming SCD2 point-in-time enrichment: each live event joined to
+    * the slowly-changing-dimension version effective AT ITS EVENT TIME —
+    * the streaming twin of [[graft.query.Relational3.scd2AsofLookup]],
+    * and the shape every online feature pipeline needs (a scoring
+    * request must see the dimension as of the event, never the current
+    * row, or training/serving skew follows). The dim is batch-built and
+    * broadcast; the validity range [valid_from, valid_to) rides the
+    * join as a non-equi predicate, which a stream-static join supports
+    * because the static side is re-planned per micro-batch, never
+    * state. Stateless → Append mode; the full drain equals the batch
+    * as-of lookup, which is the oracle.
+    *
+    * Scale shape: per-entity version chains are short (bounded by
+    * change count, not event count), so the range predicate multiplies
+    * bounded work; a dim too large to broadcast shuffles on the entity
+    * key exactly like the batch form. */
+  def streamScd2Enrich(spark: SparkSession, dir: String,
+      maxUser: Long = 20L): DataFrame = {
+    val dim = graft.query.Relational3.scd2Versions(spark, dir, maxUser)
+      .select(col("user_id").as("v_user"), col("version_n"), col("attr"),
+        col("valid_from"), col("valid_to"))
+    val enriched = streamEvents(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .join(broadcast(dim), col("user_id") === col("v_user") &&
+        col("valid_from") <= col("ts") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("version_n"), col("attr"))
+    drain(spark, enriched, OutputMode.Append())
+      .orderBy(col("event_id"))
+  }
+
   /** Stream-static join: the event stream enriched against the static
     * customer dimension (per micro-batch broadcast hash join — the static
     * side never becomes state), then aggregated per market segment. Full

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query.{Analytics5, Relational3, TextAnalysis}
+import graft.streaming.StreamQueries
+
+/** Round-15 operator pins: keyword extraction, streaming SCD2
+  * enrichment, additive seasonal-trend decomposition, and the
+  * recursion-safety of the derived-index cache. */
+class Round15Spec extends SparkSpec {
+
+  test("text_keywords_topk: ≤k contiguous ranks per doc, tfidf non-increasing, " +
+      "rank 1 is the doc's max") {
+    val rows = TextAnalysis.textKeywordsTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted
+      assert(ranks.toSeq == (1 to rs.length), s"doc $doc ranks $ranks")
+      assert(rs.length <= 3)
+      val scores = rs.sortBy(_.getInt(1)).map(_.getFloat(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $doc tfidf not non-increasing")
+    }
+    // rank-1 term really is the doc's argmax tfidf (re-derived on the
+    // bounded tfidf dump)
+    val full = TextAnalysis.textTfidf(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    full.foreach { case (doc, terms) =>
+      val top = byDoc(doc).minBy(_.getInt(1))
+      assert(top.getFloat(3) == terms.map(_.getFloat(4)).max,
+        s"doc $doc top keyword score mismatch")
+    }
+  }
+
+  test("stream_scd2_enrich equals the batch as-of lookup row for row") {
+    val streamed = StreamQueries.streamScd2Enrich(spark, sf).collect()
+    val batch = Relational3.scd2AsofLookup(spark, sf).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0))
+      assert(s.getLong(1) == b.getLong(1))
+      assert(s.getInt(2) == b.getInt(2))
+      assert(s.getString(3) == b.getString(3))
+    }
+  }
+
+  test("ts_stl_decompose: additive identity holds, edges null, seasonal " +
+      "is a pure function of hour-of-day") {
+    val rows = Analytics5.tsStlDecompose(spark, sf).collect()
+    assert(rows.length > 30)
+    // first and last 12 hours cannot fill the centered 25-row frame
+    (rows.take(12) ++ rows.takeRight(12)).foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)) }
+    val interior = rows.filter(r => !r.isNullAt(2))
+    assert(interior.nonEmpty)
+    interior.foreach { r =>
+      val v = r.getFloat(1).toDouble; val t = r.getFloat(2).toDouble
+      val s = r.getFloat(3).toDouble; val e = r.getFloat(4).toDouble
+      assert(math.abs(v - t - s - e) < 1e-3,
+        s"additive identity broke at ${r.getTimestamp(0)}: $v vs ${t + s + e}")
+    }
+    val byHod = interior.groupBy(_.getTimestamp(0).toInstant
+      .atZone(java.time.ZoneOffset.UTC).getHour)
+    byHod.foreach { case (hod, rs) =>
+      assert(rs.map(_.getFloat(3)).distinct.length == 1,
+        s"seasonal not constant within hour-of-day $hod") }
+  }
+
+  test("derived-index cache survives a nested (recursive) resolve") {
+    // dedup_groups' build resolves the minhash candidate index through
+    // the SAME per-session cache — with ConcurrentHashMap.computeIfAbsent
+    // this threw IllegalStateException("Recursive update") whenever the
+    // two keys landed in one hash bin (bin placement shifts with the
+    // content fingerprint, so the crash tracked testdata regenerations).
+    // Cleared caches force the nested cold path deterministically.
+    graft.query.Dedup.clearCaches()
+    val g = graft.query.Dedup.dedupGroups(spark, sf).collect()
+    assert(g.nonEmpty)
+  }
+}
