@@ -535,6 +535,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) =>
         graft.streaming.StreamQueries.streamScd2Enrich(s, d)),
     "ts_stl_decompose"       -> Analytics5.tsStlDecompose _,
+    // per-key sequential recurrence via flatMapSortedGroups (sorted-group
+    // streaming iteration — the typed-API shape windows can't express)
+    "anomaly_alert_debounce" ->
+      ((s: SparkSession, d: String) => Analytics5.anomalyAlertDebounce(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3738,6 +3742,28 @@ object SparkEntry {
         |        / 1000000.0 END AS REAL) AS residual
         |FROM d LEFT JOIN s USING (hod)
         |ORDER BY hour_ts""".stripMargin,
+    // the greedy debounce recurrence replayed as a recursive CTE: row n
+    // joins row n−1's anchor — the sequential dependency made explicit
+    "anomaly_alert_debounce" ->
+      """WITH RECURSIVE errs AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE event_type = 'error'
+        |), walk AS (
+        |  SELECT user_id, event_id, ts, us, rn, us AS anchor,
+        |    TRUE AS emitted
+        |  FROM errs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.ts, e.us, e.rn,
+        |    CASE WHEN e.us - w.anchor >= 1800000000
+        |      THEN e.us ELSE w.anchor END,
+        |    e.us - w.anchor >= 1800000000
+        |  FROM errs e JOIN walk w
+        |    ON e.user_id = w.user_id AND e.rn = w.rn + 1
+        |)
+        |SELECT user_id, event_id, ts FROM walk WHERE emitted
+        |ORDER BY user_id, event_id""".stripMargin,
     "graph_local_clustering" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

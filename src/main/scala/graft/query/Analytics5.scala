@@ -966,6 +966,44 @@ object Analytics5 {
       .orderBy(col("hour_ts"))
   }
 
+  /** Alert debouncing: per user, an error event fires an alert only if
+    * ≥30 minutes have passed since the last FIRED alert — the greedy
+    * anchor chain every paging/alerting pipeline needs (readmission
+    * screens and promo-cooldown logic are the same recurrence). This is
+    * NOT window-expressible: each decision depends on the previous
+    * EMITTED row, not the previous row, so it is a per-key sequential
+    * recurrence — exactly what `flatMapSortedGroups` exists for (the
+    * engine sorts each group by the given columns during the exchange;
+    * the group iterator streams in that order without materializing the
+    * group).
+    *
+    * Scale shape: one hash exchange on user_id + per-partition sort —
+    * identical cost to any per-user window — then O(1) state (the
+    * anchor) per group. The oracle replays the recurrence as a
+    * recursive CTE; both sides use integer microseconds, so agreement
+    * is exact. */
+  def anomalyAlertDebounce(spark: SparkSession, dir: String,
+      gapUs: Long = 1800000000L): DataFrame = {
+    import spark.implicits._
+    val errs = graft.schema.Schemas.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)]
+    errs.groupByKey(_._1)
+      .flatMapSortedGroups(col("us"), col("event_id")) { (u, it) =>
+        var anchor = Long.MinValue
+        it.flatMap { case (_, id, us) =>
+          if (anchor == Long.MinValue || us - anchor >= gapUs) {
+            anchor = us; Iterator.single((u, id, us))
+          } else Iterator.empty
+        }
+      }
+      .toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def corpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val perLang = table(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

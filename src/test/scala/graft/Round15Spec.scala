@@ -67,6 +67,32 @@ class Round15Spec extends SparkSpec {
         s"seasonal not constant within hour-of-day $hod") }
   }
 
+  test("anomaly_alert_debounce matches a driver-side replay of the recurrence") {
+    val got = Analytics5.anomalyAlertDebounce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val errs = graft.schema.Schemas.events(spark, sf)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = errs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      var anchor = Long.MinValue
+      es.sortBy(e => (e._3, e._2)).flatMap { case (_, id, us) =>
+        if (anchor == Long.MinValue || us - anchor >= 1800000000L) {
+          anchor = us; Some((u, id))
+        } else None
+      }
+    }.sorted
+    assert(got.length == want.length && got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+    // suppression engages once the cooldown exceeds the inter-error
+    // gaps (at sf0.001 no user errors twice inside 30 min, so the
+    // default gap suppresses nothing — which the exact compare above
+    // already pins); a 1-week cooldown must drop alerts
+    val weekly = Analytics5.anomalyAlertDebounce(spark, sf,
+      gapUs = 7L * 86400000000L).collect()
+    assert(weekly.length < errs.length)
+  }
+
   test("derived-index cache survives a nested (recursive) resolve") {
     // dedup_groups' build resolves the minhash candidate index through
     // the SAME per-session cache — with ConcurrentHashMap.computeIfAbsent
