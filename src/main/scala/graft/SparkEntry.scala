@@ -539,6 +539,15 @@ object SparkEntry {
     // streaming iteration — the typed-API shape windows can't express)
     "anomaly_alert_debounce" ->
       ((s: SparkSession, d: String) => Analytics5.anomalyAlertDebounce(s, d)),
+    // integer-exact HITS on the bipartite order↔part graph
+    "graph_hits"             ->
+      ((s: SparkSession, d: String) => Analytics5.graphHits(s, d)),
+    // Welch's two-sample t-test from exact scaled-integer moments
+    "agg_ttest_welch"        -> Analytics5.aggTtestWelch _,
+    // streaming token-bucket admission control (transformWithState)
+    "stream_rate_limit"      ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.StreamQueries.streamRateLimit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3763,6 +3772,96 @@ object SparkEntry {
         |    ON e.user_id = w.user_id AND e.rn = w.rn + 1
         |)
         |SELECT user_id, event_id, ts FROM walk WHERE emitted
+        |ORDER BY user_id, event_id""".stripMargin,
+    "graph_hits" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), a1 AS (
+        |  SELECT pk, CAST(count(*) AS BIGINT) AS a FROM li GROUP BY pk
+        |), h1 AS (
+        |  SELECT ok, CAST(sum(a) AS BIGINT) AS h
+        |  FROM li JOIN a1 USING (pk) GROUP BY ok
+        |), a2 AS (
+        |  SELECT pk, CAST(sum(h) AS BIGINT) AS a
+        |  FROM li JOIN h1 USING (ok) GROUP BY pk
+        |), h2 AS (
+        |  SELECT ok, CAST(sum(a) AS BIGINT) AS h
+        |  FROM li JOIN a2 USING (pk) GROUP BY ok
+        |), a3 AS (
+        |  SELECT pk, CAST(sum(h) AS BIGINT) AS a
+        |  FROM li JOIN h2 USING (ok) GROUP BY pk
+        |), mx AS (SELECT max(a) AS amax FROM a3)
+        |SELECT pk AS part_id, a AS auth,
+        |  CAST(CAST(a AS DOUBLE) / CAST(amax AS DOUBLE) AS REAL) AS score
+        |FROM a3, mx ORDER BY auth DESC, part_id LIMIT 50""".stripMargin,
+    "agg_ttest_welch" ->
+      """WITH g AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s1a,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT)
+        |         * CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s2a,
+        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s1b,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT)
+        |         * CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s2b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), m AS (
+        |  SELECT *, CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+        |  FROM g
+        |), v AS (
+        |  SELECT *,
+        |    ((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * m1)
+        |      / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE) AS se1,
+        |    ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * m2)
+        |      / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE) AS se2
+        |  FROM m
+        |)
+        |SELECT n1, n2,
+        |  CAST(m1 / 1000.0 AS REAL) AS mean1,
+        |  CAST(m2 / 1000.0 AS REAL) AS mean2,
+        |  CAST((m1 - m2) / sqrt(se1 + se2) AS REAL) AS t_stat,
+        |  CAST((se1 + se2) * (se1 + se2)
+        |    / (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+        |     + se2 * se2 / CAST(n2 - 1 AS DOUBLE)) AS REAL) AS df
+        |FROM v""".stripMargin,
+    // the token bucket replayed as a recursive CTE: burst 2, one token
+    // per 12 h, admission iff a full token is present at arrival
+    "stream_rate_limit" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events
+        |), walk AS (
+        |  SELECT user_id, event_id, us, rn, TRUE AS allowed,
+        |    CAST(2 * 43200000000 - 43200000000 AS BIGINT) AS tok_after
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.us, e.rn,
+        |    least(2 * 43200000000, w.tok_after + (e.us - w.us))
+        |      >= 43200000000,
+        |    CAST(CASE WHEN least(2 * 43200000000,
+        |        w.tok_after + (e.us - w.us)) >= 43200000000
+        |      THEN least(2 * 43200000000, w.tok_after + (e.us - w.us))
+        |        - 43200000000
+        |      ELSE least(2 * 43200000000, w.tok_after + (e.us - w.us))
+        |      END AS BIGINT)
+        |  FROM ev e JOIN walk w
+        |    ON e.user_id = w.user_id AND e.rn = w.rn + 1
+        |)
+        |SELECT user_id, event_id, allowed FROM walk
         |ORDER BY user_id, event_id""".stripMargin,
     "graph_local_clustering" ->
       """WITH li AS (

@@ -1004,6 +1004,92 @@ object Analytics5 {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** HITS hubs-and-authorities over the bipartite order↔part graph:
+    * `iters` rounds of mutual reinforcement (authority = Σ hub over
+    * containing orders; hub = Σ authority over contained parts), top-k
+    * parts by final authority. Complements pagerank (a random-walk
+    * centrality on the projected co-purchase graph) with the
+    * two-sided bipartite notion — big-basket orders endorse parts,
+    * heavily-co-ordered parts make orders hubs.
+    *
+    * Integer-exact: scores start at hub=1 and stay UNNORMALIZED BIGINTs
+    * (classic HITS normalizes per round only for convergence aesthetics;
+    * the ranking is identical), so three rounds of join+sum replay
+    * bit-for-bit in the oracle. Growth is bounded by
+    * (d_order·d_part)^iters — at web-scale degrees move the
+    * normalization into the loop (divide by max, one extra tiny
+    * aggregate per round).
+    *
+    * Scale shape: the bipartite edge index persists once per (session,
+    * corpus); each round is two shuffle joins + map-side-combined sums —
+    * the same per-round cost as one pagerank round. Top-k is
+    * TakeOrdered, never a global sort. */
+  def graphHits(spark: SparkSession, dir: String, iters: Int = 3,
+      k: Int = 50): DataFrame = {
+    val bip = Analytics.cachedDf(spark, Analytics.gkey(dir, "bip")) {
+      table(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+    }
+    var hub = bip.select(col("ok")).distinct().withColumn("h", lit(1L))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = bip.join(hub, Seq("ok"))
+        .groupBy(col("pk")).agg(sum(col("h")).as("a"))
+      hub = bip.join(auth, Seq("pk"))
+        .groupBy(col("ok")).agg(sum(col("a")).as("h"))
+    }
+    val amax = auth.agg(max(col("a")).as("amax"))
+    auth.crossJoin(broadcast(amax))
+      .select(col("pk").as("part_id"), col("a").as("auth"),
+        (col("a").cast("double") / col("amax").cast("double"))
+          .cast("float").as("score"))
+      .orderBy(col("auth").desc, col("part_id")).limit(k)
+  }
+
+  /** Welch's unequal-variance t-test between the click and purchase
+    * event-value populations — the parametric two-sample test beside
+    * [[Analytics.evalKsTest]]'s distribution-free KS. Inputs are exact:
+    * per-group n, Σx, Σx² over ×1000-scaled BIGINT values (the
+    * statistic is DEFINED on the scaled values; the scale cancels in
+    * t), means/variances use the computational formula on those exact
+    * integers, and both engines evaluate the same IEEE expression tree
+    * — hash-exact through t and the Welch–Satterthwaite df.
+    *
+    * Scale shape: ONE map-side-combined conditional aggregate over the
+    * fact table; everything after is scalar arithmetic on a single
+    * row. */
+  def aggTtestWelch(spark: SparkSession, dir: String): DataFrame = {
+    val x3 = round(col("value") * lit(1000.0)).cast("long")
+    val isA = col("event_type") === "click"
+    val isB = col("event_type") === "purchase"
+    val g = graft.schema.Schemas.events(spark, dir)
+      .filter(isA || isB)
+      .agg(
+        count(when(isA, lit(1))).as("n1"),
+        sum(when(isA, x3)).as("s1a"),
+        sum(when(isA, x3 * x3)).as("s2a"),
+        count(when(isB, lit(1))).as("n2"),
+        sum(when(isB, x3)).as("s1b"),
+        sum(when(isB, x3 * x3)).as("s2b"))
+    val m1 = g("s1a").cast("double") / g("n1").cast("double")
+    val m2 = g("s1b").cast("double") / g("n2").cast("double")
+    val v1 = (g("s2a").cast("double") - g("s1a").cast("double") * m1) /
+      (g("n1") - lit(1)).cast("double")
+    val v2 = (g("s2b").cast("double") - g("s1b").cast("double") * m2) /
+      (g("n2") - lit(1)).cast("double")
+    val se1 = v1 / g("n1").cast("double")
+    val se2 = v2 / g("n2").cast("double")
+    g.select(col("n1"), col("n2"),
+      (m1 / lit(1000.0)).cast("float").as("mean1"),
+      (m2 / lit(1000.0)).cast("float").as("mean2"),
+      ((m1 - m2) / sqrt(se1 + se2)).cast("float").as("t_stat"),
+      ((se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (g("n1") - lit(1)).cast("double") +
+         se2 * se2 / (g("n2") - lit(1)).cast("double")))
+        .cast("float").as("df"))
+  }
+
   def corpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val perLang = table(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

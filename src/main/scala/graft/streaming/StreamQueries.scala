@@ -975,6 +975,84 @@ object StreamQueries {
     * type); `rawEvents = false` reads micros-TIMESTAMP re-exports,
     * with `filesPerTrigger` forcing a multi-micro-batch drain so specs
     * can prove state carries across batches. */
+  case class RlOut(user_id: Long, event_id: Long, allowed: Boolean)
+
+  /** Token-bucket processor for [[streamRateLimit]]: ValueState holds
+    * (tokens·period in µs, last event µs). The bucket is order-SENSITIVE
+    * — each decision depends on the tokens the previous decision left —
+    * and shuffle order within a micro-batch is arbitrary, so the batch's
+    * rows are buffered and time-sorted before the fold (per key per
+    * batch, bounded by the trigger's volume — the same buffering every
+    * order-dependent stateful operator pays). Tokens are integer
+    * microseconds of refill credit: capacity·period is the cap, each
+    * admitted event spends one period — no floating point anywhere, so
+    * the drained result replays exactly in the oracle's recursive CTE. */
+  private class RateLimitProcessor(capacityTokens: Long, periodUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), RlOut] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("bucket",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RlOut] = {
+      val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+      var (tok, last) =
+        if (st.exists()) st.get() else (capacityTokens * periodUs, Long.MinValue)
+      val out = sorted.map { case (u, id, us) =>
+        if (last != Long.MinValue)
+          tok = math.min(capacityTokens * periodUs, tok + (us - last))
+        last = us
+        val allowed = tok >= periodUs
+        if (allowed) tok -= periodUs
+        RlOut(u, id, allowed)
+      }
+      st.update((tok, last))
+      out.iterator
+    }
+  }
+
+  /** Streaming per-user rate limiting (token bucket: burst `capacity`,
+    * one token per `periodUs`): each event is admitted or rejected at
+    * arrival — the online admission-control twin of the batch
+    * [[graft.query.Analytics5.anomalyAlertDebounce]] recurrence, kept
+    * as transformWithState state so a long-running stream carries the
+    * bucket across triggers. Integer-exact; the oracle replays the
+    * bucket as a recursive CTE.
+    *
+    * Scale shape: state is two longs per key; per-trigger work is one
+    * sort of that key's new events. The single-batch pin gives the
+    * batch-equivalence contract (a multi-trigger run stays correct
+    * whenever files arrive in event-time order, the append-only
+    * production layout). */
+  def streamRateLimit(spark: SparkSession, dir: String,
+      capacityTokens: Long = 2L, periodUs: Long = 43200000000L): DataFrame = {
+    import spark.implicits._
+    // transformWithState needs multiple column families → RocksDB store
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = streamEvents(spark, dir, singleBatch = true)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .as[(Long, Long, Long)]
+      val out = ds.groupByKey(_._1)
+        .transformWithState(new RateLimitProcessor(capacityTokens, periodUs),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      drain(spark, out.toDF(), OutputMode.Update(), statePartitions = 4)
+        .orderBy(col("user_id"), col("event_id"))
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
+  }
+
   private def twsSource(spark: SparkSession, dir: String,
       rawEvents: Boolean, filesPerTrigger: Option[Int]): DataFrame =
     if (rawEvents) streamEvents(spark, dir)

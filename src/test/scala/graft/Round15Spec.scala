@@ -93,6 +93,68 @@ class Round15Spec extends SparkSpec {
     assert(weekly.length < errs.length)
   }
 
+  test("graph_hits: top-50 by authority, scores normalized to max=1, " +
+      "round-1 authority equals part degree") {
+    val rows = Analytics5.graphHits(spark, sf).collect()
+    assert(rows.length <= 50 && rows.nonEmpty)
+    val auths = rows.map(_.getLong(1))
+    assert(auths.zip(auths.tail).forall { case (a, b) => a >= b })
+    assert(rows.head.getFloat(2) == 1.0f)
+    assert(rows.forall(r => r.getFloat(2) > 0f && r.getFloat(2) <= 1.0f))
+    // one-round HITS from hub=1 is exactly the part's order-degree
+    val r1 = Analytics5.graphHits(spark, sf, iters = 1).collect()
+    val deg = graft.schema.Schemas.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey")).agg(countDistinct(col("l_orderkey")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    r1.foreach { r => assert(r.getLong(1) == deg(r.getLong(0))) }
+  }
+
+  test("agg_ttest_welch: Welch df within its theoretical bounds, " +
+      "means inside the populations' ranges") {
+    val r = Analytics5.aggTtestWelch(spark, sf).head()
+    val n1 = r.getLong(0); val n2 = r.getLong(1)
+    assert(n1 > 1 && n2 > 1)
+    val df = r.getFloat(5)
+    assert(df >= math.min(n1, n2) - 1 - 1e-3,
+      s"df $df below min(n)-1 ${math.min(n1, n2) - 1}")
+    assert(df <= n1 + n2 - 2 + 1e-3)
+    assert(!r.getFloat(4).isNaN)
+    val mm = graft.schema.Schemas.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .agg(min(col("value")), max(col("value"))).head()
+    Seq(r.getFloat(2), r.getFloat(3)).foreach { m =>
+      assert(m >= mm.getDouble(0) - 1e-3 && m <= mm.getDouble(1) + 1e-3) }
+  }
+
+  test("stream_rate_limit matches a driver-side token-bucket replay; " +
+      "a zero-refill bucket admits exactly the burst") {
+    val got = StreamQueries.streamRateLimit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val evs = graft.schema.Schemas.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cap = 2L; val per = 43200000000L
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      var tok = cap * per; var last = Long.MinValue
+      es.sortBy(e => (e._3, e._2)).map { case (_, id, us) =>
+        if (last != Long.MinValue) tok = math.min(cap * per, tok + (us - last))
+        last = us
+        val ok = tok >= per
+        if (ok) tok -= per
+        (u, id, ok)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+    assert(got.exists(!_._3) && got.exists(_._3), "want a mixed admit/reject run")
+    // effectively-infinite period → only the initial burst of 2 admits
+    val burstOnly = StreamQueries.streamRateLimit(spark, sf,
+      capacityTokens = 2L, periodUs = Long.MaxValue / 4).collect()
+    val byUser = burstOnly.groupBy(_.getLong(0))
+    byUser.values.foreach { rs =>
+      assert(rs.count(_.getBoolean(2)) == math.min(2, rs.length)) }
+  }
+
   test("derived-index cache survives a nested (recursive) resolve") {
     // dedup_groups' build resolves the minhash candidate index through
     // the SAME per-session cache — with ConcurrentHashMap.computeIfAbsent
