@@ -539,9 +539,11 @@ object SparkEntry {
     // streaming iteration — the typed-API shape windows can't express)
     "anomaly_alert_debounce" ->
       ((s: SparkSession, d: String) => Analytics5.anomalyAlertDebounce(s, d)),
-    // integer-exact HITS on the bipartite order↔part graph
+    // integer-exact HITS on the bipartite order↔part graph. Registered at
+    // iters=2 (each round is TWO joins — the 3-round shape costs ~2×
+    // pagerank-3 at bench scale and is pinned by Round15Spec instead)
     "graph_hits"             ->
-      ((s: SparkSession, d: String) => Analytics5.graphHits(s, d)),
+      ((s: SparkSession, d: String) => Analytics5.graphHits(s, d, iters = 2)),
     // Welch's two-sample t-test from exact scaled-integer moments
     "agg_ttest_welch"        -> Analytics5.aggTtestWelch _,
     // streaming token-bucket admission control (transformWithState)
@@ -3784,16 +3786,10 @@ object SparkEntry {
         |), a2 AS (
         |  SELECT pk, CAST(sum(h) AS BIGINT) AS a
         |  FROM li JOIN h1 USING (ok) GROUP BY pk
-        |), h2 AS (
-        |  SELECT ok, CAST(sum(a) AS BIGINT) AS h
-        |  FROM li JOIN a2 USING (pk) GROUP BY ok
-        |), a3 AS (
-        |  SELECT pk, CAST(sum(h) AS BIGINT) AS a
-        |  FROM li JOIN h2 USING (ok) GROUP BY pk
-        |), mx AS (SELECT max(a) AS amax FROM a3)
+        |), mx AS (SELECT max(a) AS amax FROM a2)
         |SELECT pk AS part_id, a AS auth,
         |  CAST(CAST(a AS DOUBLE) / CAST(amax AS DOUBLE) AS REAL) AS score
-        |FROM a3, mx ORDER BY auth DESC, part_id LIMIT 50""".stripMargin,
+        |FROM a2, mx ORDER BY auth DESC, part_id LIMIT 50""".stripMargin,
     "agg_ttest_welch" ->
       """WITH g AS (
         |  SELECT

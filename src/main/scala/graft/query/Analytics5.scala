@@ -1026,21 +1026,44 @@ object Analytics5 {
     * TakeOrdered, never a global sort. */
   def graphHits(spark: SparkSession, dir: String, iters: Int = 3,
       k: Int = 50): DataFrame = {
-    val bip = Analytics.cachedDf(spark, Analytics.gkey(dir, "bip")) {
+    // The naive alternation (auth = Σ hub over orders; hub = Σ auth over
+    // parts) pays TWO 600k-row bipartite joins per round. Substituting
+    // hub out gives a_{k+1}(p) = Σ_{p'} C(p,p')·a_k(p'), where C(p,p') =
+    // #orders containing both parts — i.e. the WEIGHTED co-purchase
+    // projection (the persisted base graph index) plus its diagonal
+    // C(p,p) = d(p). So after a_1 = d, each round is ONE indexed join
+    // over the projection with the |parts|-row authority vector
+    // broadcast, plus a tiny vector-by-vector diagonal term — half the
+    // joins, against an index the rest of the graph family keeps warm.
+    // Exact BIGINT equivalence with the bipartite alternation
+    // (Round15Spec pins it against a driver-side replay).
+    val pdeg = Analytics.cachedDf(spark, Analytics.gkey(dir, "pdeg")) {
       table(spark, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .groupBy(col("pk")).agg(count(lit(1)).as("d"))
     }
-    var hub = bip.select(col("ok")).distinct().withColumn("h", lit(1L))
-    var auth: DataFrame = null
-    for (_ <- 1 to iters) {
-      auth = bip.join(hub, Seq("ok"))
-        .groupBy(col("pk")).agg(sum(col("h")).as("a"))
-      hub = bip.join(auth, Seq("pk"))
-        .groupBy(col("ok")).agg(sum(col("a")).as("h"))
+    val w = Analytics.copurchaseWeighted(spark, dir)
+    val wsym = w.select(col("u"), col("v"), col("weight"))
+      .unionAll(w.select(col("v").as("u"), col("u").as("v"), col("weight")))
+    // a_1 = d; per-round localCheckpoint keeps the |parts|-row vector
+    // shallow (checkpointed plans carry no stats → the broadcast hints
+    // are mandatory, the k-core lesson)
+    var a = pdeg.select(col("pk"), col("d").as("a")).localCheckpoint()
+    for (_ <- 2 to iters) {
+      val av = a.select(col("pk").as("v"), col("a").as("av"))
+      val nbr = wsym.join(broadcast(av), Seq("v"))
+        .groupBy(col("u"))
+        .agg(sum(col("weight") * col("av")).as("ns"))
+        .withColumnRenamed("u", "pk")
+      a = a.join(broadcast(pdeg), Seq("pk"))
+        .join(broadcast(nbr), Seq("pk"), "left")
+        .select(col("pk"),
+          (col("d") * col("a") + coalesce(col("ns"), lit(0L))).as("a"))
+        .localCheckpoint()
     }
-    val amax = auth.agg(max(col("a")).as("amax"))
-    auth.crossJoin(broadcast(amax))
+    val amax = a.agg(max(col("a")).as("amax"))
+    a.crossJoin(broadcast(amax))
       .select(col("pk").as("part_id"), col("a").as("auth"),
         (col("a").cast("double") / col("amax").cast("double"))
           .cast("float").as("score"))

@@ -110,6 +110,24 @@ class Round15Spec extends SparkSpec {
     r1.foreach { r => assert(r.getLong(1) == deg(r.getLong(0))) }
   }
 
+  test("graph_hits projection form equals the bipartite alternation (iters=3)") {
+    val got = Analytics5.graphHits(spark, sf, iters = 3, k = 1000).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side replay of the textbook alternation on the tiny fixture
+    val edges = graft.schema.Schemas.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var hub = edges.map(_._1).distinct.map(_ -> 1L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      auth = edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => hub(e._1)).sum }
+      hub = edges.groupBy(_._1).map { case (o, es) =>
+        o -> es.map(e => auth(e._2)).sum }
+    }
+    got.foreach { case (p, a) => assert(a == auth(p), s"part $p") }
+  }
+
   test("agg_ttest_welch: Welch df within its theoretical bounds, " +
       "means inside the populations' ranges") {
     val r = Analytics5.aggTtestWelch(spark, sf).head()
