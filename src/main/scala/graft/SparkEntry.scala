@@ -550,6 +550,12 @@ object SparkEntry {
     "stream_rate_limit"      ->
       ((s: SparkSession, d: String) =>
         graft.streaming.StreamQueries.streamRateLimit(s, d)),
+    // shot segmentation over sampled frames (video-curation shape)
+    "multimodal_scene_cuts"  ->
+      ((s: SparkSession, d: String) => Multimodal.multimodalSceneCuts(s, d)),
+    // spectral power at candidate periods over the hourly rollup
+    "ts_periodogram"         ->
+      ((s: SparkSession, d: String) => Analytics5.tsPeriodogram(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3859,6 +3865,65 @@ object SparkEntry {
         |)
         |SELECT user_id, event_id, allowed FROM walk
         |ORDER BY user_id, event_id""".stripMargin,
+    "multimodal_scene_cuts" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |        || ':fps'), 1, 15) AS BIGINT) % 2 = 0
+        |      THEN CAST(24 AS BIGINT) ELSE CAST(30 AS BIGINT) END AS fps,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dur'),
+        |      1, 15) AS BIGINT) % 30 + 5 AS duration_s
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, text, fps * duration_s AS n_frames,
+        |    greatest(CAST(1 AS BIGINT),
+        |      (fps * duration_s + 7) // 8) AS stride
+        |  FROM m
+        |), sel AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(CAST(0 AS BIGINT), n_frames - 1,
+        |      stride)) AS frame_idx
+        |  FROM f
+        |), fp AS (
+        |  SELECT doc_id, frame_idx,
+        |    CAST('0x' || substr(md5(text || ':f'
+        |      || CAST(frame_idx AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+        |      AS frame_fp
+        |  FROM sel
+        |), d AS (
+        |  SELECT doc_id, frame_idx,
+        |    abs(frame_fp - lag(frame_fp) OVER (PARTITION BY doc_id
+        |      ORDER BY frame_idx)) AS delta
+        |  FROM fp
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN delta > 400000 THEN 1 ELSE 0 END) + 1
+        |    AS BIGINT) AS n_scenes,
+        |  max(CASE WHEN delta > 400000 THEN frame_idx END)
+        |    AS last_cut_frame
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ts_periodogram" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h,
+        |    CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS v6
+        |  FROM events GROUP BY 1
+        |), hv AS (
+        |  SELECT h, CAST(v6 AS DOUBLE) / 1000000.0 AS v FROM hourly
+        |), p AS (
+        |  SELECT h, v, unnest([6, 12, 24, 168]) AS period_h FROM hv
+        |), g AS (
+        |  SELECT period_h,
+        |    sum(v * cos(2.0 * pi() * CAST(h AS DOUBLE)
+        |      / CAST(period_h AS DOUBLE))) AS c,
+        |    sum(v * sin(2.0 * pi() * CAST(h AS DOUBLE)
+        |      / CAST(period_h AS DOUBLE))) AS s,
+        |    CAST(count(*) AS BIGINT) AS n_hours
+        |  FROM p GROUP BY period_h
+        |)
+        |SELECT period_h, n_hours,
+        |  CAST((c * c + s * s) / CAST(n_hours AS DOUBLE) AS REAL) AS power
+        |FROM g ORDER BY period_h""".stripMargin,
     "graph_local_clustering" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

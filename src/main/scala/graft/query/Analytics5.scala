@@ -1113,6 +1113,45 @@ object Analytics5 {
         .cast("float").as("df"))
   }
 
+  /** Discrete periodogram of the hourly event-value series at candidate
+    * periods (6 h, 12 h, 24 h, 168 h): spectral power
+    * P(T) = C(T)² + S(T)² with C = Σ v·cos(2πh/T), S = Σ v·sin(2πh/T)
+    * — "which cycle actually drives this metric", the confirmation
+    * step before [[tsStlDecompose]] assumes a 24-hour season.
+    *
+    * Numerics: the hourly values are exact (scaled-BIGINT rollup
+    * recovered to doubles); the cos/sin terms are libm doubles whose
+    * last-ulp spread, summed over the series, sits ~9 orders below the
+    * REAL cast's rounding step — absorbed, same argument as every
+    * ln()-bearing oracle here. Candidate periods are a fixed literal
+    * list: a periodogram over all frequencies is an FFT job, not a SQL
+    * aggregate; pipelines test the hypotheses the domain suggests.
+    *
+    * Scale shape: the data-sized work is the same hourly rollup the
+    * decomposition uses; the trig pass runs over the wall-clock-bounded
+    * hourly series × 4 periods — one tiny aggregate per period via
+    * explode, map-side combined. */
+  def tsPeriodogram(spark: SparkSession, dir: String,
+      periodsH: Seq[Int] = Seq(6, 12, 24, 168)): DataFrame = {
+    val hourly = graft.schema.Schemas.events(spark, dir)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(sum(round(col("value") * lit(1e6)).cast("long")).as("v6"))
+      .select(col("h"), (col("v6").cast("double") / lit(1e6)).as("v"))
+    val ang = lit(2.0 * math.Pi) * col("h").cast("double") /
+      col("period_h").cast("double")
+    hourly
+      .select(col("h"), col("v"),
+        explode(array(periodsH.map(lit): _*)).as("period_h"))
+      .groupBy(col("period_h"))
+      .agg(sum(col("v") * cos(ang)).as("c"),
+        sum(col("v") * sin(ang)).as("s"),
+        count(lit(1)).as("n_hours"))
+      .select(col("period_h"), col("n_hours"),
+        ((col("c") * col("c") + col("s") * col("s")) /
+          col("n_hours").cast("double")).cast("float").as("power"))
+      .orderBy(col("period_h"))
+  }
+
   def corpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val perLang = table(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

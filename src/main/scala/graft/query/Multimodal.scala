@@ -250,6 +250,37 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Shot/scene segmentation over the sampled frames: a cut is declared
+    * where the feature distance between CONSECUTIVE sampled frames
+    * exceeds the threshold, and scenes are the runs between cuts — the
+    * video-curation pass that turns raw frame samples into shot-level
+    * training clips (dedup and captioning operate per shot, not per
+    * frame). Real decoders swap into the frame-feature column; the
+    * segmentation plan — per-asset ordered window, lag delta, running
+    * cut count — is the production shape.
+    *
+    * Scale shape: one window partitioned by asset (frames of one asset
+    * are WITHIN a partition, the explode locality [[multimodalFrameSample]]
+    * already guarantees), then a map-side-combined per-asset rollup.
+    * All arithmetic is integer (the stub features are md5-derived
+    * BIGINTs), so the oracle replays exactly. */
+  def multimodalSceneCuts(spark: SparkSession, dir: String,
+      cutThreshold: Long = 400000L): DataFrame = {
+    val frames = multimodalFrameSample(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("delta",
+        abs(col("frame_fp") - lag(col("frame_fp"), 1).over(w)))
+      .withColumn("is_cut",
+        when(col("delta") > cutThreshold, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        (sum(col("is_cut")) + 1).as("n_scenes"),
+        max(when(col("is_cut") === 1, col("frame_idx"))).as("last_cut_frame"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Nearest neighbors over the multimodal stub embeddings: one query
     * doc's 4-dim feature vector against the whole media corpus by dot
     * product — the retrieval step a real decode→embed→search pipeline

@@ -173,6 +173,33 @@ class Round15Spec extends SparkSpec {
       assert(rs.count(_.getBoolean(2)) == math.min(2, rs.length)) }
   }
 
+  test("multimodal_scene_cuts: scene counts bounded by samples, " +
+      "single-scene assets have no cut frame") {
+    val rows = graft.query.Multimodal.multimodalSceneCuts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val scenes = r.getLong(2)
+      assert(scenes >= 1 && scenes <= n, s"doc ${r.getLong(0)}")
+      if (scenes == 1) assert(r.isNullAt(3))
+      else assert(!r.isNullAt(3))
+    }
+    // threshold monotonicity: a stricter cut threshold yields ≤ scenes
+    val strict = graft.query.Multimodal
+      .multimodalSceneCuts(spark, sf, cutThreshold = 800000L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(strict(r.getLong(0)) <= r.getLong(2)) }
+  }
+
+  test("ts_periodogram: one row per candidate period, power non-negative, " +
+      "constant series concentrates at DC") {
+    val rows = Analytics5.tsPeriodogram(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(6, 12, 24, 168))
+    val nH = rows.map(_.getLong(1)).distinct
+    assert(nH.length == 1 && nH.head > 24)
+    rows.foreach(r => assert(r.getFloat(2) >= 0f))
+  }
+
   test("derived-index cache survives a nested (recursive) resolve") {
     // dedup_groups' build resolves the minhash candidate index through
     // the SAME per-session cache — with ConcurrentHashMap.computeIfAbsent
