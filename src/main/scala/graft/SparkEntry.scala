@@ -556,6 +556,8 @@ object SparkEntry {
     // spectral power at candidate periods over the hourly rollup
     "ts_periodogram"         ->
       ((s: SparkSession, d: String) => Analytics5.tsPeriodogram(s, d)),
+    // exact distribution-shape moments via DECIMAL(38) power sums
+    "agg_skew_kurtosis"      -> Analytics5.aggSkewKurtosis _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3924,6 +3926,37 @@ object SparkEntry {
         |SELECT period_h, n_hours,
         |  CAST((c * c + s * s) / CAST(n_hours AS DOUBLE) AS REAL) AS power
         |FROM g ORDER BY period_h""".stripMargin,
+    "agg_skew_kurtosis" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    CAST(CAST(round(value * 1000.0) AS BIGINT) AS HUGEINT) AS x
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS s1, sum(x * x) AS s2,
+        |    sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+        |  FROM x GROUP BY event_type
+        |), d AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS p2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS p3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS p4
+        |  FROM g
+        |), c AS (
+        |  SELECT event_type, n, m,
+        |    p2 - m * m AS m2,
+        |    p3 - 3.0 * m * p2 + 2.0 * m * m * m AS m3,
+        |    p4 - 4.0 * m * p3 + 6.0 * m * m * p2
+        |      - 3.0 * m * m * m * m AS m4
+        |  FROM d
+        |)
+        |SELECT event_type, n,
+        |  CAST(m / 1000.0 AS REAL) AS mean,
+        |  CAST(m3 / sqrt(m2 * m2 * m2) AS REAL) AS skewness,
+        |  CAST(m4 / (m2 * m2) - 3.0 AS REAL) AS kurtosis_excess
+        |FROM c ORDER BY event_type""".stripMargin,
     "graph_local_clustering" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -1152,6 +1152,41 @@ object Analytics5 {
       .orderBy(col("period_h"))
   }
 
+  /** Exact sample skewness and excess kurtosis of `value` per event
+    * type — the distribution-shape panel beside
+    * [[Relational.aggStatsAdvanced]]'s variance/correlation row. Raw
+    * power sums Σx..Σx⁴ accumulate over ×1000-scaled integers in
+    * DECIMAL(38,0) (a ×10⁵-row corpus of 6-digit values needs 29
+    * digits — BIGINT overflows at the 4th power, which is why the
+    * decimal lane exists); the g1/g2 formulas then run once on exact
+    * central moments in double, identically associated in both
+    * engines, REAL-cast on emit. The scale factor cancels in both
+    * statistics.
+    *
+    * Scale shape: ONE map-side-combined aggregate (decimal partials
+    * merge exactly); everything after is per-group scalar math. */
+  def aggSkewKurtosis(spark: SparkSession, dir: String): DataFrame = {
+    val x = round(col("value") * lit(1000.0)).cast("decimal(38,0)")
+    val g = graft.schema.Schemas.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+    val n = col("n").cast("double")
+    val m = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - m * m
+    val m3 = col("s3").cast("double") / n - lit(3.0) * m *
+      (col("s2").cast("double") / n) + lit(2.0) * m * m * m
+    val m4 = col("s4").cast("double") / n - lit(4.0) * m *
+      (col("s3").cast("double") / n) + lit(6.0) * m * m *
+      (col("s2").cast("double") / n) - lit(3.0) * m * m * m * m
+    g.select(col("event_type"), col("n"),
+        (m / lit(1000.0)).cast("float").as("mean"),
+        (m3 / sqrt(m2 * m2 * m2)).cast("float").as("skewness"),
+        (m4 / (m2 * m2) - lit(3.0)).cast("float").as("kurtosis_excess"))
+      .orderBy(col("event_type"))
+  }
+
   def corpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val perLang = table(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

@@ -200,6 +200,29 @@ class Round15Spec extends SparkSpec {
     rows.foreach(r => assert(r.getFloat(2) >= 0f))
   }
 
+  test("agg_skew_kurtosis matches direct central-moment computation") {
+    val rows = Analytics5.aggSkewKurtosis(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vals = graft.schema.Schemas.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      // replay on the SAME ×1000-scaled integers the operator defines
+      // itself on (the raw doubles differ from the scaled lattice)
+      val xs = vals(r.getString(0)).map(v => math.round(v.getDouble(1) * 1000).toDouble)
+      val n = xs.length.toDouble
+      val m = xs.sum / n
+      val m2 = xs.map(x => (x - m) * (x - m)).sum / n
+      val m3 = xs.map(x => math.pow(x - m, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - m, 4)).sum / n
+      assert(r.getLong(1) == xs.length)
+      assert(math.abs(r.getFloat(3) - m3 / math.pow(m2, 1.5)) < 1e-4,
+        s"skewness ${r.getString(0)}")
+      assert(math.abs(r.getFloat(4) - (m4 / (m2 * m2) - 3.0)) < 1e-4,
+        s"kurtosis ${r.getString(0)}")
+    }
+  }
+
   test("derived-index cache survives a nested (recursive) resolve") {
     // dedup_groups' build resolves the minhash candidate index through
     // the SAME per-session cache — with ConcurrentHashMap.computeIfAbsent
