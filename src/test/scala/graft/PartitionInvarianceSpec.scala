@@ -130,7 +130,20 @@ class PartitionInvarianceSpec extends SparkSpec {
     "stream_user_type_counts MapState submaps" ->
       (() => graft.streaming.StreamQueries.streamUserTypeCounts(spark, sf)),
     "stream_idle_timeout event-time timers" ->
-      (() => graft.streaming.StreamQueries.streamIdleTimeout(spark, sf)))
+      (() => graft.streaming.StreamQueries.streamIdleTimeout(spark, sf)),
+    // round-15 shapes: per-key sequential recurrences (sorted-group
+    // iteration; token bucket in transformWithState), the iterated
+    // broadcast-round HITS vector, and the doc-partitioned rank window
+    "anomaly_alert_debounce sorted-group recurrence" ->
+      (() => graft.query.Analytics5.anomalyAlertDebounce(spark, sf)),
+    "stream_rate_limit token-bucket ValueState" ->
+      (() => graft.streaming.StreamQueries.streamRateLimit(spark, sf)),
+    "graph_hits iterated broadcast rounds" ->
+      (() => graft.query.Analytics5.graphHits(spark, sf)),
+    "text_keywords_topk per-doc rank window" ->
+      (() => graft.query.TextAnalysis.textKeywordsTopk(spark, sf)),
+    "ts_stl_decompose deferred-division windows" ->
+      (() => graft.query.Analytics5.tsStlDecompose(spark, sf)))
 
   private def collectAt(partitions: Int, build: () => DataFrame): Seq[String] = {
     val key = "spark.sql.shuffle.partitions"

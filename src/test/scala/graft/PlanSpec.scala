@@ -538,4 +538,56 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), p)
     }
   }
+
+  // ---- round 15 ----------------------------------------------------------
+
+  test("graph_hits: top-k is TakeOrdered over the checkpointed vector; " +
+      "the only join is the broadcast 1-row max") {
+    graft.query.Analytics.clearCaches()
+    // rounds materialize eagerly via localCheckpoint, so the FINAL plan
+    // holds only the normalization: checkpointed |parts|-row vector ⨯
+    // broadcast 1-row max → TakeOrdered. The per-round broadcast-join
+    // shape is proven by the alternation-equivalence spec + the round
+    // cost measured in HitsProf; here we pin what the final plan may
+    // NOT contain.
+    val p = plan(graft.query.Analytics5.graphHits(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    graft.query.Analytics.clearCaches()
+  }
+
+  test("agg_ttest_welch + agg_skew_kurtosis: single partial-aggregate pass, " +
+      "no joins, no windows") {
+    for (df <- Seq(graft.query.Analytics5.aggTtestWelch(spark, sf),
+        graft.query.Analytics5.aggSkewKurtosis(spark, sf))) {
+      val p = df.queryExecution.sparkPlan.toString
+      assert(!p.contains("Join"), p)
+      assert(!p.contains("Window"), p)
+      assert(p.contains("HashAggregate"), p)
+    }
+  }
+
+  test("text_keywords_topk: rank window partitions on doc_id (never global)") {
+    val p = plan(graft.query.TextAnalysis.textKeywordsTopk(spark, sf))
+    val winLine = p.linesIterator.filter(_.contains("row_number")).mkString
+    assert(winLine.contains("doc_id"), p)
+  }
+
+  test("anomaly_alert_debounce: one user-key exchange feeds the sorted groups") {
+    val p = graft.query.Analytics5.anomalyAlertDebounce(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"), p)
+    // flatMapSortedGroups = exchange on the group key + in-partition sort
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroups"), p)
+  }
+
+  test("ts_stl_decompose + ts_periodogram: the only data-sized work is the " +
+      "hourly rollup; seasonal/period joins broadcast") {
+    val pStl = plan(graft.query.Analytics5.tsStlDecompose(spark, sf))
+    assert(!pStl.contains("SortMergeJoin") && !pStl.contains("CartesianProduct"), pStl)
+    val pPg = graft.query.Analytics5.tsPeriodogram(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!pPg.contains("Join"), pPg)
+  }
 }
