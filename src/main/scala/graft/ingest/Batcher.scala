@@ -182,7 +182,7 @@ object Batcher {
         (): Unit
       }
       .start()
-    query.awaitTermination()
+    graft.streaming.StreamQueries.awaitBounded(spark, query, "count_batcher")
 
     val stagedDirs = committed().map(_._2.toString)
     // derive from the committed dirs, not the in-memory map: a restart that

@@ -157,7 +157,13 @@ object StreamQueries {
           .trigger(Trigger.AvailableNow())
         val q = ckpt.map(c => w.option("checkpointLocation", c))
           .getOrElse(w).start()
-        q.awaitTermination()
+        // Bounded wait, generous (15 min vs the ~1-2 s drain norm): an
+        // unbounded awaitTermination turns one wedged drain — a real
+        // failure mode on a heavily contended host — into a hung
+        // harness that zeroes the WHOLE verification run instead of
+        // failing one query. On timeout, stop the query and throw; the
+        // caller's per-query error handling records it and moves on.
+        awaitBounded(spark, q, name)
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set(
@@ -166,6 +172,26 @@ object StreamQueries {
       }
       spark.table(name)
     }
+
+  /** Bounded streaming wait, generous (15 min default vs the ~1-2 s
+    * drain norm, tunable via `graft.stream.drainTimeoutSec`): an
+    * unbounded awaitTermination turns one wedged drain — a real failure
+    * mode on a heavily contended host — into a hung harness that zeroes
+    * the WHOLE verification run instead of failing one query. On
+    * timeout the query is stopped and a TimeoutException thrown; the
+    * caller's per-query error handling records it and moves on. */
+  private[graft] def awaitBounded(spark: SparkSession,
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      what: String): Unit = {
+    val timeoutSec = spark.conf
+      .getOption("graft.stream.drainTimeoutSec").map(_.toLong)
+      .getOrElse(900L)
+    if (!q.awaitTermination(timeoutSec * 1000L)) {
+      try q.stop() catch { case _: Throwable => () }
+      throw new java.util.concurrent.TimeoutException(
+        s"streaming drain $what exceeded ${timeoutSec}s; stopped")
+    }
+  }
 
   /** Scratch checkpoint dir on tmpfs, or None to let Spark pick its own
     * temp location (which it also deletes for memory-sink queries). */
@@ -558,7 +584,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
       val q = upsertCkpt.map(c => w0.option("checkpointLocation", c))
         .getOrElse(w0).start()
-      try q.awaitTermination()
+      try awaitBounded(spark, q, "foreachbatch_upsert")
       finally upsertCkpt.foreach(deleteRecursively)
       spark.read.parquet(latest.getOrElse(
         sys.error("upsert drain produced no batches")))
@@ -789,7 +815,7 @@ object StreamQueries {
         .option("checkpointLocation", checkpoint)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitBounded(spark, q, "transform_with_state_resumable")
       spark.read.schema(
         "user_id LONG, n_events LONG, sum_value DOUBLE, last_ts TIMESTAMP")
         .parquet(outDir)
