@@ -44,10 +44,27 @@ object Bench {
     // apart (machine contention during the snapshot window). Two passes and
     // a per-query min make the reported number reproducible ±15% — the min
     // is the query's cost, the max is the machine's noise.
+    // Per-query watchdog (same philosophy as Verify's): one wedged query
+    // records a huge number for ITSELF instead of hanging the bench.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationLong
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perQuerySec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC",
+      "600").toLong
     def timeAll(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val group = s"bench-$name"
+        val fut = Future {
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          try fn(spark, sfDir).count()
+          finally spark.sparkContext.clearJobGroup()
+        }
+        try Await.result(fut, perQuerySec.seconds)
+        catch { case _: Throwable =>
+          try spark.sparkContext.cancelJobGroup(group)
+          catch { case _: Throwable => () }
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val pass1 = timeAll()

@@ -25,10 +25,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query watchdog: a single pathological plan (or a host stall)
+    // must fail ONE query, never hang the whole dump — the same
+    // philosophy as StreamQueries.awaitBounded, applied to batch. The
+    // action runs under a per-query job group set in the worker thread
+    // (job groups are thread-local), so a timeout can cancel exactly
+    // that query's jobs and move on.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationLong
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perQuerySec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC",
+      "1200").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val group = s"verify-$name"
+      val fut = Future {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
+      }
+      try Await.result(fut, perQuerySec.seconds)
       catch { case e: Throwable =>
+        try spark.sparkContext.cancelJobGroup(group)
+        catch { case _: Throwable => () }
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
