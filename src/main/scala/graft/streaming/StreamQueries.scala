@@ -79,11 +79,21 @@ object StreamQueries {
   private def streamEvents(spark: SparkSession, dir: String,
       singleBatch: Boolean = false): DataFrame = {
     val nanos = eventsTsIsLong(spark, dir)
-    val reader = spark.readStream
+    // STORED LAYOUT is probed, like the stored types: the driver ships
+    // events.parquet as a single FILE, but a Spark-written corpus has it
+    // as a DIRECTORY of part files. The pathGlobFilter matches leaf file
+    // names, so pointing the glob form at a directory layout silently
+    // streams ZERO rows — the same silent-drift class as the ts-type
+    // regression, closed the same way (probe, then pick).
+    val evPath = java.nio.file.Paths.get(dir, "events.parquet")
+    val isDirLayout = java.nio.file.Files.isDirectory(evPath)
+    val reader0 = spark.readStream
       .schema(if (nanos) eventsSchemaNanos else eventsSchemaMicros)
+    val reader =
+      if (isDirLayout) reader0
       // FileStreamSource wants a directory: stream the sf dir, filtered to
       // the events file (a Kafka source swaps in here via StreamTransport)
-      .option("pathGlobFilter", "events.parquet")
+      else reader0.option("pathGlobFilter", "events.parquet")
     // singleBatch pins the whole drain into ONE micro-batch (AvailableNow
     // otherwise splits multi-file input by maxFilesPerTrigger, advancing
     // the watermark between batches) — required where a query's
@@ -91,7 +101,7 @@ object StreamQueries {
     // dropDuplicatesWithinWatermark == SELECT DISTINCT.
     val src = (if (singleBatch) reader.option("maxFilesPerTrigger", Int.MaxValue)
      else reader)
-      .parquet(dir)
+      .parquet(if (isDirLayout) evPath.toString else dir)
     // Integer DIV, not a double path: 2024-era epoch-nanos (1.7e18)
     // exceed 2^53 and would corrupt under floating point.
     if (nanos)

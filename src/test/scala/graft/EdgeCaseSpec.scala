@@ -393,4 +393,70 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(fk.length == 2)
     Analytics.clearCaches()
   }
+
+  test("round-15 family: empty and single-row corpora degrade to " +
+      "well-formed results") {
+    import graft.query.{Analytics5, Multimodal, TextAnalysis, Analytics}
+    import graft.streaming.StreamQueries
+    Analytics.clearCaches()
+    // EMPTY corpus: recurrences, decompositions, spectra, moments, and
+    // the graph/text/multimodal round-15 ops all return zero rows
+    assert(Analytics5.anomalyAlertDebounce(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.tsStlDecompose(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics5.tsPeriodogram(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics5.aggSkewKurtosis(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics5.graphHits(spark, emptyStarDir).collect().isEmpty)
+    assert(TextAnalysis.textKeywordsTopk(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Multimodal.multimodalSceneCuts(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(StreamQueries.streamScd2Enrich(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(StreamQueries.streamRateLimit(spark, emptyStarDir)
+      .collect().isEmpty)
+    // the global t-test aggregate emits its one summary row; with zero
+    // population the moments are undefined — null/NaN, never a throw
+    val tt = Analytics5.aggTtestWelch(spark, emptyStarDir).collect()
+    assert(tt.length <= 1)
+    tt.foreach { r => assert(r.getLong(0) == 0L && r.getLong(1) == 0L) }
+    Analytics.clearCaches()
+    // SINGLE-row corpus: the lone event is always admitted/alerted; the
+    // one-hour series cannot fill a 25-row trend frame (null trend); a
+    // single doc yields ≤3 keywords ranked from 1; a single part is its
+    // own authority=degree=1 with score 1
+    val deb = Analytics5.anomalyAlertDebounce(spark, oneStarDir).collect()
+    assert(deb.length <= 1) // the one event alerts iff it is an error
+    // BOTH stored layouts stream: events.parquet as a DIRECTORY of part
+    // files (what oneStarDir's Spark write produced — the layout the
+    // glob form silently drained as zero rows before the probe)…
+    val rlDir = StreamQueries.streamRateLimit(spark, oneStarDir).collect()
+    assert(rlDir.length == 1 && rlDir.head.getBoolean(2),
+      "directory-layout events must stream")
+    // …and as a single FILE (the driver-testdata layout)
+    val oneEvFileDir = {
+      val base = java.nio.file.Files.createTempDirectory("edge-one-evfile")
+      val stage = base.resolve("stage").toString
+      graft.schema.Schemas.events(spark, sf)
+        .orderBy(org.apache.spark.sql.functions.col("event_id")).limit(1)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, base.resolve("events.parquet"))
+      base.toString
+    }
+    val rl = StreamQueries.streamRateLimit(spark, oneEvFileDir).collect()
+    assert(rl.length == 1 && rl.head.getBoolean(2),
+      "the first event must always be admitted")
+    val stl = Analytics5.tsStlDecompose(spark, oneStarDir).collect()
+    assert(stl.length == 1 && stl.head.isNullAt(2))
+    val kw = TextAnalysis.textKeywordsTopk(spark, oneStarDir).collect()
+    assert(kw.nonEmpty && kw.length <= 3 && kw.head.getInt(1) == 1)
+    val hits = Analytics5.graphHits(spark, oneStarDir).collect()
+    assert(hits.length == 1 && hits.head.getLong(1) == 1L
+      && hits.head.getFloat(2) == 1.0f)
+    val sc = Multimodal.multimodalSceneCuts(spark, oneStarDir).collect()
+    assert(sc.length == 1 && sc.head.getLong(2) >= 1L)
+    Analytics.clearCaches()
+  }
 }
