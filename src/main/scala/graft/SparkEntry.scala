@@ -558,6 +558,11 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Analytics5.tsPeriodogram(s, d)),
     // exact distribution-shape moments via DECIMAL(38) power sums
     "agg_skew_kurtosis"      -> Analytics5.aggSkewKurtosis _,
+    // RFM quintile segmentation (the CRM derived-feature table)
+    "sql_customer_rfm"       -> Warehouse2.sqlCustomerRfm _,
+    // the third standard attribution model (exponential time decay)
+    "attribution_time_decay" ->
+      ((s: SparkSession, d: String) => Analytics5.attributionTimeDecay(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5133,6 +5138,59 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN t_tus IS NULL THEN p_value
         |    ELSE p_value / n_touch END) AS REAL) AS credited_value
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "attribution_time_decay" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus, value
+        |  FROM events
+        |), p AS (
+        |  SELECT event_id AS p_id, user_id, tus AS p_tus, value AS p_value
+        |  FROM e WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, event_type AS touch_type, tus AS t_tus
+        |  FROM e WHERE event_type IN ('click', 'view')
+        |), j AS (
+        |  SELECT p.p_id, p.p_tus, p.p_value, t.touch_type, t.t_tus
+        |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+        |    AND t.t_tus <= p.p_tus AND p.p_tus - t.t_tus < 3600000000
+        |), n AS (
+        |  SELECT p_id, p_value, touch_type, t_tus,
+        |    CASE WHEN t_tus IS NOT NULL THEN pow(0.5,
+        |      CAST(p_tus - t_tus AS DOUBLE) / 900000000.0) END AS w,
+        |    sum(CASE WHEN t_tus IS NOT NULL THEN pow(0.5,
+        |      CAST(p_tus - t_tus AS DOUBLE) / 900000000.0) END)
+        |      OVER (PARTITION BY p_id) AS w_sum
+        |  FROM j
+        |)
+        |SELECT CASE WHEN t_tus IS NULL THEN 'direct' ELSE touch_type END
+        |    AS credit_type,
+        |  CAST(count(*) AS BIGINT) AS n_credits,
+        |  CAST(sum(CASE WHEN t_tus IS NULL THEN p_value
+        |    ELSE p_value * w / w_sum END) AS REAL) AS credited_value
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sql_customer_rfm" ->
+      """WITH ref AS (SELECT max(o_orderdate) AS ref FROM orders),
+        |base AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    CAST(datediff('day', CAST(max(o_orderdate) AS DATE),
+        |      CAST((SELECT ref FROM ref) AS DATE)) AS BIGINT)
+        |      AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT c_custkey, recency_days, frequency, monetary_cents,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days, c_custkey) AS INT)
+        |    AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS INT)
+        |    AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, c_custkey)
+        |    AS INT) AS m_score,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days, c_custkey) * 100
+        |    + ntile(5) OVER (ORDER BY frequency DESC, c_custkey) * 10
+        |    + ntile(5) OVER (ORDER BY monetary_cents DESC, c_custkey)
+        |    AS INT) AS rfm_cell
+        |FROM base ORDER BY c_custkey""".stripMargin,
     // three unrolled peel rounds — the Spark side runs the identical
     // fixed-round fold over the shared co-purchase edge index
     "graph_kcore" ->

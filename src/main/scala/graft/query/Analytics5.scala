@@ -1187,6 +1187,53 @@ object Analytics5 {
       .orderBy(col("event_type"))
   }
 
+  /** Time-decay multi-touch attribution: each purchase's value splits
+    * across its in-window touches with weight 0.5^(age/half-life) —
+    * recent touches earn more — completing the standard model trio
+    * beside [[Analytics4.attributionLastTouch]] (winner-takes-all) and
+    * [[attributionLinear]] (equal split). Purchases with no in-window
+    * touch stay credited "direct", the same left-join contract.
+    *
+    * Numerics: ages are exact integer micros; the pow/normalize/sum
+    * chain is identically associated in both engines and the REAL cast
+    * absorbs libm pow's last-ulp spread (the ln()-oracle argument).
+    *
+    * Scale shape: identical to the linear model — banded user-key
+    * equi-join (never a cartesian), per-purchase weight normalization
+    * as one window over the purchase key, tiny-key final rollup. */
+  def attributionTimeDecay(spark: SparkSession, dir: String,
+      windowSec: Int = 3600, halfLifeSec: Int = 900): DataFrame = {
+    val e = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("tus").as("p_tus"), col("value").as("p_value"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("tus").as("t_tus"))
+    val paired = purchases.as("p").join(touches.as("t"),
+      col("p.user_id") === col("t.user_id") &&
+        col("t.t_tus") <= col("p.p_tus") &&
+        col("p.p_tus") - col("t.t_tus") < lit(windowSec * 1000000L),
+      "left")
+    val w = pow(lit(0.5),
+      (col("p_tus") - col("t_tus")).cast("double") /
+        lit(halfLifeSec * 1000000.0))
+    val nW = Window.partitionBy(col("p_id"))
+    paired.withColumn("w", when(col("t_tus").isNotNull, w))
+      .withColumn("w_sum", sum(col("w")).over(nW))
+      .select(
+        when(col("t_tus").isNull, lit("direct"))
+          .otherwise(col("touch_type")).as("credit_type"),
+        when(col("t_tus").isNull, col("p_value"))
+          .otherwise(col("p_value") * col("w") / col("w_sum")).as("credit"))
+      .groupBy(col("credit_type"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit")).cast("float").as("credited_value"))
+      .orderBy(col("credit_type"))
+  }
+
   def corpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val perLang = table(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

@@ -421,4 +421,48 @@ object Warehouse2 {
       .select(col("nation"), col("order_year"), col("class_size"),
         (col("class_size") < k).as("at_risk"))
       .orderBy(col("nation"), col("order_year"))
+
+  /** RFM customer segmentation — recency (days since last order,
+    * against the corpus's own max order date: no wall-clock), frequency
+    * (order count), monetary (exact cents), each scored into quintiles
+    * and combined into the classic 3-digit RFM cell. THE segmentation
+    * every CRM/marketing warehouse derives first; also the canonical
+    * "derived customer feature table" shape for a training pipeline.
+    *
+    * Determinism: metrics are integers; quintiles are ntile(5) over a
+    * TOTAL order (metric, custkey) — ntile's fill rule (first n mod b
+    * buckets take the extra row) is the same in both engines, so scores
+    * are exact. Recency orders ascending on days (most recent = bucket
+    * 1 = best), frequency/monetary descending on the metric.
+    *
+    * Scale shape: one map-side-combined aggregate over orders shrinks
+    * the working set to |customers|; the three quintile windows are
+    * global ranks over THAT — fine to |customers| ≈ 10⁷, and beyond it
+    * they swap for the two-level value-range bucketing already proven
+    * by `curriculum_phases` (rank from per-bucket counts, window over
+    * the histogram only) — same outputs, no single-partition pass. A
+    * 1-row broadcast supplies the reference date. */
+  def sqlCustomerRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val refDate = o.agg(max(col("o_orderdate")).as("ref"))
+    val base = o.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
+      .crossJoin(broadcast(refDate))
+      .withColumn("recency_days",
+        datediff(col("ref"), col("last_order")).cast("long"))
+      .drop("ref", "last_order")
+    import org.apache.spark.sql.expressions.Window
+    val rW = Window.orderBy(col("recency_days"), col("c_custkey"))
+    val fW = Window.orderBy(col("frequency").desc, col("c_custkey"))
+    val mW = Window.orderBy(col("monetary_cents").desc, col("c_custkey"))
+    base
+      .withColumn("r_score", ntile(5).over(rW))
+      .withColumn("f_score", ntile(5).over(fW))
+      .withColumn("m_score", ntile(5).over(mW))
+      .withColumn("rfm_cell",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col("c_custkey"))
+  }
 }

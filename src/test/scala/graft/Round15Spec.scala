@@ -223,6 +223,42 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("sql_customer_rfm: quintiles balanced within ntile's fill rule, " +
+      "cells composed from scores") {
+    val rows = graft.query.Warehouse2.sqlCustomerRfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    for (idx <- Seq(4, 5, 6)) {
+      val sizes = rows.groupBy(_.getInt(idx)).view.mapValues(_.length)
+      assert(sizes.keySet == (1 to 5).toSet, s"score col $idx")
+      // ntile fill rule: bucket sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1, s"score col $idx")
+    }
+    rows.foreach { r =>
+      assert(r.getInt(7) ==
+        r.getInt(4) * 100 + r.getInt(5) * 10 + r.getInt(6)) }
+    // every customer with an order appears exactly once
+    val custs = graft.schema.Schemas.table(spark, sf, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(n == custs)
+  }
+
+  test("attribution_time_decay: total credit equals total purchase value; " +
+      "decay shifts credit vs the linear split") {
+    val decayed = Analytics5.attributionTimeDecay(spark, sf).collect()
+    val linear = Analytics5.attributionLinear(spark, sf).collect()
+    def total(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getFloat(2).toDouble).sum
+    val purchases = graft.schema.Schemas.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value"))).head().getDouble(0)
+    // conservation: every model distributes exactly the purchase value
+    assert(math.abs(total(decayed) - purchases) < 1e-2)
+    assert(math.abs(total(linear) - purchases) < 1e-2)
+    // same credit types appear in both models
+    assert(decayed.map(_.getString(0)).toSet == linear.map(_.getString(0)).toSet)
+  }
+
   test("derived-index cache survives a nested (recursive) resolve") {
     // dedup_groups' build resolves the minhash candidate index through
     // the SAME per-session cache — with ConcurrentHashMap.computeIfAbsent
