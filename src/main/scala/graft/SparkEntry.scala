@@ -563,6 +563,10 @@ object SparkEntry {
     // the third standard attribution model (exponential time decay)
     "attribution_time_decay" ->
       ((s: SparkSession, d: String) => Analytics5.attributionTimeDecay(s, d)),
+    // monetary cohort analysis (exact integer cumulative LTV curve)
+    "cohort_ltv"             -> Analytics2.cohortLtv _,
+    // community-quality score for the LPA labels
+    "graph_modularity"       -> Analytics5.graphModularity _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4580,6 +4584,69 @@ object SparkEntry {
         |)
         |SELECT u AS part, lbl AS community FROM l2
         |WHERE u <= 100 ORDER BY part""".stripMargin,
+    // the LPA chain above, extended with the modularity tail (exact
+    // BIGINT edge/degree masses; one double expression per community)
+    "graph_modularity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), edges AS (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), l0 AS (SELECT DISTINCT u, u AS lbl FROM edges),
+        |c1 AS (
+        |  SELECT e.u, l.lbl, count(*) AS c
+        |  FROM edges e JOIN l0 l ON l.u = e.v GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT u, lbl FROM (
+        |    SELECT u, lbl, row_number() OVER (PARTITION BY u
+        |      ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1
+        |), c2 AS (
+        |  SELECT e.u, l.lbl, count(*) AS c
+        |  FROM edges e JOIN l1 l ON l.u = e.v GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT u, lbl FROM (
+        |    SELECT u, lbl, row_number() OVER (PARTITION BY u
+        |      ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1
+        |), tm AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM edges),
+        |dm AS (
+        |  SELECT l.lbl, CAST(count(*) AS BIGINT) AS d_c
+        |  FROM edges e JOIN l2 l ON l.u = e.u GROUP BY l.lbl
+        |), ic AS (
+        |  SELECT lu.lbl, CAST(count(*) AS BIGINT) AS e2_c
+        |  FROM edges e JOIN l2 lu ON lu.u = e.u JOIN l2 lv ON lv.u = e.v
+        |  WHERE lu.lbl = lv.lbl GROUP BY lu.lbl
+        |)
+        |SELECT dm.lbl AS community,
+        |  CAST(coalesce(ic.e2_c, 0) AS BIGINT) AS e2_c, dm.d_c, tm.two_m,
+        |  CAST(CAST(coalesce(ic.e2_c, 0) AS DOUBLE) / CAST(tm.two_m AS DOUBLE)
+        |    - (CAST(dm.d_c AS DOUBLE) / CAST(tm.two_m AS DOUBLE))
+        |      * (CAST(dm.d_c AS DOUBLE) / CAST(tm.two_m AS DOUBLE))
+        |    AS REAL) AS q_c
+        |FROM dm LEFT JOIN ic ON dm.lbl = ic.lbl CROSS JOIN tm
+        |ORDER BY community""".stripMargin,
+    "cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value,
+        |    epoch_us(ts) // 604800000000 AS week
+        |  FROM events
+        |), cohorts AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+        |), rev AS (
+        |  SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+        |    CAST(sum(CAST(round(e.value * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS revenue_micros
+        |  FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cohort_week, week_offset, revenue_micros,
+        |  CAST(sum(revenue_micros) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_revenue_micros
+        |FROM rev ORDER BY cohort_week, week_offset""".stripMargin,
     "ts_seasonal_baseline" ->
       """WITH ev AS (
         |  SELECT event_id, value,

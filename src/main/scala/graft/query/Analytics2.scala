@@ -39,6 +39,34 @@ object Analytics2 {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Cohort lifetime value: purchase revenue (exact micro-scaled cents)
+    * per signup-week cohort by week offset, with the running cumulative
+    * — the monetary companion to [[cohortRetention]]'s user counts
+    * (retention says who came back; LTV says what coming back was
+    * worth). Cumulative sums stay integer, so the curve is exact.
+    *
+    * Scale shape: the cohort assignment is the same per-user min-week
+    * aggregate retention uses; revenue is one map-side-combined rollup;
+    * the cumulative window partitions per cohort over the tiny
+    * (cohort × offset) grid. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr(s"unix_micros(ts) DIV $WeekUs").as("week"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(sum(round(col("value") * 1000000).cast("long")).as("revenue_micros"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum_revenue_micros", sum(col("revenue_micros")).over(w))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Robust per-type outliers via MAD (median absolute deviation):
     * events whose |value − median| exceeds `k` normalized MADs of their
     * event_type. The robust twin of [[Analytics.anomalyZscore]] —

@@ -1234,6 +1234,43 @@ object Analytics5 {
       .orderBy(col("credit_type"))
   }
 
+  /** Newman modularity of the LPA communities over the co-purchase
+    * graph: per community c, Q_c = e_c/m − (d_c/2m)², from the
+    * symmetric-edge counts (2·intra-edges, degree mass, 2m) — the
+    * quality score that tells you whether [[Analytics.graphCommunitiesLpa]]'s
+    * labels mean anything (ΣQ_c near 0 = no better than random wiring).
+    * All inputs are exact BIGINT counts; Q is one identically-associated
+    * double expression, REAL on emit.
+    *
+    * Scale shape: labels are a |V|-row broadcast into two scans of the
+    * persisted symmetric edge index (degree mass; same-label
+    * endpoints); everything after is a per-community scalar. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Analytics.copurchaseEdgesSym(spark, dir)
+    val labels = Analytics.graphCommunitiesLpa(spark, dir,
+        maxVertex = Long.MaxValue)
+      .select(col("part").as("u"), col("community").as("lbl"))
+      .localCheckpoint()
+    val twoM = edges.agg(count(lit(1)).as("two_m"))
+    val dMass = edges.join(broadcast(labels), Seq("u"))
+      .groupBy(col("lbl")).agg(count(lit(1)).as("d_c"))
+    val lv = labels.select(col("u").as("v"), col("lbl").as("lbl_v"))
+    val intra = edges.join(broadcast(labels), Seq("u"))
+      .join(broadcast(lv), Seq("v"))
+      .filter(col("lbl") === col("lbl_v"))
+      .groupBy(col("lbl")).agg(count(lit(1)).as("e2_c"))
+    dMass.join(intra, Seq("lbl"), "left")
+      .na.fill(0L, Seq("e2_c"))
+      .crossJoin(broadcast(twoM))
+      .select(col("lbl").as("community"), col("e2_c"), col("d_c"),
+        col("two_m"),
+        (col("e2_c").cast("double") / col("two_m").cast("double")
+          - (col("d_c").cast("double") / col("two_m").cast("double"))
+            * (col("d_c").cast("double") / col("two_m").cast("double")))
+          .cast("float").as("q_c"))
+      .orderBy(col("community"))
+  }
+
   def corpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val perLang = table(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

@@ -259,6 +259,39 @@ class Round15Spec extends SparkSpec {
     assert(decayed.map(_.getString(0)).toSet == linear.map(_.getString(0)).toSet)
   }
 
+  test("cohort_ltv: cumulative curve is monotone and closes on total " +
+      "purchase revenue") {
+    val rows = graft.query.Analytics2.cohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (cw, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val cums = sorted.map(_.getLong(3))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b }, s"cohort $cw")
+      assert(cums.last == sorted.map(_.getLong(2)).sum, s"cohort $cw")
+    }
+    val total = graft.schema.Schemas.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 1000000).cast("long"))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == total)
+  }
+
+  test("graph_modularity: Q_c bounds hold and masses reconcile with 2m") {
+    graft.query.Analytics.clearCaches()
+    val rows = Analytics5.graphModularity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val twoM = rows.head.getLong(3)
+    assert(rows.forall(_.getLong(3) == twoM))
+    // degree mass over all communities is exactly 2m; intra-edge mass ≤ 2m
+    assert(rows.map(_.getLong(2)).sum == twoM)
+    assert(rows.map(_.getLong(1)).sum <= twoM)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2),
+        "a community's intra-edge endpoints cannot exceed its degree mass")
+      assert(r.getFloat(4) >= -0.26f && r.getFloat(4) <= 1.0f)
+    }
+    graft.query.Analytics.clearCaches()
+  }
+
   test("derived-index cache survives a nested (recursive) resolve") {
     // dedup_groups' build resolves the minhash candidate index through
     // the SAME per-session cache — with ConcurrentHashMap.computeIfAbsent
