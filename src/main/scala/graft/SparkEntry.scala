@@ -567,6 +567,9 @@ object SparkEntry {
     "cohort_ltv"             -> Analytics2.cohortLtv _,
     // community-quality score for the LPA labels
     "graph_modularity"       -> Analytics5.graphModularity _,
+    // cross-document boilerplate fraction (CCNet-style template strip)
+    "text_boilerplate_frac"  ->
+      ((s: SparkSession, d: String) => TextAnalysis.textBoilerplateFrac(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2172,6 +2175,30 @@ object SparkEntry {
         |FROM ov JOIN evn ON evn.doc_id = ov.eval_doc
         |WHERE ov.n_shared >= 2
         |ORDER BY train_doc, eval_doc""".stripMargin,
+    "text_boilerplate_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), ftoks AS (SELECT doc_id, t FROM toks WHERE len(t) >= 8),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(array_to_string(
+        |      t[ci * 8 + 1 : ci * 8 + 8], ' ')), 1, 15) AS BIGINT) AS h
+        |  FROM ftoks,
+        |    LATERAL (SELECT unnest(generate_series(0,
+        |      CAST(len(t) // 8 AS INT) - 1)) AS ci) s
+        |), df AS (
+        |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM (
+        |    SELECT DISTINCT doc_id, h FROM chunks) GROUP BY h
+        |)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boiler,
+        |  CAST(CAST(sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS REAL) AS boiler_frac
+        |FROM chunks c JOIN df ON c.h = df.h
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split(

@@ -274,6 +274,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Cross-document boilerplate detection: split each doc into
+    * non-overlapping 8-token chunks, count each chunk hash's document
+    * frequency, and report per doc the fraction of chunks that appear
+    * in ≥3 documents — navboxes, license headers, and template text
+    * score high and get stripped before near-dup ever runs (the
+    * CCNet-style curation pass). The CROSS-document complement of
+    * [[textRepetition]]'s within-document n-gram rates.
+    *
+    * Scale shape: chunking is per-row array arithmetic; the df table is
+    * one map-side-combined aggregate on the chunk hash (md5-60, uniform
+    * — no skew); the boilerplate verdict joins back on the hash with
+    * ids only. Exactly the decontamination plan shape, pointed at the
+    * corpus itself. */
+  def textBoilerplateFrac(spark: SparkSession, dir: String,
+      chunkTokens: Int = 8, minDf: Int = 3): DataFrame = {
+    val chunks = table(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      // sequence(0, -1) would generate a DESCENDING ramp, not empty —
+      // short docs are excluded before the ramp is built
+      .filter(size(col("t")) >= chunkTokens)
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          (size(col("t")) / chunkTokens).cast("int") - 1)).as("ci"),
+        col("t"))
+      .select(col("doc_id"),
+        Dedup.hash60(concat_ws(" ",
+          slice(col("t"), col("ci") * chunkTokens + lit(1),
+            lit(chunkTokens)))).as("h"))
+    val df = chunks.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    chunks.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        (col("n_boiler").cast("double") / col("n_chunks").cast("double"))
+          .cast("float"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Okapi BM25 term scoring (k1=1.2, b=0.75): the retrieval-grade
     * refinement of TF-IDF with document-length normalization. All inputs
     * (tf, df, dl, N) are exact integers, avgdl is one exact double

@@ -292,6 +292,24 @@ class Round15Spec extends SparkSpec {
     graft.query.Analytics.clearCaches()
   }
 
+  test("text_boilerplate_frac: fractions bounded, chunk counts match " +
+      "token arithmetic, planting a shared chunk raises df") {
+    val rows = TextAnalysis.textBoilerplateFrac(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val f = r.getFloat(3)
+      assert(f >= 0f && f <= 1f)
+    }
+    // chunk count = floor(tokens/8) per kept doc
+    val toks = graft.schema.Schemas.table(spark, sf, "documents")
+      .select(col("doc_id"), size(graft.query.Dedup.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == toks(r.getLong(0)) / 8, s"doc ${r.getLong(0)}") }
+    assert(rows.length == toks.count(_._2 >= 8))
+  }
+
   test("derived-index cache survives a nested (recursive) resolve") {
     // dedup_groups' build resolves the minhash candidate index through
     // the SAME per-session cache — with ConcurrentHashMap.computeIfAbsent
