@@ -570,6 +570,10 @@ object SparkEntry {
     // cross-document boilerplate fraction (CCNet-style template strip)
     "text_boilerplate_frac"  ->
       ((s: SparkSession, d: String) => TextAnalysis.textBoilerplateFrac(s, d)),
+    // Pareto stock-control classes over exact-cents revenue
+    "sql_abc_analysis"       -> Warehouse2.sqlAbcAnalysis _,
+    // chance-corrected inter-rater agreement (deterministic raters)
+    "eval_cohens_kappa"      -> Analytics5.evalCohensKappa _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2199,6 +2203,63 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE) AS REAL) AS boiler_frac
         |FROM chunks c JOIN df ON c.h = df.h
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "sql_abc_analysis" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS part_id,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY l_partkey
+        |), tot AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS total_cents
+        |  FROM rev),
+        |ranked AS (
+        |  SELECT part_id, revenue_cents,
+        |    CAST(row_number() OVER (ORDER BY revenue_cents DESC, part_id)
+        |      AS INT) AS rank,
+        |    CAST(sum(revenue_cents) OVER (
+        |      ORDER BY revenue_cents DESC, part_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM rev
+        |)
+        |SELECT part_id, rank, revenue_cents, cum_cents,
+        |  CASE WHEN cum_cents * 100 < total_cents * 80 THEN 'A'
+        |       WHEN cum_cents * 100 < total_cents * 95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM ranked CROSS JOIN tot ORDER BY rank""".stripMargin,
+    "eval_cohens_kappa" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 1000.0) AS BIGINT) AS v3
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, CAST(sum(v3) AS BIGINT) AS s3,
+        |    CAST(count(*) AS BIGINT) AS n FROM e GROUP BY event_type
+        |), r AS (
+        |  SELECT e.event_id,
+        |    CASE WHEN e.v3 * m.n > m.s3 THEN 1 ELSE 0 END AS a,
+        |    CAST(CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+        |      || ':rater'), 1, 15) AS BIGINT) % 2 AS INT) AS b
+        |  FROM e JOIN m USING (event_type)
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_agree,
+        |    CAST(sum(a) AS BIGINT) AS n_a1,
+        |    CAST(sum(b) AS BIGINT) AS n_b1
+        |  FROM r
+        |), p AS (
+        |  SELECT *, CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |    CAST(n_a1 AS DOUBLE) / CAST(n AS DOUBLE) AS pa1,
+        |    CAST(n_b1 AS DOUBLE) / CAST(n AS DOUBLE) AS pb1
+        |  FROM g
+        |), q AS (
+        |  SELECT *, pa1 * pb1 + (1.0 - pa1) * (1.0 - pb1) AS pe FROM p
+        |)
+        |SELECT n, n_agree, n_a1, n_b1,
+        |  CAST(po AS REAL) AS p_observed,
+        |  CAST(pe AS REAL) AS p_expected,
+        |  CAST((po - pe) / (1.0 - pe) AS REAL) AS kappa
+        |FROM q""".stripMargin,
     "pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split(

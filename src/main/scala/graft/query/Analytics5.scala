@@ -1271,6 +1271,49 @@ object Analytics5 {
       .orderBy(col("community"))
   }
 
+  /** Cohen's kappa between two deterministic event labelers — rule A:
+    * "value above the event-type mean", rule B: "md5-derived parity"
+    * (a hash-random rater) — the chance-corrected agreement statistic
+    * every labeling pipeline reports before trusting weak labels.
+    * Against a hash-random rater, kappa's expected value is ~0 — the
+    * panel makes the chance correction visible, where raw agreement
+    * would read ≈0.5.
+    *
+    * Exactness: both raters are integer/deterministic (the type-mean
+    * comparison is a cross-multiplied integer compare on exact scaled
+    * sums — no division), the confusion counts are BIGINTs, and kappa
+    * is one identically-associated double expression.
+    *
+    * Scale shape: one broadcast of the 5-row type means, one map-side
+    * combined confusion aggregate, scalar math after. */
+  def evalCohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * lit(1000.0)).cast("long").as("v3"))
+    val means = e.groupBy(col("event_type"))
+      .agg(sum(col("v3")).as("s3"), count(lit(1)).as("n"))
+    val rated = e.join(broadcast(means), Seq("event_type"))
+      // v3 > s3/n as the integer cross-product v3·n > s3 (n > 0)
+      .withColumn("a", (col("v3") * col("n") > col("s3")).cast("int"))
+      .withColumn("b",
+        (graft.query.Dedup.hash60(concat(col("event_id").cast("string"),
+          lit(":rater"))) % 2).cast("int"))
+    val g = rated.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"),
+      sum(col("a").cast("long")).as("n_a1"),
+      sum(col("b").cast("long")).as("n_b1"))
+    val nD = col("n").cast("double")
+    val po = col("n_agree").cast("double") / nD
+    val pa1 = col("n_a1").cast("double") / nD
+    val pb1 = col("n_b1").cast("double") / nD
+    val pe = pa1 * pb1 + (lit(1.0) - pa1) * (lit(1.0) - pb1)
+    g.select(col("n"), col("n_agree"), col("n_a1"), col("n_b1"),
+      po.cast("float").as("p_observed"),
+      pe.cast("float").as("p_expected"),
+      ((po - pe) / (lit(1.0) - pe)).cast("float").as("kappa"))
+  }
+
   def corpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val perLang = table(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

@@ -422,6 +422,43 @@ object Warehouse2 {
         (col("class_size") < k).as("at_risk"))
       .orderBy(col("nation"), col("order_year"))
 
+  /** ABC inventory classification: parts ranked by exact-cents revenue;
+    * class A = parts while cumulative share < 80%, B = while < 95%,
+    * C = the tail — the classic Pareto stock-control segmentation, and
+    * (with [[sqlCustomerRfm]]) the second canonical derived-feature
+    * table a warehouse maintains. The per-part row keeps rank, exact
+    * cumulative cents, and the class.
+    *
+    * Determinism: revenue is exact cents; the cumulative window orders
+    * by a TOTAL key (revenue desc, partkey); class boundaries compare
+    * integer cross-products (cum·100 < total·80), never floating
+    * shares. Scale: one fact rollup to |parts|, then the global rank —
+    * the same ≤10⁷-rows-then-bucketed-rank story as RFM.
+    */
+  def sqlAbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("part_id"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("revenue_cents"))
+    val tot = rev.agg(sum(col("revenue_cents")).as("total_cents"))
+    val w = Window.orderBy(col("revenue_cents").desc, col("part_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("revenue_cents").desc,
+          col("part_id"))))
+      .withColumn("cum_cents", sum(col("revenue_cents")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum_cents") * 100 < col("total_cents") * 80, lit("A"))
+          .when(col("cum_cents") * 100 < col("total_cents") * 95, lit("B"))
+          .otherwise(lit("C")))
+      .select(col("part_id"), col("rank"), col("revenue_cents"),
+        col("cum_cents"), col("abc_class"))
+      .orderBy(col("rank"))
+  }
+
   /** RFM customer segmentation — recency (days since last order,
     * against the corpus's own max order date: no wall-clock), frequency
     * (order count), monetary (exact cents), each scored into quintiles

@@ -310,6 +310,39 @@ class Round15Spec extends SparkSpec {
     assert(rows.length == toks.count(_._2 >= 8))
   }
 
+  test("sql_abc_analysis: classes partition by cumulative share and are " +
+      "monotone along the rank") {
+    val rows = graft.query.Warehouse2.sqlAbcAnalysis(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    assert(rows.last.getLong(3) == total, "cumulative must close on the total")
+    // class sequence along the rank is A…AB…BC…C
+    val cls = rows.map(_.getString(4)).toSeq
+    assert(cls.sliding(2).forall {
+      case Seq(x, y) => x <= y
+      case _ => true }, "classes must be monotone in rank")
+    // boundaries honor the integer cross-product thresholds
+    rows.foreach { r =>
+      val inA = r.getLong(3) * 100 < total * 80
+      val inB = !inA && r.getLong(3) * 100 < total * 95
+      val want = if (inA) "A" else if (inB) "B" else "C"
+      assert(r.getString(4) == want, s"part ${r.getLong(0)}")
+    }
+  }
+
+  test("eval_cohens_kappa: hash-random rater pins kappa near zero while " +
+      "raw agreement stays near half") {
+    val r = Analytics5.evalCohensKappa(spark, sf).head()
+    val n = r.getLong(0)
+    assert(n > 0 && r.getLong(1) <= n)
+    // rater B is hash-uniform: expected agreement ~0.5, kappa ~0 — wide
+    // tolerances, this is a sanity band not a distribution test
+    assert(math.abs(r.getFloat(6)) < 0.15, s"kappa ${r.getFloat(6)}")
+    assert(r.getFloat(4) > 0.3f && r.getFloat(4) < 0.7f)
+    // self-agreement is exactly 1 by the formula: po=1 → kappa=1
+    // (checked implicitly: po - pe over 1 - pe with po=1)
+  }
+
   test("derived-index cache survives a nested (recursive) resolve") {
     // dedup_groups' build resolves the minhash candidate index through
     // the SAME per-session cache — with ConcurrentHashMap.computeIfAbsent
