@@ -574,6 +574,8 @@ object SparkEntry {
     "sql_abc_analysis"       -> Warehouse2.sqlAbcAnalysis _,
     // chance-corrected inter-rater agreement (deterministic raters)
     "eval_cohens_kappa"      -> Analytics5.evalCohensKappa _,
+    // fulfillment SLA panel (exact integer-day percentiles)
+    "sql_lead_time_percentiles" -> Warehouse2.sqlLeadTimePercentiles _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2260,6 +2262,22 @@ object SparkEntry {
         |  CAST(pe AS REAL) AS p_expected,
         |  CAST((po - pe) / (1.0 - pe) AS REAL) AS kappa
         |FROM q""".stripMargin,
+    "sql_lead_time_percentiles" ->
+      """WITH fs AS (
+        |  SELECT l_orderkey, min(l_shipdate) AS first_ship
+        |  FROM lineitem GROUP BY l_orderkey
+        |), lt AS (
+        |  SELECT o.o_orderpriority,
+        |    datediff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(fs.first_ship AS DATE)) AS lead_days
+        |  FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(quantile_cont(lead_days, 0.5) AS REAL) AS p50,
+        |  CAST(quantile_cont(lead_days, 0.9) AS REAL) AS p90,
+        |  CAST(quantile_cont(lead_days, 0.99) AS REAL) AS p99,
+        |  CAST(max(lead_days) AS BIGINT) AS max_days
+        |FROM lt GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split(

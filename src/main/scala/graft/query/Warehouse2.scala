@@ -422,6 +422,34 @@ object Warehouse2 {
         (col("class_size") < k).as("at_risk"))
       .orderBy(col("nation"), col("order_year"))
 
+  /** Order-to-ship lead time percentiles per order priority: p50/p90/p99
+    * of datediff(first line shipment, order date) in whole days — the
+    * fulfillment SLA panel. Lead times are exact integer days and the
+    * exact `percentile` on integers interpolates two integer operands —
+    * identical IEEE arithmetic in both engines.
+    *
+    * Scale shape: min-ship-per-order is a map-side-combined rollup on
+    * the fact; the order join is key-to-key; the percentile groups are
+    * the 5 priorities (tiny keys). At a scale where exact percentile
+    * state per group matters, the histogram-quantile path
+    * (`agg_histogram_quantiles`) swaps in. */
+  def sqlLeadTimePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val firstShip = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_shipdate")).as("first_ship"))
+    table(spark, dir, "orders")
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("first_ship"), col("o_orderdate")).as("lead_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(percentile(lead_days, 0.5) AS REAL)").as("p50"),
+        expr("CAST(percentile(lead_days, 0.9) AS REAL)").as("p90"),
+        expr("CAST(percentile(lead_days, 0.99) AS REAL)").as("p99"),
+        max(col("lead_days")).cast("long").as("max_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** ABC inventory classification: parts ranked by exact-cents revenue;
     * class A = parts while cumulative share < 80%, B = while < 95%,
     * C = the tail — the classic Pareto stock-control segmentation, and
