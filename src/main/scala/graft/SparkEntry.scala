@@ -576,6 +576,9 @@ object SparkEntry {
     "eval_cohens_kappa"      -> Analytics5.evalCohensKappa _,
     // fulfillment SLA panel (exact integer-day percentiles)
     "sql_lead_time_percentiles" -> Warehouse2.sqlLeadTimePercentiles _,
+    // BPE merge application + fertility audit (tokenizer induction end)
+    "text_bpe_encode"        ->
+      ((s: SparkSession, d: String) => TextAnalysis.textBpeEncode(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1315,6 +1318,43 @@ object SparkEntry {
         |)
         |SELECT pair, count(*) AS n FROM pairs GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "text_bpe_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), pc AS (
+        |  SELECT substr(tok, i, 2) AS pair, count(*) AS n
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+        |    length(tok) - 1)) AS i) s
+        |  WHERE length(tok) >= 2 GROUP BY 1
+        |), rk AS (
+        |  SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rn
+        |  FROM pc
+        |), m AS (
+        |  SELECT max(CASE WHEN rn = 1 THEN pair END) AS m1,
+        |    max(CASE WHEN rn = 2 THEN pair END) AS m2,
+        |    max(CASE WHEN rn = 3 THEN pair END) AS m3
+        |  FROM rk WHERE rn <= 3
+        |), enc AS (
+        |  SELECT doc_id, CAST(length(tok) AS BIGINT) AS nch,
+        |    CAST(len(string_split(trim(
+        |      replace(replace(replace(
+        |        ' ' || regexp_replace(tok, '(.)', '\1 ', 'g'),
+        |        ' ' || substr(m1, 1, 1) || ' ' || substr(m1, 2, 1) || ' ',
+        |        ' ' || m1 || ' '),
+        |        ' ' || substr(m2, 1, 1) || ' ' || substr(m2, 2, 1) || ' ',
+        |        ' ' || m2 || ' '),
+        |        ' ' || substr(m3, 1, 1) || ' ' || substr(m3, 2, 1) || ' ',
+        |        ' ' || m3 || ' ')
+        |      ), ' ')) AS BIGINT) AS nu
+        |  FROM toks CROSS JOIN m
+        |)
+        |SELECT doc_id, CAST(sum(nch) AS BIGINT) AS n_chars,
+        |  CAST(sum(nu) AS BIGINT) AS n_units,
+        |  CAST(CAST(sum(nu) AS DOUBLE) / CAST(sum(nch) AS DOUBLE) AS REAL)
+        |    AS fertility
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // RRF fusion of BM25 (terms: table, join, query) and cosine-vs-vec-0
     // rankings. Per-term BM25 columns fused in FIXED order so the double
     // adds are bit-identical to Spark's; ranks are row_numbers with id

@@ -220,6 +220,44 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
+  /** Apply the induced BPE merge table: the top-3 pairs from
+    * [[textBpePairs]] become merge rules, applied in rank order to the
+    * space-delimited character representation of every token, and each
+    * document reports its character count, post-merge unit count, and
+    * fertility (units/chars) — completing the tokenizer-induction story
+    * (pair counting → merge table → encoding → compression audit).
+    * Deliberately single-round (rules come from the base pair table,
+    * not recounted between merges — the induction DEMO, documented);
+    * unit boundaries are space-guarded so a merge can never consume a
+    * previously-merged unit's tail.
+    *
+    * Determinism: rule selection orders by (count desc, pair); rule
+    * application is plain left-to-right non-overlapping string
+    * replacement — identical semantics in both engines. The 3 rules
+    * resolve to driver literals once (the scalar-plan-constant
+    * discipline); everything else is per-row string codegen. */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = textBpePairs(spark, dir, 3).collect()
+      .map(_.getString(0)).toSeq
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val spaced = concat(lit(" "),
+      regexp_replace(col("tok"), lit("(.)"), lit("$1 ")))
+    val enc = merges.foldLeft(spaced) { (c, m) =>
+      call_function("replace", c,
+        lit(s" ${m.charAt(0)} ${m.charAt(1)} "), lit(s" $m "))
+    }
+    toks
+      .select(col("doc_id"), length(col("tok")).cast("long").as("nch"),
+        size(split(trim(enc), " ")).cast("long").as("nu"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nch")).as("n_chars"), sum(col("nu")).as("n_units"))
+      .withColumn("fertility",
+        (col("n_units").cast("double") / col("n_chars").cast("double"))
+          .cast("float"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF term weighting: term frequency per (doc, term), document
     * frequency per term over the WHOLE corpus, idf = ln((N+1)/(df+1))+1
     * (smoothed). Two aggregations + a broadcast of the 1-row corpus count

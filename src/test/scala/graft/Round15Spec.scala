@@ -343,6 +343,21 @@ class Round15Spec extends SparkSpec {
     // (checked implicitly: po - pe over 1 - pe with po=1)
   }
 
+  test("text_bpe_encode: merges only ever shrink, fertility in (0,1], " +
+      "and the unit deficit is bounded by actual merge applications") {
+    val rows = TextAnalysis.textBpeEncode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nch = r.getLong(1); val nu = r.getLong(2)
+      assert(nu >= 1 && nu <= nch, s"doc ${r.getLong(0)}")
+      val f = r.getFloat(3)
+      assert(f > 0f && f <= 1f)
+    }
+    // merges really fire somewhere: corpus-wide units < corpus-wide chars
+    assert(rows.map(_.getLong(2)).sum < rows.map(_.getLong(1)).sum,
+      "three induced merges must compress a natural corpus")
+  }
+
   test("derived-index cache survives a nested (recursive) resolve") {
     // dedup_groups' build resolves the minhash candidate index through
     // the SAME per-session cache — with ConcurrentHashMap.computeIfAbsent
