@@ -579,6 +579,9 @@ object SparkEntry {
     // BPE merge application + fertility audit (tokenizer induction end)
     "text_bpe_encode"        ->
       ((s: SparkSession, d: String) => TextAnalysis.textBpeEncode(s, d)),
+    // replayable DeepWalk-style sampling over the graph index
+    "graph_random_walks"     ->
+      ((s: SparkSession, d: String) => Analytics5.graphRandomWalks(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1355,6 +1358,47 @@ object SparkEntry {
         |  CAST(CAST(sum(nu) AS DOUBLE) / CAST(sum(nch) AS DOUBLE) AS REAL)
         |    AS fertility
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "graph_random_walks" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), edges AS (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), adj AS (
+        |  SELECT u, list_sort(list(v)) AS nbrs FROM edges GROUP BY u
+        |), w0 AS (
+        |  SELECT u AS walk_id, u AS pos, CAST(u AS VARCHAR) AS path
+        |  FROM adj WHERE u <= 100
+        |), w1 AS (
+        |  SELECT w.walk_id,
+        |    a.nbrs[CAST(CAST('0x' || substr(md5(
+        |      CAST(w.walk_id AS VARCHAR) || ':1:' || CAST(w.pos AS VARCHAR)
+        |      ), 1, 15) AS BIGINT) % len(a.nbrs) AS INT) + 1] AS pos,
+        |    w.path FROM w0 w JOIN adj a ON a.u = w.pos
+        |), w1p AS (
+        |  SELECT walk_id, pos, path || '->' || CAST(pos AS VARCHAR) AS path
+        |  FROM w1
+        |), w2 AS (
+        |  SELECT w.walk_id,
+        |    a.nbrs[CAST(CAST('0x' || substr(md5(
+        |      CAST(w.walk_id AS VARCHAR) || ':2:' || CAST(w.pos AS VARCHAR)
+        |      ), 1, 15) AS BIGINT) % len(a.nbrs) AS INT) + 1] AS pos,
+        |    w.path FROM w1p w JOIN adj a ON a.u = w.pos
+        |), w2p AS (
+        |  SELECT walk_id, pos, path || '->' || CAST(pos AS VARCHAR) AS path
+        |  FROM w2
+        |), w3 AS (
+        |  SELECT w.walk_id,
+        |    a.nbrs[CAST(CAST('0x' || substr(md5(
+        |      CAST(w.walk_id AS VARCHAR) || ':3:' || CAST(w.pos AS VARCHAR)
+        |      ), 1, 15) AS BIGINT) % len(a.nbrs) AS INT) + 1] AS pos,
+        |    w.path FROM w2p w JOIN adj a ON a.u = w.pos
+        |)
+        |SELECT walk_id, path || '->' || CAST(pos AS VARCHAR) AS path,
+        |  pos AS end_vertex
+        |FROM w3 ORDER BY walk_id""".stripMargin,
     // RRF fusion of BM25 (terms: table, join, query) and cosine-vs-vec-0
     // rankings. Per-term BM25 columns fused in FIXED order so the double
     // adds are bit-identical to Spark's; ranks are row_numbers with id

@@ -1314,6 +1314,46 @@ object Analytics5 {
       ((po - pe) / (lit(1.0) - pe)).cast("float").as("kappa"))
   }
 
+  /** Deterministic random walks over the co-purchase graph: from each
+    * seed vertex (id ≤ maxSeed), a `steps`-hop walk whose next hop is
+    * the neighbor at index hash60(walk-position key) mod degree in the
+    * vertex's SORTED adjacency list — the DeepWalk/node2vec corpus
+    * sampler, made replayable: the hash-indexed choice gives the same
+    * walk on any cluster, any partitioning, and in the oracle (the
+    * md5-uniform discipline every sampler here uses).
+    *
+    * Scale shape: the sorted adjacency index is built once per corpus
+    * beside the other graph components (collect_sort within the
+    * existing edge-build shuffle); each step joins the |walks|-row
+    * frontier against it by key — walks never carry the list, only
+    * (walk_id, position). Walk count scales with seeds, not edges. */
+  def graphRandomWalks(spark: SparkSession, dir: String,
+      steps: Int = 3, maxSeed: Long = 100L): DataFrame = {
+    val adj = Analytics.cachedDf(spark, Analytics.gkey(dir, "adj")) {
+      Analytics.copurchaseEdgesSym(spark, dir)
+        .groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    }
+    var walk = adj.filter(col("u") <= maxSeed)
+      .select(col("u").as("walk_id"), col("u").as("pos"))
+      .withColumn("path", array(col("pos")))
+    for (step <- 1 to steps) {
+      walk = walk
+        .join(adj.select(col("u").as("pos"), col("nbrs")), Seq("pos"))
+        .select(col("walk_id"),
+          element_at(col("nbrs"),
+            (Dedup.hash60(concat_ws(":", col("walk_id"), lit(step),
+              col("pos"))) % size(col("nbrs")) + 1).cast("int")).as("pos"),
+          col("path"))
+        .withColumn("path", concat(col("path"), array(col("pos"))))
+    }
+    // string path: array columns don't sort stably through the driver's
+    // pandas-side canonicalization; "a->b->c" compares everywhere
+    walk.select(col("walk_id"), concat_ws("->", col("path")).as("path"),
+        col("pos").as("end_vertex"))
+      .orderBy(col("walk_id"))
+  }
+
   def corpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val perLang = table(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

@@ -358,6 +358,34 @@ class Round15Spec extends SparkSpec {
       "three induced merges must compress a natural corpus")
   }
 
+  test("graph_random_walks: every consecutive path pair is a real edge, " +
+      "paths have steps+1 vertices, and walks are reproducible") {
+    graft.query.Analytics.clearCaches()
+    val rows = Analytics5.graphRandomWalks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val edges = graft.schema.Schemas.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { es =>
+        val ps = es.map(_._2).distinct.toSeq
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+      }.toSet
+    rows.foreach { r =>
+      val path = r.getString(1).split("->").map(_.toLong)
+      assert(path.length == 4, s"walk ${r.getLong(0)}")
+      assert(path.head == r.getLong(0))
+      assert(path.last == r.getLong(2))
+      path.zip(path.tail).foreach { case (a, b) =>
+        assert(edges.contains((a, b)), s"non-edge $a->$b in walk ${r.getLong(0)}")
+      }
+    }
+    // reproducible: a second run yields the identical walk set
+    val again = Analytics5.graphRandomWalks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSeq == rows.map(r => (r.getLong(0), r.getString(1))).toSeq)
+    graft.query.Analytics.clearCaches()
+  }
+
   test("derived-index cache survives a nested (recursive) resolve") {
     // dedup_groups' build resolves the minhash candidate index through
     // the SAME per-session cache — with ConcurrentHashMap.computeIfAbsent
