@@ -149,22 +149,37 @@ object Analytics {
     * window over the adjacency. Fixed rounds keep the plan finite
     * (same latency/quality tradeoff as [[graphPagerank]]). */
   def graphCommunitiesLpa(spark: SparkSession, dir: String,
-      rounds: Int = 2, maxVertex: Long = 100L): DataFrame = {
-    val edges = copurchaseEdgesSym(spark, dir)
-    val deg = copurchaseDeg(spark, dir)
-    var lbl = deg.select(col("u"), col("u").as("lbl"))
-    for (_ <- 1 to rounds) {
-      lbl = edges
-        .join(lbl.select(col("u").as("v"), col("lbl")), Seq("v"))
-        .groupBy(col("u"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("u"))
-        .agg(min(struct((-col("c")).as("negc"), col("lbl"))).as("m"))
-        .select(col("u"), col("m.lbl").as("lbl"))
-    }
-    lbl.filter(col("u") <= maxVertex)
+      rounds: Int = 2, maxVertex: Long = 100L): DataFrame =
+    lpaLabels(spark, dir, rounds)
+      .filter(col("u") <= maxVertex)
       .select(col("u").as("part"), col("lbl").as("community"))
       .orderBy(col("part"))
+
+  /** The full |V|-row LPA label table at `rounds`, persisted beside the
+    * other derived graph components: the bounded community dump above
+    * AND every label CONSUMER (modularity scoring, community-aware
+    * sampling) read this one materialization instead of re-running the
+    * propagation — the deployment shape (label once per corpus, score
+    * and query many times). Default-rounds only; a nonstandard rounds
+    * request bypasses the cache. */
+  private[query] def lpaLabels(spark: SparkSession, dir: String,
+      rounds: Int = 2): DataFrame = {
+    def build: DataFrame = {
+      val edges = copurchaseEdgesSym(spark, dir)
+      val deg = copurchaseDeg(spark, dir)
+      var lbl = deg.select(col("u"), col("u").as("lbl"))
+      for (_ <- 1 to rounds) {
+        lbl = edges
+          .join(lbl.select(col("u").as("v"), col("lbl")), Seq("v"))
+          .groupBy(col("u"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("u"))
+          .agg(min(struct((-col("c")).as("negc"), col("lbl"))).as("m"))
+          .select(col("u"), col("m.lbl").as("lbl"))
+      }
+      lbl
+    }
+    if (rounds == 2) cachedDf(spark, gkey(dir, "lpa2"))(build) else build
   }
 
   /** Bounded BFS reachability: minimum hop distance (≤ `maxHops`) from a

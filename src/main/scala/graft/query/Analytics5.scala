@@ -1247,20 +1247,19 @@ object Analytics5 {
     * endpoints); everything after is a per-community scalar. */
   def graphModularity(spark: SparkSession, dir: String): DataFrame = {
     val edges = Analytics.copurchaseEdgesSym(spark, dir)
-    val labels = Analytics.graphCommunitiesLpa(spark, dir,
-        maxVertex = Long.MaxValue)
-      .select(col("part").as("u"), col("community").as("lbl"))
-      .localCheckpoint()
-    val twoM = edges.agg(count(lit(1)).as("two_m"))
-    val dMass = edges.join(broadcast(labels), Seq("u"))
-      .groupBy(col("lbl")).agg(count(lit(1)).as("d_c"))
+    // the persisted |V|-row label index — labeled once per corpus,
+    // scored here without re-running the propagation
+    val labels = Analytics.lpaLabels(spark, dir)
     val lv = labels.select(col("u").as("v"), col("lbl").as("lbl_v"))
-    val intra = edges.join(broadcast(labels), Seq("u"))
+    val twoM = edges.agg(count(lit(1)).as("two_m"))
+    // ONE pass over the edge index carries both masses: degree mass =
+    // endpoint count per label, intra mass = same-label endpoint count
+    val dMass = edges.join(broadcast(labels), Seq("u"))
       .join(broadcast(lv), Seq("v"))
-      .filter(col("lbl") === col("lbl_v"))
-      .groupBy(col("lbl")).agg(count(lit(1)).as("e2_c"))
-    dMass.join(intra, Seq("lbl"), "left")
-      .na.fill(0L, Seq("e2_c"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("d_c"),
+        sum(when(col("lbl") === col("lbl_v"), 1L).otherwise(0L)).as("e2_c"))
+    dMass
       .crossJoin(broadcast(twoM))
       .select(col("lbl").as("community"), col("e2_c"), col("d_c"),
         col("two_m"),
