@@ -582,6 +582,15 @@ object SparkEntry {
     // replayable DeepWalk-style sampling over the graph index
     "graph_random_walks"     ->
       ((s: SparkSession, d: String) => Analytics5.graphRandomWalks(s, d)),
+    // skip-gram pair counts over the walk corpus (DeepWalk step 2)
+    "graph_walk_cooccurrence" ->
+      ((s: SparkSession, d: String) => Analytics5.graphWalkCooccurrence(s, d)),
+    // exact streaming distinct per window (dedup→aggregate chain)
+    "stream_windowed_distinct" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.StreamQueries.streamWindowedDistinct(s, d)),
+    // PK half of the constraint audit (FK half: dq_constraint_report)
+    "dq_pk_uniqueness"       -> Warehouse2.dqPkUniqueness _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1399,6 +1408,88 @@ object SparkEntry {
         |SELECT walk_id, path || '->' || CAST(pos AS VARCHAR) AS path,
         |  pos AS end_vertex
         |FROM w3 ORDER BY walk_id""".stripMargin,
+    // the walk CTE chain above, exploded into ±2 skip-gram pairs
+    "graph_walk_cooccurrence" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), edges AS (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), adj AS (
+        |  SELECT u, list_sort(list(v)) AS nbrs FROM edges GROUP BY u
+        |), w0 AS (
+        |  SELECT u AS walk_id, u AS pos, [u] AS path
+        |  FROM adj WHERE u <= 100
+        |), w1 AS (
+        |  SELECT w.walk_id,
+        |    a.nbrs[CAST(CAST('0x' || substr(md5(
+        |      CAST(w.walk_id AS VARCHAR) || ':1:' || CAST(w.pos AS VARCHAR)
+        |      ), 1, 15) AS BIGINT) % len(a.nbrs) AS INT) + 1] AS pos,
+        |    w.path FROM w0 w JOIN adj a ON a.u = w.pos
+        |), w1p AS (SELECT walk_id, pos, list_append(path, pos) AS path FROM w1),
+        |w2 AS (
+        |  SELECT w.walk_id,
+        |    a.nbrs[CAST(CAST('0x' || substr(md5(
+        |      CAST(w.walk_id AS VARCHAR) || ':2:' || CAST(w.pos AS VARCHAR)
+        |      ), 1, 15) AS BIGINT) % len(a.nbrs) AS INT) + 1] AS pos,
+        |    w.path FROM w1p w JOIN adj a ON a.u = w.pos
+        |), w2p AS (SELECT walk_id, pos, list_append(path, pos) AS path FROM w2),
+        |w3 AS (
+        |  SELECT w.walk_id,
+        |    a.nbrs[CAST(CAST('0x' || substr(md5(
+        |      CAST(w.walk_id AS VARCHAR) || ':3:' || CAST(w.pos AS VARCHAR)
+        |      ), 1, 15) AS BIGINT) % len(a.nbrs) AS INT) + 1] AS pos,
+        |    w.path FROM w2p w JOIN adj a ON a.u = w.pos
+        |), walks AS (SELECT list_append(path, pos) AS p FROM w3),
+        |pairs AS (
+        |  SELECT p[i + 1] AS center, p[j + 1] AS context
+        |  FROM walks,
+        |    LATERAL (SELECT unnest(generate_series(0, len(p) - 1)) AS i) si,
+        |    LATERAL (SELECT unnest(generate_series(greatest(0, i - 2),
+        |      least(len(p) - 1, i + 2))) AS j) sj
+        |  WHERE i <> j
+        |)
+        |SELECT center, context, CAST(count(*) AS BIGINT) AS n
+        |FROM pairs GROUP BY center, context
+        |ORDER BY center, context""".stripMargin,
+    "stream_windowed_distinct" ->
+      """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+        |    AS window_start,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "dq_pk_uniqueness" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem(l_orderkey,l_linenumber)' AS table_key,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST((SELECT count(*) FROM (SELECT DISTINCT l_orderkey,
+        |      l_linenumber FROM lineitem)) AS BIGINT) AS n_distinct_keys,
+        |    CAST(count(*) - (SELECT count(*) FROM (SELECT DISTINCT
+        |      l_orderkey, l_linenumber FROM lineitem)) AS BIGINT)
+        |      AS n_duplicates
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders(o_orderkey)', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'customer(c_custkey)', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'part(p_partkey)', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT p_partkey) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT p_partkey) AS BIGINT)
+        |  FROM part
+        |  UNION ALL
+        |  SELECT 'supplier(s_suppkey)', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT s_suppkey) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT s_suppkey) AS BIGINT)
+        |  FROM supplier
+        |) ORDER BY table_key""".stripMargin,
     // RRF fusion of BM25 (terms: table, join, query) and cosine-vs-vec-0
     // rankings. Per-term BM25 columns fused in FIXED order so the double
     // adds are bit-identical to Spark's; ranks are row_numbers with id

@@ -1353,6 +1353,33 @@ object Analytics5 {
       .orderBy(col("walk_id"))
   }
 
+  /** Skip-gram co-occurrence counts over the random-walk corpus
+    * (window ±2) — DeepWalk's second step: the walks ARE the sentences,
+    * and these (center, context) counts are what a word2vec-style
+    * embedding trains on. Deterministic end to end because the walks
+    * are ([[graphRandomWalks]]).
+    *
+    * Scale shape: per-walk explode of a fixed-length path — output
+    * scales with walks × window, never with edges; the count is
+    * map-side combined on (center, context). */
+  def graphWalkCooccurrence(spark: SparkSession, dir: String,
+      window: Int = 2): DataFrame = {
+    val walks = graphRandomWalks(spark, dir)
+      .select(split(col("path"), "->").as("p"))
+    walks
+      .select(col("p"),
+        explode(sequence(lit(0), size(col("p")) - 1)).as("i"))
+      .select(col("p"), col("i"),
+        explode(sequence(greatest(lit(0), col("i") - window),
+          least(size(col("p")) - 1, col("i") + window))).as("j"))
+      .filter(col("i") =!= col("j"))
+      .select(element_at(col("p"), col("i") + 1).cast("long").as("center"),
+        element_at(col("p"), col("j") + 1).cast("long").as("context"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("center"), col("context"))
+  }
+
   def corpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val perLang = table(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

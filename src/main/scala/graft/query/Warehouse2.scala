@@ -422,6 +422,34 @@ object Warehouse2 {
         (col("class_size") < k).as("at_risk"))
       .orderBy(col("nation"), col("order_year"))
 
+  /** Primary-key uniqueness audit across the star schema: per declared
+    * key, row count vs distinct-key count and the duplicate surplus —
+    * the first constraint a warehouse loader validates (the FK audit is
+    * [[dqConstraintReport]]; this is its PK half). All counts are exact
+    * map-side-combined aggregates; composite keys dedup on the key
+    * tuple. */
+  def dqPkUniqueness(spark: SparkSession, dir: String): DataFrame = {
+    def check(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(keys.head), keys.tail.map(col): _*)
+            .as("n_distinct_keys"))
+        .select(lit(name).as("table_key"), col("n_rows"),
+          col("n_distinct_keys"),
+          (col("n_rows") - col("n_distinct_keys")).as("n_duplicates"))
+    Seq(
+      check("lineitem(l_orderkey,l_linenumber)",
+        table(spark, dir, "lineitem"), Seq("l_orderkey", "l_linenumber")),
+      check("orders(o_orderkey)", table(spark, dir, "orders"),
+        Seq("o_orderkey")),
+      check("customer(c_custkey)", table(spark, dir, "customer"),
+        Seq("c_custkey")),
+      check("part(p_partkey)", table(spark, dir, "part"), Seq("p_partkey")),
+      check("supplier(s_suppkey)", table(spark, dir, "supplier"),
+        Seq("s_suppkey")))
+      .reduce(_ unionAll _)
+      .orderBy(col("table_key"))
+  }
+
   /** Order-to-ship lead time percentiles per order priority: p50/p90/p99
     * of datediff(first line shipment, order date) in whole days — the
     * fulfillment SLA panel. Lead times are exact integer days and the

@@ -434,6 +434,33 @@ object StreamQueries {
       .orderBy(col("window_start"))
   }
 
+  /** Exact distinct users per hourly window, streaming: watermarked
+    * dropDuplicates on (window, user) feeds a windowed count — the
+    * dedup→aggregate CHAIN (vs [[streamTwoLevelAgg]]'s agg→agg), which
+    * is how exact streaming distinct is actually expressed (a windowed
+    * count_distinct isn't an incremental aggregate; the dedup operator
+    * holds the distinct set as keyed state and emits each key once).
+    * State per window is the DISTINCT key set — bounded by cardinality,
+    * not traffic — and the watermark evicts closed windows from the
+    * dedup store. Complete output re-emits the count table, so the tail
+    * windows the watermark has not yet closed still report (an Append
+    * drain withholds the final partial hour by design).
+    *
+    * Full drain == batch `count(DISTINCT user_id)` per hour — the
+    * oracle. */
+  def streamWindowedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = streamEvents(spark, dir, singleBatch = true)
+      .withWatermark("ts", "1 hour")
+      .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+    val counted = deduped
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_distinct_users"))
+    drain(spark, counted, OutputMode.Complete())
+      .select(col("w.start").as("window_start"), col("n_distinct_users"))
+      .orderBy(col("window_start"))
+  }
+
   // public: Catalyst's generated (de)serializers must access these
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class Session(user_id: Long, n_sessions: Int)

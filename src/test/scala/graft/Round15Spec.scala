@@ -386,6 +386,56 @@ class Round15Spec extends SparkSpec {
     graft.query.Analytics.clearCaches()
   }
 
+  test("stream_windowed_distinct equals batch count(DISTINCT) per hour") {
+    val streamed = StreamQueries.streamWindowedDistinct(spark, sf).collect()
+    val batch = graft.schema.Schemas.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(col("w.start"), col("n"))
+      .orderBy(col("w.start")).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getTimestamp(0) == b.getTimestamp(0))
+      assert(s.getLong(1) == b.getLong(1))
+    }
+  }
+
+  test("graph_walk_cooccurrence: pair mass equals walks × window fanout, " +
+      "and every pair is symmetric-present as (context, center)") {
+    graft.query.Analytics.clearCaches()
+    val pairs = Analytics5.graphWalkCooccurrence(spark, sf).collect()
+    val nWalks = Analytics5.graphRandomWalks(spark, sf).count()
+    // per 4-vertex path with window ±2: positions contribute 2+3+3+2 pairs
+    assert(pairs.map(_.getLong(2)).sum == nWalks * 10)
+    // the window predicate |i−j|≤2 is symmetric, so every walk emits
+    // both directions: global counts must be exactly symmetric
+    val byPair = pairs.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    byPair.foreach { case ((c, x), n) =>
+      assert(byPair.get((x, c)).contains(n), s"asymmetric pair ($c,$x)") }
+    graft.query.Analytics.clearCaches()
+  }
+
+  test("dq_pk_uniqueness: dimension keys are clean; the audit SURFACES " +
+      "the generator's non-unique lineitem line numbers") {
+    val rows = graft.query.Warehouse2.dqPkUniqueness(spark, sf).collect()
+    assert(rows.length == 5)
+    val byTable = rows.map(r => r.getString(0) -> r).toMap
+    Seq("orders(o_orderkey)", "customer(c_custkey)", "part(p_partkey)",
+      "supplier(s_suppkey)").foreach { t =>
+      val r = byTable(t)
+      assert(r.getLong(1) == r.getLong(2) && r.getLong(3) == 0L,
+        s"$t has duplicates")
+    }
+    // the synthetic generator does NOT enforce (orderkey, linenumber)
+    // uniqueness — the audit's job is to REPORT that, and the surplus
+    // must reconcile
+    val li = byTable("lineitem(l_orderkey,l_linenumber)")
+    assert(li.getLong(3) == li.getLong(1) - li.getLong(2))
+    assert(li.getLong(3) > 0L,
+      "if this starts passing, the generator changed — tighten the spec")
+  }
+
   test("derived-index cache survives a nested (recursive) resolve") {
     // dedup_groups' build resolves the minhash candidate index through
     // the SAME per-session cache — with ConcurrentHashMap.computeIfAbsent
