@@ -591,6 +591,8 @@ object SparkEntry {
         graft.streaming.StreamQueries.streamWindowedDistinct(s, d)),
     // PK half of the constraint audit (FK half: dq_constraint_report)
     "dq_pk_uniqueness"       -> Warehouse2.dqPkUniqueness _,
+    // Kadane best-streak per user (sorted-group sequential recurrence)
+    "window_max_subarray"    -> Analytics5.windowMaxSubarray _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1490,6 +1492,38 @@ object SparkEntry {
         |    CAST(count(*) - count(DISTINCT s_suppkey) AS BIGINT)
         |  FROM supplier
         |) ORDER BY table_key""".stripMargin,
+    // Kadane's recurrence as a recursive CTE on ×n-scaled integers
+    "window_max_subarray" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS v6
+        |  FROM events
+        |), st AS (
+        |  SELECT user_id, CAST(sum(v6) AS BIGINT) AS s6,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY user_id
+        |), x AS (
+        |  SELECT e.user_id, e.event_id, e.us,
+        |    st.n * e.v6 - st.s6 AS x, st.n,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |      ORDER BY e.us, e.event_id) AS rn
+        |  FROM ev e JOIN st ON e.user_id = st.user_id
+        |), walk AS (
+        |  SELECT user_id, rn, n,
+        |    greatest(x, x) AS cur, x AS best
+        |  FROM x WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.n,
+        |    greatest(e.x, w.cur + e.x),
+        |    greatest(w.best, greatest(e.x, w.cur + e.x))
+        |  FROM x e JOIN walk w
+        |    ON e.user_id = w.user_id AND e.rn = w.rn + 1
+        |)
+        |SELECT user_id, n AS n_events,
+        |  CAST(best AS BIGINT) AS best_scaled,
+        |  CAST(CAST(best AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |    AS REAL) AS best_value
+        |FROM walk WHERE rn = n ORDER BY user_id""".stripMargin,
     // RRF fusion of BM25 (terms: table, join, query) and cosine-vs-vec-0
     // rankings. Per-term BM25 columns fused in FIXED order so the double
     // adds are bit-identical to Spark's; ranks are row_numbers with id

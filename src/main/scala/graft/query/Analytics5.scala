@@ -1380,6 +1380,49 @@ object Analytics5 {
       .orderBy(col("center"), col("context"))
   }
 
+  /** Largest net-gain streak per user (maximum-sum contiguous subarray
+    * of mean-centered event values, Kadane's recurrence): the "best
+    * run" statistic behind engagement-burst and hot-streak detection —
+    * order-dependent sequential state like [[anomalyAlertDebounce]],
+    * so it rides the same sorted-group iteration, with the recurrence
+    * replayed as a recursive CTE in the oracle.
+    *
+    * Integer-exact: centered values are kept ×n-scaled
+    * (n·v6 − s6, the deferred-division discipline), so Kadane's max
+    * comparisons are BIGINT compares; ONE division at emit recovers
+    * the value scale.
+    *
+    * Scale shape: one user-key exchange + in-partition sort; O(1)
+    * state per key; the per-user mean is a map-side-combined aggregate
+    * broadcast back. */
+  def windowMaxSubarray(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * lit(1e6)).cast("long").as("v6"))
+    val stats = ev.groupBy(col("user_id"))
+      .agg(sum(col("v6")).as("s6"), count(lit(1)).as("n"))
+    val joined = ev.join(broadcast(stats), Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        (col("n") * col("v6") - col("s6")).as("x"), col("n"))
+      .as[(Long, Long, Long, Long, Long)]
+    joined.groupByKey(_._1)
+      .flatMapSortedGroups(col("us"), col("event_id")) { (u, it) =>
+        var cur = 0L; var best = Long.MinValue; var n = 0L
+        it.foreach { case (_, _, _, x, nn) =>
+          n = nn
+          cur = math.max(x, cur + x)
+          best = math.max(best, cur)
+        }
+        Iterator.single((u, n, best))
+      }
+      .toDF("user_id", "n_events", "best_scaled")
+      .withColumn("best_value",
+        (col("best_scaled").cast("double") /
+          col("n_events").cast("double") / lit(1e6)).cast("float"))
+      .orderBy(col("user_id"))
+  }
+
   def corpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val perLang = table(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

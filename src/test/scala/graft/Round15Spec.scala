@@ -436,6 +436,28 @@ class Round15Spec extends SparkSpec {
       "if this starts passing, the generator changed — tighten the spec")
   }
 
+  test("window_max_subarray matches a driver-side Kadane replay and " +
+      "dominates every single element") {
+    val got = Analytics5.windowMaxSubarray(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val evs = graft.schema.Schemas.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)"),
+        expr("CAST(round(value * 1e6) AS LONG)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(got.nonEmpty && got.size == evs.size)
+    evs.foreach { case (u, es) =>
+      val s6 = es.map(_._4).sum; val n = es.length.toLong
+      val xs = es.sortBy(e => (e._3, e._2)).map(e => n * e._4 - s6)
+      var cur = 0L; var best = Long.MinValue
+      xs.foreach { x => cur = math.max(x, cur + x); best = math.max(best, cur) }
+      assert(got(u) == best, s"user $u")
+      // the best streak at least matches the best single element
+      assert(best >= xs.max)
+    }
+  }
+
   test("derived-index cache survives a nested (recursive) resolve") {
     // dedup_groups' build resolves the minhash candidate index through
     // the SAME per-session cache — with ConcurrentHashMap.computeIfAbsent
