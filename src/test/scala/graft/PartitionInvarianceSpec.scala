@@ -143,7 +143,20 @@ class PartitionInvarianceSpec extends SparkSpec {
     "text_keywords_topk per-doc rank window" ->
       (() => graft.query.TextAnalysis.textKeywordsTopk(spark, sf)),
     "ts_stl_decompose deferred-division windows" ->
-      (() => graft.query.Analytics5.tsStlDecompose(spark, sf)))
+      (() => graft.query.Analytics5.tsStlDecompose(spark, sf)),
+    // round-15 second wave: hash-indexed walk hops, the Kadane fold,
+    // the dedup→agg streaming chain, the persisted-label modularity
+    // pass, and the ntile quintiles
+    "graph_random_walks hash-indexed hops" ->
+      (() => graft.query.Analytics5.graphRandomWalks(spark, sf)),
+    "window_max_subarray Kadane fold" ->
+      (() => graft.query.Analytics5.windowMaxSubarray(spark, sf)),
+    "stream_windowed_distinct dedup→agg chain" ->
+      (() => graft.streaming.StreamQueries.streamWindowedDistinct(spark, sf)),
+    "graph_modularity one-pass masses" ->
+      (() => graft.query.Analytics5.graphModularity(spark, sf)),
+    "sql_customer_rfm ntile quintiles" ->
+      (() => graft.query.Warehouse2.sqlCustomerRfm(spark, sf)))
 
   private def collectAt(partitions: Int, build: () => DataFrame): Seq[String] = {
     val key = "spark.sql.shuffle.partitions"
