@@ -459,4 +459,39 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(sc.length == 1 && sc.head.getLong(2) >= 1L)
     Analytics.clearCaches()
   }
+
+  test("round-15 second wave: empty corpus degrades to well-formed results") {
+    import graft.query.{Analytics2, Analytics5, TextAnalysis, Warehouse2}
+    import graft.streaming.StreamQueries
+    graft.query.Analytics.clearCaches()
+    // empty-result family: no input rows → no output rows, never a crash
+    assert(Warehouse2.sqlCustomerRfm(spark, emptyStarDir).collect().isEmpty)
+    assert(Warehouse2.sqlAbcAnalysis(spark, emptyStarDir).collect().isEmpty)
+    assert(Warehouse2.sqlLeadTimePercentiles(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics2.cohortLtv(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics5.graphModularity(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics5.graphRandomWalks(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics5.graphWalkCooccurrence(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.windowMaxSubarray(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics5.attributionTimeDecay(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(TextAnalysis.textBoilerplateFrac(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(TextAnalysis.textBpeEncode(spark, emptyStarDir).collect().isEmpty)
+    assert(StreamQueries.streamWindowedDistinct(spark, emptyStarDir)
+      .collect().isEmpty)
+    // summary-row family: the report emits its fixed panel with zero
+    // counts (an empty corpus is a finding, not an error)
+    val pk = Warehouse2.dqPkUniqueness(spark, emptyStarDir).collect()
+    assert(pk.length == 5 && pk.forall(r =>
+      r.getLong(1) == 0L && r.getLong(3) == 0L))
+    val tt = Analytics5.aggTtestWelch(spark, emptyStarDir).collect()
+    assert(tt.length <= 1)
+    val kap = Analytics5.evalCohensKappa(spark, emptyStarDir).collect()
+    assert(kap.length <= 1)
+    kap.foreach(r => assert(r.getLong(0) == 0L))
+    graft.query.Analytics.clearCaches()
+  }
 }
