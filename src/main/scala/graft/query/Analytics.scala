@@ -313,7 +313,7 @@ object Analytics {
     * small frontier/label deltas — pinning the index to full width was
     * measured 1.8-2× SLOWER at bench scale because every tiny per-round
     * stage inherits 32 tasks that AQE would otherwise coalesce. */
-  private[query] def copurchaseEdgesSym(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def copurchaseEdgesSym(spark: SparkSession, dir: String): DataFrame = {
     val e0 = copurchaseEdges(spark, dir)
     cachedDf(spark, gkey(dir, "sym")) {
       e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))

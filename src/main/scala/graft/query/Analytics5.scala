@@ -1313,6 +1313,35 @@ object Analytics5 {
       ((po - pe) / (lit(1.0) - pe)).cast("float").as("kappa"))
   }
 
+  /** Degree cap for the walk adjacency index: a hub vertex keeps only
+    * this many neighbors, so no adjacency row is ever wider than d. */
+  private[graft] val walkDegreeCap = 64
+
+  /** Deterministic degree-capped adjacency over symmetric `(u, v)`
+    * edges: each vertex keeps its top-`d` neighbors ranked by
+    * hash60(u:cap:v) (ties broken by v), emitted as a SORTED array.
+    *
+    * Why hash-ranked, not degree- or value-ranked: the kept subset
+    * must be a property of the (u, v) pair alone — then any engine
+    * (any partitioning, the DuckDB oracle) reproduces the identical
+    * capped list, and the hash makes the kept set an unbiased uniform
+    * sample of the neighborhood (what a walk sampler wants).
+    *
+    * Scale shape: the rank filter is a row_number-over-(u) window with
+    * a `<= d` predicate — Spark rewrites that to WindowGroupLimit, so
+    * each map task keeps only its local top-d per vertex BEFORE the
+    * shuffle; the post-shuffle sort never sees more than d·tasks rows
+    * per hub, and the collect_list is bounded at d elements. */
+  private[graft] def cappedAdjacency(edges: DataFrame, d: Int): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(
+      Dedup.hash60(concat_ws(":", col("u"), lit("cap"), col("v"))), col("v"))
+    edges
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= d)
+      .groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+  }
+
   /** Deterministic random walks over the co-purchase graph: from each
     * seed vertex (id ≤ maxSeed), a `steps`-hop walk whose next hop is
     * the neighbor at index hash60(walk-position key) mod degree in the
@@ -1322,16 +1351,20 @@ object Analytics5 {
     * md5-uniform discipline every sampler here uses).
     *
     * Scale shape: the sorted adjacency index is built once per corpus
-    * beside the other graph components (collect_sort within the
-    * existing edge-build shuffle); each step joins the |walks|-row
-    * frontier against it by key — walks never carry the list, only
-    * (walk_id, position). Walk count scales with seeds, not edges. */
+    * beside the other graph components; each step joins the
+    * |walks|-row frontier against it by key — walks never carry the
+    * list, only (walk_id, position). Walk count scales with seeds,
+    * not edges. Per-vertex lists are DEGREE-CAPPED at [[walkDegreeCap]]
+    * ([[cappedAdjacency]]): on a heavy-tailed graph an uncapped
+    * collect_list materializes a hub's entire neighborhood in one row;
+    * the cap bounds every adjacency row while keeping the walk
+    * replayable (the kept top-d set is hash-ranked, so the oracle
+    * replays the same capped list). */
   def graphRandomWalks(spark: SparkSession, dir: String,
       steps: Int = 3, maxSeed: Long = 100L): DataFrame = {
-    val adj = Analytics.cachedDf(spark, Analytics.gkey(dir, "adj")) {
-      Analytics.copurchaseEdgesSym(spark, dir)
-        .groupBy(col("u"))
-        .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val adj = Analytics.cachedDf(spark,
+        Analytics.gkey(dir, s"adjcap$walkDegreeCap")) {
+      cappedAdjacency(Analytics.copurchaseEdgesSym(spark, dir), walkDegreeCap)
     }
     var walk = adj.filter(col("u") <= maxSeed)
       .select(col("u").as("walk_id"), col("u").as("pos"))
