@@ -51,6 +51,13 @@ object Bench {
     import scala.concurrent.ExecutionContext.Implicits.global
     val perQuerySec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC",
       "600").toLong
+    // A wedged STREAMING drain must not outlive its bench slot: cap the
+    // drain wait at the per-query budget, else awaitBounded's generous
+    // 900 s default lets a stopped-but-draining query overlap (and
+    // contaminate) the measurements that follow it.
+    spark.conf.set("graft.stream.drainTimeoutSec",
+      math.min(900L, perQuerySec).toString)
+    val timedOut = scala.collection.mutable.Set[String]()
     def timeAll(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -62,8 +69,13 @@ object Bench {
         }
         try Await.result(fut, perQuerySec.seconds)
         catch { case _: Throwable =>
+          timedOut.synchronized { timedOut += name }
           try spark.sparkContext.cancelJobGroup(group)
           catch { case _: Throwable => () }
+          // Let the cancelled jobs actually release their task slots
+          // before the next query's clock starts — a still-running
+          // future would contaminate every later measurement this pass.
+          try Await.result(fut, 60.seconds) catch { case _: Throwable => () }
         }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
@@ -84,7 +96,12 @@ object Bench {
     // capture (observed in every BENCH_r0N.json tail). Emit the per-query
     // map first and metric/value/unit/sf last so the totals always land
     // inside the captured tail.
-    println(s"""{"queries":$qs,"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}""")
+    // Timed-out queries are flagged, not silently folded into the total:
+    // their recorded elapsed (~perQuerySec) is a timeout artifact, not a
+    // measured cost.
+    val toJson = timedOut.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"queries":$qs,"metric":"total","value":${r3(total)},"unit":"sec","timeouts":$toJson,"sf":"$sfDir"}""")
     // Second, COMPACT line printed last: the full per-query line above is
     // ~3.5 KB with 160 queries and has overflowed the driver's output-tail
     // capture every round (BENCH_r0N.json "parsed": null, tail truncated
@@ -95,7 +112,7 @@ object Bench {
     val top = results.toSeq.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_timeouts":${timedOut.size},"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1378,16 +1378,20 @@ object SparkEntry {
         |    max(CASE WHEN rn = 3 THEN pair END) AS m3
         |  FROM rk WHERE rn <= 3
         |), enc AS (
+        |  -- a corpus with < 3 distinct pairs leaves m2/m3 NULL; COALESCE
+        |  -- turns that merge into the identity replace(' ',' ') so the
+        |  -- chain degrades exactly like the Spark fold over a short
+        |  -- merge list (instead of NULLing the whole expression)
         |  SELECT doc_id, CAST(length(tok) AS BIGINT) AS nch,
         |    CAST(len(string_split(trim(
         |      replace(replace(replace(
         |        ' ' || regexp_replace(tok, '(.)', '\1 ', 'g'),
-        |        ' ' || substr(m1, 1, 1) || ' ' || substr(m1, 2, 1) || ' ',
-        |        ' ' || m1 || ' '),
-        |        ' ' || substr(m2, 1, 1) || ' ' || substr(m2, 2, 1) || ' ',
-        |        ' ' || m2 || ' '),
-        |        ' ' || substr(m3, 1, 1) || ' ' || substr(m3, 2, 1) || ' ',
-        |        ' ' || m3 || ' ')
+        |        COALESCE(' ' || substr(m1, 1, 1) || ' ' || substr(m1, 2, 1) || ' ', ' '),
+        |        COALESCE(' ' || m1 || ' ', ' ')),
+        |        COALESCE(' ' || substr(m2, 1, 1) || ' ' || substr(m2, 2, 1) || ' ', ' '),
+        |        COALESCE(' ' || m2 || ' ', ' ')),
+        |        COALESCE(' ' || substr(m3, 1, 1) || ' ' || substr(m3, 2, 1) || ' ', ' '),
+        |        COALESCE(' ' || m3 || ' ', ' '))
         |      ), ' ')) AS BIGINT) AS nu
         |  FROM toks CROSS JOIN m
         |)

@@ -284,7 +284,17 @@ object TextAnalysis {
     * integer inputs (tf, df, N). Ranking compares doubles both engines
     * derive from identical integer rationals; distinct terms with equal
     * (tf, df) score mathematically equal and fall to the token
-    * tie-break, so the selection is cross-engine deterministic.
+    * tie-break, so that selection is cross-engine deterministic.
+    *
+    * Accepted residual risk (same class the rrf_fusion oracle
+    * documents): terms with DIFFERENT (tf, df) whose scores differ by
+    * less than one double ulp could rank differently if JVM log and
+    * DuckDB ln round that last bit differently. No exact integer
+    * surrogate exists — score order tf1·ln(r1) vs tf2·ln(r2) reduces to
+    * comparing r1^tf1 vs r2^tf2, unbounded-precision integers — and
+    * near-coincidences at the 1e-16 relative scale have never appeared
+    * in any generated corpus; if one ever does, the ranked window makes
+    * the mismatch visible as a single-row hash diff, not silent drift.
     *
     * Scale shape: the rank window partitions on doc_id, and a document's
     * distinct-term count is bounded by its own length — per-group work

@@ -127,9 +127,24 @@ object Schemas {
       case _ => have == want
     }
     def castIf(d: DataFrame, c: String, want: DataType): DataFrame =
-      if (d.columns.contains(c) && !matches(d.schema(c).dataType, want))
-        d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(want))
-      else d
+      if (d.columns.contains(c) && !matches(d.schema(c).dataType, want)) {
+        import org.apache.spark.sql.functions._
+        val src = col(c)
+        val guarded = (d.schema(c).dataType, want) match {
+          // NARROWING integral cast: a plain cast silently wraps
+          // out-of-range values — the exact corruption class this
+          // normalization exists to prevent. Fail loudly instead.
+          case (LongType, IntegerType) =>
+            when(src.isNull ||
+                src.between(Int.MinValue.toLong, Int.MaxValue.toLong),
+              src.cast(want))
+              .otherwise(raise_error(concat(
+                lit(s"drifted $name.$c out of INT32 range: "),
+                src.cast("string"))).cast(want))
+          case _ => src.cast(want)
+        }
+        d.withColumn(c, guarded)
+      } else d
     name match {
       case "embeddings" =>
         castIf(castIf(castIf(df, "embedding", ArrayType(FloatType)),
