@@ -584,6 +584,8 @@ object SparkEntry {
     "agg_skew_kurtosis"      -> Analytics5.aggSkewKurtosis _,
     // RFM quintile segmentation (the CRM derived-feature table)
     "sql_customer_rfm"       -> Warehouse2.sqlCustomerRfm _,
+    // TPC-H Q20 shape: suppliers with excess stock of a named part family
+    "sql_excess_stock"       -> Warehouse2.sqlExcessStock _,
     // the third standard attribution model (exponential time decay)
     "attribution_time_decay" ->
       ((s: SparkSession, d: String) => Analytics5.attributionTimeDecay(s, d)),
@@ -5636,6 +5638,23 @@ object SparkEntry {
         |    + ntile(5) OVER (ORDER BY monetary_cents DESC, c_custkey)
         |    AS INT) AS rfm_cell
         |FROM base ORDER BY c_custkey""".stripMargin,
+    "sql_excess_stock" ->
+      """WITH survivors AS (
+        |  SELECT l_suppkey
+        |  FROM lineitem
+        |  WHERE l_partkey IN (
+        |    SELECT p_partkey FROM part WHERE p_name LIKE '%bolt')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) FILTER (
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01') > 0
+        |    AND sum(CAST(l_quantity AS BIGINT)) >
+        |      4 * sum(CAST(l_quantity AS BIGINT)) FILTER (
+        |        WHERE l_shipdate >= TIMESTAMP '1996-01-01')
+        |)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM survivors)
+        |ORDER BY s_suppkey""".stripMargin,
     // three unrolled peel rounds — the Spark side runs the identical
     // fixed-round fold over the shared co-purchase edge index
     "graph_kcore" ->

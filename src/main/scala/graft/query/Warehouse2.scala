@@ -558,4 +558,45 @@ object Warehouse2 {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .orderBy(col("c_custkey"))
   }
+
+  /** TPC-H Q20 shape ("parts with excess stock at a supplier") adapted
+    * to the partsupp-less schema: a supplier qualifies if, for some
+    * part whose name ends in "bolt", its ALL-TIME shipped quantity
+    * exceeds 4× what it shipped since 1996 — inventory held far beyond
+    * recent demand. The classic decision-support semi-join against an
+    * aggregate threshold: suppliers are filtered by EXISTENCE of a
+    * qualifying (supplier, part) pair, never widened by the join.
+    *
+    * Scale shape, inside-out: (1) lineitem is pruned FIRST by a
+    * broadcast semi-join on the bolt part keys — the name filter
+    * reaches the fact scan before the aggregation shuffle; (2) one
+    * pass computes both the all-time and the in-window sums as
+    * conditional aggregates (no second scan, map-side combined on
+    * (suppkey, partkey)); (3) the threshold keeps survivors only;
+    * (4) supplier is LEFT SEMI-joined against the ≤|survivors| key
+    * set, so the output is one row per supplier with no fanout; the
+    * nation decorate is a broadcast. Quantities are whole numbers —
+    * sums are kept in LONG so the 4× threshold is an exact integer
+    * compare on every engine. */
+  def sqlExcessStock(spark: SparkSession, dir: String): DataFrame = {
+    val bolts = table(spark, dir, "part")
+      .filter(col("p_name").endsWith("bolt"))
+      .select(col("p_partkey"))
+    val pruned = table(spark, dir, "lineitem")
+      .join(broadcast(bolts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+    val survivors = pruned
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q_all"),
+        sum(when(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"),
+          col("l_quantity").cast("long")).otherwise(0L)).as("q_recent"))
+      .filter(col("q_recent") > 0 && col("q_all") > col("q_recent") * 4)
+      .select(col("l_suppkey")).distinct()
+    table(spark, dir, "supplier")
+      .join(survivors, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(table(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
 }

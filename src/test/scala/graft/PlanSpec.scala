@@ -590,4 +590,23 @@ class PlanSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(!pPg.contains("Join"), pPg)
   }
+
+  test("sql_excess_stock: part prune is a broadcast semi-join BELOW the " +
+      "aggregate; suppliers filtered by semi-join (survivors only, no fanout)") {
+    val p = graft.query.Warehouse2.sqlExcessStock(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val lines = p.linesIterator.toVector
+    // (1) lineitem pruned by bolt part keys BEFORE the (supp, part) agg
+    val aggIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial_sum"))
+    val partSemi = lines.indexWhere(l =>
+      l.contains("LeftSemi") && l.contains("l_partkey"))
+    assert(aggIdx >= 0 && partSemi > aggIdx,
+      s"bolt prune not below the quantity aggregate\n$p")
+    // (2) supplier side joins survivors semi — one output row per supplier
+    val supSemi = lines.exists(l =>
+      l.contains("LeftSemi") && l.contains("s_suppkey"))
+    assert(supSemi, s"supplier semi-join missing\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
