@@ -150,7 +150,21 @@ object Schemas {
         castIf(castIf(castIf(df, "embedding", ArrayType(FloatType)),
           "vec_id", LongType), "label", IntegerType)
       case "documents" =>
-        castIf(castIf(df, "n_chars", LongType), "doc_id", LongType)
+        // text/lang/source as un-annotated BINARY (a generator writing
+        // raw bytes without the UTF8 logical type) decode back to
+        // StringType here — downstream this column feeds every
+        // tokenizer, shingle hash, and the multimodal payload encode
+        castIf(castIf(castIf(castIf(castIf(df,
+          "n_chars", LongType), "doc_id", LongType),
+          "text", StringType), "lang", StringType), "source", StringType)
+      case "events" =>
+        // ts is normalized in [[events]] (its drift needs the stored
+        // type to pick the conversion); the remaining columns get the
+        // same width/binary discipline as documents/embeddings
+        castIf(castIf(castIf(castIf(castIf(df,
+          "event_id", LongType), "user_id", LongType),
+          "value", DoubleType), "event_type", StringType),
+          "props", StringType)
       case _ => df
     }
   }

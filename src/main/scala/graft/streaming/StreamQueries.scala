@@ -39,46 +39,71 @@ object StreamQueries {
     }, "graft-upsert-store-cleanup"))
   }
 
-  /** Raw events schema when `ts` is stored as TIMESTAMP(NANOS) — Spark
-    * surfaces it as LongType epoch-nanos under nanosAsLong. */
-  private val eventsSchemaNanos = StructType.fromDDL(
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-
-  /** Raw events schema when `ts` is stored as TIMESTAMP(MICROS) — a true
-    * TimestampType; no conversion needed. */
+  /** Canonical events schema (`ts` as TIMESTAMP(MICROS) UTC): the probe
+    * fallback for unreadable/empty paths, and the declared schema for
+    * spec-written canonical dirs. */
   private val eventsSchemaMicros = StructType.fromDDL(
     "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
 
   // The testdata generator has shipped events.ts as BOTH physical types
-  // across regenerations (TIMESTAMP(NANOS) and TIMESTAMP(MICROS)).
-  // A streaming source must declare its schema up front, so probe the
-  // footer once per dir with a batch read — assuming one type silently
-  // compresses event time 1000× when the other shows up (every window
-  // collapses; an interval join goes near-cartesian). The batch path
-  // (Schemas.events) adapts the same way per-plan.
-  private val tsIsLongByDir =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private def eventsTsIsLong(spark: SparkSession, dir: String): Boolean =
+  // across regenerations (TIMESTAMP(NANOS) and TIMESTAMP(MICROS)) and
+  // has also flipped file-vs-directory layout; nothing stops it from
+  // drifting the OTHER columns next (props/event_type as un-annotated
+  // BINARY, integer ids at a different width). A streaming source must
+  // declare its schema up front, so probe the FULL footer once per dir
+  // with a batch read and declare exactly what is stored — declaring a
+  // hoped-for schema over drifted storage either errors or silently
+  // corrupts (the round-10 ts incident: every window collapsed 1000×).
+  // [[normalizeStreamEvents]] then casts the loaded columns to the
+  // canonical logical types, mirroring Schemas.events/table on the
+  // batch side.
+  private val eventsSchemaByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private def eventsStoredSchema(spark: SparkSession, dir: String): StructType =
     // fingerprint-keyed like every build-once/probe-often cache (Schemas
     // relCache, Dedup sigCache): a corpus regenerated at the same path
-    // with the OTHER physical type must re-probe, not serve a stale bit
-    graft.schema.Schemas.evictingComputeIfAbsent(tsIsLongByDir, dir,
+    // with another physical shape must re-probe, not serve a stale schema
+    graft.schema.Schemas.evictingComputeIfAbsent(eventsSchemaByDir, dir,
       graft.schema.Schemas.fingerprint(s"$dir/events.parquet")) {
       // read the events path directly (works whether events.parquet is a
       // single file, as in the sf dirs, or a directory of part files, as
       // specs write). An unreadable/empty path — e.g. a 0-row write that
       // produced no part files — degrades to the micros schema: with no
       // rows to read, the declared type only has to parse.
-      val probed =
-        try spark.read.parquet(s"$dir/events.parquet")
-          .schema("ts").dataType == org.apache.spark.sql.types.LongType
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
-      java.lang.Boolean.valueOf(probed)
-    }(_ => ()).booleanValue()
+      try spark.read.parquet(s"$dir/events.parquet").schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        eventsSchemaMicros }
+    }(_ => ())
+
+  /** Normalize a just-loaded events stream to the canonical logical
+    * types, given the STORED schema it was declared with: epoch-nanos
+    * long / NTZ micros → TimestampType (integer DIV — 2024-era
+    * epoch-nanos exceed 2^53 and would corrupt under floating point),
+    * then integer widths, value width, and string-vs-binary for the
+    * remaining columns — the streaming twin of
+    * `Schemas.normalizePhysicalTypes`. */
+  private def normalizeStreamEvents(src: DataFrame,
+      stored: StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tsFixed = stored("ts").dataType match {
+      case LongType => src.withColumn("ts",
+        expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
+      case TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => src
+    }
+    Seq("event_id" -> LongType, "user_id" -> LongType,
+      "value" -> DoubleType, "event_type" -> StringType,
+      "props" -> StringType).foldLeft(tsFixed) { case (d, (c, t)) =>
+      if (d.schema.fieldNames.contains(c) && d.schema(c).dataType != t)
+        d.withColumn(c, col(c).cast(t))
+      else d
+    }
+  }
 
   private def streamEvents(spark: SparkSession, dir: String,
       singleBatch: Boolean = false): DataFrame = {
-    val nanos = eventsTsIsLong(spark, dir)
+    val stored = eventsStoredSchema(spark, dir)
     // STORED LAYOUT is probed, like the stored types: the driver ships
     // events.parquet as a single FILE, but a Spark-written corpus has it
     // as a DIRECTORY of part files. The pathGlobFilter matches leaf file
@@ -87,8 +112,7 @@ object StreamQueries {
     // regression, closed the same way (probe, then pick).
     val evPath = java.nio.file.Paths.get(dir, "events.parquet")
     val isDirLayout = java.nio.file.Files.isDirectory(evPath)
-    val reader0 = spark.readStream
-      .schema(if (nanos) eventsSchemaNanos else eventsSchemaMicros)
+    val reader0 = spark.readStream.schema(stored)
     val reader =
       if (isDirLayout) reader0
       // FileStreamSource wants a directory: stream the sf dir, filtered to
@@ -102,11 +126,7 @@ object StreamQueries {
     val src = (if (singleBatch) reader.option("maxFilesPerTrigger", Int.MaxValue)
      else reader)
       .parquet(if (isDirLayout) evPath.toString else dir)
-    // Integer DIV, not a double path: 2024-era epoch-nanos (1.7e18)
-    // exceed 2^53 and would corrupt under floating point.
-    if (nanos)
-      src.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
-    else src
+    normalizeStreamEvents(src, stored)
   }
 
   /** Run `build(stream)` to completion (AvailableNow drain into a memory
@@ -587,19 +607,17 @@ object StreamQueries {
           .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
           .select(col("user_id"), col("m.ts").as("ts"),
             col("m.event_id").as("event_id"), col("m.value").as("value"))
-      val nanos = rawEvents && eventsTsIsLong(spark, dir)
-      val reader0 = spark.readStream.schema(
-        if (nanos) eventsSchemaNanos else eventsSchemaMicros)
+      // spec-written dirs (rawEvents=false) are always canonical; the
+      // driver corpus gets the full footer probe + normalization
+      val stored =
+        if (rawEvents) eventsStoredSchema(spark, dir) else eventsSchemaMicros
+      val reader0 = spark.readStream.schema(stored)
       val reader1 =
         if (rawEvents) reader0.option("pathGlobFilter", "events.parquet")
         else reader0
       val reader = filesPerTrigger.fold(reader1)(n =>
         reader1.option("maxFilesPerTrigger", n))
-      val src0 = reader.parquet(dir)
-      val src =
-        if (nanos) src0.withColumn("ts",
-          expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
-        else src0
+      val src = normalizeStreamEvents(reader.parquet(dir), stored)
       @volatile var latest: Option[String] = None
       val upsertCkpt = tmpfsCheckpointDir(
         "upsert" + UUID.randomUUID().toString.replace("-", ""))

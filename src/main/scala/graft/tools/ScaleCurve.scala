@@ -1,0 +1,162 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scaling curves for the flagship operator families.
+  *
+  * The brief's scale claim ("would it survive a 100× scale-up?") was
+  * argued via plan shapes and O() reasoning; this tool converts the
+  * argument into a measurement: it synthesizes a ~sf1 corpus (10× the
+  * sf0.1 bench data) under `target/scale/sf1`, then times each family
+  * at sf0.01 / sf0.1 / sf1-synth in a FRESH Spark session per point
+  * (so per-corpus indexes — LSH bands, graph edges, token frequencies,
+  * BM25 constants — are rebuilt inside the timed window, not served
+  * from a previous point's cache), and prints per-family wall-clock
+  * with the fitted scaling exponent e where t ∝ sf^e.
+  *
+  * Synthesis = 10 shifted-and-mutated copies of each sf0.1 table, NOT
+  * 10 verbatim copies: verbatim replication would make every document
+  * near-identical to 9 others (candidate-pair counts would then grow
+  * quadratically for real — a property of that degenerate corpus, not
+  * of the engine), so each copy's text is alphabet-rotated (shingle
+  * sets disjoint across copies, identical within), embeddings get
+  * per-element deterministic jitter, and graph/star keys are shifted
+  * by a copy stride (degree distribution preserved, vertex count 10×).
+  *
+  * Dev/measurement tool only — not part of the driver contract.
+  * Usage: runMain graft.tools.ScaleCurve [copies]
+  */
+object ScaleCurve {
+  private val srcSmall = "/root/testdata/sf0.01"
+  private val srcMid = "/root/testdata/sf0.1"
+  private val warmDir = "/root/testdata/sf0.001"
+  private val stride = 1000000000L // > any key in the sf0.1 generation
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val dstDir = s"target/scale/sf${copies / 10}"
+    val cpus = math.max(1, math.min(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
+      Runtime.getRuntime.availableProcessors())).toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    synthesize(spark, srcMid, dstDir, copies)
+
+    val families: Seq[(String, Seq[String])] = Seq(
+      "lsh_dedup" -> Seq("dedup_minhash_lsh"),
+      "graph_index" -> Seq("graph_pagerank", "graph_kcore"),
+      "token_index" -> Seq("text_bm25", "retrieval_rrf_hybrid"),
+      "embedding" -> Seq("dedup_embedding_cosine", "ann_lsh_topk"),
+      "streaming" -> Seq("stream_window_agg"),
+      "prefix_sum" -> Seq("s9_batch_assign"))
+    val points = Seq("sf0.01" -> srcSmall, "sf0.1" -> srcMid,
+      s"sf${copies / 10}" -> dstDir)
+
+    // JIT/codegen warm-up outside every timed window, tiny fixture
+    families.foreach { case (_, qs) =>
+      qs.foreach { q =>
+        try graft.SparkEntry.queries(q)(spark.newSession(), warmDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[warm] $q: ${e.getMessage}") }
+      }
+    }
+
+    val rows = families.map { case (fam, qs) =>
+      val times = points.map { case (label, dir) =>
+        val s = spark.newSession() // fresh per-session index caches
+        val t0 = System.nanoTime()
+        qs.foreach(q => graft.SparkEntry.queries(q)(s, dir).count())
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $fam%-12s $label%-7s $sec%8.2f s")
+        label -> sec
+      }
+      fam -> times
+    }
+
+    // t ∝ sf^e between adjacent points (decade apart → log10 ratio)
+    println("\nfamily        t(sf0.01)  t(sf0.1)   t(sf1)   e(0.01→0.1)  e(0.1→1)")
+    rows.foreach { case (fam, ts) =>
+      val t = ts.map(_._2)
+      def e(a: Double, b: Double) = math.log10(b / a)
+      println(f"$fam%-12s ${t(0)}%9.2f ${t(1)}%9.2f ${t(2)}%8.2f ${e(t(0), t(1))}%12.2f ${e(t(1), t(2))}%9.2f")
+    }
+    spark.stop()
+  }
+
+  /** 10×-scale synthesis: `copies` shifted/mutated copies of each sf0.1
+    * table written as parquet dirs under `dstDir`. Idempotent via a
+    * completion marker. */
+  def synthesize(spark: SparkSession, srcDir: String, dstDir: String,
+      copies: Int): Unit = {
+    val done = java.nio.file.Paths.get(s"$dstDir/_GRAFT_COMPLETE")
+    if (java.nio.file.Files.exists(done)) return
+    def src(name: String): DataFrame =
+      spark.read.parquet(s"$srcDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+
+    // small dims pass through unscaled
+    write(src("region"), "region")
+    write(src("nation"), "nation")
+
+    val ks = (0 until copies).map(_.toLong)
+    def shifted(name: String, keys: Seq[String]): DataFrame = {
+      val t = src(name)
+      ks.map { k =>
+        keys.foldLeft(t)((d, c) => d.withColumn(c, col(c) + lit(k * stride)))
+      }.reduce(_ unionAll _)
+    }
+    write(shifted("customer", Seq("c_custkey")), "customer")
+    write(shifted("supplier", Seq("s_suppkey")), "supplier")
+    write(shifted("part", Seq("p_partkey")), "part")
+    write(shifted("orders", Seq("o_orderkey", "o_custkey")), "orders")
+    write(shifted("lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+
+    // documents: rotate the alphabet per copy — within-copy shingle
+    // structure identical to sf0.1, across-copy shingle sets disjoint
+    val docs = src("documents")
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    write(ks.map { k =>
+      val rot = abc.drop((k % 26).toInt) + abc.take((k % 26).toInt)
+      docs.select((col("doc_id") + lit(k * stride)).as("doc_id"),
+        translate(col("text"), abc, rot).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _), "documents")
+
+    // embeddings: deterministic per-element jitter so copies are near
+    // but not identical in cosine space (realistic ANN occupancy)
+    val emb = src("embeddings")
+    write(ks.map { k =>
+      emb.select((col("vec_id") + lit(k * stride)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + sin(col("vec_id") * lit(0.7) + i * lit(1.3) + lit(k * 2.1))
+            * lit(0.05)).cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _), "embeddings")
+
+    // events: 10× users on the same time span (per-user density and
+    // watermark pressure preserved; copies interleave within seconds)
+    val ev = graft.schema.Schemas.events(spark, srcDir)
+    write(ks.map { k =>
+      ev.select((col("event_id") + lit(k * stride)).as("event_id"),
+        (col("ts") + expr(s"INTERVAL ${k} SECOND")).as("ts"),
+        (col("user_id") + lit(k * stride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _), "events")
+
+    java.nio.file.Files.createFile(done)
+    println(s"[scale] synthesized ${copies}x corpus at $dstDir")
+  }
+}

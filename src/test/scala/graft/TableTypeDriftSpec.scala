@@ -40,7 +40,16 @@ class TableTypeDriftSpec extends SparkSpec {
       .withColumn("label", col("label").cast("long")))
     export("documents")(df => df
       .withColumn("doc_id", col("doc_id").cast("int"))
-      .withColumn("n_chars", col("n_chars").cast("int")))
+      .withColumn("n_chars", col("n_chars").cast("int"))
+      // raw bytes without the UTF8 annotation — reads back BinaryType
+      .withColumn("text", col("text").cast("binary"))
+      .withColumn("lang", col("lang").cast("binary")))
+    // note: no `value` drift — a DOUBLE→FLOAT flip is LOSSY; no reader
+    // can normalize bits away, so that class must fail visibly instead
+    export("events")(df => df
+      .withColumn("user_id", col("user_id").cast("int"))
+      .withColumn("event_type", col("event_type").cast("binary"))
+      .withColumn("props", col("props").cast("binary")))
     base.toString
   }
 
@@ -62,6 +71,48 @@ class TableTypeDriftSpec extends SparkSpec {
       // double→float→double round-trips exactly for values born float
       assert(a.getDouble(1) == b.getDouble(1))
     }
+  }
+
+  test("documents reader decodes drifted BINARY text/lang; text consumers " +
+      "and the multimodal payload are byte-identical") {
+    val norm = Schemas.table(spark, driftedDir, "documents").schema
+    assert(norm("text").dataType == org.apache.spark.sql.types.StringType)
+    assert(norm("lang").dataType == org.apache.spark.sql.types.StringType)
+    // a text consumer: exact-dedup fingerprints over the decoded column
+    val canon = graft.query.Dedup.dedupExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sortBy(_._1)
+    val drift = graft.query.Dedup.dedupExact(spark, driftedDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sortBy(_._1)
+    assert(canon.length == drift.length && canon.nonEmpty)
+    assert(canon.toSeq == drift.toSeq)
+    // the multimodal payload (encode(text)) sees identical bytes
+    val pb = graft.query.Multimodal.multimodalFeatures(spark, driftedDir)
+      .agg(sum(col("payload_bytes"))).head().getLong(0)
+    val pbCanon = graft.query.Multimodal.multimodalFeatures(spark, sf)
+      .agg(sum(col("payload_bytes"))).head().getLong(0)
+    assert(pb == pbCanon && pb > 0)
+  }
+
+  test("events reader normalizes drifted widths and BINARY strings " +
+      "through BOTH the batch and the streaming path") {
+    val batchCanon = Schemas.events(spark, sf)
+    val batchDrift = Schemas.events(spark, driftedDir)
+    assert(batchDrift.schema.map(f => (f.name, f.dataType)) ==
+      batchCanon.schema.map(f => (f.name, f.dataType)))
+    def digest(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000).cast("long")).as("v3"),
+        sum(col("user_id")).as("us"),
+        max(length(col("props"))).as("pl"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(digest(batchDrift) == digest(batchCanon))
+    // streaming: the probed-footer source must survive the same drift
+    val sCanon = graft.streaming.StreamQueries
+      .streamWindowAgg(spark, sf).collect().toSeq
+    val sDrift = graft.streaming.StreamQueries
+      .streamWindowAgg(spark, driftedDir).collect().toSeq
+    assert(sCanon.nonEmpty && sDrift == sCanon)
   }
 
   test("documents reader normalizes drifted integer widths") {
