@@ -185,6 +185,12 @@ object SparkEntry {
     // north-star: similarity search
     "ann_brute_force_topk"   ->
       ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    // contrastive-training hard negatives: per-anchor top-k, label ≠ anchor's
+    "ann_hard_negatives"     ->
+      ((s: SparkSession, d: String) => Similarity.annHardNegatives(s, d)),
+    // MMR greedy diversified retrieval over the brute-force pool
+    "retrieval_mmr_topk"     ->
+      ((s: SparkSession, d: String) => Similarity.retrievalMmrTopk(s, d)),
     "ann_ivf_topk"           ->
       ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     // deterministic-cell IVF: same probe machinery, hash-exact oracle
@@ -232,6 +238,8 @@ object SparkEntry {
     "layout_compaction_plan" ->
       ((s: SparkSession, d: String) => Warehouse2.layoutCompactionPlan(s, d)),
     "mv_incremental_merge"   -> Warehouse2.mvIncrementalMerge _,
+    // Δ-join view maintenance: (V ⊲ Δkeys) ∪ (Δ ⋈ dim) == full recompute
+    "mv_join_delta"          -> Warehouse2.mvJoinDelta _,
     "sql_product_type_profit" -> Warehouse2.sqlProductTypeProfit _,
     "sql_yearly_growth"      -> Warehouse2.sqlYearlyGrowth _,
     "sql_basket_affinity"    ->
@@ -283,6 +291,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Pipeline.corpusMixBudget(s, d)),
     "feature_binning"        ->
       ((s: SparkSession, d: String) => Pipeline.featureBinning(s, d)),
+    // leave-one-out target encoding with additive smoothing, exact rationals
+    "feature_target_encode"  ->
+      ((s: SparkSession, d: String) => Pipeline.featureTargetEncode(s, d)),
     "text_inverted_index"    ->
       ((s: SparkSession, d: String) => TextAnalysis.textInvertedIndex(s, d)),
     "eval_confusion"         -> Pipeline.evalConfusion _,
@@ -1046,6 +1057,65 @@ object SparkEntry {
         |    (SELECT CAST(qe AS DOUBLE[]) FROM q)) AS cosine
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_hard_negatives" ->
+      """WITH a AS (
+        |  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS ae,
+        |    label AS al
+        |  FROM embeddings WHERE vec_id < 10
+        |), s AS (
+        |  SELECT a.anchor_id, e.vec_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), a.ae) AS cosine
+        |  FROM embeddings e JOIN a ON e.label <> a.al
+        |), r AS (
+        |  SELECT anchor_id, vec_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        |  FROM s
+        |)
+        |SELECT anchor_id, rank, vec_id, cosine FROM r
+        |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    // the same greedy unroll as the Spark fold: pick 1 = argmax rel;
+    // picks 2..3 = argmax 0.7·rel − 0.3·max-sim-to-picked
+    "retrieval_mmr_topk" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        |  WHERE vec_id = 0
+        |), rel AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      (SELECT qe FROM q)) AS rel
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY rel DESC, vec_id LIMIT 10
+        |), pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_dot_product(x.e, y.e) AS sim
+        |  FROM rel x JOIN rel y ON x.vec_id <> y.vec_id
+        |), s1 AS (
+        |  SELECT vec_id, rel AS score FROM rel
+        |  ORDER BY rel DESC, vec_id LIMIT 1
+        |), c2 AS (
+        |  SELECT r.vec_id, 0.7 * r.rel - 0.3 * max(p.sim) AS score
+        |  FROM rel r JOIN pairs p ON p.a = r.vec_id
+        |    AND p.b IN (SELECT vec_id FROM s1)
+        |  WHERE r.vec_id NOT IN (SELECT vec_id FROM s1)
+        |  GROUP BY r.vec_id, r.rel
+        |), s2 AS (SELECT vec_id, score FROM c2
+        |  ORDER BY score DESC, vec_id LIMIT 1
+        |), c3 AS (
+        |  SELECT r.vec_id, 0.7 * r.rel - 0.3 * max(p.sim) AS score
+        |  FROM rel r JOIN pairs p ON p.a = r.vec_id
+        |    AND p.b IN (SELECT vec_id FROM s1
+        |                UNION ALL SELECT vec_id FROM s2)
+        |  WHERE r.vec_id NOT IN (SELECT vec_id FROM s1
+        |                         UNION ALL SELECT vec_id FROM s2)
+        |  GROUP BY r.vec_id, r.rel
+        |), s3 AS (SELECT vec_id, score FROM c3
+        |  ORDER BY score DESC, vec_id LIMIT 1
+        |)
+        |SELECT vec_id, CAST(1 AS INT) AS pick_order, score FROM s1
+        |UNION ALL SELECT vec_id, CAST(2 AS INT), score FROM s2
+        |UNION ALL SELECT vec_id, CAST(3 AS INT), score FROM s3
+        |ORDER BY pick_order""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS DOUBLE) AS n_chars,
@@ -1974,6 +2044,20 @@ object SparkEntry {
         |  l_returnflag AS returnflag, sum(l_quantity) AS qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY month, returnflag""".stripMargin,
+    // full recompute over the EFFECTIVE post-change table — the hash
+    // match proves the Spark side's Δ-join maintenance algebra
+    "mv_join_delta" ->
+      """WITH eff AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 20 = 5
+        |      THEN CAST(round((o_totalprice + 5.0) * 100) AS BIGINT)
+        |      ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+        |    END AS price_cents
+        |  FROM orders
+        |)
+        |SELECT e.o_orderkey, e.o_custkey, e.price_cents, c.c_nationkey
+        |FROM eff e JOIN customer c ON e.o_custkey = c.c_custkey
+        |ORDER BY e.o_orderkey""".stripMargin,
     // growth arithmetic in DOUBLE over float32 yearly totals (exactly
     // representable) so both engines emit identical rates
     "sql_yearly_growth" ->
@@ -2679,6 +2763,27 @@ object SparkEntry {
         |SELECT e.event_id, e.value,
         |  CAST(len(list_filter(bs.b, x -> e.value > x)) + 1 AS INT) AS bin
         |FROM events e, bs
+        |WHERE e.event_id < 2000
+        |ORDER BY e.event_id""".stripMargin,
+    // one exact integer numerator/denominator, ONE double division —
+    // same assembly order as the Spark side
+    "feature_target_encode" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS v6
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, CAST(sum(v6) AS BIGINT) AS sg,
+        |    CAST(count(*) AS BIGINT) AS ng
+        |  FROM e GROUP BY event_type
+        |), t AS (
+        |  SELECT CAST(sum(v6) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n FROM e
+        |)
+        |SELECT e.event_id, e.event_type,
+        |  CAST((g.sg - e.v6) * t.n + 10 * t.s AS DOUBLE)
+        |    / CAST((g.ng - 1 + 10) * t.n AS DOUBLE) / 1000000.0 AS loo_te
+        |FROM e JOIN g ON e.event_type = g.event_type CROSS JOIN t
         |WHERE e.event_id < 2000
         |ORDER BY e.event_id""".stripMargin,
     "skew_profile" ->

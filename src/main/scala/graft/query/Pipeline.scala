@@ -241,6 +241,45 @@ object Pipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Leave-one-out target encoding with additive smoothing: replace the
+    * categorical `event_type` by the mean of `value` over the OTHER
+    * rows of its category, shrunk toward the global mean by a prior
+    * weight `m` — the classic high-cardinality categorical encoder,
+    * leave-one-out so a row never leaks its own target into its own
+    * feature.
+    *
+    * Exactness: values ride ×1e6 LONG; the encoding
+    * ((Σg − v)·N + m·Σ) / ((ng − 1 + m)·N) is assembled as ONE exact
+    * integer numerator and denominator (the deferred-division
+    * discipline), so the single double division is bit-identical on
+    * every engine.
+    *
+    * Scale shape: one map-side-combined aggregate per category (k rows)
+    * plus a 1-row global aggregate, both broadcast back onto the fact
+    * scan — no fact shuffle at all; the window-free LOO form is what
+    * keeps this encoder one-pass on huge fact tables. (The BIGINT
+    * cross-products fit 63 bits up to ~10⁹-row corpora at this value
+    * scale; past that the same expressions ride DECIMAL(38) like
+    * agg_decimal_exact.) */
+  def featureTargetEncode(spark: SparkSession, dir: String,
+      m: Long = 10L, maxId: Long = 2000L): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * lit(1e6)).cast("long").as("v6"))
+    val grp = ev.groupBy(col("event_type"))
+      .agg(sum(col("v6")).as("sg"), count(lit(1)).as("ng"))
+    val glob = ev.agg(sum(col("v6")).as("s"), count(lit(1)).as("n"))
+    ev.filter(col("event_id") < maxId)
+      .join(broadcast(grp), Seq("event_type"))
+      .crossJoin(broadcast(glob))
+      .select(col("event_id"), col("event_type"),
+        (((col("sg") - col("v6")) * col("n") + lit(m) * col("s"))
+          .cast("double") /
+          ((col("ng") - 1 + lit(m)) * col("n")).cast("double") / lit(1e6))
+          .as("loo_te"))
+      .orderBy(col("event_id"))
+  }
+
   /** Model-evaluation surface: confusion matrix of a deterministic
     * pseudo-classifier (md5-derived, 75% of rows keep their label, the
     * rest rotate to another class by hash) against the event_type label,

@@ -663,4 +663,84 @@ object Similarity {
           .as("avg_candidates"))
       .orderBy(col("nprobe"))
   }
+
+  /** Hard-negative mining for contrastive training: for each anchor in
+    * a fixed panel (vec_id < `nAnchors`), the `k` most-similar corpus
+    * vectors whose LABEL differs from the anchor's — the highest-loss
+    * negatives a triplet/InfoNCE trainer wants in its batch.
+    *
+    * Scale shape: the anchor panel broadcasts (bounded, user-chosen);
+    * one corpus scan scores all anchors with the codegen'd float_dot;
+    * the per-anchor top-k is a rank-window with a `<= k` predicate, so
+    * WindowGroupLimit keeps each map task's local top-k per anchor
+    * before the (nAnchors-key) shuffle — corpus vectors never shuffle.
+    * At recall<1 contracts the same sign-LSH bucket prefilter as
+    * [[lshTopK]] prunes the scan first. */
+  def annHardNegatives(spark: SparkSession, dir: String,
+      nAnchors: Long = 10L, k: Int = 5): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val emb = table(spark, dir, "embeddings")
+    val anchors = emb.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"),
+        col("embedding").as("anchor_emb"), col("label").as("anchor_label"))
+    val scored = emb.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("vec_id"),
+        expr("float_dot(embedding, anchor_emb)").as("cosine"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  /** Maximal-marginal-relevance top-k: greedy diversified retrieval —
+    * pick 1 = argmax relevance to the query; each later pick maximizes
+    * `λ·rel − (1−λ)·max-sim-to-already-picked` over the remaining
+    * pool. THE standard redundancy-killer between a similarity search
+    * and a context window (RAG result diversification, near-dup-aware
+    * retrieval). `score` is relevance for pick 1 and the MMR objective
+    * for later picks.
+    *
+    * Scale shape: the corpus-sized work is exactly one brute-force
+    * top-`pool` scan ([[bruteForceTopK]]'s TakeOrdered plan); the
+    * greedy unroll then runs entirely on the pool — `select` rounds of
+    * broadcast-joined argmax over ≤ pool rows, pool² pairwise dots —
+    * all O(pool²) regardless of corpus size, never collected to the
+    * driver. Every comparison replays in the oracle (double dots,
+    * fixed-order λ arithmetic, id tie-breaks). */
+  def retrievalMmrTopk(spark: SparkSession, dir: String,
+      queryId: Long = 0L, pool: Int = 10, select: Int = 3,
+      lambda: Double = 0.7): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val emb = table(spark, dir, "embeddings")
+    val pe = emb
+      .join(broadcast(bruteForceTopK(spark, dir, queryId, pool)
+        .withColumnRenamed("cosine", "rel")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("rel"))
+    val pairs = pe.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(broadcast(pe.select(col("vec_id").as("b"),
+        col("embedding").as("eb"))))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), expr("float_dot(ea, eb)").as("sim"))
+    val first = pe.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), lit(1).as("pick_order"),
+        col("rel").as("score"))
+    val picks = (2 to select).foldLeft(first) { (selected, step) =>
+      val maxSim = pairs
+        .join(broadcast(selected.select(col("vec_id").as("b"))), Seq("b"))
+        .groupBy(col("a").as("vec_id")).agg(max(col("sim")).as("msim"))
+      val next = pe
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(broadcast(maxSim), Seq("vec_id"))
+        .select(col("vec_id"), lit(step).as("pick_order"),
+          (lit(lambda) * col("rel") - lit(1.0 - lambda) * col("msim"))
+            .as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+      selected.unionAll(next)
+    }
+    picks.orderBy(col("pick_order"))
+  }
 }

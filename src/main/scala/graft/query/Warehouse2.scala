@@ -101,6 +101,46 @@ object Warehouse2 {
       .orderBy(col("month"), col("returnflag"))
   }
 
+  /** Incremental maintenance of a JOIN view (the Δ-join rule): a
+    * materialized `orders ⋈ customer` view is refreshed against a
+    * change batch — inserts (keys ≡ 0 mod 10) and updates (keys ≡ 5
+    * mod 20, price +$5) — as
+    * `V' = (V ⊲ Δkeys) ∪ (Δ ⋈ customer)`:
+    * anti-join out the touched keys, join ONLY the delta against the
+    * dimension, union. The DuckDB oracle computes the refreshed view by
+    * FULL recompute over the effective post-change table, so the hash
+    * match proves the delta-maintenance algebra exactly equals the
+    * rescan.
+    *
+    * Scale shape: this is why incremental MV maintenance works at
+    * 100 TB — refresh cost is O(|Δ| + view-co-partitioned anti-join),
+    * never a base-table rescan. The anti-join shuffles on the view's
+    * own key (a co-located zip at deployment where the view is
+    * key-bucketed); the delta side is tiny and its dimension join
+    * broadcasts. Prices ride exact cents (BIGINT) end to end. */
+  def mvJoinDelta(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    def view(o: DataFrame): DataFrame = o
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("price_cents"), col("c_nationkey"))
+    val o = table(spark, dir, "orders")
+    val base = view(o.filter(col("o_orderkey") % 10 =!= 0)) // V (materialized)
+    val inserts = o.filter(col("o_orderkey") % 10 === 0)
+    val updates = o.filter(col("o_orderkey") % 20 === 5)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+    val delta = inserts.unionAll(updates)
+    val deltaKeys = delta.select(col("o_orderkey").as("dk")).distinct()
+    base
+      .join(broadcast(deltaKeys), col("o_orderkey") === col("dk"),
+        "left_anti")
+      .unionAll(view(delta))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Data-quality constraint report — the dbt-test / Deequ shape: each
     * declared constraint (FK integrity, uniqueness, value-range,
     * non-null) is evaluated over its full table and reported as one

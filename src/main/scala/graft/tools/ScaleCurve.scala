@@ -53,13 +53,17 @@ object ScaleCurve {
 
     synthesize(spark, srcMid, dstDir, copies)
 
-    val families: Seq[(String, Seq[String])] = Seq(
+    val allFamilies: Seq[(String, Seq[String])] = Seq(
       "lsh_dedup" -> Seq("dedup_minhash_lsh"),
       "graph_index" -> Seq("graph_pagerank", "graph_kcore"),
       "token_index" -> Seq("text_bm25", "retrieval_rrf_hybrid"),
       "embedding" -> Seq("dedup_embedding_cosine", "ann_lsh_topk"),
       "streaming" -> Seq("stream_window_agg"),
       "prefix_sum" -> Seq("s9_batch_assign"))
+    // SCALE_FAMILIES=embedding,graph_index re-measures a subset
+    val families = sys.env.get("SCALE_FAMILIES")
+      .map(_.split(",").map(_.trim).toSet)
+      .fold(allFamilies)(want => allFamilies.filter(f => want(f._1)))
     val points = Seq("sf0.01" -> srcSmall, "sf0.1" -> srcMid,
       s"sf${copies / 10}" -> dstDir)
 
@@ -135,14 +139,19 @@ object ScaleCurve {
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _), "documents")
 
-    // embeddings: deterministic per-element jitter so copies are near
-    // but not identical in cosine space (realistic ANN occupancy)
+    // embeddings: deterministic per-element jitter big enough to
+    // DECORRELATE copies (amplitude 0.3 on unit vectors → cross-copy
+    // cosine well below every dedup/bucket threshold). A first attempt
+    // with amplitude 0.05 left copies at cosine ≈ 0.96 — every vector
+    // had `copies` near-duplicates, so LSH candidate pairs grew
+    // quadratically BY CONSTRUCTION and the curve measured that
+    // degenerate corpus, not the engine.
     val emb = src("embeddings")
     write(ks.map { k =>
       emb.select((col("vec_id") + lit(k * stride)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           (x + sin(col("vec_id") * lit(0.7) + i * lit(1.3) + lit(k * 2.1))
-            * lit(0.05)).cast("float")).as("embedding"),
+            * lit(0.3)).cast("float")).as("embedding"),
         col("label"))
     }.reduce(_ unionAll _), "embeddings")
 
