@@ -88,12 +88,16 @@ object ScaleCurve {
       fam -> times
     }
 
-    // t ∝ sf^e between adjacent points (decade apart → log10 ratio)
-    println("\nfamily        t(sf0.01)  t(sf0.1)   t(sf1)   e(0.01→0.1)  e(0.1→1)")
+    // t ∝ sf^e between adjacent points, normalized by each span's actual
+    // width in decades (the last span is log10(copies) decades wide, not
+    // 1, when copies ≠ 10)
+    val lastSpan = math.log10(copies.toDouble)
+    println(f"\nfamily        t(sf0.01)  t(sf0.1)   t(big)   e(0.01→0.1)  e(0.1→big)")
     rows.foreach { case (fam, ts) =>
       val t = ts.map(_._2)
-      def e(a: Double, b: Double) = math.log10(b / a)
-      println(f"$fam%-12s ${t(0)}%9.2f ${t(1)}%9.2f ${t(2)}%8.2f ${e(t(0), t(1))}%12.2f ${e(t(1), t(2))}%9.2f")
+      def e(a: Double, b: Double, span: Double) = math.log10(b / a) / span
+      println(f"$fam%-12s ${t(0)}%9.2f ${t(1)}%9.2f ${t(2)}%8.2f " +
+        f"${e(t(0), t(1), 1.0)}%12.2f ${e(t(1), t(2), lastSpan)}%9.2f")
     }
     spark.stop()
   }
