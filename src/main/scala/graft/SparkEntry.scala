@@ -213,6 +213,20 @@ object SparkEntry {
     // hybrid lexical+semantic retrieval fused by reciprocal rank
     "retrieval_rrf_hybrid"   ->
       ((s: SparkSession, d: String) => Similarity.retrievalRrfHybrid(s, d)),
+    // driver round 12: late-interaction scoring, mutual-kNN graph,
+    // PRF query expansion, DSIR domain weights, WOE/IV, node2vec
+    "retrieval_colbert_maxsim" ->
+      ((s: SparkSession, d: String) => Similarity.retrievalColbertMaxsim(s, d)),
+    "ann_knn_graph_mutual"   ->
+      ((s: SparkSession, d: String) => Similarity.annKnnGraphMutual(s, d)),
+    "retrieval_prf_expansion" ->
+      ((s: SparkSession, d: String) => TextAnalysis.retrievalPrfExpansion(s, d)),
+    "corpus_dsir_weights"    ->
+      ((s: SparkSession, d: String) => TextAnalysis.corpusDsirWeights(s, d)),
+    "feature_woe_iv"         ->
+      ((s: SparkSession, d: String) => Pipeline.featureWoeIv(s, d)),
+    "graph_node2vec_transitions" ->
+      ((s: SparkSession, d: String) => Analytics5.graphNode2vecTransitions(s, d)),
     // round 12: fixpoint components, skyline, table profiling,
     // calibration, L2 ANN, warehouse maintenance, TPC-H Q2/Q9/Q16 shapes
     "graph_connected_components" ->
@@ -1116,6 +1130,149 @@ object SparkEntry {
         |UNION ALL SELECT vec_id, CAST(2 AS INT), score FROM s2
         |UNION ALL SELECT vec_id, CAST(3 AS INT), score FROM s3
         |ORDER BY pick_order""".stripMargin,
+    // the 8×8 slice-dot grid is generated, not hand-written: greatest()
+    // is exact max, and the 8-term sum is left-associated in BOTH
+    // engines (Scala reduce and SQL's left-assoc +), so each maxsim is
+    // the bit-identical double
+    "retrieval_colbert_maxsim" -> {
+      val terms = (0 until 8).map { i =>
+        (0 until 8).map { j =>
+          s"list_dot_product(de[${j * 8 + 1}:${j * 8 + 8}], " +
+            s"qe[${i * 8 + 1}:${i * 8 + 8}])"
+        }.mkString("greatest(", ", ", ")")
+      }.mkString("\n  + ")
+      s"""WITH q AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+         |  WHERE vec_id = 0
+         |), d AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+         |  WHERE vec_id <> 0
+         |)
+         |SELECT vec_id,
+         |  $terms AS maxsim
+         |FROM d, q ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "ann_knn_graph_mutual" ->
+      """WITH sub AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE vec_id < 512
+        |), p AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_dot_product(x.e, y.e) AS cosine
+        |  FROM sub x JOIN sub y ON x.vec_id <> y.vec_id
+        |), r AS (
+        |  SELECT a, b, cosine, row_number() OVER (PARTITION BY a
+        |    ORDER BY cosine DESC, b) AS rn
+        |  FROM p
+        |), knn AS (SELECT a, b, cosine FROM r WHERE rn <= 5)
+        |SELECT k.a, k.b, k.cosine FROM knn k
+        |JOIN knn m ON m.a = k.b AND m.b = k.a
+        |WHERE k.a < k.b ORDER BY k.a, k.b""".stripMargin,
+    "retrieval_prf_expansion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), qt AS (SELECT DISTINCT tok FROM tf WHERE doc_id = 0),
+        |fb AS (
+        |  SELECT t.doc_id, count(*) AS n_terms,
+        |    CAST(sum(t.tf) AS BIGINT) AS q_tf
+        |  FROM tf t JOIN qt USING (tok)
+        |  WHERE t.doc_id <> 0
+        |  GROUP BY t.doc_id
+        |  ORDER BY n_terms DESC, q_tf DESC, doc_id LIMIT 10
+        |)
+        |SELECT t.tok, count(*) AS n_docs, CAST(sum(t.tf) AS BIGINT) AS total_tf
+        |FROM tf t JOIN fb ON t.doc_id = fb.doc_id
+        |WHERE t.tok NOT IN (SELECT tok FROM qt)
+        |GROUP BY t.tok
+        |ORDER BY n_docs DESC, total_tf DESC, tok LIMIT 10""".stripMargin,
+    "corpus_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), tb AS (
+        |  SELECT t.doc_id, d.lang,
+        |    CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT) % 64 AS bucket,
+        |    t.tf
+        |  FROM tf t JOIN documents d USING (doc_id)
+        |), src AS (
+        |  SELECT bucket, CAST(sum(tf) AS BIGINT) AS cs FROM tb GROUP BY bucket
+        |), tgt AS (
+        |  SELECT bucket, CAST(sum(tf) AS BIGINT) AS ct FROM tb
+        |  WHERE lang = 'en' GROUP BY bucket
+        |), tot AS (
+        |  SELECT CAST(sum(tf) AS BIGINT) AS ts,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS tt
+        |  FROM tb
+        |), dist AS (
+        |  SELECT s.bucket,
+        |    ln(COALESCE(t.ct, 0) + 1) - ln(tot.tt + 64)
+        |      - ln(s.cs + 1) + ln(tot.ts + 64) AS logratio
+        |  FROM src s LEFT JOIN tgt t USING (bucket), tot
+        |)
+        |SELECT tb.doc_id, tb.lang, CAST(sum(tb.tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tb.tf * d.logratio) AS REAL) AS dsir_logweight
+        |FROM tb JOIN dist d USING (bucket)
+        |GROUP BY tb.doc_id, tb.lang ORDER BY doc_id""".stripMargin,
+    "feature_woe_iv" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS good
+        |  FROM ev GROUP BY event_type
+        |), c2 AS (SELECT event_type, n, good, n - good AS bad FROM c),
+        |g AS (
+        |  SELECT CAST(sum(good) AS BIGINT) AS gt,
+        |    CAST(sum(bad) AS BIGINT) AS bt FROM c2
+        |)
+        |SELECT c2.event_type, c2.n, c2.good, c2.bad,
+        |  CAST(ln(CAST((2 * good + 1) * bt AS DOUBLE)
+        |    / CAST((2 * bad + 1) * gt AS DOUBLE)) AS REAL) AS woe,
+        |  CAST(CAST((2 * good + 1) * bt - (2 * bad + 1) * gt AS DOUBLE)
+        |    / CAST(2 * gt * bt AS DOUBLE)
+        |    * ln(CAST((2 * good + 1) * bt AS DOUBLE)
+        |      / CAST((2 * bad + 1) * gt AS DOUBLE)) AS REAL) AS iv_term
+        |FROM c2, g ORDER BY event_type""".stripMargin,
+    "graph_node2vec_transitions" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), edges AS (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), ranked AS (
+        |  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY
+        |    CAST('0x' || substr(md5(CAST(u AS VARCHAR) || ':cap:' ||
+        |      CAST(v AS VARCHAR)), 1, 15) AS BIGINT), v) AS rn
+        |  FROM edges
+        |), adj AS (
+        |  SELECT u, list_sort(list(v)) AS nbrs FROM ranked
+        |  WHERE rn <= 64 GROUP BY u
+        |), exp1 AS (
+        |  SELECT u AS prev, nbrs AS prev_nbrs, unnest(nbrs) AS cur
+        |  FROM adj WHERE u <= 20
+        |), exp2 AS (
+        |  SELECT e.prev, e.prev_nbrs, e.cur, unnest(a.nbrs) AS next
+        |  FROM exp1 e JOIN adj a ON a.u = e.cur
+        |), wt AS (
+        |  SELECT prev, cur, next,
+        |    CAST(CASE WHEN next = prev THEN 0.5
+        |      WHEN list_contains(prev_nbrs, next) THEN 1.0
+        |      ELSE 2.0 END AS DOUBLE) AS w
+        |  FROM exp2
+        |)
+        |SELECT prev, cur, next, w,
+        |  w / sum(w) OVER (PARTITION BY prev, cur) AS prob
+        |FROM wt ORDER BY prev, cur, next""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS DOUBLE) AS n_chars,

@@ -1386,6 +1386,51 @@ object Analytics5 {
       .orderBy(col("walk_id"))
   }
 
+  /** node2vec second-order transition table: for every walk state
+    * (prev → cur) from a bounded seed panel, the biased weight and
+    * normalized probability of each candidate next hop — 1/p to return
+    * (next = prev), 1 to stay local (next adjacent to prev), 1/q to
+    * explore — the distribution the node2vec sampler draws from, and
+    * the piece that distinguishes it from DeepWalk's uniform walks
+    * ([[graphRandomWalks]]).
+    *
+    * Exactness: with p = 2 and q = 0.5 every weight is in
+    * {0.5, 1.0, 2.0} — exactly representable — so the per-state
+    * normalizer (a sum of ≤cap multiples of 0.5) is order-independent
+    * and exact, and each probability is ONE exact double division.
+    *
+    * Scale shape: both hops ride the persisted degree-capped adjacency
+    * index ([[cappedAdjacency]], shared with the walk family), so the
+    * fanout is ≤ cap² per seed regardless of hub degree; the "stay
+    * local" test is an array_contains against prev's own capped list
+    * (carried on the row — cap-bounded, never a join); the normalizer
+    * is a map-side-combined (prev, cur)-key aggregate broadcast back.
+    * Seeds bound the output; edges never shuffle. */
+  def graphNode2vecTransitions(spark: SparkSession, dir: String,
+      maxPrev: Long = 20L): DataFrame = {
+    val adj = Analytics.cachedDf(spark,
+        Analytics.gkey(dir, s"adjcap$walkDegreeCap")) {
+      cappedAdjacency(Analytics.copurchaseEdgesSym(spark, dir), walkDegreeCap)
+    }
+    val cand = adj.filter(col("u") <= maxPrev)
+      .select(col("u").as("prev"), col("nbrs").as("prev_nbrs"),
+        explode(col("nbrs")).as("cur"))
+      .join(adj.select(col("u").as("cur"), col("nbrs").as("cur_nbrs")),
+        Seq("cur"))
+      .select(col("prev"), col("cur"), col("prev_nbrs"),
+        explode(col("cur_nbrs")).as("next"))
+    val weighted = cand.select(col("prev"), col("cur"), col("next"),
+      when(col("next") === col("prev"), lit(0.5))
+        .when(array_contains(col("prev_nbrs"), col("next")), lit(1.0))
+        .otherwise(lit(2.0)).as("w"))
+    val norms = weighted.groupBy(col("prev"), col("cur"))
+      .agg(sum(col("w")).as("z"))
+    weighted.join(norms, Seq("prev", "cur"))
+      .select(col("prev"), col("cur"), col("next"), col("w"),
+        (col("w") / col("z")).as("prob"))
+      .orderBy(col("prev"), col("cur"), col("next"))
+  }
+
   /** Skip-gram co-occurrence counts over the random-walk corpus
     * (window ±2) — DeepWalk's second step: the walks ARE the sentences,
     * and these (center, context) counts are what a word2vec-style

@@ -280,6 +280,44 @@ object Pipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Weight-of-evidence / information-value profile of a categorical
+    * feature against a binary outcome (here: `event_type` vs
+    * value > `tau`) — the credit-scoring-standard encoder and
+    * feature-screening statistic. WOE_i = ln(((g_i+0.5)/G)/((b_i+0.5)/B))
+    * with half-count smoothing; IV_i = ((g_i+0.5)/G − (b_i+0.5)/B)·WOE_i.
+    *
+    * Exactness: counts are integers, so each WOE is ln of ONE exact
+    * integer rational ((2g_i+1)·B / ((2b_i+1)·G)) and the IV factor is
+    * one exact integer numerator over one exact denominator — a single
+    * double division each; the ln outputs ride the REAL cast that
+    * absorbs last-ulp libm differences.
+    *
+    * Scale shape: one map-side-combined aggregate to ≤|categories| rows
+    * plus a broadcast 1-row global — the fact table never shuffles.
+    * This is why WOE encoding is viable as a single pass at 100 TB. */
+  def featureWoeIv(spark: SparkSession, dir: String,
+      tau: Double = 50.0): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_type"),
+        when(col("value") > tau, lit(1L)).otherwise(lit(0L)).as("y"))
+    val byCat = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("good"))
+      .withColumn("bad", col("n") - col("good"))
+    val glob = byCat.agg(sum(col("good")).as("gt"), sum(col("bad")).as("bt"))
+    byCat.crossJoin(broadcast(glob))
+      .select(col("event_type"), col("n"), col("good"), col("bad"),
+        log(((lit(2) * col("good") + 1) * col("bt")).cast("double") /
+          ((lit(2) * col("bad") + 1) * col("gt")).cast("double"))
+          .cast("float").as("woe"),
+        (((lit(2) * col("good") + 1) * col("bt")
+          - (lit(2) * col("bad") + 1) * col("gt")).cast("double") /
+          (lit(2) * col("gt") * col("bt")).cast("double") *
+          log(((lit(2) * col("good") + 1) * col("bt")).cast("double") /
+            ((lit(2) * col("bad") + 1) * col("gt")).cast("double")))
+          .cast("float").as("iv_term"))
+      .orderBy(col("event_type"))
+  }
+
   /** Model-evaluation surface: confusion matrix of a deterministic
     * pseudo-classifier (md5-derived, 75% of rows keep their label, the
     * rest rotate to another class by hash) against the event_type label,

@@ -696,6 +696,82 @@ object Similarity {
       .orderBy(col("anchor_id"), col("rank"))
   }
 
+  /** Late-interaction (ColBERT-style) MaxSim retrieval: the query and
+    * each document are viewed as `nSub` token-vectors (contiguous
+    * `subDim`-dim slices of the stored embedding), and a document's
+    * score is Σ over query tokens of the MAX dot against any document
+    * token — the multi-vector scoring that beats single-vector cosine
+    * on fine-grained relevance, scored here exactly, corpus-wide.
+    *
+    * Determinism: each slice dot is one [[graft.functions.FloatVecDot]]
+    * (float→double products, index order), `greatest` is exact max, and
+    * the i-sum is unrolled left-associated in both engines — every
+    * score is the bit-identical double in Spark and the oracle.
+    *
+    * Scale shape: the query's token slices are literals broadcast into
+    * a map-only corpus scan (all 64 slice-dots fuse into one
+    * whole-stage-codegen projection — no explode, no shuffle of
+    * vectors), and top-k is TakeOrdered (per-partition k-candidate
+    * reduce, driver k-way merge). At 100 TB the same PLAID-style
+    * recipe as single-vector ANN applies in front: sign-LSH buckets on
+    * the full vector prune the scan, MaxSim re-ranks survivors. */
+  def retrievalColbertMaxsim(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10, nSub: Int = 8): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val qArr = queryVector(spark, dir, queryId)
+    val subDim = qArr.length / nSub
+    def qSlice(i: Int): Column =
+      array(qArr.slice(i * subDim, (i + 1) * subDim).toIndexedSeq.map(lit): _*)
+    def dSlice(j: Int): Column = slice(col("embedding"), j * subDim + 1, subDim)
+    val maxsim = (0 until nSub).map { i =>
+      greatest((0 until nSub).map(j =>
+        call_function("float_dot", dSlice(j), qSlice(i))): _*)
+    }.reduce(_ + _)
+    table(spark, dir, "embeddings")
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), maxsim.as("maxsim"))
+      .orderBy(col("maxsim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Mutual-kNN graph over a bounded vector panel: edge (a, b) exists
+    * iff b is in a's exact k-nearest AND a is in b's — the symmetric
+    * neighborhood graph that seeds graph-based ANN indexes (HNSW
+    * construction), density clustering, and duplicate-cluster
+    * discovery, where mutuality prunes hub-induced false edges.
+    *
+    * Scale shape: the panel (vec_id < `maxId`) broadcasts against
+    * itself — bounded by the caller, never corpus²; per-vector top-k is
+    * a rank window with a `<= k` predicate (WindowGroupLimit keeps
+    * map-local top-k before the a-key shuffle); mutuality is a
+    * self-semi-join on the k·|panel|-row kNN set. At corpus scale the
+    * same shape runs per LSH bucket (the [[Dedup.dedupEmbeddingCosine]]
+    * banding) — candidates within buckets, exact kNN + mutual filter
+    * inside — keeping candidate generation linear in occupancy-capped
+    * buckets. */
+  def annKnnGraphMutual(spark: SparkSession, dir: String,
+      maxId: Long = 512L, k: Int = 5): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val sub = table(spark, dir, "embeddings")
+      .filter(col("vec_id") < maxId)
+    val pairs = sub.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(broadcast(sub.select(col("vec_id").as("b"),
+        col("embedding").as("eb"))))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        call_function("float_dot", col("ea"), col("eb")).as("cosine"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
+    val knn = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("a"), col("b"), col("cosine"))
+    knn
+      .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"),
+        "left_semi")
+      .filter(col("a") < col("b"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Maximal-marginal-relevance top-k: greedy diversified retrieval —
     * pick 1 = argmax relevance to the query; each later pick maximizes
     * `λ·rel − (1−λ)·max-sim-to-already-picked` over the remaining

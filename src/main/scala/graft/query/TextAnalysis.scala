@@ -883,4 +883,92 @@ object TextAnalysis {
         col("worst.span_freq_sum").as("span_freq_sum"))
       .orderBy(col("doc_id"))
   }
+
+  /** Pseudo-relevance-feedback query expansion (RM1/Rocchio shape): take
+    * the query's terms (here: document `queryDoc`'s vocabulary), rank
+    * the corpus by coordination-level match (how many query terms a doc
+    * contains, then their total tf — INTEGER scores, so the feedback
+    * set is exact cross-engine, unlike a float-sum ranking where a
+    * last-ulp flip would cascade into a different expansion set), keep
+    * the top `fb` feedback docs, and emit the top `k` non-query terms
+    * by (feedback-doc frequency, total tf) — the terms a retrieval
+    * stack appends to the query on the second pass.
+    *
+    * Scale shape: every stage is a probe of the persisted [[tokenTf]]
+    * index — the query-term set broadcasts (bounded by one doc's
+    * vocabulary), candidate scoring is one map-side-combined aggregate
+    * over the semi-joined postings, both top-k selections are
+    * TakeOrdered. Corpus postings never shuffle. */
+  def retrievalPrfExpansion(spark: SparkSession, dir: String,
+      queryDoc: Long = 0L, fb: Int = 10, k: Int = 10): DataFrame = {
+    val tf = tokenTf(spark, dir)
+    val qTerms = tf.filter(col("doc_id") === queryDoc)
+      .select(col("tok")).distinct()
+    // feedback docs: coordination-level match over the query terms
+    val fbDocs = tf
+      .join(broadcast(qTerms), Seq("tok"), "left_semi")
+      .filter(col("doc_id") =!= queryDoc)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("q_tf"))
+      .orderBy(col("n_terms").desc, col("q_tf").desc, col("doc_id"))
+      .limit(fb)
+    // expansion terms: frequency across the feedback set, query terms out
+    tf.join(broadcast(fbDocs.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .join(broadcast(qTerms), Seq("tok"), "left_anti")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("total_tf"))
+      .orderBy(col("n_docs").desc, col("total_tf").desc, col("tok"))
+      .limit(k)
+  }
+
+  /** DSIR-style importance log-weights for domain-targeted data
+    * selection (Xie et al.'s data selection with importance resampling,
+    * hashed-n-gram flavor): tokens hash into `buckets` buckets, the
+    * target distribution is the `targetLang` slice of the corpus, and a
+    * document's log-weight is Σ_tok tf · [ln p̂_target(bucket) −
+    * ln p̂_source(bucket)] with add-one smoothing — documents that look
+    * like the target domain score high and are what a targeted
+    * pretraining mix keeps.
+    *
+    * Bucket counts are exact integers; each log term is ln of an
+    * integer rational; the per-doc sum rides the established REAL-cast
+    * discipline (absorbs summation-order ulp drift, like
+    * [[unigramLogprob]]).
+    *
+    * Scale shape: the bucket distributions are two ≤`buckets`-row
+    * map-side-combined aggregates over the persisted [[tokenTf]] index,
+    * broadcast back onto it; the per-doc reduce is one doc-key
+    * aggregate. Nothing corpus-sized shuffles except that one
+    * doc-keyed combine. */
+  def corpusDsirWeights(spark: SparkSession, dir: String,
+      targetLang: String = "en", buckets: Int = 64): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val tb = tokenTf(spark, dir)
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        pmod(Dedup.hash60(col("tok")), lit(buckets.toLong)).as("bucket"),
+        col("tf"))
+    val source = tb.groupBy(col("bucket"))
+      .agg(sum(col("tf")).as("cs"))
+    val target = tb.filter(col("lang") === targetLang)
+      .groupBy(col("bucket")).agg(sum(col("tf")).as("ct"))
+    val totals = tb.agg(
+      sum(col("tf")).as("ts"),
+      sum(when(col("lang") === targetLang, col("tf")).otherwise(lit(0L)))
+        .as("tt"))
+    val dist = source
+      .join(target, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log(col("ct") + lit(1)) - log(col("tt") + lit(buckets))
+          - log(col("cs") + lit(1)) + log(col("ts") + lit(buckets)))
+          .as("logratio"))
+    tb.join(broadcast(dist), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("logratio")).cast("float").as("dsir_logweight"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.query.{Pipeline, Similarity, Warehouse2}
+import graft.query.{Analytics5, Pipeline, Similarity, TextAnalysis, Warehouse2}
 
 /** Driver-round-12 operator pins: MMR diversified retrieval, hard-
   * negative mining, Δ-join view maintenance, and leave-one-out target
@@ -79,6 +79,128 @@ class DriverRound12Spec extends SparkSpec {
     val delta = Warehouse2.mvJoinDelta(spark, sf).collect()
     assert(delta.length == full.length && delta.nonEmpty)
     delta.zip(full).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("retrieval_colbert_maxsim: scores equal a driver-side slice-dot " +
+      "replay; top-k ordered desc with id tie-break") {
+    val rows = Similarity.retrievalColbertMaxsim(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getDouble(1))
+    scores.zip(scores.tail).foreach { case (a, b) => assert(a >= b) }
+    val vecs = graft.schema.Schemas.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val q = vecs(0L)
+    def maxsim(d: Array[Float]): Double =
+      (0 until 8).map { i =>
+        (0 until 8).map { j =>
+          dot(d.slice(j * 8, j * 8 + 8), q.slice(i * 8, i * 8 + 8))
+        }.max
+      }.reduce(_ + _)
+    rows.foreach { r =>
+      assert(r.getDouble(1) == maxsim(vecs(r.getLong(0))),
+        s"vec ${r.getLong(0)}")
+    }
+    // and the returned set IS the global top-k of the replayed scores
+    val all = vecs.collect { case (id, v) if id != 0L => (id, maxsim(v)) }
+    val want = all.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(rows.length).map(_._1)
+    assert(rows.map(_.getLong(0)).toSeq == want)
+  }
+
+  test("ann_knn_graph_mutual: every edge is mutual under an exact " +
+      "driver-side kNN replay, and no mutual pair is missing") {
+    val vecs = graft.schema.Schemas.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < 512).select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val knn = vecs.keys.map { a =>
+      a -> vecs.keys.filter(_ != a).toSeq
+        .map(b => (b, dot(vecs(a), vecs(b))))
+        .sortBy { case (b, c) => (-c, b) }.take(5).map(_._1).toSet
+    }.toMap
+    val wantEdges = (for {
+      a <- vecs.keys; b <- knn(a) if a < b && knn(b).contains(a)
+    } yield (a, b)).toSet
+    val got = Similarity.annKnnGraphMutual(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == wantEdges)
+    assert(got.nonEmpty)
+  }
+
+  test("retrieval_prf_expansion: expansion terms are disjoint from the " +
+      "query doc's vocabulary and doc-frequency-bounded by the feedback set") {
+    val qToks = TextAnalysis.tokenTf(spark, sf)
+      .filter(col("doc_id") === 0).select(col("tok")).collect()
+      .map(_.getString(0)).toSet
+    val rows = TextAnalysis.retrievalPrfExpansion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!qToks.contains(r.getString(0)), s"query term ${r.getString(0)}")
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 10)
+      assert(r.getLong(2) >= r.getLong(1)) // total tf >= doc count
+    }
+  }
+
+  test("corpus_dsir_weights: covers every doc with its exact token count, " +
+      "and target-language docs score higher on average") {
+    val rows = TextAnalysis.corpusDsirWeights(spark, sf).collect()
+    val nDocs = graft.schema.Schemas.table(spark, sf, "documents").count()
+    assert(rows.length == nDocs)
+    val dl = TextAnalysis.tokenTf(spark, sf).groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) == dl(r.getLong(0))))
+    val (en, rest) = rows.partition(_.getString(1) == "en")
+    def meanPerTok(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getFloat(3).toDouble / r.getLong(2)).sum / rs.length
+    assert(meanPerTok(en) > meanPerTok(rest),
+      "en docs must score higher per token under the en-target weights")
+  }
+
+  test("feature_woe_iv: counts reconcile, IV terms are non-negative, and " +
+      "WOE sign tracks the category's good-rate vs the global rate") {
+    val rows = Pipeline.featureWoeIv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val gt = rows.map(_.getLong(2)).sum.toDouble
+    val bt = rows.map(_.getLong(3)).sum.toDouble
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3))
+      assert(r.getFloat(5) >= 0.0f, s"IV term negative for ${r.getString(0)}")
+      val woe = r.getFloat(4)
+      val lhs = (2 * r.getLong(2) + 1) * bt
+      val rhs = (2 * r.getLong(3) + 1) * gt
+      assert((woe > 0) == (lhs > rhs) || woe == 0.0f)
+    }
+  }
+
+  test("graph_node2vec_transitions: weights are exactly {0.5, 1, 2} by " +
+      "case, and per-(prev,cur) probabilities sum to exactly 1.0") {
+    val rows = Analytics5.graphNode2vecTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getDouble(3)
+      assert(w == 0.5 || w == 1.0 || w == 2.0)
+      if (r.getLong(2) == r.getLong(0)) // next == prev → return weight
+        assert(w == 0.5)
+    }
+    rows.groupBy(r => (r.getLong(0), r.getLong(1))).foreach {
+      case (state, rs) =>
+        // z is a sum of multiples of 0.5 → exact; probs sum to exactly 1
+        val z = rs.map(_.getDouble(3)).sum
+        val probSum = rs.map(r => r.getDouble(3) / z).sum
+        assert(math.abs(probSum - 1.0) < 1e-12, s"state $state")
+        rs.foreach(r => assert(r.getDouble(4) == r.getDouble(3) / z))
+    }
   }
 
   test("feature_target_encode: encoding is the leave-one-out smoothed " +
