@@ -227,6 +227,12 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Pipeline.featureWoeIv(s, d)),
     "graph_node2vec_transitions" ->
       ((s: SparkSession, d: String) => Analytics5.graphNode2vecTransitions(s, d)),
+    "dedup_minhash_est_error" ->
+      ((s: SparkSession, d: String) => Dedup.dedupMinhashEstError(s, d)),
+    "dedup_line_level"       ->
+      ((s: SparkSession, d: String) => Dedup.dedupLineLevel(s, d)),
+    "pack_bin_ffd"           ->
+      ((s: SparkSession, d: String) => Pipeline.packBinFfd(s, d)),
     // round 12: fixpoint components, skyline, table profiling,
     // calibration, L2 ANN, warehouse maintenance, TPC-H Q2/Q9/Q16 shapes
     "graph_connected_components" ->
@@ -1241,6 +1247,82 @@ object SparkEntry {
         |    * ln(CAST((2 * good + 1) * bt AS DOUBLE)
         |      / CAST((2 * bad + 1) * gt AS DOUBLE)) AS REAL) AS iv_term
         |FROM c2, g ORDER BY event_type""".stripMargin,
+    // the oracle rebuilds the same md5-derived signatures, so the
+    // estimator column itself (not just the verdicts) is hash-compared
+    "dedup_minhash_est_error" ->
+      s"""WITH ${minhashPairsCtes(8, 4, "0.0")},
+         |eq AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(count(*) FILTER (WHERE sa.mh = sb.mh) AS INT) AS n_equal
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.hi = sa.hi
+         |  GROUP BY c.doc_a, c.doc_b
+         |)
+         |SELECT p.doc_a, p.doc_b, e.n_equal,
+         |  CAST(e.n_equal AS DOUBLE) / 32 AS est_jaccard,
+         |  p.jaccard AS exact_jaccard,
+         |  abs(CAST(e.n_equal AS DOUBLE) / 32 - p.jaccard) AS abs_err
+         |FROM pairs p JOIN eq e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+    "dedup_line_level" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0
+        |       THEN 'subscribe to our newsletter today. ' ELSE '' END)
+        |    || text || '. copyright ' || source
+        |    || ' all rights reserved.' AS text2
+        |  FROM documents
+        |), r0 AS (
+        |  SELECT doc_id, unnest(string_split(text2, '.')) AS s FROM planted
+        |), r1 AS (
+        |  SELECT doc_id, trim(s) AS s FROM r0 WHERE trim(s) <> ''
+        |), sents AS (
+        |  SELECT doc_id, md5(lower(s)) AS fp FROM r1
+        |), fpd AS (
+        |  SELECT fp, count(DISTINCT doc_id) AS n_docs FROM sents GROUP BY fp
+        |)
+        |SELECT s.doc_id, count(*) AS n_sents,
+        |  CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_sents,
+        |  CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_frac
+        |FROM sents s JOIN fpd f USING (fp)
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    // the FFD recurrence replayed with the bin-load list as recursive
+    // CTE state; all arithmetic integer, so placement is exact
+    "pack_bin_ffd" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, CAST(len(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+        |    AS BIGINT) AS t
+        |  FROM documents
+        |), ord AS (
+        |  SELECT doc_id, source, t,
+        |    row_number() OVER (PARTITION BY source ORDER BY t DESC, doc_id)
+        |      AS rn
+        |  FROM toks
+        |), pk(source, rn, doc_id, t, bin, loads) AS (
+        |  SELECT source, rn, doc_id, t, CAST(0 AS BIGINT) AS bin, [t] AS loads
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.source, o.rn, o.doc_id, o.t,
+        |    CASE WHEN len(list_filter(range(1, len(p.loads) + 1),
+        |        i -> p.loads[i] + o.t <= 256)) > 0
+        |      THEN list_filter(range(1, len(p.loads) + 1),
+        |        i -> p.loads[i] + o.t <= 256)[1] - 1
+        |      ELSE len(p.loads) END AS bin,
+        |    CASE WHEN len(list_filter(range(1, len(p.loads) + 1),
+        |        i -> p.loads[i] + o.t <= 256)) > 0
+        |      THEN list_transform(range(1, len(p.loads) + 1),
+        |        i -> CASE WHEN i = list_filter(range(1, len(p.loads) + 1),
+        |            j -> p.loads[j] + o.t <= 256)[1]
+        |          THEN p.loads[i] + o.t ELSE p.loads[i] END)
+        |      ELSE list_append(p.loads, o.t) END AS loads
+        |  FROM pk p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1
+        |)
+        |SELECT doc_id, source, t AS n_tokens, bin FROM pk
+        |ORDER BY source, doc_id""".stripMargin,
     "graph_node2vec_transitions" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -121,6 +121,109 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Sketch-accuracy audit for the MinHash family: for every LSH
+    * candidate pair, the signature-estimated Jaccard (matching
+    * positions / signature width — the estimator the banding's recall
+    * math is built on) next to the exact shingle-set Jaccard, with the
+    * absolute error. This is the measurement that justifies (or
+    * indicts) a deployed signature width: E[err] ~ 1/√width, and a
+    * drifting corpus shows up here before it shows up as missed dups.
+    *
+    * Exactness: the position-match count k is an integer, est = k/width
+    * and exact = |∩|/|∪| are each ONE double division, |err| is exact —
+    * the whole row replays bit-identically in the oracle (which rebuilds
+    * the same md5-derived signatures).
+    *
+    * Scale shape: probes the SAME persisted signature + candidate-pair
+    * + shingle-set indexes as [[dedupMinhashLsh]] (cache hits when run
+    * beside it); the position compare is an O(width) zip per candidate
+    * pair only — never corpus-wide. */
+  def dedupMinhashEstError(spark: SparkSession, dir: String,
+      shingleSize: Int = 3, numBands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val (candidates, candSh) =
+      lshCandidatesWithSets(spark, dir, shingleSize, numBands, rowsPerBand)
+    val nh = numBands * rowsPerBand
+    val docs = withPlantedNearDups(table(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
+    // identical key ⇒ the persisted signature index built by the
+    // candidate machinery is served warm, never recomputed
+    val sig = graft.schema.Schemas.evictingComputeIfAbsent(
+      forSession(sigCache, spark),
+      s"$dir#$shingleSize#$nh",
+      graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"))(
+      minhashSignatures(docs, "toks", "doc_id", shingleSize, nh).persist())(
+      _.unpersist(false))
+    candidates
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
+      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .withColumn("n_equal",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"))
+      .withColumn("est_jaccard",
+        col("n_equal").cast("double") / lit(nh))
+      .withColumn("exact_jaccard", expr("jaccard_sorted(sh_a, sh_b)"))
+      .select(col("doc_a"), col("doc_b"), col("n_equal"),
+        col("est_jaccard"), col("exact_jaccard"),
+        abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Sentence-level (line-level) cross-document dedup — the
+    * CCNet/Gopher-style pass that whole-document dedup misses: split
+    * each document on sentence boundaries, fingerprint each normalized
+    * sentence, and report per document how much of it is made of
+    * sentences that also appear in OTHER documents (boilerplate,
+    * templates, syndicated fragments). Docs above a duplicate-fraction
+    * threshold are the removal candidates.
+    *
+    * Exactness: occurrence counts and distinct-doc counts are integers;
+    * dup_frac is one double division.
+    *
+    * Scale shape: explode → md5 fingerprint → one map-side-combined
+    * aggregate on the fingerprint (uniform md5 keys, no skew), joined
+    * back on the fingerprint, then one doc-keyed rollup — two shuffles
+    * of ids+hashes, never of text. The standard line-dedup pass at
+    * 100 TB is exactly this shape (suffix-array passes are the
+    * expensive alternative for substring-level dedup). */
+  def dedupLineLevel(spark: SparkSession, dir: String): DataFrame = {
+    // the synthetic corpus has no sentence structure (one unbroken word
+    // stream, no '.'), so — same convention as [[withPlantedNearDups]]
+    // and text_scrub's planted PII — deterministic boilerplate is
+    // planted from the table itself: a shared header on every 4th doc
+    // and a per-source footer, exactly the template/syndication pattern
+    // the operator exists to catch. The oracle plants identically.
+    val sents = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0,
+            lit("subscribe to our newsletter today. ")).otherwise(lit("")),
+          col("text"),
+          lit(". copyright "), col("source"),
+          lit(" all rights reserved.")).as("text2"))
+      .select(col("doc_id"), explode(split(col("text2"), "\\.")).as("s"))
+      .select(col("doc_id"), trim(col("s")).as("s"))
+      .filter(col("s") =!= "")
+      .select(col("doc_id"), md5(lower(col("s"))).as("fp"))
+    val docsPerFp = sents.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    sents.join(docsPerFp, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("n_docs") >= 2, lit(1L)).otherwise(lit(0L)))
+          .as("n_dup_sents"))
+      .select(col("doc_id"), col("n_sents"), col("n_dup_sents"),
+        (col("n_dup_sents").cast("double") / col("n_sents").cast("double"))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared LSH-banding candidate machinery: (candidate pairs, per-doc
     * sorted distinct shingle-hash sets for the docs appearing in a
     * pair). Extracted so every exact-verify tail (Jaccard, containment)

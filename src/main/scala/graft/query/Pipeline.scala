@@ -280,6 +280,49 @@ object Pipeline {
       .orderBy(col("event_id"))
   }
 
+  /** First-fit-decreasing bin packing of documents into fixed-capacity
+    * context windows, per source: sort a group's docs by token count
+    * descending, place each into the lowest-indexed bin it fits, open a
+    * new bin when none fits (an oversize doc opens its own bin). FFD
+    * packs within 11/9·OPT + 1 bins — materially tighter than
+    * [[packSequences]]' contiguous greedy when doc lengths vary, which
+    * is why sequence-packing pipelines that care about padding waste
+    * use it.
+    *
+    * FFD is inherently sequential (each placement depends on ALL prior
+    * placements), so like the Kadane/debounce recurrences it rides
+    * `flatMapSortedGroups`: one exchange on the group key, engine-side
+    * sort by (tokens desc, doc_id), O(#bins) state per group. At 100 TB
+    * the packing GROUP is the parallelism unit — shard sources into
+    * packing partitions (source, hash-bucket) and pack within each; the
+    * bound degrades only by the shards' tail items. The in-group
+    * first-fit scan here is the textbook O(n·bins) form; the classic
+    * O(n log n) segment-tree variant drops in when groups are huge.
+    * The oracle replays the identical recurrence as a recursive CTE
+    * carrying the bin-load list. Integer-exact throughout. */
+  def packBinFfd(spark: SparkSession, dir: String,
+      capacity: Long = 256L): DataFrame = {
+    import spark.implicits._
+    val d = graft.schema.Schemas.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+    d.groupByKey(_._2)
+      .flatMapSortedGroups(col("n_tokens").desc, col("doc_id")) {
+        (src, it) =>
+          val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+          it.map { case (id, _, t) =>
+            val i = bins.indexWhere(_ + t <= capacity)
+            val bin =
+              if (i >= 0) { bins(i) += t; i }
+              else { bins += t; bins.length - 1 }
+            (id, src, t, bin.toLong)
+          }
+      }
+      .toDF("doc_id", "source", "n_tokens", "bin")
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Weight-of-evidence / information-value profile of a categorical
     * feature against a binary outcome (here: `event_type` vs
     * value > `tau`) — the credit-scoring-standard encoder and

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.query.{Analytics5, Pipeline, Similarity, TextAnalysis, Warehouse2}
+import graft.query.{Analytics5, Dedup, Pipeline, Similarity, TextAnalysis, Warehouse2}
 
 /** Driver-round-12 operator pins: MMR diversified retrieval, hard-
   * negative mining, Δ-join view maintenance, and leave-one-out target
@@ -200,6 +200,80 @@ class DriverRound12Spec extends SparkSpec {
         val probSum = rs.map(r => r.getDouble(3) / z).sum
         assert(math.abs(probSum - 1.0) < 1e-12, s"state $state")
         rs.foreach(r => assert(r.getDouble(4) == r.getDouble(3) / z))
+    }
+  }
+
+  test("dedup_minhash_est_error: estimator is k/32 with k in range, " +
+      "planted near-dup pairs present, mean |err| inside the sketch bound") {
+    val rows = Dedup.dedupMinhashEstError(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getInt(2)
+      assert(k >= 0 && k <= 32)
+      assert(r.getDouble(3) == k.toDouble / 32)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) == math.abs(r.getDouble(3) - r.getDouble(4)))
+    }
+    // the planted prefix-edited copies must surface as candidates
+    assert(rows.exists(r => r.getLong(1) >= 1000000L))
+    // MinHash with 32 hashes: E|err| ~ sqrt(j(1-j)/32) <= 0.09; allow
+    // generous slack for the small candidate sample
+    val meanErr = rows.map(_.getDouble(5)).sum / rows.length
+    assert(meanErr <= 0.25, s"mean |est - exact| = $meanErr")
+  }
+
+  test("dedup_line_level: per-doc sentence and duplicate counts equal a " +
+      "driver-side replay of the planted-boilerplate split") {
+    val docs = graft.schema.Schemas.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val sents = docs.flatMap { case (id, src, text) =>
+      val t2 = (if (id % 4 == 0) "subscribe to our newsletter today. "
+                else "") + text + ". copyright " + src + " all rights reserved."
+      t2.split("\\.", -1).map(_.trim).filter(_.nonEmpty)
+        .map(s => (id, s.toLowerCase))
+    }
+    val docsPerSent = sents.distinct.groupBy(_._2).map { case (s, xs) =>
+      s -> xs.length
+    }
+    val want = sents.groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.length.toLong,
+        xs.count(x => docsPerSent(x._2) >= 2).toLong)
+    }
+    val got = Dedup.dedupLineLevel(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, d) = want(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == d, s"doc ${r.getLong(0)}")
+      assert(r.getDouble(3) == d.toDouble / n.toDouble)
+    }
+    // the planted boilerplate must actually produce cross-doc duplicates
+    assert(got.exists(_.getLong(2) > 0))
+  }
+
+  test("pack_bin_ffd: bin assignment equals a driver-side first-fit-" +
+      "decreasing replay and respects capacity except oversize singletons") {
+    val cap = 256L
+    val rows = Pipeline.packBinFfd(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val want = rs.sortBy(r => (-r._3, r._1)).map { case (id, _, t, _) =>
+        val i = bins.indexWhere(_ + t <= cap)
+        val bin = if (i >= 0) { bins(i) += t; i } else { bins += t; bins.length - 1 }
+        id -> bin.toLong
+      }.toMap
+      rs.foreach { case (id, _, _, bin) =>
+        assert(bin == want(id), s"doc $id in $src")
+      }
+      // capacity holds for every bin unless it is a single oversize doc
+      rs.groupBy(_._4).foreach { case (bin, members) =>
+        val load = members.map(_._3).sum
+        assert(load <= cap ||
+          (members.length == 1 && members.head._3 > cap),
+          s"bin $bin in $src overloaded at $load")
+      }
     }
   }
 
