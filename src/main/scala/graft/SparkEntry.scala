@@ -233,6 +233,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.dedupLineLevel(s, d)),
     "pack_bin_ffd"           ->
       ((s: SparkSession, d: String) => Pipeline.packBinFfd(s, d)),
+    "graph_closeness_sampled" ->
+      ((s: SparkSession, d: String) => Analytics.graphClosenessSampled(s, d)),
+    "ts_mann_kendall"        -> Analytics4.tsMannKendall _,
     // round 12: fixpoint components, skyline, table profiling,
     // calibration, L2 ANN, warehouse maintenance, TPC-H Q2/Q9/Q16 shapes
     "graph_connected_components" ->
@@ -1289,6 +1292,80 @@ object SparkEntry {
         |    / count(*) AS dup_frac
         |FROM sents s JOIN fpd f USING (fp)
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    "graph_closeness_sampled" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), edges AS (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), verts AS (SELECT DISTINCT u FROM edges),
+        |r(src, v, dist) AS (
+        |  SELECT u, u, 0 FROM verts WHERE u <= 50
+        |  UNION
+        |  SELECT r.src, e.v, r.dist + 1
+        |  FROM r JOIN edges e ON e.u = r.v WHERE r.dist < 4
+        |), md AS (
+        |  SELECT src, v, min(dist) AS d FROM r GROUP BY src, v
+        |), c AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        |  FROM md WHERE d > 0 GROUP BY v
+        |)
+        |SELECT v, n1, n2, n3, n4,
+        |  CAST(n1 AS DOUBLE) / 1.0 + CAST(n2 AS DOUBLE) / 2.0
+        |    + CAST(n3 AS DOUBLE) / 3.0 + CAST(n4 AS DOUBLE) / 4.0 AS harmonic
+        |FROM c ORDER BY v""".stripMargin,
+    "ts_mann_kendall" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS v6
+        |  FROM events
+        |), pairs AS (
+        |  SELECT a.user_id, a.v6 AS v_a, b.v6 AS v_b,
+        |    a.us AS us_a, b.us AS us_b, a.event_id AS id_a, b.event_id AS id_b
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+        |), s AS (
+        |  SELECT user_id, CAST(sum(sign(v_b - v_a)) AS BIGINT) AS s_stat
+        |  FROM pairs GROUP BY user_id
+        |), ties AS (
+        |  SELECT user_id,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18,
+        |    CAST(sum(t) AS BIGINT) AS n
+        |  FROM (SELECT user_id, v6, count(*) AS t FROM ev GROUP BY 1, 2)
+        |  GROUP BY user_id
+        |), slopes AS (
+        |  SELECT user_id,
+        |    CAST(v_b - v_a AS DOUBLE) / CAST(us_b - us_a AS DOUBLE) AS slope,
+        |    id_a, id_b
+        |  FROM pairs WHERE us_a <> us_b
+        |), ranked AS (
+        |  SELECT user_id, slope, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY slope, id_a, id_b) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS m
+        |  FROM slopes
+        |), sen AS (
+        |  SELECT user_id, sum(slope) / count(*) AS sen_slope
+        |  FROM ranked
+        |  WHERE (m % 2 = 1 AND rn = (m + 1) // 2)
+        |     OR (m % 2 = 0 AND (rn = m // 2 OR rn = m // 2 + 1))
+        |  GROUP BY user_id
+        |)
+        |SELECT s.user_id, t.n, s.s_stat,
+        |  t.n * (t.n - 1) * (2 * t.n + 5) - t.tie18 AS var18,
+        |  CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+        |      / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tie18) / 18.0)
+        |    WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+        |      / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tie18) / 18.0)
+        |    ELSE 0.0 END AS z,
+        |  sen.sen_slope
+        |FROM s JOIN ties t USING (user_id) JOIN sen USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // the FFD recurrence replayed with the bin-load list as recursive
     // CTE state; all arithmetic integer, so placement is exact
     "pack_bin_ffd" ->

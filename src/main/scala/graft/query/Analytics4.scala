@@ -1068,4 +1068,76 @@ object Analytics4 {
         ((col("sumy") / col("n")) * (lit(1.0) - col("sumy") / col("n")))
           .cast("float").as("uncertainty"))
   }
+
+  /** Per-user non-parametric trend panel: the Mann–Kendall S statistic
+    * with the tie-corrected variance, the continuity-corrected normal
+    * z score, and the Theil–Sen slope (exact median of pairwise
+    * slopes) — the robust monotone-trend battery (is this user's value
+    * drifting?) that ordinary least squares gets wrong under outliers.
+    *
+    * Exactness: S, n, and the ×18-scaled variance are integers
+    * (division by 18 deferred into the z denominator); z is
+    * division → IEEE sqrt → division, deterministic; each Sen slope is
+    * ONE double division, the median picks by rank (even counts
+    * average TWO doubles — addition of two doubles is commutative, so
+    * the aggregate order cannot change the bits).
+    *
+    * Scale shape: the pair join is per-user (one user-key exchange,
+    * O(k²) pairs for per-user activity k — bounded by activity, not
+    * corpus; ~2 k pairs at k≈67 here). For heavy users the O(k log k)
+    * inversion-count form of S (merge sort) and sampled-pair Sen
+    * drop in per group; the panel's aggregates are all
+    * map-side-combined. */
+  def tsMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), round(col("value") * lit(1e6)).cast("long").as("v6"))
+    val a = ev.select(col("user_id"), col("us").as("us_a"),
+      col("event_id").as("id_a"), col("v6").as("v_a"))
+    val b = ev.select(col("user_id"), col("us").as("us_b"),
+      col("event_id").as("id_b"), col("v6").as("v_b"))
+    val pairs = a.join(b, Seq("user_id"))
+      .filter(col("us_a") < col("us_b") ||
+        (col("us_a") === col("us_b") && col("id_a") < col("id_b")))
+    val sStat = pairs.groupBy(col("user_id"))
+      .agg(sum(signum(col("v_b") - col("v_a")).cast("long")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    // tie correction: Σ t(t−1)(2t+5) over equal-value groups
+    val ties = ev.groupBy(col("user_id"), col("v6"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie18"),
+        sum(col("t")).as("n"))
+    // Sen slope: exact median of per-pair slopes (time-distinct pairs)
+    val slopes = pairs.filter(col("us_a") =!= col("us_b"))
+      .select(col("user_id"),
+        ((col("v_b") - col("v_a")).cast("double") /
+          (col("us_b") - col("us_a")).cast("double")).as("slope"),
+        col("id_a"), col("id_b"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("slope"), col("id_a"), col("id_b"))
+    val ranked = slopes.withColumn("rn", row_number().over(w))
+    val m = slopes.groupBy(col("user_id")).agg(count(lit(1)).as("m"))
+    val sen = ranked.join(broadcast(m), Seq("user_id"))
+      .filter((col("m") % 2 === 1 && col("rn") === (col("m") + 1) / 2) ||
+        (col("m") % 2 === 0 &&
+          (col("rn") === col("m") / 2 || col("rn") === col("m") / 2 + 1)))
+      .groupBy(col("user_id"))
+      .agg((sum(col("slope")) / count(lit(1))).as("sen_slope"))
+    sStat.join(ties, Seq("user_id"))
+      .join(sen, Seq("user_id"))
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie18"))
+      .select(col("user_id"), col("n"), col("s_stat"), col("var18"),
+        when(col("s_stat") > 0,
+          (col("s_stat") - 1).cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0)))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") /
+              sqrt(col("var18").cast("double") / lit(18.0)))
+          .otherwise(lit(0.0)).as("z"),
+        col("sen_slope"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.query.{Analytics5, Dedup, Pipeline, Similarity, TextAnalysis, Warehouse2}
+import graft.query.{Analytics, Analytics4, Analytics5, Dedup, Pipeline,
+  Similarity, TextAnalysis, Warehouse2}
 
 /** Driver-round-12 operator pins: MMR diversified retrieval, hard-
   * negative mining, Δ-join view maintenance, and leave-one-out target
@@ -274,6 +275,85 @@ class DriverRound12Spec extends SparkSpec {
           (members.length == 1 && members.head._3 > cap),
           s"bin $bin in $src overloaded at $load")
       }
+    }
+  }
+
+  test("graph_closeness_sampled: hop counts and harmonic score equal a " +
+      "driver-side multi-source BFS replay") {
+    val rows = Analytics.graphClosenessSampled(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // replay: exact BFS over the collected symmetric edge list
+    val li = graft.schema.Schemas.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values.toSeq
+    val edges = byOrder.flatMap { rs =>
+      val ps = rs.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val seeds = adj.keys.filter(_ <= 50L)
+    val dist = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    seeds.foreach { s =>
+      var frontier = Set(s); dist((s, s)) = 0
+      (1 to 4).foreach { h =>
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(v => dist.contains((s, v)))
+        frontier.foreach(v => dist((s, v)) = h)
+      }
+    }
+    val want = dist.toSeq.filter(_._2 > 0).groupBy(_._1._2).map {
+      case (v, ds) =>
+        val n = (1 to 4).map(h => ds.count(_._2 == h).toLong)
+        v -> (n, n.zipWithIndex.map { case (c, i) =>
+          c.toDouble / (i + 1).toDouble }.reduce(_ + _))
+    }
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (n, harm) = want(r.getLong(0))
+      (1 to 4).foreach(h => assert(r.getLong(h) == n(h - 1),
+        s"v=${r.getLong(0)} n$h"))
+      assert(r.getDouble(5) == harm, s"v=${r.getLong(0)} harmonic")
+    }
+  }
+
+  test("ts_mann_kendall: S, tie-corrected variance, z, and the Sen median " +
+      "slope equal a driver-side replay for every user") {
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")),
+        col("event_id"), round(col("value") * lit(1e6)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = Analytics4.tsMannKendall(spark, sf).collect()
+    assert(got.nonEmpty)
+    val byUser = ev.groupBy(_._1)
+    got.foreach { r =>
+      val u = r.getLong(0)
+      val es = byUser(u).sortBy(e => (e._2, e._3))
+      val pairs = for {
+        i <- es.indices; j <- (i + 1) until es.length
+      } yield (es(i), es(j))
+      val s = pairs.map { case (a, b) => java.lang.Long.signum(b._4 - a._4).toLong }.sum
+      val n = es.length.toLong
+      val tie18 = es.groupBy(_._4).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tie18
+      assert(r.getLong(1) == n && r.getLong(2) == s && r.getLong(3) == var18,
+        s"user $u counts")
+      val z =
+        if (s > 0) (s - 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+        else if (s < 0) (s + 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+        else 0.0
+      assert(r.getDouble(4) == z, s"user $u z")
+      val slopes = pairs.filter { case (a, b) => a._2 != b._2 }
+        .map { case (a, b) =>
+          ((b._4 - a._4).toDouble / (b._2 - a._2).toDouble, a._3, b._3)
+        }.sortBy(identity)
+      val m = slopes.length
+      val sen =
+        if (m % 2 == 1) slopes((m - 1) / 2)._1
+        else (slopes(m / 2 - 1)._1 + slopes(m / 2)._1) / 2
+      assert(r.getDouble(5) == sen, s"user $u sen")
     }
   }
 
