@@ -236,6 +236,9 @@ object SparkEntry {
     "graph_closeness_sampled" ->
       ((s: SparkSession, d: String) => Analytics.graphClosenessSampled(s, d)),
     "ts_mann_kendall"        -> Analytics4.tsMannKendall _,
+    // image-modality near-dup: REAL javax.imageio decode → integer dHash
+    "multimodal_phash_dedup" ->
+      ((s: SparkSession, d: String) => Multimodal.multimodalPhashDedup(s, d)),
     // round 12: fixpoint components, skyline, table profiling,
     // calibration, L2 ANN, warehouse maintenance, TPC-H Q2/Q9/Q16 shapes
     "graph_connected_components" ->
@@ -1320,6 +1323,89 @@ object SparkEntry {
         |  CAST(n1 AS DOUBLE) / 1.0 + CAST(n2 AS DOUBLE) / 2.0
         |    + CAST(n3 AS DOUBLE) / 3.0 + CAST(n4 AS DOUBLE) / 4.0 AS harmonic
         |FROM c ORDER BY v""".stripMargin,
+    // replays the synthesized gradient raster arithmetically (no image
+    // bytes): pixels → pooled cells → cross-multiplied dHash bits; a
+    // decoder regression on the Spark side hash-mismatches
+    "multimodal_phash_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS src, doc_id AS id, 0 AS bright FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1000000, 1 FROM documents WHERE doc_id < 10
+        |), params AS (
+        |  SELECT id, bright,
+        |    16 + CAST('0x' || substr(md5(src || ':gw'), 1, 15) AS BIGINT)
+        |      % 17 AS w,
+        |    16 + CAST('0x' || substr(md5(src || ':gh'), 1, 15) AS BIGINT)
+        |      % 9 AS h,
+        |    CAST('0x' || substr(md5(src || ':gr'), 1, 15) AS BIGINT)
+        |      % 224 AS br,
+        |    CAST('0x' || substr(md5(src || ':gg'), 1, 15) AS BIGINT)
+        |      % 224 AS bg,
+        |    CAST('0x' || substr(md5(src || ':gb'), 1, 15) AS BIGINT)
+        |      % 224 AS bb,
+        |    CAST('0x' || substr(md5(src || ':kxr'), 1, 15) AS BIGINT)
+        |      % 8 AS kxr,
+        |    CAST('0x' || substr(md5(src || ':kxg'), 1, 15) AS BIGINT)
+        |      % 8 AS kxg,
+        |    CAST('0x' || substr(md5(src || ':kxb'), 1, 15) AS BIGINT)
+        |      % 8 AS kxb,
+        |    CAST('0x' || substr(md5(src || ':kyr'), 1, 15) AS BIGINT)
+        |      % 8 AS kyr,
+        |    CAST('0x' || substr(md5(src || ':kyg'), 1, 15) AS BIGINT)
+        |      % 8 AS kyg,
+        |    CAST('0x' || substr(md5(src || ':kyb'), 1, 15) AS BIGINT)
+        |      % 8 AS kyb,
+        |    CAST('0x' || substr(md5(src || ':kxxr'), 1, 15) AS BIGINT)
+        |      % 8 AS kxxr,
+        |    CAST('0x' || substr(md5(src || ':kxxg'), 1, 15) AS BIGINT)
+        |      % 8 AS kxxg,
+        |    CAST('0x' || substr(md5(src || ':kxxb'), 1, 15) AS BIGINT)
+        |      % 8 AS kxxb,
+        |    CAST('0x' || substr(md5(src || ':kxyr'), 1, 15) AS BIGINT)
+        |      % 8 AS kxyr,
+        |    CAST('0x' || substr(md5(src || ':kxyg'), 1, 15) AS BIGINT)
+        |      % 8 AS kxyg,
+        |    CAST('0x' || substr(md5(src || ':kxyb'), 1, 15) AS BIGINT)
+        |      % 8 AS kxyb,
+        |    CAST('0x' || substr(md5(src || ':kyyr'), 1, 15) AS BIGINT)
+        |      % 8 AS kyyr,
+        |    CAST('0x' || substr(md5(src || ':kyyg'), 1, 15) AS BIGINT)
+        |      % 8 AS kyyg,
+        |    CAST('0x' || substr(md5(src || ':kyyb'), 1, 15) AS BIGINT)
+        |      % 8 AS kyyb
+        |  FROM ids
+        |), px AS (
+        |  SELECT p.id, gx.x, gy.y,
+        |    2126 * (16 + (p.br + gx.x * gx.x * p.kxxr + gx.x * gy.y * p.kxyr
+        |      + gy.y * gy.y * p.kyyr + gx.x * p.kxr + gy.y * p.kyr) % 224
+        |      + p.bright)
+        |    + 7152 * (16 + (p.bg + gx.x * gx.x * p.kxxg + gx.x * gy.y * p.kxyg
+        |      + gy.y * gy.y * p.kyyg + gx.x * p.kxg + gy.y * p.kyg) % 224
+        |      + p.bright)
+        |    + 722 * (16 + (p.bb + gx.x * gx.x * p.kxxb + gx.x * gy.y * p.kxyb
+        |      + gy.y * gy.y * p.kyyb + gx.x * p.kxb + gy.y * p.kyb) % 224
+        |      + p.bright) AS lum,
+        |    gx.x * 9 // p.w AS ci, gy.y * 8 // p.h AS cj
+        |  FROM params p,
+        |    LATERAL (SELECT unnest(generate_series(0, p.w - 1)) AS x) gx,
+        |    LATERAL (SELECT unnest(generate_series(0, p.h - 1)) AS y) gy
+        |), cells AS (
+        |  SELECT id, ci, cj, CAST(sum(lum) AS BIGINT) AS s, count(*) AS c
+        |  FROM px GROUP BY 1, 2, 3
+        |), bits AS (
+        |  SELECT a.id, a.ci AS i, a.cj AS j,
+        |    CASE WHEN b.s * a.c > a.s * b.c THEN '1' ELSE '0' END AS bit
+        |  FROM cells a JOIN cells b ON b.id = a.id AND b.ci = a.ci + 1
+        |    AND b.cj = a.cj
+        |  WHERE a.ci < 8
+        |), ph AS (
+        |  SELECT id, string_agg(bit, '' ORDER BY i, j) AS phash
+        |  FROM bits GROUP BY id
+        |)
+        |SELECT phash, count(*) AS n_docs, min(id) AS keeper_doc,
+        |  max(id) AS max_doc, count(*) - 1 AS n_dropped
+        |FROM ph GROUP BY phash HAVING count(*) >= 2
+        |ORDER BY phash""".stripMargin,
     "ts_mann_kendall" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,

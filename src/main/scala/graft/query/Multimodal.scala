@@ -378,4 +378,137 @@ object Multimodal {
           (col("n_frames") - 1) * hop + win).otherwise(0L))
       .orderBy(col("doc_id"))
   }
+
+  /** Deterministic synthetic TEXTURED PNG for perceptual hashing:
+    * channel value at (x, y) is
+    * `16 + (base_c + x²·kxx_c + x·y·kxy_c + y²·kyy_c + x·kx_c + y·ky_c)
+    * mod 224 + bright`. The quadratic terms make the mod-224 wrap fire
+    * irregularly across columns — without them every monotone linear
+    * gradient pools to the all-ones dHash and the hash cannot
+    * discriminate (a first cut measured a 40-doc all-ones collision
+    * class). The 224 modulus plus the 16 offset keeps `bright = 1`
+    * (the planted near-duplicate's uniform brightness shift) from
+    * wrapping, so the whole raster stays closed-form integer arithmetic
+    * the oracle replays without decoding a byte. Dimensions ≥ 16×16 so
+    * every 9×8 dHash cell is non-empty. */
+  def synthesizeGradientPng(docId: Long, bright: Int): Array[Byte] = {
+    val w = (16 + idHash(docId, "gw") % 17).toInt
+    val h = (16 + idHash(docId, "gh") % 9).toInt
+    def k3(tag: String, m: Int) =
+      Array("r", "g", "b").map(c => (idHash(docId, tag + c) % m).toInt)
+    val base = k3("g", 224)
+    val kx = k3("kx", 8); val ky = k3("ky", 8)
+    val kxx = k3("kxx", 8); val kxy = k3("kxy", 8); val kyy = k3("kyy", 8)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def v(c: Int) = 16 + (base(c) + x * x * kxx(c) + x * y * kxy(c) +
+          y * y * kyy(c) + x * kx(c) + y * ky(c)) % 224 + bright
+        img.setRGB(x, y, (v(0) << 16) | (v(1) << 8) | v(2))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** dHash (difference hash) of a decoded image as a 64-char bit
+    * string: average-pool the luminance raster onto a 9×8 grid and emit
+    * bit (i, j) = 1 iff column i+1's cell mean exceeds column i's.
+    * Integer-exact end to end: luminance is the BT.709 integer form
+    * (2126·r + 7152·g + 722·b), pooling keeps (sum, count) per cell,
+    * and the mean comparison is CROSS-MULTIPLIED (s₂·c₁ > s₁·c₂) so no
+    * division ever happens — the oracle replays every bit. The bit
+    * STRING (not a packed BIGINT) sidesteps sign-bit trouble at bit 63
+    * in both engines. */
+  def dhashBits(img: java.awt.image.BufferedImage): String = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = Array.ofDim[Long](9, 8)
+    val cnts = Array.ofDim[Long](9, 8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 2126L * ((rgb >> 16) & 0xff) + 7152L * ((rgb >> 8) & 0xff) +
+          722L * (rgb & 0xff)
+        val ci = x * 9 / w; val cj = y * 8 / h
+        sums(ci)(cj) += lum; cnts(ci)(cj) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new StringBuilder(64)
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        sb.append(
+          if (sums(i + 1)(j) * cnts(i)(j) > sums(i)(j) * cnts(i + 1)(j)) '1'
+          else '0')
+        j += 1
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Perceptual-hash image near-dup detection — the image-modality
+    * member of the dedup family: synthesize a gradient PNG per document
+    * plus a brightness-shifted planted copy for doc_id < 10 (the
+    * [[Dedup.withPlantedNearDups]] convention — dHash is
+    * gradient-based, so a uniform brightness shift leaves the hash
+    * IDENTICAL, which is exactly the near-dup class perceptual hashing
+    * exists to catch and byte-level dedup cannot), run the REAL
+    * `javax.imageio` decode, compute the integer-exact [[dhashBits]],
+    * and emit equal-hash pairs.
+    *
+    * Honest-collision note: dHash cannot distinguish two images whose
+    * horizontal gradients match everywhere (e.g. two pure-vertical
+    * gradients both hash to all-zeros) — such pairs are TRUE perceptual
+    * collisions, reproduced identically by the oracle.
+    *
+    * Scale shape: decode + hash is map-only batched per partition
+    * (payloads never shuffle); matching is ONE map-side-combined
+    * group-by on the hash key emitting GROUP SUMMARIES — never
+    * all-pairs, so a large perceptual-collision class costs one row,
+    * not O(n²) (the first cut emitted pairs and a 40-doc collision
+    * class produced 780 of them — the exact blowup boundedSelfPairs
+    * exists to prevent). At 100 TB with hamming-tolerance matching,
+    * the simhash pigeonhole banding ([[Dedup.dedupSimhash]]) drops
+    * onto the same bit string. */
+  def multimodalPhashDedup(spark: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val ids = table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val withPlanted = ids.flatMap(id =>
+      if (id < 10) Seq((id, id, 0), (id, id + 1000000L, 1))
+      else Seq((id, id, 0)))
+    val hashed = withPlanted
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (src, id, bright) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                synthesizeGradientPng(src, bright)))
+            if (img == null)
+              sys.error(s"javax.imageio failed to decode png for doc $id")
+            (id, dhashBits(img))
+          }
+        }
+      }
+      .toDF("doc_id", "phash")
+    hashed.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .select(col("phash"), col("n_docs"), col("keeper_doc"), col("max_doc"),
+        (col("n_docs") - 1).as("n_dropped"))
+      .orderBy(col("phash"))
+  }
 }

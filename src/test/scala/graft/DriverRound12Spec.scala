@@ -357,6 +357,35 @@ class DriverRound12Spec extends SparkSpec {
     }
   }
 
+  test("multimodal_phash_dedup: dHash is brightness-invariant on planted " +
+      "copies, discriminates distinct textures, and the real decode round-" +
+      "trips the synthesized raster") {
+    import graft.query.Multimodal
+    def decode(b: Array[Byte]) = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b))
+    (0L until 10L).foreach { id =>
+      val h0 = Multimodal.dhashBits(decode(
+        Multimodal.synthesizeGradientPng(id, 0)))
+      val h1 = Multimodal.dhashBits(decode(
+        Multimodal.synthesizeGradientPng(id, 1)))
+      assert(h0.length == 64 && h0.forall(c => c == '0' || c == '1'))
+      assert(h0 == h1, s"brightness shift changed dHash for doc $id")
+    }
+    // distinct textures hash apart (the all-ones monotone-gradient
+    // collision class the quadratic terms exist to break)
+    val hashes = (0L until 10L).map(id =>
+      Multimodal.dhashBits(decode(Multimodal.synthesizeGradientPng(id, 0))))
+    assert(hashes.distinct.length == hashes.length)
+    // the declared query reports exactly the planted groups on this corpus
+    val groups = Multimodal.multimodalPhashDedup(spark, sf).collect()
+    assert(groups.nonEmpty)
+    groups.foreach { r =>
+      assert(r.getLong(1) >= 2)
+      assert(r.getLong(4) == r.getLong(1) - 1)
+    }
+    assert(groups.exists(r => r.getLong(2) < 10 && r.getLong(3) >= 1000000L))
+  }
+
   test("feature_target_encode: encoding is the leave-one-out smoothed " +
       "mean — verified against a direct per-row computation") {
     val ev = graft.schema.Schemas.events(spark, sf)
