@@ -239,6 +239,14 @@ object SparkEntry {
     // image-modality near-dup: REAL javax.imageio decode → integer dHash
     "multimodal_phash_dedup" ->
       ((s: SparkSession, d: String) => Multimodal.multimodalPhashDedup(s, d)),
+    // probes the same persisted BFS index as graph_closeness_sampled
+    "graph_effective_diameter" ->
+      ((s: SparkSession, d: String) => Analytics.graphEffectiveDiameter(s, d)),
+    "dq_benford_test"        -> Warehouse2.dqBenfordTest _,
+    // integer-exact online z-score gate (transformWithState ValueState)
+    "stream_anomaly_zscore"  ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.StreamQueries.streamAnomalyZscore(s, d)),
     // round 12: fixpoint components, skyline, table profiling,
     // calibration, L2 ANN, warehouse maintenance, TPC-H Q2/Q9/Q16 shapes
     "graph_connected_components" ->
@@ -1406,6 +1414,78 @@ object SparkEntry {
         |  max(id) AS max_doc, count(*) - 1 AS n_dropped
         |FROM ph GROUP BY phash HAVING count(*) >= 2
         |ORDER BY phash""".stripMargin,
+    "graph_effective_diameter" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), edges AS (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), verts AS (SELECT DISTINCT u FROM edges),
+        |r(src, v, dist) AS (
+        |  SELECT u, u, 0 FROM verts WHERE u <= 50
+        |  UNION
+        |  SELECT r.src, e.v, r.dist + 1
+        |  FROM r JOIN edges e ON e.u = r.v WHERE r.dist < 4
+        |), md AS (
+        |  SELECT src, v, min(dist) AS d FROM r GROUP BY src, v
+        |), c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        |  FROM md WHERE d > 0
+        |)
+        |SELECT n1 + n2 + n3 + n4 AS n_pairs, n1, n2, n3, n4,
+        |  CAST(1 * n1 + 2 * n2 + 3 * n3 + 4 * n4 AS DOUBLE)
+        |    / CAST(n1 + n2 + n3 + n4 AS DOUBLE) AS mean_dist,
+        |  CAST(CASE WHEN 10 * n1 >= 9 * (n1 + n2 + n3 + n4) THEN 1
+        |    WHEN 10 * (n1 + n2) >= 9 * (n1 + n2 + n3 + n4) THEN 2
+        |    WHEN 10 * (n1 + n2 + n3) >= 9 * (n1 + n2 + n3 + n4) THEN 3
+        |    ELSE 4 END AS INT) AS d90
+        |FROM c""".stripMargin,
+    "dq_benford_test" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders
+        |), c AS (
+        |  SELECT digit, count(*) AS obs FROM d GROUP BY digit
+        |), t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c)
+        |SELECT digit, obs, n,
+        |  CAST(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS REAL)
+        |    AS p_benford,
+        |  CAST((CAST(obs AS DOUBLE) - CAST(n AS DOUBLE)
+        |      * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+        |    * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE)
+        |      * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+        |    / (CAST(n AS DOUBLE)
+        |      * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))) AS REAL)
+        |    AS chi2_term
+        |FROM c, t ORDER BY digit""".stripMargin,
+    // the streaming state's verdicts replayed as cumulative
+    // 1-PRECEDING window sums — integer-exact on both sides
+    "stream_anomaly_zscore" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 1000.0) AS BIGINT) AS v3
+        |  FROM events
+        |), cum AS (
+        |  SELECT user_id, event_id, v3,
+        |    count(*) OVER w AS n,
+        |    COALESCE(sum(v3) OVER w, 0) AS s,
+        |    COALESCE(sum(v3 * v3) OVER w, 0) AS q
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT user_id, event_id, CAST(n AS BIGINT) AS n_prior
+        |FROM cum
+        |WHERE n >= 10
+        |  AND (v3 * n - s) * (v3 * n - s) > 9 * (n * q - s * s)
+        |ORDER BY user_id, event_id""".stripMargin,
     "ts_mann_kendall" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,

@@ -259,25 +259,37 @@ object Analytics {
     * superstep barrier. Work per round is O(|frontier|·d̄), bounded by
     * |seeds|·|V| pairs total; the sources panel is the accuracy/cost
     * dial exactly as in the sampled-centrality literature. */
+  /** Multi-source BFS distances (src, v, dist ≤ maxHops) from the seed
+    * panel — the shared index behind [[graphClosenessSampled]] and
+    * [[graphEffectiveDiameter]] (persisted per (session, corpus, panel)
+    * like every other graph component: one BSP traversal, many
+    * centrality/diameter consumers). */
+  private[query] def bfsDistances(spark: SparkSession, dir: String,
+      maxHops: Int, maxSeed: Long): DataFrame =
+    cachedDf(spark, gkey(dir, s"bfs${maxSeed}x$maxHops")) {
+      val edges = copurchaseEdgesSym(spark, dir)
+      val seeds = copurchaseDeg(spark, dir).select(col("u"))
+        .filter(col("u") <= maxSeed)
+      var reached = seeds
+        .select(col("u").as("src"), col("u").as("v"), lit(0).as("dist"))
+        .localCheckpoint(true)
+      var frontier = reached.select(col("src"), col("v"))
+      for (h <- 1 to maxHops) {
+        frontier = edges.select(col("u").as("v"), col("v").as("w"))
+          .join(frontier, Seq("v"))
+          .select(col("src"), col("w").as("v"))
+          .join(reached, Seq("src", "v"), "left_anti")
+          .distinct()
+          .localCheckpoint(true)
+        reached = reached
+          .unionAll(frontier.select(col("src"), col("v"), lit(h).as("dist")))
+      }
+      reached
+    }
+
   def graphClosenessSampled(spark: SparkSession, dir: String,
       maxHops: Int = 4, maxSeed: Long = 50L): DataFrame = {
-    val edges = copurchaseEdgesSym(spark, dir)
-    val seeds = copurchaseDeg(spark, dir).select(col("u"))
-      .filter(col("u") <= maxSeed)
-    var reached = seeds
-      .select(col("u").as("src"), col("u").as("v"), lit(0).as("dist"))
-      .localCheckpoint(true)
-    var frontier = reached.select(col("src"), col("v"))
-    for (h <- 1 to maxHops) {
-      frontier = edges.select(col("u").as("v"), col("v").as("w"))
-        .join(frontier, Seq("v"))
-        .select(col("src"), col("w").as("v"))
-        .join(reached, Seq("src", "v"), "left_anti")
-        .distinct()
-        .localCheckpoint(true)
-      reached = reached
-        .unionAll(frontier.select(col("src"), col("v"), lit(h).as("dist")))
-    }
+    val reached = bfsDistances(spark, dir, maxHops, maxSeed)
     def nAt(h: Int): Column =
       sum(when(col("dist") === h, lit(1L)).otherwise(lit(0L))).as(s"n$h")
     val hs = 1 to maxHops
@@ -290,6 +302,40 @@ object Analytics {
       .agg(nAt(hs.head), hs.tail.map(nAt): _*)
       .select(col("v") +: hs.map(h => col(s"n$h")) :+ harmonic.as("harmonic"): _*)
       .orderBy(col("v"))
+  }
+
+  /** Sampled effective diameter: the distance distribution over all
+    * (seed, vertex) shortest paths from the seed panel, its exact mean,
+    * and the HyperANF-style effective diameter d₉₀ (the smallest d with
+    * ≥ 90% of reachable pairs within d) — the one-row graph health
+    * panel (is the graph getting "smaller"? did an ingest bug sever
+    * it?) that at web scale runs on HyperLogLog neighborhood sketches
+    * over the same per-hop frontier counts measured exactly here.
+    *
+    * Exactness: per-distance pair counts are integers, the d₉₀ pick is
+    * the integer comparison 10·cum_d ≥ 9·n, and the mean is one double
+    * division of exact integers.
+    *
+    * Scale shape: probes the SAME persisted [[bfsDistances]] index as
+    * [[graphClosenessSampled]] (one traversal, both consumers warm) and
+    * reduces it with one map-side-combined aggregate to a single row. */
+  def graphEffectiveDiameter(spark: SparkSession, dir: String,
+      maxHops: Int = 4, maxSeed: Long = 50L): DataFrame = {
+    val reached = bfsDistances(spark, dir, maxHops, maxSeed)
+    def nAt(h: Int): Column =
+      sum(when(col("dist") === h, lit(1L)).otherwise(lit(0L))).as(s"n$h")
+    val hs = 1 to maxHops
+    val n = hs.map(h => col(s"n$h")).reduce(_ + _)
+    val cum = hs.map(h => hs.take(h).map(d => col(s"n$d")).reduce(_ + _))
+    val d90 = hs.init.foldRight(lit(maxHops): Column) { (h, rest) =>
+      when(lit(10) * cum(h - 1) >= lit(9) * n, lit(h)).otherwise(rest)
+    }
+    val sumD = hs.map(h => lit(h.toLong) * col(s"n$h")).reduce(_ + _)
+    reached.filter(col("dist") > 0)
+      .agg(nAt(hs.head), hs.tail.map(nAt): _*)
+      .select(n.as("n_pairs") +: hs.map(h => col(s"n$h")) :+
+        (sumD.cast("double") / n.cast("double")).as("mean_dist") :+
+        d90.cast("int").as("d90"): _*)
   }
 
   // Persisted co-purchase graph components (distinct edges, symmetric

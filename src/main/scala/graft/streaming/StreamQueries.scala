@@ -1058,6 +1058,51 @@ object StreamQueries {
     * can prove state carries across batches. */
   case class RlOut(user_id: Long, event_id: Long, allowed: Boolean)
 
+  case class AzOut(user_id: Long, event_id: Long, n_prior: Long)
+
+  /** Streaming per-user z-score anomaly detector: running (n, Σx, Σx²)
+    * in ValueState over ×1000-scaled integer values; an arriving event
+    * is flagged when its squared deviation exceeds τ²·variance with
+    * n ≥ `minN` priors — the online drift/outlier gate a feature
+    * pipeline runs at ingest. The z test is CROSS-MULTIPLIED into one
+    * integer comparison ((x·n − s)² > τ²·(n·q − s²)), so the verdict
+    * is exact — no floating point anywhere. (Bounds: |x| ≤ 5·10⁵ at
+    * this value scale keeps every product inside 63 bits up to n ≈ 10⁴
+    * events/key; past that the same comparison rides DECIMAL(38) like
+    * agg_skew_kurtosis.) State updates AFTER the test: a point is
+    * judged against its priors only, never against itself. */
+  private class AnomalyZProcessor(tau2: Long, minN: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Long), AzOut] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("moments",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[AzOut] = {
+      // (user, event_id, us, v3) sorted by event time within the trigger
+      val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+      var (n, s, q) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      val out = Iterator.newBuilder[AzOut]
+      sorted.foreach { case (u, id, _, x) =>
+        if (n >= minN) {
+          val dev = x * n - s
+          if (dev * dev > tau2 * (n * q - s * s)) out += AzOut(u, id, n)
+        }
+        n += 1; s += x; q += x * x
+      }
+      st.update((n, s, q))
+      out.result()
+    }
+  }
+
   /** Token-bucket processor for [[streamRateLimit]]: ValueState holds
     * (tokens·period in µs, last event µs). The bucket is order-SENSITIVE
     * — each decision depends on the tokens the previous decision left —
@@ -1125,6 +1170,42 @@ object StreamQueries {
         .as[(Long, Long, Long)]
       val out = ds.groupByKey(_._1)
         .transformWithState(new RateLimitProcessor(capacityTokens, periodUs),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      drain(spark, out.toDF(), OutputMode.Update(), statePartitions = 4)
+        .orderBy(col("user_id"), col("event_id"))
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
+  }
+
+  /** Streaming z-score anomaly gate over [[AnomalyZProcessor]]: emits
+    * the (user, event) pairs whose value deviates > τ·σ from that
+    * user's PRIOR stream, with `minN` warm-up. Integer-exact verdicts
+    * (see the processor), so the DuckDB oracle replays them with
+    * cumulative 1-PRECEDING window sums. Same single-batch pin and
+    * batch-equivalence contract as [[streamRateLimit]]: multi-trigger
+    * runs stay correct whenever files arrive in event-time order (the
+    * append-only production layout).
+    *
+    * Scale shape: three longs of state per key; per-trigger work is one
+    * sort of the key's new events. The flagged subset (not every
+    * event) is what crosses the sink — the alert stream, not a fact
+    * copy. */
+  def streamAnomalyZscore(spark: SparkSession, dir: String,
+      tau2: Long = 9L, minN: Long = 10L): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = streamEvents(spark, dir, singleBatch = true)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          round(col("value") * lit(1000)).cast("long").as("v3"))
+        .as[(Long, Long, Long, Long)]
+      val out = ds.groupByKey(_._1)
+        .transformWithState(new AnomalyZProcessor(tau2, minN),
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Update())
       drain(spark, out.toDF(), OutputMode.Update(), statePartitions = 4)

@@ -386,6 +386,66 @@ class DriverRound12Spec extends SparkSpec {
     assert(groups.exists(r => r.getLong(2) < 10 && r.getLong(3) >= 1000000L))
   }
 
+  test("graph_effective_diameter: reconciles with the closeness index " +
+      "(same BFS), d90 is the first 90% quantile hop, mean inside [1, 4]") {
+    val d = Analytics.graphEffectiveDiameter(spark, sf).collect()
+    assert(d.length == 1)
+    val r = d.head
+    val n = (1 to 4).map(h => r.getLong(h))
+    assert(r.getLong(0) == n.sum)
+    // same totals as the closeness rollup of the shared index
+    val c = Analytics.graphClosenessSampled(spark, sf).collect()
+    (1 to 4).foreach { h =>
+      assert(c.map(_.getLong(h)).sum == n(h - 1), s"hop $h")
+    }
+    val mean = r.getDouble(5)
+    assert(mean >= 1.0 && mean <= 4.0)
+    val cum = n.scanLeft(0L)(_ + _).tail
+    val d90 = (1 to 4).find(h => 10 * cum(h - 1) >= 9 * n.sum).getOrElse(4)
+    assert(r.getInt(6) == d90)
+  }
+
+  test("dq_benford_test: digits partition the table, probabilities sum " +
+      "to ~1, chi-square terms are non-negative") {
+    val rows = Warehouse2.dqBenfordTest(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq.sorted ==
+      rows.map(_.getInt(0)).toSeq.sorted.distinct)
+    val nOrders = graft.schema.Schemas.table(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == nOrders)
+    rows.foreach { r =>
+      assert(r.getLong(2) == nOrders)
+      assert(r.getFloat(4) >= 0.0f)
+    }
+    val psum = rows.map(_.getFloat(3).toDouble).sum
+    // ≤ 9 digits present; if all 9 are, Benford masses sum to 1
+    if (rows.length == 9) assert(math.abs(psum - 1.0) < 1e-5)
+  }
+
+  test("stream_anomaly_zscore: streaming verdicts equal the batch " +
+      "cumulative-moments replay, and a re-run is deterministic") {
+    val got = graft.streaming.StreamQueries.streamAnomalyZscore(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        round(col("value") * lit(1000)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      var n = 0L; var s = 0L; var q = 0L
+      es.sortBy(e => (e._3, e._2)).flatMap { case (_, id, _, x) =>
+        val hit = n >= 10 && {
+          val dev = x * n - s; dev * dev > 9 * (n * q - s * s)
+        }
+        n += 1; s += x; q += x * x
+        if (hit) Some((u, id, n - 1)) else None
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+    assert(got.nonEmpty)
+    val again = graft.streaming.StreamQueries.streamAnomalyZscore(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("feature_target_encode: encoding is the leave-one-out smoothed " +
       "mean — verified against a direct per-row computation") {
     val ev = graft.schema.Schemas.events(spark, sf)
