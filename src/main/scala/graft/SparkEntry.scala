@@ -247,6 +247,11 @@ object SparkEntry {
     "stream_anomaly_zscore"  ->
       ((s: SparkSession, d: String) =>
         graft.streaming.StreamQueries.streamAnomalyZscore(s, d)),
+    "text_kneser_ney"        ->
+      ((s: SparkSession, d: String) => TextAnalysis.textKneserNey(s, d)),
+    // greedy farthest-point selection: k map-only scans, no libm
+    "sample_kcenter_coreset" ->
+      ((s: SparkSession, d: String) => Similarity.sampleKcenterCoreset(s, d)),
     // round 12: fixpoint components, skyline, table profiling,
     // calibration, L2 ANN, warehouse maintenance, TPC-H Q2/Q9/Q16 shapes
     "graph_connected_components" ->
@@ -1486,6 +1491,64 @@ object SparkEntry {
         |WHERE n >= 10
         |  AND (v3 * n - s) * (v3 * n - s) > 9 * (n * q - s * s)
         |ORDER BY user_id, event_id""".stripMargin,
+    "text_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+        |  WHERE len(t) >= 2
+        |), big AS (SELECT w1, w2, count(*) AS c FROM g GROUP BY 1, 2),
+        |ctx AS (
+        |  SELECT w1, CAST(sum(c) AS BIGINT) AS c1, count(*) AS n_after
+        |  FROM big GROUP BY w1
+        |), cont AS (SELECT w2, count(*) AS n_before FROM big GROUP BY w2),
+        |nb AS (SELECT count(*) AS n_big FROM big)
+        |SELECT b.w1, b.w2, b.c, x.c1, x.n_after, o.n_before,
+        |  greatest(CAST(b.c AS DOUBLE) - 0.75, 0.0) / x.c1
+        |    + 0.75 * x.n_after / x.c1
+        |    * (CAST(o.n_before AS DOUBLE) / nb.n_big) AS p_kn
+        |FROM big b JOIN ctx x USING (w1) JOIN cont o USING (w2), nb
+        |WHERE b.c >= 5
+        |ORDER BY w1, w2""".stripMargin,
+    // the greedy farthest-point unroll, one CTE pair per pick — the
+    // same generated-unroll discipline as retrieval_mmr_topk
+    "sample_kcenter_coreset" -> {
+      val ctes = (2 to 8).map { i =>
+        val prevUnion = (1 until i)
+          .map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+        s"""chosen$i AS ($prevUnion),
+           |cand$i AS (
+           |  SELECT b.vec_id,
+           |    min(b.nrm + c.nrm - 2 * list_dot_product(b.e, c.e)) AS md2
+           |  FROM base b, base c
+           |  WHERE c.vec_id IN (SELECT vec_id FROM chosen$i)
+           |    AND b.vec_id NOT IN (SELECT vec_id FROM chosen$i)
+           |  GROUP BY b.vec_id
+           |),
+           |s$i AS (
+           |  SELECT vec_id, CAST($i AS INT) AS pick_order, md2 AS dist2
+           |  FROM cand$i ORDER BY md2 DESC, vec_id LIMIT 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |    list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[])) AS nrm
+         |  FROM embeddings
+         |), s1 AS (
+         |  SELECT vec_id, CAST(1 AS INT) AS pick_order,
+         |    CAST(0.0 AS DOUBLE) AS dist2
+         |  FROM base WHERE vec_id = 0
+         |),
+         |$ctes
+         |${(1 to 8).map(i => s"SELECT vec_id, pick_order, dist2 FROM s$i")
+        .mkString("\nUNION ALL ")}
+         |ORDER BY pick_order""".stripMargin
+    },
     "ts_mann_kendall" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,

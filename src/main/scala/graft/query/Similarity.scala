@@ -772,6 +772,53 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Greedy k-center (farthest-point) coreset selection: starting from
+    * a seed vector, each round picks the point FARTHEST from every
+    * already-chosen center (max of min squared L2) — the 2-approximate
+    * k-center cover that data-selection pipelines use to pick a small,
+    * diverse, representative training subset (and ANN indexes use to
+    * seed balanced cells). `dist2` is the selection radius: its
+    * monotone decrease is the coverage-guarantee curve.
+    *
+    * Exactness: d² = ‖a‖² + ‖b‖² − 2·a·b from three float_dot calls in
+    * one fixed parenthesization; min/max over exact doubles with id
+    * tie-breaks — no libm, hash-exact as raw DOUBLEs.
+    *
+    * Scale shape: per round ONE map-only corpus scan against the
+    * broadcast chosen panel (≤ k rows) with a map-side-combined min,
+    * then a TakeOrdered argmax — k scans total, no corpus shuffle,
+    * no driver loop over data. The classic scale upgrade (not needed
+    * at k = 8) tracks the running min in a persisted column instead of
+    * re-minning over all centers. */
+  def sampleKcenterCoreset(spark: SparkSession, dir: String,
+      k: Int = 8, seedId: Long = 0L): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val base = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        call_function("float_dot", col("embedding"), col("embedding"))
+          .as("nrm"))
+    var picks = base.filter(col("vec_id") === seedId)
+      .select(col("vec_id"), lit(1).as("pick_order"), lit(0.0).as("dist2"))
+    for (step <- 2 to k) {
+      val chosen = base.join(picks.select(col("vec_id")), Seq("vec_id"))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      val next = base
+        .join(picks.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(chosen))
+        .select(col("vec_id"),
+          (col("nrm") + col("cn") - lit(2.0) *
+            call_function("float_dot", col("embedding"), col("ce")))
+            .as("d2"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("md2"))
+        .orderBy(col("md2").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(step).as("pick_order"),
+          col("md2").as("dist2"))
+      picks = picks.unionAll(next)
+    }
+    picks.orderBy(col("pick_order"))
+  }
+
   /** Maximal-marginal-relevance top-k: greedy diversified retrieval —
     * pick 1 = argmax relevance to the query; each later pick maximizes
     * `λ·rel − (1−λ)·max-sim-to-already-picked` over the remaining

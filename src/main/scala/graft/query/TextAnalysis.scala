@@ -921,6 +921,52 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Kneser–Ney smoothed bigram language model — THE classic LM
+    * smoothing (the one n-gram toolkits default to): for every bigram
+    * with count ≥ `minCount`,
+    * P_KN(w₂|w₁) = max(c − D, 0)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·) ·
+    * N₁₊(·w₂)/N₁₊(··) — absolute discounting plus the continuation
+    * probability that makes KN distinct (how many contexts w₂ ever
+    * follows, not how often).
+    *
+    * Exactness: all five statistics are integers; D = 0.75 is exactly
+    * representable; the probability is four IEEE ops in one fixed
+    * parenthesization — NO libm anywhere — so p_kn is hash-compared as
+    * a raw DOUBLE, no float cast needed.
+    *
+    * Scale shape: bigram and unigram-context counts are map-side-
+    * combined aggregates on an (alphabet²-bounded here, Zipf-bounded in
+    * general) keyspace; the three statistics tables join back on their
+    * own keys; the corpus-wide N₁₊(··) is one broadcast scalar row. */
+  def textKneserNey(spark: SparkSession, dir: String,
+      discount: Double = 0.75, minCount: Long = 5L): DataFrame = {
+    val grams = table(spark, dir, "documents")
+      .select(Dedup.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+    val big = grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("c")).as("c1"), count(lit(1)).as("n_after"))
+    val cont = big.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n_before"))
+    val nBig = big.agg(count(lit(1)).as("n_big"))
+    big.filter(col("c") >= minCount)
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(nBig))
+      .select(col("w1"), col("w2"), col("c"), col("c1"),
+        col("n_after"), col("n_before"),
+        (greatest(col("c").cast("double") - lit(discount), lit(0.0))
+          / col("c1")
+          + lit(discount) * col("n_after") / col("c1")
+          * (col("n_before").cast("double") / col("n_big")))
+          .as("p_kn"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   /** DSIR-style importance log-weights for domain-targeted data
     * selection (Xie et al.'s data selection with importance resampling,
     * hashed-n-gram flavor): tokens hash into `buckets` buckets, the

@@ -446,6 +446,71 @@ class DriverRound12Spec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("text_kneser_ney: every probability equals an exact driver-side " +
+      "replay of the discount + continuation formula, and the declared " +
+      "surface is exactly the c >= 5 bigrams") {
+    val docs = graft.schema.Schemas.table(spark, sf, "documents")
+      .select(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .collect().map(_.getString(0))
+    val bigrams = docs.flatMap { t =>
+      val w = t.split(" ")
+      if (w.length >= 2) w.sliding(2).map(p => (p(0), p(1))).toSeq
+      else Seq.empty
+    }
+    val big = bigrams.groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val ctx = big.groupBy(_._1._1).map { case (w1, m) =>
+      w1 -> (m.values.sum, m.size.toLong) }
+    val cont = big.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val nBig = big.size.toLong
+    val got = TextAnalysis.textKneserNey(spark, sf).collect()
+    assert(got.length == big.count(_._2 >= 5L), "surface = {c >= 5} exactly")
+    got.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      val c = r.getLong(2)
+      assert(c == big((w1, w2)))
+      val (c1, nAfter) = ctx(w1)
+      val nBefore = cont(w2)
+      assert(r.getLong(3) == c1 && r.getLong(4) == nAfter &&
+        r.getLong(5) == nBefore, s"stats for ($w1,$w2)")
+      // same IEEE op order as the Column expression — bit-exact compare
+      val want = math.max(c - 0.75, 0.0) / c1 +
+        0.75 * nAfter / c1 * (nBefore.toDouble / nBig)
+      assert(r.getDouble(6) == want, s"p_kn($w2|$w1)")
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
+  test("sample_kcenter_coreset: picks equal an exact greedy farthest-point " +
+      "replay (argmax of min d2, id tie-break), radius non-increasing") {
+    val vecs = graft.schema.Schemas.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = vecs.map { case (id, v) => id -> dot(v, v) }
+    var chosen = Vector(0L)
+    var want = Vector((0L, 1, 0.0))
+    for (step <- 2 to 8) {
+      val (id, md2) = vecs.keys.filterNot(chosen.contains).map { id =>
+        id -> chosen.map(c =>
+          nrm(id) + nrm(c) - 2.0 * dot(vecs(id), vecs(c))).min
+      }.minBy { case (i, d) => (-d, i) }
+      chosen :+= id
+      want :+= ((id, step, md2))
+    }
+    val got = Similarity.sampleKcenterCoreset(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq == want)
+    got.sliding(2).foreach { case Array(a, b) =>
+      if (a._2 >= 2) assert(b._3 <= a._3, s"radius rose at pick ${b._2}")
+    }
+  }
+
   test("feature_target_encode: encoding is the leave-one-out smoothed " +
       "mean — verified against a direct per-row computation") {
     val ev = graft.schema.Schemas.events(spark, sf)
