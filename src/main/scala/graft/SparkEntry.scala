@@ -235,7 +235,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Pipeline.packBinFfd(s, d)),
     "graph_closeness_sampled" ->
       ((s: SparkSession, d: String) => Analytics.graphClosenessSampled(s, d)),
-    "ts_mann_kendall"        -> Analytics4.tsMannKendall _,
+    "ts_mann_kendall"        ->
+      ((s: SparkSession, d: String) => Analytics4.tsMannKendall(s, d)),
     // image-modality near-dup: REAL javax.imageio decode → integer dHash
     "multimodal_phash_dedup" ->
       ((s: SparkSession, d: String) => Multimodal.multimodalPhashDedup(s, d)),

@@ -1082,51 +1082,98 @@ object Analytics4 {
     * average TWO doubles — addition of two doubles is commutative, so
     * the aggregate order cannot change the bits).
     *
-    * Scale shape: the pair join is per-user (one user-key exchange,
-    * O(k²) pairs for per-user activity k — bounded by activity, not
-    * corpus; ~2 k pairs at k≈67 here). For heavy users the O(k log k)
-    * inversion-count form of S (merge sort) and sampled-pair Sen
-    * drop in per group; the panel's aggregates are all
-    * map-side-combined. */
-  def tsMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape (the r12-advised O(k log k) form): ONE exchange on
+    * user_id, engine-side sort by (ts, event_id), then a per-group
+    * merge-sort inversion count — S = C(k,2) − T − 2·inv where inv =
+    * #time-ordered pairs with a strict value decrease and T = Σ t(t−1)/2
+    * tie pairs — so S costs O(k log k) per user, never O(k²), and a
+    * 10⁵-event hot key is ~1.7 M comparisons, not 5×10⁹ pairs
+    * (pinned by the hot-key spec). Sen keeps the EXACT pairwise median
+    * for k ≤ `exactSenMax` (the entire driver corpus — the regime the
+    * DuckDB oracle replays hash-exact) and above it switches to a
+    * deterministic sampled-pair median (`senSamples` splitmix64-drawn
+    * pairs seeded by user_id — reproducible, documented contract: the
+    * sampled median is a √senSamples-consistent estimator, the
+    * standard Theil–Sen scale form). The in-group recurrence rides
+    * `flatMapSortedGroups` like the Kadane/debounce/FFD family; the
+    * z/variance arithmetic stays in Catalyst on exact integers. */
+  def tsMannKendall(spark: SparkSession, dir: String,
+      exactSenMax: Int = 4096, senSamples: Int = 20000): DataFrame = {
+    import spark.implicits._
     val ev = graft.schema.Schemas.events(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), round(col("value") * lit(1e6)).cast("long").as("v6"))
-    val a = ev.select(col("user_id"), col("us").as("us_a"),
-      col("event_id").as("id_a"), col("v6").as("v_a"))
-    val b = ev.select(col("user_id"), col("us").as("us_b"),
-      col("event_id").as("id_b"), col("v6").as("v_b"))
-    val pairs = a.join(b, Seq("user_id"))
-      .filter(col("us_a") < col("us_b") ||
-        (col("us_a") === col("us_b") && col("id_a") < col("id_b")))
-    val sStat = pairs.groupBy(col("user_id"))
-      .agg(sum(signum(col("v_b") - col("v_a")).cast("long")).as("s_stat"),
-        count(lit(1)).as("n_pairs"))
-    // tie correction: Σ t(t−1)(2t+5) over equal-value groups
-    val ties = ev.groupBy(col("user_id"), col("v6"))
-      .agg(count(lit(1)).as("t"))
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_groups"),
-        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie18"),
-        sum(col("t")).as("n"))
-    // Sen slope: exact median of per-pair slopes (time-distinct pairs)
-    val slopes = pairs.filter(col("us_a") =!= col("us_b"))
-      .select(col("user_id"),
-        ((col("v_b") - col("v_a")).cast("double") /
-          (col("us_b") - col("us_a")).cast("double")).as("slope"),
-        col("id_a"), col("id_b"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("slope"), col("id_a"), col("id_b"))
-    val ranked = slopes.withColumn("rn", row_number().over(w))
-    val m = slopes.groupBy(col("user_id")).agg(count(lit(1)).as("m"))
-    val sen = ranked.join(broadcast(m), Seq("user_id"))
-      .filter((col("m") % 2 === 1 && col("rn") === (col("m") + 1) / 2) ||
-        (col("m") % 2 === 0 &&
-          (col("rn") === col("m") / 2 || col("rn") === col("m") / 2 + 1)))
-      .groupBy(col("user_id"))
-      .agg((sum(col("slope")) / count(lit(1))).as("sen_slope"))
-    sStat.join(ties, Seq("user_id"))
-      .join(sen, Seq("user_id"))
+      .as[(Long, Long, Long, Long)]
+    val panel = ev.groupByKey(_._1)
+      .flatMapSortedGroups(col("us"), col("event_id")) { (user, it) =>
+        val rows = it.toArray // (user, us, id, v6) in pair order
+        val k = rows.length
+        val vs = Array.tabulate(k)(i => rows(i)._4)
+        val inv = countInversions(vs.clone())
+        var tiePairs = 0L; var tie18 = 0L
+        val counts = scala.collection.mutable.LongMap.empty[Long]
+        var i = 0
+        while (i < k) {
+          counts(vs(i)) = counts.getOrElse(vs(i), 0L) + 1L; i += 1
+        }
+        counts.foreach { case (_, t) =>
+          tiePairs += t * (t - 1) / 2
+          tie18 += t * (t - 1) * (2 * t + 5)
+        }
+        val nPairs = k.toLong * (k - 1) / 2
+        val s = nPairs - tiePairs - 2L * inv
+        // Sen slopes over time-distinct pairs: each slope is ONE double
+        // division — identical numerics to the oracle's pair join
+        val slopes = scala.collection.mutable.ArrayBuffer.empty[Double]
+        if (k <= exactSenMax) {
+          var a = 0
+          while (a < k) {
+            var b = a + 1
+            while (b < k) {
+              if (rows(a)._2 != rows(b)._2)
+                slopes += (rows(b)._4 - rows(a)._4).toDouble /
+                  (rows(b)._2 - rows(a)._2).toDouble
+              b += 1
+            }
+            a += 1
+          }
+        } else {
+          // deterministic sampled-pair regime: splitmix64 stream seeded
+          // by user_id — same user, same corpus ⇒ same sample, no RNG
+          // state shared across keys
+          var state = user * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+          def next(): Long = {
+            state += 0x9E3779B97F4A7C15L
+            var z = state
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          var drawn = 0
+          while (drawn < senSamples) {
+            val a = ((next() >>> 1) % k).toInt
+            val b = ((next() >>> 1) % k).toInt
+            if (a != b && rows(a)._2 != rows(b)._2) {
+              val (lo, hi) = if (a < b) (a, b) else (b, a)
+              slopes += (rows(hi)._4 - rows(lo)._4).toDouble /
+                (rows(hi)._2 - rows(lo)._2).toDouble
+            }
+            drawn += 1
+          }
+        }
+        if (slopes.isEmpty) Iterator.empty
+        else {
+          val arr = slopes.toArray
+          java.util.Arrays.sort(arr)
+          val m = arr.length
+          val sen =
+            if (m % 2 == 1) arr(m / 2)
+            else (arr(m / 2 - 1) + arr(m / 2)) / 2.0
+          Iterator.single((user, k.toLong, s, tie18, sen))
+        }
+      }
+      .toDF("user_id", "n", "s_stat", "tie18", "sen_slope")
+    panel
       .withColumn("var18",
         col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie18"))
       .select(col("user_id"), col("n"), col("s_stat"), col("var18"),
@@ -1139,5 +1186,32 @@ object Analytics4 {
           .otherwise(lit(0.0)).as("z"),
         col("sen_slope"))
       .orderBy(col("user_id"))
+  }
+
+  /** Merge-sort inversion count: #pairs i < j with a(j) < a(i),
+    * strict — ties contribute nothing (they're the Mann–Kendall tie
+    * term, counted separately). Destroys `a`; O(k log k), O(k) scratch. */
+  private def countInversions(a: Array[Long]): Long = {
+    val buf = new Array[Long](a.length)
+    def merge(lo: Int, mid: Int, hi: Int): Long = {
+      var inv = 0L
+      var i = lo; var j = mid; var o = lo
+      while (i < mid && j < hi) {
+        if (a(j) < a(i)) { inv += mid - i; buf(o) = a(j); j += 1 }
+        else { buf(o) = a(i); i += 1 }
+        o += 1
+      }
+      while (i < mid) { buf(o) = a(i); i += 1; o += 1 }
+      while (j < hi) { buf(o) = a(j); j += 1; o += 1 }
+      System.arraycopy(buf, lo, a, lo, hi - lo)
+      inv
+    }
+    def sort(lo: Int, hi: Int): Long =
+      if (hi - lo < 2) 0L
+      else {
+        val mid = lo + (hi - lo) / 2
+        sort(lo, mid) + sort(mid, hi) + merge(lo, mid, hi)
+      }
+    sort(0, a.length)
   }
 }

@@ -141,6 +141,15 @@ object Schemas {
               .otherwise(raise_error(concat(
                 lit(s"drifted $name.$c out of INT32 range: "),
                 src.cast("string"))).cast(want))
+          // LOSSY storage drift: a DOUBLE-contract column stored as
+          // FLOAT already lost mantissa bits at write time — widening
+          // it back cannot recover them, and every downstream
+          // integer-exact oracle (×10⁶ scaling) would silently diverge.
+          // TableTypeDriftSpec's contract: this class must fail
+          // visibly, never auto-widen.
+          case (FloatType, DoubleType) =>
+            raise_error(lit(s"drifted $name.$c stored as FLOAT: lossy " +
+              "vs the DOUBLE contract — regenerate the corpus")).cast(want)
           case _ => src.cast(want)
         }
         d.withColumn(c, guarded)

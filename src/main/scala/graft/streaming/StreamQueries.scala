@@ -96,7 +96,15 @@ object StreamQueries {
       "value" -> DoubleType, "event_type" -> StringType,
       "props" -> StringType).foldLeft(tsFixed) { case (d, (c, t)) =>
       if (d.schema.fieldNames.contains(c) && d.schema(c).dataType != t)
-        d.withColumn(c, col(c).cast(t))
+        // FLOAT-stored value is LOSSY drift vs the DOUBLE contract —
+        // fail visibly (Schemas.normalizePhysicalTypes discipline),
+        // never silently widen a column that already dropped mantissa
+        // bits at write time.
+        if (c == "value" && d.schema(c).dataType == FloatType)
+          d.withColumn(c, raise_error(lit(
+            s"drifted events.$c stored as FLOAT: lossy vs the DOUBLE " +
+              "contract — regenerate the corpus")).cast(t))
+        else d.withColumn(c, col(c).cast(t))
       else d
     }
   }
@@ -1066,10 +1074,14 @@ object StreamQueries {
     * n ≥ `minN` priors — the online drift/outlier gate a feature
     * pipeline runs at ingest. The z test is CROSS-MULTIPLIED into one
     * integer comparison ((x·n − s)² > τ²·(n·q − s²)), so the verdict
-    * is exact — no floating point anywhere. (Bounds: |x| ≤ 5·10⁵ at
-    * this value scale keeps every product inside 63 bits up to n ≈ 10⁴
-    * events/key; past that the same comparison rides DECIMAL(38) like
-    * agg_skew_kurtosis.) State updates AFTER the test: a point is
+    * is exact — no floating point anywhere. (Bounds: at |x| ≤ 5·10⁵
+    * the binding term is dev² = (x·n − s)² ≤ (2n·5·10⁵)², inside 63
+    * bits only up to n ≈ 3·10³ events/key — NOT 10⁴: s² alone is
+    * (n·5·10⁵)² which overflows at n ≈ 6·10³. Past n ≈ 3·10³ Spark
+    * would wrap Long silently while the DuckDB oracle raises, so the
+    * comparison must ride DECIMAL(38) like agg_skew_kurtosis; the
+    * corpus keyspace here peaks at ~400 events/key, well inside the
+    * exact envelope.) State updates AFTER the test: a point is
     * judged against its priors only, never against itself. */
   private class AnomalyZProcessor(tau2: Long, minN: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[

@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Mechanized per-query bench budget (r12 advice #6): time registered
+  * queries once at sf0.1 and FAIL LOUDLY (exit 1) when any exceeds its
+  * budget — the guard that keeps a plan-recursion bug (the
+  * `sample_kcenter_coreset` 179 s incident, r12) from ever reaching an
+  * official driver bench again. The rule it mechanizes is r11 advice
+  * #6: a new operator lands only if it runs <3 s at sf0.1 OR carries an
+  * explicit shared-index amortization / streaming-floor note — those
+  * exceptions live in [[amortized]], IN CODE, so an undocumented slow
+  * query cannot pass silently (the `SparkEntry.noOracleByDesign`
+  * pinning discipline).
+  *
+  * Usage: runMain graft.tools.BenchBudget [queryName ...]
+  *   - no args: the FULL registered surface (retroactive audit mode)
+  *   - names:   just those queries (pre-commit check for new operators)
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  *      SPARK_GRAFT_BUDGET_SEC (default 3.0).
+  *
+  * Measurement discipline: same session shape as [[graft.Bench]]
+  * (clamped local[N], AQE, sorted order) including the untimed sf0.001
+  * warm-up, but SINGLE-pass — this is a budget gate with ~2× headroom
+  * built into the limits, not a benchmark; best-of-2 belongs to the
+  * official bench. Dev/CI tool only — not part of the driver contract.
+  */
+object BenchBudget {
+
+  /** Documented exceptions: query → (budget seconds, why). Every entry
+    * must name the amortization or floor that justifies it; "it's slow"
+    * is not a note. Streaming queries pay a fixed micro-batch/state-
+    * store floor (~1–2.5 s at any SF); index-builder queries pay a
+    * build that later queries in the same family ride for free. */
+  val amortized: Map[String, (Double, String)] = Map(
+    "stream_stream_join" -> (8.0,
+      "two watermarked sources + interval-join state floor; r11 quiet band 2.4 s"),
+    "stream_session_window" -> (8.0,
+      "session-gap state floor + multi-batch drain; r11 quiet band 1.7 s"),
+    "stream_late_data" -> (6.0,
+      "multi-batch drain to exercise lateness; floor not data cost"),
+    "stream_transform_with_state" -> (6.0,
+      "transformWithState store init floor"),
+    "stream_anomaly_zscore" -> (6.0,
+      "transformWithState store init floor"),
+    "stream_dedup_watermark" -> (6.0, "stateful dedup store floor"),
+    "stream_foreachbatch_upsert" -> (6.0, "multi-batch foreachBatch floor"),
+    "sql_basket_affinity" -> (6.0,
+      "builds + persists the (order, brand) pair index other sql_* ride; r11 quiet 1.9 s"),
+    "sql_sole_fault_supplier" -> (6.0,
+      "rides the persisted lineitem-supplier index; r11 quiet 1.3 s"),
+    "graph_pagerank_deep" -> (6.0,
+      "20-round BSP with per-round localCheckpoint; constant per-round plan"),
+    "graph_reachability" -> (6.0,
+      "multi-hop BSP over the persisted adjacency index"),
+    "dedup_minhash_lsh" -> (6.0,
+      "builds + persists the banded-signature index the dedup family rides"),
+    "ml_rf_versions" -> (10.0, "three RF fits (growing windows), seed 42"),
+    "ml_importances" -> (8.0, "RF fit behind the importance extract"),
+    "ml_predict" -> (8.0, "RF fit behind the scorer"),
+    "ts_mann_kendall" -> (4.0,
+      "exact inversion-count regime at sf0.1; hot keys ride the sampled-Sen path")
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "3.0").toDouble
+    val requested = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val cpus = math.max(1,
+      math.min(requested, Runtime.getRuntime.availableProcessors())).toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val warmDir = "/root/testdata/sf0.001"
+    try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    try graft.query.Dedup.dedupMinhashLsh(spark, warmDir).count()
+    catch { case _: Throwable => }
+    try graft.streaming.StreamQueries.streamWindowAgg(spark, warmDir).count()
+    catch { case _: Throwable => }
+
+    val all = graft.SparkEntry.queries
+    val selected =
+      if (args.nonEmpty) {
+        val missing = args.filterNot(all.contains)
+        if (missing.nonEmpty) {
+          System.err.println(s"unknown queries: ${missing.mkString(", ")}")
+          spark.stop(); sys.exit(2)
+        }
+        args.toSeq.distinct
+      } else all.keys.toSeq.sorted
+
+    var over = List.empty[(String, Double, Double)]
+    selected.foreach { name =>
+      val t0 = System.nanoTime()
+      val ok = try { all(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"ERROR $name: ${e.getMessage}"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val cap = amortized.get(name).map(_._1).getOrElse(budget)
+      val flag = if (!ok) "ERR " else if (sec > cap) "OVER" else "ok  "
+      println(f"$flag $name%-40s ${sec}%8.3f s (cap $cap%5.1f)")
+      if (!ok || sec > cap) over ::= ((name, sec, cap))
+    }
+    spark.stop()
+    if (over.nonEmpty) {
+      System.err.println(s"BUDGET VIOLATIONS (${over.size}):")
+      over.reverse.foreach { case (n, s, c) =>
+        System.err.println(f"  $n: ${s}%.3f s > cap ${c}%.1f s — add the " +
+          "operator's amortization note to BenchBudget.amortized or fix the plan")
+      }
+      sys.exit(1)
+    }
+    println(s"BUDGET OK: ${selected.size} queries within budget at $sfDir")
+  }
+}

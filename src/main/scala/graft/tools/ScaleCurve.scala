@@ -35,7 +35,12 @@ object ScaleCurve {
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
-    val dstDir = s"target/scale/sf${copies / 10}"
+    // keyed by the copies count itself: sf${copies/10} collided
+    // distinct sizes (10 and 12 both → "sf1", 5 → "sf0") and the
+    // _GRAFT_COMPLETE marker then served a stale corpus while
+    // lastSpan assumed the requested size — silently skewing the
+    // fitted exponent (r12 advice)
+    val dstDir = s"target/scale/x$copies"
     val cpus = math.max(1, math.min(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
       Runtime.getRuntime.availableProcessors())).toString
