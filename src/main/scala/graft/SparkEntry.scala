@@ -673,6 +673,14 @@ object SparkEntry {
     // market-basket rule panel (confidence/lift over the pair index)
     "sql_basket_rules"       ->
       ((s: SparkSession, d: String) => Analytics5.sqlBasketRules(s, d)),
+    // round 13: layered ANN seed, fixed-window exact-substring census,
+    // two-stage retrieval rerank (pool-bounded pairwise scorer)
+    "ann_hnsw_layers"        ->
+      ((s: SparkSession, d: String) => Similarity.annHnswLayers(s, d)),
+    "dedup_exact_substring"  ->
+      ((s: SparkSession, d: String) => Dedup.dedupExactSubstring(s, d)),
+    "retrieval_rerank_crossenc" ->
+      ((s: SparkSession, d: String) => Similarity.retrievalRerankCrossenc(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6777,6 +6785,117 @@ object SparkEntry {
         |    AS span_freq_sum
         |FROM win WHERE span_n = 20
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // deterministic geometric levels from the cross-engine 60-bit hash;
+    // exact top-4 per (layer, src) with dst-id tie-break
+    "ann_hnsw_layers" ->
+      """WITH lv AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM embeddings
+        |), lev AS (
+        |  SELECT vec_id, e,
+        |    CASE WHEN h % 4096 = 0 THEN 3 WHEN h % 256 = 0 THEN 2
+        |         WHEN h % 16 = 0 THEN 1 ELSE 0 END AS level
+        |  FROM lv
+        |), mem AS (
+        |  SELECT vec_id, e, CAST(layer AS INT) AS layer
+        |  FROM lev,
+        |    LATERAL (SELECT unnest(generate_series(1, level)) AS layer) s
+        |  WHERE level >= 1
+        |), pairs AS (
+        |  SELECT a.layer, a.vec_id AS src, b.vec_id AS dst,
+        |    list_dot_product(a.e, b.e) AS cosine
+        |  FROM mem a JOIN mem b
+        |    ON a.layer = b.layer AND a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT layer, src, dst, cosine, CAST(row_number() OVER (
+        |    PARTITION BY layer, src ORDER BY cosine DESC, dst) AS INT)
+        |    AS rank
+        |  FROM pairs
+        |)
+        |SELECT layer, src, rank, dst, cosine FROM ranked
+        |WHERE rank <= 4 ORDER BY layer, src, rank""".stripMargin,
+    // fixed-window (8-token, stride-1) repeated-span census over the
+    // planted-near-dup corpus; windows keyed by the 60-bit md5 hash
+    "dedup_exact_substring" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        |planted AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'planted near duplicate copy ' || text AS text
+        |  FROM documents WHERE doc_id < 10
+        |), docs AS (
+        |  SELECT * FROM d0 UNION ALL SELECT * FROM planted
+        |), toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM docs
+        |), wins AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(array_to_string(
+        |      t[i : i + 7], ' ')), 1, 15) AS BIGINT) AS h
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1,
+        |      CAST(len(t) AS INT) - 7)) AS i) s
+        |  WHERE len(t) >= 8
+        |)
+        |SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occ,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY h""".stripMargin,
+    // pool recall (brute-force top-10 dots) → per-pair feature blend:
+    // 0.6·cosine + 0.3·token-jaccard + 0.1·length-ratio, exact integer
+    // set sizes, fixed-order double arithmetic
+    "retrieval_rerank_crossenc" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        |  WHERE vec_id = 0
+        |), cand AS (
+        |  SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), q.qe) AS cosine
+        |  FROM embeddings, q WHERE vec_id <> 0
+        |  ORDER BY cosine DESC, vec_id LIMIT 10
+        |), toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), qtok AS (
+        |  SELECT DISTINCT unnest(t) AS tok FROM toks WHERE doc_id = 0
+        |), qstats AS (
+        |  SELECT (SELECT count(*) FROM qtok) AS nq,
+        |    (SELECT len(t) FROM toks WHERE doc_id = 0) AS qlen
+        |), ctok AS (
+        |  SELECT c.vec_id, tk.tok
+        |  FROM cand c JOIN toks d ON d.doc_id = c.vec_id,
+        |    LATERAL (SELECT DISTINCT unnest(d.t) AS tok) tk
+        |), inter AS (
+        |  SELECT c.vec_id, count(*) AS ni
+        |  FROM (SELECT DISTINCT vec_id, tok FROM ctok) c
+        |  JOIN qtok q USING (tok) GROUP BY 1
+        |), dstats AS (
+        |  SELECT c.vec_id,
+        |    (SELECT count(DISTINCT tok) FROM ctok x
+        |      WHERE x.vec_id = c.vec_id) AS nd,
+        |    (SELECT len(t) FROM toks WHERE doc_id = c.vec_id) AS dlen
+        |  FROM cand c
+        |), feat AS (
+        |  SELECT c.vec_id, c.cosine,
+        |    CAST(coalesce(i.ni, 0) AS DOUBLE)
+        |      / CAST(d.nd + s.nq - coalesce(i.ni, 0) AS DOUBLE) AS jaccard,
+        |    CAST(least(d.dlen, s.qlen) AS DOUBLE)
+        |      / CAST(greatest(d.dlen, s.qlen) AS DOUBLE) AS len_ratio
+        |  FROM cand c
+        |  LEFT JOIN inter i ON i.vec_id = c.vec_id
+        |  JOIN dstats d ON d.vec_id = c.vec_id, qstats s
+        |)
+        |SELECT CAST(row_number() OVER (
+        |    ORDER BY 0.6 * cosine + 0.3 * jaccard + 0.1 * len_ratio DESC,
+        |      vec_id) AS INT) AS rank,
+        |  vec_id, cosine, jaccard, len_ratio,
+        |  0.6 * cosine + 0.3 * jaccard + 0.1 * len_ratio AS score
+        |FROM feat
+        |ORDER BY rank""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

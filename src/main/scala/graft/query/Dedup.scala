@@ -800,4 +800,43 @@ object Dedup {
         coalesce(!col("removed"), lit(true)).as("kept"))
       .orderBy(col("vec_id"))
   }
+
+  /** Exact repeated-substring detection at fixed window granularity:
+    * every `windowTokens`-token sliding window (stride 1) is hashed
+    * ([[hash60]] — cross-engine), and a window whose hash appears in
+    * ≥ 2 distinct documents is a repeated exact span — the
+    * fixed-window reduction of suffix-array substring dedup (a
+    * repeated substring of length ≥ L is detected by its length-L
+    * windows, so window granularity gives the same recall for spans
+    * ≥ L at a fraction of the machinery). Output: one row per
+    * repeated span class with its document reach and occurrence
+    * count — the span blocklist a training pipeline subtracts.
+    *
+    * Scale shape: tokenize → slide → hash is map-only (shinglesFrom-
+    * Tokens is one codegen'd projection, no explode-join); the single
+    * shuffle groups by the 60-bit hash — uniform keys, no skew, and
+    * the count/min/max aggregates are map-side-combined. At 100 TB
+    * this is the standard one-pass span census; a true suffix-array
+    * build (contiguous global sort of every suffix) buys arbitrary-
+    * length spans at ≥ 10× the shuffle and is the documented
+    * alternative, not the default. Planted near-dups ride along so
+    * the synthetic corpus (no natural cross-doc 8-grams) exercises
+    * the ≥ 2-doc filter. */
+  def dedupExactSubstring(spark: SparkSession, dir: String,
+      windowTokens: Int = 8): DataFrame = {
+    val docs = withPlantedNearDups(table(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= windowTokens)
+    val wins = docs
+      .select(col("doc_id"),
+        explode(shinglesFromTokens(col("toks"), windowTokens)).as("win"))
+      .select(col("doc_id"), hash60(col("win")).as("h"))
+    wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("h"))
+  }
 }

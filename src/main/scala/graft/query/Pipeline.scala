@@ -298,6 +298,16 @@ object Pipeline {
     * bound degrades only by the shards' tail items. The in-group
     * first-fit scan here is the textbook O(n·bins) form; the classic
     * O(n log n) segment-tree variant drops in when groups are huge.
+    *
+    * HOT-SOURCE CONTRACT (the `anomaly_alert_debounce` precedent): a
+    * single gigantic source serializes into one task — cost is
+    * bounded by the LARGEST GROUP, not the corpus, and is O(k·bins)
+    * time / O(bins) state for a k-doc source (a 20k-doc hot source is
+    * pinned bounded by Round13Spec). At 100 TB a source above ~10⁶
+    * docs should be pre-sharded with the (source, hash-bucket) scheme
+    * above before packing; this operator deliberately does not shard
+    * implicitly, because silently splitting a group changes the
+    * packing the oracle replays.
     * The oracle replays the identical recurrence as a recursive CTE
     * carrying the bin-load list. Integer-exact throughout. */
   def packBinFfd(spark: SparkSession, dir: String,

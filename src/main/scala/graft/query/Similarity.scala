@@ -877,12 +877,22 @@ object Similarity {
     * for later picks.
     *
     * Scale shape: the corpus-sized work is exactly one brute-force
-    * top-`pool` scan ([[bruteForceTopK]]'s TakeOrdered plan); the
-    * greedy unroll then runs entirely on the pool — `select` rounds of
-    * broadcast-joined argmax over ≤ pool rows, pool² pairwise dots —
-    * all O(pool²) regardless of corpus size, never collected to the
-    * driver. Every comparison replays in the oracle (double dots,
-    * fixed-order λ arithmetic, id tie-breaks).
+    * top-`pool` scan ([[bruteForceTopK]]'s TakeOrdered plan); one
+    * further job computes the pool² pairwise dots (codegen'd
+    * float_dot). Both land a ≤ pool-row / ≤ pool²-entry panel on the
+    * driver, and the greedy unroll runs THERE — O(pool²·select) double
+    * arithmetic on ≤ 10 rows, the same driver-held-panel discipline as
+    * [[sampleKcenterCoreset]]. The former DataFrame fold referenced
+    * `selected` twice per round (the argmax join and the left_anti),
+    * so its plan doubled per pick — harmless at depth 2 over a
+    * broadcast pool, but the exact lazy-lineage recursion class that
+    * cost `sample_kcenter_coreset` 179 s (r12); this form's plan is
+    * TWO constant-size jobs regardless of `select` (pinned by the
+    * round-13 job-count spec). Numerics are unchanged: the collected
+    * rel/sim doubles are the plan's own codegen'd values, and the
+    * driver replays the identical IEEE ops (λ·rel − μ·msim, max with
+    * id tie-break) the Catalyst fold ran — the spec's bit-exact replay
+    * still passes untouched.
     *
     * The diversity coefficient is an EXPLICIT parameter `mu`, not
     * `1.0 - lambda`: `1.0 - 0.7` rounds to 0.30000000000000004, one
@@ -899,27 +909,137 @@ object Similarity {
       .join(broadcast(bruteForceTopK(spark, dir, queryId, pool)
         .withColumnRenamed("cosine", "rel")), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("rel"))
-    val pairs = pe.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val rel = pe.select(col("vec_id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sim = pe.select(col("vec_id").as("a"), col("embedding").as("ea"))
       .crossJoin(broadcast(pe.select(col("vec_id").as("b"),
         col("embedding").as("eb"))))
       .filter(col("a") =!= col("b"))
       .select(col("a"), col("b"), expr("float_dot(ea, eb)").as("sim"))
-    val first = pe.orderBy(col("rel").desc, col("vec_id")).limit(1)
-      .select(col("vec_id"), lit(1).as("pick_order"),
-        col("rel").as("score"))
-    val picks = (2 to select).foldLeft(first) { (selected, step) =>
-      val maxSim = pairs
-        .join(broadcast(selected.select(col("vec_id").as("b"))), Seq("b"))
-        .groupBy(col("a").as("vec_id")).agg(max(col("sim")).as("msim"))
-      val next = pe
-        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .join(broadcast(maxSim), Seq("vec_id"))
-        .select(col("vec_id"), lit(step).as("pick_order"),
-          (lit(lambda) * col("rel") - lit(mu) * col("msim"))
-            .as("score"))
-        .orderBy(col("score").desc, col("vec_id")).limit(1)
-      selected.unionAll(next)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    (1 to select).foreach { step =>
+      val cand = rel.keys.filterNot(id => selected.exists(_._1 == id))
+      val scored = cand.map { id =>
+        val score =
+          if (step == 1) rel(id)
+          else lambda * rel(id) -
+            mu * selected.map(s => sim((id, s._1))).max
+        id -> score
+      }
+      val (id, score) = scored.minBy { case (i, sc) => (-sc, i) }
+      selected += ((id, step, score))
     }
-    picks.orderBy(col("pick_order"))
+    import spark.implicits._
+    selected.toSeq.toDF("vec_id", "pick_order", "score")
+      .orderBy(col("pick_order"))
+  }
+
+  /** HNSW-style layered ANN seed: every vector draws a level from a
+    * deterministic geometric distribution (p = 1/16 per level, from the
+    * cross-engine [[Dedup.hash60]] of its id — the hash-derived stand-in
+    * for HNSW's `floor(-ln(U)/ln(M))` draw), and each upper layer
+    * ℓ ≥ 1 gets exact top-`m` neighbor edges among its members — the
+    * coarse navigation skeleton a layered graph-ANN search descends
+    * before handing off to the base layer (whose edges are
+    * [[graft.query.TextAnalysis]]'s `ann_knn_graph_mutual`; this
+    * operator deliberately emits layers ≥ 1 only).
+    *
+    * Scale shape: layer populations shrink geometrically (n/16^ℓ), so
+    * the pairwise join is over ~n/16 rows at worst and the edge count
+    * is m·n/16 — at bench scale a broadcast self-join; at 10⁹ vectors
+    * layer 1 is ~6×10⁷ nodes, where the same top-m-per-src rides the
+    * sign-LSH bucket machinery ([[lshTopK]]) instead of all-pairs —
+    * the layer ASSIGNMENT (a map-only hash) and the edge schema are
+    * unchanged, which is the contract this operator pins. Exactness:
+    * levels are integer hash arithmetic; cosines are the codegen'd
+    * float_dot doubles; ranks break ties by dst id. */
+  def annHnswLayers(spark: SparkSession, dir: String,
+      maxLevel: Int = 3, m: Int = 4): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val lv = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Dedup.hash60(col("vec_id").cast("string")).as("h"))
+      .withColumn("level",
+        when(col("h") % 4096 === 0, 3)
+          .when(col("h") % 256 === 0, 2)
+          .when(col("h") % 16 === 0, 1)
+          .otherwise(0))
+    val members = lv.filter(col("level") >= 1)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(1), least(col("level"), lit(maxLevel))))
+          .as("layer"))
+    val a = members.select(col("layer"), col("vec_id").as("src"),
+      col("embedding").as("ea"))
+    val b = members.select(col("layer"), col("vec_id").as("dst"),
+      col("embedding").as("eb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("layer"), col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    a.join(broadcast(b), Seq("layer"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("layer"), col("src"), col("dst"),
+        expr("float_dot(ea, eb)").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col("layer"), col("src"), col("rank"), col("dst"),
+        col("cosine"))
+      .orderBy(col("layer"), col("src"), col("rank"))
+  }
+
+  /** Cross-encoder-shaped reranking: take the ANN top-`pool` for the
+    * query, then re-score each (query, candidate) PAIR with an
+    * interaction scorer over both texts — the standard two-stage
+    * retrieval architecture (cheap recall pass over the corpus, an
+    * expensive pairwise scorer over the bounded pool). The scorer here
+    * is a deterministic feature blend — wCos·cosine +
+    * wJac·token-Jaccard + wLen·length-ratio — standing in the exact
+    * slot a learned cross-encoder occupies: scoring touches ONLY the
+    * ≤ pool pairs, so swapping in a real model (a `mapInPandas` batch
+    * scorer, the [[graft.query.Multimodal]] discipline) changes no
+    * plan shape. This operator pins that plumbing: pool recall →
+    * pair-text join → per-pair score → total rerank.
+    *
+    * Scale shape: corpus-sized work is exactly [[bruteForceTopK]]'s
+    * one TakeOrdered scan; the candidate texts arrive by joining the
+    * ≤ pool ids against `documents` (broadcast the ids, prune the
+    * scan), and the rerank window sorts ≤ pool rows. Exactness: the
+    * Jaccard is one division of exact integer set sizes (union =
+    * |d| + |q| − |∩|, computed from counts so both engines agree),
+    * the length ratio is an exact integer division, and the blend is
+    * fixed-order double arithmetic. */
+  def retrievalRerankCrossenc(spark: SparkSession, dir: String,
+      queryId: Long = 0L, pool: Int = 10, wCos: Double = 0.6,
+      wJac: Double = 0.3, wLen: Double = 0.1): DataFrame = {
+    val cand = bruteForceTopK(spark, dir, queryId, pool)
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+    val qt = docs.filter(col("doc_id") === queryId)
+      .select(array_distinct(col("toks")).as("qset"),
+        size(col("toks")).as("qlen"))
+    val feat = cand
+      .join(docs.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
+      .crossJoin(broadcast(qt))
+      .select(col("vec_id"), col("cosine"),
+        size(array_intersect(array_distinct(col("toks")), col("qset")))
+          .as("ni"),
+        size(array_distinct(col("toks"))).as("nd"),
+        size(col("qset")).as("nq"),
+        size(col("toks")).as("dlen"), col("qlen"))
+    val scored = feat.select(col("vec_id"), col("cosine"),
+      (col("ni").cast("double") /
+        (col("nd") + col("nq") - col("ni")).cast("double")).as("jaccard"),
+      (least(col("dlen"), col("qlen")).cast("double") /
+        greatest(col("dlen"), col("qlen")).cast("double")).as("len_ratio"))
+      .withColumn("score",
+        lit(wCos) * col("cosine") + lit(wJac) * col("jaccard") +
+          lit(wLen) * col("len_ratio"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("vec_id"), col("cosine"), col("jaccard"),
+        col("len_ratio"), col("score"))
+      .orderBy(col("rank"))
   }
 }

@@ -64,13 +64,19 @@ object ScaleCurve {
       "token_index" -> Seq("text_bm25", "retrieval_rrf_hybrid"),
       "embedding" -> Seq("dedup_embedding_cosine", "ann_lsh_topk"),
       "streaming" -> Seq("stream_window_agg"),
-      "prefix_sum" -> Seq("s9_batch_assign"))
+      "prefix_sum" -> Seq("s9_batch_assign"),
+      // the r12 greedy-unroll/retrieval tier — exactly the family where
+      // the kcenter plan-recursion defect lived; a super-linear exponent
+      // here is the pre-bench alarm (r12 advice #5)
+      "retrieval_greedy" -> Seq("retrieval_mmr_topk",
+        "sample_kcenter_coreset", "retrieval_colbert_maxsim",
+        "ann_hard_negatives"))
     // SCALE_FAMILIES=embedding,graph_index re-measures a subset
     val families = sys.env.get("SCALE_FAMILIES")
       .map(_.split(",").map(_.trim).toSet)
       .fold(allFamilies)(want => allFamilies.filter(f => want(f._1)))
     val points = Seq("sf0.01" -> srcSmall, "sf0.1" -> srcMid,
-      s"sf${copies / 10}" -> dstDir)
+      s"x$copies" -> dstDir)
 
     // JIT/codegen warm-up outside every timed window, tiny fixture
     families.foreach { case (_, qs) =>
