@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+import graft.query.{Analytics4, Pipeline, Similarity}
+
+/** Round-13 guards: the r12 bench defect was an ITERATIVE operator whose
+  * rounds re-executed each other through unmaterialized lineage
+  * (`sample_kcenter_coreset`, 179 s). These specs pin the fixed shapes
+  * mechanically — job/stage counts measured with a SparkListener must
+  * scale at most linearly in loop depth — plus the hot-key contract for
+  * the O(k log k) Mann–Kendall rewrite and the skewed-source contract
+  * for FFD packing.
+  */
+class DriverRound13Spec extends SparkSpec {
+
+  /** Run `body` and return (jobs, stages) started/completed during it. */
+  private def countWork(body: => Unit): (Int, Int) = {
+    var jobs = 0; var stages = 0
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        synchronized { jobs += 1 }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        synchronized { stages += 1 }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // listener events are posted asynchronously — give the bus a
+      // beat to drain before reading the counters
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(l)
+    (jobs, stages)
+  }
+
+  test("sample_kcenter_coreset: per-round work is constant — jobs and " +
+      "stages grow linearly in k, never multiplicatively") {
+    // warm the norm index + JIT outside the measured window
+    Similarity.sampleKcenterCoreset(spark, sf, k = 2).collect()
+    val (j4, s4) = countWork(Similarity.sampleKcenterCoreset(spark, sf, k = 4).collect())
+    val (j8, s8) = countWork(Similarity.sampleKcenterCoreset(spark, sf, k = 8).collect())
+    // doubling k adds exactly the extra rounds' jobs: the lazy-lineage
+    // recursion this pins against multiplied stages ~3^k (r12: 179 s)
+    assert(j8 - j4 <= 8, s"jobs grew super-linearly: k=4→$j4, k=8→$j8")
+    assert(s8 - s4 <= 12, s"stages grew super-linearly: k=4→$s4, k=8→$s8")
+    // and each round is single-stage map-only: stages ≈ jobs
+    assert(s8 <= j8 + 4, s"rounds stopped being single-stage: $j8 jobs, $s8 stages")
+  }
+
+  test("retrieval_mmr_topk: corpus work is independent of `select` — " +
+      "the greedy unroll adds ZERO jobs per extra pick") {
+    Similarity.retrievalMmrTopk(spark, sf, select = 2).collect()
+    val (j2, _) = countWork(Similarity.retrievalMmrTopk(spark, sf, select = 2).collect())
+    val (j5, _) = countWork(Similarity.retrievalMmrTopk(spark, sf, select = 5).collect())
+    assert(j5 <= j2, s"extra picks spawned extra cluster jobs: select=2→$j2, select=5→$j5")
+  }
+
+  test("graph_reachability / graph_pagerank_deep: per-round materialization " +
+      "holds — stage count stays linear in rounds") {
+    graft.query.Analytics.graphReachability(spark, sf).collect()
+    val (_, s1) = countWork(graft.query.Analytics.graphReachability(spark, sf).collect())
+    // re-run is identical work (the BSP loop localCheckpoints per hop,
+    // so the plan cannot compound across calls either)
+    val (_, s2) = countWork(graft.query.Analytics.graphReachability(spark, sf).collect())
+    assert(s2 <= s1 + 4, s"repeat run grew: $s1 → $s2 stages")
+  }
+
+  test("ts_mann_kendall hot key: a 100k-event user completes in bounded " +
+      "time with closed-form S, variance, and sampled Sen slope") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r13-mk-hot").toString
+    val k = 100000
+    // strictly increasing values (v6 = i) at 1 s spacing: S = C(k,2),
+    // no ties, and EVERY pairwise slope is i/(i·10⁶) = 1e-6 — so the
+    // sampled-regime median must be exactly 1e-6 no matter which pairs
+    // the deterministic sampler draws
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    spark.range(k)
+      .select(col("id").as("event_id"),
+        expr(s"timestamp_millis(${base}L + id * 1000)").as("ts"),
+        lit(7L).as("user_id"), lit("hot").as("event_type"),
+        (col("id").cast("double") / lit(1e6)).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val t0 = System.nanoTime()
+    val rows = Analytics4.tsMannKendall(spark, dir).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 60.0, s"hot key took $sec s — O(k²) regression?")
+    assert(rows.length == 1)
+    val r = rows.head
+    val n = k.toLong
+    assert(r.getLong(1) == n)
+    assert(r.getLong(2) == n * (n - 1) / 2, "S must be C(k,2) for a " +
+      "strictly increasing series")
+    assert(r.getLong(3) == n * (n - 1) * (2 * n + 5), "no ties → full variance")
+    assert(r.getDouble(5) == 1e-6, s"sampled Sen median: ${r.getDouble(5)}")
+    assert(r.getDouble(4) > 0.0, "z must be positive for a rising trend")
+  }
+
+  test("ts_mann_kendall: exact and sampled Sen regimes agree on a " +
+      "constant-slope user straddling the threshold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r13-mk-reg").toString
+    val k = 64
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    spark.range(k)
+      .select(col("id").as("event_id"),
+        expr(s"timestamp_millis(${base}L + id * 1000)").as("ts"),
+        lit(3L).as("user_id"), lit("x").as("event_type"),
+        (col("id").cast("double") / lit(1e6)).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val exact = Analytics4.tsMannKendall(spark, dir).collect().head
+    val sampled = Analytics4.tsMannKendall(spark, dir, exactSenMax = 8)
+      .collect().head
+    assert(exact.getLong(2) == sampled.getLong(2), "S is regime-independent")
+    assert(exact.getDouble(5) == sampled.getDouble(5),
+      "constant-slope series: both regimes must return the exact slope")
+  }
+
+  test("ann_hnsw_layers: geometric level assignment replays the 60-bit " +
+      "md5 hash; ranks dense, cosines non-increasing, members level-valid") {
+    def level(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      if (h % 4096 == 0) 3 else if (h % 256 == 0) 2
+      else if (h % 16 == 0) 1 else 0
+    }
+    val rows = Similarity.annHnswLayers(spark, sf).collect()
+    assert(rows.nonEmpty, "no upper-layer members — corpus too small?")
+    val ids = graft.schema.Schemas.table(spark, sf, "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val expected = ids.filter(level(_) >= 1)
+    val srcByLayer = rows.groupBy(_.getInt(0))
+    srcByLayer.foreach { case (layer, rs) =>
+      // every member of the layer (by the replayed hash) appears as a
+      // src, and every src/dst genuinely belongs there
+      val layerIds = ids.filter(level(_) >= layer)
+      assert(rs.map(_.getLong(1)).toSet == layerIds,
+        s"layer $layer src set mismatch")
+      rs.foreach(r => assert(level(r.getLong(3)) >= layer,
+        s"dst ${r.getLong(3)} below layer $layer"))
+      rs.groupBy(_.getLong(1)).foreach { case (src, es) =>
+        val ranked = es.sortBy(_.getInt(2))
+        assert(ranked.map(_.getInt(2)).toSeq == (1 to es.length),
+          s"layer $layer src $src ranks not dense")
+        ranked.sliding(2).foreach {
+          case Array(x, y) =>
+            assert(y.getDouble(4) <= x.getDouble(4),
+              s"layer $layer src $src cosine rose")
+          case _ => ()
+        }
+        assert(es.length <= 4, "more than m edges")
+      }
+    }
+    assert(srcByLayer.keySet.forall(l => l >= 1 && l <= 3))
+    assert(expected.nonEmpty && srcByLayer(1).nonEmpty)
+  }
+
+  test("dedup_exact_substring: planted twins collide on shared 8-token " +
+      "windows; every span class has >= 2 distinct docs and sane stats") {
+    val rows = graft.query.Dedup.dedupExactSubstring(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2, "n_docs < 2 leaked through the filter")
+      assert(r.getLong(2) >= r.getLong(1), "n_occ < n_docs")
+      assert(r.getLong(3) <= r.getLong(4), "min_doc > max_doc")
+    }
+    // each planted twin (doc_id + 1000000, prefix-edited copy) shares
+    // every interior window with its original → at least one span class
+    // must bridge an original (< 10) and its twin
+    val bridges = rows.filter(r =>
+      r.getLong(3) < 10 && r.getLong(4) == r.getLong(3) + 1000000L)
+    assert(bridges.nonEmpty, "no original↔twin span class found")
+  }
+
+  test("retrieval_rerank_crossenc: ranks and scores equal a driver-side " +
+      "replay of the pool features and the fixed-order blend") {
+    val got = Similarity.retrievalRerankCrossenc(spark, sf).collect()
+    assert(got.length == 10)
+    val pool = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val toks = graft.schema.Schemas.table(spark, sf, "documents")
+      .filter(col("doc_id") === 0L || col("doc_id").isin(
+        pool.keys.toSeq.map(Long.box): _*))
+      .select(col("doc_id"), graft.query.Dedup.tokens(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val q = toks(0L); val qset = q.toSet
+    val want = pool.toSeq.map { case (id, cos) =>
+      val d = toks(id); val dset = d.toSet
+      val ni = dset.intersect(qset).size
+      val jac = ni.toDouble / (dset.size + qset.size - ni).toDouble
+      val lr = math.min(d.size, q.size).toDouble /
+        math.max(d.size, q.size).toDouble
+      (id, 0.6 * cos + 0.3 * jac + 0.1 * lr)
+    }.sortBy { case (id, sc) => (-sc, id) }
+    got.sortBy(_.getInt(0)).zip(want).zipWithIndex.foreach {
+      case ((r, (id, sc)), i) =>
+        assert(r.getInt(0) == i + 1)
+        assert(r.getLong(1) == id, s"rank ${i + 1} doc")
+        assert(r.getDouble(5) == sc, s"rank ${i + 1} score")
+    }
+  }
+
+  test("pack_bin_ffd: a hot source (one group holding ~all docs) stays " +
+      "bounded-by-group — completes, bins respect capacity, indices dense") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r13-ffd-skew").toString
+    val n = 20000
+    // one giant source + a 3-doc source; token counts cycle 1..9 words
+    spark.range(n)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", array((0 to 8).map(i =>
+          when(col("id") % 9 >= i, lit(s"w$i"))): _*)).as("text"),
+        lit("en").as("lang"),
+        when(col("id") < n - 3, lit("giant")).otherwise(lit("tiny"))
+          .as("source"),
+        lit(10L).as("n_chars"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val out = Pipeline.packBinFfd(spark, dir, capacity = 64L).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 60.0, s"skewed pack took $sec s")
+    assert(out.length == n)
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val loads = rows.groupBy(_.getLong(3)).map { case (bin, rs) =>
+        bin -> rs.map(_.getLong(2)).sum
+      }
+      loads.foreach { case (bin, load) =>
+        assert(load <= 64L, s"$src bin $bin overflows: $load") }
+      val bins = loads.keys.toSeq.sorted
+      assert(bins == (0L until bins.length), s"$src bins not dense: $bins")
+    }
+  }
+}
