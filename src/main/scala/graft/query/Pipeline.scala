@@ -303,7 +303,7 @@ object Pipeline {
     * single gigantic source serializes into one task — cost is
     * bounded by the LARGEST GROUP, not the corpus, and is O(k·bins)
     * time / O(bins) state for a k-doc source (a 20k-doc hot source is
-    * pinned bounded by Round13Spec). At 100 TB a source above ~10⁶
+    * pinned bounded by DriverRound13Spec). At 100 TB a source above ~10⁶
     * docs should be pre-sharded with the (source, hash-bucket) scheme
     * above before packing; this operator deliberately does not shard
     * implicitly, because silently splitting a group changes the
