@@ -59,7 +59,21 @@ object BenchBudget {
     "ml_importances" -> (8.0, "RF fit behind the importance extract"),
     "ml_predict" -> (8.0, "RF fit behind the scorer"),
     "ts_mann_kendall" -> (4.0,
-      "exact inversion-count regime at sf0.1; hot keys ride the sampled-Sen path")
+      "exact inversion-count regime at sf0.1; hot keys ride the sampled-Sen path"),
+    // cold single-pass exposes first-builder cost the bench's best-of-2
+    // amortizes; each entry names the shared artifact being built
+    "graph_closeness_sampled" -> (60.0,
+      "builds the persisted multi-landmark BFS index; graph_effective_diameter rides it; ~0.5 s warm"),
+    "graph_assortativity" -> (8.0,
+      "first builder of the persisted co-purchase edge index the graph family shares"),
+    "graph_two_hop_reach" -> (8.0,
+      "rides/builds the degree-capped adjacency index (shared with walks/node2vec)"),
+    "graph_communities_lpa" -> (6.0,
+      "LPA rounds over the shared edge index; builder when first"),
+    "dedup_cluster_stats" -> (6.0,
+      "builds the persisted LSH candidate-pair index the dedup family shares"),
+    "m6_growing_window_importances" -> (10.0,
+      "three growing-window RF fits (seed 42), cached for ml_* queries")
   )
 
   def main(args: Array[String]): Unit = {
