@@ -681,6 +681,15 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.dedupExactSubstring(s, d)),
     "retrieval_rerank_crossenc" ->
       ((s: SparkSession, d: String) => Similarity.retrievalRerankCrossenc(s, d)),
+    // IVFADC composite: probed cells × PQ code index, all-deterministic
+    "ann_ivf_pq_topk"        ->
+      ((s: SparkSession, d: String) => Curation.annIvfPqTopk(s, d)),
+    // green-list watermark detector (map-only bigram PRF test + z)
+    "text_watermark_detect"  ->
+      ((s: SparkSession, d: String) => TextAnalysis.textWatermarkDetect(s, d)),
+    // the pass@k estimator in its stable product form
+    "eval_pass_at_k"         ->
+      ((s: SparkSession, d: String) => Analytics4.evalPassAtK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6896,6 +6905,121 @@ object SparkEntry {
         |  0.6 * cosine + 0.3 * jaccard + 0.1 * len_ratio AS score
         |FROM feat
         |ORDER BY rank""".stripMargin,
+    // IVFADC = the ann_ivf_det_topk cell CTEs ∘ the ann_pq_adc_topk
+    // code CTEs, joined on the probed cells
+    "ann_ivf_pq_topk" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), seeds AS (
+        |  SELECT seed_vid, seed_e,
+        |    CAST(row_number() OVER (ORDER BY h, seed_vid) - 1 AS BIGINT)
+        |      AS cell
+        |  FROM (
+        |    SELECT vec_id AS seed_vid, e AS seed_e,
+        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+        |        AS BIGINT) AS h
+        |    FROM emb ORDER BY h, vec_id LIMIT 16)
+        |), assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT emb.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY list_dot_product(emb.e, s.seed_e) DESC, s.cell)
+        |        AS rn
+        |    FROM emb, seeds s) WHERE rn = 1
+        |), qe AS (SELECT e AS q FROM emb WHERE vec_id = 0
+        |), probes AS (
+        |  SELECT cell FROM seeds, qe
+        |  ORDER BY list_dot_product(seed_e, q) DESC, cell LIMIT 4
+        |), aa AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings
+        |), qz AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / amax)) AS INT))
+        |      AS qv
+        |  FROM aa WHERE amax > 0
+        |), cb AS (
+        |  SELECT m, k, d,
+        |    CAST(CAST('0x' || substr(md5('pq:' || m || ':' || k || ':'
+        |      || d), 1, 15) AS BIGINT) % 256 - 128 AS INT) AS c
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS m),
+        |       (SELECT unnest(generate_series(0, 15)) AS k),
+        |       (SELECT unnest(generate_series(0, 7)) AS d)
+        |), sub AS (
+        |  SELECT vec_id, m, d, qv[m * 8 + d + 1] AS qd
+        |  FROM qz, (SELECT unnest(generate_series(0, 7)) AS m) mm,
+        |       (SELECT unnest(generate_series(0, 7)) AS d) dd
+        |), dist AS (
+        |  SELECT vec_id, s.m, cb.k, sum(abs(qd - c)) AS dist
+        |  FROM sub s JOIN cb ON cb.m = s.m AND cb.d = s.d
+        |  GROUP BY 1, 2, 3
+        |), best AS (
+        |  SELECT vec_id, m, k, dist,
+        |    row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY dist, k) AS rn
+        |  FROM dist
+        |), codes AS (
+        |  SELECT vec_id, m, k FROM best WHERE rn = 1
+        |), qlut AS (
+        |  SELECT s.m, cb.k, CAST(sum(abs(qd - c)) AS BIGINT) AS qdist
+        |  FROM sub s JOIN cb ON cb.m = s.m AND cb.d = s.d
+        |  WHERE s.vec_id = 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c.vec_id, asg.cell, CAST(sum(l.qdist) AS BIGINT) AS adc_dist
+        |FROM codes c
+        |JOIN qlut l ON l.m = c.m AND l.k = c.k
+        |JOIN assigned asg ON asg.vec_id = c.vec_id
+        |JOIN probes USING (cell)
+        |WHERE c.vec_id <> 0
+        |GROUP BY 1, 2
+        |ORDER BY adc_dist, c.vec_id LIMIT 10""".stripMargin,
+    // per-doc green-bigram census: prev-token-seeded md5 PRF, γ = 1/4
+    "text_watermark_detect" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), ft AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+        |bg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST('0x' || substr(md5(
+        |      array_to_string(t[i : i + 1], ' ')), 1, 15) AS BIGINT)
+        |      % 4 = 0 THEN 1 ELSE 0 END AS g
+        |  FROM ft,
+        |    LATERAL (SELECT unnest(generate_series(1,
+        |      CAST(len(t) AS INT) - 1)) AS i) s
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+        |  CAST(sum(g) AS BIGINT) AS n_green,
+        |  CAST(sum(g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS green_frac,
+        |  (CAST(sum(g) AS DOUBLE) - 0.25 * CAST(count(*) AS DOUBLE))
+        |    / sqrt(CAST(count(*) AS DOUBLE) * 0.1875) AS z
+        |FROM bg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // pass@k in the stable product form; NULL below k trials, exact 1.0
+    // when fewer than k failures exist
+    "eval_pass_at_k" ->
+      """WITH t AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT user_id, n, c,
+        |  CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS pass1,
+        |  CASE WHEN n < 5 THEN NULL
+        |       WHEN n - c < 5 THEN 1.0
+        |       ELSE 1.0 - (
+        |         ((CAST(n - c AS DOUBLE) - 0.0) / (CAST(n AS DOUBLE) - 0.0))
+        |         * ((CAST(n - c AS DOUBLE) - 1.0) / (CAST(n AS DOUBLE) - 1.0))
+        |         * ((CAST(n - c AS DOUBLE) - 2.0) / (CAST(n AS DOUBLE) - 2.0))
+        |         * ((CAST(n - c AS DOUBLE) - 3.0) / (CAST(n AS DOUBLE) - 3.0))
+        |         * ((CAST(n - c AS DOUBLE) - 4.0) / (CAST(n AS DOUBLE) - 4.0)))
+        |  END AS pass5
+        |FROM t ORDER BY user_id""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

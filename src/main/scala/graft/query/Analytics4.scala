@@ -1214,4 +1214,42 @@ object Analytics4 {
       }
     sort(0, a.length)
   }
+
+  /** pass@k — the unbiased estimator every code/agent eval reports:
+    * for a problem with n trials of which c succeeded,
+    * pass@k = 1 − C(n−c,k)/C(n,k), computed in the numerically-stable
+    * product form 1 − Π_{i<k}(n−c−i)/(n−i) (the form the published
+    * estimator uses — never raw factorials). Problems here are users,
+    * trials their events, success = value ≥ 50 — the stand-in mapping
+    * for a (problem_id, trial, passed) eval table; the estimator
+    * arithmetic is what this operator pins.
+    *
+    * Exactness: n and c are exact integers; each product term is one
+    * double division and the k=5 product multiplies left-to-right in
+    * fixed order, so both engines land identical bits. pass@1 reduces
+    * to c/n. pass@5 is NULL where n < 5 (the estimator needs k ≤ n) and
+    * exactly 1.0 where fewer than k trials failed (C(n−c,k) = 0).
+    *
+    * Scale shape: one map-side-combined (n, c) aggregate per problem,
+    * then scalar arithmetic — no window, no second shuffle, no skew
+    * (hot problems still aggregate to one row). */
+  def evalPassAtK(spark: SparkSession, dir: String,
+      threshold: Double = 50.0): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+    val counts = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= threshold, 1L).otherwise(0L)).as("c"))
+    val nD = col("n").cast("double"); val cD = col("c").cast("double")
+    val f = col("n") - col("c") // failures
+    val fD = f.cast("double")
+    val prod5 = (0 until 5).map(i =>
+      (fD - lit(i.toDouble)) / (nD - lit(i.toDouble)))
+      .reduceLeft(_ * _)
+    counts.select(col("user_id"), col("n"), col("c"),
+      (cD / nD).as("pass1"),
+      when(col("n") < 5, lit(null).cast("double"))
+        .when(f < 5, lit(1.0))
+        .otherwise(lit(1.0) - prod5).as("pass5"))
+      .orderBy(col("user_id"))
+  }
 }

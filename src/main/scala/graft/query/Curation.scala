@@ -249,21 +249,63 @@ object Curation {
     * TakeOrdered replaces a global sort for the top-k. */
   def annPqAdcTopk(spark: SparkSession, dir: String, queryId: Long = 0L,
       m: Int = 8, k: Int = 16, subDim: Int = 8, topK: Int = 10): DataFrame = {
-    val codebook = pqCodebook(spark, m, k, subDim)
-    val q = pqQuantized(spark, dir)
     val codes = pqAssign(spark, dir, m, k, subDim)
       .select(col("vec_id"), col("m"), col("b.k").as("k"))
-    val qlut = q.filter(col("vec_id") === queryId)
+    codes.join(broadcast(pqQueryLut(spark, dir, queryId, m, k, subDim)),
+      Seq("m", "k"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qdist")).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
+  }
+
+  /** The query's M×K ADC lookup table: L1 distance from each of its
+    * int8 subvectors to every codeword — M·K BIGINT rows, broadcast to
+    * every ADC consumer. */
+  private def pqQueryLut(spark: SparkSession, dir: String, queryId: Long,
+      m: Int, k: Int, subDim: Int): DataFrame =
+    pqQuantized(spark, dir).filter(col("vec_id") === queryId)
       .select(explode(sequence(lit(0L), lit(m - 1L))).as("m"), col("qv"))
       .select(col("m"),
         expr(s"slice(qv, CAST(m * $subDim + 1 AS INT), $subDim)").as("qsub"))
-      .join(codebook, Seq("m"))
+      .join(pqCodebook(spark, m, k, subDim), Seq("m"))
       .select(col("m"), col("k"),
         expr("""aggregate(zip_with(qsub, cvec, (a, b) -> abs(a - b)),
           |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
           .as("qdist"))
-    codes.join(broadcast(qlut), Seq("m", "k"))
-      .groupBy(col("vec_id"))
+
+  /** IVF-PQ (IVFADC) top-k: the billion-scale ANN architecture — a
+    * coarse quantizer prunes the corpus to `nProbe` probed cells, and
+    * ranking inside the probed cells runs ENTIRELY against the
+    * PQ-compressed code index via the query's broadcast ADC lookup
+    * table. Composes the two deterministic halves this repo already
+    * verifies separately: [[graft.query.Similarity]]'s hash-seeded
+    * cell machinery (`ann_ivf_det_topk`) and the md5-codebook ADC
+    * (`ann_pq_adc_topk`) — so the composite is fully DuckDB-oracle
+    * exact, unlike any KMeans-trained IVF-PQ.
+    *
+    * Scale shape: at 100 TB the codes live partitioned BY CELL, so the
+    * probe is partition pruning and the scan touches ~nProbe/nCells of
+    * a ~1000×-compressed index; here the probe is the same semantics
+    * as a keyed semi-join of the code index against the probed-cell
+    * assignment (ids only — embeddings are touched exactly once, at
+    * index build). Exactness: integer cell argmax tie-breaks, BIGINT
+    * L1 sums, (dist, vec_id) ranking — bit-identical cross-engine. */
+  def annIvfPqTopk(spark: SparkSession, dir: String, queryId: Long = 0L,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, k: Int = 16,
+      subDim: Int = 8, topK: Int = 10): DataFrame = {
+    val codes = pqAssign(spark, dir, m, k, subDim)
+      .select(col("vec_id"), col("m"), col("b.k").as("k"))
+    val probedIds = Similarity.detCellAssignment(spark, dir, nCells)
+      .join(broadcast(Similarity.detProbes(spark, dir, queryId, nCells,
+        nProbe)), Seq("cell"))
+      .select(col("vec_id"), col("cell"))
+    codes
+      .join(probedIds, Seq("vec_id"))
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(pqQueryLut(spark, dir, queryId, m, k, subDim)),
+        Seq("m", "k"))
+      .groupBy(col("vec_id"), col("cell"))
       .agg(sum(col("qdist")).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topK)

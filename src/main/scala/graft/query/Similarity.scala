@@ -294,39 +294,62 @@ object Similarity {
     * the corpus is written partitioned by cell, so a probe reads
     * nProbe/nCells of the data — identical layout story to [[ivfTopK]].
     */
-  def ivfDetTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
-      k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** Deterministic seed panel: the `nCells` corpus vectors ranked first
+    * by md5-hash of their id, with stable 0-based cell ids. TakeOrdered
+    * top-nCells (no global sort), then a single-partition row_number
+    * over nCells rows. Shared by [[ivfDetTopK]] and the IVF-PQ
+    * composite ([[Curation.annIvfPqTopk]]). */
+  private[query] def detSeeds(spark: SparkSession, dir: String,
+      nCells: Int): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
     val emb = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val seedRank = Dedup.hash60(col("vec_id").cast("string"))
-    // TakeOrdered top-nCells (no global sort), then a single-partition
-    // row_number over nCells rows assigns stable cell ids
-    val seeds = emb
-      .orderBy(seedRank, col("vec_id"))
+    emb
+      .orderBy(Dedup.hash60(col("vec_id").cast("string")), col("vec_id"))
       .limit(nCells)
       .select(col("vec_id").as("seed_vid"), col("embedding").as("seed_e"))
       .withColumn("cell",
         (row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(Dedup.hash60(col("seed_vid").cast("string")),
             col("seed_vid"))) - 1).cast("long"))
-    val assigned = emb
-      .crossJoin(broadcast(seeds))
+  }
+
+  /** Deterministic cell assignment: every vector's argmax-dot seed
+    * (ties → lower cell) — one map-side-combined aggregation over the
+    * broadcast seed panel. */
+  private[query] def detCellAssignment(spark: SparkSession, dir: String,
+      nCells: Int): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    emb
+      .crossJoin(broadcast(detSeeds(spark, dir, nCells)))
       .withColumn("dp", expr("float_dot(embedding, seed_e)"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("dp"), (-col("cell")).as("negc"))).as("best"),
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), (-col("best.negc")).as("cell"))
-    val qv = queryVector(spark, dir, queryId)
-    val q = array(qv.toIndexedSeq.map(lit): _*)
-    val probes = seeds
+  }
+
+  /** The `nProbe` cells whose seed anchors score highest against the
+    * query vector (ties → lower cell). */
+  private[query] def detProbes(spark: SparkSession, dir: String,
+      queryId: Long, nCells: Int, nProbe: Int): DataFrame = {
+    val q = array(queryVector(spark, dir, queryId).toIndexedSeq.map(lit): _*)
+    detSeeds(spark, dir, nCells)
       .withColumn("qv", q)
       .withColumn("qdp", expr("float_dot(seed_e, qv)"))
       .orderBy(col("qdp").desc, col("cell"))
       .limit(nProbe)
       .select(col("cell"))
-    assigned
-      .join(broadcast(probes), Seq("cell"))
+  }
+
+  def ivfDetTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val q = array(queryVector(spark, dir, queryId).toIndexedSeq.map(lit): _*)
+    detCellAssignment(spark, dir, nCells)
+      .join(broadcast(detProbes(spark, dir, queryId, nCells, nProbe)),
+        Seq("cell"))
       .filter(col("vec_id") =!= queryId)
       .withColumn("qv", q)
       .select(col("vec_id"), col("cell"),

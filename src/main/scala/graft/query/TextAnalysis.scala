@@ -1017,4 +1017,45 @@ object TextAnalysis {
         sum(col("tf") * col("logratio")).cast("float").as("dsir_logweight"))
       .orderBy(col("doc_id"))
   }
+
+  /** Green-list watermark detection (the Kirchenbauer-et-al. scheme's
+    * detector side): a token is "green" iff a hash SEEDED BY ITS
+    * PREDECESSOR lands in the γ = 1/4 green partition of the
+    * vocabulary — here the [[Dedup.hash60]] of the bigram "prev cur"
+    * mod 4 — and a document whose green fraction sits far above γ
+    * carries the watermark. Emits per doc the scored-token count, the
+    * green count, the green fraction, and the one-proportion z score
+    * ((g − γ·n)/√(n·γ(1−γ))) the published detector thresholds on.
+    * Unwatermarked text (this corpus) should hover near z = 0 — the
+    * operator is the DETECTOR plumbing; a generator-side green bias is
+    * what moves z.
+    *
+    * Scale shape: entirely map-only — the bigram green test runs as a
+    * higher-order `filter` over each doc's shingle array inside one
+    * projection (no explode, no shuffle, no per-token rows), and γ,
+    * γ(1−γ) are exact binary fractions (1/4, 3/16) so the z arithmetic
+    * replays bit-identically. The md5-based green test is the
+    * cross-engine stand-in for the scheme's PRF; a production detector
+    * swaps the hash, not the plan. */
+  def textWatermarkDetect(spark: SparkSession, dir: String): DataFrame = {
+    val greenCount =
+      """size(filter(bg, s ->
+        |  CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % 4 = 0
+        |))""".stripMargin
+    table(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        Dedup.shinglesFromTokens(col("t"), 2).as("bg"))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_scored"),
+        expr(greenCount).cast("long").as("n_green"))
+      .select(col("doc_id"), col("n_scored"), col("n_green"),
+        (col("n_green").cast("double") / col("n_scored").cast("double"))
+          .as("green_frac"),
+        ((col("n_green").cast("double") -
+          lit(0.25) * col("n_scored").cast("double")) /
+          sqrt(col("n_scored").cast("double") * lit(0.1875))).as("z"))
+      .orderBy(col("doc_id"))
+  }
 }

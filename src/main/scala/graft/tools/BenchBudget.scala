@@ -73,7 +73,9 @@ object BenchBudget {
     "dedup_cluster_stats" -> (6.0,
       "builds the persisted LSH candidate-pair index the dedup family shares"),
     "m6_growing_window_importances" -> (10.0,
-      "three growing-window RF fits (seed 42), cached for ml_* queries")
+      "three growing-window RF fits (seed 42), cached for ml_* queries"),
+    "ann_ivf_pq_topk" -> (6.0,
+      "first builder of the persisted PQ code index (shared with ann_pq_adc_topk / emb_pq_codes); ADC probe itself is sub-second warm")
   )
 
   def main(args: Array[String]): Unit = {

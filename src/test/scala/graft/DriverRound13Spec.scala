@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.functions._
-import graft.query.{Analytics4, Pipeline, Similarity}
+import graft.query.{Analytics4, Pipeline, Similarity, TextAnalysis}
 
 /** Round-13 guards: the r12 bench defect was an ITERATIVE operator whose
   * rounds re-executed each other through unmaterialized lineage
@@ -201,6 +201,110 @@ class DriverRound13Spec extends SparkSpec {
         assert(r.getInt(0) == i + 1)
         assert(r.getLong(1) == id, s"rank ${i + 1} doc")
         assert(r.getDouble(5) == sc, s"rank ${i + 1} score")
+    }
+  }
+
+  private def md5hash60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("ann_ivf_pq_topk: every hit sits in a probed cell; adc distances " +
+      "equal a driver-side replay of int8-quantize → codes → query LUT") {
+    val got = graft.query.Curation.annIvfPqTopk(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 10)
+    // probed cells must equal the det-IVF probe set the composite claims
+    val probes = graft.query.Similarity
+      .ivfDetTopK(spark, sf, k = Int.MaxValue / 2)
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+    got.foreach(r => assert(probes.contains(r.getLong(1)),
+      s"hit ${r.getLong(0)} in unprobed cell ${r.getLong(1)}"))
+    // ascending (dist, id) order
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) < b.getLong(2) ||
+        (a.getLong(2) == b.getLong(2) && a.getLong(0) < b.getLong(0)))
+      case _ => ()
+    }
+    // replay the ADC arithmetic for the returned ids + the query
+    val need = got.map(_.getLong(0)).toSet + 0L
+    val vecs = graft.schema.Schemas.table(spark, sf, "embeddings")
+      .filter(col("vec_id").isin(need.toSeq.map(Long.box): _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def int8(v: Array[Float]): Array[Int] = {
+      val amax = v.map(x => math.abs(x.toDouble)).max
+      v.map(x => math.round(x.toDouble * (127.0 / amax)).toInt)
+    }
+    val cb = (for (m <- 0 until 8; k <- 0 until 16; d <- 0 until 8)
+      yield (m, k, d) -> ((md5hash60(s"pq:$m:$k:$d") % 256) - 128).toInt)
+      .toMap
+    def codes(qv: Array[Int]): Array[Int] = (0 until 8).map { m =>
+      (0 until 16).minBy(k =>
+        ((0 until 8).map(d => math.abs(qv(m * 8 + d) - cb((m, k, d))).toLong)
+          .sum, k))
+    }.toArray
+    val q8 = int8(vecs(0L))
+    val lut = (for (m <- 0 until 8; k <- 0 until 16) yield (m, k) ->
+      (0 until 8).map(d => math.abs(q8(m * 8 + d) - cb((m, k, d))).toLong)
+        .sum).toMap
+    got.foreach { r =>
+      val c = codes(int8(vecs(r.getLong(0))))
+      val want = (0 until 8).map(m => lut((m, c(m)))).sum
+      assert(r.getLong(2) == want, s"adc_dist for ${r.getLong(0)}")
+    }
+  }
+
+  test("text_watermark_detect: green counts and z replay the bigram md5 " +
+      "PRF; unwatermarked corpus z is centered near 0") {
+    val got = TextAnalysis.textWatermarkDetect(spark, sf).collect()
+    assert(got.nonEmpty)
+    val docs = graft.schema.Schemas.table(spark, sf, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), graft.query.Dedup.tokens(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    docs.filter(_._2.length >= 2).foreach { case (id, t) =>
+      val bigrams = t.sliding(2).map(_.mkString(" ")).toSeq
+      val g = bigrams.count(md5hash60(_) % 4 == 0)
+      val n = bigrams.length
+      val r = byId(id)
+      assert(r.getLong(1) == n && r.getLong(2) == g, s"doc $id counts")
+      assert(r.getDouble(3) == g.toDouble / n.toDouble, s"doc $id frac")
+      val z = (g.toDouble - 0.25 * n.toDouble) / math.sqrt(n * 0.1875)
+      assert(r.getDouble(4) == z, s"doc $id z")
+    }
+    // detector calibration: with no watermark the mean z over the corpus
+    // must be near 0 (|mean| < 0.5 is ~10σ slack at 500 docs)
+    val meanZ = got.map(_.getDouble(4)).sum / got.length
+    assert(math.abs(meanZ) < 0.5, s"unwatermarked mean z = $meanZ")
+  }
+
+  test("eval_pass_at_k: estimator replays per problem; boundary cases " +
+      "(n < k → NULL, failures < k → exactly 1.0) hold") {
+    val got = Analytics4.evalPassAtK(spark, sf).collect()
+    assert(got.nonEmpty)
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val byUser = ev.groupBy(_._1)
+    got.foreach { r =>
+      val u = r.getLong(0)
+      val vs = byUser(u)
+      val n = vs.length.toLong
+      val c = vs.count(_._2 >= 50.0).toLong
+      assert(r.getLong(1) == n && r.getLong(2) == c, s"user $u counts")
+      assert(r.getDouble(3) == c.toDouble / n.toDouble, s"user $u pass1")
+      if (n < 5) assert(r.isNullAt(4), s"user $u: pass5 must be NULL")
+      else if (n - c < 5) assert(r.getDouble(4) == 1.0,
+        s"user $u: < 5 failures must give exactly 1.0")
+      else {
+        val f = (n - c).toDouble
+        val prod = (0 until 5).map(i =>
+          (f - i) / (n.toDouble - i)).reduceLeft(_ * _)
+        assert(r.getDouble(4) == 1.0 - prod, s"user $u pass5")
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      }
     }
   }
 
