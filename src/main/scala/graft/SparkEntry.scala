@@ -690,6 +690,12 @@ object SparkEntry {
     // the pass@k estimator in its stable product form
     "eval_pass_at_k"         ->
       ((s: SparkSession, d: String) => Analytics4.evalPassAtK(s, d)),
+    // exact-rational covariance matrix (whitening/PCA input)
+    "emb_covariance_int"     ->
+      ((s: SparkSession, d: String) => Analytics4.embCovarianceInt(s, d)),
+    // white-noise portmanteau terms per (user, lag)
+    "ts_ljung_box_terms"     ->
+      ((s: SparkSession, d: String) => Analytics4.tsLjungBoxTerms(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7020,6 +7026,68 @@ object SparkEntry {
         |         * ((CAST(n - c AS DOUBLE) - 4.0) / (CAST(n AS DOUBLE) - 4.0)))
         |  END AS pass5
         |FROM t ORDER BY user_id""".stripMargin,
+    // exact BIGINT moments; ONE double division at the end
+    "emb_covariance_int" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding[1:8],
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+        |    AS q6
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |    q6[i] AS xi, q6[j] AS xj
+        |  FROM q, (SELECT unnest(generate_series(1, 8)) AS i) a,
+        |       (SELECT unnest(generate_series(1, 8)) AS j) b
+        |  WHERE j >= i
+        |), a2 AS (
+        |  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xi * xj) AS BIGINT) AS sxy,
+        |    CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(xj) AS BIGINT) AS sy
+        |  FROM p GROUP BY i, j
+        |)
+        |SELECT i, j, n, sxy, sx, sy,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CAST(n * n AS DOUBLE) * 1e12) AS cov
+        |FROM a2 ORDER BY i, j""".stripMargin,
+    // the ts_autocorr_lag1 Pearson-over-pairs form at lags 1..5, plus
+    // the Ljung-Box Q term n(n+2)·ρ²/(n−k) per row
+    "ts_ljung_box_terms" ->
+      """WITH l AS (
+        |  SELECT user_id, value AS y,
+        |    lag(value, 1) OVER w AS x1, lag(value, 2) OVER w AS x2,
+        |    lag(value, 3) OVER w AS x3, lag(value, 4) OVER w AS x4,
+        |    lag(value, 5) OVER w AS x5
+        |  FROM events WHERE user_id < 100
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), st AS (
+        |  SELECT user_id, 1 AS lag, x1 AS x, y FROM l WHERE x1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, 2, x2, y FROM l WHERE x2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, 3, x3, y FROM l WHERE x3 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, 4, x4, y FROM l WHERE x4 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, 5, x5, y FROM l WHERE x5 IS NOT NULL
+        |), a AS (
+        |  SELECT user_id, lag, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM st GROUP BY user_id, lag
+        |), r AS (
+        |  SELECT user_id, CAST(lag AS INT) AS lag,
+        |    CAST(n AS BIGINT) AS n_pairs,
+        |    CAST((n * sxy - sx * sy)
+        |      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |      AS REAL) AS rho,
+        |    n + lag AS nser
+        |  FROM a
+        |)
+        |SELECT user_id, lag, n_pairs, rho,
+        |  CAST((nser * (nser + 2.0))
+        |    * (CAST(rho AS DOUBLE) * CAST(rho AS DOUBLE))
+        |    / (nser - CAST(lag AS DOUBLE)) AS REAL) AS q_term
+        |FROM r ORDER BY user_id, lag""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -1215,6 +1215,94 @@ object Analytics4 {
     sort(0, a.length)
   }
 
+  /** Embedding covariance (upper triangle of the first `dims` dims) from
+    * ×10⁶-scaled INTEGER moments — the second-moment matrix a whitening /
+    * ZCA / PCA-preprocessing step estimates over the corpus, in the
+    * exact-rational form (n·Σxy − Σx·Σy as BIGINT, one double division
+    * at the end) that makes a distributed covariance bit-identical to
+    * any single-node computation regardless of partitioning or
+    * aggregation order — the agg_skew_kurtosis discipline applied to a
+    * matrix.
+    *
+    * Scale shape: each vector expands map-side to its dims·(dims+1)/2
+    * pair products (a literal pair-index array — no self-join, no
+    * per-dim shuffle) and everything combines map-side into
+    * dims·(dims+1)/2 grouped rows. Envelope: |x| ≤ ~1 ⇒ xi6 ~ 10⁶,
+    * products ~ 10¹², exact in BIGINT to ~10⁶ rows per group-free
+    * corpus slice; past that the same sums ride DECIMAL(38). */
+  def embCovarianceInt(spark: SparkSession, dir: String,
+      dims: Int = 8): DataFrame = {
+    val pairIdx = array((for {
+      i <- 1 to dims; j <- i to dims
+    } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
+    val q = graft.schema.Schemas.table(spark, dir, "embeddings")
+      .select(expr(s"transform(slice(embedding, 1, $dims), " +
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+        .as("q6"))
+    q.select(explode(pairIdx).as("p"), col("q6"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        element_at(col("q6"), col("p.i")).as("xi"),
+        element_at(col("q6"), col("p.j")).as("xj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xi") * col("xj")).as("sxy"),
+        sum(col("xi")).as("sx"), sum(col("xj")).as("sy"))
+      .select(col("i"), col("j"), col("n"), col("sxy"), col("sx"),
+        col("sy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          ((col("n") * col("n")).cast("double") * lit(1e12))).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Ljung–Box portmanteau terms: per (user, lag ≤ 5) the lag-k sample
+    * autocorrelation (the Pearson-over-pairs form [[tsAutocorrLag1]]
+    * established) and its Q-statistic term n(n+2)·ρ²/(n−k) — the
+    * is-this-series-white-noise battery a forecasting pipeline runs
+    * before trusting residuals. The consumer sums q_term over the lags
+    * it tests; per-lag rows keep every emitted double a fixed-order
+    * computation (a grouped sum of float terms would be
+    * engine-order-dependent).
+    *
+    * Scale shape: ONE per-user window (sort by ts, event_id) carries
+    * all five lag columns, the stack/unpivot is map-only, and the
+    * moment aggregate is map-side-combined on (user, lag). The REAL
+    * cast on ρ absorbs the last-ulp group-sum order difference, the
+    * house convention for Pearson-form statistics. */
+  def tsLjungBoxTerms(spark: SparkSession, dir: String,
+      maxLag: Int = 5, maxUser: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val lagCols = (1 to maxLag).map(k =>
+      lag(col("value"), k).over(w).as(s"x$k"))
+    val lagged = graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(col("user_id") +: col("value").as("y") +: lagCols: _*)
+    val stacked = lagged.select(col("user_id"), col("y"),
+      expr(s"stack($maxLag, " + (1 to maxLag)
+        .map(k => s"$k, x$k").mkString(", ") + ") AS (lag, x)"))
+      .filter(col("x").isNotNull)
+    val a = stacked.groupBy(col("user_id"), col("lag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        max(col("lag")).as("k"))
+    val rho = ((col("n") * col("sxy") - col("sx") * col("sy"))
+      / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+        * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+      .cast("float")
+    a.select(col("user_id"), col("lag"), col("n").cast("long").as("n_pairs"),
+        rho.as("rho"))
+      .withColumn("nser", (col("n_pairs") + col("lag")).cast("double"))
+      .select(col("user_id"), col("lag"), col("n_pairs"), col("rho"),
+        ((col("nser") * (col("nser") + lit(2.0)))
+          * (col("rho").cast("double") * col("rho").cast("double"))
+          / (col("nser") - col("lag").cast("double")))
+          .cast("float").as("q_term"))
+      .orderBy(col("user_id"), col("lag"))
+  }
+
   /** pass@k — the unbiased estimator every code/agent eval reports:
     * for a problem with n trials of which c succeeded,
     * pass@k = 1 − C(n−c,k)/C(n,k), computed in the numerically-stable

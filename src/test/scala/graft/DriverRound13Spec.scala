@@ -308,6 +308,54 @@ class DriverRound13Spec extends SparkSpec {
     }
   }
 
+  test("emb_covariance_int: every upper-triangle entry equals a " +
+      "driver-side exact-integer replay; diagonal is non-negative") {
+    val got = Analytics4.embCovarianceInt(spark, sf).collect()
+    assert(got.length == 36) // 8·9/2
+    val q6 = graft.schema.Schemas.table(spark, sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).take(8).toArray
+        .map(x => math.round(x.toDouble * 1000000.0)))
+    got.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      assert(i <= j)
+      val n = q6.length.toLong
+      val sxy = q6.map(v => v(i - 1) * v(j - 1)).sum
+      val sx = q6.map(_(i - 1)).sum; val sy = q6.map(_(j - 1)).sum
+      assert(r.getLong(2) == n && r.getLong(3) == sxy &&
+        r.getLong(4) == sx && r.getLong(5) == sy, s"($i,$j) moments")
+      val cov = (n * sxy - sx * sy).toDouble / ((n * n).toDouble * 1e12)
+      assert(r.getDouble(6) == cov, s"($i,$j) cov")
+      if (i == j) assert(r.getDouble(6) >= 0.0, s"negative variance at $i")
+    }
+  }
+
+  test("ts_ljung_box_terms: lag-1 rows reproduce ts_autocorr_lag1; " +
+      "q_term replays n(n+2)·rho²/(n−k) from the emitted columns") {
+    val got = Analytics4.tsLjungBoxTerms(spark, sf).collect()
+    assert(got.nonEmpty)
+    val lag1 = Analytics4.tsAutocorrLag1(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getFloat(2))).toMap
+    got.filter(_.getInt(1) == 1).foreach { r =>
+      val (n1, rho1) = lag1(r.getLong(0))
+      assert(r.getLong(2) == n1 && r.getFloat(3) == rho1,
+        s"user ${r.getLong(0)} lag-1 disagrees with ts_autocorr_lag1")
+    }
+    got.foreach { r =>
+      val nser = (r.getLong(2) + r.getInt(1)).toDouble
+      val rho = r.getFloat(3).toDouble
+      val want = ((nser * (nser + 2.0)) * (rho * rho) /
+        (nser - r.getInt(1).toDouble)).toFloat
+      assert(r.getFloat(4) == want, s"user ${r.getLong(0)} lag ${r.getInt(1)}")
+      assert(r.getFloat(4) >= 0.0f)
+    }
+    // every qualifying user carries all five lags (series are long
+    // enough at this sf)
+    got.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5), s"user $u lags")
+    }
+  }
+
   test("pack_bin_ffd: a hot source (one group holding ~all docs) stays " +
       "bounded-by-group — completes, bins respect capacity, indices dense") {
     import spark.implicits._
