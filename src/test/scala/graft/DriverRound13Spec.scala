@@ -356,6 +356,40 @@ class DriverRound13Spec extends SparkSpec {
     }
   }
 
+  // ---- physical-plan audits for the round-13 operators (PlanSpec
+  // discipline: the 100 TB design rules as assertions) -----------------
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("plan: text_watermark_detect is map-only — no hash-partition " +
+      "exchange anywhere (the green test runs inside the projection)") {
+    val p = plan(TextAnalysis.textWatermarkDetect(spark, sf))
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("plan: dedup_exact_substring aggregates map-side before its one " +
+      "hash exchange on the window hash") {
+    val p = plan(graft.query.Dedup.dedupExactSubstring(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning")).toList
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(_.contains("h#")),
+      s"an exchange is keyed off the window hash:\n${exchanges.mkString("\n")}")
+  }
+
+  test("plan: emb_covariance_int combines map-side into 36 groups; " +
+      "ann_ivf_pq_topk ends in TakeOrdered with broadcast LUT/probes") {
+    val pc = plan(Analytics4.embCovarianceInt(spark, sf))
+    assert(pc.contains("partial_sum"), pc)
+    val pq = plan(graft.query.Curation.annIvfPqTopk(spark, sf))
+    assert(pq.contains("TakeOrderedAndProject"), pq)
+    assert(pq.contains("BroadcastHashJoin") ||
+      pq.contains("BroadcastExchange"), pq)
+  }
+
   test("pack_bin_ffd: a hot source (one group holding ~all docs) stays " +
       "bounded-by-group — completes, bins respect capacity, indices dense") {
     import spark.implicits._
