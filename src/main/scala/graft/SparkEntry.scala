@@ -696,6 +696,12 @@ object SparkEntry {
     // white-noise portmanteau terms per (user, lag)
     "ts_ljung_box_terms"     ->
       ((s: SparkSession, d: String) => Analytics4.tsLjungBoxTerms(s, d)),
+    // AMS F2 frequency-moment sketch beside its exact companion
+    "agg_ams_f2"             ->
+      ((s: SparkSession, d: String) => Analytics4.aggAmsF2(s, d)),
+    // hourly OHLC candles via keyed min_by/max_by (no window)
+    "ts_ohlc_hourly"         ->
+      ((s: SparkSession, d: String) => Analytics4.tsOhlcHourly(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7088,6 +7094,43 @@ object SparkEntry {
         |    * (CAST(rho AS DOUBLE) * CAST(rho AS DOUBLE))
         |    / (nser - CAST(lag AS DOUBLE)) AS REAL) AS q_term
         |FROM r ORDER BY user_id, lag""".stripMargin,
+    // 16 ±1-hashed counters over per-user counts; all-integer until the
+    // final relative-error division
+    "agg_ams_f2" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS f
+        |  FROM events GROUP BY user_id
+        |), ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM f),
+        |t AS (
+        |  SELECT c.counter,
+        |    CASE WHEN CAST('0x' || substr(md5(
+        |      CAST(user_id AS VARCHAR) || ':ams:' ||
+        |      CAST(c.counter AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+        |      THEN f ELSE -f END AS term
+        |  FROM f, (SELECT unnest(generate_series(0, 15)) AS counter) c
+        |), s AS (
+        |  SELECT CAST(counter AS INT) AS counter,
+        |    CAST(sum(term) AS BIGINT) AS s
+        |  FROM t GROUP BY counter
+        |)
+        |SELECT counter, s, s * s AS s2, f2_exact,
+        |  CAST(s * s - f2_exact AS DOUBLE) / CAST(f2_exact AS DOUBLE)
+        |    AS rel_err
+        |FROM s, ex ORDER BY counter""".stripMargin,
+    // open/close by fixed-width (micros, event_id) lexicographic argmin
+    "ts_ohlc_hourly" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS hour_ts, value,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |      || lpad(CAST(event_id AS VARCHAR), 10, '0') AS skey
+        |  FROM events
+        |)
+        |SELECT hour_ts, CAST(count(*) AS BIGINT) AS n_events,
+        |  arg_min(value, skey) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  arg_max(value, skey) AS close,
+        |  CAST(sum(value) / count(*) AS REAL) AS mean_value
+        |FROM ev GROUP BY hour_ts ORDER BY hour_ts""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -1303,6 +1303,72 @@ object Analytics4 {
       .orderBy(col("user_id"), col("lag"))
   }
 
+  /** AMS (Alon–Matias–Szegedy) F₂ sketch: estimate the second frequency
+    * moment Σ f_u² of the per-user event counts from 16 independent
+    * ±1-hashed counters S_c = Σ_u f_u·sign(u, c) — E[S_c²] = F₂, the
+    * classic one-pass self-join-size / skew estimator, emitted beside
+    * the exact F₂ so the sketch's error is visible per counter. Signs
+    * come from the cross-engine [[graft.query.Dedup.hash60]], so every
+    * counter (and therefore the estimate) is bit-identical in the
+    * oracle — the HLL/count-min companion completing the sketch family
+    * with the frequency-moment member.
+    *
+    * Scale shape: the per-user count is one map-side-combined
+    * aggregate; the 16 counters expand from it (16 rows per USER, not
+    * per event) and combine map-side into 16 grouped rows — the
+    * partial-counter merge IS the AMS mergeability property that makes
+    * the sketch work across partitions at 100 TB. All integers until
+    * the final mean division. */
+  def aggAmsF2(spark: SparkSession, dir: String,
+      nCounters: Int = 16): DataFrame = {
+    val perUser = graft.schema.Schemas.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("f"))
+    val exact = perUser.agg(sum(col("f") * col("f")).as("f2_exact"))
+    perUser
+      .select(col("user_id"), col("f"),
+        explode(sequence(lit(0), lit(nCounters - 1))).as("counter"))
+      .select(col("counter"),
+        (when(Dedup.hash60(concat(col("user_id").cast("string"),
+          lit(":ams:"), col("counter").cast("string"))) % 2 === 0, col("f"))
+          .otherwise(-col("f"))).as("term"))
+      .groupBy(col("counter"))
+      .agg(sum(col("term")).as("s"))
+      .crossJoin(broadcast(exact))
+      .select(col("counter"), col("s"), (col("s") * col("s")).as("s2"),
+        col("f2_exact"),
+        ((col("s") * col("s") - col("f2_exact")).cast("double") /
+          col("f2_exact").cast("double")).as("rel_err"))
+      .orderBy(col("counter"))
+  }
+
+  /** Hourly OHLC (open/high/low/close) candles over the event stream —
+    * the time-bucketed summary every telemetry/market pipeline emits.
+    * Open/close are argmin/argmax by a FIXED-WIDTH lexicographic
+    * (epoch-micros, event_id) key — the dedup_semantic string-key trick
+    * that makes ordered-first/last a plain min_by/max_by aggregate
+    * (map-side-combined, partitioning-invariant) instead of a sorted
+    * window; high/low/count are plain aggregates. One shuffle on the
+    * hour bucket; no window function anywhere.
+    *
+    * Exactness: open/high/low/close are PICKED doubles (exact); the
+    * mean is a group sum → REAL cast (house convention). */
+  def tsOhlcHourly(spark: SparkSession, dir: String): DataFrame = {
+    val skey = concat(
+      format_string("%020d", unix_micros(col("ts"))),
+      format_string("%010d", col("event_id")))
+    graft.schema.Schemas.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("hour_ts"),
+        col("value"), skey.as("skey"))
+      .groupBy(col("hour_ts"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("value"), col("skey")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("skey")).as("close"),
+        (sum(col("value")) / count(lit(1))).cast("float").as("mean_value"))
+      .orderBy(col("hour_ts"))
+  }
+
   /** pass@k — the unbiased estimator every code/agent eval reports:
     * for a problem with n trials of which c succeeded,
     * pass@k = 1 − C(n−c,k)/C(n,k), computed in the numerically-stable

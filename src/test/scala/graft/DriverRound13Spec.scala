@@ -356,6 +356,51 @@ class DriverRound13Spec extends SparkSpec {
     }
   }
 
+  test("agg_ams_f2: counters replay the ±1 hash signs; the 16-counter " +
+      "mean estimates F2 within the AMS variance envelope") {
+    val got = Analytics4.aggAmsF2(spark, sf).collect()
+    assert(got.length == 16)
+    val fs = graft.schema.Schemas.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val f2 = fs.map(t => t._2 * t._2).sum
+    got.foreach { r =>
+      val c = r.getInt(0)
+      val s = fs.map { case (u, f) =>
+        if (md5hash60(s"$u:ams:$c") % 2 == 0) f else -f }.sum
+      assert(r.getLong(1) == s, s"counter $c")
+      assert(r.getLong(2) == s * s && r.getLong(3) == f2)
+    }
+    // mean of the 16 counters: Var[S²] = 2(F2² − F4) ⇒ sd(mean) ≤
+    // F2·√(2/16); allow 4 sigma
+    val est = got.map(_.getLong(2).toDouble).sum / 16.0
+    assert(math.abs(est - f2.toDouble) < 4.0 * f2 * math.sqrt(2.0 / 16.0),
+      s"est $est vs exact $f2")
+  }
+
+  test("ts_ohlc_hourly: open/close equal the time-ordered first/last " +
+      "event values; high/low bound them; buckets partition the stream") {
+    val got = Analytics4.tsOhlcHourly(spark, sf).collect()
+    assert(got.nonEmpty)
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .select(date_trunc("hour", col("ts")).as("h"), col("value"),
+        unix_micros(col("ts")).as("us"), col("event_id")).collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val byHour = ev.groupBy(_._1)
+    assert(got.length == byHour.size)
+    assert(got.map(_.getLong(1)).sum == ev.length)
+    got.foreach { r =>
+      val rows = byHour(r.getTimestamp(0)).sortBy(e => (e._3, e._4))
+      assert(r.getLong(1) == rows.length)
+      assert(r.getDouble(2) == rows.head._2, "open")
+      assert(r.getDouble(5) == rows.last._2, "close")
+      assert(r.getDouble(3) == rows.map(_._2).max, "high")
+      assert(r.getDouble(4) == rows.map(_._2).min, "low")
+      assert(r.getDouble(3) >= r.getDouble(2) && r.getDouble(3) >= r.getDouble(5))
+      assert(r.getDouble(4) <= r.getDouble(2) && r.getDouble(4) <= r.getDouble(5))
+    }
+  }
+
   // ---- physical-plan audits for the round-13 operators (PlanSpec
   // discipline: the 100 TB design rules as assertions) -----------------
   private def plan(df: org.apache.spark.sql.DataFrame): String =
