@@ -702,6 +702,12 @@ object SparkEntry {
     // hourly OHLC candles via keyed min_by/max_by (no window)
     "ts_ohlc_hourly"         ->
       ((s: SparkSession, d: String) => Analytics4.tsOhlcHourly(s, d)),
+    // Rabin-style content-defined chunk spans (map-only)
+    "text_cdc_chunking"      ->
+      ((s: SparkSession, d: String) => TextAnalysis.textCdcChunking(s, d)),
+    // per-cell mutual-information contributions (never pre-summed)
+    "feature_mutual_info_terms" ->
+      ((s: SparkSession, d: String) => Pipeline.featureMutualInfoTerms(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7131,6 +7137,59 @@ object SparkEntry {
         |  arg_max(value, skey) AS close,
         |  CAST(sum(value) / count(*) AS REAL) AS mean_value
         |FROM ev GROUP BY hour_ts ORDER BY hour_ts""".stripMargin,
+    // boundary after token i where the 4-gram hash lands in the 1/32
+    // bucket, forced end at len; chunks between consecutive boundaries
+    "text_cdc_chunking" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        |planted AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'planted near duplicate copy ' || text AS text
+        |  FROM documents WHERE doc_id < 10
+        |), docs AS (SELECT * FROM d0 UNION ALL SELECT * FROM planted),
+        |toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM docs
+        |), ft AS (SELECT doc_id, t FROM toks WHERE len(t) >= 1),
+        |ends AS (
+        |  SELECT doc_id, t, i
+        |  FROM ft,
+        |    LATERAL (SELECT unnest(generate_series(1,
+        |      CAST(len(t) AS INT))) AS i) s
+        |  WHERE i = len(t) OR (i >= 4 AND
+        |    CAST('0x' || substr(md5(array_to_string(
+        |      t[i - 3 : i], ' ')), 1, 15) AS BIGINT) % 32 = 0)
+        |), spans AS (
+        |  SELECT doc_id, t,
+        |    CAST(row_number() OVER w - 1 AS INT) AS chunk_idx,
+        |    CAST(coalesce(lag(i) OVER w + 1, 1) AS INT) AS start_tok,
+        |    CAST(i - coalesce(lag(i) OVER w + 1, 1) + 1 AS INT) AS n_toks,
+        |    i AS e
+        |  FROM ends
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        |)
+        |SELECT doc_id, chunk_idx, start_tok, n_toks,
+        |  CAST('0x' || substr(md5(array_to_string(
+        |    t[start_tok : e], ' ')), 1, 15) AS BIGINT) AS chunk_hash
+        |FROM spans ORDER BY doc_id, chunk_idx""".stripMargin,
+    // exact joint/marginal counts; one ln per cell, REAL-cast
+    "feature_mutual_info_terms" ->
+      """WITH ev AS (
+        |  SELECT event_type AS x,
+        |    CAST(floor(value / 25.0) AS INT) AS y
+        |  FROM events
+        |), joint AS (
+        |  SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM ev GROUP BY x, y
+        |), mx AS (SELECT x, CAST(count(*) AS BIGINT) AS n_x FROM ev GROUP BY x),
+        |my AS (SELECT y, CAST(count(*) AS BIGINT) AS n_y FROM ev GROUP BY y),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev)
+        |SELECT j.x, j.y, j.n_xy, mx.n_x, my.n_y, tot.n,
+        |  CAST((CAST(j.n_xy AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |    * ln(CAST(j.n_xy * tot.n AS DOUBLE)
+        |      / CAST(mx.n_x * my.n_y AS DOUBLE)) AS REAL) AS mi_term
+        |FROM joint j JOIN mx USING (x) JOIN my USING (y), tot
+        |ORDER BY x, y""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

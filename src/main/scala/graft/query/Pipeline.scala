@@ -494,4 +494,39 @@ object Pipeline {
       .withColumn("repetition",
         lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
       .orderBy(col("doc_id"))
+
+  /** Mutual-information terms between a categorical feature
+    * (event_type) and a banded target (floor(value/25)): per (x, y)
+    * cell, the exact joint/marginal counts and the MI contribution
+    * (n_xy/n)·ln(n_xy·n / (n_x·n_y)) — the feature-selection signal a
+    * training pipeline ranks features by (alongside [[featureWoeIv]]).
+    * Terms are emitted PER CELL, never pre-summed: a grouped sum of
+    * ln-terms would be engine-order-dependent in the last ulp (the
+    * drift_psi_value discipline); the consumer sums the ≤ 25 rows.
+    *
+    * Scale shape: one map-side-combined (x, y) aggregate (≤ 25 cells at
+    * any corpus size); marginals broadcast back onto the cells. All
+    * counts exact integers; ln runs once per cell and the REAL cast
+    * absorbs libm's last ulp. */
+  def featureMutualInfoTerms(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_type").as("x"),
+        floor(col("value") / lit(25.0)).cast("int").as("y"))
+    val joint = ev.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = ev.groupBy(col("x")).agg(count(lit(1)).as("n_x"))
+    val my = ev.groupBy(col("y")).agg(count(lit(1)).as("n_y"))
+    val tot = ev.agg(count(lit(1)).as("n"))
+    joint
+      .join(broadcast(mx), Seq("x"))
+      .join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        col("n"),
+        ((col("n_xy").cast("double") / col("n").cast("double")) *
+          log((col("n_xy") * col("n")).cast("double") /
+            (col("n_x") * col("n_y")).cast("double")))
+          .cast("float").as("mi_term"))
+      .orderBy(col("x"), col("y"))
+  }
 }

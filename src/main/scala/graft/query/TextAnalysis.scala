@@ -1018,6 +1018,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunking (Rabin-style): a chunk boundary falls
+    * AFTER token i wherever the rolling 4-gram hash ending at i lands
+    * in a 1/32 bucket ([[Dedup.hash60]] % 32 = 0), plus a forced final
+    * boundary at the document end — the dedup-friendly splitter
+    * (backup dedup, RAG chunk stores, CAS blob stores) whose defining
+    * property fixed-size chunking lacks: an edit near the front moves
+    * only the chunk it touches, because every later boundary is decided
+    * by LOCAL content. The planted near-dup twins (one-word prefix
+    * edit) make the property visible on this corpus: twin and original
+    * share every chunk hash after the first boundary (pinned by spec).
+    * Expected chunk length is the 32-token bucket modulus.
+    *
+    * Scale shape: entirely map-only — boundary detection, span
+    * construction, and chunk hashing are higher-order expressions over
+    * each doc's token array (no explode-then-window, no shuffle); the
+    * final explode just unnests the result rows. Output:
+    * (doc_id, chunk_idx, start_tok, n_toks, chunk_hash). */
+  def textCdcChunking(spark: SparkSession, dir: String,
+      modulus: Int = 32): DataFrame = {
+    val endsExpr =
+      s"""filter(sequence(1, size(t)), i -> i = size(t) OR (i >= 4 AND
+         |  CAST(conv(substring(md5(concat_ws(' ', slice(t, i - 3, 4))),
+         |    1, 15), 16, 10) AS BIGINT) % $modulus = 0))""".stripMargin
+    Dedup.withPlantedNearDups(table(spark, dir, "documents"))
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .withColumn("ends", expr(endsExpr))
+      .withColumn("starts", expr(
+        """transform(ends, (e, j) ->
+          |  CASE WHEN j = 0 THEN 1 ELSE element_at(ends, j) + 1 END)"""
+          .stripMargin))
+      .select(col("doc_id"), col("t"), posexplode(
+        expr("zip_with(starts, ends, (s, e) -> struct(s, e))"))
+        .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("c.s").as("start_tok"),
+        (col("c.e") - col("c.s") + 1).as("n_toks"),
+        Dedup.hash60(expr("concat_ws(' ', slice(t, c.s, c.e - c.s + 1))"))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Green-list watermark detection (the Kirchenbauer-et-al. scheme's
     * detector side): a token is "green" iff a hash SEEDED BY ITS
     * PREDECESSOR lands in the γ = 1/4 green partition of the

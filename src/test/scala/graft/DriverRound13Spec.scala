@@ -401,6 +401,79 @@ class DriverRound13Spec extends SparkSpec {
     }
   }
 
+  test("text_cdc_chunking: spans tile each doc exactly; boundaries replay " +
+      "the 4-gram hash rule; a prefix-edited twin shares all chunks after " +
+      "the first boundary (the content-defined property)") {
+    val got = TextAnalysis.textCdcChunking(spark, sf).collect()
+    assert(got.nonEmpty)
+    val byDoc = got.groupBy(_.getLong(0))
+    // spans tile: chunk k starts right after chunk k-1 ends; union = doc
+    byDoc.foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.head.getInt(2) == 1, s"doc $doc first span start")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getInt(2) == a.getInt(2) + a.getInt(3),
+            s"doc $doc spans don't tile")
+        case _ => ()
+      }
+      assert(sorted.map(_.getInt(1)).toSeq == sorted.indices)
+    }
+    // boundary rule replay on a sample doc
+    val docs = graft.schema.Schemas.table(spark, sf, "documents")
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), graft.query.Dedup.tokens(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    docs.foreach { case (id, t) =>
+      val ends = (1 to t.length).filter(i => i == t.length ||
+        (i >= 4 && md5hash60(t.slice(i - 4, i).mkString(" ")) % 32 == 0))
+      val rs = byDoc(id).sortBy(_.getInt(1))
+      assert(rs.map(r => r.getInt(2) + r.getInt(3) - 1).toSeq == ends,
+        s"doc $id boundaries")
+      rs.foreach { r =>
+        val want = md5hash60(
+          t.slice(r.getInt(2) - 1, r.getInt(2) - 1 + r.getInt(3))
+            .mkString(" "))
+        assert(r.getLong(4) == want, s"doc $id chunk ${r.getInt(1)} hash")
+      }
+    }
+    // CDC property: the planted twin (one-word prefix edit, doc_id +
+    // 1000000) re-synchronizes — every original chunk hash after the
+    // first boundary reappears in the twin
+    (0L until 10L).foreach { orig =>
+      val o = byDoc(orig).sortBy(_.getInt(1)).map(_.getLong(4))
+      val tw = byDoc(orig + 1000000L).map(_.getLong(4)).toSet
+      if (o.length > 1)
+        assert(o.tail.forall(tw.contains),
+          s"doc $orig: twin lost post-boundary chunks — CDC property broken")
+    }
+  }
+
+  test("feature_mutual_info_terms: counts and terms replay exactly; the " +
+      "summed MI is non-negative") {
+    val got = Pipeline.featureMutualInfoTerms(spark, sf).collect()
+    assert(got.nonEmpty)
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .select(col("event_type"), floor(col("value") / lit(25.0)).cast("int"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val n = ev.length.toLong
+    val joint = ev.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val mx = ev.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val my = ev.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    assert(got.length == joint.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getInt(1))
+      assert(r.getLong(2) == joint(key) && r.getLong(3) == mx(key._1) &&
+        r.getLong(4) == my(key._2) && r.getLong(5) == n, s"$key counts")
+      val want = ((joint(key).toDouble / n.toDouble) *
+        math.log((joint(key) * n).toDouble /
+          (mx(key._1) * my(key._2)).toDouble)).toFloat
+      assert(r.getFloat(6) == want, s"$key term")
+    }
+    val mi = got.map(_.getFloat(6).toDouble).sum
+    assert(mi >= -1e-9, s"MI must be non-negative, got $mi")
+  }
+
   // ---- physical-plan audits for the round-13 operators (PlanSpec
   // discipline: the 100 TB design rules as assertions) -----------------
   private def plan(df: org.apache.spark.sql.DataFrame): String =
