@@ -708,6 +708,12 @@ object SparkEntry {
     // per-cell mutual-information contributions (never pre-summed)
     "feature_mutual_info_terms" ->
       ((s: SparkSession, d: String) => Pipeline.featureMutualInfoTerms(s, d)),
+    // Laplace-mechanism DP counts with a replayable PRF noise draw
+    "dq_dp_laplace_counts"   ->
+      ((s: SparkSession, d: String) => Warehouse2.dqDpLaplaceCounts(s, d)),
+    // Neyman-optimal stratified allocation, largest-remainder exact
+    "sample_neyman_allocation" ->
+      ((s: SparkSession, d: String) => Relational3.sampleNeymanAllocation(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7190,6 +7196,63 @@ object SparkEntry {
         |      / CAST(mx.n_x * my.n_y AS DOUBLE)) AS REAL) AS mi_term
         |FROM joint j JOIN mx USING (x) JOIN my USING (y), tot
         |ORDER BY x, y""".stripMargin,
+    // inverse-CDF Laplace draw from the 60-bit hash of the category
+    "dq_dp_laplace_counts" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1
+        |), u AS (
+        |  SELECT event_type, n_exact,
+        |    CAST(CAST('0x' || substr(md5(event_type || ':dp'), 1, 15)
+        |      AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+        |  FROM g
+        |), nz AS (
+        |  SELECT event_type, n_exact, u,
+        |    CAST(-2.0 * sign(u - 0.5)
+        |      * ln(1.0 - 2.0 * abs(u - 0.5)) AS REAL) AS noise
+        |  FROM u
+        |)
+        |SELECT event_type, n_exact, u, noise,
+        |  CAST(CAST(n_exact AS DOUBLE) + CAST(noise AS DOUBLE) AS REAL)
+        |    AS n_noisy
+        |FROM nz ORDER BY event_type""".stripMargin,
+    // sd = √(N·Σv²−(Σv)²)/N/10³ on exact BIGINT moments; tmass folds in
+    // sorted stratum order; largest-remainder rounding is integer-exact
+    "sample_neyman_allocation" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 1000.0) AS BIGINT) AS v3
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+        |    CAST(sum(v3) AS BIGINT) AS s1,
+        |    CAST(sum(v3 * v3) AS BIGINT) AS s2
+        |  FROM ev GROUP BY 1
+        |), sdd AS (
+        |  SELECT event_type, n_h,
+        |    sqrt(CAST(n_h * s2 - s1 * s1 AS DOUBLE))
+        |      / CAST(n_h AS DOUBLE) / 1000.0 AS sd
+        |  FROM m
+        |), tot AS (
+        |  SELECT list_aggregate(
+        |    list(CAST(n_h AS DOUBLE) * sd ORDER BY event_type), 'sum')
+        |    AS tmass
+        |  FROM sdd
+        |), ideal AS (
+        |  SELECT event_type, n_h, sd,
+        |    1000.0 * ((CAST(n_h AS DOUBLE) * sd) / tmass) AS ideal
+        |  FROM sdd, tot
+        |), fl AS (
+        |  SELECT event_type, n_h, sd, ideal,
+        |    CAST(floor(ideal) AS BIGINT) AS n_floor,
+        |    ideal - CAST(floor(ideal) AS BIGINT) AS rem
+        |  FROM ideal
+        |), lo AS (SELECT 1000 - CAST(sum(n_floor) AS BIGINT) AS lo FROM fl)
+        |SELECT event_type, n_h, CAST(sd AS REAL) AS sd,
+        |  CAST(ideal AS REAL) AS ideal,
+        |  n_floor + CASE WHEN row_number() OVER (
+        |    ORDER BY rem DESC, event_type) <= lo THEN 1 ELSE 0 END
+        |    AS n_alloc
+        |FROM fl, lo ORDER BY event_type""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

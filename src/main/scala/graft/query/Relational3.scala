@@ -328,4 +328,58 @@ object Relational3 {
       .select(col("part_a"), col("part_b"), col("dist"))
       .orderBy(col("part_a"), col("part_b"))
   }
+
+  /** Neyman-optimal stratified sample allocation: per stratum
+    * (event_type), the allocation n_h of a fixed sample budget
+    * proportional to N_h·σ_h — the design that minimizes the variance
+    * of the stratified mean estimator — computed from ×10³-scaled
+    * INTEGER moments (N·Σv² − (Σv)² exact in BIGINT; envelope ~10⁶
+    * rows/stratum at |v| ≤ 10², DECIMAL(38) beyond) with
+    * largest-remainder rounding so the integer allocations sum to the
+    * budget EXACTLY (floor everything, hand the leftover to the
+    * largest fractional remainders, ties by stratum name).
+    *
+    * Scale shape: one map-side-combined moment aggregate per stratum
+    * (≤ 5 rows), a 1-row total broadcast, and a window over the ≤ 5
+    * allocation rows — nothing downstream of the first aggregate
+    * scales with the corpus. sd is one IEEE sqrt; shares are fixed-
+    * order double divisions; the rounding is integer-exact. */
+  def sampleNeymanAllocation(spark: SparkSession, dir: String,
+      budget: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * lit(1e3)).cast("long").as("v3"))
+    val m = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_h"), sum(col("v3")).as("s1"),
+        sum(col("v3") * col("v3")).as("s2"))
+      .select(col("event_type"), col("n_h"),
+        // population sd on the ×10³ scale: √((N·Σv² − (Σv)²)/N²)/10³
+        (sqrt((col("n_h") * col("s2") - col("s1") * col("s1"))
+          .cast("double")) / col("n_h").cast("double") / lit(1e3))
+          .as("sd"))
+      .withColumn("mass", col("n_h").cast("double") * col("sd"))
+    // tmass folds the ≤5 stratum masses in SORTED (event_type) order —
+    // an unordered double sum() would be engine-order-dependent in the
+    // last ulp, and a flipped ulp here could flip an integer allocation
+    // at a floor/remainder boundary
+    val tot = m.agg(expr(
+      """aggregate(transform(array_sort(collect_list(
+        |  struct(event_type, mass))), s -> s.mass), 0D, (a, x) -> a + x)"""
+        .stripMargin).as("tmass"))
+    val ideal = m.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_h"), col("sd"),
+        (lit(budget.toDouble) * (col("mass") / col("tmass"))).as("ideal"))
+      .withColumn("n_floor", floor(col("ideal")).cast("long"))
+      .withColumn("rem", col("ideal") - col("n_floor").cast("double"))
+    val leftover = ideal.agg((lit(budget) - sum(col("n_floor"))).as("lo"))
+    val w = Window.orderBy(col("rem").desc, col("event_type"))
+    ideal.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(w))
+      .select(col("event_type"), col("n_h"), col("sd").cast("float").as("sd"),
+        col("ideal").cast("float").as("ideal"),
+        (col("n_floor") + when(col("rk") <= col("lo"), 1L).otherwise(0L))
+          .as("n_alloc"))
+      .orderBy(col("event_type"))
+  }
 }

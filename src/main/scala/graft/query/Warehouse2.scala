@@ -671,4 +671,36 @@ object Warehouse2 {
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
       .orderBy(col("s_suppkey"))
   }
+
+  /** Differentially-private category counts via the Laplace mechanism
+    * with DETERMINISTIC pseudo-noise: u ~ U(0,1) derives from the
+    * cross-engine 60-bit hash of the category (u = h / 2^60), and the
+    * noise is the inverse-CDF Laplace draw −b·sign(u−½)·ln(1−2|u−½|)
+    * at b = 1/ε = 2 — the DP release plumbing (sensitivity-1 count
+    * query) with the RNG swapped for a replayable PRF so the mechanism
+    * arithmetic is oracle-checkable end to end. A production release
+    * swaps the hash for a sealed RNG; the mechanism, sensitivity, and
+    * scale stay as pinned here.
+    *
+    * Scale shape: one map-side-combined count per category plus
+    * map-only noise arithmetic — no second shuffle at any corpus
+    * size. The one ln per row is REAL-cast (libm last-ulp). */
+  def dqDpLaplaceCounts(spark: SparkSession, dir: String,
+      epsilon: Double = 0.5): DataFrame = {
+    val b = 1.0 / epsilon
+    val u = graft.query.Dedup.hash60(
+      concat(col("event_type"), lit(":dp"))).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    val c = u - lit(0.5)
+    graft.schema.Schemas.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"))
+      .select(col("event_type"), col("n_exact"), u.as("u"),
+        (-lit(b) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c)))
+          .cast("float").as("noise"))
+      .withColumn("n_noisy",
+        (col("n_exact").cast("double") + col("noise").cast("double"))
+          .cast("float"))
+      .orderBy(col("event_type"))
+  }
 }

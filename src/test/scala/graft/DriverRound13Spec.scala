@@ -474,6 +474,63 @@ class DriverRound13Spec extends SparkSpec {
     assert(mi >= -1e-9, s"MI must be non-negative, got $mi")
   }
 
+  test("dq_dp_laplace_counts: the noise replays the inverse-CDF Laplace " +
+      "draw from the category hash; noisy counts are exact + noise") {
+    val got = graft.query.Warehouse2.dqDpLaplaceCounts(spark, sf).collect()
+    assert(got.nonEmpty)
+    val counts = graft.schema.Schemas.events(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) == counts(t))
+      val u = md5hash60(s"$t:dp").toDouble / 1152921504606846976.0
+      assert(r.getDouble(2) == u, s"$t u")
+      val c = u - 0.5
+      val noise = (-2.0 * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c)))
+        .toFloat
+      assert(r.getFloat(3) == noise, s"$t noise")
+      assert(r.getFloat(4) ==
+        (counts(t).toDouble + noise.toDouble).toFloat, s"$t noisy")
+      // Laplace(b=2) at sensitivity 1: |noise| is finite and unbiased
+      // in expectation; sanity-bound a single draw at 10·b
+      assert(math.abs(noise) < 20.0, s"$t implausible noise $noise")
+    }
+  }
+
+  test("sample_neyman_allocation: allocations sum to the budget exactly, " +
+      "replay N_h·sigma_h shares with largest-remainder rounding") {
+    val got = graft.query.Relational3.sampleNeymanAllocation(spark, sf)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getLong(4)).sum == 1000L, "allocations must sum to budget")
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .select(col("event_type"),
+        round(col("value") * lit(1e3)).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val strata = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, vs) =>
+      val n = vs.length.toLong
+      val s1 = vs.map(_._2).sum
+      val s2 = vs.map(v => v._2 * v._2).sum
+      (t, n, math.sqrt((n * s2 - s1 * s1).toDouble) / n.toDouble / 1e3)
+    }
+    val tmass = strata.map { case (_, n, sd) => n.toDouble * sd }
+      .foldLeft(0.0)(_ + _)
+    val ideal = strata.map { case (t, n, sd) =>
+      (t, 1000.0 * ((n.toDouble * sd) / tmass)) }
+    val floors = ideal.map { case (t, i) => (t, i, math.floor(i).toLong) }
+    val lo = 1000L - floors.map(_._3).sum
+    val bump = floors.sortBy { case (t, i, f) => (-(i - f), t) }
+      .take(lo.toInt).map(_._1).toSet
+    val want = floors.map { case (t, i, f) =>
+      t -> (f + (if (bump(t)) 1L else 0L)) }.toMap
+    got.foreach { r =>
+      assert(r.getLong(4) == want(r.getString(0)),
+        s"${r.getString(0)} allocation")
+      assert(r.getFloat(3) == ideal.toMap.apply(r.getString(0)).toFloat)
+    }
+  }
+
   // ---- physical-plan audits for the round-13 operators (PlanSpec
   // discipline: the 100 TB design rules as assertions) -----------------
   private def plan(df: org.apache.spark.sql.DataFrame): String =
