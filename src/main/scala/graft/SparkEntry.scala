@@ -714,6 +714,12 @@ object SparkEntry {
     // Neyman-optimal stratified allocation, largest-remainder exact
     "sample_neyman_allocation" ->
       ((s: SparkSession, d: String) => Relational3.sampleNeymanAllocation(s, d)),
+    // Adamic-Adar link prediction (1/ln(deg) wedge weights)
+    "graph_adamic_adar"      ->
+      ((s: SparkSession, d: String) => Analytics4.graphAdamicAdar(s, d)),
+    // closed-form (minimax) weighted isotonic calibration over bins
+    "ml_isotonic_calibration" ->
+      ((s: SparkSession, d: String) => Analytics3.mlIsotonicCalibration(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7253,6 +7259,67 @@ object SparkEntry {
         |    ORDER BY rem DESC, event_type) <= lo THEN 1 ELSE 0 END
         |    AS n_alloc
         |FROM fl, lo ORDER BY event_type""".stripMargin,
+    // the common-neighbors wedge machinery with 1/ln(center degree)
+    // weights; top-k still ranked on the INTEGER count
+    "graph_adamic_adar" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), edges AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), sym AS (
+        |  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+        |), deg AS (
+        |  SELECT u AS x, count(*) AS deg FROM sym GROUP BY u
+        |), cohort AS (
+        |  SELECT u, v FROM sym WHERE v % 16 = 0
+        |), wed AS (
+        |  SELECT a.u AS z, a.v AS u2, b.v AS v2
+        |  FROM cohort a JOIN cohort b ON a.u = b.u AND a.v < b.v
+        |), scored AS (
+        |  SELECT u2, v2, CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(1.0 / ln(CAST(d.deg AS DOUBLE))) AS REAL)
+        |      AS adamic_adar
+        |  FROM wed JOIN deg d ON d.x = wed.z
+        |  GROUP BY u2, v2
+        |), na AS (
+        |  SELECT * FROM scored WHERE NOT EXISTS (
+        |    SELECT 1 FROM edges e WHERE e.u = scored.u2 AND e.v = scored.v2)
+        |)
+        |SELECT u2 AS u, v2 AS v, cn, adamic_adar FROM na
+        |ORDER BY cn DESC, u, v LIMIT 20""".stripMargin,
+    // fitted_i = max_{a<=i} min_{b>=i} weighted interval mean — the
+    // minimax closed form of PAV; every mean is one double division of
+    // exact integer sums
+    "ml_isotonic_calibration" ->
+      """WITH s AS (
+        |  SELECT least(greatest(CAST(embedding[1] AS DOUBLE) * 2.0 + 0.5,
+        |      0.0), 0.9999) AS score, label
+        |  FROM embeddings
+        |), bins AS (
+        |  SELECT CAST(floor(score * 10) AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN label % 2 = 1 THEN 1 END) AS BIGINT)
+        |      AS n_pos
+        |  FROM s GROUP BY 1
+        |), iv AS (
+        |  SELECT a.bin AS a, b.bin AS b2,
+        |    CAST(sum(c.n_pos) AS DOUBLE) / CAST(sum(c.n) AS DOUBLE) AS avg
+        |  FROM bins a JOIN bins b ON a.bin <= b.bin
+        |  JOIN bins c ON c.bin BETWEEN a.bin AND b.bin
+        |  GROUP BY a.bin, b.bin
+        |), mn AS (
+        |  SELECT i.bin AS i, iv.a, min(iv.avg) AS minavg
+        |  FROM iv JOIN bins i ON iv.a <= i.bin AND iv.b2 >= i.bin
+        |  GROUP BY i.bin, iv.a
+        |), ft AS (
+        |  SELECT i, max(minavg) AS fitted FROM mn GROUP BY i
+        |)
+        |SELECT b.bin, b.n, b.n_pos,
+        |  CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
+        |  ft.fitted
+        |FROM bins b JOIN ft ON ft.i = b.bin
+        |ORDER BY b.bin""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -228,6 +228,46 @@ object Analytics3 {
       .orderBy(col("bin"))
   }
 
+  /** Isotonic calibration over the [[evalCalibrationBins]] score bins —
+    * the monotone recalibration map (classifier score → calibrated
+    * probability) every probability-consuming pipeline fits. Instead of
+    * the sequential pool-adjacent-violators recurrence, this computes
+    * the CLOSED FORM of the weighted isotonic fit,
+    * fitted_i = max_{a≤i} min_{b≥i} (Σ_{a..b} n_pos / Σ_{a..b} n),
+    * which is exactly the PAV solution (the minimax theorem for
+    * isotonic regression) — every interval average is ONE double
+    * division of exact integer sums and the min/max are picks, so the
+    * fit is bit-identical cross-engine with no recurrence to replay.
+    *
+    * Scale shape: the bin table is ≤ 10 rows at ANY corpus size (the
+    * corpus-scaled work all happens inside evalCalibrationBins' one
+    * map-side-combined aggregate), so the O(bins³) interval expansion
+    * is a constant ~10³ rows — closed-form beats sequential PAV here
+    * because nothing about it scales with the data. */
+  def mlIsotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val b = evalCalibrationBins(spark, dir)
+      .select(col("bin"), col("n"), col("n_pos"))
+    val intervals = b.select(col("bin").as("a"))
+      .crossJoin(b.select(col("bin").as("b2")))
+      .filter(col("a") <= col("b2"))
+      .join(b, col("bin").between(col("a"), col("b2")))
+      .groupBy(col("a"), col("b2"))
+      .agg(sum(col("n_pos")).as("sp"), sum(col("n")).as("sn"))
+      .select(col("a"), col("b2"),
+        (col("sp").cast("double") / col("sn").cast("double")).as("avg"))
+    val fitted = intervals
+      .join(b.select(col("bin").as("i")),
+        col("a") <= col("i") && col("b2") >= col("i"))
+      .groupBy(col("i"), col("a")).agg(min(col("avg")).as("minavg"))
+      .groupBy(col("i")).agg(max(col("minavg")).as("fitted"))
+    b.join(fitted, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("raw_rate"),
+        col("fitted"))
+      .orderBy(col("bin"))
+  }
+
   /** CUSUM changepoint scan per user over the event stream: the running
     * cumulative sum of deviations from the series mean (Page's CUSUM),
     * its range (max − min, the changepoint magnitude), and the event at

@@ -98,6 +98,46 @@ object Analytics4 {
       .limit(k)
   }
 
+  /** Adamic–Adar link prediction: the common-neighbor score refined by
+    * down-weighting promiscuous centers — each shared neighbor z
+    * contributes 1/ln(deg(z)), so a wedge through a rare co-purchase
+    * is worth more than one through a ubiquitous hub (the classic
+    * empirical upgrade over raw counts / Jaccard). Same
+    * wedge-enumeration discipline as [[graphCommonNeighbors]] (the
+    * `% 16` cohort bound, full-graph degrees, non-adjacent pairs only);
+    * the TOP-K RANKING stays on the integer common-neighbor count with
+    * id tie-breaks — ranking on the summed double would make the
+    * result set hinge on aggregation order in the last ulp — and the
+    * Adamic–Adar score rides along REAL-cast.
+    *
+    * Scale shape: rides the persisted symmetric-edge + degree indexes;
+    * one wedge join shuffled on the center vertex; one
+    * map-side-combined (count, Σ 1/ln) aggregate; anti-join adjacency
+    * filter; TakeOrdered. A wedge center has ≥ 2 distinct neighbors by
+    * construction, so ln(deg) > 0 always. */
+  def graphAdamicAdar(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    val sym = Analytics.copurchaseEdgesSym(spark, dir)
+    val deg = Analytics.copurchaseDeg(spark, dir)
+    val e0 = Analytics.copurchaseEdges(spark, dir)
+    Analytics.cachedDf(spark, Analytics.gkey(dir, s"adamicadar$k")) {
+      val cohort = sym.filter(col("v") % 16 === 0)
+      val wedges = cohort.as("a")
+        .join(cohort.as("b"), col("a.u") === col("b.u"))
+        .filter(col("a.v") < col("b.v"))
+        .select(col("a.u").as("z"), col("a.v").as("u"), col("b.v").as("v"))
+        .join(deg.select(col("u").as("z"), col("deg").as("dz")), Seq("z"))
+      wedges.groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("cn"),
+          sum(lit(1.0) / log(col("dz").cast("double"))).as("aa0"))
+        .join(e0, Seq("u", "v"), "left_anti")
+        .select(col("u"), col("v"), col("cn"),
+          col("aa0").cast("float").as("adamic_adar"))
+        .orderBy(col("cn").desc, col("u"), col("v"))
+        .limit(k)
+    }
+  }
+
   /** Degree assortativity of the co-purchase graph: the Pearson
     * correlation of endpoint degrees over all directed edges — positive
     * means hubs link to hubs (assortative mixing), the one-number

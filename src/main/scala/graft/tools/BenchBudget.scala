@@ -75,7 +75,9 @@ object BenchBudget {
     "m6_growing_window_importances" -> (10.0,
       "three growing-window RF fits (seed 42), cached for ml_* queries"),
     "ann_ivf_pq_topk" -> (6.0,
-      "first builder of the persisted PQ code index (shared with ann_pq_adc_topk / emb_pq_codes); ADC probe itself is sub-second warm")
+      "first builder of the persisted PQ code index (shared with ann_pq_adc_topk / emb_pq_codes); ADC probe itself is sub-second warm"),
+    "graph_adamic_adar" -> (10.0,
+      "alphabetically first of the graph family — cold it builds the shared co-purchase edge/degree indexes; the cachedDf result serves repeats free")
   )
 
   def main(args: Array[String]): Unit = {

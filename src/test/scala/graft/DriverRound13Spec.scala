@@ -531,6 +531,79 @@ class DriverRound13Spec extends SparkSpec {
     }
   }
 
+  test("graph_adamic_adar: pairs and counts agree with " +
+      "graph_common_neighbors; scores replay sum(1/ln(deg(center)))") {
+    val aa = Analytics4.graphAdamicAdar(spark, sf).collect()
+    val cnRows = Analytics4.graphCommonNeighbors(spark, sf).collect()
+    assert(aa.nonEmpty)
+    // same ranking contract (cn desc, u, v) over the same wedge cohort
+    // ⇒ identical pair lists
+    assert(aa.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      cnRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // replay the degree-weighted score from the raw graph
+    val li = graft.schema.Schemas.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.foldLeft(Map.empty[Long, Set[Long]]) {
+      case (m, (u, v)) => m.updated(u, m.getOrElse(u, Set.empty) + v)
+        .updated(v, m.getOrElse(v, Set.empty) + u)
+    }
+    aa.foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      assert(u % 16 == 0 && v % 16 == 0, "pair outside the wedge cohort")
+      val common = adj(u) intersect adj(v)
+      val want = common.toSeq
+        .map(z => 1.0 / math.log(adj(z).size.toDouble)).sum.toFloat
+      assert(math.abs(r.getFloat(3) - want) <= 2e-7f * math.abs(want),
+        s"($u,$v): ${r.getFloat(3)} vs $want")
+    }
+  }
+
+  test("ml_isotonic_calibration: fitted values are the isotonic minimax, " +
+      "monotone non-decreasing, and match a driver-side PAV run") {
+    val got = graft.query.Analytics3.mlIsotonicCalibration(spark, sf)
+      .collect().sortBy(_.getInt(0))
+    assert(got.nonEmpty)
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(b.getDouble(4) >= a.getDouble(4),
+        "isotonic fit must be non-decreasing")
+      case _ => ()
+    }
+    // PAV with exact rational pools must equal the minimax closed form
+    case class Pool(var sp: Long, var sn: Long)
+    val pools = scala.collection.mutable.ArrayBuffer.empty[Pool]
+    got.foreach { r =>
+      pools += Pool(r.getLong(2), r.getLong(1))
+      // merge while the last pool's mean < the previous pool's mean
+      // (compare rationals by cross-multiplication — no doubles)
+      while (pools.length >= 2 &&
+          pools(pools.length - 1).sp * pools(pools.length - 2).sn <
+          pools(pools.length - 2).sp * pools(pools.length - 1).sn) {
+        val last = pools.remove(pools.length - 1)
+        pools(pools.length - 1).sp += last.sp
+        pools(pools.length - 1).sn += last.sn
+      }
+    }
+    // expand pools back to per-bin fitted values by weight
+    var bi = 0
+    pools.foreach { p =>
+      var w = p.sn
+      while (w > 0) {
+        val r = got(bi)
+        assert(r.getDouble(4) == p.sp.toDouble / p.sn.toDouble,
+          s"bin ${r.getInt(0)}: closed form != PAV")
+        w -= r.getLong(1); bi += 1
+      }
+      assert(w == 0, "pool boundary must align with bin boundaries")
+    }
+    assert(bi == got.length)
+  }
+
   // ---- physical-plan audits for the round-13 operators (PlanSpec
   // discipline: the 100 TB design rules as assertions) -----------------
   private def plan(df: org.apache.spark.sql.DataFrame): String =
