@@ -720,6 +720,9 @@ object SparkEntry {
     // closed-form (minimax) weighted isotonic calibration over bins
     "ml_isotonic_calibration" ->
       ((s: SparkSession, d: String) => Analytics3.mlIsotonicCalibration(s, d)),
+    // per-user local-level Kalman filter (sorted-group recurrence)
+    "ts_kalman_1d"           ->
+      ((s: SparkSession, d: String) => Analytics4.tsKalman1d(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7320,6 +7323,30 @@ object SparkEntry {
         |  ft.fitted
         |FROM bins b JOIN ft ON ft.i = b.bin
         |ORDER BY b.bin""".stripMargin,
+    // the filter recurrence replayed as a recursive CTE — identical
+    // parenthesization and (ts, event_id) order ⇒ bit-identical doubles
+    "ts_kalman_1d" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, value AS z,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events WHERE user_id < 50
+        |), st AS (
+        |  -- DOUBLE-cast base literals: bare 1.0 is DECIMAL(2,1) in
+        |  -- DuckDB and would round every downstream k/p to one decimal
+        |  SELECT user_id, event_id, z, rn,
+        |    CAST(1.0 AS DOUBLE) AS k, z AS x, CAST(1.0 AS DOUBLE) AS p
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.z, e.rn,
+        |    (s.p + 1.0) / (s.p + 1.0 + 4.0) AS k,
+        |    s.x + ((s.p + 1.0) / (s.p + 1.0 + 4.0)) * (e.z - s.x) AS x,
+        |    (1.0 - (s.p + 1.0) / (s.p + 1.0 + 4.0)) * (s.p + 1.0) AS p
+        |  FROM st s JOIN ev e
+        |    ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        |)
+        |SELECT user_id, event_id, rn, z, k AS k_gain, x AS x_filt
+        |FROM st ORDER BY user_id, rn""".stripMargin,
   )
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]

@@ -1409,6 +1409,51 @@ object Analytics4 {
       .orderBy(col("hour_ts"))
   }
 
+  /** 1-D Kalman filter (local-level model) per user: the optimal
+    * recursive estimator for a random-walk signal observed under noise
+    * — predict P ← P + Q, gain K = P/(P+R), update x ← x + K(z − x),
+    * P ← (1−K)P — THE online smoother telemetry/sensor pipelines run
+    * (EWMA with a principled, observation-noise-aware gain that
+    * converges to the steady-state Riccati fixed point). Initial state
+    * is the first observation with P₀ = 1, K₁ ≡ 1.
+    *
+    * Exactness: the recurrence is a fixed sequence of double ops per
+    * event — both engines (flatMapSortedGroups here, a recursive CTE
+    * in the oracle) evaluate the identical parenthesization in the
+    * identical (ts, event_id) order, so every filtered value is
+    * bit-identical; no libm beyond division.
+    *
+    * Scale shape: ONE exchange on user_id, engine-side sort, O(1)
+    * state per key — the Kadane/debounce/FFD sorted-group recurrence
+    * family; output is bounded by the user filter. */
+  def tsKalman1d(spark: SparkSession, dir: String, q: Double = 1.0,
+      r: Double = 4.0, maxUser: Long = 50L): DataFrame = {
+    import spark.implicits._
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    ev.groupByKey(_._1)
+      .flatMapSortedGroups(col("us"), col("event_id")) { (user, it) =>
+        var rn = 0L
+        var x = 0.0
+        var p = 0.0
+        it.map { case (_, _, id, z) =>
+          rn += 1
+          if (rn == 1L) { x = z; p = 1.0; (user, id, rn, z, 1.0, x) }
+          else {
+            val k = (p + q) / (p + q + r)
+            x = x + k * (z - x)
+            p = (1.0 - k) * (p + q)
+            (user, id, rn, z, k, x)
+          }
+        }
+      }
+      .toDF("user_id", "event_id", "rn", "z", "k_gain", "x_filt")
+      .orderBy(col("user_id"), col("rn"))
+  }
+
   /** pass@k — the unbiased estimator every code/agent eval reports:
     * for a problem with n trials of which c succeeded,
     * pass@k = 1 − C(n−c,k)/C(n,k), computed in the numerically-stable

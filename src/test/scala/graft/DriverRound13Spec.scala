@@ -604,6 +604,49 @@ class DriverRound13Spec extends SparkSpec {
     assert(bi == got.length)
   }
 
+  test("ts_kalman_1d: every filtered value replays the recurrence " +
+      "bit-exactly; the gain converges to the Riccati fixed point; " +
+      "estimates stay inside the running observation envelope") {
+    val got = Analytics4.tsKalman1d(spark, sf).collect()
+    assert(got.nonEmpty)
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = ev.groupBy(_._1)
+    // steady-state gain: p* = (−1+√17)/2 solves p = 4(p+1)/(p+5)
+    val pStar = (-1.0 + math.sqrt(17.0)) / 2.0
+    val kStar = (pStar + 1.0) / (pStar + 5.0)
+    got.groupBy(_.getLong(0)).foreach { case (u, rows) =>
+      val sorted = byUser(u).sortBy(e => (e._2, e._3))
+      val out = rows.sortBy(_.getLong(2))
+      assert(out.length == sorted.length)
+      var x = 0.0; var p = 0.0
+      var lo = Double.MaxValue; var hi = Double.MinValue
+      sorted.zip(out).zipWithIndex.foreach { case (((_, _, id, z), r), i) =>
+        assert(r.getLong(1) == id, s"user $u rn ${i + 1} event")
+        val k =
+          if (i == 0) { x = z; p = 1.0; 1.0 }
+          else {
+            val kk = (p + 1.0) / (p + 1.0 + 4.0)
+            x = x + kk * (z - x)
+            p = (1.0 - kk) * (p + 1.0)
+            kk
+          }
+        assert(r.getDouble(4) == k, s"user $u rn ${i + 1} gain")
+        assert(r.getDouble(5) == x, s"user $u rn ${i + 1} estimate")
+        lo = math.min(lo, z); hi = math.max(hi, z)
+        assert(x >= lo - 1e-12 && x <= hi + 1e-12,
+          s"user $u: estimate left the observation envelope")
+      }
+      // gain hits the fixed point geometrically — by rn 20 it's there
+      if (out.length > 20)
+        assert(math.abs(out(20).getDouble(4) - kStar) < 1e-9,
+          s"user $u gain ${out(20).getDouble(4)} vs k* $kStar")
+    }
+  }
+
   // ---- physical-plan audits for the round-13 operators (PlanSpec
   // discipline: the 100 TB design rules as assertions) -----------------
   private def plan(df: org.apache.spark.sql.DataFrame): String =
