@@ -723,6 +723,10 @@ object SparkEntry {
     // per-user local-level Kalman filter (sorted-group recurrence)
     "ts_kalman_1d"           ->
       ((s: SparkSession, d: String) => Analytics4.tsKalman1d(s, d)),
+    // its streaming twin: ValueState carries (rn, x, P); drain == batch
+    "stream_kalman_filter"   ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.StreamQueries.streamKalmanFilter(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7324,8 +7328,16 @@ object SparkEntry {
         |FROM bins b JOIN ft ON ft.i = b.bin
         |ORDER BY b.bin""".stripMargin,
     // the filter recurrence replayed as a recursive CTE — identical
-    // parenthesization and (ts, event_id) order ⇒ bit-identical doubles
-    "ts_kalman_1d" ->
+    // parenthesization and (ts, event_id) order ⇒ bit-identical doubles;
+    // the STREAMING twin drains to the same rows, so it shares the text
+    "ts_kalman_1d" -> kalmanRecurrenceSql,
+    "stream_kalman_filter" -> kalmanRecurrenceSql,
+  )
+
+  /** The Kalman recurrence as a recursive CTE — shared by the batch
+    * operator and its streaming twin (whose full drain equals the batch
+    * filter bit for bit by the batch-equivalence contract). */
+  private val kalmanRecurrenceSql: String =
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, event_id, value AS z,
         |    CAST(row_number() OVER (PARTITION BY user_id
@@ -7346,8 +7358,7 @@ object SparkEntry {
         |    ON e.user_id = s.user_id AND e.rn = s.rn + 1
         |)
         |SELECT user_id, event_id, rn, z, k AS k_gain, x AS x_filt
-        |FROM st ORDER BY user_id, rn""".stripMargin,
-  )
+        |FROM st ORDER BY user_id, rn""".stripMargin
 
   /** Shared CTE block replaying [[graft.query.Dedup.dedupMinhashLsh]]
     * (3-gram shingles, numBands×rowsPerBand md5-60-bit double-hashed

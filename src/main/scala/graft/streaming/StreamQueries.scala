@@ -1227,6 +1227,77 @@ object StreamQueries {
     }
   }
 
+  case class KfOut(user_id: Long, event_id: Long, rn: Long, z: Double,
+    k_gain: Double, x_filt: Double)
+
+  /** Streaming per-user 1-D Kalman filter: the ValueState carries
+    * (rn, x, P) and every arriving observation advances the SAME
+    * local-level recurrence as the batch [[graft.query.Analytics4]]
+    * `ts_kalman_1d` (identical parenthesization, identical
+    * (ts, event_id) in-batch order), so a full drain equals the batch
+    * filter BIT for bit — the batch-equivalence contract that lets one
+    * codebase serve both the backfill and the live path. State is 3
+    * numbers per user, watermark-free (the filter never closes),
+    * RocksDB-backed like the z-score gate. */
+  private class Kalman1dProcessor(q: Double, r: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Double), KfOut] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double, Double)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double, Double)]("kf",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KfOut] = {
+      val sorted = rows.toArray.sortBy(t => (t._3, t._2))
+      var (rn, x, p) = if (st.exists()) st.get() else (0L, 0.0, 0.0)
+      val out = sorted.map { case (u, id, _, z) =>
+        rn += 1
+        val k =
+          if (rn == 1L) { x = z; p = 1.0; 1.0 }
+          else {
+            val kk = (p + q) / (p + q + r)
+            x = x + kk * (z - x)
+            p = (1.0 - kk) * (p + q)
+            kk
+          }
+        KfOut(u, id, rn, z, k, x)
+      }
+      st.update((rn, x, p))
+      out.iterator
+    }
+  }
+
+  def streamKalmanFilter(spark: SparkSession, dir: String, q: Double = 1.0,
+      r: Double = 4.0, maxUser: Long = 50L): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = streamEvents(spark, dir, singleBatch = true)
+        .filter(col("user_id") < maxUser)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      val out = ds.groupByKey(_._1)
+        .transformWithState(new Kalman1dProcessor(q, r),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      drain(spark, out.toDF(), OutputMode.Update(), statePartitions = 4)
+        .orderBy(col("user_id"), col("rn"))
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
+  }
+
   private def twsSource(spark: SparkSession, dir: String,
       rawEvents: Boolean, filesPerTrigger: Option[Int]): DataFrame =
     if (rawEvents) streamEvents(spark, dir)

@@ -77,7 +77,9 @@ object BenchBudget {
     "ann_ivf_pq_topk" -> (6.0,
       "first builder of the persisted PQ code index (shared with ann_pq_adc_topk / emb_pq_codes); ADC probe itself is sub-second warm"),
     "graph_adamic_adar" -> (10.0,
-      "alphabetically first of the graph family — cold it builds the shared co-purchase edge/degree indexes; the cachedDf result serves repeats free")
+      "alphabetically first of the graph family — cold it builds the shared co-purchase edge/degree indexes; the cachedDf result serves repeats free"),
+    "stream_kalman_filter" -> (6.0,
+      "transformWithState store init + drain floor; data work is 3 doubles/user")
   )
 
   def main(args: Array[String]): Unit = {

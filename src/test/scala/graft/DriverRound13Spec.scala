@@ -647,6 +647,25 @@ class DriverRound13Spec extends SparkSpec {
     }
   }
 
+  test("stream_kalman_filter: the streaming drain equals the batch " +
+      "filter bit for bit, and a re-run is deterministic") {
+    val batch = Analytics4.tsKalman1d(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val stream = graft.streaming.StreamQueries.streamKalmanFilter(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(stream.nonEmpty)
+    assert(stream.toSeq == batch.toSeq,
+      "streaming Kalman must equal the batch recurrence exactly")
+    val rerun = graft.streaming.StreamQueries.streamKalmanFilter(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rerun.toSeq == stream.toSeq, "re-drain must be deterministic")
+  }
+
   // ---- physical-plan audits for the round-13 operators (PlanSpec
   // discipline: the 100 TB design rules as assertions) -----------------
   private def plan(df: org.apache.spark.sql.DataFrame): String =
