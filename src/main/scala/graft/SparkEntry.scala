@@ -727,6 +727,13 @@ object SparkEntry {
     "stream_kalman_filter"   ->
       ((s: SparkSession, d: String) =>
         graft.streaming.StreamQueries.streamKalmanFilter(s, d)),
+    // live OHLC candles: ordered first/last as mergeable min_by/max_by
+    "stream_ohlc_candles"    ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.StreamQueries.streamOhlcCandles(s, d)),
+    // rolling mean ± 2σ envelope with integer-exact breakout verdicts
+    "window_bollinger_bands" ->
+      ((s: SparkSession, d: String) => Analytics4.windowBollingerBands(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7142,20 +7149,10 @@ object SparkEntry {
         |  CAST(s * s - f2_exact AS DOUBLE) / CAST(f2_exact AS DOUBLE)
         |    AS rel_err
         |FROM s, ex ORDER BY counter""".stripMargin,
-    // open/close by fixed-width (micros, event_id) lexicographic argmin
-    "ts_ohlc_hourly" ->
-      """WITH ev AS (
-        |  SELECT date_trunc('hour', ts) AS hour_ts, value,
-        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |      || lpad(CAST(event_id AS VARCHAR), 10, '0') AS skey
-        |  FROM events
-        |)
-        |SELECT hour_ts, CAST(count(*) AS BIGINT) AS n_events,
-        |  arg_min(value, skey) AS open,
-        |  max(value) AS high, min(value) AS low,
-        |  arg_max(value, skey) AS close,
-        |  CAST(sum(value) / count(*) AS REAL) AS mean_value
-        |FROM ev GROUP BY hour_ts ORDER BY hour_ts""".stripMargin,
+    // open/close by fixed-width (micros, event_id) lexicographic argmin;
+    // the streaming candle drain equals the batch table, sharing the text
+    "ts_ohlc_hourly" -> ohlcHourlySql,
+    "stream_ohlc_candles" -> ohlcHourlySql,
     // boundary after token i where the 4-gram hash lands in the 1/32
     // bucket, forced end at len; chunks between consecutive boundaries
     "text_cdc_chunking" ->
@@ -7332,7 +7329,50 @@ object SparkEntry {
     // the STREAMING twin drains to the same rows, so it shares the text
     "ts_kalman_1d" -> kalmanRecurrenceSql,
     "stream_kalman_filter" -> kalmanRecurrenceSql,
+    // BIGINT rolling sums (order-independent under segment-tree sliding
+    // windows); breakout verdicts cross-multiplied onto exact integers
+    "window_bollinger_bands" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CAST(round(value * 1000.0) AS BIGINT) AS v3
+        |  FROM events WHERE user_id < 50
+        |), m AS (
+        |  SELECT user_id, event_id, value, v3,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_win,
+        |    CAST(sum(v3) OVER w AS BIGINT) AS s,
+        |    CAST(sum(v3 * v3) OVER w AS BIGINT) AS q
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, event_id, value, n_win,
+        |  CAST(s AS DOUBLE) / (CAST(n_win AS DOUBLE) * 1000.0) AS mean,
+        |  sqrt(CAST(n_win * q - s * s AS DOUBLE)) / CAST(n_win AS DOUBLE)
+        |    / 1000.0 AS sd,
+        |  CASE WHEN n_win < 20 THEN FALSE
+        |    ELSE v3 * n_win - s > 0 AND (v3 * n_win - s) * (v3 * n_win - s)
+        |      > 4 * (n_win * q - s * s) END AS above_upper,
+        |  CASE WHEN n_win < 20 THEN FALSE
+        |    ELSE v3 * n_win - s < 0 AND (v3 * n_win - s) * (v3 * n_win - s)
+        |      > 4 * (n_win * q - s * s) END AS below_lower
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
   )
+
+  /** Hourly OHLC candles — shared by the batch operator and the
+    * streaming Complete-mode drain (which equals it row for row). */
+  private val ohlcHourlySql: String =
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS hour_ts, value,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |      || lpad(CAST(event_id AS VARCHAR), 10, '0') AS skey
+        |  FROM events
+        |)
+        |SELECT hour_ts, CAST(count(*) AS BIGINT) AS n_events,
+        |  arg_min(value, skey) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  arg_max(value, skey) AS close,
+        |  CAST(sum(value) / count(*) AS REAL) AS mean_value
+        |FROM ev GROUP BY hour_ts ORDER BY hour_ts""".stripMargin
 
   /** The Kalman recurrence as a recursive CTE — shared by the batch
     * operator and its streaming twin (whose full drain equals the batch

@@ -1454,6 +1454,52 @@ object Analytics4 {
       .orderBy(col("user_id"), col("rn"))
   }
 
+  /** Bollinger bands with INTEGER-EXACT breakout flags: per user, the
+    * rolling 20-event mean ± 2σ envelope and whether the current value
+    * breaks out — the volatility-banded anomaly gate (trading,
+    * telemetry) in a form where no float can flip a verdict. The band
+    * test is cross-multiplied onto ×10³-scaled integers (dev = v·n − s;
+    * breakout ⇔ dev² > 4·(n·Σv² − s²)), the rolling sums are BIGINT
+    * (order-independent, so DuckDB's segment-tree sliding windows and
+    * Spark's frame folds agree bit for bit — a double rolling sum would
+    * NOT), and mean/sd are single divisions / one IEEE sqrt of exact
+    * integers. Flags are FALSE until the window fills
+    * (a breakout verdict needs the full envelope). The ×10³
+    * scale is the overflow envelope: dev² peaks at (n·v₃ᵐᵃˣ)² ≈ 10¹⁴
+    * for |v| ≤ 490 at n = 20 (×10⁶ scaling overflows s² at this value
+    * range — caught by the ANSI overflow error, not silent).
+    *
+    * Scale shape: one exchange on user_id; one sliding frame over it;
+    * everything else map-only. */
+  def windowBollingerBands(spark: SparkSession, dir: String,
+      win: Int = 20, maxUser: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(win - 1), Window.currentRow)
+    val dev = col("v3") * col("n_win") - col("s")
+    val varTerm = col("n_win") * col("q") - col("s") * col("s")
+    graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        round(col("value") * lit(1e3)).cast("long").as("v3"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("s", sum(col("v3")).over(w))
+      .withColumn("q", sum(col("v3") * col("v3")).over(w))
+      .select(col("user_id"), col("event_id"), col("value"), col("n_win"),
+        (col("s").cast("double") / (col("n_win").cast("double") * lit(1e3)))
+          .as("mean"),
+        (sqrt(varTerm.cast("double")) / col("n_win").cast("double")
+          / lit(1e3)).as("sd"),
+        when(col("n_win") < win, lit(false))
+          .otherwise(dev > 0 && dev * dev > lit(4L) * varTerm)
+          .as("above_upper"),
+        when(col("n_win") < win, lit(false))
+          .otherwise(dev < 0 && dev * dev > lit(4L) * varTerm)
+          .as("below_lower"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** pass@k — the unbiased estimator every code/agent eval reports:
     * for a problem with n trials of which c succeeded,
     * pass@k = 1 − C(n−c,k)/C(n,k), computed in the numerically-stable

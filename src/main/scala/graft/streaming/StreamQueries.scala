@@ -266,6 +266,36 @@ object StreamQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Streaming hourly OHLC candles — the live twin of
+    * [[graft.query.Analytics4]] `ts_ohlc_hourly`: open/close are
+    * min_by/max_by on the same fixed-width (epoch-micros, event_id)
+    * lexicographic key, so the ordered first/last per window stays a
+    * plain incremental aggregate the state store can merge (no sorted
+    * buffer per window — 4 doubles + 2 keys of state per (window)
+    * regardless of event rate), and a full drain equals the batch
+    * candle table, which is the shared DuckDB oracle. Complete-mode
+    * drain like the other windowed rollups; at deployment Update mode
+    * emits refreshed candles per trigger. */
+  def streamOhlcCandles(spark: SparkSession, dir: String): DataFrame = {
+    val skey = concat(
+      format_string("%020d", unix_micros(col("ts"))),
+      format_string("%010d", col("event_id")))
+    val agg = streamEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("value"), skey.as("skey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("value"), col("skey")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("skey")).as("close"),
+        (sum(col("value")) / count(lit(1))).cast("float").as("mean_value"))
+    drain(spark, agg, OutputMode.Complete())
+      .select(col("w.start").as("hour_ts"), col("n_events"), col("open"),
+        col("high"), col("low"), col("close"), col("mean_value"))
+      .orderBy(col("hour_ts"))
+  }
+
   /** Streaming HOPPING-window aggregation: overlapping 6-hour windows
     * sliding every 3 hours — the stateful streaming twin of the batch
     * [[graft.query.Relational2]] hopping window. Each event updates

@@ -666,6 +666,62 @@ class DriverRound13Spec extends SparkSpec {
     assert(rerun.toSeq == stream.toSeq, "re-drain must be deterministic")
   }
 
+  test("stream_ohlc_candles: the streaming drain equals the batch candle " +
+      "table row for row") {
+    val batch = Analytics4.tsOhlcHourly(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getFloat(6)))
+    val stream = graft.streaming.StreamQueries.streamOhlcCandles(spark, sf)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getFloat(6)))
+    assert(stream.nonEmpty && stream.toSeq == batch.toSeq)
+  }
+
+  test("window_bollinger_bands: flags replay the exact-integer band test " +
+      "and agree with the double-arithmetic band; false until fill") {
+    val got = Analytics4.windowBollingerBands(spark, sf).collect()
+    assert(got.nonEmpty)
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        round(col("value") * lit(1e3)).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.sortBy(e => (e._2, e._3))
+    }
+    val byId = got.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    byUser.foreach { case (u, rows) =>
+      rows.zipWithIndex.foreach { case ((_, _, id, v3), i) =>
+        val r = byId((u, id))
+        val winRows = rows.slice(math.max(0, i - 19), i + 1).map(_._4)
+        val n = winRows.length.toLong
+        val s = winRows.sum; val q = winRows.map(x => x * x).sum
+        assert(r.getLong(3) == n, s"user $u event $id n_win")
+        assert(r.getDouble(4) ==
+          s.toDouble / (n.toDouble * 1e3), s"user $u event $id mean")
+        val dev = v3 * n - s
+        val varT = n * q - s * s
+        if (n < 20) {
+          assert(!r.getBoolean(6) && !r.getBoolean(7),
+            s"user $u event $id: flags before fill")
+        } else {
+          assert(r.getBoolean(6) == (dev > 0 && dev * dev > 4 * varT))
+          assert(r.getBoolean(7) == (dev < 0 && dev * dev > 4 * varT))
+          // the integer verdict equals the textbook double band test on
+          // the quantized values (strict inequality, no boundary ties)
+          val mean = s.toDouble / n.toDouble
+          val sd = math.sqrt(varT.toDouble) / n.toDouble
+          if (sd > 0) {
+            assert(r.getBoolean(6) == (v3.toDouble - mean > 2.0 * sd)
+              || math.abs(math.abs(v3.toDouble - mean) - 2.0 * sd) < 1e-6,
+              s"user $u event $id upper-band disagreement")
+          }
+        }
+      }
+    }
+  }
+
   // ---- physical-plan audits for the round-13 operators (PlanSpec
   // discipline: the 100 TB design rules as assertions) -----------------
   private def plan(df: org.apache.spark.sql.DataFrame): String =
