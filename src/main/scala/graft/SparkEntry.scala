@@ -734,6 +734,9 @@ object SparkEntry {
     // rolling mean ± 2σ envelope with integer-exact breakout verdicts
     "window_bollinger_bands" ->
       ((s: SparkSession, d: String) => Analytics4.windowBollingerBands(s, d)),
+    // rolling-median/MAD despiker — all picks, nothing to drift
+    "window_hampel_filter"   ->
+      ((s: SparkSession, d: String) => Analytics4.windowHampelFilter(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7356,6 +7359,38 @@ object SparkEntry {
         |    ELSE v3 * n_win - s < 0 AND (v3 * n_win - s) * (v3 * n_win - s)
         |      > 4 * (n_win * q - s * s) END AS below_lower
         |FROM m ORDER BY user_id, event_id""".stripMargin,
+    // median/MAD are picks from sorted ×10³ integers (frame ≥ 4 rows at
+    // the edges, so the 4th order statistic always exists)
+    "window_hampel_filter" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CAST(round(value * 1000.0) AS BIGINT) AS v3
+        |  FROM events WHERE user_id < 50
+        |), m AS (
+        |  SELECT user_id, event_id, value, v3,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_win,
+        |    list_sort(list(v3) OVER w) AS vals
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), m2 AS (
+        |  SELECT user_id, event_id, value, v3, n_win,
+        |    vals[4] AS med3,
+        |    (list_sort(list_transform(vals, x -> abs(x - vals[4]))))[4]
+        |      AS mad3
+        |  FROM m
+        |), m3 AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(med3 AS DOUBLE) / 1000.0 AS median,
+        |    CAST(mad3 AS DOUBLE) / 1000.0 AS mad,
+        |    CASE WHEN n_win < 7 THEN FALSE
+        |      ELSE CAST(abs(v3 - med3) AS DOUBLE)
+        |        > 3.0 * 1.4826 * CAST(mad3 AS DOUBLE) END AS is_outlier
+        |  FROM m2
+        |)
+        |SELECT user_id, event_id, value, median, mad, is_outlier,
+        |  CASE WHEN is_outlier THEN median ELSE value END AS cleaned
+        |FROM m3 ORDER BY user_id, event_id""".stripMargin,
   )
 
   /** Hourly OHLC candles — shared by the batch operator and the

@@ -1500,6 +1500,52 @@ object Analytics4 {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Hampel filter: the rolling-median/MAD outlier cleaner — a point
+    * is an outlier iff |x − median₇| > 3·1.4826·MAD₇ over the centered
+    * 7-event window, and the cleaned series replaces outliers with the
+    * window median (the standard telemetry despiker, robust where the
+    * mean/σ z-score family breaks under the very spikes it hunts).
+    *
+    * Exactness: median and MAD are PICKS from sorted ×10³-scaled
+    * integers (odd window ⇒ single middle element — no averaging
+    * anywhere), so the verdict comparison is one double multiply
+    * against an exact integer deviation: cross-multiplied as
+    * 10³·|dev| > 3·1.4826·10³·MAD computed identically both engines —
+    * no sums, no aggregation order, nothing to drift.
+    *
+    * Scale shape: one exchange on user_id; one centered frame; picks
+    * via `element_at(array_sort(collect_list(...)), 4)` over exactly 7
+    * values per frame. Edge rows (< 7 in frame) pass through
+    * unflagged — the standard boundary contract. */
+  def windowHampelFilter(spark: SparkSession, dir: String,
+      maxUser: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, 3)
+    val med = element_at(array_sort(collect_list(col("v3")).over(w)), 4)
+    val nWin = count(lit(1)).over(w)
+    graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        round(col("value") * lit(1e3)).cast("long").as("v3"))
+      .withColumn("n_win", nWin)
+      .withColumn("med3", med)
+      .withColumn("mad3", element_at(array_sort(
+        transform(collect_list(col("v3")).over(w),
+          x => abs(x - col("med3")))), 4))
+      .select(col("user_id"), col("event_id"), col("value"),
+        (col("med3").cast("double") / lit(1e3)).as("median"),
+        (col("mad3").cast("double") / lit(1e3)).as("mad"),
+        when(col("n_win") < 7, lit(false))
+          .otherwise(abs(col("v3") - col("med3")).cast("double") >
+            lit(3.0) * lit(1.4826) * col("mad3").cast("double"))
+          .as("is_outlier"))
+      .withColumn("cleaned",
+        when(col("is_outlier"), col("median")).otherwise(col("value")))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** pass@k — the unbiased estimator every code/agent eval reports:
     * for a problem with n trials of which c succeeded,
     * pass@k = 1 − C(n−c,k)/C(n,k), computed in the numerically-stable

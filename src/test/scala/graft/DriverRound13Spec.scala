@@ -722,6 +722,41 @@ class DriverRound13Spec extends SparkSpec {
     }
   }
 
+  test("window_hampel_filter: median/MAD replay the sorted-window picks; " +
+      "outliers replaced by the median, inliers pass through untouched") {
+    val got = Analytics4.windowHampelFilter(spark, sf).collect()
+    assert(got.nonEmpty)
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value"), round(col("value") * lit(1e3)).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    val byUser = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.sortBy(e => (e._2, e._3)) }
+    val byId = got.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    var flagged = 0
+    byUser.foreach { case (u, rows) =>
+      rows.zipWithIndex.foreach { case ((_, _, id, v, v3), i) =>
+        val r = byId((u, id))
+        val frame = rows.slice(math.max(0, i - 3),
+          math.min(rows.length, i + 4)).map(_._5).sorted
+        val med = frame(3)
+        val mad = frame.map(x => math.abs(x - med)).sorted.apply(3)
+        assert(r.getDouble(3) == med.toDouble / 1e3, s"($u,$id) median")
+        assert(r.getDouble(4) == mad.toDouble / 1e3, s"($u,$id) mad")
+        val out = frame.length >= 7 &&
+          math.abs(v3 - med).toDouble > 3.0 * 1.4826 * mad.toDouble
+        assert(r.getBoolean(5) == out, s"($u,$id) verdict")
+        assert(r.getDouble(6) == (if (out) med.toDouble / 1e3 else v),
+          s"($u,$id) cleaned")
+        if (out) flagged += 1
+      }
+    }
+    assert(flagged > 0, "despiker found nothing — corpus or rule broken")
+  }
+
   // ---- physical-plan audits for the round-13 operators (PlanSpec
   // discipline: the 100 TB design rules as assertions) -----------------
   private def plan(df: org.apache.spark.sql.DataFrame): String =
