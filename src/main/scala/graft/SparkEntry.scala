@@ -737,6 +737,12 @@ object SparkEntry {
     // rolling-median/MAD despiker — all picks, nothing to drift
     "window_hampel_filter"   ->
       ((s: SparkSession, d: String) => Analytics4.windowHampelFilter(s, d)),
+    // PACF via unrolled Durbin–Levinson layers over the shared lag-ρ
+    "ts_pacf_durbin_levinson" ->
+      ((s: SparkSession, d: String) => Analytics4.tsPacfDurbinLevinson(s, d)),
+    // heavy-tail-robust mean (median of 16 hash-bucket means)
+    "agg_median_of_means"    ->
+      ((s: SparkSession, d: String) => Analytics4.aggMedianOfMeans(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7391,6 +7397,96 @@ object SparkEntry {
         |SELECT user_id, event_id, value, median, mad, is_outlier,
         |  CASE WHEN is_outlier THEN median ELSE value END AS cleaned
         |FROM m3 ORDER BY user_id, event_id""".stripMargin,
+    // the ljung-box ρ front end, pivoted, then the Durbin–Levinson
+    // layers with the SAME parenthesization as the Column expressions
+    "ts_pacf_durbin_levinson" ->
+      """WITH l AS (
+        |  SELECT user_id, value AS y,
+        |    lag(value, 1) OVER w AS x1, lag(value, 2) OVER w AS x2,
+        |    lag(value, 3) OVER w AS x3, lag(value, 4) OVER w AS x4,
+        |    lag(value, 5) OVER w AS x5
+        |  FROM events WHERE user_id < 100
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), st AS (
+        |  SELECT user_id, 1 AS lag, x1 AS x, y FROM l WHERE x1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, 2, x2, y FROM l WHERE x2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, 3, x3, y FROM l WHERE x3 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, 4, x4, y FROM l WHERE x4 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, 5, x5, y FROM l WHERE x5 IS NOT NULL
+        |), a AS (
+        |  SELECT user_id, lag, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM st GROUP BY user_id, lag
+        |), r AS (
+        |  SELECT user_id, lag,
+        |    CAST((n * sxy - sx * sy)
+        |      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |      AS REAL) AS rho
+        |  FROM a
+        |), piv AS (
+        |  SELECT user_id,
+        |    CAST(max(CASE WHEN lag = 1 THEN rho END) AS DOUBLE) AS r1,
+        |    CAST(max(CASE WHEN lag = 2 THEN rho END) AS DOUBLE) AS r2,
+        |    CAST(max(CASE WHEN lag = 3 THEN rho END) AS DOUBLE) AS r3,
+        |    CAST(max(CASE WHEN lag = 4 THEN rho END) AS DOUBLE) AS r4,
+        |    CAST(max(CASE WHEN lag = 5 THEN rho END) AS DOUBLE) AS r5
+        |  FROM r GROUP BY user_id
+        |), l1 AS (SELECT *, r1 AS p11 FROM piv),
+        |l2 AS (SELECT *,
+        |  (r2 - p11 * r1) / (1.0 - p11 * r1) AS p22 FROM l1),
+        |l2b AS (SELECT *, p11 - p22 * p11 AS p21 FROM l2),
+        |l3 AS (SELECT *,
+        |  (r3 - (p21 * r2 + p22 * r1))
+        |    / (1.0 - (p21 * r1 + p22 * r2)) AS p33 FROM l2b),
+        |l3b AS (SELECT *, p21 - p33 * p22 AS p31,
+        |  p22 - p33 * p21 AS p32 FROM l3),
+        |l4 AS (SELECT *,
+        |  (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+        |    / (1.0 - (p31 * r1 + p32 * r2 + p33 * r3)) AS p44 FROM l3b),
+        |l4b AS (SELECT *, p31 - p44 * p33 AS p41,
+        |  p32 - p44 * p32 AS p42, p33 - p44 * p31 AS p43 FROM l4),
+        |l5 AS (SELECT *,
+        |  (r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1))
+        |    / (1.0 - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4))
+        |    AS p55 FROM l4b)
+        |SELECT user_id, lag, CAST(p AS REAL) AS pacf FROM (
+        |  SELECT user_id, 1 AS lag, p11 AS p FROM l5
+        |  UNION ALL SELECT user_id, 2, p22 FROM l5
+        |  UNION ALL SELECT user_id, 3, p33 FROM l5
+        |  UNION ALL SELECT user_id, 4, p44 FROM l5
+        |  UNION ALL SELECT user_id, 5, p55 FROM l5)
+        |ORDER BY user_id, lag""".stripMargin,
+    // 16 hash-bucket means (exact-rational divisions), median of the
+    // sorted 16 (average of the two middle picks)
+    "agg_median_of_means" ->
+      """WITH ev AS (
+        |  SELECT CAST(round(value * 1000.0) AS BIGINT) AS v3,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':mom'),
+        |      1, 15) AS BIGINT) % 16 AS b
+        |  FROM events
+        |), means AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(v3) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * 1000.0) AS mean_b
+        |  FROM ev GROUP BY b
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v3) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * 1000.0) AS plain_mean
+        |  FROM ev
+        |), ms AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |    list_sort(list(mean_b)) AS l
+        |  FROM means
+        |)
+        |SELECT tot.n, ms.n_buckets,
+        |  (l[8] + l[9]) / 2.0 AS median_of_means, tot.plain_mean
+        |FROM ms, tot""".stripMargin,
   )
 
   /** Hourly OHLC candles — shared by the batch operator and the

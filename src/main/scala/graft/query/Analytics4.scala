@@ -1307,8 +1307,13 @@ object Analytics4 {
     * moment aggregate is map-side-combined on (user, lag). The REAL
     * cast on ρ absorbs the last-ulp group-sum order difference, the
     * house convention for Pearson-form statistics. */
-  def tsLjungBoxTerms(spark: SparkSession, dir: String,
-      maxLag: Int = 5, maxUser: Long = 100L): DataFrame = {
+  /** Per-(user, lag ≤ maxLag) Pearson-over-pairs autocorrelation —
+    * the shared front end of [[tsLjungBoxTerms]] and
+    * [[tsPacfDurbinLevinson]]: ONE per-user window carries all lag
+    * columns, the stack is map-only, the moment aggregate combines
+    * map-side, and ρ is REAL-cast (house convention). */
+  private def lagRho(spark: SparkSession, dir: String,
+      maxLag: Int, maxUser: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -1326,14 +1331,18 @@ object Analytics4 {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        max(col("lag")).as("k"))
+        sum(col("y") * col("y")).as("syy"))
     val rho = ((col("n") * col("sxy") - col("sx") * col("sy"))
       / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
         * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
       .cast("float")
-    a.select(col("user_id"), col("lag"), col("n").cast("long").as("n_pairs"),
-        rho.as("rho"))
+    a.select(col("user_id"), col("lag"),
+      col("n").cast("long").as("n_pairs"), rho.as("rho"))
+  }
+
+  def tsLjungBoxTerms(spark: SparkSession, dir: String,
+      maxLag: Int = 5, maxUser: Long = 100L): DataFrame = {
+    lagRho(spark, dir, maxLag, maxUser)
       .withColumn("nser", (col("n_pairs") + col("lag")).cast("double"))
       .select(col("user_id"), col("lag"), col("n_pairs"), col("rho"),
         ((col("nser") * (col("nser") + lit(2.0)))
@@ -1544,6 +1553,99 @@ object Analytics4 {
       .withColumn("cleaned",
         when(col("is_outlier"), col("median")).otherwise(col("value")))
       .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Partial autocorrelation at lags 1..5 via the Durbin–Levinson
+    * recursion — the AR-order diagnostic read beside the ACF (PACF
+    * cutting off after lag p is the textbook AR(p) signature). The
+    * recursion over the FIVE lag-ρ values is unrolled into explicit
+    * fixed-parenthesization column layers (φ_{k,k} =
+    * (ρ_k − Σ φ_{k−1,j}ρ_{k−j}) / (1 − Σ φ_{k−1,j}ρ_j), then
+    * φ_{k,j} = φ_{k−1,j} − φ_{k,k}φ_{k−1,k−j}) — both engines evaluate
+    * the identical expression tree over the identical REAL-cast ρ
+    * inputs, so every PACF value is bit-identical with no recurrence
+    * to replay. PACF is REAL-cast on output.
+    *
+    * Scale shape: everything downstream of [[lagRho]]'s one exchange
+    * is a ≤ 5-column map-only pivot + scalar arithmetic per user. */
+  def tsPacfDurbinLevinson(spark: SparkSession, dir: String,
+      maxUser: Long = 100L): DataFrame = {
+    val rCols = (1 to 5).map(k =>
+      max(when(col("lag") === k, col("rho").cast("double"))).as(s"r$k"))
+    val piv = lagRho(spark, dir, maxLag = 5, maxUser)
+      .groupBy(col("user_id"))
+      .agg(rCols.head, rCols.tail: _*)
+    val l1 = piv.withColumn("p11", col("r1"))
+    val l2 = l1
+      .withColumn("p22",
+        (col("r2") - col("p11") * col("r1")) /
+          (lit(1.0) - col("p11") * col("r1")))
+      .withColumn("p21", col("p11") - col("p22") * col("p11"))
+    val l3 = l2
+      .withColumn("p33",
+        (col("r3") - (col("p21") * col("r2") + col("p22") * col("r1"))) /
+          (lit(1.0) - (col("p21") * col("r1") + col("p22") * col("r2"))))
+      .withColumn("p31", col("p21") - col("p33") * col("p22"))
+      .withColumn("p32", col("p22") - col("p33") * col("p21"))
+    val l4 = l3
+      .withColumn("p44",
+        (col("r4") - (col("p31") * col("r3") + col("p32") * col("r2")
+          + col("p33") * col("r1"))) /
+          (lit(1.0) - (col("p31") * col("r1") + col("p32") * col("r2")
+            + col("p33") * col("r3"))))
+      .withColumn("p41", col("p31") - col("p44") * col("p33"))
+      .withColumn("p42", col("p32") - col("p44") * col("p32"))
+      .withColumn("p43", col("p33") - col("p44") * col("p31"))
+    val l5 = l4
+      .withColumn("p55",
+        (col("r5") - (col("p41") * col("r4") + col("p42") * col("r3")
+          + col("p43") * col("r2") + col("p44") * col("r1"))) /
+          (lit(1.0) - (col("p41") * col("r1") + col("p42") * col("r2")
+            + col("p43") * col("r3") + col("p44") * col("r4"))))
+    l5.select(col("user_id"),
+      expr("stack(5, 1, p11, 2, p22, 3, p33, 4, p44, 5, p55)" +
+        " AS (lag, pacf0)"))
+      .select(col("user_id"), col("lag"),
+        col("pacf0").cast("float").as("pacf"))
+      .orderBy(col("user_id"), col("lag"))
+  }
+
+  /** Median-of-means: the heavy-tail-robust mean estimator — rows hash
+    * into 16 deterministic buckets, each bucket's mean is an exact
+    * integer-rational division, and the estimate is the MEDIAN of the
+    * 16 bucket means (even count ⇒ average of the two middle picks).
+    * Sub-Gaussian deviation bounds under only a variance assumption —
+    * the estimator sketch/streaming systems use where one corrupt
+    * shard would poison a plain mean. Emitted beside the plain mean so
+    * the robustness gap is visible.
+    *
+    * Scale shape: one 16-key map-side-combined aggregate; the median
+    * picks from a sorted 16-element collect — nothing scales with the
+    * corpus beyond the first combine. All inputs ×10³-scaled exact
+    * integers; each mean is ONE division. */
+  def aggMedianOfMeans(spark: SparkSession, dir: String,
+      buckets: Int = 16): DataFrame = {
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .select(round(col("value") * lit(1e3)).cast("long").as("v3"),
+        pmod(Dedup.hash60(concat(col("event_id").cast("string"),
+          lit(":mom"))), lit(buckets.toLong)).as("b"))
+    val means = ev.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_b"), sum(col("v3")).as("s_b"))
+      .select(col("b"), col("n_b"),
+        (col("s_b").cast("double") / (col("n_b").cast("double") * lit(1e3)))
+          .as("mean_b"))
+    val tot = ev.agg(count(lit(1)).as("n"), sum(col("v3")).as("s"))
+      .select(col("n"),
+        (col("s").cast("double") / (col("n").cast("double") * lit(1e3)))
+          .as("plain_mean"))
+    means.agg(count(lit(1)).as("n_buckets"),
+        sort_array(collect_list(col("mean_b"))).as("ms"))
+      .crossJoin(tot)
+      .select(col("n"), col("n_buckets"),
+        ((element_at(col("ms"), buckets / 2) +
+          element_at(col("ms"), buckets / 2 + 1)) / lit(2.0))
+          .as("median_of_means"),
+        col("plain_mean"))
   }
 
   /** pass@k — the unbiased estimator every code/agent eval reports:

@@ -757,6 +757,59 @@ class DriverRound13Spec extends SparkSpec {
     assert(flagged > 0, "despiker found nothing — corpus or rule broken")
   }
 
+  test("ts_pacf_durbin_levinson: lag-1 PACF equals the lag-1 ACF and " +
+      "every level replays the Durbin-Levinson recursion from the rho " +
+      "values the ljung-box panel emits") {
+    val got = Analytics4.tsPacfDurbinLevinson(spark, sf).collect()
+    assert(got.nonEmpty)
+    val rho = Analytics4.tsLjungBoxTerms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getFloat(3).toDouble)
+      .toMap
+    got.groupBy(_.getLong(0)).foreach { case (u, rows) =>
+      val byLag = rows.map(r => r.getInt(1) -> r.getFloat(2)).toMap
+      assert(byLag.keySet == (1 to 5).toSet, s"user $u lags")
+      val r1 = rho((u, 1)); val r2 = rho((u, 2)); val r3 = rho((u, 3))
+      val r4 = rho((u, 4)); val r5 = rho((u, 5))
+      val p11 = r1
+      val p22 = (r2 - p11 * r1) / (1.0 - p11 * r1)
+      val p21 = p11 - p22 * p11
+      val p33 = (r3 - (p21 * r2 + p22 * r1)) /
+        (1.0 - (p21 * r1 + p22 * r2))
+      val p31 = p21 - p33 * p22; val p32 = p22 - p33 * p21
+      val p44 = (r4 - (p31 * r3 + p32 * r2 + p33 * r1)) /
+        (1.0 - (p31 * r1 + p32 * r2 + p33 * r3))
+      val p41 = p31 - p44 * p33; val p42 = p32 - p44 * p32
+      val p43 = p33 - p44 * p31
+      val p55 = (r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1)) /
+        (1.0 - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4))
+      val want = Map(1 -> p11, 2 -> p22, 3 -> p33, 4 -> p44, 5 -> p55)
+      want.foreach { case (k, v) =>
+        assert(byLag(k) == v.toFloat, s"user $u pacf($k)") }
+    }
+  }
+
+  test("agg_median_of_means: bucket means and the median replay; the " +
+      "estimator sits near the plain mean on this benign corpus") {
+    val got = Analytics4.aggMedianOfMeans(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .select(col("event_id"), round(col("value") * lit(1e3)).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.getLong(0) == ev.length)
+    assert(r.getLong(1) == 16)
+    val byB = ev.groupBy { case (id, _) => md5hash60(s"$id:mom") % 16 }
+    val means = byB.values.map { rows =>
+      rows.map(_._2).sum.toDouble / (rows.length.toDouble * 1e3)
+    }.toArray.sorted
+    val mom = (means(7) + means(8)) / 2.0
+    assert(r.getDouble(2) == mom, "median of means")
+    val plain = ev.map(_._2).sum.toDouble / (ev.length.toDouble * 1e3)
+    assert(r.getDouble(3) == plain, "plain mean")
+    assert(math.abs(mom - plain) < 0.2 * math.abs(plain),
+      "benign corpus: the two estimators should roughly agree")
+  }
+
   // ---- physical-plan audits for the round-13 operators (PlanSpec
   // discipline: the 100 TB design rules as assertions) -----------------
   private def plan(df: org.apache.spark.sql.DataFrame): String =
