@@ -7365,8 +7365,9 @@ object SparkEntry {
         |    ELSE v3 * n_win - s < 0 AND (v3 * n_win - s) * (v3 * n_win - s)
         |      > 4 * (n_win * q - s * s) END AS below_lower
         |FROM m ORDER BY user_id, event_id""".stripMargin,
-    // median/MAD are picks from sorted ×10³ integers (frame ≥ 4 rows at
-    // the edges, so the 4th order statistic always exists)
+    // median/MAD are picks from sorted ×10³ integers; DuckDB's vals[4]
+    // is NULL when the frame has < 4 rows (user with ≤ 3 events), and
+    // the Spark side when-guards its element_at to the same NULL
     "window_hampel_filter" ->
       """WITH ev AS (
         |  SELECT user_id, ts, event_id, value,
@@ -7485,7 +7486,10 @@ object SparkEntry {
         |  FROM means
         |)
         |SELECT tot.n, ms.n_buckets,
-        |  (l[8] + l[9]) / 2.0 AS median_of_means, tot.plain_mean
+        |  CASE WHEN len(l) % 2 = 0
+        |    THEN (l[len(l) // 2] + l[len(l) // 2 + 1]) / 2.0
+        |    ELSE l[(len(l) + 1) // 2] END AS median_of_means,
+        |  tot.plain_mean
         |FROM ms, tot""".stripMargin,
   )
 

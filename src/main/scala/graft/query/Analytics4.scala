@@ -1525,24 +1525,30 @@ object Analytics4 {
     * Scale shape: one exchange on user_id; one centered frame; picks
     * via `element_at(array_sort(collect_list(...)), 4)` over exactly 7
     * values per frame. Edge rows (< 7 in frame) pass through
-    * unflagged — the standard boundary contract. */
+    * unflagged — the standard boundary contract. Frames with < 4 rows
+    * (a user with ≤ 3 events total) have no 4th order statistic: the
+    * picks are `when`-guarded to NULL there — under Spark 4 ANSI mode
+    * an unguarded `element_at` past the end THROWS, while the DuckDB
+    * oracle's `vals[4]` returns NULL, so the guard is both a
+    * data-dependent-crash fix and the cross-engine NULL contract
+    * (median/mad NULL, row unflagged, value passed through). */
   def windowHampelFilter(spark: SparkSession, dir: String,
       maxUser: Long = 50L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-3, 3)
-    val med = element_at(array_sort(collect_list(col("v3")).over(w)), 4)
     val nWin = count(lit(1)).over(w)
     graft.schema.Schemas.events(spark, dir)
       .filter(col("user_id") < maxUser)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"),
         round(col("value") * lit(1e3)).cast("long").as("v3"))
       .withColumn("n_win", nWin)
-      .withColumn("med3", med)
-      .withColumn("mad3", element_at(array_sort(
+      .withColumn("med3", when(col("n_win") >= 4,
+        element_at(array_sort(collect_list(col("v3")).over(w)), 4)))
+      .withColumn("mad3", when(col("n_win") >= 4, element_at(array_sort(
         transform(collect_list(col("v3")).over(w),
-          x => abs(x - col("med3")))), 4))
+          x => abs(x - col("med3")))), 4)))
       .select(col("user_id"), col("event_id"), col("value"),
         (col("med3").cast("double") / lit(1e3)).as("median"),
         (col("mad3").cast("double") / lit(1e3)).as("mad"),
@@ -1638,12 +1644,21 @@ object Analytics4 {
       .select(col("n"),
         (col("s").cast("double") / (col("n").cast("double") * lit(1e3)))
           .as("plain_mean"))
+    // middle picks derive from the REALIZED bucket-mean count
+    // size(ms), not the `buckets` parameter: a tiny corpus can leave
+    // hash buckets empty, where the hardcoded buckets/2 pick would
+    // throw under ANSI (element_at past the end) and stop being the
+    // median of the realized means. Even count → average of the two
+    // middle picks; odd → the single middle element.
+    val m = size(col("ms"))
     means.agg(count(lit(1)).as("n_buckets"),
         sort_array(collect_list(col("mean_b"))).as("ms"))
       .crossJoin(tot)
       .select(col("n"), col("n_buckets"),
-        ((element_at(col("ms"), buckets / 2) +
-          element_at(col("ms"), buckets / 2 + 1)) / lit(2.0))
+        when(m % 2 === 0,
+          (element_at(col("ms"), (m / 2).cast("int")) +
+            element_at(col("ms"), (m / 2 + 1).cast("int"))) / lit(2.0))
+          .otherwise(element_at(col("ms"), ((m + 1) / 2).cast("int")))
           .as("median_of_means"),
         col("plain_mean"))
   }

@@ -864,26 +864,38 @@ object Similarity {
       k: Int = 8, seedId: Long = 0L): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
     val base = normedEmbeddings(spark, dir)
+    // EAGER by design: this function runs up to k Spark jobs (the seed
+    // lookup + one TakeOrdered per round) BEFORE the caller executes
+    // the returned DataFrame — the returned panel is driver-held data,
+    // not a lazy plan, so plan-inspection tooling will not see the
+    // corpus scans. A missing seed fails here with a clear message
+    // rather than an opaque NoSuchElementException.
     val seed = base.filter(col("vec_id") === seedId)
-      .select(col("embedding"), col("nrm")).head()
+      .select(col("embedding"), col("nrm")).take(1).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"sample_kcenter_coreset: seed vector $seedId not found in $dir/embeddings"))
     // driver-held chosen panel: (id, order, dist2, embedding, ‖c‖²)
     val picked = scala.collection.mutable.ArrayBuffer(
       (seedId, 1, 0.0, seed.getSeq[Float](0).toArray, seed.getDouble(1)))
-    for (step <- 2 to k) {
+    var exhausted = false
+    for (step <- 2 to k if !exhausted) {
       val ids = picked.map(t => Long.box(t._1)).toSeq
       val md2 = picked.map { c =>
         col("nrm") + lit(c._5) - lit(2.0) *
           call_function("float_dot", col("embedding"),
             lit(c._4.map(Float.box)))
       }.reduceLeft(least(_, _))
-      val row = base
+      base
         .filter(!col("vec_id").isin(ids: _*))
         .select(col("vec_id"), col("embedding"), col("nrm"),
           md2.as("md2"))
         .orderBy(col("md2").desc, col("vec_id")).limit(1)
-        .head()
-      picked += ((row.getLong(0), step, row.getDouble(3),
-        row.getSeq[Float](1).toArray, row.getDouble(2)))
+        .take(1).headOption match {
+        case Some(row) =>
+          picked += ((row.getLong(0), step, row.getDouble(3),
+            row.getSeq[Float](1).toArray, row.getDouble(2)))
+        case None => exhausted = true // corpus smaller than k: degrade to fewer centers
+      }
     }
     import spark.implicits._
     picked.toSeq.map(t => (t._1, t._2, t._3))
@@ -926,6 +938,12 @@ object Similarity {
   def retrievalMmrTopk(spark: SparkSession, dir: String,
       queryId: Long = 0L, pool: Int = 10, select: Int = 3,
       lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    // lambda and mu are a PAIR (mu stands in for 1−lambda as an exact
+    // literal — see the scaladoc); overriding one without the other
+    // silently scores with inconsistent weights, so reject it here.
+    require(math.abs(lambda + mu - 1.0) < 1e-9,
+      s"retrieval_mmr_topk: lambda ($lambda) + mu ($mu) must sum to 1 " +
+        "— mu is the exact-literal form of 1-lambda, pass both together")
     graft.functions.FloatVecDot.register(spark)
     val emb = table(spark, dir, "embeddings")
     val pe = emb
@@ -942,17 +960,24 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
-    (1 to select).foreach { step =>
+    // degrade gracefully to fewer picks when the realized pool is
+    // smaller than `select` (small corpus / caller over-asks) — the
+    // pre-r13 Catalyst fold did, and minBy on empty would throw
+    (1 to select).takeWhile { step =>
       val cand = rel.keys.filterNot(id => selected.exists(_._1 == id))
-      val scored = cand.map { id =>
-        val score =
-          if (step == 1) rel(id)
-          else lambda * rel(id) -
-            mu * selected.map(s => sim((id, s._1))).max
-        id -> score
+      if (cand.isEmpty) false
+      else {
+        val scored = cand.map { id =>
+          val score =
+            if (step == 1) rel(id)
+            else lambda * rel(id) -
+              mu * selected.map(s => sim((id, s._1))).max
+          id -> score
+        }
+        val (id, score) = scored.minBy { case (i, sc) => (-sc, i) }
+        selected += ((id, step, score))
+        true
       }
-      val (id, score) = scored.minBy { case (i, sc) => (-sc, i) }
-      selected += ((id, step, score))
     }
     import spark.implicits._
     selected.toSeq.toDF("vec_id", "pick_order", "score")
