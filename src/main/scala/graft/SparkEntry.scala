@@ -743,11 +743,60 @@ object SparkEntry {
     // heavy-tail-robust mean (median of 16 hash-bucket means)
     "agg_median_of_means"    ->
       ((s: SparkSession, d: String) => Analytics4.aggMedianOfMeans(s, d)),
+    // round 14: REAL BPE training — iterative count→select→merge→RECOUNT
+    "text_bpe_train"         ->
+      ((s: SparkSession, d: String) => TextAnalysis.textBpeTrain(s, d)),
   )
+
+  /** The [[graft.query.TextAnalysis.textBpeTrain]] oracle: the training
+    * loop unrolled into `rounds` MATERIALIZED CTE stages (count pairs
+    * from vᵣ₋₁ → top-1 → apply the double-space-separator replace into
+    * vᵣ). MATERIALIZED is load-bearing: v_{r-1} is referenced twice per
+    * stage, so an inlining planner would otherwise blow up ~2^rounds.
+    * Generated, not hand-written — the stage text is identical modulo
+    * the round index, and the Spark loop it replays is parameterized by
+    * the same `rounds`. */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT ss[i] AS pa, ss[i + 1] AS pb,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(trim(sp), '  ') AS ss
+         |        FROM v${r - 1}) t$r,
+         |    LATERAL (SELECT unnest(generate_series(1, len(ss) - 1)) AS i) s$r
+         |  WHERE len(ss) >= 2 GROUP BY 1, 2
+         |), b$r AS MATERIALIZED (
+         |  SELECT $r AS merge_rank, pa, pb, cnt FROM p$r
+         |  ORDER BY cnt DESC, pa, pb LIMIT 1
+         |), v$r AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    replace(sp, ' ' || pa || '  ' || pb || ' ',
+         |      ' ' || pa || pb || ' ') AS sp
+         |  FROM v${r - 1} CROSS JOIN b$r
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = (1 to rounds)
+      .map(r => s"SELECT merge_rank, pa, pb, cnt FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT tok AS word, count(*) AS freq,
+       |    '  ' || regexp_replace(tok, '(.)', '\\1  ', 'g') AS sp
+       |  FROM (SELECT unnest(string_split(
+       |      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+       |    FROM documents)
+       |  WHERE length(tok) >= 2
+       |  GROUP BY tok
+       |), $stages
+       |SELECT merge_rank, pa AS lhs, pb AS rhs, pa || pb AS merged,
+       |  cnt AS score
+       |FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = reg(
+    // the generated unrolled-merge BPE-training oracle (16 stages)
+    "text_bpe_train" -> bpeTrainOracleSql(16),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

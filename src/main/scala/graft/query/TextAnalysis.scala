@@ -258,6 +258,90 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL BPE tokenizer training: the iterative count → select → merge →
+    * RECOUNT loop (Sennrich et al.) that [[textBpeEncode]]'s single-round
+    * demo deliberately skipped — after each merge the pair statistics are
+    * recounted over the MERGED vocabulary, so later merges can select
+    * pairs containing earlier merged units (the whole point of BPE).
+    * Output is the learned merge table: (merge_rank, lhs, rhs, merged,
+    * score) for `rounds` merges, score = the pair's occurrence-weighted
+    * count at selection time; ties break (count desc, lhs, rhs).
+    *
+    * State is the word-frequency VOCABULARY (word, freq, sp) — the grain
+    * real tokenizer trainers use (counting over the vocab weighted by
+    * freq ≡ counting over occurrences), so per-round work is
+    * |distinct words|, not corpus size: the one corpus-sized pass is the
+    * initial groupBy. `sp` is the symbol string with DOUBLE-space
+    * separators ("␣␣c₁␣␣c₂␣␣…"): a merge is then the plain literal
+    * replace of " lhs␣␣rhs " with " lhsrhs " — the pattern consumes one
+    * space from each flanking separator and the replacement restores
+    * them, so consecutive overlapping matches (a run "a a a a" under
+    * merge (a,a)) resolve to every-other-position, exactly BPE's greedy
+    * left-to-right single pass, in ANY engine's non-overlapping
+    * left-to-right `replace`. Single-space separators break here: the
+    * shared boundary space makes adjacent matches overlap and
+    * under-merge — measured, and pinned by the hand-fold spec.
+    *
+    * Scale shape: one tokenize+groupBy builds the vocab; each round is
+    * ONE job — a map-only split/explode over the persisted vocab
+    * (pair fanout bounded by word length, a data constant), a
+    * map-side-combined count on the pair key, TakeOrdered(1) — and one
+    * narrow map applies the merge into the next persisted generation
+    * (parent unpersisted one round later, so nothing recomputes:
+    * the round-13 constant-plan-per-round discipline, job-growth pinned
+    * by DriverRound14Spec's SparkListener test). Exactness: integer
+    * counts, literal string replaces — hash-exact in any engine; the
+    * oracle replays the loop as `rounds` unrolled MATERIALIZED CTE
+    * stages. A corpus that runs out of mergeable pairs before `rounds`
+    * stops early and emits fewer rows (the oracle's empty-stage chain
+    * degrades identically). */
+  def textBpeTrain(spark: SparkSession, dir: String,
+      rounds: Int = 16): DataFrame = {
+    import spark.implicits._
+    var vocab = table(spark, dir, "documents")
+      .select(explode(Dedup.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(lit("  "),
+          regexp_replace(col("word"), lit("(.)"), lit("$1  "))).as("sp"))
+      .persist()
+    var prev: Option[DataFrame] = None
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var live = true
+    for (r <- 1 to rounds if live) {
+      val best = vocab
+        .select(col("freq"), split(trim(col("sp")), "  ").as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("freq"), col("ss"),
+          explode(sequence(lit(1), size(col("ss")) - 1)).as("i"))
+        .select(element_at(col("ss"), col("i")).as("pa"),
+          element_at(col("ss"), col("i") + 1).as("pb"), col("freq"))
+        .groupBy(col("pa"), col("pb")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1)
+        .take(1).headOption
+      // this round's action materialized `vocab`'s persist, so the
+      // grandparent generation can drop without risking recompute
+      prev.foreach(_.unpersist())
+      prev = Some(vocab)
+      best match {
+        case Some(row) =>
+          val pa = row.getString(0); val pb = row.getString(1)
+          learned += ((r, pa, pb, row.getLong(2)))
+          vocab = vocab.withColumn("sp",
+            call_function("replace", col("sp"),
+              lit(s" $pa  $pb "), lit(s" $pa$pb "))).persist()
+        case None => live = false
+      }
+    }
+    vocab.unpersist(); prev.foreach(_.unpersist())
+    learned.toSeq
+      .map { case (r, pa, pb, cnt) => (r, pa, pb, pa + pb, cnt) }
+      .toDF("merge_rank", "lhs", "rhs", "merged", "score")
+      .orderBy(col("merge_rank"))
+  }
+
   /** TF-IDF term weighting: term frequency per (doc, term), document
     * frequency per term over the WHOLE corpus, idf = ln((N+1)/(df+1))+1
     * (smoothed). Two aggregations + a broadcast of the 1-row corpus count

@@ -97,6 +97,80 @@ class DriverRound14Spec extends SparkSpec {
     assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3), "pick_order must stay dense")
   }
 
+  /** Run `body` and return jobs started during it (listener pattern of
+    * DriverRound13Spec, trimmed to the job counter). */
+  private def countJobs(body: => Unit): Int = {
+    var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        synchronized { jobs += 1 }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(500) }
+    finally spark.sparkContext.removeSparkListener(l)
+    jobs
+  }
+
+  private def docsDir(words: Seq[String]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r14-bpe").toString
+    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("text_bpe_train: hand-folded multi-round fixpoint — round 2 " +
+      "selects a pair CONTAINING round 1's merged unit (the recount), " +
+      "and the loop stops early when pairs run dry") {
+    import graft.query.TextAnalysis
+    // vocab: abab×3, abc×2, cc×1
+    // r1: (a,b) 3·2+2 = 8  → abab→[ab ab], abc→[ab c]
+    // r2: (ab,ab) 3        → abab→[abab]        (needs the recount!)
+    // r3: (ab,c) 2         → abc→[abc]
+    // r4: (c,c) 1          → cc→[cc]
+    // r5: no pairs left    → stop at 4 rows, not 16
+    val dir = docsDir(Seq("abab abc", "abab abc cc", "abab"))
+    val got = TextAnalysis.textBpeTrain(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val want = Seq(
+      (1, "a", "b", "ab", 8L),
+      (2, "ab", "ab", "abab", 3L),
+      (3, "ab", "c", "abc", 2L),
+      (4, "c", "c", "cc", 1L))
+    assert(got == want, s"hand-fold mismatch:\n  got  $got\n  want $want")
+  }
+
+  test("text_bpe_train: a same-symbol run merges every-other position " +
+      "(greedy left-to-right), never the overlapping under-merge") {
+    import graft.query.TextAnalysis
+    // aaaa×5: r1 (a,a)=15 → aaaa→[aa aa] (NOT [aa a a]); r2 must then
+    // see (aa,aa)=5 — the single-space representation's shared-boundary
+    // overlap would leave [aa a a] and pick (aa,a)/(a,a) here instead
+    val dir = docsDir(Seq("aaaa aaaa aaaa", "aaaa aaaa"))
+    val got = TextAnalysis.textBpeTrain(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq
+    assert(got == Seq((1, "a", "a", 15L), (2, "aa", "aa", 5L)),
+      s"run-merge semantics broke: $got")
+  }
+
+  test("text_bpe_train: per-round work is constant — jobs grow " +
+      "linearly in rounds, never multiplicatively") {
+    import graft.query.TextAnalysis
+    TextAnalysis.textBpeTrain(spark, sf, rounds = 2).collect() // warm
+    val j4 = countJobs(TextAnalysis.textBpeTrain(spark, sf, rounds = 4).collect())
+    val j8 = countJobs(TextAnalysis.textBpeTrain(spark, sf, rounds = 8).collect())
+    // ~3 jobs/round (AQE stages of the pair-count shuffle + the take);
+    // the lazy-lineage failure mode this pins against is multiplicative
+    assert(j8 - j4 <= 16, s"jobs grew super-linearly: rounds=4→$j4, rounds=8→$j8")
+    assert(j8 < 2 * j4, s"doubling rounds more than doubled jobs: $j4 → $j8")
+  }
+
   test("retrieval_mmr_topk: select > realized pool degrades to fewer " +
       "picks; inconsistent lambda/mu is rejected at entry") {
     import spark.implicits._
