@@ -746,6 +746,12 @@ object SparkEntry {
     // round 14: REAL BPE training — iterative count→select→merge→RECOUNT
     "text_bpe_train"         ->
       ((s: SparkSession, d: String) => TextAnalysis.textBpeTrain(s, d)),
+    // round 14: real RIFF/PCM bytes→samples audio decode (whole-clip
+    // stats + per-STFT-frame features over the decoded array)
+    "multimodal_audio_decode" ->
+      ((s: SparkSession, d: String) => Multimodal.multimodalAudioDecode(s, d)),
+    "multimodal_audio_frames" ->
+      ((s: SparkSession, d: String) => Multimodal.multimodalAudioFrames(s, d)),
   )
 
   /** The [[graft.query.TextAnalysis.textBpeTrain]] oracle: the training
@@ -797,6 +803,63 @@ object SparkEntry {
   def oracleSql: Map[String, String] = reg(
     // the generated unrolled-merge BPE-training oracle (16 stages)
     "text_bpe_train" -> bpeTrainOracleSql(16),
+    // the WAV ramp (base b, step s, n samples) decoded by the REAL
+    // RIFF/PCM parser; the oracle replays Σamp, Σamp², the single
+    // rising zero crossing, and min/max in closed form — integer
+    // arithmetic only, so a parser regression hash-mismatches
+    "multimodal_audio_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    400 + CAST('0x' || substr(md5(doc_id || ':ns'), 1, 15)
+        |      AS BIGINT) % 2001 AS n,
+        |    CAST('0x' || substr(md5(doc_id || ':ab'), 1, 15) AS BIGINT)
+        |      % 24001 - 12000 AS b,
+        |    CAST('0x' || substr(md5(doc_id || ':as'), 1, 15) AS BIGINT)
+        |      % 8 + 1 AS s
+        |  FROM documents)
+        |SELECT doc_id, CAST(16000 AS INTEGER) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * b + s * ((n * (n - 1)) // 2) AS BIGINT) AS sum_amp,
+        |  CAST(n * b * b + 2 * b * s * ((n * (n - 1)) // 2)
+        |    + s * s * (((n - 1) * n * (2 * n - 1)) // 6) AS BIGINT)
+        |    AS energy,
+        |  CAST(CASE WHEN b < 0 AND b + (n - 1) * s >= 0 THEN 1 ELSE 0
+        |    END AS BIGINT) AS zero_cross,
+        |  CAST(b AS BIGINT) AS min_amp,
+        |  CAST(b + (n - 1) * s AS BIGINT) AS max_amp
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // frame f covers samples [160f, 160f+400): Σ and Σ² over that index
+    // interval in closed form, the crossing as an interval test on
+    // i₀ = ⌈−b/s⌉; every doc has ≥ 1 frame (n ≥ 400 by synthesis)
+    "multimodal_audio_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    400 + CAST('0x' || substr(md5(doc_id || ':ns'), 1, 15)
+        |      AS BIGINT) % 2001 AS n,
+        |    CAST('0x' || substr(md5(doc_id || ':ab'), 1, 15) AS BIGINT)
+        |      % 24001 - 12000 AS b,
+        |    CAST('0x' || substr(md5(doc_id || ':as'), 1, 15) AS BIGINT)
+        |      % 8 + 1 AS s
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, n, b, s, ff.f AS f, ff.f * 160 AS a,
+        |    ff.f * 160 + 399 AS b2
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0,
+        |    (n - 400) // 160)) AS f) ff
+        |), g AS (
+        |  SELECT doc_id, f, b, s, a,
+        |    (a + b2) * 200 AS s1,
+        |    (b2 * (b2 + 1) * (2 * b2 + 1)) // 6
+        |      - ((a - 1) * a * (2 * a - 1)) // 6 AS s2
+        |  FROM fr)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(400 * b + s * s1 AS BIGINT) AS frame_sum,
+        |  CAST(400 * b * b + 2 * b * s * s1 + s * s * s2 AS BIGINT)
+        |    AS frame_energy,
+        |  CAST(CASE WHEN b < 0
+        |      AND ((-b) + s - 1) // s BETWEEN a + 1 AND a + 399
+        |    THEN 1 ELSE 0 END AS BIGINT) AS frame_zc
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

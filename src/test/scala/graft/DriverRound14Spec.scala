@@ -171,6 +171,98 @@ class DriverRound14Spec extends SparkSpec {
     assert(j8 < 2 * j4, s"doubling rounds more than doubled jobs: $j4 → $j8")
   }
 
+  // ---- real WAV decode: goldens + corrupt contract ----------------------
+
+  /** Hand-assemble a 16-bit mono PCM WAV; knobs poke each validation. */
+  private def wav(samples: Seq[Int], fmt: Int = 1, channels: Int = 1,
+      bits: Int = 16, rate: Int = 16000,
+      extraChunk: Boolean = false): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val extra = if (extraChunk) 12 else 0
+    val bb = java.nio.ByteBuffer.allocate(44 + extra + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + extra + dataSize).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(fmt.toShort).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(bits.toShort)
+    if (extraChunk) bb.put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+    bb.put("data".getBytes).putInt(dataSize)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  test("decodeWavStats: golden sample stats through a genuine " +
+      "bytes→samples parse, extra chunks tolerated") {
+    import graft.query.Multimodal
+    // sum 1, energy 43, two rising zero crossings, min −3, max 5
+    val st = Multimodal.decodeWavStats(wav(Seq(-3, -1, 0, 2, -2, 5)))
+      .getOrElse(fail("decode failed"))
+    assert(st.sampleRate == 16000 && st.nSamples == 6L)
+    assert((st.sumAmp, st.energy, st.zeroCross) == ((1L, 43L, 2L)), st)
+    assert((st.minAmp, st.maxAmp) == ((-3L, 5L)), st)
+    // a LIST chunk between fmt and data must not derail the walk
+    val st2 = Multimodal.decodeWavStats(
+      wav(Seq(-3, -1, 0, 2, -2, 5), extraChunk = true))
+      .getOrElse(fail("decode failed with an extra chunk present"))
+    assert(st2 == st, "extra chunk changed the decoded stats")
+  }
+
+  test("decodeWavStats: corrupt, truncated, and wrong-format payloads " +
+      "are row-level Nones, never task failures") {
+    import graft.query.Multimodal
+    val good = wav(Seq(1, 2, 3, 4))
+    assert(Multimodal.decodeWavStats(good).isDefined, "fixture sanity")
+    assert(Multimodal.decodeWavStats("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.decodeWavStats(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeWavStats(good.take(10)).isEmpty, "truncated header")
+    assert(Multimodal.decodeWavStats(good.take(46)).isEmpty,
+      "data chunk truncated below its declared size")
+    assert(Multimodal.decodeWavStats(wav(Seq(1, 2), fmt = 3)).isEmpty,
+      "IEEE-float format code must be rejected")
+    assert(Multimodal.decodeWavStats(wav(Seq(1, 2), channels = 2)).isEmpty,
+      "stereo must be rejected")
+    assert(Multimodal.decodeWavStats(wav(Seq(1, 2), bits = 8)).isEmpty,
+      "8-bit must be rejected")
+    assert(Multimodal.decodeWavStats(wav(Seq.empty)).isEmpty,
+      "zero-length data chunk")
+    // data chunk arriving BEFORE fmt: parser must refuse (no format yet)
+    val reordered = {
+      val bb = java.nio.ByteBuffer.allocate(20)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(12).put("WAVE".getBytes)
+      bb.put("data".getBytes).putInt(0)
+      bb.array()
+    }
+    assert(Multimodal.decodeWavStats(reordered).isEmpty)
+  }
+
+  test("multimodal_audio_decode: executor decode matches the closed-form " +
+      "ramp sums, batch-invariant") {
+    import graft.query.Multimodal
+    val tiny = "/root/testdata/sf0.001"
+    val got = Multimodal.multimodalAudioDecode(spark, tiny).collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      def hx(t: String) = graft.functions.SimHashImpl.hash60(
+        s"$id:$t".getBytes("UTF-8"))
+      val n = 400 + hx("ns") % 2001
+      val b = hx("ab") % 24001 - 12000
+      val s = hx("as") % 8 + 1
+      assert(r.getLong(2) == n, s"doc $id n_samples")
+      assert(r.getLong(3) == n * b + s * (n * (n - 1) / 2), s"doc $id sum")
+      assert(r.getLong(4) == n * b * b + 2 * b * s * (n * (n - 1) / 2)
+        + s * s * ((n - 1) * n * (2 * n - 1) / 6), s"doc $id energy")
+      assert(r.getLong(5) == (if (b < 0 && b + (n - 1) * s >= 0) 1L else 0L),
+        s"doc $id zero_cross")
+      assert((r.getLong(6), r.getLong(7)) == ((b, b + (n - 1) * s)),
+        s"doc $id min/max")
+    }
+    val b1 = Multimodal.multimodalAudioDecode(spark, tiny, batchSize = 1)
+      .collect().toSeq
+    assert(b1 == got, "batch size changed the decode result")
+  }
+
   test("retrieval_mmr_topk: select > realized pool degrades to fewer " +
       "picks; inconsistent lambda/mu is rejected at entry") {
     import spark.implicits._
