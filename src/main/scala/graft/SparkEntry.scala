@@ -41,14 +41,15 @@ object SparkEntry {
   }
 
   /** Query keys that deliberately have NO DuckDB oracle (rows-only
-    * check by the driver): the RandomForest-backed programs — DuckDB
-    * cannot replay Spark MLlib's trained forest — plus the KMeans IVF
-    * ANN variant, whose deterministic twin `ann_ivf_det_topk` IS
-    * hash-exact. Pinned by RegistrySpec: a 6th member cannot land
-    * silently. */
+    * check by the driver): exactly the RandomForest-backed programs —
+    * DuckDB cannot replay Spark MLlib's trained forest. (Round 14
+    * shrank this to the 4 RF rows: `ann_ivf_topk` is now the
+    * deterministic-Forgy Lloyd's loop, oracle-exact; the MLlib-KMeans
+    * form stays as `Similarity.ivfTopK` under its recall-floor specs.)
+    * Pinned by RegistrySpec: a 5th member cannot land silently. */
   private[graft] val noOracleByDesign: Set[String] = Set(
     "q1_predict_duration", "q2_sensitivity_ml", "q3_optimal_time_ml",
-    "m6_growing_window_importances", "ann_ivf_topk")
+    "m6_growing_window_importances")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = reg(
@@ -191,8 +192,12 @@ object SparkEntry {
     // MMR greedy diversified retrieval over the brute-force pool
     "retrieval_mmr_topk"     ->
       ((s: SparkSession, d: String) => Similarity.retrievalMmrTopk(s, d)),
+    // deterministic-Forgy Lloyd's k-means IVF (2 refinement iterations,
+    // exact integer-rational centroids) — oracle-exact since round 14;
+    // the MLlib-KMeans form lives on as Similarity.ivfTopK under its
+    // recall-floor and nProbe=nCells specs
     "ann_ivf_topk"           ->
-      ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+      ((s: SparkSession, d: String) => Similarity.ivfLloydTopK(s, d)),
     // deterministic-cell IVF: same probe machinery, hash-exact oracle
     "ann_ivf_det_topk"       ->
       ((s: SparkSession, d: String) => Similarity.ivfDetTopK(s, d)),
@@ -798,9 +803,69 @@ object SparkEntry {
        |FROM ($union) ORDER BY merge_rank""".stripMargin
   }
 
+  /** The [[graft.query.Similarity.ivfLloydTopK]] oracle: Forgy seeds →
+    * `iters` unrolled Lloyd stages (per-dim ×10³-quantized member sums
+    * → exact-rational REAL centroids → argmax-dot reassignment) →
+    * probe + exact re-rank. Stage text identical modulo the iteration
+    * index; MATERIALIZED for the twice-referenced assignment CTEs. */
+  private def ivfLloydOracleSql(iters: Int): String = {
+    val stages = (1 to iters).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT cell, dd.d AS d,
+         |    CAST(sum(CAST(round(e[dd.d] * 1000.0) AS BIGINT)) AS BIGINT)
+         |      AS s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM a${t - 1}, LATERAL (SELECT unnest(generate_series(1,
+         |    len(e))) AS d) dd
+         |  GROUP BY cell, dd.d
+         |), cent$t AS MATERIALIZED (
+         |  SELECT cell, list(CAST(CAST(CAST(s AS DOUBLE) / (1000.0 * n)
+         |    AS REAL) AS DOUBLE) ORDER BY d) AS cv
+         |  FROM c$t GROUP BY cell
+         |), a$t AS MATERIALIZED (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT emb.vec_id, emb.e, c.cell,
+         |      row_number() OVER (PARTITION BY emb.vec_id
+         |        ORDER BY list_dot_product(emb.e, c.cv) DESC, c.cell)
+         |        AS rn
+         |    FROM emb, cent$t c) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), seeds AS (
+       |  SELECT seed_vid, seed_e,
+       |    CAST(row_number() OVER (ORDER BY h, seed_vid) - 1 AS BIGINT)
+       |      AS cell
+       |  FROM (
+       |    SELECT vec_id AS seed_vid, e AS seed_e,
+       |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+       |        AS BIGINT) AS h
+       |    FROM emb ORDER BY h, vec_id LIMIT 16)
+       |), a0 AS MATERIALIZED (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT emb.vec_id, emb.e, s.cell,
+       |      row_number() OVER (PARTITION BY emb.vec_id
+       |        ORDER BY list_dot_product(emb.e, s.seed_e) DESC, s.cell)
+       |        AS rn
+       |    FROM emb, seeds s) WHERE rn = 1
+       |), $stages,
+       |qe AS (SELECT e AS q FROM emb WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cell FROM cent$iters, qe
+       |  ORDER BY list_dot_product(cv, q) DESC, cell LIMIT 4
+       |)
+       |SELECT a.vec_id, a.cell, list_dot_product(a.e, qe.q) AS cosine
+       |FROM a$iters a JOIN probes USING (cell), qe
+       |WHERE a.vec_id <> 0
+       |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = reg(
+    // the unrolled deterministic-Forgy Lloyd's IVF oracle (2 stages)
+    "ann_ivf_topk" -> ivfLloydOracleSql(2),
     // the generated unrolled-merge BPE-training oracle (16 stages)
     "text_bpe_train" -> bpeTrainOracleSql(16),
     // the WAV ramp (base b, step s, n samples) decoded by the REAL

@@ -343,6 +343,98 @@ object Similarity {
       .select(col("cell"))
   }
 
+  /** Deterministic-Forgy LLOYD'S IVF top-k: the full k-means training
+    * loop — Forgy init from [[detSeeds]]' md5-ranked anchors, then
+    * `iters` genuine Lloyd refinements (assign to nearest centroid →
+    * recompute centroids from members) — followed by the standard
+    * probe + exact-re-rank tail. This is what [[ivfTopK]]'s MLlib
+    * KMeans does, re-expressed so EVERY step is cross-engine exact and
+    * the query earns a hash-exact oracle row (r13 verdict #3: the
+    * KMeans variant was the last non-RF allowlist member):
+    *
+    *   - centroid components are exact integer-rational means — member
+    *     components quantize to ×10³ longs, sum order-free, and the
+    *     single double division + float cast lands identical bits in
+    *     any engine (the emb_covariance_int discipline);
+    *   - per-iteration assignment scores every vector against the ≤
+    *     nCells centroid panel INLINED AS LITERALS (the
+    *     [[sampleKcenterCoreset]] scalar-plan-constant discipline):
+    *     map-only, no join, argmax via one `greatest` over (dot, −cell)
+    *     structs so ties break to the lower cell exactly like the
+    *     oracle's row_number;
+    *   - the centroid recompute is ONE map-side-combined (cell, dim)
+    *     aggregation per iteration whose ≤ nCells·dims rows land on
+    *     the driver — constant-size panels, jobs linear in `iters`.
+    *
+    * EAGER like [[sampleKcenterCoreset]]: the training loop runs
+    * 2·iters jobs before the returned DataFrame executes. At 100 TB
+    * the same loop holds — the panel is still nCells·dims no matter
+    * the corpus, and each iteration is one scan + one combine. */
+  def ivfLloydTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+
+    // assignment against a literal centroid panel: argmax dot, ties →
+    // lower cell (max of (dp, −cell) structs)
+    def assign(panel: Seq[(Long, Array[Float])]): DataFrame = {
+      val structs = panel.map { case (c, v) =>
+        struct(
+          call_function("float_dot", col("embedding"),
+            lit(v.map(Float.box))).as("dp"),
+          lit(-c).as("negc"))
+      }
+      emb.withColumn("best", greatest(structs: _*))
+        .select(col("vec_id"), col("embedding"),
+          (-col("best.negc")).as("cell"))
+    }
+
+    // exact integer-rational centroids of an assignment: ×10³-quantized
+    // per-dim member sums (order-free), one double division, float cast
+    def centroidPanel(assigned: DataFrame): Seq[(Long, Array[Float])] =
+      assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(round(col("x").cast("double") * lit(1000.0)).cast("long"))
+          .as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1))
+            .map(r => (r.getLong(2).toDouble / (1000.0 * r.getLong(3)))
+              .toFloat).toArray
+        }
+        .toSeq.sortBy(_._1)
+
+    var assigned = detCellAssignment(spark, dir, nCells)
+    var panel = Seq.empty[(Long, Array[Float])]
+    for (_ <- 1 to iters) {
+      panel = centroidPanel(assigned)
+      assigned = assign(panel)
+    }
+    // probe selection replays float_dot's exact fold driver-side
+    val qv = queryVector(spark, dir, queryId)
+    def dotf(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val probes = panel.map { case (c, v) => (c, dotf(v, qv)) }
+      .sortBy { case (c, s) => (-s, c) }.take(nProbe).map(_._1)
+    val q = array(qv.toIndexedSeq.map(lit): _*)
+    assigned
+      .filter(col("cell").isin(probes.map(Long.box): _*))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("qv", q)
+      .select(col("vec_id"), col("cell"),
+        expr("float_dot(embedding, qv)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def ivfDetTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     graft.functions.FloatVecDot.register(spark)

@@ -171,6 +171,27 @@ class DriverRound14Spec extends SparkSpec {
     assert(j8 < 2 * j4, s"doubling rounds more than doubled jobs: $j4 → $j8")
   }
 
+  test("ann_ivf_topk (Lloyd): probing every cell degenerates to exact " +
+      "brute-force top-k — the training loop cannot lose vectors") {
+    import graft.query.Similarity
+    val brute = Similarity.bruteForceTopK(spark, sf, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.ivfLloydTopK(spark, sf, 0L, 10,
+        nCells = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(full == brute,
+      "full-probe Lloyd IVF diverged from exact brute force")
+  }
+
+  test("ann_ivf_topk (Lloyd): jobs grow linearly in iterations — the " +
+      "per-iteration panel is constant-size") {
+    import graft.query.Similarity
+    Similarity.ivfLloydTopK(spark, sf, iters = 1).collect() // warm
+    val j1 = countJobs(Similarity.ivfLloydTopK(spark, sf, iters = 1).collect())
+    val j3 = countJobs(Similarity.ivfLloydTopK(spark, sf, iters = 3).collect())
+    assert(j3 - j1 <= 8, s"jobs grew super-linearly: iters=1→$j1, iters=3→$j3")
+  }
+
   // ---- real WAV decode: goldens + corrupt contract ----------------------
 
   /** Hand-assemble a 16-bit mono PCM WAV; knobs poke each validation. */
