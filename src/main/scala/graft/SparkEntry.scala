@@ -751,6 +751,11 @@ object SparkEntry {
     // round 14: REAL BPE training — iterative count→select→merge→RECOUNT
     "text_bpe_train"         ->
       ((s: SparkSession, d: String) => TextAnalysis.textBpeTrain(s, d)),
+    // round 14: multi-granularity substring census — widths {8,16,32}
+    // share one tokenize pass and one shuffle; spans report their
+    // maximal length class
+    "dedup_substring_multiscale" ->
+      ((s: SparkSession, d: String) => Dedup.dedupSubstringMultiscale(s, d)),
     // round 14: real RIFF/PCM bytes→samples audio decode (whole-clip
     // stats + per-STFT-frame features over the decoded array)
     "multimodal_audio_decode" ->
@@ -866,6 +871,37 @@ object SparkEntry {
   def oracleSql: Map[String, String] = reg(
     // the unrolled deterministic-Forgy Lloyd's IVF oracle (2 stages)
     "ann_ivf_topk" -> ivfLloydOracleSql(2),
+    // three window widths over one shared tokenize CTE (chained
+    // LATERALs: width unnest, then the per-width slide)
+    "dedup_substring_multiscale" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        |planted AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'planted near duplicate copy ' || text AS text
+        |  FROM documents WHERE doc_id < 10
+        |), docs AS (
+        |  SELECT * FROM d0 UNION ALL SELECT * FROM planted
+        |), toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM docs
+        |), widths AS (SELECT unnest([8, 16, 32]) AS w),
+        |tw AS (
+        |  -- slide bound precomputed BEFORE the lateral: DuckDB 1.0
+        |  -- fails to bind a joined column inside generate_series
+        |  SELECT doc_id, t, w, CAST(len(t) AS INT) - w + 1 AS hi
+        |  FROM toks CROSS JOIN widths WHERE len(t) >= w
+        |), wins AS (
+        |  SELECT doc_id, w,
+        |    CAST('0x' || substr(md5(array_to_string(
+        |      t[i : i + w - 1], ' ')), 1, 15) AS BIGINT) AS h
+        |  FROM tw, LATERAL (SELECT unnest(generate_series(1, hi)) AS i) s
+        |)
+        |SELECT w, h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occ,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM wins GROUP BY w, h HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY w, h""".stripMargin,
     // the generated unrolled-merge BPE-training oracle (16 stages)
     "text_bpe_train" -> bpeTrainOracleSql(16),
     // the WAV ramp (base b, step s, n samples) decoded by the REAL

@@ -839,4 +839,44 @@ object Dedup {
       .filter(col("n_docs") >= 2)
       .orderBy(col("h"))
   }
+
+  /** Multi-granularity exact-substring census — the bounded middle
+    * ground between [[dedupExactSubstring]]'s single fixed window and a
+    * full suffix array (`Dedup.scala` r13 future-work note): windows at
+    * widths {8, 16, 32} share ONE tokenize pass and ONE shuffle, so a
+    * repeated span reports its true maximal length CLASS — a 20-token
+    * duplicated span surfaces at w = 8 and w = 16 but not 32, bounding
+    * its maximal extent to [16, 32) without any suffix sort. Output:
+    * one row per (width, repeated-window class) with document reach and
+    * occurrence count, the granularity-annotated span blocklist.
+    *
+    * Scale shape: the per-doc width fanout happens INSIDE one
+    * `flatten(array(transform…))` projection — one scan, one explode,
+    * one map-side-combined groupBy on the uniform (w, 60-bit-hash) key;
+    * ~3× the rows of the single-width census through the same single
+    * exchange, vs 3 separate queries paying 3 scans and 3 shuffles. A
+    * width-w window over an n-token doc contributes n−w+1 rows, so
+    * total fanout stays Θ(corpus tokens) per width — a data constant
+    * multiplier, never quadratic. */
+  def dedupSubstringMultiscale(spark: SparkSession, dir: String,
+      widths: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val docs = withPlantedNearDups(table(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= widths.min)
+    val tagged = widths.map { w =>
+      transform(shinglesFromTokens(col("toks"), w),
+        s => struct(lit(w).as("w"), s.as("win")))
+    }
+    docs
+      .select(col("doc_id"), explode(flatten(array(tagged: _*))).as("ws"))
+      .select(col("doc_id"), col("ws.w").as("w"),
+        hash60(col("ws.win")).as("h"))
+      .groupBy(col("w"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("w"), col("h"))
+  }
 }

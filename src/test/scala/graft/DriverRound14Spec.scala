@@ -192,6 +192,48 @@ class DriverRound14Spec extends SparkSpec {
     assert(j3 - j1 <= 8, s"jobs grew super-linearly: iters=1→$j1, iters=3→$j3")
   }
 
+  test("dedup_substring_multiscale: a planted 20-token duplicated span " +
+      "reports its true maximal class — all widths ≤ span, none above") {
+    import graft.query.Dedup
+    // shared 20-token span embedded in two docs (ids ≥ 10 so the
+    // planted-near-dup union does not add whole-text twins), flanked by
+    // per-doc-unique filler with no internal repeats
+    val span = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val fillA = (1 to 15).map(i => s"onlya$i").mkString(" ")
+    val fillB = (1 to 15).map(i => s"onlyb$i").mkString(" ")
+    val dir = {
+      import spark.implicits._
+      val d = java.nio.file.Files.createTempDirectory("r14-span").toString
+      Seq((10L, s"$fillA $span"), (11L, s"$span $fillB"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      d
+    }
+    val byW = Dedup.dedupSubstringMultiscale(spark, dir)
+      .collect().groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+    // a length-20 span has 20−w+1 cross-doc windows at width w ≤ 20
+    assert(byW.getOrElse(8, 0) == 13,
+      s"w=8 classes: got ${byW.getOrElse(8, 0)}, want 13")
+    assert(byW.getOrElse(16, 0) == 5,
+      s"w=16 classes: got ${byW.getOrElse(16, 0)}, want 5")
+    assert(byW.getOrElse(32, 0) == 0,
+      s"w=32 must find nothing for a 20-token span, got ${byW.getOrElse(32, 0)}")
+    // a 40-token span must additionally surface at w = 32
+    val span40 = (1 to 40).map(i => s"wide$i").mkString(" ")
+    val dir2 = {
+      import spark.implicits._
+      val d = java.nio.file.Files.createTempDirectory("r14-span40").toString
+      Seq((10L, s"$fillA $span40"), (11L, s"$span40 $fillB"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      d
+    }
+    val byW2 = Dedup.dedupSubstringMultiscale(spark, dir2)
+      .collect().groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+    assert(byW2.getOrElse(32, 0) == 9,
+      s"w=32 classes for a 40-token span: got ${byW2.getOrElse(32, 0)}, want 9")
+  }
+
   // ---- real WAV decode: goldens + corrupt contract ----------------------
 
   /** Hand-assemble a 16-bit mono PCM WAV; knobs poke each validation. */
