@@ -209,4 +209,46 @@ object Batcher {
       nBatches = written.toInt,
       totalRows = rowsSeen)
   }
+
+  /** S10 CSV parity mode: materialize a batched frame (the
+    * [[streamBatches]]/[[assignBatchesArrivalOrder]] output, carrying
+    * `seq` + `batch_id`) as the reference's header-CSV batch files —
+    * one `batch_<k>.csv` per batch, header row first, data columns in
+    * stream-schema order, rows in seq order (consumer.py:61-66: a
+    * DictWriter with headers from the first message's key order).
+    *
+    * Each batch coalesces to ONE writer task — faithful to the
+    * reference's single-file-per-batch contract and safe at any corpus
+    * size because a batch is ≤ batchSize rows BY DEFINITION (the cap is
+    * upstream; this never sees unbounded data). The part file is
+    * renamed to the reference's exact `batch_<k>.csv` name. Returns the
+    * batch ids written. */
+  def writeCsvBatches(spark: SparkSession, batches: DataFrame,
+      outDir: String): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val dataCols = batches.columns.filterNot(Set("seq", "batch_id")).toSeq
+    val ids = batches.select(col("batch_id")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(out)
+    ids.foreach { b =>
+      val tmp = new Path(out, s"_tmp_batch_$b")
+      batches.filter(col("batch_id") === b)
+        .select((dataCols :+ "seq").map(col): _*)
+        .coalesce(1)
+        .sortWithinPartitions(col("seq"))
+        .drop("seq")
+        .write.option("header", "true").mode("overwrite").csv(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .find(_.getPath.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"csv writer produced no part file for batch $b"))
+        .getPath
+      val target = new Path(out, s"batch_$b.csv")
+      fs.delete(target, false)
+      fs.rename(part, target)
+      fs.delete(tmp, true)
+    }
+    ids
+  }
 }

@@ -55,6 +55,30 @@ class PipelineIntegrationSpec extends SparkSpec {
       .orderBy("batch_id").collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(sizes.toSeq == Seq((0, 10000L), (1, 10000L), (2, 10000L)))
 
+    // --- S10 CSV parity: reference-shaped batch_<k>.csv files ---
+    val csvIds = Batcher.writeCsvBatches(spark, res.batches, s"$tmp/csv_batches")
+    assert(csvIds == Seq(0, 1, 2))
+    val csvFiles = new java.io.File(s"$tmp/csv_batches").listFiles()
+      .filter(_.getName.endsWith(".csv")).map(_.getName).sorted.toSeq
+    assert(csvFiles == Seq("batch_0.csv", "batch_1.csv", "batch_2.csv"),
+      s"reference file naming broke: $csvFiles")
+    csvIds.foreach { b =>
+      val lines = scala.io.Source.fromFile(
+        s"$tmp/csv_batches/batch_$b.csv").getLines().toSeq
+      // header first, producer column order (consumer.py DictWriter)
+      assert(lines.head == "Duration,Distance,Temp,Phour",
+        s"batch $b header/column-order: ${lines.head}")
+      assert(lines.length == 10001, s"batch $b rows: ${lines.length - 1}")
+    }
+    // seq order within the file: batch 0 starts at the stream's first row
+    val firstCsvRow = scala.io.Source.fromFile(
+      s"$tmp/csv_batches/batch_0.csv").getLines().drop(1).next()
+    val firstStreamRow = res.batches.filter(col("batch_id") === 0)
+      .orderBy("seq").select("Duration", "Distance", "Temp", "Phour")
+      .head()
+    assert(firstCsvRow == (0 until 4).map(firstStreamRow.getFloat)
+      .mkString(","), s"batch 0 first row drifted: $firstCsvRow")
+
     // --- M6: growing-window training on batch prefixes ---
     val batches = res.batches
     val models = (1 to 3).map { v =>
