@@ -234,6 +234,34 @@ class DriverRound14Spec extends SparkSpec {
       s"w=32 classes for a 40-token span: got ${byW2.getOrElse(32, 0)}, want 9")
   }
 
+  test("ModelStore.forDir: every served model crosses the save→load " +
+      "disk boundary, and a warm persisted store skips retraining") {
+    import graft.ml.ModelStore
+    ModelStore.clear()
+    val path = ModelStore.persistedPath(sf, 1)
+    // force a COLD store: the persisted layout survives JVMs by design
+    // (fingerprint-keyed), so a prior run may have left it warm
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val before = ModelStore.trains.get()
+    val m1 = ModelStore.forDir(spark, sf, 1)
+    assert(new java.io.File(path, "_graft_complete").exists(),
+      s"no persisted model at $path")
+    assert(ModelStore.trains.get() >= before + 1, "first use must train")
+    // a fixed request row (trip-frame shape) scored through the loaded
+    // instance
+    val req = graft.ml.Trainer.tripFrameFromEvents(spark, sf)
+      .orderBy(col("event_id")).limit(1).drop("event_id")
+    val p1 = m1.transform(req).select("prediction").head().getDouble(0)
+    // API-restart simulation: cache cleared, store warm → load, no fit
+    ModelStore.clear()
+    val t1 = ModelStore.trains.get()
+    val m2 = ModelStore.forDir(spark, sf, 1)
+    assert(ModelStore.trains.get() == t1,
+      "warm persisted store retrained instead of loading")
+    val p2 = m2.transform(req).select("prediction").head().getDouble(0)
+    assert(p1 == p2, s"persisted round-trip changed the prediction: $p1 vs $p2")
+  }
+
   // ---- real WAV decode: goldens + corrupt contract ----------------------
 
   /** Hand-assemble a 16-bit mono PCM WAV; knobs poke each validation. */
