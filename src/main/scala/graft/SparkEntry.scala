@@ -751,6 +751,11 @@ object SparkEntry {
     // round 14: REAL BPE training — iterative count→select→merge→RECOUNT
     "text_bpe_train"         ->
       ((s: SparkSession, d: String) => TextAnalysis.textBpeTrain(s, d)),
+    // round 14: streaming incremental near-dup — per-micro-batch band-
+    // index probe + ListState intra-delta candidates; drain == batch
+    "stream_dedup_incremental" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.StreamQueries.streamDedupIncremental(s, d)),
     // round 14: multi-granularity substring census — widths {8,16,32}
     // share one tokenize pass and one shuffle; spans report their
     // maximal length class
@@ -865,6 +870,33 @@ object SparkEntry {
        |WHERE a.vec_id <> 0
        |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin
   }
+
+  /** Shared by `dedup_incremental_minhash` and its streaming twin
+    * `stream_dedup_incremental` (whose drain equals the batch probe by
+    * contract). */
+  private lazy val incrementalMinhashOracleSql: String =
+    s"""WITH ${minhashPairsCtes(8, 4, "0.5")},
+       |delta AS (SELECT doc_id FROM base WHERE doc_id % 5 = 0),
+       |links AS (
+       |  SELECT doc_a AS d, doc_b AS m FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS d, doc_a AS m FROM pairs
+       |), agg AS (
+       |  SELECT d AS doc_id,
+       |    CAST(sum(CASE WHEN m % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nc,
+       |    CAST(sum(CASE WHEN m % 5 = 0 AND m < d THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nb
+       |  FROM links WHERE d % 5 = 0 GROUP BY d
+       |)
+       |SELECT dd.doc_id,
+       |  CASE WHEN COALESCE(a.nc, 0) > 0 THEN 'near_dup_of_corpus'
+       |       WHEN COALESCE(a.nb, 0) > 0 THEN 'near_dup_in_batch'
+       |       ELSE 'new' END AS status,
+       |  COALESCE(a.nc, 0) AS n_corpus_matches,
+       |  COALESCE(a.nb, 0) AS n_batch_matches
+       |FROM delta dd LEFT JOIN agg a ON dd.doc_id = a.doc_id
+       |ORDER BY dd.doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -6253,29 +6285,12 @@ object SparkEntry {
         |  CAST(sum(n_tok) AS BIGINT) AS tokens,
         |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
         |FROM p GROUP BY phase ORDER BY phase""".stripMargin,
-    "dedup_incremental_minhash" ->
-      s"""WITH ${minhashPairsCtes(8, 4, "0.5")},
-         |delta AS (SELECT doc_id FROM base WHERE doc_id % 5 = 0),
-         |links AS (
-         |  SELECT doc_a AS d, doc_b AS m FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS d, doc_a AS m FROM pairs
-         |), agg AS (
-         |  SELECT d AS doc_id,
-         |    CAST(sum(CASE WHEN m % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS nc,
-         |    CAST(sum(CASE WHEN m % 5 = 0 AND m < d THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS nb
-         |  FROM links WHERE d % 5 = 0 GROUP BY d
-         |)
-         |SELECT dd.doc_id,
-         |  CASE WHEN COALESCE(a.nc, 0) > 0 THEN 'near_dup_of_corpus'
-         |       WHEN COALESCE(a.nb, 0) > 0 THEN 'near_dup_in_batch'
-         |       ELSE 'new' END AS status,
-         |  COALESCE(a.nc, 0) AS n_corpus_matches,
-         |  COALESCE(a.nb, 0) AS n_batch_matches
-         |FROM delta dd LEFT JOIN agg a ON dd.doc_id = a.doc_id
-         |ORDER BY dd.doc_id""".stripMargin,
+    // the streaming twin drains to the identical panel (batch-
+    // equivalence contract), so it shares the batch probe's oracle
+    // the streaming twin drains to the identical panel (batch-
+    // equivalence contract), so it shares the batch probe's oracle
+    "stream_dedup_incremental" -> incrementalMinhashOracleSql,
+    "dedup_incremental_minhash" -> incrementalMinhashOracleSql,
     "dedup_incremental" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(lower(trim(

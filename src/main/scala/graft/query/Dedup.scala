@@ -435,26 +435,9 @@ object Dedup {
   def dedupIncrementalMinhash(spark: SparkSession, dir: String,
       shingleSize: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.5): DataFrame = {
-    graft.functions.ShingleHashes.register(spark)
-    graft.functions.JaccardSorted.register(spark)
-    val allDocs = withPlantedNearDups(table(spark, dir, "documents"))
-    val docs = allDocs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= shingleSize)
-    // identical cache key to lshCandidatesWithSets: the delta probe hits
-    // the SAME persisted signature index the full-corpus queries built
-    val sig = graft.schema.Schemas.evictingComputeIfAbsent(
-      forSession(sigCache, spark),
-      s"$dir#$shingleSize#${numBands * rowsPerBand}",
-      graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"))(
-      minhashSignatures(docs, "toks", "doc_id",
-        shingleSize, numBands * rowsPerBand).persist())(
-      _.unpersist(false))
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
-        .as(Seq("band", "bucket")))
+    val banded = bandedSignatures(
+      cachedSignatureIndex(spark, dir, shingleSize, numBands * rowsPerBand),
+      numBands, rowsPerBand)
     val deltaB = banded.filter(col("doc_id") % 5 === 0)
       .select(col("band"), col("bucket"), col("doc_id").as("delta_id"))
     val corpusB = banded.filter(col("doc_id") % 5 =!= 0)
@@ -468,7 +451,54 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("match_id") < col("delta_id"))
       .select(col("delta_id"), col("match_id")).distinct()
-    val cand = candCorpus.unionAll(candBatch)
+    incrementalVerdict(spark, dir, candCorpus.unionAll(candBatch),
+      shingleSize, jaccardThreshold)
+  }
+
+  /** The persisted full-corpus (incl. planted) MinHash signature index —
+    * identical cache key to lshCandidatesWithSets, so the delta probe
+    * (batch or streaming) hits the SAME persisted index the full-corpus
+    * queries built. */
+  private[graft] def cachedSignatureIndex(spark: SparkSession, dir: String,
+      shingleSize: Int, numHashes: Int): DataFrame = {
+    val docs = withPlantedNearDups(table(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
+    graft.schema.Schemas.evictingComputeIfAbsent(
+      forSession(sigCache, spark),
+      s"$dir#$shingleSize#$numHashes",
+      graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"))(
+      minhashSignatures(docs, "toks", "doc_id",
+        shingleSize, numHashes).persist())(
+      _.unpersist(false))
+  }
+
+  /** (doc_id, band, bucket) LSH banding of a signature frame — one
+    * map-only posexplode, stream-safe (no shuffle, no state). */
+  private[graft] def bandedSignatures(sig: DataFrame, numBands: Int,
+      rowsPerBand: Int): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+        .as(Seq("band", "bucket")))
+
+  /** Shared verification + verdict tail of the incremental near-dup
+    * probe: candidate (delta_id, match_id) pairs (duplicates across
+    * bands welcome — deduped here) → exact Jaccard verify on shingle
+    * sets → per-delta status panel. Used by the batch probe above and
+    * its streaming twin
+    * ([[graft.streaming.StreamQueries]]`.streamDedupIncremental`). */
+  private[graft] def incrementalVerdict(spark: SparkSession, dir: String,
+      cand0: DataFrame, shingleSize: Int,
+      jaccardThreshold: Double): DataFrame = {
+    graft.functions.ShingleHashes.register(spark)
+    graft.functions.JaccardSorted.register(spark)
+    val allDocs = withPlantedNearDups(table(spark, dir, "documents"))
+    val docs = allDocs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
+    val cand = cand0.distinct()
     val candIds = cand.select(col("delta_id").as("doc_id"))
       .unionAll(cand.select(col("match_id").as("doc_id"))).distinct()
     val candSh = docs.join(candIds, Seq("doc_id"))

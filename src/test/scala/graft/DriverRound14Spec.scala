@@ -262,6 +262,29 @@ class DriverRound14Spec extends SparkSpec {
     assert(p1 == p2, s"persisted round-trip changed the prediction: $p1 vs $p2")
   }
 
+  test("stream_dedup_incremental: a 4-micro-batch drain (one file per " +
+      "trigger) equals the batch probe row for row — cross-batch " +
+      "ListState carries earlier delta arrivals") {
+    import graft.query.Dedup
+    import graft.streaming.StreamQueries
+    // directory-layout documents split into 4 part files: with
+    // maxFilesPerTrigger=1 the delta arrives across 4 micro-batches, so
+    // intra-delta pairs MUST cross micro-batch boundaries through state
+    val d = java.nio.file.Files.createTempDirectory("r14-sdi").toString
+    graft.schema.Schemas.table(spark, sf, "documents")
+      .repartition(4).write.parquet(s"$d/documents.parquet")
+    val batch = Dedup.dedupIncrementalMinhash(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val streamed = StreamQueries.streamDedupIncremental(spark, d,
+        filesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"streaming drain diverged from the batch probe " +
+        s"(${streamed.size} vs ${batch.size} rows)")
+    assert(batch.exists(_(1) != "new"),
+      "fixture sanity: the corpus must contain real near-dups")
+  }
+
   // ---- real WAV decode: goldens + corrupt contract ----------------------
 
   /** Hand-assemble a 16-bit mono PCM WAV; knobs poke each validation. */
