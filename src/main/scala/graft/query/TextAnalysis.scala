@@ -298,7 +298,7 @@ object TextAnalysis {
   def textBpeTrain(spark: SparkSession, dir: String,
       rounds: Int = 16): DataFrame = {
     import spark.implicits._
-    var vocab = table(spark, dir, "documents")
+    val vocab0 = table(spark, dir, "documents")
       .select(explode(Dedup.tokens(col("text"))).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -306,7 +306,20 @@ object TextAnalysis {
         concat(lit("  "),
           regexp_replace(col("word"), lit("(.)"), lit("$1  "))).as("sp"))
       .persist()
-    var prev: Option[DataFrame] = None
+    // size the loop's partitioning to the REALIZED vocab (~64k words per
+    // partition): the training rounds run over the vocab, which is
+    // orders of magnitude smaller than the corpus, and leaving it at the
+    // corpus-sized shuffle width makes every round pay ~32 tasks × 2
+    // stages of pure scheduling floor — measured 20 s of a 16-round
+    // train at sf0.1 with a ~50k-word vocab, ~4× less after this
+    // coalesce. The count also materializes the persist, so the
+    // coalesced child below reads from cache, not the corpus.
+    val vocabRows = vocab0.count()
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      vocabRows / 65536L + 1L)).toInt
+    var vocab = vocab0.coalesce(parts).persist()
+    var prev: Option[DataFrame] = Some(vocab0)
     val learned =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var live = true
@@ -329,9 +342,16 @@ object TextAnalysis {
         case Some(row) =>
           val pa = row.getString(0); val pb = row.getString(1)
           learned += ((r, pa, pb, row.getLong(2)))
+          // localCheckpoint, NOT persist: a persist chain leaves round
+          // r's LOGICAL plan r InMemoryRelations deep, and somewhere
+          // past ~10 rounds the per-round analysis/cache-lookup cost on
+          // that nested tree went super-linear (measured: rounds 1–8 ≤
+          // 1.9 s total, rounds 16 = 30 s). The eager checkpoint cuts
+          // lineage to a flat scan so every round's plan is depth-1 —
+          // the graph_pagerank_deep truncation discipline.
           vocab = vocab.withColumn("sp",
             call_function("replace", col("sp"),
-              lit(s" $pa  $pb "), lit(s" $pa$pb "))).persist()
+              lit(s" $pa  $pb "), lit(s" $pa$pb "))).localCheckpoint(true)
         case None => live = false
       }
     }

@@ -70,7 +70,39 @@ object ScaleCurve {
       // here is the pre-bench alarm (r12 advice #5)
       "retrieval_greedy" -> Seq("retrieval_mmr_topk",
         "sample_kcenter_coreset", "retrieval_colbert_maxsim",
-        "ann_hard_negatives"))
+        "ann_hard_negatives"),
+      // round-14 coverage (r13 advice #5): the sorted-group sequential
+      // recurrences are measured with maxUser unbounded so the user
+      // population — the family's parallelism grain — grows with the
+      // corpus instead of pinning to the declared queries' 50-user panel
+      "sorted_recurrence" -> Seq("ts_kalman_1d_all",
+        "window_bollinger_bands_all", "window_hampel_filter_all",
+        "ts_pacf_durbin_levinson_all"),
+      "substring_census" -> Seq("dedup_exact_substring",
+        "dedup_substring_multiscale"),
+      "ivf_pq" -> Seq("ann_ivf_pq_topk", "ann_ivf_topk"),
+      "bpe_train" -> Seq("text_bpe_train"),
+      "media_decode" -> Seq("multimodal_audio_decode",
+        "multimodal_image_decode"))
+
+    // scale-variant forms that widen a declared query's fixed panel to
+    // the whole corpus (the declared defaults exist for oracle-size
+    // reasons, not scale ones)
+    val scaleVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_kalman_1d_all" -> ((s, d) =>
+      graft.query.Analytics4.tsKalman1d(s, d, maxUser = Long.MaxValue)),
+    "window_bollinger_bands_all" -> ((s, d) =>
+      graft.query.Analytics4.windowBollingerBands(s, d,
+        maxUser = Long.MaxValue)),
+    "window_hampel_filter_all" -> ((s, d) =>
+      graft.query.Analytics4.windowHampelFilter(s, d,
+        maxUser = Long.MaxValue)),
+    "ts_pacf_durbin_levinson_all" -> ((s, d) =>
+      graft.query.Analytics4.tsPacfDurbinLevinson(s, d,
+        maxUser = Long.MaxValue)))
+
+    def queryFn(name: String): (SparkSession, String) => DataFrame =
+      scaleVariants.getOrElse(name, graft.SparkEntry.queries(name))
     // SCALE_FAMILIES=embedding,graph_index re-measures a subset
     val families = sys.env.get("SCALE_FAMILIES")
       .map(_.split(",").map(_.trim).toSet)
@@ -81,7 +113,7 @@ object ScaleCurve {
     // JIT/codegen warm-up outside every timed window, tiny fixture
     families.foreach { case (_, qs) =>
       qs.foreach { q =>
-        try graft.SparkEntry.queries(q)(spark.newSession(), warmDir).count()
+        try queryFn(q)(spark.newSession(), warmDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[warm] $q: ${e.getMessage}") }
       }
@@ -91,7 +123,7 @@ object ScaleCurve {
       val times = points.map { case (label, dir) =>
         val s = spark.newSession() // fresh per-session index caches
         val t0 = System.nanoTime()
-        qs.foreach(q => graft.SparkEntry.queries(q)(s, dir).count())
+        qs.foreach(q => queryFn(q)(s, dir).count())
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[scale] $fam%-12s $label%-7s $sec%8.2f s")
         label -> sec
