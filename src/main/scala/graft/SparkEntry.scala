@@ -767,6 +767,12 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Multimodal.multimodalAudioDecode(s, d)),
     "multimodal_audio_frames" ->
       ((s: SparkSession, d: String) => Multimodal.multimodalAudioFrames(s, d)),
+    // round 14: energy-threshold VAD segments over the decoded frames
+    "multimodal_audio_vad" ->
+      ((s: SparkSession, d: String) => Multimodal.multimodalAudioVad(s, d)),
+    // round 14: the trained tokenizer's unit-frequency vocabulary
+    "text_bpe_vocab"         ->
+      ((s: SparkSession, d: String) => TextAnalysis.textBpeVocab(s, d)),
   )
 
   /** The [[graft.query.TextAnalysis.textBpeTrain]] oracle: the training
@@ -778,7 +784,17 @@ object SparkEntry {
     * the round index, and the Spark loop it replays is parameterized by
     * the same `rounds`. */
   private def bpeTrainOracleSql(rounds: Int): String = {
-    val stages = (1 to rounds).map { r =>
+    val union = (1 to rounds)
+      .map(r => s"SELECT merge_rank, pa, pb, cnt FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""${bpeTrainCtes(rounds)}
+       |SELECT merge_rank, pa AS lhs, pb AS rhs, pa || pb AS merged,
+       |  cnt AS score
+       |FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
+  private def bpeStages(rounds: Int): String =
+    (1 to rounds).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT ss[i] AS pa, ss[i + 1] AS pb,
          |    CAST(sum(freq) AS BIGINT) AS cnt
@@ -796,9 +812,11 @@ object SparkEntry {
          |  FROM v${r - 1} CROSS JOIN b$r
          |)""".stripMargin
     }.mkString(", ")
-    val union = (1 to rounds)
-      .map(r => s"SELECT merge_rank, pa, pb, cnt FROM b$r")
-      .mkString(" UNION ALL ")
+
+  /** The shared WITH clause of the BPE oracles: v0 + `rounds` unrolled
+    * stages (each defining p_r, b_r, v_r). */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val stages = bpeStages(rounds)
     s"""WITH v0 AS MATERIALIZED (
        |  SELECT tok AS word, count(*) AS freq,
        |    '  ' || regexp_replace(tok, '(.)', '\\1  ', 'g') AS sp
@@ -807,11 +825,19 @@ object SparkEntry {
        |    FROM documents)
        |  WHERE length(tok) >= 2
        |  GROUP BY tok
-       |), $stages
-       |SELECT merge_rank, pa AS lhs, pb AS rhs, pa || pb AS merged,
-       |  cnt AS score
-       |FROM ($union) ORDER BY merge_rank""".stripMargin
+       |), $stages""".stripMargin
   }
+
+  /** The [[graft.query.TextAnalysis.textBpeVocab]] oracle: the trained
+    * final state v_rounds, exploded to surviving units weighted by word
+    * frequency. */
+  private def bpeVocabOracleSql(rounds: Int): String =
+    s"""${bpeTrainCtes(rounds)}
+       |SELECT u.unit, CAST(sum(freq) AS BIGINT) AS n_occ,
+       |  length(u.unit) > 1 AS is_merged
+       |FROM v$rounds,
+       |  LATERAL (SELECT unnest(string_split(trim(sp), '  ')) AS unit) u
+       |GROUP BY u.unit ORDER BY n_occ DESC, u.unit""".stripMargin
 
   /** The [[graft.query.Similarity.ivfLloydTopK]] oracle: Forgy seeds →
     * `iters` unrolled Lloyd stages (per-dim ×10³-quantized member sums
@@ -936,6 +962,43 @@ object SparkEntry {
         |ORDER BY w, h""".stripMargin,
     // the generated unrolled-merge BPE-training oracle (16 stages)
     "text_bpe_train" -> bpeTrainOracleSql(16),
+    // same unrolled stages, final state exploded to the unit census
+    "text_bpe_vocab" -> bpeVocabOracleSql(16),
+    // frames replayed closed-form (the audio_frames oracle), active
+    // threshold win·T² = 400·6000², islands via frame − row_number
+    "multimodal_audio_vad" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    400 + CAST('0x' || substr(md5(doc_id || ':ns'), 1, 15)
+        |      AS BIGINT) % 2001 AS n,
+        |    CAST('0x' || substr(md5(doc_id || ':ab'), 1, 15) AS BIGINT)
+        |      % 24001 - 12000 AS b,
+        |    CAST('0x' || substr(md5(doc_id || ':as'), 1, 15) AS BIGINT)
+        |      % 8 + 1 AS s
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, n, b, s, ff.f AS f, ff.f * 160 AS a,
+        |    ff.f * 160 + 399 AS b2
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0,
+        |    (n - 400) // 160)) AS f) ff
+        |), g AS (
+        |  SELECT doc_id, f,
+        |    400 * b * b + 2 * b * s * ((a + b2) * 200)
+        |      + s * s * ((b2 * (b2 + 1) * (2 * b2 + 1)) // 6
+        |        - ((a - 1) * a * (2 * a - 1)) // 6) AS fe
+        |  FROM fr
+        |), act AS (
+        |  SELECT doc_id, f, fe,
+        |    f - (row_number() OVER (PARTITION BY doc_id ORDER BY f) - 1)
+        |      AS isl
+        |  FROM g WHERE fe > 14400000000
+        |)
+        |SELECT doc_id, CAST(min(f) AS INT) AS seg_start,
+        |  CAST(max(f) AS INT) AS seg_end,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(fe) AS BIGINT) AS seg_energy
+        |FROM act GROUP BY doc_id, isl
+        |ORDER BY doc_id, seg_start""".stripMargin,
     // the WAV ramp (base b, step s, n samples) decoded by the REAL
     // RIFF/PCM parser; the oracle replays Σamp, Σamp², the single
     // rising zero crossing, and min/max in closed form — integer

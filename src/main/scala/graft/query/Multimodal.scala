@@ -561,6 +561,37 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Energy-threshold voice-activity segmentation over the REAL decode:
+    * frames from [[multimodalAudioFrames]] are active iff their energy
+    * exceeds `win·T²` (per-sample RMS above T = `thresholdAmp`), and
+    * maximal runs of consecutive active frames become segments — the
+    * speech/silence splitter an audio-curation pipeline runs before
+    * transcription, here as gaps-and-islands over the frame grid.
+    * Output: one row per segment with its frame span and total energy.
+    *
+    * Scale shape: the decode is map-only; islands need one exchange on
+    * doc_id and a per-doc row_number over ≤ 13 frames — bounded fanout,
+    * no skew. Exactness: integer energies (oracle replays them
+    * closed-form), integer island arithmetic. */
+  def multimodalAudioVad(spark: SparkSession, dir: String,
+      win: Int = 400, hop: Int = 160, thresholdAmp: Long = 6000L,
+      batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val thr = win.toLong * thresholdAmp * thresholdAmp
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    multimodalAudioFrames(spark, dir, win, hop, batchSize)
+      .filter(col("frame_energy") > thr)
+      .withColumn("isl", col("frame_idx") - (row_number().over(w) - 1))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("frame_idx")).as("seg_start"),
+        max(col("frame_idx")).as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        sum(col("frame_energy")).as("seg_energy"))
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        col("n_frames"), col("seg_energy"))
+      .orderBy(col("doc_id"), col("seg_start"))
+  }
+
   /** Deterministic synthetic TEXTURED PNG for perceptual hashing:
     * channel value at (x, y) is
     * `16 + (base_c + x²·kxx_c + x·y·kxy_c + y²·kyy_c + x·kx_c + y·ky_c)

@@ -298,6 +298,47 @@ object TextAnalysis {
   def textBpeTrain(spark: SparkSession, dir: String,
       rounds: Int = 16): DataFrame = {
     import spark.implicits._
+    val (learned, vocab) = trainBpe(spark, dir, rounds)
+    vocab.unpersist()
+    learned
+      .map { case (r, pa, pb, cnt) => (r, pa, pb, pa + pb, cnt) }
+      .toDF("merge_rank", "lhs", "rhs", "merged", "score")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Post-training unit census: the learned tokenizer's VOCABULARY —
+    * apply all `rounds` merges (by re-running the training loop, whose
+    * state already holds the fully-merged corpus) and count each
+    * surviving symbol weighted by word frequency. `is_merged`
+    * distinguishes merge-produced multi-char units from base
+    * characters; the census is the unit-frequency table a tokenizer
+    * ships beside its merge list. Unit keyspace is bounded by
+    * |alphabet| + `rounds` — a constant — so the final aggregate is a
+    * broadcast-sized panel at any corpus size. */
+  def textBpeVocab(spark: SparkSession, dir: String,
+      rounds: Int = 16): DataFrame = {
+    val (_, vocab) = trainBpe(spark, dir, rounds)
+    val out = vocab
+      .select(col("freq"),
+        explode(split(trim(col("sp")), "  ")).as("unit"))
+      .groupBy(col("unit"))
+      .agg(sum(col("freq")).as("n_occ"))
+      .select(col("unit"), col("n_occ"),
+        (length(col("unit")) > 1).as("is_merged"))
+      .orderBy(col("n_occ").desc, col("unit"))
+    // eager: the loop's checkpoints would otherwise pin until GC while
+    // the caller holds a lazy plan over the last one
+    val rows = out.collect()
+    vocab.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+  }
+
+  /** The shared training loop: returns (merge table rows, final vocab
+    * state (word, freq, sp) — still persisted/checkpointed; caller
+    * unpersists). */
+  private def trainBpe(spark: SparkSession, dir: String,
+      rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     val vocab0 = table(spark, dir, "documents")
       .select(explode(Dedup.tokens(col("text"))).as("word"))
       .filter(length(col("word")) >= 2)
@@ -355,11 +396,8 @@ object TextAnalysis {
         case None => live = false
       }
     }
-    vocab.unpersist(); prev.foreach(_.unpersist())
-    learned.toSeq
-      .map { case (r, pa, pb, cnt) => (r, pa, pb, pa + pb, cnt) }
-      .toDF("merge_rank", "lhs", "rhs", "merged", "score")
-      .orderBy(col("merge_rank"))
+    prev.foreach(_.unpersist())
+    (learned.toSeq, vocab)
   }
 
   /** TF-IDF term weighting: term frequency per (doc, term), document

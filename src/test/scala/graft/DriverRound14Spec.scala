@@ -285,6 +285,56 @@ class DriverRound14Spec extends SparkSpec {
       "fixture sanity: the corpus must contain real near-dups")
   }
 
+  test("text_bpe_vocab: hand-folded unit census — fully merged words " +
+      "survive as single merged units with occurrence-weighted counts") {
+    import graft.query.TextAnalysis
+    // same corpus as the train hand-fold: after its 4 merges the final
+    // states are abab→[abab]×3, abc→[abc]×2, cc→[cc]×1
+    val dir = docsDir(Seq("abab abc", "abab abc cc", "abab"))
+    val got = TextAnalysis.textBpeVocab(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq
+    assert(got == Seq(("abab", 3L, true), ("abc", 2L, true), ("cc", 1L, true)),
+      s"vocab census mismatch: $got")
+  }
+
+  test("multimodal_audio_vad: segments equal an independent driver-side " +
+      "recompute from the decoded samples") {
+    import graft.query.Multimodal
+    val tiny = "/root/testdata/sf0.001"
+    val got = Multimodal.multimodalAudioVad(spark, tiny)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // independent recompute: decode every doc's samples, frame, threshold,
+    // island — no Spark expressions shared with the query
+    val ids = graft.schema.Schemas.table(spark, tiny, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val thr = 400L * 6000L * 6000L
+    val want = ids.flatMap { id =>
+      val (_, samples) = Multimodal.decodeWavSamples(
+        Multimodal.synthesizeWav(id)).get
+      val nFrames = (samples.length - 400) / 160 + 1
+      val energies = (0 until nFrames).map { f =>
+        (f, (f * 160 until f * 160 + 400).map(j =>
+          samples(j) * samples(j)).sum)
+      }
+      val active = energies.filter(_._2 > thr)
+      // islands: split where frame indices are non-consecutive
+      val segs = active.foldLeft(List.empty[List[(Int, Long)]]) {
+        case (acc, fe) => acc match {
+          case head :: tail if head.head._1 == fe._1 - 1 =>
+            (fe :: head) :: tail
+          case _ => List(fe) :: acc
+        }
+      }.reverse.map(_.reverse)
+      segs.map(s => (id, s.head._1, s.last._1, s.length.toLong,
+        s.map(_._2).sum))
+    }.toSeq
+    assert(got == want, s"VAD diverged from the driver recompute " +
+      s"(${got.size} vs ${want.size} segments)")
+    assert(want.nonEmpty, "fixture sanity: some active segments must exist")
+  }
+
   // ---- real WAV decode: goldens + corrupt contract ----------------------
 
   /** Hand-assemble a 16-bit mono PCM WAV; knobs poke each validation. */
