@@ -695,6 +695,12 @@ object SparkEntry {
     // the pass@k estimator in its stable product form
     "eval_pass_at_k"         ->
       ((s: SparkSession, d: String) => Analytics4.evalPassAtK(s, d)),
+    // ROUGE-N clipped-overlap P/R/F1 over adjacent-doc pairs
+    "eval_rouge_n"           ->
+      ((s: SparkSession, d: String) => TextAnalysis.evalRougeN(s, d)),
+    // BLEU-2 modified precisions + brevity penalty, same pair grain
+    "eval_bleu"              ->
+      ((s: SparkSession, d: String) => TextAnalysis.evalBleu(s, d)),
     // exact-rational covariance matrix (whitening/PCA input)
     "emb_covariance_int"     ->
       ((s: SparkSession, d: String) => Analytics4.embCovarianceInt(s, d)),
@@ -7364,6 +7370,113 @@ object SparkEntry {
         |         * ((CAST(n - c AS DOUBLE) - 4.0) / (CAST(n AS DOUBLE) - 4.0)))
         |  END AS pass5
         |FROM t ORDER BY user_id""".stripMargin,
+    // clipped n-gram overlap pair grain shared by ROUGE-N and BLEU;
+    // exact BIGINT counts, ratios double then ONE cast to REAL
+    "eval_rouge_n" ->
+      """WITH toks AS (
+        |  SELECT doc_id // 2 AS pair_id, doc_id % 2 = 0 AS is_cand,
+        |    string_split(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents WHERE doc_id < 400
+        |), grams AS (
+        |  SELECT pair_id, is_cand, 1 AS n, t[i] AS gram
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
+        |  UNION ALL
+        |  SELECT pair_id, is_cand, 2 AS n,
+        |    concat_ws(' ', t[i], t[i + 1]) AS gram
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+        |  WHERE len(t) >= 2
+        |), cnt AS (
+        |  SELECT pair_id, n, gram,
+        |    CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN is_cand THEN 0 ELSE 1 END) AS BIGINT) AS r
+        |  FROM grams GROUP BY 1, 2, 3
+        |), agg AS (
+        |  SELECT pair_id, n, CAST(sum(least(c, r)) AS BIGINT) AS overlap,
+        |    CAST(sum(c) AS BIGINT) AS cand_ngrams,
+        |    CAST(sum(r) AS BIGINT) AS ref_ngrams
+        |  FROM cnt GROUP BY 1, 2
+        |)
+        |SELECT pair_id, n, overlap, cand_ngrams, ref_ngrams,
+        |  CAST(CASE WHEN cand_ngrams > 0
+        |    THEN CAST(overlap AS DOUBLE) / CAST(cand_ngrams AS DOUBLE)
+        |    ELSE 0.0 END AS REAL) AS prec,
+        |  CAST(CASE WHEN ref_ngrams > 0
+        |    THEN CAST(overlap AS DOUBLE) / CAST(ref_ngrams AS DOUBLE)
+        |    ELSE 0.0 END AS REAL) AS rec,
+        |  CAST(CASE WHEN
+        |    (CASE WHEN cand_ngrams > 0
+        |      THEN CAST(overlap AS DOUBLE) / CAST(cand_ngrams AS DOUBLE)
+        |      ELSE 0.0 END)
+        |    + (CASE WHEN ref_ngrams > 0
+        |      THEN CAST(overlap AS DOUBLE) / CAST(ref_ngrams AS DOUBLE)
+        |      ELSE 0.0 END) > 0
+        |    THEN 2.0
+        |      * (CAST(overlap AS DOUBLE) / CAST(cand_ngrams AS DOUBLE))
+        |      * (CAST(overlap AS DOUBLE) / CAST(ref_ngrams AS DOUBLE))
+        |      / ((CAST(overlap AS DOUBLE) / CAST(cand_ngrams AS DOUBLE))
+        |        + (CAST(overlap AS DOUBLE) / CAST(ref_ngrams AS DOUBLE)))
+        |    ELSE 0.0 END AS REAL) AS f1
+        |FROM agg ORDER BY pair_id, n""".stripMargin,
+    // BLEU-2: same clipped grain pivoted per pair; zero clip => 0.0
+    "eval_bleu" ->
+      """WITH toks AS (
+        |  SELECT doc_id // 2 AS pair_id, doc_id % 2 = 0 AS is_cand,
+        |    string_split(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents WHERE doc_id < 400
+        |), grams AS (
+        |  SELECT pair_id, is_cand, 1 AS n, t[i] AS gram
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
+        |  UNION ALL
+        |  SELECT pair_id, is_cand, 2 AS n,
+        |    concat_ws(' ', t[i], t[i + 1]) AS gram
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+        |  WHERE len(t) >= 2
+        |), cnt AS (
+        |  SELECT pair_id, n, gram,
+        |    CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN is_cand THEN 0 ELSE 1 END) AS BIGINT) AS r
+        |  FROM grams GROUP BY 1, 2, 3
+        |), agg AS (
+        |  SELECT pair_id, n, CAST(sum(least(c, r)) AS BIGINT) AS overlap,
+        |    CAST(sum(c) AS BIGINT) AS cand_ngrams,
+        |    CAST(sum(r) AS BIGINT) AS ref_ngrams
+        |  FROM cnt GROUP BY 1, 2
+        |), piv AS (
+        |  SELECT pair_id,
+        |    CAST(coalesce(sum(CASE WHEN n = 1 THEN overlap END), 0)
+        |      AS BIGINT) AS clip1,
+        |    CAST(coalesce(sum(CASE WHEN n = 1 THEN cand_ngrams END), 0)
+        |      AS BIGINT) AS cand_len,
+        |    CAST(coalesce(sum(CASE WHEN n = 1 THEN ref_ngrams END), 0)
+        |      AS BIGINT) AS ref_len,
+        |    CAST(coalesce(sum(CASE WHEN n = 2 THEN overlap END), 0)
+        |      AS BIGINT) AS clip2,
+        |    CAST(coalesce(sum(CASE WHEN n = 2 THEN cand_ngrams END), 0)
+        |      AS BIGINT) AS cand_bigrams
+        |  FROM agg GROUP BY pair_id
+        |), sc AS (
+        |  SELECT pair_id, cand_len, ref_len, clip1, clip2, cand_bigrams,
+        |    CASE WHEN cand_len = 0 THEN 0.0
+        |         WHEN cand_len >= ref_len THEN 1.0
+        |         ELSE exp(1.0 - CAST(ref_len AS DOUBLE)
+        |           / CAST(cand_len AS DOUBLE)) END AS bpd
+        |  FROM piv
+        |)
+        |SELECT pair_id, cand_len, ref_len, clip1, clip2, cand_bigrams,
+        |  CAST(bpd AS REAL) AS bp,
+        |  CAST(CASE WHEN clip1 > 0 AND clip2 > 0
+        |    THEN bpd * exp((
+        |      ln(CAST(clip1 AS DOUBLE) / CAST(cand_len AS DOUBLE)) +
+        |      ln(CAST(clip2 AS DOUBLE) / CAST(cand_bigrams AS DOUBLE))
+        |    ) / 2.0)
+        |    ELSE 0.0 END AS REAL) AS bleu
+        |FROM sc ORDER BY pair_id""".stripMargin,
     // exact BIGINT moments; ONE double division at the end
     "emb_covariance_int" ->
       """WITH q AS (

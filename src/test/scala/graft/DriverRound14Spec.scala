@@ -445,4 +445,58 @@ class DriverRound14Spec extends SparkSpec {
     assert(e.getMessage.contains("must sum to 1"),
       s"unexpected message: ${e.getMessage}")
   }
+
+  test("eval_rouge_n / eval_bleu: clipped overlaps, brevity penalty, " +
+      "and zero-gram degradation match the hand fold") {
+    import spark.implicits._
+    import graft.query.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("r14-bleu").toString
+    Seq(
+      (0L, "the cat sat on the mat"), // pair 0: classic near-match
+      (1L, "the cat lay on the mat"),
+      (2L, "x"),                      // pair 1: no overlap, no cand bigram
+      (3L, "y z"),
+      (4L, "a a a b"),                // pair 2: clipping bites (a×3 vs a×1)
+      (5L, "a c"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    val rouge = TextAnalysis.evalRougeN(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getFloat(5), r.getFloat(6), r.getFloat(7)))).toMap
+    // pair 0 unigrams: clip {the:2, cat, on, mat} = 5 of 6/6
+    val p0 = 5.0 / 6.0
+    assert(rouge((0L, 1)) ==
+      ((5L, 6L, 6L, p0.toFloat, p0.toFloat,
+        (2.0 * p0 * p0 / (p0 + p0)).toFloat)))
+    // pair 0 bigrams: {the cat, on the, the mat} = 3 of 5/5
+    assert(rouge((0L, 2))._1 == 3L && rouge((0L, 2))._4 == (3.0f / 5.0f))
+    // pair 1: zero overlap everywhere; n=2 has cand_ngrams = 0 and must
+    // emit 0.0 (not a division error)
+    assert(rouge((1L, 1)) == ((0L, 1L, 2L, 0.0f, 0.0f, 0.0f)))
+    assert(rouge((1L, 2)) == ((0L, 0L, 1L, 0.0f, 0.0f, 0.0f)))
+    // pair 2 unigrams: clip(a) = min(3,1) = 1 → P=1/4, R=1/2, F1=1/3
+    val (ov2, c2, r2, pp2, rr2, f2) = rouge((2L, 1))
+    assert((ov2, c2, r2) == ((1L, 4L, 2L)))
+    assert(pp2 == 0.25f && rr2 == 0.5f &&
+      f2 == (2.0 * 0.25 * 0.5 / 0.75).toFloat)
+
+    val bleu = TextAnalysis.evalBleu(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getFloat(6), r.getFloat(7)))).toMap
+    // pair 0: bp = 1, bleu = sqrt(5/6 · 3/5) = sqrt(1/2)
+    val b0 = bleu(0L)
+    assert((b0._1, b0._2, b0._3, b0._4, b0._5) == ((6L, 6L, 5L, 3L, 5L)))
+    assert(b0._6 == 1.0f)
+    assert(b0._7 ==
+      math.exp((math.log(5.0 / 6.0) + math.log(3.0 / 5.0)) / 2.0).toFloat)
+    // pair 1: cand shorter than ref → bp = e^(1−2); zero clip → bleu 0
+    val b1 = bleu(1L)
+    assert(b1._6 == math.exp(-1.0).toFloat && b1._7 == 0.0f)
+    // pair 2: clip2 = 0 kills the geometric mean even with clip1 > 0
+    val b2 = bleu(2L)
+    assert(b2._4 == 0L && b2._6 == 1.0f && b2._7 == 0.0f)
+  }
 }
