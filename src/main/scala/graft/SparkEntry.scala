@@ -656,6 +656,8 @@ object SparkEntry {
     "sql_abc_analysis"       -> Warehouse2.sqlAbcAnalysis _,
     // chance-corrected inter-rater agreement (deterministic raters)
     "eval_cohens_kappa"      -> Analytics5.evalCohensKappa _,
+    // McNemar's paired discordant test between the two labelers
+    "eval_mcnemar"           -> Analytics5.evalMcnemar _,
     // fulfillment SLA panel (exact integer-day percentiles)
     "sql_lead_time_percentiles" -> Warehouse2.sqlLeadTimePercentiles _,
     // BPE merge application + fertility audit (tokenizer induction end)
@@ -3550,6 +3552,47 @@ object SparkEntry {
         |  CAST(pe AS REAL) AS p_expected,
         |  CAST((po - pe) / (1.0 - pe) AS REAL) AS kappa
         |FROM q""".stripMargin,
+    // McNemar: exact BIGINT contingency cells; continuity-corrected chi2
+    "eval_mcnemar" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 1000.0) AS BIGINT) AS v3
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, CAST(sum(v3) AS BIGINT) AS s3,
+        |    CAST(count(*) AS BIGINT) AS n_t FROM e GROUP BY event_type
+        |), g AS (
+        |  SELECT CAST(sum(v3) AS BIGINT) AS g3,
+        |    CAST(count(*) AS BIGINT) AS n_g FROM e
+        |), r AS (
+        |  SELECT
+        |    (e.v3 * m.n_t > m.s3) = lbl AS a_ok,
+        |    (e.v3 * g.n_g > g.g3) = lbl AS b_ok
+        |  FROM e JOIN m USING (event_type) CROSS JOIN g,
+        |    LATERAL (SELECT CAST('0x' || substr(md5(
+        |      CAST(e.event_id AS VARCHAR) || ':label'), 1, 15)
+        |      AS BIGINT) % 2 = 1 AS lbl) l
+        |), c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_both,
+        |    CAST(sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a_only,
+        |    CAST(sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b_only,
+        |    CAST(sum(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_neither
+        |  FROM r
+        |)
+        |SELECT n, n_both, n_a_only, n_b_only, n_neither,
+        |  CAST(CASE WHEN n_a_only + n_b_only = 0 THEN 0.0
+        |    ELSE (abs(CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+        |        - 1.0)
+        |      * (abs(CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+        |        - 1.0)
+        |      / (CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE))
+        |    END AS REAL) AS chi2
+        |FROM c""".stripMargin,
     "sql_lead_time_percentiles" ->
       """WITH fs AS (
         |  SELECT l_orderkey, min(l_shipdate) AS first_ship

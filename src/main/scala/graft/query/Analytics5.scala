@@ -1313,6 +1313,62 @@ object Analytics5 {
       ((po - pe) / (lit(1.0) - pe)).cast("float").as("kappa"))
   }
 
+  /** McNemar's paired test between two deterministic classifiers scored
+    * against one label on the SAME rows — the statistic that decides
+    * whether classifier B actually beats classifier A, or the two just
+    * disagree symmetrically. Only the discordant cells matter:
+    * b = A right & B wrong, c = A wrong & B right,
+    * χ² = (|b − c| − 1)² / (b + c) (Edwards continuity correction;
+    * 0.0 when b + c = 0 — no discordance, nothing to test).
+    *
+    * Classifier A is [[evalCohensKappa]]'s type-mean rule (integer
+    * cross-multiplied compare), classifier B the same rule against the
+    * GLOBAL mean, and the label the md5-parity PRF — all deterministic
+    * and hash-replayable, so the contingency cells are exact BIGINTs in
+    * any engine.
+    *
+    * Scale shape: one broadcast of the 5-row type means, one broadcast
+    * 1-row global mean (the scalar-plan-constant discipline), one
+    * map-side-combined 4-cell aggregate; the χ² is scalar math on the
+    * single output row. */
+  def evalMcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * lit(1000.0)).cast("long").as("v3"))
+    val typeMeans = e.groupBy(col("event_type"))
+      .agg(sum(col("v3")).as("s3"), count(lit(1)).as("n_t"))
+    val globalMean = e.agg(sum(col("v3")).as("g3"),
+      count(lit(1)).as("n_g"))
+    val scored = e
+      .join(broadcast(typeMeans), Seq("event_type"))
+      .crossJoin(broadcast(globalMean))
+      .select(
+        (col("v3") * col("n_t") > col("s3")).as("pred_a"),
+        (col("v3") * col("n_g") > col("g3")).as("pred_b"),
+        (graft.query.Dedup.hash60(concat(col("event_id").cast("string"),
+          lit(":label"))) % 2 === 1).as("label"))
+      .select((col("pred_a") === col("label")).as("a_ok"),
+        (col("pred_b") === col("label")).as("b_ok"))
+    val cells = scored.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("a_ok") && col("b_ok"), 1L).otherwise(0L))
+        .as("n_both"),
+      sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L))
+        .as("n_a_only"),
+      sum(when(!col("a_ok") && col("b_ok"), 1L).otherwise(0L))
+        .as("n_b_only"),
+      sum(when(!col("a_ok") && !col("b_ok"), 1L).otherwise(0L))
+        .as("n_neither"))
+    val b = col("n_a_only").cast("double")
+    val c = col("n_b_only").cast("double")
+    cells.select(col("n"), col("n_both"), col("n_a_only"),
+      col("n_b_only"), col("n_neither"),
+      when(col("n_a_only") + col("n_b_only") === 0, lit(0.0))
+        .otherwise((abs(b - c) - lit(1.0)) * (abs(b - c) - lit(1.0))
+          / (b + c))
+        .cast("float").as("chi2"))
+  }
+
   /** Degree cap for the walk adjacency index: a hub vertex keeps only
     * this many neighbors, so no adjacency row is ever wider than d. */
   private[graft] val walkDegreeCap = 64

@@ -499,4 +499,37 @@ class DriverRound14Spec extends SparkSpec {
     val b2 = bleu(2L)
     assert(b2._4 == 0L && b2._6 == 1.0f && b2._7 == 0.0f)
   }
+
+  test("eval_mcnemar: a single event type makes the two classifiers " +
+      "identical — zero discordance, chi2 exactly 0; cells partition n") {
+    import spark.implicits._
+    import graft.query.Analytics5
+    val dir = java.nio.file.Files.createTempDirectory("r14-mcnemar").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (0 until 20).map(i => (i.toLong, i))
+      .toDF("event_id", "i")
+      .select(col("event_id"),
+        expr(s"timestamp_millis(${base}L + i * 60000)").as("ts"),
+        lit(1L).as("user_id"), lit("click").as("event_type"),
+        (col("i") * 7.0 + 1.25).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val r = Analytics5.evalMcnemar(spark, dir).collect().head
+    val (n, both, aOnly, bOnly, neither) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n == 20L)
+    assert(aOnly == 0L && bOnly == 0L,
+      s"one event type ⇒ type mean = global mean ⇒ no discordance: $r")
+    assert(both + neither == n, s"cells must partition n: $r")
+    assert(r.getFloat(5) == 0.0f, s"no discordance ⇒ chi2 = 0: $r")
+    // against the real corpus: cells partition n and chi2 replays from
+    // the emitted integer cells
+    val s = Analytics5.evalMcnemar(spark, sf).collect().head
+    assert(s.getLong(1) + s.getLong(2) + s.getLong(3) + s.getLong(4)
+      == s.getLong(0))
+    val (b, c) = (s.getLong(2).toDouble, s.getLong(3).toDouble)
+    val want = if (b + c == 0) 0.0f
+      else ((math.abs(b - c) - 1.0) * (math.abs(b - c) - 1.0)
+        / (b + c)).toFloat
+    assert(s.getFloat(5) == want, s"chi2 must replay from the cells: $s")
+  }
 }
