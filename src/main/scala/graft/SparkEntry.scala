@@ -482,6 +482,9 @@ object SparkEntry {
     // α=0.5 temperature rebalancing across skewed language groups
     "corpus_temperature_mix" ->
       ((s: SparkSession, d: String) => Curation2.corpusTemperatureMix(s, d)),
+    // epoch-repetition materialization: small sources upsampled ⌊f⌋/⌈f⌉
+    "corpus_epoch_repeat"    ->
+      ((s: SparkSession, d: String) => Curation2.corpusEpochRepeat(s, d)),
     "dedup_incremental"      -> Curation2.dedupIncremental _,
     // round-7: delta-vs-corpus NEAR-dup via the shared MinHash band index
     "dedup_incremental_minhash" ->
@@ -703,6 +706,9 @@ object SparkEntry {
     // BLEU-2 modified precisions + brevity penalty, same pair grain
     "eval_bleu"              ->
       ((s: SparkSession, d: String) => TextAnalysis.evalBleu(s, d)),
+    // chrF2: character 1..3-gram F-score (β=2), whitespace-stripped
+    "eval_chrf"              ->
+      ((s: SparkSession, d: String) => TextAnalysis.evalChrf(s, d)),
     // exact-rational covariance matrix (whitening/PCA input)
     "emb_covariance_int"     ->
       ((s: SparkSession, d: String) => Analytics4.embCovarianceInt(s, d)),
@@ -6377,6 +6383,33 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents d JOIN n USING (lang), m
         |GROUP BY d.lang, n.n_docs ORDER BY d.lang""".stripMargin,
+    // epoch repetition: f = min(sqrt(n_max/n_src), 4); floor copies +
+    // one more iff hash60 clears floor(frac(f)*2^60) — integer compare
+    "corpus_epoch_repeat" ->
+      """WITH n AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |  FROM documents GROUP BY source
+        |), m AS (SELECT max(n_src) AS n_max FROM n),
+        |f AS (
+        |  SELECT d.doc_id, d.source, n.n_src,
+        |    least(sqrt(CAST(m.n_max AS DOUBLE) / CAST(n.n_src AS DOUBLE)),
+        |      4.0) AS factor
+        |  FROM documents d JOIN n USING (source), m
+        |), k AS (
+        |  SELECT doc_id, source, n_src, factor,
+        |    CAST(floor(factor) AS BIGINT)
+        |      + CASE WHEN CAST('0x' || substr(md5(
+        |            CAST(doc_id AS VARCHAR) || ':epoch'), 1, 15) AS BIGINT)
+        |          < CAST(floor((factor - floor(factor))
+        |              * 1152921504606846976.0) AS BIGINT)
+        |        THEN 1 ELSE 0 END AS n_copies
+        |  FROM f
+        |)
+        |SELECT doc_id, source, n_src, CAST(factor AS REAL) AS factor,
+        |  CAST(copy_idx AS BIGINT) AS copy_idx
+        |FROM k, LATERAL (SELECT unnest(generate_series(1, n_copies))
+        |  AS copy_idx) s
+        |ORDER BY doc_id, copy_idx""".stripMargin,
     "curriculum_phases" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split(lower(trim(
@@ -7519,6 +7552,90 @@ object SparkEntry {
         |      ln(CAST(clip2 AS DOUBLE) / CAST(cand_bigrams AS DOUBLE))
         |    ) / 2.0)
         |    ELSE 0.0 END AS REAL) AS bleu
+        |FROM sc ORDER BY pair_id""".stripMargin,
+    // chrF2: char 1..3-gram clipped overlaps on whitespace-stripped
+    // text; per-order P/R averaged (empty order contributes 0), beta=2
+    "eval_chrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id // 2 AS pair_id, doc_id % 2 = 0 AS is_cand,
+        |    replace(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |      ' ', '') AS s
+        |  FROM documents WHERE doc_id < 400
+        |), grams AS (
+        |  SELECT pair_id, is_cand, 1 AS n, substring(s, i, 1) AS gram
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, length(s))) AS i) a
+        |  WHERE length(s) >= 1
+        |  UNION ALL
+        |  SELECT pair_id, is_cand, 2 AS n, substring(s, i, 2) AS gram
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, length(s) - 1)) AS i) a
+        |  WHERE length(s) >= 2
+        |  UNION ALL
+        |  SELECT pair_id, is_cand, 3 AS n, substring(s, i, 3) AS gram
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, length(s) - 2)) AS i) a
+        |  WHERE length(s) >= 3
+        |), cnt AS (
+        |  SELECT pair_id, n, gram,
+        |    CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN is_cand THEN 0 ELSE 1 END) AS BIGINT) AS r
+        |  FROM grams GROUP BY 1, 2, 3
+        |), agg AS (
+        |  SELECT pair_id, n, CAST(sum(least(c, r)) AS BIGINT) AS overlap,
+        |    CAST(sum(c) AS BIGINT) AS cand_ngrams,
+        |    CAST(sum(r) AS BIGINT) AS ref_ngrams
+        |  FROM cnt GROUP BY 1, 2
+        |), piv AS (
+        |  SELECT pair_id,
+        |    CAST(coalesce(sum(CASE WHEN n = 1 THEN overlap END), 0)
+        |      AS BIGINT) AS clip1,
+        |    CAST(coalesce(sum(CASE WHEN n = 1 THEN cand_ngrams END), 0)
+        |      AS BIGINT) AS cand1,
+        |    CAST(coalesce(sum(CASE WHEN n = 1 THEN ref_ngrams END), 0)
+        |      AS BIGINT) AS ref1,
+        |    CAST(coalesce(sum(CASE WHEN n = 2 THEN overlap END), 0)
+        |      AS BIGINT) AS clip2,
+        |    CAST(coalesce(sum(CASE WHEN n = 2 THEN cand_ngrams END), 0)
+        |      AS BIGINT) AS cand2,
+        |    CAST(coalesce(sum(CASE WHEN n = 2 THEN ref_ngrams END), 0)
+        |      AS BIGINT) AS ref2,
+        |    CAST(coalesce(sum(CASE WHEN n = 3 THEN overlap END), 0)
+        |      AS BIGINT) AS clip3,
+        |    CAST(coalesce(sum(CASE WHEN n = 3 THEN cand_ngrams END), 0)
+        |      AS BIGINT) AS cand3,
+        |    CAST(coalesce(sum(CASE WHEN n = 3 THEN ref_ngrams END), 0)
+        |      AS BIGINT) AS ref3
+        |  FROM agg GROUP BY pair_id
+        |), sc AS (
+        |  SELECT *,
+        |    ((CASE WHEN cand1 > 0
+        |        THEN CAST(clip1 AS DOUBLE) / CAST(cand1 AS DOUBLE)
+        |        ELSE 0.0 END)
+        |     + (CASE WHEN cand2 > 0
+        |        THEN CAST(clip2 AS DOUBLE) / CAST(cand2 AS DOUBLE)
+        |        ELSE 0.0 END)
+        |     + (CASE WHEN cand3 > 0
+        |        THEN CAST(clip3 AS DOUBLE) / CAST(cand3 AS DOUBLE)
+        |        ELSE 0.0 END)) / 3.0 AS p,
+        |    ((CASE WHEN ref1 > 0
+        |        THEN CAST(clip1 AS DOUBLE) / CAST(ref1 AS DOUBLE)
+        |        ELSE 0.0 END)
+        |     + (CASE WHEN ref2 > 0
+        |        THEN CAST(clip2 AS DOUBLE) / CAST(ref2 AS DOUBLE)
+        |        ELSE 0.0 END)
+        |     + (CASE WHEN ref3 > 0
+        |        THEN CAST(clip3 AS DOUBLE) / CAST(ref3 AS DOUBLE)
+        |        ELSE 0.0 END)) / 3.0 AS r
+        |  FROM piv
+        |)
+        |SELECT pair_id, clip1, cand1, ref1, clip2, cand2, ref2,
+        |  clip3, cand3, ref3,
+        |  CAST(p AS REAL) AS chr_p, CAST(r AS REAL) AS chr_r,
+        |  CAST(CASE WHEN 4.0 * p + r > 0
+        |    THEN 5.0 * p * r / (4.0 * p + r)
+        |    ELSE 0.0 END AS REAL) AS chrf2
         |FROM sc ORDER BY pair_id""".stripMargin,
     // exact BIGINT moments; ONE double division at the end
     "emb_covariance_int" ->

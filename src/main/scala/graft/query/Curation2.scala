@@ -281,4 +281,52 @@ object Curation2 {
       .select(col("lang"), col("n_docs"), col("n_kept"))
       .orderBy(col("lang"))
   }
+
+  /** Epoch-repetition materialization — [[corpusTemperatureMix]]'s
+    * UPSAMPLING complement: small sources get repeated toward balance
+    * when the training epoch is assembled. Per source the repetition
+    * factor is f = min(√(n_max/n_src), cap) (α = 0.5 temperature, the
+    * cap stops a tiny source from exploding); each doc is emitted
+    * ⌊f⌋ times plus one more iff its PRF residual clears the
+    * fractional part — so a source's expected copy count is exactly
+    * f·n_src, and WHICH docs get the extra copy is a property of the
+    * doc alone (any engine, any partitioning replays it).
+    *
+    * Exactness: n_max/n_src (one correctly-rounded double divide),
+    * √ (correctly rounded), ⌊·⌋ and the subtraction are exact, and the
+    * extra-copy test is the INTEGER compare
+    * hash60(doc:epoch) < ⌊frac(f)·2⁶⁰⌋ — no pow, no accumulated
+    * rounding, bit-identical cross-engine (the temperature-mix
+    * discipline).
+    *
+    * Scale shape: one map-side-combined count per source, the tiny
+    * (source, n) panel broadcast back, then a MAP-ONLY explode whose
+    * fanout is ≤ cap — no shuffle beyond the count's. At 100 TB the
+    * epoch table is written straight from the map side, and the same
+    * n_copies expression inlines into any downstream pack/split
+    * stage. */
+  def corpusEpochRepeat(spark: SparkSession, dir: String,
+      cap: Double = 4.0): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val n = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val nmax = n.agg(max(col("n_src")).as("n_max"))
+    val factor = least(
+      sqrt(col("n_max").cast("double") / col("n_src").cast("double")),
+      lit(cap))
+    d.join(broadcast(n), Seq("source"))
+      .crossJoin(broadcast(nmax))
+      .withColumn("factor", factor)
+      .withColumn("n_copies",
+        floor(col("factor")).cast("long") +
+          when(Dedup.hash60(concat(col("doc_id").cast("string"),
+              lit(":epoch"))) <
+            floor((col("factor") - floor(col("factor"))) *
+              lit(1152921504606846976.0)).cast("long"), 1L)
+            .otherwise(0L))
+      .select(col("doc_id"), col("source"), col("n_src"),
+        col("factor").cast("float").as("factor"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
 }

@@ -1350,4 +1350,77 @@ object TextAnalysis {
         bp.cast("float").as("bp"), bleu.cast("float").as("bleu"))
       .orderBy(col("pair_id"))
   }
+
+  /** chrF2 (Popović 2015) over the same adjacent-document pairs: the
+    * CHARACTER n-gram F-score, n = 1..3 on whitespace-stripped
+    * normalized text — the eval surface that stays meaningful where
+    * word-level BLEU/ROUGE break down (morphology-rich languages, CJK
+    * text with no whitespace segmentation, near-miss spellings).
+    * chrP/chrR are the arithmetic means of the per-order clipped
+    * precisions/recalls (an order with no candidate — resp. reference —
+    * grams contributes 0, sacreBLEU's convention), and
+    * chrF2 = 5·P·R / (4·P + R) (β = 2: recall weighted double).
+    *
+    * Scale shape: identical to [[pairNgramOverlap]] but on the char
+    * grain — per-doc fanout is 3 × chars (a data constant), one
+    * map-side-combined shuffle on (pair, n, gram), a tiny per-pair
+    * pivot after. The 9 integer evidence columns ride beside the three
+    * float scores, so every score replays from its own row. */
+  def evalChrf(spark: SparkSession, dir: String,
+      pairs: Int = 200): DataFrame = {
+    val maxN = 3
+    val grams = table(spark, dir, "documents")
+      .filter(col("doc_id") < lit(2L * pairs))
+      .select(expr("doc_id DIV 2").as("pair_id"),
+        (col("doc_id") % 2 === 0).as("is_cand"),
+        call_function("replace", Dedup.normText(col("text")),
+          lit(" "), lit("")).as("s"))
+      .select(col("pair_id"), col("is_cand"),
+        explode(array((1 to maxN).map { n =>
+          struct(lit(n).as("n"),
+            when(length(col("s")) >= n,
+              expr(s"transform(sequence(1, length(s) - ${n - 1}), " +
+                s"i -> substring(s, i, $n))"))
+              .otherwise(array().cast("array<string>")).as("gs"))
+        }: _*)).as("x"))
+      .select(col("pair_id"), col("is_cand"), col("x.n").as("n"),
+        explode(col("x.gs")).as("gram"))
+    val byN = grams
+      .groupBy(col("pair_id"), col("n"), col("gram"))
+      .agg(sum(when(col("is_cand"), 1L).otherwise(0L)).as("c"),
+        sum(when(col("is_cand"), 0L).otherwise(1L)).as("r"))
+      .groupBy(col("pair_id"), col("n"))
+      .agg(sum(least(col("c"), col("r"))).as("overlap"),
+        sum(col("c")).as("cand_ngrams"),
+        sum(col("r")).as("ref_ngrams"))
+    def cell(n: Int, c: Column): Column =
+      coalesce(sum(when(col("n") === n, c)), lit(0L))
+    val piv = byN.groupBy(col("pair_id"))
+      .agg(cell(1, col("overlap")).as("clip1"),
+        cell(1, col("cand_ngrams")).as("cand1"),
+        cell(1, col("ref_ngrams")).as("ref1"),
+        cell(2, col("overlap")).as("clip2"),
+        cell(2, col("cand_ngrams")).as("cand2"),
+        cell(2, col("ref_ngrams")).as("ref2"),
+        cell(3, col("overlap")).as("clip3"),
+        cell(3, col("cand_ngrams")).as("cand3"),
+        cell(3, col("ref_ngrams")).as("ref3"))
+    def ratio(num: String, den: String): Column =
+      when(col(den) > 0,
+        col(num).cast("double") / col(den).cast("double"))
+        .otherwise(lit(0.0))
+    val p = (ratio("clip1", "cand1") + ratio("clip2", "cand2") +
+      ratio("clip3", "cand3")) / lit(3.0)
+    val r = (ratio("clip1", "ref1") + ratio("clip2", "ref2") +
+      ratio("clip3", "ref3")) / lit(3.0)
+    piv.select(col("pair_id"),
+        col("clip1"), col("cand1"), col("ref1"),
+        col("clip2"), col("cand2"), col("ref2"),
+        col("clip3"), col("cand3"), col("ref3"),
+        p.cast("float").as("chr_p"), r.cast("float").as("chr_r"),
+        when(lit(4.0) * p + r > 0,
+          lit(5.0) * p * r / (lit(4.0) * p + r))
+          .otherwise(lit(0.0)).cast("float").as("chrf2"))
+      .orderBy(col("pair_id"))
+  }
 }

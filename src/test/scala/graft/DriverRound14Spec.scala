@@ -532,4 +532,79 @@ class DriverRound14Spec extends SparkSpec {
         / (b + c)).toFloat
     assert(s.getFloat(5) == want, s"chi2 must replay from the cells: $s")
   }
+
+  test("eval_chrf: char 1..3-gram clipped P/R and the beta=2 harmonic " +
+      "match the hand fold; an order with no candidate grams scores 0") {
+    import spark.implicits._
+    import graft.query.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("r14-chrf").toString
+    Seq(
+      (0L, "ab cd"), // pair 0: s = "abcd" vs "abce"
+      (1L, "ab ce"),
+      (2L, "x"),     // pair 1: single char — no cand 2/3-grams
+      (3L, "xy"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.evalChrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r)).toMap
+    // pair 0: clips 3/2/1 of cand 4/3/2 and ref 4/3/2 (symmetric)
+    val r0 = out(0L)
+    assert((r0.getLong(1), r0.getLong(4), r0.getLong(7)) == ((3L, 2L, 1L)))
+    val p0 = (3.0 / 4.0 + 2.0 / 3.0 + 1.0 / 2.0) / 3.0
+    assert(r0.getFloat(10) == p0.toFloat && r0.getFloat(11) == p0.toFloat)
+    assert(r0.getFloat(12) ==
+      (5.0 * p0 * p0 / (4.0 * p0 + p0)).toFloat)
+    // pair 1: cand has ONLY a unigram; orders 2,3 contribute 0 to P
+    val r1 = out(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((1L, 1L, 2L)))
+    assert(r1.getLong(5) == 0L && r1.getLong(8) == 0L)
+    val p1 = (1.0 / 1.0 + 0.0 + 0.0) / 3.0
+    val rr1 = (1.0 / 2.0 + 0.0 + 0.0) / 3.0
+    assert(r1.getFloat(10) == p1.toFloat && r1.getFloat(11) == rr1.toFloat)
+    assert(r1.getFloat(12) ==
+      (5.0 * p1 * rr1 / (4.0 * p1 + rr1)).toFloat)
+  }
+
+  test("corpus_epoch_repeat: integer factors are exact copy counts; " +
+      "fractional factors add the extra copy by the doc's own PRF") {
+    import spark.implicits._
+    import graft.query.Curation2
+    // 8 docs of source big, 2 of source small → f = 1 and exactly 2
+    val dir = java.nio.file.Files.createTempDirectory("r14-epoch").toString
+    ((0 until 8).map(i => (i.toLong, "big")) ++
+      Seq((8L, "small"), (9L, "small")))
+      .toDF("doc_id", "source")
+      .withColumn("text", lit("t")).withColumn("lang", lit("en"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val copies = Curation2.corpusEpochRepeat(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    (0 until 8).foreach(i => assert(copies(i.toLong) == 1,
+      s"f=1 source must emit exactly one copy of doc $i"))
+    Seq(8L, 9L).foreach(i => assert(copies(i) == 2,
+      s"f=2 source must emit exactly two copies of doc $i"))
+    // 3 small docs → f = sqrt(8/3): each small doc gets 1 or 2 copies,
+    // decided by hash60(doc:epoch) < floor(frac(f)·2^60) — replayed here
+    val dir2 = java.nio.file.Files.createTempDirectory("r14-epoch2").toString
+    ((0 until 8).map(i => (i.toLong, "big")) ++
+      (8 until 11).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+      .withColumn("text", lit("t")).withColumn("lang", lit("en"))
+      .coalesce(1).write.parquet(s"$dir2/documents.parquet")
+    val c2 = Curation2.corpusEpochRepeat(spark, dir2).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val f = math.min(math.sqrt(8.0 / 3.0), 4.0)
+    val thresh = math.floor((f - math.floor(f)) *
+      1152921504606846976.0).toLong
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (8 until 11).foreach { i =>
+      val want = 1 + (if (h60(s"$i:epoch") < thresh) 1 else 0)
+      assert(c2(i.toLong) == want,
+        s"doc $i: copies ${c2(i.toLong)} != PRF-replayed $want")
+    }
+  }
 }
