@@ -661,6 +661,14 @@ object SparkEntry {
     "eval_cohens_kappa"      -> Analytics5.evalCohensKappa _,
     // McNemar's paired discordant test between the two labelers
     "eval_mcnemar"           -> Analytics5.evalMcnemar _,
+    // Fleiss' kappa: 3-rater 3-category chance-corrected agreement
+    "eval_fleiss_kappa"      -> Analytics5.evalFleissKappa _,
+    // CCNet head/middle/tail fluency terciles per language
+    "corpus_ccnet_buckets"   ->
+      ((s: SparkSession, d: String) => Curation2.corpusCcnetBuckets(s, d)),
+    // T5 span-corruption plan: PRF-placed non-overlapping mask spans
+    "text_span_mask_plan"    ->
+      ((s: SparkSession, d: String) => TextAnalysis.textSpanMaskPlan(s, d)),
     // fulfillment SLA panel (exact integer-day percentiles)
     "sql_lead_time_percentiles" -> Warehouse2.sqlLeadTimePercentiles _,
     // BPE merge application + fertility audit (tokenizer induction end)
@@ -3599,6 +3607,63 @@ object SparkEntry {
         |      / (CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE))
         |    END AS REAL) AS chi2
         |FROM c""".stripMargin,
+    // Fleiss: latent cat + 3 PRF raters (7/10 agree); exact BIGINT sums
+    "eval_fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |      || ':truecat'), 1, 15) AS BIGINT) % 3 AS base
+        |  FROM events
+        |), c AS (
+        |  SELECT event_id,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':r1'), 1, 15) AS BIGINT) % 10 < 7 THEN base
+        |      ELSE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':alt1'), 1, 15) AS BIGINT) % 3 END AS c1,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':r2'), 1, 15) AS BIGINT) % 10 < 7 THEN base
+        |      ELSE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':alt2'), 1, 15) AS BIGINT) % 3 END AS c2,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':r3'), 1, 15) AS BIGINT) % 10 < 7 THEN base
+        |      ELSE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':alt3'), 1, 15) AS BIGINT) % 3 END AS c3
+        |  FROM r
+        |), n AS (
+        |  SELECT
+        |    CAST(CASE WHEN c1 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN c2 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN c3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n0,
+        |    CAST(CASE WHEN c1 = 1 THEN 1 ELSE 0 END
+        |      + CASE WHEN c2 = 1 THEN 1 ELSE 0 END
+        |      + CASE WHEN c3 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n1,
+        |    CAST(CASE WHEN c1 = 2 THEN 1 ELSE 0 END
+        |      + CASE WHEN c2 = 2 THEN 1 ELSE 0 END
+        |      + CASE WHEN c3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n2
+        |  FROM c
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(n0) AS BIGINT) AS s0, CAST(sum(n1) AS BIGINT) AS s1,
+        |    CAST(sum(n2) AS BIGINT) AS s2,
+        |    CAST(sum(n0 * n0 + n1 * n1 + n2 * n2) AS BIGINT) AS ss
+        |  FROM n
+        |), q AS (
+        |  SELECT *,
+        |    (CAST(ss AS DOUBLE) - CAST(n_items AS DOUBLE) * 3.0)
+        |      / (CAST(n_items AS DOUBLE) * 3.0 * 2.0) AS pbar,
+        |    (CAST(s0 AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+        |      * (CAST(s0 AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+        |    + (CAST(s1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+        |      * (CAST(s1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+        |    + (CAST(s2 AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+        |      * (CAST(s2 AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+        |      AS pe
+        |  FROM g
+        |)
+        |SELECT n_items, CAST(3 AS INT) AS m, s0, s1, s2, ss,
+        |  CAST(pbar AS REAL) AS p_bar, CAST(pe AS REAL) AS p_e,
+        |  CAST((pbar - pe) / (1.0 - pe) AS REAL) AS kappa
+        |FROM q""".stripMargin,
     "sql_lead_time_percentiles" ->
       """WITH fs AS (
         |  SELECT l_orderkey, min(l_shipdate) AS first_ship
@@ -6410,6 +6475,54 @@ object SparkEntry {
         |FROM k, LATERAL (SELECT unnest(generate_series(1, n_copies))
         |  AS copy_idx) s
         |ORDER BY doc_id, copy_idx""".stripMargin,
+    // CCNet terciles: familiarity = sum tf*cnt / n_tokens (ONE exact
+    // double divide), ntile(3) per lang on (familiarity DESC, doc_id)
+    "corpus_ccnet_buckets" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+        |      AS tok
+        |    FROM documents) GROUP BY 1, 2
+        |), vocab AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok
+        |), sc AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |    CAST(sum(tf.tf * cnt) AS BIGINT) AS s_freq
+        |  FROM tf JOIN vocab USING (tok) GROUP BY tf.doc_id
+        |), f AS (
+        |  SELECT d.doc_id, d.lang, n_tokens, s_freq,
+        |    CAST(CAST(s_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |      AS REAL) AS familiarity
+        |  FROM documents d JOIN sc USING (doc_id)
+        |)
+        |SELECT doc_id, lang, n_tokens, s_freq, familiarity,
+        |  CAST(ntile(3) OVER (PARTITION BY lang
+        |    ORDER BY familiarity DESC, doc_id) AS INT) AS bucket
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // span plan: one span per 20 tokens, confined to its own segment,
+    // start = i*seg + 1 + hash60(doc:mask:i) % (seg - 2)
+    "text_span_mask_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS t
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, t, t // 20 AS n_spans, t // (t // 20) AS seg
+        |  FROM d WHERE t // 20 >= 1
+        |)
+        |SELECT doc_id, t AS n_tokens, n_spans,
+        |  CAST(i AS BIGINT) AS span_idx,
+        |  CAST(i * seg + 1
+        |    + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mask:'
+        |        || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % (seg - 3 + 1) AS BIGINT) AS start,
+        |  CAST(3 AS BIGINT) AS span_len,
+        |  CAST(CAST(n_spans * 3 AS DOUBLE) / CAST(t AS DOUBLE) AS REAL)
+        |    AS masked_frac
+        |FROM s, LATERAL (SELECT unnest(generate_series(0, n_spans - 1))
+        |  AS i) x
+        |ORDER BY doc_id, span_idx""".stripMargin,
     "curriculum_phases" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split(lower(trim(

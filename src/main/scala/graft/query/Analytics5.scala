@@ -1369,6 +1369,55 @@ object Analytics5 {
         .cast("float").as("chi2"))
   }
 
+  /** Fleiss' kappa: chance-corrected agreement of m = 3 raters assigning
+    * k = 3 categories to the same items — the multi-annotator QA
+    * statistic an RLHF / preference-labeling pipeline reports before
+    * trusting its labels (Cohen's kappa only handles 2 raters).
+    *
+    * Raters are deterministic PRFs in the [[evalCohensKappa]] idiom: a
+    * latent category hash60(id:truecat) % 3, and each rater r reports it
+    * with probability 7/10 (hash60(id:r) % 10 < 7) or substitutes an
+    * independent draw hash60(id:alt r) % 3 — so real agreement structure
+    * exists and every cell is hash-replayable in any engine.
+    *
+    * κ = (P̄ − P̄ₑ)/(1 − P̄ₑ) with P̄ = (Σᵢⱼ nᵢⱼ² − N·m)/(N·m·(m−1)) and
+    * P̄ₑ = Σⱼ (Sⱼ/(N·m))²; every Σ is an exact BIGINT and the float math
+    * is a fixed-parenthesization scalar epilogue on the single output
+    * row.
+    *
+    * Scale shape: map-only category assignment (md5s are codegen'd),
+    * ONE map-side-combined 5-sum aggregate — no shuffle wider than one
+    * row; at 100 TB this is scan-bound. */
+  def evalFleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val m = 3
+    def h(salt: String): Column =
+      graft.query.Dedup.hash60(concat(col("event_id").cast("string"),
+        lit(salt)))
+    val base = h(":truecat") % 3
+    def rater(r: Int): Column =
+      when(h(s":r$r") % 10 < 7, base).otherwise(h(s":alt$r") % 3)
+    val cats = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"))
+      .select((0 until 3).map { j =>
+        (0 until m).map(r => when(rater(r + 1) === j, 1L).otherwise(0L))
+          .reduce(_ + _).as(s"n$j")
+      }: _*)
+    val g = cats.agg(count(lit(1)).as("n_items"),
+      sum(col("n0")).as("s0"), sum(col("n1")).as("s1"),
+      sum(col("n2")).as("s2"),
+      sum(col("n0") * col("n0") + col("n1") * col("n1")
+        + col("n2") * col("n2")).as("ss"))
+    val nm = col("n_items").cast("double") * lit(3.0)
+    val pbar = (col("ss").cast("double") - nm) / (nm * lit(2.0))
+    def pj(c: String): Column = col(c).cast("double") / nm
+    val pe = pj("s0") * pj("s0") + pj("s1") * pj("s1") +
+      pj("s2") * pj("s2")
+    g.select(col("n_items"), lit(m).as("m"),
+      col("s0"), col("s1"), col("s2"), col("ss"),
+      pbar.cast("float").as("p_bar"), pe.cast("float").as("p_e"),
+      ((pbar - pe) / (lit(1.0) - pe)).cast("float").as("kappa"))
+  }
+
   /** Degree cap for the walk adjacency index: a hub vertex keeps only
     * this many neighbors, so no adjacency row is ever wider than d. */
   private[graft] val walkDegreeCap = 64

@@ -329,4 +329,45 @@ object Curation2 {
         explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
       .orderBy(col("doc_id"), col("copy_idx"))
   }
+
+  /** CCNet-style perplexity buckets: split each language's documents
+    * into head / middle / tail terciles of a language-model fluency
+    * score, the classic web-corpus quality triage (head feeds
+    * pretraining, tail gets dropped or heavily filtered). The score is
+    * the corpus-familiarity proxy Σ tf·cnt(tok) / n_tokens — the
+    * average corpus frequency of the doc's token occurrences, monotone
+    * with unigram logprob but EXACT: both moments are BIGINTs off the
+    * shared [[TextAnalysis.tokenTf]] index, and the score is ONE
+    * correctly-rounded double division per doc, so the tercile
+    * boundary compare is bit-identical cross-engine (ln-based logprob
+    * would put an engine-dependent ulp under the rank).
+    *
+    * Scale shape: two map-side-combined aggregates over the persisted
+    * TF index (vocab counts, per-doc moments); the Zipf-head vocab
+    * join collapses per (doc, tok) FIRST — the unigram-LM discipline.
+    * The ntile window partitions by lang (few, large groups); at
+    * 100 TB the production form computes the two cutoff scores per
+    * lang with a distributed selection over the score histogram and
+    * broadcasts them into a map-only bucket assign — the rank and the
+    * cutoff forms agree exactly because scores are deterministic
+    * doubles with a doc_id tiebreak. */
+  def corpusCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val tf = TextAnalysis.tokenTf(spark, dir)
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val scored = tf.join(vocab, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("cnt")).as("s_freq"))
+      .withColumn("familiarity",
+        (col("s_freq").cast("double") / col("n_tokens").cast("double"))
+          .cast("float"))
+    table(spark, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("bucket",
+        ntile(3).over(Window.partitionBy(col("lang"))
+          .orderBy(col("familiarity").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("s_freq"),
+        col("familiarity"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
 }

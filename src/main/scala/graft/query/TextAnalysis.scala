@@ -1423,4 +1423,47 @@ object TextAnalysis {
           .otherwise(lit(0.0)).cast("float").as("chrf2"))
       .orderBy(col("pair_id"))
   }
+
+  /** T5-style span-corruption plan: for each document, the deterministic
+    * list of non-overlapping token spans to mask (~15% of tokens in
+    * spans of `spanLen` = 3) — the denoising-objective preprocessing a
+    * pretraining pipeline materializes alongside packed sequences.
+    *
+    * Determinism without a greedy scan: one span per `tokensPerSpan`
+    * = 20 tokens (so n_spans = ⌊t/20⌋ and masked fraction →
+    * spanLen/tokensPerSpan = 15%), each confined to its own
+    * ⌊t/n_spans⌋-token segment with its start offset drawn by the
+    * per-(doc, span) PRF hash60(doc:mask:i) mod the segment's free play
+    * — spans can't overlap BY CONSTRUCTION, no sequential state, any
+    * engine and any partitioning replays the identical plan. (A
+    * sampled-greedy plan would need an order-dependent conflict scan —
+    * exactly what doesn't distribute.)
+    *
+    * Scale shape: map-only — tokenize, one explode of ≤ t/20 spans per
+    * doc; no shuffle anywhere, runs at scan speed at 100 TB. Docs
+    * shorter than `tokensPerSpan` have no spans and emit nothing. */
+  def textSpanMaskPlan(spark: SparkSession, dir: String,
+      spanLen: Int = 3, tokensPerSpan: Int = 20): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("t"))
+      .withColumn("n_spans", expr(s"t DIV $tokensPerSpan"))
+      .filter(col("n_spans") >= 1)
+      .withColumn("seg", expr("t DIV n_spans"))
+    d.select(col("doc_id"), col("t").as("n_tokens"), col("n_spans"),
+        col("seg"),
+        explode(sequence(lit(0L), col("n_spans") - 1)).as("span_idx"))
+      .withColumn("start",
+        col("span_idx") * col("seg") + 1 +
+          Dedup.hash60(concat(col("doc_id").cast("string"), lit(":mask:"),
+            col("span_idx").cast("string")))
+            % (col("seg") - lit(spanLen.toLong) + 1))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("span_idx"), col("start"),
+        lit(spanLen.toLong).as("span_len"),
+        ((col("n_spans") * spanLen).cast("double")
+          / col("n_tokens").cast("double")).cast("float")
+          .as("masked_frac"))
+      .orderBy(col("doc_id"), col("span_idx"))
+  }
 }

@@ -607,4 +607,81 @@ class DriverRound14Spec extends SparkSpec {
         s"doc $i: copies ${c2(i.toLong)} != PRF-replayed $want")
     }
   }
+
+  test("eval_fleiss_kappa: integer evidence is internally consistent " +
+      "and kappa replays from the sums with the fixed parenthesization") {
+    import graft.query.Analytics5
+    val r = Analytics5.evalFleissKappa(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val n = r.getLong(0)
+    val (s0, s1, s2, ss) =
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(r.getInt(1) == 3)
+    assert(s0 + s1 + s2 == 3 * n, "category sums must total N*m")
+    // ss is bounded by [per-item min 3 (all disagree), max 9 (all agree)]
+    assert(ss >= 3 * n && ss <= 9 * n)
+    val nm = n.toDouble * 3.0
+    val pbar = (ss.toDouble - nm) / (nm * 2.0)
+    def pj(s: Long) = s.toDouble / nm
+    val pe = pj(s0) * pj(s0) + pj(s1) * pj(s1) + pj(s2) * pj(s2)
+    assert(r.getFloat(6) == pbar.toFloat && r.getFloat(7) == pe.toFloat)
+    assert(r.getFloat(8) == ((pbar - pe) / (1.0 - pe)).toFloat)
+    // 7/10 agreement rate must put kappa well above chance
+    assert(r.getFloat(8) > 0.2f, s"kappa ${r.getFloat(8)} implausibly low")
+  }
+
+  test("corpus_ccnet_buckets: per-lang terciles follow the exact " +
+      "familiarity rank; common-token docs land in the head") {
+    import spark.implicits._
+    import graft.query.Curation2
+    val dir = java.nio.file.Files.createTempDirectory("r14-ccnet").toString
+    // 6 en docs: three all-common ("a a a"), three with rare tokens
+    val docs = Seq(
+      (0L, "a a a", "en"), (1L, "a a b", "en"), (2L, "a b c", "en"),
+      (3L, "a rare1 rare2", "en"), (4L, "rare3 rare4 rare5", "en"),
+      (5L, "rare6 rare7 rare8", "en"))
+    docs.toDF("doc_id", "text", "lang").withColumn("source", lit("s"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = Curation2.corpusCcnetBuckets(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // corpus counts: a=7, b=2, c=1, rare*=1 → familiarity per doc:
+    // doc0 21/3=7, doc1 16/3, doc2 10/3, doc3 9/3=3, doc4/5 1.0
+    // (doc_id tiebreak) — ranks 0..5 → ntile(3): buckets 1,1,2,2,3,3
+    assert(out(0L).getInt(5) == 1 && out(1L).getInt(5) == 1)
+    assert(out(2L).getInt(5) == 2 && out(3L).getInt(5) == 2)
+    assert(out(4L).getInt(5) == 3 && out(5L).getInt(5) == 3)
+    assert(out(0L).getFloat(4) == 7.0f && out(4L).getFloat(4) == 1.0f)
+    assert(out(2L).getLong(3) == 10L, "s_freq must be the exact sum tf*cnt")
+  }
+
+  test("text_span_mask_plan: spans are segment-confined (never overlap), " +
+      "starts replay from the per-(doc,span) PRF, short docs emit nothing") {
+    import spark.implicits._
+    import graft.query.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("r14-mask").toString
+    Seq(
+      (0L, (1 to 40).map(i => s"w$i").mkString(" ")), // t=40 → 2 spans
+      (1L, (1 to 19).map(i => s"w$i").mkString(" "))) // t=19 → none
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.textSpanMaskPlan(spark, dir).collect()
+    assert(out.forall(_.getLong(0) == 0L), "t=19 doc must emit no spans")
+    assert(out.length == 2)
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // t=40, n_spans=2, seg=20, avail=18: span i starts at
+    // i*20 + 1 + h60(0:mask:i) % 18 — inside [i*20+1, i*20+18]
+    out.foreach { r =>
+      val i = r.getLong(3)
+      val want = i * 20 + 1 + h60(s"0:mask:$i") % 18
+      assert(r.getLong(4) == want, s"span $i start ${r.getLong(4)} != $want")
+      assert(r.getLong(4) >= i * 20 + 1 && r.getLong(4) + 3 - 1 <= (i + 1) * 20,
+        "span must stay inside its own segment")
+      assert(r.getFloat(6) == (6.0 / 40.0).toFloat)
+    }
+  }
 }
