@@ -663,6 +663,8 @@ object SparkEntry {
     "eval_mcnemar"           -> Analytics5.evalMcnemar _,
     // Fleiss' kappa: 3-rater 3-category chance-corrected agreement
     "eval_fleiss_kappa"      -> Analytics5.evalFleissKappa _,
+    // Spearman rho + Kendall tau-b between two quality signals, per lang
+    "eval_rank_corr"         -> Analytics5.evalRankCorr _,
     // CCNet head/middle/tail fluency terciles per language
     "corpus_ccnet_buckets"   ->
       ((s: SparkSession, d: String) => Curation2.corpusCcnetBuckets(s, d)),
@@ -3664,6 +3666,80 @@ object SparkEntry {
         |  CAST(pbar AS REAL) AS p_bar, CAST(pe AS REAL) AS p_e,
         |  CAST((pbar - pe) / (1.0 - pe) AS REAL) AS kappa
         |FROM q""".stripMargin,
+    // rank corr: doubled avg ranks -> exact Long moments; Kendall P/Q by
+    // the O(n^2) pair join (the engine's inversion count must equal it)
+    "eval_rank_corr" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+        |      AS tok
+        |    FROM documents) GROUP BY 1, 2
+        |), xy AS (
+        |  SELECT d.lang, tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM tf JOIN documents d USING (doc_id)
+        |  GROUP BY d.lang, tf.doc_id
+        |), rk AS (
+        |  SELECT lang, x, y,
+        |    CAST(2 * rank() OVER (PARTITION BY lang ORDER BY x)
+        |      + count(*) OVER (PARTITION BY lang, x) - 1 AS BIGINT)
+        |      AS r2x,
+        |    CAST(2 * rank() OVER (PARTITION BY lang ORDER BY y)
+        |      + count(*) OVER (PARTITION BY lang, y) - 1 AS BIGINT)
+        |      AS r2y
+        |  FROM xy
+        |), sp AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) * sum(r2x * r2y) - sum(r2x) * sum(r2y)
+        |      AS BIGINT) AS s_num,
+        |    CAST(count(*) * sum(r2x * r2x) - sum(r2x) * sum(r2x)
+        |      AS BIGINT) AS s_d1,
+        |    CAST(count(*) * sum(r2y * r2y) - sum(r2y) * sum(r2y)
+        |      AS BIGINT) AS s_d2
+        |  FROM rk GROUP BY lang
+        |), pq AS (
+        |  SELECT a.lang,
+        |    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS p,
+        |    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS q
+        |  FROM xy a JOIN xy b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.lang
+        |), tx AS (
+        |  SELECT lang, CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n1
+        |  FROM (SELECT lang, x, count(*) AS t FROM xy GROUP BY 1, 2)
+        |  GROUP BY lang
+        |), ty AS (
+        |  SELECT lang, CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n2
+        |  FROM (SELECT lang, y, count(*) AS t FROM xy GROUP BY 1, 2)
+        |  GROUP BY lang
+        |), txy AS (
+        |  SELECT lang, CAST(sum(t * (t - 1) / 2) AS BIGINT) AS nxy
+        |  FROM (SELECT lang, x, y, count(*) AS t FROM xy GROUP BY 1, 2, 3)
+        |  GROUP BY lang
+        |)
+        |SELECT s.lang, s.n, s.s_num, s.s_d1, s.s_d2,
+        |  CAST(CASE WHEN s.s_d1 > 0 AND s.s_d2 > 0
+        |    THEN CAST(s.s_num AS DOUBLE)
+        |      / sqrt(CAST(s.s_d1 AS DOUBLE) * CAST(s.s_d2 AS DOUBLE))
+        |    END AS REAL) AS spearman_rho,
+        |  CAST(s.n * (s.n - 1) / 2 AS BIGINT) AS n0, tx.n1, ty.n2,
+        |  txy.nxy,
+        |  coalesce(pq.p, 0) AS n_concordant,
+        |  coalesce(pq.q, 0) AS n_discordant,
+        |  CAST(CASE WHEN s.n * (s.n - 1) / 2 - tx.n1 > 0
+        |      AND s.n * (s.n - 1) / 2 - ty.n2 > 0
+        |    THEN CAST(coalesce(pq.p, 0) - coalesce(pq.q, 0) AS DOUBLE)
+        |      / sqrt(CAST(s.n * (s.n - 1) / 2 - tx.n1 AS DOUBLE)
+        |        * CAST(s.n * (s.n - 1) / 2 - ty.n2 AS DOUBLE))
+        |    END AS REAL) AS tau_b
+        |FROM sp s
+        |LEFT JOIN pq USING (lang) JOIN tx USING (lang)
+        |JOIN ty USING (lang) JOIN txy USING (lang)
+        |ORDER BY lang""".stripMargin,
     "sql_lead_time_percentiles" ->
       """WITH fs AS (
         |  SELECT l_orderkey, min(l_shipdate) AS first_ship

@@ -1231,7 +1231,7 @@ object Analytics4 {
   /** Merge-sort inversion count: #pairs i < j with a(j) < a(i),
     * strict — ties contribute nothing (they're the Mann–Kendall tie
     * term, counted separately). Destroys `a`; O(k log k), O(k) scratch. */
-  private def countInversions(a: Array[Long]): Long = {
+  private[graft] def countInversions(a: Array[Long]): Long = {
     val buf = new Array[Long](a.length)
     def merge(lo: Int, mid: Int, hi: Int): Long = {
       var inv = 0L

@@ -1418,6 +1418,117 @@ object Analytics5 {
       ((pbar - pe) / (lit(1.0) - pe)).cast("float").as("kappa"))
   }
 
+  /** Rank correlation between two per-document quality signals (token
+    * count vs distinct-token count), per language: Spearman's ρ
+    * (tie-aware, Pearson on average ranks) and Kendall's τ-b — the "do
+    * my two scorers rank documents the same way" audit an eval or
+    * data-curation pipeline runs before trusting a cheaper proxy
+    * metric.
+    *
+    * Exactness: average ranks are kept DOUBLED (2·minrank + ties − 1,
+    * an integer), every moment (n·Σxy − Σx·Σy etc.) is an exact Long,
+    * and each ρ is one num/√(d1·d2) with fixed parenthesization —
+    * bit-identical cross-engine. τ-b uses Knight's O(k log k) form:
+    * sort by (x, y), discordant Q = strict merge-sort inversions of
+    * the y sequence, and concordant P = n₀ − n₁ − n₂ + n_xy − Q from
+    * the tie-pair counts; the oracle computes P and Q by the O(n²)
+    * pair join instead, so a hash match PROVES the inversion identity.
+    * Long moments bound: r2 ≤ 2k ⇒ Σ(r2x·r2y)·k ≤ 4k³, exact to
+    * k ≈ 1.3e6 docs per language; beyond that the moments move to
+    * DECIMAL(38,0) (the agg_decimal_exact discipline).
+    *
+    * Scale shape: per-doc signals come off the persisted TF index with
+    * one map-side-combined aggregate; the per-lang pass is
+    * flatMapSortedGroups (Spark sorts groups within partitions — no
+    * driver arrays beyond one lang's panel, the [[Analytics4]]
+    * Mann–Kendall discipline, O(k log k) per group). */
+  def evalRankCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = TextAnalysis.tokenTf(spark, dir)
+    val xy = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("x"), count(lit(1)).as("y"))
+    val ds = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(xy, Seq("doc_id"))
+      .select(col("lang"), col("x"), col("y"), col("doc_id"))
+      .as[(String, Long, Long, Long)]
+    val out = ds.groupByKey(_._1)
+      .flatMapSortedGroups(col("x"), col("y"), col("doc_id")) {
+        (lang, it) =>
+          val rows = it.toArray // sorted by (x, y, doc_id)
+          val k = rows.length
+          val xs = Array.tabulate(k)(i => rows(i)._2)
+          val ys = Array.tabulate(k)(i => rows(i)._3)
+          // doubled average ranks from run boundaries (x is sorted)
+          def doubledRanksSorted(v: Array[Long]): Array[Long] = {
+            val r = new Array[Long](v.length)
+            var i = 0
+            while (i < v.length) {
+              var j = i
+              while (j + 1 < v.length && v(j + 1) == v(i)) j += 1
+              val d = (i + 1).toLong + (j + 1).toLong // 2 * avg rank
+              var t = i; while (t <= j) { r(t) = d; t += 1 }
+              i = j + 1
+            }
+            r
+          }
+          val r2x = doubledRanksSorted(xs)
+          val yIdx = ys.zipWithIndex.sortBy(_._1)
+          val r2ySorted = doubledRanksSorted(yIdx.map(_._1))
+          val r2y = new Array[Long](k)
+          var i = 0
+          while (i < k) { r2y(yIdx(i)._2) = r2ySorted(i); i += 1 }
+          var sx = 0L; var sy = 0L; var sxx = 0L; var syy = 0L
+          var sxy = 0L
+          i = 0
+          while (i < k) {
+            sx += r2x(i); sy += r2y(i)
+            sxx += r2x(i) * r2x(i); syy += r2y(i) * r2y(i)
+            sxy += r2x(i) * r2y(i); i += 1
+          }
+          val num = k * sxy - sx * sy
+          val d1 = k * sxx - sx * sx
+          val d2 = k * syy - sy * sy
+          val rho: Option[Float] =
+            if (d1 > 0 && d2 > 0)
+              Some((num.toDouble
+                / math.sqrt(d1.toDouble * d2.toDouble)).toFloat)
+            else None
+          // Knight: Q = strict inversions of y in (x, y, id) order
+          val q = Analytics4.countInversions(ys.clone())
+          def tiePairs(v: Array[Long]): Long = {
+            val c = scala.collection.mutable.LongMap.empty[Long]
+            v.foreach(x => c(x) = c.getOrElse(x, 0L) + 1L)
+            c.valuesIterator.map(t => t * (t - 1) / 2).sum
+          }
+          val n1 = tiePairs(xs) // xs sorted, but tiePairs is order-free
+          val n2 = tiePairs(ys)
+          var nxy = 0L
+          i = 0
+          while (i < k) {
+            var j = i
+            while (j + 1 < k && rows(j + 1)._2 == rows(i)._2 &&
+              rows(j + 1)._3 == rows(i)._3) j += 1
+            val t = (j - i + 1).toLong
+            nxy += t * (t - 1) / 2
+            i = j + 1
+          }
+          val n0 = k.toLong * (k - 1) / 2
+          val p = n0 - n1 - n2 + nxy - q
+          val taub: Option[Float] =
+            if (n0 - n1 > 0 && n0 - n2 > 0)
+              Some(((p - q).toDouble /
+                math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble))
+                .toFloat)
+            else None
+          Iterator((lang, k.toLong, num, d1, d2, rho,
+            n0, n1, n2, nxy, p, q, taub))
+      }
+    out.toDF("lang", "n", "s_num", "s_d1", "s_d2", "spearman_rho",
+        "n0", "n1", "n2", "nxy", "n_concordant", "n_discordant", "tau_b")
+      .orderBy(col("lang"))
+  }
+
   /** Degree cap for the walk adjacency index: a hub vertex keeps only
     * this many neighbors, so no adjacency row is ever wider than d. */
   private[graft] val walkDegreeCap = 64

@@ -684,4 +684,29 @@ class DriverRound14Spec extends SparkSpec {
       assert(r.getFloat(6) == (6.0 / 40.0).toFloat)
     }
   }
+
+  test("eval_rank_corr: tie-aware Spearman moments and Knight-form " +
+      "Kendall P/Q match the hand fold on a corpus with x, y and " +
+      "joint ties") {
+    import spark.implicits._
+    import graft.query.Analytics5
+    val dir = java.nio.file.Files.createTempDirectory("r14-rank").toString
+    // (x = tokens, y = distinct): (2,1) (2,2) (3,3) (4,2) (5,5)
+    Seq((0L, "a a"), (1L, "a b"), (2L, "a b c"), (3L, "a a b b"),
+      (4L, "a b c d e"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = Analytics5.evalRankCorr(spark, dir).collect().head
+    assert(r.getString(0) == "en" && r.getLong(1) == 5L)
+    // doubled ranks: r2x = [3,3,6,8,10], r2y = [2,5,8,5,10]
+    // num = 5*209 - 30*30 = 145; d1 = d2 = 5*218 - 900 = 190
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((145L, 190L, 190L)))
+    assert(r.getFloat(5) == (145.0 / math.sqrt(190.0 * 190.0)).toFloat)
+    // pairs: P=7 C, Q=1 D ((2,3)), x-tie 1, y-tie 1, no joint ties
+    assert((r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)) ==
+      ((10L, 1L, 1L, 0L)))
+    assert((r.getLong(10), r.getLong(11)) == ((7L, 1L)))
+    assert(r.getFloat(12) == (6.0 / math.sqrt(81.0)).toFloat)
+  }
 }
