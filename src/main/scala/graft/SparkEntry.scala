@@ -665,6 +665,9 @@ object SparkEntry {
     "eval_fleiss_kappa"      -> Analytics5.evalFleissKappa _,
     // Spearman rho + Kendall tau-b between two quality signals, per lang
     "eval_rank_corr"         -> Analytics5.evalRankCorr _,
+    // Bradley-Terry arena ratings: 8 unrolled MM rounds, bit-identical
+    "eval_bradley_terry"     ->
+      ((s: SparkSession, d: String) => Analytics5.evalBradleyTerry(s, d)),
     // CCNet head/middle/tail fluency terciles per language
     "corpus_ccnet_buckets"   ->
       ((s: SparkSession, d: String) => Curation2.corpusCcnetBuckets(s, d)),
@@ -798,6 +801,85 @@ object SparkEntry {
     "text_bpe_vocab"         ->
       ((s: SparkSession, d: String) => TextAnalysis.textBpeVocab(s, d)),
   )
+
+  /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
+    * fixpoint unrolled into `iters` CTE layers over the 20-cell win
+    * matrix, each layer the IDENTICAL fixed-parenthesization scalar
+    * expressions the Spark column layers evaluate — the
+    * ts_pacf_durbin_levinson discipline, so the float ratings are
+    * bit-identical. Generated, not hand-written: both sides derive
+    * from the same slot/iteration loop shape. */
+  private def btOracleSql(iters: Int): String = {
+    val k = Analytics5.btSlots
+    val slots = 0 until k
+    def others(a: Int) = slots.filter(_ != a)
+    val cells = (for (a <- slots; b <- slots if a != b) yield
+      s"""CAST(coalesce(sum(CASE WHEN wi = $a AND li = $b THEN 1 END), 0)
+         |      AS BIGINT) AS w_${a}_$b""".stripMargin).mkString(",\n    ")
+    val wNames = (for (a <- slots; b <- slots if a != b)
+      yield s"w_${a}_$b").mkString(", ")
+    val p0 = slots.map(a =>
+      s"CASE WHEN $a < (SELECT count(*) FROM t) THEN 1.0 ELSE 0.0 END " +
+        s"AS p$a").mkString(", ")
+    val layers = (1 to iters).map { r =>
+      val ps = slots.map { a =>
+        val wa = others(a).map(b => s"w_${a}_$b").mkString(" + ")
+        val den = others(a).map(b =>
+          s"CASE WHEN (p$a + p$b) > 0 THEN " +
+            s"CAST(w_${a}_$b + w_${b}_$a AS DOUBLE) / (p$a + p$b) " +
+            s"ELSE 0.0 END")
+          .mkString(" + ")
+        s"""CASE WHEN ($wa) > 0 AND ($den) > 0
+           |      THEN CAST($wa AS DOUBLE) / ($den) ELSE p$a END AS p$a"""
+          .stripMargin
+      }.mkString(",\n    ")
+      s"it$r AS (\n  SELECT $wNames,\n    $ps\n  FROM it${r - 1}\n)"
+    }.mkString(", ")
+    val tot = slots.map(a => s"p$a").mkString(" + ")
+    val finals = slots.map { a =>
+      val wins = others(a).map(b => s"w_${a}_$b").mkString(" + ")
+      val losses = others(a).map(b => s"w_${b}_$a").mkString(" + ")
+      s"""SELECT $a AS idx, CAST($wins AS BIGINT) AS wins,
+         |    CAST($losses AS BIGINT) AS losses,
+         |    CAST(p$a / ($tot) AS REAL) AS rating FROM it$iters"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS v3 FROM events
+       |), t AS (
+       |  SELECT * FROM (
+       |    SELECT event_type,
+       |      CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT)
+       |        AS idx
+       |    FROM (SELECT DISTINCT event_type FROM e)
+       |  ) WHERE idx < $k
+       |), m AS (
+       |  SELECT event_id // 2 AS match_id,
+       |    arg_min(event_type, event_id % 2) AS ta,
+       |    arg_min(v3, event_id % 2) AS va,
+       |    arg_max(event_type, event_id % 2) AS tb,
+       |    arg_max(v3, event_id % 2) AS vb,
+       |    count(*) AS cnt
+       |  FROM e GROUP BY 1
+       |), wl AS (
+       |  SELECT CASE WHEN va >= vb THEN x.idx ELSE y.idx END AS wi,
+       |    CASE WHEN va >= vb THEN y.idx ELSE x.idx END AS li
+       |  FROM m JOIN t x ON m.ta = x.event_type
+       |    JOIN t y ON m.tb = y.event_type
+       |  WHERE cnt = 2 AND ta <> tb
+       |), it0 AS (
+       |  SELECT $wNames, $p0 FROM (
+       |    SELECT
+       |    $cells
+       |    FROM wl)
+       |), $layers, f AS (
+       |  $finals
+       |)
+       |SELECT t.event_type AS model, f.idx, f.wins, f.losses,
+       |  CAST(f.wins + f.losses AS BIGINT) AS n_matches, f.rating
+       |FROM f JOIN t USING (idx) ORDER BY model""".stripMargin
+  }
 
   /** The [[graft.query.TextAnalysis.textBpeTrain]] oracle: the training
     * loop unrolled into `rounds` MATERIALIZED CTE stages (count pairs
@@ -986,6 +1068,7 @@ object SparkEntry {
         |ORDER BY w, h""".stripMargin,
     // the generated unrolled-merge BPE-training oracle (16 stages)
     "text_bpe_train" -> bpeTrainOracleSql(16),
+    "eval_bradley_terry" -> btOracleSql(8),
     // same unrolled stages, final state exploded to the unit census
     "text_bpe_vocab" -> bpeVocabOracleSql(16),
     // frames replayed closed-form (the audio_frames oracle), active

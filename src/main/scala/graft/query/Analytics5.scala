@@ -1529,6 +1529,108 @@ object Analytics5 {
       .orderBy(col("lang"))
   }
 
+  /** Number of Bradley–Terry rating slots (event types beyond the
+    * first `btSlots` alphabetically are excluded — the fixed arity is
+    * what lets the MM iteration unroll into scalar column layers). */
+  private[graft] val btSlots = 5
+
+  /** Bradley–Terry pairwise-preference ratings — the arena-style
+    * "which model wins head-to-head" statistic an LLM eval pipeline
+    * fits over human/judge preference pairs. Competitors are event
+    * types; match `m` is the event pair (2m, 2m+1), won by the larger
+    * ×10³-scaled integer value (tie → the even event, deterministic).
+    *
+    * The MM fixpoint (Hunter 2004) p'ₐ = Wₐ / Σ_{b≠a} n_ab/(pₐ+p_b)
+    * runs `iters` = 8 rounds UNROLLED into fixed-parenthesization
+    * column layers over the single 20-cell win-matrix row — the
+    * ts_pacf_durbin_levinson discipline: no recurrence to replay, both
+    * engines evaluate the identical expression tree, so the float
+    * ratings are bit-identical. Slots with no wins or no matches keep
+    * their prior rating (guarded CASE, no 0/0).
+    *
+    * Scale shape: ONE map-side-combined groupBy on match_id (min_by /
+    * max_by over the 2-row groups — never a self-join), the type→slot
+    * panel broadcast twice, then a 20-cell aggregate into one row; the
+    * iteration is scalar math on that row. At 100 TB the only wide
+    * exchange is the match-grain shuffle, which any preference corpus
+    * already stores pre-grouped. */
+  def evalBradleyTerry(spark: SparkSession, dir: String,
+      iters: Int = 8): DataFrame = {
+    val k = btSlots
+    val e = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * lit(1000.0)).cast("long").as("v3"))
+    val types = e.select(col("event_type")).distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy(col("event_type"))) - 1)
+          .cast("int"))
+      .filter(col("idx") < k)
+    val paired = e
+      .withColumn("match_id", expr("event_id DIV 2"))
+      .withColumn("side", (col("event_id") % 2).cast("int"))
+      .groupBy(col("match_id"))
+      .agg(min_by(col("event_type"), col("side")).as("ta"),
+        min_by(col("v3"), col("side")).as("va"),
+        max_by(col("event_type"), col("side")).as("tb"),
+        max_by(col("v3"), col("side")).as("vb"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") === 2 && col("ta") =!= col("tb"))
+      .join(broadcast(types.select(col("event_type").as("ta"),
+        col("idx").as("ia"))), Seq("ta"))
+      .join(broadcast(types.select(col("event_type").as("tb"),
+        col("idx").as("ib"))), Seq("tb"))
+      .select(when(col("va") >= col("vb"), col("ia")).otherwise(col("ib"))
+          .as("wi"),
+        when(col("va") >= col("vb"), col("ib")).otherwise(col("ia"))
+          .as("li"))
+    val cells = (for (a <- 0 until k; b <- 0 until k if a != b)
+      yield coalesce(sum(when(col("wi") === a && col("li") === b, 1L)),
+        lit(0L)).as(s"w_${a}_$b")).toSeq
+    val wCols = (for (a <- 0 until k; b <- 0 until k if a != b)
+      yield col(s"w_${a}_$b")).toSeq
+    // absent slots (fewer than k event types) start at 0 and stay
+    // there, so ratings normalize over the PRESENT models only
+    var frame = paired.agg(cells.head, cells.tail: _*)
+      .crossJoin(broadcast(types.agg(
+        count(lit(1)).cast("int").as("n_types"))))
+      .select((wCols ++ (0 until k).map(a =>
+        when(lit(a) < col("n_types"), lit(1.0)).otherwise(lit(0.0))
+          .as(s"p$a"))): _*)
+    (1 to iters).foreach { _ =>
+      val next = (0 until k).map { a =>
+        val pa = col(s"p$a")
+        val wa = (0 until k).filter(_ != a)
+          .map(b => col(s"w_${a}_$b")).reduce(_ + _)
+        val den = (0 until k).filter(_ != a).map { b =>
+          // absent-slot pairs have p_a + p_b = 0: term is 0, not 0/0
+          when(pa + col(s"p$b") > 0,
+            (col(s"w_${a}_$b") + col(s"w_${b}_$a")).cast("double") /
+              (pa + col(s"p$b"))).otherwise(lit(0.0))
+        }.reduce(_ + _)
+        when(wa > 0 && den > 0, wa.cast("double") / den).otherwise(pa)
+          .as(s"p$a")
+      }
+      frame = frame.select((wCols ++ next): _*)
+    }
+    val tot = (0 until k).map(a => col(s"p$a")).reduce(_ + _)
+    val slots = (0 until k).map { a =>
+      val wins = (0 until k).filter(_ != a)
+        .map(b => col(s"w_${a}_$b")).reduce(_ + _)
+      val losses = (0 until k).filter(_ != a)
+        .map(b => col(s"w_${b}_$a")).reduce(_ + _)
+      struct(lit(a).as("idx"), wins.as("wins"), losses.as("losses"),
+        (col(s"p$a") / tot).cast("float").as("rating"))
+    }
+    frame.select(explode(array(slots: _*)).as("s"))
+      .select(col("s.idx").as("idx"), col("s.wins").as("wins"),
+        col("s.losses").as("losses"), col("s.rating").as("rating"))
+      .join(broadcast(types), Seq("idx"))
+      .select(col("event_type").as("model"), col("idx"), col("wins"),
+        col("losses"), (col("wins") + col("losses")).as("n_matches"),
+        col("rating"))
+      .orderBy(col("model"))
+  }
+
   /** Degree cap for the walk adjacency index: a hub vertex keeps only
     * this many neighbors, so no adjacency row is ever wider than d. */
   private[graft] val walkDegreeCap = 64

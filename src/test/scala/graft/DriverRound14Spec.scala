@@ -709,4 +709,62 @@ class DriverRound14Spec extends SparkSpec {
     assert((r.getLong(10), r.getLong(11)) == ((7L, 1L)))
     assert(r.getFloat(12) == (6.0 / math.sqrt(81.0)).toFloat)
   }
+
+  test("eval_bradley_terry: win cells match the crafted matches (tie -> " +
+      "even event; same-type and unpaired matches skipped) and the " +
+      "8-round MM ratings replay in plain doubles") {
+    import spark.implicits._
+    import graft.query.Analytics5
+    val dir = java.nio.file.Files.createTempDirectory("r14-bt").toString
+    // matches: a>b, a>b, a>c, b>c, c>a, (a vs a: skipped),
+    // (unpaired event 12: skipped), b=c tie -> b (even side) wins
+    val rows = Seq(
+      (0L, "a", 2.0), (1L, "b", 1.0),
+      (2L, "a", 2.0), (3L, "b", 1.0),
+      (4L, "a", 2.0), (5L, "c", 1.0),
+      (6L, "b", 2.0), (7L, "c", 1.0),
+      (8L, "c", 2.0), (9L, "a", 1.0),
+      (10L, "a", 1.0), (11L, "a", 2.0),
+      (12L, "b", 2.0),
+      (14L, "b", 1.5), (15L, "c", 1.5))
+    rows.toDF("event_id", "event_type", "value")
+      .select(col("event_id"),
+        expr("timestamp_millis(1700000000000 + event_id * 1000)").as("ts"),
+        lit(1L).as("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = Analytics5.evalBradleyTerry(spark, dir).collect()
+    assert(out.length == 3, "only the 3 present models may emit rows")
+    val m = out.map(r => r.getString(0) -> r).toMap
+    assert((m("a").getLong(2), m("a").getLong(3)) == ((3L, 1L)))
+    assert((m("b").getLong(2), m("b").getLong(3)) == ((2L, 2L)))
+    assert((m("c").getLong(2), m("c").getLong(3)) == ((1L, 3L)))
+    assert(m("a").getLong(4) == 4L)
+    // replay the MM fixpoint: same parenthesization (b-ascending
+    // left-assoc sums), 5 slots with the 2 absent ones pinned at 0
+    val w = Array.ofDim[Long](5, 5)
+    w(0)(1) = 2; w(0)(2) = 1; w(1)(2) = 2; w(2)(0) = 1
+    val p = Array(1.0, 1.0, 1.0, 0.0, 0.0)
+    for (_ <- 1 to 8) {
+      val np = Array.tabulate(5) { a =>
+        var wa = 0L; var den = 0.0
+        for (b <- 0 until 5 if b != a) {
+          wa += w(a)(b)
+          den += (if (p(a) + p(b) > 0)
+            (w(a)(b) + w(b)(a)).toDouble / (p(a) + p(b))
+          else 0.0)
+        }
+        if (wa > 0 && den > 0) wa.toDouble / den else p(a)
+      }
+      Array.copy(np, 0, p, 0, 5)
+    }
+    val tot = p.sum
+    Seq("a" -> 0, "b" -> 1, "c" -> 2).foreach { case (n, i) =>
+      assert(m(n).getFloat(5) == (p(i) / tot).toFloat,
+        s"$n rating ${m(n).getFloat(5)} != replayed ${(p(i) / tot).toFloat}")
+    }
+    assert(m("a").getFloat(5) > m("b").getFloat(5) &&
+      m("b").getFloat(5) > m("c").getFloat(5),
+      "head-to-head dominance must order the ratings")
+  }
 }
