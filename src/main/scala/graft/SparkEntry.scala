@@ -668,6 +668,11 @@ object SparkEntry {
     // Bradley-Terry arena ratings: 8 unrolled MM rounds, bit-identical
     "eval_bradley_terry"     ->
       ((s: SparkSession, d: String) => Analytics5.evalBradleyTerry(s, d)),
+    // Krippendorff's alpha: 3 raters with 25% PRF missingness, nominal
+    "eval_krippendorff_alpha" -> Analytics5.evalKrippendorffAlpha _,
+    // DPO prep: (chosen, rejected) + margin per 4-doc candidate group
+    "pref_pair_margin"       ->
+      ((s: SparkSession, d: String) => Curation2.prefPairMargin(s, d)),
     // CCNet head/middle/tail fluency terciles per language
     "corpus_ccnet_buckets"   ->
       ((s: SparkSession, d: String) => Curation2.corpusCcnetBuckets(s, d)),
@@ -3749,6 +3754,93 @@ object SparkEntry {
         |  CAST(pbar AS REAL) AS p_bar, CAST(pe AS REAL) AS p_e,
         |  CAST((pbar - pe) / (1.0 - pe) AS REAL) AS kappa
         |FROM q""".stripMargin,
+    // Krippendorff: 2nDo and n(n-1)De as exact BIGINTs, ONE division
+    "eval_krippendorff_alpha" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |      || ':truecat'), 1, 15) AS BIGINT) % 3 AS base
+        |  FROM events
+        |), c AS (
+        |  SELECT event_id,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':present1'), 1, 15) AS BIGINT) % 4 <> 0 THEN
+        |      CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |          || ':r1'), 1, 15) AS BIGINT) % 10 < 7 THEN base
+        |        ELSE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |          || ':alt1'), 1, 15) AS BIGINT) % 3 END
+        |    END AS c1,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':present2'), 1, 15) AS BIGINT) % 4 <> 0 THEN
+        |      CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |          || ':r2'), 1, 15) AS BIGINT) % 10 < 7 THEN base
+        |        ELSE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |          || ':alt2'), 1, 15) AS BIGINT) % 3 END
+        |    END AS c2,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':present3'), 1, 15) AS BIGINT) % 4 <> 0 THEN
+        |      CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |          || ':r3'), 1, 15) AS BIGINT) % 10 < 7 THEN base
+        |        ELSE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |          || ':alt3'), 1, 15) AS BIGINT) % 3 END
+        |    END AS c3
+        |  FROM r
+        |), n AS (
+        |  SELECT
+        |    CAST(CASE WHEN c1 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN c2 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN c3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n0,
+        |    CAST(CASE WHEN c1 = 1 THEN 1 ELSE 0 END
+        |      + CASE WHEN c2 = 1 THEN 1 ELSE 0 END
+        |      + CASE WHEN c3 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n1,
+        |    CAST(CASE WHEN c1 = 2 THEN 1 ELSE 0 END
+        |      + CASE WHEN c2 = 2 THEN 1 ELSE 0 END
+        |      + CASE WHEN c3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n2
+        |  FROM c
+        |), p AS (
+        |  SELECT n0, n1, n2, n0 + n1 + n2 AS m,
+        |    n0 * n0 + n1 * n1 + n2 * n2 AS s
+        |  FROM n WHERE n0 + n1 + n2 >= 2
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(m) AS BIGINT) AS n_ratings,
+        |    CAST(sum(n0) AS BIGINT) AS c0, CAST(sum(n1) AS BIGINT) AS c1,
+        |    CAST(sum(n2) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN m = 2 THEN 2 * (4 - s) ELSE 9 - s END)
+        |      AS BIGINT) AS do_num2
+        |  FROM p
+        |)
+        |SELECT n_items, n_ratings, c0, c1, c2, do_num2,
+        |  CAST(n_ratings * n_ratings - (c0 * c0 + c1 * c1 + c2 * c2)
+        |    AS BIGINT) AS de_num,
+        |  CAST(1.0 - CAST(do_num2 * (n_ratings - 1) AS DOUBLE)
+        |    / CAST(2 * (n_ratings * n_ratings
+        |        - (c0 * c0 + c1 * c1 + c2 * c2)) AS DOUBLE) AS REAL)
+        |    AS alpha
+        |FROM g""".stripMargin,
+    // DPO pairs: chosen = (score DESC, id ASC) pick, rejected =
+    // (score ASC, id DESC) pick — distinct docs whenever n_cands >= 2
+    "pref_pair_margin" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+        |    doc_id // 4 AS group_id
+        |  FROM documents
+        |), r AS (
+        |  SELECT group_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY group_id
+        |      ORDER BY score DESC, doc_id) AS rc,
+        |    row_number() OVER (PARTITION BY group_id
+        |      ORDER BY score ASC, doc_id DESC) AS rr,
+        |    count(*) OVER (PARTITION BY group_id) AS n_cands
+        |  FROM d
+        |)
+        |SELECT c.group_id, CAST(c.n_cands AS BIGINT) AS n_cands,
+        |  c.doc_id AS chosen_doc, c.score AS chosen_score,
+        |  j.doc_id AS rejected_doc, j.score AS rejected_score,
+        |  c.score - j.score AS margin
+        |FROM r c JOIN r j ON c.group_id = j.group_id
+        |WHERE c.rc = 1 AND j.rr = 1 AND c.n_cands >= 2
+        |ORDER BY c.group_id""".stripMargin,
     // rank corr: doubled avg ranks -> exact Long moments; Kendall P/Q by
     // the O(n^2) pair join (the engine's inversion count must equal it)
     "eval_rank_corr" ->

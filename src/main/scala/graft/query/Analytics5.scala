@@ -1418,6 +1418,57 @@ object Analytics5 {
       ((pbar - pe) / (lit(1.0) - pe)).cast("float").as("kappa"))
   }
 
+  /** Krippendorff's alpha (nominal): chance-corrected multi-rater
+    * agreement that — unlike [[evalFleissKappa]] — handles MISSING
+    * ratings, the real shape of annotation work (each of the 3 PRF
+    * raters skips an item when hash60(id:presentR) % 4 == 0; items
+    * with fewer than 2 ratings aren't pairable and drop out).
+    *
+    * Exact rational form: with mᵢ ∈ {2,3} ratings per pairable item,
+    * 2·n·Do = Σᵢ 2(mᵢ² − Σ_c n_ic²)/(mᵢ−1) is an INTEGER (denominator
+    * 1 or 2), and n(n−1)·De = n² − Σ_c n_c², so
+    * α = 1 − (2nDo)·(n−1) / (2·(n²−Σn_c²)) is ONE double division of
+    * exact BIGINTs — bit-identical cross-engine, no per-item float
+    * accumulation at all.
+    *
+    * Scale shape: map-only rating assignment, one map-side-combined
+    * aggregate row; scan-bound at 100 TB like the kappa. */
+  def evalKrippendorffAlpha(spark: SparkSession, dir: String): DataFrame = {
+    def h(salt: String): Column =
+      graft.query.Dedup.hash60(concat(col("event_id").cast("string"),
+        lit(salt)))
+    val base = h(":truecat") % 3
+    def present(r: Int): Column = h(s":present$r") % 4 =!= 0
+    def cat(r: Int): Column =
+      when(h(s":r$r") % 10 < 7, base).otherwise(h(s":alt$r") % 3)
+    val perItem = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"))
+      .select((0 until 3).map { j =>
+        (1 to 3).map(r =>
+          when(present(r) && cat(r) === j, 1L).otherwise(0L))
+          .reduce(_ + _).as(s"n$j")
+      }: _*)
+      .withColumn("m", col("n0") + col("n1") + col("n2"))
+      .filter(col("m") >= 2)
+      .withColumn("s", col("n0") * col("n0") + col("n1") * col("n1")
+        + col("n2") * col("n2"))
+    val g = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("m")).as("n_ratings"),
+      sum(col("n0")).as("c0"), sum(col("n1")).as("c1"),
+      sum(col("n2")).as("c2"),
+      // 2(m^2 - s)/(m-1): m=2 -> 2(4-s); m=3 -> 9-s
+      sum(when(col("m") === 2, lit(2L) * (lit(4L) - col("s")))
+        .otherwise(lit(9L) - col("s"))).as("do_num2"))
+    val n = col("n_ratings")
+    val deNum = n * n - (col("c0") * col("c0") + col("c1") * col("c1")
+      + col("c2") * col("c2"))
+    g.select(col("n_items"), col("n_ratings"),
+        col("c0"), col("c1"), col("c2"),
+        col("do_num2"), deNum.as("de_num"),
+        (lit(1.0) - (col("do_num2") * (n - 1)).cast("double")
+          / (lit(2L) * deNum).cast("double")).cast("float").as("alpha"))
+  }
+
   /** Rank correlation between two per-document quality signals (token
     * count vs distinct-token count), per language: Spearman's ρ
     * (tie-aware, Pearson on average ranks) and Kendall's τ-b — the "do

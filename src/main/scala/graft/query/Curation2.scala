@@ -351,6 +351,41 @@ object Curation2 {
     * broadcasts them into a map-only bucket assign — the rank and the
     * cutoff forms agree exactly because scores are deterministic
     * doubles with a doc_id tiebreak. */
+  /** DPO/RLHF preference-pair construction: within each candidate
+    * group (4 adjacent docs standing in for "responses to one
+    * prompt"), pick the best- and worst-scoring candidates as the
+    * (chosen, rejected) training pair and emit the score margin — the
+    * data-prep step between quality scoring and preference-tuning.
+    * Score is the integer n_chars column; tiebreaks are doc_id ASC for
+    * chosen and doc_id DESC for rejected, so a group of equal scores
+    * still yields two DISTINCT docs (margin 0), and every pick is
+    * deterministic on any engine/partitioning. Single-doc groups drop.
+    *
+    * Scale shape: one map-side-combinable min_by/max_by aggregate on
+    * the group key — no window, no sort, no self-join; at 100 TB this
+    * is one well-distributed shuffle at the prompt grain. */
+  def prefPairMargin(spark: SparkSession, dir: String,
+      groupSize: Int = 4): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("score"),
+        expr(s"doc_id DIV $groupSize").as("group_id"))
+    d.groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_cands"),
+        // chosen: max score, then SMALLEST doc_id (negate id for max_by)
+        max_by(struct(col("score"), (-col("doc_id")).as("nid")),
+          struct(col("score"), (-col("doc_id")).as("nid"))).as("ch"),
+        // rejected: min score, then LARGEST doc_id
+        min_by(struct(col("score"), (-col("doc_id")).as("nid")),
+          struct(col("score"), (-col("doc_id")).as("nid"))).as("rj"))
+      .filter(col("n_cands") >= 2)
+      .select(col("group_id"), col("n_cands"),
+        (-col("ch.nid")).as("chosen_doc"), col("ch.score").as("chosen_score"),
+        (-col("rj.nid")).as("rejected_doc"),
+        col("rj.score").as("rejected_score"),
+        (col("ch.score") - col("rj.score")).as("margin"))
+      .orderBy(col("group_id"))
+  }
+
   def corpusCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     val tf = TextAnalysis.tokenTf(spark, dir)
     val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))

@@ -767,4 +767,47 @@ class DriverRound14Spec extends SparkSpec {
       m("b").getFloat(5) > m("c").getFloat(5),
       "head-to-head dominance must order the ratings")
   }
+
+  test("eval_krippendorff_alpha: missingness drops unpairable items, " +
+      "evidence is consistent, alpha replays from the integer sums") {
+    import graft.query.Analytics5
+    val r = Analytics5.evalKrippendorffAlpha(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (nItems, n) = (r.getLong(0), r.getLong(1))
+    val (c0, c1, c2, do2, de) = (r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6))
+    // 3 raters at 75% presence: pairable items have m in {2, 3}
+    assert(n >= 2 * nItems && n <= 3 * nItems)
+    assert(c0 + c1 + c2 == n, "category totals must equal rating count")
+    assert(de == n * n - (c0 * c0 + c1 * c1 + c2 * c2))
+    val alpha = 1.0 - (do2 * (n - 1)).toDouble / (2L * de).toDouble
+    assert(r.getFloat(7) == alpha.toFloat)
+    assert(r.getFloat(7) > 0.2f, "7/10 agreement must beat chance")
+    // some events must have been dropped as unpairable (m < 2):
+    // P(m <= 1) = (1/4)^3 + 3*(3/4)(1/4)^2 ~ 15.6% of 1000
+    assert(nItems < 1000 && nItems > 700)
+  }
+
+  test("pref_pair_margin: chosen/rejected picks and tiebreaks are " +
+      "deterministic; ties yield distinct docs; singletons drop") {
+    import spark.implicits._
+    import graft.query.Curation2
+    val dir = java.nio.file.Files.createTempDirectory("r14-pref").toString
+    Seq((0L, 5L), (1L, 9L), (2L, 9L), (3L, 1L), // group 0
+      (4L, 7L), (5L, 7L),                       // group 1: all tied
+      (8L, 3L))                                 // group 2: singleton
+      .toDF("doc_id", "n_chars")
+      .withColumn("text", lit("t")).withColumn("lang", lit("en"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = Curation2.prefPairMargin(spark, dir).collect()
+    assert(out.length == 2, "the singleton group must drop")
+    val g0 = out.find(_.getLong(0) == 0L).get
+    // chosen: score 9 tie -> smaller doc_id 1; rejected: score 1 -> doc 3
+    assert((g0.getLong(2), g0.getLong(3), g0.getLong(4), g0.getLong(5),
+      g0.getLong(6)) == ((1L, 9L, 3L, 1L, 8L)))
+    val g1 = out.find(_.getLong(0) == 1L).get
+    // all tied: chosen = smallest id, rejected = LARGEST id, margin 0
+    assert((g1.getLong(2), g1.getLong(4), g1.getLong(6)) ==
+      ((4L, 5L, 0L)))
+  }
 }
