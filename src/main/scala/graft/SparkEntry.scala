@@ -670,6 +670,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Analytics5.evalBradleyTerry(s, d)),
     // Krippendorff's alpha: 3 raters with 25% PRF missingness, nominal
     "eval_krippendorff_alpha" -> Analytics5.evalKrippendorffAlpha _,
+    // DeLong AUC variance + 95% CI (tie-aware integer placements)
+    "eval_auc_delong"        -> Analytics3.evalAucDelong _,
     // DPO prep: (chosen, rejected) + margin per 4-doc candidate group
     "pref_pair_margin"       ->
       ((s: SparkSession, d: String) => Curation2.prefPairMargin(s, d)),
@@ -2914,6 +2916,58 @@ object SparkEntry {
         |      / 2.0)
         |    / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) AS REAL) AS auc
         |FROM agg""".stripMargin,
+    // DeLong: doubled tie-aware placements per distinct score; all
+    // moments BIGINT; variance a fixed-paren double epilogue
+    "eval_auc_delong" ->
+      """WITH s AS (
+        |  SELECT least(greatest(CAST(embedding[1] AS DOUBLE) * 2.0 + 0.5,
+        |    0.0), 0.9999) AS score,
+        |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings
+        |), g AS (
+        |  SELECT score, CAST(sum(y) AS BIGINT) AS np,
+        |    CAST(sum(1 - y) AS BIGINT) AS nn
+        |  FROM s GROUP BY score
+        |), w AS (
+        |  SELECT np, nn,
+        |    CAST(coalesce(sum(nn) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cneg,
+        |    CAST(coalesce(sum(np) OVER (ORDER BY score
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS BIGINT) AS cpos
+        |  FROM g
+        |), a AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS npos,
+        |    CAST(sum(nn) AS BIGINT) AS nneg,
+        |    CAST(sum(np * (2 * cneg + nn)) AS BIGINT) AS u2,
+        |    CAST(sum(np * (2 * cneg + nn) * (2 * cneg + nn)) AS BIGINT)
+        |      AS sum_d2,
+        |    CAST(sum(nn * (2 * cpos + np) * (2 * cpos + np)) AS BIGINT)
+        |      AS sum_e2
+        |  FROM w
+        |), q AS (
+        |  SELECT *,
+        |    CAST(u2 AS DOUBLE)
+        |      / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) AS auc
+        |  FROM a
+        |), v AS (
+        |  SELECT *,
+        |    (CAST(sum_d2 AS DOUBLE)
+        |        / (4.0 * CAST(nneg AS DOUBLE) * CAST(nneg AS DOUBLE))
+        |      - CAST(npos AS DOUBLE) * auc * auc)
+        |      / (CAST(npos AS DOUBLE) - 1.0) / CAST(npos AS DOUBLE)
+        |    + (CAST(sum_e2 AS DOUBLE)
+        |        / (4.0 * CAST(npos AS DOUBLE) * CAST(npos AS DOUBLE))
+        |      - CAST(nneg AS DOUBLE) * auc * auc)
+        |      / (CAST(nneg AS DOUBLE) - 1.0) / CAST(nneg AS DOUBLE)
+        |      AS var_auc
+        |  FROM q
+        |)
+        |SELECT npos, nneg, u2, sum_d2, sum_e2, CAST(auc AS REAL) AS auc,
+        |  CAST(var_auc AS REAL) AS var_auc,
+        |  CAST(1.96 * sqrt(var_auc) AS REAL) AS ci95_half
+        |FROM v""".stripMargin,
     // ordered-frame folds on both sides → identical doubles; REAL casts
     // as the documented float-noise backstop
     "ts_cusum_changepoint" ->

@@ -383,6 +383,61 @@ object Analytics3 {
           .cast("float").as("auc"))
   }
 
+  /** DeLong variance and 95% CI for the ROC-AUC — the error bar an
+    * eval report must attach before declaring one model's AUC beats
+    * another's. Same score/label convention as [[evalAucRoc]].
+    *
+    * Tie-aware integer core: per positive, the DOUBLED negative
+    * placement dᵢ = 2·(#neg below) + (#neg tied) (and eⱼ mirrored per
+    * negative), computed from per-distinct-score counts + cumulative
+    * windows — never a pos×neg pair join. U₂ = Σdᵢ, Σd², Σe² are exact
+    * BIGINTs; AUC = U₂/(2n₁n₀) and the DeLong components
+    * s₁₀ = (Σd²/(4n₀²) − n₁·AUC²)/(n₁−1), s₀₁ mirrored,
+    * var = s₁₀/n₁ + s₀₁/n₀ are a fixed-parenthesization double
+    * epilogue on the single output row.
+    *
+    * Scale shape: one (score)-grain map-side-combined aggregate, two
+    * cumulative windows over DISTINCT scores (bounded; at corpus scale
+    * the same two-level bucket prefix-counts as [[evalAucRoc]]), one
+    * 5-sum reduce. */
+  def evalAucDelong(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val score = least(greatest(
+      element_at(col("embedding"), 1).cast("double") * 2.0 + 0.5,
+      lit(0.0)), lit(0.9999))
+    val g = table(spark, dir, "embeddings")
+      .select(score.as("score"),
+        when(col("label") % 2 === 1, 1L).otherwise(0L).as("y"))
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val w = g
+      .withColumn("cneg", coalesce(sum(col("nn")).over(
+        Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cpos", coalesce(sum(col("np")).over(
+        Window.orderBy(col("score"))
+          .rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+    val d = lit(2L) * col("cneg") + col("nn")
+    val e = lit(2L) * col("cpos") + col("np")
+    val a = w.agg(sum(col("np")).as("npos"), sum(col("nn")).as("nneg"),
+      sum(col("np") * d).as("u2"),
+      sum(col("np") * d * d).as("sum_d2"),
+      sum(col("nn") * e * e).as("sum_e2"))
+    val n1 = col("npos").cast("double")
+    val n0 = col("nneg").cast("double")
+    val auc = col("u2").cast("double") / (lit(2.0) * n1 * n0)
+    val s10 = (col("sum_d2").cast("double") / (lit(4.0) * n0 * n0)
+      - n1 * auc * auc) / (n1 - lit(1.0))
+    val s01 = (col("sum_e2").cast("double") / (lit(4.0) * n1 * n1)
+      - n0 * auc * auc) / (n0 - lit(1.0))
+    val v = s10 / n1 + s01 / n0
+    a.select(col("npos"), col("nneg"), col("u2"),
+      col("sum_d2"), col("sum_e2"),
+      auc.cast("float").as("auc"),
+      v.cast("float").as("var_auc"),
+      (lit(1.96) * sqrt(v)).cast("float").as("ci95_half"))
+  }
+
   /** Per-category chi-square drift terms between the even/odd event-id
     * cohorts over the categorical `event_type` distribution — the
     * CATEGORICAL member of the drift-monitor family (`drift_ks_value` is

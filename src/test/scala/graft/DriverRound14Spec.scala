@@ -810,4 +810,28 @@ class DriverRound14Spec extends SparkSpec {
     assert((g1.getLong(2), g1.getLong(4), g1.getLong(6)) ==
       ((4L, 5L, 0L)))
   }
+
+  test("eval_auc_delong: tie-aware doubled placements, U2 symmetry, " +
+      "and the DeLong variance replay on a hand-computed fixture") {
+    import spark.implicits._
+    import graft.query.Analytics3
+    val dir = java.nio.file.Files.createTempDirectory("r14-delong").toString
+    // scores: pos {0.6, 0.8}, neg {0.4, 0.6} — one pos/neg tie at 0.6
+    Seq((0L, Array(0.05f, 0f), 1), (1L, Array(0.15f, 0f), 1),
+      (2L, Array(-0.05f, 0f), 0), (3L, Array(0.05f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val r = Analytics3.evalAucDelong(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    // d = {3, 4} (tie counts once), e = {4, 3}; U2 = 7 both ways
+    assert(r.getLong(2) == 7L)
+    assert((r.getLong(3), r.getLong(4)) == ((25L, 25L)))
+    val auc = 7.0 / (2.0 * 2.0 * 2.0)
+    assert(r.getFloat(5) == auc.toFloat)
+    val s10 = (25.0 / (4.0 * 2.0 * 2.0) - 2.0 * auc * auc) / (2.0 - 1.0)
+    val s01 = (25.0 / (4.0 * 2.0 * 2.0) - 2.0 * auc * auc) / (2.0 - 1.0)
+    val v = s10 / 2.0 + s01 / 2.0
+    assert(r.getFloat(6) == v.toFloat)
+    assert(r.getFloat(7) == (1.96 * math.sqrt(v)).toFloat)
+  }
 }
