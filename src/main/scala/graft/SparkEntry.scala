@@ -672,6 +672,9 @@ object SparkEntry {
     "eval_krippendorff_alpha" -> Analytics5.evalKrippendorffAlpha _,
     // DeLong AUC variance + 95% CI (tie-aware integer placements)
     "eval_auc_delong"        -> Analytics3.evalAucDelong _,
+    // 50-replica deterministic Poisson bootstrap of the paired delta
+    "eval_paired_bootstrap"  ->
+      ((s: SparkSession, d: String) => Analytics5.evalPairedBootstrap(s, d)),
     // DPO prep: (chosen, rejected) + margin per 4-doc candidate group
     "pref_pair_margin"       ->
       ((s: SparkSession, d: String) => Curation2.prefPairMargin(s, d)),
@@ -888,6 +891,62 @@ object SparkEntry {
        |FROM f JOIN t USING (idx) ORDER BY model""".stripMargin
   }
 
+  /** The [[graft.query.Analytics5.evalPairedBootstrap]] oracle: the
+    * same McNemar paired-classifier CTEs, fanned out ×reps with the
+    * SHARED 2⁶⁰-scaled Poisson-CDF thresholds inlined as literals —
+    * both engines evaluate identical integer compares. */
+  private def pairedBootstrapOracleSql(reps: Int): String = {
+    val t = Analytics5.poissonThresh60
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS v3
+       |  FROM events
+       |), m AS (
+       |  SELECT event_type, CAST(sum(v3) AS BIGINT) AS s3,
+       |    CAST(count(*) AS BIGINT) AS n_t FROM e GROUP BY event_type
+       |), g AS (
+       |  SELECT CAST(sum(v3) AS BIGINT) AS g3,
+       |    CAST(count(*) AS BIGINT) AS n_g FROM e
+       |), s AS (
+       |  SELECT e.event_id,
+       |    (e.v3 * m.n_t > m.s3) = lbl AS a_ok,
+       |    (e.v3 * g.n_g > g.g3) = lbl AS b_ok
+       |  FROM e JOIN m USING (event_type) CROSS JOIN g,
+       |    LATERAL (SELECT CAST('0x' || substr(md5(
+       |      CAST(e.event_id AS VARCHAR) || ':label'), 1, 15)
+       |      AS BIGINT) % 2 = 1 AS lbl) l
+       |), r AS (
+       |  SELECT s.*, i AS replica,
+       |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+       |      || ':boot:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM s, LATERAL (SELECT unnest(
+       |    generate_series(0, ${reps - 1})) AS i) x
+       |), wv AS (
+       |  SELECT replica,
+       |    CASE WHEN h < ${t(0)} THEN 0 WHEN h < ${t(1)} THEN 1
+       |      WHEN h < ${t(2)} THEN 2 WHEN h < ${t(3)} THEN 3
+       |      WHEN h < ${t(4)} THEN 4 ELSE 5 END AS w,
+       |    a_ok, b_ok
+       |  FROM r
+       |), a AS (
+       |  SELECT replica, CAST(sum(w) AS BIGINT) AS n_eff,
+       |    CAST(sum(w * CASE WHEN a_ok THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS sum_a,
+       |    CAST(sum(w * CASE WHEN b_ok THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS sum_b
+       |  FROM wv GROUP BY replica
+       |)
+       |SELECT CAST(replica AS INT) AS replica, n_eff, sum_a, sum_b,
+       |  CAST(CAST(sum_a AS DOUBLE) / CAST(n_eff AS DOUBLE) AS REAL)
+       |    AS acc_a,
+       |  CAST(CAST(sum_b AS DOUBLE) / CAST(n_eff AS DOUBLE) AS REAL)
+       |    AS acc_b,
+       |  CAST(CAST(sum_a AS DOUBLE) / CAST(n_eff AS DOUBLE)
+       |    - CAST(sum_b AS DOUBLE) / CAST(n_eff AS DOUBLE) AS REAL)
+       |    AS delta
+       |FROM a ORDER BY replica""".stripMargin
+  }
+
   /** The [[graft.query.TextAnalysis.textBpeTrain]] oracle: the training
     * loop unrolled into `rounds` MATERIALIZED CTE stages (count pairs
     * from vᵣ₋₁ → top-1 → apply the double-space-separator replace into
@@ -1076,6 +1135,7 @@ object SparkEntry {
     // the generated unrolled-merge BPE-training oracle (16 stages)
     "text_bpe_train" -> bpeTrainOracleSql(16),
     "eval_bradley_terry" -> btOracleSql(8),
+    "eval_paired_bootstrap" -> pairedBootstrapOracleSql(50),
     // same unrolled stages, final state exploded to the unit census
     "text_bpe_vocab" -> bpeVocabOracleSql(16),
     // frames replayed closed-form (the audio_frames oracle), active

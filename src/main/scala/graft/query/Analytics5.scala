@@ -1331,7 +1331,12 @@ object Analytics5 {
     * 1-row global mean (the scalar-plan-constant discipline), one
     * map-side-combined 4-cell aggregate; the χ² is scalar math on the
     * single output row. */
-  def evalMcnemar(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared paired-classifier frame of [[evalMcnemar]] and
+    * [[evalPairedBootstrap]]: per event, whether classifier A (the
+    * type-mean rule) and classifier B (the global-mean rule) each got
+    * the PRF parity label right — all integer cross-multiplied
+    * compares, hash-replayable in any engine. */
+  private def pairedOkFrame(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.schema.Schemas.events(spark, dir)
       .select(col("event_id"), col("event_type"),
         round(col("value") * lit(1000.0)).cast("long").as("v3"))
@@ -1339,16 +1344,20 @@ object Analytics5 {
       .agg(sum(col("v3")).as("s3"), count(lit(1)).as("n_t"))
     val globalMean = e.agg(sum(col("v3")).as("g3"),
       count(lit(1)).as("n_g"))
-    val scored = e
-      .join(broadcast(typeMeans), Seq("event_type"))
+    e.join(broadcast(typeMeans), Seq("event_type"))
       .crossJoin(broadcast(globalMean))
-      .select(
+      .select(col("event_id"),
         (col("v3") * col("n_t") > col("s3")).as("pred_a"),
         (col("v3") * col("n_g") > col("g3")).as("pred_b"),
         (graft.query.Dedup.hash60(concat(col("event_id").cast("string"),
           lit(":label"))) % 2 === 1).as("label"))
-      .select((col("pred_a") === col("label")).as("a_ok"),
+      .select(col("event_id"),
+        (col("pred_a") === col("label")).as("a_ok"),
         (col("pred_b") === col("label")).as("b_ok"))
+  }
+
+  def evalMcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val scored = pairedOkFrame(spark, dir).select(col("a_ok"), col("b_ok"))
     val cells = scored.agg(
       count(lit(1)).as("n"),
       sum(when(col("a_ok") && col("b_ok"), 1L).otherwise(0L))
@@ -1416,6 +1425,66 @@ object Analytics5 {
       col("s0"), col("s1"), col("s2"), col("ss"),
       pbar.cast("float").as("p_bar"), pe.cast("float").as("p_e"),
       ((pbar - pe) / (lit(1.0) - pe)).cast("float").as("kappa"))
+  }
+
+  /** Cumulative Poisson(1) CDF thresholds scaled to 2⁶⁰, for the
+    * deterministic bootstrap weights: w = k iff
+    * t_{k-1} ≤ hash60 < t_k (k = 0..4, else 5). Computed ONCE here and
+    * inlined as literals into both the Spark plan and the generated
+    * DuckDB oracle, so the integer compares are identical by
+    * construction. */
+  private[graft] val poissonThresh60: Array[Long] = {
+    val cdf = new Array[Double](5)
+    var acc = 0.0; var fact = 1.0
+    (0 until 5).foreach { k =>
+      if (k > 0) fact *= k
+      acc += math.exp(-1.0) / fact
+      cdf(k) = acc
+    }
+    cdf.map(c => math.floor(c * 1152921504606846976.0).toLong)
+  }
+
+  /** Paired Poisson bootstrap between the two [[evalMcnemar]]
+    * classifiers: `reps` = 50 deterministic bootstrap replicas, each
+    * reweighting every item by a Poisson(1) draw derived from
+    * hash60(id:boot:r), and the per-replica accuracy delta
+    * acc_A − acc_B — the resampled significance test an eval harness
+    * runs when McNemar's parametric assumptions are in doubt (the
+    * spread of the 50 deltas IS the confidence interval, and the
+    * fraction ≤ 0 the one-sided p-value).
+    *
+    * Exactness: weights are integer compares against the shared
+    * 2⁶⁰-scaled CDF thresholds, per-replica sums are BIGINTs, each
+    * accuracy is ONE exact division, and the delta is one subtraction
+    * of two correctly-rounded doubles — bit-identical cross-engine.
+    *
+    * Scale shape: map-only ×reps fanout (explode of a literal
+    * sequence), then ONE aggregate keyed by replica — map-side combine
+    * reduces every partition to ≤reps partial rows, so the shuffle
+    * carries reps·partitions tiny rows regardless of corpus size. */
+  def evalPairedBootstrap(spark: SparkSession, dir: String,
+      reps: Int = 50): DataFrame = {
+    val t = poissonThresh60
+    def w(h: Column): Column =
+      when(h < t(0), 0L).when(h < t(1), 1L).when(h < t(2), 2L)
+        .when(h < t(3), 3L).when(h < t(4), 4L).otherwise(5L)
+    val h = graft.query.Dedup.hash60(concat(
+      col("event_id").cast("string"), lit(":boot:"),
+      col("replica").cast("string")))
+    val g = pairedOkFrame(spark, dir)
+      .select(col("event_id"), col("a_ok"), col("b_ok"),
+        explode(sequence(lit(0), lit(reps - 1))).as("replica"))
+      .withColumn("w", w(h))
+      .groupBy(col("replica"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * when(col("a_ok"), 1L).otherwise(0L)).as("sum_a"),
+        sum(col("w") * when(col("b_ok"), 1L).otherwise(0L)).as("sum_b"))
+    val accA = col("sum_a").cast("double") / col("n_eff").cast("double")
+    val accB = col("sum_b").cast("double") / col("n_eff").cast("double")
+    g.select(col("replica"), col("n_eff"), col("sum_a"), col("sum_b"),
+        accA.cast("float").as("acc_a"), accB.cast("float").as("acc_b"),
+        (accA - accB).cast("float").as("delta"))
+      .orderBy(col("replica"))
   }
 
   /** Krippendorff's alpha (nominal): chance-corrected multi-rater

@@ -834,4 +834,26 @@ class DriverRound14Spec extends SparkSpec {
     assert(r.getFloat(6) == v.toFloat)
     assert(r.getFloat(7) == (1.96 * math.sqrt(v)).toFloat)
   }
+
+  test("eval_paired_bootstrap: 50 replicas, Poisson(1) weights replay " +
+      "from the shared thresholds, accuracies replay from the sums") {
+    import graft.query.Analytics5
+    val out = Analytics5.evalPairedBootstrap(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      val (nEff, sa, sb) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // Poisson(1) total weight concentrates near n = 1000
+      assert(nEff > 800 && nEff < 1200, s"n_eff $nEff implausible")
+      assert(sa <= nEff && sb <= nEff)
+      assert(r.getFloat(4) == (sa.toDouble / nEff.toDouble).toFloat)
+      assert(r.getFloat(6) == (sa.toDouble / nEff.toDouble
+        - sb.toDouble / nEff.toDouble).toFloat)
+    }
+    // deltas must actually vary across replicas (resampling is real)
+    assert(out.map(_.getFloat(6)).distinct.length > 10)
+    // the thresholds are the Poisson(1) CDF: F(0) ~ e^-1
+    assert(Analytics5.poissonThresh60(0) ==
+      math.floor(math.exp(-1.0) * 1152921504606846976.0).toLong)
+  }
 }
