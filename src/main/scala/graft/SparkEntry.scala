@@ -353,6 +353,10 @@ object SparkEntry {
     // expected integer pixel sums arithmetically
     "multimodal_image_decode" ->
       ((s: SparkSession, d: String) => Multimodal.multimodalImageDecode(s, d)),
+    // per-channel min/max/mean off the same real raster walk
+    "multimodal_image_channel_stats" ->
+      ((s: SparkSession, d: String) =>
+        Multimodal.multimodalImageChannelStats(s, d)),
     // round 5: text statistics, embedding prototypes, graph/anomaly/
     // sampling/window/sketch analytics
     "text_unigram_logprob"   -> TextAnalysis.unigramLogprob _,
@@ -4314,6 +4318,43 @@ object SparkEntry {
         |  CAST(r0 * (w * h - 1) + wr AS BIGINT) AS sum_r,
         |  CAST(g0 * (w * h - 1) + wg AS BIGINT) AS sum_g,
         |  CAST(b0 * (w * h - 1) + wb AS BIGINT) AS sum_b
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // extrema/mean of the base+watermark fixtures: min/max closed-form,
+    // mean = one exact division of the integer sum by w*h
+    "multimodal_image_channel_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    4 + CAST('0x' || substr(md5(doc_id || ':iw'), 1, 15) AS BIGINT)
+        |      % 13 AS w,
+        |    4 + CAST('0x' || substr(md5(doc_id || ':ih'), 1, 15) AS BIGINT)
+        |      % 9 AS h,
+        |    CAST('0x' || substr(md5(doc_id || ':r'), 1, 15) AS BIGINT)
+        |      % 256 AS r0,
+        |    CAST('0x' || substr(md5(doc_id || ':g'), 1, 15) AS BIGINT)
+        |      % 256 AS g0,
+        |    CAST('0x' || substr(md5(doc_id || ':b'), 1, 15) AS BIGINT)
+        |      % 256 AS b0,
+        |    CAST('0x' || substr(md5(doc_id || ':wr'), 1, 15) AS BIGINT)
+        |      % 256 AS wr,
+        |    CAST('0x' || substr(md5(doc_id || ':wg'), 1, 15) AS BIGINT)
+        |      % 256 AS wg,
+        |    CAST('0x' || substr(md5(doc_id || ':wb'), 1, 15) AS BIGINT)
+        |      % 256 AS wb
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(least(r0, wr) AS INTEGER) AS min_r,
+        |  CAST(greatest(r0, wr) AS INTEGER) AS max_r,
+        |  CAST(least(g0, wg) AS INTEGER) AS min_g,
+        |  CAST(greatest(g0, wg) AS INTEGER) AS max_g,
+        |  CAST(least(b0, wb) AS INTEGER) AS min_b,
+        |  CAST(greatest(b0, wb) AS INTEGER) AS max_b,
+        |  CAST(CAST(r0 * (w * h - 1) + wr AS DOUBLE)
+        |    / CAST(w * h AS DOUBLE) AS REAL) AS mean_r,
+        |  CAST(CAST(g0 * (w * h - 1) + wg AS DOUBLE)
+        |    / CAST(w * h AS DOUBLE) AS REAL) AS mean_g,
+        |  CAST(CAST(b0 * (w * h - 1) + wb AS DOUBLE)
+        |    / CAST(w * h AS DOUBLE) AS REAL) AS mean_b
         |FROM p ORDER BY doc_id""".stripMargin,
     "multimodal_batch_decode" ->
       """SELECT doc_id,

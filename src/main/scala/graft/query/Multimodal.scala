@@ -210,6 +210,61 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-channel extrema + exact mean from the REAL decode: a decoder
+    * that happened to get the [[multimodalImageDecode]] SUMS right
+    * (e.g. by scaling a downsampled raster) still fails min/max — this
+    * is the stricter per-pixel contract, and the channel-range /
+    * mean-brightness triage a media-curation pipeline actually filters
+    * on (blank frames, clipped exposures). Same raster walk, same
+    * batching; the mean is ONE exact division sum/(w·h) per channel.
+    * Oracle: fixtures are base-color + one watermark pixel, so
+    * min = least(base, wm), max = greatest(base, wm) closed-form. */
+  def multimodalImageChannelStats(spark: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { id =>
+            val bytes = synthesizePng(id)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null,
+              s"javax.imageio failed to decode synthesized png for doc $id")
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var mnr = 255; var mxr = 0; var mng = 255; var mxg = 0
+            var mnb = 255; var mxb = 0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                sr += r; sg += g; sb += b
+                if (r < mnr) mnr = r; if (r > mxr) mxr = r
+                if (g < mng) mng = g; if (g > mxg) mxg = g
+                if (b < mnb) mnb = b; if (b > mxb) mxb = b
+                x += 1
+              }
+              y += 1
+            }
+            val n = img.getWidth.toLong * img.getHeight
+            (id, img.getWidth, img.getHeight,
+              mnr, mxr, mng, mxg, mnb, mxb,
+              (sr.toDouble / n.toDouble).toFloat,
+              (sg.toDouble / n.toDouble).toFloat,
+              (sb.toDouble / n.toDouble).toFloat)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "min_r", "max_r", "min_g",
+        "max_g", "min_b", "max_b", "mean_r", "mean_g", "mean_b")
+      .orderBy(col("doc_id"))
+  }
+
   /** Video-style frame sampling over the opaque payload: derive per-doc
     * stream metadata (fps, duration — md5-derived stubs standing in for
     * a container-header probe), pick ~8 evenly-strided frame indices,

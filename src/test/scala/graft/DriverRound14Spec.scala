@@ -856,4 +856,33 @@ class DriverRound14Spec extends SparkSpec {
     assert(Analytics5.poissonThresh60(0) ==
       math.floor(math.exp(-1.0) * 1152921504606846976.0).toLong)
   }
+
+  test("multimodal_image_channel_stats: real-decode extrema and exact " +
+      "means replay from the base+watermark fixture arithmetic") {
+    import spark.implicits._
+    import graft.query.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("r14-chan").toString
+    (0L until 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val out = Multimodal.multimodalImageChannelStats(spark, dir).collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (4 + h60(s"$id:iw") % 13, 4 + h60(s"$id:ih") % 9)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      val (r0, wr) = (h60(s"$id:r") % 256, h60(s"$id:wr") % 256)
+      assert(r.getInt(3) == math.min(r0, wr).toInt)
+      assert(r.getInt(4) == math.max(r0, wr).toInt)
+      val n = w * h
+      assert(r.getFloat(9) ==
+        ((r0 * (n - 1) + wr).toDouble / n.toDouble).toFloat,
+        s"mean_r mismatch for doc $id")
+    }
+  }
 }
