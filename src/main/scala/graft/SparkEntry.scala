@@ -679,6 +679,9 @@ object SparkEntry {
     // 50-replica deterministic Poisson bootstrap of the paired delta
     "eval_paired_bootstrap"  ->
       ((s: SparkSession, d: String) => Analytics5.evalPairedBootstrap(s, d)),
+    // delta-maintenance CC: contract delta onto labels, relabel touched
+    "graph_cc_incremental"   ->
+      ((s: SparkSession, d: String) => Analytics3.graphCcIncremental(s, d)),
     // DPO prep: (chosen, rejected) + margin per 4-doc candidate group
     "pref_pair_margin"       ->
       ((s: SparkSession, d: String) => Curation2.prefPairMargin(s, d)),
@@ -2833,6 +2836,35 @@ object SparkEntry {
         |), comp AS (SELECT u, min(lbl) AS component FROM r GROUP BY u)
         |SELECT component, count(*) AS n_members, max(u) AS max_member
         |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+    // incremental CC oracle: FULL-graph recursive-CTE components,
+    // restricted to components containing a delta-order endpoint — the
+    // engine's contract-and-merge path must land on exactly these rows
+    "graph_cc_incremental" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), pair_orders AS (
+        |  SELECT ok FROM li GROUP BY ok HAVING count(*) = 2
+        |), e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  WHERE a.ok IN (SELECT ok FROM pair_orders)
+        |), d_ep AS (
+        |  SELECT DISTINCT pk AS u FROM li
+        |  WHERE ok % 10 = 0 AND ok IN (SELECT ok FROM pair_orders)
+        |), edges AS (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), verts AS (SELECT DISTINCT u FROM edges),
+        |r(u, lbl) AS (
+        |  SELECT u, u AS lbl FROM verts
+        |  UNION
+        |  SELECT e.v AS u, r.lbl FROM r JOIN edges e ON e.u = r.u
+        |), comp AS (SELECT u, min(lbl) AS component FROM r GROUP BY u),
+        |touched AS (
+        |  SELECT DISTINCT component FROM comp JOIN d_ep USING (u)
+        |)
+        |SELECT component, count(*) AS n_members, max(u) AS max_member
+        |FROM comp WHERE component IN (SELECT component FROM touched)
+        |GROUP BY component ORDER BY component""".stripMargin,
     // skyline: the declarative NOT EXISTS dominance definition; the
     // engine's bucket-prefilter + survivor anti-join must equal it
     "pareto_frontier" ->

@@ -885,4 +885,22 @@ class DriverRound14Spec extends SparkSpec {
         s"mean_r mismatch for doc $id")
     }
   }
+
+  test("graph_cc_incremental: a delta edge merges two base components " +
+      "under the min-id label; new nodes form components; untouched " +
+      "components are NOT emitted") {
+    import spark.implicits._
+    import graft.query.Analytics3
+    val dir = java.nio.file.Files.createTempDirectory("r14-ccinc").toString
+    // base: {1,2} (ok 1), {3,4} (ok 2), {5,6} (ok 11);
+    // delta: ok 10 bridges 2-3; ok 20 introduces new nodes {7,8}
+    Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (11L, 5L), (11L, 6L),
+      (10L, 2L), (10L, 3L), (20L, 7L), (20L, 8L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val out = Analytics3.graphCcIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set((1L, 4L, 4L), (7L, 2L, 8L)),
+      s"got ${out.mkString(",")}")
+  }
 }
