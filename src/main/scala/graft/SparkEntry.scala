@@ -682,6 +682,8 @@ object SparkEntry {
     // delta-maintenance CC: contract delta onto labels, relabel touched
     "graph_cc_incremental"   ->
       ((s: SparkSession, d: String) => Analytics3.graphCcIncremental(s, d)),
+    // pairwise win rates + Wilson 95% bounds per model matchup
+    "eval_win_rate_matrix"   -> Analytics5.evalWinRateMatrix _,
     // DPO prep: (chosen, rejected) + margin per 4-doc candidate group
     "pref_pair_margin"       ->
       ((s: SparkSession, d: String) => Curation2.prefPairMargin(s, d)),
@@ -2865,6 +2867,48 @@ object SparkEntry {
         |SELECT component, count(*) AS n_members, max(u) AS max_member
         |FROM comp WHERE component IN (SELECT component FROM touched)
         |GROUP BY component ORDER BY component""".stripMargin,
+    // win-rate matrix: BIGINT wins/games per pair; Wilson bounds as a
+    // fixed-paren double epilogue (z = 1.96, z2 spelled 1.96 * 1.96)
+    "eval_win_rate_matrix" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 1000.0) AS BIGINT) AS v3
+        |  FROM events
+        |), m AS (
+        |  SELECT event_id // 2 AS match_id,
+        |    arg_min(event_type, event_id % 2) AS ta,
+        |    arg_min(v3, event_id % 2) AS va,
+        |    arg_max(event_type, event_id % 2) AS tb,
+        |    arg_max(v3, event_id % 2) AS vb,
+        |    count(*) AS cnt
+        |  FROM e GROUP BY 1
+        |), w AS (
+        |  SELECT least(ta, tb) AS model_a, greatest(ta, tb) AS model_b,
+        |    CASE WHEN va >= vb THEN ta ELSE tb END AS winner
+        |  FROM m WHERE cnt = 2 AND ta <> tb
+        |), g AS (
+        |  SELECT model_a, model_b, CAST(count(*) AS BIGINT) AS n_games,
+        |    CAST(sum(CASE WHEN winner = model_a THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS wins_a
+        |  FROM w GROUP BY 1, 2
+        |), q AS (
+        |  SELECT *,
+        |    CAST(wins_a AS DOUBLE) / CAST(n_games AS DOUBLE) AS p,
+        |    CAST(n_games AS DOUBLE) AS n
+        |  FROM g
+        |)
+        |SELECT model_a, model_b, n_games, wins_a,
+        |  CAST(n_games - wins_a AS BIGINT) AS wins_b,
+        |  CAST(p AS REAL) AS rate_a,
+        |  CAST((p + 1.96 * 1.96 / (2.0 * n)
+        |      - 1.96 * sqrt(p * (1.0 - p) / n
+        |        + 1.96 * 1.96 / (4.0 * n * n)))
+        |    / (1.0 + 1.96 * 1.96 / n) AS REAL) AS wilson_lo,
+        |  CAST((p + 1.96 * 1.96 / (2.0 * n)
+        |      + 1.96 * sqrt(p * (1.0 - p) / n
+        |        + 1.96 * 1.96 / (4.0 * n * n)))
+        |    / (1.0 + 1.96 * 1.96 / n) AS REAL) AS wilson_hi
+        |FROM q ORDER BY model_a, model_b""".stripMargin,
     // skyline: the declarative NOT EXISTS dominance definition; the
     // engine's bucket-prefilter + survivor anti-join must equal it
     "pareto_frontier" ->

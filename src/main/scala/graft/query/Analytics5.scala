@@ -1674,6 +1674,65 @@ object Analytics5 {
     * iteration is scalar math on that row. At 100 TB the only wide
     * exchange is the match-grain shuffle, which any preference corpus
     * already stores pre-grouped. */
+  /** The shared head-to-head match frame of [[evalBradleyTerry]] and
+    * [[evalWinRateMatrix]]: match m = event pair (2m, 2m+1), one row
+    * per complete different-type match with both sides' types and
+    * ×10³-scaled integer values (min_by/max_by over the 2-row groups —
+    * never a self-join). */
+  private def matchFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * lit(1000.0)).cast("long").as("v3"))
+      .withColumn("match_id", expr("event_id DIV 2"))
+      .withColumn("side", (col("event_id") % 2).cast("int"))
+      .groupBy(col("match_id"))
+      .agg(min_by(col("event_type"), col("side")).as("ta"),
+        min_by(col("v3"), col("side")).as("va"),
+        max_by(col("event_type"), col("side")).as("tb"),
+        max_by(col("v3"), col("side")).as("vb"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") === 2 && col("ta") =!= col("tb"))
+
+  /** Pairwise win-rate matrix with Wilson 95% intervals — the
+    * model-vs-model table an arena leaderboard publishes beside the
+    * [[evalBradleyTerry]] ratings (the ratings summarize; this table
+    * shows WHICH matchups carry the signal and how wide each cell's
+    * uncertainty is at its own sample size). One row per unordered
+    * model pair: a's wins, b's wins, a's win rate, and the Wilson
+    * score bounds (the interval that stays inside [0,1] at small n,
+    * unlike the normal approximation).
+    *
+    * Exactness: wins/games are BIGINTs off one map-side-combined
+    * aggregate on the (a, b) pair key; rate and bounds are a
+    * fixed-parenthesization double epilogue per row.
+    *
+    * Scale shape: the match-grain shuffle is shared with the BT
+    * ratings; the pair-keyed aggregate has ≤ C(models, 2) groups. */
+  def evalWinRateMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val m = matchFrame(spark, dir)
+      .select(least(col("ta"), col("tb")).as("model_a"),
+        greatest(col("ta"), col("tb")).as("model_b"),
+        when(col("va") >= col("vb"), col("ta")).otherwise(col("tb"))
+          .as("winner"))
+    val g = m.groupBy(col("model_a"), col("model_b"))
+      .agg(count(lit(1)).as("n_games"),
+        sum(when(col("winner") === col("model_a"), 1L).otherwise(0L))
+          .as("wins_a"))
+    val n = col("n_games").cast("double")
+    val p = col("wins_a").cast("double") / n
+    val z2 = lit(1.96 * 1.96)
+    val center = p + z2 / (lit(2.0) * n)
+    val spread = lit(1.96) * sqrt(p * (lit(1.0) - p) / n
+      + z2 / (lit(4.0) * n * n))
+    val denom = lit(1.0) + z2 / n
+    g.select(col("model_a"), col("model_b"), col("n_games"),
+        col("wins_a"), (col("n_games") - col("wins_a")).as("wins_b"),
+        p.cast("float").as("rate_a"),
+        ((center - spread) / denom).cast("float").as("wilson_lo"),
+        ((center + spread) / denom).cast("float").as("wilson_hi"))
+      .orderBy(col("model_a"), col("model_b"))
+  }
+
   def evalBradleyTerry(spark: SparkSession, dir: String,
       iters: Int = 8): DataFrame = {
     val k = btSlots
@@ -1685,16 +1744,7 @@ object Analytics5 {
         (row_number().over(Window.orderBy(col("event_type"))) - 1)
           .cast("int"))
       .filter(col("idx") < k)
-    val paired = e
-      .withColumn("match_id", expr("event_id DIV 2"))
-      .withColumn("side", (col("event_id") % 2).cast("int"))
-      .groupBy(col("match_id"))
-      .agg(min_by(col("event_type"), col("side")).as("ta"),
-        min_by(col("v3"), col("side")).as("va"),
-        max_by(col("event_type"), col("side")).as("tb"),
-        max_by(col("v3"), col("side")).as("vb"),
-        count(lit(1)).as("cnt"))
-      .filter(col("cnt") === 2 && col("ta") =!= col("tb"))
+    val paired = matchFrame(spark, dir)
       .join(broadcast(types.select(col("event_type").as("ta"),
         col("idx").as("ia"))), Seq("ta"))
       .join(broadcast(types.select(col("event_type").as("tb"),

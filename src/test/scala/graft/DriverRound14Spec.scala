@@ -903,4 +903,45 @@ class DriverRound14Spec extends SparkSpec {
     assert(out.toSet == Set((1L, 4L, 4L), (7L, 2L, 8L)),
       s"got ${out.mkString(",")}")
   }
+
+  test("eval_win_rate_matrix: per-pair wins at the crafted outcomes and " +
+      "Wilson bounds replay with the fixed parenthesization") {
+    import spark.implicits._
+    import graft.query.Analytics5
+    val dir = java.nio.file.Files.createTempDirectory("r14-wrm").toString
+    val rows = Seq(
+      (0L, "a", 2.0), (1L, "b", 1.0),   // a > b
+      (2L, "a", 2.0), (3L, "b", 1.0),   // a > b
+      (4L, "a", 2.0), (5L, "c", 1.0),   // a > c
+      (6L, "b", 2.0), (7L, "c", 1.0),   // b > c
+      (8L, "c", 2.0), (9L, "a", 1.0),   // c > a
+      (14L, "b", 1.5), (15L, "c", 1.5)) // tie -> even side b
+    rows.toDF("event_id", "event_type", "value")
+      .select(col("event_id"),
+        expr("timestamp_millis(1700000000000 + event_id * 1000)").as("ts"),
+        lit(1L).as("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = Analytics5.evalWinRateMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 3)
+    assert((out(("a", "b")).getLong(2), out(("a", "b")).getLong(3)) ==
+      ((2L, 2L)))
+    assert((out(("a", "c")).getLong(2), out(("a", "c")).getLong(3)) ==
+      ((2L, 1L)))
+    assert((out(("b", "c")).getLong(2), out(("b", "c")).getLong(3)) ==
+      ((2L, 2L)))
+    // Wilson replay for the (a, c) cell: p = 1/2, n = 2
+    val r = out(("a", "c"))
+    val (p, n) = (0.5, 2.0)
+    val z2 = 1.96 * 1.96
+    val center = p + z2 / (2.0 * n)
+    val spread = 1.96 * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    val denom = 1.0 + z2 / n
+    assert(r.getFloat(5) == 0.5f)
+    assert(r.getFloat(6) == ((center - spread) / denom).toFloat)
+    assert(r.getFloat(7) == ((center + spread) / denom).toFloat)
+    assert(r.getFloat(6) > 0f && r.getFloat(7) < 1f,
+      "Wilson bounds must stay inside (0,1) even at n = 2")
+  }
 }
