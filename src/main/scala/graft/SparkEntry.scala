@@ -684,6 +684,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Analytics3.graphCcIncremental(s, d)),
     // pairwise win rates + Wilson 95% bounds per model matchup
     "eval_win_rate_matrix"   -> Analytics5.evalWinRateMatrix _,
+    // Warner randomized response (local DP) with debiased estimate
+    "privacy_rand_response"  -> Analytics5.privacyRandResponse _,
     // DPO prep: (chosen, rejected) + margin per 4-doc candidate group
     "pref_pair_margin"       ->
       ((s: SparkSession, d: String) => Curation2.prefPairMargin(s, d)),
@@ -2909,6 +2911,30 @@ object SparkEntry {
         |        + 1.96 * 1.96 / (4.0 * n * n)))
         |    / (1.0 + 1.96 * 1.96 / n) AS REAL) AS wilson_hi
         |FROM q ORDER BY model_a, model_b""".stripMargin,
+    // randomized response: flip iff hash60(id:rr) % 4 = 3; debias by
+    // (p_obs - 0.25) / 0.5 — truth ships beside for auditability
+    "privacy_rand_response" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    event_id % 2 = 1 AS t,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':rr'), 1, 15) AS BIGINT) % 4 < 3
+        |      THEN event_id % 2 = 1 ELSE NOT (event_id % 2 = 1) END AS r
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_true_1,
+        |    CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_reported_1
+        |  FROM b GROUP BY event_type
+        |)
+        |SELECT event_type, n, n_true_1, n_reported_1,
+        |  CAST(CAST(n_reported_1 AS DOUBLE) / CAST(n AS DOUBLE) AS REAL)
+        |    AS p_reported,
+        |  CAST((CAST(n_reported_1 AS DOUBLE) / CAST(n AS DOUBLE) - 0.25)
+        |    / 0.5 AS REAL) AS pi_hat
+        |FROM g ORDER BY event_type""".stripMargin,
     // skyline: the declarative NOT EXISTS dominance definition; the
     // engine's bucket-prefilter + survivor anti-join must equal it
     "pareto_frontier" ->

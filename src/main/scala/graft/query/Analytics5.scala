@@ -677,6 +677,43 @@ object Analytics5 {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Local-DP randomized response (Warner's mechanism) per event type:
+    * each respondent reports the true bit (the event-id parity) with
+    * probability p = 3/4 and the flipped bit otherwise, and the
+    * aggregator debiases the observed rate with
+    * π̂ = (p̂_obs − (1−p)) / (2p − 1) — the LOCAL-privacy counterpart of
+    * [[privacyDpCounts]]' central Laplace release, the mechanism a
+    * telemetry pipeline uses when no trusted aggregator exists.
+    *
+    * The flip draw is the usual deterministic PRF (an integer compare
+    * hash60(id:rr) % 4 < 3), so every cell is hash-replayable: n,
+    * n_true_1 (the secret the release hides), n_reported_1 all exact
+    * BIGINTs; the debiased estimate is a fixed-paren double epilogue —
+    * emitted BESIDE the truth so the calibration is auditable, exactly
+    * the [[privacyDpCounts]] demo-grain discipline.
+    *
+    * Scale shape: map-only mechanism, one tiny-key aggregate. */
+  def privacyRandResponse(spark: SparkSession, dir: String): DataFrame = {
+    def h(salt: String): Column =
+      Dedup.hash60(concat(col("event_id").cast("string"), lit(salt)))
+    val truth = (col("event_id") % 2 === 1)
+    val keep = h(":rr") % 4 < 3 // p = 3/4 report truth
+    val reported = when(keep, truth).otherwise(!truth)
+    val g = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_type"), truth.as("t"), reported.as("r"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_true_1"),
+        sum(when(col("r"), 1L).otherwise(0L)).as("n_reported_1"))
+    val pObs = col("n_reported_1").cast("double") / col("n").cast("double")
+    val est = (pObs - lit(0.25)) / lit(0.5)
+    g.select(col("event_type"), col("n"), col("n_true_1"),
+        col("n_reported_1"),
+        pObs.cast("float").as("p_reported"),
+        est.cast("float").as("pi_hat"))
+      .orderBy(col("event_type"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between the `value`
     * distributions of click and purchase events: D = max |F_a − F_b|
     * over the pooled sample, with ties handled at distinct-value grain

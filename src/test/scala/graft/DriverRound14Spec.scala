@@ -944,4 +944,23 @@ class DriverRound14Spec extends SparkSpec {
     assert(r.getFloat(6) > 0f && r.getFloat(7) < 1f,
       "Wilson bounds must stay inside (0,1) even at n = 2")
   }
+
+  test("privacy_rand_response: the debiased estimate replays from the " +
+      "integer cells and tracks the hidden true rate") {
+    import graft.query.Analytics5
+    val out = Analytics5.privacyRandResponse(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, t1, r1) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t1 <= n && r1 <= n)
+      val pObs = r1.toDouble / n.toDouble
+      assert(r.getFloat(4) == pObs.toFloat)
+      assert(r.getFloat(5) == ((pObs - 0.25) / 0.5).toFloat)
+      // with p = 3/4 the debiased estimate concentrates near the truth
+      val truth = t1.toDouble / n.toDouble
+      assert(math.abs(r.getFloat(5) - truth) < 0.15,
+        s"pi_hat ${r.getFloat(5)} far from truth $truth (n=$n)")
+    }
+  }
 }
