@@ -83,7 +83,19 @@ object ScaleCurve {
       "ivf_pq" -> Seq("ann_ivf_pq_topk", "ann_ivf_topk"),
       "bpe_train" -> Seq("text_bpe_train"),
       "media_decode" -> Seq("multimodal_audio_decode",
-        "multimodal_image_decode"))
+        "multimodal_image_decode"),
+      // round-14 second wave: the eval-statistics family (replica
+      // fanout + sorted-group rank pass + distinct-score windows), the
+      // arena pair (match-grain shuffle + scalar fixpoint), curation
+      // map-only ops, and delta-contraction CC (whose cost must track
+      // the DELTA, so near-flat exponents are the expectation for the
+      // contraction leg — the corpus-scale term is the base labeling)
+      "eval_stats" -> Seq("eval_paired_bootstrap", "eval_rank_corr",
+        "eval_auc_delong", "eval_krippendorff_alpha"),
+      "arena" -> Seq("eval_bradley_terry", "eval_win_rate_matrix"),
+      "curation2" -> Seq("corpus_ccnet_buckets", "corpus_epoch_repeat",
+        "text_span_mask_plan", "pref_pair_margin"),
+      "cc_incremental" -> Seq("graph_cc_incremental"))
 
     // scale-variant forms that widen a declared query's fixed panel to
     // the whole corpus (the declared defaults exist for oracle-size
