@@ -686,6 +686,9 @@ object SparkEntry {
     "eval_win_rate_matrix"   -> Analytics5.evalWinRateMatrix _,
     // Warner randomized response (local DP) with debiased estimate
     "privacy_rand_response"  -> Analytics5.privacyRandResponse _,
+    // binary sign-code ANN: popcount(xor) top-k, the RAM-efficiency tier
+    "ann_hamming_topk"       ->
+      ((s: SparkSession, d: String) => Similarity.annHammingTopK(s, d)),
     // DPO prep: (chosen, rejected) + margin per 4-doc candidate group
     "pref_pair_margin"       ->
       ((s: SparkSession, d: String) => Curation2.prefPairMargin(s, d)),
@@ -2935,6 +2938,27 @@ object SparkEntry {
         |  CAST((CAST(n_reported_1 AS DOUBLE) / CAST(n AS DOUBLE) - 0.25)
         |    / 0.5 AS REAL) AS pi_hat
         |FROM g ORDER BY event_type""".stripMargin,
+    // sign codes (60 bits, positive BIGINT both engines), popcount(xor)
+    "ann_hamming_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN embedding[i + 1] > 0
+        |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS code
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(0, 59)) AS i) s
+        |  GROUP BY vec_id
+        |), r AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id,
+        |    CAST(bit_count(xor(c.code, p.code)) AS INT) AS hamming
+        |  FROM c JOIN (SELECT vec_id, code FROM c WHERE vec_id < 5) p
+        |    ON c.vec_id <> p.vec_id
+        |), t AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY hamming, vec_id) AS rank
+        |  FROM r
+        |)
+        |SELECT probe_id, CAST(rank AS INT) AS rank, vec_id, hamming
+        |FROM t WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     // skyline: the declarative NOT EXISTS dominance definition; the
     // engine's bucket-prefilter + survivor anti-join must equal it
     "pareto_frontier" ->

@@ -90,6 +90,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Binary-code Hamming top-k — the RAM-efficiency tier of the ANN
+    * family: each vector compresses to a 60-bit SIGN code (bit i set
+    * iff dim i+1 > 0; 60 bits keeps the code positive in a signed
+    * BIGINT on both engines, the [[Dedup.hash60]] rule), and
+    * similarity is popcount(xor) — 64× smaller than float vectors and
+    * a single CPU instruction per comparison, the regime binary
+    * embeddings / Matryoshka-binarized indexes run at billion scale.
+    * Top-k per probe over the first `probes` vectors, distance ties
+    * broken by vec_id.
+    *
+    * Exactness: codes and distances are pure integers — nothing to
+    * round anywhere.
+    *
+    * Scale shape: code construction is map-only; probing broadcasts
+    * the ≤`probes` code panel against the code column (never the
+    * reverse) and the per-probe top-k is a window over the panel-keyed
+    * fanout — probes×corpus rows of (BIGINT, BIGINT), the cheapest
+    * possible brute force. The certified sub-linear path at 100 TB is
+    * multi-index hashing (split the code into 4×15-bit bands, bucket
+    * join on any-band equality — the MinHash banding machinery on
+    * integer slices); this operator is its exact-reference tier. */
+  def annHammingTopK(spark: SparkSession, dir: String, probes: Int = 5,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bits = 60
+    val code = expr(
+      s"aggregate(sequence(0, ${bits - 1}), 0L, " +
+        "(acc, i) -> acc + IF(element_at(embedding, i + 1) > 0F, " +
+        "shiftleft(1L, i), 0L))")
+    val coded = table(spark, dir, "embeddings")
+      .select(col("vec_id"), code.as("code"))
+    val probePanel = coded.filter(col("vec_id") < probes)
+      .select(col("vec_id").as("probe_id"), col("code").as("pcode"))
+    val ranked = coded
+      .join(broadcast(probePanel), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        bit_count(col("code").bitwiseXOR(col("pcode"))).as("hamming"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("rank") <= k)
+    ranked.select(col("probe_id"), col("rank"), col("vec_id"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Radius (range) similarity search: every vector with cosine ≥ `tau`
     * to the query vector — the recall-guaranteed form of similarity
     * search (dedup gating, near-duplicate retrieval, compliance "find

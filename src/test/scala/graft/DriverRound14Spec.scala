@@ -963,4 +963,28 @@ class DriverRound14Spec extends SparkSpec {
         s"pi_hat ${r.getFloat(5)} far from truth $truth (n=$n)")
     }
   }
+
+  test("ann_hamming_topk: sign codes and popcount distances replay on " +
+      "crafted vectors; identical vector is rank 1 at distance 0") {
+    import spark.implicits._
+    import graft.query.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("r14-hamm").toString
+    // 64-dim vectors; only the first 60 dims matter for the code
+    def vec(bits: Set[Int]): Array[Float] =
+      Array.tabulate(64)(i => if (bits(i)) 1.0f else -1.0f)
+    Seq(
+      (0L, vec(Set(0, 1, 2)), 0),   // probe
+      (5L, vec(Set(0, 1, 2)), 0),   // identical -> hamming 0
+      (6L, vec(Set(0, 1)), 0),      // 1 bit off
+      (7L, vec(Set(0, 1, 2, 59)), 0), // 1 bit off (bit 59 counts)
+      (8L, vec(Set(0, 1, 2, 60)), 0), // dim 60 is OUTSIDE the code -> 0
+      (9L, vec(Set.empty), 0))      // 3 bits off
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.annHammingTopK(spark, dir, probes = 1, k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getInt(3)))
+    // ranks: 5 (d=0), 8 (d=0, id tiebreak), 6 (d=1), 7 (d=1), 9 (d=3)
+    assert(out.toSeq == Seq((1, 5L, 0), (2, 8L, 0), (3, 6L, 1),
+      (4, 7L, 1), (5, 9L, 3)), s"got ${out.mkString(",")}")
+  }
 }
