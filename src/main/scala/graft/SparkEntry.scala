@@ -689,6 +689,10 @@ object SparkEntry {
     // binary sign-code ANN: popcount(xor) top-k, the RAM-efficiency tier
     "ann_hamming_topk"       ->
       ((s: SparkSession, d: String) => Similarity.annHammingTopK(s, d)),
+    // MIH banded Hamming: 4x15-bit band index, <=3-distance recall
+    // guaranteed by pigeonhole; candidate count emitted for audit
+    "ann_hamming_mih"        ->
+      ((s: SparkSession, d: String) => Similarity.annHammingMih(s, d)),
     // DPO prep: (chosen, rejected) + margin per 4-doc candidate group
     "pref_pair_margin"       ->
       ((s: SparkSession, d: String) => Curation2.prefPairMargin(s, d)),
@@ -2958,6 +2962,55 @@ object SparkEntry {
         |  FROM r
         |)
         |SELECT probe_id, CAST(rank AS INT) AS rank, vec_id, hamming
+        |FROM t WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // MIH: candidates share >= 1 of the 4 15-bit bands; exact rerank;
+    // planted 1-flip / 3-flip near-dups make the pigeonhole recall real
+    "ann_hamming_mih" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(generate_series(1, 64), i ->
+        |      CASE WHEN i = 4 THEN -embedding[i] ELSE embedding[i] END)
+        |      AS embedding
+        |  FROM embeddings WHERE vec_id < 5
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |    list_transform(generate_series(1, 64), i ->
+        |      CASE WHEN i IN (4, 14, 24) THEN -embedding[i]
+        |        ELSE embedding[i] END) AS embedding
+        |  FROM embeddings WHERE vec_id < 5
+        |), c AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN embedding[i + 1] > 0
+        |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS code
+        |  FROM base,
+        |    LATERAL (SELECT unnest(generate_series(0, 59)) AS i) s
+        |  GROUP BY vec_id
+        |), cb AS (
+        |  SELECT vec_id, code, j AS slot,
+        |    (code >> (15 * j)) & 32767 AS band
+        |  FROM c, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) b
+        |), pb AS (
+        |  SELECT vec_id AS probe_id, code AS pcode, slot, band
+        |  FROM cb WHERE vec_id < 5
+        |), cand AS (
+        |  SELECT DISTINCT pb.probe_id, cb.vec_id, cb.code, pb.pcode
+        |  FROM cb JOIN pb ON cb.slot = pb.slot AND cb.band = pb.band
+        |  WHERE cb.vec_id <> pb.probe_id
+        |), sc AS (
+        |  SELECT probe_id, vec_id,
+        |    CAST(bit_count(xor(code, pcode)) AS INT) AS hamming,
+        |    CAST(count(*) OVER (PARTITION BY probe_id) AS BIGINT)
+        |      AS n_candidates
+        |  FROM cand
+        |), t AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY hamming, vec_id) AS rank
+        |  FROM sc
+        |)
+        |SELECT probe_id, CAST(rank AS INT) AS rank, vec_id, hamming,
+        |  n_candidates
         |FROM t WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     // skyline: the declarative NOT EXISTS dominance definition; the
     // engine's bucket-prefilter + survivor anti-join must equal it

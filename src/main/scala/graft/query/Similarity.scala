@@ -136,6 +136,80 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Multi-index-hashing Hamming search — [[annHammingTopK]]'s
+    * certified sub-linear path made real: the 60-bit sign code splits
+    * into 4 disjoint 15-bit bands indexed separately; a candidate is
+    * any vector sharing ≥ 1 band with the probe, and only candidates
+    * pay the full popcount rerank. Pigeonhole guarantee: a code within
+    * Hamming distance 3 of the probe cannot differ in all 4 bands, so
+    * every ≤3-distance neighbor is RECALLED BY CONSTRUCTION (the
+    * Norouzi–Punjani–Fleet MIH contract); farther vectors appear only
+    * if they happen to collide. Emits the per-probe candidate count
+    * beside the top-k so the pruning ratio is auditable in the output.
+    *
+    * Scale shape: the band index is ONE map-only projection + a
+    * 4-way-fanout equi-join on (band_slot, band_value) — the MinHash
+    * banding machinery on integer slices; candidates per probe are a
+    * vanishing fraction of the corpus at real code entropy, and the
+    * rerank touches only them. Pure integers end to end.
+    *
+    * The declared corpus plants two near-duplicates per probe (1 and 3
+    * sign flips — the dedup_simhash planted-corpus idiom): random sign
+    * codes have no ≤3-distance neighbors, so without plants the
+    * guarantee would be vacuously exercised; with them, every planted
+    * neighbor MUST surface (pigeonhole) and the spec pins it. */
+  def annHammingMih(spark: SparkSession, dir: String, probes: Int = 5,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bits = 60
+    val code = expr(
+      s"aggregate(sequence(0, ${bits - 1}), 0L, " +
+        "(acc, i) -> acc + IF(element_at(embedding, i + 1) > 0F, " +
+        "shiftleft(1L, i), 0L))")
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val probeRows = emb.filter(col("vec_id") < probes)
+    val plant1 = probeRows.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> IF(i = 3, -x, x))")
+        .as("embedding"))
+    val plant3 = probeRows.select(
+      (col("vec_id") + 2000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> " +
+        "IF(i = 3 OR i = 13 OR i = 23, -x, x))").as("embedding"))
+    val coded = emb.unionAll(plant1).unionAll(plant3)
+      .select(col("vec_id"), code.as("code"))
+    def bands(c: Column): Column = array((0 until 4).map(j =>
+      struct(lit(j).as("slot"),
+        shiftright(c, 15 * j).bitwiseAND(lit(0x7fffL)).as("band"))): _*)
+    val corpusBands = coded
+      .select(col("vec_id"), col("code"), explode(bands(col("code"))).as("b"))
+      .select(col("vec_id"), col("code"),
+        col("b.slot").as("slot"), col("b.band").as("band"))
+    val probeBands = coded.filter(col("vec_id") < probes)
+      .select(col("vec_id").as("probe_id"), col("code").as("pcode"),
+        explode(bands(col("code"))).as("b"))
+      .select(col("probe_id"), col("pcode"),
+        col("b.slot").as("slot"), col("b.band").as("band"))
+    val cands = corpusBands
+      .join(broadcast(probeBands), Seq("slot", "band"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("code"), col("pcode"))
+      .distinct()
+    val scored = cands
+      .select(col("probe_id"), col("vec_id"),
+        bit_count(col("code").bitwiseXOR(col("pcode"))).as("hamming"))
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy(col("probe_id"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("rank") <= k)
+    scored.select(col("probe_id"), col("rank"), col("vec_id"),
+        col("hamming").cast("int").as("hamming"), col("n_candidates"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Radius (range) similarity search: every vector with cosine ≥ `tau`
     * to the query vector — the recall-guaranteed form of similarity
     * search (dedup gating, near-duplicate retrieval, compliance "find

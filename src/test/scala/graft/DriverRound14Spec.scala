@@ -986,5 +986,13 @@ class DriverRound14Spec extends SparkSpec {
     // ranks: 5 (d=0), 8 (d=0, id tiebreak), 6 (d=1), 7 (d=1), 9 (d=3)
     assert(out.toSeq == Seq((1, 5L, 0), (2, 8L, 0), (3, 6L, 1),
       (4, 7L, 1), (5, 9L, 3)), s"got ${out.mkString(",")}")
+    // MIH on the same fixture (+ its own planted 1-flip and 3-flip
+    // near-dups): every <= 3-distance neighbor shares a band by
+    // pigeonhole — the planted d=1 copy must enter the top-5
+    val mih = Similarity.annHammingMih(spark, dir, probes = 1, k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(mih.toSeq == Seq((1, 5L, 0), (2, 8L, 0), (3, 6L, 1),
+      (4, 7L, 1), (5, 1000000L, 1)),
+      s"MIH must recall all <=3-distance neighbors: ${mih.mkString(",")}")
   }
 }
