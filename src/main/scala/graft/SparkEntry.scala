@@ -828,6 +828,9 @@ object SparkEntry {
     // round 14: the trained tokenizer's unit-frequency vocabulary
     "text_bpe_vocab"         ->
       ((s: SparkSession, d: String) => TextAnalysis.textBpeVocab(s, d)),
+    // per-lang fertility of the TRAINED tokenizer (vocab-grain apply)
+    "text_bpe_fertility"     ->
+      ((s: SparkSession, d: String) => TextAnalysis.textBpeFertility(s, d)),
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -1029,6 +1032,37 @@ object SparkEntry {
        |  LATERAL (SELECT unnest(string_split(trim(sp), '  ')) AS unit) u
        |GROUP BY u.unit ORDER BY n_occ DESC, u.unit""".stripMargin
 
+  /** The [[graft.query.TextAnalysis.textBpeFertility]] oracle: apply
+    * the trained state v_rounds at the vocab grain (unit counts per
+    * word), join the (lang, word) corpus counts, two exact divisions
+    * per language row. */
+  private def bpeFertilityOracleSql(rounds: Int): String =
+    s"""${bpeTrainCtes(rounds)},
+       |wu AS (
+       |  SELECT word,
+       |    CAST(len(string_split(trim(sp), '  ')) AS BIGINT) AS n_units
+       |  FROM v$rounds
+       |), tw AS (
+       |  SELECT lang, tok AS word, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT lang, unnest(string_split(
+       |      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+       |      AS tok
+       |    FROM documents)
+       |  GROUP BY 1, 2
+       |), j AS (
+       |  SELECT lang, n, coalesce(wu.n_units, 1) AS nu,
+       |    CAST(length(word) AS BIGINT) AS nc
+       |  FROM tw LEFT JOIN wu USING (word)
+       |)
+       |SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+       |  CAST(sum(n * nu) AS BIGINT) AS n_units,
+       |  CAST(sum(n * nc) AS BIGINT) AS n_chars,
+       |  CAST(CAST(sum(n * nu) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+       |    AS REAL) AS fertility,
+       |  CAST(CAST(sum(n * nc) AS DOUBLE) / CAST(sum(n * nu) AS DOUBLE)
+       |    AS REAL) AS chars_per_unit
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   /** The [[graft.query.Similarity.ivfLloydTopK]] oracle: Forgy seeds →
     * `iters` unrolled Lloyd stages (per-dim ×10³-quantized member sums
     * → exact-rational REAL centroids → argmax-dot reassignment) →
@@ -1156,6 +1190,7 @@ object SparkEntry {
     "eval_paired_bootstrap" -> pairedBootstrapOracleSql(50),
     // same unrolled stages, final state exploded to the unit census
     "text_bpe_vocab" -> bpeVocabOracleSql(16),
+    "text_bpe_fertility" -> bpeFertilityOracleSql(16),
     // frames replayed closed-form (the audio_frames oracle), active
     // threshold win·T² = 400·6000², islands via frame − row_number
     "multimodal_audio_vad" ->

@@ -334,6 +334,52 @@ object TextAnalysis {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }
 
+  /** Tokenizer FERTILITY audit — apply the trained `rounds`-merge BPE
+    * to the whole corpus and report per language: words, post-merge
+    * units, chars, fertility (units/word) and compression
+    * (chars/unit). This is the number a tokenizer team actually ships
+    * (how many units a language pays per word decides its effective
+    * context length and training cost), and it exercises the full
+    * train→apply→measure loop, not just training.
+    *
+    * Scale shape: application happens at the VOCAB grain — the trained
+    * state already holds every distinct word fully merged, so
+    * "tokenizing the corpus" is a (lang, word)-count aggregate joined
+    * to the vocab panel; no per-occurrence string work at all. The
+    * (lang, word) pre-aggregate collapses Zipf-head repeats before the
+    * join (the unigram-LM discipline). Words shorter than 2 chars are
+    * single units by definition (the training loop never splits them).
+    * Exactness: integer sums, two exact divisions per lang row. */
+  def textBpeFertility(spark: SparkSession, dir: String,
+      rounds: Int = 16): DataFrame = {
+    val (_, vocab) = trainBpe(spark, dir, rounds)
+    val wordUnits = vocab.select(col("word"),
+      size(split(trim(col("sp")), "  ")).cast("long").as("n_units"))
+    val langWords = table(spark, dir, "documents")
+      .select(col("lang"), explode(Dedup.tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val out = langWords.join(wordUnits, Seq("word"), "left")
+      .select(col("lang"), col("n"),
+        coalesce(col("n_units"), lit(1L)).as("nu"),
+        length(col("word")).cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("nu")).as("n_units"),
+        sum(col("n") * col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_units"), col("n_chars"),
+        (col("n_units").cast("double") / col("n_words").cast("double"))
+          .cast("float").as("fertility"),
+        (col("n_chars").cast("double") / col("n_units").cast("double"))
+          .cast("float").as("chars_per_unit"))
+      .orderBy(col("lang"))
+    // eager: the loop's checkpoints would otherwise pin until GC
+    val rows = out.collect()
+    vocab.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+  }
+
   /** The shared training loop: returns (merge table rows, final vocab
     * state (word, freq, sp) — still persisted/checkpointed; caller
     * unpersists). */

@@ -995,4 +995,31 @@ class DriverRound14Spec extends SparkSpec {
       (4, 7L, 1), (5, 1000000L, 1)),
       s"MIH must recall all <=3-distance neighbors: ${mih.mkString(",")}")
   }
+
+  test("text_bpe_fertility: the vocab-grain apply matches the hand fold " +
+      "(1 merge round) and short words count as single units") {
+    import spark.implicits._
+    import graft.query.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("r14-fert").toString
+    // vocab: aaab (pairs aa x2, ab x1), ab (ab x1) -> tie (a,a)=(a,b)=2,
+    // tiebreak picks (a,a); after 1 merge: aaab->3 units, ab->2, x->1
+    Seq((0L, "aaab ab x")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.textBpeFertility(spark, dir, rounds = 1)
+      .collect().head
+    assert(r.getString(0) == "en")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 6L, 7L)))
+    assert(r.getFloat(4) == 2.0f)
+    assert(r.getFloat(5) == (7.0 / 6.0).toFloat)
+    // consistency on real data: merging only ever shrinks unit counts
+    val real = TextAnalysis
+      .textBpeFertility(spark, "/root/testdata/sf0.001").collect()
+    assert(real.nonEmpty)
+    real.foreach { row =>
+      assert(row.getLong(2) <= row.getLong(3),
+        "units can never exceed chars")
+      assert(row.getFloat(4) >= 1.0f, "a word is at least one unit")
+    }
+  }
 }
