@@ -831,6 +831,9 @@ object SparkEntry {
     // per-lang fertility of the TRAINED tokenizer (vocab-grain apply)
     "text_bpe_fertility"     ->
       ((s: SparkSession, d: String) => TextAnalysis.textBpeFertility(s, d)),
+    // per-source exact -> near-dup survivor funnel off the shared indexes
+    "dedup_cascade_report"   ->
+      ((s: SparkSession, d: String) => Dedup.dedupCascadeReport(s, d)),
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -1191,6 +1194,7 @@ object SparkEntry {
     // same unrolled stages, final state exploded to the unit census
     "text_bpe_vocab" -> bpeVocabOracleSql(16),
     "text_bpe_fertility" -> bpeFertilityOracleSql(16),
+    "dedup_cascade_report" -> dedupCascadeOracleSql,
     // frames replayed closed-form (the audio_frames oracle), active
     // threshold win·T² = 400·6000², islands via frame − row_number
     "multimodal_audio_vad" ->
@@ -8894,6 +8898,42 @@ object SparkEntry {
        |      / len(list_distinct(sa.sh || sb.sh)) >= $threshold
        |)""".stripMargin
   }
+
+  /** The [[graft.query.Dedup.dedupCascadeReport]] oracle: the shared
+    * MinHash pairs chain plus a source-carrying planted base, exact
+    * fingerprint keeps, and the pairwise both-survivor near-drop. */
+  private def dedupCascadeOracleSql: String =
+    s"""WITH ${minhashPairsCtes(8, 4, "0.5")},
+       |srcbase AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, source,
+       |    'planted near duplicate copy ' || text AS text
+       |  FROM documents WHERE doc_id < 10
+       |), ex AS (
+       |  SELECT doc_id, source,
+       |    doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(
+       |      regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep_exact
+       |  FROM srcbase
+       |), nd AS (
+       |  SELECT DISTINCT p.doc_b AS doc_id
+       |  FROM pairs p
+       |  JOIN ex a ON a.doc_id = p.doc_a AND a.keep_exact
+       |  JOIN ex b ON b.doc_id = p.doc_b AND b.keep_exact
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN keep_exact THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_after_exact,
+       |  CAST(sum(CASE WHEN keep_exact
+       |      AND ex.doc_id NOT IN (SELECT doc_id FROM nd)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_after_near,
+       |  CAST(count(*) - sum(CASE WHEN keep_exact THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_exact_dropped,
+       |  CAST(sum(CASE WHEN keep_exact THEN 1 ELSE 0 END)
+       |    - sum(CASE WHEN keep_exact
+       |        AND ex.doc_id NOT IN (SELECT doc_id FROM nd)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dropped
+       |FROM ex GROUP BY source ORDER BY source""".stripMargin
 
   /** Containment verify on the same high-recall 16×2 banding as
     * [[graft.query.Dedup.dedupContainment]]: |A∩B| / min(|A|,|B|). The

@@ -121,6 +121,50 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Dedup-cascade survivor funnel — the report a curation pipeline
+    * publishes after each corpus build: per source, how many documents
+    * entered, how many survived EXACT dedup (min-id per md5
+    * fingerprint), and how many survived the NEAR-dup stage on top
+    * (MinHash-LSH verified pairs among exact survivors; the larger id
+    * of each pair drops — the pairwise keep-original rule, applied
+    * only between documents both stages kept). Runs on the planted
+    * corpus so the near stage has non-degenerate effect (the
+    * [[withPlantedNearDups]] rationale).
+    *
+    * Scale shape: stage 1 is ONE shuffle on the fingerprint; stage 2
+    * probes the SAME persisted signature/candidate indexes as
+    * [[dedupMinhashLsh]] (cache hits when run beside it), restricted
+    * by two survivor semi-joins; the report is a tiny source-keyed
+    * aggregate. Nothing here is new corpus-scale work — that is the
+    * point of reporting from the existing indexes. */
+  def dedupCascadeReport(spark: SparkSession, dir: String): DataFrame = {
+    val base = withPlantedNearDups(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val exact = base
+      .withColumn("fp", md5(normText(col("text"))))
+      .withColumn("keep_exact", col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .select(col("doc_id"), col("source"), col("keep_exact"))
+    val survivors = exact.filter(col("keep_exact")).select(col("doc_id"))
+    val nearDropped = dedupMinhashLsh(spark, dir)
+      .join(survivors.select(col("doc_id").as("doc_a")), Seq("doc_a"))
+      .join(survivors.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_dropped", lit(true))
+    exact.join(nearDropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep_exact"), 1L).otherwise(0L))
+          .as("n_after_exact"),
+        sum(when(col("keep_exact") && col("near_dropped").isNull, 1L)
+          .otherwise(0L)).as("n_after_near"))
+      .select(col("source"), col("n_docs"), col("n_after_exact"),
+        col("n_after_near"),
+        (col("n_docs") - col("n_after_exact")).as("n_exact_dropped"),
+        (col("n_after_exact") - col("n_after_near")).as("n_near_dropped"))
+      .orderBy(col("source"))
+  }
+
   /** Sketch-accuracy audit for the MinHash family: for every LSH
     * candidate pair, the signature-estimated Jaccard (matching
     * positions / signature width — the estimator the banding's recall

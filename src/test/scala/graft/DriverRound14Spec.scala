@@ -1022,4 +1022,27 @@ class DriverRound14Spec extends SparkSpec {
       assert(row.getFloat(4) >= 1.0f, "a word is at least one unit")
     }
   }
+
+  test("dedup_cascade_report: exact stage drops the duplicate text AND " +
+      "its duplicate plant; near stage drops exactly the surviving " +
+      "plants; funnel counts reconcile") {
+    import spark.implicits._
+    import graft.query.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("r14-cascade").toString
+    def words(tag: String): String =
+      (1 to 10).map(i => s"${tag}w$i").mkString(" ")
+    Seq(
+      (0L, words("a"), "s"), (1L, words("b"), "s"), (2L, words("c"), "s"),
+      (3L, words("d"), "s"), (4L, words("d"), "s")) // 4 duplicates 3
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = Dedup.dedupCascadeReport(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // 5 docs + 5 plants; exact drops doc 4 and plant(4); near drops the
+    // 4 surviving plants (each pairs only with its own original)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5)) == ((10L, 8L, 4L, 2L, 4L)),
+      s"funnel mismatch: $row")
+  }
 }
