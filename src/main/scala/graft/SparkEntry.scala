@@ -834,6 +834,8 @@ object SparkEntry {
     // per-source exact -> near-dup survivor funnel off the shared indexes
     "dedup_cascade_report"   ->
       ((s: SparkSession, d: String) => Dedup.dedupCascadeReport(s, d)),
+    // leak-free LM scoring: train on even docs, score odd (+1 smoothing)
+    "text_heldout_perplexity" -> TextAnalysis.textHeldoutPerplexity _,
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -1195,6 +1197,33 @@ object SparkEntry {
     "text_bpe_vocab" -> bpeVocabOracleSql(16),
     "text_bpe_fertility" -> bpeFertilityOracleSql(16),
     "dedup_cascade_report" -> dedupCascadeOracleSql,
+    // train on even doc_ids, Laplace-smoothed scoring of the odd half
+    "text_heldout_perplexity" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+        |      AS tok
+        |    FROM documents) GROUP BY 1, 2
+        |), vocab AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt
+        |  FROM tf WHERE doc_id % 2 = 0 GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM vocab
+        |), sc AS (
+        |  SELECT tf.doc_id, tf.tf, coalesce(vocab.cnt, 0) AS cnt,
+        |    tot.total, tot.v
+        |  FROM tf LEFT JOIN vocab USING (tok), tot
+        |  WHERE tf.doc_id % 2 = 1
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN cnt = 0 THEN tf ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(-sum(tf * (ln(cnt + 1) - ln(total + v))) / sum(tf)
+        |    AS REAL) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // frames replayed closed-form (the audio_frames oracle), active
     // threshold win·T² = 400·6000², islands via frame − row_number
     "multimodal_audio_vad" ->

@@ -625,6 +625,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** HELD-OUT unigram perplexity — [[unigramLogprob]] scores each doc
+    * under a model trained on the whole corpus INCLUDING itself; this
+    * is the leak-free discipline an eval actually requires: the LM
+    * trains on the even-doc_id half (+1 Laplace smoothing over the
+    * train vocabulary) and scores only the odd half, reporting per doc
+    * the token count, the OOV token count (the signal smoothing hides)
+    * and the average negative log-likelihood. The spread of avg_nll
+    * across held-out docs is the quality-filter threshold CCNet-style
+    * pipelines tune on.
+    *
+    * Exactness: counts are BIGINTs; ln((cnt+1)/(total+V)) is evaluated
+    * as ln(cnt+1) − ln(total+V) from exact integers; the per-doc Σ
+    * runs in double and the REAL cast absorbs group-order ulps (the
+    * [[unigramLogprob]] rule).
+    *
+    * Scale shape: identical to the unigram LM — (doc, tok) grain
+    * first, Zipf-head collapse before the vocab join, 1-row totals
+    * broadcast. */
+  def textHeldoutPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val tf = tokenTf(spark, dir)
+    val vocab = tf.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("v"))
+    tf.filter(col("doc_id") % 2 === 1)
+      .join(vocab, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("tf"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        col("total"), col("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("cnt") === 0, col("tf")).otherwise(0L)).as("n_oov"),
+        (-sum(col("tf") * (log(col("cnt") + 1) - log(col("total") + col("v"))))
+          / sum(col("tf"))).cast("float").as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-distribution Shannon entropy per document: H = ln n −
     * (Σ tf·ln tf)/n, in nats, plus the distinct-token count — low
     * entropy flags repetitive/templated text, complementing

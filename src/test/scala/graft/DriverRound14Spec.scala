@@ -1045,4 +1045,24 @@ class DriverRound14Spec extends SparkSpec {
       row.getLong(4), row.getLong(5)) == ((10L, 8L, 4L, 2L, 4L)),
       s"funnel mismatch: $row")
   }
+
+  test("text_heldout_perplexity: only odd docs are scored, OOV tokens " +
+      "are counted not hidden, and the smoothed NLL replays by hand") {
+    import spark.implicits._
+    import graft.query.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("r14-ppl").toString
+    // train (even): "a a b" -> vocab {a: 2, b: 1}, total 3, V 2
+    // test (odd): "a z" -> a: ln(3/5), z (OOV): ln(1/5)
+    Seq((0L, "a a b"), (1L, "a z")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.textHeldoutPerplexity(spark, dir).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L,
+      "only the held-out (odd) docs may be scored")
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2)) == ((2L, 1L)))
+    val nll = -((math.log(2 + 1) - math.log(3 + 2))
+      + (math.log(0 + 1) - math.log(3 + 2))) / 2.0
+    assert(r.getFloat(3) == nll.toFloat, s"nll ${r.getFloat(3)} != $nll")
+  }
 }
