@@ -836,6 +836,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.dedupCascadeReport(s, d)),
     // leak-free LM scoring: train on even docs, score odd (+1 smoothing)
     "text_heldout_perplexity" -> TextAnalysis.textHeldoutPerplexity _,
+    // bounded-state MV: top-k maintained from state + insert tranche
+    "mv_topk_delta"          ->
+      ((s: SparkSession, d: String) => Warehouse2.mvTopkDelta(s, d)),
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -1224,6 +1227,20 @@ object SparkEntry {
         |  CAST(-sum(tf * (ln(cnt + 1) - ln(total + v))) / sum(tf)
         |    AS REAL) AS avg_nll
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // FULL recompute: the engine's state+delta maintenance must equal it
+    "mv_topk_delta" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 1000.0) AS BIGINT) AS v3
+        |  FROM events
+        |), t AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY v3 DESC, event_id) AS rank
+        |  FROM e
+        |)
+        |SELECT event_type, CAST(rank AS INT) AS rank, event_id, v3,
+        |  event_id % 10 = 0 AS from_delta
+        |FROM t WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
     // frames replayed closed-form (the audio_frames oracle), active
     // threshold win·T² = 400·6000², islands via frame − row_number
     "multimodal_audio_vad" ->

@@ -76,6 +76,47 @@ object Warehouse2 {
       .orderBy(col("part_month"), col("target_file"))
   }
 
+  /** Incremental TOP-K view maintenance — the BOUNDED-STATE member of
+    * the MV family ([[mvIncrementalMerge]] merges associative
+    * sum/count partials; top-k is not associative over deletions but
+    * IS insert-prunable): the maintained state per key is only its
+    * current top-3, and an insert tranche refreshes the view by
+    * re-ranking state ∪ delta — correct because the true top-3 of
+    * base ∪ delta is always a subset of (top-3 of base) ∪ delta. The
+    * base is the `event_id % 10 != 0` events (standing for the
+    * persisted view), the delta the `% 10 == 0` tranche; the oracle
+    * recomputes the top-3 from ALL events directly, so the hash match
+    * PROVES the pruned maintenance path equals the full recompute.
+    * Ranking is (×10³ integer value DESC, event_id) — deterministic,
+    * no float ordering anywhere.
+    *
+    * Scale shape: at deployment the base top-3 is the stored view
+    * (k rows per key, never rescanned); here it costs one
+    * map-side-combined min_by/max_by-style window over base. The
+    * refresh itself ranks k + |delta-per-key| rows per key — delta
+    * grain, not corpus grain. */
+  def mvTopkDelta(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * lit(1000.0)).cast("long").as("v3"))
+    def topk(df: DataFrame): DataFrame = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("v3").desc, col("event_id"))))
+      .filter(col("rank") <= k)
+    val baseView = topk(e.filter(col("event_id") % 10 =!= 0))
+      .select(col("event_id"), col("event_type"), col("v3"))
+    val delta = e.filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("event_type"), col("v3"))
+    topk(baseView.unionByName(delta))
+      .select(col("event_type"), col("rank").cast("int").as("rank"),
+        col("event_id"), col("v3"),
+        (col("event_id") % 10 === 0).as("from_delta"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   /** Incremental materialized-view merge: monthly revenue rollup computed
     * by MERGING persisted daily partial-aggregate states (sum/count are
     * associative), not by rescanning the base table — the maintenance

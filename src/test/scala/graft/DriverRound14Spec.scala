@@ -1065,4 +1065,26 @@ class DriverRound14Spec extends SparkSpec {
       + (math.log(0 + 1) - math.log(3 + 2))) / 2.0
     assert(r.getFloat(3) == nll.toFloat, s"nll ${r.getFloat(3)} != $nll")
   }
+
+  test("mv_topk_delta: the pruned state+delta refresh equals the full " +
+      "recompute, including a delta row displacing a base-view row") {
+    import spark.implicits._
+    import graft.query.Warehouse2
+    val dir = java.nio.file.Files.createTempDirectory("r14-mvtopk").toString
+    // base (id % 10 != 0): values 5, 4, 3, 2; delta id 10 value 4.5
+    // -> true top-3 is 5, 4.5(delta), 4: the delta DISPLACES value-3
+    val rows = Seq((1L, 5.0), (2L, 4.0), (3L, 3.0), (4L, 2.0),
+      (10L, 4.5))
+    rows.toDF("event_id", "value")
+      .select(col("event_id"),
+        expr("timestamp_millis(1700000000000 + event_id)").as("ts"),
+        lit(1L).as("user_id"), lit("click").as("event_type"),
+        col("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = Warehouse2.mvTopkDelta(spark, dir).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq((1, 1L, 5000L, false),
+      (2, 10L, 4500L, true), (3, 2L, 4000L, false)),
+      s"got ${out.mkString(",")}")
+  }
 }
