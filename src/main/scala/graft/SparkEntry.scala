@@ -839,6 +839,9 @@ object SparkEntry {
     // bounded-state MV: top-k maintained from state + insert tranche
     "mv_topk_delta"          ->
       ((s: SparkSession, d: String) => Warehouse2.mvTopkDelta(s, d)),
+    // pairwise source-vocabulary Jaccard via one bitmask aggregate
+    "corpus_source_overlap"  ->
+      ((s: SparkSession, d: String) => Curation2.corpusSourceOverlap(s, d)),
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -1241,6 +1244,46 @@ object SparkEntry {
         |SELECT event_type, CAST(rank AS INT) AS rank, event_id, v3,
         |  event_id % 10 = 0 AS from_delta
         |FROM t WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    // one (token)-grain bit_or; pair stats off the mask histogram
+    "corpus_source_overlap" ->
+      """WITH si AS (
+        |  SELECT * FROM (
+        |    SELECT source,
+        |      CAST(row_number() OVER (ORDER BY source) - 1 AS INT) AS idx
+        |    FROM (SELECT DISTINCT source FROM documents)
+        |  ) WHERE idx < 16
+        |), tk AS (
+        |  SELECT si.idx, tok FROM (
+        |    SELECT source, unnest(string_split(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+        |      AS tok
+        |    FROM documents) d JOIN si USING (source)
+        |), m AS (
+        |  SELECT tok, CAST(bit_or(CAST(1 AS BIGINT) << idx) AS BIGINT)
+        |    AS mask
+        |  FROM tk GROUP BY tok
+        |), h AS (
+        |  SELECT mask, CAST(count(*) AS BIGINT) AS cnt FROM m
+        |  GROUP BY mask
+        |), p AS (
+        |  SELECT a.source AS source_a, a.idx AS ia,
+        |    b.source AS source_b, b.idx AS ib
+        |  FROM si a JOIN si b ON a.source < b.source
+        |), s AS (
+        |  SELECT source_a, source_b,
+        |    CAST(sum(CASE WHEN (mask >> ia) & 1 = 1 THEN cnt ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN (mask >> ib) & 1 = 1 THEN cnt ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN (mask >> ia) & 1 = 1
+        |        AND (mask >> ib) & 1 = 1 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n_common
+        |  FROM h CROSS JOIN p GROUP BY source_a, source_b
+        |)
+        |SELECT source_a, source_b, n_a, n_b, n_common,
+        |  CAST(CAST(n_common AS DOUBLE)
+        |    / CAST(n_a + n_b - n_common AS DOUBLE) AS REAL) AS jaccard
+        |FROM s ORDER BY source_a, source_b""".stripMargin,
     // frames replayed closed-form (the audio_frames oracle), active
     // threshold win·T² = 400·6000², islands via frame − row_number
     "multimodal_audio_vad" ->

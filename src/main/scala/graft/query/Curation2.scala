@@ -330,6 +330,55 @@ object Curation2 {
       .orderBy(col("doc_id"), col("copy_idx"))
   }
 
+  /** Pairwise source vocabulary overlap — the "how redundant are my
+    * sources" curation signal (two crawls with Jaccard ≈ 1 vocabularies
+    * are the same corpus twice; a mix budget should know). For every
+    * unordered source pair: distinct-token counts, the shared-token
+    * count, and the Jaccard ratio.
+    *
+    * Scale shape: the ONLY corpus-scale pass is one (token)-grain
+    * aggregate that ORs each token's source-membership BITMASK
+    * (bit_or map-side combines); every pair statistic then reads off
+    * the ≤ 2^|sources| mask histogram crossed with the tiny pair panel
+    * — pair count never touches the data again, so 10 pairs or 10 000
+    * cost the same single shuffle. Sources are capped at 16 mask bits
+    * (alphabetical), the mix-budget grain in practice.
+    *
+    * Exactness: BIGINT counts, ONE double division per pair. */
+  def corpusSourceOverlap(spark: SparkSession, dir: String,
+      maxSources: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = table(spark, dir, "documents")
+      .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val srcIdx = d.select(col("source")).distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy(col("source"))) - 1).cast("int"))
+      .filter(col("idx") < maxSources)
+    val masks = d.join(broadcast(srcIdx), Seq("source"))
+      .groupBy(col("tok"))
+      .agg(bit_or(expr("shiftleft(1L, idx)")).as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+    val pairs = srcIdx.select(col("source").as("source_a"),
+        col("idx").as("ia"))
+      .crossJoin(srcIdx.select(col("source").as("source_b"),
+        col("idx").as("ib")))
+      .filter(col("source_a") < col("source_b"))
+    val inA = expr("(shiftright(mask, ia) & 1L) = 1L")
+    val inB = expr("(shiftright(mask, ib) & 1L) = 1L")
+    val stats = masks.crossJoin(broadcast(pairs))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        sum(when(inA, col("cnt")).otherwise(0L)).as("n_a"),
+        sum(when(inB, col("cnt")).otherwise(0L)).as("n_b"),
+        sum(when(inA && inB, col("cnt")).otherwise(0L)).as("n_common"))
+    stats.select(col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .cast("float").as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** CCNet-style perplexity buckets: split each language's documents
     * into head / middle / tail terciles of a language-model fluency
     * score, the classic web-corpus quality triage (head feeds

@@ -1087,4 +1087,22 @@ class DriverRound14Spec extends SparkSpec {
       (2, 10L, 4500L, true), (3, 2L, 4000L, false)),
       s"got ${out.mkString(",")}")
   }
+
+  test("corpus_source_overlap: pairwise vocab Jaccard from the bitmask " +
+      "histogram matches the hand-counted sets") {
+    import spark.implicits._
+    import graft.query.Curation2
+    val dir = java.nio.file.Files.createTempDirectory("r14-ovl").toString
+    // vocabs: s1 {a,b,c}, s2 {b,c,d}, s3 {x}
+    Seq((0L, "a b c", "s1"), (1L, "b c d", "s2"), (2L, "x x", "s3"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = Curation2.corpusSourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getFloat(5))).toMap
+    assert(out.size == 3)
+    assert(out(("s1", "s2")) == ((3L, 3L, 2L, 0.5f)))
+    assert(out(("s1", "s3")) == ((3L, 1L, 0L, 0.0f)))
+    assert(out(("s2", "s3")) == ((3L, 1L, 0L, 0.0f)))
+  }
 }
