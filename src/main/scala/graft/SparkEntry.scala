@@ -842,6 +842,8 @@ object SparkEntry {
     // pairwise source-vocabulary Jaccard via one bitmask aggregate
     "corpus_source_overlap"  ->
       ((s: SparkSession, d: String) => Curation2.corpusSourceOverlap(s, d)),
+    // exact mean pairwise intra-label dot via the sum-vector identity
+    "emb_label_cohesion"     -> Analytics4.embLabelCohesion _,
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -1284,6 +1286,32 @@ object SparkEntry {
         |  CAST(CAST(n_common AS DOUBLE)
         |    / CAST(n_a + n_b - n_common AS DOUBLE) AS REAL) AS jaccard
         |FROM s ORDER BY source_a, source_b""".stripMargin,
+    // sum-vector identity: sum_{i!=j} xi.xj = |Sx|^2 - sum|x|^2, exact
+    // on x1000-quantized BIGINTs; one division, de-scaled by 1e6
+    "emb_label_cohesion" ->
+      """WITH q AS (
+        |  SELECT label, list_transform(embedding,
+        |    e -> CAST(round(CAST(e AS DOUBLE) * 1000.0) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), pd AS (
+        |  SELECT label, d, CAST(sum(v[d]) AS BIGINT) AS s
+        |  FROM q, LATERAL (SELECT unnest(generate_series(1, 64)) AS d) t
+        |  GROUP BY label, d
+        |), outerm AS (
+        |  SELECT label, CAST(sum(s * s) AS BIGINT) AS sum_outer
+        |  FROM pd GROUP BY label
+        |), sq AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(list_sum(list_transform(v, x -> x * x))) AS BIGINT)
+        |      AS sum_sq
+        |  FROM q GROUP BY label
+        |)
+        |SELECT sq.label, sq.n, outerm.sum_outer, sq.sum_sq,
+        |  CAST(CAST(sum_outer - sum_sq AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE) / 1000000.0 AS REAL)
+        |    AS avg_pair_dot
+        |FROM sq JOIN outerm USING (label)
+        |WHERE sq.n >= 2 ORDER BY sq.label""".stripMargin,
     // frames replayed closed-form (the audio_frames oracle), active
     // threshold win·T² = 400·6000², islands via frame − row_number
     "multimodal_audio_vad" ->

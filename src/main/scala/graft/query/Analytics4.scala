@@ -518,6 +518,43 @@ object Analytics4 {
       .orderBy(col("dim"))
   }
 
+  /** Intra-label embedding cohesion: the EXACT mean pairwise dot
+    * product inside each label — the mode-collapse / cluster-cohesion
+    * signal (a label whose members all point the same way scores near
+    * its mean norm; a diverse one near zero) — computed WITHOUT a pair
+    * join via the sum-vector identity Σᵢ≠ⱼ xᵢ·xⱼ = ‖Σx‖² − Σ‖x‖².
+    * Embeddings are ×10³-quantized to BIGINTs first (the
+    * [[embCovarianceInt]] discipline), so both moments are exact
+    * integers and the mean is ONE double division, de-scaled by 10⁶.
+    *
+    * Scale shape: one map-side-combined aggregate per label (64 dim
+    * sums + one norm sum) — O(n·d) with no shuffle wider than the
+    * label key; the pairwise n(n−1) denominator never materializes
+    * pairs. Long bound: |Σ_d| ≤ n·2·10³ ⇒ S_d² exact to n ≈ 1.5e6
+    * per label; beyond that the sums move to DECIMAL(38,0). */
+  def embLabelCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val q = table(spark, dir, "embeddings")
+      .select(col("label"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * 1000.0).cast("long")).as("v"))
+    val sums = (0 until dim).map(d =>
+      sum(element_at(col("v"), d + 1)).as(s"s$d"))
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(aggregate(col("v"), lit(0L), (acc, x) => acc + x * x))
+        .as("sum_sq")) ++ sums
+    val g = q.groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
+    val outer = (0 until dim).map(d => col(s"s$d") * col(s"s$d"))
+      .reduce(_ + _)
+    g.filter(col("n") >= 2)
+      .select(col("label"), col("n"), outer.as("sum_outer"),
+        col("sum_sq"),
+        (((outer - col("sum_sq")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")) / lit(1000000.0))
+          .cast("float").as("avg_pair_dot"))
+      .orderBy(col("label"))
+  }
+
   // ---- behavioral entropy ------------------------------------------------
 
   /** Shannon entropy of each user's event-type distribution — the

@@ -1105,4 +1105,24 @@ class DriverRound14Spec extends SparkSpec {
     assert(out(("s1", "s3")) == ((3L, 1L, 0L, 0.0f)))
     assert(out(("s2", "s3")) == ((3L, 1L, 0L, 0.0f)))
   }
+
+  test("emb_label_cohesion: the sum-vector identity reproduces the " +
+      "hand-computed mean pairwise dot; singleton labels drop") {
+    import spark.implicits._
+    import graft.query.Analytics4
+    val dir = java.nio.file.Files.createTempDirectory("r14-coh").toString
+    def unit(d: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == d) 1.0f else 0.0f)
+    Seq((0L, unit(0), 1), (1L, unit(0), 1), (2L, unit(1), 1),
+      (3L, unit(5), 2)) // label 2 is a singleton -> dropped
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val out = Analytics4.embLabelCohesion(spark, dir).collect()
+    assert(out.length == 1 && out.head.getInt(0) == 1)
+    val r = out.head
+    // S = [2000, 1000, 0...]: outer 5e6, sum_sq 3e6, pairs 6 -> 1/3
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 5000000L, 3000000L)))
+    assert(r.getFloat(4) == (2000000.0 / 6.0 / 1000000.0).toFloat)
+  }
 }
