@@ -844,6 +844,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Curation2.corpusSourceOverlap(s, d)),
     // exact mean pairwise intra-label dot via the sum-vector identity
     "emb_label_cohesion"     -> Analytics4.embLabelCohesion _,
+    // exact mean cross-label dot (Sa.Sb) per label pair
+    "emb_label_separation"   -> Analytics4.embLabelSeparation _,
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -1312,6 +1314,33 @@ object SparkEntry {
         |    AS avg_pair_dot
         |FROM sq JOIN outerm USING (label)
         |WHERE sq.n >= 2 ORDER BY sq.label""".stripMargin,
+    // cross-label: sum_{i in a, j in b} xi.xj = Sa.Sb, exact
+    "emb_label_separation" ->
+      """WITH q AS (
+        |  SELECT label, list_transform(embedding,
+        |    e -> CAST(round(CAST(e AS DOUBLE) * 1000.0) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), pd AS (
+        |  SELECT label, d, CAST(sum(v[d]) AS BIGINT) AS s
+        |  FROM q, LATERAL (SELECT unnest(generate_series(1, 64)) AS d) t
+        |  GROUP BY label, d
+        |), g AS (
+        |  SELECT label, list(s ORDER BY d) AS sv FROM pd GROUP BY label
+        |), n AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n FROM q
+        |  GROUP BY label
+        |), j AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    na.n AS n_a, nb.n AS n_b,
+        |    CAST(list_dot_product(a.sv, b.sv) AS BIGINT) AS cross_dot
+        |  FROM g a JOIN g b ON a.label < b.label
+        |  JOIN n na ON na.label = a.label
+        |  JOIN n nb ON nb.label = b.label
+        |)
+        |SELECT label_a, label_b, n_a, n_b, cross_dot,
+        |  CAST(CAST(cross_dot AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+        |    / 1000000.0 AS REAL) AS avg_cross_dot
+        |FROM j ORDER BY label_a, label_b""".stripMargin,
     // frames replayed closed-form (the audio_frames oracle), active
     // threshold win·T² = 400·6000², islands via frame − row_number
     "multimodal_audio_vad" ->

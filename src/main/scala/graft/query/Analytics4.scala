@@ -555,6 +555,44 @@ object Analytics4 {
       .orderBy(col("label"))
   }
 
+  /** Between-label separation — [[embLabelCohesion]]'s contrast: the
+    * exact mean CROSS-label pairwise dot, again without a pair join
+    * (Σᵢ∈a,ⱼ∈b xᵢ·xⱼ = Sₐ·S_b on the same quantized per-label sum
+    * vectors). A healthy labeling has within ≫ between; emitted per
+    * unordered label pair so the confusable pairs are visible.
+    *
+    * Scale shape: the per-label sum vectors are one map-side-combined
+    * aggregate (shared shape with the cohesion op); the pair panel is
+    * |labels|² scalar math on broadcast-sized state. */
+  def embLabelSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val q = table(spark, dir, "embeddings")
+      .select(col("label"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * 1000.0).cast("long")).as("v"))
+    val sums = (0 until dim).map(d =>
+      sum(element_at(col("v"), d + 1)).as(s"s$d"))
+    val aggs = count(lit(1)).as("n") +: sums
+    val g = q.groupBy(col("label"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("label"), col("n"),
+        array((0 until dim).map(d => col(s"s$d")): _*).as("sv"))
+    val a = g.select(col("label").as("label_a"), col("n").as("n_a"),
+      col("sv").as("sa"))
+    val b = g.select(col("label").as("label_b"), col("n").as("n_b"),
+      col("sv").as("sb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn("cross_dot",
+        aggregate(zip_with(col("sa"), col("sb"), (x, y) => x * y),
+          lit(0L), (acc, t) => acc + t))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("cross_dot"),
+        ((col("cross_dot").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")) / lit(1000000.0))
+          .cast("float").as("avg_cross_dot"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   // ---- behavioral entropy ------------------------------------------------
 
   /** Shannon entropy of each user's event-type distribution — the

@@ -1124,5 +1124,13 @@ class DriverRound14Spec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((3L, 5000000L, 3000000L)))
     assert(r.getFloat(4) == (2000000.0 / 6.0 / 1000000.0).toFloat)
+    // separation on the same fixture: S1 = [2000,1000,0...],
+    // S2 = e5*1000 -> cross_dot 0; mean cross dot 0
+    val sep = Analytics4.embLabelSeparation(spark, dir).collect()
+    assert(sep.length == 1)
+    val s = sep.head
+    assert((s.getInt(0), s.getInt(1), s.getLong(2), s.getLong(3),
+      s.getLong(4)) == ((1, 2, 3L, 1L, 0L)))
+    assert(s.getFloat(5) == 0.0f)
   }
 }
