@@ -65,6 +65,90 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     graft.query.Dedup.clearCaches()
   }
 
+  test("empty corpus: the round-14 eval/curation/embedding wave " +
+      "degrades to empty or all-null single rows, never a crash") {
+    val evDir = java.nio.file.Files.createTempDirectory("edge-ev14").toString
+    graft.schema.Schemas.table(spark, sf, "events").limit(0)
+      .coalesce(1).write.parquet(s"$evDir/events.parquet")
+    // events-backed: empty-keyed aggregates give zero rows
+    Seq[(String, DataFrame)](
+      "eval_paired_bootstrap" ->
+        graft.query.Analytics5.evalPairedBootstrap(spark, evDir),
+      "eval_bradley_terry" ->
+        graft.query.Analytics5.evalBradleyTerry(spark, evDir),
+      "eval_win_rate_matrix" ->
+        graft.query.Analytics5.evalWinRateMatrix(spark, evDir),
+      "privacy_rand_response" ->
+        graft.query.Analytics5.privacyRandResponse(spark, evDir),
+      "mv_topk_delta" ->
+        graft.query.Warehouse2.mvTopkDelta(spark, evDir))
+      .foreach { case (name, df) =>
+        val out = try df.collect()
+          catch { case e: Throwable =>
+            fail(s"$name threw on the empty corpus: $e") }
+        assert(out.isEmpty, s"$name returned rows on an empty corpus")
+      }
+    // global single-row aggregates: one row of zero counts and NULL
+    // statistics (the oracle-consistent shape), never 0/0
+    Seq[(String, DataFrame)](
+      "eval_fleiss_kappa" ->
+        graft.query.Analytics5.evalFleissKappa(spark, evDir),
+      "eval_krippendorff_alpha" ->
+        graft.query.Analytics5.evalKrippendorffAlpha(spark, evDir))
+      .foreach { case (name, df) =>
+        val out = try df.collect()
+          catch { case e: Throwable =>
+            fail(s"$name threw on the empty corpus: $e") }
+        assert(out.length == 1 && out.head.getLong(0) == 0L,
+          s"$name must report zero items")
+      }
+    // documents/embeddings-backed: all empty
+    Seq[(String, DataFrame)](
+      "corpus_ccnet_buckets" ->
+        graft.query.Curation2.corpusCcnetBuckets(spark, emptyDir),
+      "corpus_epoch_repeat" ->
+        graft.query.Curation2.corpusEpochRepeat(spark, emptyDir),
+      "corpus_source_overlap" ->
+        graft.query.Curation2.corpusSourceOverlap(spark, emptyDir),
+      "pref_pair_margin" ->
+        graft.query.Curation2.prefPairMargin(spark, emptyDir),
+      "text_span_mask_plan" ->
+        graft.query.TextAnalysis.textSpanMaskPlan(spark, emptyDir),
+      "eval_chrf" -> graft.query.TextAnalysis.evalChrf(spark, emptyDir),
+      "text_heldout_perplexity" ->
+        graft.query.TextAnalysis.textHeldoutPerplexity(spark, emptyDir),
+      "eval_rank_corr" ->
+        graft.query.Analytics5.evalRankCorr(spark, emptyDir),
+      "ann_hamming_topk" ->
+        graft.query.Similarity.annHammingTopK(spark, emptyDir),
+      "ann_hamming_mih" ->
+        graft.query.Similarity.annHammingMih(spark, emptyDir),
+      "emb_label_cohesion" ->
+        graft.query.Analytics4.embLabelCohesion(spark, emptyDir),
+      "emb_label_separation" ->
+        graft.query.Analytics4.embLabelSeparation(spark, emptyDir),
+      "dedup_cascade_report" ->
+        graft.query.Dedup.dedupCascadeReport(spark, emptyDir))
+      .foreach { case (name, df) =>
+        val out = try df.collect()
+          catch { case e: Throwable =>
+            fail(s"$name threw on the empty corpus: $e") }
+        assert(out.isEmpty, s"$name returned rows on an empty corpus")
+      }
+    // degenerate non-empty: constant scores make every rank tie — the
+    // rank-correlation guards must yield NULL rho/tau, not a crash
+    val constDir =
+      java.nio.file.Files.createTempDirectory("edge-const").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    Seq((0L, "w w"), (1L, "w w"), (2L, "w w"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .coalesce(1).write.parquet(s"$constDir/documents.parquet")
+    val rc = graft.query.Analytics5.evalRankCorr(spark, constDir).collect()
+    assert(rc.length == 1 && rc.head.isNullAt(5) && rc.head.isNullAt(12),
+      "constant signals must yield NULL correlations")
+  }
+
   test("empty events stream: stateful drains produce zero rows, not a crash") {
     // first trigger on a brand-new stream with nothing to read — the
     // state-store setup, watermark init, and finalization batch all run
