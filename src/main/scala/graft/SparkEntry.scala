@@ -846,6 +846,9 @@ object SparkEntry {
     "emb_label_cohesion"     -> Analytics4.embLabelCohesion _,
     // exact mean cross-label dot (Sa.Sb) per label pair
     "emb_label_separation"   -> Analytics4.embLabelSeparation _,
+    // systematic PPS sampling: integer anchor+step on cumulative cents
+    "sample_pps_systematic"  ->
+      ((s: SparkSession, d: String) => Analytics5.samplePpsSystematic(s, d)),
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -1341,6 +1344,36 @@ object SparkEntry {
         |  CAST(CAST(cross_dot AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
         |    / 1000000.0 AS REAL) AS avg_cross_dot
         |FROM j ORDER BY label_a, label_b""".stripMargin,
+    // systematic PPS: points a + k*W in x20-scaled cumulative space;
+    // multiplicity = ceil-count difference, all BIGINT floor division
+    "sample_pps_systematic" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS w
+        |  FROM orders
+        |), c AS (
+        |  SELECT o_orderkey, w,
+        |    CAST(sum(w) OVER (ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS c_hi
+        |  FROM o
+        |), t AS (
+        |  SELECT max(c_hi) AS big_w,
+        |    CAST('0x' || substr(md5('pps:anchor'), 1, 15) AS BIGINT)
+        |      % max(c_hi) AS a
+        |  FROM c
+        |), m AS (
+        |  SELECT o_orderkey, w, c_hi - w AS c_lo, c_hi,
+        |    (CASE WHEN c_hi * 20 <= a THEN 0
+        |      ELSE 1 + (c_hi * 20 - a - 1) // big_w END)
+        |    - (CASE WHEN (c_hi - w) * 20 <= a THEN 0
+        |      ELSE 1 + ((c_hi - w) * 20 - a - 1) // big_w END)
+        |      AS multiplicity
+        |  FROM c, t
+        |)
+        |SELECT o_orderkey, w, CAST(c_lo AS BIGINT) AS c_lo, c_hi,
+        |  CAST(multiplicity AS BIGINT) AS multiplicity
+        |FROM m WHERE multiplicity >= 1 ORDER BY o_orderkey""".stripMargin,
     // frames replayed closed-form (the audio_frames oracle), active
     // threshold win·T² = 400·6000², islands via frame − row_number
     "multimodal_audio_vad" ->

@@ -677,6 +677,50 @@ object Analytics5 {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Systematic probability-proportional-to-size sampling — the survey
+    * sampler a pipeline uses when it needs inclusion probability ∝
+    * weight WITH the low-variance systematic spacing (one random
+    * anchor, points every W/n along the cumulative weight axis), not
+    * independent draws. Weights are o_totalprice cents; an order can
+    * be selected with multiplicity > 1 if its weight spans several
+    * points (the PPS-with-replacement convention, reported in the
+    * `multiplicity` column).
+    *
+    * Integer-exact: work scaled ×n so the points sit at
+    * a + k·W (a = hash60(pps:anchor) mod W): an item's multiplicity is
+    * ⌈(n·Cᵢ − a)/W⌉ − ⌈(n·Cᵢ₋₁ − a)/W⌉, all nonneg BIGINT floor
+    * division — no real-valued step anywhere, bit-identical
+    * cross-engine, and Σ multiplicity = n by construction.
+    *
+    * Scale shape: one global cumulative sum over the weight column
+    * (here a window; at corpus scale the two-level per-partition
+    * prefix histogram [[graft.ingest.Batcher]] uses for
+    * s9_batch_assign — rank is the only global state), then a map-only
+    * multiplicity expression with the 1-row (W, a) panel broadcast. */
+  def samplePpsSystematic(spark: SparkSession, dir: String,
+      n: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("w"))
+      .withColumn("c_hi", sum(col("w")).over(
+        Window.orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("c_lo", col("c_hi") - col("w"))
+    val tot = o.agg(max(col("c_hi")).as("big_w"))
+      .select(col("big_w"),
+        (Dedup.hash60(lit("pps:anchor")) % col("big_w")).as("a"))
+    def cnt(x: String): Column =
+      expr(s"IF($x <= a, 0L, 1L + ($x - a - 1) DIV big_w)")
+    o.crossJoin(broadcast(tot))
+      .withColumn("multiplicity",
+        cnt(s"c_hi * ${n}L") - cnt(s"c_lo * ${n}L"))
+      .filter(col("multiplicity") >= 1)
+      .select(col("o_orderkey"), col("w"), col("c_lo"), col("c_hi"),
+        col("multiplicity"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Local-DP randomized response (Warner's mechanism) per event type:
     * each respondent reports the true bit (the event-id parity) with
     * probability p = 3/4 and the flipped bit otherwise, and the

@@ -1133,4 +1133,37 @@ class DriverRound14Spec extends SparkSpec {
       s.getLong(4)) == ((1, 2, 3L, 1L, 0L)))
     assert(s.getFloat(5) == 0.0f)
   }
+
+  test("sample_pps_systematic: multiplicities sum to n, track weight, " +
+      "and replay from the integer anchor arithmetic") {
+    import graft.query.Analytics5
+    val out = Analytics5.samplePpsSystematic(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(4)).sum == 20L,
+      "systematic PPS must place exactly n points")
+    // replay: a and W from the data, each row's multiplicity recomputed
+    val wsum = out.map(r => r.getLong(3)).max // max c_hi among selected
+    // recompute W exactly from the table
+    val o = graft.schema.Schemas.table(spark, "/root/testdata/sf0.001",
+      "orders")
+    val bigW = o.selectExpr("CAST(sum(CAST(round(o_totalprice * 100.0)" +
+      " AS BIGINT)) AS BIGINT)").collect().head.getLong(0)
+    assert(wsum <= bigW)
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val a = h60("pps:anchor") % bigW
+    def cnt(x: Long): Long = if (x <= a) 0L else 1L + (x - a - 1) / bigW
+    out.foreach { r =>
+      val want = cnt(r.getLong(3) * 20) - cnt(r.getLong(2) * 20)
+      assert(r.getLong(4) == want,
+        s"order ${r.getLong(0)}: multiplicity ${r.getLong(4)} != $want")
+      // a selected item's weight interval must actually contain a point
+      assert(want >= 1)
+    }
+  }
 }
