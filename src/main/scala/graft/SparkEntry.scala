@@ -849,6 +849,8 @@ object SparkEntry {
     // systematic PPS sampling: integer anchor+step on cumulative cents
     "sample_pps_systematic"  ->
       ((s: SparkSession, d: String) => Analytics5.samplePpsSystematic(s, d)),
+    // expected / maximum calibration error over the reliability bins
+    "eval_ece"               -> Analytics3.evalEce _,
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -3278,6 +3280,50 @@ object SparkEntry {
         |  sum(score) AS sum_score,
         |  count(CASE WHEN label % 2 = 1 THEN 1 END) AS n_pos
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ECE: per-bin terms pivoted to 10 fixed columns, left-assoc sum
+    "eval_ece" ->
+      """WITH s AS (
+        |  SELECT least(greatest(CAST(embedding[1] AS DOUBLE) * 2.0 + 0.5,
+        |    0.0), 0.9999) AS score, label
+        |  FROM embeddings
+        |), b AS (
+        |  SELECT CAST(floor(score * 10) AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, sum(score) AS sum_score,
+        |    CAST(count(CASE WHEN label % 2 = 1 THEN 1 END) AS BIGINT)
+        |      AS n_pos
+        |  FROM s GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS n_bins
+        |  FROM b
+        |), terms AS (
+        |  SELECT bin, n_total, n_bins,
+        |    (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      * abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - sum_score / CAST(n AS DOUBLE)) AS term,
+        |    abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - sum_score / CAST(n AS DOUBLE)) AS gap
+        |  FROM b CROSS JOIN t
+        |), p AS (
+        |  SELECT n_total, n_bins,
+        |    coalesce(sum(CASE WHEN bin = 0 THEN term END), 0.0) AS t0,
+        |    coalesce(sum(CASE WHEN bin = 1 THEN term END), 0.0) AS t1,
+        |    coalesce(sum(CASE WHEN bin = 2 THEN term END), 0.0) AS t2,
+        |    coalesce(sum(CASE WHEN bin = 3 THEN term END), 0.0) AS t3,
+        |    coalesce(sum(CASE WHEN bin = 4 THEN term END), 0.0) AS t4,
+        |    coalesce(sum(CASE WHEN bin = 5 THEN term END), 0.0) AS t5,
+        |    coalesce(sum(CASE WHEN bin = 6 THEN term END), 0.0) AS t6,
+        |    coalesce(sum(CASE WHEN bin = 7 THEN term END), 0.0) AS t7,
+        |    coalesce(sum(CASE WHEN bin = 8 THEN term END), 0.0) AS t8,
+        |    coalesce(sum(CASE WHEN bin = 9 THEN term END), 0.0) AS t9,
+        |    max(gap) AS max_gap
+        |  FROM terms GROUP BY n_total, n_bins
+        |)
+        |SELECT n_total, n_bins,
+        |  CAST(t0 + t1 + t2 + t3 + t4 + t5 + t6 + t7 + t8 + t9 AS REAL)
+        |    AS ece,
+        |  CAST(max_gap AS REAL) AS max_gap
+        |FROM p""".stripMargin,
     "ann_l2_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |  FROM embeddings WHERE vec_id = 0)

@@ -301,6 +301,44 @@ object Analytics3 {
       .orderBy(col("bin"))
   }
 
+  /** Expected calibration error — the ONE-NUMBER summary of the
+    * [[evalCalibrationBins]] reliability diagram
+    * (ECE = Σ_b (n_b/N)·|acc_b − conf_b|) plus the worst-bin gap
+    * (maximum calibration error) — the two numbers an eval report
+    * quotes before trusting a model's probabilities.
+    *
+    * Determinism: bin confidences sum FLOAT-derived doubles with ≥ 29
+    * free mantissa bits (exact at any realistic bin size — the reason
+    * the bins query itself hash-matches), each per-bin term is fixed
+    * scalar arithmetic, and the cross-bin Σ is a PIVOTED left-assoc
+    * addition of the 10 fixed bins — never an unordered double
+    * aggregate.
+    *
+    * Scale shape: everything corpus-sized already happened inside the
+    * bins' one map-side-combined aggregate; this is ≤10-row scalar
+    * math. */
+  def evalEce(spark: SparkSession, dir: String): DataFrame = {
+    val b = evalCalibrationBins(spark, dir)
+    val tot = b.agg(sum(col("n")).as("n_total"),
+      count(lit(1)).as("n_bins"))
+    val nD = col("n").cast("double")
+    val gap = abs(col("n_pos").cast("double") / nD
+      - col("sum_score") / nD)
+    val terms = b.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_total"), col("n_bins"),
+        ((nD / col("n_total").cast("double")) * gap).as("term"),
+        gap.as("gap"))
+    val aggCols = (0 to 9).map(i =>
+      coalesce(sum(when(col("bin") === i, col("term"))), lit(0.0))
+        .as(s"t$i")) :+ max(col("gap")).as("max_gap")
+    val g = terms.groupBy(col("n_total"), col("n_bins"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val ece = (0 to 9).map(i => col(s"t$i")).reduce(_ + _)
+    g.select(col("n_total"), col("n_bins"),
+      ece.cast("float").as("ece"),
+      col("max_gap").cast("float").as("max_gap"))
+  }
+
   /** Isotonic calibration over the [[evalCalibrationBins]] score bins —
     * the monotone recalibration map (classifier score → calibrated
     * probability) every probability-consuming pipeline fits. Instead of

@@ -1166,4 +1166,28 @@ class DriverRound14Spec extends SparkSpec {
       assert(want >= 1)
     }
   }
+
+  test("eval_ece: the pivoted left-assoc rollup replays from the bins " +
+      "and max_gap dominates every per-bin term's gap") {
+    import graft.query.Analytics3
+    val dir = "/root/testdata/sf0.001"
+    val bins = Analytics3.evalCalibrationBins(spark, dir).collect()
+    val nTot = bins.map(_.getLong(1)).sum
+    val terms = (0 to 9).map { i =>
+      bins.find(_.getInt(0) == i).map { b =>
+        val n = b.getLong(1).toDouble
+        (n / nTot.toDouble) * math.abs(b.getLong(3).toDouble / n
+          - b.getDouble(2) / n)
+      }.getOrElse(0.0)
+    }
+    val gaps = bins.map { b =>
+      val n = b.getLong(1).toDouble
+      math.abs(b.getLong(3).toDouble / n - b.getDouble(2) / n)
+    }
+    val r = Analytics3.evalEce(spark, dir).collect().head
+    assert(r.getLong(0) == nTot && r.getLong(1) == bins.length)
+    assert(r.getFloat(2) == terms.reduce(_ + _).toFloat,
+      s"ece ${r.getFloat(2)} != replayed ${terms.reduce(_ + _)}")
+    assert(r.getFloat(3) == gaps.max.toFloat)
+  }
 }
