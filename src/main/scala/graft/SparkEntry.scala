@@ -851,6 +851,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Analytics5.samplePpsSystematic(s, d)),
     // expected / maximum calibration error over the reliability bins
     "eval_ece"               -> Analytics3.evalEce _,
+    // Matthews correlation + balanced accuracy + Youden's J
+    "eval_mcc"               -> Analytics5.evalMcc _,
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -3324,6 +3326,56 @@ object SparkEntry {
         |    AS ece,
         |  CAST(max_gap AS REAL) AS max_gap
         |FROM p""".stripMargin,
+    // MCC: exact BIGINT cells; denominator in double (Long margins
+    // product would overflow at corpus scale); degenerate margins NULL
+    "eval_mcc" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 1000.0) AS BIGINT) AS v3
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, CAST(sum(v3) AS BIGINT) AS s3,
+        |    CAST(count(*) AS BIGINT) AS n_t FROM e GROUP BY event_type
+        |), s AS (
+        |  SELECT (e.v3 * m.n_t > m.s3) AS pred,
+        |    CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+        |      || ':label'), 1, 15) AS BIGINT) % 2 = 1 AS label
+        |  FROM e JOIN m USING (event_type)
+        |), g AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM s
+        |)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+        |      AND tn + fn > 0
+        |    THEN (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+        |        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+        |      / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        |        * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |        * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+        |        * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)))
+        |    END AS REAL) AS mcc,
+        |  CAST(CASE WHEN tp + fn > 0 AND tn + fp > 0
+        |    THEN (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE)
+        |        + CAST(fn AS DOUBLE))
+        |      + CAST(tn AS DOUBLE) / (CAST(tn AS DOUBLE)
+        |        + CAST(fp AS DOUBLE))) / 2.0
+        |    END AS REAL) AS balanced_acc,
+        |  CAST(CASE WHEN tp + fn > 0 AND tn + fp > 0
+        |    THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE)
+        |        + CAST(fn AS DOUBLE))
+        |      + CAST(tn AS DOUBLE) / (CAST(tn AS DOUBLE)
+        |        + CAST(fp AS DOUBLE)) - 1.0
+        |    END AS REAL) AS youden_j
+        |FROM g""".stripMargin,
     "ann_l2_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |  FROM embeddings WHERE vec_id = 0)

@@ -1459,6 +1459,46 @@ object Analytics5 {
         .cast("float").as("chi2"))
   }
 
+  /** Matthews correlation coefficient (plus balanced accuracy and
+    * Youden's J) for the [[evalMcnemar]] type-mean classifier against
+    * the PRF label — the single-number binary metrics that stay
+    * meaningful under class imbalance where plain accuracy lies. All
+    * four confusion cells are exact BIGINTs off ONE map-side-combined
+    * aggregate; MCC's denominator is evaluated in double with fixed
+    * parenthesization (the Long product of four ~n/2 margins would
+    * overflow at corpus scale), and degenerate margins (a zero row or
+    * column) yield NULL mcc, not 0/0. */
+  def evalMcc(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * lit(1000.0)).cast("long").as("v3"))
+    val typeMeans = e.groupBy(col("event_type"))
+      .agg(sum(col("v3")).as("s3"), count(lit(1)).as("n_t"))
+    val scored = e.join(broadcast(typeMeans), Seq("event_type"))
+      .select((col("v3") * col("n_t") > col("s3")).as("pred"),
+        (graft.query.Dedup.hash60(concat(col("event_id").cast("string"),
+          lit(":label"))) % 2 === 1).as("label"))
+    val g = scored.agg(
+      sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("pred") && !col("label"), 1L).otherwise(0L)).as("tn"))
+    def d(c: String): Column = col(c).cast("double")
+    val den = sqrt((d("tp") + d("fp")) * (d("tp") + d("fn"))
+      * (d("tn") + d("fp")) * (d("tn") + d("fn")))
+    val tpr = d("tp") / (d("tp") + d("fn"))
+    val tnr = d("tn") / (d("tn") + d("fp"))
+    g.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      when((col("tp") + col("fp")) > 0 && (col("tp") + col("fn")) > 0 &&
+        (col("tn") + col("fp")) > 0 && (col("tn") + col("fn")) > 0,
+        (d("tp") * d("tn") - d("fp") * d("fn")) / den)
+        .cast("float").as("mcc"),
+      when((col("tp") + col("fn")) > 0 && (col("tn") + col("fp")) > 0,
+        (tpr + tnr) / lit(2.0)).cast("float").as("balanced_acc"),
+      when((col("tp") + col("fn")) > 0 && (col("tn") + col("fp")) > 0,
+        tpr + tnr - lit(1.0)).cast("float").as("youden_j"))
+  }
+
   /** Fleiss' kappa: chance-corrected agreement of m = 3 raters assigning
     * k = 3 categories to the same items — the multi-annotator QA
     * statistic an RLHF / preference-labeling pipeline reports before

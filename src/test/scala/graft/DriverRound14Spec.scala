@@ -1190,4 +1190,23 @@ class DriverRound14Spec extends SparkSpec {
       s"ece ${r.getFloat(2)} != replayed ${terms.reduce(_ + _)}")
     assert(r.getFloat(3) == gaps.max.toFloat)
   }
+
+  test("eval_mcc: cells conserve n and mcc/balanced-acc/J replay from " +
+      "the integer cells with the fixed parenthesization") {
+    import graft.query.Analytics5
+    val r = Analytics5.evalMcc(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(tp + fp + fn + tn == 1000L, "cells must conserve the corpus")
+    def d(x: Long) = x.toDouble
+    val mcc = (d(tp) * d(tn) - d(fp) * d(fn)) /
+      math.sqrt((d(tp) + d(fp)) * (d(tp) + d(fn))
+        * (d(tn) + d(fp)) * (d(tn) + d(fn)))
+    val tpr = d(tp) / (d(tp) + d(fn)); val tnr = d(tn) / (d(tn) + d(fp))
+    assert(r.getFloat(4) == mcc.toFloat)
+    assert(r.getFloat(5) == ((tpr + tnr) / 2.0).toFloat)
+    assert(r.getFloat(6) == (tpr + tnr - 1.0).toFloat)
+    assert(math.abs(r.getFloat(4)) <= 1.0f)
+  }
 }
