@@ -853,6 +853,8 @@ object SparkEntry {
     "eval_ece"               -> Analytics3.evalEce _,
     // Matthews correlation + balanced accuracy + Youden's J
     "eval_mcc"               -> Analytics5.evalMcc _,
+    // cld3-style char-trigram language ID (even-doc-trained model)
+    "text_langid_chargram"   -> TextAnalysis.textLangidChargram _,
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -3376,6 +3378,42 @@ object SparkEntry {
         |        + CAST(fp AS DOUBLE)) - 1.0
         |    END AS REAL) AS youden_j
         |FROM g""".stripMargin,
+    // char-trigram langid: BIGINT counts, ONE division per (doc, lang),
+    // argmax by (score, lang) struct — lexicographic in both engines
+    "text_langid_chargram" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, replace(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ', '')
+        |    AS s
+        |  FROM documents
+        |), dgc AS (
+        |  SELECT doc_id, lang, substring(s, i, 3) AS g,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM b, LATERAL (SELECT unnest(
+        |    generate_series(1, length(s) - 2)) AS i) x
+        |  WHERE length(s) >= 3
+        |  GROUP BY 1, 2, 3
+        |), model AS (
+        |  SELECT g, lang AS mlang, CAST(sum(tf) AS BIGINT) AS cnt
+        |  FROM dgc WHERE doc_id % 2 = 0 GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT mlang, CAST(sum(cnt) AS BIGINT) AS t FROM model
+        |  GROUP BY 1
+        |), sc AS (
+        |  SELECT dgc.doc_id, model.mlang,
+        |    CAST(sum(dgc.tf * model.cnt) AS BIGINT) AS s_l
+        |  FROM dgc JOIN model USING (g) GROUP BY 1, 2
+        |), best AS (
+        |  SELECT doc_id, max(struct_pack(
+        |    score := CAST(s_l AS DOUBLE) / CAST(t AS DOUBLE),
+        |    lang := mlang)) AS bst
+        |  FROM sc JOIN tot USING (mlang) GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, b.lang AS lang_labeled,
+        |  coalesce(best.bst.lang, 'und') AS lang_predicted,
+        |  CAST(best.bst.score AS REAL) AS score,
+        |  best.bst.lang = b.lang AS correct
+        |FROM b LEFT JOIN best USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     "ann_l2_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |  FROM embeddings WHERE vec_id = 0)

@@ -1533,6 +1533,62 @@ object TextAnalysis {
       .orderBy(col("pair_id"))
   }
 
+  /** Char-trigram language ID — the model-based upgrade of the
+    * stopword-probe [[textLangId]] (cld3-style: per-language character
+    * n-gram statistics classify text that shares no stopwords with the
+    * probe lists). Per-language trigram counts train on the EVEN
+    * doc_ids (the held-out discipline); every doc then scores
+    * s_l = Σ_g tf_g·cnt_{g,l} / T_l — the mean trained-frequency of
+    * its trigrams under language l — and the argmax is the prediction.
+    *
+    * Determinism: counts are BIGINTs, each score is ONE
+    * correctly-rounded double division, and the argmax is max over
+    * (score, lang) structs — lexicographic, tie → later lang name,
+    * identical in both engines. Docs shorter than 3 stripped chars (no
+    * trigrams) predict 'und'.
+    *
+    * Scale shape: the (doc, gram) grain collapses repeats before the
+    * gram-keyed join (the unigram-LM discipline); the per-lang totals
+    * are a broadcast panel; the per-(doc, lang) partial sums map-side
+    * combine. At 100 TB the trained gram table is the persisted model
+    * — training is one corpus pass, scoring joins against it. */
+  def textLangidChargram(spark: SparkSession, dir: String): DataFrame = {
+    val stripped = call_function("replace", Dedup.normText(col("text")),
+      lit(" "), lit(""))
+    def grams(c: Column): Column =
+      when(length(c) >= 3,
+        expr("transform(sequence(1, length(s) - 2), " +
+          "i -> substring(s, i, 3))"))
+        .otherwise(array().cast("array<string>"))
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), stripped.as("s"))
+    val docGrams = base
+      .select(col("doc_id"), col("lang"), explode(grams(col("s"))).as("g"))
+      .groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("tf"))
+    val model = docGrams.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("g"), col("lang"))
+      .agg(sum(col("tf")).as("cnt"))
+      .select(col("g"), col("lang").as("mlang"), col("cnt"))
+    val totals = model.groupBy(col("mlang")).agg(sum(col("cnt")).as("t"))
+    val scored = docGrams.join(model, Seq("g"))
+      .groupBy(col("doc_id"), col("mlang"))
+      .agg(sum(col("tf") * col("cnt")).as("s_l"))
+      .join(broadcast(totals), Seq("mlang"))
+      .select(col("doc_id"),
+        struct((col("s_l").cast("double") / col("t").cast("double"))
+          .as("score"), col("mlang").as("lang")).as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("sc")).as("best"))
+    base.select(col("doc_id"), col("lang").as("lang_labeled"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang_labeled"),
+        coalesce(col("best.lang"), lit("und")).as("lang_predicted"),
+        col("best.score").cast("float").as("score"),
+        (col("best.lang") === col("lang_labeled")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** T5-style span-corruption plan: for each document, the deterministic
     * list of non-overlapping token spans to mask (~15% of tokens in
     * spans of `spanLen` = 3) — the denoising-objective preprocessing a

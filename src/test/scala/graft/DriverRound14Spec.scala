@@ -1209,4 +1209,28 @@ class DriverRound14Spec extends SparkSpec {
     assert(r.getFloat(6) == (tpr + tnr - 1.0).toFloat)
     assert(math.abs(r.getFloat(4)) <= 1.0f)
   }
+
+  test("text_langid_chargram: trigram evidence classifies held-out text " +
+      "by its training language; too-short docs predict 'und'") {
+    import spark.implicits._
+    import graft.query.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("r14-lid").toString
+    // even docs train: lang A is all-'abc' trigrams, lang B all-'xyz';
+    // odd docs are held out and must classify by their trigrams
+    Seq(
+      (0L, "abcabcabc", "aa"), (2L, "abcabc", "aa"),
+      (4L, "xyzxyzxyz", "bb"), (6L, "xyzxyz", "bb"),
+      (1L, "abcabcab", "aa"),  // held out, clearly aa
+      (3L, "zxyzxyzx", "bb"),  // held out, clearly bb
+      (5L, "zz", "bb"))        // < 3 chars -> und
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.textLangidChargram(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(2) == "aa" && out(1L).getBoolean(4))
+    assert(out(3L).getString(2) == "bb" && out(3L).getBoolean(4))
+    assert(out(5L).getString(2) == "und" && out(5L).isNullAt(4))
+    // training docs classify themselves correctly too
+    assert(out(0L).getString(2) == "aa" && out(4L).getString(2) == "bb")
+  }
 }
