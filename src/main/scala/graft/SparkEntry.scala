@@ -855,6 +855,9 @@ object SparkEntry {
     "eval_mcc"               -> Analytics5.evalMcc _,
     // cld3-style char-trigram language ID (even-doc-trained model)
     "text_langid_chargram"   -> TextAnalysis.textLangidChargram _,
+    // exponential-mechanism (Gumbel-max) DP top-k selection
+    "privacy_dp_topk"        ->
+      ((s: SparkSession, d: String) => Analytics5.privacyDpTopk(s, d)),
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -3414,6 +3417,26 @@ object SparkEntry {
         |  CAST(best.bst.score AS REAL) AS score,
         |  best.bst.lang = b.lang AS correct
         |FROM b LEFT JOIN best USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    // Gumbel-max = exponential mechanism; u from the md5 60-bit draw
+    "privacy_dp_topk" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_count
+        |  FROM events GROUP BY event_type
+        |), n AS (
+        |  SELECT event_type, exact_count,
+        |    CAST(exact_count AS DOUBLE) + 2.0 * (-ln(-ln(
+        |      (CAST(CAST('0x' || substr(md5('dptopk:' || event_type),
+        |        1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+        |      / 1152921504606846976.0))) AS noised_utility
+        |  FROM c
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY noised_utility DESC, event_type) AS rank
+        |  FROM n
+        |)
+        |SELECT CAST(rank AS INT) AS rank, event_type,
+        |  CAST(noised_utility AS REAL) AS noised_utility, exact_count
+        |FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin,
     "ann_l2_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |  FROM embeddings WHERE vec_id = 0)

@@ -721,6 +721,40 @@ object Analytics5 {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Differentially-private top-k selection — the EXPONENTIAL-mechanism
+    * member of the DP family ([[privacyDpCounts]] releases noised
+    * values; this releases a noised RANKING, the "which categories may
+    * I even name" primitive). Implemented as Gumbel-max (provably
+    * equivalent to the exponential mechanism): each candidate's
+    * utility (its count) is perturbed by (2Δ/ε)·g with
+    * g = −ln(−ln(u)) drawn from the deterministic md5 uniform, and the
+    * top-k noised utilities are released WITHOUT their counts. The
+    * demo grain ships the exact count beside the release for audit
+    * (the [[privacyDpCounts]] discipline).
+    *
+    * Scale shape: one tiny-key count aggregate; the noise and ranking
+    * are scalar math on the ≤|categories| panel. */
+  def privacyDpTopk(spark: SparkSession, dir: String, k: Int = 3,
+      epsilon: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (Dedup.hash60(concat(lit("dptopk:"), col("event_type")))
+      .cast("double") + 0.5) / lit(1152921504606846976.0)
+    val gumbel = -log(-log(u))
+    val noised = col("exact_count").cast("double") +
+      lit(2.0 / epsilon) * gumbel
+    graft.schema.Schemas.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_count"))
+      .withColumn("noised_utility", noised)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("noised_utility").desc, col("event_type"))))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("int").as("rank"), col("event_type"),
+        col("noised_utility").cast("float").as("noised_utility"),
+        col("exact_count"))
+      .orderBy(col("rank"))
+  }
+
   /** Local-DP randomized response (Warner's mechanism) per event type:
     * each respondent reports the true bit (the event-id parity) with
     * probability p = 3/4 and the flipped bit otherwise, and the

@@ -1233,4 +1233,28 @@ class DriverRound14Spec extends SparkSpec {
     // training docs classify themselves correctly too
     assert(out(0L).getString(2) == "aa" && out(4L).getString(2) == "bb")
   }
+
+  test("privacy_dp_topk: Gumbel-perturbed utilities replay from the md5 " +
+      "draw and the released ranking is their exact descending order") {
+    import graft.query.Analytics5
+    val out = Analytics5.privacyDpTopk(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 3)
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    out.foreach { r =>
+      val u = (h60(s"dptopk:${r.getString(1)}").toDouble + 0.5) /
+        1152921504606846976.0
+      val want = r.getLong(3).toDouble + 2.0 * (-math.log(-math.log(u)))
+      assert(r.getFloat(2) == want.toFloat,
+        s"${r.getString(1)}: ${r.getFloat(2)} != $want")
+    }
+    assert(out.map(_.getFloat(2)).toSeq ==
+      out.map(_.getFloat(2)).sortBy(-_).toSeq,
+      "release must be in descending noised-utility order")
+  }
 }
