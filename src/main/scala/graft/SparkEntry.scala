@@ -858,6 +858,8 @@ object SparkEntry {
     // exponential-mechanism (Gumbel-max) DP top-k selection
     "privacy_dp_topk"        ->
       ((s: SparkSession, d: String) => Analytics5.privacyDpTopk(s, d)),
+    // corpus entropy rate: H(X2|X1) vs H(X) and the predictability ratio
+    "text_bigram_entropy_rate" -> TextAnalysis.textBigramEntropyRate _,
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -3437,6 +3439,41 @@ object SparkEntry {
         |SELECT CAST(rank AS INT) AS rank, event_type,
         |  CAST(noised_utility AS REAL) AS noised_utility, exact_count
         |FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin,
+    // conditional bigram entropy vs unigram entropy; REAL absorbs the
+    // group-order ulps of the c*ln(c) folds (the unigram-LM rule)
+    "text_bigram_entropy_rate" ->
+      """WITH t AS (
+        |  SELECT string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), bi AS (
+        |  SELECT t[i] AS a, t[i + 1] AS b, CAST(count(*) AS BIGINT)
+        |    AS c_ab
+        |  FROM t, LATERAL (SELECT unnest(
+        |    generate_series(1, len(t) - 1)) AS i) x
+        |  WHERE len(t) >= 2 GROUP BY 1, 2
+        |), pf AS (
+        |  SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM bi GROUP BY a
+        |), c AS (
+        |  SELECT CAST(sum(c_ab) AS BIGINT) AS n_bigrams,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |    sum(c_ab * (ln(c_ab) - ln(c_a))) AS s_cond
+        |  FROM bi JOIN pf USING (a)
+        |), u AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    sum(c * ln(c)) AS s_uni
+        |  FROM (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(t) AS tok FROM t) GROUP BY tok)
+        |)
+        |SELECT n_bigrams, n_distinct_bigrams, n_tokens,
+        |  CAST(-s_cond / CAST(n_bigrams AS DOUBLE) AS REAL) AS h_cond,
+        |  CAST(ln(CAST(n_tokens AS DOUBLE))
+        |    - s_uni / CAST(n_tokens AS DOUBLE) AS REAL) AS h_uni,
+        |  CAST(1.0 - (-s_cond / CAST(n_bigrams AS DOUBLE))
+        |    / (ln(CAST(n_tokens AS DOUBLE))
+        |      - s_uni / CAST(n_tokens AS DOUBLE)) AS REAL)
+        |    AS predictability
+        |FROM c CROSS JOIN u""".stripMargin,
     "ann_l2_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |  FROM embeddings WHERE vec_id = 0)

@@ -1533,6 +1533,49 @@ object TextAnalysis {
       .orderBy(col("pair_id"))
   }
 
+  /** Corpus entropy RATE: the conditional bigram entropy H(X₂|X₁) =
+    * −Σ_ab p(ab)·ln p(b|a) next to the unigram entropy H(X) — their
+    * ratio is the corpus's predictability (natural text sits well
+    * below 1; shuffled or templated text approaches its own unigram
+    * ceiling). Complements the per-document [[textEntropy]] and the
+    * rank-slope [[TextAnalysis]] Zipf view with the corpus-level
+    * sequential-structure statistic.
+    *
+    * All counts are BIGINTs; the Σ c·ln c folds run in double with the
+    * REAL cast absorbing group-order ulps (the [[unigramLogprob]] /
+    * js_divergence rule). Shapes: adjacent-pair generation is the
+    * codegen'd explode(sequence) form; both aggregates map-side
+    * combine; the prefix join runs at the collapsed (a, b) grain. */
+  def textBigramEntropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(Dedup.tokens(col("text")).as("t"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(element_at(col("t"), col("i")).as("a"),
+        element_at(col("t"), col("i") + 1).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val prefix = bi.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val cond = bi.join(prefix, Seq("a"))
+      .agg(sum(col("c_ab")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        sum(col("c_ab") * (log(col("c_ab")) - log(col("c_a"))))
+          .as("s_cond"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * log(col("c"))).as("s_uni"))
+    val hCond = -col("s_cond") / col("n_bigrams").cast("double")
+    val hUni = log(col("n_tokens").cast("double")) -
+      col("s_uni") / col("n_tokens").cast("double")
+    cond.crossJoin(uni)
+      .select(col("n_bigrams"), col("n_distinct_bigrams"),
+        col("n_tokens"),
+        hCond.cast("float").as("h_cond"),
+        hUni.cast("float").as("h_uni"),
+        (lit(1.0) - hCond / hUni).cast("float").as("predictability"))
+  }
+
   /** Char-trigram language ID — the model-based upgrade of the
     * stopword-probe [[textLangId]] (cld3-style: per-language character
     * n-gram statistics classify text that shares no stopwords with the

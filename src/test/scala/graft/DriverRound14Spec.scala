@@ -1257,4 +1257,35 @@ class DriverRound14Spec extends SparkSpec {
       out.map(_.getFloat(2)).sortBy(-_).toSeq,
       "release must be in descending noised-utility order")
   }
+
+  test("text_bigram_entropy_rate: conditional and unigram entropies " +
+      "replay from hand-counted grams; deterministic text scores 0") {
+    import spark.implicits._
+    import graft.query.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("r14-ent").toString
+    Seq((0L, "a b a b"), (1L, "a a")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.textBigramEntropyRate(spark, dir).collect().head
+    // bigrams: (a,b) 2, (b,a) 1, (a,a) 1; prefixes a=3, b=1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 3L, 6L)))
+    val hCond = -(2.0 * (math.log(2) - math.log(3))
+      + 1.0 * (math.log(1) - math.log(1))
+      + 1.0 * (math.log(1) - math.log(3))) / 4.0
+    val hUni = math.log(6.0) -
+      (4.0 * math.log(4) + 2.0 * math.log(2)) / 6.0
+    assert(r.getFloat(3) == hCond.toFloat,
+      s"h_cond ${r.getFloat(3)} != $hCond")
+    assert(r.getFloat(4) == hUni.toFloat)
+    assert(r.getFloat(5) == (1.0 - hCond / hUni).toFloat)
+    // fully deterministic text: every bigram is forced by its prefix
+    val dir2 = java.nio.file.Files.createTempDirectory("r14-ent2").toString
+    Seq((0L, "a b a b a b")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .coalesce(1).write.parquet(s"$dir2/documents.parquet")
+    val r2 = TextAnalysis.textBigramEntropyRate(spark, dir2)
+      .collect().head
+    assert(r2.getFloat(3) == 0.0f && r2.getFloat(5) == 1.0f,
+      "alternating text must be perfectly predictable")
+  }
 }
