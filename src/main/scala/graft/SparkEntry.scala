@@ -860,6 +860,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Analytics5.privacyDpTopk(s, d)),
     // corpus entropy rate: H(X2|X1) vs H(X) and the predictability ratio
     "text_bigram_entropy_rate" -> TextAnalysis.textBigramEntropyRate _,
+    // ordinal (squared-distance) Krippendorff for graded annotations
+    "eval_krippendorff_ordinal" -> Analytics5.evalKrippendorffOrdinal _,
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -4528,6 +4530,78 @@ object SparkEntry {
         |    / CAST(2 * (n_ratings * n_ratings
         |        - (c0 * c0 + c1 * c1 + c2 * c2)) AS DOUBLE) AS REAL)
         |    AS alpha
+        |FROM g""".stripMargin,
+    // ordinal alpha: squared-distance pair mass, weights {1, 4, 1}
+    "eval_krippendorff_ordinal" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |      || ':truecat'), 1, 15) AS BIGINT) % 3 AS base
+        |  FROM events
+        |), c AS (
+        |  SELECT event_id,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':present1'), 1, 15) AS BIGINT) % 4 <> 0 THEN
+        |      CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |          || ':r1'), 1, 15) AS BIGINT) % 10 < 7 THEN base
+        |        ELSE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |          || ':alt1'), 1, 15) AS BIGINT) % 3 END
+        |    END AS c1,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':present2'), 1, 15) AS BIGINT) % 4 <> 0 THEN
+        |      CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |          || ':r2'), 1, 15) AS BIGINT) % 10 < 7 THEN base
+        |        ELSE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |          || ':alt2'), 1, 15) AS BIGINT) % 3 END
+        |    END AS c2,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':present3'), 1, 15) AS BIGINT) % 4 <> 0 THEN
+        |      CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |          || ':r3'), 1, 15) AS BIGINT) % 10 < 7 THEN base
+        |        ELSE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |          || ':alt3'), 1, 15) AS BIGINT) % 3 END
+        |    END AS c3
+        |  FROM r
+        |), n AS (
+        |  SELECT
+        |    CAST(CASE WHEN c1 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN c2 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN c3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n0,
+        |    CAST(CASE WHEN c1 = 1 THEN 1 ELSE 0 END
+        |      + CASE WHEN c2 = 1 THEN 1 ELSE 0 END
+        |      + CASE WHEN c3 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n1,
+        |    CAST(CASE WHEN c1 = 2 THEN 1 ELSE 0 END
+        |      + CASE WHEN c2 = 2 THEN 1 ELSE 0 END
+        |      + CASE WHEN c3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n2
+        |  FROM c
+        |), p AS (
+        |  SELECT n0, n1, n2, n0 + n1 + n2 AS m,
+        |    2 * (n0 * n1 + 4 * n0 * n2 + n1 * n2) AS dsq
+        |  FROM n
+        |), g AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_items,
+        |    CAST(coalesce(sum(CASE WHEN m >= 2 THEN m ELSE 0 END), 0)
+        |      AS BIGINT) AS n_ratings,
+        |    CAST(coalesce(sum(CASE WHEN m >= 2 THEN n0 ELSE 0 END), 0)
+        |      AS BIGINT) AS c0,
+        |    CAST(coalesce(sum(CASE WHEN m >= 2 THEN n1 ELSE 0 END), 0)
+        |      AS BIGINT) AS c1,
+        |    CAST(coalesce(sum(CASE WHEN m >= 2 THEN n2 ELSE 0 END), 0)
+        |      AS BIGINT) AS c2,
+        |    CAST(coalesce(sum(CASE WHEN m = 2 THEN 2 * dsq
+        |      WHEN m = 3 THEN dsq ELSE 0 END), 0) AS BIGINT) AS do_num2
+        |  FROM p
+        |)
+        |SELECT n_items, n_ratings, c0, c1, c2, do_num2,
+        |  CAST(2 * (c0 * c1 + 4 * c0 * c2 + c1 * c2) AS BIGINT)
+        |    AS de_num,
+        |  CAST(CASE WHEN 2 * (c0 * c1 + 4 * c0 * c2 + c1 * c2) > 0
+        |    THEN 1.0 - CAST(do_num2 * (n_ratings - 1) AS DOUBLE)
+        |      / CAST(2 * (2 * (c0 * c1 + 4 * c0 * c2 + c1 * c2))
+        |        AS DOUBLE)
+        |    END AS REAL) AS alpha
         |FROM g""".stripMargin,
     // DPO pairs: chosen = (score DESC, id ASC) pick, rejected =
     // (score ASC, id DESC) pick — distinct docs whenever n_cands >= 2

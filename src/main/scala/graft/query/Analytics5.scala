@@ -1707,6 +1707,59 @@ object Analytics5 {
           .cast("float").as("alpha"))
   }
 
+  /** Ordinal Krippendorff's alpha — [[evalKrippendorffAlpha]] with the
+    * SQUARED-DISTANCE metric ((c − c')² instead of 0/1), the form that
+    * fits graded annotations (1–5 quality scores) where disagreeing by
+    * one step should cost less than disagreeing by four. Same raters,
+    * same missingness; the per-item disagreement Σ_{c≠c'} n_c·n_c'·d²
+    * expands over the 3 category pairs with weights {1, 4, 1}, still
+    * an exact BIGINT under the ×2/(mᵢ−1) scaling, so α is again ONE
+    * double division. Same scan-bound shape as the nominal form. */
+  def evalKrippendorffOrdinal(spark: SparkSession, dir: String): DataFrame = {
+    def h(salt: String): Column =
+      graft.query.Dedup.hash60(concat(col("event_id").cast("string"),
+        lit(salt)))
+    val base = h(":truecat") % 3
+    def present(r: Int): Column = h(s":present$r") % 4 =!= 0
+    def cat(r: Int): Column =
+      when(h(s":r$r") % 10 < 7, base).otherwise(h(s":alt$r") % 3)
+    val cats = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"))
+      .select((1 to 3).map(r =>
+        when(present(r), cat(r)).as(s"c$r")): _*)
+    val perItem = cats
+      .select((0 until 3).map { j =>
+        (1 to 3).map(r => when(col(s"c$r") === j, 1L).otherwise(0L))
+          .reduce(_ + _).as(s"n$j")
+      }: _*)
+      .withColumn("m", col("n0") + col("n1") + col("n2"))
+      // ordered-pair squared-distance mass: 2*(n0n1 + 4 n0n2 + n1n2)
+      .withColumn("dsq", lit(2L) * (col("n0") * col("n1")
+        + lit(4L) * col("n0") * col("n2") + col("n1") * col("n2")))
+    val pairable = col("m") >= 2
+    def sum0(c: Column): Column = coalesce(sum(c), lit(0L))
+    val g = perItem.agg(
+      sum0(when(pairable, 1L).otherwise(0L)).as("n_items"),
+      sum0(when(pairable, col("m")).otherwise(0L)).as("n_ratings"),
+      sum0(when(pairable, col("n0")).otherwise(0L)).as("c0"),
+      sum0(when(pairable, col("n1")).otherwise(0L)).as("c1"),
+      sum0(when(pairable, col("n2")).otherwise(0L)).as("c2"),
+      // 2*dsq/(m-1): m=2 -> 2*dsq; m=3 -> dsq
+      sum0(when(col("m") === 2, lit(2L) * col("dsq"))
+        .when(col("m") === 3, col("dsq"))
+        .otherwise(0L)).as("do_num2"))
+    val n = col("n_ratings")
+    val deNum = lit(2L) * (col("c0") * col("c1")
+      + lit(4L) * col("c0") * col("c2") + col("c1") * col("c2"))
+    g.select(col("n_items"), col("n_ratings"),
+      col("c0"), col("c1"), col("c2"),
+      col("do_num2"), deNum.as("de_num"),
+      when(deNum > 0,
+        lit(1.0) - (col("do_num2") * (n - 1)).cast("double")
+          / (lit(2L) * deNum).cast("double"))
+        .cast("float").as("alpha"))
+  }
+
   /** Rank correlation between two per-document quality signals (token
     * count vs distinct-token count), per language: Spearman's ρ
     * (tie-aware, Pearson on average ranks) and Kendall's τ-b — the "do

@@ -1288,4 +1288,18 @@ class DriverRound14Spec extends SparkSpec {
     assert(r2.getFloat(3) == 0.0f && r2.getFloat(5) == 1.0f,
       "alternating text must be perfectly predictable")
   }
+
+  test("eval_krippendorff_ordinal: the squared-distance alpha replays " +
+      "from the integer sums and beats nominal on near-miss data") {
+    import graft.query.Analytics5
+    val r = Analytics5.evalKrippendorffOrdinal(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (n, c0, c1, c2, do2, de) = (r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(c0 + c1 + c2 == n)
+    assert(de == 2 * (c0 * c1 + 4 * c0 * c2 + c1 * c2))
+    val alpha = 1.0 - (do2 * (n - 1)).toDouble / (2L * de).toDouble
+    assert(r.getFloat(7) == alpha.toFloat)
+    assert(r.getFloat(7) > 0.2f)
+  }
 }
