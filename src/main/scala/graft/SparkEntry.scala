@@ -862,6 +862,8 @@ object SparkEntry {
     "text_bigram_entropy_rate" -> TextAnalysis.textBigramEntropyRate _,
     // ordinal (squared-distance) Krippendorff for graded annotations
     "eval_krippendorff_ordinal" -> Analytics5.evalKrippendorffOrdinal _,
+    // per-lang source-mix entropy and the effective source count
+    "corpus_mix_entropy"     -> Curation2.corpusMixEntropy _,
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -4603,6 +4605,26 @@ object SparkEntry {
         |        AS DOUBLE)
         |    END AS REAL) AS alpha
         |FROM g""".stripMargin,
+    // mix entropy: -sum p ln p per lang; effective sources = exp(H)
+    "corpus_mix_entropy" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2
+        |), t AS (
+        |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM c GROUP BY lang
+        |), h AS (
+        |  SELECT c.lang, t.n_docs, t.n_sources,
+        |    sum(-(CAST(c.n AS DOUBLE) / CAST(t.n_docs AS DOUBLE))
+        |      * ln(CAST(c.n AS DOUBLE) / CAST(t.n_docs AS DOUBLE))) AS h
+        |  FROM c JOIN t USING (lang)
+        |  GROUP BY c.lang, t.n_docs, t.n_sources
+        |)
+        |SELECT lang, n_docs, n_sources,
+        |  CAST(h AS REAL) AS source_entropy,
+        |  CAST(exp(h) AS REAL) AS effective_sources
+        |FROM h ORDER BY lang""".stripMargin,
     // DPO pairs: chosen = (score DESC, id ASC) pick, rejected =
     // (score ASC, id DESC) pick — distinct docs whenever n_cands >= 2
     "pref_pair_margin" ->

@@ -330,6 +330,36 @@ object Curation2 {
       .orderBy(col("doc_id"), col("copy_idx"))
   }
 
+  /** Source-mix entropy per language: the Shannon entropy of each
+    * language's source distribution and its exponential — the
+    * EFFECTIVE number of sources (5 equal sources → 5.0; one dominant
+    * source → just above 1.0) — the one-number mix-diversity gauge a
+    * curation dashboard tracks per language release over release.
+    * Counts are BIGINTs; the Σ −p·ln p fold runs in double with the
+    * REAL cast absorbing group-order ulps (the agg_entropy_by_key
+    * rule).
+    *
+    * Scale shape: one (lang, source) map-side-combined count, one
+    * per-lang rollup — both shuffles share the lang prefix. */
+  def corpusMixEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_sources"))
+    c.join(tot, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        (col("n").cast("double") / col("n_docs").cast("double")).as("p"))
+      .groupBy(col("lang"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("n_sources")).as("n_sources"),
+        sum(negate(col("p") * log(col("p")))).as("h"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        col("h").cast("float").as("source_entropy"),
+        exp(col("h")).cast("float").as("effective_sources"))
+      .orderBy(col("lang"))
+  }
+
   /** Pairwise source vocabulary overlap — the "how redundant are my
     * sources" curation signal (two crawls with Jaccard ≈ 1 vocabularies
     * are the same corpus twice; a mix budget should know). For every

@@ -1302,4 +1302,23 @@ class DriverRound14Spec extends SparkSpec {
     assert(r.getFloat(7) == alpha.toFloat)
     assert(r.getFloat(7) > 0.2f)
   }
+
+  test("corpus_mix_entropy: balanced sources give effective count = " +
+      "source count; a single source gives exactly 1") {
+    import spark.implicits._
+    import graft.query.Curation2
+    val dir = java.nio.file.Files.createTempDirectory("r14-mixent").toString
+    Seq((0L, "en", "a"), (1L, "en", "a"), (2L, "en", "b"),
+      (3L, "en", "b"), (4L, "fr", "c"))
+      .toDF("doc_id", "lang", "source").withColumn("text", lit("t"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = Curation2.corpusMixEntropy(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert((en.getLong(1), en.getLong(2)) == ((4L, 2L)))
+    assert(en.getFloat(3) == math.log(2.0).toFloat)
+    assert(en.getFloat(4) == 2.0f)
+    val fr = out("fr")
+    assert(fr.getFloat(3) == 0.0f && fr.getFloat(4) == 1.0f)
+  }
 }
