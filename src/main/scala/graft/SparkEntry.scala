@@ -864,6 +864,9 @@ object SparkEntry {
     "eval_krippendorff_ordinal" -> Analytics5.evalKrippendorffOrdinal _,
     // per-lang source-mix entropy and the effective source count
     "corpus_mix_entropy"     -> Curation2.corpusMixEntropy _,
+    // truncated RBO: top-weighted agreement of two document rankers
+    "eval_topk_agreement"    ->
+      ((s: SparkSession, d: String) => Analytics5.evalTopkAgreement(s, d)),
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -943,6 +946,43 @@ object SparkEntry {
        |SELECT t.event_type AS model, f.idx, f.wins, f.losses,
        |  CAST(f.wins + f.losses AS BIGINT) AS n_matches, f.rating
        |FROM f JOIN t USING (idx) ORDER BY model""".stripMargin
+  }
+
+  /** The [[graft.query.Analytics5.evalTopkAgreement]] oracle: prefix
+    * overlaps from the cumulative histogram of max(rank_a, rank_b),
+    * the SHARED truncated-RBO weight literals per depth. */
+  private def topkAgreementOracleSql(k: Int): String = {
+    val rows = (1 to k).map { d =>
+      val w = Analytics5.rboWeights(d - 1)
+      // literals go through DOUBLE explicitly: a bare decimal parses
+      // as DECIMAL in DuckDB and CAST(DECIMAL AS REAL) can round to
+      // the adjacent float vs the double->float path Spark takes
+      s"""SELECT $d AS depth,
+         |    CAST(coalesce(sum(CASE WHEN m <= $d THEN 1 END), 0)
+         |      AS BIGINT) AS overlap,
+         |    CAST(coalesce(sum(CASE WHEN m <= $d THEN 1 END), 0)
+         |      / CAST($d AS DOUBLE) AS REAL) AS agreement,
+         |    CAST(CAST($w AS DOUBLE) AS REAL) AS weight,
+         |    CAST(CAST($w AS DOUBLE)
+         |      * (coalesce(sum(CASE WHEN m <= $d THEN 1 END), 0)
+         |      / CAST($d AS DOUBLE)) AS REAL) AS contribution
+         |  FROM m""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH s AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS sa,
+       |    CAST(len(list_distinct(string_split(lower(trim(
+       |      regexp_replace(text, '\\s+', ' ', 'g'))), ' ')))
+       |      AS BIGINT) AS sb
+       |  FROM documents
+       |), r AS (
+       |  SELECT greatest(
+       |    row_number() OVER (ORDER BY sa DESC, doc_id),
+       |    row_number() OVER (ORDER BY sb DESC, doc_id)) AS m
+       |  FROM s
+       |), m AS (SELECT m FROM r)
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY depth""".stripMargin
   }
 
   /** The [[graft.query.Analytics5.evalPairedBootstrap]] oracle: the
@@ -1221,6 +1261,7 @@ object SparkEntry {
     "text_bpe_train" -> bpeTrainOracleSql(16),
     "eval_bradley_terry" -> btOracleSql(8),
     "eval_paired_bootstrap" -> pairedBootstrapOracleSql(50),
+    "eval_topk_agreement" -> topkAgreementOracleSql(10),
     // same unrolled stages, final state exploded to the unit census
     "text_bpe_vocab" -> bpeVocabOracleSql(16),
     "text_bpe_fertility" -> bpeFertilityOracleSql(16),

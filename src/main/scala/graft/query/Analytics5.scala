@@ -1493,6 +1493,65 @@ object Analytics5 {
         .cast("float").as("chi2"))
   }
 
+  /** Truncated-RBO weights for [[evalTopkAgreement]]: w_d =
+    * p^(d−1)(1−p) / (1 − p^k), p = 0.9, k = 10 — computed once and
+    * inlined as the SAME double literals into the Spark plan and the
+    * generated oracle (the Poisson-threshold discipline). */
+  private[graft] val rboWeights: Array[Double] = {
+    val p = 0.9; val k = 10
+    val norm = 1.0 - math.pow(p, k)
+    Array.tabulate(k)(d => math.pow(p, d) * (1.0 - p) / norm)
+  }
+
+  /** Top-k rank-biased agreement between two document rankers (by
+    * n_chars and by distinct-token count, ties on doc_id) — the
+    * truncated, renormalized RBO (Webber et al.): at each depth
+    * d ≤ 10, the prefix overlap |A_d ∩ B_d| (an integer: docs whose
+    * BOTH ranks are ≤ d), weighted p^(d−1)(1−p)/(1−p^k) — the
+    * top-weighted "do my two rankers agree where it matters"
+    * statistic that plain rank correlation (which weighs the tail
+    * equally) cannot express. Emitted per depth with the weight and
+    * contribution, so the RBO is the sum of the contribution column.
+    *
+    * Exactness: overlaps are integers off a cumulative histogram of
+    * max(rank_a, rank_b); weights are shared literals; each
+    * agreement/contribution is fixed scalar math per row.
+    *
+    * Scale shape: rankings here are the eval-panel grain (a ranker
+    * comparison runs on an eval split, not the corpus); at corpus
+    * scale the ranks substitute the two-level range-partitioned rank
+    * the engine uses for curriculum_phases. */
+  def evalTopkAgreement(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("sa"),
+        size(array_distinct(graft.query.Dedup.tokens(col("text"))))
+          .cast("long").as("sb"))
+      .withColumn("ra", row_number().over(
+        Window.orderBy(col("sa").desc, col("doc_id"))))
+      .withColumn("rb", row_number().over(
+        Window.orderBy(col("sb").desc, col("doc_id"))))
+      .select(greatest(col("ra"), col("rb")).as("m"))
+    val overlaps = (1 to k).map(dd =>
+      coalesce(sum(when(col("m") <= dd, 1L)), lit(0L)).as(s"o$dd"))
+    val g = d.agg(overlaps.head, overlaps.tail: _*)
+    val slots = (1 to k).map { dd =>
+      val w = rboWeights(dd - 1)
+      struct(lit(dd).as("depth"), col(s"o$dd").as("overlap"),
+        (col(s"o$dd").cast("double") / lit(dd.toDouble)).cast("float")
+          .as("agreement"),
+        lit(w).cast("float").as("weight"),
+        (lit(w) * (col(s"o$dd").cast("double") / lit(dd.toDouble)))
+          .cast("float").as("contribution"))
+    }
+    g.select(explode(array(slots: _*)).as("s"))
+      .select(col("s.depth").as("depth"), col("s.overlap").as("overlap"),
+        col("s.agreement").as("agreement"), col("s.weight").as("weight"),
+        col("s.contribution").as("contribution"))
+      .orderBy(col("depth"))
+  }
+
   /** Matthews correlation coefficient (plus balanced accuracy and
     * Youden's J) for the [[evalMcnemar]] type-mean classifier against
     * the PRF label — the single-number binary metrics that stay

@@ -1321,4 +1321,34 @@ class DriverRound14Spec extends SparkSpec {
     val fr = out("fr")
     assert(fr.getFloat(3) == 0.0f && fr.getFloat(4) == 1.0f)
   }
+
+  test("eval_topk_agreement: prefix overlaps replay from hand-built " +
+      "rankings; identical rankers agree 1.0 at every depth") {
+    import spark.implicits._
+    import graft.query.Analytics5
+    val dir = java.nio.file.Files.createTempDirectory("r14-rbo").toString
+    // ranker A by n_chars, B by distinct tokens: doc0 tops A but is
+    // LAST under B; docs 1..10 identical order under both
+    val rows = (1 to 10).map { i =>
+      val toks = (1 to (12 - i)).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, toks, 1000 - i)
+    } :+ ((0L, "x x x x", 5000)) // huge chars, 1 distinct token
+    rows.toDF("doc_id", "text", "n_chars").withColumn("lang", lit("en"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = Analytics5.evalTopkAgreement(spark, dir).collect()
+    assert(out.length == 10)
+    // ranks: A = doc0, 1, 2, ..; B = 1, 2, .., doc0 last
+    // m(doc0) = 11 > 10; m(doc i) = i + 1 (A rank shifted by doc0)
+    // overlap_d = #(i: i + 1 <= d) = d - 1
+    out.foreach { r =>
+      val d = r.getInt(0)
+      assert(r.getLong(1) == d - 1, s"depth $d: ${r.getLong(1)}")
+      assert(r.getFloat(2) == ((d - 1).toDouble / d).toFloat)
+      assert(r.getFloat(3) == Analytics5.rboWeights(d - 1).toFloat)
+      assert(r.getFloat(4) == (Analytics5.rboWeights(d - 1)
+        * ((d - 1).toDouble / d)).toFloat)
+    }
+    // weights are a normalized distribution over the k depths
+    assert(math.abs(Analytics5.rboWeights.sum - 1.0) < 1e-12)
+  }
 }
