@@ -867,6 +867,8 @@ object SparkEntry {
     // truncated RBO: top-weighted agreement of two document rankers
     "eval_topk_agreement"    ->
       ((s: SparkSession, d: String) => Analytics5.evalTopkAgreement(s, d)),
+    // exact per-lang token-length percentiles (context budgeting)
+    "corpus_length_percentiles" -> Curation2.corpusLengthPercentiles _,
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -4666,6 +4668,29 @@ object SparkEntry {
         |  CAST(h AS REAL) AS source_entropy,
         |  CAST(exp(h) AS REAL) AS effective_sources
         |FROM h ORDER BY lang""".stripMargin,
+    // percentile_disc picks at rank ceil(q*n/100), integer end to end
+    "corpus_length_percentiles" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(len(string_split(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT)
+        |    AS len, doc_id
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, len,
+        |    row_number() OVER (PARTITION BY lang ORDER BY len, doc_id)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n_docs
+        |  FROM d
+        |)
+        |SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(max(CASE WHEN rk = greatest(1, (n_docs * 50 + 99) // 100)
+        |    THEN len END) AS BIGINT) AS p50_tokens,
+        |  CAST(max(CASE WHEN rk = greatest(1, (n_docs * 90 + 99) // 100)
+        |    THEN len END) AS BIGINT) AS p90_tokens,
+        |  CAST(max(CASE WHEN rk = greatest(1, (n_docs * 99 + 99) // 100)
+        |    THEN len END) AS BIGINT) AS p99_tokens,
+        |  CAST(max(len) AS BIGINT) AS max_tokens
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     // DPO pairs: chosen = (score DESC, id ASC) pick, rejected =
     // (score ASC, id DESC) pick — distinct docs whenever n_cands >= 2
     "pref_pair_margin" ->

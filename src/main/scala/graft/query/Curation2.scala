@@ -330,6 +330,36 @@ object Curation2 {
       .orderBy(col("doc_id"), col("copy_idx"))
   }
 
+  /** Exact token-length percentiles per language (p50/p90/p99) — the
+    * context-budget planning numbers beside the log2 bands: how long a
+    * sequence budget each language actually needs. percentile_disc
+    * semantics (the value AT rank ⌈q·n⌉, an integer PICK — never an
+    * interpolated float), rank ties broken by doc_id.
+    *
+    * Scale shape: one per-lang rank window (at corpus scale the
+    * two-level range-partitioned rank, the curriculum_phases note) and
+    * a 3-pick rollup; everything integer. */
+  def corpusLengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("lang"),
+        size(Dedup.tokens(col("text"))).cast("long").as("len"),
+        col("doc_id"))
+    val n = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val ranked = d
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("len"), col("doc_id"))))
+      .join(broadcast(n), Seq("lang"))
+    def target(q: Int): org.apache.spark.sql.Column =
+      greatest(lit(1L), expr(s"(n_docs * $q + 99) DIV 100"))
+    ranked.groupBy(col("lang"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        max(when(col("rk") === target(50), col("len"))).as("p50_tokens"),
+        max(when(col("rk") === target(90), col("len"))).as("p90_tokens"),
+        max(when(col("rk") === target(99), col("len"))).as("p99_tokens"),
+        max(col("len")).as("max_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Source-mix entropy per language: the Shannon entropy of each
     * language's source distribution and its exponential — the
     * EFFECTIVE number of sources (5 equal sources → 5.0; one dominant

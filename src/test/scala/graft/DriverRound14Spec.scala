@@ -1351,4 +1351,25 @@ class DriverRound14Spec extends SparkSpec {
     // weights are a normalized distribution over the k depths
     assert(math.abs(Analytics5.rboWeights.sum - 1.0) < 1e-12)
   }
+
+  test("corpus_length_percentiles: percentile_disc picks land on the " +
+      "hand-ranked values, including the n=1 edge") {
+    import spark.implicits._
+    import graft.query.Curation2
+    val dir = java.nio.file.Files.createTempDirectory("r14-pct").toString
+    // en lengths 1..10 -> p50 = value at rank 5, p90 at 9, p99 at 10
+    val rows = (1 to 10).map(i =>
+      (i.toLong, (1 to i).map(j => s"w$j").mkString(" "), "en")) :+
+      ((100L, "only doc", "fr"))
+    rows.toDF("doc_id", "text", "lang")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = Curation2.corpusLengthPercentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert((en.getLong(1), en.getLong(2), en.getLong(3), en.getLong(4),
+      en.getLong(5)) == ((10L, 5L, 9L, 10L, 10L)))
+    val fr = out("fr")
+    assert((fr.getLong(1), fr.getLong(2), fr.getLong(3), fr.getLong(4)) ==
+      ((1L, 2L, 2L, 2L)), "a singleton lang reports its only length")
+  }
 }
