@@ -465,28 +465,44 @@ object Analytics3 {
     * trapezoid approximation. Completes the offline-eval family
     * (confusion, retrieval metrics, calibration).
     *
-    * Scale shape: the global rank window here runs over the embeddings
-    * table (bounded); at corpus scale the rank substitutes the two-level
-    * value-range bucketing the engine already uses for
-    * `curriculum_phases`/`winsorized_stats` — the AUC identity itself
-    * only needs rank SUMS, which bucket prefix-counts provide. */
+    * Scale shape: NO window touches row grain. Rows reduce to the
+    * distinct-score grain (map-side-combined (count, npos) aggregate),
+    * scores bucket by their fixed [0, 0.9999] range into ≤ 4097
+    * buckets, the per-bucket count histogram prefix-sums into rank
+    * offsets (the only unpartitioned window runs over that bounded
+    * histogram), and within-bucket prefix windows run in parallel.
+    * The rank-sum identity needs only Σ npos·avg_rank, and every
+    * avg_rank is an exact multiple of 0.5 (exactly representable), so
+    * the double sum is order-independent — bit-identical to the
+    * single-window per-row form. */
   def evalAucRoc(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val score = least(greatest(
       element_at(col("embedding"), 1).cast("double") * 2.0 + 0.5,
       lit(0.0)), lit(0.9999))
-    val s = table(spark, dir, "embeddings")
+    val g = table(spark, dir, "embeddings")
       .select(score.as("score"),
-        when(col("label") % 2 === 1, 1).otherwise(0).as("y"))
-    val ranked = s
-      .withColumn("avg_rank",
-        rank().over(Window.orderBy(col("score"))).cast("double")
-          + (count(lit(1)).over(Window.partitionBy(col("score")))
-            .cast("double") - 1.0) / 2.0)
+        when(col("label") % 2 === 1, 1L).otherwise(0L).as("y"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("np"))
+      .withColumn("__bkt", floor(col("score") * lit(4096.0)).cast("long"))
+    val offs = g.groupBy(col("__bkt"))
+      .agg(sum(col("c")).as("__bc"))
+      .select(col("__bkt"),
+        coalesce(sum(col("__bc")).over(Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
+    val wLocal = Window.partitionBy(col("__bkt")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.join(broadcast(offs), Seq("__bkt"))
+      .select(col("c"), col("np"),
+        // rows below this distinct score; avg rank = that + (c+1)/2
+        (col("__off") + coalesce(sum(col("c")).over(wLocal), lit(0L)))
+          .as("cb"))
     ranked.agg(
-      count(when(col("y") === 1, 1)).as("npos"),
-      count(when(col("y") === 0, 1)).as("nneg"),
-      sum(when(col("y") === 1, col("avg_rank"))).as("rpos"))
+      sum(col("np")).as("npos"),
+      sum(col("c") - col("np")).as("nneg"),
+      sum(col("np").cast("double") * (col("cb").cast("double")
+        + (col("c").cast("double") + 1.0) / 2.0)).as("rpos"))
       .select(col("npos"), col("nneg"),
         ((col("rpos") - col("npos").cast("double")
           * (col("npos").cast("double") + 1.0) / 2.0)
@@ -507,10 +523,10 @@ object Analytics3 {
     * var = s₁₀/n₁ + s₀₁/n₀ are a fixed-parenthesization double
     * epilogue on the single output row.
     *
-    * Scale shape: one (score)-grain map-side-combined aggregate, two
-    * cumulative windows over DISTINCT scores (bounded; at corpus scale
-    * the same two-level bucket prefix-counts as [[evalAucRoc]]), one
-    * 5-sum reduce. */
+    * Scale shape: one (score)-grain map-side-combined aggregate, then
+    * the same two-level bucketed prefix/suffix as [[evalAucRoc]] (the
+    * only unpartitioned windows run over the ≤ 4097-bucket score-range
+    * histogram, never the distinct-score grain), one 5-sum reduce. */
   def evalAucDelong(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val score = least(greatest(
@@ -521,13 +537,30 @@ object Analytics3 {
         when(col("label") % 2 === 1, 1L).otherwise(0L).as("y"))
       .groupBy(col("score"))
       .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
-    val w = g
-      .withColumn("cneg", coalesce(sum(col("nn")).over(
-        Window.orderBy(col("score"))
+    // two-level cumulative placement (distinct scores of a continuous
+    // model output scale with the eval set): scores bucket by their
+    // fixed [0, 0.9999] range (≤ 4097 buckets), the per-bucket (nn, np)
+    // histogram prefix-sums into offsets — the only unpartitioned
+    // windows run over that bounded histogram — and the within-bucket
+    // exclusive prefix/suffix windows run in parallel
+    val gb = g.withColumn("__bkt", floor(col("score") * lit(4096.0))
+      .cast("long"))
+    val offs = gb.groupBy(col("__bkt"))
+      .agg(sum(col("nn")).as("__bn"), sum(col("np")).as("__bp"))
+      .select(col("__bkt"),
+        coalesce(sum(col("__bn")).over(Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__offneg"),
+        coalesce(sum(col("__bp")).over(Window.orderBy(col("__bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__offpos"))
+    val w = gb.join(broadcast(offs), Seq("__bkt"))
+      .withColumn("cneg", col("__offneg") + coalesce(sum(col("nn")).over(
+        Window.partitionBy(col("__bkt")).orderBy(col("score"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("cpos", coalesce(sum(col("np")).over(
-        Window.orderBy(col("score"))
-          .rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+      .withColumn("cpos", col("__offpos") + coalesce(sum(col("np")).over(
+        Window.partitionBy(col("__bkt")).orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val d = lit(2L) * col("cneg") + col("nn")
     val e = lit(2L) * col("cpos") + col("np")
     val a = w.agg(sum(col("np")).as("npos"), sum(col("nn")).as("nneg"),

@@ -692,21 +692,33 @@ object Analytics5 {
     * division — no real-valued step anywhere, bit-identical
     * cross-engine, and Σ multiplicity = n by construction.
     *
-    * Scale shape: one global cumulative sum over the weight column
-    * (here a window; at corpus scale the two-level per-partition
-    * prefix histogram [[graft.ingest.Batcher]] uses for
-    * s9_batch_assign — rank is the only global state), then a map-only
-    * multiplicity expression with the 1-row (W, a) panel broadcast. */
+    * Scale shape: the global cumulative sum is TWO-LEVEL (the
+    * [[graft.ingest.Batcher.assignBatches]] histogram trick): rows
+    * bucket by o_orderkey range, a per-bucket weight histogram is
+    * prefix-summed into bucket offsets (the only unpartitioned window
+    * runs over |orders|/4096 histogram rows, never the fact table),
+    * offsets broadcast back, and the within-bucket cumsum windows run
+    * in parallel (≤ 4096 keys each). Then a map-only multiplicity
+    * expression with the 1-row (W, a) panel broadcast. */
   def samplePpsSystematic(spark: SparkSession, dir: String,
       n: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val o = table(spark, dir, "orders")
+    val bucketed = table(spark, dir, "orders")
       .select(col("o_orderkey"),
         round(col("o_totalprice") * lit(100.0)).cast("long").as("w"))
-      .withColumn("c_hi", sum(col("w")).over(
-        Window.orderBy(col("o_orderkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__bkt", floor(col("o_orderkey") / lit(4096L)))
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("w")).as("__bw"))
+      .withColumn("__off",
+        coalesce(sum(col("__bw")).over(Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val wLocal = Window.partitionBy(col("__bkt")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val o = bucketed.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("c_hi", col("__off") + sum(col("w")).over(wLocal))
       .withColumn("c_lo", col("c_hi") - col("w"))
+      .drop("__bkt", "__off")
     val tot = o.agg(max(col("c_hi")).as("big_w"))
       .select(col("big_w"),
         (Dedup.hash60(lit("pps:anchor")) % col("big_w")).as("a"))
@@ -801,10 +813,13 @@ object Analytics5 {
     * rationals, so D is bit-deterministic.
     *
     * Scale shape: one tiny-key pre-aggregation to DISTINCT pooled
-    * values, then one ordered prefix window over that (bounded) value
-    * grain — the [[Analytics4.evalPrAuc]] argument: one KS-tests a
-    * model's eval split, not the corpus; per-segment KS partitions the
-    * same window by segment. */
+    * values, then a TWO-LEVEL prefix over the value grain (distinct
+    * values of a continuous metric scale with the data, so no
+    * unpartitioned window may touch them): values bucket by their
+    * unit-width range (the [[Analytics.driftKsValue]] shape — bucket
+    * count is bounded by the metric's domain, not the corpus), the
+    * per-bucket histogram prefix-sums into CDF offsets, and the
+    * within-bucket prefix windows run in parallel. */
   def evalKsTest(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.schema.Schemas.events(spark, dir)
       .filter(col("event_type").isin("click", "purchase"))
@@ -814,12 +829,20 @@ object Analytics5 {
           .as("na"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("nb"))
+      .withColumn("__bkt", floor(col("value")).cast("long"))
     val tot = perValue.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-    val w = Window.orderBy(col("value"))
+    val offs = perValue.groupBy(col("__bkt"))
+      .agg(sum(col("na")).as("__ba"), sum(col("nb")).as("__bb"))
+      .select(col("__bkt"),
+        coalesce(sum(col("__ba")).over(Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__offa"),
+        coalesce(sum(col("__bb")).over(Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__offb"))
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perValue
-      .select(col("value"), sum(col("na")).over(w).as("ca"),
-        sum(col("nb")).over(w).as("cb"))
+    perValue.join(broadcast(offs), Seq("__bkt"))
+      .select(col("value"), (col("__offa") + sum(col("na")).over(w)).as("ca"),
+        (col("__offb") + sum(col("nb")).over(w)).as("cb"))
       .crossJoin(broadcast(tot))
       // one-sided sample: KS is undefined (and ANSI 0/0 throws)
       .filter(col("ta") > 0 && col("tb") > 0)
@@ -865,19 +888,31 @@ object Analytics5 {
     * float), each reporting its positive rate and lift over the global
     * base rate — the campaign-targeting readout beside ROC/PR.
     *
-    * Scale shape: one ordered rank window over the scored eval split
-    * (bounded — the PR-AUC argument), then a 10-key aggregate; the
-    * base rate is a broadcast 1-row aggregate. */
+    * Scale shape: the (score desc, vec_id) rank is TWO-LEVEL (the
+    * [[Analytics4.evalPrAuc]] shape — rows bucket by the fixed score
+    * range, the per-bucket count histogram prefix-sums in descending
+    * bucket order into rank offsets, within-bucket row_number windows
+    * run in parallel; the only unpartitioned window runs over the
+    * ≤ 4097-row histogram), then a 10-key aggregate; the base rate is
+    * a broadcast 1-row aggregate. */
   def evalDecileLift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val score = least(greatest(
       element_at(col("embedding"), 1).cast("double") * 2.0 + 0.5,
       lit(0.0)), lit(0.9999))
     val s = table(spark, dir, "embeddings")
       .select(col("vec_id"), score.as("score"),
         when(col("label") % 2 === 1, 1L).otherwise(0L).as("y"))
-    val n = Window.orderBy(col("score").desc, col("vec_id"))
-    val ranked = s
-      .select(col("y"), row_number().over(n).as("r"))
+      .withColumn("__bkt", floor(col("score") * lit(4096.0)).cast("long"))
+    val offs = s.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__bn"))
+      .select(col("__bkt"),
+        coalesce(sum(col("__bn")).over(Window.orderBy(col("__bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__offn"))
+    val wLocal = Window.partitionBy(col("__bkt"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val ranked = s.join(broadcast(offs), Seq("__bkt"))
+      .select(col("y"), (col("__offn") + row_number().over(wLocal)).as("r"))
       .crossJoin(broadcast(s.agg(count(lit(1)).as("n_total"),
         sum(col("y")).as("n_pos"))))
       .select((((col("r") - 1) * 10) / col("n_total")).cast("int")
@@ -1517,10 +1552,12 @@ object Analytics5 {
     * max(rank_a, rank_b); weights are shared literals; each
     * agreement/contribution is fixed scalar math per row.
     *
-    * Scale shape: rankings here are the eval-panel grain (a ranker
-    * comparison runs on an eval split, not the corpus); at corpus
-    * scale the ranks substitute the two-level range-partitioned rank
-    * the engine uses for curriculum_phases. */
+    * Scale shape: the truncated RBO only reads docs whose BOTH ranks
+    * are ≤ k, so each ranker reduces to its exact top-k PANEL first
+    * (TakeOrdered — a per-partition heap + driver merge of ≤ k rows,
+    * never a global sort), ranks are assigned by a window over the
+    * ≤ k-row panel, and the two panels inner-join on doc_id. No window
+    * or join ever sees corpus grain. */
   def evalTopkAgreement(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1528,14 +1565,15 @@ object Analytics5 {
       .select(col("doc_id"), col("n_chars").cast("long").as("sa"),
         size(array_distinct(graft.query.Dedup.tokens(col("text"))))
           .cast("long").as("sb"))
-      .withColumn("ra", row_number().over(
-        Window.orderBy(col("sa").desc, col("doc_id"))))
-      .withColumn("rb", row_number().over(
-        Window.orderBy(col("sb").desc, col("doc_id"))))
+    def panel(s: String, r: String): DataFrame = d
+      .orderBy(col(s).desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col(s).desc, col("doc_id"))).as(r))
+    val both = panel("sa", "ra").join(panel("sb", "rb"), Seq("doc_id"))
       .select(greatest(col("ra"), col("rb")).as("m"))
     val overlaps = (1 to k).map(dd =>
       coalesce(sum(when(col("m") <= dd, 1L)), lit(0L)).as(s"o$dd"))
-    val g = d.agg(overlaps.head, overlaps.tail: _*)
+    val g = both.agg(overlaps.head, overlaps.tail: _*)
     val slots = (1 to k).map { dd =>
       val w = rboWeights(dd - 1)
       struct(lit(dd).as("depth"), col(s"o$dd").as("overlap"),

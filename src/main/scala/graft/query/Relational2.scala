@@ -150,7 +150,13 @@ object Relational2 {
 
   /** CTE + window through the SQL entry point; ranking on exact integer
     * counts (never on a float aggregate — cross-engine ulp differences in
-    * a double sum could reorder ranks). */
+    * a double sum could reorder ranks). The ranking key (n_orders DESC,
+    * o_custkey) is unique per row, so dense_rank ≡ row_number, and the
+    * global rank is spelled TWO-LEVEL in SQL (customer grain is
+    * unbounded): a per-n_orders-bucket count histogram prefix-sums into
+    * rank offsets — the only unpartitioned window runs over the
+    * histogram CTE — and the within-bucket row_number windows run in
+    * parallel. */
   def sqlCteRanking(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "orders").createOrReplaceTempView("orders")
     spark.sql(
@@ -158,11 +164,20 @@ object Relational2 {
         |  SELECT o_custkey, count(*) AS n_orders,
         |    CAST(sum(o_totalprice) AS FLOAT) AS total
         |  FROM orders GROUP BY o_custkey
+        |), hist AS (
+        |  SELECT n_orders DIV 4 AS bkt, count(*) AS bn
+        |  FROM per_cust GROUP BY n_orders DIV 4
+        |), offs AS (
+        |  SELECT bkt, coalesce(sum(bn) OVER (ORDER BY bkt DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM hist
         |)
         |SELECT o_custkey, n_orders, total,
-        |  CAST(dense_rank() OVER (ORDER BY n_orders DESC, o_custkey) AS INT)
-        |    AS rnk
-        |FROM per_cust ORDER BY o_custkey""".stripMargin)
+        |  CAST(off + row_number() OVER (PARTITION BY bkt
+        |    ORDER BY n_orders DESC, o_custkey) AS INT) AS rnk
+        |FROM (SELECT *, n_orders DIV 4 AS bkt FROM per_cust) p
+        |JOIN offs USING (bkt)
+        |ORDER BY o_custkey""".stripMargin)
   }
 
   /** Map and struct scalar functions, projected to scalars: literal-map

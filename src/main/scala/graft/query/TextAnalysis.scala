@@ -944,18 +944,21 @@ object TextAnalysis {
     * boilerplate/generated corpora drift toward 0 or −2).
     *
     * Scale shape: term totals are one map-side-combined aggregate over
-    * the persisted [[tokenTf]] index; the rank window runs over the
-    * (vocabulary-sized, then top-N-truncated) term table, never over
-    * token instances; the OLS fold is a one-row closed-form aggregate. */
+    * the persisted [[tokenTf]] index; the fit reads only the top-N
+    * terms, so the vocabulary reduces to a ≤ topN PANEL first
+    * (TakeOrdered — a per-partition heap, never a global sort or an
+    * unpartitioned window over the vocabulary grain) and the rank
+    * window runs over that panel; the OLS fold is a one-row
+    * closed-form aggregate. */
   def textZipfSlope(spark: SparkSession, dir: String,
       topN: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val totals = tokenTf(spark, dir).groupBy(col("tok"))
       .agg(sum(col("tf")).cast("long").as("freq"))
     val ranked = totals
+      .orderBy(col("freq").desc, col("tok")).limit(topN)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
-      .filter(col("rank") <= topN)
       .select(log(col("rank").cast("double")).as("x"),
         log(col("freq").cast("double")).as("y"))
     val a = ranked.agg(count(lit(1)).cast("double").as("n"),
@@ -1014,19 +1017,20 @@ object TextAnalysis {
     * vocabulary, and the token-mass share of the top-10 terms — the
     * vocabulary-health companion to [[textZipfSlope]] (a natural corpus
     * runs ~40-60% hapax; near 0% signals template/generated text).
-    * One aggregate over the persisted [[tokenTf]] index. */
+    * One aggregate over the persisted [[tokenTf]] index; the top-10
+    * mass reads a TakeOrdered ≤ 10-row panel (never a rank window over
+    * the unbounded vocabulary grain). */
   def textHapaxStats(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val totals = tokenTf(spark, dir).groupBy(col("tok"))
       .agg(sum(col("tf")).cast("long").as("freq"))
-    val ranked = totals.withColumn("rank",
-      row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
-    ranked.agg(
+    val top10 = totals.orderBy(col("freq").desc, col("tok")).limit(10)
+      .agg(coalesce(sum(col("freq")), lit(0L)).cast("long")
+        .as("top10_tokens"))
+    totals.agg(
         count(lit(1)).as("n_vocab"),
         sum(col("freq")).cast("long").as("n_tokens"),
-        sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"),
-        sum(when(col("rank") <= 10, col("freq")).otherwise(0L))
-          .cast("long").as("top10_tokens"))
+        sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .crossJoin(broadcast(top10))
       .select(col("n_vocab"), col("n_tokens"), col("n_hapax"),
         (col("n_hapax").cast("double") / col("n_vocab").cast("double"))
           .as("hapax_ratio"),
@@ -1046,18 +1050,16 @@ object TextAnalysis {
     * into byte-level tokens and blow up sequence length).
     *
     * Scale shape: vocabulary = one aggregate over the persisted
-    * [[tokenTf]] index + a global top-N (tiny, broadcasts); the per-doc
-    * pass is a broadcast anti-join of the SAME index — the corpus text
-    * is never re-tokenized. */
+    * [[tokenTf]] index + a global top-N PANEL (TakeOrdered, tiny,
+    * broadcasts — never a rank window over the unbounded vocabulary
+    * grain); the per-doc pass is a broadcast anti-join of the SAME
+    * index — the corpus text is never re-tokenized. */
   def textOovRate(spark: SparkSession, dir: String,
       vocabSize: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = tokenTf(spark, dir)
     val vocab = tf.groupBy(col("tok"))
       .agg(sum(col("tf")).cast("long").as("freq"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
-      .filter(col("rank") <= vocabSize)
+      .orderBy(col("freq").desc, col("tok")).limit(vocabSize)
       .select(col("tok"))
     val oov = tf.join(broadcast(vocab), Seq("tok"), "left_anti")
       .groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("n_oov"))

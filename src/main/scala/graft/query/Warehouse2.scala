@@ -601,8 +601,14 @@ object Warehouse2 {
     * Determinism: revenue is exact cents; the cumulative window orders
     * by a TOTAL key (revenue desc, partkey); class boundaries compare
     * integer cross-products (cum·100 < total·80), never floating
-    * shares. Scale: one fact rollup to |parts|, then the global rank —
-    * the same ≤10⁷-rows-then-bucketed-rank story as RFM.
+    * shares. Scale: one fact rollup to |parts|, then a TWO-LEVEL
+    * rank/cumsum (part cardinality is unbounded — the
+    * [[graft.query.Analytics4.aggParetoConcentration]] shape): parts
+    * bucket by revenue range, the per-bucket (count, cents) histogram
+    * prefix-sums in descending bucket order into offsets (the only
+    * unpartitioned window runs over that histogram), and within-bucket
+    * windows run in parallel. Equal revenues share a bucket, so ranks
+    * match the single-window form exactly.
     */
   def sqlAbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -610,14 +616,23 @@ object Warehouse2 {
       .groupBy(col("l_partkey").as("part_id"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
         .as("revenue_cents"))
+      .withColumn("__bkt", floor(col("revenue_cents") / lit(4096L)))
     val tot = rev.agg(sum(col("revenue_cents")).as("total_cents"))
-    val w = Window.orderBy(col("revenue_cents").desc, col("part_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rev
+    val offs = rev.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__bn"), sum(col("revenue_cents")).as("__bs"))
+      .select(col("__bkt"),
+        coalesce(sum(col("__bn")).over(Window.orderBy(col("__bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__offn"),
+        coalesce(sum(col("__bs")).over(Window.orderBy(col("__bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__offs"))
+    val wLocal = Window.partitionBy(col("__bkt"))
+      .orderBy(col("revenue_cents").desc, col("part_id"))
+    rev.join(broadcast(offs), Seq("__bkt"))
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("revenue_cents").desc,
-          col("part_id"))))
-      .withColumn("cum_cents", sum(col("revenue_cents")).over(w))
+        (col("__offn") + row_number().over(wLocal)).cast("int"))
+      .withColumn("cum_cents", col("__offs") + sum(col("revenue_cents"))
+        .over(wLocal.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
       .crossJoin(broadcast(tot))
       .withColumn("abc_class",
         when(col("cum_cents") * 100 < col("total_cents") * 80, lit("A"))
@@ -642,12 +657,13 @@ object Warehouse2 {
     * 1 = best), frequency/monetary descending on the metric.
     *
     * Scale shape: one map-side-combined aggregate over orders shrinks
-    * the working set to |customers|; the three quintile windows are
-    * global ranks over THAT — fine to |customers| ≈ 10⁷, and beyond it
-    * they swap for the two-level value-range bucketing already proven
-    * by `curriculum_phases` (rank from per-bucket counts, window over
-    * the histogram only) — same outputs, no single-partition pass. A
-    * 1-row broadcast supplies the reference date. */
+    * the working set to |customers|; each quintile is a TWO-LEVEL
+    * global rank ([[TwoLevel.rowNumber]] — customers bucket by the
+    * metric's value range, the only unpartitioned windows run over the
+    * per-metric bucket histograms) folded through the exact NTILE fill
+    * rule ([[TwoLevel.ntileFromRank]]), so no single-partition pass
+    * touches customer grain at any scale. A 1-row broadcast supplies
+    * the reference date and the customer count. */
   def sqlCustomerRfm(spark: SparkSession, dir: String): DataFrame = {
     val o = table(spark, dir, "orders")
     val refDate = o.agg(max(col("o_orderdate")).as("ref"))
@@ -659,16 +675,24 @@ object Warehouse2 {
       .withColumn("recency_days",
         datediff(col("ref"), col("last_order")).cast("long"))
       .drop("ref", "last_order")
-    import org.apache.spark.sql.expressions.Window
-    val rW = Window.orderBy(col("recency_days"), col("c_custkey"))
-    val fW = Window.orderBy(col("frequency").desc, col("c_custkey"))
-    val mW = Window.orderBy(col("monetary_cents").desc, col("c_custkey"))
-    base
-      .withColumn("r_score", ntile(5).over(rW))
-      .withColumn("f_score", ntile(5).over(fW))
-      .withColumn("m_score", ntile(5).over(mW))
+    val nTot = base.agg(count(lit(1)).as("__n"))
+    val ranked = Seq(
+      (floor(col("recency_days") / lit(32L)),
+        Seq(col("recency_days").asc, col("c_custkey").asc), false, "__rr"),
+      (floor(col("frequency") / lit(4L)),
+        Seq(col("frequency").desc, col("c_custkey").asc), true, "__rf"),
+      (floor(col("monetary_cents") / lit(4096L)),
+        Seq(col("monetary_cents").desc, col("c_custkey").asc), true, "__rm"))
+      .foldLeft(base) { case (df, (bkt, ord, desc, out)) =>
+        TwoLevel.rowNumber(df, bkt, ord, desc, out)
+      }
+    ranked.crossJoin(broadcast(nTot))
+      .withColumn("r_score", TwoLevel.ntileFromRank(col("__rr"), col("__n"), 5))
+      .withColumn("f_score", TwoLevel.ntileFromRank(col("__rf"), col("__n"), 5))
+      .withColumn("m_score", TwoLevel.ntileFromRank(col("__rm"), col("__n"), 5))
       .withColumn("rfm_cell",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .drop("__rr", "__rf", "__rm", "__n")
       .orderBy(col("c_custkey"))
   }
 

@@ -156,7 +156,24 @@ class PartitionInvarianceSpec extends SparkSpec {
     "graph_modularity one-pass masses" ->
       (() => graft.query.Analytics5.graphModularity(spark, sf)),
     "sql_customer_rfm ntile quintiles" ->
-      (() => graft.query.Warehouse2.sqlCustomerRfm(spark, sf)))
+      (() => graft.query.Warehouse2.sqlCustomerRfm(spark, sf)),
+    // round-15 third wave (the WindowGateSpec rewrites): every global
+    // rank/cumsum/CDF that moved onto two-level bucketing — the exact
+    // shape class where a bucket-boundary bug would be partition-dependent
+    "sample_pps_systematic two-level cumulative weight" ->
+      (() => graft.query.Analytics5.samplePpsSystematic(spark, sf)),
+    "sql_abc_analysis two-level desc rank/cumsum" ->
+      (() => graft.query.Warehouse2.sqlAbcAnalysis(spark, sf)),
+    "eval_decile_lift two-level desc rank" ->
+      (() => graft.query.Analytics5.evalDecileLift(spark, sf)),
+    "eval_ks_test two-level pooled CDF" ->
+      (() => graft.query.Analytics5.evalKsTest(spark, sf)),
+    "eval_auc_delong two-level placement counts" ->
+      (() => graft.query.Analytics3.evalAucDelong(spark, sf)),
+    "eval_topk_agreement TakeOrdered rank panels" ->
+      (() => graft.query.Analytics5.evalTopkAgreement(spark, sf)),
+    "sql_cte_ranking two-level rank in SQL" ->
+      (() => graft.query.Relational2.sqlCteRanking(spark, sf)))
 
   private def collectAt(partitions: Int, build: () => DataFrame): Seq[String] = {
     val key = "spark.sql.shuffle.partitions"
