@@ -7706,8 +7706,6 @@ object SparkEntry {
         |FROM p GROUP BY phase ORDER BY phase""".stripMargin,
     // the streaming twin drains to the identical panel (batch-
     // equivalence contract), so it shares the batch probe's oracle
-    // the streaming twin drains to the identical panel (batch-
-    // equivalence contract), so it shares the batch probe's oracle
     "stream_dedup_incremental" -> incrementalMinhashOracleSql,
     "dedup_incremental_minhash" -> incrementalMinhashOracleSql,
     "dedup_incremental" ->

@@ -17,15 +17,52 @@ object ModelStore {
     * persisted path short-circuits retraining. */
   private[graft] val trains = new java.util.concurrent.atomic.AtomicInteger
 
-  /** On-disk home for (dir, version): the reference's
-    * `spark_models/model_<v>_rf` layout under a tmp root, keyed by the
-    * events-table CONTENT fingerprint so a regenerated corpus never
-    * serves a stale persisted model. */
-  private[graft] def persistedPath(dir: String, version: Int): String = {
+  /** Filesystem-safe token for a path / fingerprint component. */
+  private def tok(s: String): String =
+    s.replaceAll("[^A-Za-z0-9.@-]", "_")
+
+  /** The per-corpus models directory (the reference's `spark_models/`),
+    * keyed `<dataset-dir>__<content-fingerprint>` — the FULL fingerprint,
+    * not a 32-bit hash of it (a hash collision would silently serve a
+    * model trained on a different corpus), so a regenerated corpus never
+    * serves a stale persisted model and the stale dir is identifiable. */
+  private[graft] def modelsDir(dir: String): String = {
     val fp = graft.schema.Schemas.fingerprint(s"$dir/events.parquet")
-    val key = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$dir#$fp"))
-    s"${sys.props("java.io.tmpdir")}/graft_spark_models/$key/model_${version}_rf"
+    s"${sys.props("java.io.tmpdir")}/graft_spark_models/" +
+      s"${tok(dir)}__${tok(fp)}"
+  }
+
+  /** Drop persisted model dirs for SUPERSEDED fingerprints of the same
+    * dataset dir (a regenerated corpus re-keys; without eviction the old
+    * trees accumulate in tmpdir forever). Current generation untouched. */
+  private def evictSuperseded(dir: String, keep: java.io.File): Unit = {
+    val root = keep.getParentFile
+    val prefix = s"${tok(dir)}__"
+    val stale = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.getName != keep.getName)
+    stale.foreach(f =>
+      org.apache.commons.io.FileUtils.deleteQuietly(f))
+  }
+
+  /** On-disk home for (dir, version): the reference's
+    * `spark_models/model_<v>_rf` layout (spark_trainer.py:82-84). */
+  private[graft] def persistedPath(dir: String, version: Int): String =
+    s"${modelsDir(dir)}/model_${version}_rf"
+
+  /** S14: the per-version feature-importances JSON artifact beside the
+    * model dir — `model_<v>_rf_feature_importances.json`, importances
+    * sorted descending (stable, so ties keep assembler column order),
+    * exactly the artifact spark_trainer.py:87-99 writes and the one
+    * docker-compose.yml:96-102 gates API startup on. */
+  private[graft] def importancesPath(dir: String, version: Int): String =
+    s"${modelsDir(dir)}/model_${version}_rf_feature_importances.json"
+
+  private def writeImportances(model: PipelineModel, path: String): Unit = {
+    val imps = Trainer.importancesInAssemblerOrder(model).sortBy(-_._2)
+    val json = imps.map { case (n, v) => s"""    "$n": $v""" }
+      .mkString("{\n", ",\n", "\n}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+    (): Unit
   }
 
   /** Get the growing-window model for (test dir, version) FROM THE DISK
@@ -41,10 +78,17 @@ object ModelStore {
       val path = persistedPath(dir, version)
       val marker = new java.io.File(path, "_graft_complete")
       if (!marker.exists()) {
+        evictSuperseded(dir, new java.io.File(modelsDir(dir)))
         val raw = Trainer.tripFrameFromEvents(spark, dir)
         val m = Trainer.fitVersion(raw, version, orderCol = "event_id")
         trains.incrementAndGet()
         save(m, path)
+        // artifact BEFORE marker: the marker is the compose-file
+        // startup sentinel's precondition (docker-compose.yml:99 waits
+        // on the importances json), so a crash between the two leaves
+        // an incomplete dir that retrains, never a model without its
+        // importances artifact
+        writeImportances(m, importancesPath(dir, version))
         marker.createNewFile()
       }
       load(path)

@@ -97,14 +97,20 @@ object Trainer {
       batchSize: Int = BatchSize): DataFrame =
     prepare(raw.orderBy(col(orderCol)).limit(version * batchSize))
 
-  /** M5+O1: per-feature importances of the RF stage, descending — the
-    * JSON artifact's content (spark_trainer.py:87-99). */
-  def featureImportances(model: PipelineModel): Seq[(String, Double)] = {
+  /** Per-feature importances in ASSEMBLER column order (the vector's
+    * native order, spark_trainer.py:92-94 before its sort). */
+  def importancesInAssemblerOrder(model: PipelineModel): Seq[(String, Double)] = {
     val rf = model.stages.last.asInstanceOf[RandomForestRegressionModel]
     val assembler = model.stages(1).asInstanceOf[VectorAssembler]
     val names = assembler.getInputCols.map(_.stripSuffix("_imputed"))
-    names.zip(rf.featureImportances.toArray).sortBy { case (n, v) => (-v, n) }.toSeq
+    names.zip(rf.featureImportances.toArray).toSeq
   }
+
+  /** M5+O1: per-feature importances of the RF stage, descending — the
+    * JSON artifact's content (spark_trainer.py:87-99). */
+  def featureImportances(model: PipelineModel): Seq[(String, Double)] =
+    importancesInAssemblerOrder(model)
+      .sortBy { case (n, v) => (-v, n) }
 
   /** The stream-shaped test table as a trip-shaped training frame: a
     * deterministic feature derivation from `events` (value → Duration-like

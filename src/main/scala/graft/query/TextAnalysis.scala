@@ -402,7 +402,24 @@ object TextAnalysis {
     graft.schema.Schemas.evictingComputeIfAbsent(m, s"$dir#bpe#$rounds",
       graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"))(
       trainBpe(spark, dir, rounds))(
-      p => try p._2.unpersist(false) catch { case _: Throwable => () })
+      p => try freeCheckpoint(p._2) catch { case _: Throwable => () })
+  }
+
+  /** Release the storage behind a training-loop frame. `Dataset
+    * .unpersist` only drops cache-manager entries, so for a
+    * `localCheckpoint`-ed frame it is a NO-OP — the checkpoint's RDD
+    * blocks (MEMORY_AND_DISK) would otherwise live until GC collects
+    * the RDD, a storage leak on long-lived sessions. This walks the
+    * plan to the backing checkpointed RDD and unpersists IT. Only call
+    * once the frame is dead: a freed local checkpoint has no lineage
+    * to recompute from. */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit = {
+    df.unpersist(false)
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); (): Unit
+      case _ => ()
+    }
   }
 
   /** The shared training loop: returns (merge table rows, final vocab
@@ -446,9 +463,11 @@ object TextAnalysis {
         .groupBy(col("pa"), col("pb")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1)
         .take(1).headOption
-      // this round's action materialized `vocab`'s persist, so the
-      // grandparent generation can drop without risking recompute
-      prev.foreach(_.unpersist())
+      // this round's action materialized `vocab`'s persist/checkpoint,
+      // so the grandparent generation can drop without risking recompute
+      // (freeCheckpoint, not unpersist: past round 1 these are local
+      // checkpoints whose blocks Dataset.unpersist cannot release)
+      prev.foreach(freeCheckpoint)
       prev = Some(vocab)
       best match {
         case Some(row) =>
@@ -467,7 +486,7 @@ object TextAnalysis {
         case None => live = false
       }
     }
-    prev.foreach(_.unpersist())
+    prev.foreach(freeCheckpoint)
     (learned.toSeq, vocab)
   }
 
