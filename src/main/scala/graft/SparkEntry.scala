@@ -427,6 +427,9 @@ object SparkEntry {
     "multimodal_frame_sample" -> Multimodal.multimodalFrameSample _,
     "multimodal_resize_plan" ->
       ((s: SparkSession, d: String) => Multimodal.multimodalResizePlan(s, d)),
+    // round 15: REAL nearest-neighbor resample over the decoded raster
+    "multimodal_image_resize" ->
+      ((sp: SparkSession, d: String) => Multimodal.multimodalImageResize(sp, d)),
     "multimodal_audio_windows" ->
       ((s: SparkSession, d: String) =>
         Multimodal.multimodalAudioWindows(s, d)),
@@ -811,11 +814,23 @@ object SparkEntry {
     "stream_dedup_incremental" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.StreamQueries.streamDedupIncremental(s, d)),
+    // round 15: monitoring twins — per-bin ValueState counters whose
+    // drained panels feed the SAME epilogue as the batch queries
+    "stream_eval_ece" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.StreamQueries.streamEvalEce(s, d)),
+    "stream_drift_psi" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.StreamQueries.streamDriftPsi(s, d)),
     // round 14: multi-granularity substring census — widths {8,16,32}
     // share one tokenize pass and one shuffle; spans report their
     // maximal length class
     "dedup_substring_multiscale" ->
       ((s: SparkSession, d: String) => Dedup.dedupSubstringMultiscale(s, d)),
+    // round 15: exact maximal repeated spans — gaps-and-islands over
+    // the covered window positions, one extra shuffle over the census
+    "dedup_substring_maximal" ->
+      ((s: SparkSession, d: String) => Dedup.dedupSubstringMaximal(s, d)),
     // round 14: real RIFF/PCM bytes→samples audio decode (whole-clip
     // stats + per-STFT-frame features over the decoded array)
     "multimodal_audio_decode" ->
@@ -853,6 +868,16 @@ object SparkEntry {
     "eval_ece"               -> Analytics3.evalEce _,
     // Matthews correlation + balanced accuracy + Youden's J
     "eval_mcc"               -> Analytics5.evalMcc _,
+    // round 15: continuous-rating reliability (2-way random effects)
+    "eval_icc"               -> ((sp: SparkSession, d: String) =>
+      Analytics5.evalIcc(sp, d)),
+    // round 15: robust trend slope (median of pairwise hourly slopes)
+    "ts_theil_sen"           -> Analytics5.tsTheilSen _,
+    // round 15: Benford first-digit audit over exact cents
+    "dq_benford_law"         -> Analytics5.dqBenfordLaw _,
+    // round 15: Flesch / FK readability from regex count surrogates
+    "text_readability"       -> ((sp: SparkSession, d: String) =>
+      TextAnalysis.textReadability(sp, d)),
     // cld3-style char-trigram language ID (even-doc-trained model)
     "text_langid_chargram"   -> TextAnalysis.textLangidChargram _,
     // exponential-mechanism (Gumbel-max) DP top-k selection
@@ -1199,6 +1224,80 @@ object SparkEntry {
   /** Shared by `dedup_incremental_minhash` and its streaming twin
     * `stream_dedup_incremental` (whose drain equals the batch probe by
     * contract). */
+  /** eval_ece oracle — shared with the transformWithState streaming
+    * twin (drain == batch contract, same panel, same epilogue). */
+  private lazy val eceOracleSql: String =
+    """WITH s AS (
+        |  SELECT least(greatest(CAST(embedding[1] AS DOUBLE) * 2.0 + 0.5,
+        |    0.0), 0.9999) AS score, label
+        |  FROM embeddings
+        |), b AS (
+        |  SELECT CAST(floor(score * 10) AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, sum(score) AS sum_score,
+        |    CAST(count(CASE WHEN label % 2 = 1 THEN 1 END) AS BIGINT)
+        |      AS n_pos
+        |  FROM s GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS n_bins
+        |  FROM b
+        |), terms AS (
+        |  SELECT bin, n_total, n_bins,
+        |    (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      * abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - sum_score / CAST(n AS DOUBLE)) AS term,
+        |    abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - sum_score / CAST(n AS DOUBLE)) AS gap
+        |  FROM b CROSS JOIN t
+        |), p AS (
+        |  SELECT n_total, n_bins,
+        |    coalesce(sum(CASE WHEN bin = 0 THEN term END), 0.0) AS t0,
+        |    coalesce(sum(CASE WHEN bin = 1 THEN term END), 0.0) AS t1,
+        |    coalesce(sum(CASE WHEN bin = 2 THEN term END), 0.0) AS t2,
+        |    coalesce(sum(CASE WHEN bin = 3 THEN term END), 0.0) AS t3,
+        |    coalesce(sum(CASE WHEN bin = 4 THEN term END), 0.0) AS t4,
+        |    coalesce(sum(CASE WHEN bin = 5 THEN term END), 0.0) AS t5,
+        |    coalesce(sum(CASE WHEN bin = 6 THEN term END), 0.0) AS t6,
+        |    coalesce(sum(CASE WHEN bin = 7 THEN term END), 0.0) AS t7,
+        |    coalesce(sum(CASE WHEN bin = 8 THEN term END), 0.0) AS t8,
+        |    coalesce(sum(CASE WHEN bin = 9 THEN term END), 0.0) AS t9,
+        |    max(gap) AS max_gap
+        |  FROM terms GROUP BY n_total, n_bins
+        |)
+        |SELECT n_total, n_bins,
+        |  CAST(t0 + t1 + t2 + t3 + t4 + t5 + t6 + t7 + t8 + t9 AS REAL)
+        |    AS ece,
+        |  CAST(max_gap AS REAL) AS max_gap
+        |FROM p""".stripMargin
+
+  /** drift_psi_value oracle — shared with the streaming twin. */
+  private lazy val psiTermsOracleSql: String =
+    """WITH s AS (
+        |  SELECT value,
+        |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS isa
+        |  FROM events
+        |), st AS (
+        |  SELECT min(value) AS vmin, max(value) AS vmax,
+        |    CAST(sum(isa) AS BIGINT) AS na,
+        |    CAST(sum(1 - isa) AS BIGINT) AS nb
+        |  FROM s
+        |), b AS (
+        |  SELECT least(CAST(floor((value - st.vmin)
+        |      / ((st.vmax - st.vmin) / 10.0)) AS BIGINT), 9) AS bin, isa
+        |  FROM s CROSS JOIN st
+        |), g AS (
+        |  SELECT bin, CAST(sum(isa) AS BIGINT) AS ca,
+        |    CAST(sum(1 - isa) AS BIGINT) AS cb
+        |  FROM b GROUP BY bin
+        |)
+        |SELECT bin, ca, cb,
+        |  CAST((greatest(CAST(ca AS DOUBLE) / CAST(st.na AS DOUBLE), 0.0001)
+        |      - greatest(CAST(cb AS DOUBLE) / CAST(st.nb AS DOUBLE), 0.0001))
+        |    * ln(greatest(CAST(ca AS DOUBLE) / CAST(st.na AS DOUBLE), 0.0001)
+        |       / greatest(CAST(cb AS DOUBLE) / CAST(st.nb AS DOUBLE), 0.0001))
+        |    AS REAL) AS psi_term
+        |FROM g CROSS JOIN st ORDER BY bin""".stripMargin
+
   private lazy val incrementalMinhashOracleSql: String =
     s"""WITH ${minhashPairsCtes(8, 4, "0.5")},
        |delta AS (SELECT doc_id FROM base WHERE doc_id % 5 = 0),
@@ -1228,6 +1327,39 @@ object SparkEntry {
   def oracleSql: Map[String, String] = reg(
     // the unrolled deterministic-Forgy Lloyd's IVF oracle (2 stages)
     "ann_ivf_topk" -> ivfLloydOracleSql(2),
+    // exact maximal repeated spans: covered width-8 windows →
+    // gaps-and-islands per document → run length + w − 1
+    "dedup_substring_maximal" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        |planted AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'planted near duplicate copy ' || text AS text
+        |  FROM documents WHERE doc_id < 10
+        |), docs AS (
+        |  SELECT * FROM d0 UNION ALL SELECT * FROM planted
+        |), toks AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM docs
+        |), wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    CAST('0x' || substr(md5(array_to_string(
+        |      t[i : i + 7], ' ')), 1, 15) AS BIGINT) AS h
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1,
+        |      CAST(len(t) AS INT) - 7)) AS i) s
+        |  WHERE len(t) >= 8
+        |), rep AS (
+        |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |), covered AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM wins JOIN rep USING (h)
+        |)
+        |SELECT doc_id, min(i) AS start_pos,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_len
+        |FROM covered GROUP BY doc_id, grp
+        |ORDER BY doc_id, start_pos""".stripMargin,
     // three window widths over one shared tokenize CTE (chained
     // LATERALs: width unnest, then the per-width slide)
     "dedup_substring_multiscale" ->
@@ -3337,51 +3469,138 @@ object SparkEntry {
         |  count(CASE WHEN label % 2 = 1 THEN 1 END) AS n_pos
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // ECE: per-bin terms pivoted to 10 fixed columns, left-assoc sum
-    "eval_ece" ->
-      """WITH s AS (
-        |  SELECT least(greatest(CAST(embedding[1] AS DOUBLE) * 2.0 + 0.5,
-        |    0.0), 0.9999) AS score, label
-        |  FROM embeddings
-        |), b AS (
-        |  SELECT CAST(floor(score * 10) AS INT) AS bin,
-        |    CAST(count(*) AS BIGINT) AS n, sum(score) AS sum_score,
-        |    CAST(count(CASE WHEN label % 2 = 1 THEN 1 END) AS BIGINT)
-        |      AS n_pos
-        |  FROM s GROUP BY 1
-        |), t AS (
-        |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
-        |    CAST(count(*) AS BIGINT) AS n_bins
-        |  FROM b
-        |), terms AS (
-        |  SELECT bin, n_total, n_bins,
-        |    (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
-        |      * abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
-        |        - sum_score / CAST(n AS DOUBLE)) AS term,
-        |    abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - sum_score / CAST(n AS DOUBLE)) AS gap
-        |  FROM b CROSS JOIN t
-        |), p AS (
-        |  SELECT n_total, n_bins,
-        |    coalesce(sum(CASE WHEN bin = 0 THEN term END), 0.0) AS t0,
-        |    coalesce(sum(CASE WHEN bin = 1 THEN term END), 0.0) AS t1,
-        |    coalesce(sum(CASE WHEN bin = 2 THEN term END), 0.0) AS t2,
-        |    coalesce(sum(CASE WHEN bin = 3 THEN term END), 0.0) AS t3,
-        |    coalesce(sum(CASE WHEN bin = 4 THEN term END), 0.0) AS t4,
-        |    coalesce(sum(CASE WHEN bin = 5 THEN term END), 0.0) AS t5,
-        |    coalesce(sum(CASE WHEN bin = 6 THEN term END), 0.0) AS t6,
-        |    coalesce(sum(CASE WHEN bin = 7 THEN term END), 0.0) AS t7,
-        |    coalesce(sum(CASE WHEN bin = 8 THEN term END), 0.0) AS t8,
-        |    coalesce(sum(CASE WHEN bin = 9 THEN term END), 0.0) AS t9,
-        |    max(gap) AS max_gap
-        |  FROM terms GROUP BY n_total, n_bins
-        |)
-        |SELECT n_total, n_bins,
-        |  CAST(t0 + t1 + t2 + t3 + t4 + t5 + t6 + t7 + t8 + t9 AS REAL)
-        |    AS ece,
-        |  CAST(max_gap AS REAL) AS max_gap
-        |FROM p""".stripMargin,
+    "eval_ece" -> eceOracleSql,
     // MCC: exact BIGINT cells; denominator in double (Long margins
     // product would overflow at corpus scale); degenerate margins NULL
+    "dq_benford_law" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice > 0
+        |), g AS (
+        |  SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM c GROUP BY digit
+        |), t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM g)
+        |SELECT digit, n_orders,
+        |  CAST(CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS REAL)
+        |    AS observed_p,
+        |  CAST(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE)
+        |    / CAST(digit AS DOUBLE)) AS REAL) AS expected_p,
+        |  CAST((CAST(n_orders AS DOUBLE) - CAST(n_total AS DOUBLE)
+        |      * log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE)
+        |        / CAST(digit AS DOUBLE)))
+        |    * (CAST(n_orders AS DOUBLE) - CAST(n_total AS DOUBLE)
+        |      * log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE)
+        |        / CAST(digit AS DOUBLE)))
+        |    / (CAST(n_total AS DOUBLE) * log10(CAST(1.0 AS DOUBLE)
+        |      + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))) AS REAL)
+        |    AS chi2_term
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+    "text_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+        |      AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+        |    CAST(CAST(206.835 AS DOUBLE)
+        |      - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE)
+        |        / CAST(n_sentences AS DOUBLE))
+        |      - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE)) AS REAL) END AS flesch_ease,
+        |  CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+        |    CAST(CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE)
+        |        / CAST(n_sentences AS DOUBLE))
+        |      + CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE))
+        |      - CAST(15.59 AS DOUBLE) AS REAL) END AS fk_grade
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "eval_icc" ->
+      """WITH r AS (
+        |  SELECT
+        |    CAST('0x' || substr(md5(event_id || ':icclat'), 1, 15)
+        |      AS BIGINT) % 7 AS lat,
+        |    CAST('0x' || substr(md5(event_id || ':iccn1'), 1, 15)
+        |      AS BIGINT) % 3 AS e1,
+        |    CAST('0x' || substr(md5(event_id || ':iccn2'), 1, 15)
+        |      AS BIGINT) % 3 AS e2,
+        |    CAST('0x' || substr(md5(event_id || ':iccn3'), 1, 15)
+        |      AS BIGINT) % 3 AS e3
+        |  FROM events
+        |), x AS (
+        |  SELECT lat + 1 + e1 AS x1, lat + 2 + e2 AS x2,
+        |    lat + 3 + e3 AS x3 FROM r
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1 + x2 + x3) AS BIGINT) AS s,
+        |    CAST(sum(x1 * x1 + x2 * x2 + x3 * x3) AS BIGINT) AS ss,
+        |    CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS srow2,
+        |    CAST(sum(x1) AS BIGINT) AS c1, CAST(sum(x2) AS BIGINT) AS c2,
+        |    CAST(sum(x3) AS BIGINT) AS c3
+        |  FROM x
+        |), m AS (
+        |  SELECT n,
+        |    (CAST(srow2 AS DOUBLE) / 3.0
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * 3.0)) / (CAST(n AS DOUBLE) - 1.0)
+        |      AS msr,
+        |    ((CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+        |        + CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE)
+        |        + CAST(c3 AS DOUBLE) * CAST(c3 AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * 3.0)) / (3.0 - 1.0) AS msc,
+        |    ((CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * 3.0))
+        |      - (CAST(srow2 AS DOUBLE) / 3.0
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * 3.0))
+        |      - ((CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+        |          + CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE)
+        |          + CAST(c3 AS DOUBLE) * CAST(c3 AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * 3.0)))
+        |      / ((CAST(n AS DOUBLE) - 1.0) * (3.0 - 1.0)) AS mse
+        |  FROM g
+        |)
+        |SELECT n AS n_items, 3 AS k_raters,
+        |  CAST(msr AS REAL) AS msr, CAST(msc AS REAL) AS msc,
+        |  CAST(mse AS REAL) AS mse,
+        |  CAST((msr - mse) / (msr + (3.0 - 1.0) * mse
+        |    + 3.0 * (msc - mse) / CAST(n AS DOUBLE)) AS REAL) AS icc2_1,
+        |  CAST((msr - mse) / (msr + (msc - mse) / CAST(n AS DOUBLE))
+        |    AS REAL) AS icc2_k
+        |FROM m""".stripMargin,
+    "ts_theil_sen" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h,
+        |    CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS v6
+        |  FROM events GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.h AS hi, b.h AS hj,
+        |    CAST(b.v6 - a.v6 AS DOUBLE)
+        |      / CAST((b.h - a.h) * 1000000 AS DOUBLE) AS slope
+        |  FROM hourly a JOIN hourly b ON a.h < b.h
+        |), ranked AS (
+        |  SELECT slope,
+        |    row_number() OVER (ORDER BY slope, hi, hj) AS rk,
+        |    count(*) OVER () AS n_pairs
+        |  FROM pairs
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM hourly) AS n_points,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(slope AS REAL) AS theil_sen_slope
+        |FROM ranked WHERE rk = (n_pairs + 1) // 2""".stripMargin,
     "eval_mcc" ->
       """WITH e AS (
         |  SELECT event_id, event_type,
@@ -5048,6 +5267,41 @@ object SparkEntry {
         |  CAST(cnt AS DOUBLE) / n_bigrams AS top_frac,
         |  CAST(cnt AS DOUBLE) * len(g) / n_chars AS char_cov
         |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "multimodal_image_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    4 + CAST('0x' || substr(md5(doc_id || ':iw'), 1, 15) AS BIGINT)
+        |      % 13 AS w,
+        |    4 + CAST('0x' || substr(md5(doc_id || ':ih'), 1, 15) AS BIGINT)
+        |      % 9 AS h,
+        |    CAST('0x' || substr(md5(doc_id || ':r'), 1, 15) AS BIGINT)
+        |      % 256 AS r0,
+        |    CAST('0x' || substr(md5(doc_id || ':g'), 1, 15) AS BIGINT)
+        |      % 256 AS g0,
+        |    CAST('0x' || substr(md5(doc_id || ':b'), 1, 15) AS BIGINT)
+        |      % 256 AS b0,
+        |    CAST('0x' || substr(md5(doc_id || ':wr'), 1, 15) AS BIGINT)
+        |      % 256 AS wr,
+        |    CAST('0x' || substr(md5(doc_id || ':wg'), 1, 15) AS BIGINT)
+        |      % 256 AS wg,
+        |    CAST('0x' || substr(md5(doc_id || ':wb'), 1, 15) AS BIGINT)
+        |      % 256 AS wb
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, w, h, r0, g0, b0, wr, wg, wb,
+        |    greatest(1, CAST(floor(w * least(1.0,
+        |      least(8.0 / w, 8.0 / h))) AS BIGINT)) AS ow,
+        |    greatest(1, CAST(floor(h * least(1.0,
+        |      least(8.0 / w, 8.0 / h))) AS BIGINT)) AS oh
+        |  FROM p
+        |)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+        |  CAST(r0 * (ow * oh - 1) + wr AS BIGINT) AS sum_r,
+        |  CAST(g0 * (ow * oh - 1) + wg AS BIGINT) AS sum_g,
+        |  CAST(b0 * (ow * oh - 1) + wb AS BIGINT) AS sum_b
+        |FROM d ORDER BY doc_id""".stripMargin,
     "multimodal_image_decode" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -5518,32 +5772,7 @@ object SparkEntry {
     // rounds to the same double the Spark side precomputes; proportions
     // are exact-integer divisions; ln is libm on identical doubles with
     // the REAL cast absorbing the last ulp
-    "drift_psi_value" ->
-      """WITH s AS (
-        |  SELECT value,
-        |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS isa
-        |  FROM events
-        |), st AS (
-        |  SELECT min(value) AS vmin, max(value) AS vmax,
-        |    CAST(sum(isa) AS BIGINT) AS na,
-        |    CAST(sum(1 - isa) AS BIGINT) AS nb
-        |  FROM s
-        |), b AS (
-        |  SELECT least(CAST(floor((value - st.vmin)
-        |      / ((st.vmax - st.vmin) / 10.0)) AS BIGINT), 9) AS bin, isa
-        |  FROM s CROSS JOIN st
-        |), g AS (
-        |  SELECT bin, CAST(sum(isa) AS BIGINT) AS ca,
-        |    CAST(sum(1 - isa) AS BIGINT) AS cb
-        |  FROM b GROUP BY bin
-        |)
-        |SELECT bin, ca, cb,
-        |  CAST((greatest(CAST(ca AS DOUBLE) / CAST(st.na AS DOUBLE), 0.0001)
-        |      - greatest(CAST(cb AS DOUBLE) / CAST(st.nb AS DOUBLE), 0.0001))
-        |    * ln(greatest(CAST(ca AS DOUBLE) / CAST(st.na AS DOUBLE), 0.0001)
-        |       / greatest(CAST(cb AS DOUBLE) / CAST(st.nb AS DOUBLE), 0.0001))
-        |    AS REAL) AS psi_term
-        |FROM g CROSS JOIN st ORDER BY bin""".stripMargin,
+    "drift_psi_value" -> psiTermsOracleSql,
     "sample_prop_value" ->
       """WITH mx AS (SELECT max(value) AS vmax FROM events)
         |SELECT event_id, value FROM events, mx
@@ -7707,6 +7936,9 @@ object SparkEntry {
     // the streaming twin drains to the identical panel (batch-
     // equivalence contract), so it shares the batch probe's oracle
     "stream_dedup_incremental" -> incrementalMinhashOracleSql,
+    // monitoring twins share their batch queries' oracles (drain==batch)
+    "stream_eval_ece" -> eceOracleSql,
+    "stream_drift_psi" -> psiTermsOracleSql,
     "dedup_incremental_minhash" -> incrementalMinhashOracleSql,
     "dedup_incremental" ->
       """WITH fp AS (

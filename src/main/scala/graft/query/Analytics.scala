@@ -672,14 +672,26 @@ object Analytics {
         least(floor((col("value") - lit(vmin)) / lit(w)),
           lit(bins - 1L)).cast("long")
       else lit(0L)
+    psiTermsFromPanel(
+      sides.groupBy(bin.as("bin"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("is_a"), 0L).otherwise(1L)).as("cb")),
+      lit(na.toDouble), lit(nb.toDouble))
+  }
+
+  /** PSI-term epilogue over a (bin, ca, cb) panel with cohort totals —
+    * shared verbatim by the batch query and the transformWithState
+    * streaming twin ([[graft.streaming.StreamQueries.streamDriftPsi]]):
+    * fixed-order arithmetic on exact integer counts, so drain==batch
+    * holds bit-identically whatever na/nb's provenance (driver literals
+    * batch-side, panel sums stream-side — same doubles either way). */
+  private[graft] def psiTermsFromPanel(panel: DataFrame,
+      na: Column, nb: Column): DataFrame = {
     val floorP = 1e-4
-    val pa = greatest(col("ca").cast("double") / lit(na.toDouble), lit(floorP))
-    val pb = greatest(col("cb").cast("double") / lit(nb.toDouble), lit(floorP))
-    sides.groupBy(bin.as("bin"))
-      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
-        sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
-      .select(col("bin"), col("ca"), col("cb"),
-        ((pa - pb) * log(pa / pb)).cast("float").as("psi_term"))
+    val pa = greatest(col("ca").cast("double") / na, lit(floorP))
+    val pb = greatest(col("cb").cast("double") / nb, lit(floorP))
+    panel.select(col("bin"), col("ca"), col("cb"),
+      ((pa - pb) * log(pa / pb)).cast("float").as("psi_term"))
       .orderBy(col("bin"))
   }
 

@@ -317,8 +317,16 @@ object Analytics3 {
     * Scale shape: everything corpus-sized already happened inside the
     * bins' one map-side-combined aggregate; this is ≤10-row scalar
     * math. */
-  def evalEce(spark: SparkSession, dir: String): DataFrame = {
-    val b = evalCalibrationBins(spark, dir)
+  def evalEce(spark: SparkSession, dir: String): DataFrame =
+    eceFromBins(evalCalibrationBins(spark, dir))
+
+  /** The ECE epilogue over a (bin, n, sum_score, n_pos) panel — shared
+    * verbatim by the batch query and the transformWithState streaming
+    * twin ([[graft.streaming.StreamQueries.streamEvalEce]]), so the
+    * drain==batch contract holds by construction: the panel sums are
+    * exact (float-derived doubles), making the accumulation order
+    * irrelevant, and everything here is fixed-order ≤10-row math. */
+  private[graft] def eceFromBins(b: DataFrame): DataFrame = {
     val tot = b.agg(sum(col("n")).as("n_total"),
       count(lit(1)).as("n_bins"))
     val nD = col("n").cast("double")
@@ -499,8 +507,10 @@ object Analytics3 {
         (col("__off") + coalesce(sum(col("c")).over(wLocal), lit(0L)))
           .as("cb"))
     ranked.agg(
-      sum(col("np")).as("npos"),
-      sum(col("c") - col("np")).as("nneg"),
+      // coalesce: empty input must report ZERO counts with a null rate
+      // (the count() semantics of the pre-two-level form — EdgeCaseSpec)
+      coalesce(sum(col("np")), lit(0L)).as("npos"),
+      coalesce(sum(col("c") - col("np")), lit(0L)).as("nneg"),
       sum(col("np").cast("double") * (col("cb").cast("double")
         + (col("c").cast("double") + 1.0) / 2.0)).as("rpos"))
       .select(col("npos"), col("nneg"),

@@ -2362,4 +2362,141 @@ object Analytics5 {
           (col("n_langs") * col("n_docs")).cast("double")).as("weight"))
       .orderBy(col("lang"))
   }
+
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-data / extraction-bug detector (organically grown
+    * monetary amounts follow log₁₀(1 + 1/d); a synthetic or truncated
+    * feed does not), reported per digit with the chi-square term so
+    * the monitor can both test and localize.
+    *
+    * Exactness: the leading digit comes from the exact-cents INTEGER's
+    * decimal string (never floating log arithmetic — a log10-based
+    * digit extraction can misclassify at power-of-ten boundaries);
+    * counts are BIGINTs off one map-side-combined 9-key aggregate;
+    * expected shares are log10 on literal constants (identical doubles
+    * any engine) and each emitted term is fixed-order scalar math under
+    * a REAL cast.
+    *
+    * Scale shape: one scan, 9-key aggregate, broadcast 1-row total —
+    * no shuffle pressure at any corpus size. */
+  def dqBenfordLaw(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * lit(100.0)).cast("long")
+    val g = table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    val tot = g.agg(sum(col("n_orders")).as("n_total"))
+    val expectedP = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    val obsP = col("n_orders").cast("double") / col("n_total").cast("double")
+    val expN = col("n_total").cast("double") * expectedP
+    g.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_orders"),
+        obsP.cast("float").as("observed_p"),
+        expectedP.cast("float").as("expected_p"),
+        ((col("n_orders").cast("double") - expN)
+          * (col("n_orders").cast("double") - expN) / expN)
+          .cast("float").as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  /** Intraclass correlation ICC(2,1) and ICC(2,k) — two-way random
+    * effects, absolute agreement: the CONTINUOUS-rating reliability
+    * statistic completing the inter-rater family (Cohen's and Fleiss'
+    * kappa and Krippendorff's alpha cover categorical/ordinal labels;
+    * reward-model scores and quality ratings are continuous, and their
+    * pipelines report ICC). Raters are the deterministic-PRF idiom:
+    * each item i carries a latent hash level, and rater j reports
+    * latent + j (a real rater bias, so MSC > 0 and the 2-way model is
+    * non-degenerate) + an item×rater hash noise term — every rating an
+    * exact small integer.
+    *
+    * Exactness: ICC needs only S = ΣΣx, SS = ΣΣx², Σ row-sums², and
+    * the k per-rater column sums — all exact BIGINTs off ONE
+    * map-side-combined aggregate over one map-only projection (raters
+    * are PRFs of the item row: no join, no second scan). The
+    * ANOVA epilogue (SSR/SSC/SSE → MSR/MSC/MSE → the two ICCs) is a
+    * fixed-parenthesization double epilogue on the single output row.
+    *
+    * Scale shape: map-only projection + 1-row aggregate; nothing
+    * downstream scales with the corpus. */
+  def evalIcc(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id").cast("string").as("id"))
+    val latent = Dedup.hash60(concat(col("id"), lit(":icclat"))) % 7
+    val xs = (1 to k).map { j =>
+      (latent + lit(j.toLong)
+        + Dedup.hash60(concat(col("id"), lit(s":iccn$j"))) % 3)
+        .as(s"x$j")
+    }
+    val rated = e.select(xs: _*)
+    val rowSum = (1 to k).map(j => col(s"x$j")).reduce(_ + _)
+    val aggs =
+      Seq(count(lit(1)).as("n"),
+        sum(rowSum).as("s"),
+        sum((1 to k).map(j => col(s"x$j") * col(s"x$j")).reduce(_ + _))
+          .as("ss"),
+        sum(rowSum * rowSum).as("srow2")) ++
+      (1 to k).map(j => sum(col(s"x$j")).as(s"c$j"))
+    val g = rated.agg(aggs.head, aggs.tail: _*)
+    def d(c: Column): Column = c.cast("double")
+    val kd = lit(k.toDouble)
+    val nd = d(col("n"))
+    val grand = d(col("s")) * d(col("s")) / (nd * kd)
+    val ssr = d(col("srow2")) / kd - grand
+    val ssc = (1 to k).map(j => d(col(s"c$j")) * d(col(s"c$j")))
+      .reduce(_ + _) / nd - grand
+    val sst = d(col("ss")) - grand
+    val sse = sst - ssr - ssc
+    val msr = ssr / (nd - 1.0)
+    val msc = ssc / (kd - 1.0)
+    val mse = sse / ((nd - 1.0) * (kd - 1.0))
+    val icc1 = (msr - mse) /
+      (msr + (kd - 1.0) * mse + kd * (msc - mse) / nd)
+    val icck = (msr - mse) / (msr + (msc - mse) / nd)
+    g.select(col("n").as("n_items"), lit(k).as("k_raters"),
+      msr.cast("float").as("msr"), msc.cast("float").as("msc"),
+      mse.cast("float").as("mse"),
+      icc1.cast("float").as("icc2_1"), icck.cast("float").as("icc2_k"))
+  }
+
+  /** Theil–Sen robust trend slope over the hourly event-value series —
+    * the estimator companion of [[Analytics2.tsMannKendall]]'s trend
+    * TEST (Sen 1968: the median of all pairwise slopes; 29% breakdown
+    * point where OLS has 0). Reported with the lower-median convention
+    * (rank ⌈P/2⌉ of the (slope, h_i, h_j)-ordered pairs — a PICK of one
+    * exactly-computed double, never an interpolation).
+    *
+    * Exactness: the hourly series is the exact scaled-BIGINT rollup
+    * (the [[tsStlDecompose]] grain); each pairwise slope is ONE
+    * correctly-rounded double division of exact integers — identical
+    * in any engine — and the median is a deterministic rank pick with
+    * (h_i, h_j) tie-breaks, so the emitted slope is bit-identical.
+    *
+    * Scale shape: the corpus-sized work is the map-side-combined
+    * hourly rollup; the pair fanout is hours²/2 — CALENDAR-bounded
+    * (8 760 h/year → ~38 M pairs/year, a constant, never corpus-scaled)
+    * — and the rank window over pairs is over that bounded grain (the
+    * WindowGateSpec calendar justification, squared). */
+  def tsTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = graft.schema.Schemas.events(spark, dir)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(sum(round(col("value") * lit(1e6)).cast("long")).as("v6"))
+    val pairs = hourly.as("a").join(broadcast(hourly.as("b")),
+        col("a.h") < col("b.h"))
+      .select(col("a.h").as("hi"), col("b.h").as("hj"),
+        ((col("b.v6") - col("a.v6")).cast("double")
+          / ((col("b.h") - col("a.h")) * lit(1000000L)).cast("double"))
+          .as("slope"))
+    val tot = pairs.agg(count(lit(1)).as("n_pairs"))
+    val ranked = pairs
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("slope"), col("hi"), col("hj"))))
+    ranked.crossJoin(broadcast(tot))
+      // DIV, not `/`: Column `/` is double division, and an even pair
+      // count would then compare rk against x.5 and match NOTHING
+      .filter(col("rk") === expr("(n_pairs + 1) DIV 2"))
+      .crossJoin(broadcast(hourly.agg(count(lit(1)).as("n_points"))))
+      .select(col("n_points"), col("n_pairs"),
+        col("slope").cast("float").as("theil_sen_slope"))
+  }
 }

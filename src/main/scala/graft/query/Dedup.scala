@@ -953,4 +953,48 @@ object Dedup {
       .filter(col("n_docs") >= 2)
       .orderBy(col("w"), col("h"))
   }
+
+  /** EXACT maximal repeated-span extraction — the second pass that
+    * closes [[dedupSubstringMultiscale]]'s remaining gap to
+    * suffix-array quality: the multiscale census bounds a repeated
+    * span's maximal length to a [w, 2w) CLASS; this emits the exact
+    * length. A position is covered when its width-`w` window's hash
+    * appears in ≥ 2 distinct documents; maximal runs of consecutive
+    * covered windows (gaps-and-islands on the window index) are the
+    * spans a training pipeline actually cuts, with exact
+    * `span_len = run_length + w − 1` tokens (the Lee et al. 2022
+    * exact-substring-dedup span semantics at window granularity: every
+    * width-w slice of the span is cross-document repeated).
+    *
+    * Scale shape: ONE extra shuffle over the census — the
+    * (doc, position, hash) windows join the repeated-hash classes
+    * left-semi on the uniform 60-bit key (both sides shuffle on h;
+    * the class side is already aggregated), then the island grouping
+    * runs in per-document windows (bounded by document length, never
+    * corpus grain) and the span rollup is map-side-combinable on
+    * (doc, island). Θ(corpus tokens) end to end, no suffix sort. */
+  def dedupSubstringMaximal(spark: SparkSession, dir: String,
+      w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = withPlantedNearDups(table(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+    val wins = docs
+      .select(col("doc_id"),
+        posexplode(shinglesFromTokens(col("toks"), w)).as(Seq("p", "win")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("i"),
+        hash60(col("win")).as("h"))
+    val repeated = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"))
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    wins.join(repeated, Seq("h"), "left_semi")
+      .withColumn("grp", col("i") - row_number().over(wdoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).as("start_pos"), count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("start_pos"),
+        (col("n_windows") + lit(w.toLong) - 1L).as("span_len"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
 }

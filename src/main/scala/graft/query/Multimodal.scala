@@ -389,6 +389,65 @@ object Multimodal {
     *
     * floor(w·scale) is double arithmetic with identical operation order
     * in both engines (and float64 is exact for these magnitudes). */
+  /** REAL nearest-neighbor resize over the decoded raster — the
+    * pixel-level successor of [[multimodalResizePlan]] (which plans
+    * dimensions from metadata only): decode the synthesized PNG with
+    * the genuine `javax.imageio` path, resample to fit a `box`×`box`
+    * budget (aspect preserved, floor dims, never upscale — the
+    * thumbnail convention), and emit the RESIZED raster's exact
+    * per-channel integer sums. NN source index = floor(x·w/ow)
+    * (pure integer arithmetic — no engine-variant rounding).
+    *
+    * Contract the oracle replays closed-form: the fixture is a solid
+    * base color + one watermark pixel at (0,0); under NN downscale the
+    * output (0,0) samples input (0,0) and NO other output pixel can
+    * (x ≥ 1 ⇒ floor(x·w/ow) ≥ 1 when w ≥ ow), so the resized sums are
+    * base·(ow·oh − 1) + watermark — a resampler that drops the corner,
+    * double-samples, or miscomputes output dims hash-mismatches.
+    *
+    * Scale shape: embarrassingly parallel map over the binary column,
+    * batched per partition; one TakeOrdered-free ordered dump. */
+  def multimodalImageResize(spark: SparkSession, dir: String,
+      box: Int = 8, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { id =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(synthesizePng(id)))
+            require(img != null,
+              s"javax.imageio failed to decode synthesized png for doc $id")
+            val w = img.getWidth; val h = img.getHeight
+            val scale = math.min(1.0,
+              math.min(box.toDouble / w, box.toDouble / h))
+            val ow = math.max(1, math.floor(w * scale).toInt)
+            val oh = math.max(1, math.floor(h * scale).toInt)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < oh) {
+              val sy = (y.toLong * h / oh).toInt
+              var x = 0
+              while (x < ow) {
+                val sx = (x.toLong * w / ow).toInt
+                val rgb = img.getRGB(sx, sy)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            (id, w, h, ow, oh, sr, sg, sb)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "out_w", "out_h",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy(col("doc_id"))
+  }
+
   def multimodalResizePlan(spark: SparkSession, dir: String,
       box: Int = 512): DataFrame = {
     val w = col("media_meta.width").cast("double")

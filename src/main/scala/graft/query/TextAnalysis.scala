@@ -486,7 +486,10 @@ object TextAnalysis {
         case None => live = false
       }
     }
-    prev.foreach(freeCheckpoint)
+    // on merge exhaustion (best=None) `prev` ALIASES the returned
+    // vocab — freeing it would destroy the live state the callers
+    // probe (with the old no-op unpersist this was silently harmless)
+    prev.filter(_ ne vocab).foreach(freeCheckpoint)
     (learned.toSeq, vocab)
   }
 
@@ -954,6 +957,45 @@ object TextAnalysis {
         stopFrac.as("stop_frac"),
         (col("n_tokens") >= 20 && meanWl >= 3.0 && meanWl <= 10.0
           && topFrac <= 0.15 && stopFrac >= 0.02).as("pass_gopher"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Flesch reading-ease and Flesch–Kincaid grade per document — the
+    * classic readability scores a curation stack reports beside the
+    * Gopher gates (too-low reading ease flags boilerplate/gibberish;
+    * too-high grade flags legalese/spam keyword stuffing). Counts are
+    * cheap regex surrogates, the standard large-corpus convention:
+    * words = whitespace tokens, sentences = terminator runs `[.!?]+`,
+    * syllables = vowel-group runs `[aeiouy]+` over the lowercased text
+    * (a vowel group never spans whitespace, so the corpus-wide count
+    * equals the per-word sum without a word explode).
+    *
+    * Exactness: all three counts are exact integers from the SAME
+    * regex in both engines (RE2 ∩ java.util.regex subset); the two
+    * scores are fixed-order double formulas under REAL casts.
+    * Zero-sentence docs emit null scores (ANSI x/0 discipline).
+    *
+    * Scale shape: map-only per-doc regex counts + ordered dump — no
+    * shuffle, embarrassingly parallel. */
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val lowered = lower(col("text"))
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_words"),
+        regexp_count(col("text"), lit("[.!?]+")).cast("long")
+          .as("n_sentences"),
+        regexp_count(lowered, lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"))
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    d.select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_sentences") > 0 && col("n_words") > 0,
+          lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+          .cast("float").as("flesch_ease"),
+        when(col("n_sentences") > 0 && col("n_words") > 0,
+          lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+          .cast("float").as("fk_grade"))
       .orderBy(col("doc_id"))
   }
 

@@ -49,15 +49,21 @@ object TwoLevel {
 
   /** `ntile(buckets)` bucket id from a 1-based global rank `r` over `n`
     * total rows — the exact Spark/DuckDB NTILE fill rule (the first
-    * n mod b buckets take one extra row), as pure integer arithmetic so
-    * an ntile window over an unbounded relation can ride [[rowNumber]]
-    * instead. Emits INT like the native ntile. */
+    * n mod b buckets take one extra row), as PURE INTEGER arithmetic
+    * (`div`, never `/` — Column `/` promotes to double division, whose
+    * correctly-rounded quotient can land exactly ON the next integer
+    * when the true quotient is within an ulp below it, flipping a
+    * bucket boundary past ~2²⁶ rows per bucket) so an ntile window over
+    * an unbounded relation can ride [[rowNumber]] instead. Emits INT
+    * like the native ntile. */
   def ntileFromRank(r: Column, n: Column, buckets: Int): Column = {
-    val size = n / buckets
-    val rem = n % buckets
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val bk = lit(buckets.toLong)
+    val size = idiv(n, bk)
+    val rem = n % bk
     val cut = (size + lit(1L)) * rem
-    when(r <= cut, (r - 1) / (size + 1) + 1)
-      .otherwise(rem + (r - cut - 1) / size + 1)
+    when(r <= cut, idiv(r - 1, size + lit(1L)) + lit(1L))
+      .otherwise(rem + idiv(r - cut - 1, size) + lit(1L))
       .cast("int")
   }
 }

@@ -1467,6 +1467,170 @@ object StreamQueries {
         reader1.option("maxFilesPerTrigger", n)).parquet(dir)
     }
 
+  /** Streaming view of the embeddings table (file or directory layout,
+    * probed like [[streamEvents]]). */
+  private def streamEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val isDir = java.nio.file.Files.isDirectory(p)
+    val reader0 = spark.readStream.schema(StructType.fromDDL(
+      "vec_id LONG, embedding ARRAY<FLOAT>, label INT"))
+    val reader =
+      if (isDir) reader0
+      else reader0.option("pathGlobFilter", "embeddings.parquet")
+    reader.parquet(if (isDir) p.toString else dir)
+  }
+
+  case class CalIn(bin: Int, score: Double, pos: Long)
+  case class CalBin(bin: Int, n: Long, sum_score: Double, n_pos: Long)
+
+  /** Per-bin running reliability counters: ValueState[(n, Σscore,
+    * n_pos)] keyed by the score bin — the streaming form of the
+    * calibration-bins aggregate. Σscore accumulates FLOAT-derived
+    * doubles (≥ 29 free mantissa bits), so the running sum is EXACT and
+    * the drain equals the batch aggregate bit-for-bit whatever the
+    * micro-batch arrival order. */
+  private class CalibBinsProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[Int, CalIn, CalBin] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double, Long)]("calib",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Int, rows: Iterator[CalIn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CalBin] = {
+      var (n, s, p) = if (st.exists()) st.get() else (0L, 0.0, 0L)
+      rows.foreach { r => n += 1; s += r.score; p += r.pos }
+      st.update((n, s, p))
+      Iterator.single(CalBin(key, n, s, p))
+    }
+  }
+
+  /** Streaming twin of `eval_ece`: the embeddings stream folds into
+    * per-bin (n, Σscore, n_pos) ValueState, the drain's final panel
+    * feeds the SAME ≤10-row ECE epilogue as the batch query
+    * ([[graft.query.Analytics3.eceFromBins]]) — the reliability monitor
+    * a serving deployment keeps warm instead of rescanning its eval
+    * split. Drain == batch bit-identically (exact sums, shared
+    * epilogue, shared oracle). */
+  def streamEvalEce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val score = least(greatest(
+      element_at(col("embedding"), 1).cast("double") * 2.0 + 0.5,
+      lit(0.0)), lit(0.9999))
+    val ds = streamEmbeddings(spark, dir)
+      .select(floor(score * 10).cast("int").as("bin"), score.as("score"),
+        when(col("label") % 2 === 1, 1L).otherwise(0L).as("pos"))
+      .as[CalIn]
+    val out = ds.groupByKey(_.bin)
+      .transformWithState(new CalibBinsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+    // counters are monotone nondecreasing across micro-batches, so the
+    // final state per bin is the per-column max of the Update emissions
+    val panel = drain(spark, out.toDF(), OutputMode.Update(),
+        statePartitions = 4)
+      .groupBy(col("bin"))
+      .agg(max(col("n")).as("n"), max(col("sum_score")).as("sum_score"),
+        max(col("n_pos")).as("n_pos"))
+    graft.query.Analytics3.eceFromBins(panel)
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
+  }
+
+  case class PsiIn(bin: Long, a: Long, b: Long)
+  case class PsiBin(bin: Long, ca: Long, cb: Long)
+
+  /** Per-bin running cohort counters for the PSI monitor:
+    * ValueState[(ca, cb)] keyed by the value bin. */
+  private class PsiBinsProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[Long, PsiIn, PsiBin] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("psi",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[PsiIn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PsiBin] = {
+      var (ca, cb) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { r => ca += r.a; cb += r.b }
+      st.update((ca, cb))
+      Iterator.single(PsiBin(key, ca, cb))
+    }
+  }
+
+  /** Streaming twin of `drift_psi_value`: events fold into per-bin
+    * (ca, cb) ValueState and the drained panel feeds the SAME PSI-term
+    * epilogue as the batch query
+    * ([[graft.query.Analytics.psiTermsFromPanel]]), with the cohort
+    * totals recovered from the panel itself (Σca, Σcb — equal to the
+    * batch head's na/nb by construction). Bin edges are the monitor's
+    * configured baseline (batch-derived min/max, the production
+    * convention: PSI bins come from the REFERENCE distribution, not
+    * the live stream). Drain == batch bit-identically; shared oracle. */
+  def streamDriftPsi(spark: SparkSession, dir: String,
+      bins: Int = 10): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val sides = graft.schema.Schemas.events(spark, dir)
+      .select(col("value"), (col("event_id") % 2 === 0).as("is_a"))
+    val head = sides.agg(
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("is_a"), 0L).otherwise(1L)).as("nb")).head()
+    if (head.isNullAt(0) || head.getLong(2) == 0L || head.getLong(3) == 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL("bin LONG, ca LONG, cb LONG, psi_term FLOAT"))
+    val (vmin, vmax) = (head.getDouble(0), head.getDouble(1))
+    val w = (vmax - vmin) / bins
+    val bin =
+      if (w > 0)
+        least(floor((col("value") - lit(vmin)) / lit(w)),
+          lit(bins - 1L)).cast("long")
+      else lit(0L)
+    val ds = streamEvents(spark, dir)
+      .select(bin.as("bin"),
+        when(col("event_id") % 2 === 0, 1L).otherwise(0L).as("a"),
+        when(col("event_id") % 2 === 0, 0L).otherwise(1L).as("b"))
+      .as[PsiIn]
+    val out = ds.groupByKey(_.bin)
+      .transformWithState(new PsiBinsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+    val panel = drain(spark, out.toDF(), OutputMode.Update(),
+        statePartitions = 4)
+      .groupBy(col("bin"))
+      .agg(max(col("ca")).as("ca"), max(col("cb")).as("cb"))
+    val tot = panel.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    graft.query.Analytics.psiTermsFromPanel(
+      panel.crossJoin(broadcast(tot)),
+      col("na").cast("double"), col("nb").cast("double"))
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
+  }
+
   def streamTransformWithStateFrom(spark: SparkSession, dir: String,
       rawEvents: Boolean, filesPerTrigger: Option[Int]): DataFrame = {
     import spark.implicits._

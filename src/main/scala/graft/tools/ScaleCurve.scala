@@ -95,7 +95,14 @@ object ScaleCurve {
       "arena" -> Seq("eval_bradley_terry", "eval_win_rate_matrix"),
       "curation2" -> Seq("corpus_ccnet_buckets", "corpus_epoch_repeat",
         "text_span_mask_plan", "pref_pair_margin"),
-      "cc_incremental" -> Seq("graph_cc_incremental"))
+      "cc_incremental" -> Seq("graph_cc_incremental"),
+      // round-15: the WindowGateSpec two-level rewrites (global
+      // rank/cumsum/CDF moved onto bucket-histogram offsets) and the
+      // maximal-span second pass — the exact shapes whose former
+      // single-partition windows would have gone super-linear
+      "two_level_rank" -> Seq("sample_pps_systematic",
+        "agg_pareto_concentration", "sql_customer_rfm", "eval_pr_auc"),
+      "span_maximal" -> Seq("dedup_substring_maximal"))
 
     // scale-variant forms that widen a declared query's fixed panel to
     // the whole corpus (the declared defaults exist for oracle-size

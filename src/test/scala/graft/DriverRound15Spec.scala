@@ -73,6 +73,100 @@ class DriverRound15Spec extends SparkSpec {
     (): Unit
   }
 
+  test("dedup_substring_maximal: a planted 23-token cross-doc span is " +
+      "reported at its EXACT length and start in both docs; intra-doc " +
+      "repeats are excluded; no other spans appear") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("maxspan").toString
+    val shared = (1 to 23).map(i => s"shared$i").mkString(" ")
+    val block = (1 to 10).map(i => s"block$i").mkString(" ")
+    Seq(
+      (100L, s"pre100a pre100b pre100c $shared suf100a suf100b"),
+      (101L, s"p101a p101b p101c p101d p101e $shared s101a s101b s101c s101d"),
+      // intra-doc repeat only: 1 distinct doc — must NOT surface
+      (102L, s"$block mid102a mid102b $block tail102"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.query.Dedup.dedupSubstringMaximal(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 100: shared occupies tokens 4..26 → covered windows 4..19
+    // (16 of them) → span_len 16 + 7 = 23, start 4; doc 101: tokens
+    // 6..28 → start 6, len 23. Exact lengths, not a [16, 32) class.
+    assert(rows == Seq((100L, 4L, 23L), (101L, 6L, 23L)), rows.toString)
+  }
+
+  test("stream_eval_ece drains to the batch eval_ece row (shared epilogue, " +
+      "exact per-bin sums)") {
+    val s = graft.streaming.StreamQueries.streamEvalEce(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.query.Analytics3.evalEce(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(s.nonEmpty && s == b, s"stream $s vs batch $b")
+  }
+
+  test("stream_drift_psi drains to the batch drift_psi_value panel row " +
+      "for row (panel-derived totals equal the batch head's)") {
+    val s = graft.streaming.StreamQueries.streamDriftPsi(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.query.Analytics.driftPsiValue(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(s.nonEmpty && s == b, s"stream $s vs batch $b")
+  }
+
+  test("eval_icc: real item structure detected (msr > mse), rater bias " +
+      "detected (msc > mse), and ICC(2,1) < ICC(2,k) both in (0,1)") {
+    val r = graft.query.Analytics5.evalIcc(spark, sf).head()
+    val (msr, msc, mse) = (r.getFloat(2), r.getFloat(3), r.getFloat(4))
+    val (icc1, icck) = (r.getFloat(5), r.getFloat(6))
+    assert(msr > mse, s"msr $msr must exceed mse $mse (latent item effect)")
+    assert(msc > mse, s"msc $msc must exceed mse $mse (rater bias +j)")
+    assert(icc1 > 0f && icc1 < 1f, s"icc2_1 $icc1")
+    assert(icck > icc1 && icck < 1f,
+      s"average-of-k reliability must exceed single-rater: $icck vs $icc1")
+  }
+
+  test("ts_theil_sen equals an independently re-derived median of all " +
+      "pairwise hourly slopes") {
+    val got = graft.query.Analytics5.tsTheilSen(spark, sf).head()
+    val hourly = graft.schema.Schemas.events(spark, sf)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(sum(round(col("value") * lit(1e6)).cast("long")).as("v6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val slopes = for {
+      i <- hourly.indices; j <- (i + 1) until hourly.length
+    } yield ((hourly(j)._2 - hourly(i)._2).toDouble
+        / ((hourly(j)._1 - hourly(i)._1) * 1000000L).toDouble,
+      hourly(i)._1, hourly(j)._1)
+    val sorted = slopes.sortBy(s => (s._1, s._2, s._3))
+    val pick = sorted(((sorted.length + 1) / 2) - 1)._1
+    assert(got.getLong(0) == hourly.length.toLong)
+    assert(got.getLong(1) == slopes.length.toLong)
+    assert(got.getFloat(2) == pick.toFloat,
+      s"slope ${got.getFloat(2)} vs re-derived $pick")
+  }
+
+  test("multimodal_image_resize: dims fit the 8-box (aspect preserved, " +
+      "never upscaled), and the resized sums obey the watermark " +
+      "containment law against an independent full-res decode") {
+    import graft.query.Multimodal
+    val rows = Multimodal.multimodalImageResize(spark, sf).collect()
+    assert(rows.length > 100)
+    rows.take(30).foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val (ow, oh) = (r.getInt(3), r.getInt(4))
+      assert(ow <= 8 && oh <= 8 && ow <= w && oh <= h, r.toString)
+      // independent check: decode full-res, read base (1,1) + wm (0,0)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.synthesizePng(id)))
+      val base = img.getRGB(1, 1); val wm = img.getRGB(0, 0)
+      def ch(rgb: Int, s: Int) = (rgb >> s) & 0xff
+      val n = ow.toLong * oh
+      assert(r.getLong(5) == ch(base, 16) * (n - 1) + ch(wm, 16), s"r $id")
+      assert(r.getLong(6) == ch(base, 8) * (n - 1) + ch(wm, 8), s"g $id")
+      assert(r.getLong(7) == ch(base, 0) * (n - 1) + ch(wm, 0), s"b $id")
+    }
+  }
+
   test("freeCheckpoint releases localCheckpoint RDD blocks — plain " +
       "Dataset.unpersist is the documented no-op on them") {
     val sc = spark.sparkContext

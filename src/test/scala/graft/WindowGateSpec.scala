@@ -76,7 +76,8 @@ class WindowGateSpec extends SparkSpec {
     "sql_monthly_cum_revenue" -> "month grain (calendar-bounded)",
     "sql_yearly_growth" -> "year grain (calendar-bounded)",
     "text_zipf_slope" -> "≤ topN TakeOrdered term panel",
-    "ts_stl_decompose" -> "hourly grain (calendar-bounded)")
+    "ts_stl_decompose" -> "hourly grain (calendar-bounded)",
+    "ts_theil_sen" -> "hour-pair grain (calendar-bounded squared)")
 
   /** True when the subtree below an unpartitioned window provably
     * reduces grain before the window sees it. */
