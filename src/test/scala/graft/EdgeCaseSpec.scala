@@ -578,4 +578,28 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     kap.foreach(r => assert(r.getLong(0) == 0L))
     graft.query.Analytics.clearCaches()
   }
+
+  test("round-15 third wave (driver round): empty corpus degrades to " +
+      "well-formed results") {
+    import graft.query.{Analytics5, Dedup, Multimodal, TextAnalysis}
+    assert(Dedup.dedupSubstringMaximal(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics5.tsTheilSen(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics5.dqBenfordLaw(spark, emptyStarDir).collect().isEmpty)
+    assert(TextAnalysis.textReadability(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Multimodal.multimodalImageResize(spark, emptyStarDir)
+      .collect().isEmpty)
+    // ICC over nothing: one row, zero items, null mean squares / ICCs
+    val icc = Analytics5.evalIcc(spark, emptyStarDir).collect()
+    assert(icc.length == 1 && icc.head.getLong(0) == 0L
+      && icc.head.isNullAt(5) && icc.head.isNullAt(6))
+    // the streaming monitor twins share the batch degrade contracts:
+    // PSI's head-gate returns the typed empty frame, ECE drains nothing
+    assert(graft.streaming.StreamQueries.streamDriftPsi(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(graft.streaming.StreamQueries.streamEvalEce(spark, emptyStarDir)
+      .collect().isEmpty)
+    graft.query.Analytics.clearCaches()
+  }
 }

@@ -173,7 +173,22 @@ class PartitionInvarianceSpec extends SparkSpec {
     "eval_topk_agreement TakeOrdered rank panels" ->
       (() => graft.query.Analytics5.evalTopkAgreement(spark, sf)),
     "sql_cte_ranking two-level rank in SQL" ->
-      (() => graft.query.Relational2.sqlCteRanking(spark, sf)))
+      (() => graft.query.Relational2.sqlCteRanking(spark, sf)),
+    // round-15 fourth wave: islands over covered windows, pairwise-slope
+    // median pick, ANOVA integer sums, leading-digit census, and the
+    // state-store-backed monitor twins
+    "dedup_substring_maximal island grouping" ->
+      (() => graft.query.Dedup.dedupSubstringMaximal(spark, sf)),
+    "ts_theil_sen pairwise-slope median pick" ->
+      (() => graft.query.Analytics5.tsTheilSen(spark, sf)),
+    "eval_icc exact ANOVA sums" ->
+      (() => graft.query.Analytics5.evalIcc(spark, sf)),
+    "dq_benford_law integer leading digits" ->
+      (() => graft.query.Analytics5.dqBenfordLaw(spark, sf)),
+    "stream_eval_ece ValueState reliability bins" ->
+      (() => graft.streaming.StreamQueries.streamEvalEce(spark, sf)),
+    "stream_drift_psi ValueState cohort bins" ->
+      (() => graft.streaming.StreamQueries.streamDriftPsi(spark, sf)))
 
   private def collectAt(partitions: Int, build: () => DataFrame): Seq[String] = {
     val key = "spark.sql.shuffle.partitions"
