@@ -4354,10 +4354,24 @@ object SparkEntry {
         |    sum(CASE WHEN list_dot_product(e, plane) >= 0
         |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
         |  FROM emb, planes GROUP BY vec_id, t
+        |), mem AS (
+        |  -- replay the adversarial-occupancy cap (boundedSelfPairs):
+        |  -- all-pairs in buckets <= 64 members, hub-spoke to the
+        |  -- minimum id above (first diverged at sf0.1 where one sign
+        |  -- bucket crossed the cap)
+        |  SELECT vec_id, t, sig,
+        |    count(*) OVER (PARTITION BY t, sig) AS bsz,
+        |    min(vec_id) OVER (PARTITION BY t, sig) AS bmin
+        |  FROM sigs
         |), cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM sigs a JOIN sigs b
-        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+        |  SELECT DISTINCT vec_a, vec_b FROM (
+        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |    FROM mem a JOIN mem b
+        |      ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+        |    WHERE a.bsz <= 64
+        |    UNION ALL
+        |    SELECT bmin AS vec_a, vec_id AS vec_b FROM mem
+        |    WHERE bsz > 64 AND vec_id <> bmin)
         |)
         |SELECT c.vec_a, c.vec_b, list_dot_product(ea.e, eb.e) AS cosine
         |FROM cand c
@@ -4394,11 +4408,27 @@ object SparkEntry {
         |        ORDER BY list_dot_product(emb.e, s.seed_e) DESC, s.cell)
         |        AS rn
         |    FROM emb, seeds s) WHERE rn = 1
+        |), amem AS (
+        |  -- replay the adversarial-occupancy cap (boundedSelfPairs):
+        |  -- Voronoi cell sizes are data-driven, so a cell CAN cross the
+        |  -- 64-member cap at scale; above it only hub-spoke pairs are
+        |  -- scored (the dedup_embedding_cosine sf0.1 lesson)
+        |  SELECT vec_id, e, cell,
+        |    count(*) OVER (PARTITION BY cell) AS bsz,
+        |    min(vec_id) OVER (PARTITION BY cell) AS bmin
+        |  FROM assigned
         |), removed AS (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM assigned a JOIN assigned b
-        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE list_dot_product(a.e, b.e) >= 0.4
+        |  SELECT DISTINCT vec_b AS vec_id FROM (
+        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |    FROM amem a JOIN amem b
+        |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |    WHERE a.bsz <= 64 AND list_dot_product(a.e, b.e) >= 0.4
+        |    UNION ALL
+        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |    FROM amem a JOIN amem b
+        |      ON a.cell = b.cell AND a.vec_id = a.bmin
+        |        AND b.vec_id <> b.bmin
+        |    WHERE a.bsz > 64 AND list_dot_product(a.e, b.e) >= 0.4)
         |)
         |SELECT a.vec_id, a.cell,
         |  a.vec_id NOT IN (SELECT vec_id FROM removed) AS kept

@@ -79,7 +79,15 @@ object BenchBudget {
     "graph_adamic_adar" -> (10.0,
       "alphabetically first of the graph family — cold it builds the shared co-purchase edge/degree indexes; the cachedDf result serves repeats free"),
     "stream_kalman_filter" -> (6.0,
-      "transformWithState store init + drain floor; data work is 3 doubles/user")
+      "transformWithState store init + drain floor; data work is 3 doubles/user"),
+    "dedup_substring_maximal" -> (6.0,
+      "Θ(corpus tokens) window census + the islands second shuffle; " +
+        "sibling of dedup_substring_multiscale (bench ~3.3 s at sf0.1)"),
+    "stream_eval_ece" -> (6.0,
+      "transformWithState store init + drain floor; data work is 3 longs/bin"),
+    "stream_drift_psi" -> (6.0,
+      "transformWithState store init + drain floor + the batch-side " +
+        "baseline-edges head; data work is 2 longs/bin")
   )
 
   def main(args: Array[String]): Unit = {
