@@ -875,6 +875,8 @@ object SparkEntry {
     "ts_theil_sen"           -> Analytics5.tsTheilSen _,
     // round 15: Benford first-digit audit over exact cents
     "dq_benford_law"         -> Analytics5.dqBenfordLaw _,
+    "stream_dq_benford"      -> ((sp: SparkSession, d: String) =>
+      graft.streaming.StreamQueries.streamDqBenford(sp, d)),
     // round 15: Flesch / FK readability from regex count surrogates
     "text_readability"       -> ((sp: SparkSession, d: String) =>
       TextAnalysis.textReadability(sp, d)),
@@ -1297,6 +1299,32 @@ object SparkEntry {
         |       / greatest(CAST(cb AS DOUBLE) / CAST(st.nb AS DOUBLE), 0.0001))
         |    AS REAL) AS psi_term
         |FROM g CROSS JOIN st ORDER BY bin""".stripMargin
+
+  /** dq_benford_law oracle — shared with the streaming twin. */
+  private lazy val benfordOracleSql: String =
+    """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice > 0
+        |), g AS (
+        |  SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM c GROUP BY digit
+        |), t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM g)
+        |SELECT digit, n_orders,
+        |  CAST(CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS REAL)
+        |    AS observed_p,
+        |  CAST(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE)
+        |    / CAST(digit AS DOUBLE)) AS REAL) AS expected_p,
+        |  CAST((CAST(n_orders AS DOUBLE) - CAST(n_total AS DOUBLE)
+        |      * log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE)
+        |        / CAST(digit AS DOUBLE)))
+        |    * (CAST(n_orders AS DOUBLE) - CAST(n_total AS DOUBLE)
+        |      * log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE)
+        |        / CAST(digit AS DOUBLE)))
+        |    / (CAST(n_total AS DOUBLE) * log10(CAST(1.0 AS DOUBLE)
+        |      + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))) AS REAL)
+        |    AS chi2_term
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
 
   private lazy val incrementalMinhashOracleSql: String =
     s"""WITH ${minhashPairsCtes(8, 4, "0.5")},
@@ -3472,30 +3500,7 @@ object SparkEntry {
     "eval_ece" -> eceOracleSql,
     // MCC: exact BIGINT cells; denominator in double (Long margins
     // product would overflow at corpus scale); degenerate margins NULL
-    "dq_benford_law" ->
-      """WITH c AS (
-        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0)
-        |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
-        |  FROM orders WHERE o_totalprice > 0
-        |), g AS (
-        |  SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
-        |  FROM c GROUP BY digit
-        |), t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM g)
-        |SELECT digit, n_orders,
-        |  CAST(CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS REAL)
-        |    AS observed_p,
-        |  CAST(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE)
-        |    / CAST(digit AS DOUBLE)) AS REAL) AS expected_p,
-        |  CAST((CAST(n_orders AS DOUBLE) - CAST(n_total AS DOUBLE)
-        |      * log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE)
-        |        / CAST(digit AS DOUBLE)))
-        |    * (CAST(n_orders AS DOUBLE) - CAST(n_total AS DOUBLE)
-        |      * log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE)
-        |        / CAST(digit AS DOUBLE)))
-        |    / (CAST(n_total AS DOUBLE) * log10(CAST(1.0 AS DOUBLE)
-        |      + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))) AS REAL)
-        |    AS chi2_term
-        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+    "dq_benford_law" -> benfordOracleSql,
     "text_readability" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -7969,6 +7974,7 @@ object SparkEntry {
     // monitoring twins share their batch queries' oracles (drain==batch)
     "stream_eval_ece" -> eceOracleSql,
     "stream_drift_psi" -> psiTermsOracleSql,
+    "stream_dq_benford" -> benfordOracleSql,
     "dedup_incremental_minhash" -> incrementalMinhashOracleSql,
     "dedup_incremental" ->
       """WITH fp AS (

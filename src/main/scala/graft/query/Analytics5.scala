@@ -2381,10 +2381,18 @@ object Analytics5 {
     * no shuffle pressure at any corpus size. */
   def dqBenfordLaw(spark: SparkSession, dir: String): DataFrame = {
     val cents = round(col("o_totalprice") * lit(100.0)).cast("long")
-    val g = table(spark, dir, "orders")
+    benfordFromPanel(table(spark, dir, "orders")
       .filter(col("o_totalprice") > 0)
       .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders")))
+  }
+
+  /** The Benford chi-square epilogue over a (digit, n_orders) panel —
+    * shared verbatim by the batch query and the transformWithState
+    * streaming twin ([[graft.streaming.StreamQueries.streamDqBenford]]),
+    * so drain == batch holds by construction: ≤9-row fixed-order scalar
+    * math on exact integer counts. */
+  private[graft] def benfordFromPanel(g: DataFrame): DataFrame = {
     val tot = g.agg(sum(col("n_orders")).as("n_total"))
     val expectedP = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
     val obsP = col("n_orders").cast("double") / col("n_total").cast("double")

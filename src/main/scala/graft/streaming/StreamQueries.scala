@@ -1549,6 +1549,77 @@ object StreamQueries {
     }
   }
 
+  /** Streaming view of the orders table (file or directory layout).
+    * Declares only the needed column — parquet prunes by name, and the
+    * stored o_orderdate physical type (DATE vs TIMESTAMP) varies by
+    * generation, the ts-type lesson. */
+  private def streamOrders(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Paths.get(dir, "orders.parquet")
+    val isDir = java.nio.file.Files.isDirectory(p)
+    val reader0 = spark.readStream.schema(StructType.fromDDL(
+      "o_totalprice DOUBLE"))
+    val reader =
+      if (isDir) reader0
+      else reader0.option("pathGlobFilter", "orders.parquet")
+    reader.parquet(if (isDir) p.toString else dir)
+  }
+
+  case class DigitIn(digit: Int, one: Long)
+  case class DigitCount(digit: Int, n_orders: Long)
+
+  /** Per-digit running counter for the Benford monitor. */
+  private class BenfordProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[Int, DigitIn, DigitCount] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Long]("benford",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Int, rows: Iterator[DigitIn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DigitCount] = {
+      var n = if (st.exists()) st.get() else 0L
+      rows.foreach(_ => n += 1)
+      st.update(n)
+      Iterator.single(DigitCount(key, n))
+    }
+  }
+
+  /** Streaming twin of `dq_benford_law`: order totals stream into
+    * per-leading-digit ValueState counters and the drained ≤9-row panel
+    * feeds the SAME chi-square epilogue as the batch query — the
+    * always-on feed-integrity monitor (a broken upstream extractor
+    * shifts the first-digit law immediately, long before volume
+    * alarms). Drain == batch bit-identically; shared oracle. */
+  def streamDqBenford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cents = round(col("o_totalprice") * lit(100.0)).cast("long")
+      val ds = streamOrders(spark, dir)
+        .filter(col("o_totalprice") > 0)
+        .select(substring(cents.cast("string"), 1, 1).cast("int")
+          .as("digit"), lit(1L).as("one"))
+        .as[DigitIn]
+      val out = ds.groupByKey(_.digit)
+        .transformWithState(new BenfordProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val panel = drain(spark, out.toDF(), OutputMode.Update(),
+          statePartitions = 4)
+        .groupBy(col("digit"))
+        .agg(max(col("n_orders")).as("n_orders"))
+      graft.query.Analytics5.benfordFromPanel(panel)
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
+  }
+
   case class PsiIn(bin: Long, a: Long, b: Long)
   case class PsiBin(bin: Long, ca: Long, cb: Long)
 

@@ -167,6 +167,15 @@ class DriverRound15Spec extends SparkSpec {
     }
   }
 
+  test("stream_dq_benford drains to the batch dq_benford_law panel row " +
+      "for row (shared chi-square epilogue)") {
+    val s = graft.streaming.StreamQueries.streamDqBenford(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.query.Analytics5.dqBenfordLaw(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(s.nonEmpty && s == b, s"stream $s vs batch $b")
+  }
+
   test("freeCheckpoint releases localCheckpoint RDD blocks — plain " +
       "Dataset.unpersist is the documented no-op on them") {
     val sc = spark.sparkContext
