@@ -83,6 +83,9 @@ object BenchBudget {
     "dedup_substring_maximal" -> (6.0,
       "Θ(corpus tokens) window census + the islands second shuffle; " +
         "sibling of dedup_substring_multiscale (bench ~3.3 s at sf0.1)"),
+    "dedup_substring_multiscale" -> (6.0,
+      "Θ(corpus tokens) three-width census through one shuffle by " +
+        "design (ScaleCurve e = 0.45); bench 3.5-4.0 s at sf0.1"),
     "stream_eval_ece" -> (6.0,
       "transformWithState store init + drain floor; data work is 3 longs/bin"),
     "stream_drift_psi" -> (6.0,

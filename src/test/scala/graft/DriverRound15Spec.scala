@@ -176,6 +176,23 @@ class DriverRound15Spec extends SparkSpec {
     assert(s.nonEmpty && s == b, s"stream $s vs batch $b")
   }
 
+  test("TwoLevel.ntileFromRank equals native ntile(5) for every rank at " +
+      "many group sizes (the integral-division fill rule, exhaustively)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ns = Seq(1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 23, 40, 101, 1003)
+    val df = ns.flatMap(n => (1 to n).map(i => (n.toLong, i.toLong)))
+      .toDF("n", "r")
+    val w = Window.partitionBy(col("n")).orderBy(col("r"))
+    val bad = df
+      .withColumn("native", ntile(5).over(w))
+      .withColumn("derived",
+        graft.query.TwoLevel.ntileFromRank(col("r"), col("n"), 5))
+      .filter(col("native") =!= col("derived"))
+      .collect()
+    assert(bad.isEmpty, bad.take(5).mkString(", "))
+  }
+
   test("freeCheckpoint releases localCheckpoint RDD blocks — plain " +
       "Dataset.unpersist is the documented no-op on them") {
     val sc = spark.sparkContext
