@@ -600,6 +600,8 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().isEmpty)
     assert(graft.streaming.StreamQueries.streamEvalEce(spark, emptyStarDir)
       .collect().isEmpty)
+    assert(graft.streaming.StreamQueries.streamDqBenford(spark, emptyStarDir)
+      .collect().isEmpty)
     graft.query.Analytics.clearCaches()
   }
 }
