@@ -610,6 +610,22 @@ object Dedup {
   //     reuse only amortizes part of the duplicated subtree)
   private val semCache =
     new java.util.WeakHashMap[SparkSession, IndexMap]()
+  //   winCache: positional substring-window table (doc_id, w, i, h) per
+  //     (dir, width set) — the ONE tokenize→slide→hash pass the whole
+  //     substring-dedup family rides (r15 verdict #1: exact/multiscale/
+  //     maximal each re-tokenized the corpus from scratch).
+  //   winCensusCache: its repeated-class rollup (w, h, n_docs, n_occ,
+  //     min_doc, max_doc | n_docs ≥ 2) — the span blocklist itself,
+  //     probed directly by exact/multiscale and as maximal's coverage
+  //     filter.
+  private val winCache =
+    new java.util.WeakHashMap[SparkSession, IndexMap]()
+  private val winCensusCache =
+    new java.util.WeakHashMap[SparkSession, IndexMap]()
+  /** Census-build counter (the ModelStore `trains` discipline): specs
+    * assert the whole substring family triggers exactly ONE window
+    * pass per (session, corpus, width set). */
+  private[graft] val censusBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The per-session index map (WeakHashMap is not thread-safe — all
     * access goes through this synchronized accessor). */
@@ -624,7 +640,8 @@ object Dedup {
     * Call when a session is being stopped or tests want a cold start. */
   def clearCaches(): Unit = {
     import scala.jdk.CollectionConverters._
-    Seq(sigCache, pairCache, semCache).foreach { cache =>
+    Seq(sigCache, pairCache, semCache, winCache, winCensusCache)
+      .foreach { cache =>
       cache.synchronized {
         cache.values.asScala.flatMap(_.values.asScala).foreach { df =>
           try df.unpersist(false) catch { case _: Throwable => () }
@@ -875,6 +892,75 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** The width set the substring-dedup family shares one window pass
+    * over; a non-member width falls back to its own (cached) pass. */
+  private[graft] val SubstringFamilyWidths: Seq[Int] = Seq(8, 16, 32)
+
+  private def familyWidthsFor(w: Int): Seq[Int] =
+    if (SubstringFamilyWidths.contains(w)) SubstringFamilyWidths else Seq(w)
+
+  /** The ONE tokenize→slide→hash pass the substring-dedup family shares
+    * (r15 verdict #1): the positional window table (doc_id, w, i, h) at
+    * every width in `widths`, persisted per (session, corpus
+    * fingerprint, width set). The per-doc width fanout happens INSIDE
+    * one `flatten(array(transform…))` projection — one scan, one
+    * explode, no shuffle (the persist materialization is map-only). A
+    * width-w window over an n-token doc contributes n−w+1 rows, so the
+    * index is Θ(corpus tokens) per width — a data-constant multiplier,
+    * never quadratic. At 100 TB this index is what a production span-
+    * dedup pipeline writes once per corpus generation and probes from
+    * every census/coverage consumer. */
+  private def substringWins(spark: SparkSession, dir: String,
+      widths: Seq[Int]): DataFrame = {
+    val ws = widths.sorted
+    graft.schema.Schemas.evictingComputeIfAbsent(
+      forSession(winCache, spark), s"$dir#wins:${ws.mkString(",")}",
+      graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"))({
+      censusBuilds.incrementAndGet()
+      val docs = withPlantedNearDups(table(spark, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= ws.min)
+      val tagged = ws.map { w =>
+        transform(shinglesFromTokens(col("toks"), w),
+          (s, p) => struct(lit(w).as("w"),
+            (p + 1).cast("long").as("i"), s.as("win")))
+      }
+      val wins = docs
+        .select(col("doc_id"), explode(flatten(array(tagged: _*))).as("ws"))
+        .select(col("doc_id"), col("ws.w").as("w"), col("ws.i").as("i"),
+          hash60(col("ws.win")).as("h"))
+        .persist()
+      wins.count() // materialize the index once
+      wins
+    })(_.unpersist(false))
+  }
+
+  /** The repeated-class census over [[substringWins]]: one row per
+    * (width, window-hash class) seen in ≥ 2 distinct documents, with
+    * document reach and occurrence count — the span blocklist itself,
+    * persisted per (session, corpus fingerprint, width set). ONE
+    * map-side-combined groupBy on the uniform (w, 60-bit-hash) key over
+    * the persisted window index; every family member below is a probe
+    * of this table, not a recomputation. */
+  private def substringCensus(spark: SparkSession, dir: String,
+      widths: Seq[Int]): DataFrame = {
+    val ws = widths.sorted
+    graft.schema.Schemas.evictingComputeIfAbsent(
+      forSession(winCensusCache, spark), s"$dir#wincensus:${ws.mkString(",")}",
+      graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"))({
+      val census = substringWins(spark, dir, ws)
+        .groupBy(col("w"), col("h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .filter(col("n_docs") >= 2)
+        .persist()
+      census.count() // materialize the census once
+      census
+    })(_.unpersist(false))
+  }
+
   /** Exact repeated-substring detection at fixed window granularity:
     * every `windowTokens`-token sliding window (stride 1) is hashed
     * ([[hash60]] — cross-engine), and a window whose hash appears in
@@ -886,33 +972,24 @@ object Dedup {
     * repeated span class with its document reach and occurrence
     * count — the span blocklist a training pipeline subtracts.
     *
-    * Scale shape: tokenize → slide → hash is map-only (shinglesFrom-
-    * Tokens is one codegen'd projection, no explode-join); the single
-    * shuffle groups by the 60-bit hash — uniform keys, no skew, and
-    * the count/min/max aggregates are map-side-combined. At 100 TB
-    * this is the standard one-pass span census; a true suffix-array
-    * build (contiguous global sort of every suffix) buys arbitrary-
-    * length spans at ≥ 10× the shuffle and is the documented
-    * alternative, not the default. Planted near-dups ride along so
-    * the synthetic corpus (no natural cross-doc 8-grams) exercises
-    * the ≥ 2-doc filter. */
+    * Scale shape: a width filter + projection over the persisted
+    * [[substringCensus]] — the family's one tokenize pass and one
+    * census shuffle amortize across exact/multiscale/maximal instead
+    * of replaying per query. Uniform 60-bit keys, no skew, map-side-
+    * combined aggregates inside the shared build. At 100 TB this is
+    * the standard one-pass span census; a true suffix-array build
+    * (contiguous global sort of every suffix) buys arbitrary-length
+    * spans at ≥ 10× the shuffle and is the documented alternative,
+    * not the default. Planted near-dups ride along so the synthetic
+    * corpus (no natural cross-doc 8-grams) exercises the ≥ 2-doc
+    * filter. */
   def dedupExactSubstring(spark: SparkSession, dir: String,
-      windowTokens: Int = 8): DataFrame = {
-    val docs = withPlantedNearDups(table(spark, dir, "documents"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= windowTokens)
-    val wins = docs
-      .select(col("doc_id"),
-        explode(shinglesFromTokens(col("toks"), windowTokens)).as("win"))
-      .select(col("doc_id"), hash60(col("win")).as("h"))
-    wins.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"),
-        min(col("doc_id")).as("min_doc"),
-        max(col("doc_id")).as("max_doc"))
-      .filter(col("n_docs") >= 2)
+      windowTokens: Int = 8): DataFrame =
+    substringCensus(spark, dir, familyWidthsFor(windowTokens))
+      .filter(col("w") === windowTokens)
+      .select(col("h"), col("n_docs"), col("n_occ"),
+        col("min_doc"), col("max_doc"))
       .orderBy(col("h"))
-  }
 
   /** Multi-granularity exact-substring census — the bounded middle
     * ground between [[dedupExactSubstring]]'s single fixed window and a
@@ -924,35 +1001,15 @@ object Dedup {
     * one row per (width, repeated-window class) with document reach and
     * occurrence count, the granularity-annotated span blocklist.
     *
-    * Scale shape: the per-doc width fanout happens INSIDE one
-    * `flatten(array(transform…))` projection — one scan, one explode,
-    * one map-side-combined groupBy on the uniform (w, 60-bit-hash) key;
-    * ~3× the rows of the single-width census through the same single
-    * exchange, vs 3 separate queries paying 3 scans and 3 shuffles. A
-    * width-w window over an n-token doc contributes n−w+1 rows, so
-    * total fanout stays Θ(corpus tokens) per width — a data constant
-    * multiplier, never quadratic. */
+    * Scale shape: this IS the persisted [[substringCensus]] (plus the
+    * presentation sort); the tokenize pass and the census shuffle are
+    * paid once per (session, corpus, width set) and the exact/maximal
+    * siblings probe the same index — vs 3 separate queries paying 3
+    * scans and 3 shuffles (the r15 shape). */
   def dedupSubstringMultiscale(spark: SparkSession, dir: String,
-      widths: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
-    val docs = withPlantedNearDups(table(spark, dir, "documents"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= widths.min)
-    val tagged = widths.map { w =>
-      transform(shinglesFromTokens(col("toks"), w),
-        s => struct(lit(w).as("w"), s.as("win")))
-    }
-    docs
-      .select(col("doc_id"), explode(flatten(array(tagged: _*))).as("ws"))
-      .select(col("doc_id"), col("ws.w").as("w"),
-        hash60(col("ws.win")).as("h"))
-      .groupBy(col("w"), col("h"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"),
-        min(col("doc_id")).as("min_doc"),
-        max(col("doc_id")).as("max_doc"))
-      .filter(col("n_docs") >= 2)
+      widths: Seq[Int] = SubstringFamilyWidths): DataFrame =
+    substringCensus(spark, dir, widths)
       .orderBy(col("w"), col("h"))
-  }
 
   /** EXACT maximal repeated-span extraction — the second pass that
     * closes [[dedupSubstringMultiscale]]'s remaining gap to
@@ -966,27 +1023,24 @@ object Dedup {
     * exact-substring-dedup span semantics at window granularity: every
     * width-w slice of the span is cross-document repeated).
     *
-    * Scale shape: ONE extra shuffle over the census — the
-    * (doc, position, hash) windows join the repeated-hash classes
-    * left-semi on the uniform 60-bit key (both sides shuffle on h;
-    * the class side is already aggregated), then the island grouping
-    * runs in per-document windows (bounded by document length, never
-    * corpus grain) and the span rollup is map-side-combinable on
-    * (doc, island). Θ(corpus tokens) end to end, no suffix sort. */
+    * Scale shape: ONE shuffle of its own — the persisted positional
+    * windows ([[substringWins]], width-filtered) join the persisted
+    * repeated-class census left-semi on the uniform 60-bit key, then
+    * the island grouping runs in per-document windows (bounded by doc
+    * length, never corpus grain) and the span rollup is map-side-
+    * combinable on (doc, island). The tokenize pass and the class
+    * aggregation are the family's shared indexes, not re-paid here —
+    * the r15 10.76 s driver reading was exactly this query re-running
+    * the census from scratch. */
   def dedupSubstringMaximal(spark: SparkSession, dir: String,
       w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = withPlantedNearDups(table(spark, dir, "documents"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= w)
-    val wins = docs
-      .select(col("doc_id"),
-        posexplode(shinglesFromTokens(col("toks"), w)).as(Seq("p", "win")))
-      .select(col("doc_id"), (col("p") + 1).cast("long").as("i"),
-        hash60(col("win")).as("h"))
-    val repeated = wins.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= 2)
+    val fam = familyWidthsFor(w)
+    val wins = substringWins(spark, dir, fam)
+      .filter(col("w") === w)
+      .select(col("doc_id"), col("i"), col("h"))
+    val repeated = substringCensus(spark, dir, fam)
+      .filter(col("w") === w)
       .select(col("h"))
     val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     wins.join(repeated, Seq("h"), "left_semi")

@@ -80,12 +80,19 @@ object BenchBudget {
       "alphabetically first of the graph family — cold it builds the shared co-purchase edge/degree indexes; the cachedDf result serves repeats free"),
     "stream_kalman_filter" -> (6.0,
       "transformWithState store init + drain floor; data work is 3 doubles/user"),
+    // r16: the substring family shares ONE persisted window index +
+    // census (Dedup.substringWins/substringCensus); alphabetically
+    // first dedup_exact_substring pays the Θ(corpus tokens) build,
+    // the siblings are width-filtered probes of the persisted tables
+    "dedup_exact_substring" -> (8.0,
+      "first builder of the shared substring window index + census " +
+        "(dedup_substring_multiscale/maximal ride it); probe itself sub-second warm"),
     "dedup_substring_maximal" -> (6.0,
-      "Θ(corpus tokens) window census + the islands second shuffle; " +
-        "sibling of dedup_substring_multiscale (bench ~3.3 s at sf0.1)"),
+      "islands pass over the persisted window index: one semi-join " +
+        "shuffle + doc-bounded windows; builder only when cold-first"),
     "dedup_substring_multiscale" -> (6.0,
-      "Θ(corpus tokens) three-width census through one shuffle by " +
-        "design (ScaleCurve e = 0.45); bench 3.5-4.0 s at sf0.1"),
+      "presentation sort over the persisted census; builder only when " +
+        "cold-first (Θ(corpus tokens) three-width pass, ScaleCurve e = 0.45)"),
     "stream_eval_ece" -> (6.0,
       "transformWithState store init + drain floor; data work is 3 longs/bin"),
     "stream_drift_psi" -> (6.0,
