@@ -872,7 +872,8 @@ object SparkEntry {
     "eval_icc"               -> ((sp: SparkSession, d: String) =>
       Analytics5.evalIcc(sp, d)),
     // round 15: robust trend slope (median of pairwise hourly slopes)
-    "ts_theil_sen"           -> Analytics5.tsTheilSen _,
+    "ts_theil_sen"           ->
+      ((s: SparkSession, d: String) => Analytics5.tsTheilSen(s, d)),
     // round 15: Benford first-digit audit over exact cents
     "dq_benford_law"         -> Analytics5.dqBenfordLaw _,
     "stream_dq_benford"      -> ((sp: SparkSession, d: String) =>

@@ -2480,30 +2480,88 @@ object Analytics5 {
     * in any engine — and the median is a deterministic rank pick with
     * (h_i, h_j) tie-breaks, so the emitted slope is bit-identical.
     *
-    * Scale shape: the corpus-sized work is the map-side-combined
-    * hourly rollup; the pair fanout is hours²/2 — CALENDAR-bounded
-    * (8 760 h/year → ~38 M pairs/year, a constant, never corpus-scaled)
-    * — and the rank window over pairs is over that bounded grain (the
-    * WindowGateSpec calendar justification, squared). */
-  def tsTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape (the r15-verdict gate — the [[Analytics4
+    * .tsMannKendall]] exact-below/sampled-above pattern): the
+    * corpus-sized work is the map-side-combined hourly rollup; the
+    * bounded hourly series then funnels through ONE
+    * `flatMapSortedGroups` task (calendar grain — 8 760 h/year, never
+    * corpus-scaled). For k ≤ `exactHoursMax` hours the task emits the
+    * EXACT lower-median of all k(k−1)/2 pairwise slopes with the
+    * (slope, h_i, h_j) rank pick — bit-identical to the oracle's pair
+    * join + rank (each slope is one double division of exact
+    * integers). Above the gate — a multi-year deployment reaches
+    * 10⁴–10⁵ hours, 10⁸–10⁹ pairs — it switches to a deterministic
+    * splitmix64 sampled-pair median (`senSamples` draws, seed fixed ⇒
+    * reproducible; the sampled median is a √senSamples-consistent
+    * estimator, the standard Theil–Sen scale form; `n_pairs` then
+    * reports the sampled-slope count). The r15 shape (hours² self-join
+    * through an UNPARTITIONED global rank window) is gone, so the
+    * WindowGateSpec allowlist entry is retired with it. */
+  def tsTheilSen(spark: SparkSession, dir: String,
+      exactHoursMax: Int = 4096, senSamples: Int = 20000): DataFrame = {
+    import spark.implicits._
     val hourly = graft.schema.Schemas.events(spark, dir)
       .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
       .agg(sum(round(col("value") * lit(1e6)).cast("long")).as("v6"))
-    val pairs = hourly.as("a").join(broadcast(hourly.as("b")),
-        col("a.h") < col("b.h"))
-      .select(col("a.h").as("hi"), col("b.h").as("hj"),
-        ((col("b.v6") - col("a.v6")).cast("double")
-          / ((col("b.h") - col("a.h")) * lit(1000000L)).cast("double"))
-          .as("slope"))
-    val tot = pairs.agg(count(lit(1)).as("n_pairs"))
-    val ranked = pairs
-      .withColumn("rk", row_number().over(Window.orderBy(
-        col("slope"), col("hi"), col("hj"))))
-    ranked.crossJoin(broadcast(tot))
-      // DIV, not `/`: Column `/` is double division, and an even pair
-      // count would then compare rk against x.5 and match NOTHING
-      .filter(col("rk") === expr("(n_pairs + 1) DIV 2"))
-      .crossJoin(broadcast(hourly.agg(count(lit(1)).as("n_points"))))
+      .as[(Long, Long)]
+    hourly.groupByKey(_ => 0)
+      .flatMapSortedGroups(col("h")) { (key, it) =>
+        val rows = it.toArray // (h, v6) in hour order, hours distinct
+        val k = rows.length
+        def slopeOf(a: Int, b: Int): Double =
+          (rows(b)._2 - rows(a)._2).toDouble /
+            ((rows(b)._1 - rows(a)._1) * 1000000L).toDouble
+        if (k <= exactHoursMax) {
+          // exact regime: all pairs, lower-median rank pick with the
+          // (slope, hi, hj) tie-break — the oracle's ORDER BY verbatim
+          val slopes = new Array[(Double, Long, Long)](k * (k - 1) / 2)
+          var n = 0; var a = 0
+          while (a < k) {
+            var b = a + 1
+            while (b < k) {
+              slopes(n) = (slopeOf(a, b), rows(a)._1, rows(b)._1)
+              n += 1; b += 1
+            }
+            a += 1
+          }
+          if (n == 0) Iterator.empty
+          else {
+            val sorted = slopes.sortBy(identity)(Ordering.Tuple3(
+              Ordering.Double.TotalOrdering, Ordering.Long, Ordering.Long))
+            Iterator.single((k.toLong, n.toLong, sorted((n + 1) / 2 - 1)._1))
+          }
+        } else {
+          // sampled regime: deterministic splitmix64 pair draws — same
+          // corpus ⇒ same sample (the tsMannKendall hot-key contract)
+          var state = key.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+          def next(): Long = {
+            state += 0x9E3779B97F4A7C15L
+            var z = state
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          val slopes = scala.collection.mutable.ArrayBuffer.empty[Double]
+          var drawn = 0
+          while (drawn < senSamples) {
+            val a = ((next() >>> 1) % k).toInt
+            val b = ((next() >>> 1) % k).toInt
+            if (a != b) {
+              val (lo, hi) = if (a < b) (a, b) else (b, a)
+              slopes += slopeOf(lo, hi)
+            }
+            drawn += 1
+          }
+          if (slopes.isEmpty) Iterator.empty
+          else {
+            val arr = slopes.toArray
+            java.util.Arrays.sort(arr)
+            Iterator.single((k.toLong, arr.length.toLong,
+              arr((arr.length + 1) / 2 - 1)))
+          }
+        }
+      }
+      .toDF("n_points", "n_pairs", "slope")
       .select(col("n_points"), col("n_pairs"),
         col("slope").cast("float").as("theil_sen_slope"))
   }

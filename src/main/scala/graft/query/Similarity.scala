@@ -1297,7 +1297,12 @@ object Similarity {
           lit(wLen) * col("len_ratio"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    // limit(pool) is a data no-op (the inner join emits exactly one row
+    // per ≤pool candidate) that DECLARES the panel bound in the plan:
+    // the ranking window provably sees ≤pool rows, not doc grain —
+    // the structural guarantee WindowGateSpec's strict walk checks,
+    // instead of an allowlist justification it has to take on faith.
+    scored.limit(pool).withColumn("rank", row_number().over(w))
       .select(col("rank"), col("vec_id"), col("cosine"), col("jaccard"),
         col("len_ratio"), col("score"))
       .orderBy(col("rank"))

@@ -82,6 +82,62 @@ class DriverRound16Spec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("ts_theil_sen exact regime (k <= exactHoursMax) matches the r15 " +
+      "pairwise-join + global-rank formula bit for bit") {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = graft.schema.Schemas.events(spark, sf)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(sum(round(col("value") * lit(1e6)).cast("long")).as("v6"))
+    val pairs = hourly.as("a").join(broadcast(hourly.as("b")),
+        col("a.h") < col("b.h"))
+      .select(col("a.h").as("hi"), col("b.h").as("hj"),
+        ((col("b.v6") - col("a.v6")).cast("double")
+          / ((col("b.h") - col("a.h")) * lit(1000000L)).cast("double"))
+          .as("slope"))
+    val tot = pairs.agg(count(lit(1)).as("n_pairs"))
+    val direct = pairs
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("slope"), col("hi"), col("hj"))))
+      .crossJoin(broadcast(tot))
+      .filter(col("rk") === expr("(n_pairs + 1) DIV 2"))
+      .crossJoin(broadcast(hourly.agg(count(lit(1)).as("n_points"))))
+      .select(col("n_points"), col("n_pairs"),
+        col("slope").cast("float").as("theil_sen_slope"))
+      .collect()
+    val got = graft.query.Analytics5.tsTheilSen(spark, sf).collect()
+    assert(got.toSeq == direct.toSeq)
+  }
+
+  test("ts_theil_sen above the gate runs the deterministic sampled-pair " +
+      "Sen in bounded time (100k hours would be 5e9 exact pairs)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("theilsen100k").toString
+    val k = 100000
+    // one event per hour, exactly linear value = 0.5 * hour_index:
+    // every pairwise slope is 0.5, so any pair sample's median is 0.5
+    spark.range(k.toLong)
+      .select(col("id").as("event_id"),
+        timestamp_micros(col("id") * lit(3600000000L)).as("ts"),
+        lit(1L).as("user_id"), lit("view").as("event_type"),
+        (col("id").cast("double") * 0.5).as("value"),
+        lit("{}").as("props"))
+      .coalesce(4).write.mode("overwrite")
+      .parquet(s"$tmp/events.parquet")
+    val t0 = System.nanoTime()
+    val r1 = graft.query.Analytics5.tsTheilSen(spark, tmp).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r1.length == 1)
+    assert(r1(0).getLong(0) == k.toLong, s"n_points ${r1(0).getLong(0)}")
+    val nPairs = r1(0).getLong(1)
+    assert(nPairs > 0 && nPairs <= 20000L,
+      s"sampled regime must report the sampled-slope count, got $nPairs")
+    assert(math.abs(r1(0).getFloat(2) - 0.5f) < 1e-6f)
+    assert(secs < 120.0, s"sampled path took $secs s")
+    // deterministic: same corpus, same sample, same bits
+    val r2 = graft.query.Analytics5.tsTheilSen(spark, tmp).collect()
+    assert(r1.toSeq == r2.toSeq)
+  }
+
   test("a non-family width falls back to its own cached pass (no " +
       "cross-width contamination of the shared index)") {
     Dedup.clearCaches()

@@ -76,18 +76,39 @@ class WindowGateSpec extends SparkSpec {
     "sql_monthly_cum_revenue" -> "month grain (calendar-bounded)",
     "sql_yearly_growth" -> "year grain (calendar-bounded)",
     "text_zipf_slope" -> "≤ topN TakeOrdered term panel",
-    "ts_stl_decompose" -> "hourly grain (calendar-bounded)",
-    "ts_theil_sen" -> "hour-pair grain (calendar-bounded squared)")
+    "ts_stl_decompose" -> "hourly grain (calendar-bounded)")
 
   /** True when the subtree below an unpartitioned window provably
-    * reduces grain before the window sees it. */
-  private def reduced(p: SparkPlan): Boolean = p.find {
+    * reduces grain before the window sees it — a STRUCTURAL heuristic;
+    * the [[boundedGlobalWindows]] entry is the human-judged gate and
+    * this check only catches the mechanical regressions.
+    *
+    * The walk follows grain-carrying paths only (r15 advice #2): a
+    * broadcast BUILD side glued on by a join cannot by itself reduce
+    * the probe side's grain (the pre-rewrite evalPrAuc shape — a 1-row
+    * broadcast aggregate crossJoined onto raw fact rows — must NOT
+    * satisfy this check), so build sides are not descended. An INNER
+    * broadcast join whose output grain is bounded by its small build
+    * side (a ≤k panel joined back to a fact table) is exactly the case
+    * the heuristic cannot see — those queries carry their bound in the
+    * allowlist justification instead. */
+  private def reduced(p: SparkPlan): Boolean = p match {
     case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
     case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
     case _: org.apache.spark.sql.execution.LocalTableScanExec => true
     case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-    case _ => false
-  }.isDefined
+    case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+      reduced(j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+      })
+    case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+      reduced(j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+      })
+    case other => other.children.exists(reduced)
+  }
 
   test("every unpartitioned WindowExec in every declared query runs over " +
       "reduced input and carries a bounded-grain justification") {
