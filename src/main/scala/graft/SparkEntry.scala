@@ -822,6 +822,11 @@ object SparkEntry {
     "stream_drift_psi" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.StreamQueries.streamDriftPsi(s, d)),
+    // round 16: the alert debouncer on its home turf — one-long-per-user
+    // anchor ValueState; drain == batch row-for-row, shared CTE oracle
+    "stream_alert_debounce" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.StreamQueries.streamAlertDebounce(s, d)),
     // round 14: multi-granularity substring census — widths {8,16,32}
     // share one tokenize pass and one shuffle; spans report their
     // maximal length class
@@ -6726,27 +6731,10 @@ object SparkEntry {
         |FROM d LEFT JOIN s USING (hod)
         |ORDER BY hour_ts""".stripMargin,
     // the greedy debounce recurrence replayed as a recursive CTE: row n
-    // joins row n−1's anchor — the sequential dependency made explicit
-    "anomaly_alert_debounce" ->
-      """WITH RECURSIVE errs AS (
-        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), event_id) AS rn
-        |  FROM events WHERE event_type = 'error'
-        |), walk AS (
-        |  SELECT user_id, event_id, ts, us, rn, us AS anchor,
-        |    TRUE AS emitted
-        |  FROM errs WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.user_id, e.event_id, e.ts, e.us, e.rn,
-        |    CASE WHEN e.us - w.anchor >= 1800000000
-        |      THEN e.us ELSE w.anchor END,
-        |    e.us - w.anchor >= 1800000000
-        |  FROM errs e JOIN walk w
-        |    ON e.user_id = w.user_id AND e.rn = w.rn + 1
-        |)
-        |SELECT user_id, event_id, ts FROM walk WHERE emitted
-        |ORDER BY user_id, event_id""".stripMargin,
+    // joins row n−1's anchor — the sequential dependency made explicit;
+    // shared with the streaming twin (drain == batch contract)
+    "anomaly_alert_debounce" -> debounceRecurrenceSql,
+    "stream_alert_debounce" -> debounceRecurrenceSql,
     "graph_hits" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
@@ -9613,6 +9601,30 @@ object SparkEntry {
         |  arg_max(value, skey) AS close,
         |  CAST(sum(value) / count(*) AS REAL) AS mean_value
         |FROM ev GROUP BY hour_ts ORDER BY hour_ts""".stripMargin
+
+  /** The greedy debounce recurrence as a recursive CTE — shared by the
+    * batch operator and its streaming twin (whose full drain equals the
+    * batch query row for row by the batch-equivalence contract). */
+  private val debounceRecurrenceSql: String =
+      """WITH RECURSIVE errs AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE event_type = 'error'
+        |), walk AS (
+        |  SELECT user_id, event_id, ts, us, rn, us AS anchor,
+        |    TRUE AS emitted
+        |  FROM errs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.ts, e.us, e.rn,
+        |    CASE WHEN e.us - w.anchor >= 1800000000
+        |      THEN e.us ELSE w.anchor END,
+        |    e.us - w.anchor >= 1800000000
+        |  FROM errs e JOIN walk w
+        |    ON e.user_id = w.user_id AND e.rn = w.rn + 1
+        |)
+        |SELECT user_id, event_id, ts FROM walk WHERE emitted
+        |ORDER BY user_id, event_id""".stripMargin
 
   /** The Kalman recurrence as a recursive CTE — shared by the batch
     * operator and its streaming twin (whose full drain equals the batch

@@ -93,6 +93,8 @@ object BenchBudget {
     "dedup_substring_multiscale" -> (6.0,
       "presentation sort over the persisted census; builder only when " +
         "cold-first (Θ(corpus tokens) three-width pass, ScaleCurve e = 0.45)"),
+    "stream_alert_debounce" -> (6.0,
+      "transformWithState store init + drain floor; data work is 1 long/user"),
     "stream_eval_ece" -> (6.0,
       "transformWithState store init + drain floor; data work is 3 longs/bin"),
     "stream_drift_psi" -> (6.0,

@@ -138,6 +138,16 @@ class DriverRound16Spec extends SparkSpec {
     assert(r1.toSeq == r2.toSeq)
   }
 
+  test("stream_alert_debounce drain equals the batch debounce row for " +
+      "row (the Kalman batch-equivalence contract on alerting)") {
+    val batch = graft.query.Analytics5.anomalyAlertDebounce(spark, sf)
+      .collect()
+    val stream = graft.streaming.StreamQueries
+      .streamAlertDebounce(spark, sf).collect()
+    assert(batch.nonEmpty, "batch debounce emitted no alerts at sf0.001")
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("a non-family width falls back to its own cached pass (no " +
       "cross-width contamination of the shared index)") {
     Dedup.clearCaches()
