@@ -54,4 +54,51 @@ object Replay {
   /** S4: publish as JSON values through a transport (producer.py:19-21,62). */
   def publish(df: DataFrame, transport: StreamTransport): Unit =
     transport.publish(df)
+
+  /** S5: throughput throttle (producer.py:69 — a per-message
+    * `time.sleep` pacing the publish loop). The Spark-native form
+    * bounds the replay rate DECLARATIVELY instead of sleeping on the
+    * driver: the transport source admits at most one topic file per
+    * micro-batch (`maxFilesPerTrigger`, the rate numerator) and
+    * micro-batches fire no faster than `intervalMs`
+    * (`Trigger.ProcessingTime`, the rate denominator), so downstream
+    * sees ≤ rows-per-file rows per interval — backpressure by plan.
+    * Each non-empty micro-batch is recorded as (batchId, rows,
+    * wall-clock ms); the query stops once `expectRows` total rows
+    * arrived (or `timeoutMs` elapsed) and the per-batch panel is
+    * returned for rate inspection. At production scale the same two
+    * knobs bound a Kafka replay (`maxOffsetsPerTrigger` swaps in as
+    * the numerator); nothing here is file-layout-specific. */
+  def pacedReplay(spark: SparkSession, transport: StreamTransport,
+      intervalMs: Long, expectRows: Long,
+      timeoutMs: Long = 120000L): Seq[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.Trigger
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = transport.source(spark).writeStream
+      .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-paced").toString)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val n = df.count()
+        if (n > 0) {
+          batches.add((id, n, System.currentTimeMillis()))
+          seen.addAndGet(n)
+        }
+        ()
+      }
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (seen.get() < expectRows &&
+          System.currentTimeMillis() < deadline && q.isActive)
+        Thread.sleep(25)
+    } finally {
+      try q.stop() catch { case _: Throwable => () }
+      try q.awaitTermination(30000) catch { case _: Throwable => () }
+    }
+    import scala.jdk.CollectionConverters._
+    batches.asScala.toSeq.sortBy(_._1)
+  }
 }

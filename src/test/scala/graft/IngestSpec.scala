@@ -88,6 +88,35 @@ class IngestSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 10.5), (2L, 20.0)))
   }
 
+  test("S5: Trigger.ProcessingTime-paced replay bounds the per-trigger " +
+      "row count (producer.py:69's sleep throttle, declaratively)") {
+    val topic = tmp("paced-topic")
+    val t = new FileJsonTransport(topic)
+    // 5 single-file publishes of 8 rows each: with the transport's
+    // 1-file-per-trigger source, each micro-batch may admit AT MOST 8
+    // rows regardless of how much data is queued in the topic
+    (0 until 5).foreach { i =>
+      t.publish(spark.range(i * 8L, i * 8L + 8L).toDF("id").coalesce(1))
+    }
+    val intervalMs = 300L
+    val t0 = System.currentTimeMillis()
+    val panel = Replay.pacedReplay(spark, t, intervalMs, expectRows = 40L)
+    assert(panel.map(_._2).sum == 40L,
+      s"drained ${panel.map(_._2).sum} of 40 rows: $panel")
+    // the throttle contract: no trigger ever exceeded one file's rows
+    assert(panel.forall(_._2 <= 8L),
+      s"a micro-batch exceeded the per-trigger cap: $panel")
+    assert(panel.size == 5, s"expected 5 one-file batches, got $panel")
+    // rate floor: 5 batches at >= intervalMs apart span >= 4 intervals;
+    // assert half that to stay robust on a contended host (a driver-
+    // side sleep-free replay CAN'T go faster than the trigger clock,
+    // but wall-clock asserts need slack, not exactness)
+    val span = panel.last._3 - panel.head._3
+    assert(span >= (panel.size - 1) * intervalMs / 2,
+      s"5 paced batches completed in ${span}ms — pacing not applied")
+    assert(System.currentTimeMillis() - t0 >= 2 * intervalMs)
+  }
+
   test("S9 (3): streaming count-batcher — growing files, cap + remainder flush") {
     val topic = tmp("stream-topic")
     val t = new FileJsonTransport(topic)
