@@ -25,8 +25,12 @@ class PlanGoldenSpec extends SparkSpec {
 
   /** The pinned set: the top-10 most expensive batch queries of the
     * r15 quiet bench (sf0.1, best-of-2) — the plans whose drift would
-    * move the bench most. */
+    * move the bench most — plus the r15 verdict #4 additions:
+    * dedup_substring_maximal (the round's slowest arrival) and
+    * graph_pagerank (the round's most contention-accused query). */
   private val pinned = Seq(
+    "dedup_substring_maximal",
+    "graph_pagerank",
     "dedup_substring_multiscale",
     "graph_cc_incremental",
     "graph_pagerank_deep",
