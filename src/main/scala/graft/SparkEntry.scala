@@ -1311,7 +1311,8 @@ object SparkEntry {
     """WITH c AS (
         |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0)
         |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
-        |  FROM orders WHERE o_totalprice > 0
+        |  FROM orders
+        |  WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) > 0
         |), g AS (
         |  SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
         |  FROM c GROUP BY digit

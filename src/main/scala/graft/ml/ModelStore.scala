@@ -21,23 +21,38 @@ object ModelStore {
   private def tok(s: String): String =
     s.replaceAll("[^A-Za-z0-9.@-]", "_")
 
+  /** Collision-free dataset-dir key (r15 advice #1): [[tok]] is lossy
+    * (`/data/x/1` and `/data/x_1` both map to `_data_x_1`), and a
+    * collision would let [[evictSuperseded]] delete the OTHER dataset's
+    * live model tree as a "superseded generation". Appending a content
+    * hash of the RAW dir string makes distinct dirs distinct keys while
+    * keeping the human-readable token for tmpdir inspection. */
+  private[graft] def dirKey(dir: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${tok(dir)}-${md5.take(12)}"
+  }
+
   /** The per-corpus models directory (the reference's `spark_models/`),
-    * keyed `<dataset-dir>__<content-fingerprint>` — the FULL fingerprint,
-    * not a 32-bit hash of it (a hash collision would silently serve a
-    * model trained on a different corpus), so a regenerated corpus never
-    * serves a stale persisted model and the stale dir is identifiable. */
+    * keyed `<dataset-dir-key>__<content-fingerprint>` — the FULL
+    * fingerprint, not a 32-bit hash of it (a hash collision would
+    * silently serve a model trained on a different corpus), so a
+    * regenerated corpus never serves a stale persisted model and the
+    * stale dir is identifiable. */
   private[graft] def modelsDir(dir: String): String = {
     val fp = graft.schema.Schemas.fingerprint(s"$dir/events.parquet")
     s"${sys.props("java.io.tmpdir")}/graft_spark_models/" +
-      s"${tok(dir)}__${tok(fp)}"
+      s"${dirKey(dir)}__${tok(fp)}"
   }
 
   /** Drop persisted model dirs for SUPERSEDED fingerprints of the same
     * dataset dir (a regenerated corpus re-keys; without eviction the old
-    * trees accumulate in tmpdir forever). Current generation untouched. */
+    * trees accumulate in tmpdir forever). Current generation untouched;
+    * scoped to the EXACT dir via [[dirKey]], so a lossy-token collision
+    * can never sweep a sibling dataset's live tree. */
   private def evictSuperseded(dir: String, keep: java.io.File): Unit = {
     val root = keep.getParentFile
-    val prefix = s"${tok(dir)}__"
+    val prefix = s"${dirKey(dir)}__"
     val stale = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(prefix) && f.getName != keep.getName)
     stale.foreach(f =>

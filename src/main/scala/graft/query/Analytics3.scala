@@ -511,12 +511,23 @@ object Analytics3 {
       // (the count() semantics of the pre-two-level form — EdgeCaseSpec)
       coalesce(sum(col("np")), lit(0L)).as("npos"),
       coalesce(sum(col("c") - col("np")), lit(0L)).as("nneg"),
-      sum(col("np").cast("double") * (col("cb").cast("double")
-        + (col("c").cast("double") + 1.0) / 2.0)).as("rpos"))
+      // ×2-scaled rank sum as an exact DECIMAL: np·(2·cb + c + 1) is an
+      // integer per distinct score, so the aggregate is order-
+      // independent at ANY row count (the double Σ np·avg_rank form was
+      // only exact while the sum stayed ≤ 2^53 — ~10^8 rows already
+      // push rank sums near 10^16; r15 advice #4). The single halving
+      // moves into the 1-row epilogue: (rpos2 − n₊(n₊+1)) / (2·n₊·n₋)
+      // rounds once on the same rational as the oracle's
+      // (Σ avg_rank − n₊(n₊+1)/2) / (n₊·n₋), so the emitted float is
+      // bit-identical where both are in range.
+      sum((col("np").cast("decimal(20,0)")
+        * (lit(2L) * col("cb") + col("c") + lit(1L)).cast("decimal(20,0)")))
+        .as("rpos2"))
       .select(col("npos"), col("nneg"),
-        ((col("rpos") - col("npos").cast("double")
-          * (col("npos").cast("double") + 1.0) / 2.0)
-          / (col("npos").cast("double") * col("nneg").cast("double")))
+        ((col("rpos2").cast("double") - col("npos").cast("double")
+          * (col("npos").cast("double") + 1.0))
+          / (lit(2.0) * col("npos").cast("double")
+            * col("nneg").cast("double")))
           .cast("float").as("auc"))
   }
 

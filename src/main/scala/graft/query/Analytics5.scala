@@ -2381,8 +2381,12 @@ object Analytics5 {
     * no shuffle pressure at any corpus size. */
   def dqBenfordLaw(spark: SparkSession, dir: String): DataFrame = {
     val cents = round(col("o_totalprice") * lit(100.0)).cast("long")
+    // filter on the DERIVED cents, not the raw price (r15 advice #3):
+    // a price in (0, 0.005) rounds to 0 cents → digit 0 → expected_p =
+    // log10(1 + 1/0) = +Inf and a NaN chi2_term; cents > 0 makes the
+    // digit domain provably 1..9 on any input
     benfordFromPanel(table(spark, dir, "orders")
-      .filter(col("o_totalprice") > 0)
+      .filter(cents > 0)
       .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_orders")))
   }

@@ -1668,9 +1668,12 @@ object StreamQueries {
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      // cents > 0, not raw price > 0 — the batch query's r15-advice
+      // fix, mirrored so drain == batch on ANY input (a price in
+      // (0, 0.005) rounds to digit 0 and a non-finite chi2_term)
       val cents = round(col("o_totalprice") * lit(100.0)).cast("long")
       val ds = streamOrders(spark, dir)
-        .filter(col("o_totalprice") > 0)
+        .filter(cents > 0)
         .select(substring(cents.cast("string"), 1, 1).cast("int")
           .as("digit"), lit(1L).as("one"))
         .as[DigitIn]

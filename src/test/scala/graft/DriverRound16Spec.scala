@@ -148,6 +148,18 @@ class DriverRound16Spec extends SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("ModelStore.dirKey separates tok-colliding dataset dirs (eviction " +
+      "can never sweep a sibling dataset's live model tree)") {
+    val a = "/data/x/1"; val b = "/data/x_1"
+    // the lossy token alone collides — the failure mode r15 advice #1
+    // flagged: evictSuperseded would delete the other dataset's tree
+    val lossy = (s: String) => s.replaceAll("[^A-Za-z0-9.@-]", "_")
+    assert(lossy(a) == lossy(b))
+    assert(graft.ml.ModelStore.dirKey(a) != graft.ml.ModelStore.dirKey(b))
+    // determinism: the key is a pure function of the raw dir string
+    assert(graft.ml.ModelStore.dirKey(a) == graft.ml.ModelStore.dirKey(a))
+  }
+
   test("a non-family width falls back to its own cached pass (no " +
       "cross-width contamination of the shared index)") {
     Dedup.clearCaches()
