@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.ScalarFunctions
-import graft.query.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Curation, Curation2, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis, Warehouse, Warehouse2}
+import graft.query.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Curation, Curation2, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis, Warehouse, Warehouse2}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -902,6 +902,20 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Analytics5.evalTopkAgreement(s, d)),
     // exact per-lang token-length percentiles (context budgeting)
     "corpus_length_percentiles" -> Curation2.corpusLengthPercentiles _,
+    // round 16: tie-corrected two-sample rank-sum (2×-integer ranks)
+    "eval_mann_whitney_u"    -> Analytics6.evalMannWhitneyU _,
+    // round 16: ordinal effect size beside the rank-test p-value
+    "eval_cliffs_delta"      -> Analytics6.evalCliffsDelta _,
+    // round 16: paired signed-rank on per-user activity-count deltas
+    "eval_wilcoxon_signed_rank" -> Analytics6.evalWilcoxonSignedRank _,
+    // round 16: attenuated-path centrality on the co-purchase graph
+    "graph_katz_centrality"  -> ((s: SparkSession, d: String) =>
+      Analytics6.graphKatzCentrality(s, d)),
+    // round 16: Page's one-sided CUSUM vs a fixed target (live detector)
+    "ts_cusum_target"        -> ((s: SparkSession, d: String) =>
+      Analytics6.tsCusumTarget(s, d)),
+    "stream_cusum_target"    -> ((sp: SparkSession, d: String) =>
+      graft.streaming.StreamQueries.streamCusumTarget(sp, d)),
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -4952,6 +4966,114 @@ object SparkEntry {
         |    THEN len END) AS BIGINT) AS p99_tokens,
         |  CAST(max(len) AS BIGINT) AS max_tokens
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    // 2×-integer mid-ranks (2C+t+1), exact tie term, continuity-corrected z
+    "eval_mann_whitney_u" ->
+      """WITH pv AS (
+        |  SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY value
+        |), c AS (
+        |  SELECT na, nb, na + nb AS t,
+        |    2 * (sum(na + nb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - (na + nb)) + (na + nb) + 1 AS r2
+        |  FROM pv
+        |), m AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |    CAST(sum(nb) AS BIGINT) AS n_b,
+        |    CAST(sum(na * r2) AS BIGINT) AS r2_a,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        |  FROM c
+        |), k AS (
+        |  SELECT n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+        |    CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS ua,
+        |    CAST(tie3 AS DOUBLE) AS tie3d
+        |  FROM m
+        |), z AS (
+        |  SELECT n_a, n_b, ua, nad, nbd,
+        |    nad * nbd / 2.0 AS mu,
+        |    sqrt(nad * nbd / 12.0
+        |      * ((n + 1.0) - tie3d / (n * (n - 1.0)))) AS sigma
+        |  FROM k
+        |)
+        |SELECT n_a, n_b, ua AS u_stat, ua / (nad * nbd) AS auc_equiv,
+        |  ((CASE WHEN ua > mu THEN ua - 0.5 WHEN ua < mu THEN ua + 0.5
+        |    ELSE ua END) - mu) / sigma AS z_score
+        |FROM z""".stripMargin,
+    // exact integer dominance numerator; Romano magnitude bands
+    "eval_cliffs_delta" ->
+      """WITH pv AS (
+        |  SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY value
+        |), t AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |    CAST(sum(nb) AS BIGINT) AS tb FROM pv
+        |), c AS (
+        |  SELECT na, nb,
+        |    sum(nb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nb
+        |      AS cb_lt
+        |  FROM pv
+        |), m AS (
+        |  SELECT ta, tb,
+        |    CAST(sum(na * (cb_lt - (tb - cb_lt - nb))) AS BIGINT) AS dom
+        |  FROM c, t GROUP BY ta, tb
+        |), k AS (
+        |  SELECT ta AS n_a, tb AS n_b,
+        |    CAST(dom AS DOUBLE)
+        |      / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS cliffs_delta
+        |  FROM m
+        |)
+        |SELECT n_a, n_b, cliffs_delta,
+        |  CASE WHEN abs(cliffs_delta) < 0.147 THEN 'negligible'
+        |    WHEN abs(cliffs_delta) < 0.33 THEN 'small'
+        |    WHEN abs(cliffs_delta) < 0.474 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM k""".stripMargin,
+    // paired counts → integer d; ×48-scaled exact variance
+    "eval_wilcoxon_signed_rank" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      - sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS d
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY user_id
+        |), pa AS (
+        |  SELECT abs(d) AS ad, count(*) AS t,
+        |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS tp
+        |  FROM d WHERE d <> 0 GROUP BY abs(d)
+        |), r AS (
+        |  SELECT t, tp,
+        |    2 * (sum(t) OVER (ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+        |      + t + 1 AS r2
+        |  FROM pa
+        |), m AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS n_pairs,
+        |    CAST(sum(tp * r2) AS BIGINT) AS w2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        |  FROM r
+        |), k AS (
+        |  SELECT n_pairs, CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+        |    CAST(n_pairs AS DOUBLE) AS nd,
+        |    CAST(2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tie3
+        |      AS DOUBLE) AS v48
+        |  FROM m
+        |)
+        |SELECT n_pairs, w_plus,
+        |  (w_plus - nd * (nd + 1.0) / 4.0) / sqrt(v48 / 48.0) AS z_score
+        |FROM k""".stripMargin,
+    "graph_katz_centrality" -> katzOracleSql(3, "0.05"),
+    "ts_cusum_target" -> cusumTargetRecurrenceSql,
+    "stream_cusum_target" -> cusumTargetRecurrenceSql,
     // DPO pairs: chosen = (score DESC, id ASC) pick, rejected =
     // (score ASC, id DESC) pick — distinct docs whenever n_cands >= 2
     "pref_pair_margin" ->
@@ -9782,6 +9904,58 @@ object SparkEntry {
        |SELECT u AS part, CAST(pr AS REAL) AS pagerank
        |FROM pr$iters WHERE u <= 100 ORDER BY part""".stripMargin
   }
+
+  /** [[graft.query.Analytics6.graphKatzCentrality]]: x⁰ = 1, xⁱ(v) =
+    * 1 + α·Σ_{u∼v} xⁱ⁻¹(u), `iters` rounds unrolled over the same
+    * co-purchase edge CTEs as [[pagerankOracleSql]] (no degree
+    * division — Katz counts walks, not a stochastic process). */
+  private def katzOracleSql(iters: Int, alpha: String): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""x$i AS (
+         |  SELECT e.v AS u, 1.0 + $alpha * sum(p.x) AS x
+         |  FROM edges e JOIN x${i - 1} p ON p.u = e.u
+         |  GROUP BY e.v
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e0 AS (
+       |  SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |), edges AS (
+       |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+       |), verts AS (SELECT DISTINCT u FROM edges),
+       |x0 AS (SELECT u, CAST(1.0 AS DOUBLE) AS x FROM verts),
+       |$rounds
+       |SELECT u AS part, CAST(x AS REAL) AS katz
+       |FROM x$iters WHERE u <= 100 ORDER BY part""".stripMargin
+  }
+
+  /** [[graft.query.Analytics6.tsCusumTarget]] and its streaming twin:
+    * the clamped Page recurrence S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (v − 50 − 5))
+    * replayed per user in (ts, event_id) order — the
+    * [[kalmanRecurrenceSql]] recursive-CTE discipline, identical
+    * parenthesization (including the base case's + 0.0). */
+  private val cusumTargetRecurrenceSql: String =
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, value AS v,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events WHERE user_id < 50
+        |), st AS (
+        |  SELECT user_id, event_id, v, rn,
+        |    greatest(CAST(0.0 AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE) + (v - 50.0 - 5.0)) AS s
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.v, e.rn,
+        |    greatest(CAST(0.0 AS DOUBLE), s.s + (e.v - 50.0 - 5.0)) AS s
+        |  FROM st s JOIN ev e
+        |    ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        |)
+        |SELECT user_id, event_id, rn, v AS value, s AS s_plus,
+        |  s > 200.0 AS alarm
+        |FROM st ORDER BY user_id, rn""".stripMargin
 
   private def containmentOracleSql: String =
     s"""WITH ${minhashPairsCtes(16, 2, "0.0")}

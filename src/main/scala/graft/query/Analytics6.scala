@@ -1,0 +1,277 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-16 analytics: the nonparametric two-sample family (Mann–Whitney
+  * rank-sum, Cliff's delta effect size, Wilcoxon signed-rank on paired
+  * counts), Katz centrality (the attenuated-path sibling of PageRank /
+  * HITS), and a forward-streamable Page's CUSUM against a fixed target
+  * (the live-monitoring complement of the retrospective
+  * [[Analytics3.tsCusumChangepoint]] scan).
+  *
+  * Reference scope note: the reference (api/api.py) compares model
+  * variants by eyeballing predicted durations; these are the
+  * distribution-comparison tests an eval harness runs to make such a
+  * comparison defensible (rank tests are the standard choice when score
+  * distributions are non-normal). Every operator is a declarative
+  * Catalyst plan; rank statistics ride the house two-level discipline so
+  * no unpartitioned window ever sees raw fact rows.
+  */
+object Analytics6 {
+
+  import graft.schema.Schemas.table
+
+  // ---- shared pooled-CDF scaffold ---------------------------------------
+
+  /** Per-distinct-value counts of the two samples (click vs purchase
+    * `value`s) with exact pooled cumulative counts BELOW each value —
+    * the scaffold both rank tests read. `ca_lt`/`cb_lt` are counts of
+    * sample-a / sample-b observations strictly below the row's value;
+    * `na`/`nb` the row's own tie counts.
+    *
+    * Scale shape: one map-side-combined aggregate onto the DISTINCT
+    * value grain, then the [[Analytics5.evalKsTest]] two-level prefix —
+    * values bucket by their unit-width range (bucket count bounded by
+    * the metric's domain, not the corpus), the per-bucket histogram
+    * prefix-sums into offsets (the only unpartitioned window runs over
+    * the histogram), and within-bucket prefix windows run in parallel.
+    * The strictly-below counts subtract the row's own ties from the
+    * inclusive prefix — exact integers throughout. */
+  private def pooledValueCdf(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.schema.Schemas.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"))
+    val perValue = e.groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("na"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("nb"))
+      .withColumn("__bkt", floor(col("value")).cast("long"))
+    val offs = perValue.groupBy(col("__bkt"))
+      .agg(sum(col("na")).as("__ba"), sum(col("nb")).as("__bb"))
+      .select(col("__bkt"),
+        coalesce(sum(col("__ba")).over(Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__offa"),
+        coalesce(sum(col("__bb")).over(Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__offb"))
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue.join(broadcast(offs), Seq("__bkt"))
+      .select(col("value"), col("na"), col("nb"),
+        (col("__offa") + sum(col("na")).over(w) - col("na")).as("ca_lt"),
+        (col("__offb") + sum(col("nb")).over(w) - col("nb")).as("cb_lt"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) between the click and purchase
+    * `value` distributions: mid-rank ties, tie-corrected normal
+    * approximation — THE two-sample location test an eval harness
+    * reaches for when score distributions are non-normal (it is the
+    * rank-statistic identity behind AUC: U/(na·nb) = AUC).
+    *
+    * Exactness: ranks are handled as 2×-integer BIGINTs — for a
+    * distinct value v with t_v pooled ties and C_v pooled observations
+    * strictly below, 2·avg_rank(v) = 2·C_v + t_v + 1 exactly — so the
+    * rank-sum, U, and the tie term Σ(t³−t) are all exact integer
+    * arithmetic regardless of aggregation order ([[Analytics3]] AUC
+    * rank-sum discipline); doubles appear only in the final μ/σ/z
+    * division. z uses the 0.5 continuity correction toward the mean.
+    *
+    * Scale shape: the [[pooledValueCdf]] two-level prefix (no
+    * unpartitioned window over unreduced input), then ONE
+    * map-side-combined moment aggregate — n-row input, 1-row output. */
+  def evalMannWhitneyU(spark: SparkSession, dir: String): DataFrame = {
+    val cdf = pooledValueCdf(spark, dir)
+      .withColumn("t", col("na") + col("nb"))
+      // 2·avg_rank of every pooled observation at this value
+      .withColumn("r2", lit(2L) * (col("ca_lt") + col("cb_lt"))
+        + col("t") + lit(1L))
+    val m = cdf.agg(
+      sum(col("na")).as("n_a"),
+      sum(col("nb")).as("n_b"),
+      sum(col("na") * col("r2")).as("r2_a"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = na + nb
+    // U_a = R_a − na(na+1)/2, from the exact doubled rank-sum
+    val u2 = col("r2_a") - col("n_a") * (col("n_a") + lit(1L))
+    val uA = u2.cast("double") / lit(2.0)
+    val mu = na * nb / lit(2.0)
+    val sigma = sqrt(na * nb / lit(12.0)
+      * ((n + lit(1.0)) - col("tie3").cast("double") / (n * (n - lit(1.0)))))
+    val cc = when(uA > mu, uA - lit(0.5))
+      .when(uA < mu, uA + lit(0.5)).otherwise(uA)
+    m.select(col("n_a"), col("n_b"),
+      uA.as("u_stat"),
+      (uA / (na * nb)).as("auc_equiv"),
+      ((cc - mu) / sigma).as("z_score"))
+  }
+
+  /** Cliff's delta between the click and purchase `value` distributions:
+    * δ = (#(a>b) − #(a<b)) / (na·nb) ∈ [−1, 1], the ordinal effect size
+    * reported BESIDE a rank-test p-value (significance without
+    * magnitude is the classic eval-report mistake), with the standard
+    * |δ| magnitude band (negligible < .147 ≤ small < .33 ≤ medium
+    * < .474 ≤ large — Romano et al.'s thresholds).
+    *
+    * Exactness: the dominance numerator is one exact integer —
+    * Σ_v na_v·(cb_lt(v) − (nb − cb_lt(v) − nb_v)) — from the same
+    * pooled-CDF scaffold; the only double is the final ratio.
+    *
+    * Scale shape: identical to [[evalMannWhitneyU]] — the two-level
+    * CDF, one broadcast 1-row total, one moment aggregate. */
+  def evalCliffsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val cdf = pooledValueCdf(spark, dir)
+    val tot = cdf.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val m = cdf.crossJoin(broadcast(tot))
+      // b-observations strictly above v = tb − below − ties-at-v
+      .select(col("na"), col("ta"), col("tb"),
+        (col("na") * (col("cb_lt")
+          - (col("tb") - col("cb_lt") - col("nb")))).as("domterm"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(sum(col("domterm")).as("dom"))
+    val delta = col("dom").cast("double") /
+      (col("ta").cast("double") * col("tb").cast("double"))
+    val ad = abs(delta)
+    m.select(col("ta").as("n_a"), col("tb").as("n_b"),
+      delta.as("cliffs_delta"),
+      when(ad < 0.147, "negligible").when(ad < 0.33, "small")
+        .when(ad < 0.474, "medium").otherwise("large").as("magnitude"))
+  }
+
+  /** Wilcoxon signed-rank test on PAIRED per-user activity: for every
+    * user the pair is (click count, purchase count); d = purchases −
+    * clicks; zero differences drop (Wilcoxon's rule); |d| ranks with
+    * mid-rank ties; W⁺ = Σ ranks of positive d; tie-corrected normal
+    * z. The paired complement of [[evalMannWhitneyU]] — the test an
+    * A/B harness runs when both arms observe the SAME subject.
+    *
+    * Exactness: d is an exact integer count difference, so ties are
+    * exact; ranks are 2×-integer BIGINTs over the distinct-|d| grain
+    * (2·avg_rank(v) = 2·C_v + t_v + 1); σ²'s two terms are kept as one
+    * ×48-scaled integer — 2·n(n+1)(2n+1) − Σ(t³−t) — so W⁺, μ and σ²
+    * are aggregation-order-independent; doubles enter only at z.
+    *
+    * Scale shape: one map-side-combined aggregate onto user_id (count
+    * pivots), one onto the distinct-|d| grain; |d| is integer-bounded
+    * by per-user activity, so the rank prefix runs over the tiny
+    * distinct-|d| relation directly — the histogram IS the reduced
+    * grain (WindowGateSpec-clean); one final moment aggregate. */
+  def evalWilcoxonSignedRank(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.schema.Schemas.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        - sum(when(col("event_type") === "click", 1L).otherwise(0L)))
+        .as("d"))
+      .filter(col("d") =!= 0L)
+    val perAbs = d.groupBy(abs(col("d")).as("ad"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("d") > 0L, 1L).otherwise(0L)).as("tp"))
+    val ranked = perAbs
+      .withColumn("c_lt", coalesce(sum(col("t")).over(Window
+        .orderBy(col("ad")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("r2", lit(2L) * col("c_lt") + col("t") + lit(1L))
+    val m = ranked.agg(
+      sum(col("t")).as("n_pairs"),
+      sum(col("tp") * col("r2")).as("w2_plus"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    val n = col("n_pairs").cast("double")
+    val wPlus = col("w2_plus").cast("double") / lit(2.0)
+    val mu = n * (n + lit(1.0)) / lit(4.0)
+    // ×48-scaled exact integer variance: 48σ² = 2n(n+1)(2n+1) − Σ(t³−t)
+    val var48 = lit(2L) * col("n_pairs") * (col("n_pairs") + lit(1L)) *
+      (lit(2L) * col("n_pairs") + lit(1L)) - col("tie3")
+    val sigma = sqrt(var48.cast("double") / lit(48.0))
+    m.select(col("n_pairs"), wPlus.as("w_plus"),
+      ((wPlus - mu) / sigma).as("z_score"))
+  }
+
+  // ---- Katz centrality ----------------------------------------------------
+
+  /** Katz centrality (attenuation α, `iters` fixed iterations) on the
+    * undirected part co-purchase graph: x⁰ = 1, xⁱ(v) = 1 + α·Σ_{u∼v}
+    * xⁱ⁻¹(u) — the truncated attenuated-path-count centrality, the
+    * third member of the walk-centrality family beside
+    * [[Analytics.graphPagerank]] (stochastic walk) and HITS (bipartite
+    * alternation): Katz counts ALL walks, damped geometrically, so
+    * low-degree vertices near hubs still score (where PageRank's
+    * degree division buries them).
+    *
+    * Scale shape: the [[Analytics.graphPagerank]] Pregel shape verbatim
+    * — per-round join of the broadcast centrality vector against the
+    * persisted destination-partitioned edge index, one
+    * map-side-combined aggregate per round, no degree division (Katz
+    * has none), fixed iteration count keeps the plan finite. Vertices
+    * with no in-walk mass still emit (1-row β base via the degree
+    * table's left join). */
+  def graphKatzCentrality(spark: SparkSession, dir: String,
+      alpha: Double = 0.05, iters: Int = 3,
+      maxVertex: Long = 100L): DataFrame = {
+    val deg = Analytics.copurchaseDeg(spark, dir)
+    val nPart = spark.sparkContext.defaultParallelism
+    val wedges = Analytics.cachedDf(spark, Analytics.gkey(dir, "katzedges")) {
+      Analytics.copurchaseEdgesSym(spark, dir).repartition(nPart, col("v"))
+    }
+    var x = deg.select(col("u"), lit(1.0).as("x"))
+    for (_ <- 1 to iters) {
+      x = wedges
+        .join(broadcast(x), Seq("u"))
+        .groupBy(col("v"))
+        .agg(sum(col("x")).as("inflow"))
+        .select(col("v").as("u"),
+          (lit(1.0) + lit(alpha) * col("inflow")).as("x"))
+    }
+    x.filter(col("u") <= maxVertex)
+      .select(col("u").as("part"), col("x").cast("float").as("katz"))
+      .orderBy(col("part"))
+  }
+
+  // ---- Page's CUSUM against a fixed target --------------------------------
+
+  /** Page's one-sided CUSUM against a fixed target per user: S⁺ᵢ =
+    * max(0, S⁺ᵢ₋₁ + (xᵢ − target − slack)), alarm when S⁺ crosses `h` —
+    * the SEQUENTIAL drift detector a live monitor actually runs (the
+    * retrospective [[Analytics3.tsCusumChangepoint]] needs the whole
+    * series' mean; this needs only the last S⁺, which is why it has a
+    * one-value streaming twin). Emits one row per event with the
+    * running S⁺ and the alarm flag.
+    *
+    * Exactness: the clamped recurrence is a fixed sequence of double
+    * ops in (ts, event_id) order — flatMapSortedGroups here, a
+    * recursive CTE in the oracle, identical parenthesization → every
+    * S⁺ bit-identical ([[Analytics4.tsKalman1d]] contract). max(0,·)
+    * introduces no libm.
+    *
+    * Scale shape: ONE exchange on user_id, engine-side sort, O(1)
+    * state per key — the Kadane/debounce/Kalman sorted-group
+    * recurrence family; output bounded by the user filter. */
+  def tsCusumTarget(spark: SparkSession, dir: String,
+      target: Double = 50.0, slack: Double = 5.0, h: Double = 200.0,
+      maxUser: Long = 50L): DataFrame = {
+    import spark.implicits._
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    ev.groupByKey(_._1)
+      .flatMapSortedGroups(col("us"), col("event_id")) { (user, it) =>
+        var s = 0.0
+        var rn = 0L
+        it.map { case (_, _, id, v) =>
+          rn += 1
+          val s1 = s + (v - target - slack)
+          s = if (s1 > 0.0) s1 else 0.0
+          (user, id, rn, v, s, s > h)
+        }
+      }
+      .toDF("user_id", "event_id", "rn", "value", "s_plus", "alarm")
+      .orderBy(col("user_id"), col("rn"))
+  }
+}

@@ -1524,6 +1524,75 @@ object StreamQueries {
     }
   }
 
+  case class CusumOut(user_id: Long, event_id: Long, rn: Long,
+    value: Double, s_plus: Double, alarm: Boolean)
+
+  /** Streaming per-user Page's CUSUM against a fixed target: the
+    * ValueState carries (rn, S⁺) and every arriving observation
+    * advances the SAME clamped recurrence as the batch
+    * [[graft.query.Analytics6]] `ts_cusum_target` (identical
+    * parenthesization, identical (ts, event_id) in-batch order), so a
+    * full drain equals the batch scan bit for bit — the Kalman/debounce
+    * batch-equivalence contract on the detector that EXISTS for the
+    * live path (Page's test needs no future data, only the last S⁺).
+    * State is 2 numbers per user, watermark-free, RocksDB-backed. */
+  private class CusumTargetProcessor(target: Double, slack: Double,
+      h: Double) extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Double), CusumOut] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("cusum",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CusumOut] = {
+      val sorted = rows.toArray.sortBy(t => (t._3, t._2))
+      var (rn, s) = if (st.exists()) st.get() else (0L, 0.0)
+      val out = sorted.map { case (u, id, _, v) =>
+        rn += 1
+        val s1 = s + (v - target - slack)
+        s = if (s1 > 0.0) s1 else 0.0
+        CusumOut(u, id, rn, v, s, s > h)
+      }
+      st.update((rn, s))
+      out.iterator
+    }
+  }
+
+  /** Streaming twin of `ts_cusum_target`: the event stream folds
+    * through [[CusumTargetProcessor]]'s two-number state; drain ==
+    * batch row-for-row, shared recursive-CTE oracle. */
+  def streamCusumTarget(spark: SparkSession, dir: String,
+      target: Double = 50.0, slack: Double = 5.0, h: Double = 200.0,
+      maxUser: Long = 50L): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = streamEvents(spark, dir, singleBatch = true)
+        .filter(col("user_id") < maxUser)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      val out = ds.groupByKey(_._1)
+        .transformWithState(new CusumTargetProcessor(target, slack, h),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      drain(spark, out.toDF(), OutputMode.Update(), statePartitions = 4)
+        .orderBy(col("user_id"), col("rn"))
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
+  }
+
   private def twsSource(spark: SparkSession, dir: String,
       rawEvents: Boolean, filesPerTrigger: Option[Int]): DataFrame =
     if (rawEvents) streamEvents(spark, dir)

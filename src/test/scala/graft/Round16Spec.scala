@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query.{Analytics6, Analytics3}
+import graft.streaming.StreamQueries
+
+/** Round-16 operator pins: the nonparametric two-sample family
+  * (Mann–Whitney / Cliff's delta / Wilcoxon signed-rank), Katz
+  * centrality, and the Page's-CUSUM batch↔stream contract. */
+class Round16Spec extends SparkSpec {
+
+  test("eval_mann_whitney_u: U/(na·nb) = AUC identity, U bounded, " +
+      "z finite") {
+    val r = Analytics6.evalMannWhitneyU(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val na = row.getLong(0); val nb = row.getLong(1)
+    val u = row.getDouble(2); val auc = row.getDouble(3)
+    val z = row.getDouble(4)
+    assert(na > 0 && nb > 0)
+    assert(u >= 0.0 && u <= na.toDouble * nb.toDouble)
+    assert(math.abs(auc - u / (na.toDouble * nb.toDouble)) == 0.0)
+    assert(!z.isNaN && !z.isInfinite)
+    // brute-force oracle on the collected pair counts: U = #(a>b) + T/2
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value")).collect()
+    val a = ev.filter(_.getString(0) == "click").map(_.getDouble(1))
+    val b = ev.filter(_.getString(0) == "purchase").map(_.getDouble(1))
+    assert(a.length == na && b.length == nb)
+    var gt = 0L; var eq = 0L
+    // O(na·nb) is fine at the spec's sf0.001 fixture
+    a.foreach(x => b.foreach { y =>
+      if (x > y) gt += 1 else if (x == y) eq += 1 })
+    assert(u == gt + eq / 2.0, s"U=$u brute=${gt + eq / 2.0}")
+  }
+
+  test("eval_cliffs_delta: brute-force dominance parity and band " +
+      "consistency") {
+    val r = Analytics6.evalCliffsDelta(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val delta = row.getDouble(2); val band = row.getString(3)
+    assert(delta >= -1.0 && delta <= 1.0)
+    val ev = graft.schema.Schemas.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value")).collect()
+    val a = ev.filter(_.getString(0) == "click").map(_.getDouble(1))
+    val b = ev.filter(_.getString(0) == "purchase").map(_.getDouble(1))
+    var dom = 0L
+    a.foreach(x => b.foreach { y =>
+      if (x > y) dom += 1 else if (x < y) dom -= 1 })
+    assert(delta == dom.toDouble / (a.length.toDouble * b.length.toDouble))
+    val expected =
+      if (math.abs(delta) < 0.147) "negligible"
+      else if (math.abs(delta) < 0.33) "small"
+      else if (math.abs(delta) < 0.474) "medium" else "large"
+    assert(band == expected)
+  }
+
+  test("eval_wilcoxon_signed_rank: brute-force mid-rank parity on the " +
+      "per-user count deltas") {
+    val r = Analytics6.evalWilcoxonSignedRank(spark, sf).collect()
+    assert(r.length == 1)
+    val n = r.head.getLong(0); val wPlus = r.head.getDouble(1)
+    val z = r.head.getDouble(2)
+    assert(!z.isNaN && !z.isInfinite)
+    val d = graft.schema.Schemas.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        - sum(when(col("event_type") === "click", 1L).otherwise(0L)))
+        .as("d"))
+      .collect().map(_.getLong(1)).filter(_ != 0L)
+    assert(d.length == n)
+    // mid-ranks of |d| ascending; W+ = Σ ranks where d > 0 —
+    // group-level: per |d| class, positives share the class mid-rank
+    val sorted = d.sortBy(math.abs)
+    val brute = sorted.zipWithIndex
+      .groupBy(t => math.abs(t._1))
+      .map { case (_, g) =>
+        val mid = g.map(_._2 + 1).sum.toDouble / g.length
+        g.count(_._1 > 0) * mid
+      }.sum
+    assert(wPlus == brute, s"W+=$wPlus brute=$brute")
+  }
+
+  test("graph_katz_centrality: every score > 1, and hub ordering " +
+      "follows 1-step degree at alpha → attenuated-walk dominance") {
+    val rows = Analytics6.graphKatzCentrality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // β = 1 base plus a positive attenuated in-walk sum: x > 1 always
+    rows.foreach(r => assert(r.getFloat(1) > 1.0f,
+      s"part ${r.getLong(0)} katz ${r.getFloat(1)}"))
+    // monotone sanity vs the 1-iteration truncation: a vertex whose
+    // 1-hop degree is max must not rank below one with minimal degree
+    val deg = graft.query.Analytics
+      .copurchaseEdgesSym(spark, sf)
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .filter(col("u") <= 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byKatz = rows.map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    val maxDegV = deg.maxBy(_._2)._1
+    val minDegV = deg.minBy(_._2)._1
+    if (deg(maxDegV) > 3 * deg(minDegV))
+      assert(byKatz(maxDegV) > byKatz(minDegV))
+  }
+
+  test("ts_cusum_target: recurrence replay, clamp floor, alarm " +
+      "threshold consistency") {
+    val rows = Analytics6.tsCusumTarget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(2))
+      var s = 0.0
+      ordered.foreach { r =>
+        val s1 = s + (r.getDouble(3) - 50.0 - 5.0)
+        s = if (s1 > 0.0) s1 else 0.0
+        assert(r.getDouble(4) == s, s"s_plus drift at rn ${r.getLong(2)}")
+        assert(r.getBoolean(5) == (s > 200.0))
+      }
+    }
+  }
+
+  test("stream_cusum_target drain equals the batch scan row for row") {
+    val streamed = StreamQueries.streamCusumTarget(spark, sf).collect()
+    val batch = Analytics6.tsCusumTarget(spark, sf).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1))
+      assert(s.getLong(2) == b.getLong(2))
+      assert(s.getDouble(4) == b.getDouble(4))
+      assert(s.getBoolean(5) == b.getBoolean(5))
+    }
+  }
+}

@@ -53,8 +53,14 @@ class WindowGateSpec extends SparkSpec {
     "eval_bradley_terry" -> "≤ k distinct event types",
     "eval_confusion" -> "≤ k distinct event types",
     "eval_decile_lift" -> "≤ 4097 score-range buckets (two-level rank)",
+    "eval_cliffs_delta" ->
+      "unit-width value buckets (metric-domain-bounded, two-level CDF)",
     "eval_ks_test" ->
       "unit-width value buckets (metric-domain-bounded, two-level CDF)",
+    "eval_mann_whitney_u" ->
+      "unit-width value buckets (metric-domain-bounded, two-level CDF)",
+    "eval_wilcoxon_signed_rank" ->
+      "distinct integer |Δcount| grain (activity-bounded, not corpus)",
     "eval_pr_auc" ->
       "≤ 4097 score-range buckets (two-level rank/cumsum)",
     "eval_topk_agreement" -> "two ≤ k TakeOrdered ranking panels",
