@@ -916,6 +916,17 @@ object SparkEntry {
       Analytics6.tsCusumTarget(s, d)),
     "stream_cusum_target"    -> ((sp: SparkSession, d: String) =>
       graft.streaming.StreamQueries.streamCusumTarget(sp, d)),
+    // round 16: TOST — the test that can conclude "equivalent"
+    "eval_tost_equivalence"  -> ((s: SparkSession, d: String) =>
+      Analytics6.evalTostEquivalence(s, d)),
+    // round 16: prevalence-stable agreement beside Cohen's kappa
+    "eval_gwet_ac1"          -> Analytics6.evalGwetAc1 _,
+    // round 16: intermittent-demand smoother (demand and gap separately)
+    "ts_croston"             -> ((s: SparkSession, d: String) =>
+      Analytics6.tsCroston(s, d)),
+    // round 16: exponential-mechanism DP median over a candidate grid
+    "privacy_dp_quantile"    -> ((s: SparkSession, d: String) =>
+      Analytics6.privacyDpQuantile(s, d)),
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -5074,6 +5085,145 @@ object SparkEntry {
     "graph_katz_centrality" -> katzOracleSql(3, "0.05"),
     "ts_cusum_target" -> cusumTargetRecurrenceSql,
     "stream_cusum_target" -> cusumTargetRecurrenceSql,
+    // the agg_ttest_welch moment CTEs with the ±margin one-sided pair
+    "eval_tost_equivalence" ->
+      """WITH g AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s1a,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT)
+        |         * CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s2a,
+        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s1b,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT)
+        |         * CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s2b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), m AS (
+        |  SELECT *, CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+        |  FROM g
+        |), v AS (
+        |  SELECT *, m1 - m2 AS d,
+        |    sqrt(((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * m1)
+        |        / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+        |      + ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * m2)
+        |        / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE)) AS se
+        |  FROM m
+        |), t AS (
+        |  SELECT n1, n2, d, se,
+        |    (d + 2000.0) / se AS t_lower, (2000.0 - d) / se AS t_upper
+        |  FROM v
+        |)
+        |SELECT n1, n2,
+        |  CAST(d / 1000.0 AS REAL) AS mean_diff,
+        |  CAST(se / 1000.0 AS REAL) AS se,
+        |  CAST(t_lower AS REAL) AS t_lower,
+        |  CAST(t_upper AS REAL) AS t_upper,
+        |  t_lower > 1.6448536269514722 AND t_upper > 1.6448536269514722
+        |    AS equivalent
+        |FROM t""".stripMargin,
+    // same confusion cells as eval_cohens_kappa; AC1 chance term
+    "eval_gwet_ac1" ->
+      """WITH tm AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(round(value * 1000.0) AS BIGINT)) AS BIGINT)
+        |      AS s3,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type
+        |), rated AS (
+        |  SELECT
+        |    CASE WHEN CAST(round(e.value * 1000.0) AS BIGINT) * tm.n
+        |      > tm.s3 THEN 1 ELSE 0 END AS a,
+        |    CAST(CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+        |      || ':rater'), 1, 15) AS BIGINT) % 2 AS INT) AS b
+        |  FROM events e JOIN tm ON tm.event_type = e.event_type
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_agree,
+        |    CAST(sum(a) AS BIGINT) AS n_a1,
+        |    CAST(sum(b) AS BIGINT) AS n_b1
+        |  FROM rated
+        |), k AS (
+        |  SELECT n, n_agree,
+        |    CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |    (CAST(n_a1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + CAST(n_b1 AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0 AS pibar
+        |  FROM g
+        |)
+        |SELECT n, n_agree,
+        |  CAST(po AS REAL) AS p_observed,
+        |  CAST(2.0 * pibar * (1.0 - pibar) AS REAL) AS p_chance_ac1,
+        |  CAST((po - 2.0 * pibar * (1.0 - pibar))
+        |    / (1.0 - 2.0 * pibar * (1.0 - pibar)) AS REAL) AS gwet_ac1
+        |FROM k""".stripMargin,
+    // Croston recurrence replayed per purchase in (ts, event_id) order
+    "ts_croston" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, value AS z,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) = 1 THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+        |        / 3600000000.0 END AS q,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events WHERE user_id < 50 AND event_type = 'purchase'
+        |), st AS (
+        |  SELECT user_id, event_id, z, q, rn, z AS zh, q AS qh
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.z, e.q, e.rn,
+        |    s.zh + 0.1 * (e.z - s.zh) AS zh,
+        |    s.qh + 0.1 * (e.q - s.qh) AS qh
+        |  FROM st s JOIN ev e
+        |    ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        |)
+        |SELECT user_id, event_id, rn, z AS demand, q AS gap_h,
+        |  zh AS z_hat, qh AS q_hat, zh / qh AS forecast
+        |FROM st ORDER BY user_id, rn""".stripMargin,
+    // step-width bucket histogram → exact strictly-below rank per
+    // candidate; Gumbel-max with the hash60 uniforms
+    "privacy_dp_quantile" ->
+      """WITH hist AS (
+        |  SELECT CAST(floor(value / 5.0) AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1
+        |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+        |cand AS (
+        |  SELECT CAST(i * 5 AS INT) AS c FROM range(1, 98) t(i)
+        |), lt AS (
+        |  SELECT c, CAST(coalesce(sum(cnt), 0) AS BIGINT) AS cnt_lt
+        |  FROM cand LEFT JOIN hist ON b < CAST(c AS BIGINT) / 5
+        |  GROUP BY c
+        |), scored AS (
+        |  SELECT c, cnt_lt,
+        |    (-CAST(abs(2 * cnt_lt - n) AS DOUBLE)) / 2.0 AS utility,
+        |    (-CAST(abs(2 * cnt_lt - n) AS DOUBLE)) / 2.0
+        |      + 2.0 * (-ln(-ln((CAST(CAST('0x' || substr(md5('dpq:'
+        |        || CAST(c AS VARCHAR)), 1, 15) AS BIGINT)
+        |        AS DOUBLE) + 0.5) / 1152921504606846976.0)))
+        |      AS noised_utility
+        |  FROM lt, tot
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    ORDER BY noised_utility DESC, c) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT rank, c AS candidate,
+        |  CAST(noised_utility AS REAL) AS noised_utility,
+        |  cnt_lt, CAST(utility AS REAL) AS utility
+        |FROM ranked WHERE rank <= 3 ORDER BY rank""".stripMargin,
     // DPO pairs: chosen = (score DESC, id ASC) pick, rejected =
     // (score ASC, id DESC) pick — distinct docs whenever n_cands >= 2
     "pref_pair_margin" ->

@@ -232,6 +232,196 @@ object Analytics6 {
       .orderBy(col("part"))
   }
 
+  /** TOST equivalence test (two one-sided Welch t-tests) between the
+    * click and purchase `value` means with equivalence margin ±`margin`
+    * — the test that can CONCLUDE "these two model variants score the
+    * same" (a non-significant Welch t only fails to find a difference;
+    * shipping decisions need the stronger claim). Equivalent iff BOTH
+    * one-sided statistics clear the critical value: t_lower tests
+    * diff > −margin, t_upper tests diff < +margin.
+    *
+    * Exactness: the [[Analytics5.aggTtestWelch]] discipline verbatim —
+    * per-group n, Σx, Σx² over ×1000-scaled BIGINTs, one fixed-paren
+    * double epilogue; the margin enters ×1000-scaled so every term
+    * lives in the same exact integer space until the final divisions.
+    * The normal critical value (1.6448536269514722) is the large-n
+    * gate a streaming eval harness uses; df is emitted for audit.
+    *
+    * Scale shape: ONE map-side-combined conditional aggregate over the
+    * fact table; everything after is scalar arithmetic on one row. */
+  def evalTostEquivalence(spark: SparkSession, dir: String,
+      margin: Double = 2.0): DataFrame = {
+    val x3 = round(col("value") * lit(1000.0)).cast("long")
+    val isA = col("event_type") === "click"
+    val isB = col("event_type") === "purchase"
+    val g = graft.schema.Schemas.events(spark, dir)
+      .filter(isA || isB)
+      .agg(
+        count(when(isA, lit(1))).as("n1"),
+        sum(when(isA, x3)).as("s1a"),
+        sum(when(isA, x3 * x3)).as("s2a"),
+        count(when(isB, lit(1))).as("n2"),
+        sum(when(isB, x3)).as("s1b"),
+        sum(when(isB, x3 * x3)).as("s2b"))
+    val m1 = g("s1a").cast("double") / g("n1").cast("double")
+    val m2 = g("s1b").cast("double") / g("n2").cast("double")
+    val v1 = (g("s2a").cast("double") - g("s1a").cast("double") * m1) /
+      (g("n1") - lit(1)).cast("double")
+    val v2 = (g("s2b").cast("double") - g("s1b").cast("double") * m2) /
+      (g("n2") - lit(1)).cast("double")
+    val se = sqrt(v1 / g("n1").cast("double") + v2 / g("n2").cast("double"))
+    val d = m1 - m2
+    val m3 = lit(margin * 1000.0)
+    val tLo = (d + m3) / se
+    val tHi = (m3 - d) / se
+    val zCrit = lit(1.6448536269514722)
+    g.select(col("n1"), col("n2"),
+      (d / lit(1000.0)).cast("float").as("mean_diff"),
+      (se / lit(1000.0)).cast("float").as("se"),
+      tLo.cast("float").as("t_lower"),
+      tHi.cast("float").as("t_upper"),
+      (tLo > zCrit && tHi > zCrit).as("equivalent"))
+  }
+
+  /** Gwet's AC1 between the two [[Analytics5.evalCohensKappa]] raters —
+    * the chance-agreement coefficient that stays stable under skewed
+    * marginals (the "kappa paradox": near-unanimous raters can score
+    * kappa ≈ 0 because kappa's chance term absorbs the prevalence; AC1
+    * models chance agreement as the chance of rating a RANDOM category,
+    * pe = 2π(1−π) with π the mean marginal). Reported beside kappa so
+    * the pair diagnoses prevalence artifacts.
+    *
+    * Exactness: same integer confusion cells as kappa (type-mean rule
+    * vs md5-parity rater — cross-multiplied compares, no division),
+    * one fixed-paren double epilogue.
+    *
+    * Scale shape: one broadcast of the 5-row type means, one map-side
+    * combined confusion aggregate, scalar math after. */
+  def evalGwetAc1(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.schema.Schemas.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * lit(1000.0)).cast("long").as("v3"))
+    val means = e.groupBy(col("event_type"))
+      .agg(sum(col("v3")).as("s3"), count(lit(1)).as("n"))
+    val rated = e.join(broadcast(means), Seq("event_type"))
+      .withColumn("a", (col("v3") * col("n") > col("s3")).cast("int"))
+      .withColumn("b",
+        (graft.query.Dedup.hash60(concat(col("event_id").cast("string"),
+          lit(":rater"))) % 2).cast("int"))
+    val g = rated.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"),
+      sum(col("a").cast("long")).as("n_a1"),
+      sum(col("b").cast("long")).as("n_b1"))
+    val nD = col("n").cast("double")
+    val po = col("n_agree").cast("double") / nD
+    val piBar = (col("n_a1").cast("double") / nD
+      + col("n_b1").cast("double") / nD) / lit(2.0)
+    val pe = lit(2.0) * piBar * (lit(1.0) - piBar)
+    g.select(col("n"), col("n_agree"),
+      po.cast("float").as("p_observed"),
+      pe.cast("float").as("p_chance_ac1"),
+      ((po - pe) / (lit(1.0) - pe)).cast("float").as("gwet_ac1"))
+  }
+
+  /** Croston's method per user over the purchase stream — the
+    * intermittent-demand forecaster (most users purchase rarely, so a
+    * plain EWMA over a zero-stuffed series collapses; Croston smooths
+    * the nonzero demand sizes and the inter-arrival gaps SEPARATELY
+    * and forecasts their ratio). Emits every update step: smoothed
+    * demand ẑ, smoothed gap q̂ (hours), forecast ẑ/q̂ per period.
+    *
+    * Exactness: the recurrence is a fixed sequence of double ops per
+    * purchase in (ts, event_id) order (flatMapSortedGroups here, a
+    * recursive CTE in the oracle, identical parenthesization — the
+    * [[Analytics4.tsKalman1d]] contract); the gap is an exact integer
+    * microsecond delta divided once by 3.6e9.
+    *
+    * Scale shape: ONE exchange on user_id (the sorted-group recurrence
+    * family), O(1) state per key; output bounded by the user filter. */
+  def tsCroston(spark: SparkSession, dir: String, alpha: Double = 0.1,
+      maxUser: Long = 50L): DataFrame = {
+    import spark.implicits._
+    val ev = graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser && col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    ev.groupByKey(_._1)
+      .flatMapSortedGroups(col("us"), col("event_id")) { (user, it) =>
+        var rn = 0L
+        var zh = 0.0
+        var qh = 0.0
+        var prevUs = 0L
+        it.map { case (_, us, id, z) =>
+          rn += 1
+          val q =
+            if (rn == 1L) 1.0
+            else (us - prevUs).toDouble / 3.6e9
+          prevUs = us
+          if (rn == 1L) { zh = z; qh = q }
+          else {
+            zh = zh + alpha * (z - zh)
+            qh = qh + alpha * (q - qh)
+          }
+          (user, id, rn, z, q, zh, qh, zh / qh)
+        }
+      }
+      .toDF("user_id", "event_id", "rn", "demand", "gap_h",
+        "z_hat", "q_hat", "forecast")
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Differentially-private median — the exponential mechanism over a
+    * fixed candidate grid (multiples of `step` across the value
+    * domain), utility u(c) = −|#{v < c} − n/2| (rank distance to the
+    * median, sensitivity 1), released via the Gumbel-max trick with
+    * the [[Analytics5.privacyDpTopk]] deterministic md5 uniforms. The
+    * top-3 noised candidates ship with their exact rank utilities
+    * beside them (the privacy family's demo-grain audit discipline).
+    *
+    * Exactness: the strictly-below count per candidate is exact — a
+    * `step`-width bucket histogram prefix (a value v < c ⟺ its bucket
+    * ⌊v/step⌋ < c/step when c is a grid multiple); utility uses the
+    * ×2-integer |2·cnt − n| so no .5 ever rounds; the Gumbel keys are
+    * the hash60-derived doubles both engines replay.
+    *
+    * Scale shape: one map-side-combined histogram onto the ≤(domain/
+    * step) bucket grain; the candidate×bucket prefix join and the
+    * ranking run on that bounded panel. */
+  def privacyDpQuantile(spark: SparkSession, dir: String,
+      step: Int = 5, maxCandidate: Int = 485,
+      epsilon: Double = 1.0): DataFrame = {
+    val hist = graft.schema.Schemas.events(spark, dir)
+      .groupBy(floor(col("value") / lit(step.toDouble)).cast("long")
+        .as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    val cand = spark.range(1, maxCandidate / step + 1)
+      .select((col("id") * step).cast("int").as("c"))
+    val cntLt = cand.join(broadcast(hist),
+        col("b") < col("c").cast("long") / lit(step.toLong), "left")
+      .groupBy(col("c"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt_lt"))
+    val u = (-abs(lit(2L) * col("cnt_lt") - col("n")).cast("double")) /
+      lit(2.0)
+    val uu = (graft.query.Dedup.hash60(concat(lit("dpq:"),
+      col("c").cast("string"))).cast("double") + 0.5) /
+      lit(1152921504606846976.0)
+    val gumbel = -log(-log(uu))
+    cntLt.crossJoin(broadcast(tot))
+      .withColumn("utility", u)
+      .withColumn("noised_utility",
+        col("utility") + lit(2.0 / epsilon) * gumbel)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("noised_utility").desc, col("c"))))
+      .filter(col("rank") <= 3)
+      .select(col("rank").cast("int").as("rank"), col("c").as("candidate"),
+        col("noised_utility").cast("float").as("noised_utility"),
+        col("cnt_lt"), col("utility").cast("float").as("utility"))
+      .orderBy(col("rank"))
+  }
+
   // ---- Page's CUSUM against a fixed target --------------------------------
 
   /** Page's one-sided CUSUM against a fixed target per user: S⁺ᵢ =

@@ -122,6 +122,73 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("eval_tost_equivalence: one-sided pair brackets the Welch t, " +
+      "verdict consistent with the statistics") {
+    val r = Analytics6.evalTostEquivalence(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val tLo = row.getFloat(4); val tHi = row.getFloat(5)
+    val eq = row.getBoolean(6)
+    // t_lower + t_upper = 2·margin/se > 0 always; both finite
+    assert(!tLo.isNaN && !tHi.isNaN)
+    assert(tLo + tHi > 0.0f)
+    assert(eq == (tLo > 1.6448536f && tHi > 1.6448536f))
+    // diff within ±margin is NECESSARY for equivalence
+    if (eq) assert(math.abs(row.getFloat(2)) < 2.0f)
+  }
+
+  test("eval_gwet_ac1: chance term is prevalence-shaped (≤ 0.5), AC1 " +
+      "and kappa share observed agreement") {
+    val ac1 = Analytics6.evalGwetAc1(spark, sf).collect().head
+    val kap = graft.query.Analytics5.evalCohensKappa(spark, sf)
+      .collect().head
+    assert(ac1.getLong(0) == kap.getLong(0))
+    assert(ac1.getLong(1) == kap.getLong(1))
+    assert(ac1.getFloat(2) == kap.getFloat(4)) // same p_observed
+    val pe = ac1.getFloat(3)
+    assert(pe > 0.0f && pe <= 0.5f) // 2π(1−π) peaks at 0.5
+    val expected = (ac1.getFloat(2) - pe) / (1.0f - pe)
+    assert(math.abs(ac1.getFloat(4) - expected) < 1e-6f)
+  }
+
+  test("ts_croston: recurrence replay, gaps positive, forecast = " +
+      "z_hat/q_hat") {
+    val rows = Analytics6.tsCroston(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(2))
+      var zh = 0.0; var qh = 0.0
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val z = r.getDouble(3); val q = r.getDouble(4)
+        assert(q > 0.0)
+        if (i == 0) { zh = z; qh = q; assert(q == 1.0) }
+        else { zh = zh + 0.1 * (z - zh); qh = qh + 0.1 * (q - qh) }
+        assert(r.getDouble(5) == zh && r.getDouble(6) == qh)
+        assert(r.getDouble(7) == zh / qh)
+      }
+    }
+  }
+
+  test("privacy_dp_quantile: release is 3 ranked grid candidates; " +
+      "utilities are exact rank distances; the argmax respects the " +
+      "replayable Gumbel keys") {
+    val rows = graft.query.Analytics6.privacyDpQuantile(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val n = graft.schema.Schemas.events(spark, sf).count()
+    rows.foreach { r =>
+      val c = r.getInt(1); val cntLt = r.getLong(3)
+      assert(c % 5 == 0 && c >= 5 && c <= 485)
+      // exact utility = −|cnt_lt − n/2|
+      assert(r.getFloat(4) == -math.abs(2L * cntLt - n) / 2.0f)
+      assert(cntLt >= 0 && cntLt <= n)
+    }
+    // noised utilities are emitted in non-increasing rank order
+    val nu = rows.map(_.getFloat(2))
+    assert(nu.zip(nu.tail).forall { case (a, b) => a >= b })
+  }
+
   test("stream_cusum_target drain equals the batch scan row for row") {
     val streamed = StreamQueries.streamCusumTarget(spark, sf).collect()
     val batch = Analytics6.tsCusumTarget(spark, sf).collect()

@@ -66,6 +66,7 @@ class WindowGateSpec extends SparkSpec {
     "eval_topk_agreement" -> "two ≤ k TakeOrdered ranking panels",
     "pack_sequences" -> "doc-id bucket histogram (two-level cumsum)",
     "pareto_frontier" -> "≤ 64 quantity buckets (suffix min)",
+    "privacy_dp_quantile" -> "≤ domain/step candidate-grid panel",
     "privacy_dp_topk" -> "≤ |event_type| category panel",
     "retrieval_rerank_crossenc" -> "≤ pool TakeOrdered candidate panel",
     "retrieval_rrf_hybrid" -> "two ≤ poolK retrieval pools",
