@@ -927,6 +927,17 @@ object SparkEntry {
     // round 16: exponential-mechanism DP median over a candidate grid
     "privacy_dp_quantile"    -> ((s: SparkSession, d: String) =>
       Analytics6.privacyDpQuantile(s, d)),
+    // round 16: standardized effect size beside the t/TOST verdicts
+    "eval_cohens_d"          -> Analytics6.evalCohensD _,
+    // round 16: rolling autocorrelation regime monitor
+    "window_rolling_autocorr" -> ((s: SparkSession, d: String) =>
+      Analytics6.windowRollingCorr(s, d)),
+    // round 16: R/S long-memory diagnostic on the hourly series
+    "ts_hurst_exponent"      -> ((s: SparkSession, d: String) =>
+      Analytics6.tsHurstExponent(s, d)),
+    // round 16: Everett–Borgatti ego betweenness (brokerage centrality)
+    "graph_ego_betweenness"  -> ((s: SparkSession, d: String) =>
+      Analytics6.graphEgoBetweenness(s, d)),
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -5224,6 +5235,185 @@ object SparkEntry {
         |  CAST(noised_utility AS REAL) AS noised_utility,
         |  cnt_lt, CAST(utility AS REAL) AS utility
         |FROM ranked WHERE rank <= 3 ORDER BY rank""".stripMargin,
+    // pooled-SD effect size from the same Welch moment CTEs
+    "eval_cohens_d" ->
+      """WITH g AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s1a,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT)
+        |         * CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s2a,
+        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s1b,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT)
+        |         * CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s2b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), m AS (
+        |  SELECT *, CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+        |  FROM g
+        |), k AS (
+        |  SELECT n1, n2,
+        |    (m1 - m2) / sqrt(((CAST(s2a AS DOUBLE)
+        |        - CAST(s1a AS DOUBLE) * m1)
+        |      + (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * m2))
+        |      / CAST(n1 + n2 - 2 AS DOUBLE)) AS d,
+        |    1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0) AS j
+        |  FROM m
+        |)
+        |SELECT n1, n2,
+        |  CAST(d AS REAL) AS cohens_d,
+        |  CAST(d * j AS REAL) AS hedges_g,
+        |  CASE WHEN abs(d) < 0.2 THEN 'negligible'
+        |    WHEN abs(d) < 0.5 THEN 'small'
+        |    WHEN abs(d) < 0.8 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM k""".stripMargin,
+    // the Bollinger integer-moment discipline on (x, lag(x)) pairs
+    "window_rolling_autocorr" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 1000.0) AS BIGINT) AS x
+        |  FROM events WHERE user_id < 50
+        |), l AS (
+        |  SELECT *, lag(x) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS y
+        |  FROM e
+        |), m AS (
+        |  SELECT user_id, event_id,
+        |    CAST(count(y) OVER w AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN x END) OVER w
+        |      AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN x * x END) OVER w
+        |      AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS syy
+        |  FROM l
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, event_id, np AS n_pairs,
+        |  CASE WHEN np = 20 AND np * sxx - sx * sx > 0
+        |      AND np * syy - sy * sy > 0
+        |    THEN CAST(CAST(np * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(np * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(np * syy - sy * sy AS DOUBLE))) AS REAL)
+        |    END AS rolling_autocorr
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
+    // ordered full-frame folds block-by-block, then the 4-point fit
+    "ts_hurst_exponent" ->
+      """WITH hourly AS (
+        |  SELECT CAST(sum(CAST(round(value * 1000000.0) AS BIGINT))
+        |      AS DOUBLE) / 1000000.0 AS v,
+        |    epoch_us(ts) // 3600000000 AS h
+        |  FROM events GROUP BY h
+        |), idxd AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY h) AS INT) AS idx
+        |  FROM hourly
+        |), sized AS (
+        |  SELECT v, idx, w, CAST((idx - 1) // w AS BIGINT) AS blk
+        |  FROM idxd, (VALUES (8), (16), (32), (64)) s(w)
+        |), perrow AS (
+        |  SELECT w, blk, v, idx,
+        |    count(*) OVER g AS bn,
+        |    sum(v) OVER f / w AS mean
+        |  FROM sized
+        |  WINDOW g AS (PARTITION BY w, blk),
+        |    f AS (PARTITION BY w, blk ORDER BY idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), devrow AS (
+        |  SELECT w, blk, idx,
+        |    sum(v - mean) OVER p AS dev,
+        |    sum((v - mean) * (v - mean)) OVER f AS ssq
+        |  FROM perrow WHERE bn = w
+        |  WINDOW p AS (PARTITION BY w, blk ORDER BY idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    f AS (PARTITION BY w, blk ORDER BY idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), blocks AS (
+        |  SELECT w, blk,
+        |    max(dev) - min(dev) AS r,
+        |    sqrt(max(ssq) / w) AS s
+        |  FROM devrow GROUP BY w, blk
+        |), rsrows AS (
+        |  SELECT w, blk, r / s AS rs FROM blocks WHERE s > 0.0
+        |), panel0 AS (
+        |  SELECT w, blk,
+        |    count(*) OVER q AS nb,
+        |    sum(rs) OVER q / CAST(count(*) OVER q AS DOUBLE) AS avg_rs,
+        |    row_number() OVER (PARTITION BY w ORDER BY blk) AS prn
+        |  FROM rsrows
+        |  WINDOW q AS (PARTITION BY w ORDER BY blk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), panel AS (
+        |  SELECT w, CAST(nb AS BIGINT) AS n_blocks, avg_rs
+        |  FROM panel0 WHERE prn = 1
+        |), fit AS (
+        |  SELECT w, n_blocks, avg_rs,
+        |    (CAST(count(*) OVER q AS DOUBLE)
+        |        * sum(ln(CAST(w AS DOUBLE)) * ln(avg_rs)) OVER q
+        |      - sum(ln(CAST(w AS DOUBLE))) OVER q * sum(ln(avg_rs)) OVER q)
+        |    / (CAST(count(*) OVER q AS DOUBLE)
+        |        * sum(ln(CAST(w AS DOUBLE)) * ln(CAST(w AS DOUBLE))) OVER q
+        |      - sum(ln(CAST(w AS DOUBLE))) OVER q
+        |        * sum(ln(CAST(w AS DOUBLE))) OVER q) AS hurst
+        |  FROM panel
+        |  WINDOW q AS (ORDER BY w
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT max(CASE WHEN w = 8 THEN n_blocks END) AS blocks_w8,
+        |  CAST(max(CASE WHEN w = 8 THEN avg_rs END) AS REAL) AS rs_w8,
+        |  CAST(max(CASE WHEN w = 16 THEN avg_rs END) AS REAL) AS rs_w16,
+        |  CAST(max(CASE WHEN w = 32 THEN avg_rs END) AS REAL) AS rs_w32,
+        |  CAST(max(CASE WHEN w = 64 THEN avg_rs END) AS REAL) AS rs_w64,
+        |  CAST(max(hurst) AS REAL) AS hurst
+        |FROM fit""".stripMargin,
+    // Σ 1/σ over non-adjacent neighbor pairs; couriers by 3-way join
+    "graph_ego_betweenness" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), sym AS (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), ego AS (
+        |  SELECT u AS z, v AS n FROM sym WHERE u % 64 = 0
+        |), pairs AS (
+        |  SELECT a.z, a.n AS u, b.n AS v
+        |  FROM ego a JOIN ego b ON a.z = b.z AND a.n < b.n
+        |), nonadj AS (
+        |  SELECT p.z, p.u, p.v FROM pairs p
+        |  LEFT JOIN e0 ON e0.u = p.u AND e0.v = p.v
+        |  WHERE e0.u IS NULL
+        |), cour AS (
+        |  SELECT na.z, na.u, na.v, CAST(count(*) AS BIGINT) AS extra
+        |  FROM nonadj na
+        |  JOIN sym su ON su.u = na.u
+        |  JOIN sym sv ON sv.u = na.v AND sv.v = su.v
+        |  JOIN ego e ON e.z = na.z AND e.n = su.v
+        |  WHERE su.v <> na.z
+        |  GROUP BY na.z, na.u, na.v
+        |), sig AS (
+        |  SELECT na.z, 1 + coalesce(c.extra, 0) AS sigma
+        |  FROM nonadj na LEFT JOIN cour c
+        |    ON c.z = na.z AND c.u = na.u AND c.v = na.v
+        |)
+        |SELECT z AS part, CAST(count(*) AS BIGINT) AS n_broker_pairs,
+        |  CAST(sum(1.0 / CAST(sigma AS DOUBLE)) AS REAL)
+        |    AS ego_betweenness
+        |FROM sig GROUP BY z ORDER BY part""".stripMargin,
     // DPO pairs: chosen = (score DESC, id ASC) pick, rejected =
     // (score ASC, id DESC) pick — distinct docs whenever n_cands >= 2
     "pref_pair_margin" ->

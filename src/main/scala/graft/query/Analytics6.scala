@@ -192,6 +192,188 @@ object Analytics6 {
       ((wPlus - mu) / sigma).as("z_score"))
   }
 
+  /** Cohen's d (and Hedges' g) between the click and purchase `value`
+    * means — the STANDARDIZED effect size reported beside
+    * [[evalTostEquivalence]]/[[Analytics5.aggTtestWelch]]: t answers
+    * "is there a difference", d answers "how big in σ units"
+    * (0.2/0.5/0.8 small/medium/large). Pooled SD uses the classic
+    * (n1−1)s1² + (n2−1)s2² weighting; g applies the small-sample
+    * J-correction 1 − 3/(4(n1+n2)−9).
+    *
+    * Exactness: the Welch ×1000-scaled BIGINT moment discipline; the
+    * scale cancels in d. One fixed-paren double epilogue.
+    *
+    * Scale shape: ONE map-side-combined conditional aggregate. */
+  def evalCohensD(spark: SparkSession, dir: String): DataFrame = {
+    val x3 = round(col("value") * lit(1000.0)).cast("long")
+    val isA = col("event_type") === "click"
+    val isB = col("event_type") === "purchase"
+    val g = graft.schema.Schemas.events(spark, dir)
+      .filter(isA || isB)
+      .agg(
+        count(when(isA, lit(1))).as("n1"),
+        sum(when(isA, x3)).as("s1a"),
+        sum(when(isA, x3 * x3)).as("s2a"),
+        count(when(isB, lit(1))).as("n2"),
+        sum(when(isB, x3)).as("s1b"),
+        sum(when(isB, x3 * x3)).as("s2b"))
+    val m1 = g("s1a").cast("double") / g("n1").cast("double")
+    val m2 = g("s1b").cast("double") / g("n2").cast("double")
+    // (n−1)·s² = Σx² − Σx·mean, exact-integer-fed
+    val ss1 = g("s2a").cast("double") - g("s1a").cast("double") * m1
+    val ss2 = g("s2b").cast("double") - g("s1b").cast("double") * m2
+    val sp = sqrt((ss1 + ss2) / (g("n1") + g("n2") - lit(2)).cast("double"))
+    val d = (m1 - m2) / sp
+    val j = lit(1.0) - lit(3.0) /
+      (lit(4.0) * (g("n1") + g("n2")).cast("double") - lit(9.0))
+    g.select(col("n1"), col("n2"),
+      d.cast("float").as("cohens_d"),
+      (d * j).cast("float").as("hedges_g"),
+      when(abs(d) < 0.2, "negligible").when(abs(d) < 0.5, "small")
+        .when(abs(d) < 0.8, "medium").otherwise("large").as("magnitude"))
+  }
+
+  /** Rolling 20-pair autocorrelation per user: the Pearson correlation
+    * of (value, previous value) over a sliding window — the
+    * "has this signal gone sticky" monitor beside
+    * [[Analytics4.windowBollingerBands]]' level envelope (a regime
+    * change often shows in AUTOCORRELATION before it moves the mean).
+    * Null until the frame holds `win` full pairs or either variance
+    * is zero (no verdict on degenerate input — deterministic, never
+    * NaN).
+    *
+    * Exactness: the Bollinger ×10³-BIGINT discipline on BOTH series
+    * (x = v₃, y = lag(v₃)): all five rolling moments are exact
+    * integers (order-independent sliding sums — segment trees and
+    * frame folds agree), the correlation is one fixed-paren double
+    * expression of them, and zero-variance is an exact integer test.
+    * Overflow envelope: n·Σxy ≤ 20²·(4.9e5)² ≈ 2e15 ≪ 2⁶³.
+    *
+    * Scale shape: one exchange on user_id; lag and the sliding frame
+    * share its sort; everything else map-only. */
+  def windowRollingCorr(spark: SparkSession, dir: String,
+      win: Int = 20, maxUser: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val w = byUser.rowsBetween(-(win - 1), Window.currentRow)
+    val n = col("np")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * lit(1e3)).cast("long").as("x"))
+      .withColumn("y", lag(col("x"), 1).over(byUser))
+      .withColumn("np", count(col("y")).over(w))
+      .withColumn("sx", sum(when(col("y").isNotNull, col("x"))).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx",
+        sum(when(col("y").isNotNull, col("x") * col("x"))).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .select(col("user_id"), col("event_id"), col("np").as("n_pairs"),
+        when(col("np") === win && vx > 0L && vy > 0L,
+          (num.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+            .cast("float"))
+          .as("rolling_autocorr"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Hurst exponent of the hourly event-value series by rescaled-range
+    * (R/S) analysis at block sizes {8, 16, 32, 64}: H ≈ 0.5 is a
+    * random walk, H > 0.5 long-range persistence, H < 0.5 mean
+    * reversion — the long-memory diagnostic run beside
+    * [[Analytics5.tsPeriodogram]] before trusting a forecast horizon.
+    * Emits the per-size mean R/S panel and the fitted log-log slope.
+    *
+    * Determinism: the hourly series is the exact scaled-BIGINT rollup;
+    * every per-block statistic folds in an ORDERED full-frame window
+    * (both engines fold block rows in hour order — the
+    * [[Analytics3.tsCusumChangepoint]] trick), the cross-block R/S sum
+    * folds in block order, and the 4-point regression folds in w
+    * order, so every double is bit-identical cross-engine; ln/sqrt are
+    * correctly-rounded libm on identical inputs.
+    *
+    * Scale shape: one map-side-combined hourly rollup (calendar-
+    * bounded); the hour-rank window and the 4-size explode run over
+    * the ≤ #hours grain; per-block windows are (w, block)-partitioned.
+    * Zero-σ blocks drop (flat series carry no R/S information). */
+  def tsHurstExponent(spark: SparkSession, dir: String,
+      sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = graft.schema.Schemas.events(spark, dir)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(sum(round(col("value") * lit(1e6)).cast("long")).as("v6"))
+      .select(col("h"), (col("v6").cast("double") / lit(1e6)).as("v"))
+      .withColumn("idx", row_number().over(Window.orderBy(col("h"))))
+    import spark.implicits._
+    val sized = hourly
+      .crossJoin(sizes.toDF("w"))
+      .withColumn("blk", expr("CAST((idx - 1) DIV w AS BIGINT)"))
+    val g = Window.partitionBy(col("w"), col("blk"))
+    val ordered = g.orderBy(col("idx"))
+    val full = ordered.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val pfx = ordered.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val perRow = sized
+      .withColumn("bn", count(lit(1)).over(g))
+      .filter(col("bn") === col("w"))
+      .withColumn("mean", sum(col("v")).over(full) / col("w"))
+      .withColumn("dev", sum(col("v") - col("mean")).over(pfx))
+      .withColumn("rng", max(col("dev")).over(full)
+        - min(col("dev")).over(full))
+      .withColumn("ssq", sum((col("v") - col("mean"))
+        * (col("v") - col("mean"))).over(full))
+      .withColumn("rn", row_number().over(ordered))
+    val perBlock = perRow.filter(col("rn") === 1)
+      .select(col("w"), col("blk"), col("rng").as("r"),
+        sqrt(col("ssq") / col("w")).as("s"))
+      .filter(col("s") > 0.0)
+      .withColumn("rs", col("r") / col("s"))
+    // per-size mean R/S via an ordered full-frame fold over blocks
+    val byW = Window.partitionBy(col("w")).orderBy(col("blk"))
+    val wFull = byW.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val panel = perBlock
+      .withColumn("nb", count(lit(1)).over(wFull))
+      .withColumn("avg_rs", sum(col("rs")).over(wFull)
+        / col("nb").cast("double"))
+      .withColumn("prn", row_number().over(byW))
+      .filter(col("prn") === 1)
+      .select(col("w"), col("nb").as("n_blocks"), col("avg_rs"))
+    // 4-point log-log regression, folded in w order (bounded panel)
+    val pOrd = Window.orderBy(col("w"))
+    val pFull = pOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val x = log(col("w").cast("double"))
+    val y = log(col("avg_rs"))
+    val fitted = panel
+      .withColumn("np", count(lit(1)).over(pFull).cast("double"))
+      .withColumn("sx", sum(x).over(pFull))
+      .withColumn("sy", sum(y).over(pFull))
+      .withColumn("sxy", sum(x * y).over(pFull))
+      .withColumn("sxx", sum(x * x).over(pFull))
+      .withColumn("hurst", (col("np") * col("sxy")
+        - col("sx") * col("sy"))
+        / (col("np") * col("sxx") - col("sx") * col("sx")))
+    fitted.groupBy()
+      .agg(
+        max(when(col("w") === 8, col("n_blocks"))).as("blocks_w8"),
+        max(when(col("w") === 8, col("avg_rs"))).cast("float")
+          .as("rs_w8"),
+        max(when(col("w") === 16, col("avg_rs"))).cast("float")
+          .as("rs_w16"),
+        max(when(col("w") === 32, col("avg_rs"))).cast("float")
+          .as("rs_w32"),
+        max(when(col("w") === 64, col("avg_rs"))).cast("float")
+          .as("rs_w64"),
+        max(col("hurst")).cast("float").as("hurst"))
+  }
+
   // ---- Katz centrality ----------------------------------------------------
 
   /** Katz centrality (attenuation α, `iters` fixed iterations) on the
@@ -420,6 +602,70 @@ object Analytics6 {
         col("noised_utility").cast("float").as("noised_utility"),
         col("cnt_lt"), col("utility").cast("float").as("utility"))
       .orderBy(col("rank"))
+  }
+
+  /** Everett–Borgatti ego betweenness for a deterministic vertex cohort
+    * of the co-purchase graph: within z's ego network, every
+    * NON-ADJACENT neighbor pair (u, v) must route through a common
+    * neighbor, so z's betweenness is Σ 1/σ(u,v) over those pairs with
+    * σ(u,v) = 1 + |N(u) ∩ N(v) ∩ N(z)| (z plus the other in-ego
+    * couriers). The local-centrality member of the walk family —
+    * [[Analytics.graphPagerank]]/[[graphKatzCentrality]] score global
+    * reach; this scores BROKERAGE, and on large graphs ego betweenness
+    * is the standard stand-in for exact Brandes (which needs full
+    * BFS from every vertex).
+    *
+    * Exactness: pair sets and σ are exact integer joins; the only
+    * doubles are the final Σ 1/σ (REAL cast absorbs the group-order
+    * ulps — the adamic_adar 1/ln rule) with the integer pair count
+    * emitted beside it as the exact ranking key.
+    *
+    * Scale shape: centers restricted to the `% 64` cohort (the
+    * [[Analytics4.graphCommonNeighbors]] wedge-census discipline,
+    * sparser here because the per-center cost is ego-CUBIC — deg²
+    * pairs × deg couriers — on a graph whose mean degree is ~120);
+    * one wedge self-join on the center builds the pair list, one
+    * anti-join drops adjacent pairs, one three-way neighbor join
+    * counts couriers (all shuffles on vertex keys over the persisted
+    * symmetric-edge index), one map-side-combined rollup per center. */
+  def graphEgoBetweenness(spark: SparkSession, dir: String,
+      cohortMod: Int = 64): DataFrame = {
+    val sym = Analytics.copurchaseEdgesSym(spark, dir)
+    val e0 = Analytics.copurchaseEdges(spark, dir)
+    val ego = sym.filter(col("u") % cohortMod === 0)
+      .select(col("u").as("z"), col("v").as("n"))
+    val pairs = ego.as("a")
+      .join(ego.as("b"), col("a.z") === col("b.z")
+        && col("a.n") < col("b.n"))
+      .select(col("a.z").as("z"), col("a.n").as("u"), col("b.n").as("v"))
+    val nonadj = pairs.join(e0, Seq("u", "v"), "left_anti")
+    // couriers: w ∈ N(u) ∩ N(v) ∩ N(z), w ≠ z (w ≠ u, v automatically —
+    // w is adjacent to both endpoints of a NON-edge). The courier
+    // stream is Θ(Σ_z Σ_{pairs} deg) — on the dense co-purchase graph
+    // (avg degree ~120 at sf0.1) that is ~300 M pipelined rows at the
+    // %64 cohort, so all three probe tables carry EXPLICIT broadcast
+    // hints: the stream stays inside one whole-stage-codegen'd
+    // broadcast-hash pipeline, never exchanged (an SMJ plan here
+    // measured 25× slower — the exchanges, not the row count, are the
+    // cost). At billion-edge scale the hints come off and the join
+    // falls back to hash-partitioned SMJ, the Pregel discipline.
+    val couriers = nonadj
+      .join(broadcast(sym.select(col("u"), col("v").as("w"))), Seq("u"))
+      .filter(col("w") =!= col("z"))
+      .join(broadcast(sym.select(col("u").as("v"), col("v").as("w"))
+        .as("nv")), Seq("v", "w"), "left_semi")
+      .join(broadcast(ego.select(col("z"), col("n").as("w"))),
+        Seq("z", "w"), "left_semi")
+      .groupBy(col("z"), col("u"), col("v"))
+      .agg(count(lit(1)).as("extra"))
+    val sigma = nonadj.join(couriers, Seq("z", "u", "v"), "left")
+      .select(col("z"),
+        (lit(1L) + coalesce(col("extra"), lit(0L))).as("sigma"))
+    sigma.groupBy(col("z").as("part"))
+      .agg(count(lit(1)).as("n_broker_pairs"),
+        sum(lit(1.0) / col("sigma").cast("double")).cast("float")
+          .as("ego_betweenness"))
+      .orderBy(col("part"))
   }
 
   // ---- Page's CUSUM against a fixed target --------------------------------

@@ -189,6 +189,93 @@ class Round16Spec extends SparkSpec {
     assert(nu.zip(nu.tail).forall { case (a, b) => a >= b })
   }
 
+  test("eval_cohens_d: pooled-SD identity against the Welch moments, " +
+      "J-correction shrinks toward zero") {
+    val r = Analytics6.evalCohensD(spark, sf).collect().head
+    val d = r.getFloat(2); val g = r.getFloat(3)
+    assert(!d.isNaN && !g.isNaN)
+    // Hedges' g is a strict shrinkage of d (J < 1), same sign
+    assert(math.abs(g) < math.abs(d) || d == 0.0f)
+    assert(math.signum(g) == math.signum(d))
+    val expected =
+      if (math.abs(d) < 0.2) "negligible" else if (math.abs(d) < 0.5) "small"
+      else if (math.abs(d) < 0.8) "medium" else "large"
+    assert(r.getString(4) == expected)
+  }
+
+  test("window_rolling_autocorr: null until 20 pairs, value in [-1, 1], " +
+      "brute-force parity on a full window") {
+    val rows = Analytics6.windowRollingCorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val np = r.getLong(2)
+      if (np < 20) assert(r.isNullAt(3), s"corr emitted at np=$np")
+      else if (!r.isNullAt(3))
+        assert(math.abs(r.getFloat(3)) <= 1.0f + 1e-6f)
+    }
+    // brute-force one user's first full window
+    val byUser = graft.schema.Schemas.events(spark, sf)
+      .filter(col("user_id") === 0L)
+      .select(col("ts"), col("event_id"), col("value")).collect()
+      .sortBy(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+    if (byUser.length >= 21) {
+      val v3 = byUser.map(r => math.round(r.getDouble(2) * 1e3))
+      val xs = v3.slice(1, 21); val ys = v3.slice(0, 20)
+      val n = 20L
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+      val num = (n * sxy - sx * sy).toDouble
+      val den = math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble)
+      val expected = (num / den).toFloat
+      val got = rows.filter(r => r.getLong(0) == 0L && r.getLong(2) == 20L)
+        .minBy(_.getLong(1))
+      assert(got.getFloat(3) == expected,
+        s"corr ${got.getFloat(3)} brute $expected")
+    }
+  }
+
+  test("ts_hurst_exponent: panel populated, R/S grows with block size, " +
+      "hurst in the diffusive band") {
+    val r = Analytics6.tsHurstExponent(spark, sf).collect().head
+    val rs = Seq(r.getFloat(1), r.getFloat(2), r.getFloat(3), r.getFloat(4))
+    assert(rs.forall(v => !v.isNaN && v > 0.0f))
+    // R/S is monotone-increasing in w for any non-degenerate series
+    assert(rs.zip(rs.tail).forall { case (a, b) => b > a }, rs.toString)
+    val h = r.getFloat(5)
+    assert(h > 0.0f && h < 1.0f, s"hurst $h outside (0,1)")
+  }
+
+  test("graph_ego_betweenness: brute-force parity on one cohort center") {
+    val rows = Analytics6.graphEgoBetweenness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 64 == 0)
+      assert(r.getLong(1) > 0 && r.getFloat(2) > 0.0f)
+      // each broker pair contributes at most 1 (σ ≥ 1)
+      assert(r.getFloat(2) <= r.getLong(1).toFloat + 1e-3f)
+    }
+    // brute-force the center with the most broker pairs
+    val edges = graft.query.Analytics.copurchaseEdgesSym(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val z = rows.maxBy(_.getLong(1)).getLong(0)
+    val nz = adj(z).toSeq.sorted
+    var sum = 0.0; var cnt = 0L
+    for (i <- nz.indices; j <- (i + 1) until nz.length) {
+      val (u, v) = (nz(i), nz(j))
+      if (!adj(u).contains(v)) {
+        val couriers = (adj(u) & adj(v) & adj(z)) - z
+        sum += 1.0 / (1 + couriers.size); cnt += 1
+      }
+    }
+    val got = rows.find(_.getLong(0) == z).get
+    assert(got.getLong(1) == cnt)
+    assert(math.abs(got.getFloat(2) - sum.toFloat) < 1e-4f,
+      s"ego ${got.getFloat(2)} brute $sum")
+  }
+
   test("stream_cusum_target drain equals the batch scan row for row") {
     val streamed = StreamQueries.streamCusumTarget(spark, sf).collect()
     val batch = Analytics6.tsCusumTarget(spark, sf).collect()

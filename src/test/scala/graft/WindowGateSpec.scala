@@ -67,6 +67,8 @@ class WindowGateSpec extends SparkSpec {
     "pack_sequences" -> "doc-id bucket histogram (two-level cumsum)",
     "pareto_frontier" -> "≤ 64 quantity buckets (suffix min)",
     "privacy_dp_quantile" -> "≤ domain/step candidate-grid panel",
+    "ts_hurst_exponent" ->
+      "calendar-hour grain rank + 4-row block-size panel",
     "privacy_dp_topk" -> "≤ |event_type| category panel",
     "retrieval_rerank_crossenc" -> "≤ pool TakeOrdered candidate panel",
     "retrieval_rrf_hybrid" -> "two ≤ poolK retrieval pools",
