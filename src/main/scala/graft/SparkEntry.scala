@@ -938,6 +938,16 @@ object SparkEntry {
     // round 16: Everett–Borgatti ego betweenness (brokerage centrality)
     "graph_ego_betweenness"  -> ((s: SparkSession, d: String) =>
       Analytics6.graphEgoBetweenness(s, d)),
+    // round 16: minimum detectable effect at the observed sample sizes
+    "eval_mde_power"         -> Analytics6.evalMdePower _,
+    // round 16: dup-rate curve over Jaccard cuts off the pair index
+    "dedup_threshold_curve"  -> ((s: SparkSession, d: String) =>
+      Analytics6.dedupThresholdCurve(s, d)),
+    // round 16: SAX symbol strings (z-norm → PAA → quartile alphabet)
+    "ts_sax_symbolic"        -> ((s: SparkSession, d: String) =>
+      Analytics6.tsSaxSymbolic(s, d)),
+    "stream_croston"         -> ((sp: SparkSession, d: String) =>
+      graft.streaming.StreamQueries.streamCroston(sp, d)),
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -5179,30 +5189,7 @@ object SparkEntry {
         |    / (1.0 - 2.0 * pibar * (1.0 - pibar)) AS REAL) AS gwet_ac1
         |FROM k""".stripMargin,
     // Croston recurrence replayed per purchase in (ts, event_id) order
-    "ts_croston" ->
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, event_id, value AS z,
-        |    CASE WHEN row_number() OVER (PARTITION BY user_id
-        |        ORDER BY ts, event_id) = 1 THEN CAST(1.0 AS DOUBLE)
-        |      ELSE CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
-        |        PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
-        |        / 3600000000.0 END AS q,
-        |    CAST(row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS BIGINT) AS rn
-        |  FROM events WHERE user_id < 50 AND event_type = 'purchase'
-        |), st AS (
-        |  SELECT user_id, event_id, z, q, rn, z AS zh, q AS qh
-        |  FROM ev WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.user_id, e.event_id, e.z, e.q, e.rn,
-        |    s.zh + 0.1 * (e.z - s.zh) AS zh,
-        |    s.qh + 0.1 * (e.q - s.qh) AS qh
-        |  FROM st s JOIN ev e
-        |    ON e.user_id = s.user_id AND e.rn = s.rn + 1
-        |)
-        |SELECT user_id, event_id, rn, z AS demand, q AS gap_h,
-        |  zh AS z_hat, qh AS q_hat, zh / qh AS forecast
-        |FROM st ORDER BY user_id, rn""".stripMargin,
+    "ts_croston" -> crostonRecurrenceSql,
     // step-width bucket histogram → exact strictly-below rank per
     // candidate; Gumbel-max with the hash60 uniforms
     "privacy_dp_quantile" ->
@@ -5414,6 +5401,113 @@ object SparkEntry {
         |  CAST(sum(1.0 / CAST(sigma AS DOUBLE)) AS REAL)
         |    AS ego_betweenness
         |FROM sig GROUP BY z ORDER BY part""".stripMargin,
+    // Welch SE epilogue with the two-z MDE constant
+    "eval_mde_power" ->
+      """WITH g AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s1a,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT)
+        |         * CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s2a,
+        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s1b,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT)
+        |         * CAST(round(value * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS s2b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), m AS (
+        |  SELECT *, CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+        |  FROM g
+        |), v AS (
+        |  SELECT n1, n2,
+        |    sqrt(((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * m1)
+        |        / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+        |      + ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * m2)
+        |        / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE)) AS se,
+        |    sqrt((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * m1
+        |      + (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * m2))
+        |      / CAST(n1 + n2 - 2 AS DOUBLE)) AS sp
+        |  FROM m
+        |)
+        |SELECT n1, n2,
+        |  CAST(se / 1000.0 AS REAL) AS se_diff,
+        |  CAST(2.8015852181129683 * se / 1000.0 AS REAL) AS mde_abs,
+        |  CAST(2.8015852181129683 * se / sp AS REAL) AS mde_d
+        |FROM v""".stripMargin,
+    // the minhash pair index probed at five verification cuts
+    "dedup_threshold_curve" ->
+      s"""WITH ${minhashPairsCtes(8, 4, "0.5")},
+        |th AS (
+        |  SELECT CAST(x AS DOUBLE) AS threshold
+        |  FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) t(x)
+        |), pt AS (
+        |  SELECT th.threshold, p.doc_a, p.doc_b
+        |  FROM pairs p JOIN th ON p.jaccard >= th.threshold
+        |), ex AS (
+        |  SELECT threshold, doc_a AS doc_id FROM pt
+        |  UNION ALL SELECT threshold, doc_b AS doc_id FROM pt
+        |)
+        |SELECT threshold, CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM ex GROUP BY threshold ORDER BY threshold""".stripMargin,
+    // z-norm → PAA → quartile alphabet, every fold ordered
+    "ts_sax_symbolic" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE user_id < 50
+        |), r AS (
+        |  SELECT user_id, value,
+        |    CAST(count(*) OVER u AS BIGINT) AS n,
+        |    sum(value) OVER uf / count(*) OVER u AS mean,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM e
+        |  WINDOW u AS (PARTITION BY user_id),
+        |    uf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), s AS (
+        |  SELECT user_id, value, n, mean, rn,
+        |    sum((value - mean) * (value - mean)) OVER uf AS ssq
+        |  FROM r
+        |  WINDOW uf AS (PARTITION BY user_id ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), z AS (
+        |  SELECT user_id, rn,
+        |    (value - mean) / sqrt(ssq / n) AS z,
+        |    CAST((rn - 1) // 8 AS BIGINT) AS blk
+        |  FROM s WHERE ssq > 0.0
+        |), b AS (
+        |  SELECT user_id, blk,
+        |    count(*) OVER g AS bn,
+        |    sum(z) OVER f / count(*) OVER g AS paa,
+        |    row_number() OVER (PARTITION BY user_id, blk ORDER BY rn)
+        |      AS brn
+        |  FROM z
+        |  WINDOW g AS (PARTITION BY user_id, blk),
+        |    f AS (PARTITION BY user_id, blk ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), sym AS (
+        |  SELECT user_id, blk,
+        |    CASE WHEN paa < -0.6744897501960817 THEN 'a'
+        |      WHEN paa < 0.0 THEN 'b'
+        |      WHEN paa < 0.6744897501960817 THEN 'c'
+        |      ELSE 'd' END AS sym
+        |  FROM b WHERE brn = 1 AND bn = 8
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  string_agg(sym, '' ORDER BY blk) AS sax
+        |FROM sym GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_croston" -> crostonRecurrenceSql,
     // DPO pairs: chosen = (score DESC, id ASC) pick, rejected =
     // (score ASC, id DESC) pick — distinct docs whenever n_cands >= 2
     "pref_pair_margin" ->
@@ -10270,6 +10364,35 @@ object SparkEntry {
        |SELECT u AS part, CAST(x AS REAL) AS katz
        |FROM x$iters WHERE u <= 100 ORDER BY part""".stripMargin
   }
+
+  /** [[graft.query.Analytics6.tsCroston]] and its streaming twin: the
+    * two-EWMA intermittent-demand recurrence replayed per purchase in
+    * (ts, event_id) order; the gap precomputes via lag so only the
+    * smoothers live in the recursion. */
+  private val crostonRecurrenceSql: String =
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, value AS z,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) = 1 THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+        |        / 3600000000.0 END AS q,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events WHERE user_id < 50 AND event_type = 'purchase'
+        |), st AS (
+        |  SELECT user_id, event_id, z, q, rn, z AS zh, q AS qh
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.z, e.q, e.rn,
+        |    s.zh + 0.1 * (e.z - s.zh) AS zh,
+        |    s.qh + 0.1 * (e.q - s.qh) AS qh
+        |  FROM st s JOIN ev e
+        |    ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        |)
+        |SELECT user_id, event_id, rn, z AS demand, q AS gap_h,
+        |  zh AS z_hat, qh AS q_hat, zh / qh AS forecast
+        |FROM st ORDER BY user_id, rn""".stripMargin
 
   /** [[graft.query.Analytics6.tsCusumTarget]] and its streaming twin:
     * the clamped Page recurrence S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (v − 50 − 5))

@@ -374,6 +374,136 @@ object Analytics6 {
         max(col("hurst")).cast("float").as("hurst"))
   }
 
+  /** Minimum detectable effect at the observed sample sizes — the
+    * power-analysis readout an eval harness prints BESIDE a
+    * non-significant comparison ("we couldn't see a difference" means
+    * nothing without "and the smallest difference we COULD have seen
+    * is X"): MDE = (z_{α/2} + z_power)·SE(diff) at α = 0.05, power
+    * 0.8, with the Welch unequal-variance SE, reported in raw units
+    * and in pooled-σ (Cohen's d) units.
+    *
+    * Exactness: the Welch ×1000-scaled BIGINT moment discipline; one
+    * fixed-paren double epilogue with the two z constants as exact
+    * double literals.
+    *
+    * Scale shape: ONE map-side-combined conditional aggregate. */
+  def evalMdePower(spark: SparkSession, dir: String): DataFrame = {
+    val x3 = round(col("value") * lit(1000.0)).cast("long")
+    val isA = col("event_type") === "click"
+    val isB = col("event_type") === "purchase"
+    val g = graft.schema.Schemas.events(spark, dir)
+      .filter(isA || isB)
+      .agg(
+        count(when(isA, lit(1))).as("n1"),
+        sum(when(isA, x3)).as("s1a"),
+        sum(when(isA, x3 * x3)).as("s2a"),
+        count(when(isB, lit(1))).as("n2"),
+        sum(when(isB, x3)).as("s1b"),
+        sum(when(isB, x3 * x3)).as("s2b"))
+    val m1 = g("s1a").cast("double") / g("n1").cast("double")
+    val m2 = g("s1b").cast("double") / g("n2").cast("double")
+    val v1 = (g("s2a").cast("double") - g("s1a").cast("double") * m1) /
+      (g("n1") - lit(1)).cast("double")
+    val v2 = (g("s2b").cast("double") - g("s1b").cast("double") * m2) /
+      (g("n2") - lit(1)).cast("double")
+    val se = sqrt(v1 / g("n1").cast("double") + v2 / g("n2").cast("double"))
+    val sp = sqrt((g("s2a").cast("double") - g("s1a").cast("double") * m1
+      + (g("s2b").cast("double") - g("s1b").cast("double") * m2)) /
+      (g("n1") + g("n2") - lit(2)).cast("double"))
+    // z_{0.025} + z_{0.20}: 1.959963984540054 + 0.8416212335729143
+    val zsum = lit(1.959963984540054 + 0.8416212335729143)
+    g.select(col("n1"), col("n2"),
+      (se / lit(1000.0)).cast("float").as("se_diff"),
+      (zsum * se / lit(1000.0)).cast("float").as("mde_abs"),
+      (zsum * se / sp).cast("float").as("mde_d"))
+  }
+
+  /** Near-dup rate curve over verification thresholds: the SAME
+    * persisted MinHash candidate index probed at Jaccard ≥ {0.5 … 0.9},
+    * reporting surviving pair and distinct-document counts per cut —
+    * the "choose your dedup threshold" report a curation pipeline
+    * publishes before committing a corpus build (the marginal docs
+    * between 0.5 and 0.8 are exactly the judgment calls).
+    *
+    * Scale shape: probes [[Dedup.dedupMinhashLsh]]'s persisted
+    * signature + candidate indexes (cache hits beside the other dedup
+    * queries — no new corpus-scale work); the curve is a ≤|pairs|×5
+    * explode with one tiny aggregate. Counts are exact integers.
+    *
+    * Ref: the reference has no dedup stage; this is the threshold
+    * governance its Kafka ingest would need before training. */
+  def dedupThresholdCurve(spark: SparkSession, dir: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+      : DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+    pairs.crossJoin(thresholds.toDF("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .select(col("threshold"), col("doc_a"), col("doc_b"))
+      .select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
+        col("doc_a"), col("doc_b"))
+      .groupBy(col("threshold"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("threshold"))
+  }
+
+  /** SAX symbolization of each user's event-value series: per-user
+    * z-normalization, piecewise-aggregate approximation over
+    * `paaWidth`-event blocks, then the 4-symbol alphabet cut at the
+    * N(0,1) quartile breakpoints (±0.6744897501960817, 0) — the
+    * classic time-series-mining front door (motif/anomaly discovery
+    * runs on the symbol strings, at a fraction of the raw-series
+    * cost). Emits one symbol string per user.
+    *
+    * Determinism: the per-user mean/σ and each block mean fold in
+    * ORDERED full-frame windows (the cusum/Hurst discipline) so every
+    * double is bit-identical cross-engine; symbols are integer
+    * comparisons against exact double literals; the string assembles
+    * in block order on both sides.
+    *
+    * Scale shape: one exchange on user_id shared by every window; the
+    * per-user output is one bounded row. */
+  def tsSaxSymbolic(spark: SparkSession, dir: String,
+      paaWidth: Int = 8, maxUser: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byU = Window.partitionBy(col("user_id"))
+    val ord = byU.orderBy(col("ts"), col("event_id"))
+    val uFull = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = graft.schema.Schemas.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("n", count(lit(1)).over(byU))
+      .withColumn("mean", sum(col("value")).over(uFull) / col("n"))
+      .withColumn("ssq", sum((col("value") - col("mean"))
+        * (col("value") - col("mean"))).over(uFull))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("ssq") > 0.0)
+      .withColumn("z", (col("value") - col("mean"))
+        / sqrt(col("ssq") / col("n")))
+      .withColumn("blk", expr(s"CAST((rn - 1) DIV $paaWidth AS BIGINT)"))
+    val gBlk = Window.partitionBy(col("user_id"), col("blk"))
+    val blkFull = gBlk.orderBy(col("rn")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val bp = 0.6744897501960817
+    val blocks = ranked
+      .withColumn("bn", count(lit(1)).over(gBlk))
+      .filter(col("bn") === paaWidth)
+      .withColumn("paa", sum(col("z")).over(blkFull) / col("bn"))
+      .withColumn("brn", row_number().over(gBlk.orderBy(col("rn"))))
+      .filter(col("brn") === 1)
+      .withColumn("sym",
+        when(col("paa") < -bp, "a").when(col("paa") < 0.0, "b")
+          .when(col("paa") < bp, "c").otherwise("d"))
+    blocks.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        array_join(transform(array_sort(collect_list(struct(col("blk"),
+          col("sym")))), s => s.getField("sym")), "").as("sax"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- Katz centrality ----------------------------------------------------
 
   /** Katz centrality (attenuation α, `iters` fixed iterations) on the

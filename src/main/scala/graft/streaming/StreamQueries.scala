@@ -1593,6 +1593,83 @@ object StreamQueries {
     }
   }
 
+  case class CrostonOut(user_id: Long, event_id: Long, rn: Long,
+    demand: Double, gap_h: Double, z_hat: Double, q_hat: Double,
+    forecast: Double)
+
+  /** Streaming twin of `ts_croston`: the ValueState carries
+    * (rn, ẑ, q̂, prev_us) and every arriving purchase advances the SAME
+    * two-EWMA recurrence as the batch [[graft.query.Analytics6]]
+    * `ts_croston` (identical parenthesization, identical
+    * (ts, event_id) in-batch order) — drain == batch row for row,
+    * shared recursive-CTE oracle. Intermittent demand is where the
+    * live path matters most: the forecast is consulted BETWEEN
+    * arrivals. State is 4 numbers per user, watermark-free,
+    * RocksDB-backed. */
+  private class CrostonProcessor(alpha: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Double), CrostonOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[
+      (Long, Double, Double, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double, Double, Long)]("croston",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CrostonOut] = {
+      val sorted = rows.toArray.sortBy(t => (t._3, t._2))
+      var (rn, zh, qh, prevUs) =
+        if (st.exists()) st.get() else (0L, 0.0, 0.0, 0L)
+      val out = sorted.map { case (u, id, us, z) =>
+        rn += 1
+        val q =
+          if (rn == 1L) 1.0
+          else (us - prevUs).toDouble / 3.6e9
+        prevUs = us
+        if (rn == 1L) { zh = z; qh = q }
+        else {
+          zh = zh + alpha * (z - zh)
+          qh = qh + alpha * (q - qh)
+        }
+        CrostonOut(u, id, rn, z, q, zh, qh, zh / qh)
+      }
+      st.update((rn, zh, qh, prevUs))
+      out.iterator
+    }
+  }
+
+  def streamCroston(spark: SparkSession, dir: String,
+      alpha: Double = 0.1, maxUser: Long = 50L): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = streamEvents(spark, dir, singleBatch = true)
+        .filter(col("user_id") < maxUser
+          && col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      val out = ds.groupByKey(_._1)
+        .transformWithState(new CrostonProcessor(alpha),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      drain(spark, out.toDF(), OutputMode.Update(), statePartitions = 4)
+        .orderBy(col("user_id"), col("rn"))
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
+  }
+
   private def twsSource(spark: SparkSession, dir: String,
       rawEvents: Boolean, filesPerTrigger: Option[Int]): DataFrame =
     if (rawEvents) streamEvents(spark, dir)

@@ -102,7 +102,14 @@ object ScaleCurve {
       // single-partition windows would have gone super-linear
       "two_level_rank" -> Seq("sample_pps_systematic",
         "agg_pareto_concentration", "sql_customer_rfm", "eval_pr_auc"),
-      "span_maximal" -> Seq("dedup_substring_maximal"))
+      "span_maximal" -> Seq("dedup_substring_maximal"),
+      // round-16: the broadcast-pipelined courier stream (deg³ per ego
+      // center, cohort-bounded) and the rank-test/CDF family — the x10
+      // copies are vertex-disjoint, so ego cost should scale ~linearly
+      // in centers while the CDF family tracks the distinct-value grain
+      "ego_brokerage" -> Seq("graph_ego_betweenness"),
+      "rank_tests" -> Seq("eval_mann_whitney_u", "eval_cliffs_delta",
+        "eval_wilcoxon_signed_rank", "ts_hurst_exponent"))
 
     // scale-variant forms that widen a declared query's fixed panel to
     // the whole corpus (the declared defaults exist for oracle-size

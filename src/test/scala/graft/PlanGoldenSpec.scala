@@ -27,8 +27,13 @@ class PlanGoldenSpec extends SparkSpec {
     * r15 quiet bench (sf0.1, best-of-2) — the plans whose drift would
     * move the bench most — plus the r15 verdict #4 additions:
     * dedup_substring_maximal (the round's slowest arrival) and
-    * graph_pagerank (the round's most contention-accused query). */
+    * graph_pagerank (the round's most contention-accused query).
+    * Round 16 adds graph_ego_betweenness: its ~300 M-row courier
+    * stream is only viable inside one codegen'd broadcast-hash
+    * pipeline (an SMJ-planned variant measured 25× slower), so the
+    * broadcast shape is exactly the plan property a golden must pin. */
   private val pinned = Seq(
+    "graph_ego_betweenness",
     "dedup_substring_maximal",
     "graph_pagerank",
     "dedup_substring_multiscale",

@@ -276,6 +276,59 @@ class Round16Spec extends SparkSpec {
       s"ego ${got.getFloat(2)} brute $sum")
   }
 
+  test("eval_mde_power: positive, and the standardized MDE is the raw " +
+      "MDE over the pooled SD") {
+    val r = Analytics6.evalMdePower(spark, sf).collect().head
+    val se = r.getFloat(2); val mdeAbs = r.getFloat(3)
+    val mdeD = r.getFloat(4)
+    assert(se > 0.0f && mdeAbs > 0.0f && mdeD > 0.0f)
+    // mde_abs = zsum·se (raw units); ratio recovers the constant
+    assert(math.abs(mdeAbs / se - 2.8015852f) < 1e-3f)
+  }
+
+  test("dedup_threshold_curve: monotone non-increasing, and the 0.5 cut " +
+      "equals the minhash pair table") {
+    val rows = Analytics6.dedupThresholdCurve(spark, sf).collect()
+      .sortBy(_.getDouble(0))
+    assert(rows.map(_.getDouble(0)).toSeq ==
+      Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    val np = rows.map(_.getLong(1)); val nd = rows.map(_.getLong(2))
+    assert(np.zip(np.tail).forall { case (a, b) => a >= b })
+    assert(nd.zip(nd.tail).forall { case (a, b) => a >= b })
+    val base = graft.query.Dedup.dedupMinhashLsh(spark, sf).count()
+    assert(np.head == base)
+  }
+
+  test("ts_sax_symbolic: string length equals block count, alphabet is " +
+      "{a,b,c,d}, and per-user blocks match ⌊n/8⌋") {
+    val rows = Analytics6.tsSaxSymbolic(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val counts = graft.schema.Schemas.events(spark, sf)
+      .filter(col("user_id") < 50L)
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val nb = r.getLong(1); val sax = r.getString(2)
+      assert(sax.length == nb)
+      assert(sax.forall("abcd".contains(_)), sax)
+      assert(nb == counts(r.getLong(0)) / 8, s"user ${r.getLong(0)}")
+    }
+    // a non-degenerate corpus exercises more than one symbol
+    assert(rows.flatMap(_.getString(2)).distinct.length >= 2)
+  }
+
+  test("stream_croston drain equals the batch recurrence row for row") {
+    val streamed = StreamQueries.streamCroston(spark, sf).collect()
+    val batch = Analytics6.tsCroston(spark, sf).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1))
+      assert(s.getDouble(5) == b.getDouble(5))
+      assert(s.getDouble(6) == b.getDouble(6))
+      assert(s.getDouble(7) == b.getDouble(7))
+    }
+  }
+
   test("stream_cusum_target drain equals the batch scan row for row") {
     val streamed = StreamQueries.streamCusumTarget(spark, sf).collect()
     val batch = Analytics6.tsCusumTarget(spark, sf).collect()
