@@ -948,6 +948,14 @@ object SparkEntry {
       Analytics6.tsSaxSymbolic(s, d)),
     "stream_croston"         -> ((sp: SparkSession, d: String) =>
       graft.streaming.StreamQueries.streamCroston(sp, d)),
+    // round 16: decomposable inequality beside the Lorenz pair
+    "agg_theil_index"        -> Analytics6.aggTheilIndex _,
+    // round 16: do hubs trade with hubs (panel of degree cuts)
+    "graph_rich_club"        -> ((s: SparkSession, d: String) =>
+      Analytics6.graphRichClub(s, d)),
+    // round 16: lead-lag cross-correlation on the hourly grid
+    "ts_ccf_lags"            -> ((s: SparkSession, d: String) =>
+      Analytics6.tsCcfLags(s, d)),
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -5508,6 +5516,95 @@ object SparkEntry {
         |  string_agg(sym, '' ORDER BY blk) AS sax
         |FROM sym GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_croston" -> crostonRecurrenceSql,
+    // cross-multiplied integer-fed x·ln(x) terms; REAL absorbs fold order
+    "agg_theil_index" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), t AS (
+        |  SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s
+        |  FROM o GROUP BY priority
+        |), r AS (
+        |  SELECT o.priority, t.n,
+        |    CASE WHEN cents > 0 THEN
+        |      (CAST(cents AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / CAST(s AS DOUBLE))
+        |      * ln(CAST(cents AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / CAST(s AS DOUBLE))
+        |      ELSE CAST(0.0 AS DOUBLE) END AS term
+        |  FROM o JOIN t USING (priority)
+        |)
+        |SELECT priority, CAST(max(n) AS BIGINT) AS n_orders,
+        |  CAST(sum(term) / CAST(max(n) AS DOUBLE) AS REAL) AS theil
+        |FROM r GROUP BY priority ORDER BY priority""".stripMargin,
+    // exact club counts off the same co-purchase edge/degree CTEs
+    "graph_rich_club" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), edges AS (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u
+        |), ks AS (
+        |  SELECT k FROM (VALUES (10), (20), (40), (80)) t(k)
+        |), nk AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n_k
+        |  FROM deg CROSS JOIN ks WHERE deg > k GROUP BY k
+        |), ek AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS e_k
+        |  FROM e0
+        |  JOIN deg du ON du.u = e0.u
+        |  JOIN deg dv ON dv.u = e0.v
+        |  CROSS JOIN ks
+        |  WHERE du.deg > k AND dv.deg > k GROUP BY k
+        |)
+        |SELECT k, n_k, CAST(coalesce(e_k, 0) AS BIGINT) AS e_k,
+        |  CAST(2.0 * CAST(coalesce(e_k, 0) AS DOUBLE)
+        |    / (CAST(n_k AS DOUBLE) * CAST(n_k - 1 AS DOUBLE)) AS REAL)
+        |    AS phi
+        |FROM nk LEFT JOIN ek USING (k) ORDER BY k""".stripMargin,
+    // exact HUGEINT moments per lag (Spark side holds DECIMAL(38,0) —
+    // both are exact integers, so the double epilogues agree bitwise)
+    "ts_ccf_lags" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS cx,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 1000.0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS py
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY h
+        |), lags AS (
+        |  SELECT lag_h FROM (VALUES (0), (1), (2), (4), (8)) t(lag_h)
+        |), j AS (
+        |  SELECT l.lag_h, a.cx, b.py
+        |  FROM hourly a CROSS JOIN lags l
+        |  JOIN hourly b ON b.h = a.h + l.lag_h
+        |), m AS (
+        |  SELECT lag_h, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(cx AS HUGEINT)) AS sx,
+        |    sum(CAST(py AS HUGEINT)) AS sy,
+        |    sum(CAST(cx AS HUGEINT) * CAST(py AS HUGEINT)) AS sxy,
+        |    sum(CAST(cx AS HUGEINT) * CAST(cx AS HUGEINT)) AS sxx,
+        |    sum(CAST(py AS HUGEINT) * CAST(py AS HUGEINT)) AS syy
+        |  FROM j GROUP BY lag_h
+        |)
+        |SELECT lag_h, n AS n_hours,
+        |  CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS REAL)
+        |    AS ccf
+        |FROM m ORDER BY lag_h""".stripMargin,
     // DPO pairs: chosen = (score DESC, id ASC) pick, rejected =
     // (score ASC, id DESC) pick — distinct docs whenever n_cands >= 2
     "pref_pair_margin" ->

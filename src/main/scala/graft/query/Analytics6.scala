@@ -504,6 +504,131 @@ object Analytics6 {
       .orderBy(col("user_id"))
   }
 
+  /** Theil index of the order-revenue distribution, per order priority
+    * — the DECOMPOSABLE inequality measure beside the Lorenz pair
+    * ([[Analytics5]] `agg_gini_cents` / `agg_pareto_concentration`):
+    * T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ). Unlike Gini, Theil sums across
+    * subgroups, which is why revenue-concentration audits report both.
+    *
+    * Exactness: x is exact cents; μ = S/n enters as the exact-integer
+    * ratio, each term is (x·n/S)·ln(x·n/S) — the cross-multiplied
+    * integer-fed form — and the sum's group-order ulps are absorbed by
+    * the REAL cast (the 1/ln adamic_adar rule). Zero-price orders
+    * contribute 0 (lim x→0 x·ln x = 0), made explicit.
+    *
+    * Scale shape: one map-side-combined (n, Σ) aggregate per priority,
+    * broadcast back, one map-side-combined term sum — two tiny-key
+    * passes over the fact table, no window. */
+  def aggTheilIndex(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val tot = o.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val ratio = col("cents").cast("double") * col("n").cast("double") /
+      col("s").cast("double")
+    o.join(broadcast(tot), Seq("priority"))
+      .select(col("priority"), col("n"), col("s"),
+        when(col("cents") > 0L, ratio * log(ratio)).otherwise(lit(0.0))
+          .as("term"))
+      .groupBy(col("priority"))
+      .agg(max(col("n")).as("n_orders"),
+        (sum(col("term")) / max(col("n")).cast("double")).cast("float")
+          .as("theil"))
+      .orderBy(col("priority"))
+  }
+
+  /** Rich-club coefficient of the co-purchase graph at degree cuts
+    * {10, 20, 40, 80}: φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k counts
+    * vertices of degree > k and E_k the edges among them — "do the
+    * hubs preferentially trade with each other", the structural
+    * complement of [[Analytics4.graphAssortativity]]'s single
+    * correlation number (a rich club can hide behind a neutral
+    * assortativity).
+    *
+    * Exactness: all counts are exact integers off the persisted degree
+    * and edge indexes; φ is one division per panel row.
+    *
+    * Scale shape: one broadcast degree join per side of the edge list,
+    * one tiny aggregate per cut (the cut panel is a 4-row literal
+    * explode); rides the persisted [[Analytics.copurchaseEdgesSym]] /
+    * degree indexes — no new corpus-scale work. */
+  def graphRichClub(spark: SparkSession, dir: String,
+      cuts: Seq[Int] = Seq(10, 20, 40, 80)): DataFrame = {
+    import spark.implicits._
+    val deg = Analytics.copurchaseDeg(spark, dir)
+    val e0 = Analytics.copurchaseEdges(spark, dir)
+    val cutsDf = cuts.toDF("k")
+    val nK = deg.crossJoin(cutsDf).filter(col("deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+    val eK = e0
+      .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+      .crossJoin(cutsDf)
+      .filter(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+    nK.join(eK, Seq("k"), "left")
+      .select(col("k"), col("n_k"),
+        coalesce(col("e_k"), lit(0L)).as("e_k"),
+        (lit(2.0) * coalesce(col("e_k"), lit(0L)).cast("double") /
+          (col("n_k").cast("double") * (col("n_k") - lit(1L))
+            .cast("double"))).cast("float").as("phi"))
+      .orderBy(col("k"))
+  }
+
+  /** Cross-correlation between the hourly click and purchase value
+    * series at lags {0, 1, 2, 4, 8} hours: does purchase activity
+    * FOLLOW click activity, and at what delay — the lead-lag
+    * diagnostic run before trusting an attribution window. Pearson r
+    * per lag over the (clickₜ, purchaseₜ₊ₗ) pairs on the common hour
+    * grid.
+    *
+    * Exactness: hourly sums are ×10³-scaled BIGINTs (per-hour sums of
+    * exact per-event integers), all five moments per lag are exact
+    * integer aggregates (overflow envelope: Σx·y ≤ #hours·(10⁴·490·10³)²
+    * ≈ 10²³ — too hot for BIGINT at extreme densities, so the moments
+    * are DECIMAL(38,0) — the agg_decimal_exact discipline), and r is
+    * one fixed-paren double epilogue per panel row.
+    *
+    * Scale shape: one calendar-bounded hourly rollup, a 5-row lag
+    * explode, one self-join on the shifted hour key, one
+    * map-side-combined moment aggregate per lag. */
+  def tsCcfLags(spark: SparkSession, dir: String,
+      lags: Seq[Int] = Seq(0, 1, 2, 4, 8)): DataFrame = {
+    import spark.implicits._
+    val hourly = graft.schema.Schemas.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(sum(when(col("event_type") === "click",
+          round(col("value") * lit(1e3)).cast("long")).otherwise(0L))
+          .as("cx"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * lit(1e3)).cast("long")).otherwise(0L))
+          .as("py"))
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def d(c: Column): Column = c.cast(d38)
+    val joined = hourly.select(col("h"), col("cx"))
+      .crossJoin(lags.toDF("lag_h"))
+      .join(hourly.select(col("h").as("hp"), col("py")),
+        col("hp") === col("h") + col("lag_h"))
+    val m = joined.groupBy(col("lag_h"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("cx"))).as("sx"), sum(d(col("py"))).as("sy"),
+        sum(d(col("cx")) * d(col("py"))).as("sxy"),
+        sum(d(col("cx")) * d(col("cx"))).as("sxx"),
+        sum(d(col("py")) * d(col("py"))).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = sqrt(nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")) *
+      sqrt(nD * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double"))
+    m.select(col("lag_h"), col("n").as("n_hours"),
+      (num / den).cast("float").as("ccf"))
+      .orderBy(col("lag_h"))
+  }
+
   // ---- Katz centrality ----------------------------------------------------
 
   /** Katz centrality (attenuation α, `iters` fixed iterations) on the

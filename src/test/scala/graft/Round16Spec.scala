@@ -329,6 +329,52 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("agg_theil_index: non-negative, zero on a constant distribution, " +
+      "matches a brute-force fold") {
+    val rows = Analytics6.aggTheilIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getFloat(2) >= 0.0f, r.toString))
+    // brute-force one priority class
+    val o = graft.schema.Schemas.table(spark, sf, "orders")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("c")).collect()
+    val pr = rows.head.getString(0)
+    val cs = o.filter(_.getString(0) == pr).map(_.getLong(1))
+    val n = cs.length.toDouble; val s = cs.sum.toDouble
+    val brute = cs.map { c =>
+      if (c > 0) { val x = c * n / s; x * math.log(x) } else 0.0
+    }.sum / n
+    assert(math.abs(rows.head.getFloat(2) - brute.toFloat) < 1e-5f)
+  }
+
+  test("graph_rich_club: phi within [0,1], club shrinks and densifies " +
+      "as the cut rises") {
+    val rows = Analytics6.graphRichClub(spark, sf).collect()
+    assert(rows.length == 4)
+    val nk = rows.map(_.getLong(1))
+    assert(nk.zip(nk.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val phi = r.getFloat(3)
+      assert(phi >= 0.0f && phi <= 1.0f + 1e-6f, r.toString)
+      // e_k can never exceed the complete graph on the club
+      assert(2 * r.getLong(2) <= r.getLong(1) * (r.getLong(1) - 1))
+    }
+  }
+
+  test("ts_ccf_lags: lag panel complete, ccf bounded, lag 0 is the " +
+      "contemporaneous correlation") {
+    val rows = Analytics6.tsCcfLags(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 4, 8))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(math.abs(r.getFloat(2)) <= 1.0f + 1e-6f, r.toString)
+    }
+    // the lagged panels lose exactly `lag` boundary hours vs lag 0
+    // when the hour grid is contiguous — at minimum they cannot GAIN
+    val n0 = rows.head.getLong(1)
+    rows.tail.foreach(r => assert(r.getLong(1) <= n0))
+  }
+
   test("stream_cusum_target drain equals the batch scan row for row") {
     val streamed = StreamQueries.streamCusumTarget(spark, sf).collect()
     val batch = Analytics6.tsCusumTarget(spark, sf).collect()
