@@ -99,7 +99,21 @@ object BenchBudget {
       "transformWithState store init + drain floor; data work is 3 longs/bin"),
     "stream_drift_psi" -> (6.0,
       "transformWithState store init + drain floor + the batch-side " +
-        "baseline-edges head; data work is 2 longs/bin")
+        "baseline-edges head; data work is 2 longs/bin"),
+    // r16 arrivals above the default bar
+    "graph_ego_betweenness" -> (8.0,
+      "~300 M-row broadcast-pipelined courier stream (deg³ per %64 " +
+        "center on a mean-degree-120 graph); ~3.6 s warm at 32 threads, " +
+        "cold adds the shared edge-index build"),
+    "graph_katz_centrality" -> (6.0,
+      "3 broadcast rounds over the persisted destination-partitioned " +
+        "edge index; builder of #katzedges when cold-first"),
+    "stream_cusum_target" -> (6.0,
+      "transformWithState store init + drain floor; data work is " +
+        "2 numbers/user"),
+    "stream_croston" -> (6.0,
+      "transformWithState store init + drain floor; data work is " +
+        "4 numbers/user")
   )
 
   def main(args: Array[String]): Unit = {

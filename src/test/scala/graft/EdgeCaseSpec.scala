@@ -604,4 +604,47 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().isEmpty)
     graft.query.Analytics.clearCaches()
   }
+
+  test("round-16 family: empty corpus degrades to well-formed results") {
+    import graft.query.Analytics6
+    import graft.streaming.StreamQueries
+    graft.query.Analytics.clearCaches()
+    // empty-result family: no rows in → no rows out, never a throw
+    assert(Analytics6.evalCliffsDelta(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics6.tsCusumTarget(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics6.tsCroston(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics6.tsSaxSymbolic(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics6.tsCcfLags(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics6.aggTheilIndex(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics6.graphKatzCentrality(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics6.graphEgoBetweenness(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics6.graphRichClub(spark, emptyStarDir).collect().isEmpty)
+    assert(Analytics6.dedupThresholdCurve(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics6.windowRollingCorr(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(StreamQueries.streamCusumTarget(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(StreamQueries.streamCroston(spark, emptyStarDir)
+      .collect().isEmpty)
+    // summary-row family: one global-aggregate row of zero counts and
+    // null/NaN statistics — an empty corpus is a finding, not an error
+    Seq(Analytics6.evalMannWhitneyU(spark, emptyStarDir),
+        Analytics6.evalWilcoxonSignedRank(spark, emptyStarDir),
+        Analytics6.evalTostEquivalence(spark, emptyStarDir),
+        Analytics6.evalGwetAc1(spark, emptyStarDir),
+        Analytics6.evalCohensD(spark, emptyStarDir),
+        Analytics6.evalMdePower(spark, emptyStarDir),
+        Analytics6.tsHurstExponent(spark, emptyStarDir)).foreach { df =>
+      assert(df.collect().length <= 1)
+    }
+    // the DP median still releases its 3-candidate panel (rank utility
+    // null over an empty histogram — auditable, not a crash)
+    assert(Analytics6.privacyDpQuantile(spark, emptyStarDir)
+      .collect().length == 3)
+    graft.query.Analytics.clearCaches()
+  }
 }

@@ -188,7 +188,33 @@ class PartitionInvarianceSpec extends SparkSpec {
     "stream_eval_ece ValueState reliability bins" ->
       (() => graft.streaming.StreamQueries.streamEvalEce(spark, sf)),
     "stream_drift_psi ValueState cohort bins" ->
-      (() => graft.streaming.StreamQueries.streamDriftPsi(spark, sf)))
+      (() => graft.streaming.StreamQueries.streamDriftPsi(spark, sf)),
+    // round-16 shapes: pooled-CDF rank statistics, ordered full-frame
+    // fold chains (Hurst/SAX), the clamped/two-EWMA recurrences and
+    // their state-store twins, the broadcast-pipelined courier stream,
+    // iterated Katz rounds, and the lag-shifted hourly self-join
+    "eval_mann_whitney_u pooled-CDF rank sums" ->
+      (() => graft.query.Analytics6.evalMannWhitneyU(spark, sf)),
+    "eval_wilcoxon_signed_rank distinct-|d| mid-ranks" ->
+      (() => graft.query.Analytics6.evalWilcoxonSignedRank(spark, sf)),
+    "ts_hurst_exponent ordered R/S folds" ->
+      (() => graft.query.Analytics6.tsHurstExponent(spark, sf)),
+    "ts_sax_symbolic ordered z-norm/PAA folds" ->
+      (() => graft.query.Analytics6.tsSaxSymbolic(spark, sf)),
+    "ts_cusum_target clamped recurrence" ->
+      (() => graft.query.Analytics6.tsCusumTarget(spark, sf)),
+    "stream_cusum_target ValueState clamp" ->
+      (() => graft.streaming.StreamQueries.streamCusumTarget(spark, sf)),
+    "stream_croston two-EWMA ValueState" ->
+      (() => graft.streaming.StreamQueries.streamCroston(spark, sf)),
+    "graph_ego_betweenness broadcast courier stream" ->
+      (() => graft.query.Analytics6.graphEgoBetweenness(spark, sf)),
+    "graph_katz_centrality iterated broadcast rounds" ->
+      (() => graft.query.Analytics6.graphKatzCentrality(spark, sf)),
+    "ts_ccf_lags lag-shifted hourly self-join" ->
+      (() => graft.query.Analytics6.tsCcfLags(spark, sf)),
+    "privacy_dp_quantile histogram rank utility" ->
+      (() => graft.query.Analytics6.privacyDpQuantile(spark, sf)))
 
   private def collectAt(partitions: Int, build: () => DataFrame): Seq[String] = {
     val key = "spark.sql.shuffle.partitions"
