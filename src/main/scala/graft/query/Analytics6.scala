@@ -652,8 +652,14 @@ object Analytics6 {
       maxVertex: Long = 100L): DataFrame = {
     val deg = Analytics.copurchaseDeg(spark, dir)
     val nPart = spark.sparkContext.defaultParallelism
-    val wedges = Analytics.cachedDf(spark, Analytics.gkey(dir, "katzedges")) {
-      Analytics.copurchaseEdgesSym(spark, dir).repartition(nPart, col("v"))
+    // SAME persisted component as graphPagerank's `#wdeg` (identical
+    // build → whichever of the two walk centralities runs first pays
+    // it; Katz ignores the deg column and column pruning drops it from
+    // the cached scan) — one destination-partitioned edge index serves
+    // the whole walk family instead of a near-duplicate per member
+    val wedges = Analytics.cachedDf(spark, Analytics.gkey(dir, "wdeg")) {
+      Analytics.copurchaseEdgesSym(spark, dir)
+        .join(deg, Seq("u")).repartition(nPart, col("v"))
     }
     var x = deg.select(col("u"), lit(1.0).as("x"))
     for (_ <- 1 to iters) {
