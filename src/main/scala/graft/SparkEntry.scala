@@ -956,6 +956,8 @@ object SparkEntry {
     // round 16: lead-lag cross-correlation on the hourly grid
     "ts_ccf_lags"            -> ((s: SparkSession, d: String) =>
       Analytics6.tsCcfLags(s, d)),
+    // round 16: repeated-measures k-system test + rater concordance
+    "eval_friedman_kendall_w" -> Analytics6.evalFriedmanKendallW _,
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -5605,6 +5607,50 @@ object SparkEntry {
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS REAL)
         |    AS ccf
         |FROM m ORDER BY lag_h""".stripMargin,
+    // complete blocks (absent types count 0), 2×-integer mid-ranks,
+    // the scipy tie-corrected χ² on exact integer inputs
+    "eval_friedman_kendall_w" ->
+      """WITH types AS (SELECT DISTINCT event_type FROM events),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |counts AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id, event_type
+        |), blocks AS (
+        |  SELECT u.user_id, t.event_type, coalesce(c.c, 0) AS c
+        |  FROM users u CROSS JOIN types t
+        |  LEFT JOIN counts c
+        |    ON c.user_id = u.user_id AND c.event_type = t.event_type
+        |), ranked AS (
+        |  SELECT user_id, event_type, c,
+        |    rank() OVER (PARTITION BY user_id ORDER BY c) AS rk,
+        |    count(*) OVER (PARTITION BY user_id, c) AS t
+        |  FROM blocks
+        |), cs AS (
+        |  SELECT event_type,
+        |    CAST(sum(2 * (rk - 1) + t + 1) AS BIGINT) AS r2j
+        |  FROM ranked GROUP BY event_type
+        |), tt AS (
+        |  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie3
+        |  FROM (SELECT DISTINCT user_id, c, t FROM ranked)
+        |), km AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+        |nm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM users),
+        |m AS (SELECT CAST(sum(r2j * r2j) AS BIGINT) AS sr2 FROM cs),
+        |f AS (
+        |  SELECT n, k,
+        |    (12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+        |        * (CAST(k AS DOUBLE) + 1.0))
+        |      * (CAST(sr2 AS DOUBLE) / 4.0)
+        |      - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+        |    / (1.0 - CAST(tie3 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+        |        * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)))
+        |      AS chi2
+        |  FROM m, tt, km, nm
+        |)
+        |SELECT n AS n_users, k AS k_types, chi2 AS chi2_friedman,
+        |  chi2 / (CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))
+        |    AS kendalls_w
+        |FROM f""".stripMargin,
     // DPO pairs: chosen = (score DESC, id ASC) pick, rejected =
     // (score ASC, id DESC) pick — distinct docs whenever n_cands >= 2
     "pref_pair_margin" ->

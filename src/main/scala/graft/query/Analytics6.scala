@@ -629,6 +629,69 @@ object Analytics6 {
       .orderBy(col("lag_h"))
   }
 
+  /** Friedman test + Kendall's W over the per-user event-type activity
+    * profile: each user ranks the k = 5 event types by activity count
+    * (complete blocks — absent types count 0; mid-rank ties), Friedman's
+    * tie-corrected χ² asks "do the types differ at all", and Kendall's
+    * W = χ²/(n(k−1)) reports how CONCORDANT the users are about the
+    * ordering — the repeated-measures complement of
+    * [[evalMannWhitneyU]] (k related systems on the same subjects,
+    * the multi-model eval-harness shape).
+    *
+    * Exactness: counts are integers, per-block mid-ranks are
+    * 2×-integer BIGINTs from a 5-row per-user window, the column
+    * rank-sums R2_j and the tie term Σ(t³−t) are exact integer
+    * aggregates, and χ² = (3·ΣR2_j² − 3n²k(k+1)²) / (nk(k+1) −
+    * tie3/(k−1)) is one fixed-paren double epilogue.
+    *
+    * Scale shape: one map-side-combined (user, type) count, a
+    * broadcast 5-row type panel to complete the blocks, 5-row per-user
+    * windows (user-partitioned), one k-row and one 1-row aggregate. */
+  def evalFriedmanKendallW(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.schema.Schemas.events(spark, dir)
+    val types = e.select(col("event_type")).distinct()
+    val users = e.select(col("user_id")).distinct()
+    val counts = e.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val blocks = users.crossJoin(broadcast(types))
+      .join(counts, Seq("user_id", "event_type"), "left")
+      .select(col("user_id"), col("event_type"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val byU = Window.partitionBy(col("user_id"))
+    // 2·mid-rank = 2·(rank()−1) + ties + 1 — rank() counts strictly
+    // smaller + 1, ties the block's equal-count class size; exact ints
+    val ranked = blocks
+      .withColumn("rk", rank().over(byU.orderBy(col("c"))))
+      .withColumn("t", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("c"))))
+      .withColumn("r2", lit(2L) * (col("rk") - lit(1L)) + col("t")
+        + lit(1L))
+    val k = types.count()
+    val n = users.count()
+    val colSums = ranked.groupBy(col("event_type"))
+      .agg(sum(col("r2")).as("r2j"))
+    val ties = ranked.select(col("user_id"), col("c"), col("t"))
+      .distinct()
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+        lit(0L)).as("tie3"))
+    val m = colSums.agg(sum(col("r2j") * col("r2j")).as("sr2"))
+      .crossJoin(broadcast(ties))
+    val nD = lit(n.toDouble)
+    val kD = lit(k.toDouble)
+    // the scipy friedmanchisquare form on exact integer inputs:
+    // χ² = [12/(nk(k+1))·ΣR_j² − 3n(k+1)] / [1 − Σ(t³−t)/(nk(k²−1))]
+    // with ΣR_j² = ΣR2_j²/4 from the doubled ranks
+    val chi2 = (lit(12.0) / (nD * kD * (kD + lit(1.0)))
+      * (col("sr2").cast("double") / lit(4.0))
+      - lit(3.0) * nD * (kD + lit(1.0))) /
+      (lit(1.0) - col("tie3").cast("double")
+        / (nD * kD * (kD * kD - lit(1.0))))
+    m.select(lit(n).as("n_users"), lit(k).as("k_types"),
+      chi2.as("chi2_friedman"),
+      (chi2 / (nD * (kD - lit(1.0)))).as("kendalls_w"))
+  }
+
   // ---- Katz centrality ----------------------------------------------------
 
   /** Katz centrality (attenuation α, `iters` fixed iterations) on the

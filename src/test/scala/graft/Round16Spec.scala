@@ -375,6 +375,43 @@ class Round16Spec extends SparkSpec {
     rows.tail.foreach(r => assert(r.getLong(1) <= n0))
   }
 
+  test("eval_friedman_kendall_w: W in [0,1], chi2 = W·n·(k−1), and the " +
+      "brute-force rank sums agree") {
+    val r = Analytics6.evalFriedmanKendallW(spark, sf).collect().head
+    val n = r.getLong(0); val k = r.getLong(1)
+    val chi2 = r.getDouble(2); val w = r.getDouble(3)
+    assert(n > 0 && k == 5)
+    assert(w >= 0.0 && w <= 1.0 + 1e-9, s"W=$w")
+    assert(math.abs(chi2 - w * n * (k - 1)) < 1e-9)
+    // brute-force the statistic from the collected count matrix
+    val counts = graft.schema.Schemas.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type")).count().collect()
+      .map(r0 => (r0.getLong(0), r0.getString(1)) -> r0.getLong(2)).toMap
+    val userIds = counts.keys.map(_._1).toSeq.distinct
+    val typeIds = counts.keys.map(_._2).toSeq.distinct.sorted
+    assert(userIds.length == n && typeIds.length == k)
+    var tie3 = 0L
+    val rankSums = collection.mutable.Map.empty[String, Double]
+    userIds.foreach { u =>
+      val cs = typeIds.map(t => t -> counts.getOrElse((u, t), 0L))
+      val grouped = cs.groupBy(_._2)
+      grouped.foreach { case (_, g) =>
+        val t = g.length.toLong; tie3 += t * t * t - t }
+      cs.foreach { case (t, c) =>
+        val smaller = cs.count(_._2 < c)
+        val ties = cs.count(_._2 == c)
+        rankSums(t) = rankSums.getOrElse(t, 0.0) +
+          (smaller + (ties + 1) / 2.0)
+      }
+    }
+    val sr = rankSums.values.map(x => x * x).sum
+    val nD = n.toDouble; val kD = k.toDouble
+    val brute = (12.0 / (nD * kD * (kD + 1.0)) * sr
+      - 3.0 * nD * (kD + 1.0)) /
+      (1.0 - tie3.toDouble / (nD * kD * (kD * kD - 1.0)))
+    assert(math.abs(chi2 - brute) < 1e-9, s"chi2=$chi2 brute=$brute")
+  }
+
   test("stream_cusum_target drain equals the batch scan row for row") {
     val streamed = StreamQueries.streamCusumTarget(spark, sf).collect()
     val batch = Analytics6.tsCusumTarget(spark, sf).collect()
