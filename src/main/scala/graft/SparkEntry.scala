@@ -155,8 +155,9 @@ object SparkEntry {
     "window_range_frame"  -> Relational2.windowRangeFrame _,
     "join_skew_salted"    ->
       ((s: SparkSession, d: String) => Relational2.joinSkewSalted(s, d)),
-    // approximate sketches: rows-only by design (HLL/KLL internals are
-    // engine-specific); Relational2Spec bounds the error vs exact
+    // approximate sketches, reshaped for the oracle: exact values plus
+    // boolean within-5% contract columns (Relational2.aggApproxSketch)
+    // — hash-exact in CORRECTNESS, not part of the rows-only allowlist
     "agg_approx_sketch"   -> Relational2.aggApproxSketch _,
     // §2.6/2.7 ML operators (no SQL oracle — RF scoring; covered by
     // determinism/invariant specs, driver records rows-only checks)
@@ -5026,7 +5027,8 @@ object SparkEntry {
         |  SELECT CAST(sum(na) AS BIGINT) AS n_a,
         |    CAST(sum(nb) AS BIGINT) AS n_b,
         |    CAST(sum(na * r2) AS BIGINT) AS r2_a,
-        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        |    sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+        |      * CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS tie3
         |  FROM c
         |), k AS (
         |  SELECT n_a, n_b,
@@ -5101,12 +5103,15 @@ object SparkEntry {
         |), m AS (
         |  SELECT CAST(sum(t) AS BIGINT) AS n_pairs,
         |    CAST(sum(tp * r2) AS BIGINT) AS w2,
-        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        |    sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+        |      * CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS tie3
         |  FROM r
         |), k AS (
         |  SELECT n_pairs, CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
         |    CAST(n_pairs AS DOUBLE) AS nd,
-        |    CAST(2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tie3
+        |    CAST(2 * CAST(n_pairs AS HUGEINT)
+        |      * (CAST(n_pairs AS HUGEINT) + 1)
+        |      * (2 * CAST(n_pairs AS HUGEINT) + 1) - tie3
         |      AS DOUBLE) AS v48
         |  FROM m
         |)
@@ -5566,9 +5571,10 @@ object SparkEntry {
         |  WHERE du.deg > k AND dv.deg > k GROUP BY k
         |)
         |SELECT k, n_k, CAST(coalesce(e_k, 0) AS BIGINT) AS e_k,
-        |  CAST(2.0 * CAST(coalesce(e_k, 0) AS DOUBLE)
-        |    / (CAST(n_k AS DOUBLE) * CAST(n_k - 1 AS DOUBLE)) AS REAL)
-        |    AS phi
+        |  CASE WHEN n_k >= 2 THEN
+        |    CAST(2.0 * CAST(coalesce(e_k, 0) AS DOUBLE)
+        |      / (CAST(n_k AS DOUBLE) * CAST(n_k - 1 AS DOUBLE)) AS REAL)
+        |  END AS phi
         |FROM nk LEFT JOIN ek USING (k) ORDER BY k""".stripMargin,
     // exact HUGEINT moments per lag (Spark side holds DECIMAL(38,0) —
     // both are exact integers, so the double epilogues agree bitwise)
@@ -5627,14 +5633,15 @@ object SparkEntry {
         |  FROM blocks
         |), cs AS (
         |  SELECT event_type,
-        |    CAST(sum(2 * (rk - 1) + t + 1) AS BIGINT) AS r2j
+        |    CAST(sum(2 * (rk - 1) + t + 1) AS HUGEINT) AS r2j
         |  FROM ranked GROUP BY event_type
         |), tt AS (
-        |  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie3
+        |  SELECT coalesce(sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+        |      * CAST(t AS HUGEINT) - CAST(t AS HUGEINT)), 0) AS tie3
         |  FROM (SELECT DISTINCT user_id, c, t FROM ranked)
         |), km AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
         |nm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM users),
-        |m AS (SELECT CAST(sum(r2j * r2j) AS BIGINT) AS sr2 FROM cs),
+        |m AS (SELECT sum(r2j * r2j) AS sr2 FROM cs),
         |f AS (
         |  SELECT n, k,
         |    (12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)

@@ -447,6 +447,23 @@ object Analytics {
     }
   }
 
+  // symmetric-edge-index row count per (dir, fingerprint) — the scalar
+  // the scale gates consult (graph_ego_betweenness's broadcast hints).
+  // ONE count job per corpus generation (over the already-persisted
+  // index, so it reads warm blocks); served from the map afterwards.
+  private val edgeCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** |E| of [[copurchaseEdgesSym]], fingerprint-keyed like every other
+    * shared component — a regenerated corpus re-counts instead of
+    * serving a stale scale decision. */
+  private[graft] def symEdgeCount(spark: SparkSession, dir: String): Long =
+    graft.schema.Schemas.evictingComputeIfAbsent(
+      edgeCountCache, gkey(dir, "symcount"),
+      graft.schema.Schemas.fingerprint(s"$dir/lineitem.parquet"))(
+      java.lang.Long.valueOf(copurchaseEdgesSym(spark, dir).count()))(
+      _ => ()).longValue()
+
   /** Unpersist and drop every cached graph component (all sessions). */
   def clearCaches(): Unit = {
     import scala.jdk.CollectionConverters._
@@ -456,6 +473,7 @@ object Analytics {
       }
       graphCache.clear()
     }
+    edgeCountCache.clear()
   }
 
   /** Most-frequent event_type per user (per-key mode) with a

@@ -23,6 +23,13 @@ object Analytics6 {
 
   import graft.schema.Schemas.table
 
+  /** Exact-integer type for moments whose terms can cross 2⁶³ (cubed
+    * tie counts, squared rank sums) — the [[tsCcfLags]] discipline:
+    * Spark holds DECIMAL(38,0), the DuckDB oracle HUGEINT; both are
+    * exact integers, so the double epilogues agree bitwise. */
+  private val dec38 =
+    org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+
   // ---- shared pooled-CDF scaffold ---------------------------------------
 
   /** Per-distinct-value counts of the two samples (click vs purchase
@@ -79,6 +86,11 @@ object Analytics6 {
     * arithmetic regardless of aggregation order ([[Analytics3]] AUC
     * rank-sum discipline); doubles appear only in the final μ/σ/z
     * division. z uses the 0.5 continuity correction toward the mean.
+    * The tie term cubes per-value tie counts, so it is computed in
+    * DECIMAL(38,0) (the [[tsCcfLags]] moment discipline) — a single
+    * tie class past ~2.09M observations pushes t³ over 2⁶³, where
+    * BIGINT would wrap silently with ANSI off while the HUGEINT-backed
+    * oracle keeps going.
     *
     * Scale shape: the [[pooledValueCdf]] two-level prefix (no
     * unpartitioned window over unreduced input), then ONE
@@ -89,11 +101,12 @@ object Analytics6 {
       // 2·avg_rank of every pooled observation at this value
       .withColumn("r2", lit(2L) * (col("ca_lt") + col("cb_lt"))
         + col("t") + lit(1L))
+    val tD = col("t").cast(dec38)
     val m = cdf.agg(
       sum(col("na")).as("n_a"),
       sum(col("nb")).as("n_b"),
       sum(col("na") * col("r2")).as("r2_a"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      sum(tD * tD * tD - tD).as("tie3"))
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
     val n = na + nb
@@ -154,7 +167,10 @@ object Analytics6 {
     * exact; ranks are 2×-integer BIGINTs over the distinct-|d| grain
     * (2·avg_rank(v) = 2·C_v + t_v + 1); σ²'s two terms are kept as one
     * ×48-scaled integer — 2·n(n+1)(2n+1) − Σ(t³−t) — so W⁺, μ and σ²
-    * are aggregation-order-independent; doubles enter only at z.
+    * are aggregation-order-independent; doubles enter only at z. Both
+    * cubic terms (the tie sum AND the 2n(n+1)(2n+1) base, which passes
+    * 2⁶³ at n ≈ 1.3M pairs) are DECIMAL(38,0) — the [[dec38]]
+    * discipline, matching the oracle's HUGEINT.
     *
     * Scale shape: one map-side-combined aggregate onto user_id (count
     * pivots), one onto the distinct-|d| grain; |d| is integer-bounded
@@ -177,16 +193,19 @@ object Analytics6 {
         .orderBy(col("ad")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .withColumn("r2", lit(2L) * col("c_lt") + col("t") + lit(1L))
+    val tD = col("t").cast(dec38)
     val m = ranked.agg(
       sum(col("t")).as("n_pairs"),
       sum(col("tp") * col("r2")).as("w2_plus"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      sum(tD * tD * tD - tD).as("tie3"))
     val n = col("n_pairs").cast("double")
     val wPlus = col("w2_plus").cast("double") / lit(2.0)
     val mu = n * (n + lit(1.0)) / lit(4.0)
-    // ×48-scaled exact integer variance: 48σ² = 2n(n+1)(2n+1) − Σ(t³−t)
-    val var48 = lit(2L) * col("n_pairs") * (col("n_pairs") + lit(1L)) *
-      (lit(2L) * col("n_pairs") + lit(1L)) - col("tie3")
+    // ×48-scaled exact integer variance: 48σ² = 2n(n+1)(2n+1) − Σ(t³−t),
+    // held in DECIMAL(38,0) (≈4n³ crosses 2⁶³ at n ≈ 1.3M pairs)
+    val nP = col("n_pairs").cast(dec38)
+    val var48 = lit(2L).cast(dec38) * nP * (nP + lit(1L)) *
+      (lit(2L).cast(dec38) * nP + lit(1L)) - col("tie3")
     val sigma = sqrt(var48.cast("double") / lit(48.0))
     m.select(col("n_pairs"), wPlus.as("w_plus"),
       ((wPlus - mu) / sigma).as("z_score"))
@@ -547,7 +566,10 @@ object Analytics6 {
     * assortativity).
     *
     * Exactness: all counts are exact integers off the persisted degree
-    * and edge indexes; φ is one division per panel row.
+    * and edge indexes; φ is one division per panel row, emitted as
+    * NULL when the club holds fewer than 2 vertices (a top cut that
+    * empties the club has no pair denominator — the
+    * [[windowRollingCorr]] zero-variance rule, never 0/0 = NaN).
     *
     * Scale shape: one broadcast degree join per side of the edge list,
     * one tiny aggregate per cut (the cut panel is a 4-row literal
@@ -570,9 +592,10 @@ object Analytics6 {
     nK.join(eK, Seq("k"), "left")
       .select(col("k"), col("n_k"),
         coalesce(col("e_k"), lit(0L)).as("e_k"),
-        (lit(2.0) * coalesce(col("e_k"), lit(0L)).cast("double") /
-          (col("n_k").cast("double") * (col("n_k") - lit(1L))
-            .cast("double"))).cast("float").as("phi"))
+        when(col("n_k") >= 2L,
+          (lit(2.0) * coalesce(col("e_k"), lit(0L)).cast("double") /
+            (col("n_k").cast("double") * (col("n_k") - lit(1L))
+              .cast("double"))).cast("float")).as("phi"))
       .orderBy(col("k"))
   }
 
@@ -641,12 +664,17 @@ object Analytics6 {
     * Exactness: counts are integers, per-block mid-ranks are
     * 2×-integer BIGINTs from a 5-row per-user window, the column
     * rank-sums R2_j and the tie term Σ(t³−t) are exact integer
-    * aggregates, and χ² = (3·ΣR2_j² − 3n²k(k+1)²) / (nk(k+1) −
-    * tie3/(k−1)) is one fixed-paren double epilogue.
+    * aggregates (sr2 squares rank sums that grow ∝ n and tie3 cubes
+    * class sizes, so both ride [[dec38]]), and χ² = (3·ΣR2_j² −
+    * 3n²k(k+1)²) / (nk(k+1) − tie3/(k−1)) is one fixed-paren double
+    * epilogue.
     *
     * Scale shape: one map-side-combined (user, type) count, a
     * broadcast 5-row type panel to complete the blocks, 5-row per-user
-    * windows (user-partitioned), one k-row and one 1-row aggregate. */
+    * windows (user-partitioned), one k-row and one 1-row aggregate.
+    * The n/k scalars enter the plan as broadcast 1-row aggregates (the
+    * [[evalCliffsDelta]] pattern) — ONE Spark job per call, no
+    * driver-side count() round trips. */
   def evalFriedmanKendallW(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = graft.schema.Schemas.events(spark, dir)
@@ -667,18 +695,22 @@ object Analytics6 {
         Window.partitionBy(col("user_id"), col("c"))))
       .withColumn("r2", lit(2L) * (col("rk") - lit(1L)) + col("t")
         + lit(1L))
-    val k = types.count()
-    val n = users.count()
+    // n and k as plan-side 1-row aggregates — broadcast back in, never
+    // collected to the driver
+    val nk = users.agg(count(lit(1)).as("n_users"))
+      .crossJoin(types.agg(count(lit(1)).as("k_types")))
     val colSums = ranked.groupBy(col("event_type"))
-      .agg(sum(col("r2")).as("r2j"))
+      .agg(sum(col("r2")).cast(dec38).as("r2j"))
+    val tD = col("t").cast(dec38)
     val ties = ranked.select(col("user_id"), col("c"), col("t"))
       .distinct()
-      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
-        lit(0L)).as("tie3"))
+      .agg(coalesce(sum(tD * tD * tD - tD),
+        lit(0L).cast(dec38)).as("tie3"))
     val m = colSums.agg(sum(col("r2j") * col("r2j")).as("sr2"))
       .crossJoin(broadcast(ties))
-    val nD = lit(n.toDouble)
-    val kD = lit(k.toDouble)
+      .crossJoin(broadcast(nk))
+    val nD = col("n_users").cast("double")
+    val kD = col("k_types").cast("double")
     // the scipy friedmanchisquare form on exact integer inputs:
     // χ² = [12/(nk(k+1))·ΣR_j² − 3n(k+1)] / [1 − Σ(t³−t)/(nk(k²−1))]
     // with ΣR_j² = ΣR2_j²/4 from the doubled ranks
@@ -687,7 +719,7 @@ object Analytics6 {
       - lit(3.0) * nD * (kD + lit(1.0))) /
       (lit(1.0) - col("tie3").cast("double")
         / (nD * kD * (kD * kD - lit(1.0))))
-    m.select(lit(n).as("n_users"), lit(k).as("k_types"),
+    m.select(col("n_users"), col("k_types"),
       chi2.as("chi2_friedman"),
       (chi2 / (nD * (kD - lit(1.0)))).as("kendalls_w"))
   }
@@ -707,9 +739,12 @@ object Analytics6 {
     * — per-round join of the broadcast centrality vector against the
     * persisted destination-partitioned edge index, one
     * map-side-combined aggregate per round, no degree division (Katz
-    * has none), fixed iteration count keeps the plan finite. Vertices
-    * with no in-walk mass still emit (1-row β base via the degree
-    * table's left join). */
+    * has none), fixed iteration count keeps the plan finite. Every
+    * vertex in `deg` has at least one incident edge in the SYMMETRIC
+    * index (deg is derived FROM that index), so each round's
+    * inflow aggregate reaches every vertex — the 1 + α·Σ base term
+    * needs no left-join backstop; that invariant, not a left join, is
+    * what keeps isolated-looking vertices from dropping out. */
   def graphKatzCentrality(spark: SparkSession, dir: String,
       alpha: Double = 0.05, iters: Int = 3,
       maxVertex: Long = 100L): DataFrame = {
@@ -953,9 +988,20 @@ object Analytics6 {
     * counts couriers (all shuffles on vertex keys over the persisted
     * symmetric-edge index), one map-side-combined rollup per center. */
   def graphEgoBetweenness(spark: SparkSession, dir: String,
-      cohortMod: Int = 64): DataFrame = {
+      cohortMod: Int = 64,
+      broadcastMaxEdges: Long = 8L * 1000 * 1000): DataFrame = {
     val sym = Analytics.copurchaseEdgesSym(spark, dir)
     val e0 = Analytics.copurchaseEdges(spark, dir)
+    // Broadcast-hint gate: |E_sym| counted once per (dir, fingerprint)
+    // — the house scale-gate discipline (union-find ≤4M edges, hubness
+    // 64 MB, theil_sen ≤4096 h), replacing the r16 UNCONDITIONAL hints.
+    // 8M edges × ~40 B/row hashed ≈ 320 MB relation ≈ the 10 MB ×
+    // 32-executor broadcast envelope; GateCheck proves both paths
+    // hash-identical, Round17Spec forces both branches.
+    val hinted: DataFrame => DataFrame =
+      if (Analytics.symEdgeCount(spark, dir) <= broadcastMaxEdges)
+        broadcast _
+      else identity
     val ego = sym.filter(col("u") % cohortMod === 0)
       .select(col("u").as("z"), col("v").as("n"))
     val pairs = ego.as("a")
@@ -967,18 +1013,19 @@ object Analytics6 {
     // w is adjacent to both endpoints of a NON-edge). The courier
     // stream is Θ(Σ_z Σ_{pairs} deg) — on the dense co-purchase graph
     // (avg degree ~120 at sf0.1) that is ~300 M pipelined rows at the
-    // %64 cohort, so all three probe tables carry EXPLICIT broadcast
-    // hints: the stream stays inside one whole-stage-codegen'd
-    // broadcast-hash pipeline, never exchanged (an SMJ plan here
-    // measured 25× slower — the exchanges, not the row count, are the
-    // cost). At billion-edge scale the hints come off and the join
-    // falls back to hash-partitioned SMJ, the Pregel discipline.
+    // %64 cohort, so below the gate all three probe tables carry
+    // EXPLICIT broadcast hints: the stream stays inside one
+    // whole-stage-codegen'd broadcast-hash pipeline, never exchanged
+    // (an SMJ plan here measured 25× slower — the exchanges, not the
+    // row count, are the cost). Past the gate the hints come off and
+    // the joins fall back to hash-partitioned SMJ, the Pregel
+    // discipline — decided by the edge count, not by a human edit.
     val couriers = nonadj
-      .join(broadcast(sym.select(col("u"), col("v").as("w"))), Seq("u"))
+      .join(hinted(sym.select(col("u"), col("v").as("w"))), Seq("u"))
       .filter(col("w") =!= col("z"))
-      .join(broadcast(sym.select(col("u").as("v"), col("v").as("w"))
+      .join(hinted(sym.select(col("u").as("v"), col("v").as("w"))
         .as("nv")), Seq("v", "w"), "left_semi")
-      .join(broadcast(ego.select(col("z"), col("n").as("w"))),
+      .join(hinted(ego.select(col("z"), col("n").as("w"))),
         Seq("z", "w"), "left_semi")
       .groupBy(col("z"), col("u"), col("v"))
       .agg(count(lit(1)).as("extra"))

@@ -107,7 +107,7 @@ object BenchBudget {
         "cold adds the shared edge-index build"),
     "graph_katz_centrality" -> (6.0,
       "3 broadcast rounds over the persisted destination-partitioned " +
-        "edge index; builder of #katzedges when cold-first"),
+        "edge index; builder of pagerank's shared #wdeg when cold-first"),
     "stream_cusum_target" -> (6.0,
       "transformWithState store init + drain floor; data work is " +
         "2 numbers/user"),

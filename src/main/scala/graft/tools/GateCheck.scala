@@ -72,6 +72,14 @@ object GateCheck {
         matrixGateBytes = Long.MaxValue),
       graft.query.Analytics4.embHubnessStats(spark.newSession(), dir,
         matrixGateBytes = 0L))
+    check("graph_ego_betweenness")(
+      graft.query.Analytics6.graphEgoBetweenness(spark, dir,
+        broadcastMaxEdges = Long.MaxValue),
+      graft.query.Analytics6.graphEgoBetweenness(spark, dir,
+        broadcastMaxEdges = 0L))
+    println(s"[gate] symmetric edge index at this sf: " +
+      s"${graft.query.Analytics.symEdgeCount(spark, dir)} rows " +
+      "(ego broadcast gate default broadcastMaxEdges = 8000000)")
 
     // which side does THIS corpus land on at the production defaults?
     val pairs = graft.query.Dedup.dedupMinhashLsh(spark, dir)
