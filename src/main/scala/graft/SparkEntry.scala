@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.ScalarFunctions
-import graft.query.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Curation, Curation2, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis, Warehouse, Warehouse2}
+import graft.query.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Analytics7, Curation, Curation2, Dedup, Endpoints, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis, Warehouse, Warehouse2}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -959,6 +959,18 @@ object SparkEntry {
       Analytics6.tsCcfLags(s, d)),
     // round 16: repeated-measures k-system test + rater concordance
     "eval_friedman_kendall_w" -> Analytics6.evalFriedmanKendallW _,
+    // round 17: weighted shortest paths (frontier-pruned Bellman-Ford)
+    "graph_sssp_weighted"    -> ((s: SparkSession, d: String) =>
+      Analytics7.graphSsspWeighted(s, d)),
+    // round 17: BCa interval over the deterministic bootstrap replicas
+    "eval_bootstrap_bca"     -> ((s: SparkSession, d: String) =>
+      Analytics7.evalBootstrapBca(s, d)),
+    // round 17: DP clipped-sum mean (the Laplace release for means)
+    "privacy_dp_clipped_mean" -> ((s: SparkSession, d: String) =>
+      Analytics7.privacyDpClippedMean(s, d)),
+    // round 17: delta-batch assignment into the persisted IVF cells
+    "ann_ivf_delta_assign"   -> ((s: SparkSession, d: String) =>
+      Similarity.annIvfDeltaAssign(s, d)),
   )
 
   /** The [[graft.query.Analytics5.evalBradleyTerry]] oracle: the MM
@@ -1081,7 +1093,12 @@ object SparkEntry {
     * same McNemar paired-classifier CTEs, fanned out ×reps with the
     * SHARED 2⁶⁰-scaled Poisson-CDF thresholds inlined as literals —
     * both engines evaluate identical integer compares. */
-  private def pairedBootstrapOracleSql(reps: Int): String = {
+  /** The shared paired-bootstrap CTE prefix (`e`→`a`): the paired-ok
+    * frame, the ×reps replica fanout, the Poisson(1) threshold weights,
+    * and the per-replica integer sums — read by both
+    * [[pairedBootstrapOracleSql]] and [[bcaOracleSql]], so the two
+    * oracles replay the IDENTICAL replica table by construction. */
+  private def pairedBootCtes(reps: Int): String = {
     val t = Analytics5.poissonThresh60
     s"""WITH e AS (
        |  SELECT event_id, event_type,
@@ -1121,8 +1138,15 @@ object SparkEntry {
        |    CAST(sum(w * CASE WHEN b_ok THEN 1 ELSE 0 END) AS BIGINT)
        |      AS sum_b
        |  FROM wv GROUP BY replica
-       |)
-       |SELECT CAST(replica AS INT) AS replica, n_eff, sum_a, sum_b,
+       |)""".stripMargin
+  }
+
+  // NOTE both consumers CONCATENATE the prefix (never re-interpolate it
+  // into another stripMargin template: the prefix contains `||` at line
+  // starts, which a second stripMargin would corrupt)
+  private def pairedBootstrapOracleSql(reps: Int): String = {
+    pairedBootCtes(reps) + "\n" +
+    """SELECT CAST(replica AS INT) AS replica, n_eff, sum_a, sum_b,
        |  CAST(CAST(sum_a AS DOUBLE) / CAST(n_eff AS DOUBLE) AS REAL)
        |    AS acc_a,
        |  CAST(CAST(sum_b AS DOUBLE) / CAST(n_eff AS DOUBLE) AS REAL)
@@ -1131,6 +1155,150 @@ object SparkEntry {
        |    - CAST(sum_b AS DOUBLE) / CAST(n_eff AS DOUBLE) AS REAL)
        |    AS delta
        |FROM a ORDER BY replica""".stripMargin
+  }
+
+  /** The [[graft.query.Analytics7.evalBootstrapBca]] oracle: the shared
+    * replica CTEs, the exact d∈{−1,0,1} tallies, HUGEINT jackknife
+    * moments (Spark holds DECIMAL(38,0)), and the Φ⁻¹ grid inlined as a
+    * VALUES table from the SAME [[graft.query.Analytics7.invNormGrid]]
+    * literals the Spark plan carries — neither engine evaluates a
+    * normal quantile at query time, and the percentile index is the
+    * grid-threshold count (⌈Φ(w)·B⌉ = 1 + #{k : Φ⁻¹(k/B) < w}). */
+  private def bcaOracleSql(reps: Int): String = {
+    val tz = Analytics7.invNormGrid(reps)
+    val zLo = Analytics7.invNormCdf(0.025)
+    val zHi = Analytics7.invNormCdf(0.975)
+    val zgRows = tz.zipWithIndex
+      .map { case (z, i) => s"(${i + 1}, CAST($z AS DOUBLE))" }
+      .mkString(", ")
+    pairedBootCtes(reps) + ",\n" +
+    s"""bs AS (
+       |  SELECT CAST(replica AS INT) AS replica, n_eff, sum_a, sum_b,
+       |    CAST(CAST(sum_a AS DOUBLE) / CAST(n_eff AS DOUBLE)
+       |      - CAST(sum_b AS DOUBLE) / CAST(n_eff AS DOUBLE) AS REAL)
+       |      AS delta
+       |  FROM a
+       |), tly AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(coalesce(sum(CASE WHEN a_ok THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS sa,
+       |    CAST(coalesce(sum(CASE WHEN b_ok THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS sb,
+       |    CAST(coalesce(sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0
+       |      END), 0) AS BIGINT) AS cm,
+       |    CAST(coalesce(sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0
+       |      END), 0) AS BIGINT) AS cp
+       |  FROM s
+       |), blw AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN
+       |      (bs.sum_a - bs.sum_b) * t.n_items
+       |        < (t.sa - t.sb) * bs.n_eff THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS cnt_below
+       |  FROM bs CROSS JOIN tly t
+       |), core AS (
+       |  SELECT t.n_items, t.sa - t.sb AS d_total, t.cm, t.cp,
+       |    b.cnt_below
+       |  FROM tly t CROSS JOIN blw b WHERE t.n_items > 0
+       |), mom AS (
+       |  SELECT core.*,
+       |    CAST(cm AS HUGEINT)
+       |        * CAST(n_items + d_total AS HUGEINT)
+       |        * CAST(n_items + d_total AS HUGEINT)
+       |      + CAST(n_items - cm - cp AS HUGEINT)
+       |        * CAST(d_total AS HUGEINT) * CAST(d_total AS HUGEINT)
+       |      + CAST(cp AS HUGEINT)
+       |        * CAST(n_items - d_total AS HUGEINT)
+       |        * CAST(n_items - d_total AS HUGEINT) AS i2,
+       |    -(CAST(cm AS HUGEINT)
+       |        * CAST(n_items + d_total AS HUGEINT)
+       |        * CAST(n_items + d_total AS HUGEINT)
+       |        * CAST(n_items + d_total AS HUGEINT))
+       |      - CAST(n_items - cm - cp AS HUGEINT)
+       |        * CAST(d_total AS HUGEINT) * CAST(d_total AS HUGEINT)
+       |        * CAST(d_total AS HUGEINT)
+       |      + CAST(cp AS HUGEINT)
+       |        * CAST(n_items - d_total AS HUGEINT)
+       |        * CAST(n_items - d_total AS HUGEINT)
+       |        * CAST(n_items - d_total AS HUGEINT) AS i3
+       |  FROM core
+       |), zg AS (SELECT * FROM (VALUES $zgRows) AS zz(k, z)),
+       |acc AS (
+       |  SELECT mom.*, CASE WHEN i2 = 0 THEN 0.0
+       |    ELSE CAST(i3 AS DOUBLE)
+       |      / (6.0 * CAST(i2 AS DOUBLE) * sqrt(CAST(i2 AS DOUBLE)))
+       |    END AS accel_d
+       |  FROM mom
+       |), zr AS (
+       |  SELECT acc.*, zg.z AS z0_d
+       |  FROM acc JOIN zg ON zg.k
+       |    = CAST(least(greatest(acc.cnt_below, 1), ${reps - 1}) AS INT)
+       |), w AS (
+       |  SELECT zr.*,
+       |    z0_d + (z0_d + $zLo) / (1.0 - accel_d * (z0_d + $zLo))
+       |      AS w_lo_d,
+       |    z0_d + (z0_d + $zHi) / (1.0 - accel_d * (z0_d + $zHi))
+       |      AS w_hi_d
+       |  FROM zr
+       |), idx AS (
+       |  SELECT w.*,
+       |    CAST(1 + (SELECT count(*) FROM zg WHERE zg.z < w.w_lo_d)
+       |      AS INT) AS idx_lo,
+       |    CAST(1 + (SELECT count(*) FROM zg WHERE zg.z < w.w_hi_d)
+       |      AS INT) AS idx_hi
+       |  FROM w
+       |), ranked AS (
+       |  SELECT delta, row_number() OVER (ORDER BY delta, replica) AS rk
+       |  FROM bs
+       |)
+       |SELECT i.n_items, i.d_total, i.cnt_below,
+       |  CAST(CAST(i.d_total AS DOUBLE) / CAST(i.n_items AS DOUBLE)
+       |    AS REAL) AS theta_hat,
+       |  CAST(i.z0_d AS REAL) AS z0, CAST(i.accel_d AS REAL) AS accel,
+       |  i.idx_lo, i.idx_hi, rl.delta AS ci_lo, rh.delta AS ci_hi
+       |FROM idx i JOIN ranked rl ON rl.rk = i.idx_lo
+       |  JOIN ranked rh ON rh.rk = i.idx_hi""".stripMargin
+  }
+
+  /** The [[graft.query.Analytics7.graphSsspWeighted]] oracle: the
+    * Bellman-Ford relaxation UNROLLED into `rounds` MATERIALIZED
+    * min-combine stages over the length-carrying symmetric co-purchase
+    * edges (frontier-pruned Spark rounds produce exactly the full
+    * per-round relaxation — offers are re-sent the round after their
+    * source improves). MATERIALIZED is load-bearing: each d_{r−1} is
+    * referenced twice per stage. */
+  private def ssspOracleSql(rounds: Int, nSources: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT src, v, min(d) AS d FROM (
+         |    SELECT src, v, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT r.src, e.v, r.d + e.len
+         |    FROM d${i - 1} r JOIN ew e ON e.u = r.v) GROUP BY src, v
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e0 AS (
+       |  SELECT a.pk AS u, b.pk AS v, CAST(count(*) AS BIGINT) AS w
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk
+       |), ew AS (
+       |  SELECT u, v,
+       |    CAST(1 AS BIGINT) + CAST(1000 AS BIGINT) // w AS len
+       |  FROM e0
+       |  UNION ALL
+       |  SELECT v, u,
+       |    CAST(1 AS BIGINT) + CAST(1000 AS BIGINT) // w AS len
+       |  FROM e0
+       |), verts AS (SELECT DISTINCT u FROM ew),
+       |srcs AS (
+       |  SELECT u AS src FROM verts
+       |  ORDER BY CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)
+       |    AS BIGINT), u LIMIT $nSources
+       |), d0 AS (SELECT src, src AS v, CAST(0 AS BIGINT) AS d FROM srcs),
+       |$stages
+       |SELECT src, v AS part, d AS dist
+       |FROM d$rounds ORDER BY src, part""".stripMargin
   }
 
   /** The [[graft.query.TextAnalysis.textBpeTrain]] oracle: the training
@@ -5658,6 +5826,101 @@ object SparkEntry {
         |  chi2 / (CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))
         |    AS kendalls_w
         |FROM f""".stripMargin,
+    // round 17: unrolled Bellman-Ford (frontier-pruned == full rounds)
+    "graph_sssp_weighted" -> ssspOracleSql(4, 4),
+    // round 17: BCa over the shared replica CTEs, Φ⁻¹ grid literals
+    "eval_bootstrap_bca" -> bcaOracleSql(50),
+    // round 17: clipped-sum DP mean — exact scaled-BIGINT clip, the
+    // dqDpLaplaceCounts REAL-cast-first noise contract at b=C/ε and 1/ε
+    "privacy_dp_clipped_mean" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+        |    CAST(coalesce(sum(least(greatest(
+        |      CAST(floor(value * 100.0) AS BIGINT), 0), 5000)), 0)
+        |      AS BIGINT) AS clipped_sum_scaled
+        |  FROM events GROUP BY 1
+        |), u AS (
+        |  SELECT g.*,
+        |    CAST(CAST('0x' || substr(md5(event_type || ':dpsum'), 1, 15)
+        |      AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS us,
+        |    CAST(CAST('0x' || substr(md5(event_type || ':dpcnt'), 1, 15)
+        |      AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS uc
+        |  FROM g
+        |), nz AS (
+        |  SELECT event_type, n_exact, clipped_sum_scaled,
+        |    CAST(-100.0 * sign(us - 0.5)
+        |      * ln(1.0 - 2.0 * abs(us - 0.5)) AS REAL) AS noise_sum,
+        |    CAST(-2.0 * sign(uc - 0.5)
+        |      * ln(1.0 - 2.0 * abs(uc - 0.5)) AS REAL) AS noise_cnt
+        |  FROM u
+        |), rel AS (
+        |  SELECT *,
+        |    CAST(CAST(clipped_sum_scaled AS DOUBLE) / 100.0
+        |      + CAST(noise_sum AS DOUBLE) AS REAL) AS dp_sum,
+        |    CAST(greatest(CAST(n_exact AS DOUBLE)
+        |      + CAST(noise_cnt AS DOUBLE), 1.0) AS REAL) AS dp_count
+        |  FROM nz
+        |)
+        |SELECT event_type, n_exact, clipped_sum_scaled, noise_sum,
+        |  noise_cnt, dp_sum, dp_count,
+        |  CAST(CAST(dp_sum AS DOUBLE) / CAST(dp_count AS DOUBLE) AS REAL)
+        |    AS dp_mean
+        |FROM rel ORDER BY event_type""".stripMargin,
+    // round 17: the ann_ivf_det_topk cell CTEs with the quantizer
+    // trained on the CORPUS slice only; the delta batch joins the
+    // standing cells and only the occupancy epilogue follows
+    "ann_ivf_delta_assign" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), corpus AS (SELECT * FROM emb WHERE vec_id % 5 <> 0
+        |), delta AS (SELECT * FROM emb WHERE vec_id % 5 = 0
+        |), seeds AS (
+        |  SELECT seed_vid, seed_e,
+        |    CAST(row_number() OVER (ORDER BY h, seed_vid) - 1 AS BIGINT)
+        |      AS cell
+        |  FROM (
+        |    SELECT vec_id AS seed_vid, e AS seed_e,
+        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+        |        AS BIGINT) AS h
+        |    FROM corpus ORDER BY h, vec_id LIMIT 16)
+        |), ca AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT c.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_dot_product(c.e, s.seed_e) DESC, s.cell)
+        |        AS rn
+        |    FROM corpus c, seeds s) WHERE rn = 1
+        |), da AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT d.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY list_dot_product(d.e, s.seed_e) DESC, s.cell)
+        |        AS rn
+        |    FROM delta d, seeds s) WHERE rn = 1
+        |), occ AS (
+        |  SELECT s.cell,
+        |    CAST(coalesce(co.n, 0) AS BIGINT) AS n_corpus,
+        |    CAST(coalesce(de.n, 0) AS BIGINT) AS n_delta
+        |  FROM seeds s
+        |  LEFT JOIN (SELECT cell, count(*) AS n FROM ca GROUP BY cell) co
+        |    USING (cell)
+        |  LEFT JOIN (SELECT cell, count(*) AS n FROM da GROUP BY cell) de
+        |    USING (cell)
+        |), tot AS (
+        |  SELECT CAST(sum(n_corpus) AS BIGINT) AS tc,
+        |    CAST(sum(n_delta) AS BIGINT) AS td
+        |  FROM occ
+        |)
+        |SELECT cell, n_corpus, n_delta,
+        |  CAST(CAST(n_corpus AS DOUBLE) / CAST(tc AS DOUBLE) AS REAL)
+        |    AS share_before,
+        |  CAST(CAST(n_corpus + n_delta AS DOUBLE)
+        |    / CAST(tc + td AS DOUBLE) AS REAL) AS share_after,
+        |  CAST(CAST(n_corpus + n_delta AS DOUBLE)
+        |      / CAST(tc + td AS DOUBLE)
+        |    - CAST(n_corpus AS DOUBLE) / CAST(tc AS DOUBLE) AS REAL)
+        |    AS drift
+        |FROM occ, tot ORDER BY cell""".stripMargin,
     // DPO pairs: chosen = (score DESC, id ASC) pick, rejected =
     // (score ASC, id DESC) pick — distinct docs whenever n_cands >= 2
     "pref_pair_margin" ->

@@ -1486,7 +1486,7 @@ object Analytics5 {
     * type-mean rule) and classifier B (the global-mean rule) each got
     * the PRF parity label right — all integer cross-multiplied
     * compares, hash-replayable in any engine. */
-  private def pairedOkFrame(spark: SparkSession, dir: String): DataFrame = {
+  private[query] def pairedOkFrame(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.schema.Schemas.events(spark, dir)
       .select(col("event_id"), col("event_type"),
         round(col("value") * lit(1000.0)).cast("long").as("v3"))
@@ -1723,7 +1723,13 @@ object Analytics5 {
     val h = graft.query.Dedup.hash60(concat(
       col("event_id").cast("string"), lit(":boot:"),
       col("replica").cast("string")))
+    // the ×reps md5 fanout must NOT ride the scan's partitioning: a
+    // single-file corpus reads as ONE task, and 50·|events| digests on
+    // one core IS the query's cost (measured 5.2 s → 0.5 s at sf0.1).
+    // One exchange of the narrow (id, 2 bools) frame buys a
+    // fully-parallel map stage — the explode/hash work lands after it.
     val g = pairedOkFrame(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
       .select(col("event_id"), col("a_ok"), col("b_ok"),
         explode(sequence(lit(0), lit(reps - 1))).as("replica"))
       .withColumn("w", w(h))
@@ -1731,8 +1737,13 @@ object Analytics5 {
       .agg(sum(col("w")).as("n_eff"),
         sum(col("w") * when(col("a_ok"), 1L).otherwise(0L)).as("sum_a"),
         sum(col("w") * when(col("b_ok"), 1L).otherwise(0L)).as("sum_b"))
-    val accA = col("sum_a").cast("double") / col("n_eff").cast("double")
-    val accB = col("sum_b").cast("double") / col("n_eff").cast("double")
+    // n_eff = 0 (possible only on degenerate ≤few-row corpora where a
+    // replica draws all-zero weights) → NULL accuracy, exactly DuckDB's
+    // double-division-by-zero semantics; under Spark 4's ANSI default
+    // the unguarded division would throw instead
+    def acc(c: Column): Column = when(col("n_eff") > 0L,
+      c.cast("double") / col("n_eff").cast("double"))
+    val accA = acc(col("sum_a")); val accB = acc(col("sum_b"))
     g.select(col("replica"), col("n_eff"), col("sum_a"), col("sum_b"),
         accA.cast("float").as("acc_a"), accB.cast("float").as("acc_b"),
         (accA - accB).cast("float").as("delta"))

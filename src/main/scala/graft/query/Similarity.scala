@@ -1307,4 +1307,81 @@ object Similarity {
         col("len_ratio"), col("score"))
       .orderBy(col("rank"))
   }
+
+  /** Delta-batch assignment into the PERSISTED IVF cell structure — the
+    * continuous-embedding-ingest maintenance step: new vectors
+    * (vec_id % 5 == 0, the [[Curation2.dedupIncremental]] delta
+    * convention) are assigned to the STANDING corpus-trained coarse
+    * cells WITHOUT rebuilding the quantizer (the incremental-index
+    * discipline applied to [[ivfDetTopK]]'s deterministic cells), and
+    * the per-cell occupancy drift ships beside the exact counts so a
+    * rebuild trigger is auditable (a cell whose share moved is where
+    * probe recall decays first).
+    *
+    * Assignment is pointwise given the seed panel, so the incremental
+    * path is EXACTLY what a full re-assignment over corpus∪delta with
+    * the same corpus-trained seeds would produce (NorthStar parity
+    * spec) — the property that makes "assign the delta, skip the
+    * rebuild" sound.
+    *
+    * Exactness: cells are [[detSeeds]]' md5-ranked deterministic
+    * anchors over the CORPUS slice; occupancies are exact BIGINTs;
+    * shares and drift are single divisions/subtractions of exact
+    * integers against broadcast 1-row totals, REAL-cast.
+    *
+    * Scale shape: the corpus assignment is computed once and persisted
+    * per (session, corpus) — the standing index; the delta pass is one
+    * broadcast-seed-panel argmax aggregate over ONLY the delta rows
+    * (work ∝ |delta|·nCells, never corpus-shaped), then a ≤nCells-row
+    * epilogue. At 100 TB the delta batch is the only thing scanned. */
+  def annIvfDeltaAssign(spark: SparkSession, dir: String,
+      nCells: Int = 16): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // corpus-trained seed panel: md5-ranked Forgy anchors drawn from the
+    // STANDING corpus only (the delta must not move the quantizer)
+    val seeds = emb.filter(col("vec_id") % 5 =!= 0)
+      .orderBy(Dedup.hash60(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("seed_vid"), col("embedding").as("seed_e"))
+      .withColumn("cell",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(Dedup.hash60(col("seed_vid").cast("string")),
+            col("seed_vid"))) - 1).cast("long"))
+    def assign(rows: DataFrame): DataFrame = rows
+      .crossJoin(broadcast(seeds))
+      .withColumn("dp", expr("float_dot(embedding, seed_e)"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("dp"), (-col("cell")).as("negc"))).as("best"))
+      .select(col("vec_id"), (-col("best.negc")).as("cell"))
+    // the persisted standing index: per-cell corpus occupancy
+    val corpusOcc = Analytics.cachedDf(spark,
+        Analytics.gkey(dir, s"ivfocc$nCells")) {
+      assign(emb.filter(col("vec_id") % 5 =!= 0))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_corpus"))
+    }
+    val deltaOcc = assign(emb.filter(col("vec_id") % 5 === 0))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_delta"))
+    val occ = seeds.select(col("cell"))
+      .join(corpusOcc, Seq("cell"), "left_outer")
+      .join(deltaOcc, Seq("cell"), "left_outer")
+      .select(col("cell"),
+        coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+    val tot = occ.agg(sum(col("n_corpus")).as("tc"),
+      sum(col("n_delta")).as("td"))
+    occ.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_corpus"), col("n_delta"),
+        (col("n_corpus").cast("double") / col("tc").cast("double"))
+          .cast("float").as("share_before"),
+        ((col("n_corpus") + col("n_delta")).cast("double")
+          / (col("tc") + col("td")).cast("double"))
+          .cast("float").as("share_after"),
+        ((col("n_corpus") + col("n_delta")).cast("double")
+          / (col("tc") + col("td")).cast("double")
+          - col("n_corpus").cast("double") / col("tc").cast("double"))
+          .cast("float").as("drift"))
+      .orderBy(col("cell"))
+  }
 }

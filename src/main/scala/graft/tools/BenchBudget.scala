@@ -113,7 +113,16 @@ object BenchBudget {
         "2 numbers/user"),
     "stream_croston" -> (6.0,
       "transformWithState store init + drain floor; data work is " +
-        "4 numbers/user")
+        "4 numbers/user"),
+    // r17 arrivals above the default bar
+    "graph_sssp_weighted" -> (8.0,
+      "4 BSP relaxation rounds, one min-combine shuffle + superstep " +
+        "barrier each over the hash(u)-pinned #symlen index (~3 s " +
+        "warm); builder of the shared co-purchase projection when " +
+        "cold-first"),
+    "eval_bootstrap_bca" -> (4.0,
+      "two fact passes (the ×50 replica fanout + the jackknife tally), " +
+        "each materialized once; ~1.9 s warm at 32 threads")
   )
 
   def main(args: Array[String]): Unit = {

@@ -10,9 +10,14 @@ import java.nio.file.{Files, Paths}
 object VerifySome {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1); val names = args.drop(2)
+    // default 8 preserves the historical footprint; x10 sweeps set
+    // SPARK_GRAFT_CPUS to use the full host
+    val cpus = math.max(1, math.min(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
+      Runtime.getRuntime.availableProcessors())).toString
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -647,4 +647,38 @@ class EdgeCaseSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().length == 3)
     graft.query.Analytics.clearCaches()
   }
+
+  test("round-17 family: empty and single-row corpora degrade to " +
+      "well-formed results") {
+    import graft.query.{Analytics7, Similarity}
+    graft.query.Analytics.clearCaches()
+    // empty: no events → no DP releases / no BCa row (n_items > 0
+    // gate); no embeddings → no quantizer, no cells; no lineitem → no
+    // edges, no sources
+    assert(Analytics7.privacyDpClippedMean(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics7.evalBootstrapBca(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Similarity.annIvfDeltaAssign(spark, emptyStarDir)
+      .collect().isEmpty)
+    assert(Analytics7.graphSsspWeighted(spark, emptyStarDir)
+      .collect().isEmpty)
+    graft.query.Analytics.clearCaches()
+    // singleton: one event releases one noisy row; the BCa epilogue
+    // survives degenerate replicas (n_eff may be 0 — the statistic is
+    // meaningless but the release is well-formed, never a crash); the
+    // single embedding has vec_id 0 ⇒ delta-only, so the corpus-trained
+    // quantizer is empty and the release is the honest zero-cell one;
+    // one lineitem row has no co-purchase pair ⇒ no graph
+    val dp1 = Analytics7.privacyDpClippedMean(spark, oneStarDir).collect()
+    assert(dp1.length == 1 && dp1.head.getAs[Long]("n_exact") == 1L
+      && dp1.head.getAs[Float]("dp_count") >= 1.0f)
+    assert(Analytics7.evalBootstrapBca(spark, oneStarDir)
+      .collect().length <= 1)
+    assert(Similarity.annIvfDeltaAssign(spark, oneStarDir)
+      .collect().isEmpty)
+    assert(Analytics7.graphSsspWeighted(spark, oneStarDir)
+      .collect().isEmpty)
+    graft.query.Analytics.clearCaches()
+  }
 }

@@ -39,6 +39,10 @@ class WindowGateSpec extends SparkSpec {
     "agg_pareto_concentration" ->
       "revenue-range bucket histogram (two-level rank/cumsum)",
     "ann_ivf_det_topk" -> "≤ nCells deterministic seed panel",
+    "ann_ivf_delta_assign" -> "≤ nCells deterministic seed panel",
+    "eval_bootstrap_bca" ->
+      ("≤ reps replica panel (checkpointed ×50 aggregate; the declared " +
+        "limit(reps) restores the bound the barrier hides)"),
     "ann_ivf_pq_topk" -> "≤ nCells seed / ≤ nProbe probe panels",
     "ann_recall_curve" -> "≤ nCells seed panel + ≤ nQueries query panel",
     "corpus_source_overlap" -> "≤ 16 distinct sources (mask cap)",

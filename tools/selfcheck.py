@@ -23,8 +23,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
+    # big synthetic corpora: bound DuckDB so one quadratic oracle cannot
+    # take the host down (the r15 80 GB closure-CTE lesson)
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    thr = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         # spark-written tables (e.g. the ScaleCurve x10 synthesis) are
@@ -36,6 +44,8 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_pass = n_fail = 0
     declared = [d for d in sorted(os.listdir(out_dir))
                 if os.path.isdir(os.path.join(out_dir, d))]
+    if only:
+        declared = [d for d in declared if d in only]
     for name in declared:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
@@ -88,4 +98,6 @@ def main(sf_dir: str, out_dir: str) -> int:
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional trailing args restrict the compare to named queries
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3:]) if len(sys.argv) > 3 else None))
