@@ -2225,14 +2225,38 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    // exact HUGEINT moments on the ×10³ value grid (the builtin
+    // streaming covar/corr accumulators are engine-order-dependent and
+    // diverged at x10); median is selection-based and stays raw
     "agg_stats_advanced" ->
-      """SELECT event_type,
-        |  CAST(stddev_samp(value) AS REAL) AS sd_value,
-        |  CAST(var_samp(value) AS REAL) AS var_value,
-        |  CAST(median(value) AS REAL) AS median_value,
-        |  CAST(corr(value, user_id) AS REAL) AS corr_value_user,
-        |  CAST(covar_samp(value, user_id) AS REAL) AS covar_value_user
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 1000.0) AS HUGEINT) AS v3,
+        |    CAST(user_id AS HUGEINT) AS u, value
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(v3) AS sv, sum(v3 * v3) AS svv,
+        |    sum(u) AS su, sum(u * u) AS suu, sum(u * v3) AS suv,
+        |    CAST(median(value) AS REAL) AS median_value
+        |  FROM e GROUP BY event_type
+        |)
+        |SELECT event_type,
+        |  CAST(sqrt(CAST(n * svv - sv * sv AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e6)
+        |    AS REAL) AS sd_value,
+        |  CAST(CAST(n * svv - sv * sv AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e6
+        |    AS REAL) AS var_value,
+        |  median_value,
+        |  CAST(CAST(n * suv - su * sv AS DOUBLE)
+        |    / (sqrt(CAST(n * svv - sv * sv AS DOUBLE))
+        |      * sqrt(CAST(n * suu - su * su AS DOUBLE))) AS REAL)
+        |    AS corr_value_user,
+        |  CAST(CAST(n * suv - su * sv AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e3
+        |    AS REAL) AS covar_value_user
+        |FROM m ORDER BY event_type""".stripMargin,
     "o1_sort_importance_desc" ->
       """SELECT event_type, avg(value) AS importance
         |FROM events GROUP BY event_type
@@ -6179,7 +6203,8 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS n FROM e
         |)
         |SELECT e.event_id, e.event_type,
-        |  CAST((g.sg - e.v6) * t.n + 10 * t.s AS DOUBLE)
+        |  CAST(CAST(g.sg - e.v6 AS HUGEINT) * t.n
+        |      + 10 * CAST(t.s AS HUGEINT) AS DOUBLE)
         |    / CAST((g.ng - 1 + 10) * t.n AS DOUBLE) / 1000000.0 AS loo_te
         |FROM e JOIN g ON e.event_type = g.event_type CROSS JOIN t
         |WHERE e.event_id < 2000
@@ -10156,7 +10181,8 @@ object SparkEntry {
         |  FROM p GROUP BY i, j
         |)
         |SELECT i, j, n, sxy, sx, sy,
-        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |  CAST(n * CAST(sxy AS HUGEINT)
+        |      - CAST(sx AS HUGEINT) * sy AS DOUBLE)
         |    / (CAST(n * n AS DOUBLE) * 1e12) AS cov
         |FROM a2 ORDER BY i, j""".stripMargin,
     // the ts_autocorr_lag1 Pearson-over-pairs form at lags 1..5, plus
@@ -10311,7 +10337,8 @@ object SparkEntry {
         |  FROM ev GROUP BY 1
         |), sdd AS (
         |  SELECT event_type, n_h,
-        |    sqrt(CAST(n_h * s2 - s1 * s1 AS DOUBLE))
+        |    sqrt(CAST(n_h * CAST(s2 AS HUGEINT)
+        |      - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
         |      / CAST(n_h AS DOUBLE) / 1000.0 AS sd
         |  FROM m
         |), tot AS (

@@ -1385,9 +1385,12 @@ object Analytics4 {
     * Scale shape: each vector expands map-side to its dims·(dims+1)/2
     * pair products (a literal pair-index array — no self-join, no
     * per-dim shuffle) and everything combines map-side into
-    * dims·(dims+1)/2 grouped rows. Envelope: |x| ≤ ~1 ⇒ xi6 ~ 10⁶,
-    * products ~ 10¹², exact in BIGINT to ~10⁶ rows per group-free
-    * corpus slice; past that the same sums ride DECIMAL(38). */
+    * dims·(dims+1)/2 grouped rows. Envelope: the per-row products and
+    * their sums stay BIGINT (~10¹² per product, exact to ~10⁶ rows),
+    * but the epilogue cross-terms n·Σxy and Σx·Σy square the row count
+    * in — they crossed 2⁶³ at the x10 corpus (n = 2·10⁵), so the
+    * moment COMBINATION rides DECIMAL(38,0)/HUGEINT while the shuffled
+    * sums stay narrow. */
   def embCovarianceInt(spark: SparkSession, dir: String,
       dims: Int = 8): DataFrame = {
     val pairIdx = array((for {
@@ -1406,7 +1409,11 @@ object Analytics4 {
         sum(col("xi")).as("sx"), sum(col("xj")).as("sy"))
       .select(col("i"), col("j"), col("n"), col("sxy"), col("sx"),
         col("sy"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        ((col("n") * col("sxy").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
+          - col("sx").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
+            * col("sy")).cast("double") /
           ((col("n") * col("n")).cast("double") * lit(1e12))).as("cov"))
       .orderBy(col("i"), col("j"))
   }

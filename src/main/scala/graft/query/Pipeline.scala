@@ -257,12 +257,15 @@ object Pipeline {
     * Scale shape: one map-side-combined aggregate per category (k rows)
     * plus a 1-row global aggregate, both broadcast back onto the fact
     * scan — no fact shuffle at all; the window-free LOO form is what
-    * keeps this encoder one-pass on huge fact tables. (The BIGINT
-    * cross-products fit 63 bits up to ~10⁹-row corpora at this value
-    * scale; past that the same expressions ride DECIMAL(38) like
-    * agg_decimal_exact.) */
+    * keeps this encoder one-pass on huge fact tables. The numerator
+    * cross-products ride DECIMAL(38,0)/HUGEINT (Σ·N crosses 2⁶³ just
+    * past ~10⁵ rows/category at this ×10⁶ value scale — the x10 sweep
+    * caught the BIGINT form overflowing); the denominator (k·N grain)
+    * stays LONG. */
   def featureTargetEncode(spark: SparkSession, dir: String,
       m: Long = 10L, maxId: Long = 2000L): DataFrame = {
+    val dec38 =
+      org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val ev = graft.schema.Schemas.events(spark, dir)
       .select(col("event_id"), col("event_type"),
         round(col("value") * lit(1e6)).cast("long").as("v6"))
@@ -273,7 +276,8 @@ object Pipeline {
       .join(broadcast(grp), Seq("event_type"))
       .crossJoin(broadcast(glob))
       .select(col("event_id"), col("event_type"),
-        (((col("sg") - col("v6")) * col("n") + lit(m) * col("s"))
+        (((col("sg") - col("v6")).cast(dec38) * col("n")
+          + lit(m) * col("s").cast(dec38))
           .cast("double") /
           ((col("ng") - 1 + lit(m)) * col("n")).cast("double") / lit(1e6))
           .as("loo_te"))

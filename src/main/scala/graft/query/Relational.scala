@@ -527,19 +527,50 @@ object Relational {
   }
 
   /** Advanced statistical aggregates — sample stddev/variance, exact
-    * median, correlation, covariance. float32 outputs: the engines'
-    * accumulation orders differ in the last ulp (same rule as every large
-    * double aggregate here). */
-  def aggStatsAdvanced(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+    * median, correlation, covariance. Moments ride the exact-integer
+    * discipline (value on the ×10³ grid, raw BIGINT user ids, sums in
+    * DECIMAL(38,0)/HUGEINT) and every statistic is a fixed
+    * parenthesization of those exact sums: the builtin
+    * covar_samp/corr accumulators are streaming doubles whose ORDER
+    * differs per engine, and the x10 sweep caught them diverging past
+    * the REAL cast once the synthetic user-id stride (~10⁹ offsets) met
+    * 10⁶-row groups — catastrophic cancellation the two-pass textbook
+    * form never sees. Median stays on the raw doubles: selection plus
+    * one midpoint average is order-independent on any engine. */
+  def aggStatsAdvanced(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 =
+      org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def d(c: Column): Column = c.cast(dec38)
+    val g = events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * lit(1000.0)).cast("long").as("v3"),
+        col("user_id").as("u"), col("value"))
       .groupBy(col("event_type"))
-      .agg(
-        stddev_samp(col("value")).cast("float").as("sd_value"),
-        var_samp(col("value")).cast("float").as("var_value"),
-        median(col("value")).cast("float").as("median_value"),
-        corr(col("value"), col("user_id")).cast("float").as("corr_value_user"),
-        covar_samp(col("value"), col("user_id")).cast("float").as("covar_value_user"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("v3"))).as("sv"),
+        sum(d(col("v3")) * col("v3")).as("svv"),
+        sum(d(col("u"))).as("su"),
+        sum(d(col("u")) * col("u")).as("suu"),
+        sum(d(col("u")) * col("v3")).as("suv"),
+        median(col("value")).cast("float").as("median_value"))
+    val nD = col("n").cast("double")
+    val varNum = (d(col("n")) * col("svv") - col("sv") * col("sv"))
+      .cast("double")
+    val covNum = (d(col("n")) * col("suv") - col("su") * col("sv"))
+      .cast("double")
+    val uNum = (d(col("n")) * col("suu") - col("su") * col("su"))
+      .cast("double")
+    val varV = varNum / (nD * (nD - lit(1.0))) / lit(1e6)
+    g.select(col("event_type"),
+        sqrt(varV).cast("float").as("sd_value"),
+        varV.cast("float").as("var_value"),
+        col("median_value"),
+        (covNum / (sqrt(varNum) * sqrt(uNum))).cast("float")
+          .as("corr_value_user"),
+        (covNum / (nD * (nD - lit(1.0))) / lit(1e3)).cast("float")
+          .as("covar_value_user"))
       .orderBy(col("event_type"))
+  }
 
   // ---- §2.4 sorts / limits / top-k ----------------------------------------
 

@@ -350,12 +350,18 @@ object Relational3 {
     val ev = graft.schema.Schemas.events(spark, dir)
       .select(col("event_type"),
         round(col("value") * lit(1e3)).cast("long").as("v3"))
+    val dec38 =
+      org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val m = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_h"), sum(col("v3")).as("s1"),
         sum(col("v3") * col("v3")).as("s2"))
       .select(col("event_type"), col("n_h"),
-        // population sd on the ×10³ scale: √((N·Σv² − (Σv)²)/N²)/10³
-        (sqrt((col("n_h") * col("s2") - col("s1") * col("s1"))
+        // population sd on the ×10³ scale: √((N·Σv² − (Σv)²)/N²)/10³;
+        // the N·Σv² cross-term squares the stratum size in and crossed
+        // 2⁶³ at the x10 corpus — the moment combination rides
+        // DECIMAL(38,0)/HUGEINT while the shuffled sums stay BIGINT
+        (sqrt((col("n_h").cast(dec38) * col("s2")
+          - col("s1").cast(dec38) * col("s1"))
           .cast("double")) / col("n_h").cast("double") / lit(1e3))
           .as("sd"))
       .withColumn("mass", col("n_h").cast("double") * col("sd"))

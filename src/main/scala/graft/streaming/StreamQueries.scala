@@ -649,13 +649,22 @@ object StreamQueries {
       // driver corpus gets the full footer probe + normalization
       val stored =
         if (rawEvents) eventsStoredSchema(spark, dir) else eventsSchemaMicros
+      // probe the stored LAYOUT like streamEvents does: a Spark-written
+      // corpus has events.parquet as a DIRECTORY of part files, and the
+      // leaf-name glob matches none of them — the x10 sweep caught this
+      // path silently draining zero batches
+      val evPath = java.nio.file.Paths.get(dir, "events.parquet")
+      val isDirLayout =
+        rawEvents && java.nio.file.Files.isDirectory(evPath)
       val reader0 = spark.readStream.schema(stored)
       val reader1 =
-        if (rawEvents) reader0.option("pathGlobFilter", "events.parquet")
+        if (rawEvents && !isDirLayout)
+          reader0.option("pathGlobFilter", "events.parquet")
         else reader0
       val reader = filesPerTrigger.fold(reader1)(n =>
         reader1.option("maxFilesPerTrigger", n))
-      val src = normalizeStreamEvents(reader.parquet(dir), stored)
+      val src = normalizeStreamEvents(
+        reader.parquet(if (isDirLayout) evPath.toString else dir), stored)
       @volatile var latest: Option[String] = None
       val upsertCkpt = tmpfsCheckpointDir(
         "upsert" + UUID.randomUUID().toString.replace("-", ""))

@@ -12,11 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * which side of the gate the corpus actually lands on — the
   * cap-crossing evidence the r15 verdict asked to record.
   *
-  * Usage: runMain graft.tools.GateCheck <sfDir>
+  * Usage: runMain graft.tools.GateCheck <sfDir> [<name> …]
+  * (optional trailing names restrict the run — the forced-on matrix /
+  * broadcast paths are deliberately heavy, and a big-corpus rerun of
+  * one check should not re-pay the others)
   */
 object GateCheck {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
+    val onlyNames = args.drop(1).toSet
     val cpus = math.max(1, math.min(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
       Runtime.getRuntime.availableProcessors())).toString
@@ -27,6 +31,11 @@ object GateCheck {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // the forced-on paths allocate driver-side matrices/broadcasts by
+      // design; survive the long full-GC pauses they cause in local
+      // mode instead of dying of heartbeat starvation
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
@@ -37,6 +46,7 @@ object GateCheck {
         .sorted.toSeq
 
     def check(name: String)(a: => DataFrame, b: => DataFrame): Unit = {
+      if (onlyNames.nonEmpty && !onlyNames.contains(name)) return
       try {
         val (ra, rb) = (canon(a), canon(b))
         val ok = ra == rb

@@ -27,6 +27,8 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
     # big synthetic corpora: bound DuckDB so one quadratic oracle cannot
     # take the host down (the r15 80 GB closure-CTE lesson)
+    # spill OUTSIDE the repo working copy (default is ./.tmp in cwd)
+    con.execute("SET temp_directory='/tmp/duckspill'")
     mem = os.environ.get("GRAFT_DUCKDB_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
@@ -91,7 +93,8 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             print(f"[NEAR] {name}: {len(got)} rows float-close but not bit-exact"); n_pass += 1
         else:
             print(f"[FAIL] {name}"); n_fail += 1
-    missing = [k for k in oracles if k not in declared]
+    missing = [k for k in oracles if k not in declared
+               and (not only or k in only)]
     for k in missing:
         print(f"[FAIL] oracle {k} has no spark output dir"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {len(declared)} declared, {len(oracles)} oracles")
