@@ -815,6 +815,12 @@ object SparkEntry {
     "stream_dedup_incremental" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.StreamQueries.streamDedupIncremental(s, d)),
+    // round 18: streaming IVF maintenance — per-micro-batch assignment
+    // of arriving delta vectors into the persisted corpus-trained
+    // cells; ValueState cumulative occupancy; drain == batch report
+    "stream_ann_ivf_assign" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.StreamQueries.streamAnnIvfAssign(s, d)),
     // round 15: monitoring twins — per-bin ValueState counters whose
     // drained panels feed the SAME epilogue as the batch queries
     "stream_eval_ece" ->
@@ -968,6 +974,10 @@ object SparkEntry {
     // round 17: DP clipped-sum mean (the Laplace release for means)
     "privacy_dp_clipped_mean" -> ((s: SparkSession, d: String) =>
       Analytics7.privacyDpClippedMean(s, d)),
+    // round 18: ε-ledger with basic + advanced composition bounds over
+    // the standing release inventory (exact µε grid)
+    "privacy_budget_ledger" -> ((s: SparkSession, d: String) =>
+      Analytics7.privacyBudgetLedger(s, d)),
     // round 17: delta-batch assignment into the persisted IVF cells
     "ann_ivf_delta_assign"   -> ((s: SparkSession, d: String) =>
       Similarity.annIvfDeltaAssign(s, d)),
@@ -1247,7 +1257,8 @@ object SparkEntry {
        |      AS INT) AS idx_hi
        |  FROM w
        |), ranked AS (
-       |  SELECT delta, row_number() OVER (ORDER BY delta, replica) AS rk
+       |  SELECT delta, row_number()
+       |    OVER (ORDER BY delta NULLS LAST, replica) AS rk
        |  FROM bs
        |)
        |SELECT i.n_items, i.d_total, i.cnt_below,
@@ -1557,6 +1568,102 @@ object SparkEntry {
         |      + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))) AS REAL)
         |    AS chi2_term
         |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
+
+  /** Oracle for `privacy_budget_ledger`: the VALUES panel and the two
+    * composition epilogues are rendered from the SAME Scala inventory
+    * ([[Analytics7.defaultDpReleases]]) and constants the engine uses,
+    * so no libm exp/ln runs in either engine and every sum is an exact
+    * BIGINT — only fixed-paren double epilogues remain. */
+  private lazy val privacyLedgerOracleSql: String = {
+    val rows = Analytics7.defaultDpReleases
+      .map(r => s"('${r.release}', '${r.mechanism}', " +
+        s"'${r.privacy_model}', ${r.n_draws}, ${r.eps_u}, ${r.lin_n})")
+      .mkString(",\n      |    ")
+    s"""WITH p(release, mechanism, privacy_model, n_draws, eps_u, lin_n)
+      |  AS (VALUES
+      |    $rows),
+      |t AS (
+      |  SELECT CAST(coalesce(sum(n_draws), 0) AS BIGINT) AS n,
+      |    CAST(coalesce(sum(eps_u), 0) AS BIGINT) AS s,
+      |    CAST(coalesce(sum(CAST(eps_u AS BIGINT) * eps_u), 0)
+      |      AS BIGINT) AS ssq,
+      |    CAST(coalesce(sum(lin_n), 0) AS BIGINT) AS sl
+      |  FROM p
+      |)
+      |SELECT release, mechanism, privacy_model,
+      |  CAST(n_draws AS BIGINT) AS n_draws,
+      |  CAST(eps_u AS BIGINT) AS eps_micro,
+      |  CAST(CAST(eps_u AS DOUBLE) / 1000000.0 AS REAL) AS eps
+      |FROM p
+      |UNION ALL
+      |SELECT 'zz_composition_basic', 'sequential', 'central+local',
+      |  n, s, CAST(CAST(s AS DOUBLE) / 1000000.0 AS REAL)
+      |FROM t
+      |UNION ALL
+      |SELECT 'zz_composition_advanced', 'advanced_composition',
+      |  'central+local', n, CAST(NULL AS BIGINT),
+      |  CAST(sqrt(2.0 * ${Analytics7.lnInvDelta}
+      |      * (CAST(ssq AS DOUBLE) / 1000000000000.0))
+      |    + CAST(sl AS DOUBLE) / 1000000000.0 AS REAL)
+      |FROM t
+      |ORDER BY release""".stripMargin
+  }
+
+  /** Shared by `ann_ivf_delta_assign` and its streaming twin
+    * `stream_ann_ivf_assign` (drain == batch row-for-row, so one
+    * oracle adjudicates both). */
+  private lazy val annIvfAssignOracleSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), corpus AS (SELECT * FROM emb WHERE vec_id % 5 <> 0
+      |), delta AS (SELECT * FROM emb WHERE vec_id % 5 = 0
+      |), seeds AS (
+      |  SELECT seed_vid, seed_e,
+      |    CAST(row_number() OVER (ORDER BY h, seed_vid) - 1 AS BIGINT)
+      |      AS cell
+      |  FROM (
+      |    SELECT vec_id AS seed_vid, e AS seed_e,
+      |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+      |        AS BIGINT) AS h
+      |    FROM corpus ORDER BY h, vec_id LIMIT 16)
+      |), ca AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT c.vec_id, s.cell,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_dot_product(c.e, s.seed_e) DESC, s.cell)
+      |        AS rn
+      |    FROM corpus c, seeds s) WHERE rn = 1
+      |), da AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT d.vec_id, s.cell,
+      |      row_number() OVER (PARTITION BY d.vec_id
+      |        ORDER BY list_dot_product(d.e, s.seed_e) DESC, s.cell)
+      |        AS rn
+      |    FROM delta d, seeds s) WHERE rn = 1
+      |), occ AS (
+      |  SELECT s.cell,
+      |    CAST(coalesce(co.n, 0) AS BIGINT) AS n_corpus,
+      |    CAST(coalesce(de.n, 0) AS BIGINT) AS n_delta
+      |  FROM seeds s
+      |  LEFT JOIN (SELECT cell, count(*) AS n FROM ca GROUP BY cell) co
+      |    USING (cell)
+      |  LEFT JOIN (SELECT cell, count(*) AS n FROM da GROUP BY cell) de
+      |    USING (cell)
+      |), tot AS (
+      |  SELECT CAST(sum(n_corpus) AS BIGINT) AS tc,
+      |    CAST(sum(n_delta) AS BIGINT) AS td
+      |  FROM occ
+      |)
+      |SELECT cell, n_corpus, n_delta,
+      |  CAST(CAST(n_corpus AS DOUBLE) / CAST(tc AS DOUBLE) AS REAL)
+      |    AS share_before,
+      |  CAST(CAST(n_corpus + n_delta AS DOUBLE)
+      |    / CAST(tc + td AS DOUBLE) AS REAL) AS share_after,
+      |  CAST(CAST(n_corpus + n_delta AS DOUBLE)
+      |      / CAST(tc + td AS DOUBLE)
+      |    - CAST(n_corpus AS DOUBLE) / CAST(tc AS DOUBLE) AS REAL)
+      |    AS drift
+      |FROM occ, tot ORDER BY cell""".stripMargin
 
   private lazy val incrementalMinhashOracleSql: String =
     s"""WITH ${minhashPairsCtes(8, 4, "0.5")},
@@ -1929,12 +2036,15 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_optimal_time" ->
-      """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
-        |  avg(value) AS score,
-        |  count(*) AS n_events
-        |FROM events
-        |GROUP BY 1
-        |HAVING avg(value) BETWEEN 45.0 AND 52.0
+      """SELECT hour,
+        |  CAST(sv3 AS DOUBLE) / CAST(n_events AS DOUBLE) / 1000.0 AS score,
+        |  n_events
+        |FROM (SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+        |        SUM(CAST(round(value * 1000) AS HUGEINT)) AS sv3,
+        |        count(*) AS n_events
+        |      FROM events GROUP BY 1)
+        |WHERE sv3 >= CAST(n_events AS HUGEINT) * 45000
+        |  AND sv3 <= CAST(n_events AS HUGEINT) * 52000
         |ORDER BY score, hour""".stripMargin,
     "q2_sensitivity_skeleton" ->
       """SELECT CAST(v AS REAL) AS varied_value,
@@ -2107,7 +2217,9 @@ object SparkEntry {
         |ORDER BY revenue DESC, n_name""".stripMargin,
     "join_broadcast_dim" ->
       """SELECT p_brand,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS DOUBLE) / 10000.0 AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -2117,7 +2229,9 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_star_3way" ->
-      """SELECT r_name, count(*) AS n_customers, sum(c_acctbal) AS sum_acctbal
+      """SELECT r_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS HUGEINT)) AS DOUBLE)
+        |    / 100.0 AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -5893,58 +6007,7 @@ object SparkEntry {
     // round 17: the ann_ivf_det_topk cell CTEs with the quantizer
     // trained on the CORPUS slice only; the delta batch joins the
     // standing cells and only the occupancy epilogue follows
-    "ann_ivf_delta_assign" ->
-      """WITH emb AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-        |), corpus AS (SELECT * FROM emb WHERE vec_id % 5 <> 0
-        |), delta AS (SELECT * FROM emb WHERE vec_id % 5 = 0
-        |), seeds AS (
-        |  SELECT seed_vid, seed_e,
-        |    CAST(row_number() OVER (ORDER BY h, seed_vid) - 1 AS BIGINT)
-        |      AS cell
-        |  FROM (
-        |    SELECT vec_id AS seed_vid, e AS seed_e,
-        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
-        |        AS BIGINT) AS h
-        |    FROM corpus ORDER BY h, vec_id LIMIT 16)
-        |), ca AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT c.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY c.vec_id
-        |        ORDER BY list_dot_product(c.e, s.seed_e) DESC, s.cell)
-        |        AS rn
-        |    FROM corpus c, seeds s) WHERE rn = 1
-        |), da AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT d.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY d.vec_id
-        |        ORDER BY list_dot_product(d.e, s.seed_e) DESC, s.cell)
-        |        AS rn
-        |    FROM delta d, seeds s) WHERE rn = 1
-        |), occ AS (
-        |  SELECT s.cell,
-        |    CAST(coalesce(co.n, 0) AS BIGINT) AS n_corpus,
-        |    CAST(coalesce(de.n, 0) AS BIGINT) AS n_delta
-        |  FROM seeds s
-        |  LEFT JOIN (SELECT cell, count(*) AS n FROM ca GROUP BY cell) co
-        |    USING (cell)
-        |  LEFT JOIN (SELECT cell, count(*) AS n FROM da GROUP BY cell) de
-        |    USING (cell)
-        |), tot AS (
-        |  SELECT CAST(sum(n_corpus) AS BIGINT) AS tc,
-        |    CAST(sum(n_delta) AS BIGINT) AS td
-        |  FROM occ
-        |)
-        |SELECT cell, n_corpus, n_delta,
-        |  CAST(CAST(n_corpus AS DOUBLE) / CAST(tc AS DOUBLE) AS REAL)
-        |    AS share_before,
-        |  CAST(CAST(n_corpus + n_delta AS DOUBLE)
-        |    / CAST(tc + td AS DOUBLE) AS REAL) AS share_after,
-        |  CAST(CAST(n_corpus + n_delta AS DOUBLE)
-        |      / CAST(tc + td AS DOUBLE)
-        |    - CAST(n_corpus AS DOUBLE) / CAST(tc AS DOUBLE) AS REAL)
-        |    AS drift
-        |FROM occ, tot ORDER BY cell""".stripMargin,
+    "ann_ivf_delta_assign" -> annIvfAssignOracleSql,
     // DPO pairs: chosen = (score DESC, id ASC) pick, rejected =
     // (score ASC, id DESC) pick — distinct docs whenever n_cands >= 2
     "pref_pair_margin" ->
@@ -6205,7 +6268,8 @@ object SparkEntry {
         |SELECT e.event_id, e.event_type,
         |  CAST(CAST(g.sg - e.v6 AS HUGEINT) * t.n
         |      + 10 * CAST(t.s AS HUGEINT) AS DOUBLE)
-        |    / CAST((g.ng - 1 + 10) * t.n AS DOUBLE) / 1000000.0 AS loo_te
+        |    / CAST(CAST(g.ng - 1 + 10 AS HUGEINT) * t.n AS DOUBLE)
+        |    / 1000000.0 AS loo_te
         |FROM e JOIN g ON e.event_type = g.event_type CROSS JOIN t
         |WHERE e.event_id < 2000
         |ORDER BY e.event_id""".stripMargin,
@@ -8955,6 +9019,10 @@ object SparkEntry {
     // the streaming twin drains to the identical panel (batch-
     // equivalence contract), so it shares the batch probe's oracle
     "stream_dedup_incremental" -> incrementalMinhashOracleSql,
+    // drain == batch row-for-row, so the batch IVF oracle adjudicates
+    // the streaming twin too
+    "stream_ann_ivf_assign" -> annIvfAssignOracleSql,
+    "privacy_budget_ledger" -> privacyLedgerOracleSql,
     // monitoring twins share their batch queries' oracles (drain==batch)
     "stream_eval_ece" -> eceOracleSql,
     "stream_drift_psi" -> psiTermsOracleSql,

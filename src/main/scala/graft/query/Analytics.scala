@@ -359,8 +359,15 @@ object Analytics {
   /** Build-once persisted component. The build is materialized (count)
     * inside the insert so every later use reads warm blocks. Dependent
     * components are resolved BEFORE their own computeIfAbsent — a
-    * recursive update of one ConcurrentHashMap is illegal. */
-  private[query] def cachedDf(spark: SparkSession, key: String)
+    * recursive update of one ConcurrentHashMap is illegal.
+    *
+    * `srcTable` names the parquet table the frame DERIVES from — the
+    * eviction fingerprint hashes that file, so regenerating the actual
+    * source at the same path rebuilds the index (an embeddings-derived
+    * index keyed to lineitem would serve stale blocks silently after an
+    * embeddings-only regeneration). */
+  private[query] def cachedDf(spark: SparkSession, key: String,
+      srcTable: String = "lineitem")
       (build: => DataFrame): DataFrame = {
     val m = graphCache.synchronized {
       var mm = graphCache.get(spark)
@@ -372,7 +379,7 @@ object Analytics {
     }
     val dir = key.takeWhile(_ != '#')
     graft.schema.Schemas.evictingComputeIfAbsent(m, key,
-      graft.schema.Schemas.fingerprint(s"$dir/lineitem.parquet"))({
+      graft.schema.Schemas.fingerprint(s"$dir/$srcTable.parquet"))({
       val df = build.persist()
       df.count()
       df

@@ -85,19 +85,24 @@ object Analytics3 {
     * restricted to touched components, which is exactly what the
     * oracle computes independently via the recursive CTE).
     *
-    * Scale shape: the base labeling is the one corpus-scale pass (and
-    * in production is the PERSISTED state, not recomputed); everything
-    * delta-side — endpoint lookup, contraction, the union-find over
-    * distinct label pairs, the touched-root panel — is bounded by the
-    * tranche size and broadcast back, so the relabel join is map-only
-    * against the label store. */
+    * Scale shape: the base labeling is the one corpus-scale pass and is
+    * the PERSISTED state — fingerprint-cached per (session, dir) via
+    * [[Analytics.cachedDf]] like every other standing index (`#wdeg`,
+    * the basket index, the token index), so warm calls run delta-only
+    * work; everything delta-side — endpoint lookup, contraction, the
+    * union-find over distinct label pairs, the touched-root panel — is
+    * bounded by the tranche size and broadcast back, so the relabel
+    * join is map-only against the label store. */
   def graphCcIncremental(spark: SparkSession, dir: String,
       maxRounds: Int = 50,
       driverUnionFindMax: Long = 4000000L): DataFrame = {
-    val baseE = pairOrderEdges(spark, dir, col("ok") % 10 =!= 0)
     val deltaE = pairOrderEdges(spark, dir, col("ok") % 10 === 0)
-    val baseLbl = componentsOf(spark, baseE, maxRounds, driverUnionFindMax)
-      .localCheckpoint(true)
+    val baseLbl = Analytics.cachedDf(spark,
+        Analytics.gkey(dir, s"ccbase$maxRounds-$driverUnionFindMax")) {
+      componentsOf(spark, pairOrderEdges(spark, dir, col("ok") % 10 =!= 0),
+          maxRounds, driverUnionFindMax)
+        .localCheckpoint(true)
+    }
     val dVerts = deltaE.select(col("u"))
       .union(deltaE.select(col("v").as("u"))).distinct()
     // delta endpoints through the label store; unseen nodes label = id

@@ -175,9 +175,12 @@ object Analytics7 {
     // truncates lineage, so without it the ranking window looks
     // unreduced to WindowGateSpec's strict walk — the Similarity MMR
     // pool discipline
+    // NULLS LAST pinned explicitly: Spark's ASC default is NULLS FIRST,
+    // DuckDB's is NULLS LAST — a degenerate n_eff=0 replica (NULL delta)
+    // would shift every rank by one cross-engine otherwise
     val ranked = boot.limit(reps).select(col("replica"), col("delta"))
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("delta"), col("replica"))))
+        Window.orderBy(col("delta").asc_nulls_last, col("replica"))))
     val lo = scored.join(ranked, col("rk") === col("idx_lo"))
       .select(col("n_items"), col("d_total"), col("cnt_below"),
         col("z0_d"), col("accel_d"), col("w_lo_d"), col("w_hi_d"),
@@ -254,6 +257,91 @@ object Analytics7 {
         (col("dp_sum").cast("double") / col("dp_count").cast("double"))
           .cast("float"))
       .orderBy(col("event_type"))
+  }
+
+  // ---- DP privacy-budget ledger ------------------------------------------
+
+  /** One row of the engine's DP release inventory, ε on the exact µε
+    * grid (integer micro-epsilon — the integer-accounting convention of
+    * production DP libraries, and what keeps every ledger sum
+    * order-independent): `eps_u` is the release's TOTAL composed ε in
+    * µε (per-draw ε × sequential draws, composed at panel construction),
+    * `lin_n` is the driver-precomputed advanced-composition linear term
+    * ε·(e^ε−1) in nano units — libm exp never runs inside either
+    * engine, the [[invNormGrid]] inlined-constant discipline. */
+  case class DpRelease(release: String, mechanism: String,
+      privacy_model: String, n_draws: Long, eps_u: Long, lin_n: Long)
+
+  private def mkRelease(release: String, mechanism: String, model: String,
+      nDraws: Long, epsPerDraw: Double): DpRelease = {
+    val epsU = Math.round(epsPerDraw * 1e6) * nDraws
+    val eps = epsU.toDouble / 1e6
+    DpRelease(release, mechanism, model, nDraws, epsU,
+      Math.round(eps * Math.expm1(eps) * 1e9))
+  }
+
+  /** The engine's standing DP release inventory, one row per release
+    * family as the code actually spends ε: the two Laplace count
+    * releases ride PARALLEL composition over disjoint type slices (so
+    * one worst-case draw each), the Gumbel-max top-k is k adaptive
+    * exponential peels (k·ε sequential), the clipped mean is two
+    * Laplace draws (sum + count) at ε each, and randomized response is
+    * the local-model ε = ln((p)/(1−p)) = ln 3 at p = 3/4. */
+  private[graft] val defaultDpReleases: Seq[DpRelease] = Seq(
+    mkRelease("dq_dp_laplace_counts", "laplace", "central", 1L, 0.5),
+    mkRelease("privacy_dp_counts", "laplace", "central", 1L, 1.0),
+    mkRelease("privacy_dp_quantile", "exponential", "central", 1L, 1.0),
+    mkRelease("privacy_dp_topk", "exponential", "central", 3L, 1.0),
+    mkRelease("privacy_dp_clipped_mean", "laplace", "central", 2L, 0.5),
+    mkRelease("privacy_rand_response", "rand_response", "local", 1L,
+      math.log(3.0)))
+
+  /** ln(1/δ') for the advanced-composition bound at δ' = 10⁻⁶ — a
+    * driver constant shared verbatim with the oracle SQL generator. */
+  private[graft] val lnInvDelta: Double = 13.815510557964274
+
+  /** DP privacy-budget ledger — the composition report that turns the
+    * privacy family's per-release ε parameters into an account: one row
+    * per standing release (exact µε), plus a basic sequential
+    * composition total (Σεᵢ) and the heterogeneous advanced-composition
+    * bound √(2·ln(1/δ')·Σεᵢ²) + Σεᵢ(e^εᵢ−1) at δ' = 10⁻⁶ — the
+    * (ε, δ)-DP statement a data-release review actually asks for.
+    *
+    * Exactness: every engine-side sum is over exact BIGINTs (µε grid;
+    * squares ≤ 9·10¹², nano linear terms) so accumulation order cannot
+    * matter; e^ε−1 is driver-precomputed per release (no libm exp in
+    * either engine); the two bound epilogues are fixed-parenthesization
+    * double arithmetic, REAL-cast. Empty inventory yields the two
+    * zero-ε total rows (EdgeCaseSpec contract).
+    *
+    * Scale shape: a ≤10-row literal panel — driver-sized by
+    * construction, the ledger grain is releases, not data. */
+  def privacyBudgetLedger(spark: SparkSession, dir: String,
+      releases: Seq[DpRelease] = defaultDpReleases): DataFrame = {
+    import spark.implicits._
+    val p = spark.createDataset(releases).toDF()
+    val rel = p.select(col("release"), col("mechanism"),
+      col("privacy_model"), col("n_draws"),
+      col("eps_u").as("eps_micro"),
+      (col("eps_u").cast("double") / lit(1e6)).cast("float").as("eps"))
+    val t = p.agg(
+      coalesce(sum(col("n_draws")), lit(0L)).as("n"),
+      coalesce(sum(col("eps_u")), lit(0L)).as("s"),
+      coalesce(sum(col("eps_u") * col("eps_u")), lit(0L)).as("ssq"),
+      coalesce(sum(col("lin_n")), lit(0L)).as("sl"))
+    val basic = t.select(lit("zz_composition_basic").as("release"),
+      lit("sequential").as("mechanism"),
+      lit("central+local").as("privacy_model"),
+      col("n").as("n_draws"), col("s").as("eps_micro"),
+      (col("s").cast("double") / lit(1e6)).cast("float").as("eps"))
+    val advanced = t.select(lit("zz_composition_advanced").as("release"),
+      lit("advanced_composition").as("mechanism"),
+      lit("central+local").as("privacy_model"),
+      col("n").as("n_draws"), lit(null).cast("long").as("eps_micro"),
+      (sqrt(lit(2.0) * lit(lnInvDelta) *
+          (col("ssq").cast("double") / lit(1e12))) +
+        col("sl").cast("double") / lit(1e9)).cast("float").as("eps"))
+    rel.unionByName(basic).unionByName(advanced).orderBy(col("release"))
   }
 
   // ---- weighted single-source shortest paths ------------------------------

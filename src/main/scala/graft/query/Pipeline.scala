@@ -257,11 +257,12 @@ object Pipeline {
     * Scale shape: one map-side-combined aggregate per category (k rows)
     * plus a 1-row global aggregate, both broadcast back onto the fact
     * scan — no fact shuffle at all; the window-free LOO form is what
-    * keeps this encoder one-pass on huge fact tables. The numerator
-    * cross-products ride DECIMAL(38,0)/HUGEINT (Σ·N crosses 2⁶³ just
-    * past ~10⁵ rows/category at this ×10⁶ value scale — the x10 sweep
-    * caught the BIGINT form overflowing); the denominator (k·N grain)
-    * stays LONG. */
+    * keeps this encoder one-pass on huge fact tables. BOTH sides of the
+    * division ride DECIMAL(38,0)/HUGEINT: the numerator cross-products
+    * (Σ·N crosses 2⁶³ just past ~10⁵ rows/category at this ×10⁶ value
+    * scale — the x10 sweep caught the BIGINT form overflowing) AND the
+    * denominator (ng−1+m)·N, which is the same square-the-row-count
+    * shape (~N²/k, crossing 2⁶³ near 10⁹–10¹⁰ rows). */
   def featureTargetEncode(spark: SparkSession, dir: String,
       m: Long = 10L, maxId: Long = 2000L): DataFrame = {
     val dec38 =
@@ -279,7 +280,8 @@ object Pipeline {
         (((col("sg") - col("v6")).cast(dec38) * col("n")
           + lit(m) * col("s").cast(dec38))
           .cast("double") /
-          ((col("ng") - 1 + lit(m)) * col("n")).cast("double") / lit(1e6))
+          ((col("ng") - 1 + lit(m)).cast(dec38) * col("n"))
+            .cast("double") / lit(1e6))
           .as("loo_te"))
       .orderBy(col("event_id"))
   }

@@ -49,13 +49,31 @@ object Relational {
     * filter, best-first sort — the relational core of the reference's
     * optimal-time endpoint (api/api.py:227-313) with the model swapped for
     * an aggregate. 24-row output: the HAVING band runs post-agg on 24 rows;
-    * the groupBy shuffles only 24 partial rows per input partition. */
-  def q3OptimalTime(spark: SparkSession, dir: String): DataFrame =
+    * the groupBy shuffles only 24 partial rows per input partition.
+    *
+    * Exactness: the score rides the ×10³ value grid summed in
+    * DECIMAL(38,0) — a streaming `avg(double)` accumulates in engine-
+    * specific order and drifted past bit-equality at x10, and here the
+    * drift is worse than cosmetic because the BETWEEN band sits on the
+    * drifting value (a boundary hour can flip in/out). The band test is
+    * the exact integer inequality 45000·n ≤ Σv3 ≤ 52000·n; the reported
+    * score is one fixed-parenthesization double epilogue. */
+  def q3OptimalTime(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 =
+      org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     events(spark, dir)
-      .groupBy(hour(col("ts")).as("hour"))
-      .agg(avg(col("value")).as("score"), count(lit(1)).as("n_events"))
-      .filter(col("score").between(lit(45.0), lit(52.0)))
+      .select(hour(col("ts")).as("hour"),
+        round(col("value") * lit(1000.0)).cast("long").as("v3"))
+      .groupBy(col("hour"))
+      .agg(sum(col("v3").cast(dec38)).as("sv3"), count(lit(1)).as("n_events"))
+      .filter(col("sv3") >= col("n_events").cast(dec38) * lit(45000L) &&
+        col("sv3") <= col("n_events").cast(dec38) * lit(52000L))
+      .select(col("hour"),
+        (col("sv3").cast("double") / col("n_events").cast("double") /
+          lit(1000.0)).as("score"),
+        col("n_events"))
       .orderBy(col("score"), col("hour"))
+  }
 
   // ---- §2.1 sources --------------------------------------------------------
 
@@ -308,15 +326,30 @@ object Relational {
 
   /** Broadcast dimension join — fact × small dim. `broadcast(part)` keeps
     * the fact side shuffle-free: the 1000-executor plan is a map-side hash
-    * join per fact partition. */
-  def joinBroadcastDim(spark: SparkSession, dir: String): DataFrame =
+    * join per fact partition.
+    *
+    * Exactness: revenue is summed as BIGINT cents ×(100−disc_c) in
+    * DECIMAL(38,0) (the [[joinSaltedSkew]] discipline) — the original
+    * `sum(double)` form drifted past bit-equality at x10 because the two
+    * engines accumulate in different orders; one fixed-paren double
+    * epilogue (/10⁴) restores the dollar scale. */
+  def joinBroadcastDim(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 =
+      org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     table(spark, dir, "lineitem")
       .join(broadcast(table(spark, dir, "part")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+          .cast(dec38) *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+          .as("rev_c4"),
         count(lit(1)).as("n_items"))
+      .select(col("p_brand"),
+        (col("rev_c4").cast("double") / lit(10000.0)).as("revenue"),
+        col("n_items"))
       .orderBy(col("p_brand"))
+  }
 
   /** Shuffle (sort-merge/hash) join — two fact tables co-partitioned on the
     * join key by the exchange; AQE picks the physical strategy and coalesces
@@ -330,8 +363,14 @@ object Relational {
         sum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("o_orderpriority"))
 
-  /** 3-way star join — customer→nation→region, both dims broadcast. */
-  def joinStar3Way(spark: SparkSession, dir: String): DataFrame =
+  /** 3-way star join — customer→nation→region, both dims broadcast.
+    *
+    * Exactness: acctbal is on the cents grid but not binary-representable,
+    * so `sum(double)` is order-sensitive and drifted at x10 — summed as
+    * BIGINT cents in DECIMAL(38,0), one double epilogue (/10²). */
+  def joinStar3Way(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 =
+      org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     table(spark, dir, "customer")
       .join(broadcast(table(spark, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
@@ -339,8 +378,12 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("n_customers"),
-        sum(col("c_acctbal")).as("sum_acctbal"))
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)").cast(dec38))
+          .as("bal_c"))
+      .select(col("r_name"), col("n_customers"),
+        (col("bal_c").cast("double") / lit(100.0)).as("sum_acctbal"))
       .orderBy(col("r_name"))
+  }
 
   /** Anti join — parts never ordered (NOT EXISTS). Broadcast the distinct
     * key set of the fact side when small; at scale this is a shuffled

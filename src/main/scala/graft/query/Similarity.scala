@@ -1337,11 +1337,29 @@ object Similarity {
   def annIvfDeltaAssign(spark: SparkSession, dir: String,
       nCells: Int = 16): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
+    val seeds = ivfSeedPanel(spark, dir, nCells)
     val emb = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    // corpus-trained seed panel: md5-ranked Forgy anchors drawn from the
-    // STANDING corpus only (the delta must not move the quantizer)
-    val seeds = emb.filter(col("vec_id") % 5 =!= 0)
+    def assign(rows: DataFrame): DataFrame = rows
+      .crossJoin(broadcast(seeds))
+      .withColumn("dp", expr("float_dot(embedding, seed_e)"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("dp"), (-col("cell")).as("negc"))).as("best"))
+      .select(col("vec_id"), (-col("best.negc")).as("cell"))
+    val deltaOcc = assign(emb.filter(col("vec_id") % 5 === 0))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_delta"))
+    ivfOccReport(spark, dir, seeds, deltaOcc, nCells)
+  }
+
+  /** The corpus-trained IVF seed panel — md5-ranked Forgy anchors drawn
+    * from the STANDING corpus only (the delta must not move the
+    * quantizer). Shared by [[annIvfDeltaAssign]] and its streaming twin
+    * [[graft.streaming.StreamQueries.streamAnnIvfAssign]]. */
+  private[graft] def ivfSeedPanel(spark: SparkSession, dir: String,
+      nCells: Int): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 5 =!= 0)
       .orderBy(Dedup.hash60(col("vec_id").cast("string")), col("vec_id"))
       .limit(nCells)
       .select(col("vec_id").as("seed_vid"), col("embedding").as("seed_e"))
@@ -1349,20 +1367,28 @@ object Similarity {
         (row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(Dedup.hash60(col("seed_vid").cast("string")),
             col("seed_vid"))) - 1).cast("long"))
-    def assign(rows: DataFrame): DataFrame = rows
-      .crossJoin(broadcast(seeds))
-      .withColumn("dp", expr("float_dot(embedding, seed_e)"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("dp"), (-col("cell")).as("negc"))).as("best"))
-      .select(col("vec_id"), (-col("best.negc")).as("cell"))
+
+  /** Occupancy-drift epilogue shared by the batch and streaming IVF
+    * maintenance paths: joins a (cell, n_delta) table against the
+    * PERSISTED per-cell corpus occupancy (fingerprint-cached on the
+    * embeddings table) and emits exact counts + REAL-cast share/drift
+    * columns on a ≤nCells-row panel. */
+  private[graft] def ivfOccReport(spark: SparkSession, dir: String,
+      seeds: DataFrame, deltaOcc: DataFrame, nCells: Int): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
     // the persisted standing index: per-cell corpus occupancy
     val corpusOcc = Analytics.cachedDf(spark,
-        Analytics.gkey(dir, s"ivfocc$nCells")) {
-      assign(emb.filter(col("vec_id") % 5 =!= 0))
+        Analytics.gkey(dir, s"ivfocc$nCells"), srcTable = "embeddings") {
+      table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 5 =!= 0)
+        .crossJoin(broadcast(seeds))
+        .withColumn("dp", expr("float_dot(embedding, seed_e)"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("dp"), (-col("cell")).as("negc"))).as("best"))
+        .select(col("vec_id"), (-col("best.negc")).as("cell"))
         .groupBy(col("cell")).agg(count(lit(1)).as("n_corpus"))
     }
-    val deltaOcc = assign(emb.filter(col("vec_id") % 5 === 0))
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_delta"))
     val occ = seeds.select(col("cell"))
       .join(corpusOcc, Seq("cell"), "left_outer")
       .join(deltaOcc, Seq("cell"), "left_outer")

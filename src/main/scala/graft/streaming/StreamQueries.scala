@@ -110,7 +110,8 @@ object StreamQueries {
   }
 
   private def streamEvents(spark: SparkSession, dir: String,
-      singleBatch: Boolean = false): DataFrame = {
+      singleBatch: Boolean = false,
+      filesPerTrigger: Option[Int] = None): DataFrame = {
     val stored = eventsStoredSchema(spark, dir)
     // STORED LAYOUT is probed, like the stored types: the driver ships
     // events.parquet as a single FILE, but a Spark-written corpus has it
@@ -131,9 +132,11 @@ object StreamQueries {
     // the watermark between batches) — required where a query's
     // batch-equivalence contract assumes empty initial state, e.g.
     // dropDuplicatesWithinWatermark == SELECT DISTINCT.
-    val src = (if (singleBatch) reader.option("maxFilesPerTrigger", Int.MaxValue)
-     else reader)
-      .parquet(if (isDirLayout) evPath.toString else dir)
+    val paced =
+      if (singleBatch) reader.option("maxFilesPerTrigger", Int.MaxValue)
+      else filesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n))
+    val src = paced.parquet(if (isDirLayout) evPath.toString else dir)
     normalizeStreamEvents(src, stored)
   }
 
@@ -334,6 +337,32 @@ object StreamQueries {
     * × gap horizon, not history. */
   def streamSessionWindowNative(spark: SparkSession, dir: String): DataFrame = {
     val agg = streamEvents(spark, dir, singleBatch = true)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    drain(spark, agg, OutputMode.Append())
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** PACED twin of [[streamSessionWindowNative]] — the production shape
+    * of the watermark-windowed drains: events arrive across MANY
+    * triggers in event-time order (one time-ranged file per trigger),
+    * so the watermark ADVANCES between micro-batches and finalized
+    * sessions are evicted from state as the run proceeds. Under the
+    * one-shot AvailableNow drain the watermark only moves at the final
+    * flush, so state briefly holds EVERY session (corpus-linear — the
+    * honest number StreamX10 records); under paced triggers peak state
+    * is bounded by the sessions alive inside the watermark horizon — the
+    * plateau [[graft.tools.PacedState]] measures. Output is identical
+    * either way (same final watermark finalizes the same session set),
+    * which the tool asserts row-for-row. */
+  def streamSessionWindowPaced(spark: SparkSession, dir: String,
+      filesPerTrigger: Int = 1): DataFrame = {
+    val agg = streamEvents(spark, dir, singleBatch = false,
+        filesPerTrigger = Some(filesPerTrigger))
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"),
         session_window(col("ts"), "30 minutes").as("w"))
@@ -1107,6 +1136,112 @@ object StreamQueries {
         OutputMode.Update(), statePartitions = 4)
       Dedup.incrementalVerdict(spark, dir, cand, shingleSize,
         jaccardThreshold)
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
+  }
+
+  // ---- streaming IVF delta assignment ------------------------------------
+
+  case class CellArrival(cell: Long)
+  case class CellCount(cell: Long, n_delta: Long)
+
+  /** ValueState processor for [[streamAnnIvfAssign]]: per IVF cell, the
+    * cumulative count of delta vectors assigned so far. Each batch emits
+    * the updated cumulative count (Update mode), so the drain's
+    * max-per-cell equals the batch delta occupancy under ANY micro-batch
+    * split. State is KEYSPACE-shaped: ≤ nCells rows of one long each,
+    * regardless of how many vectors stream through. */
+  private class CellOccupancyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, CellArrival, CellCount] {
+    @transient private var n: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CellArrival],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CellCount] = {
+      val total = (if (n.exists()) n.get() else 0L) + rows.size
+      n.update(total)
+      Iterator.single(CellCount(key, total))
+    }
+  }
+
+  /** Embeddings as a file stream (directory-layout aware, the
+    * [[streamDocuments]] discipline). */
+  private def streamEmbeddings(spark: SparkSession, dir: String,
+      filesPerTrigger: Option[Int]): DataFrame = {
+    val schema = StructType.fromDDL(
+      "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    val embPath = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val isDirLayout = java.nio.file.Files.isDirectory(embPath)
+    val reader0 = spark.readStream.schema(schema)
+    val reader1 =
+      if (isDirLayout) reader0
+      else reader0.option("pathGlobFilter", "embeddings.parquet")
+    val reader = filesPerTrigger.fold(reader1)(n =>
+      reader1.option("maxFilesPerTrigger", n))
+    reader.parquet(if (isDirLayout) embPath.toString else dir)
+  }
+
+  /** STREAMING IVF delta assignment — the micro-batch twin of
+    * [[graft.query.Similarity.annIvfDeltaAssign]], continuous embedding
+    * ingest as the production shape (the reference's consumer loop,
+    * consumer/consumer.py:19-26, applied to vectors): delta vectors
+    * arrive as a stream and each micro-batch assigns them to the
+    * PERSISTED corpus-trained cells map-only — the ≤nCells seed panel is
+    * packed into ONE static row (sorted struct array) cross-joined onto
+    * the stream, and `array_max(transform(...))` over the panel is the
+    * same (dp desc, cell asc) argmax as the batch path's
+    * max(struct(dp, −cell)), evaluated per arriving row with no
+    * stream-side shuffle before the state operator. Cumulative per-cell
+    * occupancy lives in transformWithState ValueState (≤ nCells longs —
+    * keyspace-shaped, never corpus-shaped), and the drained counts feed
+    * the shared [[graft.query.Similarity.ivfOccReport]] epilogue, so the
+    * full drain equals the batch report ROW FOR ROW under any
+    * micro-batch split — the stream_dedup_incremental contract.
+    *
+    * Scale shape: per micro-batch work is (arriving vectors) × nCells
+    * codegen'd dot products + one exchange onto ≤nCells state keys; the
+    * corpus occupancy is the standing fingerprint-cached index, never
+    * recomputed per batch. At 100 TB of standing corpus and a trickle of
+    * delta, the stream does delta-sized work per trigger. */
+  def streamAnnIvfAssign(spark: SparkSession, dir: String,
+      nCells: Int = 16,
+      filesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import graft.query.Similarity
+    graft.functions.FloatVecDot.register(spark)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val seeds = Similarity.ivfSeedPanel(spark, dir, nCells)
+      // one static row: the seed panel as a cell-sorted struct array
+      val panel = seeds
+        .agg(sort_array(collect_list(struct(col("cell"), col("seed_e"))))
+          .as("panel"))
+      val assigned = streamEmbeddings(spark, dir, filesPerTrigger)
+        .filter(col("vec_id") % 5 === 0)
+        .crossJoin(broadcast(panel))
+        .select(expr(
+          """-array_max(transform(panel,
+            |  s -> named_struct(
+            |    'dp', float_dot(embedding, s.seed_e),
+            |    'negc', -s.cell))).negc""".stripMargin).as("cell"))
+        .as[CellArrival]
+      val counts = assigned.groupByKey(_.cell)
+        .transformWithState(new CellOccupancyProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .toDF()
+      val deltaOcc = drain(spark, counts, OutputMode.Update(),
+          statePartitions = 4)
+        .groupBy(col("cell")).agg(max(col("n_delta")).as("n_delta"))
+      Similarity.ivfOccReport(spark, dir, seeds, deltaOcc, nCells)
     } finally {
       prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
     }
