@@ -40,6 +40,8 @@ class WindowGateSpec extends SparkSpec {
       "revenue-range bucket histogram (two-level rank/cumsum)",
     "ann_ivf_det_topk" -> "≤ nCells deterministic seed panel",
     "ann_ivf_delta_assign" -> "≤ nCells deterministic seed panel",
+    "stream_ann_ivf_assign" ->
+      "≤ nCells deterministic seed panel (shared ivfOccReport epilogue)",
     "eval_bootstrap_bca" ->
       ("≤ reps replica panel (checkpointed ×50 aggregate; the declared " +
         "limit(reps) restores the bound the barrier hides)"),
