@@ -778,6 +778,12 @@ object SparkEntry {
     // Neyman-optimal stratified allocation, largest-remainder exact
     "sample_neyman_allocation" ->
       ((s: SparkSession, d: String) => Relational3.sampleNeymanAllocation(s, d)),
+    // DoReMi-style uniform-target domain mixture plan (rates/epochs/deficit)
+    "sample_domain_mixture"  ->
+      ((s: SparkSession, d: String) => Curation2.sampleDomainMixture(s, d)),
+    // DSIR hashed-unigram importance weights vs the lang='en' target slice
+    "text_dsir_importance"   ->
+      ((s: SparkSession, d: String) => Curation2.textDsirImportance(s, d)),
     // Adamic-Adar link prediction (1/ln(deg) wedge weights)
     "graph_adamic_adar"      ->
       ((s: SparkSession, d: String) => Analytics4.graphAdamicAdar(s, d)),
@@ -3561,15 +3567,18 @@ object SparkEntry {
         |  CAST(CAST(best AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
         |    AS REAL) AS best_value
         |FROM walk WHERE rn = n ORDER BY user_id""".stripMargin,
+    // li MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
+    // DISTINCT projection re-ran inside both self-join sides and the
+    // degree scan — >1800 s at x10; materialized it replays in 9 s
     "sql_basket_rules" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |), w AS (
+        |), w AS MATERIALIZED (
         |  SELECT a.pk AS u, b.pk AS v, CAST(count(*) AS BIGINT) AS weight
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |  GROUP BY a.pk, b.pk
-        |), d AS (SELECT pk, CAST(count(*) AS BIGINT) AS d FROM li GROUP BY pk),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders)
+        |), d AS MATERIALIZED (SELECT pk, CAST(count(*) AS BIGINT) AS d FROM li GROUP BY pk),
+        |n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders)
         |SELECT w.u AS part_a, w.v AS part_b, w.weight AS support_n,
         |  CAST(CAST(w.weight AS DOUBLE) / CAST(du.d AS DOUBLE) AS REAL)
         |    AS conf_a_to_b,
@@ -4362,6 +4371,57 @@ object SparkEntry {
         |  CAST(CAST(count(DISTINCT tok) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS REAL) AS type_token_ratio
         |FROM toks GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // all allocation quantities BIGINT (floor div), rate/epochs are one
+    // IEEE division each — the only doubles in the plan
+    "sample_domain_mixture" ->
+      """WITH supply AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS supply_chars
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(supply_chars) AS BIGINT) AS total_chars,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM supply
+        |)
+        |SELECT source, n_docs, supply_chars,
+        |  CAST(total_chars // k AS BIGINT) AS target_chars,
+        |  least(1.0, CAST(total_chars // k AS DOUBLE)
+        |    / CAST(supply_chars AS DOUBLE)) AS sample_rate,
+        |  CAST(total_chars // k AS DOUBLE)
+        |    / CAST(supply_chars AS DOUBLE) AS epochs,
+        |  least(supply_chars, CAST(total_chars // k AS BIGINT))
+        |    AS achieved_chars,
+        |  greatest(0, CAST(total_chars // k AS BIGINT) - supply_chars)
+        |    AS deficit_chars
+        |FROM supply, tot ORDER BY source""".stripMargin,
+    // hashed-unigram add-1 log-likelihood ratio, float epilogue (the
+    // text_bigram_logprob exactness precedent)
+    "text_dsir_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 4096 AS bucket
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(string_split(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |    FROM documents)
+        |), b2 AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY bucket) AS n_tgt,
+        |    count(*) OVER (PARTITION BY bucket) AS n_all
+        |  FROM toks
+        |), norms AS (
+        |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ct,
+        |    CAST(count(*) AS BIGINT) AS cr
+        |  FROM toks
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(ln((CAST(n_tgt AS DOUBLE) + 1.0)
+        |        / (CAST(ct AS DOUBLE) + 4096.0))
+        |      - ln((CAST(n_all AS DOUBLE) + 1.0)
+        |        / (CAST(cr AS DOUBLE) + 4096.0))) AS REAL) AS log_weight
+        |FROM b2, norms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_bigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(
@@ -4754,15 +4814,20 @@ object SparkEntry {
         |JOIN emb eb ON eb.vec_id = c.vec_b
         |WHERE list_dot_product(ea.e, eb.e) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // every CTE MATERIALIZED: assigned/amem/emb are each referenced
+    // multiple times downstream, and DuckDB's per-reference inlining
+    // re-evaluated the n×nCells assignment cross-join (with the full
+    // embedding array carried through its window) once per consumer —
+    // 37 GiB OOM at x10; materialization evaluates each stage once
     "dedup_semantic" ->
-      """WITH emb AS (
+      """WITH emb AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-        |), k AS (
+        |), k AS MATERIALIZED (
         |  SELECT CASE WHEN CAST(ceil(count(*) / 32.0) AS BIGINT) > 16
         |    THEN CAST(ceil(count(*) / 32.0) AS BIGINT)
         |    ELSE 16 END AS nc
         |  FROM emb
-        |), cells AS (
+        |), cells AS MATERIALIZED (
         |  SELECT vec_id, e,
         |    CAST(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
         |      AS BIGINT) % (SELECT nc FROM k) AS BIGINT) AS cell,
@@ -4770,20 +4835,20 @@ object SparkEntry {
         |        17, 15) AS BIGINT) AS VARCHAR), 19, '0')
         |      || lpad(CAST(vec_id AS VARCHAR), 19, '0') AS skey
         |  FROM emb
-        |), seeds AS (
+        |), seeds AS MATERIALIZED (
         |  SELECT s.cell, e2.e AS seed_e
         |  FROM (SELECT cell, CAST(substr(min(skey), 20, 19) AS BIGINT)
         |          AS seed_vid
         |        FROM cells GROUP BY cell) s
         |  JOIN emb e2 ON e2.vec_id = s.seed_vid
-        |), assigned AS (
+        |), assigned AS MATERIALIZED (
         |  SELECT vec_id, e, cell FROM (
         |    SELECT emb.vec_id, emb.e, s.cell,
         |      row_number() OVER (PARTITION BY emb.vec_id
         |        ORDER BY list_dot_product(emb.e, s.seed_e) DESC, s.cell)
         |        AS rn
         |    FROM emb, seeds s) WHERE rn = 1
-        |), amem AS (
+        |), amem AS MATERIALIZED (
         |  -- replay the adversarial-occupancy cap (boundedSelfPairs):
         |  -- Voronoi cell sizes are data-driven, so a cell CAN cross the
         |  -- 64-member cap at scale; above it only hub-spoke pairs are
@@ -4792,7 +4857,7 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY cell) AS bsz,
         |    min(vec_id) OVER (PARTITION BY cell) AS bmin
         |  FROM assigned
-        |), removed AS (
+        |), removed AS MATERIALIZED (
         |  SELECT DISTINCT vec_b AS vec_id FROM (
         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |    FROM amem a JOIN amem b
@@ -9343,28 +9408,33 @@ object SparkEntry {
         |ORDER BY s_suppkey""".stripMargin,
     // three unrolled peel rounds — the Spark side runs the identical
     // fixed-round fold over the shared co-purchase edge index
+    // every CTE MATERIALIZED: the peeling chain references each stage
+    // 3× (two IN-subqueries + the next HAVING), so DuckDB's per-
+    // reference inlining re-evaluated the pair self-join a combinatorial
+    // number of times and exhausted temp disk at x10; materialization
+    // evaluates each peel once
     "graph_kcore" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |), edges AS (
+        |), edges AS MATERIALIZED (
         |  SELECT DISTINCT a.pk AS u, b.pk AS v
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |), sym AS (
+        |), sym AS MATERIALIZED (
         |  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
-        |), thr AS (
+        |), thr AS MATERIALIZED (
         |  SELECT quantile_cont(deg, 0.1) AS k FROM (
         |    SELECT CAST(count(*) AS DOUBLE) AS deg FROM sym GROUP BY u)
-        |), a1 AS (SELECT u FROM sym GROUP BY u
+        |), a1 AS MATERIALIZED (SELECT u FROM sym GROUP BY u
         |  HAVING count(*) >= (SELECT k FROM thr)),
-        |e1 AS (SELECT u, v FROM sym
+        |e1 AS MATERIALIZED (SELECT u, v FROM sym
         |  WHERE u IN (SELECT u FROM a1) AND v IN (SELECT u FROM a1)),
-        |a2 AS (SELECT u FROM e1 GROUP BY u
+        |a2 AS MATERIALIZED (SELECT u FROM e1 GROUP BY u
         |  HAVING count(*) >= (SELECT k FROM thr)),
-        |e2 AS (SELECT u, v FROM e1
+        |e2 AS MATERIALIZED (SELECT u, v FROM e1
         |  WHERE u IN (SELECT u FROM a2) AND v IN (SELECT u FROM a2)),
-        |a3 AS (SELECT u FROM e2 GROUP BY u
+        |a3 AS MATERIALIZED (SELECT u FROM e2 GROUP BY u
         |  HAVING count(*) >= (SELECT k FROM thr)),
-        |e3 AS (SELECT u, v FROM e2
+        |e3 AS MATERIALIZED (SELECT u, v FROM e2
         |  WHERE u IN (SELECT u FROM a3) AND v IN (SELECT u FROM a3))
         |SELECT u AS vertex, CAST(count(*) AS BIGINT) AS core_degree
         |FROM e3 GROUP BY u ORDER BY vertex""".stripMargin,
@@ -10823,25 +10893,29 @@ object SparkEntry {
   /** Unrolled `iters`-round pagerank oracle: DuckDB has no iterative
     * construct that re-aggregates over the recursion, so each damping
     * round is one mechanical CTE (pr1..prN) — the same literal
-    * arithmetic the Spark loop runs. */
+    * arithmetic the Spark loop runs. Every CTE is MATERIALIZED: DuckDB
+    * inlines plain CTEs per reference, so the unrolled chain re-planned
+    * the DISTINCT pair self-join once per round and the x10 replay blew
+    * the 1800 s sweep timeout; materialization makes the oracle evaluate
+    * each stage once (184 s at x10, measured). */
   private def pagerankOracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
-      s"""pr$i AS (
+      s"""pr$i AS MATERIALIZED (
          |  SELECT e.v AS u, 0.15 / nv.n + 0.85 * sum(p.pr / d.deg) AS pr
          |  FROM edges e JOIN pr${i - 1} p ON p.u = e.u JOIN deg d ON d.u = e.u, nv
          |  GROUP BY e.v, nv.n
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH li AS (
+    s"""WITH li AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-       |), e0 AS (
+       |), e0 AS MATERIALIZED (
        |  SELECT DISTINCT a.pk AS u, b.pk AS v
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
-       |), deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
-       |nv AS (SELECT count(*) AS n FROM deg),
-       |pr0 AS (SELECT u, 1.0 / n AS pr FROM deg, nv),
+       |), deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+       |nv AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+       |pr0 AS MATERIALIZED (SELECT u, 1.0 / n AS pr FROM deg, nv),
        |$rounds
        |SELECT u AS part, CAST(pr AS REAL) AS pagerank
        |FROM pr$iters WHERE u <= 100 ORDER BY part""".stripMargin

@@ -514,4 +514,86 @@ object Curation2 {
         col("familiarity"), col("bucket"))
       .orderBy(col("doc_id"))
   }
+
+  /** Domain-mixture rebalancing plan (the DoReMi/Pile recipe step): given
+    * a UNIFORM target share per source, size each source's contribution
+    * to a same-total-size mixed corpus — downsample rate for
+    * oversupplied domains, repetition factor (epochs) for undersupplied
+    * ones, and the residual deficit a data-buying decision would act on.
+    * Supply is measured in n_chars (the table's exact integer volume
+    * column), so every allocation quantity is BIGINT arithmetic:
+    * target = total div k (floor), achieved = least(supply, target),
+    * deficit = greatest(0, target − supply). The only doubles are the
+    * reported rate/epochs, each ONE IEEE division of two BIGINTs (and
+    * one `least` against 1.0) — bit-identical cross-engine.
+    *
+    * Scale shape: one map-side-combined (count, sum) aggregate per
+    * source (≤ dozens of rows), a 1-row total broadcast back onto the
+    * panel; nothing downstream of the first aggregate scales with the
+    * corpus. The same plan shape sizes a 100 TB mixture: the per-source
+    * supply census is the scan, the plan is driver-sized. */
+  def sampleDomainMixture(spark: SparkSession, dir: String): DataFrame = {
+    val supply = table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("supply_chars"))
+    val tot = supply.agg(sum(col("supply_chars")).as("total_chars"),
+      count(lit(1)).as("k"))
+    supply.crossJoin(broadcast(tot))
+      .withColumn("target_chars",
+        expr("total_chars div k").cast("long"))
+      .select(col("source"), col("n_docs"), col("supply_chars"),
+        col("target_chars"),
+        least(lit(1.0), col("target_chars").cast("double")
+          / col("supply_chars").cast("double")).as("sample_rate"),
+        (col("target_chars").cast("double")
+          / col("supply_chars").cast("double")).as("epochs"),
+        least(col("supply_chars"), col("target_chars"))
+          .as("achieved_chars"),
+        greatest(lit(0L), col("target_chars") - col("supply_chars"))
+          .as("deficit_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    * every document by the log-likelihood ratio of a TARGET unigram
+    * model (here the lang='en' slice — the "high-quality domain") over
+    * the RAW corpus model, both over hashed token features (hash60 mod
+    * `buckets`, add-1 smoothed) — the published cheap proxy for "how
+    * target-like is this document", used to importance-resample raw
+    * corpora toward a quality domain. Output per doc: feature count and
+    * the log weight (float epilogue over double log arithmetic, the
+    * [[TextAnalysis.textBigramLogprob]] exactness precedent).
+    *
+    * Scale shape: the token stream is computed once; both per-bucket
+    * counts (target hits, all hits) attach as ONE window pass
+    * partitioned by bucket — no join of the stream against its own
+    * aggregation — then one groupBy(doc) closes the score. The two
+    * model normalizers are a 1-row broadcast. Corpus shuffles exactly
+    * twice (bucket, then doc), independent of vocabulary size. */
+  def textDsirImportance(spark: SparkSession, dir: String,
+      buckets: Int = 4096, targetLang: String = "en"): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        pmod(Dedup.hash60(col("tok")), lit(buckets.toLong)).as("bucket"))
+    val norms = toks.agg(
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val w = Window.partitionBy(col("bucket"))
+    toks
+      .withColumn("n_tgt",
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).over(w))
+      .withColumn("n_all", count(lit(1)).over(w))
+      .crossJoin(broadcast(norms))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log((col("n_tgt").cast("double") + lit(1.0))
+            / (col("ct").cast("double") + lit(buckets.toDouble)))
+          - log((col("n_all").cast("double") + lit(1.0))
+            / (col("cr").cast("double") + lit(buckets.toDouble))))
+          .cast("float").as("log_weight"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -506,7 +506,15 @@ object Warehouse {
       .join(broadcast(table(spark, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
+      // Q21's output grain is s_name, NOT the supplier key: names are
+      // unique in a real corpus, but the grain must be the declared one
+      // anyway (the x10 synthesis shifts keys while reusing names, and
+      // the key-grain answer diverged there). An order has at most one
+      // sole-fault supplier, so summing the per-key counts equals the
+      // oracle's count(DISTINCT l_orderkey) per name; the re-agg runs
+      // on ≤|supplier| tiny rows
+      .groupBy(col("s_name"))
+      .agg(sum(col("numwait")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }

@@ -122,4 +122,54 @@ class Round18Spec extends SparkSpec {
       .filter(col("p_brand") === brand).collect()(0).getDouble(1)
     assert(got == expected.toDouble / 10000.0, s"$got vs $expected")
   }
+
+  test("sample_domain_mixture: integer allocation identities hold per " +
+      "source and the plan matches a driver-side recomputation") {
+    import graft.query.Curation2
+    val rows = Curation2.sampleDomainMixture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.schema.Schemas.table(spark, sf, "documents")
+      .select(col("source"), col("n_chars").cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val supply = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._2).sum }
+    val total = supply.values.sum
+    val k = supply.size
+    val target = total / k
+    rows.foreach { r =>
+      val (src, sup) = (r.getString(0), r.getLong(2))
+      assert(sup == supply(src), s"supply mismatch for $src")
+      assert(r.getLong(3) == target)
+      assert(r.getDouble(4) ==
+        math.min(1.0, target.toDouble / sup.toDouble), s"rate: $r")
+      assert(r.getLong(6) == math.min(sup, target))
+      assert(r.getLong(7) == math.max(0L, target - sup))
+      // capped take + uncovered deficit account for the full target
+      assert(r.getLong(6) + r.getLong(7) == target)
+    }
+  }
+
+  test("text_dsir_importance: per-doc feature count equals the token " +
+      "count and the target-language slice scores higher on average") {
+    import graft.query.Curation2
+    val w = Curation2.textDsirImportance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getFloat(2))).toSeq
+    val docs = graft.schema.Schemas.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.query.Dedup.tokens(col("text"))).cast("long").as("n"),
+        col("lang")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(w.size == docs.size, "one weight row per document")
+    w.foreach { case (id, n, _) =>
+      assert(n == docs(id)._1, s"token count mismatch for doc $id")
+    }
+    def mean(xs: Seq[Float]): Double =
+      if (xs.isEmpty) 0.0 else xs.map(_.toDouble).sum / xs.size
+    val en = w.filter(x => docs(x._1)._2 == "en").map(_._3)
+    val rest = w.filter(x => docs(x._1)._2 != "en").map(_._3)
+    assert(en.nonEmpty && rest.nonEmpty, "fixture needs both slices")
+    assert(mean(en) > mean(rest),
+      s"DSIR must favor the target slice: en=${mean(en)} rest=${mean(rest)}")
+  }
 }
