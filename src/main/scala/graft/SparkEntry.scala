@@ -409,7 +409,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => StreamQueries.streamSessionCounts(s, d)),
     "stream_dedup_keys"      -> StreamQueries.streamDedupKeys _,
     "stream_static_join"     -> StreamQueries.streamStaticJoin _,
-    "stream_stream_join"     -> StreamQueries.streamStreamJoin _,
+    "stream_stream_join"     ->
+      ((s: SparkSession, d: String) => StreamQueries.streamStreamJoin(s, d)),
     // round 6: curation decisions, exact-decimal finance, layout,
     // interval joins, retention, robust outliers, frame sampling
     "dedup_keep_best"        -> Curation.dedupKeepBest _,
@@ -1483,7 +1484,9 @@ object SparkEntry {
         |  FROM embeddings
         |), b AS (
         |  SELECT CAST(floor(score * 10) AS INT) AS bin,
-        |    CAST(count(*) AS BIGINT) AS n, sum(score) AS sum_score,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(score * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |      / 1000000.0 AS sum_score,
         |    CAST(count(CASE WHEN label % 2 = 1 THEN 1 END) AS BIGINT)
         |      AS n_pos
         |  FROM s GROUP BY 1
@@ -2150,12 +2153,18 @@ object SparkEntry {
         |FROM (VALUES (-3), (0), (7), (12), (18), (23), (24), (99)) t(h)
         |WHERE h BETWEEN 0 AND 23
         |ORDER BY hour""".stripMargin,
+    // the impute mean rides the ×10³ grid: exact HUGEINT sum, two-
+    // division double epilogue (a streaming avg(double) drifted at x10)
     "a1_mean_impute" ->
       """WITH n AS (SELECT event_id,
         |    CASE WHEN value < 1.0 THEN NULL ELSE value END AS value_n
-        |  FROM events)
+        |  FROM events),
+        |m AS (SELECT CAST(sum(CAST(round(value_n * 1000.0) AS BIGINT))
+        |      AS DOUBLE)
+        |    / CAST(count(value_n) AS DOUBLE) / 1000.0 AS mean_value
+        |  FROM n)
         |SELECT event_id,
-        |  coalesce(value_n, (SELECT avg(value_n) FROM n)) AS value_imputed
+        |  coalesce(value_n, (SELECT mean_value FROM m)) AS value_imputed
         |FROM n ORDER BY event_id""".stripMargin,
     "a2_scalar_agg" ->
       """SELECT CAST(avg(value) AS REAL) AS mean_value, count(*) AS n_rows,
@@ -3864,6 +3873,8 @@ object SparkEntry {
         |ORDER BY col""".stripMargin,
     // affine-clamp score (no exp: bit-identical across engines); n_pos
     // via count(CASE) so both sides emit BIGINT, not DuckDB HUGEINT
+    // score mass on the ×10⁶ micro-unit grid (raw double sums of the
+    // 0.9999-clamped score drifted at x10), one division back
     "eval_calibration_bins" ->
       """WITH s AS (
         |  SELECT vec_id,
@@ -3872,7 +3883,8 @@ object SparkEntry {
         |    label
         |  FROM embeddings)
         |SELECT CAST(floor(score * 10) AS INT) AS bin, count(*) AS n,
-        |  sum(score) AS sum_score,
+        |  CAST(sum(CAST(round(score * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 AS sum_score,
         |  count(CASE WHEN label % 2 = 1 THEN 1 END) AS n_pos
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // ECE: per-bin terms pivoted to 10 fixed columns, left-assoc sum

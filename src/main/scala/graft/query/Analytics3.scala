@@ -291,17 +291,28 @@ object Analytics3 {
     * is how a trained quality/toxicity filter is audited before it gates
     * a 100 TB corpus.
     *
+    * Exactness: the score mass rides a ×10⁶ micro-unit grid summed in
+    * DECIMAL(38,0), then ONE division back — a raw sum(double) of
+    * 0.9999-clamped scores (a non-dyadic constant) accumulated in
+    * engine-specific order and drifted past bit-equality at the x10
+    * corpus; the 10⁻⁶ quantization is far inside the diagnostic's
+    * resolution and both engines round onto the same grid.
+    *
     * Scale shape: one scan, one map-side-combined aggregation on a
     * 10-value key — no shuffle pressure at any scale. */
   def evalCalibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 =
+      org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val score = least(greatest(
       element_at(col("embedding"), 1).cast("double") * 2.0 + 0.5,
       lit(0.0)), lit(0.9999))
     table(spark, dir, "embeddings")
       .select(floor(score * 10).cast("int").as("bin"),
-        score.as("score"), col("label"))
+        round(score * lit(1e6)).cast("long").as("score_u"), col("label"))
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("score")).as("sum_score"),
+      .agg(count(lit(1)).as("n"),
+        (sum(col("score_u").cast(dec38)).cast("double") / lit(1e6))
+          .as("sum_score"),
         count(when(col("label") % 2 === 1, 1)).as("n_pos"))
       .orderBy(col("bin"))
   }
@@ -312,12 +323,11 @@ object Analytics3 {
     * (maximum calibration error) — the two numbers an eval report
     * quotes before trusting a model's probabilities.
     *
-    * Determinism: bin confidences sum FLOAT-derived doubles with ≥ 29
-    * free mantissa bits (exact at any realistic bin size — the reason
-    * the bins query itself hash-matches), each per-bin term is fixed
-    * scalar arithmetic, and the cross-bin Σ is a PIVOTED left-assoc
-    * addition of the 10 fixed bins — never an unordered double
-    * aggregate.
+    * Determinism: bin confidences ride [[evalCalibrationBins]]' exact
+    * ×10⁶ micro-unit grid (one division back per bin), each per-bin
+    * term is fixed scalar arithmetic, and the cross-bin Σ is a PIVOTED
+    * left-assoc addition of the 10 fixed bins — never an unordered
+    * double aggregate.
     *
     * Scale shape: everything corpus-sized already happened inside the
     * bins' one map-side-combined aggregate; this is ≤10-row scalar

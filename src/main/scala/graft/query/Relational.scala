@@ -284,14 +284,24 @@ object Relational {
   // ---- §2.3 aggregations ---------------------------------------------------
 
   /** A1: mean imputation — the relational core of Imputer(strategy=mean)
-    * (spark_trainer.py:67-70): one global avg over non-null values, then
+    * (spark_trainer.py:67-70): one global mean over non-null values, then
     * coalesce nulls to it. The 1-row aggregate is broadcast: no shuffle of
-    * the fact side, the impute is a map-side expression at any scale. */
+    * the fact side, the impute is a map-side expression at any scale.
+    *
+    * Exactness: the mean rides the ×10³ value grid summed in
+    * DECIMAL(38,0) with a two-division double epilogue — a streaming
+    * avg(double) accumulates in engine-specific order and drifted past
+    * bit-equality at the x10 corpus (the q3_optimal_time class). */
   def a1MeanImpute(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 =
+      org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val withNulls = events(spark, dir)
       .withColumn("value_n",
         when(col("value") < 1.0, lit(null)).otherwise(col("value")))
-    val mean = withNulls.agg(avg(col("value_n")).as("mean_value"))
+    val mean = withNulls
+      .select(round(col("value_n") * lit(1000.0)).cast("long").as("v3"))
+      .agg((sum(col("v3").cast(dec38)).cast("double")
+        / count(col("v3")).cast("double") / lit(1000.0)).as("mean_value"))
     withNulls.crossJoin(broadcast(mean))
       .select(col("event_id"),
         coalesce(col("value_n"), col("mean_value")).as("value_imputed"))

@@ -448,13 +448,21 @@ object StreamQueries {
     * stream-stream join buffers forever). Inner joins emit matches as
     * both sides arrive, so the full drain equals the batch interval
     * self-join — the oracle. */
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = streamEvents(spark, dir)
+  def streamStreamJoin(spark: SparkSession, dir: String,
+      filesPerTrigger: Option[Int] = None): DataFrame = {
+    // filesPerTrigger paces the drain across many triggers (the
+    // PacedState evidence path: the watermark advances between
+    // micro-batches, so the join state store EVICTS rows as the run
+    // proceeds instead of buffering both full sides). Matches are
+    // unaffected — the 1 h watermark delay dominates the 10 min
+    // interval, so no still-matchable row is ever evicted.
+    val clicks = streamEvents(spark, dir, filesPerTrigger = filesPerTrigger)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
-    val purchases = streamEvents(spark, dir)
+    val purchases = streamEvents(spark, dir,
+        filesPerTrigger = filesPerTrigger)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
@@ -1838,32 +1846,33 @@ object StreamQueries {
     reader.parquet(if (isDir) p.toString else dir)
   }
 
-  case class CalIn(bin: Int, score: Double, pos: Long)
-  case class CalBin(bin: Int, n: Long, sum_score: Double, n_pos: Long)
+  case class CalIn(bin: Int, scoreU: Long, pos: Long)
+  case class CalBin(bin: Int, n: Long, sum_u: Long, n_pos: Long)
 
-  /** Per-bin running reliability counters: ValueState[(n, Σscore,
+  /** Per-bin running reliability counters: ValueState[(n, Σscore_u,
     * n_pos)] keyed by the score bin — the streaming form of the
-    * calibration-bins aggregate. Σscore accumulates FLOAT-derived
-    * doubles (≥ 29 free mantissa bits), so the running sum is EXACT and
-    * the drain equals the batch aggregate bit-for-bit whatever the
-    * micro-batch arrival order. */
+    * calibration-bins aggregate. Σscore_u accumulates the ×10⁶
+    * micro-unit INTEGER grid (the batch query's exactness discipline —
+    * a raw double sum of 0.9999-clamped scores drifted at x10), so the
+    * running sum is EXACT and the drain equals the batch aggregate
+    * bit-for-bit whatever the micro-batch arrival order. */
   private class CalibBinsProcessor extends
       org.apache.spark.sql.streaming.StatefulProcessor[Int, CalIn, CalBin] {
     @transient private var st:
-      org.apache.spark.sql.streaming.ValueState[(Long, Double, Long)] = _
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      st = getHandle.getValueState[(Long, Double, Long)]("calib",
+      st = getHandle.getValueState[(Long, Long, Long)]("calib",
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong),
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     override def handleInputRows(key: Int, rows: Iterator[CalIn],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[CalBin] = {
-      var (n, s, p) = if (st.exists()) st.get() else (0L, 0.0, 0L)
-      rows.foreach { r => n += 1; s += r.score; p += r.pos }
+      var (n, s, p) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      rows.foreach { r => n += 1; s += r.scoreU; p += r.pos }
       st.update((n, s, p))
       Iterator.single(CalBin(key, n, s, p))
     }
@@ -1887,7 +1896,8 @@ object StreamQueries {
       element_at(col("embedding"), 1).cast("double") * 2.0 + 0.5,
       lit(0.0)), lit(0.9999))
     val ds = streamEmbeddings(spark, dir)
-      .select(floor(score * 10).cast("int").as("bin"), score.as("score"),
+      .select(floor(score * 10).cast("int").as("bin"),
+        round(score * lit(1e6)).cast("long").as("scoreU"),
         when(col("label") % 2 === 1, 1L).otherwise(0L).as("pos"))
       .as[CalIn]
     val out = ds.groupByKey(_.bin)
@@ -1895,12 +1905,17 @@ object StreamQueries {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
     // counters are monotone nondecreasing across micro-batches, so the
-    // final state per bin is the per-column max of the Update emissions
+    // final state per bin is the per-column max of the Update emissions;
+    // the micro-unit total converts back with the batch query's exact
+    // one-division epilogue
     val panel = drain(spark, out.toDF(), OutputMode.Update(),
         statePartitions = 4)
       .groupBy(col("bin"))
-      .agg(max(col("n")).as("n"), max(col("sum_score")).as("sum_score"),
+      .agg(max(col("n")).as("n"), max(col("sum_u")).as("su"),
         max(col("n_pos")).as("n_pos"))
+      .select(col("bin"), col("n"),
+        (col("su").cast("double") / lit(1e6)).as("sum_score"),
+        col("n_pos"))
     graft.query.Analytics3.eceFromBins(panel)
     } finally {
       prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))

@@ -91,33 +91,47 @@ object PacedState {
       rows.map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
 
     import graft.streaming.StreamQueries
-    curve.reset()
-    val oneShot = canon(
-      StreamQueries.streamSessionWindowNative(spark, paced).collect())
-    Thread.sleep(1500)
-    val (oneRows, oneBytes) = curve.peak
-
-    curve.reset()
-    val pacedOut = canon(
-      StreamQueries.streamSessionWindowPaced(spark, paced).collect())
-    Thread.sleep(1500)
-    val (pRows, pBytes) = curve.peak
     import scala.jdk.CollectionConverters._
-    val curvePts = curve.rows.asScala.toSeq.sortBy(_._1)
+    var anyBad = false
 
-    println(s"[paced-state] corpus=$dir files=$nFiles " +
-      s"sessions=${oneShot.length}")
-    println(f"[paced-state] one-shot  peakStateRows=$oneRows%-9d " +
-      f"peakStateBytes=$oneBytes%d")
-    println(f"[paced-state] paced     peakStateRows=$pRows%-9d " +
-      f"peakStateBytes=$pBytes%d  " +
-      f"(${100.0 * pRows / math.max(1L, oneRows)}%.1f%% of one-shot)")
-    println("[paced-state] state curve (batchId, stateRows): " +
-      curvePts.map(p => s"${p._1}:${p._2}").mkString(" "))
-    val ok = pacedOut == oneShot
-    println(s"[paced-state] paced == one-shot: ${if (ok) "OK" else "MISMATCH"}")
+    def measure(name: String)(oneShotQ: => DataFrameLike,
+        pacedQ: => DataFrameLike): Unit = {
+      curve.reset()
+      val oneShot = canon(oneShotQ.collect())
+      Thread.sleep(1500)
+      val (oneRows, oneBytes) = curve.peak
+      curve.reset()
+      val pacedOut = canon(pacedQ.collect())
+      Thread.sleep(1500)
+      val (pRows, pBytes) = curve.peak
+      val curvePts = curve.rows.asScala.toSeq.sortBy(_._1)
+      println(s"[paced-state] $name corpus=$dir files=$nFiles " +
+        s"outRows=${oneShot.length}")
+      println(f"[paced-state] $name one-shot  peakStateRows=$oneRows%-9d " +
+        f"peakStateBytes=$oneBytes%d")
+      println(f"[paced-state] $name paced     peakStateRows=$pRows%-9d " +
+        f"peakStateBytes=$pBytes%d  " +
+        f"(${100.0 * pRows / math.max(1L, oneRows)}%.1f%% of one-shot)")
+      println(s"[paced-state] $name state curve (batchId, stateRows): " +
+        curvePts.map(p => s"${p._1}:${p._2}").mkString(" "))
+      val ok = pacedOut == oneShot
+      println(s"[paced-state] $name paced == one-shot: " +
+        (if (ok) "OK" else "MISMATCH"))
+      if (!ok) anyBad = true
+    }
+
+    measure("stream_session_window")(
+      StreamQueries.streamSessionWindowNative(spark, paced),
+      StreamQueries.streamSessionWindowPaced(spark, paced))
+    measure("stream_stream_join")(
+      StreamQueries.streamStreamJoin(spark, paced),
+      StreamQueries.streamStreamJoin(spark, paced,
+        filesPerTrigger = Some(1)))
+
     spark.streams.removeListener(curve)
     spark.stop()
-    if (!ok) sys.exit(1)
+    if (anyBad) sys.exit(1)
   }
+
+  private type DataFrameLike = org.apache.spark.sql.DataFrame
 }
