@@ -5766,23 +5766,23 @@ object SparkEntry {
         |FROM fit""".stripMargin,
     // Σ 1/σ over non-adjacent neighbor pairs; couriers by 3-way join
     "graph_ego_betweenness" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |), e0 AS (
+        |), e0 AS MATERIALIZED (
         |  SELECT DISTINCT a.pk AS u, b.pk AS v
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |), sym AS (
+        |), sym AS MATERIALIZED (
         |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
-        |), ego AS (
+        |), ego AS MATERIALIZED (
         |  SELECT u AS z, v AS n FROM sym WHERE u % 64 = 0
-        |), pairs AS (
+        |), pairs AS MATERIALIZED (
         |  SELECT a.z, a.n AS u, b.n AS v
         |  FROM ego a JOIN ego b ON a.z = b.z AND a.n < b.n
-        |), nonadj AS (
+        |), nonadj AS MATERIALIZED (
         |  SELECT p.z, p.u, p.v FROM pairs p
         |  LEFT JOIN e0 ON e0.u = p.u AND e0.v = p.v
         |  WHERE e0.u IS NULL
-        |), cour AS (
+        |), cour AS MATERIALIZED (
         |  SELECT na.z, na.u, na.v, CAST(count(*) AS BIGINT) AS extra
         |  FROM nonadj na
         |  JOIN sym su ON su.u = na.u
@@ -5790,7 +5790,7 @@ object SparkEntry {
         |  JOIN ego e ON e.z = na.z AND e.n = su.v
         |  WHERE su.v <> na.z
         |  GROUP BY na.z, na.u, na.v
-        |), sig AS (
+        |), sig AS MATERIALIZED (
         |  SELECT na.z, 1 + coalesce(c.extra, 0) AS sigma
         |  FROM nonadj na LEFT JOIN cour c
         |    ON c.z = na.z AND c.u = na.u AND c.v = na.v
@@ -6873,27 +6873,27 @@ object SparkEntry {
         |  label = c_label AS correct
         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "graph_triangles" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |), edges AS (
+        |), edges AS MATERIALIZED (
         |  SELECT DISTINCT a.pk AS u, b.pk AS v
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |), deg AS (
+        |), deg AS MATERIALIZED (
         |  SELECT x, count(*) AS deg FROM (
         |    SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
         |  GROUP BY x
-        |), oriented AS (
+        |), oriented AS MATERIALIZED (
         |  SELECT
         |    CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
         |    CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS t,
         |    CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg
         |      END AS dt
         |  FROM edges e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
-        |), wedges AS (
+        |), wedges AS MATERIALIZED (
         |  SELECT p.t AS u2, q.t AS v2
         |  FROM oriented p JOIN oriented q ON p.s = q.s
         |  WHERE (p.dt, p.t) < (q.dt, q.t)
-        |), tri AS (
+        |), tri AS MATERIALIZED (
         |  SELECT count(*) AS n_triangles FROM wedges w
         |  WHERE EXISTS (SELECT 1 FROM oriented o
         |    WHERE o.s = w.u2 AND o.t = w.v2)
@@ -8666,33 +8666,33 @@ object SparkEntry {
     // the LPA chain above, extended with the modularity tail (exact
     // BIGINT edge/degree masses; one double expression per community)
     "graph_modularity" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |), e0 AS (
+        |), e0 AS MATERIALIZED (
         |  SELECT DISTINCT a.pk AS u, b.pk AS v
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |), edges AS (
+        |), edges AS MATERIALIZED (
         |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
-        |), l0 AS (SELECT DISTINCT u, u AS lbl FROM edges),
-        |c1 AS (
+        |), l0 AS MATERIALIZED (SELECT DISTINCT u, u AS lbl FROM edges),
+        |c1 AS MATERIALIZED (
         |  SELECT e.u, l.lbl, count(*) AS c
         |  FROM edges e JOIN l0 l ON l.u = e.v GROUP BY 1, 2
-        |), l1 AS (
+        |), l1 AS MATERIALIZED (
         |  SELECT u, lbl FROM (
         |    SELECT u, lbl, row_number() OVER (PARTITION BY u
         |      ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1
-        |), c2 AS (
+        |), c2 AS MATERIALIZED (
         |  SELECT e.u, l.lbl, count(*) AS c
         |  FROM edges e JOIN l1 l ON l.u = e.v GROUP BY 1, 2
-        |), l2 AS (
+        |), l2 AS MATERIALIZED (
         |  SELECT u, lbl FROM (
         |    SELECT u, lbl, row_number() OVER (PARTITION BY u
         |      ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1
-        |), tm AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM edges),
-        |dm AS (
+        |), tm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS two_m FROM edges),
+        |dm AS MATERIALIZED (
         |  SELECT l.lbl, CAST(count(*) AS BIGINT) AS d_c
         |  FROM edges e JOIN l2 l ON l.u = e.u GROUP BY l.lbl
-        |), ic AS (
+        |), ic AS MATERIALIZED (
         |  SELECT lu.lbl, CAST(count(*) AS BIGINT) AS e2_c
         |  FROM edges e JOIN l2 lu ON lu.u = e.u JOIN l2 lv ON lv.u = e.v
         |  WHERE lu.lbl = lv.lbl GROUP BY lu.lbl
