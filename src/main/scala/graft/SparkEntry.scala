@@ -782,6 +782,9 @@ object SparkEntry {
     // DoReMi-style uniform-target domain mixture plan (rates/epochs/deficit)
     "sample_domain_mixture"  ->
       ((s: SparkSession, d: String) => Curation2.sampleDomainMixture(s, d)),
+    // per-zone Bloom signatures vs min/max maps for point-lookup skipping
+    "layout_bloom_prune"     ->
+      ((s: SparkSession, d: String) => Warehouse2.layoutBloomPrune(s, d)),
     // DSIR hashed-unigram importance weights vs the lang='en' target slice
     "text_dsir_importance"   ->
       ((s: SparkSession, d: String) => Curation2.textDsirImportance(s, d)),
@@ -4383,6 +4386,80 @@ object SparkEntry {
         |  CAST(CAST(count(DISTINCT tok) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS REAL) AS type_token_ratio
         |FROM toks GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // 252-bit zone Bloom signatures as four 63-bit BIGINT words (every
+    // shift positive on both engines), md5-derived double hashing,
+    // bit_or aggregation — all-integer, bit-identical cross-engine
+    "layout_bloom_prune" ->
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT l_orderkey // 4096 AS zone_id, l_suppkey AS key
+        |  FROM lineitem
+        |), hp AS MATERIALIZED (
+        |  SELECT zone_id, key,
+        |    CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 17, 15)
+        |      AS BIGINT) AS h2
+        |  FROM pairs
+        |), bits AS MATERIALIZED (
+        |  SELECT zone_id, (h1 + i * h2) % 252 AS pos
+        |  FROM hp, LATERAL (SELECT unnest([0, 1, 2]) AS i) s
+        |), zsig AS MATERIALIZED (
+        |  SELECT zone_id,
+        |    coalesce(bit_or(CASE WHEN pos // 63 = 0 THEN CAST(1 AS BIGINT)
+        |      << CAST(pos % 63 AS INT) END), 0) AS w0,
+        |    coalesce(bit_or(CASE WHEN pos // 63 = 1 THEN CAST(1 AS BIGINT)
+        |      << CAST(pos % 63 AS INT) END), 0) AS w1,
+        |    coalesce(bit_or(CASE WHEN pos // 63 = 2 THEN CAST(1 AS BIGINT)
+        |      << CAST(pos % 63 AS INT) END), 0) AS w2,
+        |    coalesce(bit_or(CASE WHEN pos // 63 = 3 THEN CAST(1 AS BIGINT)
+        |      << CAST(pos % 63 AS INT) END), 0) AS w3
+        |  FROM bits GROUP BY zone_id
+        |), zrange AS MATERIALIZED (
+        |  SELECT zone_id, min(key) AS zmin, max(key) AS zmax
+        |  FROM pairs GROUP BY zone_id
+        |), probes AS (
+        |  SELECT unnest([CAST(1 AS BIGINT), 3, 7,
+        |    777000001, 777000002, 777000003]) AS pk
+        |), php AS (
+        |  SELECT pk,
+        |    CAST('0x' || substr(md5(CAST(pk AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(CAST(pk AS VARCHAR)), 17, 15)
+        |      AS BIGINT) AS h2
+        |  FROM probes
+        |), pbits AS (
+        |  SELECT pk, (h1 + i * h2) % 252 AS pos
+        |  FROM php, LATERAL (SELECT unnest([0, 1, 2]) AS i) s
+        |), psig AS (
+        |  SELECT pk,
+        |    coalesce(bit_or(CASE WHEN pos // 63 = 0 THEN CAST(1 AS BIGINT)
+        |      << CAST(pos % 63 AS INT) END), 0) AS p0,
+        |    coalesce(bit_or(CASE WHEN pos // 63 = 1 THEN CAST(1 AS BIGINT)
+        |      << CAST(pos % 63 AS INT) END), 0) AS p1,
+        |    coalesce(bit_or(CASE WHEN pos // 63 = 2 THEN CAST(1 AS BIGINT)
+        |      << CAST(pos % 63 AS INT) END), 0) AS p2,
+        |    coalesce(bit_or(CASE WHEN pos // 63 = 3 THEN CAST(1 AS BIGINT)
+        |      << CAST(pos % 63 AS INT) END), 0) AS p3
+        |  FROM pbits GROUP BY pk
+        |), truth AS MATERIALIZED (
+        |  SELECT DISTINCT zone_id, key AS pk, TRUE AS present FROM pairs
+        |)
+        |SELECT s.pk AS probe_key, CAST(count(*) AS BIGINT) AS n_zones,
+        |  CAST(sum(CASE WHEN r.zmin <= s.pk AND s.pk <= r.zmax
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zones_minmax,
+        |  CAST(sum(CASE WHEN (z.w0 & s.p0) = s.p0 AND (z.w1 & s.p1) = s.p1
+        |      AND (z.w2 & s.p2) = s.p2 AND (z.w3 & s.p3) = s.p3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zones_bloom,
+        |  CAST(sum(CASE WHEN coalesce(t.present, FALSE)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zones_true,
+        |  CAST(sum(CASE WHEN (z.w0 & s.p0) = s.p0 AND (z.w1 & s.p1) = s.p1
+        |      AND (z.w2 & s.p2) = s.p2 AND (z.w3 & s.p3) = s.p3
+        |    THEN 1 ELSE 0 END)
+        |    - sum(CASE WHEN coalesce(t.present, FALSE) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS bloom_false_pos
+        |FROM zsig z JOIN zrange r USING (zone_id) CROSS JOIN psig s
+        |LEFT JOIN truth t ON t.zone_id = z.zone_id AND t.pk = s.pk
+        |GROUP BY s.pk ORDER BY probe_key""".stripMargin,
     // all allocation quantities BIGINT (floor div), rate/epochs are one
     // IEEE division each — the only doubles in the plan
     "sample_domain_mixture" ->

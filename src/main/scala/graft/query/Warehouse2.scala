@@ -475,6 +475,94 @@ object Warehouse2 {
       .orderBy(col("layout"))
   }
 
+  /** Zone BLOOM-filter pruning for point lookups — the data-skipping
+    * mechanism min/max zone maps ([[statsZoneMap]]) cannot provide: a
+    * high-cardinality key hashed across a zone's whole key range makes
+    * every zone's [zmin, zmax] interval cover every probe, so range
+    * stats prune NOTHING, while a per-zone Bloom signature prunes
+    * almost everything (the Delta/Iceberg bloom-skipping design). Each
+    * lineitem zone (4096-order stripes) carries a 252-bit signature as
+    * four 63-bit BIGINT words (k = 3 probes via double hashing
+    * h1 + i·h2; 63 bits per word keeps every shift positive in a
+    * signed BIGINT on both engines); a probe key might-be-in a zone
+    * iff its own 3 set bits survive AND against the zone words. The
+    * report compares, per probe of a literal present/absent panel:
+    * zones a min/max map would scan, zones the bloom scans, and the
+    * zones that truly contain the key — the false-positive margin is
+    * the (zones_bloom − zones_true) column, auditable directly.
+    *
+    * Exactness: md5-derived [[graft.query.Dedup.hash60]]/[[graft.query.Dedup.hash60lo]]
+    * hashes, integer modular bit positions, bit_or-aggregated words —
+    * every value is a BIGINT both engines reproduce bit-identically.
+    *
+    * Scale shape: signatures are ONE map-side-combined bit_or aggregate
+    * per zone over an exploded k=3 bit stream (3 rows per fact row, no
+    * shuffle beyond the zone-keyed agg — at deployment this is the
+    * writer-side accumulation parquet/Delta do per row group); the
+    * probe panel is a literal broadcast, and the verdict join is
+    * |zones| × |panel| — metadata-sized, never the fact table. */
+  def layoutBloomPrune(spark: SparkSession, dir: String,
+      zoneOrders: Int = 4096): DataFrame = {
+    import graft.query.Dedup.{hash60, hash60lo}
+    // integer div, not double division+cast: a double round-trip loses
+    // exactness once keys cross 2^53 at corpus scale
+    val pairs = table(spark, dir, "lineitem")
+      .select(expr(s"l_orderkey div $zoneOrders").as("zone_id"),
+        col("l_suppkey").as("key"))
+    def sig(df: DataFrame, grp: String): DataFrame = {
+      val h1 = hash60(col("key").cast("string"))
+      val h2 = hash60lo(col("key").cast("string"))
+      val bits = df
+        .select(col(grp), explode(array(lit(0L), lit(1L), lit(2L))).as("i"),
+          h1.as("h1"), h2.as("h2"))
+        .select(col(grp), pmod(col("h1") + col("i") * col("h2"),
+          lit(252L)).as("pos"))
+        .select(col(grp), floor(col("pos") / 63).cast("int").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+            .as("mask"))
+      bits.groupBy(col(grp)).agg(
+        coalesce(expr("bit_or(CASE WHEN word = 0 THEN mask END)"), lit(0L))
+          .as("w0"),
+        coalesce(expr("bit_or(CASE WHEN word = 1 THEN mask END)"), lit(0L))
+          .as("w1"),
+        coalesce(expr("bit_or(CASE WHEN word = 2 THEN mask END)"), lit(0L))
+          .as("w2"),
+        coalesce(expr("bit_or(CASE WHEN word = 3 THEN mask END)"), lit(0L))
+          .as("w3"))
+    }
+    val zoneSig = sig(pairs, "zone_id")
+    val zoneRange = pairs.groupBy(col("zone_id"))
+      .agg(min(col("key")).as("zmin"), max(col("key")).as("zmax"))
+    // present/absent probe panel: 3 live supplier keys, 3 beyond any
+    // copy stride (absent at every scale factor)
+    val probes = spark.range(1).select(explode(array(
+      lit(1L), lit(3L), lit(7L),
+      lit(777000001L), lit(777000002L), lit(777000003L))).as("key"))
+    val probeSig = sig(probes.select(col("key"), col("key").as("pk")), "pk")
+      .withColumnRenamed("w0", "p0").withColumnRenamed("w1", "p1")
+      .withColumnRenamed("w2", "p2").withColumnRenamed("w3", "p3")
+    val truth = pairs.distinct()
+      .select(col("zone_id"), col("key").as("pk"), lit(true).as("present"))
+    zoneSig.join(zoneRange, Seq("zone_id"))
+      .crossJoin(broadcast(probeSig))
+      .join(truth, Seq("zone_id", "pk"), "left")
+      .select(col("pk"), col("zone_id"),
+        ((col("w0").bitwiseAND(col("p0")) === col("p0")) &&
+          (col("w1").bitwiseAND(col("p1")) === col("p1")) &&
+          (col("w2").bitwiseAND(col("p2")) === col("p2")) &&
+          (col("w3").bitwiseAND(col("p3")) === col("p3"))).as("bloom_hit"),
+        (col("zmin") <= col("pk") && col("pk") <= col("zmax"))
+          .as("minmax_hit"),
+        coalesce(col("present"), lit(false)).as("true_hit"))
+      .groupBy(col("pk").as("probe_key"))
+      .agg(count(lit(1)).as("n_zones"),
+        sum(when(col("minmax_hit"), 1L).otherwise(0L)).as("zones_minmax"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("zones_bloom"),
+        sum(when(col("true_hit"), 1L).otherwise(0L)).as("zones_true"))
+      .withColumn("bloom_false_pos", col("zones_bloom") - col("zones_true"))
+      .orderBy(col("probe_key"))
+  }
+
   /** k-anonymity audit over the (nation, order-year) quasi-identifier:
     * every equivalence class with its size and an at-risk flag
     * (size < k) — the table a privacy review reads before a release.

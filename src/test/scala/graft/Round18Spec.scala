@@ -149,6 +149,30 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  test("layout_bloom_prune: bloom skipping discriminates where min/max " +
+      "cannot, never misses a true zone, and absent probes stay near zero") {
+    import graft.query.Warehouse2
+    val rows = Warehouse2.layoutBloomPrune(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.size == 6)
+    rows.foreach { case (pk, (nZones, mm, bloom, truth, fp)) =>
+      // no false negatives: every zone truly containing the key is scanned
+      assert(bloom >= truth, s"bloom missed a true zone for $pk")
+      assert(fp == bloom - truth)
+      assert(mm <= nZones && bloom <= nZones)
+      if (pk > 1000000L) assert(truth == 0L, s"absent probe $pk has rows")
+    }
+    // the mechanism's reason to exist: a hashed high-cardinality key makes
+    // min/max scan (nearly) everything on present probes, bloom far less
+    val present = rows.filter(_._1 < 1000000L).values
+    assert(present.forall { case (n, mm, _, _, _) => mm == n },
+      "suppkeys span every zone, so range stats must prune nothing")
+    val absent = rows.filter(_._1 > 1000000L).values
+    assert(absent.forall { case (n, _, bloom, _, _) => bloom < n },
+      "an absent probe must be bloom-pruned somewhere")
+  }
+
   test("text_dsir_importance: per-doc feature count equals the token " +
       "count and the target-language slice scores higher on average") {
     import graft.query.Curation2
