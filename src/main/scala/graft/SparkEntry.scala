@@ -502,7 +502,8 @@ object SparkEntry {
     "winsorized_stats"       -> Curation2.winsorizedStats _,
     "histogram_equiwidth"    ->
       ((s: SparkSession, d: String) => Curation2.histogramEquiWidth(s, d)),
-    "stream_late_data"       -> StreamQueries.streamLateData _,
+    "stream_late_data"       -> ((s: SparkSession, d: String) =>
+      StreamQueries.streamLateData(s, d)),
     "stream_hopping_agg"     -> StreamQueries.streamHoppingAgg _,
     "stream_session_window"  -> StreamQueries.streamSessionWindowNative _,
     "source_orc_agg"         -> graft.ingest.Formats.orcSourceAgg _,
@@ -565,8 +566,10 @@ object SparkEntry {
     "dq_freshness_lag"       -> Warehouse2.dqFreshnessLag _,
     "agg_entropy_by_key"     -> Analytics4.aggEntropyByKey _,
     "text_js_divergence"     -> Analytics4.textJsDivergence _,
-    "stream_stream_left_join" -> StreamQueries.streamStreamLeftJoin _,
-    "stream_two_level_agg"   -> StreamQueries.streamTwoLevelAgg _,
+    "stream_stream_left_join" -> ((s: SparkSession, d: String) =>
+      StreamQueries.streamStreamLeftJoin(s, d)),
+    "stream_two_level_agg"   -> ((s: SparkSession, d: String) =>
+      StreamQueries.streamTwoLevelAgg(s, d)),
     "agg_bitmap_distinct"    -> Analytics4.aggBitmapDistinct _,
     "emb_hubness_stats"      ->
       ((s: SparkSession, d: String) => Analytics4.embHubnessStats(s, d)),
@@ -981,6 +984,10 @@ object SparkEntry {
     // round 17: BCa interval over the deterministic bootstrap replicas
     "eval_bootstrap_bca"     -> ((s: SparkSession, d: String) =>
       Analytics7.evalBootstrapBca(s, d)),
+    // round 19: the 100 TB form — replicas over a deterministic
+    // hash-threshold subsample, √(N/n) widening emitted beside the CI
+    "eval_bootstrap_bca_sampled" -> ((s: SparkSession, d: String) =>
+      Analytics7.evalBootstrapBcaSampled(s, d)),
     // round 17: DP clipped-sum mean (the Laplace release for means)
     "privacy_dp_clipped_mean" -> ((s: SparkSession, d: String) =>
       Analytics7.privacyDpClippedMean(s, d)),
@@ -1118,8 +1125,37 @@ object SparkEntry {
     * and the per-replica integer sums — read by both
     * [[pairedBootstrapOracleSql]] and [[bcaOracleSql]], so the two
     * oracles replay the IDENTICAL replica table by construction. */
-  private def pairedBootCtes(reps: Int): String = {
+  private def pairedBootCtes(reps: Int): String =
+    pairedBootCtesFrom(reps, sampledTarget = None)
+
+  /** `sampledTarget = Some(t)` inserts the deterministic hash-threshold
+    * subsample between the paired frame and the replica fanout: mod =
+    * ⌈N/t⌉ recomputed IN SQL from the same events count the Spark plan
+    * probes, so both engines draw the identical subsample (the
+    * [[graft.query.Analytics7.evalBootstrapBcaSampled]] contract). The
+    * splice text carries `|` margins and is interpolated BEFORE the
+    * single stripMargin call — the one-stripMargin discipline the NOTE
+    * below pins (a pre-stripped splice whose lines open with `||`
+    * would be corrupted by the outer strip). */
+  private def pairedBootCtesFrom(reps: Int,
+      sampledTarget: Option[Long]): String = {
     val t = Analytics5.poissonThresh60
+    // margin-carrying splice: starts with a newline, ends at `|)` so the
+    // outer template's `|)$subCtes, r AS (` reads as s-close → mq → ss →
+    // r-open after the ONE stripMargin
+    val subCtes = sampledTarget.fold("") { tgt =>
+      s"""
+         |, mq AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_full,
+         |    greatest(CAST(1 AS BIGINT),
+         |      (CAST(count(*) AS BIGINT) + ${tgt - 1}) // $tgt) AS md
+         |  FROM events
+         |), ss AS (
+         |  SELECT s.* FROM s, mq
+         |  WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':bcasub'), 1, 15) AS BIGINT) % mq.md = 0
+         |)"""
+    }
+    val src = if (sampledTarget.isDefined) "ss" else "s"
     s"""WITH e AS (
        |  SELECT event_id, event_type,
        |    CAST(round(value * 1000.0) AS BIGINT) AS v3
@@ -1138,11 +1174,11 @@ object SparkEntry {
        |    LATERAL (SELECT CAST('0x' || substr(md5(
        |      CAST(e.event_id AS VARCHAR) || ':label'), 1, 15)
        |      AS BIGINT) % 2 = 1 AS lbl) l
-       |), r AS (
-       |  SELECT s.*, i AS replica,
+       |)$subCtes, r AS (
+       |  SELECT $src.*, i AS replica,
        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
        |      || ':boot:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS h
-       |  FROM s, LATERAL (SELECT unnest(
+       |  FROM $src, LATERAL (SELECT unnest(
        |    generate_series(0, ${reps - 1})) AS i) x
        |), wv AS (
        |  SELECT replica,
@@ -1184,14 +1220,34 @@ object SparkEntry {
     * literals the Spark plan carries — neither engine evaluates a
     * normal quantile at query time, and the percentile index is the
     * grid-threshold count (⌈Φ(w)·B⌉ = 1 + #{k : Φ⁻¹(k/B) < w}). */
-  private def bcaOracleSql(reps: Int): String = {
+  private def bcaOracleSql(reps: Int): String =
+    bcaOracleSqlFrom(reps, sampledTarget = None)
+
+  /** `sampledTarget = Some(t)` → the oracle for
+    * [[graft.query.Analytics7.evalBootstrapBcaSampled]]: identical BCa
+    * tail over the `ss` subsample CTE, plus the √(N/n_sub) widening
+    * columns — every splice margin-carrying under the ONE stripMargin. */
+  private def bcaOracleSqlFrom(reps: Int,
+      sampledTarget: Option[Long]): String = {
     val tz = Analytics7.invNormGrid(reps)
     val zLo = Analytics7.invNormCdf(0.025)
     val zHi = Analytics7.invNormCdf(0.975)
     val zgRows = tz.zipWithIndex
       .map { case (z, i) => s"(${i + 1}, CAST($z AS DOUBLE))" }
       .mkString(", ")
-    pairedBootCtes(reps) + ",\n" +
+    val tsrc = if (sampledTarget.isDefined) "ss" else "s"
+    val mqJoin = if (sampledTarget.isDefined) " CROSS JOIN mq" else ""
+    // fixed-parenthesization double epilogue: theta + (ci - theta)·widen,
+    // the exact expression tree the Spark plan carries
+    def wCol(d: String, as: String): String =
+      s"""
+         |  , CAST(CAST(i.d_total AS DOUBLE) / CAST(i.n_items AS DOUBLE) + (CAST($d AS DOUBLE) - CAST(i.d_total AS DOUBLE) / CAST(i.n_items AS DOUBLE)) * sqrt(CAST(mq.n_full AS DOUBLE) / CAST(i.n_items AS DOUBLE)) AS REAL) AS $as"""
+    val widenCols = if (sampledTarget.isEmpty) "" else
+      s"""
+         |  , mq.n_full,
+         |  CAST(sqrt(CAST(mq.n_full AS DOUBLE) / CAST(i.n_items AS DOUBLE)) AS REAL) AS widen""" +
+        wCol("rl.delta", "ci_lo_w") + wCol("rh.delta", "ci_hi_w")
+    pairedBootCtesFrom(reps, sampledTarget) + ",\n" +
     s"""bs AS (
        |  SELECT CAST(replica AS INT) AS replica, n_eff, sum_a, sum_b,
        |    CAST(CAST(sum_a AS DOUBLE) / CAST(n_eff AS DOUBLE)
@@ -1208,7 +1264,7 @@ object SparkEntry {
        |      END), 0) AS BIGINT) AS cm,
        |    CAST(coalesce(sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0
        |      END), 0) AS BIGINT) AS cp
-       |  FROM s
+       |  FROM $tsrc
        |), blw AS (
        |  SELECT CAST(coalesce(sum(CASE WHEN
        |      (bs.sum_a - bs.sum_b) * t.n_items
@@ -1275,9 +1331,9 @@ object SparkEntry {
        |  CAST(CAST(i.d_total AS DOUBLE) / CAST(i.n_items AS DOUBLE)
        |    AS REAL) AS theta_hat,
        |  CAST(i.z0_d AS REAL) AS z0, CAST(i.accel_d AS REAL) AS accel,
-       |  i.idx_lo, i.idx_hi, rl.delta AS ci_lo, rh.delta AS ci_hi
+       |  i.idx_lo, i.idx_hi, rl.delta AS ci_lo, rh.delta AS ci_hi$widenCols
        |FROM idx i JOIN ranked rl ON rl.rk = i.idx_lo
-       |  JOIN ranked rh ON rh.rk = i.idx_hi""".stripMargin
+       |  JOIN ranked rh ON rh.rk = i.idx_hi$mqJoin""".stripMargin
   }
 
   /** The [[graft.query.Analytics7.graphSsspWeighted]] oracle: the
@@ -6122,6 +6178,8 @@ object SparkEntry {
     "graph_sssp_weighted" -> ssspOracleSql(4, 4),
     // round 17: BCa over the shared replica CTEs, Φ⁻¹ grid literals
     "eval_bootstrap_bca" -> bcaOracleSql(50),
+    "eval_bootstrap_bca_sampled" ->
+      bcaOracleSqlFrom(50, sampledTarget = Some(4096L)),
     // round 17: clipped-sum DP mean — exact scaled-BIGINT clip, the
     // dqDpLaplaceCounts REAL-cast-first noise contract at b=C/ε and 1/ε
     "privacy_dp_clipped_mean" ->

@@ -1715,7 +1715,17 @@ object Analytics5 {
     * reduces every partition to ≤reps partial rows, so the shuffle
     * carries reps·partitions tiny rows regardless of corpus size. */
   def evalPairedBootstrap(spark: SparkSession, dir: String,
-      reps: Int = 50): DataFrame = {
+      reps: Int = 50): DataFrame =
+    pairedBootstrapOver(spark, pairedOkFrame(spark, dir), reps)
+
+  /** The ×reps Poisson-replica table over an ARBITRARY paired-ok frame
+    * (event_id, a_ok, b_ok) — factored out so
+    * [[Analytics7.evalBootstrapBcaSampled]] can resample a
+    * hash-threshold subsample with the IDENTICAL replica machinery
+    * (same PRF draws, same integer sums); [[evalPairedBootstrap]]'s
+    * plan is byte-identical to its pre-factor form. */
+  private[query] def pairedBootstrapOver(spark: SparkSession,
+      paired: DataFrame, reps: Int): DataFrame = {
     val t = poissonThresh60
     def w(h: Column): Column =
       when(h < t(0), 0L).when(h < t(1), 1L).when(h < t(2), 2L)
@@ -1728,7 +1738,7 @@ object Analytics5 {
     // one core IS the query's cost (measured 5.2 s → 0.5 s at sf0.1).
     // One exchange of the narrow (id, 2 bools) frame buys a
     // fully-parallel map stage — the explode/hash work lands after it.
-    val g = pairedOkFrame(spark, dir)
+    val g = paired
       .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
       .select(col("event_id"), col("a_ok"), col("b_ok"),
         explode(sequence(lit(0), lit(reps - 1))).as("replica"))

@@ -107,7 +107,52 @@ object Analytics7 {
     * below-count clamps to [1, B−1] (the standard finite-B guard:
     * Φ⁻¹(0) is not finite). */
   def evalBootstrapBca(spark: SparkSession, dir: String,
-      reps: Int = 50): DataFrame = {
+      reps: Int = 50): DataFrame =
+    bcaOverPaired(spark, Analytics5.pairedOkFrame(spark, dir), reps,
+      widenFull = None)
+
+  /** Hash-threshold SUBSAMPLED BCa interval — the form a 100 TB eval
+    * harness actually runs: [[evalBootstrapBca]] resamples the FULL
+    * pair stream ×reps (corpus-linear by design, e≈0.44 measured),
+    * which at the stated scale turns a CI into a second full-corpus
+    * job. This variant draws the replicas over a deterministic
+    * PRF subsample — keep an item iff
+    * hash60(event_id:bcasub) % mod == 0, mod = ⌈N/targetItems⌉ — so
+    * the ×reps md5 fanout (the dominant cost) runs over ~targetItems
+    * rows REGARDLESS of corpus size, and emits the CI-widening factor
+    * √(N/n_sub) beside the endpoints plus the widened interval
+    * (subsampling a mean statistic inflates its standard error by
+    * exactly that factor, so the honest full-corpus quote is
+    * θ̂_sub ± widen·(CI_sub − θ̂_sub)).
+    *
+    * Exactness: mod is a pure integer function of the corpus count —
+    * ⌈N/target⌉ as (N + target − 1) / target in BIGINTs — which the
+    * oracle recomputes in SQL from the same count, so both engines
+    * draw the identical subsample; the widen factor is one
+    * correctly-rounded sqrt of one correctly-rounded division, and the
+    * widened endpoints are a fixed-parenthesization double epilogue on
+    * the single output row. Everything inside the interval is the
+    * [[evalBootstrapBca]] machinery verbatim (shared plan builder).
+    *
+    * Scale shape: ONE count over events (parquet count-star —
+    * metadata-bound; pairedOkFrame is row-for-row with events so the
+    * counts agree by construction), one linear subsample scan (a
+    * single md5 per item, vs ×reps for the full form), then the whole
+    * replica/jackknife pipeline on ~targetItems rows — the corpus
+    * appears only in the scan, never in the fanout. */
+  def evalBootstrapBcaSampled(spark: SparkSession, dir: String,
+      reps: Int = 50, targetItems: Long = 4096L): DataFrame = {
+    val nFull = graft.schema.Schemas.events(spark, dir).count()
+    val mod = math.max(1L, (nFull + targetItems - 1L) / targetItems)
+    val sub = Analytics5.pairedOkFrame(spark, dir)
+      .filter(graft.query.Dedup.hash60(concat(
+        col("event_id").cast("string"), lit(":bcasub")))
+        % lit(mod) === 0L)
+    bcaOverPaired(spark, sub, reps, widenFull = Some(nFull))
+  }
+
+  private def bcaOverPaired(spark: SparkSession, paired: DataFrame,
+      reps: Int, widenFull: Option[Long]): DataFrame = {
     val tz = invNormGrid(reps)
     val zLo = invNormCdf(0.025)
     val zHi = invNormCdf(0.975)
@@ -116,13 +161,13 @@ object Analytics7 {
     // the moment row) — materialize them ONCE (the ×50 md5 fanout is
     // the whole cost of this query; lazily it re-ran per branch,
     // measured 7.2 → ~1.5 s at bench scale)
-    val boot = Analytics5.evalPairedBootstrap(spark, dir, reps)
+    val boot = Analytics5.pairedBootstrapOver(spark, paired, reps)
       .select(col("replica"), col("n_eff"), col("sum_a"), col("sum_b"),
         col("delta"))
       .localCheckpoint(true)
     // exact tallies of the paired frame: n, ΣA, ΣB and the d∈{−1,0,1}
     // class counts the closed-form jackknife reads
-    val tally = Analytics5.pairedOkFrame(spark, dir).agg(
+    val tally = paired.agg(
       count(lit(1)).as("n_items"),
       coalesce(sum(when(col("a_ok"), 1L).otherwise(0L)), lit(0L)).as("sa"),
       coalesce(sum(when(col("b_ok"), 1L).otherwise(0L)), lit(0L)).as("sb"),
@@ -185,7 +230,7 @@ object Analytics7 {
       .select(col("n_items"), col("d_total"), col("cnt_below"),
         col("z0_d"), col("accel_d"), col("w_lo_d"), col("w_hi_d"),
         col("idx_lo"), col("idx_hi"), col("delta").as("ci_lo_d"))
-    lo.join(ranked.select(col("rk"), col("delta").as("ci_hi_d")),
+    val base = lo.join(ranked.select(col("rk"), col("delta").as("ci_hi_d")),
         col("rk") === col("idx_hi"))
       .select(col("n_items"), col("d_total"), col("cnt_below"),
         (col("d_total").cast("double") / col("n_items").cast("double"))
@@ -194,7 +239,28 @@ object Analytics7 {
         col("accel_d").cast("float").as("accel"),
         col("idx_lo"), col("idx_hi"),
         col("ci_lo_d").cast("float").as("ci_lo"),
-        col("ci_hi_d").cast("float").as("ci_hi"))
+        col("ci_hi_d").cast("float").as("ci_hi"),
+        col("ci_lo_d"), col("ci_hi_d"))
+    widenFull match {
+      case None => base.drop("ci_lo_d", "ci_hi_d")
+      case Some(nFull) =>
+        // √(N/n_sub) inflation + widened endpoints, all
+        // fixed-parenthesization doubles on the single output row —
+        // the oracle replays the identical expression text
+        val thetaD =
+          col("d_total").cast("double") / col("n_items").cast("double")
+        val widenD = sqrt(lit(nFull).cast("double")
+          / col("n_items").cast("double"))
+        base.select(col("n_items"), col("d_total"), col("cnt_below"),
+            col("theta_hat"), col("z0"), col("accel"),
+            col("idx_lo"), col("idx_hi"), col("ci_lo"), col("ci_hi"),
+            lit(nFull).as("n_full"),
+            widenD.cast("float").as("widen"),
+            (thetaD + (col("ci_lo_d").cast("double") - thetaD) * widenD)
+              .cast("float").as("ci_lo_w"),
+            (thetaD + (col("ci_hi_d").cast("double") - thetaD) * widenD)
+              .cast("float").as("ci_hi_w"))
+    }
   }
 
   // ---- differentially-private clipped-sum mean ---------------------------

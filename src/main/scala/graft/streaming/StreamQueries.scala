@@ -485,13 +485,20 @@ object StreamQueries {
     * streaming because the watermark bounds how long the operator must
     * wait. State: both sides watermarked 1 h; the interval condition
     * lets the state store evict rows the watermark has passed. */
-  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = streamEvents(spark, dir)
+  def streamStreamLeftJoin(spark: SparkSession, dir: String,
+      filesPerTrigger: Option[Int] = None): DataFrame = {
+    // filesPerTrigger: the PacedState evidence path (see
+    // [[streamStreamJoin]]) — the advancing watermark additionally
+    // gates the NULL emissions here, so paced == one-shot proves the
+    // outer side's finalize-on-watermark bookkeeping, not just state
+    // eviction
+    val clicks = streamEvents(spark, dir, filesPerTrigger = filesPerTrigger)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
-    val purchases = streamEvents(spark, dir)
+    val purchases = streamEvents(spark, dir,
+        filesPerTrigger = filesPerTrigger)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
@@ -514,8 +521,12 @@ object StreamQueries {
     * `window_time` (the first window's event time) under the same
     * watermark. The two-level rollup every metrics pipeline wants
     * without a second job or an intermediate topic. */
-  def streamTwoLevelAgg(spark: SparkSession, dir: String): DataFrame = {
-    val lvl1 = streamEvents(spark, dir)
+  def streamTwoLevelAgg(spark: SparkSession, dir: String,
+      filesPerTrigger: Option[Int] = None): DataFrame = {
+    // filesPerTrigger: paced evidence — BOTH stateful levels evict
+    // under the advancing watermark, and Append emits each finalized
+    // window exactly once regardless of batching, so paced == one-shot
+    val lvl1 = streamEvents(spark, dir, filesPerTrigger = filesPerTrigger)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -766,8 +777,23 @@ object StreamQueries {
     * partitions sized to the keyspace. Late-row dropping happens BEFORE
     * the shuffle (the watermark filter is a scan-side predicate), so a
     * 100 TB backfill of stragglers costs a scan, not state churn. */
-  def streamLateData(spark: SparkSession, dir: String): DataFrame = {
-    val arrivals = lateReplayDirs.computeIfAbsent(dir, _ => {
+  def streamLateData(spark: SparkSession, dir: String,
+      bulkFiles: Int = 1): DataFrame = {
+    // bulkFiles > 1: the PacedState evidence path — ALL on-time rows
+    // (bulk ∪ tail) are split into time-ranged files so the watermark
+    // advances (and finalized windows EVICT) during the run instead of
+    // only at the tail. The tail CANNOT stay a separate trailing file
+    // here: once the watermark has advanced through the paced bulk, a
+    // held-out any-ts tranche is itself late and would be dropped
+    // (measured — Round19Spec's first draft caught it), which is the
+    // correct production semantics: "on-time" MEANS inside the
+    // watermark horizon of the arrival order. Late rows still arrive
+    // last and still drop — the late-filter watermark during their
+    // batch is ≥ the second-to-last slice's max ts − 1 h, far past the
+    // late cutoff. Output therefore equals the declared 3-file layout's.
+    // The replay dir is keyed by the split so the default layout (the
+    // declared query) is never clobbered.
+    val arrivals = lateReplayDirs.computeIfAbsent(s"$dir#$bulkFiles", _ => {
       val base = java.nio.file.Files
         .createTempDirectory("graft-late-replay").toString
       upsertDirs.add(base)
@@ -787,8 +813,22 @@ object StreamQueries {
         java.nio.file.Files.move(part.toPath, dest.toPath)
         dest.setLastModified(mtime) // FileStreamSource orders by mod time
       }
-      writeOne(ev.filter(!late && !tail), "batch_0", 1000000L)
-      writeOne(ev.filter(!late && tail), "batch_1", 2000000L)
+      if (bulkFiles <= 1) {
+        writeOne(ev.filter(!late && !tail), "batch_0", 1000000L)
+        writeOne(ev.filter(!late && tail), "batch_1", 2000000L)
+      } else {
+        // time-ranged on-time slices, mtime-ordered = event-time-ordered
+        val onTime = ev.filter(!late)
+        val b = onTime.agg(min(col("ts")).cast("long").as("lo"),
+          (max(col("ts")).cast("long") + 1).as("hi")).collect()(0)
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val step = math.max(1L, (hi - lo) / bulkFiles + 1)
+        (0 until bulkFiles).foreach { i =>
+          writeOne(onTime.filter(col("ts").cast("long") >= lo + i * step &&
+              col("ts").cast("long") < lo + (i + 1) * step),
+            s"batch_0_$i", 1000000L + i * 1000L)
+        }
+      }
       writeOne(ev.filter(late), "batch_2", 3000000L)
       s"$base/arrivals"
     })

@@ -127,6 +127,26 @@ object PacedState {
       StreamQueries.streamStreamJoin(spark, paced),
       StreamQueries.streamStreamJoin(spark, paced,
         filesPerTrigger = Some(1)))
+    // r18 verdict #5: the remaining corpus-linear one-shot drains
+    measure("stream_stream_left_join")(
+      StreamQueries.streamStreamLeftJoin(spark, paced),
+      StreamQueries.streamStreamLeftJoin(spark, paced,
+        filesPerTrigger = Some(1)))
+    measure("stream_two_level_agg")(
+      StreamQueries.streamTwoLevelAgg(spark, paced),
+      StreamQueries.streamTwoLevelAgg(spark, paced,
+        filesPerTrigger = Some(1)))
+    measure("stream_late_data")(
+      StreamQueries.streamLateData(spark, paced),
+      StreamQueries.streamLateData(spark, paced, bulkFiles = 16))
+    // transformWithState MAP-state rollup: state is keyed by USER
+    // (dimension-bounded, no watermark eviction), so the honest
+    // expectation here is paced peak ≈ one-shot peak at the distinct-key
+    // bound — recorded to show the BOUND, not a plateau drop
+    measure("stream_user_type_counts")(
+      StreamQueries.streamUserTypeCounts(spark, paced),
+      StreamQueries.streamUserTypeCountsFrom(spark, paced,
+        rawEvents = true, filesPerTrigger = Some(1)))
 
     spark.streams.removeListener(curve)
     spark.stop()

@@ -108,6 +108,11 @@ object ScaleCurve {
       // copies are vertex-disjoint, so ego cost should scale ~linearly
       // in centers while the CDF family tracks the distinct-value grain
       "ego_brokerage" -> Seq("graph_ego_betweenness"),
+      // round-19: the subsampled BCa — the ×reps fanout rides a
+      // ~fixed-size hash-threshold subsample, so the exponent should
+      // collapse from the full form's by-design e≈0.44 toward the
+      // residual single-pass scan
+      "bca_sampled" -> Seq("eval_bootstrap_bca_sampled"),
       "rank_tests" -> Seq("eval_mann_whitney_u", "eval_cliffs_delta",
         "eval_wilcoxon_signed_rank", "ts_hurst_exponent"))
 
