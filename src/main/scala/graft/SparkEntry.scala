@@ -958,6 +958,10 @@ object SparkEntry {
     // round 16: Everett–Borgatti ego betweenness (brokerage centrality)
     "graph_ego_betweenness"  -> ((s: SparkSession, d: String) =>
       Analytics6.graphEgoBetweenness(s, d)),
+    // round 19: the %512 sampled center cohort — same plan, 8× fewer
+    // centers, which is what makes the x10 oracle replay disk-feasible
+    "graph_ego_betweenness_s512" -> ((s: SparkSession, d: String) =>
+      Analytics6.graphEgoBetweenness(s, d, cohortMod = 512)),
     // round 16: minimum detectable effect at the observed sample sizes
     "eval_mde_power"         -> Analytics6.evalMdePower _,
     // round 16: dup-rate curve over Jaccard cuts off the pair index
@@ -1335,6 +1339,46 @@ object SparkEntry {
        |FROM idx i JOIN ranked rl ON rl.rk = i.idx_lo
        |  JOIN ranked rh ON rh.rk = i.idx_hi$mqJoin""".stripMargin
   }
+
+  /** The [[graft.query.Analytics6.graphEgoBetweenness]] oracle,
+    * parametrized by the center-cohort modulus: %64 is the declared
+    * query; %512 is the x10-replayable sampled cohort (r18 verdict
+    * #7 — the %64 courier join exceeds DuckDB temp disk at x10).
+    * Same MATERIALIZED stage chain either way. */
+  private def egoBetweennessOracleSql(mod: Int): String =
+      s"""WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), sym AS MATERIALIZED (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), ego AS MATERIALIZED (
+        |  SELECT u AS z, v AS n FROM sym WHERE u % $mod = 0
+        |), pairs AS MATERIALIZED (
+        |  SELECT a.z, a.n AS u, b.n AS v
+        |  FROM ego a JOIN ego b ON a.z = b.z AND a.n < b.n
+        |), nonadj AS MATERIALIZED (
+        |  SELECT p.z, p.u, p.v FROM pairs p
+        |  LEFT JOIN e0 ON e0.u = p.u AND e0.v = p.v
+        |  WHERE e0.u IS NULL
+        |), cour AS MATERIALIZED (
+        |  SELECT na.z, na.u, na.v, CAST(count(*) AS BIGINT) AS extra
+        |  FROM nonadj na
+        |  JOIN sym su ON su.u = na.u
+        |  JOIN sym sv ON sv.u = na.v AND sv.v = su.v
+        |  JOIN ego e ON e.z = na.z AND e.n = su.v
+        |  WHERE su.v <> na.z
+        |  GROUP BY na.z, na.u, na.v
+        |), sig AS MATERIALIZED (
+        |  SELECT na.z, 1 + coalesce(c.extra, 0) AS sigma
+        |  FROM nonadj na LEFT JOIN cour c
+        |    ON c.z = na.z AND c.u = na.u AND c.v = na.v
+        |)
+        |SELECT z AS part, CAST(count(*) AS BIGINT) AS n_broker_pairs,
+        |  CAST(sum(1.0 / CAST(sigma AS DOUBLE)) AS REAL)
+        |    AS ego_betweenness
+        |FROM sig GROUP BY z ORDER BY part""".stripMargin
 
   /** The [[graft.query.Analytics7.graphSsspWeighted]] oracle: the
     * Bellman-Ford relaxation UNROLLED into `rounds` MATERIALIZED
@@ -5898,40 +5942,11 @@ object SparkEntry {
         |  CAST(max(hurst) AS REAL) AS hurst
         |FROM fit""".stripMargin,
     // Σ 1/σ over non-adjacent neighbor pairs; couriers by 3-way join
-    "graph_ego_betweenness" ->
-      """WITH li AS MATERIALIZED (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |), e0 AS MATERIALIZED (
-        |  SELECT DISTINCT a.pk AS u, b.pk AS v
-        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |), sym AS MATERIALIZED (
-        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
-        |), ego AS MATERIALIZED (
-        |  SELECT u AS z, v AS n FROM sym WHERE u % 64 = 0
-        |), pairs AS MATERIALIZED (
-        |  SELECT a.z, a.n AS u, b.n AS v
-        |  FROM ego a JOIN ego b ON a.z = b.z AND a.n < b.n
-        |), nonadj AS MATERIALIZED (
-        |  SELECT p.z, p.u, p.v FROM pairs p
-        |  LEFT JOIN e0 ON e0.u = p.u AND e0.v = p.v
-        |  WHERE e0.u IS NULL
-        |), cour AS MATERIALIZED (
-        |  SELECT na.z, na.u, na.v, CAST(count(*) AS BIGINT) AS extra
-        |  FROM nonadj na
-        |  JOIN sym su ON su.u = na.u
-        |  JOIN sym sv ON sv.u = na.v AND sv.v = su.v
-        |  JOIN ego e ON e.z = na.z AND e.n = su.v
-        |  WHERE su.v <> na.z
-        |  GROUP BY na.z, na.u, na.v
-        |), sig AS MATERIALIZED (
-        |  SELECT na.z, 1 + coalesce(c.extra, 0) AS sigma
-        |  FROM nonadj na LEFT JOIN cour c
-        |    ON c.z = na.z AND c.u = na.u AND c.v = na.v
-        |)
-        |SELECT z AS part, CAST(count(*) AS BIGINT) AS n_broker_pairs,
-        |  CAST(sum(1.0 / CAST(sigma AS DOUBLE)) AS REAL)
-        |    AS ego_betweenness
-        |FROM sig GROUP BY z ORDER BY part""".stripMargin,
+    "graph_ego_betweenness" -> egoBetweennessOracleSql(64),
+    // round 19 (r18 verdict #7): the %512 center cohort — the sampled
+    // form whose x10 DuckDB replay fits in temp disk (the full %64
+    // courier stream measured ~300 M rows > 78 GB twice at x10)
+    "graph_ego_betweenness_s512" -> egoBetweennessOracleSql(512),
     // Welch SE epilogue with the two-z MDE constant
     "eval_mde_power" ->
       """WITH g AS (

@@ -565,6 +565,17 @@ object Curation2 {
     * the log weight (float epilogue over double log arithmetic, the
     * [[TextAnalysis.textBigramLogprob]] exactness precedent).
     *
+    * REASSOCIATION BOUND (ADVICE r18): the per-doc groupBy sums double
+    * log terms in nondeterministic order; each |term| ≤ ln(corpus) ≈ 40,
+    * so a t-token doc's sum reassociates within ~t·40·2⁻⁵² ≈ t·9e-15
+    * absolute. The float cast absorbs that while the sum's unit-last-place
+    * exceeds it — |sum| ≥ t·9e-15 / 2⁻²⁴ ⇒ safe whenever the mean
+    * per-token |LLR| exceeds t·1.5e-7, i.e. up to ~million-token docs at
+    * this corpus's observed per-token LLR ~0.1–3. The driver corpus tops
+    * out near 10³ tokens/doc — five orders inside the bound (x10-swept
+    * exact); a corpus of book-length docs with near-zero mean LLR is
+    * where a wider epilogue (or a doc-keyed sorted sum) would be due.
+    *
     * Scale shape: the token stream is computed once; both per-bucket
     * counts (target hits, all hits) attach as ONE window pass
     * partitioned by bucket — no join of the stream against its own

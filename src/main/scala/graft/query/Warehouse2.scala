@@ -500,7 +500,18 @@ object Warehouse2 {
     * shuffle beyond the zone-keyed agg — at deployment this is the
     * writer-side accumulation parquet/Delta do per row group); the
     * probe panel is a literal broadcast, and the verdict join is
-    * |zones| × |panel| — metadata-sized, never the fact table. */
+    * |zones| × |panel| — metadata-sized, never the fact table.
+    *
+    * SATURATION BOUND (ADVICE r18): a 252-bit/k=3 signature holds
+    * fp ≈ (1 − e^(−3n/252))³ — ~0.25 at n ≈ 84 distinct keys per zone
+    * and →1 beyond a few hundred, at which point the bloom column stops
+    * discriminating (cross-engine exactness is unaffected; only the
+    * PRUNING VALUE saturates). The driver corpus keeps distinct
+    * suppkeys per 4096-order zone well under that knee, which is what
+    * Round18Spec's `bloom < n` assertion relies on; a deployment with
+    * denser zones scales the signature width with expected
+    * keys-per-zone (m ≈ 1.44·k·n bits for the target fp), exactly as
+    * parquet's bloom writer sizes from its ndv hint. */
   def layoutBloomPrune(spark: SparkSession, dir: String,
       zoneOrders: Int = 4096): DataFrame = {
     import graft.query.Dedup.{hash60, hash60lo}

@@ -1902,7 +1902,14 @@ object StreamQueries {
       org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      st = getHandle.getValueState[(Long, Long, Long)]("calib",
+      // state name versioned to "calib_u" (ADVICE r18): the encoding
+      // changed from (Long, Double, Long) to (Long, Long, Long) when the
+      // value sum moved to the exact integer grid; reusing the old name
+      // would misdecode any pre-change persistent checkpoint. The drains
+      // here are fresh/ephemeral, but the rename makes the schema change
+      // a loud key-miss instead of a silent misread if a persistent
+      // checkpoint is ever introduced.
+      st = getHandle.getValueState[(Long, Long, Long)]("calib_u",
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong,
