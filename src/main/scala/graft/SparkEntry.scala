@@ -1241,16 +1241,18 @@ object SparkEntry {
       .mkString(", ")
     val tsrc = if (sampledTarget.isDefined) "ss" else "s"
     val mqJoin = if (sampledTarget.isDefined) " CROSS JOIN mq" else ""
-    // fixed-parenthesization double epilogue: theta + (ci - theta)·widen,
+    // fixed-parenthesization double epilogue: theta + (ci − theta)·
+    // √(n/N) — the m-out-of-n PROJECTION (shrink, not widen: the
+    // subsample replica spread already carries the √(N/n) inflation) —
     // the exact expression tree the Spark plan carries
     def wCol(d: String, as: String): String =
       s"""
-         |  , CAST(CAST(i.d_total AS DOUBLE) / CAST(i.n_items AS DOUBLE) + (CAST($d AS DOUBLE) - CAST(i.d_total AS DOUBLE) / CAST(i.n_items AS DOUBLE)) * sqrt(CAST(mq.n_full AS DOUBLE) / CAST(i.n_items AS DOUBLE)) AS REAL) AS $as"""
+         |  , CAST(CAST(i.d_total AS DOUBLE) / CAST(i.n_items AS DOUBLE) + (CAST($d AS DOUBLE) - CAST(i.d_total AS DOUBLE) / CAST(i.n_items AS DOUBLE)) * sqrt(CAST(i.n_items AS DOUBLE) / CAST(mq.n_full AS DOUBLE)) AS REAL) AS $as"""
     val widenCols = if (sampledTarget.isEmpty) "" else
       s"""
          |  , mq.n_full,
          |  CAST(sqrt(CAST(mq.n_full AS DOUBLE) / CAST(i.n_items AS DOUBLE)) AS REAL) AS widen""" +
-        wCol("rl.delta", "ci_lo_w") + wCol("rh.delta", "ci_hi_w")
+        wCol("rl.delta", "ci_lo_proj") + wCol("rh.delta", "ci_hi_proj")
     pairedBootCtesFrom(reps, sampledTarget) + ",\n" +
     s"""bs AS (
        |  SELECT CAST(replica AS INT) AS replica, n_eff, sum_a, sum_b,

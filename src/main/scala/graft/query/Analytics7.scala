@@ -119,11 +119,25 @@ object Analytics7 {
     * PRF subsample — keep an item iff
     * hash60(event_id:bcasub) % mod == 0, mod = ⌈N/targetItems⌉ — so
     * the ×reps md5 fanout (the dominant cost) runs over ~targetItems
-    * rows REGARDLESS of corpus size, and emits the CI-widening factor
-    * √(N/n_sub) beside the endpoints plus the widened interval
-    * (subsampling a mean statistic inflates its standard error by
-    * exactly that factor, so the honest full-corpus quote is
-    * θ̂_sub ± widen·(CI_sub − θ̂_sub)).
+    * rows REGARDLESS of corpus size. Three uncertainty columns ride
+    * beside the interval:
+    *   - ci_lo/ci_hi — the subsample bootstrap CI itself, which is a
+    *     VALID (just wider) interval for θ: the replica spread at
+    *     n_sub already carries SE ≈ √(N/n_sub)·SE_full, no adjustment
+    *     needed or applied;
+    *   - widen = √(N/n_sub) — the diagnostic factor by which that CI
+    *     is wider than a full-corpus run's would be;
+    *   - ci_lo_proj/ci_hi_proj — the m-out-of-n PROJECTION of the
+    *     full-corpus interval, θ̂_sub + (ci − θ̂_sub)·√(n_sub/N): the
+    *     standard subsample-bootstrap rescaling of the replica spread
+    *     DOWN to the full sample size (Bickel–Götze–van Zwet). It
+    *     estimates the WIDTH a full run would quote; as a CI for θ it
+    *     is anti-conservative (the subsample center itself jitters at
+    *     SE_sub), which is why ci_lo/ci_hi stay the primary columns.
+    *     (An earlier draft multiplied by √(N/n_sub) instead — wrong
+    *     direction, double-counting the inflation the spread already
+    *     carries; caught in review, and structurally invisible to the
+    *     cross-engine sweep since the oracle mirrors the expression.)
     *
     * Exactness: mod is a pure integer function of the corpus count —
     * ⌈N/target⌉ as (N + target − 1) / target in BIGINTs — which the
@@ -244,22 +258,26 @@ object Analytics7 {
     widenFull match {
       case None => base.drop("ci_lo_d", "ci_hi_d")
       case Some(nFull) =>
-        // √(N/n_sub) inflation + widened endpoints, all
+        // √(N/n) inflation diagnostic + m-out-of-n projected endpoints
+        // (shrink the replica spread by √(n/N) — NOT widen: the spread
+        // already carries the subsample inflation), all
         // fixed-parenthesization doubles on the single output row —
         // the oracle replays the identical expression text
         val thetaD =
           col("d_total").cast("double") / col("n_items").cast("double")
         val widenD = sqrt(lit(nFull).cast("double")
           / col("n_items").cast("double"))
+        val shrinkD = sqrt(col("n_items").cast("double")
+          / lit(nFull).cast("double"))
         base.select(col("n_items"), col("d_total"), col("cnt_below"),
             col("theta_hat"), col("z0"), col("accel"),
             col("idx_lo"), col("idx_hi"), col("ci_lo"), col("ci_hi"),
             lit(nFull).as("n_full"),
             widenD.cast("float").as("widen"),
-            (thetaD + (col("ci_lo_d").cast("double") - thetaD) * widenD)
-              .cast("float").as("ci_lo_w"),
-            (thetaD + (col("ci_hi_d").cast("double") - thetaD) * widenD)
-              .cast("float").as("ci_hi_w"))
+            (thetaD + (col("ci_lo_d").cast("double") - thetaD) * shrinkD)
+              .cast("float").as("ci_lo_proj"),
+            (thetaD + (col("ci_hi_d").cast("double") - thetaD) * shrinkD)
+              .cast("float").as("ci_hi_proj"))
     }
   }
 

@@ -793,6 +793,11 @@ object StreamQueries {
     // late cutoff. Output therefore equals the declared 3-file layout's.
     // The replay dir is keyed by the split so the default layout (the
     // declared query) is never clobbered.
+    // slice mtimes are 1000000 + i·1000; the tail/late markers sit at
+    // 2000000/3000000, so the mtime-ordering invariant (late replays
+    // LAST) holds only while the slice schedule stays below them
+    require(bulkFiles <= 512, s"bulkFiles=$bulkFiles would collide with " +
+      "the late tranche's fixed mtime and break its replays-last invariant")
     val arrivals = lateReplayDirs.computeIfAbsent(s"$dir#$bulkFiles", _ => {
       val base = java.nio.file.Files
         .createTempDirectory("graft-late-replay").toString

@@ -64,8 +64,11 @@ object ServeBench {
       c.setRequestProperty("Content-Type", "application/json")
       c.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
       val code = c.getResponseCode
+      // getErrorStream is null when an error response has no body —
+      // surface the status code instead of NPEing past the diagnostic
       val in = if (code < 400) c.getInputStream else c.getErrorStream
-      in.readAllBytes(); c.disconnect(); code
+      if (in != null) in.readAllBytes()
+      c.disconnect(); code
     }
 
     def pct(sorted: Array[Double], p: Double): Double =
@@ -80,13 +83,19 @@ object ServeBench {
         require(post(path, body) == 200)
         (System.nanoTime() - t0) / 1e6
       }.toArray.sorted
-      // saturation: 8 client threads, n requests total
+      // saturation: 8 client threads, n requests total; non-200s are
+      // counted and fail the run — a q/s built from fast error
+      // responses would silently inflate the recorded numbers
       val threads = 8
+      val bad = new java.util.concurrent.atomic.AtomicLong(0)
       val t0 = System.nanoTime()
       val pool = (1 to threads).map { _ =>
-        new Thread(() => (1 to n / threads).foreach(_ => post(path, body)))
+        new Thread(() => (1 to n / threads).foreach { _ =>
+          if (post(path, body) != 200) bad.incrementAndGet()
+        })
       }
       pool.foreach(_.start()); pool.foreach(_.join())
+      require(bad.get() == 0, s"$name saturation: ${bad.get()} non-200s")
       val qps = (n / threads * threads) / ((System.nanoTime() - t0) / 1e9)
       println(f"[serve] $name%-12s p50=${pct(lat, 0.50)}%7.2f ms  " +
         f"p90=${pct(lat, 0.90)}%7.2f  p99=${pct(lat, 0.99)}%7.2f  " +
