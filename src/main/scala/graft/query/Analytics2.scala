@@ -253,8 +253,15 @@ object Analytics2 {
     * entire point of the structure at 100 TB. */
   def aggCountminFreq(spark: SparkSession, dir: String,
       d: Int = 4, w: Int = 256, topK: Int = 10): DataFrame = {
-    val ev = graft.schema.Schemas.events(spark, dir)
-      .select(col("user_id"))
+    // the ×d md5 fanout must not ride the scan's partitioning: the
+    // driver corpus reads as ONE task (single row group), so d·|events|
+    // digests would run on one core (measured 1.5 s of the query's
+    // 1.7 s at sf0.1). spread() hash-partitions the narrow user_id
+    // column across the cores — and the `exact` groupBy(user_id) below
+    // reuses that same exchange instead of adding its own.
+    val ev = graft.schema.Schemas.spread(spark, dir, "events",
+      graft.schema.Schemas.events(spark, dir).select(col("user_id")),
+      col("user_id"))
     // each event lands in one bucket per row: (row, hash_row(key) % w)
     val cells = ev
       .select(col("user_id"),

@@ -493,14 +493,21 @@ object Analytics4 {
       .select(col("vec_id"),
         transform(col("embedding"), f => f.cast("double")).as("x"))
     val dim = 64
-    // v as a 1-row DataFrame with an array column — broadcast-joined
-    // into each round (never a collected literal, so the plan shape is
-    // identical at any corpus size)
-    var v = spark.range(1).select(
-      array((0 until dim).map(_ => lit(1.0 / 8.0)): _*).as("v"))
+    // v is DIM-sized — corpus-independent by construction — so each
+    // round collects the 64 partial sums to the driver (the bounded-
+    // panel discipline, textBpeEncode precedent) and inlines the
+    // normalized vector as literals into the next round. An earlier
+    // form chained v through 1-row DataFrames instead: the final plan
+    // nested all `iters` rounds (3 embedded scans + 64-wide expression
+    // trees per level), costing ~0.7 s of pure optimizer time per run.
+    // Every double op below replays the in-plan evaluation order (the
+    // aggregate HOF's left fold; one sqrt; one division per element),
+    // so the emitted vector is bit-identical.
+    var v: Array[Double] = Array.fill(dim)(1.0 / 8.0)
     for (_ <- 1 to iters) {
+      val vCol = array(v.toIndexedSeq.map(lit): _*)
       val scoreCol = aggregate(
-        zip_with(col("x"), col("v"), (a, b) => a * b),
+        zip_with(col("x"), vCol, (a, b) => a * b),
         lit(0.0), (acc, t) => acc + t)
       // Σᵢ xᵢⱼ·scoreᵢ for all 64 dims as ONE map-side-combined
       // aggregate row (64 sum expressions) — no per-dim explode, no
@@ -508,19 +515,23 @@ object Analytics4 {
       // order. Each round is scan → partial agg → 1-row final agg.
       val sums = (0 until dim).map(j =>
         sum(element_at(col("x"), j + 1) * col("score")).as(s"s$j"))
-      val row = emb.crossJoin(broadcast(v))
+      val row = emb
         .select(col("x"), scoreCol.as("score"))
         .agg(sums.head, sums.tail: _*)
-      val u = array((0 until dim).map(j => col(s"s$j")): _*)
-      v = row.select(transform(u.as("u0"),
-        e => e / sqrt(aggregate(
-          transform(u, t => t * t),
-          lit(0.0), (acc, t) => acc + t))).as("v"))
+        .collect()(0)
+      // empty-corpus guard: sum() of zero rows is NULL — the final
+      // frame is empty then anyway (emb has no rows), v just must not
+      // throw while being built
+      val u = Array.tabulate(dim)(j =>
+        if (row.isNullAt(j)) 0.0 else row.getDouble(j))
+      val norm = math.sqrt(u.map(t => t * t).foldLeft(0.0)(_ + _))
+      v = u.map(_ / norm)
     }
+    val vCol = array(v.toIndexedSeq.map(lit): _*)
     val rayleigh = aggregate(
-      zip_with(col("x"), col("v"), (a, b) => a * b),
+      zip_with(col("x"), vCol, (a, b) => a * b),
       lit(0.0), (acc, t) => acc + t)
-    emb.crossJoin(broadcast(v))
+    emb.withColumn("v", vCol)
       .select(explode(expr(
         "transform(v, (vj, i) -> struct(i + 1 as j, vj as loading))"))
         .as("e"), rayleigh.as("score"))

@@ -62,21 +62,28 @@ object Analytics5 {
     * test exact — a floating cumsum could flip the boundary row between
     * engines.
     *
-    * Scale shape: one ranked window per (tiny) group key + one
-    * broadcast 1-row-per-group total join; the window is the same
-    * shuffle the final GROUP BY needs, so the whole operator is one
-    * exchange. */
+    * Scale shape: TWO-LEVEL — the per-(flag, quantity) weight histogram
+    * is one map-side-combined aggregate (quantity domain is bounded, so
+    * the shuffle carries ≤ |rf|·|q| rows regardless of corpus size),
+    * the running-weight window then ranks that tiny histogram, never
+    * the fact rows. Equivalence to the row-grain form is exact: the
+    * first ROW to cross half-total sits inside the first QUANTITY whose
+    * group-end cumsum crosses, and min(q) only reads the quantity. An
+    * earlier formulation ran the cumsum window over the raw rows —
+    * a full sort of the fact table into |rf| = 3 partitions (measured
+    * 1.3 s / 10 MB spill-prone shuffle at sf0.1 vs ~0.2 s for this
+    * form, and the 3-way parallelism ceiling is the scale-killer). */
   def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
-    val li = table(spark, dir, "lineitem")
+    val hist = table(spark, dir, "lineitem")
       .select(col("l_returnflag").as("rf"), col("l_quantity").as("q"),
-        round(col("l_extendedprice") * 100).cast("long").as("w_cents"),
-        col("l_orderkey"), col("l_linenumber"))
-    val win = Window.partitionBy(col("rf"))
-      .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))
+        round(col("l_extendedprice") * 100).cast("long").as("w_cents"))
+      .groupBy(col("rf"), col("q"))
+      .agg(sum(col("w_cents")).as("w"))
+    val win = Window.partitionBy(col("rf")).orderBy(col("q"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = li.groupBy(col("rf"))
-      .agg(sum(col("w_cents")).as("tot_cents"))
-    li.withColumn("cum", sum(col("w_cents")).over(win))
+    val tot = hist.groupBy(col("rf"))
+      .agg(sum(col("w")).as("tot_cents"))
+    hist.withColumn("cum", sum(col("w")).over(win))
       .join(broadcast(tot), Seq("rf"))
       .filter(col("cum") * 2 >= col("tot_cents"))
       .groupBy(col("rf"))
@@ -2096,44 +2103,47 @@ object Analytics5 {
     val cells = (for (a <- 0 until k; b <- 0 until k if a != b)
       yield coalesce(sum(when(col("wi") === a && col("li") === b, 1L)),
         lit(0L)).as(s"w_${a}_$b")).toSeq
-    val wCols = (for (a <- 0 until k; b <- 0 until k if a != b)
-      yield col(s"w_${a}_$b")).toSeq
-    // absent slots (fewer than k event types) start at 0 and stay
-    // there, so ratings normalize over the PRESENT models only
-    var frame = paired.agg(cells.head, cells.tail: _*)
+    // ONE aggregate row: the k·(k−1) win-matrix cells + the present-slot
+    // count. The 8 minorization iterations then run DRIVER-SIDE on those
+    // ~21 scalars (the textBpeEncode bounded-collect precedent): an
+    // earlier form layered the iterations as 8 nested plan projections,
+    // whose collapsed expression tree cost ~0.5 s of optimizer time per
+    // run — for fixed-point math on ONE row. Every double op below
+    // replays the plan form's exact evaluation order (left-assoc
+    // reductions in ascending b), so the emitted ratings are
+    // bit-identical to the in-plan formulation the oracle mirrors.
+    val aggRow = paired.agg(cells.head, cells.tail: _*)
       .crossJoin(broadcast(types.agg(
         count(lit(1)).cast("int").as("n_types"))))
-      .select((wCols ++ (0 until k).map(a =>
-        when(lit(a) < col("n_types"), lit(1.0)).otherwise(lit(0.0))
-          .as(s"p$a"))): _*)
+      .collect()(0)
+    val w = Array.tabulate(k, k) { (a, b) =>
+      if (a == b) 0L else aggRow.getAs[Long](s"w_${a}_$b")
+    }
+    val nTypes = aggRow.getAs[Int]("n_types")
+    // absent slots (fewer than k event types) start at 0 and stay
+    // there, so ratings normalize over the PRESENT models only
+    var p = Array.tabulate(k)(a => if (a < nTypes) 1.0 else 0.0)
     (1 to iters).foreach { _ =>
-      val next = (0 until k).map { a =>
-        val pa = col(s"p$a")
-        val wa = (0 until k).filter(_ != a)
-          .map(b => col(s"w_${a}_$b")).reduce(_ + _)
+      p = Array.tabulate(k) { a =>
+        val wa = (0 until k).filter(_ != a).map(b => w(a)(b)).reduce(_ + _)
         val den = (0 until k).filter(_ != a).map { b =>
           // absent-slot pairs have p_a + p_b = 0: term is 0, not 0/0
-          when(pa + col(s"p$b") > 0,
-            (col(s"w_${a}_$b") + col(s"w_${b}_$a")).cast("double") /
-              (pa + col(s"p$b"))).otherwise(lit(0.0))
+          if (p(a) + p(b) > 0) (w(a)(b) + w(b)(a)).toDouble / (p(a) + p(b))
+          else 0.0
         }.reduce(_ + _)
-        when(wa > 0 && den > 0, wa.cast("double") / den).otherwise(pa)
-          .as(s"p$a")
+        if (wa > 0 && den > 0) wa.toDouble / den else p(a)
       }
-      frame = frame.select((wCols ++ next): _*)
     }
-    val tot = (0 until k).map(a => col(s"p$a")).reduce(_ + _)
-    val slots = (0 until k).map { a =>
-      val wins = (0 until k).filter(_ != a)
-        .map(b => col(s"w_${a}_$b")).reduce(_ + _)
-      val losses = (0 until k).filter(_ != a)
-        .map(b => col(s"w_${b}_$a")).reduce(_ + _)
-      struct(lit(a).as("idx"), wins.as("wins"), losses.as("losses"),
-        (col(s"p$a") / tot).cast("float").as("rating"))
+    val tot = (0 until k).map(p).reduce(_ + _)
+    val slotRows = (0 until k).map { a =>
+      val wins = (0 until k).filter(_ != a).map(b => w(a)(b)).reduce(_ + _)
+      val losses = (0 until k).filter(_ != a).map(b => w(b)(a)).reduce(_ + _)
+      (a, wins, losses, (p(a) / tot).toFloat)
     }
-    frame.select(explode(array(slots: _*)).as("s"))
-      .select(col("s.idx").as("idx"), col("s.wins").as("wins"),
-        col("s.losses").as("losses"), col("s.rating").as("rating"))
+    import spark.implicits._
+    slotRows.toDF("idx", "wins", "losses", "rating")
+      .select(col("idx").cast("int").as("idx"), col("wins"),
+        col("losses"), col("rating"))
       .join(broadcast(types), Seq("idx"))
       .select(col("event_type").as("model"), col("idx"), col("wins"),
         col("losses"), (col("wins") + col("losses")).as("n_matches"),

@@ -1,7 +1,6 @@
 package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-17 analytics: weighted single-source shortest paths (the
@@ -99,13 +98,14 @@ object Analytics7 {
     *
     * Scale shape: the replica table is the bootstrap's one
     * map-side-combined ×50 aggregate and the tally one more aggregate —
-    * exactly TWO passes over the fact scan, each materialized once
-    * (eager localCheckpoint: the ≤50-row/1-row results are read by
-    * several epilogue branches, and a lazy formulation re-runs the ×50
-    * md5 fanout per branch); everything after runs on ≤50 rows — at
-    * 100 TB the epilogue cost is invisible next to the scan. z₀'s
-    * below-count clamps to [1, B−1] (the standard finite-B guard:
-    * Φ⁻¹(0) is not finite). */
+    * exactly TWO passes over the fact scan. The ≤50-row replica panel
+    * is aggregated into ONE row (sorted struct array) so the whole
+    * epilogue — below-count fold, jackknife moments, percentile
+    * element_at selection — is expressions over that single row in one
+    * plan: no checkpoint barrier, no re-run of the ×50 fanout per
+    * branch, ~4 driver jobs instead of ~20. At 100 TB the epilogue
+    * cost is invisible next to the scan. z₀'s below-count clamps to
+    * [1, B−1] (the standard finite-B guard: Φ⁻¹(0) is not finite). */
   def evalBootstrapBca(spark: SparkSession, dir: String,
       reps: Int = 50): DataFrame =
     bcaOverPaired(spark, Analytics5.pairedOkFrame(spark, dir), reps,
@@ -170,15 +170,29 @@ object Analytics7 {
     val tz = invNormGrid(reps)
     val zLo = invNormCdf(0.025)
     val zHi = invNormCdf(0.975)
-    // the ≤reps-row replica table and the 1-row tally are each read by
-    // SEVERAL epilogue branches (below-count, the two quantile lookups /
-    // the moment row) — materialize them ONCE (the ×50 md5 fanout is
-    // the whole cost of this query; lazily it re-ran per branch,
-    // measured 7.2 → ~1.5 s at bench scale)
-    val boot = Analytics5.pairedBootstrapOver(spark, paired, reps)
-      .select(col("replica"), col("n_eff"), col("sum_a"), col("sum_b"),
-        col("delta"))
-      .localCheckpoint(true)
+    // The ≤reps-row replica table is read by several epilogue branches
+    // (below-count, the two quantile lookups). An earlier form
+    // materialized it with an eager localCheckpoint, which kept the ×50
+    // md5 fanout from re-running per branch but cost ~20 driver jobs of
+    // epilogue (checkpoints + broadcast builds + two joins + a window —
+    // measured 1.4 s of job wall plus 0.7 s of driver gaps at sf0.1 for
+    // a ≤50-row tail). This form instead AGGREGATES the replica panel
+    // into one row (a sorted struct array + the raw sums array), so
+    // every branch is an expression over that single row: one plan, no
+    // checkpoint barrier, no window, ~4 jobs. The ranking semantics are
+    // pinned unchanged: delta ASC NULLS LAST, tie-break replica —
+    // NULL deltas (possible only for degenerate n_eff=0 replicas) sort
+    // via the +Inf key; replica is unique, so the struct comparison
+    // never reaches the delta field and the order is total.
+    val bootRow = Analytics5.pairedBootstrapOver(spark, paired, reps)
+      .agg(
+        sort_array(collect_list(struct(
+          coalesce(col("delta"), lit(Float.PositiveInfinity)).as("sk"),
+          col("replica").as("replica"), col("delta").as("delta"))))
+          .as("ranked"),
+        collect_list(struct(col("n_eff").as("n_eff"),
+          col("sum_a").as("sum_a"), col("sum_b").as("sum_b")))
+          .as("sums"))
     // exact tallies of the paired frame: n, ΣA, ΣB and the d∈{−1,0,1}
     // class counts the closed-form jackknife reads
     val tally = paired.agg(
@@ -190,14 +204,12 @@ object Analytics7 {
       coalesce(sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L)),
         lit(0L)).as("cp"))
       .withColumn("d_total", col("sa") - col("sb"))
-      .localCheckpoint(true)
-    // #{θ*_b < θ̂} as one integer-compare aggregate over the replicas
-    val below = boot.crossJoin(broadcast(tally))
-      .agg(coalesce(sum(when(
-        (col("sum_a") - col("sum_b")) * col("n_items")
-          < col("d_total") * col("n_eff"), 1L).otherwise(0L)), lit(0L))
-        .as("cnt_below"))
-    val core = tally.crossJoin(broadcast(below))
+    // #{θ*_b < θ̂} as one integer-compare fold over the ≤reps sums array
+    val core = bootRow.crossJoin(broadcast(tally))
+      .withColumn("cnt_below", aggregate(col("sums"), lit(0L),
+        (acc, s) => acc + when(
+          (s.getField("sum_a") - s.getField("sum_b")) * col("n_items")
+            < col("d_total") * s.getField("n_eff"), 1L).otherwise(0L)))
       .filter(col("n_items") > 0)
     // closed-form jackknife moments on the single tally row:
     // I2 = Σ(n·dᵢ − D)² = cm(n+D)² + c0·D² + cp(n−D)², I3 its cube sum
@@ -229,23 +241,14 @@ object Analytics7 {
       .withColumn("w_hi_d", wCol(col("z0_d"), zHi, col("accel_d")))
       .withColumn("idx_lo", idxOf(col("w_lo_d")))
       .withColumn("idx_hi", idxOf(col("w_hi_d")))
-    // limit(reps) is a data no-op (boot IS the ≤reps-row replica table)
-    // that DECLARES the panel bound in the plan: the checkpoint barrier
-    // truncates lineage, so without it the ranking window looks
-    // unreduced to WindowGateSpec's strict walk — the Similarity MMR
-    // pool discipline
-    // NULLS LAST pinned explicitly: Spark's ASC default is NULLS FIRST,
-    // DuckDB's is NULLS LAST — a degenerate n_eff=0 replica (NULL delta)
-    // would shift every rank by one cross-engine otherwise
-    val ranked = boot.limit(reps).select(col("replica"), col("delta"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("delta").asc_nulls_last, col("replica"))))
-    val lo = scored.join(ranked, col("rk") === col("idx_lo"))
-      .select(col("n_items"), col("d_total"), col("cnt_below"),
-        col("z0_d"), col("accel_d"), col("w_lo_d"), col("w_hi_d"),
-        col("idx_lo"), col("idx_hi"), col("delta").as("ci_lo_d"))
-    val base = lo.join(ranked.select(col("rk"), col("delta").as("ci_hi_d")),
-        col("rk") === col("idx_hi"))
+    // percentile endpoints are SELECTED replica deltas: element_at into
+    // the sorted ≤reps struct array (1-indexed; idxOf ∈ [1, reps] by
+    // construction) — NULLS LAST is carried by the +Inf sort key above
+    val base = scored
+      .withColumn("ci_lo_d",
+        element_at(col("ranked"), col("idx_lo")).getField("delta"))
+      .withColumn("ci_hi_d",
+        element_at(col("ranked"), col("idx_hi")).getField("delta"))
       .select(col("n_items"), col("d_total"), col("cnt_below"),
         (col("d_total").cast("double") / col("n_items").cast("double"))
           .cast("float").as("theta_hat"),

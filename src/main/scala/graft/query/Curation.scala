@@ -68,7 +68,9 @@ object Curation {
     * (doc, gram) pairs a second time for nothing. */
   def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ShingleHashes.register(spark)
-    val grams = table(spark, dir, "documents")
+    val grams = graft.schema.Schemas.spread(spark, dir, "documents",
+        table(spark, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(expr("shingle_hashes(toks, 3)")).as("gh"))

@@ -61,7 +61,9 @@ object Curation2 {
     * either engine. */
   def curriculumPhases(spark: SparkSession, dir: String,
       budgetTokens: Long = 2000L): DataFrame = {
-    val docs = table(spark, dir, "documents")
+    val docs = graft.schema.Schemas.spread(spark, dir, "documents",
+        table(spark, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"),
         org.apache.spark.sql.functions.size(Dedup.tokens(col("text")))
           .cast("long").as("n_tok"))
@@ -408,9 +410,17 @@ object Curation2 {
   def corpusSourceOverlap(spark: SparkSession, dir: String,
       maxSources: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = table(spark, dir, "documents")
+    // tokenize+explode ONCE (spread across cores — the single-file scan
+    // gate, [[graft.schema.Schemas.spread]]); the source panel reads the
+    // RAW table: every document contributes ≥1 exploded row (tokens of
+    // an empty text is [""]), so distinct sources agree, and the panel
+    // branch skips the tokenize entirely
+    val d = graft.schema.Schemas.spread(spark, dir, "documents",
+        table(spark, dir, "documents").select(col("doc_id"), col("source"),
+          col("text")), col("doc_id"))
       .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
-    val srcIdx = d.select(col("source")).distinct()
+    val srcIdx = table(spark, dir, "documents")
+      .select(col("source")).distinct()
       .withColumn("idx",
         (row_number().over(Window.orderBy(col("source"))) - 1).cast("int"))
       .filter(col("idx") < maxSources)

@@ -188,7 +188,9 @@ object Dedup {
     val (candidates, candSh) =
       lshCandidatesWithSets(spark, dir, shingleSize, numBands, rowsPerBand)
     val nh = numBands * rowsPerBand
-    val docs = withPlantedNearDups(table(spark, dir, "documents"))
+    val docs = graft.schema.Schemas.spread(spark, dir, "documents",
+        withPlantedNearDups(table(spark, dir, "documents"))
+          .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= shingleSize)
     // identical key ⇒ the persisted signature index built by the
@@ -316,7 +318,9 @@ object Dedup {
 
   private def lshCandidatesWithSets(spark: SparkSession, dir: String,
       shingleSize: Int, numBands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
-    val docs = withPlantedNearDups(table(spark, dir, "documents"))
+    val docs = graft.schema.Schemas.spread(spark, dir, "documents",
+        withPlantedNearDups(table(spark, dir, "documents"))
+          .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= shingleSize)
     // the signature index is persisted ONCE per (dir, shingle size, width)
@@ -424,7 +428,9 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
     SimHash60.register(spark)
-    val docs = withPlantedNearDups(table(spark, dir, "documents"))
+    val docs = graft.schema.Schemas.spread(spark, dir, "documents",
+        withPlantedNearDups(table(spark, dir, "documents"))
+          .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("simhash", expr("simhash60(toks)"))
     val chunked = docs.select(col("doc_id"), col("simhash"),
@@ -505,7 +511,9 @@ object Dedup {
     * queries built. */
   private[graft] def cachedSignatureIndex(spark: SparkSession, dir: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
-    val docs = withPlantedNearDups(table(spark, dir, "documents"))
+    val docs = graft.schema.Schemas.spread(spark, dir, "documents",
+        withPlantedNearDups(table(spark, dir, "documents"))
+          .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= shingleSize)
     graft.schema.Schemas.evictingComputeIfAbsent(

@@ -152,6 +152,21 @@ object Multimodal {
 
   /** hash60 of `"$docId:$tag"` — the JVM twin of the oracle's
     * `CAST('0x' || substr(md5(doc_id || ':tag'), 1, 15) AS BIGINT)`. */
+  /** The doc_id panel hash-spread across the cores when the corpus file
+    * layout cannot feed them ([[graft.schema.Schemas.spread]] gate): the
+    * in-executor synthesize+decode inside each mapPartitions below is
+    * the whole cost of these operators, and a single-row-group corpus
+    * file reads as ONE task — serializing the real javax.imageio /
+    * RIFF decode onto one core (measured 1.2 s of multimodal_phash_dedup's
+    * 1.3 s at sf0.1). Identity on a healthy multi-split layout. */
+  private def spreadIds(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import spark.implicits._
+    graft.schema.Schemas.spread(spark, dir, "documents",
+      table(spark, dir, "documents").select(col("doc_id")), col("doc_id"))
+      .as[Long]
+  }
+
   private def idHash(docId: Long, tag: String): Long =
     graft.functions.SimHashImpl.hash60(s"$docId:$tag".getBytes("UTF-8"))
 
@@ -194,8 +209,7 @@ object Multimodal {
   def multimodalImageDecode(spark: SparkSession, dir: String,
       batchSize: Int = 64): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    spreadIds(spark, dir)
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           // batch boundary = the real decoder's amortization unit
@@ -222,8 +236,7 @@ object Multimodal {
   def multimodalImageChannelStats(spark: SparkSession, dir: String,
       batchSize: Int = 64): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    spreadIds(spark, dir)
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { id =>
@@ -410,8 +423,7 @@ object Multimodal {
   def multimodalImageResize(spark: SparkSession, dir: String,
       box: Int = 8, batchSize: Int = 64): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    spreadIds(spark, dir)
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { id =>
@@ -612,8 +624,7 @@ object Multimodal {
   def multimodalAudioDecode(spark: SparkSession, dir: String,
       batchSize: Int = 64): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    spreadIds(spark, dir)
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { id =>
@@ -646,8 +657,7 @@ object Multimodal {
   def multimodalAudioFrames(spark: SparkSession, dir: String,
       win: Int = 400, hop: Int = 160, batchSize: Int = 64): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    spreadIds(spark, dir)
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.flatMap { id =>
@@ -812,7 +822,7 @@ object Multimodal {
   def multimodalPhashDedup(spark: SparkSession, dir: String,
       batchSize: Int = 64): DataFrame = {
     import spark.implicits._
-    val ids = table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val ids = spreadIds(spark, dir)
     val withPlanted = ids.flatMap(id =>
       if (id < 10) Seq((id, id, 0), (id, id + 1000000L, 1))
       else Seq((id, id, 0)))

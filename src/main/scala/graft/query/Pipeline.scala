@@ -393,7 +393,11 @@ object Pipeline {
           .cast("long"))
     val k = types.agg(count(lit(1)).as("k"))
     val h = Dedup.hash60(concat(col("event_id").cast("string"), lit(":pred")))
-    val labeled = ev.join(broadcast(types), Seq("event_type"))
+    // spread ONLY the labeled branch (single consumer): the per-row
+    // pred-hash runs on every core instead of the unsplittable scan task
+    val labeled = graft.schema.Schemas
+      .spread(spark, dir, "events", ev, col("event_id"))
+      .join(broadcast(types), Seq("event_type"))
       .crossJoin(broadcast(k))
       .withColumn("h", h)
       .withColumn("pidx",

@@ -35,7 +35,7 @@ object TextAnalysis {
     graft.schema.Schemas.evictingComputeIfAbsent(tokenTfCache,
       s"$dir/token_tf",
       graft.schema.Schemas.fingerprint(s"$dir/documents.parquet"))(
-      table(spark, dir, "documents")
+      spreadDocs(spark, dir, "text")
         .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
@@ -66,6 +66,27 @@ object TextAnalysis {
         .agg(avg(col("dl")).as("avgdl")).head().getDouble(0)
       (n, a)
     })
+
+  /** The documents table, projected to (doc_id +: cols) and hash-spread
+    * across the cores when the corpus file layout cannot feed them
+    * ([[graft.schema.Schemas.spread]] gate — the driver testdata is one
+    * single-row-group parquet file per table, so the scan reads as ONE
+    * task and every tokenize/shingle/hash pipeline above it runs on one
+    * core). On a healthy multi-split layout this adds nothing.
+    *
+    * Multi-consumer caveat: a query whose plan consumes the spread
+    * frame from SEVERAL subtrees (separate broadcast builds each
+    * re-materialize the scan+exchange — column pruning differentiates
+    * the subtrees, so ReuseExchange does not collapse them) pays the
+    * narrow map side once PER subtree and can get slower; measured on
+    * cooccur_pmi / kneser_ney / llr / bigram_entropy_rate (0.46 →
+    * 0.91 s) — those stay on the direct scan. */
+  private def spreadDocs(spark: SparkSession, dir: String,
+      cols: String*): DataFrame =
+    graft.schema.Schemas.spread(spark, dir, "documents",
+      table(spark, dir, "documents")
+        .select(("doc_id" +: cols).map(col): _*),
+      col("doc_id"))
 
   /** Drop the persisted token index (test/corpus-regeneration hook). */
   def clearCaches(): Unit = {
@@ -184,7 +205,7 @@ object TextAnalysis {
     * slower here: slice+transform lambdas per gram); the count is
     * map-side-combined and the top-k is TakeOrdered, no global sort. */
   def textNgramCounts(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
-    table(spark, dir, "documents")
+    spreadDocs(spark, dir, "text")
       .select(Dedup.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
@@ -210,7 +231,7 @@ object TextAnalysis {
     * before the shuffle) → top-k TakeOrdered. All integer counts:
     * hash-exact in any engine. */
   def textBpePairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
-    table(spark, dir, "documents")
+    spreadDocs(spark, dir, "text")
       .select(explode(Dedup.tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 2)
       .select(col("tok"), explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
@@ -239,7 +260,7 @@ object TextAnalysis {
   def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val merges = textBpePairs(spark, dir, 3).collect()
       .map(_.getString(0)).toSeq
-    val toks = table(spark, dir, "documents")
+    val toks = spreadDocs(spark, dir, "text")
       .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
     val spaced = concat(lit(" "),
       regexp_replace(col("tok"), lit("(.)"), lit("$1 ")))
@@ -353,7 +374,7 @@ object TextAnalysis {
     val (_, vocab) = trainBpeShared(spark, dir, rounds)
     val wordUnits = vocab.select(col("word"),
       size(split(trim(col("sp")), "  ")).cast("long").as("n_units"))
-    val langWords = table(spark, dir, "documents")
+    val langWords = spreadDocs(spark, dir, "text", "lang")
       .select(col("lang"), explode(Dedup.tokens(col("text"))).as("word"))
       .groupBy(col("lang"), col("word"))
       .agg(count(lit(1)).as("n"))
@@ -572,7 +593,7 @@ object TextAnalysis {
     * corpus itself. */
   def textBoilerplateFrac(spark: SparkSession, dir: String,
       chunkTokens: Int = 8, minDf: Int = 3): DataFrame = {
-    val chunks = table(spark, dir, "documents")
+    val chunks = spreadDocs(spark, dir, "text")
       .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
       // sequence(0, -1) would generate a DESCENDING ramp, not empty —
       // short docs are excluded before the ramp is built
@@ -740,6 +761,10 @@ object TextAnalysis {
     * scan (the vocabulary is never the broadcast side — it grows with
     * the corpus; the survivors don't). */
   def cooccurPmi(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    // NOT spread: uni/bi/totals each re-consume `toks`, so a spread
+    // exchange would re-run the narrow scan+shuffle per subtree —
+    // measured 0.46 → 0.91 s at sf0.1 (the multi-consumer caveat on
+    // [[spreadDocs]])
     val toks = table(spark, dir, "documents")
       .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
     val uni = toks.select(explode(col("t")).as("tok"))
@@ -804,7 +829,7 @@ object TextAnalysis {
     * [[graft.query.Warehouse]]. */
   def textTopNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = table(spark, dir, "documents")
+    val toks = spreadDocs(spark, dir, "text")
       .select(col("doc_id"),
         length(Dedup.normText(col("text"))).cast("long").as("n_chars"),
         Dedup.tokens(col("text")).as("t"))
@@ -912,7 +937,7 @@ object TextAnalysis {
     * regardless of vocabulary size; the vocabulary scalar broadcasts. */
   def textBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = table(spark, dir, "documents")
+    val grams = spreadDocs(spark, dir, "text")
       .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
@@ -1171,7 +1196,7 @@ object TextAnalysis {
   def textRareSpan(spark: SparkSession, dir: String,
       span: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = table(spark, dir, "documents")
+    val grams = spreadDocs(spark, dir, "text")
       .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
@@ -1355,7 +1380,9 @@ object TextAnalysis {
       s"""filter(sequence(1, size(t)), i -> i = size(t) OR (i >= 4 AND
          |  CAST(conv(substring(md5(concat_ws(' ', slice(t, i - 3, 4))),
          |    1, 15), 16, 10) AS BIGINT) % $modulus = 0))""".stripMargin
-    Dedup.withPlantedNearDups(table(spark, dir, "documents"))
+    graft.schema.Schemas.spread(spark, dir, "documents",
+        Dedup.withPlantedNearDups(table(spark, dir, "documents"))
+          .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 1)
       .withColumn("ends", expr(endsExpr))
@@ -1398,6 +1425,8 @@ object TextAnalysis {
       """size(filter(bg, s ->
         |  CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % 4 = 0
         |))""".stripMargin
+    // map-only by pinned contract (DriverRound13Spec): no exchange, the
+    // green test runs inside the projection — the right 100 TB shape
     table(spark, dir, "documents")
       .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
@@ -1437,7 +1466,7 @@ object TextAnalysis {
     * All-integer counts until the caller's final float casts. */
   private def pairNgramOverlap(spark: SparkSession, dir: String,
       maxN: Int, pairs: Int): DataFrame =
-    table(spark, dir, "documents")
+    spreadDocs(spark, dir, "text")
       .filter(col("doc_id") < lit(2L * pairs))
       .select(expr("doc_id DIV 2").as("pair_id"),
         (col("doc_id") % 2 === 0).as("is_cand"),
@@ -1541,7 +1570,7 @@ object TextAnalysis {
   def evalChrf(spark: SparkSession, dir: String,
       pairs: Int = 200): DataFrame = {
     val maxN = 3
-    val grams = table(spark, dir, "documents")
+    val grams = spreadDocs(spark, dir, "text")
       .filter(col("doc_id") < lit(2L * pairs))
       .select(expr("doc_id DIV 2").as("pair_id"),
         (col("doc_id") % 2 === 0).as("is_cand"),

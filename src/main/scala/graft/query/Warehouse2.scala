@@ -774,6 +774,12 @@ object Warehouse2 {
       .withColumn("recency_days",
         datediff(col("ref"), col("last_order")).cast("long"))
       .drop("ref", "last_order")
+      // materialized ONCE: each TwoLevel.rowNumber pass below reads its
+      // input twice (histogram + join-back), so three chained passes
+      // would re-run the per-customer aggregate 2³ = 8 times (measured
+      // 18 driver jobs / 0.7 s for a ≤|customers| frame at sf0.1).
+      // The checkpoint is customer-grain — bounded, not corpus-grain.
+      .localCheckpoint(true)
     val nTot = base.agg(count(lit(1)).as("__n"))
     val ranked = Seq(
       (floor(col("recency_days") / lit(32L)),

@@ -225,6 +225,64 @@ object Schemas {
   /** Drop cached relations (test/corpus-regeneration hook). */
   def clearCaches(): Unit = relCache.clear()
 
+  // ---- scan-layout-aware spreading --------------------------------------
+
+  private val slicesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Upper bound on the number of scan tasks a table's file layout can
+    * feed: Σ_files ceil(size / maxPartitionBytes). The driver testdata
+    * ships every table as ONE small parquet file with ONE row group, so
+    * the scan reads as a single task no matter the split config — every
+    * pre-shuffle expression (md5 fanouts, tokenization, shingling) then
+    * runs on one core of the whole machine (guide §2.5 "input skew: one
+    * huge unsplittable file"). This estimate intentionally ignores
+    * row-group boundaries: it only has to answer "can the layout feed
+    * the cores at all", and for that an over-estimate at healthy
+    * layouts is harmless. Cached per (path, fingerprint). */
+  def scanSlices(spark: SparkSession, sfDir: String, name: String): Int = {
+    val path = s"$sfDir/$name.parquet"
+    val maxSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(128L * 1024 * 1024)
+    evictingComputeIfAbsent(slicesCache, s"slices:$path",
+      fingerprint(path)) {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Integer.valueOf(1)
+      else {
+        val walk = java.nio.file.Files.walk(p)
+        try {
+          val n = walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(f => math.max(1L,
+              (java.nio.file.Files.size(f) + maxSplit - 1) / maxSplit))
+            .sum
+          Integer.valueOf(math.min(n, Int.MaxValue.toLong).toInt)
+        } finally walk.close()
+      }
+    }(_ => ())
+  }
+
+  /** Hash-spread a NARROW frame across the cores iff the source table's
+    * file layout cannot (guide §2.5): when [[scanSlices]] says the scan
+    * feeds fewer tasks than the session has cores, repartition by `keys`
+    * to defaultParallelism so the expensive per-row work downstream runs
+    * on every core instead of inside the unsplittable scan task. On a
+    * production layout (many splits ≥ cores) this is the IDENTITY — no
+    * exchange is added, because there the same repartition would be a
+    * pure extra shuffle of the fact table. Call it on the narrowest
+    * projection available (project before the exchange, guide §2.3).
+    * Hash partitioning on a stable key is deterministic under retries;
+    * results are partition-invariant for the aggregate/join consumers
+    * this feeds (PartitionInvarianceSpec's discipline). */
+  def spread(spark: SparkSession, sfDir: String, name: String,
+      df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (scanSlices(spark, sfDir, name) >= cores) df
+    else df.repartition(cores, keys: _*)
+  }
+
   /** `events` with `ts` normalized to a true TimestampType.
     *
     * The testdata generator has shipped `ts` as THREE physical shapes

@@ -151,7 +151,8 @@ object StreamQueries {
     * state, partition count IS the dominant commit cost. At production
     * keyspaces this knob scales up with throughput, not down. */
   private def drain(spark: SparkSession, streamed: DataFrame,
-      mode: OutputMode, statePartitions: Int = 8): DataFrame =
+      mode: OutputMode, statePartitions: Int = 8,
+      eagerOutput: Boolean = false): DataFrame =
     // serialize on the session: the shuffle-partition override below is
     // session-global, so two interleaved drains could leave the session at
     // the streaming setting (or plan one drain under the other's). The
@@ -185,10 +186,16 @@ object StreamQueries {
       // Update mode emits each change as it happens, so for those modes
       // the extra batch is a pure planning+commit round trip (~0.1-0.2 s
       // of the measured drain floor) with no observable output — skip it.
-      // Append drains keep it: their finalized rows ONLY appear there.
+      // Append drains keep it UNLESS the caller declares eagerOutput:
+      // operators that emit on arrival (stateless projections/joins,
+      // inner stream-stream joins, dropDuplicates*) produce their full
+      // output during the data batches — the trailing batch only evicts
+      // state. Finalize-on-watermark operators (windowed aggs in Append,
+      // outer joins' NULL side, session windows) must NOT set it: their
+      // rows only appear in that batch.
       val prevNoData =
         spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-      if (mode != OutputMode.Append())
+      if (mode != OutputMode.Append() || eagerOutput)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       try {
         val w = streamed.writeStream
@@ -390,7 +397,7 @@ object StreamQueries {
       .withWatermark("ts", "24 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    drain(spark, deduped, OutputMode.Append())
+    drain(spark, deduped, OutputMode.Append(), eagerOutput = true)
       .orderBy(col("user_id"), col("event_type"))
   }
 
@@ -422,7 +429,7 @@ object StreamQueries {
         col("valid_from") <= col("ts") &&
         (col("valid_to").isNull || col("ts") < col("valid_to")))
       .select(col("event_id"), col("user_id"), col("version_n"), col("attr"))
-    drain(spark, enriched, OutputMode.Append())
+    drain(spark, enriched, OutputMode.Append(), eagerOutput = true)
       .orderBy(col("event_id"))
   }
 
@@ -472,7 +479,7 @@ object StreamQueries {
              |AND purchase_ts >= click_ts
              |AND purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin))
       .select(col("click_id"), col("purchase_id"), col("user_id"))
-    drain(spark, joined, OutputMode.Append())
+    drain(spark, joined, OutputMode.Append(), eagerOutput = true)
       .orderBy(col("click_id"), col("purchase_id"))
   }
 

@@ -42,12 +42,6 @@ class WindowGateSpec extends SparkSpec {
     "ann_ivf_delta_assign" -> "≤ nCells deterministic seed panel",
     "stream_ann_ivf_assign" ->
       "≤ nCells deterministic seed panel (shared ivfOccReport epilogue)",
-    "eval_bootstrap_bca" ->
-      ("≤ reps replica panel (checkpointed ×50 aggregate; the declared " +
-        "limit(reps) restores the bound the barrier hides)"),
-    "eval_bootstrap_bca_sampled" ->
-      ("≤ reps replica panel over the hash-threshold subsample (same " +
-        "checkpointed ×50 aggregate + declared limit(reps))"),
     "ann_ivf_pq_topk" -> "≤ nCells seed / ≤ nProbe probe panels",
     "ann_recall_curve" -> "≤ nCells seed panel + ≤ nQueries query panel",
     "corpus_source_overlap" -> "≤ 16 distinct sources (mask cap)",
