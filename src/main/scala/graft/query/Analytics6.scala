@@ -1002,8 +1002,16 @@ object Analytics6 {
       if (Analytics.symEdgeCount(spark, dir) <= broadcastMaxEdges)
         broadcast _
       else identity
+    // Explicit partition count on the pair-fanout input: the cohort ego
+    // table is SMALL on the wire (~0.6 MB at sf0.1), so AQE coalesces
+    // its exchange to ONE partition — but the z-keyed self-join below
+    // EXPANDS it ~40× (quadratic neighborhood pairs, 25 MB of shuffle
+    // write measured on one core: 0.9 s of the query's 2.2 s). Input
+    // size is the wrong signal for a fanout stage; pin the width to the
+    // machine (the graphPagerank wedges discipline).
     val ego = sym.filter(col("u") % cohortMod === 0)
       .select(col("u").as("z"), col("v").as("n"))
+      .repartition(spark.sparkContext.defaultParallelism, col("z"))
     val pairs = ego.as("a")
       .join(ego.as("b"), col("a.z") === col("b.z")
         && col("a.n") < col("b.n"))
